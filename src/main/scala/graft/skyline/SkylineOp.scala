@@ -1,0 +1,92 @@
+package graft.skyline
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, DoubleType, TimestampNTZType, TimestampType}
+
+/** Public skyline operator over DataFrames.
+  *
+  * Strategy choice:
+  *  - [[twoPhase]] (default): per-partition local skyline (map-side,
+  *    zero shuffle) → shuffle only the tiny local skylines to one task →
+  *    final merge. This is the right plan when the skyline is small
+  *    relative to the input (the overwhelmingly common case — weeks of
+  *    data, d ≲ 10). At 100 TB the phase-1 scan is embarrassingly
+  *    parallel and the shuffle moves only |partitions| × |local sky|
+  *    rows.
+  *  - [[graft.skyline.SkyMr]]: the reference's quadtree-partitioned
+  *    SKY-MR plan, for hostile (anti-correlated / high-d) data where
+  *    local skylines are large and the final merge needs real
+  *    parallelism.
+  *
+  * Semantics (both paths): strict Pareto dominance, ties kept, rows with
+  * any NULL/sentinel dim excluded — see [[SkylineSpec]].
+  */
+object SkylineOp {
+
+  /** Internal normalized-vector column (dropped before returning). */
+  val SKY = "__graft_sky"
+
+  /** Normalized (MIN-convention, sentinel→null) dim expressions.
+    * Temporal types are mapped to their epoch numeric (order-preserving)
+    * so dominance compares them like any other dim; the original column
+    * values pass through untouched in the output.
+    */
+  def normalizedDims(df: DataFrame, spec: SkylineSpec): Seq[Column] =
+    spec.dims.map { dim =>
+      val base = df.schema(dim.col).dataType match {
+        case TimestampType => unix_micros(col(dim.col)).cast(DoubleType)
+        case TimestampNTZType =>
+          unix_micros(col(dim.col).cast(TimestampType)).cast(DoubleType)
+        case DateType => unix_date(col(dim.col)).cast(DoubleType)
+        case _ => col(dim.col).cast(DoubleType)
+      }
+      val nulled = dim.missing match {
+        case Some(s) => when(base === lit(s), lit(null).cast(DoubleType)).otherwise(base)
+        case None => base
+      }
+      nulled * lit(dim.dir.sign)
+    }
+
+  /** Append the normalized vector column and drop incomplete rows.
+    * The completeness filter is a plain Catalyst predicate — it is
+    * pushed below the exchange (and into parquet for source columns).
+    */
+  def prepare(df: DataFrame, spec: SkylineSpec): DataFrame = {
+    val dims = normalizedDims(df, spec)
+    df.filter(dims.map(_.isNotNull).reduce(_ && _))
+      .withColumn(SKY, array(dims: _*))
+  }
+
+  def skyline(df: DataFrame, spec: SkylineSpec): DataFrame = twoPhase(df, spec)
+
+  /** Local-skyline-then-merge plan. Phase 1 runs GSKY per input
+    * partition with no shuffle; phase 2 shuffles only the survivors
+    * (orders of magnitude smaller) into one task for the final GSKY.
+    * `repartition(1)` (not `coalesce(1)`) keeps phase 1 parallel.
+    */
+  def twoPhase(df: DataFrame, spec: SkylineSpec): DataFrame = {
+    val prep = prepare(df, spec)
+    val enc = Encoders.row(prep.schema)
+    val skyIdx = prep.schema.fieldIndex(SKY)
+    val local = prep.mapPartitions((it: Iterator[Row]) => Gsky.skylineRows(it, skyIdx))(enc)
+    val merged = local
+      .repartition(1)
+      .mapPartitions((it: Iterator[Row]) => Gsky.skylineRows(it, skyIdx))(enc)
+    merged.drop(SKY)
+  }
+
+  /** Declarative (anti-join) skyline, for small/medium inputs and as a
+    * cross-check of the imperative paths: `p ∈ sky(T)` iff no `q ∈ T`
+    * dominates `p`. Catalyst plans it as a broadcast nested-loop
+    * anti-join; O(n²) — only sensible when `df` is small.
+    */
+  def antiJoin(df: DataFrame, spec: SkylineSpec): DataFrame = {
+    val p = prepare(df, spec).alias("p")
+    val q = prepare(df, spec).alias("q")
+    val d = spec.d
+    val pv = (0 until d).map(i => element_at(col(s"p.$SKY"), i + 1))
+    val qv = (0 until d).map(i => element_at(col(s"q.$SKY"), i + 1))
+    p.join(q, Dominance.dominatesCol(qv, pv), "left_anti").drop(SKY)
+  }
+}

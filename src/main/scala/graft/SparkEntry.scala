@@ -121,7 +121,8 @@ object SparkEntry {
 
     "q_range_stats" ->
       """SELECT count(*) AS c,
-        |  count(*) AS c_no_missing,
+        |  count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |             AND l_discount IS NOT NULL AND l_tax IS NOT NULL THEN 1 END) AS c_no_missing,
         |  count(l_quantity) AS c_l_quantity, min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
         |  count(l_extendedprice) AS c_l_extendedprice, min(l_extendedprice) AS min_l_extendedprice, max(l_extendedprice) AS max_l_extendedprice,
         |  count(l_discount) AS c_l_discount, min(l_discount) AS min_l_discount, max(l_discount) AS max_l_discount,
@@ -140,8 +141,11 @@ object SparkEntry {
     "q_skyline_lineitem" ->
       """SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate
         |FROM lineitem p
-        |WHERE p.l_returnflag = 'R' AND NOT EXISTS (
+        |WHERE p.l_returnflag = 'R'
+        |  AND p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_shipdate IS NOT NULL
+        |  AND NOT EXISTS (
         |  SELECT 1 FROM lineitem q WHERE q.l_returnflag = 'R'
+        |    AND q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_shipdate IS NOT NULL
         |    AND q.l_extendedprice <= p.l_extendedprice
         |    AND q.l_discount >= p.l_discount
         |    AND q.l_shipdate <= p.l_shipdate
@@ -153,9 +157,11 @@ object SparkEntry {
     "q_skyline_orders" ->
       """SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
         |FROM orders p
-        |WHERE NOT EXISTS (
+        |WHERE p.o_totalprice IS NOT NULL AND p.o_orderdate IS NOT NULL
+        |  AND NOT EXISTS (
         |  SELECT 1 FROM orders q
-        |  WHERE q.o_totalprice <= p.o_totalprice AND q.o_orderdate >= p.o_orderdate
+        |  WHERE q.o_totalprice IS NOT NULL AND q.o_orderdate IS NOT NULL
+        |    AND q.o_totalprice <= p.o_totalprice AND q.o_orderdate >= p.o_orderdate
         |    AND (q.o_totalprice < p.o_totalprice OR q.o_orderdate > p.o_orderdate))
         |ORDER BY p.o_orderkey""".stripMargin,
 

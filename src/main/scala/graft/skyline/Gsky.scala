@@ -41,7 +41,11 @@ object Gsky {
     buf += ((v, p))
   }
 
-  /** Merge two skyline buffers (the "combiner"/partial-agg step). */
+  /** Merge two skyline buffers (the "combiner"/partial-agg step).
+    * NOTE: BOTH input buffers are invalidated by this call — the larger
+    * one is mutated in place and returned, the smaller is consumed.
+    * Only the return value may be used afterwards.
+    */
   def merge[P](into: Buf[P], from: Buf[P]): Buf[P] = {
     // Fold the smaller buffer into the larger one.
     val (big, small) = if (into.length >= from.length) (into, from) else (from, into)

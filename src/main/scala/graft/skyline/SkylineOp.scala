@@ -51,10 +51,13 @@ object SkylineOp {
   /** Append the normalized vector column and drop incomplete rows.
     * The completeness filter is a plain Catalyst predicate — it is
     * pushed below the exchange (and into parquet for source columns).
+    * NaN dims are excluded along with NULLs: NaN compares as
+    * "incomparable to everything" in [[Dominance.compare]], which would
+    * let NaN rows survive every skyline — treat them as missing instead.
     */
   def prepare(df: DataFrame, spec: SkylineSpec): DataFrame = {
     val dims = normalizedDims(df, spec)
-    df.filter(dims.map(_.isNotNull).reduce(_ && _))
+    df.filter(dims.map(d => d.isNotNull && !isnan(d)).reduce(_ && _))
       .withColumn(SKY, array(dims: _*))
   }
 

@@ -59,9 +59,10 @@ class GskySpec extends AnyFunSuite {
     val buf = ArrayBuffer.empty[(Array[Double], Int)]
     Gsky.insert(buf, Array(1.0, 2.0), 1)
     Gsky.insert(buf, Array(1.0, 2.0), 2)
-    Gsky.insert(buf, Array(0.0, 5.0), 3)
+    Gsky.insert(buf, Array(0.5, 5.0), 3) // incomparable to the (1,2) ties
     assert(buf.map(_._2).sorted == Seq(1, 2, 3))
-    Gsky.insert(buf, Array(0.0, 2.0), 4) // dominates both (1,2) ties
+    // Dominates both (1,2) ties; incomparable to (0.5,5) which survives.
+    Gsky.insert(buf, Array(1.0, 1.0), 4)
     assert(buf.map(_._2).sorted == Seq(3, 4))
   }
 

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.skyline.{Max, Min, SkyDim, SkylineOp, SkylineSpec}
+import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.RangeStats
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -63,6 +63,16 @@ object SparkEntry {
     "q_skyline_lineitem" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       SkylineOp.twoPhase(li, lineitemSpec)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // Same skyline semantics through the quadtree-partitioned SKY-MR
+    // plan (parallel final merge) — scoped to returnflag 'A' so it
+    // exercises a different slice than q_skyline_lineitem.
+    "q_skyline_skymr" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "A")
+      SkyMr.skyline(li, lineitemSpec, maxp = 64, maxDepth = 6, sampleSize = 5000)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
         .orderBy("l_orderkey", "l_linenumber")
     },
@@ -145,6 +155,22 @@ object SparkEntry {
         |  AND p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_shipdate IS NOT NULL
         |  AND NOT EXISTS (
         |  SELECT 1 FROM lineitem q WHERE q.l_returnflag = 'R'
+        |    AND q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_shipdate IS NOT NULL
+        |    AND q.l_extendedprice <= p.l_extendedprice
+        |    AND q.l_discount >= p.l_discount
+        |    AND q.l_shipdate <= p.l_shipdate
+        |    AND (q.l_extendedprice < p.l_extendedprice
+        |      OR q.l_discount > p.l_discount
+        |      OR q.l_shipdate < p.l_shipdate))
+        |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
+
+    "q_skyline_skymr" ->
+      """SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate
+        |FROM lineitem p
+        |WHERE p.l_returnflag = 'A'
+        |  AND p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_shipdate IS NOT NULL
+        |  AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem q WHERE q.l_returnflag = 'A'
         |    AND q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_shipdate IS NOT NULL
         |    AND q.l_extendedprice <= p.l_extendedprice
         |    AND q.l_discount >= p.l_discount

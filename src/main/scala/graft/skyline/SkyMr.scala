@@ -1,0 +1,179 @@
+package graft.skyline
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** SKY-MR: the reference's quadtree-partitioned two-phase skyline
+  * (Skyline.java + GlobalSkyline.java, per Park/Min/Shim PVLDB'13),
+  * re-expressed as a single Spark job graph.
+  *
+  * Plan:
+  *  1. bounds + count:  one `agg` over the normalized dims (replaces the
+  *     manual Job-1 → hardcoded-root handoff, Skyline.java:365-366);
+  *  2. driver quadtree over a seeded sample (the paper samples; the
+  *     reference driver-reads the WHOLE input, Skyline.java:355-363 — we
+  *     follow the paper), broadcast to executors;
+  *  3. cellId routing column; points routed into pruned cells dropped
+  *     (LSkyMapper.java:45-50);
+  *  4. phase 1 — per-cell local skyline with a map-side partial pass
+  *     (the reference registers its reducer as combiner,
+  *     Skyline.java:408), then one shuffle keyed by cell;
+  *  5. per-cell VPn (component-wise max of local skyline,
+  *     LSkyReducer.java:19-31) and per-dim argmin sky-filter points
+  *     (LSkyReducer.java:20-49) via one tiny aggregate, collected and
+  *     broadcast (replacing MultipleOutputs + manual file concat);
+  *  6. phase 2 — sky-filter broadcast pre-filter (GSkyMapper.java:80-84),
+  *     then dominance replication: each survivor goes to its own cell as
+  *     a candidate and, as a probe, to every other cell that may contain
+  *     points it dominates (region [[CellAlgebra.mayDominate]] — the
+  *     CORRECTED condition, see CellAlgebra doc — refined per point by a
+  *     strict-dominance test against the target's VPn,
+  *     GSkyMapper.java:89-95, with the target-key bug fixed);
+  *  7. parallel final elimination per cell (GSkyReducer.java:4-37):
+  *     candidates dominated by any probe are dropped; probes are not
+  *     re-emitted (the reference echoes `*` rows — an output quirk we do
+  *     not keep).
+  *
+  * Scale story vs [[SkylineOp.twoPhase]]: the final merge is parallel
+  * across cells instead of a single task, and the VPn/sky-filter pruning
+  * bounds both the pre-filter survivors and the replication fanout —
+  * this is the plan for anti-correlated / high-d data where local
+  * skylines grow with partition size. Driver-side state is O(sample +
+  * cells·d), broadcast state likewise; no collect ever touches data
+  * rows, only cell metadata.
+  */
+object SkyMr {
+
+  val CELL = "__graft_cell"
+  val PROBE = "__graft_probe"
+
+  def skyline(
+      df: DataFrame,
+      spec: SkylineSpec,
+      maxp: Int = 256,
+      maxDepth: Int = 8,
+      sampleSize: Int = 20000,
+      seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    val d = spec.d
+    val prep = SkylineOp.prepare(df, spec)
+    val skyIdx = prep.schema.fieldIndex(SkylineOp.SKY)
+
+    // -- 1. bounds + count (one pass, Catalyst partial/final agg) -------
+    val dimCol = (i: Int) => element_at(col(SkylineOp.SKY), i + 1)
+    val boundAggs = (0 until d).flatMap(i => Seq(min(dimCol(i)), max(dimCol(i)))) :+ count(lit(1))
+    val b = prep.agg(boundAggs.head, boundAggs.tail: _*).head()
+    val n = b.getLong(2 * d)
+    if (n == 0) return prep.drop(SkylineOp.SKY)
+    val lo = Array.tabulate(d)(i => b.getDouble(2 * i))
+    // Nudge hi so max-valued points still route into the top half-open cell.
+    val hi = Array.tabulate(d) { i =>
+      val h = b.getDouble(2 * i + 1)
+      if (h == lo(i)) h + 1.0 else h
+    }
+
+    // -- 2. sample → driver tree → broadcast ----------------------------
+    val fraction = math.min(1.0, sampleSize * 1.2 / n.toDouble)
+    val sample = prep.select(col(SkylineOp.SKY))
+      .sample(withReplacement = false, fraction, seed)
+      .limit(sampleSize)
+      .collect()
+      .map(r => Gsky.vecOf(r, 0))
+    val tree = QuadTree.build(sample, lo, hi, maxp, maxDepth)
+    val bcTree = spark.sparkContext.broadcast(tree)
+
+    // -- 3. routing column; pruned-cell rows dropped ---------------------
+    val routeUdf = udf((v: Seq[Double]) => bcTree.value.route(v.toArray))
+    val routed = prep.withColumn(CELL, routeUdf(col(SkylineOp.SKY)))
+      .filter(col(CELL) >= 0)
+    val schema = routed.schema
+    val enc = Encoders.row(schema)
+    val cellIdx = schema.fieldIndex(CELL)
+
+    // -- 4. phase 1: local skyline per cell, with map-side combine ------
+    def perCellSky(it: Iterator[Row]): Iterator[Row] = {
+      val bufs = mutable.HashMap.empty[Int, Gsky.Buf[Row]]
+      it.foreach { r =>
+        Gsky.insert(bufs.getOrElseUpdate(r.getInt(cellIdx), Gsky.emptyBuf[Row]),
+          Gsky.vecOf(r, skyIdx), r)
+      }
+      bufs.valuesIterator.flatMap(_.iterator.map(_._2))
+    }
+    val localSky = routed
+      .mapPartitions(perCellSky _)(enc) // combiner: shuffle only local-sky survivors
+      .repartition(col(CELL))
+      .mapPartitions(perCellSky _)(enc)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // -- 5. VPn + per-dim argmin sky-filter points (cell metadata only) --
+    val metaAggs = (0 until d).flatMap { i =>
+      Seq(max(dimCol(i)).as(s"__vpn_$i"),
+        min_by(col(SkylineOp.SKY), dimCol(i)).as(s"__flt_$i"))
+    }
+    val meta = localSky.groupBy(col(CELL)).agg(metaAggs.head, metaAggs.tail: _*).collect()
+    val vpns: Map[Int, Array[Double]] = meta.map { r =>
+      r.getInt(0) -> Array.tabulate(d)(i => r.getDouble(1 + 2 * i))
+    }.toMap
+    val filters: Array[Array[Double]] = meta
+      .flatMap(r => (0 until d).map(i => Gsky.vecOf(r, 2 + 2 * i).toSeq))
+      .distinct // content dedup (reference sort+adjacent-unique, LSkyReducer.java:38-49)
+      .map(_.toArray)
+    // Replication targets per cell, precomputed on the driver over the
+    // (cells × cells) metadata — dozens–hundreds of ids, never data rows.
+    val ids = tree.leafIds
+    val targets: Map[Int, Array[Int]] = vpns.keys.map { a =>
+      a -> vpns.keys.filter(t => t != a && CellAlgebra.mayDominate(ids(a), ids(t), d)).toArray
+    }.toMap
+    val bcVpns = spark.sparkContext.broadcast(vpns)
+    val bcFilters = spark.sparkContext.broadcast(filters)
+    val bcTargets = spark.sparkContext.broadcast(targets)
+
+    // -- 6. phase 2: sky-filter pre-filter, then dominance replication --
+    val schema2 = schema.add(PROBE, org.apache.spark.sql.types.BooleanType)
+    val enc2 = Encoders.row(schema2)
+    val replicated = localSky
+      .filter { r =>
+        val v = Gsky.vecOf(r, skyIdx)
+        !bcFilters.value.exists(f => Dominance.dominates(f, v))
+      }
+      .flatMap { r =>
+        val cell = r.getInt(cellIdx)
+        val v = Gsky.vecOf(r, skyIdx)
+        val base = r.toSeq
+        val own = Row.fromSeq(base :+ false)
+        val probes = bcTargets.value.getOrElse(cell, Array.empty[Int]).iterator
+          .filter(t => Dominance.dominates(v, bcVpns.value(t)))
+          .map { t =>
+            val s = base.toArray
+            s(cellIdx) = t
+            Row.fromSeq(s.toIndexedSeq :+ true)
+          }
+        Iterator.single(own) ++ probes
+      }(enc2)
+
+    // -- 7. parallel final elimination per cell --------------------------
+    val probeIdx = schema2.fieldIndex(PROBE)
+    val globalSky = replicated
+      .repartition(col(CELL))
+      .mapPartitions { it =>
+        val cand = mutable.HashMap.empty[Int, mutable.ArrayBuffer[(Array[Double], Row)]]
+        val probes = mutable.HashMap.empty[Int, mutable.ArrayBuffer[Array[Double]]]
+        it.foreach { r =>
+          val cell = r.getInt(cellIdx)
+          val v = Gsky.vecOf(r, skyIdx)
+          if (r.getBoolean(probeIdx)) probes.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) += v
+          else cand.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) += ((v, r))
+        }
+        cand.iterator.flatMap { case (cell, cs) =>
+          val ps = probes.getOrElse(cell, mutable.ArrayBuffer.empty)
+          cs.iterator
+            .filter { case (v, _) => !ps.exists(p => Dominance.dominates(p, v)) }
+            .map { case (_, r) => Row.fromSeq(r.toSeq.init) } // drop probe flag
+        }
+      }(enc)
+
+    globalSky.drop(CELL, SkylineOp.SKY)
+  }
+}

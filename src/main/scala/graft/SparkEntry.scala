@@ -3,8 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.dedup.{Dedup, MinHashLsh, SimHash}
+import graft.io.Gsod
+import graft.sim.{AnnLsh, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.RangeStats
+import graft.text.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -116,6 +120,167 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
     },
+
+    // ---- text analysis over `documents` -------------------------------
+
+    // Per-document token counts, quality signals, composite score — all
+    // codegen'd Column expressions (graft.text.TextFunctions).
+    "q_text_stats" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val t = col("text")
+      d.select(
+        col("doc_id"),
+        TextFunctions.tokenCount(t).as("n_tokens"),
+        size(TextFunctions.bpeTokens(t)).as("n_bpe"),
+        round(TextFunctions.meanTokenLen(t), 6).as("mean_tok_len"),
+        round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
+        round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
+        TextFunctions.qualityScore(t).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Marker-word language heuristic; deterministic argmax with
+    // alphabetical tie-break (graft.text.TextFunctions.langId).
+    "q_lang_id" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val t = col("text")
+      val scores = TextFunctions.langScores(t)
+      val scoreCols = TextFunctions.langMarkers.map(_._1).zip(scores)
+        .map { case (code, sc) => sc.as(s"s_$code") }
+      d.select(col("doc_id") +: scoreCols :+ TextFunctions.langId(t).as("lang_pred"): _*)
+        .orderBy("doc_id")
+    },
+
+    // ---- dedup over `documents` ---------------------------------------
+
+    // Exact content dedup: one hash-groupBy on the normalized-token md5.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fp")
+    },
+
+    // Exact 3-gram Jaccard near-dup pairs via prefix-filtered inverted-
+    // index join (never all-pairs; see graft.dedup.Dedup.jaccardPairs).
+    "q_dedup_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Same pairs through the MinHash+banded-LSH sketch path (r=2, b=64:
+    // miss probability at s≥0.5 is (1-0.25)^64 ≈ 1e-8, so the exact
+    // brute-force oracle is safe), exact-Jaccard verified.
+    "q_dedup_minhash" -> { (s, dir) =>
+      MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.5, bands = 64, rows = 2)
+        .orderBy("id_a", "id_b")
+    },
+
+    // SimHash near-dups: 64-bit signature, pigeonhole-blocked exact
+    // Hamming search. Not SQL-expressible — rows-only check; cross
+    // checked in SimHashSpec against brute force.
+    "q_dedup_simhash" -> { (s, dir) =>
+      SimHash.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxDist = 7)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- embedding similarity over `embeddings` -----------------------
+
+    // Exact top-10 cosine neighbors of vec 0: one scan +
+    // TakeOrderedAndProject; the query vector is a plan literal.
+    "q_knn" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      VectorSim.topK(e, "embedding", q, k = 10, tieBreak = "vec_id")
+        .select("vec_id", "label", "score")
+    },
+
+    // Exact cosine near-dup pairs blocked by label (quadratic only
+    // inside a label block — sharded-GEMM shape).
+    "q_cosine_pairs" -> { (s, dir) =>
+      VectorSim.cosinePairs(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", "label", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Approximate variant: random-hyperplane LSH buckets + exact
+    // verification. Probabilistic recall — rows-only check here;
+    // recall pinned on planted near-dups in AnnLshSpec.
+    "q_ann_pairs" -> { (s, dir) =>
+      AnnLsh.nearNeighborPairs(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, threshold = 0.3,
+        bits = 6, tables = 12)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- events: windows, JSON, grouped skyline -----------------------
+
+    // Tumbling 1-day windowed aggregation per event type.
+    "q_events_window" -> { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .groupBy(col("event_type"),
+          // day as a plain string: DATE parquet surfaces as python
+          // date objects vs DuckDB's datetime64 — same values, unequal
+          // types under a strict compare.
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 6).as("sum_value"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy("event_type", "day")
+    },
+
+    // JSON property extraction + aggregation over the `props` column.
+    "q_json" -> { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+    // Per-(event_type, day) skyline: highest-value, earliest events —
+    // the grouped skyline operator (map-side partial + one keyed
+    // shuffle; see SkylineOp.grouped).
+    "q_skyline_events" -> { (s, dir) =>
+      val e = Tables.loadEvents(s, dir)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      SkylineOp.grouped(e,
+        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))),
+        Seq("event_type", "day"))
+        .select("event_type", "day", "event_id", "value")
+        .orderBy("event_type", "day", "event_id")
+    },
+
+    // ---- GSOD fixed-width ingest (reference source format) ------------
+
+    // Round-trip proof of the fixed-width parser: shape lineitem into
+    // GSOD-layout lines (3 real dims, 6 at their missing sentinel),
+    // parse them back with graft.io.Gsod, aggregate Range-style stats.
+    // The oracle computes the same stats from lineitem directly.
+    "q_gsod_roundtrip" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val shaped = li.select(
+        pmod(col("l_orderkey"), lit(1000000)).cast("int").as("stn"),
+        (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+          dayofmonth(col("l_shipdate"))).as("date"),
+        round(col("l_quantity")).as("temp"),
+        round(col("l_discount") * 100).as("dewp"),
+        round(col("l_tax") * 100).as("slp"),
+        lit(null).cast("double").as("max_temp"),
+        lit(null).cast("double").as("stp"),
+        lit(null).cast("double").as("wdsp"),
+        lit(null).cast("double").as("mxspd"),
+        lit(null).cast("double").as("gust"),
+        lit(null).cast("double").as("min_temp"))
+      val lines = shaped.select(Gsod.format(shaped).as("value"))
+      RangeStats.stats(Gsod.parse(lines), Gsod.valueFields.map(_.name))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -210,5 +375,193 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    // Tokenization contract mirrored from TextFunctions.tokens:
+    // lowercase, split on \s+, drop empties. Every ratio replicates the
+    // Spark expression tree exactly (same operation order) so doubles
+    // agree bit-for-bit before the 6-dp round.
+    "q_text_stats" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+        |    regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS bpe,
+        |    regexp_replace(text, '\s+', '', 'g') AS nosp
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_tokens,
+        |    len(bpe) AS n_bpe,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
+        |      ELSE 0.0 END AS mean_tok_len,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / len(toks)
+        |      ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN len(nosp) > 0
+        |      THEN CAST(len(regexp_replace(nosp, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / len(nosp)
+        |      ELSE 0.0 END AS punct_ratio
+        |  FROM t)
+        |SELECT doc_id, n_tokens, n_bpe,
+        |  round(mean_tok_len, 6) AS mean_tok_len,
+        |  round(stopword_ratio, 6) AS stopword_ratio,
+        |  round(punct_ratio, 6) AS punct_ratio,
+        |  round(0.5 * (least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+        |               * least(1.0, 500.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0)))
+        |      + 0.3 * least(stopword_ratio * 5.0, 1.0)
+        |      + 0.2 * (1.0 - least(punct_ratio * 2.0, 1.0)), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Argmax with ties resolved in langMarkers order (de,en,es,fr,zh),
+    // 'und' when no marker hits — mirrors TextFunctions.langId.
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','es'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('de5','shi4','le5','bu4','wo3','ni3'))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT
+        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp,
+        |  min(doc_id) AS keep_id,
+        |  count(*) AS n_dupes
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // Brute-force all-pairs 3-gram Jaccard (fine at sf0.01 oracle
+    // scale; the engine side is the prefix-filtered join).
+    "q_dedup_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // The sketch path must find exactly the same pairs (miss probability
+    // ≈ 1e-8 at the planted pairs' similarity ≈ 0.98) — same oracle.
+    "q_dedup_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Double-precision cosine via unnest (DuckDB's
+    // list_cosine_similarity computes in float32 — not oracle-grade).
+    "q_knn" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
+        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+        |dots AS (SELECT e.vec_id, sum(e.x * q.x) AS d FROM ev e JOIN q ON e.i = q.i GROUP BY 1)
+        |SELECT emb.vec_id, emb.label,
+        |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+        |    THEN dots.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+        |FROM dots
+        |JOIN norms ON dots.vec_id = norms.vec_id
+        |JOIN embeddings emb ON dots.vec_id = emb.vec_id
+        |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_cosine_pairs" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
+        |  FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT blk, id_a, id_b, score FROM (
+        |  SELECT blk, id_a, id_b,
+        |    round(CASE WHEN na.n * nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
+        |  FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
+        |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n,
+        |  round(sum(value), 6) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_type,
+        |  count(CAST(props->>'$.k' AS INT)) AS n,
+        |  round(avg(CAST(props->>'$.k' AS INT)), 6) AS avg_k,
+        |  min(CAST(props->>'$.k' AS INT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // Per-(event_type, day) Pareto front: max value, earliest ts.
+    // Timestamps have no sub-microsecond component, so DuckDB's nanos
+    // and Spark's micros order identically.
+    "q_skyline_events" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value, ts,
+        |    strftime(ts, '%Y-%m-%d') AS day
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL)
+        |SELECT p.event_type, p.day, p.event_id, p.value
+        |FROM e p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e q
+        |  WHERE q.event_type = p.event_type AND q.day = p.day
+        |    AND q.value >= p.value AND q.ts <= p.ts
+        |    AND (q.value > p.value OR q.ts < p.ts))
+        |ORDER BY p.event_type, p.day, p.event_id""".stripMargin,
+
+    // Stats that survive the fixed-width round trip: same shaping of
+    // lineitem the Spark side formats+parses (3 real dims, 6 missing).
+    "q_gsod_roundtrip" ->
+      """WITH shaped AS (
+        |  SELECT CAST(round(l_quantity) AS DOUBLE) AS temp,
+        |    CAST(round(l_discount * 100) AS DOUBLE) AS dewp,
+        |    CAST(round(l_tax * 100) AS DOUBLE) AS slp
+        |  FROM lineitem)
+        |SELECT count(*) AS c, CAST(0 AS BIGINT) AS c_no_missing,
+        |  count(temp) AS c_temp, min(temp) AS min_temp, max(temp) AS max_temp,
+        |  count(dewp) AS c_dewp, min(dewp) AS min_dewp, max(dewp) AS max_dewp,
+        |  count(slp) AS c_slp, min(slp) AS min_slp, max(slp) AS max_slp,
+        |  CAST(0 AS BIGINT) AS c_max_temp, CAST(NULL AS DOUBLE) AS min_max_temp, CAST(NULL AS DOUBLE) AS max_max_temp,
+        |  CAST(0 AS BIGINT) AS c_stp, CAST(NULL AS DOUBLE) AS min_stp, CAST(NULL AS DOUBLE) AS max_stp,
+        |  CAST(0 AS BIGINT) AS c_wdsp, CAST(NULL AS DOUBLE) AS min_wdsp, CAST(NULL AS DOUBLE) AS max_wdsp,
+        |  CAST(0 AS BIGINT) AS c_mxspd, CAST(NULL AS DOUBLE) AS min_mxspd, CAST(NULL AS DOUBLE) AS max_mxspd,
+        |  CAST(0 AS BIGINT) AS c_gust, CAST(NULL AS DOUBLE) AS min_gust, CAST(NULL AS DOUBLE) AS max_gust,
+        |  CAST(0 AS BIGINT) AS c_min_temp, CAST(NULL AS DOUBLE) AS min_min_temp, CAST(NULL AS DOUBLE) AS max_min_temp
+        |FROM shaped""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loader for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
@@ -10,4 +11,17 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events` carries TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    * reader rejects outright; read nanos as long and convert to a micros
+    * timestamp. The fixture's timestamps have no sub-microsecond
+    * component (verified across all SFs), so the `div 1000` truncation
+    * is lossless and DuckDB (which reads the nanos natively) agrees on
+    * every derived value.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, sfDir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -1,0 +1,110 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextFunctions
+
+/** Deduplication operators for training-data pipelines (exact +
+  * similarity-based). All shapes are shuffle-bounded by design:
+  *
+  *  - [[exact]] is one hash-groupBy (a single shuffle on the content
+  *    fingerprint; partial aggregation map-side);
+  *  - [[jaccardPairs]] never does all-pairs: candidates come from an
+  *    inverted-index join restricted to each document's *prefix* of
+  *    globally-rarest shingles (PPJoin-style prefix filtering, which is
+  *    lossless at the given threshold), so the join fans out by prefix
+  *    size, not document count;
+  *  - [[MinHashLsh]] / [[SimHash]] (separate files) are the sketch-based
+  *    scale paths where even prefix joins are too hot.
+  */
+object Dedup {
+
+  /** Exact dedup: one row per distinct (normalized) content, keeping the
+    * smallest id — plus the duplicate count. Equivalent SQL: GROUP BY
+    * fingerprint. One shuffle; map-side combine via partial min/count.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dupes"))
+
+  /** Survivors view of [[exact]]: the kept rows themselves (keep-first
+    * semantics via a window, no second join back).
+    */
+  def exactSurvivors(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = TextFunctions.fingerprint(col(textCol))
+    val w = Window.partitionBy(fp).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs at `threshold`, without
+    * all-pairs comparison.
+    *
+    * Plan:
+    *  1. per-doc distinct shingle set (array column, stays with the row);
+    *  2. global shingle document-frequency → a rank that orders shingles
+    *     rarest-first (ties by shingle value, so the order is total and
+    *     deterministic);
+    *  3. each doc explodes only its prefix — the `floor((1-t)·|S|)+1`
+    *     rarest shingles. Two docs with Jaccard ≥ t MUST share at least
+    *     one prefix shingle (pigeonhole over the ≤ (1-t)·|S| shingles
+    *     either side may lack), so the candidate set is lossless;
+    *  4. equi-join on prefix shingle (a real key join, broadcast-able
+    *     when the prefix index is small) → distinct candidate pairs;
+    *  5. exact verify on the carried shingle arrays:
+    *     |A∩B| / |A∪B| ≥ t.
+    *
+    * At 100 TB the only shuffles are the DF aggregation and the prefix
+    * equi-join — both keyed, both combinable; nothing is quadratic in
+    * document count (worst case is bounded by prefix-bucket skew, the
+    * standard failure mode of prefix joins; raise `n` or `threshold` to
+    * shrink buckets).
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = df.sparkSession
+
+    val docs = df
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    // Global rarest-first order = (document frequency asc, shingle asc).
+    // The (df, s) struct itself is the sort key — no dense integer rank,
+    // so no single-partition global window; both shuffles here are keyed
+    // (groupBy s, groupBy id) and map-side combinable.
+    val shingleDf = docs
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+
+    val ranked = docs
+      .select(col("id"), explode(col("sh")).as("s"))
+      .join(shingleDf, "s")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("rsh"))
+      .withColumn("sh", transform(col("rsh"), _.getField("s")))
+      .withColumn("pfx", slice(col("sh"), lit(1),
+        (floor(size(col("sh")) * (1 - threshold)) + 1).cast("int")))
+      .select("id", "sh", "pfx")
+
+    val a = ranked.select(col("id").as("id_a"), col("sh").as("sh_a"),
+      explode(col("pfx")).as("s"))
+    val b = ranked.select(col("id").as("id_b"), col("sh").as("sh_b"),
+      explode(col("pfx")).as("s"))
+
+    a.join(b, a("s") === b("s") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard",
+        round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

@@ -1,0 +1,138 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing for training-data
+  * pipelines: media travel as opaque `binary` columns next to a typed
+  * metadata struct, and per-batch transforms run as `mapPartitions`
+  * over the binary payloads — the Scala-side equivalent of a Python
+  * `mapInPandas` stage (iterator-of-batches in, iterator-of-batches
+  * out; one JVM object per row, bytes never copied through a string).
+  *
+  * The actual codecs (JPEG/PNG/opus/h264) are NOT linked in this
+  * container, so [[decodeStub]] is a clearly-marked deterministic FAKE:
+  * it "decodes" a payload to (width, height, channels, mean byte) from
+  * the raw bytes. Everything around it — the schema contract, the
+  * batch iteration shape, partition sizing, null passthrough — is the
+  * real plumbing a production codec would drop into.
+  */
+object Multimodal {
+
+  /** Schema of the metadata struct carried beside every media column. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Output schema of the (stubbed) per-payload feature extractor. */
+  val featureType: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("byte_entropy", DoubleType)))
+
+  /** STUB — deterministic fake decode standing in for a real codec.
+    * Real implementation would hand `bytes` to the image/audio library
+    * and return pixel/sample statistics; this one computes byte-level
+    * statistics so the pipeline is end-to-end testable without codecs.
+    */
+  def decodeStub(bytes: Array[Byte]): (Int, Double, Double) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0.0, 0.0)
+    val hist = new Array[Long](256)
+    var sum = 0L
+    bytes.foreach { b => val u = b & 0xff; hist(u) += 1; sum += u }
+    val n = bytes.length.toDouble
+    val entropy = hist.foldLeft(0.0) { (acc, c) =>
+      if (c == 0) acc else { val p = c / n; acc - p * math.log(p) / math.log(2) }
+    }
+    (bytes.length, sum / n, entropy)
+  }
+
+  /** Append extracted features for a binary media column. Runs as one
+    * `mapPartitions` pass (no shuffle); rows with NULL payloads get a
+    * NULL feature struct. Partition sizing note: payloads dominate row
+    * width, so upstream readers should size partitions by bytes
+    * (`spark.sql.files.maxPartitionBytes`), not row count.
+    */
+  def extractFeatures(df: DataFrame, binCol: String, outCol: String): DataFrame = {
+    val outSchema = df.schema.add(outCol, featureType)
+    val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val feat = if (bytes == null) null else {
+          val (n, mean, ent) = decodeStub(bytes)
+          Row(n, mean, ent)
+        }
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
+  /** Deterministic frame sampling over a "video" payload: treats the
+    * binary as `n_frames` equal slices (per the metadata struct) and
+    * keeps every `stride`-th frame's slice. Emits one row per kept
+    * frame — the explode shape a real frame sampler has. Payload
+    * slicing is real; only the codec is faked.
+    */
+  def sampleFrames(df: DataFrame, binCol: String, metaCol: String, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val outSchema = df.schema
+      .add("frame_idx", IntegerType)
+      .add("frame_bytes", BinaryType)
+    val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val metaIdx = df.schema.fieldIndex(metaCol)
+    df.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val meta = if (r.isNullAt(metaIdx)) null else r.getStruct(metaIdx)
+        if (bytes == null || meta == null || meta.isNullAt(3) || meta.getInt(3) <= 0) Iterator.empty
+        else {
+          val nFrames = meta.getInt(3)
+          val frameLen = math.max(1, bytes.length / nFrames)
+          (0 until nFrames by stride).iterator.map { f =>
+            val fromI = f * frameLen
+            val until = if (f == nFrames - 1) bytes.length else math.min(bytes.length, fromI + frameLen)
+            Row.fromSeq(r.toSeq :+ f :+ java.util.Arrays.copyOfRange(bytes, math.min(fromI, bytes.length), until))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** "Resize" stub: real resample would decode → scale → re-encode;
+    * the stub keeps every k-th byte (deterministic downsample) and
+    * rewrites the metadata struct accordingly. The column/metadata
+    * rewrite shape is the real contract.
+    */
+  def resize(df: DataFrame, binCol: String, metaCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val enc = Encoders.row(df.schema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    val metaIdx = df.schema.fieldIndex(metaCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        if (bytes == null) r
+        else {
+          val out = Array.tabulate(bytes.length / factor)(i => bytes(i * factor))
+          val meta = if (r.isNullAt(metaIdx)) null else {
+            val m = r.getStruct(metaIdx)
+            Row(m.get(0),
+              if (m.isNullAt(1)) null else m.getInt(1) / factor,
+              if (m.isNullAt(2)) null else m.getInt(2) / factor,
+              m.get(3))
+          }
+          val vals = r.toSeq.toArray
+          vals(binIdx) = out
+          vals(metaIdx) = meta
+          Row.fromSeq(vals.toIndexedSeq)
+        }
+      }
+    }(enc)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>`/`array<double>`
+  * column. All scoring is pure Catalyst expressions (`zip_with` +
+  * `aggregate`) — codegen'd, no UDFs, column-pruned down to the scan.
+  *
+  * Three shapes, by scale:
+  *  - [[topK]]: brute-force top-k against ONE broadcast query vector —
+  *    a single scan + TakeOrderedAndProject; the right plan at any
+  *    scale for single-query lookup (100 TB = one pass, no shuffle
+  *    beyond the k-row result).
+  *  - [[cosinePairs]]: all pairs ≥ threshold within join-key blocks —
+  *    exact, quadratic only inside a block; the block key bounds the
+  *    fanout (like a sharded GEMM).
+  *  - [[AnnLsh]] (separate file): random-hyperplane bucketed search
+  *    when there is no natural block key and all-pairs is off the
+  *    table.
+  */
+object VectorSim {
+
+  /** Dot product of two array columns (element type coerced to double). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k rows by cosine similarity to one query vector.
+    * The query vector is inlined as a literal array (broadcast with the
+    * plan); Spark plans orderBy+limit as TakeOrderedAndProject — each
+    * partition keeps its own top k, only k·partitions rows move.
+    * Ties broken by `tieBreak` ascending for determinism.
+    */
+  def topK(
+      df: DataFrame,
+      vecCol: String,
+      query: Array[Double],
+      k: Int,
+      tieBreak: String): DataFrame = {
+    val q = array(query.map(lit): _*)
+    df.withColumn("score", round(cosine(col(vecCol), q), 6))
+      .orderBy(col("score").desc, col(tieBreak).asc)
+      .limit(k)
+  }
+
+  /** Exact cosine near-neighbor pairs within blocks of `blockCol`.
+    * Quadratic only inside each block: the self-join is a real equi-join
+    * on the block key, so Spark shuffles each block to one place and
+    * never materializes cross-block pairs. Output (id_a, id_b, score),
+    * id_a < id_b.
+    */
+  def cosinePairs(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      blockCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("v_a"), col("v_b")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("score"))
+  }
+}

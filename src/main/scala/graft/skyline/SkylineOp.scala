@@ -79,6 +79,37 @@ object SkylineOp {
     merged.drop(SKY)
   }
 
+  /** Per-group skyline: one independent skyline per distinct value of
+    * `groupCols` (e.g. "best events per (event_type, day)").
+    *
+    * Plan: map-side partial skyline per (partition × group) — the
+    * combiner trick from [[SkyMr]] — then one shuffle on the group key
+    * and a final per-group GSKY. Groups are processed independently
+    * within a partition via a hash map of buffers, so one task handles
+    * many groups (no one-task-per-group explosion); parallelism scales
+    * with the group-key cardinality, which is the natural partitioning
+    * at 100 TB.
+    */
+  def grouped(df: DataFrame, spec: SkylineSpec, groupCols: Seq[String]): DataFrame = {
+    val prep = prepare(df, spec)
+    val enc = Encoders.row(prep.schema)
+    val skyIdx = prep.schema.fieldIndex(SKY)
+    val gIdx = groupCols.map(prep.schema.fieldIndex)
+    def perGroupSky(it: Iterator[Row]): Iterator[Row] = {
+      val bufs = scala.collection.mutable.HashMap.empty[Seq[Any], Gsky.Buf[Row]]
+      it.foreach { r =>
+        val key = gIdx.map(r.get)
+        Gsky.insert(bufs.getOrElseUpdate(key, Gsky.emptyBuf[Row]), Gsky.vecOf(r, skyIdx), r)
+      }
+      bufs.valuesIterator.flatMap(_.iterator.map(_._2))
+    }
+    prep
+      .mapPartitions(perGroupSky _)(enc) // combiner: shuffle only local survivors
+      .repartition(groupCols.map(col): _*)
+      .mapPartitions(perGroupSky _)(enc)
+      .drop(SKY)
+  }
+
   /** Declarative (anti-join) skyline, for small/medium inputs and as a
     * cross-check of the imperative paths: `p ∈ sky(T)` iff no `q ∈ T`
     * dominates `p`. Catalyst plans it as a broadcast nested-loop

@@ -1,0 +1,141 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column library for large-scale training-data pipelines.
+  *
+  * Everything here is a pure Catalyst `Column` expression — no UDFs — so
+  * each function stays inside whole-stage codegen, is pushed down /
+  * pruned like any built-in, and scales with the scan. The reference has
+  * no text surface (its only string op is fixed-width substring parse,
+  * Point.java:22-31); this package is part of the engine's
+  * training-data-pipeline extension surface.
+  *
+  * Tokenization contract (shared with the DuckDB oracles): lowercase,
+  * split on runs of whitespace, drop empty tokens.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish sub-word tokens: word pieces + standalone punctuation, the
+    * shape a byte-pair pre-tokenizer produces (letter/digit runs, or a
+    * single non-space symbol).
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct n-gram (shingle) set over whitespace tokens, each shingle
+    * a single space-joined string. Used by Jaccard/MinHash dedup.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    val grams = transform(
+      sequence(lit(0), greatest(size(ts) - n, lit(0))),
+      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
+    array_distinct(when(size(ts) >= n, grams).otherwise(array()))
+  }
+
+  /** English-ish stopword list used by quality scoring and language ID. */
+  val stopwordsEn: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "and", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are stopwords (0 for empty docs). */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = stopwordsEn): Column = {
+    val ts = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(ts) > 0,
+      size(filter(ts, t => array_contains(sw, t))).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of non-space characters that are punctuation/symbols. */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(text, "\\s+", ""))
+    val punct = length(regexp_replace(regexp_replace(text, "\\s+", ""), "[a-zA-Z0-9]", ""))
+    when(nonSpace > 0, punct.cast("double") / nonSpace).otherwise(lit(0.0))
+  }
+
+  /** Mean token length in characters (0 for empty docs). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) > 0,
+      aggregate(ts, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(ts))
+      .otherwise(lit(0.0))
+  }
+
+  /** Heuristic document quality in [0,1]: length in a sane band, some
+    * stopwords present, punctuation not dominating. The exact weights
+    * are a policy choice; what matters for the engine is that the score
+    * is a deterministic, codegen'd arithmetic expression an identical
+    * SQL oracle can reproduce.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 20.0, lit(1.0)) * least(lit(1.0), lit(500.0) / greatest(nTok, lit(1.0)))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 2.0, lit(1.0))
+    round(lit(0.5) * lenScore + lit(0.3) * swScore + lit(0.2) * punctScore, 6)
+  }
+
+  /** Per-language marker words for the n-gram-free language heuristic.
+    * Deliberately tiny — the point is the argmax plumbing, not lexicon
+    * quality.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que"),
+    "zh" -> Seq("de5", "shi4", "le5", "bu4", "wo3", "ni3"))
+
+  /** Per-language marker hit count columns, in `langMarkers` order. */
+  def langScores(text: Column): Seq[Column] = {
+    val ts = tokens(text)
+    langMarkers.map { case (_, words) =>
+      val w = array(words.map(lit): _*)
+      size(filter(ts, t => array_contains(w, t)))
+    }
+  }
+
+  /** Predicted language: argmax of marker hits, ties broken by language
+    * code ascending (the `langMarkers` order), "und" (undetermined) when
+    * no marker hits at all. Deterministic, SQL-reproducible.
+    */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = greatest(scores: _*)
+    val pick = langMarkers.zip(scores).foldRight(lit("und")) {
+      case (((code, _), s), acc) => when(s === best, lit(code)).otherwise(acc)
+    }
+    when(best > 0, pick).otherwise(lit("und"))
+  }
+
+  /** Stable 128-bit content fingerprint (hex md5 of the normalized token
+    * stream) — the exact-dedup key. Normalizing first makes it a
+    * *text* fingerprint rather than a byte fingerprint: whitespace and
+    * case differences collapse.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)))
+
+  /** 64-bit rolling polynomial fingerprint of the token stream
+    * (Rabin-Karp shape: h = h*B + tokenHash mod P). Expressed with
+    * `aggregate` so it is still a codegen'd expression; the modulus
+    * keeps every intermediate below 2^63 so Spark and an ANSI-SQL
+    * oracle (which would overflow-error, not wrap) agree exactly.
+    */
+  def rollingFingerprint(text: Column): Column = {
+    val P = 2147483647L // 2^31-1, so h*B + x stays < 2^63
+    val B = 1000003L
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (h, t) => pmod(h * B + pmod(crc32(t).cast("long"), lit(P)), lit(P)))
+  }
+}

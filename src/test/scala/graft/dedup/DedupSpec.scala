@@ -1,0 +1,140 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.text.TextFunctions
+
+/** Shared fixture + brute-force Jaccard reference for the dedup suites. */
+trait DedupFixture { self: SparkSpec =>
+  import spark.implicits._
+
+  /** 8 docs: 0≡1 exact dup (mod case/ws), 2≈3 near dup, rest distinct. */
+  lazy val docs: DataFrame = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (1L, "The quick  brown fox JUMPS over the lazy dog near the old river bank today"),
+    (2L, "pack my box with five dozen liquor jugs before the long trip to the coast"),
+    (3L, "pack my box with five dozen liquor jugs before the long trek to the coast"),
+    (4L, "sphinx of black quartz judge my vow said the wizard to the quiet crowd"),
+    (5L, "how vexingly quick daft zebras jump when the circus music starts at dawn"),
+    (6L, "bright vixens jump dozy fowl quack and the barn erupts in noisy feathers"),
+    (7L, "waltz bad nymph for quick jigs vex and the dancers spin until midnight")
+  ).toDF("doc_id", "text")
+
+  def bruteJaccard(df: DataFrame, n: Int, t: Double): Set[(Long, Long)] = {
+    val sets = df.select($"doc_id", TextFunctions.shingles($"text", n).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toDouble
+      union = sets(a).size + sets(b).size - inter
+      if union > 0 && inter / union >= t
+    } yield (a, b)).toSet
+  }
+}
+
+class DedupSpec extends SparkSpec with DedupFixture {
+  import spark.implicits._
+
+  test("exact: normalized dupes collapse, keep-min-id, counts") {
+    val r = Dedup.exact(docs, "text", "doc_id")
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSeq
+    assert(r.contains((0L, 2L))) // docs 0 and 1 collapse, doc 0 kept
+    assert(r.count(_._2 == 1L) == 6)
+    assert(r.map(_._2).sum == 8)
+  }
+
+  test("exactSurvivors keeps one row per content, the min id") {
+    val ids = Dedup.exactSurvivors(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 2L, 3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("jaccardPairs == brute force at several thresholds") {
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == bruteJaccard(docs, 3, t), s"threshold $t")
+    }
+  }
+
+  test("jaccardPairs finds the exact-dup and near-dup pairs at 0.5") {
+    val got = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((0L, 1L)))
+    assert(got.contains((2L, 3L)))
+  }
+}
+
+class MinHashLshSpec extends SparkSpec with DedupFixture {
+  import spark.implicits._
+
+  test("signature is deterministic and length k") {
+    val s1 = docs.select(MinHashLsh.signature(TextFunctions.shingles($"text", 3), 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(s1.forall(_.length == 16))
+    val s2 = docs.select(MinHashLsh.signature(TextFunctions.shingles($"text", 3), 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(s1.map(_.toList).toList == s2.map(_.toList).toList)
+  }
+
+  test("similar docs agree on more minhashes than dissimilar ones") {
+    val sigs = docs.select($"doc_id",
+      MinHashLsh.signature(TextFunctions.shingles($"text", 3), 128))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def agree(a: Long, b: Long) = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+    assert(agree(0, 1) > agree(0, 4))
+    assert(agree(2, 3) > agree(2, 5))
+  }
+
+  test("nearDupPairs == brute force on the fixture (recall 1.0 at these params)") {
+    val got = MinHashLsh.nearDupPairs(docs, "text", "doc_id",
+      n = 3, threshold = 0.5, bands = 64, rows = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == bruteJaccard(docs, 3, 0.5))
+  }
+
+  test("reported jaccard is the exact value, not an estimate") {
+    val got = MinHashLsh.nearDupPairs(docs, "text", "doc_id", n = 3, threshold = 0.3)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sets = docs.select($"doc_id", TextFunctions.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    got.foreach { case ((a, b), j) =>
+      val inter = (sets(a) & sets(b)).size.toDouble
+      val expected = inter / (sets(a).size + sets(b).size - inter)
+      assert(math.abs(j - expected) < 1e-5)
+    }
+  }
+}
+
+class SimHashSpec extends SparkSpec with DedupFixture {
+  import spark.implicits._
+
+  test("simhash: deterministic; identical token streams hash identically") {
+    val h = docs.select(SimHash.simhash($"text")).collect().map(_.getLong(0))
+    assert(h(0) == h(1)) // case/whitespace-normalized duplicates
+  }
+
+  test("hamming distance reflects similarity ordering") {
+    val h = docs.select($"doc_id", SimHash.simhash($"text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def d(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    assert(d(0, 1) == 0)
+    assert(d(2, 3) < d(2, 6))
+  }
+
+  test("nearDupPairs == brute force over simhashes (pigeonhole blocking is exact)") {
+    for (maxDist <- Seq(3, 7)) {
+      val h = docs.select($"doc_id", SimHash.simhash($"text"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        a <- h.keys; b <- h.keys if a < b
+        if java.lang.Long.bitCount(h(a) ^ h(b)) <= maxDist
+      } yield (a, b)).toSet
+      val got = SimHash.nearDupPairs(docs, "text", "doc_id", maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"maxDist $maxDist")
+    }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.skyline.{Max, Min}
+
+class GsodSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** A GSOD-layout line built by slot, per Range.java:17-18 offsets. */
+  private def line(stn: String, date: String, vals: Map[Int, String]): String = {
+    val buf = Array.fill(120)(' ')
+    def put(b: Int, e: Int, s: String): Unit = {
+      val p = s.reverse.padTo(e - b, ' ').reverse // right-align
+      p.zipWithIndex.foreach { case (ch, i) => buf(b + i) = ch }
+    }
+    put(0, 6, stn); put(14, 22, date)
+    Gsod.valueFields.zipWithIndex.foreach { case (f, i) =>
+      put(f.begin, f.end, vals.getOrElse(i, f.sentinel.toString))
+    }
+    new String(buf)
+  }
+
+  test("parse: offsets, trim, sentinel → NULL, blank lines dropped") {
+    val l1 = line("123456", "20240131", Map(0 -> "72.5", 1 -> "-12.3", 5 -> "7.0"))
+    val l2 = line("     7", "19991231", Map(0 -> "9999.9")) // dim 0 at sentinel
+    val df = Seq(l1, "", "   ", l2).toDF("value")
+    val parsed = Gsod.parse(df).collect()
+    assert(parsed.length == 2)
+    val r1 = parsed(0)
+    assert(r1.getInt(0) == 123456 && r1.getInt(1) == 20240131)
+    assert(r1.getDouble(2) == 72.5) // temp
+    assert(r1.getDouble(3) == -12.3) // dewp
+    assert(r1.isNullAt(4)) // slp missing (sentinel by default)
+    assert(r1.getDouble(7) == 7.0) // wdsp (sentinel 999.9 slot, real value)
+    val r2 = parsed(1)
+    assert(r2.getInt(0) == 7)
+    assert(r2.isNullAt(2)) // explicit sentinel → NULL
+  }
+
+  test("parse: per-field sentinels differ (999.9 for wind fields)") {
+    val l = line("1", "20240101", Map(5 -> "999.9", 0 -> "999.9"))
+    val r = Gsod.parse(Seq(l).toDF("value")).head
+    assert(r.isNullAt(7)) // wdsp: 999.9 IS its sentinel
+    assert(r.getDouble(2) == 999.9) // temp: 999.9 is a legal value (sentinel 9999.9)
+  }
+
+  test("spec: directions follow Range.java value_type") {
+    val dirs = Gsod.spec.dims.map(d => d.col -> d.dir).toMap
+    assert(dirs("temp") == Max && dirs("max_temp") == Max)
+    assert(dirs("wdsp") == Min && dirs("min_temp") == Min)
+  }
+
+  test("format → parse round trip preserves values and missing dims") {
+    val src = Seq(
+      (123, 20240115, Some(72.5), Some(-4.0), None: Option[Double]),
+      (456, 19990704, Some(0.0), None, Some(1013.2))
+    ).toDF("stn", "date", "temp", "dewp", "slp")
+      .withColumn("max_temp", lit(null).cast("double"))
+      .withColumn("stp", lit(null).cast("double"))
+      .withColumn("wdsp", lit(null).cast("double"))
+      .withColumn("mxspd", lit(null).cast("double"))
+      .withColumn("gust", lit(null).cast("double"))
+      .withColumn("min_temp", lit(null).cast("double"))
+    val lines = src.select(Gsod.format(src).as("value"))
+    val back = Gsod.parse(lines).orderBy("stn").collect()
+    assert(back.length == 2)
+    assert(back(0).getInt(0) == 123 && back(0).getInt(1) == 20240115)
+    assert(back(0).getDouble(2) == 72.5 && back(0).getDouble(3) == -4.0)
+    assert(back(0).isNullAt(4)) // slp was NULL → sentinel → NULL again
+    assert(back(1).getDouble(2) == 0.0 && back(1).getDouble(4) == 1013.2)
+    assert((5 to 10).forall(back(0).isNullAt)) // the 6 never-set dims stay NULL
+    assert((5 to 10).forall(back(1).isNullAt))
+  }
+}

@@ -1,0 +1,67 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("payload", BinaryType),
+    StructField("meta", Multimodal.mediaMetaType)))
+
+  private def df(rows: Row*) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+
+  private val bytes = Array.tabulate(40)(i => (i % 7).toByte)
+
+  test("extractFeatures: byte stats appended; NULL payload → NULL struct") {
+    val d = df(
+      Row(1L, bytes, Row("img", 8, 5, 1)),
+      Row(2L, null, Row("img", 0, 0, 0)))
+    val out = Multimodal.extractFeatures(d, "payload", "feat").orderBy("id").collect()
+    val f = out(0).getStruct(3)
+    assert(f.getInt(0) == 40)
+    assert(math.abs(f.getDouble(1) - bytes.map(_ & 0xff).sum / 40.0) < 1e-9)
+    assert(f.getDouble(2) > 0.0 && f.getDouble(2) <= 8.0) // entropy bits
+    assert(out(1).isNullAt(3))
+  }
+
+  test("extractFeatures entropy: uniform bytes = 0, varied bytes > 0") {
+    val flat = Array.fill(16)(7.toByte)
+    val d = df(Row(1L, flat, Row("img", 4, 4, 1)))
+    val f = Multimodal.extractFeatures(d, "payload", "feat").head.getStruct(3)
+    assert(f.getDouble(2) == 0.0)
+  }
+
+  test("sampleFrames: stride slicing, one row per kept frame, full coverage at stride 1") {
+    val payload = Array.tabulate(40)(_.toByte) // 4 frames × 10 bytes
+    val d = df(Row(1L, payload, Row("vid", 8, 5, 4)))
+    val all = Multimodal.sampleFrames(d, "payload", "meta", 1).orderBy("frame_idx").collect()
+    assert(all.map(_.getInt(3)).toSeq == Seq(0, 1, 2, 3))
+    assert(all.flatMap(_.getAs[Array[Byte]](4)).toSeq == payload.toSeq) // no byte lost
+    val strided = Multimodal.sampleFrames(d, "payload", "meta", 2).collect()
+    assert(strided.map(_.getInt(3)).toSet == Set(0, 2))
+  }
+
+  test("sampleFrames: NULL payload or zero frames emit nothing") {
+    val d = df(
+      Row(1L, null, Row("vid", 1, 1, 4)),
+      Row(2L, bytes, Row("vid", 1, 1, 0)))
+    assert(Multimodal.sampleFrames(d, "payload", "meta", 1).count() == 0)
+  }
+
+  test("resize: byte downsample + metadata rewrite, NULL passthrough") {
+    val payload = Array.tabulate(16)(_.toByte)
+    val d = df(
+      Row(1L, payload, Row("img", 8, 4, 1)),
+      Row(2L, null, Row("img", 8, 4, 1)))
+    val out = Multimodal.resize(d, "payload", "meta", 2).orderBy("id").collect()
+    assert(out(0).getAs[Array[Byte]](1).toSeq == Seq[Byte](0, 2, 4, 6, 8, 10, 12, 14))
+    val m = out(0).getStruct(2)
+    assert(m.getInt(1) == 4 && m.getInt(2) == 2) // width/height halved
+    assert(out(1).isNullAt(1)) // NULL payload untouched
+  }
+}

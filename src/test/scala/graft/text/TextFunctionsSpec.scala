@@ -1,0 +1,78 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(text: String) = Seq(text).toDF("t")
+
+  test("tokens: lowercase, whitespace split, empties dropped") {
+    val r = one("  The  quick\tBrown\nfox ").select(TextFunctions.tokens($"t")).head.getSeq[String](0)
+    assert(r == Seq("the", "quick", "brown", "fox"))
+  }
+
+  test("tokens: empty and all-whitespace text give empty array") {
+    assert(one("").select(TextFunctions.tokens($"t")).head.getSeq[String](0).isEmpty)
+    assert(one("   ").select(TextFunctions.tokens($"t")).head.getSeq[String](0).isEmpty)
+  }
+
+  test("bpeTokens: word pieces plus standalone punctuation") {
+    val r = one("It's a test-case!").select(TextFunctions.bpeTokens($"t")).head.getSeq[String](0)
+    assert(r == Seq("it", "'", "s", "a", "test", "-", "case", "!"))
+  }
+
+  test("shingles: n-grams, distinct, short docs empty") {
+    val r = one("a b c d").select(TextFunctions.shingles($"t", 3)).head.getSeq[String](0)
+    assert(r.toSet == Set("a b c", "b c d"))
+    val short = one("a b").select(TextFunctions.shingles($"t", 3)).head.getSeq[String](0)
+    assert(short.isEmpty)
+    val dup = one("x y x y x y").select(TextFunctions.shingles($"t", 3)).head.getSeq[String](0)
+    assert(dup.toSet == Set("x y x", "y x y"))
+  }
+
+  test("stopwordRatio and punctRatio") {
+    val sw = one("the cat of doom").select(TextFunctions.stopwordRatio($"t")).head.getDouble(0)
+    assert(math.abs(sw - 0.5) < 1e-9)
+    val p = one("ab, cd!").select(TextFunctions.punctRatio($"t")).head.getDouble(0)
+    assert(math.abs(p - 2.0 / 6.0) < 1e-9) // "ab,cd!" → 2 punct / 6 chars
+    assert(one("").select(TextFunctions.punctRatio($"t")).head.getDouble(0) == 0.0)
+  }
+
+  test("meanTokenLen") {
+    val m = one("ab cdef").select(TextFunctions.meanTokenLen($"t")).head.getDouble(0)
+    assert(math.abs(m - 3.0) < 1e-9)
+  }
+
+  test("qualityScore is in [0,1] and favors normal prose") {
+    val good = one("the quick brown fox jumps over a lazy dog and runs to the hills again today")
+      .select(TextFunctions.qualityScore($"t")).head.getDouble(0)
+    val junk = one("!!! ### $$$ %%%").select(TextFunctions.qualityScore($"t")).head.getDouble(0)
+    assert(good > junk)
+    assert(good >= 0.0 && good <= 1.0 && junk >= 0.0 && junk <= 1.0)
+  }
+
+  test("langId: marker argmax with alphabetical tie-break, und fallback") {
+    assert(one("the cat is on the mat").select(TextFunctions.langId($"t")).head.getString(0) == "en")
+    assert(one("der hund ist nicht da und").select(TextFunctions.langId($"t")).head.getString(0) == "de")
+    assert(one("xyz qqq").select(TextFunctions.langId($"t")).head.getString(0) == "und")
+    // 'la' is a marker for both es and fr → tie → es (alphabetical).
+    assert(one("la la").select(TextFunctions.langId($"t")).head.getString(0) == "es")
+  }
+
+  test("fingerprint: whitespace/case-insensitive, content-sensitive") {
+    val fps = Seq("a b  c", "A  B c", "a b d").toDF("t")
+      .select(TextFunctions.fingerprint($"t")).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("rollingFingerprint: deterministic, order-sensitive, in [0, 2^31)") {
+    val r = Seq("a b c", "c b a", "a b c").toDF("t")
+      .select(TextFunctions.rollingFingerprint($"t")).collect().map(_.getLong(0))
+    assert(r(0) == r(2))
+    assert(r(0) != r(1)) // rolling hash is order-sensitive, unlike a bag hash
+    assert(r.forall(v => v >= 0 && v < 2147483647L))
+  }
+}

@@ -72,18 +72,20 @@ object Gsod {
     * verification query). NULL dims are rendered as their sentinel.
     */
   def format(df: DataFrame): Column = {
-    val width = 120
-    // Start from a line of spaces, splice each field at its offset via
-    // concat(left-part, field, right-part). Values are right-aligned in
-    // their slot like the NOAA files.
+    // One flat concat of right-aligned fields with literal space gaps,
+    // in offset order. (A fold that splices each field into an
+    // accumulated line via substring+concat nests the expression 11
+    // deep and blows up codegen — 16s/6k rows before this flattening.)
     val fields: Seq[(Int, Int, Column)] =
-      pkFields.map { case (n, b, e) => (b, e, lpad(col(n).cast("string"), e - b, " ")) } ++
+      (pkFields.map { case (n, b, e) => (b, e, lpad(col(n).cast("string"), e - b, " ")) } ++
         valueFields.map { f =>
           val v = coalesce(format_number(col(f.name), 1), lit(f.sentinel.toString))
           (f.begin, f.end, lpad(regexp_replace(v, ",", ""), f.end - f.begin, " "))
-        }
-    fields.sortBy(_._1).foldLeft(lit(" " * width)) { case (acc, (b, e, c)) =>
-      concat(substring(acc, 1, b), c, substring(acc, e + 1, width - e))
+        }).sortBy(_._1)
+    val parts = fields.zip((0, 0, lit("")) +: fields).flatMap {
+      case ((b, _, c), (_, prevEnd, _)) =>
+        if (b > prevEnd) Seq(lit(" " * (b - prevEnd)), c) else Seq(c)
     }
+    concat(parts: _*)
   }
 }

@@ -110,6 +110,26 @@ object SkylineOp {
       .drop(SKY)
   }
 
+  /** Skyline through the native Catalyst aggregate ([[SkylineAgg]]):
+    * `agg(skyline(vec, struct(*)))` → explode. The aggregate framework
+    * supplies partial (map-side) aggregation, spill-safe buffers and
+    * AQE integration; rows never leave InternalRow form until the
+    * final explode. Optionally grouped — each group gets its own
+    * independent skyline, all through one keyed exchange.
+    */
+  def viaAggregate(df: DataFrame, spec: SkylineSpec, groupCols: Seq[String] = Nil): DataFrame = {
+    val prep = prepare(df, spec)
+    val dataCols = prep.columns.filter(_ != SKY)
+    val rowStruct = struct(dataCols.map(col): _*)
+    val agg = SkylineAgg(col(SKY), rowStruct).as("__sky_rows")
+    val grouped =
+      if (groupCols.isEmpty) prep.agg(agg)
+      else prep.groupBy(groupCols.map(col): _*).agg(agg)
+    grouped
+      .select(explode(col("__sky_rows")).as("__sky_row"))
+      .select(dataCols.map(c => col(s"__sky_row.$c")): _*)
+  }
+
   /** Declarative (anti-join) skyline, for small/medium inputs and as a
     * cross-check of the imperative paths: `p ∈ sky(T)` iff no `q ∈ T`
     * dominates `p`. Catalyst plans it as a broadcast nested-loop

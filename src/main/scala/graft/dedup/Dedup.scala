@@ -93,14 +93,22 @@ object Dedup {
         (floor(size(col("sh")) * (1 - threshold)) + 1).cast("int")))
       .select("id", "sh", "pfx")
 
-    val a = ranked.select(col("id").as("id_a"), col("sh").as("sh_a"),
-      explode(col("pfx")).as("s"))
-    val b = ranked.select(col("id").as("id_b"), col("sh").as("sh_b"),
-      explode(col("pfx")).as("s"))
+    val ranked2 = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    a.join(b, a("s") === b("s") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    // Skinny candidate join: only (id, prefix-shingle) rows travel.
+    // The shingle arrays re-attach per surviving pair afterwards —
+    // dragging both arrays through the join + distinct dominated the
+    // runtime of the first cut.
+    val a = ranked2.select(col("id").as("id_a"), explode(col("pfx")).as("s"))
+    val b = ranked2.select(col("id").as("id_b"), explode(col("pfx")).as("s"))
+    val candidates = a.join(b, a("s") === b("s") && col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
+
+    val sets = ranked2.select(col("id"), col("sh"))
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
         round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))

@@ -1,39 +1,65 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.text.TextFunctions
+import graft.util.Hash64
 
 /** SimHash near-duplicate detection: 64-bit locality-sensitive content
   * hash (Charikar '02); near-dup ⟺ small Hamming distance.
   *
   * Signature: for each bit position i, sum +1/−1 over the tokens'
-  * xxhash64 bit i; bit i of the simhash = sign of the sum. Expressed as
-  * 64 codegen'd `aggregate` folds over the token-hash array — no UDFs.
+  * Hash64 bit i; bit i of the simhash = sign of the sum. Computed in
+  * one `mapPartitions` JVM pass per row (the same math as 64 Column
+  * `aggregate` folds overflows janino codegen and falls back to
+  * interpreted eval — 64 array traversals per row).
   *
   * Pair search uses the pigeonhole block trick: for Hamming distance
   * ≤ k, split the 64 bits into k+1 blocks — matching pairs must agree
-  * exactly on ≥1 block, so candidates come from k+1 equi-joins on
-  * block values (scalable; never all-pairs), verified by exact
-  * `bit_count(xor)`. The block join is EXACT: no true pair at distance
-  * ≤ k can be missed.
+  * exactly on ≥1 block, so candidates come from an equi-join on
+  * (block index, block bits) — scalable, never all-pairs — verified by
+  * exact `bit_count(xor)`. The block join is EXACT: no true pair at
+  * distance ≤ k can be missed.
   */
 object SimHash {
 
-  /** 64-bit simhash of the whitespace-token stream (bigint column). */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    // bit i: +1 when set, −1 when clear, summed over tokens.
-    val bits = (0 until 64).map { i =>
-      val vote = aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+  /** JVM kernel: simhash of a token sequence. */
+  private[dedup] def simhash64(tokens: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = Hash64(t)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    var out = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) out |= (1L << i)
+      i += 1
+    }
+    out
+  }
+
+  /** Append a 64-bit simhash column computed from the whitespace-token
+    * stream of `textCol`. One mapPartitions pass, no shuffle.
+    */
+  def withSimhash(df: DataFrame, textCol: String, outCol: String): DataFrame = {
+    val withToks = df.withColumn("__toks", TextFunctions.tokens(col(textCol)))
+    val tokIdx = withToks.schema.fieldIndex("__toks")
+    val schema = withToks.schema.add(outCol, LongType, nullable = false)
+    val enc = Encoders.row(schema)
+    withToks.mapPartitions { it =>
+      it.map(r => Row.fromSeq(r.toSeq :+ simhash64(r.getSeq[String](tokIdx))))
+    }(enc).drop("__toks")
   }
 
   /** Hamming distance between two simhash columns. */
-  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bit_count(a.bitwiseXOR(b))
 
   /** All pairs within Hamming distance `maxDist` of each other's
     * simhash. Output: (id_a, id_b, dist), id_a < id_b. Exact — the
@@ -46,11 +72,11 @@ object SimHash {
       maxDist: Int = 3): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
-    val signed = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val signed = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol, "sh")
+      .select("id", "sh")
 
     // one bucket row per (doc, block): block index + that block's bits.
     val blockCols = (0 until blocks).map { i =>
-      // last block takes the remaining high bits
       val w = if (i == blocks - 1) 64 - i * width else width
       val mask = if (w == 64) -1L else (1L << w) - 1
       struct(lit(i).as("blk"),

@@ -1,8 +1,10 @@
 package graft.sim
 
 import scala.util.Random
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
+import graft.util.Hash64
 
 /** Approximate nearest neighbors via random-hyperplane (sign) LSH —
   * the scale path when brute-force cosine ([[VectorSim]]) is too hot
@@ -13,28 +15,60 @@ import org.apache.spark.sql.functions._
   * cosine collide on whole sign-bit blocks with high probability.
   *
   *  - `tables` independent hash tables, each `bits` hyperplanes →
-  *    bucket key = (table, packed sign bits);
-  *  - candidates = bucket-mates in ≥1 table (equi-join on bucket);
+  *    bucket key = (table, packed sign bits), computed in one
+  *    `mapPartitions` JVM pass over a broadcast plane matrix (the
+  *    tables×bits×dim literal expression tree overflowed codegen and
+  *    ran interpreted — the JVM loop is the same math);
+  *  - candidates = bucket-mates in ≥1 table — a skinny equi-join on
+  *    (table, signature), vectors re-attached per pair afterwards;
   *  - exact cosine verification on candidates.
   *
   * Miss probability for a pair at angle θ: (1 − (1−θ/π)^bits)^tables.
-  * All hyperplanes are generated driver-side from a fixed seed and
-  * inlined as literals — deterministic run-over-run, broadcast with
-  * the plan.
+  * Hyperplanes are generated driver-side from a fixed seed —
+  * deterministic run-over-run.
   */
 object AnnLsh {
 
-  /** `tables` bucket keys per vector, as array<struct<tbl,sig>>. */
-  def bucketKeys(vecCol: Column, dim: Int, bits: Int, tables: Int, seed: Long): Column = {
+  /** Gaussian hyperplanes: tables × bits rows of `dim` components. */
+  private def planes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Double]] = {
     val rnd = new Random(seed)
-    val keys = (0 until tables).map { t =>
-      val sig = (0 until bits).map { i =>
-        val plane = array(Array.fill(dim)(lit(rnd.nextGaussian())): _*)
-        when(VectorSim.dot(vecCol, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-      }.reduce((a, b) => a.bitwiseOR(b))
-      struct(lit(t).as("tbl"), sig.as("sig"))
+    Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** JVM kernel: per-table packed sign signature (band index folded in
+    * so table t's signature can only match table t's).
+    */
+  private def signatures(
+      v: Array[Double], ps: Array[Array[Double]], bits: Int, tables: Int): Array[Long] =
+    Array.tabulate(tables) { t =>
+      var sig = 0L
+      var i = 0
+      while (i < bits) {
+        val plane = ps(t * bits + i)
+        var d = 0.0
+        var j = 0
+        while (j < v.length) { d += v(j) * plane(j); j += 1 }
+        if (d >= 0) sig |= (1L << i)
+        i += 1
+      }
+      Hash64.combine(Hash64.mix(t.toLong), sig)
     }
-    array(keys: _*)
+
+  /** Attach the per-table bucket array (one mapPartitions pass). */
+  private def bucketed(
+      df: DataFrame, vecCol: String, idCol: String,
+      dim: Int, bits: Int, tables: Int, seed: Long): DataFrame = {
+    val src = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val schema = src.schema.add("buckets", ArrayType(LongType, containsNull = false))
+    val enc = Encoders.row(schema)
+    val spark = df.sparkSession
+    val bcPlanes = spark.sparkContext.broadcast(planes(dim, bits, tables, seed))
+    src.mapPartitions { it =>
+      it.map { r =>
+        val v = r.getSeq[Double](1).toArray
+        Row(r.get(0), r.get(1), signatures(v, bcPlanes.value, bits, tables).toSeq)
+      }
+    }(enc)
   }
 
   /** Approximate cosine near-neighbor pairs (id_a < id_b, score ≥
@@ -49,15 +83,19 @@ object AnnLsh {
       bits: Int = 8,
       tables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val bucketed = df
-      .select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", explode(bucketKeys(col("v"), dim, bits, tables, seed)))
+    val b = bucketed(df, vecCol, idCol, dim, bits, tables, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val a = bucketed.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
-    a.join(b, a("bucket") === b("bucket") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b")
+    val skinny = b.select(col("id"), explode(col("buckets")).as("sig"))
+    val candidates = skinny.as("a")
+      .join(skinny.as("b"), col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+
+    val vecs = b.select(col("id"), col("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("score", round(VectorSim.cosine(col("v_a"), col("v_b")), 6))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
@@ -80,16 +118,17 @@ object AnnLsh {
     val dim = query.length
     val spark = df.sparkSession
     import spark.implicits._
-    // The query's buckets, computed with the same literal hyperplanes.
-    val qdf = Seq(1).toDF("one").select(
-      explode(bucketKeys(array(query.map(lit): _*), dim, bits, tables, seed)).as("bucket"))
-    val bucketed = df
-      .withColumn("bucket", explode(bucketKeys(col(vecCol), dim, bits, tables, seed)))
-    bucketed
-      .join(qdf, "bucket")
-      .drop("bucket")
-      .distinct()
-      .withColumn("score", round(VectorSim.cosine(col(vecCol), array(query.map(lit): _*)), 6))
+    val qSigs = signatures(query, planes(dim, bits, tables, seed), bits, tables)
+    val idCol = tieBreak
+    val b = bucketed(df.withColumnRenamed(vecCol, "__v"), "__v", idCol,
+      dim, bits, tables, seed)
+    val qdf = qSigs.toSeq.toDF("sig")
+    val hits = b.select(col("id"), explode(col("buckets")).as("sig"))
+      .join(qdf, "sig")
+      .select("id").distinct()
+    df.join(hits.withColumnRenamed("id", tieBreak), tieBreak)
+      .withColumn("score", round(VectorSim.cosine(
+        col(vecCol).cast("array<double>"), array(query.map(lit): _*)), 6))
       .orderBy(col("score").desc, col(tieBreak).asc)
       .limit(k)
   }

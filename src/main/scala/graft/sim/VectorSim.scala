@@ -65,11 +65,19 @@ object VectorSim {
       idCol: String,
       blockCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    // Precompute each row's norm ONCE before the join — computing
+    // cosine(v_a, v_b) per pair re-derives both norms |block| times.
+    val withNorm = df.select(
+      col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val a = withNorm.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
+    val b = withNorm.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(cosine(col("v_a"), col("v_b")), 6))
+      .withColumn("score", round(
+        when(col("n_a") * col("n_b") > 0,
+          dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+          .otherwise(lit(0.0)), 6))
       .filter(col("score") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("score"))
   }

@@ -69,20 +69,23 @@ class DedupSpec extends SparkSpec with DedupFixture {
 class MinHashLshSpec extends SparkSpec with DedupFixture {
   import spark.implicits._
 
-  test("signature is deterministic and length k") {
-    val s1 = docs.select(MinHashLsh.signature(TextFunctions.shingles($"text", 3), 16))
-      .collect().map(_.getSeq[Long](0))
-    assert(s1.forall(_.length == 16))
-    val s2 = docs.select(MinHashLsh.signature(TextFunctions.shingles($"text", 3), 16))
-      .collect().map(_.getSeq[Long](0))
-    assert(s1.map(_.toList).toList == s2.map(_.toList).toList)
+  test("minhash kernel: deterministic, length k, permutation-min semantics") {
+    val params = MinHashLsh.hashParams(16)
+    val sh = Seq("a b c", "b c d", "c d e")
+    val s1 = MinHashLsh.minhash(sh, params)
+    val s2 = MinHashLsh.minhash(sh, params)
+    assert(s1.length == 16 && s1.sameElements(s2))
+    // min over a superset can only stay equal or decrease, per hash
+    val s3 = MinHashLsh.minhash(sh :+ "d e f", params)
+    assert(s1.zip(s3).forall { case (a, b) => b <= a })
   }
 
   test("similar docs agree on more minhashes than dissimilar ones") {
-    val sigs = docs.select($"doc_id",
-      MinHashLsh.signature(TextFunctions.shingles($"text", 3), 128))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    def agree(a: Long, b: Long) = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }
+    val params = MinHashLsh.hashParams(128)
+    val sets = docs.select($"doc_id", TextFunctions.shingles($"text", 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    def sig(id: Long) = MinHashLsh.minhash(sets(id), params)
+    def agree(a: Long, b: Long) = sig(a).zip(sig(b)).count { case (x, y) => x == y }
     assert(agree(0, 1) > agree(0, 4))
     assert(agree(2, 3) > agree(2, 5))
   }
@@ -111,14 +114,18 @@ class MinHashLshSpec extends SparkSpec with DedupFixture {
 class SimHashSpec extends SparkSpec with DedupFixture {
   import spark.implicits._
 
+  private def simhashes: Map[Long, Long] =
+    SimHash.withSimhash(docs, "text", "sh")
+      .select($"doc_id", $"sh")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   test("simhash: deterministic; identical token streams hash identically") {
-    val h = docs.select(SimHash.simhash($"text")).collect().map(_.getLong(0))
-    assert(h(0) == h(1)) // case/whitespace-normalized duplicates
+    val h = simhashes
+    assert(h(0L) == h(1L)) // case/whitespace-normalized duplicates
   }
 
   test("hamming distance reflects similarity ordering") {
-    val h = docs.select($"doc_id", SimHash.simhash($"text"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h = simhashes
     def d(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
     assert(d(0, 1) == 0)
     assert(d(2, 3) < d(2, 6))
@@ -126,8 +133,7 @@ class SimHashSpec extends SparkSpec with DedupFixture {
 
   test("nearDupPairs == brute force over simhashes (pigeonhole blocking is exact)") {
     for (maxDist <- Seq(3, 7)) {
-      val h = docs.select($"doc_id", SimHash.simhash($"text"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val h = simhashes
       val expected = (for {
         a <- h.keys; b <- h.keys if a < b
         if java.lang.Long.bitCount(h(a) ^ h(b)) <= maxDist

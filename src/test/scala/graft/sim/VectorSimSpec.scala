@@ -57,11 +57,14 @@ class VectorSimSpec extends SparkSpec {
 class AnnLshSpec extends SparkSpec {
   import spark.implicits._
 
-  test("bucketKeys deterministic across invocations") {
-    val df = Seq((0L, Seq(1.0, -2.0, 0.5, 3.0))).toDF("vec_id", "v")
-    val k1 = df.select(AnnLsh.bucketKeys($"v", 4, 8, 4, seed = 42L)).head.getSeq[Any](0)
-    val k2 = df.select(AnnLsh.bucketKeys($"v", 4, 8, 4, seed = 42L)).head.getSeq[Any](0)
-    assert(k1 == k2)
+  test("nearNeighborPairs deterministic across invocations") {
+    val rnd = new Random(3)
+    val df = (0L until 40L).map(i => (i, 0, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "label", "embedding")
+    def run() = AnnLsh.nearNeighborPairs(df, "embedding", "vec_id", 8,
+      threshold = 0.1, bits = 4, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(run() == run())
   }
 
   test("planted near-dups are recalled; scores are exact") {

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.{Dedup, MinHashLsh, SimHash}
 import graft.io.Gsod
+import graft.operators.AsofJoin
 import graft.sim.{AnnLsh, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.RangeStats
@@ -167,12 +168,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
-    // Same pairs through the MinHash+banded-LSH sketch path (r=2, b=64:
-    // miss probability at s≥0.5 is (1-0.25)^64 ≈ 1e-8, so the exact
-    // brute-force oracle is safe), exact-Jaccard verified.
+    // Same pairs through the MinHash+banded-LSH sketch path, exact-
+    // Jaccard verified. r=4/b=32 (not r=2): this corpus's baseline
+    // similarity is high enough that 2-row bands bucket nearly every
+    // doc pair; 4-row bands cut candidates ~50× while the planted
+    // dupes (Jaccard ≥ 0.97) are missed with probability
+    // (1-0.97⁴)³² ≈ 1e-30 — the brute-force oracle stays safe.
     "q_dedup_minhash" -> { (s, dir) =>
       MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.5, bands = 64, rows = 2)
+        n = 3, threshold = 0.5, bands = 32, rows = 4)
         .orderBy("id_a", "id_b")
     },
 
@@ -212,7 +216,7 @@ object SparkEntry {
     "q_ann_pairs" -> { (s, dir) =>
       AnnLsh.nearNeighborPairs(Tables.load(s, dir, "embeddings"),
         "embedding", "vec_id", dim = 64, threshold = 0.3,
-        bits = 6, tables = 12)
+        bits = 8, tables = 8)
         .orderBy("id_a", "id_b")
     },
 
@@ -255,6 +259,61 @@ object SparkEntry {
         Seq("event_type", "day"))
         .select("event_type", "day", "event_id", "value")
         .orderBy("event_type", "day", "event_id")
+    },
+
+    // As-of join: each click matched to the user's most recent purchase
+    // at or before the click (union+window plan — one keyed shuffle, no
+    // inequality join blow-up; graft.operators.AsofJoin).
+    "q_asof" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsofJoin.leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts",
+        payload = Seq("event_id", "value", "ts"), tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"),
+          round(col("asof_value"), 6).as("asof_value"),
+          expr("(unix_micros(ts) - unix_micros(asof_ts)) div 1000000").as("gap_s"))
+        .orderBy("event_id")
+    },
+
+    // Set operations: customers with orders over the median-ish bar in
+    // both halves of the date range (INTERSECT), and only-first-half
+    // (EXCEPT) — distinct set semantics, shuffle on the key.
+    "q_setops" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val firstHalf = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val secondHalf = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val both = firstHalf.intersect(secondHalf).withColumn("tag", lit("both"))
+      val onlyFirst = firstHalf.except(secondHalf).withColumn("tag", lit("first_only"))
+      both.unionByName(onlyFirst).orderBy("tag", "o_custkey")
+    },
+
+    // ROLLUP grouping sets with explicit subtotal labels.
+    "q_rollup" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    },
+
+    // Exact distinct aggregation (count + sum of distincts per group).
+    "q_distinct_agg" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          round(sum_distinct(col("l_quantity")), 2).as("sum_d_qty"))
+        .orderBy("l_returnflag")
     },
 
     // ---- GSOD fixed-width ingest (reference source format) ------------
@@ -543,6 +602,54 @@ object SparkEntry {
         |    AND q.value >= p.value AND q.ts <= p.ts
         |    AND (q.value > p.value OR q.ts < p.ts))
         |ORDER BY p.event_type, p.day, p.event_id""".stripMargin,
+
+    // Window-reformulated as-of join (DuckDB's native ASOF JOIN leaves
+    // equal-ts ties implementation-defined; the explicit row_number
+    // formulation pins the same tie-break as the engine: latest ts,
+    // then max event_id).
+    "q_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id,
+        |    p.event_id AS asof_event_id,
+        |    round(p.value, 6) AS asof_value,
+        |    (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS gap_s,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM clicks c LEFT JOIN purch p
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_setops" ->
+      """WITH f AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+        |     s AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+        |SELECT o_custkey, tag FROM (
+        |  SELECT o_custkey, 'both' AS tag
+        |  FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM s)
+        |  UNION ALL
+        |  SELECT o_custkey, 'first_only' AS tag
+        |  FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM s))
+        |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  round(sum(DISTINCT l_quantity), 2) AS sum_d_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Stats that survive the fixed-width round trip: same shaping of
     // lineitem the Spark side formats+parses (3 real dims, 6 missing).

@@ -95,13 +95,19 @@ object Dedup {
 
     val ranked2 = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Skinny candidate join: only (id, prefix-shingle) rows travel.
-    // The shingle arrays re-attach per surviving pair afterwards —
-    // dragging both arrays through the join + distinct dominated the
-    // runtime of the first cut.
-    val a = ranked2.select(col("id").as("id_a"), explode(col("pfx")).as("s"))
-    val b = ranked2.select(col("id").as("id_b"), explode(col("pfx")).as("s"))
-    val candidates = a.join(b, a("s") === b("s") && col("id_a") < col("id_b"))
+    // Skinny candidate join: only (id, set-size, prefix-shingle) rows
+    // travel. The shingle arrays re-attach per surviving pair
+    // afterwards — dragging both arrays through the join + distinct
+    // dominated the runtime of the first cut. The size predicate is
+    // the standard length filter: J(A,B) ≥ t requires
+    // min(|A|,|B|) ≥ t·max(|A|,|B|).
+    val a = ranked2.select(col("id").as("id_a"), size(col("sh")).as("sz_a"),
+      explode(col("pfx")).as("s"))
+    val b = ranked2.select(col("id").as("id_b"), size(col("sh")).as("sz_b"),
+      explode(col("pfx")).as("s"))
+    val candidates = a.join(b, a("s") === b("s") && col("id_a") < col("id_b") &&
+        col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold)
       .select("id_a", "id_b")
       .distinct()
 

@@ -115,12 +115,18 @@ object MinHashLsh {
     val docs = sketched(df, textCol, idCol, n, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Skinny bucket rows: (id, band, sig) — 3 scalars per row.
-    val buckets = docs.select(col("id"), posexplode(col("bsig")).as(Seq("band", "sig")))
+    // Skinny bucket rows: (id, set size, band, sig) — 4 scalars per
+    // row. The size predicate is the length filter (J ≥ t ⇒
+    // min(|A|,|B|) ≥ t·max(|A|,|B|)), pruning candidates before the
+    // distinct.
+    val buckets = docs.select(col("id"), size(col("sh")).as("sz"),
+      posexplode(col("bsig")).as(Seq("band", "sig")))
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.id") < col("b.id"))
+          col("a.id") < col("b.id") &&
+          col("a.sz") >= col("b.sz") * threshold &&
+          col("b.sz") >= col("a.sz") * threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 

@@ -80,7 +80,10 @@ object Gsod {
       (pkFields.map { case (n, b, e) => (b, e, lpad(col(n).cast("string"), e - b, " ")) } ++
         valueFields.map { f =>
           val v = coalesce(format_number(col(f.name), 1), lit(f.sentinel.toString))
-          (f.begin, f.end, lpad(regexp_replace(v, ",", ""), f.end - f.begin, " "))
+          // translate, not regexp_replace: literal comma strip without
+          // per-row regex machinery (format_number inserts separators
+          // for |x| ≥ 1000).
+          (f.begin, f.end, lpad(translate(v, ",", ""), f.end - f.begin, " "))
         }).sortBy(_._1)
     val parts = fields.zip((0, 0, lit("")) +: fields).flatMap {
       case ((b, _, c), (_, prevEnd, _)) =>

@@ -1,0 +1,44 @@
+package graft.operators
+
+import scala.util.Random
+import graft.SparkSpec
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leftAsof == brute force on random data (with ties and no-match rows)") {
+    val rnd = new Random(21)
+    val left = (1L to 200L).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i))
+    val right = (1L to 150L).map(i => (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i, rnd.nextInt(100)))
+    val lDf = left.toDF("k", "ts", "lid")
+    val rDf = right.toDF("k", "ts", "rid", "v")
+
+    val got = AsofJoin.leftAsof(lDf, rDf, Seq("k"), "ts", "ts", Seq("rid", "v"), "rid")
+      .select("lid", "asof_rid")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    val expected = left.map { case (k, ts, lid) =>
+      val candidates = right.filter(r => r._1 == k && r._2 <= ts)
+      val best = if (candidates.isEmpty) None
+      else Some(candidates.maxBy(r => (r._2, r._3))._3) // latest ts, then max rid
+      lid -> best
+    }.toMap
+    assert(got == expected)
+    assert(expected.values.exists(_.isEmpty)) // fixture exercises no-match
+    assert(expected.values.exists(_.nonEmpty))
+  }
+
+  test("right row at exactly leftTs matches (inclusive ≤)") {
+    val lDf = Seq((1L, 10L, 1L)).toDF("k", "ts", "lid")
+    val rDf = Seq((1L, 10L, 7L, 42)).toDF("k", "ts", "rid", "v")
+    val r = AsofJoin.leftAsof(lDf, rDf, Seq("k"), "ts", "ts", Seq("v"), "rid").head
+    assert(r.getAs[Int]("asof_v") == 42)
+  }
+
+  test("keys never cross: other-key right rows invisible") {
+    val lDf = Seq((1L, 10L, 1L)).toDF("k", "ts", "lid")
+    val rDf = Seq((2L, 5L, 7L, 42)).toDF("k", "ts", "rid", "v")
+    val r = AsofJoin.leftAsof(lDf, rDf, Seq("k"), "ts", "ts", Seq("v"), "rid").head
+    assert(r.isNullAt(r.fieldIndex("asof_v")))
+  }
+}

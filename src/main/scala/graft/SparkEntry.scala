@@ -261,6 +261,18 @@ object SparkEntry {
         .orderBy("event_type", "day", "event_id")
     },
 
+    // The SKYLINE OF SQL surface end-to-end: custom parser clause →
+    // SkylinePlan logical node → SkylineExec physical operator
+    // (graft.plans, via the spark.experimental hooks since the driver
+    // owns this session).
+    "q_skyline_sql" -> { (s, dir) =>
+      Tables.load(s, dir, "part").createOrReplaceTempView("part_v")
+      graft.sql.SkylineSql.sql(s,
+        "SELECT p_partkey, p_retailprice, p_size FROM part_v " +
+          "SKYLINE OF p_retailprice MIN, p_size MAX")
+        .orderBy("p_partkey")
+    },
+
     // As-of join: each click matched to the user's most recent purchase
     // at or before the click (union+window plan — one keyed shuffle, no
     // inequality join blow-up; graft.operators.AsofJoin).
@@ -602,6 +614,17 @@ object SparkEntry {
         |    AND q.value >= p.value AND q.ts <= p.ts
         |    AND (q.value > p.value OR q.ts < p.ts))
         |ORDER BY p.event_type, p.day, p.event_id""".stripMargin,
+
+    "q_skyline_sql" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+        |  AND NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+        |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
 
     // Window-reformulated as-of join (DuckDB's native ASOF JOIN leaves
     // equal-ts ties implementation-defined; the explicit row_number

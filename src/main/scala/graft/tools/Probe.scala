@@ -10,15 +10,13 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val name = args(0)
-    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
-    val df = graft.SparkEntry.queries(name)(spark, dir)
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"[probe] $name first run: ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    val t1 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    println(f"[probe] $name second run: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+    val dir = "/root/testdata/sf0.01"
+    args.foreach { name =>
+      println(s"======== $name ========")
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
     spark.stop()
   }
 }

@@ -261,6 +261,34 @@ object SparkEntry {
         .orderBy("event_type", "day", "event_id")
     },
 
+    // Sessionization (gaps-and-islands): a new session starts after a
+    // >30-minute gap; per user, event and session counts. Window +
+    // running sum — one keyed shuffle.
+    "q_sessions" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.loadEvents(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 30L * 60 * 1000000, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), max(col("sid")).as("n_sessions"))
+        .orderBy("user_id")
+    },
+
+    // Exact interpolated quantiles (percentile ≡ ANSI quantile_cont).
+    "q_quantiles" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("q90"))
+    },
+
     // The SKYLINE OF SQL surface end-to-end: custom parser clause →
     // SkylinePlan logical node → SkylineExec physical operator
     // (graft.plans, via the spark.experimental hooks since the driver
@@ -614,6 +642,29 @@ object SparkEntry {
         |    AND q.value >= p.value AND q.ts <= p.ts
         |    AND (q.value > p.value OR q.ts < p.ts))
         |ORDER BY p.event_type, p.day, p.event_id""".stripMargin,
+
+    "q_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id,
+        |    CASE WHEN prev IS NULL
+        |           OR (epoch_us(ts) - epoch_us(prev)) > 30 * 60 * 1000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM g)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_s) AS BIGINT) AS n_sessions
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS q90
+        |FROM lineitem""".stripMargin,
 
     "q_skyline_sql" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size

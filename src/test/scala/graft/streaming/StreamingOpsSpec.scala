@@ -1,0 +1,90 @@
+package graft.streaming
+
+import scala.util.Random
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.skyline.{Max, Min, SkyDim, SkylineOp, SkylineSpec}
+
+/** Streaming variants of the pipeline operators: watermarked exact
+  * dedup and event-time-windowed aggregation/skyline — the shapes a
+  * continuously-ingesting training-data pipeline runs.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToTable[T <: Product : org.apache.spark.sql.Encoder](
+      batches: Seq[Seq[T]],
+      cols: Seq[String],
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String): org.apache.spark.sql.DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[T]
+    val out = build(mem.toDF.toDF(cols: _*))
+    val qname = s"sops_${Random.alphanumeric.take(8).mkString}"
+    val q = out.writeStream.format("memory").queryName(qname).outputMode(mode).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      spark.table(qname)
+    } finally q.stop()
+  }
+
+  test("streaming exact dedup: dropDuplicates with watermark keeps first arrival only") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val out = runToTable[(java.sql.Timestamp, String, Long)](
+      Seq(
+        Seq((ts(0), "docA", 1L), (ts(1), "docB", 2L)),
+        Seq((ts(2), "docA", 3L), (ts(3), "docC", 4L)), // docA is a dup
+        Seq((ts(4), "docB", 5L))                        // docB is a dup
+      ),
+      Seq("ts", "content", "id"),
+      df => df.withWatermark("ts", "1 hour").dropDuplicates("content"),
+      mode = "append")
+    // append-mode dedup emits each content once, the first arrival
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L))
+  }
+
+  test("streaming tumbling-window count == batch window count") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val rows = (0 until 50).map(i => (ts(i * 7), s"k${i % 3}", i.toLong))
+    val out = runToTable[(java.sql.Timestamp, String, Long)](
+      rows.grouped(20).map(_.toSeq).toSeq,
+      Seq("ts", "k", "v"),
+      df => df.groupBy(window(col("ts"), "1 hour"), col("k")).count(),
+      mode = "complete")
+    val batch = rows.toDF("ts", "k", "v")
+      .groupBy(window(col("ts"), "1 hour"), col("k")).count()
+    val canon = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("window.start").cast("long"), col("k"), col("count"))
+        .as[(Long, String, Long)].collect().toSet
+    assert(canon(out) == canon(batch))
+  }
+
+  test("windowed streaming skyline via per-(group,window) state == batch grouped skyline") {
+    val spec = SkylineSpec(Seq(SkyDim("x", Min), SkyDim("y", Max)))
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val rnd = new Random(8)
+    val rows = (1L to 90L).map(i =>
+      (ts(rnd.nextInt(180)), s"g${i % 2}", rnd.nextInt(30).toDouble, rnd.nextInt(30).toDouble, i))
+    val out = runToTable[(java.sql.Timestamp, String, Double, Double, Long)](
+      rows.grouped(30).map(_.toSeq).toSeq,
+      Seq("ts", "g", "x", "y", "id"),
+      df => StreamingSkyline.attach(
+        df.withColumn("win", window(col("ts"), "1 hour").getField("start")),
+        spec, groupCol = "win"), // window-start as the state key
+      mode = "update")
+    // emissions per window ⊇ final skyline; batch-skyline the emitted
+    // union per window to recover the final state
+    val gotSet = SkylineOp.grouped(out.drop("g"), spec, Seq("win"))
+      .select("id").as[Long].collect().toSet
+    val batch = rows.toDF("ts", "g", "x", "y", "id")
+      .withColumn("win", window(col("ts"), "1 hour").getField("start"))
+    val expected = SkylineOp.grouped(batch, spec, Seq("win"))
+      .select("id").as[Long].collect().toSet
+    assert(gotSet == expected)
+  }
+}

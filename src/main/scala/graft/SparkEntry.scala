@@ -280,13 +280,18 @@ object SparkEntry {
     },
 
     // Exact interpolated quantiles (percentile ≡ ANSI quantile_cont).
+    // One array-form percentile per column — N separate percentile
+    // aggregates each re-collect the column's value multiset.
     "q_quantiles" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
       li.agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 6).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 6).as("p75"),
-        round(expr("percentile(l_quantity, 0.9)"), 6).as("q90"))
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pe"),
+        expr("percentile(l_quantity, 0.9)").as("pq"))
+        .select(
+          round(element_at(col("pe"), 1), 6).as("p25"),
+          round(element_at(col("pe"), 2), 6).as("p50"),
+          round(element_at(col("pe"), 3), 6).as("p75"),
+          round(col("pq"), 6).as("q90"))
     },
 
     // The SKYLINE OF SQL surface end-to-end: custom parser clause →

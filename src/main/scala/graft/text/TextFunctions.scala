@@ -32,13 +32,26 @@ object TextFunctions {
 
   /** Distinct n-gram (shingle) set over whitespace tokens, each shingle
     * a single space-joined string. Used by Jaccard/MinHash dedup.
+    *
+    * Built as a zip_with chain over shifted copies of the token array:
+    * every reference to the token array sits in an ARGUMENT position,
+    * so the tokenization (regex split + filter) evaluates O(n) times
+    * per row. The natural `transform(sequence(...), i => slice(ts,...))`
+    * form buries `ts` inside the lambda, re-evaluating it per element —
+    * O(tokens²) regex work per document (measured 2× the entire
+    * MinHash pipeline at sf0.1).
     */
   def shingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    val grams = transform(
-      sequence(lit(0), greatest(size(ts) - n, lit(0))),
-      i => concat_ws(" ", slice(ts, i + 1, lit(n))))
-    array_distinct(when(size(ts) >= n, grams).otherwise(array()))
+    // grams_k[i] = tokens i..i+k-1 joined; shift-and-concat n-1 times.
+    // zip_with pads the shorter side with nulls; concat propagates the
+    // null, and the final slice drops the padded tail.
+    val grams = (2 to n).foldLeft(ts) { (acc, k) =>
+      zip_with(acc, slice(ts, lit(k), size(ts)), (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(
+      when(size(ts) >= n, slice(grams, lit(1), size(ts) - (n - 1)))
+        .otherwise(array()))
   }
 
   /** English-ish stopword list used by quality scoring and language ID. */

@@ -1,7 +1,9 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 
-/** Scratch main for local plan/parity probes (not part of the API). */
+/** Scratch main for local timing/plan probes (not part of the API).
+  * Usage: runMain graft.tools.Probe [--explain] <query>... [--sf dir]
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -10,12 +12,23 @@ object Probe {
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    args.foreach { name =>
-      println(s"======== $name ========")
+    val explain = args.contains("--explain")
+    val dir = args.sliding(2).collectFirst { case Array("--sf", d) => d }
+      .getOrElse("/root/testdata/sf0.1")
+    args.filterNot(a => a.startsWith("--") || a == dir).foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.SimpleMode))
+      if (explain) {
+        println(s"======== $name ========")
+        println(df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode))
+      } else {
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        println(f"[probe] $name first: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        val df2 = graft.SparkEntry.queries(name)(spark, dir)
+        val t1 = System.nanoTime()
+        df2.write.format("noop").mode("overwrite").save()
+        println(f"[probe] $name fresh-DF rerun: ${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }

@@ -383,7 +383,12 @@ object SparkEntry {
         lit(null).cast("double").as("gust"),
         lit(null).cast("double").as("min_temp"))
       val lines = shaped.select(Gsod.format(shaped).as("value"))
-      RangeStats.stats(Gsod.parse(lines), Gsod.valueFields.map(_.name))
+      // RDD boundary: hands the parser an opaque line source (as real
+      // GSOD ingest would be) — without it Catalyst collapses the
+      // projections and re-evaluates the whole 22-field formatter once
+      // per parsed column (~13×).
+      val lineSource = s.createDataFrame(lines.rdd, lines.schema)
+      RangeStats.stats(Gsod.parse(lineSource), Gsod.valueFields.map(_.name))
     },
   )
 

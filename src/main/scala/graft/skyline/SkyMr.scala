@@ -58,7 +58,9 @@ object SkyMr {
       seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     val d = spec.d
-    val prep = SkylineOp.prepare(df, spec)
+    // prep feeds three passes (bounds agg, tree sample, routing) —
+    // persist so the scan+filter+normalize runs once.
+    val prep = SkylineOp.prepare(df, spec).persist(StorageLevel.MEMORY_AND_DISK)
     val skyIdx = prep.schema.fieldIndex(SkylineOp.SKY)
 
     // -- 1. bounds + count (one pass, Catalyst partial/final agg) -------

@@ -1,9 +1,10 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.text.TextFunctions
+import graft.io.Gsod
+import graft.stats.RangeStats
 
-/** One-off stage timing for the MinHash pipeline (dev tool). */
+/** One-off stage timings (dev tool). */
 object MhProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -11,19 +12,37 @@ object MhProbe {
       .config("spark.sql.shuffle.partitions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
-      println(f"[mh] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+      println(f"[t] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    time("shingles only")(
-      df.select(TextFunctions.shingles(col("text"), 3).as("sh"))
-        .write.format("noop").mode("overwrite").save())
-    time("shingles only again")(
-      df.select(TextFunctions.shingles(col("text"), 3).as("sh"))
-        .write.format("noop").mode("overwrite").save())
-    val pairs = graft.dedup.MinHashLsh.nearDupPairs(df, "text", "doc_id", 3, 0.5, 32, 4)
-    time("full pipeline")(pairs.write.format("noop").mode("overwrite").save())
+    val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+    val shaped = li.select(
+      pmod(col("l_orderkey"), lit(1000000)).cast("int").as("stn"),
+      (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+        dayofmonth(col("l_shipdate"))).as("date"),
+      round(col("l_quantity")).as("temp"),
+      round(col("l_discount") * 100).as("dewp"),
+      round(col("l_tax") * 100).as("slp"),
+      lit(null).cast("double").as("max_temp"),
+      lit(null).cast("double").as("stp"),
+      lit(null).cast("double").as("wdsp"),
+      lit(null).cast("double").as("mxspd"),
+      lit(null).cast("double").as("gust"),
+      lit(null).cast("double").as("min_temp"))
+    time("warm")(shaped.write.format("noop").mode("overwrite").save())
+    time("shaped only")(shaped.write.format("noop").mode("overwrite").save())
+    val lines = shaped.select(Gsod.format(shaped).as("value"))
+    time("format only")(lines.write.format("noop").mode("overwrite").save())
+    val parsed = Gsod.parse(lines)
+    time("format+parse")(parsed.write.format("noop").mode("overwrite").save())
+    val stats = RangeStats.stats(parsed, Gsod.valueFields.map(_.name))
+    time("full")(stats.write.format("noop").mode("overwrite").save())
+    val barrier = spark.createDataFrame(lines.rdd, lines.schema)
+    val parsed2 = Gsod.parse(barrier)
+    val stats2 = RangeStats.stats(parsed2, Gsod.valueFields.map(_.name))
+    time("full with rdd barrier")(stats2.write.format("noop").mode("overwrite").save())
+    time("full with rdd barrier again")(stats2.write.format("noop").mode("overwrite").save())
     spark.stop()
   }
 }

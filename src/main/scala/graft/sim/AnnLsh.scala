@@ -92,11 +92,11 @@ object AnnLsh {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    val vecs = b.select(col("id"), col("v"))
-    candidates
-      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("score", round(VectorSim.cosine(col("v_a"), col("v_b")), 6))
+    val vecs = b.select(col("id"), col("v")).withColumn("nrm", VectorSim.norm(col("v")))
+    val joined = candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), "id_b")
+    VectorSim.scorePairs(joined)
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
   }

@@ -1,7 +1,8 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Embedding similarity search over an `array<float>`/`array<double>`
   * column. All scoring is pure Catalyst expressions (`zip_with` +
@@ -65,6 +66,39 @@ object VectorSim {
     * never materializes cross-block pairs. Output (id_a, id_b, score),
     * id_a < id_b.
     */
+  /** JVM pair-scoring kernel: appends `score` = round(dot/(n_a·n_b), 6)
+    * from columns (v_a, v_b, n_a, n_b). Bit-identical to the Column
+    * form — same left-to-right double sum as `aggregate(zip_with(...))`
+    * and the same HALF_UP BigDecimal round Spark's `round` applies to
+    * doubles — but one tight loop per pair instead of a per-pair array
+    * allocation (the verification stage dominated both pair operators).
+    */
+  private[sim] def scorePairs(joined: DataFrame): DataFrame = {
+    val schema = joined.schema.add("score", DoubleType)
+    val enc = Encoders.row(schema)
+    val vaI = joined.schema.fieldIndex("v_a")
+    val vbI = joined.schema.fieldIndex("v_b")
+    val naI = joined.schema.fieldIndex("n_a")
+    val nbI = joined.schema.fieldIndex("n_b")
+    joined.mapPartitions { it =>
+      it.map { r =>
+        val va = r.getSeq[Double](vaI)
+        val vb = r.getSeq[Double](vbI)
+        val nn = r.getDouble(naI) * r.getDouble(nbI)
+        val raw = if (nn > 0) {
+          var d = 0.0
+          var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { d += va(i) * vb(i); i += 1 }
+          d / nn
+        } else 0.0
+        val score = java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        Row.fromSeq(r.toSeq :+ score)
+      }
+    }(enc)
+  }
+
   def cosinePairs(
       df: DataFrame,
       vecCol: String,
@@ -74,16 +108,13 @@ object VectorSim {
     // Precompute each row's norm ONCE before the join — computing
     // cosine(v_a, v_b) per pair re-derives both norms |block| times.
     val withNorm = df.select(
-      col(blockCol).as("blk"), col(idCol).as("id"), col(vecCol).as("v"))
+      col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
     val a = withNorm.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a"))
     val b = withNorm.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b"))
-    a.join(b, Seq("blk"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(
-        when(col("n_a") * col("n_b") > 0,
-          dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
-          .otherwise(lit(0.0)), 6))
+    val joined = a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+    scorePairs(joined)
       .filter(col("score") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("score"))
   }

@@ -28,9 +28,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
-    def materialize(name: String): Unit =
+    def materialize(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // Several operators persist() intermediates scoped to one
+      // invocation; without clearing, 2 passes × N queries accumulate
+      // cached RDDs until eviction pressure distorts later timings.
+      spark.catalog.clearCache()
+    }
 
     // Warmup: run everything once, untimed (ignore failures here; they
     // are re-surfaced as errors in the timed pass).

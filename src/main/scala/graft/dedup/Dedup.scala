@@ -63,6 +63,13 @@ object Dedup {
     * standard failure mode of prefix joins; raise `n` or `threshold` to
     * shrink buckets).
     */
+  /** Above this many documents the exact-verify stage joins the
+    * shingle arrays back per candidate pair (shuffle-safe at any
+    * scale); at or below it, the per-doc shingle sets are broadcast
+    * and candidates verify map-side with zero array shuffle.
+    */
+  val BroadcastVerifyDocLimit = 100000L
+
   def jaccardPairs(
       df: DataFrame,
       textCol: String,
@@ -111,14 +118,48 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
 
-    val sets = ranked2.select(col("id"), col("sh"))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyPairs(candidates, ranked2.select(col("id"), col("sh")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    * per-doc shingle sets — broadcast map-side under
+    * [[BroadcastVerifyDocLimit]] docs, array-reattach joins above it.
+    * Shared by [[jaccardPairs]] and [[MinHashLsh]].
+    */
+  private[dedup] def verifyPairs(
+      candidates: DataFrame,
+      sets: DataFrame, // (id, sh)
+      threshold: Double): DataFrame = {
+    val spark = candidates.sparkSession
+    val nDocs = sets.count()
+    if (nDocs <= BroadcastVerifyDocLimit) {
+      val bcSets = spark.sparkContext.broadcast(
+        sets.collect().map(r => r.get(0) -> r.getSeq[String](1).toSet).toMap)
+      val schema = candidates.schema.add("jaccard", org.apache.spark.sql.types.DoubleType)
+      val enc = org.apache.spark.sql.Encoders.row(schema)
+      candidates.mapPartitions { it =>
+        val m = bcSets.value
+        it.flatMap { r =>
+          (m.get(r.get(0)), m.get(r.get(1))) match {
+            case (Some(a), Some(b)) =>
+              val inter = a.count(b.contains).toDouble
+              val raw = inter / (a.size + b.size - inter)
+              val j = java.math.BigDecimal.valueOf(raw)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              if (j >= threshold) Some(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ j)) else None
+            case _ => None
+          }
+        }
+      }(enc).select("id_a", "id_b", "jaccard")
+    } else {
+      candidates
+        .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        .withColumn("jaccard",
+          round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    }
   }
 }

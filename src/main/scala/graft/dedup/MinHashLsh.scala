@@ -130,15 +130,8 @@ object MinHashLsh {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
 
-    // Re-attach shingle sets only for the surviving pairs; verify exactly.
-    val sets = docs.select(col("id"), col("sh"))
-    candidates
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard",
-        round(col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // Exact-verify the surviving pairs (broadcast map-side under the
+    // doc limit, array-reattach joins above it — Dedup.verifyPairs).
+    Dedup.verifyPairs(candidates, docs.select(col("id"), col("sh")), threshold)
   }
 }

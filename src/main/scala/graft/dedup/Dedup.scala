@@ -5,6 +5,21 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 
+/** Shared input-shaping for the dedup/sketch operators. */
+private[dedup] object DedupUtil {
+  /** Spread an under-partitioned input across the cluster before
+    * CPU-bound per-row sketch work (a small parquet arrives as one
+    * partition → one task does all tokenization/minhashing). No-op
+    * when the source is already parallel enough — at real scale inputs
+    * have thousands of partitions and a blind repartition would be a
+    * full extra shuffle.
+    */
+  def parallelize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
+  }
+}
+
 /** Deduplication operators for training-data pipelines (exact +
   * similarity-based). All shapes are shuffle-bounded by design:
   *
@@ -78,7 +93,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
 
-    val docs = df
+    val docs = DedupUtil.parallelize(df)
       .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 

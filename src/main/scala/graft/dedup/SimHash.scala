@@ -72,7 +72,8 @@ object SimHash {
       maxDist: Int = 3): DataFrame = {
     val blocks = maxDist + 1
     val width = 64 / blocks
-    val signed = withSimhash(df.select(col(idCol).as("id"), col(textCol)), textCol, "sh")
+    val signed = withSimhash(
+      DedupUtil.parallelize(df.select(col(idCol).as("id"), col(textCol))), textCol, "sh")
       .select("id", "sh")
 
     // one bucket row per (doc, block): block index + that block's bits.

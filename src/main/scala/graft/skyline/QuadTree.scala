@@ -111,6 +111,23 @@ object QuadTree {
     Tree(divide(sample, "", lo, hi, 0), d, ids.toArray)
   }
 
+  /** Debug JSON dump of a tree — the engine's replacement for the
+    * reference's text (de)serialization round trip (SURVEY §2 row 7;
+    * dfsWriteQT/readQT, Skyline.java:272-340, was transport; transport
+    * here is the broadcast, so only the human-readable dump remains).
+    */
+  def toJson(tree: Tree): String = {
+    def go(n: Node): String = n match {
+      case null => "null"
+      case Leaf(id, ord) => s"""{"leaf":{"id":"$id","ord":$ord}}"""
+      case Internal(mid, children) =>
+        val mids = mid.mkString("[", ",", "]")
+        val kids = children.map(go).mkString("[", ",", "]")
+        s"""{"internal":{"mid":$mids,"children":$kids}}"""
+    }
+    s"""{"d":${tree.d},"leaves":${tree.leafCount},"root":${go(tree.root)}}"""
+  }
+
   /** d-bit level block for a child index: char k = upper/lower bit of
     * dim k (reference numToOneDepthId, QTNode.java:11-18, modulo bit
     * order — self-consistent with [[CellAlgebra.sub]]). */

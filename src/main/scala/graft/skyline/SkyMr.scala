@@ -55,7 +55,24 @@ object SkyMr {
       maxp: Int = 256,
       maxDepth: Int = 8,
       sampleSize: Int = 20000,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    skylineWithSummaries(df, spec, maxp, maxDepth, sampleSize, seed)._1
+
+  /** [[skyline]] plus the phase-1 summary side outputs the reference
+    * writes as MultipleOutputs "vpn" and "filter" streams
+    * (Skyline.java:419-420, LSkyReducer.java:41-48): per-cell VPn
+    * corner vectors and the deduped sky-filter points, as DataFrames
+    * (cell int + array<double> / array<double>). They are cell
+    * metadata — dozens to thousands of rows — materialized from the
+    * same single aggregate pass the pipeline already runs.
+    */
+  def skylineWithSummaries(
+      df: DataFrame,
+      spec: SkylineSpec,
+      maxp: Int = 256,
+      maxDepth: Int = 8,
+      sampleSize: Int = 20000,
+      seed: Long = 42L): (DataFrame, DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val d = spec.d
     // prep feeds three passes (bounds agg, tree sample, routing) —
@@ -67,8 +84,13 @@ object SkyMr {
     val dimCol = (i: Int) => element_at(col(SkylineOp.SKY), i + 1)
     val boundAggs = (0 until d).flatMap(i => Seq(min(dimCol(i)), max(dimCol(i)))) :+ count(lit(1))
     val b = prep.agg(boundAggs.head, boundAggs.tail: _*).head()
+    import spark.implicits._
     val n = b.getLong(2 * d)
-    if (n == 0) return prep.drop(SkylineOp.SKY)
+    if (n == 0) {
+      val emptyVec = Seq.empty[(Int, Seq[Double])].toDF("cell", "vec")
+      return (prep.drop(SkylineOp.SKY), emptyVec,
+        Seq.empty[Seq[Double]].toDF("vec"))
+    }
     val lo = Array.tabulate(d)(i => b.getDouble(2 * i))
     // Nudge hi so max-valued points still route into the top half-open cell.
     val hi = Array.tabulate(d) { i =>
@@ -176,6 +198,8 @@ object SkyMr {
         }
       }(enc)
 
-    globalSky.drop(CELL, SkylineOp.SKY)
+    val vpnDf = vpns.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "vec")
+    val filterDf = filters.toSeq.map(_.toSeq).toDF("vec")
+    (globalSky.drop(CELL, SkylineOp.SKY), vpnDf, filterDf)
   }
 }

@@ -5,21 +5,6 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.text.TextFunctions
 
-/** Shared input-shaping for the dedup/sketch operators. */
-private[dedup] object DedupUtil {
-  /** Spread an under-partitioned input across the cluster before
-    * CPU-bound per-row sketch work (a small parquet arrives as one
-    * partition → one task does all tokenization/minhashing). No-op
-    * when the source is already parallel enough — at real scale inputs
-    * have thousands of partitions and a blind repartition would be a
-    * full extra shuffle.
-    */
-  def parallelize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target) else df
-  }
-}
-
 /** Deduplication operators for training-data pipelines (exact +
   * similarity-based). All shapes are shuffle-bounded by design:
   *
@@ -55,8 +40,27 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** Broadcast-verify guards: beyond either bound the exact-verify
+    * stage joins the shingle arrays back per candidate pair
+    * (shuffle-safe at any scale); within both, the per-doc shingle
+    * sets are broadcast and candidates verify map-side with zero
+    * array shuffle. The shingle bound caps driver/broadcast BYTES —
+    * a doc-count bound alone would let 100k long documents collect
+    * gigabytes onto the driver.
+    */
+  val BroadcastVerifyDocLimit = 100000L
+  val BroadcastVerifyShingleLimit = 20000000L
+
   /** Exact n-gram Jaccard near-duplicate pairs at `threshold`, without
     * all-pairs comparison.
+    *
+    * Caching note (applies to every sketch operator here): the shingled
+    * intermediate is persisted MEMORY_AND_DISK because several stages
+    * consume it; it cannot be unpersisted inside the operator (the
+    * returned DataFrame still references it lazily). Spark's
+    * ContextCleaner drops it when the result goes out of scope; batch
+    * harnesses running many queries can `spark.catalog.clearCache()`
+    * between them (Bench does).
     *
     * Plan:
     *  1. per-doc distinct shingle set (array column, stays with the row);
@@ -78,13 +82,6 @@ object Dedup {
     * standard failure mode of prefix joins; raise `n` or `threshold` to
     * shrink buckets).
     */
-  /** Above this many documents the exact-verify stage joins the
-    * shingle arrays back per candidate pair (shuffle-safe at any
-    * scale); at or below it, the per-doc shingle sets are broadcast
-    * and candidates verify map-side with zero array shuffle.
-    */
-  val BroadcastVerifyDocLimit = 100000L
-
   def jaccardPairs(
       df: DataFrame,
       textCol: String,
@@ -93,7 +90,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val spark = df.sparkSession
 
-    val docs = DedupUtil.parallelize(df)
+    val docs = graft.util.Partitioning.parallelize(df)
       .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
 
@@ -146,8 +143,11 @@ object Dedup {
       sets: DataFrame, // (id, sh)
       threshold: Double): DataFrame = {
     val spark = candidates.sparkSession
-    val nDocs = sets.count()
-    if (nDocs <= BroadcastVerifyDocLimit) {
+    // One job sizes the broadcast decision by rows AND total shingles.
+    val stats = sets.agg(count(lit(1)), sum(size(col("sh")))).head()
+    val nDocs = stats.getLong(0)
+    val nShingles = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (nDocs <= BroadcastVerifyDocLimit && nShingles <= BroadcastVerifyShingleLimit) {
       val bcSets = spark.sparkContext.broadcast(
         sets.collect().map(r => r.get(0) -> r.getSeq[String](1).toSet).toMap)
       val schema = candidates.schema.add("jaccard", org.apache.spark.sql.types.DoubleType)

@@ -86,7 +86,7 @@ object MinHashLsh {
   private def sketched(
       df: DataFrame, textCol: String, idCol: String,
       n: Int, bands: Int, rows: Int): DataFrame = {
-    val docs = DedupUtil.parallelize(df)
+    val docs = graft.util.Partitioning.parallelize(df)
       .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val schema = docs.schema.add("bsig", ArrayType(LongType, containsNull = false))

@@ -53,7 +53,11 @@ object SimHash {
     val schema = withToks.schema.add(outCol, LongType, nullable = false)
     val enc = Encoders.row(schema)
     withToks.mapPartitions { it =>
-      it.map(r => Row.fromSeq(r.toSeq :+ simhash64(r.getSeq[String](tokIdx))))
+      it.map { r =>
+        // NULL text → NULL token array; hash as an empty stream.
+        val toks = if (r.isNullAt(tokIdx)) Seq.empty[String] else r.getSeq[String](tokIdx)
+        Row.fromSeq(r.toSeq :+ simhash64(toks))
+      }
     }(enc).drop("__toks")
   }
 
@@ -73,7 +77,7 @@ object SimHash {
     val blocks = maxDist + 1
     val width = 64 / blocks
     val signed = withSimhash(
-      DedupUtil.parallelize(df.select(col(idCol).as("id"), col(textCol))), textCol, "sh")
+      graft.util.Partitioning.parallelize(df.select(col(idCol).as("id"), col(textCol))), textCol, "sh")
       .select("id", "sh")
 
     // one bucket row per (doc, block): block index + that block's bits.

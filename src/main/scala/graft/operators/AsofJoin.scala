@@ -61,7 +61,11 @@ object AsofJoin {
       .withColumn(PAY, lit(null).cast(
         org.apache.spark.sql.types.StructType(
           payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))))
+    // NULL-ts build rows can never satisfy rightTs <= leftTs, but asc
+    // ordering sorts NULL first — they would become the carried match
+    // for left rows preceding all real right rows. Drop them.
     val r = right
+      .filter(col(rightTs).isNotNull)
       .select(
         keys.map(col) ++ Seq(
           lit(0).as(SIDE),

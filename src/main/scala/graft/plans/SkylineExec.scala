@@ -57,8 +57,11 @@ case class SkylineExec(dims: Seq[(Expression, Int)], child: SparkPlan)
     }
 
     val local = child.execute().mapPartitions(localSky)
-    // coalesce(1): merge only the tiny local skylines on one task.
-    local.coalesce(1).mapPartitions(localSky)
+    // shuffle=true: plain coalesce(1) is a narrow dependency that would
+    // compute ALL phase-1 partitions serially in the single merged task
+    // (the twoPhase doc's repartition(1)-not-coalesce(1) trap); with a
+    // shuffle only the tiny local skylines move to the merge task.
+    local.coalesce(1, shuffle = true).mapPartitions(localSky)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): SkylineExec =

@@ -46,12 +46,24 @@ class SkylineSqlParser(delegate: ParserInterface) extends ParserInterface {
 object SkylineSqlParser {
 
   /** Splits "…base… SKYLINE OF <clause>" when the clause terminates the
-    * statement (trailing semicolon/whitespace tolerated).
+    * statement (trailing semicolon/whitespace tolerated) AND the
+    * trailing text is shaped like a dim list. The shape check keeps the
+    * words "skyline of" inside a string literal or comment (e.g.
+    * `WHERE body LIKE '%skyline of%'`) from hijacking a valid statement
+    * — such text never matches `ident MIN|MAX, ...`, so it passes
+    * through to the delegate untouched. A clause that names dims but
+    * misspells a direction still matches the column-word shape and gets
+    * a helpful error from [[parseDims]].
     */
   private[plans] object SkylineClause {
     private val re = "(?is)^(.*?)\\bSKYLINE\\s+OF\\s+(.+?)[\\s;]*$".r
+    // identifier (optionally backquoted/dotted) + a direction-like word
+    private val dimListShape =
+      "(?i)^\\s*[`\\w.]+\\s+\\w+\\s*(,\\s*[`\\w.]+\\s+\\w+\\s*)*$".r
     def unapply(sql: String): Option[(String, String)] = sql match {
-      case re(base, clause) if base.trim.nonEmpty => Some((base, clause))
+      case re(base, clause)
+          if base.trim.nonEmpty && dimListShape.matches(clause) =>
+        Some((base, clause))
       case _ => None
     }
   }

@@ -58,11 +58,8 @@ object AnnLsh {
   private def bucketed(
       df: DataFrame, vecCol: String, idCol: String,
       dim: Int, bits: Int, tables: Int, seed: Long): DataFrame = {
-    val src0 = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    // spread an under-partitioned source before the CPU-bound signature pass
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (src0.rdd.getNumPartitions < math.max(2, target / 2))
-      src0.repartition(target) else src0
+    val src = graft.util.Partitioning.parallelize(
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v")))
     val schema = src.schema.add("buckets", ArrayType(LongType, containsNull = false))
     val enc = Encoders.row(schema)
     val spark = df.sparkSession

@@ -68,7 +68,10 @@ case class SkylineAgg(
   override def serialize(buf: Gsky.Buf[InternalRow]): Array[Byte] = {
     val proj = UnsafeProjection.create(rowType)
     val entries = buf.map { case (vec, row) =>
-      (vec, proj(row).getBytes)
+      // copy() before getBytes: for all-fixed-width schemas the
+      // projection's UnsafeRow aliases one shared backing array, so
+      // getBytes would hand every entry the LAST row's bytes.
+      (vec, proj(row).copy().getBytes)
     }
     val size = 4 + entries.map { case (v, b) => 4 + 8 * v.length + 4 + b.length }.sum
     val bb = ByteBuffer.allocate(size)

@@ -45,6 +45,14 @@ class SkylineSqlSpec extends SparkSpec {
     }
   }
 
+  test("'skyline of' inside a string literal does not hijack the statement") {
+    Seq((1L, "contains skyline of stuff"), (2L, "plain")).toDF("id", "body")
+      .createOrReplaceTempView("notes")
+    val n = SkylineSql.sql(spark,
+      "SELECT count(*) AS n FROM notes WHERE body LIKE '%skyline of%'").head.getLong(0)
+    assert(n == 1)
+  }
+
   test("column pruning rule pushes a project below the skyline") {
     val plan = fixture().queryExecution.analyzed
     val pruned = SkylineColumnPruning(

@@ -33,20 +33,46 @@ class SkylineAggSpec extends SparkSpec {
     assert(got == expected)
   }
 
-  test("serialization round trip preserves buffer (spill path)") {
+  test("serialize/deserialize round trip preserves every buffer entry (spill path)") {
+    // Direct round trip on an ALL-FIXED-WIDTH row schema — the case
+    // where UnsafeProjection reuses one backing array and a missing
+    // copy() makes every serialized entry alias the LAST row (caught
+    // in review; this is the regression test).
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val rowType = StructType(Seq(
+      StructField("id", LongType), StructField("x", DoubleType)))
     val agg = SkylineAgg(
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-        org.apache.spark.sql.functions.col("v")),
-      org.apache.spark.sql.graftbridge.ColumnBridge.expression(
-        org.apache.spark.sql.functions.struct(org.apache.spark.sql.functions.col("id"))))
-    // build a buffer via the typed API against a concrete schema
-    val df = Seq((Seq(1.0, 2.0), 1L), (Seq(0.5, 3.0), 2L)).toDF("v", "id")
-    val out = SkylineOp.viaAggregate(
-      df.withColumnRenamed("v", "ignored")
-        .withColumn("x", org.apache.spark.sql.functions.element_at($"ignored", 1))
-        .withColumn("y", org.apache.spark.sql.functions.element_at($"ignored", 2)),
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, ArrayType(DoubleType), nullable = true),
+      org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal("id"),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(1, LongType, nullable = false),
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        org.apache.spark.sql.catalyst.expressions.BoundReference(2, DoubleType, nullable = false))))
+    val buf = Gsky.emptyBuf[InternalRow]
+    // anti-diagonal: every point is skyline — all must survive the trip
+    (0 until 10).foreach { i =>
+      buf += ((Array(i.toDouble, (9 - i).toDouble), InternalRow(i.toLong, i.toDouble)))
+    }
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.length == 10)
+    val ids = back.map(_._2.getLong(0)).sorted
+    assert(ids.toSeq == (0L until 10L), s"corrupted round trip: $ids")
+    back.zipWithIndex.foreach { case ((vec, row), _) =>
+      assert(vec(0) == row.getLong(0).toDouble) // vec stays paired with its row
+    }
+  }
+
+  test("anti-diagonal skyline survives partial serialization end-to-end") {
+    // 40 points, ALL on the Pareto front, spread over partitions: any
+    // aliasing in partial-buffer serialization collapses distinct rows.
+    val df = (0L until 40L).map(i => (i.toDouble, (39 - i).toDouble, i))
+      .toDF("x", "y", "id").repartition(5)
+    val got = SkylineOp.viaAggregate(df,
       SkylineSpec(Seq(SkyDim("x", Min), SkyDim("y", Min))))
-    assert(out.count() == 2) // incomparable pair: both survive
+      .select("id").as[Long].collect().toSet
+    assert(got == (0L until 40L).toSet)
   }
 
   test("ties kept, null dims dropped — same semantics as other paths") {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.{Dedup, MinHashLsh, SimHash}
 import graft.io.Gsod
-import graft.operators.AsofJoin
+import graft.operators.{AsofJoin, RangeJoin}
 import graft.sim.{AnnLsh, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.RangeStats
@@ -259,6 +259,32 @@ object SparkEntry {
         Seq("event_type", "day"))
         .select("event_type", "day", "event_id", "value")
         .orderBy("event_type", "day", "event_id")
+    },
+
+    // Range join (point-in-interval) via bucket decomposition — an
+    // equi-join on bucket ids, never the BroadcastNestedLoopJoin the
+    // naive BETWEEN theta-join plans to (graft.operators.RangeJoin).
+    // 25 overlapping price bands from nation × 600k lineitem points.
+    "q_range_join" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val bands = Tables.load(s, dir, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 4000.0).as("lo"),
+        (col("n_nationkey") * 4000.0 + 12000.0).as("hi"))
+      RangeJoin.pointInInterval(li, "l_extendedprice", bands, "lo", "hi",
+        bucketWidth = 4000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("band_id")
+    },
+
+    // Pivot (crosstab aggregation) with a fixed value list.
+    "q_pivot" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy("l_returnflag")
     },
 
     // Sessionization (gaps-and-islands): a new session starts after a
@@ -652,6 +678,20 @@ object SparkEntry {
         |    AND q.value >= p.value AND q.ts <= p.ts
         |    AND (q.value > p.value OR q.ts < p.ts))
         |ORDER BY p.event_type, p.day, p.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT n_nationkey AS band_id, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS qty
+        |FROM nation JOIN lineitem
+        |  ON l_extendedprice >= n_nationkey * 4000.0
+        | AND l_extendedprice <= n_nationkey * 4000.0 + 12000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
+        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_sessions" ->
       """WITH g AS (

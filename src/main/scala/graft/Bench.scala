@@ -39,7 +39,11 @@ object Bench {
 
     // Warmup: run everything once, untimed (ignore failures here; they
     // are re-surfaced as errors in the timed pass).
-    names.foreach(n => try materialize(n) catch { case _: Throwable => () })
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      try materialize(n) catch { case _: Throwable => () }
+      Console.err.println(f"[bench-warmup] $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
 
     val errors = scala.collection.mutable.ListBuffer.empty[String]
     val results = names.map { name =>

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.dedup.{Dedup, MinHashLsh, SimHash}
 import graft.io.Gsod
+import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin}
 import graft.sim.{AnnLsh, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
@@ -385,6 +386,53 @@ object SparkEntry {
           countDistinct(col("l_partkey")).as("n_part"),
           round(sum_distinct(col("l_quantity")), 2).as("sum_d_qty"))
         .orderBy("l_returnflag")
+    },
+
+    // ---- multimodal binary plumbing over `documents` -------------------
+
+    // The full multimodal pipeline on deterministic payloads (UTF-8
+    // bytes of `text`, all-ASCII fixture): feature extraction (stub
+    // decode = byte stats), strided frame sampling, and a 2× "resize",
+    // each a mapPartitions batch pass over binary columns
+    // (graft.multimodal.Multimodal). Every output is integer/byte math
+    // a DuckDB oracle reproduces exactly from the text column.
+    "q_multimodal" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          lit("txt").as("format"),
+          lit(null).cast("int").as("width"),
+          lit(null).cast("int").as("height"),
+          (pmod(col("doc_id"), lit(7)) + 1).cast("int").as("n_frames")).as("meta"))
+      val feat = Multimodal.extractFeatures(base, "payload", "feat")
+      val perDoc = Multimodal.sampleFrames(feat, "payload", "meta", stride = 2)
+        .groupBy(col("doc_id"))
+        .agg(
+          // int features cast to long: DuckDB's octet_length/list math
+          // is BIGINT and the driver's compare is dtype-strict.
+          first(col("feat.n_bytes")).cast("long").as("n_bytes"),
+          round(first(col("feat.mean_byte")), 6).as("mean_byte"),
+          count(lit(1)).as("n_frames_kept"),
+          sum(length(col("frame_bytes"))).as("kept_bytes"))
+      val resized = Multimodal.extractFeatures(
+        Multimodal.resize(base, "payload", "meta", factor = 2), "payload", "rz")
+        .select(col("doc_id"), col("rz.n_bytes").cast("long").as("rz_bytes"),
+          round(col("rz.mean_byte"), 6).as("rz_mean"))
+      perDoc.join(resized, "doc_id").orderBy("doc_id")
+    },
+
+    // ---- document fingerprinting ---------------------------------------
+
+    // Content fingerprints per document: 128-bit md5 of the normalized
+    // token stream + the rolling polynomial (Rabin-Karp) hash — both
+    // pure codegen'd expressions (graft.text.TextFunctions).
+    "q_fingerprint" -> { (s, dir) =>
+      Tables.load(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp_md5"),
+        TextFunctions.rollingFingerprint(col("text")).as("fp_roll"))
+        .orderBy("doc_id")
     },
 
     // ---- GSOD fixed-width ingest (reference source format) ------------
@@ -774,6 +822,47 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_part,
         |  round(sum(DISTINCT l_quantity), 2) AS sum_d_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Byte-level reconstruction of the multimodal pipeline from `text`
+    // (all-ASCII fixture: code point == UTF-8 byte). Frame math mirrors
+    // Multimodal.sampleFrames exactly: frameLen = max(L/nf, 1), frame f
+    // covers [f*fl, f*fl+fl) clamped to L, last frame takes the tail.
+    "q_multimodal" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    octet_length(encode(text)) AS L,
+        |    (doc_id % 7) + 1 AS nf,
+        |    list_transform(split(text, ''), x -> unicode(x)) AS cps
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, L, nf,
+        |    greatest(L // nf, 1) AS fl,
+        |    CAST(list_sum(cps) AS DOUBLE) AS s,
+        |    CAST(list_sum(list_transform(range(0, L // 2), i -> cps[i * 2 + 1])) AS DOUBLE) AS rs
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(L AS BIGINT) AS n_bytes,
+        |  round(CASE WHEN L > 0 THEN s / L ELSE 0.0 END, 6) AS mean_byte,
+        |  CAST(len(range(0, nf, 2)) AS BIGINT) AS n_frames_kept,
+        |  CAST(list_sum(list_transform(range(0, nf, 2), f ->
+        |    CASE WHEN f = nf - 1 THEN L - least(f * fl, L)
+        |         ELSE least(L, f * fl + fl) - least(f * fl, L) END)) AS BIGINT) AS kept_bytes,
+        |  CAST(L // 2 AS BIGINT) AS rz_bytes,
+        |  round(CASE WHEN L // 2 > 0 THEN rs / (L // 2) ELSE 0.0 END, 6) AS rz_mean
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Same tokenization contract as q_dedup_exact; the rolling hash
+    // mirrors TextFunctions.rollingFingerprint term by term (md5-prefix
+    // token hash, h = (h*B + x) mod P, fold seeded with 0).
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp_md5,
+        |  list_reduce(
+        |    list_prepend(0, list_transform(
+        |      list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0),
+        |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+        |    (a, x) -> (a * 1000003 + x) % 2147483647) AS fp_roll
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Stats that survive the fixed-width round trip: same shaping of
     // lineitem the Spark side formats+parses (3 real dims, 6 missing).

@@ -81,6 +81,10 @@ object SimHash {
       .select("id", "sh")
 
     // one bucket row per (doc, block): block index + that block's bits.
+    // Disjoint column names per join side — a self-join keyed through
+    // the SAME attribute (a("bucket") === b("bucket")) resolves both
+    // sides to one column, Spark drops the "trivially true" predicate,
+    // and the join degenerates to a nested loop over all id pairs.
     val blockCols = (0 until blocks).map { i =>
       val w = if (i == blocks - 1) 64 - i * width else width
       val mask = if (w == 64) -1L else (1L << w) - 1
@@ -91,13 +95,15 @@ object SimHash {
       .withColumn("bucket", explode(array(blockCols: _*)))
       .select("id", "sh", "bucket")
 
-    val a = bucketed.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bucket"))
-    val b = bucketed.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bucket"))
-    a.join(b, a("bucket") === b("bucket") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .distinct()
+    val a = bucketed.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bucket").as("bucket_a"))
+    val b = bucketed.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bucket").as("bucket_b"))
+    a.join(b, col("bucket_a") === col("bucket_b") && col("id_a") < col("id_b"))
+      // exact-verify BEFORE distinct: bit_count(xor) per joined row is
+      // cheaper than hashing every duplicate candidate into the
+      // distinct's aggregation map.
       .withColumn("dist", hamming(col("sh_a"), col("sh_b")))
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
+      .distinct()
   }
 }

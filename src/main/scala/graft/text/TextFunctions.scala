@@ -137,18 +137,21 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokens(text)))
 
-  /** 64-bit rolling polynomial fingerprint of the token stream
-    * (Rabin-Karp shape: h = h*B + tokenHash mod P). Expressed with
-    * `aggregate` so it is still a codegen'd expression; the modulus
-    * keeps every intermediate below 2^63 so Spark and an ANSI-SQL
-    * oracle (which would overflow-error, not wrap) agree exactly.
+  /** Rolling polynomial fingerprint of the token stream (Rabin-Karp
+    * shape: h = h*B + tokenHash mod P). Expressed with `aggregate` so it
+    * is still a codegen'd expression; the modulus keeps every
+    * intermediate below 2^63 so Spark and an ANSI-SQL oracle (which
+    * would overflow-error, not wrap) agree exactly. The per-token hash
+    * is the first 8 md5 hex digits as an integer — md5 is the one hash
+    * Spark and DuckDB both expose bit-identically (crc32/xxhash are
+    * Spark-only), which keeps the whole fingerprint oracle-checkable.
     */
   def rollingFingerprint(text: Column): Column = {
-    val P = 2147483647L // 2^31-1, so h*B + x stays < 2^63
+    val P = 2147483647L // 2^31-1: h*B + x stays < 2^52, no long overflow
     val B = 1000003L
     aggregate(
       tokens(text),
       lit(0L),
-      (h, t) => pmod(h * B + pmod(crc32(t).cast("long"), lit(P)), lit(P)))
+      (h, t) => pmod(h * B + conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(P)))
   }
 }

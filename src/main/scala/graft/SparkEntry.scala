@@ -456,13 +456,13 @@ object SparkEntry {
         lit(null).cast("double").as("mxspd"),
         lit(null).cast("double").as("gust"),
         lit(null).cast("double").as("min_temp"))
-      val lines = shaped.select(Gsod.format(shaped).as("value"))
-      // RDD boundary: hands the parser an opaque line source (as real
-      // GSOD ingest would be) — without it Catalyst collapses the
-      // projections and re-evaluates the whole 22-field formatter once
-      // per parsed column (~13×).
-      val lineSource = s.createDataFrame(lines.rdd, lines.schema)
-      RangeStats.stats(Gsod.parse(lineSource), Gsod.valueFields.map(_.name))
+      // JVM kernels both ways: formatLines' mapPartitions output is an
+      // opaque computed column (Catalyst can't collapse the formatter
+      // into per-parsed-column re-eval), and parseLines slices each
+      // line once instead of 22 substring expressions. Equivalence to
+      // the Catalyst format/parse forms is pinned in GsodSpec.
+      RangeStats.stats(Gsod.parseLines(Gsod.formatLines(shaped)),
+        Gsod.valueFields.map(_.name))
     },
   )
 

@@ -51,6 +51,43 @@ class GsodSpec extends SparkSpec {
     assert(dirs("wdsp") == Min && dirs("min_temp") == Min)
   }
 
+  test("parseLines ≡ parse and formatLines ≡ format (JVM kernels match Catalyst forms)") {
+    // lines with real values, sentinels, short/ragged lines, blanks
+    val raw = Seq(
+      line("123456", "20240131", Map(0 -> "72.5", 1 -> "-12.3", 5 -> "7.0")),
+      line("     7", "19991231", Map(0 -> "9999.9", 3 -> "101.3")),
+      line("42", "20200229", Map(2 -> "0.0", 8 -> "-40.0")),
+      "", "   ",
+      line("999999", "20231225", Map.empty).take(60) // truncated record
+    )
+    val df = raw.toDF("value")
+    val viaExpr = Gsod.parse(df).collect().map(_.toSeq)
+    val viaJvm = Gsod.parseLines(df).collect().map(_.toSeq)
+    assert(viaJvm.toSeq == viaExpr.toSeq)
+    assert(Gsod.parseLines(df).schema == Gsod.parse(df).schema)
+
+    // formatLines vs format on a parsed table (incl. NULL dims)
+    val parsed = Gsod.parse(df)
+    val viaFmtExpr = parsed.select(Gsod.format(parsed).as("value")).as[String].collect()
+    val viaFmtJvm = Gsod.formatLines(parsed).as[String].collect()
+    assert(viaFmtJvm.toSeq == viaFmtExpr.toSeq)
+  }
+
+  test("formatLines → parseLines round trip at fractional values") {
+    val src = Seq((1, 20240101, 12.5, -0.5, 1013.2)).toDF("stn", "date", "temp", "dewp", "slp")
+      .withColumn("max_temp", lit(null).cast("double"))
+      .withColumn("stp", lit(null).cast("double"))
+      .withColumn("wdsp", lit(3.5).cast("double"))
+      .withColumn("mxspd", lit(null).cast("double"))
+      .withColumn("gust", lit(null).cast("double"))
+      .withColumn("min_temp", lit(null).cast("double"))
+    val r = Gsod.parseLines(Gsod.formatLines(src)).head
+    assert(r.getInt(0) == 1 && r.getInt(1) == 20240101)
+    assert(r.getDouble(2) == 12.5 && r.getDouble(3) == -0.5 && r.getDouble(4) == 1013.2)
+    assert(r.getDouble(7) == 3.5)
+    assert(r.isNullAt(5) && r.isNullAt(6) && r.isNullAt(8))
+  }
+
   test("format → parse round trip preserves values and missing dims") {
     val src = Seq(
       (123, 20240115, Some(72.5), Some(-4.0), None: Option[Double]),

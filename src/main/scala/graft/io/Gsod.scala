@@ -50,13 +50,19 @@ object Gsod {
     * `colName`) into a typed table: stn int, date int (YYYYMMDD), one
     * double column per dim with sentinel → NULL. Blank lines are
     * dropped (Map.java:8-10). Values keep their true sign.
+    *
+    * Casts are `try_cast`: a truncated/ragged record yields NULL fields
+    * rather than an ANSI CAST_INVALID_INPUT task failure — real GSOD
+    * archives contain short lines, and [[parseLines]] (the JVM kernel
+    * this form is pinned equivalent to) already treats unparseable
+    * substrings as NULL.
     */
   def parse(lines: DataFrame, colName: String = "value"): DataFrame = {
     val line = col(colName)
     val nonBlank = lines.filter(length(trim(line)) > 0)
-    val pkCols = pkFields.map { case (n, b, e) => sub(line, b, e).cast("int").as(n) }
+    val pkCols = pkFields.map { case (n, b, e) => sub(line, b, e).try_cast("int").as(n) }
     val valCols = valueFields.map { f =>
-      val v = sub(line, f.begin, f.end).cast("double")
+      val v = sub(line, f.begin, f.end).try_cast("double")
       when(v === f.sentinel, lit(null).cast("double")).otherwise(v).as(f.name)
     }
     nonBlank.select(pkCols ++ valCols: _*)
@@ -119,7 +125,10 @@ object Gsod {
     * the failure mode the round-trip query previously dodged with an
     * RDD barrier). Output: a single `outCol` string column.
     * Rendering contract identical to [[format]] (right-aligned, one
-    * decimal, HALF_UP, NULL → sentinel); GsodSpec pins equivalence.
+    * decimal, HALF_EVEN on the exact binary value — `format_number`'s
+    * DecimalFormat semantics, including the `-0.0` sign and NaN/∞
+    * symbols — NULL dim → sentinel, NULL pk → NULL line, matching
+    * format's concat null-propagation); GsodSpec pins equivalence.
     */
   def formatLines(df: DataFrame, outCol: String = "value"): DataFrame = {
     import org.apache.spark.sql.types._
@@ -134,26 +143,45 @@ object Gsod {
     val width = fields.map(_._2).max
     df.mapPartitions { it =>
       it.map { r =>
-        val buf = new Array[Char](width)
-        java.util.Arrays.fill(buf, ' ')
-        fields.foreach { case (b, e, i) =>
-          val s =
-            if (pkIdx(i)) { if (r.isNullAt(i)) "" else String.valueOf(r.getInt(i)) }
-            else if (r.isNullAt(i)) sentinelOf(i)
-            else java.math.BigDecimal.valueOf(r.getDouble(i))
-              // HALF_EVEN: format_number's documented round mode.
-              .setScale(1, java.math.RoundingMode.HALF_EVEN).toPlainString
-          // right-align into [b, e); overflow keeps the leftmost chars
-          // (matches lpad's truncate-to-width contract).
-          val w = e - b
-          val src = if (s.length > w) s.substring(0, w) else s
-          var k = 0
-          while (k < src.length) { buf(b + w - src.length + k) = src.charAt(k); k += 1 }
+        if (pkIdx.exists(r.isNullAt)) org.apache.spark.sql.Row(null) // format's concat null-propagates on pk
+        else {
+          val buf = new Array[Char](width)
+          java.util.Arrays.fill(buf, ' ')
+          fields.foreach { case (b, e, i) =>
+            val s =
+              if (pkIdx(i)) String.valueOf(r.getInt(i))
+              else if (r.isNullAt(i)) sentinelOf(i)
+              else renderValue(r.getDouble(i))
+            // right-align into [b, e); overflow keeps the leftmost chars
+            // (matches lpad's truncate-to-width contract).
+            val w = e - b
+            val src = if (s.length > w) s.substring(0, w) else s
+            var k = 0
+            while (k < src.length) { buf(b + w - src.length + k) = src.charAt(k); k += 1 }
+          }
+          org.apache.spark.sql.Row(new String(buf))
         }
-        org.apache.spark.sql.Row(new String(buf))
       }
     }(enc)
   }
+
+  /** One value rendered exactly as `format_number(v, 1)` does: HALF_EVEN
+    * over the EXACT binary expansion (`new BigDecimal(d)`, not
+    * `BigDecimal.valueOf`, whose shortest-repr rounding disagrees on
+    * ties like 0.35 → "0.4" vs the correct "0.3"), negative-zero sign
+    * preserved (DecimalFormat renders -0.04 → "-0.0"), NaN/∞ via
+    * DecimalFormatSymbols.
+    */
+  private[io] def renderValue(d: Double): String =
+    if (d.isNaN) "NaN"
+    else if (d.isInfinite) { if (d > 0) "∞" else "-∞" }
+    else {
+      val bd = new java.math.BigDecimal(d).setScale(1, java.math.RoundingMode.HALF_EVEN)
+      val s = bd.toPlainString
+      // BigDecimal has no -0; DecimalFormat keeps the sign of a
+      // negative value that rounds to zero.
+      if (bd.signum == 0 && java.lang.Double.doubleToRawLongBits(d) < 0) "-" + s else s
+    }
 
   /** Render a parsed-shape table back into fixed-width GSOD lines
     * (inverse of [[parse]], used by tests and the round-trip

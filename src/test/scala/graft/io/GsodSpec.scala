@@ -73,6 +73,27 @@ class GsodSpec extends SparkSpec {
     assert(viaFmtJvm.toSeq == viaFmtExpr.toSeq)
   }
 
+  test("formatLines ≡ format on rounding ties, negative zero, and NULL pk") {
+    // 0.35/0.45 are binary-inexact ties where BigDecimal.valueOf's
+    // shortest-repr rounding disagrees with format_number's exact-value
+    // HALF_EVEN; -0.04 rounds to negative zero (sign must survive).
+    val src = Seq(
+      (Integer.valueOf(1), Integer.valueOf(20240101), 0.35, 0.45, -0.04),
+      (Integer.valueOf(2), Integer.valueOf(20240102), -0.35, 2.5, 3.5),
+      (null.asInstanceOf[Integer], Integer.valueOf(20240103), 1.0, 2.0, 3.0) // NULL pk → NULL line both paths
+    ).toDF("stn", "date", "temp", "dewp", "slp")
+      .withColumn("max_temp", lit(null).cast("double"))
+      .withColumn("stp", lit(null).cast("double"))
+      .withColumn("wdsp", lit(null).cast("double"))
+      .withColumn("mxspd", lit(null).cast("double"))
+      .withColumn("gust", lit(null).cast("double"))
+      .withColumn("min_temp", lit(null).cast("double"))
+    val viaExpr = src.select(Gsod.format(src).as("value")).collect().map(r => Option(r.getString(0)))
+    val viaJvm = Gsod.formatLines(src).collect().map(r => Option(r.getString(0)))
+    assert(viaJvm.toSeq == viaExpr.toSeq)
+    assert(viaJvm.last.isEmpty) // the NULL-pk line is NULL, not spaces
+  }
+
   test("formatLines → parseLines round trip at fractional values") {
     val src = Seq((1, 20240101, 12.5, -0.5, 1013.2)).toDF("stn", "date", "temp", "dewp", "slp")
       .withColumn("max_temp", lit(null).cast("double"))

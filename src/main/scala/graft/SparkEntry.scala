@@ -181,9 +181,10 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
-    // SimHash near-dups: 64-bit signature, pigeonhole-blocked exact
-    // Hamming search. Not SQL-expressible — rows-only check; cross
-    // checked in SimHashSpec against brute force.
+    // SimHash near-dups: 64-bit md5-prefix signature, q-of-m
+    // pigeonhole-blocked exact Hamming search. Oracle-checked (the
+    // md5 token hash is DuckDB-reproducible); SimHashSpec additionally
+    // pins the blocked join against brute force.
     "q_dedup_simhash" -> { (s, dir) =>
       SimHash.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
         maxDist = 7)
@@ -211,9 +212,12 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
-    // Approximate variant: random-hyperplane LSH buckets + exact
-    // verification. Probabilistic recall — rows-only check here;
-    // recall pinned on planted near-dups in AnnLshSpec.
+    // Approximate variant: md5-seeded sparse-Achlioptas sign-LSH
+    // buckets + exact verification. The plane construction is
+    // integer-exact and replayed by the DuckDB oracle, so the bucket
+    // assignment — and therefore the candidate set — is identical on
+    // both sides; recall additionally pinned on planted near-dups in
+    // AnnLshSpec.
     "q_ann_pairs" -> { (s, dir) =>
       AnnLsh.nearNeighborPairs(Tables.load(s, dir, "embeddings"),
         "embedding", "vec_id", dim = 64, threshold = 0.3,
@@ -659,6 +663,32 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
+    // Brute-force oracle: same md5-prefix token hash (the SimHash
+    // kernel's contract, pinned in SimHashSpec), 64 bit-vote sums via a
+    // range(64) cross join, Hamming over the bit vectors of every
+    // a<b pair. The engine's q-of-m pigeonhole blocking is exact, so
+    // blocked pairs == all-pairs.
+    "q_dedup_simhash" ->
+      """WITH th AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS t
+        |        FROM documents)),
+        |bits AS (
+        |  SELECT d.doc_id, g.i,
+        |    CASE WHEN COALESCE(SUM(CASE WHEN (th.h >> g.i) & 1 = 1 THEN 1 ELSE -1 END), 0) > 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM documents d
+        |  CROSS JOIN (SELECT unnest(range(64)) AS i) g
+        |  LEFT JOIN th ON th.doc_id = d.doc_id
+        |  GROUP BY d.doc_id, g.i),
+        |sh AS (SELECT doc_id, list(bit ORDER BY i) AS bv FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(list_sum(list_transform(range(1, 65), j -> CASE WHEN a.bv[j] <> b.bv[j] THEN 1 ELSE 0 END)) AS INT) AS dist
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE list_sum(list_transform(range(1, 65), j -> CASE WHEN a.bv[j] <> b.bv[j] THEN 1 ELSE 0 END)) <= 7
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // Double-precision cosine via unnest (DuckDB's
     // list_cosine_similarity computes in float32 — not oracle-grade).
     "q_knn" ->
@@ -692,6 +722,43 @@ object SparkEntry {
         |  SELECT blk, id_a, id_b,
         |    round(CASE WHEN na.n * nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
         |  FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
+        |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays the engine's LSH exactly: same md5-mod-6 Achlioptas
+    // planes (seed 42, 8 tables × 8 bits over dim 64), same sign
+    // buckets, then exact double-precision cosine on bucket-mates.
+    "q_ann_pairs" ->
+      """WITH p AS (
+        |  SELECT t.t, b.i, d.j,
+        |    CASE CAST(('0x' || substr(md5('42:' || t.t || ':' || b.i || ':' || d.j), 1, 16)) AS UBIGINT) % 6
+        |      WHEN 0 THEN 1.0 WHEN 5 THEN -1.0 ELSE 0.0 END AS c
+        |  FROM (SELECT unnest(range(8)) AS t) t
+        |  CROSS JOIN (SELECT unnest(range(8)) AS i) b
+        |  CROSS JOIN (SELECT unnest(range(64)) AS j) d),
+        |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, p.t, p.i, sum(e.x * p.c) AS d
+        |  FROM ev e JOIN p ON e.j = p.j + 1
+        |  GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |pd AS (
+        |  SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS d
+        |  FROM cands c
+        |  JOIN ev ea ON ea.vec_id = c.id_a
+        |  JOIN ev eb ON eb.vec_id = c.id_b AND ea.j = eb.j
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, score FROM (
+        |  SELECT pd.id_a, pd.id_b,
+        |    round(CASE WHEN na.n * nb.n > 0 THEN pd.d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
+        |  FROM pd JOIN norms na ON pd.id_a = na.vec_id JOIN norms nb ON pd.id_b = nb.vec_id)
         |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin,
 
     "q_events_window" ->

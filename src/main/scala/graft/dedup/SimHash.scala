@@ -1,34 +1,53 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import graft.text.TextFunctions
-import graft.util.Hash64
 
 /** SimHash near-duplicate detection: 64-bit locality-sensitive content
   * hash (Charikar '02); near-dup ⟺ small Hamming distance.
   *
   * Signature: for each bit position i, sum +1/−1 over the tokens'
-  * Hash64 bit i; bit i of the simhash = sign of the sum. Computed in
-  * one `mapPartitions` JVM pass per row (the same math as 64 Column
-  * `aggregate` folds overflows janino codegen and falls back to
-  * interpreted eval — 64 array traversals per row).
+  * 64-bit hashes' bit i; bit i of the simhash = sign of the sum.
+  * Computed in one `mapPartitions` JVM pass per row (the same math as
+  * 64 Column `aggregate` folds overflows janino codegen and falls back
+  * to interpreted eval — 64 array traversals per row).
   *
-  * Pair search uses the pigeonhole block trick: for Hamming distance
-  * ≤ k, split the 64 bits into k+1 blocks — matching pairs must agree
-  * exactly on ≥1 block, so candidates come from an equi-join on
-  * (block index, block bits) — scalable, never all-pairs — verified by
-  * exact `bit_count(xor)`. The block join is EXACT: no true pair at
-  * distance ≤ k can be missed.
+  * The per-token hash is the first 16 md5 hex digits as an unsigned
+  * 64-bit value — md5 is the one hash Spark, the JVM, and DuckDB all
+  * expose bit-identically (the same trick that made rollingFingerprint
+  * oracle-checkable, TextFunctions.rollingFingerprint), so the entire
+  * signature → blocking → Hamming pipeline is reproducible by a SQL
+  * oracle.
+  *
+  * Pair search uses the generalized pigeonhole block trick: split the
+  * 64 bits into m = maxDist + q blocks. A pair at Hamming distance
+  * ≤ maxDist has differing bits in at most maxDist blocks, so at least
+  * q blocks match EXACTLY — hence the pair agrees on at least one
+  * q-combination of blocks, and candidates come from an equi-join on
+  * (combination id, concatenated block bits). Exact: no true pair can
+  * be missed. q = 2 for maxDist ≥ 4: with single-block keys (q = 1) at
+  * maxDist = 7, each key is only 64/8 = 8 bits → 256 distinct values
+  * per block — at corpus scale every bucket holds n/256 docs and the
+  * join degenerates quadratic. Pairing blocks (m = 9, C(9,2) = 36
+  * combos, 14-15-bit keys) multiplies the key space to ~6×10⁵
+  * ([[bucketKeyspace]]) at the cost of 36 vs 8 bucket rows per doc.
   */
 object SimHash {
 
+  /** First 8 md5 bytes of the UTF-8 token, big-endian unsigned —
+    * see [[graft.util.Md5Hash]] for the cross-engine contract.
+    */
+  private[dedup] def tokenHash64(t: String, md: java.security.MessageDigest): Long =
+    graft.util.Md5Hash.prefix64(t, md)
+
   /** JVM kernel: simhash of a token sequence. */
   private[dedup] def simhash64(tokens: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     tokens.foreach { t =>
-      val h = Hash64(t)
+      val h = tokenHash64(t, md)
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
@@ -62,37 +81,64 @@ object SimHash {
   }
 
   /** Hamming distance between two simhash columns. */
-  def hamming(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Block layout for a given maxDist: per-block bit widths and the
+    * q-combinations joined on. q = 2 when maxDist ≥ 4 (wide combined
+    * keys), else 1 (the classic maxDist+1 single-block scheme).
+    */
+  private[dedup] def blocking(maxDist: Int): (Array[Int], Seq[Seq[Int]]) = {
+    val q = if (maxDist >= 4) 2 else 1
+    val m = maxDist + q
+    require(m <= 64, s"maxDist $maxDist needs $m blocks but only 64 bits")
+    val widths = Array.tabulate(m)(i => 64 / m + (if (i < 64 % m) 1 else 0))
+    (widths, (0 until m).combinations(q).map(_.toSeq).toSeq)
+  }
+
+  /** Number of distinct possible bucket keys (over all combinations) —
+    * the join's selectivity ceiling. 2048 under the old single-block
+    * scheme at maxDist=7; ~6×10⁵ with paired blocks.
+    */
+  def bucketKeyspace(maxDist: Int): BigInt = {
+    val (widths, combos) = blocking(maxDist)
+    combos.map(c => BigInt(1) << c.map(widths).sum).sum
+  }
 
   /** All pairs within Hamming distance `maxDist` of each other's
     * simhash. Output: (id_a, id_b, dist), id_a < id_b. Exact — the
-    * (maxDist+1)-block pigeonhole candidate join cannot miss a pair.
+    * q-of-m pigeonhole candidate join cannot miss a pair.
     */
   def nearDupPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxDist: Int = 3): DataFrame = {
-    val blocks = maxDist + 1
-    val width = 64 / blocks
+    val (widths, combos) = blocking(maxDist)
+    val offsets = widths.scanLeft(0)(_ + _)
     val signed = withSimhash(
       graft.util.Partitioning.parallelize(df.select(col(idCol).as("id"), col(textCol))), textCol, "sh")
       .select("id", "sh")
 
-    // one bucket row per (doc, block): block index + that block's bits.
+    def blockBits(i: Int): Column = {
+      val w = widths(i)
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftright(col("sh"), offsets(i)).bitwiseAND(lit(mask))
+    }
+    // one bucket row per (doc, combination): combination index + the
+    // member blocks' bits concatenated into one ≤16-bit key.
     // Disjoint column names per join side — a self-join keyed through
     // the SAME attribute (a("bucket") === b("bucket")) resolves both
     // sides to one column, Spark drops the "trivially true" predicate,
     // and the join degenerates to a nested loop over all id pairs.
-    val blockCols = (0 until blocks).map { i =>
-      val w = if (i == blocks - 1) 64 - i * width else width
-      val mask = if (w == 64) -1L else (1L << w) - 1
-      struct(lit(i).as("blk"),
-        shiftright(col("sh"), i * width).bitwiseAND(lit(mask)).as("bits"))
+    val comboCols = combos.zipWithIndex.map { case (idxs, cid) =>
+      val bits = idxs.tail.foldLeft(blockBits(idxs.head)) { (acc, bi) =>
+        shiftleft(acc, widths(bi)).bitwiseOR(blockBits(bi))
+      }
+      struct(lit(cid).as("blk"), bits.as("bits"))
     }
     val bucketed = signed
-      .withColumn("bucket", explode(array(blockCols: _*)))
+      .withColumn("bucket", explode(array(comboCols: _*)))
       .select("id", "sh", "bucket")
 
     val a = bucketed.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bucket").as("bucket_a"))

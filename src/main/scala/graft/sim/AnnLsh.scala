@@ -1,10 +1,9 @@
 package graft.sim
 
-import scala.util.Random
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{ArrayType, LongType}
-import graft.util.Hash64
+import graft.util.Md5Hash
 
 /** Approximate nearest neighbors via random-hyperplane (sign) LSH —
   * the scale path when brute-force cosine ([[VectorSim]]) is too hot
@@ -14,30 +13,48 @@ import graft.util.Hash64
   * unit-ish vectors P[h_a(u)=h_a(v)] = 1 − θ(u,v)/π, so vectors at high
   * cosine collide on whole sign-bit blocks with high probability.
   *
+  * Hyperplanes are sparse Achlioptas projections (components +1/0/−1
+  * with probability 1/6 / 2/3 / 1/6 — Achlioptas '01,
+  * "Database-friendly random projections"), each component derived
+  * from the md5 of "seed:table:bit:component". Two wins over
+  * seeded-PRNG Gaussians: integer-exact reproducibility in a SQL
+  * oracle (no RNG stream to replay, no ln/cos whose last-ulp behavior
+  * differs across engines), and 3× fewer multiplies per projection.
+  *
   *  - `tables` independent hash tables, each `bits` hyperplanes →
-  *    bucket key = (table, packed sign bits), computed in one
+  *    bucket key = (table << bits) | packed sign bits (injective, so
+  *    table t's signature can only match table t's), computed in one
   *    `mapPartitions` JVM pass over a broadcast plane matrix (the
   *    tables×bits×dim literal expression tree overflowed codegen and
   *    ran interpreted — the JVM loop is the same math);
   *  - candidates = bucket-mates in ≥1 table — a skinny equi-join on
-  *    (table, signature), vectors re-attached per pair afterwards;
+  *    the bucket key, vectors re-attached per pair afterwards;
   *  - exact cosine verification on candidates.
   *
   * Miss probability for a pair at angle θ: (1 − (1−θ/π)^bits)^tables.
-  * Hyperplanes are generated driver-side from a fixed seed —
-  * deterministic run-over-run.
   */
 object AnnLsh {
 
-  /** Gaussian hyperplanes: tables × bits rows of `dim` components. */
-  private def planes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Double]] = {
-    val rnd = new Random(seed)
-    Array.fill(tables * bits)(Array.fill(dim)(rnd.nextGaussian()))
+  /** Sparse ±1/0 hyperplanes: tables × bits rows of `dim` components,
+    * component (t,i,j) = md5("seed:t:i:j") mod 6 mapped 0→+1, 5→−1,
+    * else 0 — the exact construction the DuckDB oracle replays.
+    */
+  private[sim] def planes(dim: Int, bits: Int, tables: Int, seed: Long): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(tables * bits) { ti =>
+      val t = ti / bits
+      val i = ti % bits
+      Array.tabulate(dim) { j =>
+        java.lang.Long.remainderUnsigned(Md5Hash.prefix64(s"$seed:$t:$i:$j", md), 6L) match {
+          case 0L => 1.0
+          case 5L => -1.0
+          case _ => 0.0
+        }
+      }
+    }
   }
 
-  /** JVM kernel: per-table packed sign signature (band index folded in
-    * so table t's signature can only match table t's).
-    */
+  /** JVM kernel: per-table bucket key (table << bits) | sign bits. */
   private def signatures(
       v: Array[Double], ps: Array[Array[Double]], bits: Int, tables: Int): Array[Long] =
     Array.tabulate(tables) { t =>
@@ -51,7 +68,7 @@ object AnnLsh {
         if (d >= 0) sig |= (1L << i)
         i += 1
       }
-      Hash64.combine(Hash64.mix(t.toLong), sig)
+      (t.toLong << bits) | sig
     }
 
   /** Attach the per-table bucket array (one mapPartitions pass). */

@@ -132,7 +132,7 @@ class SimHashSpec extends SparkSpec with DedupFixture {
   }
 
   test("nearDupPairs == brute force over simhashes (pigeonhole blocking is exact)") {
-    for (maxDist <- Seq(3, 7)) {
+    for (maxDist <- Seq(1, 3, 4, 7)) {
       val h = simhashes
       val expected = (for {
         a <- h.keys; b <- h.keys if a < b
@@ -142,5 +142,19 @@ class SimHashSpec extends SparkSpec with DedupFixture {
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
       assert(got == expected, s"maxDist $maxDist")
     }
+  }
+
+  test("token hash is the md5-prefix unsigned 64 (oracle contract)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // md5("hello") = 5d41402abc4b2a76…; first 16 hex as unsigned 64.
+    assert(SimHash.tokenHash64("hello", md) == java.lang.Long.parseUnsignedLong("5d41402abc4b2a76", 16))
+  }
+
+  test("bucket keyspace at maxDist=7 is wide enough to shard a large corpus") {
+    // the single-block scheme had 8 × 2^8 = 2048 possible keys — a
+    // quadratic-with-small-constant join at scale. Paired blocks must
+    // clear 2^16.
+    assert(SimHash.bucketKeyspace(7) >= (BigInt(1) << 16))
+    assert(SimHash.bucketKeyspace(3) == BigInt(4) * (BigInt(1) << 16))
   }
 }

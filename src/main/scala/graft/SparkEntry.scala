@@ -83,6 +83,38 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // The reference's actual flagship workload shape: a 9-dimensional
+    // GSOD skyline (Skyline.java:25-26,369: DIM=9 → 2^9=512-way quadtree
+    // fanout, maxp=20) through the full io path — lineitem shaped into
+    // 9 non-null GSOD dims, rendered to fixed-width lines
+    // (Gsod.formatLines), re-parsed (Gsod.parseLines), then SKY-MR with
+    // reference parameters. Exercises d=9 cell routing, region
+    // dominance algebra, and replication at 512 fanout. Dims are small
+    // integer-valued doubles so the 1-decimal round trip is lossless
+    // and the oracle can reproduce them (floor, not round, for stp —
+    // Spark rounds HALF_UP, DuckDB HALF_EVEN, so exact .5 ties would
+    // diverge).
+    "q_skyline_gsod9" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val shaped = li.select(
+        pmod(col("l_orderkey"), lit(1000000)).cast("int").as("stn"),
+        (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+          dayofmonth(col("l_shipdate"))).as("date"),
+        round(col("l_quantity")).as("temp"),
+        round(col("l_discount") * 100).as("dewp"),
+        round(col("l_tax") * 100).as("slp"),
+        pmod(col("l_partkey"), lit(97)).cast("double").as("max_temp"),
+        floor(col("l_extendedprice") / 1000).cast("double").as("stp"),
+        pmod(col("l_suppkey"), lit(53)).cast("double").as("wdsp"),
+        col("l_linenumber").cast("double").as("mxspd"),
+        pmod(col("l_orderkey"), lit(89)).cast("double").as("gust"),
+        pmod(dayofyear(col("l_shipdate")), lit(250)).cast("double").as("min_temp"))
+      val parsed = Gsod.parseLines(Gsod.formatLines(shaped))
+      SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000)
+        .orderBy("stn", "date", "temp", "dewp", "slp", "max_temp", "stp",
+          "wdsp", "mxspd", "gust", "min_temp")
+    },
+
     // 2-D skyline on orders: cheapest AND most recent.
     "q_skyline_orders" -> { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
@@ -90,6 +122,21 @@ object SparkEntry {
         SkyDim("o_totalprice", Min), SkyDim("o_orderdate", Max))))
         .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy("o_orderkey")
+    },
+
+    // Same dominance semantics through the native Catalyst aggregate
+    // (SkylineAgg: TypedImperativeAggregate with partial/merge + kryo
+    // buffer serialization) — grouped by priority so the merge path
+    // crosses a real keyed exchange. This is the spill-safe/AQE form;
+    // the round-2 serialization bug lived here, so it faces the oracle,
+    // not just SkylineAggSpec.
+    "q_skyline_agg" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      SkylineOp.viaAggregate(o,
+        SkylineSpec(Seq(SkyDim("o_totalprice", Min), SkyDim("o_orderdate", Max))),
+        groupCols = Seq("o_orderpriority"))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
+        .orderBy("o_orderpriority", "o_orderkey")
     },
 
     "q_topk" -> { (s, dir) =>
@@ -264,6 +311,24 @@ object SparkEntry {
         Seq("event_type", "day"))
         .select("event_type", "day", "event_id", "value")
         .orderBy("event_type", "day", "event_id")
+    },
+
+    // The windowed-streaming mirror: SkylineOp.grouped over tumbling
+    // `window(ts, '1 day')` — exactly what StreamingSkyline computes
+    // incrementally per group (the foreachBatch windowed variant named
+    // in its scaladoc). StreamingSkylineSpec's batch-replay test is the
+    // streaming↔batch bridge; this entry anchors the batch half to the
+    // DuckDB oracle.
+    "q_skyline_stream_window" -> { (s, dir) =>
+      val e = Tables.loadEvents(s, dir)
+        .withColumn("win", window(col("ts"), "1 day"))
+        .withColumn("win_start", date_format(col("win.start"), "yyyy-MM-dd"))
+        .drop("win")
+      SkylineOp.grouped(e,
+        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))),
+        Seq("event_type", "win_start"))
+        .select("event_type", "win_start", "event_id", "value")
+        .orderBy("event_type", "win_start", "event_id")
     },
 
     // Range join (point-in-interval) via bucket decomposition — an
@@ -532,6 +597,35 @@ object SparkEntry {
         |      OR q.l_shipdate < p.l_shipdate))
         |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
 
+    // Same shaping as the Spark side (the fixed-width round trip is
+    // lossless for these integer-valued dims); 9-way NOT-EXISTS
+    // dominance with the GSOD directions (temp/dewp/slp/max_temp Max,
+    // stp/wdsp/mxspd/gust/min_temp Min).
+    "q_skyline_gsod9" ->
+      """WITH shaped AS (
+        |  SELECT CAST(l_orderkey % 1000000 AS INT) AS stn,
+        |    CAST(year(l_shipdate)*10000 + month(l_shipdate)*100 + dayofmonth(l_shipdate) AS INT) AS "date",
+        |    CAST(round(l_quantity) AS DOUBLE) AS temp,
+        |    CAST(round(l_discount*100) AS DOUBLE) AS dewp,
+        |    CAST(round(l_tax*100) AS DOUBLE) AS slp,
+        |    CAST(l_partkey % 97 AS DOUBLE) AS max_temp,
+        |    CAST(floor(l_extendedprice/1000) AS DOUBLE) AS stp,
+        |    CAST(l_suppkey % 53 AS DOUBLE) AS wdsp,
+        |    CAST(l_linenumber AS DOUBLE) AS mxspd,
+        |    CAST(l_orderkey % 89 AS DOUBLE) AS gust,
+        |    CAST(dayofyear(l_shipdate) % 250 AS DOUBLE) AS min_temp
+        |  FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT * FROM shaped p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM shaped q
+        |  WHERE q.temp >= p.temp AND q.dewp >= p.dewp AND q.slp >= p.slp
+        |    AND q.max_temp >= p.max_temp AND q.stp <= p.stp AND q.wdsp <= p.wdsp
+        |    AND q.mxspd <= p.mxspd AND q.gust <= p.gust AND q.min_temp <= p.min_temp
+        |    AND (q.temp > p.temp OR q.dewp > p.dewp OR q.slp > p.slp
+        |      OR q.max_temp > p.max_temp OR q.stp < p.stp OR q.wdsp < p.wdsp
+        |      OR q.mxspd < p.mxspd OR q.gust < p.gust OR q.min_temp < p.min_temp))
+        |ORDER BY stn, "date", temp, dewp, slp, max_temp, stp, wdsp, mxspd, gust, min_temp""".stripMargin,
+
     "q_skyline_orders" ->
       """SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
         |FROM orders p
@@ -546,6 +640,19 @@ object SparkEntry {
     "q_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    // Per-priority skyline (the grouped Catalyst-aggregate path).
+    "q_skyline_agg" ->
+      """SELECT p.o_orderpriority, p.o_orderkey, p.o_totalprice, p.o_orderdate
+        |FROM orders p
+        |WHERE p.o_totalprice IS NOT NULL AND p.o_orderdate IS NOT NULL
+        |  AND NOT EXISTS (
+        |  SELECT 1 FROM orders q
+        |  WHERE q.o_orderpriority = p.o_orderpriority
+        |    AND q.o_totalprice IS NOT NULL AND q.o_orderdate IS NOT NULL
+        |    AND q.o_totalprice <= p.o_totalprice AND q.o_orderdate >= p.o_orderdate
+        |    AND (q.o_totalprice < p.o_totalprice OR q.o_orderdate > p.o_orderdate))
+        |ORDER BY p.o_orderpriority, p.o_orderkey""".stripMargin,
 
     "q_join_agg" ->
       """SELECT n_name,
@@ -793,6 +900,23 @@ object SparkEntry {
         |    AND q.value >= p.value AND q.ts <= p.ts
         |    AND (q.value > p.value OR q.ts < p.ts))
         |ORDER BY p.event_type, p.day, p.event_id""".stripMargin,
+
+    // Tumbling 1-day windows are UTC-midnight aligned, so the window
+    // start renders as the event's own day.
+    "q_skyline_stream_window" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value, ts,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_start
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL)
+        |SELECT p.event_type, p.win_start, p.event_id, p.value
+        |FROM e p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e q
+        |  WHERE q.event_type = p.event_type AND q.win_start = p.win_start
+        |    AND q.value >= p.value AND q.ts <= p.ts
+        |    AND (q.value > p.value OR q.ts < p.ts))
+        |ORDER BY p.event_type, p.win_start, p.event_id""".stripMargin,
 
     "q_range_join" ->
       """SELECT n_nationkey AS band_id, count(*) AS n,

@@ -80,31 +80,62 @@ object SkyMr {
     val prep = SkylineOp.prepare(df, spec).persist(StorageLevel.MEMORY_AND_DISK)
     val skyIdx = prep.schema.fieldIndex(SkylineOp.SKY)
 
-    // -- 1. bounds + count (one pass, Catalyst partial/final agg) -------
-    val dimCol = (i: Int) => element_at(col(SkylineOp.SKY), i + 1)
-    val boundAggs = (0 until d).flatMap(i => Seq(min(dimCol(i)), max(dimCol(i)))) :+ count(lit(1))
-    val b = prep.agg(boundAggs.head, boundAggs.tail: _*).head()
+    // -- 1+2. ONE pass: exact per-dim bounds + per-partition reservoir
+    // sample → driver tree → broadcast. (Formerly two jobs — a bounds
+    // agg then a sample scan; folding them halves the full-input scans
+    // before phase 1.) The bounds must stay EXACT even though the
+    // sample is approximate: a point outside the root bounds would sit
+    // outside its routed cell's nominal region, and the region-algebra
+    // replication filter (CellAlgebra.mayDominate over cell ids) would
+    // under-replicate it — a correctness bug, not a quality loss. The
+    // reservoir is per-partition (Vitter's Algorithm R, seeded by
+    // partition id) and the driver takes a seeded shuffle of the
+    // union; partition-size skew can under-represent big partitions in
+    // the merged sample, which only shapes tree quality, never results.
     import spark.implicits._
-    val n = b.getLong(2 * d)
+    val prepParts = math.max(1, prep.rdd.getNumPartitions)
+    val kPerPart = math.max(32, math.ceil(sampleSize.toDouble / prepParts).toInt)
+    val perPart = prep.select(col(SkylineOp.SKY)).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val rnd = new java.util.Random(seed ^ (pid.toLong * 0x9e3779b97f4a7c15L))
+        val res = new Array[Array[Double]](kPerPart)
+        var cnt = 0L
+        val plo = Array.fill(d)(Double.PositiveInfinity)
+        val phi = Array.fill(d)(Double.NegativeInfinity)
+        it.foreach { r =>
+          val v = Gsky.vecOf(r, 0)
+          var i = 0
+          while (i < d) {
+            if (v(i) < plo(i)) plo(i) = v(i)
+            if (v(i) > phi(i)) phi(i) = v(i)
+            i += 1
+          }
+          if (cnt < kPerPart) res(cnt.toInt) = v
+          else {
+            val j = (rnd.nextDouble() * (cnt + 1)).toLong
+            if (j < kPerPart) res(j.toInt) = v
+          }
+          cnt += 1
+        }
+        if (cnt == 0) Iterator.empty
+        else Iterator.single((cnt, plo, phi, res.take(math.min(cnt, kPerPart.toLong).toInt)))
+      }
+      .collect()
+    val n = perPart.iterator.map(_._1).sum
     if (n == 0) {
       val emptyVec = Seq.empty[(Int, Seq[Double])].toDF("cell", "vec")
       return (prep.drop(SkylineOp.SKY), emptyVec,
         Seq.empty[Seq[Double]].toDF("vec"))
     }
-    val lo = Array.tabulate(d)(i => b.getDouble(2 * i))
+    val lo = Array.tabulate(d)(i => perPart.iterator.map(_._2(i)).min)
     // Nudge hi so max-valued points still route into the top half-open cell.
     val hi = Array.tabulate(d) { i =>
-      val h = b.getDouble(2 * i + 1)
+      val h = perPart.iterator.map(_._3(i)).max
       if (h == lo(i)) h + 1.0 else h
     }
-
-    // -- 2. sample → driver tree → broadcast ----------------------------
-    val fraction = math.min(1.0, sampleSize * 1.2 / n.toDouble)
-    val sample = prep.select(col(SkylineOp.SKY))
-      .sample(withReplacement = false, fraction, seed)
-      .limit(sampleSize)
-      .collect()
-      .map(r => Gsky.vecOf(r, 0))
+    val sample = new scala.util.Random(seed)
+      .shuffle(perPart.iterator.flatMap(_._4).toIndexedSeq)
+      .take(sampleSize).toArray
     val tree = QuadTree.build(sample, lo, hi, maxp, maxDepth)
     val bcTree = spark.sparkContext.broadcast(tree)
 
@@ -132,6 +163,7 @@ object SkyMr {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // -- 5. VPn + per-dim argmin sky-filter points (cell metadata only) --
+    val dimCol = (i: Int) => element_at(col(SkylineOp.SKY), i + 1)
     val metaAggs = (0 until d).flatMap { i =>
       Seq(max(dimCol(i)).as(s"__vpn_$i"),
         min_by(col(SkylineOp.SKY), dimCol(i)).as(s"__flt_$i"))

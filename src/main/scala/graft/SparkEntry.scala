@@ -94,6 +94,14 @@ object SparkEntry {
     // and the oracle can reproduce them (floor, not round, for stp —
     // Spark rounds HALF_UP, DuckDB HALF_EVEN, so exact .5 ties would
     // diverge).
+    //
+    // Cost note (sf0.1, local[32], tools/Gsod9Probe): ~15 s, of which
+    // the io round trip is ~0.9 s — the rest is the intrinsically large
+    // d=9 skyline (~10% of input survives). This is the workload SkyMr
+    // exists for: twoPhase's single-task merge takes 2× longer (~30 s),
+    // and deeper trees invert the win (more cells → quadratically more
+    // mayDominate pairs + replication fanout at d=9); one 512-way split
+    // is the sweet spot.
     "q_skyline_gsod9" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val shaped = li.select(
@@ -378,6 +386,15 @@ object SparkEntry {
     // Exact interpolated quantiles (percentile ≡ ANSI quantile_cont).
     // One array-form percentile per column — N separate percentile
     // aggregates each re-collect the column's value multiset.
+    //
+    // SCALE BOUNDARY: exact `percentile` is a TypedImperativeAggregate
+    // that buffers the column's full value multiset in one final
+    // buffer — correct and fast at bench scale, an OOM by design at
+    // 100 TB. The 100 TB form is `approx_percentile` (Greenwald-Khanna,
+    // bounded sketch, mergeable map-side) or a t-digest; it returns a
+    // member value with rank error ≤ n/accuracy rather than the
+    // interpolated quantile, so it cannot share this oracle — exact is
+    // kept here for oracle parity, the boundary is this comment.
     "q_quantiles" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
       li.agg(
@@ -466,7 +483,13 @@ object SparkEntry {
     // (graft.multimodal.Multimodal). Every output is integer/byte math
     // a DuckDB oracle reproduces exactly from the text column.
     "q_multimodal" -> { (s, dir) =>
-      val base = Tables.load(s, dir, "documents").select(
+      // text IS NOT NULL on BOTH sides (here and in the oracle):
+      // sampleFrames drops NULL payloads and the inner join would then
+      // silently drop those doc_ids while a bare oracle would emit them
+      // with NULL metrics — align by construction, not by fixture luck.
+      val base = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(
         col("doc_id"),
         encode(col("text"), "UTF-8").as("payload"),
         struct(
@@ -1024,7 +1047,7 @@ object SparkEntry {
         |    octet_length(encode(text)) AS L,
         |    (doc_id % 7) + 1 AS nf,
         |    list_transform(split(text, ''), x -> unicode(x)) AS cps
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |c AS (
         |  SELECT doc_id, L, nf,
         |    greatest(L // nf, 1) AS fl,

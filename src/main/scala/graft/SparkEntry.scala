@@ -95,13 +95,15 @@ object SparkEntry {
     // Spark rounds HALF_UP, DuckDB HALF_EVEN, so exact .5 ties would
     // diverge).
     //
-    // Cost note (sf0.1, local[32], tools/Gsod9Probe): ~15 s, of which
-    // the io round trip is ~0.9 s — the rest is the intrinsically large
-    // d=9 skyline (~10% of input survives). This is the workload SkyMr
-    // exists for: twoPhase's single-task merge takes 2× longer (~30 s),
-    // and deeper trees invert the win (more cells → quadratically more
-    // mayDominate pairs + replication fanout at d=9); one 512-way split
-    // is the sweet spot.
+    // Cost note (sf0.1, local[32], tools/Gsod9Probe; the box has ±3×
+    // IO noise, numbers from interleaved A/B): ~9-15 s, of which the io
+    // round trip is ~0.9 s — the rest is the intrinsically large d=9
+    // skyline (~10% of input survives). This is the workload SkyMr
+    // exists for: twoPhase takes ~2× longer, deeper trees invert the
+    // win (more cells → quadratically more mayDominate pairs +
+    // replication fanout at d=9), and spreading the input hurts (the
+    // phase-1 combiner reduces better on bigger partitions); one
+    // 512-way split over the arriving partitioning is the sweet spot.
     "q_skyline_gsod9" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val shaped = li.select(

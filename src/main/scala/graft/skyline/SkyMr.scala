@@ -77,6 +77,15 @@ object SkyMr {
     val d = spec.d
     // prep feeds three passes (bounds agg, tree sample, routing) —
     // persist so the scan+filter+normalize runs once.
+    // Deliberately NOT spread across more partitions when the input
+    // arrives under-partitioned (contrast SkylineOp.twoPhase): the
+    // phase-1 combiner's reduction improves with partition size —
+    // fewer, bigger partitions emit fewer per-(partition, cell)
+    // survivors into the keyed shuffle and phase 2. Interleaved A/B at
+    // d=9 / sf0.1 (tools/Gsod9Probe): 3-partition input consistently
+    // beats 8 which beats 32 (best rep: 8.7 s / 12.0 s / 19.0 s) — the
+    // extra survivors flood replication. Phase 2 is cluster-wide
+    // either way (repartition by cell).
     val prep = SkylineOp.prepare(df, spec).persist(StorageLevel.MEMORY_AND_DISK)
     val skyIdx = prep.schema.fieldIndex(SkylineOp.SKY)
 

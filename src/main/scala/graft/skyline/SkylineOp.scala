@@ -69,7 +69,9 @@ object SkylineOp {
     * `repartition(1)` (not `coalesce(1)`) keeps phase 1 parallel.
     */
   def twoPhase(df: DataFrame, spec: SkylineSpec): DataFrame = {
-    val prep = prepare(df, spec)
+    // Spread an under-partitioned input before the CPU-bound local
+    // pass (no-op at real scale; see Partitioning.parallelize).
+    val prep = graft.util.Partitioning.parallelize(prepare(df, spec))
     val enc = Encoders.row(prep.schema)
     val skyIdx = prep.schema.fieldIndex(SKY)
     val local = prep.mapPartitions((it: Iterator[Row]) => Gsky.skylineRows(it, skyIdx))(enc)
@@ -91,7 +93,7 @@ object SkylineOp {
     * at 100 TB.
     */
   def grouped(df: DataFrame, spec: SkylineSpec, groupCols: Seq[String]): DataFrame = {
-    val prep = prepare(df, spec)
+    val prep = graft.util.Partitioning.parallelize(prepare(df, spec))
     val enc = Encoders.row(prep.schema)
     val skyIdx = prep.schema.fieldIndex(SKY)
     val gIdx = groupCols.map(prep.schema.fieldIndex)
@@ -118,7 +120,7 @@ object SkylineOp {
     * independent skyline, all through one keyed exchange.
     */
   def viaAggregate(df: DataFrame, spec: SkylineSpec, groupCols: Seq[String] = Nil): DataFrame = {
-    val prep = prepare(df, spec)
+    val prep = graft.util.Partitioning.parallelize(prepare(df, spec))
     val dataCols = prep.columns.filter(_ != SKY)
     val rowStruct = struct(dataCols.map(col): _*)
     val agg = SkylineAgg(col(SKY), rowStruct).as("__sky_rows")

@@ -17,6 +17,15 @@ object Gsod9Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.1"
 
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val dur = for (s <- si.submissionTime; e <- si.completionTime) yield e - s
+        println(f"[stage] id=${si.stageId}%3d tasks=${si.numTasks}%3d ${dur.getOrElse(-1L)}%6d ms  ${si.name.takeWhile(_ != '(')}")
+      }
+    })
+
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -39,27 +48,32 @@ object Gsod9Probe {
       pmod(col("l_orderkey"), lit(89)).cast("double").as("gust"),
       pmod(dayofyear(col("l_shipdate")), lit(250)).cast("double").as("min_temp"))
 
-    // Findings at sf0.1 (150k rows, d=9), local[32]:
-    //   roundtrip (format+parse) alone: ~0.9 s steady
-    //   SkyMr maxp=20 depth=4 sample=5k: ~15 s   <- registered config
-    //   twoPhase (single-task merge):    ~30 s
-    //   deeper trees (depth=6, sample=20k+): >10 min — more cells means
-    //   quadratically more mayDominate cell pairs and replication fanout
-    //   at d=9; one 512-way split is the sweet spot.
-    for (_ <- 1 to 2) {
-      t("roundtrip only (format+parse+noop)") {
-        Gsod.parseLines(Gsod.formatLines(shaped)).write.format("noop").mode("overwrite").save()
-      }
-      val parsed = Gsod.parseLines(Gsod.formatLines(shaped))
-      t("SkyMr maxp=20 depth=4 sample=5k") {
+    // A/B: input partition width for the phase-1 combiner at d=9.
+    // Interleaved reps in one JVM to ride out the box's IO noise.
+    // Findings (sf0.1, local[32], quietest rep): SkyMr 3parts 8.7 s <
+    // 8parts 12.0 s < 32parts 19.0 s — map-side combine reduction
+    // beats raw pass-1 parallelism at d=9; twoPhase(32parts) ~20 s.
+    // Deeper trees (depth=6, sample=20k+) blow up replication: >10 min.
+    val parsed = Gsod.parseLines(Gsod.formatLines(shaped))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    parsed.count() // materialize once; A/B then measures compute only
+    for (i <- 1 to 3) {
+      t(s"[$i] SkyMr input=3parts") {
         SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000)
           .write.format("noop").mode("overwrite").save()
       }
-      t("twoPhase on parsed (comparison)") {
-        SkylineOp.twoPhase(parsed, Gsod.spec)
+      t(s"[$i] SkyMr input=8parts") {
+        SkyMr.skyline(parsed.repartition(8), Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000)
           .write.format("noop").mode("overwrite").save()
       }
-      spark.catalog.clearCache()
+      t(s"[$i] SkyMr input=32parts") {
+        SkyMr.skyline(parsed.repartition(32), Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000)
+          .write.format("noop").mode("overwrite").save()
+      }
+      t(s"[$i] twoPhase input=32parts") {
+        SkylineOp.twoPhase(parsed.repartition(32), Gsod.spec)
+          .write.format("noop").mode("overwrite").save()
+      }
     }
     spark.stop()
   }

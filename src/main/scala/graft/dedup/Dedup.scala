@@ -114,19 +114,32 @@ object Dedup {
 
     val ranked2 = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // Skinny candidate join: only (id, set-size, prefix-shingle) rows
-    // travel. The shingle arrays re-attach per surviving pair
-    // afterwards — dragging both arrays through the join + distinct
-    // dominated the runtime of the first cut. The size predicate is
-    // the standard length filter: J(A,B) ≥ t requires
-    // min(|A|,|B|) ≥ t·max(|A|,|B|).
+    // Skinny candidate join: only (id, set-size, prefix-position,
+    // prefix-shingle) rows travel. The shingle arrays re-attach per
+    // surviving pair afterwards — dragging both arrays through the
+    // join + distinct dominated the runtime of the first cut.
+    //
+    // Two lossless pruning predicates beyond the equi-join:
+    //  - length filter: J(A,B) ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|);
+    //  - PPJoin positional filter: both sides' arrays share one global
+    //    total order, so for a match at 0-based positions (pa, pb),
+    //    |A∩B| ≤ min(pa,pb) + 1 + min(|A|−pa−1, |B|−pb−1) (common
+    //    elements are before the match in both, the match, or after in
+    //    both). J ≥ t ⟺ |A∩B| ≥ t(|A|+|B|)/(1+t); rows whose bound
+    //    can't reach that die before the distinct. For a true pair the
+    //    row of its first common prefix shingle always passes (its
+    //    bound ≥ the actual overlap), so pair recall is exact; the ε
+    //    absorbs float error in t·(sa+sb) — slack only ever ADMITS rows.
     val a = ranked2.select(col("id").as("id_a"), size(col("sh")).as("sz_a"),
-      explode(col("pfx")).as("s"))
+      posexplode(col("pfx")).as(Seq("pa", "s")))
     val b = ranked2.select(col("id").as("id_b"), size(col("sh")).as("sz_b"),
-      explode(col("pfx")).as("s"))
+      posexplode(col("pfx")).as(Seq("pb", "s")))
+    val overlapBound = least(col("pa"), col("pb")) + lit(1) +
+      least(col("sz_a") - col("pa") - 1, col("sz_b") - col("pb") - 1)
     val candidates = a.join(b, a("s") === b("s") && col("id_a") < col("id_b") &&
         col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold)
+        col("sz_b") >= col("sz_a") * threshold &&
+        overlapBound * (1 + threshold) >= (col("sz_a") + col("sz_b")) * threshold - lit(1e-9))
       .select("id_a", "id_b")
       .distinct()
 

@@ -421,6 +421,18 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // The declarative anti-join skyline (p ∈ sky ⟺ no q dominates p,
+    // planned as a broadcast nested-loop anti-join) — the O(n²)
+    // cross-check form, registered on a deliberately small slice; the
+    // imperative paths (twoPhase/SkyMr/agg) are the scale plans.
+    "q_skyline_anti" -> { (s, dir) =>
+      val p = Tables.load(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      SkylineOp.antiJoin(p, SkylineSpec(Seq(
+        SkyDim("p_retailprice", Min), SkyDim("p_size", Max))))
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_partkey")
+    },
+
     // As-of join: each click matched to the user's most recent purchase
     // at or before the click (union+window plan — one keyed shuffle, no
     // inequality join blow-up; graft.operators.AsofJoin).
@@ -986,6 +998,18 @@ object SparkEntry {
         |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
         |  AND NOT EXISTS (
         |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
+        |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    "q_skyline_anti" ->
+      """WITH pp AS (SELECT * FROM part WHERE p_brand = 'Brand#13')
+        |SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM pp p
+        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+        |  AND NOT EXISTS (
+        |  SELECT 1 FROM pp q
         |  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
         |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))

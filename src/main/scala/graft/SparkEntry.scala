@@ -421,6 +421,23 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // Per-dimension missing-value SENTINEL semantics inside a skyline
+    // (reference Range.java:20 / Map.java:15-17): discount 0.0 is
+    // declared "missing", so the 484 zero-discount rows in this slice
+    // are excluded — the strict no-missing policy the reference's Job 1
+    // enforces, here exercised through SkylineSpec's sentinel→NULL
+    // normalization rather than a pre-filter.
+    "q_skyline_sentinel" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+      SkylineOp.twoPhase(li, SkylineSpec(Seq(
+        SkyDim("l_extendedprice", Min),
+        SkyDim("l_discount", Max, missing = Some(0.0)),
+        SkyDim("l_shipdate", Min))))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // The declarative anti-join skyline (p ∈ sky ⟺ no q dominates p,
     // planned as a broadcast nested-loop anti-join) — the O(n²)
     // cross-check form, registered on a deliberately small slice; the
@@ -1002,6 +1019,28 @@ object SparkEntry {
         |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
         |ORDER BY p.p_partkey""".stripMargin,
+
+    // Sentinel → NULL → excluded: the oracle spells the sentinel out as
+    // a predicate on both the outer and inner scans.
+    "q_skyline_sentinel" ->
+      """WITH e AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_linestatus = 'F'
+        |    AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_discount <> 0.0
+        |    AND l_shipdate IS NOT NULL)
+        |SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate
+        |FROM e p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM e q
+        |  WHERE q.l_extendedprice <= p.l_extendedprice
+        |    AND q.l_discount >= p.l_discount
+        |    AND q.l_shipdate <= p.l_shipdate
+        |    AND (q.l_extendedprice < p.l_extendedprice
+        |      OR q.l_discount > p.l_discount
+        |      OR q.l_shipdate < p.l_shipdate))
+        |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
 
     "q_skyline_anti" ->
       """WITH pp AS (SELECT * FROM part WHERE p_brand = 'Brand#13')

@@ -64,6 +64,23 @@ class DedupSpec extends SparkSpec with DedupFixture {
     assert(got.contains((0L, 1L)))
     assert(got.contains((2L, 3L)))
   }
+
+  test("jaccardPairs == brute force on a randomized overlap-heavy corpus") {
+    // Small vocabulary forces heavy shingle sharing, so the prefix AND
+    // positional filters both have to discard real candidate rows
+    // without dropping a true pair.
+    val rnd = new scala.util.Random(13)
+    val vocab = ('a' to 'j').map(_.toString)
+    val rdocs = (0L until 40L).map { i =>
+      val len = 5 + rnd.nextInt(20)
+      (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.6)) {
+      val got = Dedup.jaccardPairs(rdocs, "text", "doc_id", n = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == bruteJaccard(rdocs, 2, t), s"threshold $t")
+    }
+  }
 }
 
 class MinHashLshSpec extends SparkSpec with DedupFixture {
@@ -148,6 +165,29 @@ class SimHashSpec extends SparkSpec with DedupFixture {
     val md = java.security.MessageDigest.getInstance("MD5")
     // md5("hello") = 5d41402abc4b2a76…; first 16 hex as unsigned 64.
     assert(SimHash.tokenHash64("hello", md) == java.lang.Long.parseUnsignedLong("5d41402abc4b2a76", 16))
+  }
+
+  test("q-of-m blocking covers every pair within maxDist (randomized, pure keys)") {
+    // Pigeonhole exactness independent of any text fixture: flip ≤ k of
+    // 64 random bits and the two signatures must still share at least
+    // one (combo id, concatenated block bits) key.
+    val rnd = new scala.util.Random(7)
+    for (maxDist <- 1 to 8; _ <- 1 to 200) {
+      val (widths, combos) = SimHash.blocking(maxDist)
+      val offsets = widths.scanLeft(0)(_ + _)
+      def keys(h: Long): Set[(Int, Long)] = combos.zipWithIndex.map { case (idxs, cid) =>
+        cid -> idxs.foldLeft(0L) { (acc, bi) =>
+          val w = widths(bi)
+          val mask = if (w == 64) -1L else (1L << w) - 1
+          (acc << w) | ((h >>> offsets(bi)) & mask)
+        }
+      }.toSet
+      val h1 = rnd.nextLong()
+      val flips = rnd.shuffle((0 until 64).toList).take(rnd.nextInt(maxDist + 1))
+      val h2 = flips.foldLeft(h1)((h, b) => h ^ (1L << b))
+      assert(keys(h1).intersect(keys(h2)).nonEmpty,
+        s"maxDist=$maxDist lost pair at distance ${flips.size}")
+    }
   }
 
   test("bucket keyspace at maxDist=7 is wide enough to shard a large corpus") {

@@ -165,9 +165,12 @@ object SkyMr {
       }
       bufs.valuesIterator.flatMap(_.iterator.map(_._2))
     }
-    val localSky = routed
+    // SFS presort before each GSKY pass (SkylineOp.sfsSorted): global
+    // ascending-sum order is ascending within every cell's buffer too.
+    val localSky = SkylineOp.sfsSorted(routed)
       .mapPartitions(perCellSky _)(enc) // combiner: shuffle only local-sky survivors
       .repartition(col(CELL))
+      .transform(SkylineOp.sfsSorted)
       .mapPartitions(perCellSky _)(enc)
       .persist(StorageLevel.MEMORY_AND_DISK)
 

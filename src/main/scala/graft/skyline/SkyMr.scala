@@ -235,7 +235,11 @@ object SkyMr {
           else cand.getOrElseUpdate(cell, mutable.ArrayBuffer.empty) += ((v, r))
         }
         cand.iterator.flatMap { case (cell, cs) =>
-          val ps = probes.getOrElse(cell, mutable.ArrayBuffer.empty)
+          // Strongest dominators first (ascending normalized sum) so the
+          // exists-scan short-circuits early — the SFS trick applied to
+          // the probe list (sorting |probes| once beats scanning them in
+          // arrival order |candidates| times).
+          val ps = probes.getOrElse(cell, mutable.ArrayBuffer.empty).sortBy(_.sum)
           cs.iterator
             .filter { case (v, _) => !ps.exists(p => Dominance.dominates(p, v)) }
             .map { case (_, r) => Row.fromSeq(r.toSeq.init) } // drop probe flag

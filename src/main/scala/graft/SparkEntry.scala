@@ -7,7 +7,7 @@ import graft.dedup.{Dedup, MinHashLsh, SimHash}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin}
-import graft.sim.{AnnLsh, VectorSim}
+import graft.sim.{AnnLsh, IvfFlat, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.RangeStats
 import graft.text.TextFunctions
@@ -280,6 +280,20 @@ object SparkEntry {
         "embedding", "vec_id", dim = 64, threshold = 0.3,
         bits = 8, tables = 8)
         .orderBy("id_a", "id_b")
+    },
+
+    // IVF-Flat: hash-random coarse quantizer (16 lists, md5-picked
+    // member centroids — SQL-reproducible, no Lloyd iterations), probe
+    // the query's 4 nearest lists, exact cosine top-10 on just those
+    // candidates. The partition-pruning ANN layout, vs q_ann_pairs'
+    // sign-LSH (graft.sim.IvfFlat).
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      IvfFlat.topK(e, "embedding", "vec_id", q, k = 10, nLists = 16, nProbe = 4)
+        .select("vec_id", "label", "score")
     },
 
     // ---- events: windows, JSON, grouped skyline -----------------------
@@ -921,6 +935,43 @@ object SparkEntry {
         |    round(CASE WHEN na.n * nb.n > 0 THEN pd.d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
         |  FROM pd JOIN norms na ON pd.id_a = na.vec_id JOIN norms nb ON pd.id_b = nb.vec_id)
         |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+    // Replays the IVF pipeline: same md5-ordered centroid pick, same
+    // squared-L2 assignment (ties to the smaller centroid rank), same
+    // 4-list probe, exact double-precision cosine on the candidates.
+    "q_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
+        |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
+        |    FROM embeddings ORDER BY h LIMIT 16)),
+        |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+        |        generate_subscripts(cv, 1) AS j FROM cent),
+        |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+        |dists AS (
+        |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+        |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, rank FROM (
+        |    SELECT vec_id, rank,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qprobe AS (SELECT rank FROM dists WHERE vec_id = 0 ORDER BY d, rank LIMIT 4),
+        |cands AS (SELECT a.vec_id FROM assign a JOIN qprobe p ON a.rank = p.rank),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT x, j FROM ev WHERE vec_id = 0),
+        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT e.vec_id, sum(e.x * q.x) AS dt FROM ev e
+        |  JOIN q ON e.j = q.j
+        |  WHERE e.vec_id IN (SELECT vec_id FROM cands) GROUP BY 1)
+        |SELECT emb.vec_id, emb.label,
+        |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+        |    THEN dots.dt / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+        |FROM dots
+        |JOIN norms ON dots.vec_id = norms.vec_id
+        |JOIN embeddings emb ON dots.vec_id = emb.vec_id
+        |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin,
 
     "q_events_window" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -210,6 +210,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Char-trigram sibling of q_lang_id (Cavnar-Trenkle-shape profile,
+    // substring counting via length arithmetic — no regex, no tokens).
+    "q_lang_id_ngram" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val t = col("text")
+      val scores = TextFunctions.langNgramScores(t)
+      val scoreCols = TextFunctions.langTrigrams.map(_._1).zip(scores)
+        .map { case (code, sc) => sc.as(s"g_$code") }
+      d.select(col("doc_id") +: scoreCols :+ TextFunctions.langIdNgram(t).as("lang_pred"): _*)
+        .orderBy("doc_id")
+    },
+
     // ---- dedup over `documents` ---------------------------------------
 
     // Exact content dedup: one hash-groupBy on the normalized-token md5.
@@ -794,6 +806,28 @@ object SparkEntry {
         |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
         |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
         |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Per-trigram INDEPENDENT occurrence counts over the original text
+    // ((len − len(replace))/3 summed per language) — NOT nested
+    // replaces, whose sequential removal would perturb later counts.
+    "q_lang_id_ngram" ->
+      """WITH lt AS (SELECT doc_id, lower(text) AS t, len(lower(text)) AS L FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST((5*L - len(replace(t,'der','')) - len(replace(t,'ein','')) - len(replace(t,'sch','')) - len(replace(t,'ung','')) - len(replace(t,'cht',''))) / 3 AS BIGINT) AS g_de,
+        |    CAST((5*L - len(replace(t,'the','')) - len(replace(t,'ing','')) - len(replace(t,'and','')) - len(replace(t,'ion','')) - len(replace(t,'ent',''))) / 3 AS BIGINT) AS g_en,
+        |    CAST((5*L - len(replace(t,'que','')) - len(replace(t,'ado','')) - len(replace(t,'los','')) - len(replace(t,'nte','')) - len(replace(t,'cio',''))) / 3 AS BIGINT) AS g_es,
+        |    CAST((5*L - len(replace(t,'les','')) - len(replace(t,'ent','')) - len(replace(t,'que','')) - len(replace(t,'eur','')) - len(replace(t,'ais',''))) / 3 AS BIGINT) AS g_fr,
+        |    CAST((5*L - len(replace(t,'de5','')) - len(replace(t,'hi4','')) - len(replace(t,'le5','')) - len(replace(t,'bu4','')) - len(replace(t,'wo3',''))) / 3 AS BIGINT) AS g_zh
+        |  FROM lt)
+        |SELECT doc_id, g_de, g_en, g_es, g_fr, g_zh,
+        |  CASE WHEN greatest(g_de, g_en, g_es, g_fr, g_zh) = 0 THEN 'und'
+        |       WHEN g_de = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'de'
+        |       WHEN g_en = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'en'
+        |       WHEN g_es = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'es'
+        |       WHEN g_fr = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
 

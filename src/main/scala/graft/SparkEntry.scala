@@ -66,10 +66,14 @@ object SparkEntry {
 
     // Flagship skyline (GSKY two-phase), scoped to one returnflag so the
     // DuckDB NOT-EXISTS oracle stays cheap at sf0.01.
+    // Output columns are projected BEFORE the operator: the skyline
+    // carries whole rows through an opaque mapPartitions, so Catalyst
+    // cannot prune through it — projecting early is what gets
+    // ReadSchema down to the 5 needed columns at the parquet scan.
     "q_skyline_lineitem" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      SkylineOp.twoPhase(li, lineitemSpec)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
+      SkylineOp.twoPhase(li, lineitemSpec)
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -78,8 +82,8 @@ object SparkEntry {
     // exercises a different slice than q_skyline_lineitem.
     "q_skyline_skymr" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "A")
-      SkyMr.skyline(li, lineitemSpec, maxp = 64, maxDepth = 6, sampleSize = 5000)
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
+      SkyMr.skyline(li, lineitemSpec, maxp = 64, maxDepth = 6, sampleSize = 5000)
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -125,12 +129,13 @@ object SparkEntry {
           "wdsp", "mxspd", "gust", "min_temp")
     },
 
-    // 2-D skyline on orders: cheapest AND most recent.
+    // 2-D skyline on orders: cheapest AND most recent. Early
+    // projection for scan pruning (see q_skyline_lineitem).
     "q_skyline_orders" -> { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
       SkylineOp.twoPhase(o, SkylineSpec(Seq(
         SkyDim("o_totalprice", Min), SkyDim("o_orderdate", Max))))
-        .select("o_orderkey", "o_totalprice", "o_orderdate")
         .orderBy("o_orderkey")
     },
 
@@ -142,6 +147,7 @@ object SparkEntry {
     // not just SkylineAggSpec.
     "q_skyline_agg" -> { (s, dir) =>
       val o = Tables.load(s, dir, "orders")
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
       SkylineOp.viaAggregate(o,
         SkylineSpec(Seq(SkyDim("o_totalprice", Min), SkyDim("o_orderdate", Max))),
         groupCols = Seq("o_orderpriority"))
@@ -341,6 +347,7 @@ object SparkEntry {
     // shuffle; see SkylineOp.grouped).
     "q_skyline_events" -> { (s, dir) =>
       val e = Tables.loadEvents(s, dir)
+        .select("event_id", "event_type", "value", "ts") // prune before the opaque op
         .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       SkylineOp.grouped(e,
         SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))),
@@ -357,6 +364,7 @@ object SparkEntry {
     // DuckDB oracle.
     "q_skyline_stream_window" -> { (s, dir) =>
       val e = Tables.loadEvents(s, dir)
+        .select("event_id", "event_type", "value", "ts")
         .withColumn("win", window(col("ts"), "1 day"))
         .withColumn("win_start", date_format(col("win.start"), "yyyy-MM-dd"))
         .drop("win")
@@ -456,11 +464,11 @@ object SparkEntry {
     "q_skyline_sentinel" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
       SkylineOp.twoPhase(li, SkylineSpec(Seq(
         SkyDim("l_extendedprice", Min),
         SkyDim("l_discount", Max, missing = Some(0.0)),
         SkyDim("l_shipdate", Min))))
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
         .orderBy("l_orderkey", "l_linenumber")
     },
 
@@ -470,9 +478,9 @@ object SparkEntry {
     // imperative paths (twoPhase/SkyMr/agg) are the scale plans.
     "q_skyline_anti" -> { (s, dir) =>
       val p = Tables.load(s, dir, "part").filter(col("p_brand") === "Brand#13")
+        .select("p_partkey", "p_retailprice", "p_size")
       SkylineOp.antiJoin(p, SkylineSpec(Seq(
         SkyDim("p_retailprice", Min), SkyDim("p_size", Max))))
-        .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_partkey")
     },
 

@@ -25,7 +25,7 @@ object SparkEntry {
   /** Skyline spec used by the flagship + oracled skyline queries:
     * cheapest (min price), best discount (max), earliest ship (min) —
     * the Pareto front a buyer would consider. */
-  private val lineitemSpec = SkylineSpec(Seq(
+  private[graft] val lineitemSpec = SkylineSpec(Seq(
     SkyDim("l_extendedprice", Min),
     SkyDim("l_discount", Max),
     SkyDim("l_shipdate", Min)))
@@ -33,7 +33,10 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     SkylineOp.skyline(
-      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        // project before the opaque operator so the scan reads only the
+        // key + dim columns (see q_skyline_lineitem).
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"),
       lineitemSpec)
 
   /** One entry per implemented operator from SURVEY.md §2. */

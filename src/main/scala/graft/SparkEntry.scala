@@ -239,6 +239,16 @@ object SparkEntry {
         .orderBy("fp")
     },
 
+    // The survivors view of exact dedup: the kept ROWS themselves
+    // (keep-smallest-id per content fingerprint) — what a training-data
+    // pipeline actually feeds downstream. One window over the
+    // fingerprint (a single keyed shuffle), no join back.
+    "q_dedup_survivors" -> { (s, dir) =>
+      Dedup.exactSurvivors(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // Exact 3-gram Jaccard near-dup pairs via prefix-filtered inverted-
     // index join (never all-pairs; see graft.dedup.Dedup.jaccardPairs).
     "q_dedup_jaccard" -> { (s, dir) =>
@@ -314,6 +324,25 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).head()
         .getSeq[Double](0).toArray
       IvfFlat.topK(e, "embedding", "vec_id", q, k = 10, nLists = 16, nProbe = 4)
+        .select("vec_id", "label", "score")
+    },
+
+    // The IVF SERVING path: build the at-rest index once
+    // (partitionBy("list") parquet + centroid sidecar), then answer the
+    // query by reading ONLY the 4 probed list-partitions — the list
+    // filter lands in the scan's PartitionFilters (asserted in
+    // IvfFlatSpec), so per-query cost is nProbe/nLists of the corpus
+    // with no assignment pass. Same centroids/assignment/probe as
+    // q_ann_ivf, hence the same oracle.
+    "q_ann_ivf_index" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      IvfFlat.writeIndex(e, "embedding", "vec_id", nLists = 16, path)
+      IvfFlat.topKIndexed(s, path, "embedding", "vec_id", q, k = 10, nProbe = 4)
         .select("vec_id", "label", "score")
     },
 
@@ -625,6 +654,45 @@ object SparkEntry {
         Gsod.valueFields.map(_.name))
     },
   )
+
+  /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
+    * identical answer (same md5-ordered centroid pick, same squared-L2
+    * assignment with ties to the smaller rank, same 4-list probe,
+    * exact double cosine) — only the at-rest layout differs.
+    */
+  private val AnnIvfOracle: String =
+    """WITH cent AS (
+      |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
+      |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
+      |    FROM embeddings ORDER BY h LIMIT 16)),
+      |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+      |        generate_subscripts(cv, 1) AS j FROM cent),
+      |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+      |dists AS (
+      |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+      |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, rank FROM (
+      |    SELECT vec_id, rank,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |qprobe AS (SELECT rank FROM dists WHERE vec_id = 0 ORDER BY d, rank LIMIT 4),
+      |cands AS (SELECT a.vec_id FROM assign a JOIN qprobe p ON a.rank = p.rank),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+      |q AS (SELECT x, j FROM ev WHERE vec_id = 0),
+      |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+      |dots AS (
+      |  SELECT e.vec_id, sum(e.x * q.x) AS dt FROM ev e
+      |  JOIN q ON e.j = q.j
+      |  WHERE e.vec_id IN (SELECT vec_id FROM cands) GROUP BY 1)
+      |SELECT emb.vec_id, emb.label,
+      |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+      |    THEN dots.dt / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+      |FROM dots
+      |JOIN norms ON dots.vec_id = norms.vec_id
+      |JOIN embeddings emb ON dots.vec_id = emb.vec_id
+      |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -984,40 +1052,23 @@ object SparkEntry {
     // Replays the IVF pipeline: same md5-ordered centroid pick, same
     // squared-L2 assignment (ties to the smaller centroid rank), same
     // 4-list probe, exact double-precision cosine on the candidates.
-    "q_ann_ivf" ->
-      """WITH cent AS (
-        |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
-        |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
-        |    FROM embeddings ORDER BY h LIMIT 16)),
-        |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
-        |        generate_subscripts(cv, 1) AS j FROM cent),
-        |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |       generate_subscripts(embedding, 1) AS j FROM embeddings),
-        |dists AS (
-        |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
-        |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
-        |assign AS (
-        |  SELECT vec_id, rank FROM (
-        |    SELECT vec_id, rank,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
-        |    FROM dists) WHERE rn = 1),
-        |qprobe AS (SELECT rank FROM dists WHERE vec_id = 0 ORDER BY d, rank LIMIT 4),
-        |cands AS (SELECT a.vec_id FROM assign a JOIN qprobe p ON a.rank = p.rank),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |q AS (SELECT x, j FROM ev WHERE vec_id = 0),
-        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
-        |dots AS (
-        |  SELECT e.vec_id, sum(e.x * q.x) AS dt FROM ev e
-        |  JOIN q ON e.j = q.j
-        |  WHERE e.vec_id IN (SELECT vec_id FROM cands) GROUP BY 1)
-        |SELECT emb.vec_id, emb.label,
-        |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
-        |    THEN dots.dt / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
-        |FROM dots
-        |JOIN norms ON dots.vec_id = norms.vec_id
-        |JOIN embeddings emb ON dots.vec_id = emb.vec_id
-        |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin,
+    "q_ann_ivf" -> AnnIvfOracle,
 
+    // The indexed serving path computes the identical answer (same
+    // centroids, assignment, and probe set — only the at-rest layout
+    // differs), so it shares the oracle.
+    "q_ann_ivf_index" -> AnnIvfOracle,
+
+    // Survivors = the row with the smallest id per content fingerprint
+    // (same md5-of-normalized-tokens fingerprint as q_dedup_exact).
+    "q_dedup_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    row_number() OVER (
+        |      PARTITION BY md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' '))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "q_events_window" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
         |  count(*) AS n,

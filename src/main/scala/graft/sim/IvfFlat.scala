@@ -87,6 +87,12 @@ object IvfFlat {
 
   /** Approximate top-k by cosine for one query vector: probe the
     * query's `nProbe` nearest lists, exact-score only their members.
+    *
+    * SCALE NOTE: this form re-assigns the whole corpus per query (one
+    * full scan) — fine for ad-hoc exploration, wrong as the serving
+    * path. The serving path is [[writeIndex]] + [[topKIndexed]]: pay
+    * the assignment once at rest, then every probe reads only
+    * nProbe/nLists of the data via partition pruning.
     */
   def topK(
       df: DataFrame,
@@ -97,12 +103,87 @@ object IvfFlat {
       nLists: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val cents = centroids(df, vecCol, idCol, nLists)
-    val probed = cents.zipWithIndex
-      .map { case (c, i) => (sqDist(query.toSeq, c), i) }
-      .sorted.take(nProbe).map(_._2)
+    val probed = probeLists(query, cents, nProbe)
     val assigned = assignWith(df, vecCol, cents, "list")
     VectorSim.topK(
       assigned.filter(col("list").isin(probed.map(Integer.valueOf): _*)).drop("list"),
+      vecCol, query, k, tieBreak = idCol)
+  }
+
+  /** The query's `nProbe` nearest centroid ranks (ties to smaller rank,
+    * matching [[nearest]]). */
+  private def probeLists(
+      query: Array[Double], cents: Array[Array[Double]], nProbe: Int): Array[Int] =
+    cents.zipWithIndex
+      .map { case (c, i) => (sqDist(query.toSeq, c), i) }
+      .sorted.take(nProbe).map(_._2)
+
+  /** Sub-path of the index holding the centroid sidecar. The leading
+    * underscore makes it invisible to `spark.read.parquet(path)` over
+    * the index itself (Spark/parquet skip `_`/`.`-prefixed paths), so
+    * the list data and its metadata live under one directory.
+    */
+  private def centroidPath(path: String): String = s"$path/_centroids"
+
+  /** Build the at-rest IVF index: assign every vector to its list ONCE,
+    * write the corpus `partitionBy("list")`, and persist the centroids
+    * alongside. This is the 100 TB layout — the reference's quadtree
+    * plays the same role for its skyline (route once, then each reader
+    * touches only its own cell, LSkyMapper.java:45-52); here the
+    * Hive-style `list=<r>` directories are the cells and partition
+    * pruning is the router.
+    *
+    * One full pass over the corpus (the broadcast-matrix assignment of
+    * [[assign]], no shuffle) + one partitioned write; queries then
+    * never rescan — [[topKIndexed]] reads nProbe/nLists of the bytes.
+    */
+  def writeIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nLists: Int,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    val cents = centroids(df, vecCol, idCol, nLists)
+    assignWith(df, vecCol, cents, "list")
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    import spark.implicits._
+    cents.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("rank", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidPath(path))
+  }
+
+  /** Centroids of a written index, densely indexed by rank. */
+  private[sim] def readCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(centroidPath(path))
+      .orderBy("rank")
+      .collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+
+  /** Approximate top-k against a [[writeIndex]]-built index: pick the
+    * query's `nProbe` nearest lists from the centroid sidecar, then
+    * scan ONLY those `list=<r>` partitions (the `isin` filter lands in
+    * the scan's PartitionFilters — asserted in IvfFlatSpec) and
+    * exact-score the survivors. Per-query cost is nProbe/nLists of the
+    * corpus, no assignment pass.
+    */
+  def topKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vecCol: String,
+      idCol: String,
+      query: Array[Double],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = readCentroids(spark, path)
+    val probed = probeLists(query, cents, nProbe)
+    VectorSim.topK(
+      spark.read.parquet(path)
+        .filter(col("list").isin(probed.map(Integer.valueOf): _*))
+        .drop("list"),
       vecCol, query, k, tieBreak = idCol)
   }
 }

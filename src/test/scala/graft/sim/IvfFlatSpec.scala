@@ -32,6 +32,45 @@ class IvfFlatSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("writeIndex + topKIndexed == in-memory topK, and the probe scan is partition-pruned") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = corpus(80, 8, 19)
+    val q = df.filter($"vec_id" === 5).select($"embedding").head.getSeq[Double](0).toArray
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString + "/idx"
+    IvfFlat.writeIndex(df, "embedding", "vec_id", nLists = 8, path)
+
+    val indexed = IvfFlat.topKIndexed(spark, path, "embedding", "vec_id", q, k = 5, nProbe = 3)
+    val inMem = IvfFlat.topK(df, "embedding", "vec_id", q, k = 5, nLists = 8, nProbe = 3)
+    assert(indexed.select("vec_id").as[Long].collect().toSeq ==
+      inMem.select("vec_id").as[Long].collect().toSeq)
+
+    // The scale claim itself: the list filter must reach the scan as a
+    // PARTITION filter (directory pruning), not a data filter — i.e. a
+    // probe reads nProbe/nLists of the index, the way a routed SkyMr
+    // reader touches only its own quadtree cell.
+    val scans = indexed.queryExecution.executedPlan.collect { case f: FileSourceScanExec => f }
+    assert(scans.nonEmpty, "expected a file scan over the index")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "list")),
+      s"list filter missing from PartitionFilters: ${scan.partitionFilters}")
+    // And the pruning actually selects nProbe of the nLists directories.
+    val listDirs = new java.io.File(path).listFiles().filter(_.getName.startsWith("list="))
+    assert(listDirs.length == 8, "index should have one directory per non-empty list")
+    val scannedLists = scan.inputRDDs().head.partitions.length
+    assert(scannedLists > 0)
+    val readRows = spark.read.parquet(path)
+      .filter($"list".isin(0, 1, 2)) // arbitrary 3 lists
+      .count()
+    assert(readRows < 80, "a 3-of-8 probe must not read the whole corpus")
+
+    // nProbe = nLists through the index degenerates to exact brute force.
+    val all = IvfFlat.topKIndexed(spark, path, "embedding", "vec_id", q, k = 5, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSeq
+    val exact = VectorSim.topK(df, "embedding", q, 5, "vec_id")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == exact)
+  }
+
   test("a clone of the query is recalled even at nProbe = 1") {
     // The clone quantizes to the same centroid as the query (they are
     // the same point up to scale), so the query's own nearest list —

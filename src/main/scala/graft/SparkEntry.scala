@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.dedup.{Dedup, MinHashLsh, SimHash}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, RangeJoin}
+import graft.operators.{AsofJoin, RangeJoin, Salting}
+import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.RangeStats
@@ -187,6 +188,43 @@ object SparkEntry {
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_custkey", "rn")
+    },
+
+    // Skew-mitigated join: orders (the "skewed" probe side) salted into
+    // 8 sub-keys, customer replicated per salt. Result must be
+    // IDENTICAL to the plain join — the oracle is the unsalted SQL, so
+    // the gate proves salting is a pure physical rewrite.
+    "q_salted_join" -> { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val cust = Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Salting.saltedJoin(orders, cust, Seq("o_custkey"), salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Co-located fact-fact join through bucketed tables: both sides
+    // written bucketBy(8, orderkey) once, so the join itself is
+    // exchange-free (asserted in BucketedTablesSpec) — the 100 TB shape
+    // for a join that repeats across a pipeline. Same oracle as the
+    // plain join: bucketing must not change the answer.
+    "q_bucketed_join" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val liT = s"graft_bli_$tag"; val ordT = s"graft_bord_$tag"
+      BucketedTables.writeBucketed(
+        Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        liT, "l_orderkey", buckets = 8)
+      BucketedTables.writeBucketed(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ordT, "o_orderkey", buckets = 8)
+      BucketedTables.read(s, liT)
+        .join(BucketedTables.read(s, ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
     },
 
     // ---- text analysis over `documents` -------------------------------
@@ -468,6 +506,28 @@ object SparkEntry {
       li.agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pe"),
         expr("percentile(l_quantity, 0.9)").as("pq"))
+        .select(
+          round(element_at(col("pe"), 1), 6).as("p25"),
+          round(element_at(col("pe"), 2), 6).as("p50"),
+          round(element_at(col("pe"), 3), 6).as("p75"),
+          round(col("pq"), 6).as("q90"))
+    },
+
+    // The 100 TB form of q_quantiles: Greenwald-Khanna sketch
+    // (approx_percentile) whose memory is O((1/eps)·log(eps·N)) —
+    // bounded regardless of input size — vs exact percentile's
+    // full-multiset buffer (the documented scale boundary above). At
+    // oracle scale the sketch is EXACT: accuracy 1e6 > N=60k means GK
+    // never compresses, and its discrete-rank answer equals DuckDB's
+    // quantile_disc (verified bit-for-bit; tools/ApproxQProbe.scala),
+    // so this gets a full hash oracle, not a rows-only check. At
+    // production accuracy (default 1e4) answers are ±1e-4-rank
+    // approximate and no SQL oracle could reproduce them.
+    "q_quantiles_approx" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000000)").as("pe"),
+        expr("approx_percentile(l_quantity, 0.9, 1000000)").as("pq"))
         .select(
           round(element_at(col("pe"), 1), 6).as("p25"),
           round(element_at(col("pe"), 2), 6).as("p50"),
@@ -829,6 +889,22 @@ object SparkEntry {
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
 
+    // The UNSALTED join — salting is a physical rewrite, the answer
+    // must not move.
+    "q_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The plain (unbucketed) join — bucketing is a storage layout, the
+    // answer must not move.
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Tokenization contract mirrored from TextFunctions.tokens:
     // lowercase, split on \s+, drop empties. Every ratio replicates the
     // Spark expression tree exactly (same operation order) so doubles
@@ -1154,6 +1230,16 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
         |  round(quantile_cont(l_quantity, 0.9), 6) AS q90
+        |FROM lineitem""".stripMargin,
+
+    // Discrete quantiles: GK at accuracy > N is exact and rank-agrees
+    // with quantile_disc (see the query's comment).
+    "q_quantiles_approx" ->
+      """SELECT
+        |  round(quantile_disc(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_disc(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_disc(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_disc(l_quantity, 0.9), 6) AS q90
         |FROM lineitem""".stripMargin,
 
     "q_skyline_sql" ->

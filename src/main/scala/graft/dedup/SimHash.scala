@@ -105,15 +105,12 @@ object SimHash {
     combos.map(c => BigInt(1) << c.map(widths).sum).sum
   }
 
-  /** All pairs within Hamming distance `maxDist` of each other's
-    * simhash. Output: (id_a, id_b, dist), id_a < id_b. Exact — the
-    * q-of-m pigeonhole candidate join cannot miss a pair.
+  /** One bucket row per (doc, q-combination): combination index + the
+    * member blocks' bits concatenated into one key. Columns (id, sh,
+    * bucket).
     */
-  def nearDupPairs(
-      df: DataFrame,
-      textCol: String,
-      idCol: String,
-      maxDist: Int = 3): DataFrame = {
+  private def bucketRows(
+      df: DataFrame, textCol: String, idCol: String, maxDist: Int): DataFrame = {
     val (widths, combos) = blocking(maxDist)
     val offsets = widths.scanLeft(0)(_ + _)
     val signed = withSimhash(
@@ -125,22 +122,23 @@ object SimHash {
       val mask = if (w == 64) -1L else (1L << w) - 1
       shiftright(col("sh"), offsets(i)).bitwiseAND(lit(mask))
     }
-    // one bucket row per (doc, combination): combination index + the
-    // member blocks' bits concatenated into one ≤16-bit key.
-    // Disjoint column names per join side — a self-join keyed through
-    // the SAME attribute (a("bucket") === b("bucket")) resolves both
-    // sides to one column, Spark drops the "trivially true" predicate,
-    // and the join degenerates to a nested loop over all id pairs.
     val comboCols = combos.zipWithIndex.map { case (idxs, cid) =>
       val bits = idxs.tail.foldLeft(blockBits(idxs.head)) { (acc, bi) =>
         shiftleft(acc, widths(bi)).bitwiseOR(blockBits(bi))
       }
       struct(lit(cid).as("blk"), bits.as("bits"))
     }
-    val bucketed = signed
+    signed
       .withColumn("bucket", explode(array(comboCols: _*)))
       .select("id", "sh", "bucket")
+  }
 
+  /** Candidate self-join + exact Hamming verify over bucket rows. */
+  private def pairsFromBuckets(bucketed: DataFrame, maxDist: Int): DataFrame = {
+    // Disjoint column names per join side — a self-join keyed through
+    // the SAME attribute (a("bucket") === b("bucket")) resolves both
+    // sides to one column, Spark drops the "trivially true" predicate,
+    // and the join degenerates to a nested loop over all id pairs.
     val a = bucketed.select(col("id").as("id_a"), col("sh").as("sh_a"), col("bucket").as("bucket_a"))
     val b = bucketed.select(col("id").as("id_b"), col("sh").as("sh_b"), col("bucket").as("bucket_b"))
     a.join(b, col("bucket_a") === col("bucket_b") && col("id_a") < col("id_b"))
@@ -151,5 +149,72 @@ object SimHash {
       .filter(col("dist") <= maxDist)
       .select("id_a", "id_b", "dist")
       .distinct()
+  }
+
+  /** All pairs within Hamming distance `maxDist` of each other's
+    * simhash. Output: (id_a, id_b, dist), id_a < id_b. Exact — the
+    * q-of-m pigeonhole candidate join cannot miss a pair.
+    */
+  def nearDupPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDist: Int = 3): DataFrame =
+    pairsFromBuckets(bucketRows(df, textCol, idCol, maxDist), maxDist)
+
+  /** Capped pair search: `pairs` plus the ledger of buckets that were
+    * dropped for exceeding the cap (bucket key + member count) and the
+    * total bucket rows dropped with them.
+    */
+  final case class CappedPairs(
+      pairs: DataFrame, droppedBuckets: DataFrame, droppedBucketRows: Long)
+
+  /** Beyond this many over-cap buckets the anti-join shuffles instead
+    * of broadcasting. #hot ≤ (bucketRows / maxBucket), so this is only
+    * reachable on genuinely hostile corpora.
+    */
+  private val HotBroadcastLimit = 1000000L
+
+  /** [[nearDupPairs]] with a per-bucket size cap — the hostile-corpus
+    * guard. A natural-language corpus spreads across the ~6×10⁵-key
+    * bucket space, but an adversarial (or boilerplate-heavy) one can
+    * pile millions of docs onto one bucket key and the candidate join
+    * goes quadratic on it. Capping drops WHOLE buckets over
+    * `maxBucket`; a pair is only lost if EVERY one of its ≥ q matching
+    * combinations is over-cap, so on benign data recall is unaffected
+    * (spec-asserted). The drop is surfaced, not silent: the ledger
+    * DataFrame carries every dropped bucket with its size, the total is
+    * both returned and logged, and the caller decides whether the loss
+    * is acceptable.
+    *
+    * Cost: one extra aggregate on the same key the pair join shuffles
+    * on anyway, and an anti-join that broadcasts the (small) over-cap
+    * set. The count is materialized eagerly — the ledger IS the
+    * feature — so the bucket rows are persisted for reuse by the pair
+    * join; callers should unpersist via `pairs`'s lifecycle ending.
+    */
+  def nearDupPairsCapped(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDist: Int,
+      maxBucket: Int): CappedPairs = {
+    require(maxBucket > 0, "maxBucket must be positive")
+    val bucketed = bucketRows(df, textCol, idCol, maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > maxBucket)
+    val (hotBuckets, dropped) = {
+      val agg = hot.agg(count(lit(1)), coalesce(sum("n_members"), lit(0L))).head()
+      (agg.getLong(0), agg.getLong(1))
+    }
+    val kept =
+      if (hotBuckets == 0) bucketed
+      else if (hotBuckets <= HotBroadcastLimit)
+        bucketed.join(broadcast(hot.select("bucket")), Seq("bucket"), "left_anti")
+      else bucketed.join(hot.select("bucket"), Seq("bucket"), "left_anti")
+    org.slf4j.LoggerFactory.getLogger(getClass)
+      .info(s"simhash cap $maxBucket: dropped $hotBuckets buckets / $dropped bucket rows")
+    CappedPairs(pairsFromBuckets(kept, maxDist), hot, dropped)
   }
 }

@@ -15,13 +15,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object BucketedTables {
 
-  /** Write `df` as a bucketed managed table (overwriting). */
+  /** Write `df` as a bucketed managed table (overwriting). Robust to an
+    * ORPHANED location: the default (Derby) metastore is per-JVM, so a
+    * managed table written by a previous session leaves its warehouse
+    * directory behind with no catalog entry, and `saveAsTable` refuses
+    * with LOCATION_ALREADY_EXISTS. Drop + clear the default location
+    * first so re-runs behave like Overwrite across sessions too.
+    */
   def writeBucketed(
       df: DataFrame,
       table: String,
       bucketCol: String,
       buckets: Int,
       sortCol: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write
       .mode(SaveMode.Overwrite)
       .format("parquet")

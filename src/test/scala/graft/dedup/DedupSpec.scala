@@ -197,4 +197,41 @@ class SimHashSpec extends SparkSpec with DedupFixture {
     assert(SimHash.bucketKeyspace(7) >= (BigInt(1) << 16))
     assert(SimHash.bucketKeyspace(3) == BigInt(4) * (BigInt(1) << 16))
   }
+
+  test("capped pairs == uncapped on a benign corpus; ledger empty") {
+    for (maxDist <- Seq(3, 7)) {
+      val capped = SimHash.nearDupPairsCapped(docs, "text", "doc_id", maxDist, maxBucket = 3)
+      val got = capped.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = SimHash.nearDupPairs(docs, "text", "doc_id", maxDist)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == want, s"maxDist $maxDist")
+      assert(capped.droppedBucketRows == 0L)
+      assert(capped.droppedBuckets.isEmpty)
+    }
+  }
+
+  test("cap drops whole hostile buckets and the ledger accounts for every dropped row") {
+    // 20 copies of one boilerplate text = a hostile bucket pile-up:
+    // every combination key is shared by all 20 (+ the 2 fixture docs
+    // 0/1 are their own identical-signature pile of 2).
+    val hostile = docs.union(
+      spark.range(100, 120)
+        .select($"id".as("doc_id"),
+          lit("lorem ipsum boilerplate footer text repeated on every page of the site").as("text")))
+    val maxDist = 7
+    val capped = SimHash.nearDupPairsCapped(hostile, "text", "doc_id", maxDist, maxBucket = 5)
+    // every bucket of the 20-clone pile is over cap → all dropped; the
+    // only surviving pairs are the benign fixture's.
+    val want = SimHash.nearDupPairs(docs, "text", "doc_id", maxDist)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val got = capped.pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == want)
+    // ledger arithmetic: dropped bucket rows = sum of the hot buckets'
+    // member counts, and each hot bucket really is over the cap.
+    val hot = capped.droppedBuckets.select("n_members").as[Long].collect()
+    assert(hot.nonEmpty && hot.forall(_ > 5))
+    assert(capped.droppedBucketRows == hot.sum)
+    // the clone pile at maxDist≥4 makes C(9,2)=36 combination buckets.
+    assert(capped.droppedBucketRows >= 36L * 20)
+  }
 }

@@ -63,4 +63,79 @@ object StreamingSkyline {
       }
       .drop(SkylineOp.SKY)
   }
+
+  /** Windowed streaming skyline, finalized by watermark: state is keyed
+    * by (group, tumbling event-time window) and holds that window's
+    * running skyline; when the watermark passes the window's end the
+    * state times out, the window's FINAL skyline is emitted exactly
+    * once (Append semantics — downstream sees only closed, immutable
+    * windows), and the state is dropped. Contrast with [[attach]]'s
+    * Update-mode running skyline, which never retires state.
+    *
+    * State size = sum of open windows' skyline sizes — bounded by the
+    * watermark horizon, not the stream length. Rows later than the
+    * watermark are dropped by the engine before reaching the state
+    * (the standard event-time contract); a window is never re-opened.
+    *
+    * @param tsCol          event-time timestamp column
+    * @param windowDuration tumbling window size, e.g. "1 day"
+    * @param watermarkDelay max expected lateness, e.g. "10 minutes"
+    * @return streaming DataFrame of finalized skyline rows with a
+    *         `window_start` epoch-seconds column appended
+    */
+  def attachWindowed(
+      df: DataFrame,
+      spec: SkylineSpec,
+      groupCol: String,
+      tsCol: String,
+      windowDuration: String,
+      watermarkDelay: String): DataFrame = {
+    val prep = SkylineOp.prepare(df.withWatermark(tsCol, watermarkDelay), spec)
+      .withColumn("__win", window(col(tsCol), windowDuration))
+      .withColumn("__wstart", col("__win").getField("start").cast("long"))
+      .withColumn("__wend", col("__win").getField("end").cast("long"))
+      .drop("__win")
+    val schema = prep.schema
+    val skyIdx = schema.fieldIndex(SkylineOp.SKY)
+    val keyIdx = schema.fieldIndex(groupCol)
+    val wsIdx = schema.fieldIndex("__wstart")
+    val weIdx = schema.fieldIndex("__wend")
+    implicit val rowEnc = Encoders.row(schema)
+    implicit val stateEnc = Encoders.kryo[(Long, Array[(Array[Double], Row)])]
+    implicit val keyEnc = Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+
+    prep
+      .groupByKey((r: Row) => (String.valueOf(r.get(keyIdx)), r.getLong(wsIdx)))
+      .flatMapGroupsWithState[(Long, Array[(Array[Double], Row)]), Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (String, Long), rows: Iterator[Row],
+         state: GroupState[(Long, Array[(Array[Double], Row)])]) =>
+          if (state.hasTimedOut) {
+            // watermark passed window end: emit the final skyline once,
+            // retire the state.
+            val out = state.get._2.map(_._2)
+            state.remove()
+            out.iterator
+          } else {
+            val buf = Gsky.emptyBuf[Row]
+            var wend = state.getOption.map(_._1).getOrElse(0L)
+            state.getOption.foreach(_._2.foreach { case (v, p) => buf += ((v, p)) })
+            rows.foreach { r =>
+              wend = r.getLong(weIdx)
+              Gsky.insert(buf, Gsky.vecOf(r, skyIdx), r)
+            }
+            state.update((wend, buf.toArray))
+            // Fire when the watermark crosses the window end. The guard
+            // (+1 past the current watermark) covers a straggler batch
+            // whose window end the watermark already passed — it
+            // finalizes on the next trigger instead of throwing.
+            state.setTimeoutTimestamp(
+              math.max(wend * 1000, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+      .drop(SkylineOp.SKY)
+      .drop("__wend")
+      .withColumnRenamed("__wstart", "window_start")
+  }
 }

@@ -76,4 +76,61 @@ class StreamingSkylineSpec extends SparkSpec {
     val b = runStream(Seq(pts.reverse.take(2), pts.reverse.drop(2)))
     assert(a == b)
   }
+
+  /** (group, x, y, id, epochSec) batches through the windowed variant;
+    * returns (window_start, id) pairs of FINALIZED emissions only.
+    */
+  private def runWindowed(
+      batches: Seq[Seq[(String, Double, Double, Long, Long)]]): Set[(Long, Long)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Double, Long, Long)]
+    val df = mem.toDF.toDF("g", "x", "y", "id", "sec")
+      .withColumn("ts", timestamp_seconds($"sec")).drop("sec")
+    val out = StreamingSkyline.attachWindowed(
+      df, spec, "g", "ts", "10 seconds", "0 seconds")
+    val qname = s"skyw_${Random.alphanumeric.take(8).mkString}"
+    val query = out.writeStream
+      .format("memory").queryName(qname).outputMode("append").start()
+    try {
+      batches.foreach { b =>
+        mem.addData(b: _*)
+        query.processAllAvailable()
+      }
+      spark.table(qname).select("window_start", "id")
+        .as[(Long, Long)].collect().toSet
+    } finally query.stop()
+  }
+
+  test("windowed: watermark finalizes closed windows; emission == batch skyline of the window") {
+    val rnd = new Random(7)
+    // window [0,10): 30 random points across two groups; window [20,30):
+    // a later point whose arrival pushes the watermark past 10.
+    // secs 1..9: an event time EQUAL to the current watermark (0 at
+    // startup) is dropped by the engine's <= late-data filter.
+    val w0 = (1L to 30L).map { i =>
+      (if (i % 2 == 0) "a" else "b",
+        rnd.nextDouble() * 100, rnd.nextDouble() * 100, i, i % 9 + 1)
+    }
+    val late = Seq(("a", 1.0, 1.0, 100L, 25L), ("b", 2.0, 2.0, 101L, 26L))
+    // third batch advances the watermark again so the [20,30) timeout
+    // COULD fire — but [20,30)'s end (30) stays ahead of the watermark
+    // (26), so only window [0,10) may be finalized.
+    val got = runWindowed(Seq(w0, late, Seq(("a", 3.0, 3.0, 102L, 26L))))
+
+    val batchW0 = SkylineOp.grouped(
+      w0.map { case (g, x, y, id, _) => (g, x, y, id) }.toDF("g", "x", "y", "id"),
+      spec, Seq("g")).select("id").as[Long].collect().toSet
+    assert(got.map(_._2) == batchW0)
+    assert(got.forall(_._1 == 0L), "only window [0,10) is closed")
+  }
+
+  test("windowed: dominated points within a window are absent from its final emission") {
+    val got = runWindowed(Seq(
+      Seq(("g", 5.0, 5.0, 1L, 2L), ("g", 3.0, 7.0, 2L, 3L)),
+      Seq(("g", 2.0, 8.0, 3L, 5L)), // same window, dominates both
+      Seq(("g", 9.0, 9.0, 9L, 25L)), // watermark → 25, closes [0,10)
+      Seq(("g", 9.5, 9.5, 10L, 26L)) // trigger with the new watermark
+    ))
+    assert(got == Set((0L, 3L)))
+  }
 }

@@ -107,7 +107,14 @@ object SkylineOp {
     * at 100 TB.
     */
   def grouped(df: DataFrame, spec: SkylineSpec, groupCols: Seq[String]): DataFrame = {
-    val prep = graft.util.Partitioning.parallelize(prepare(df, spec))
+    // No Partitioning.parallelize here: interleaved A/B on the sf0.1
+    // events workload (tools/EventsSkyProbe, min-of-3) measured the
+    // spread at 0.86-0.90s vs 0.44s without — the extra plan + input
+    // shuffle buys nothing because the phase-1 combiner is cheap at
+    // low d and the phase-2 repartition(groupCols) restores full
+    // parallelism regardless. The SFS sorts are kept: free at d=2
+    // (0.44s with == without), 3.2× at d=9 (tools/SfsProbe).
+    val prep = prepare(df, spec)
     val enc = Encoders.row(prep.schema)
     val skyIdx = prep.schema.fieldIndex(SKY)
     val gIdx = groupCols.map(prep.schema.fieldIndex)

@@ -128,7 +128,12 @@ object SparkEntry {
         pmod(col("l_orderkey"), lit(89)).cast("double").as("gust"),
         pmod(dayofyear(col("l_shipdate")), lit(250)).cast("double").as("min_temp"))
       val parsed = Gsod.parseLines(Gsod.formatLines(shaped))
-      SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000)
+      // sampleFilterK=64: broadcast the 64 strongest sample-skyline
+      // points as a phase-1 row pre-filter — interleaved A/B at sf0.1
+      // (tools/Gsod9Probe, both slot orders) measured 4.4s vs 5.4s
+      // without; larger K loses the gain to per-row filter cost.
+      SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
+        sampleFilterK = 64)
         .orderBy("stn", "date", "temp", "dewp", "slp", "max_temp", "stp",
           "wdsp", "mxspd", "gust", "min_temp")
     },

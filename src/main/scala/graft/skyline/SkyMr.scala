@@ -55,8 +55,9 @@ object SkyMr {
       maxp: Int = 256,
       maxDepth: Int = 8,
       sampleSize: Int = 20000,
-      seed: Long = 42L): DataFrame =
-    skylineWithSummaries(df, spec, maxp, maxDepth, sampleSize, seed)._1
+      seed: Long = 42L,
+      sampleFilterK: Int = 0): DataFrame =
+    skylineWithSummaries(df, spec, maxp, maxDepth, sampleSize, seed, sampleFilterK)._1
 
   /** [[skyline]] plus the phase-1 summary side outputs the reference
     * writes as MultipleOutputs "vpn" and "filter" streams
@@ -66,13 +67,25 @@ object SkyMr {
     * metadata — dozens to thousands of rows — materialized from the
     * same single aggregate pass the pipeline already runs.
     */
+  /** @param sampleFilterK 0 disables (default); K > 0 broadcasts the K
+    *   ascending-sum-strongest points of the SAMPLE's skyline as an
+    *   extra row pre-filter ahead of phase 1 (sound: a row strictly
+    *   dominated by any point cannot be in the global skyline; ties
+    *   survive because dominance is strict). Capped at K so the per-row
+    *   cost stays bounded when the d-dimensional sample skyline is
+    *   large — the cap is what makes it pay: at d=9/sf0.1 K=64 wins
+    *   ~18% (4.4s vs 5.4s, interleaved A/B in both slot orders,
+    *   tools/Gsod9Probe) while K≥512 gives the win back to per-row
+    *   filter cost. Default off; opt in per workload.
+    */
   def skylineWithSummaries(
       df: DataFrame,
       spec: SkylineSpec,
       maxp: Int = 256,
       maxDepth: Int = 8,
       sampleSize: Int = 20000,
-      seed: Long = 42L): (DataFrame, DataFrame, DataFrame) = {
+      seed: Long = 42L,
+      sampleFilterK: Int = 0): (DataFrame, DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val d = spec.d
     // prep feeds three passes (bounds agg, tree sample, routing) —
@@ -148,9 +161,24 @@ object SkyMr {
     val tree = QuadTree.build(sample, lo, hi, maxp, maxDepth)
     val bcTree = spark.sparkContext.broadcast(tree)
 
+    // Optional sample-skyline row pre-filter (see scaladoc). The
+    // sample's skyline is computed driver-side (SFS-sorted GSKY over
+    // ≤ sampleSize vectors) and truncated to the K ascending-sum
+    // strongest dominators.
+    val preFiltered = if (sampleFilterK <= 0) prep else {
+      val buf = Gsky.emptyBuf[Unit]
+      sample.sortBy(_.sum).foreach(v => Gsky.insert(buf, v, ()))
+      val sampleSky = buf.iterator.map(_._1).toArray.sortBy(_.sum).take(sampleFilterK)
+      val bcSampleSky = spark.sparkContext.broadcast(sampleSky)
+      prep.filter { (r: Row) =>
+        val v = Gsky.vecOf(r, skyIdx)
+        !bcSampleSky.value.exists(s => Dominance.dominates(s, v))
+      }
+    }
+
     // -- 3. routing column; pruned-cell rows dropped ---------------------
     val routeUdf = udf((v: Seq[Double]) => bcTree.value.route(v.toArray))
-    val routed = prep.withColumn(CELL, routeUdf(col(SkylineOp.SKY)))
+    val routed = preFiltered.withColumn(CELL, routeUdf(col(SkylineOp.SKY)))
       .filter(col(CELL) >= 0)
     val schema = routed.schema
     val enc = Encoders.row(schema)

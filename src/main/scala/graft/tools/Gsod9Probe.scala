@@ -57,21 +57,33 @@ object Gsod9Probe {
     val parsed = Gsod.parseLines(Gsod.formatLines(shaped))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     parsed.count() // materialize once; A/B then measures compute only
+    // Round-6 A/B: sample-skyline row pre-filter ahead of phase 1
+    // (sampleFilterK = K ascending-sum-strongest sample-sky points),
+    // at the winning 3-partition input shape. Findings (sf0.1,
+    // local[32], min-of-3 interleaved, repeated with slot order
+    // rotated to cancel warmup bias): K=64 4.4s vs K=0 5.4s (~18%);
+    // K=16 too weak to pay for itself (6.7s), K=512/full gives the
+    // win back to per-row filter cost (7.2-8.1s). q_skyline_gsod9
+    // runs with K=64.
     for (i <- 1 to 3) {
-      t(s"[$i] SkyMr input=3parts") {
-        SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000)
+      t(s"[$i] SkyMr K=64a       ") {
+        SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
+          sampleFilterK = 64)
           .write.format("noop").mode("overwrite").save()
       }
-      t(s"[$i] SkyMr input=8parts") {
-        SkyMr.skyline(parsed.repartition(8), Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000)
+      t(s"[$i] SkyMr K=64        ") {
+        SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
+          sampleFilterK = 64)
           .write.format("noop").mode("overwrite").save()
       }
-      t(s"[$i] SkyMr input=32parts") {
-        SkyMr.skyline(parsed.repartition(32), Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000)
+      t(s"[$i] SkyMr K=0 (off)   ") {
+        SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
+          sampleFilterK = 0)
           .write.format("noop").mode("overwrite").save()
       }
-      t(s"[$i] twoPhase input=32parts") {
-        SkylineOp.twoPhase(parsed.repartition(32), Gsod.spec)
+      t(s"[$i] SkyMr K=64b       ") {
+        SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
+          sampleFilterK = 64)
           .write.format("noop").mode("overwrite").save()
       }
     }

@@ -97,6 +97,11 @@ class SkyMrSpec extends SparkSpec {
       val tp = canon(SkylineOp.twoPhase(df, spec))
       assert(mr == tp, s"trial $trial: SkyMr != twoPhase")
       if (trial == 1) assert(tp == canon(SkylineOp.antiJoin(df, spec)))
+      // the sample-skyline pre-filter is a pure physical rewrite: same
+      // result at every cap, including one that filters aggressively.
+      val filtered = canon(SkyMr.skyline(df, spec, maxp = 40, maxDepth = 4,
+        sampleSize = 400, sampleFilterK = 8))
+      assert(filtered == tp, s"trial $trial: sampleFilterK changed the skyline")
     }
   }
 

@@ -370,6 +370,20 @@ object SparkEntry {
         .select("vec_id", "label", "score")
     },
 
+    // BATCH top-k: 5 query vectors against the whole corpus in ONE
+    // scan — queries broadcast, scoring codegen'd, and the per-query
+    // limit planned as WindowGroupLimit so each task pre-trims to its
+    // local top k before the qid shuffle (plan-asserted in
+    // VectorSimSpec). The serving shape when lookups amortize a pass.
+    "q_knn_batch" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorSim.topKBatch(e, "embedding", queries, "qid", "qv", k = 5, tieBreak = "vec_id")
+        .select("qid", "vec_id", "label", "score", "rank")
+        .orderBy("qid", "rank")
+    },
+
     // The IVF SERVING path: build the at-rest index once
     // (partitionBy("list") parquet + centroid sidecar), then answer the
     // query by reading ONLY the 4 probed list-partitions — the list
@@ -687,6 +701,18 @@ object SparkEntry {
         TextFunctions.fingerprint(col("text")).as("fp_md5"),
         TextFunctions.rollingFingerprint(col("text")).as("fp_roll"))
         .orderBy("doc_id")
+    },
+
+    // Corpus bigram counts, top 20 — the vocabulary-statistics shape
+    // (explode → groupBy with map-side partial agg → one keyed shuffle
+    // → TakeOrderedAndProject; only 20·partitions rows reach the
+    // driver-side merge regardless of corpus size).
+    "q_ngram_topk" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.ngrams(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("ngram").asc)
+        .limit(20)
     },
 
     // ---- GSOD fixed-width ingest (reference source format) ------------
@@ -1077,6 +1103,31 @@ object SparkEntry {
         |JOIN embeddings emb ON dots.vec_id = emb.vec_id
         |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin,
 
+    // Batch form of q_knn: same double-precision unnest cosine, one
+    // row_number per query id. Norm product written ne.n * nq.n to
+    // match the engine's corpus-norm × query-norm multiply order.
+    "q_knn_batch" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id, sum(e.x * q.x) AS d
+        |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < 5
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dots.qid, dots.vec_id,
+        |    round(CASE WHEN ne.n * nq.n > 0 THEN dots.d / (ne.n * nq.n) ELSE 0.0 END, 6) AS score
+        |  FROM dots
+        |  JOIN norms ne ON dots.vec_id = ne.vec_id
+        |  JOIN norms nq ON dots.qid = nq.vec_id)
+        |SELECT qid, vec_id, label, score, rank FROM (
+        |  SELECT s.qid, s.vec_id, emb.label, s.score,
+        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id ASC) AS rank
+        |  FROM scored s JOIN embeddings emb ON s.vec_id = emb.vec_id)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
     "q_cosine_pairs" ->
       """WITH ev AS (
         |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -1380,6 +1431,18 @@ object SparkEntry {
         |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
         |    (a, x) -> (a * 1000003 + x) % 2147483647) AS fp_roll
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Occurrence bigrams (NOT the per-doc distinct shingle set the
+    // dedup oracles use): one gram per starting token position.
+    "q_ngram_topk" ->
+      """WITH t AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS ngram
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT ngram, count(*) AS n FROM g
+        |GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
 
     // Stats that survive the fixed-width round trip: same shaping of
     // lineitem the Spark side formats+parses (3 real dims, 6 missing).

@@ -99,6 +99,46 @@ object VectorSim {
     }(enc)
   }
 
+  /** Exact top-k per query for a BATCH of query vectors — the serving
+    * shape when many lookups amortize one corpus pass. The query set is
+    * broadcast (small side by definition), scoring stays codegen'd
+    * Catalyst, and the per-query limit is a `row_number() <= k` rank
+    * filter that Spark 3.5+ plans as WindowGroupLimit: each task keeps
+    * only its local top k per query BEFORE the shuffle (asserted in
+    * VectorSimSpec), so the exchange moves ≤ k·queries rows per
+    * partition, never the scored cross product. One scan, one bounded
+    * shuffle, any corpus size.
+    *
+    * @param queries DataFrame of (qidCol, qvecCol) — must fit a
+    *                broadcast; thousands of queries are fine
+    * @return (qid, corpus columns, score, rank), rank 1..k per qid,
+    *         ties broken by `tieBreak` ascending
+    */
+  def topKBatch(
+      corpus: DataFrame,
+      vecCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      tieBreak: String): DataFrame = {
+    val q = broadcast(
+      queries.select(col(qidCol).as("qid"),
+        col(qvecCol).cast("array<double>").as("__qv"))
+        .withColumn("__qn", norm(col("__qv"))))
+    // corpus norm computed ONCE per row, not once per (row, query)
+    val c = corpus.withColumn("__cn", norm(col(vecCol).cast("array<double>")))
+    val nn = col("__cn") * col("__qn")
+    val score = when(nn > 0, dot(col(vecCol), col("__qv")) / nn).otherwise(lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col(tieBreak).asc)
+    c.crossJoin(q)
+      .withColumn("score", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__qv", "__qn", "__cn")
+  }
+
   def cosinePairs(
       df: DataFrame,
       vecCol: String,

@@ -41,7 +41,14 @@ object TextFunctions {
     * O(tokens²) regex work per document (measured 2× the entire
     * MinHash pipeline at sf0.1).
     */
-  def shingles(text: Column, n: Int): Column = {
+  def shingles(text: Column, n: Int): Column = array_distinct(ngrams(text, n))
+
+  /** All n-gram OCCURRENCES over whitespace tokens, position order
+    * preserved (one entry per starting token; [[shingles]] is the
+    * distinct-set view). The corpus-statistics primitive: explode +
+    * groupBy gives n-gram counts with map-side partial aggregation.
+    */
+  def ngrams(text: Column, n: Int): Column = {
     val ts = tokens(text)
     // grams_k[i] = tokens i..i+k-1 joined; shift-and-concat n-1 times.
     // zip_with pads the shorter side with nulls; concat propagates the
@@ -49,9 +56,8 @@ object TextFunctions {
     val grams = (2 to n).foldLeft(ts) { (acc, k) =>
       zip_with(acc, slice(ts, lit(k), size(ts)), (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(
-      when(size(ts) >= n, slice(grams, lit(1), size(ts) - (n - 1)))
-        .otherwise(array()))
+    when(size(ts) >= n, slice(grams, lit(1), size(ts) - (n - 1)))
+      .otherwise(array())
   }
 
   /** English-ish stopword list used by quality scoring and language ID. */

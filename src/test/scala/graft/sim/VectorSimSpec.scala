@@ -52,6 +52,28 @@ class VectorSimSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got == Set((0L, 1L), (2L, 3L))) // (0,2) cross-block excluded; (0,4) below threshold
   }
+
+  test("topKBatch: per-query results == single-query topK; limit is pushed below the shuffle") {
+    val rnd = new Random(13)
+    val rows = (0L until 60L).map(i => (i, (i % 3).toInt, Seq.fill(8)(rnd.nextGaussian())))
+    val df = vecs(rows: _*).repartition(4)
+    val queries = vecs(rows.take(3): _*)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = VectorSim.topKBatch(df, "embedding", queries, "qid", "qv", 5, "vec_id")
+    for (qid <- 0L until 3L) {
+      val got = batch.filter($"qid" === qid).orderBy($"rank")
+        .select("vec_id").as[Long].collect().toSeq
+      val single = VectorSim.topK(df, "embedding", rows(qid.toInt)._3.toArray, 5, "vec_id")
+        .select("vec_id").as[Long].collect().toSeq
+      assert(got == single, s"qid $qid")
+    }
+    // The scale claim: the rank-filter must plan as WindowGroupLimit,
+    // so each task pre-trims to its local top k per query BEFORE the
+    // qid exchange — without it the shuffle carries the whole scored
+    // cross product.
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"WindowGroupLimit missing:\n$plan")
+  }
 }
 
 class AnnLshSpec extends SparkSpec {

@@ -3,15 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.dedup.{Dedup, MinHashLsh, SimHash}
+import graft.dedup.{Decontaminate, Dedup, MinHashLsh, SimHash}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, RangeJoin, Salting}
+import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
 import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
-import graft.stats.RangeStats
-import graft.text.TextFunctions
+import graft.stats.{DistinctSketch, RangeStats}
+import graft.text.{QualityFilters, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -272,6 +272,62 @@ object SparkEntry {
         .map { case (code, sc) => sc.as(s"g_$code") }
       d.select(col("doc_id") +: scoreCols :+ TextFunctions.langIdNgram(t).as("lang_pred"): _*)
         .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition quality signals: duplicate/top token and
+    // n-gram fractions + the threshold gate. Tokens are materialized
+    // ONCE into a named column (CollapseProject keeps multiply-used
+    // non-cheap projections separate), then every signal is an array
+    // expression over that column — one tokenization pass per row.
+    "q_repetition" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      val ts = col("toks")
+      d.select(
+        col("doc_id"),
+        round(QualityFilters.dupTokenFrac(ts), 6).as("dup_tok"),
+        round(QualityFilters.topTokenFrac(ts), 6).as("top_tok"),
+        round(QualityFilters.dupNgramFrac(ts, 2), 6).as("dup_2gram"),
+        round(QualityFilters.topNgramFrac(ts, 2), 6).as("top_2gram"),
+        round(QualityFilters.topNgramFrac(ts, 3), 6).as("top_3gram"),
+        QualityFilters.repetitionOk(ts).cast("int").as("rep_ok"))
+        .orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: docs sharing any 5-token shingle with
+    // the "benchmark" slice (doc_id ≡ 0 mod 97 stands in for an eval
+    // set). Broadcast bench-shingle semi-join; nothing all-pairs.
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      Decontaminate.contaminated(corpus, bench, "text", "doc_id", n = 5)
+        .orderBy("doc_id")
+    },
+
+    // Deterministic training mix + split assignment: per-source keep
+    // rates and train/val/test cuts, both pure functions of
+    // (salt, doc_id) — layout/retry/cluster-size invariant, unlike
+    // df.sample. Rates and cuts are dyadic (exact in binary), so the
+    // threshold comparison is bit-identical in any IEEE engine.
+    "q_sample_mix" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val weights = (0 to 19).map { i =>
+        s"src$i" -> (if (i < 5) 1.0 else if (i < 10) 0.5 else if (i < 15) 0.25 else 0.125)
+      }.toMap
+      val mixed = Sampling.mixture(docs, "source", weights, "doc_id", salt = "mix1")
+      Sampling.assignSplit(mixed, "doc_id",
+        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625), salt = "split1")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    },
+
+    // KMV distinct-count sketch over document texts: k smallest 60-bit
+    // md5 hashes → (k−1)/(h₍ₖ₎/2⁶⁰). Unlike HLL++ the order-statistic
+    // sketch is exactly SQL-reproducible, so the estimate itself faces
+    // the oracle gate. Executors ship ≤ k hashes each; no value shuffle.
+    "q_distinct_kmv" -> { (s, dir) =>
+      DistinctSketch.kmv(Tables.load(s, dir, "documents"), "text", k = 128)
     },
 
     // ---- dedup over `documents` ---------------------------------------
@@ -721,6 +777,22 @@ object SparkEntry {
     // GSOD-layout lines (3 real dims, 6 at their missing sentinel),
     // parse them back with graft.io.Gsod, aggregate Range-style stats.
     // The oracle computes the same stats from lineitem directly.
+    // The reference's record-key rendering (Point.java:45-47,
+    // "%d_%d_%d" over stn + date div/mod — SURVEY §2 row 26): shape a
+    // deterministic (stn, YYYYMMDD) pair from lineitem, render, count
+    // per key. Unpadded exactly like the reference's %d.
+    "q_gsod_pk" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(100)) === 0)
+        .select(
+          Gsod.formatPk(
+            pmod(col("l_orderkey"), lit(1000000)).cast("int"),
+            year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+              dayofmonth(col("l_shipdate"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as("n"))
+        .orderBy("pk")
+    },
+
     "q_gsod_roundtrip" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
       val shaped = li.select(
@@ -1016,6 +1088,83 @@ object SparkEntry {
         |       WHEN g_fr = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'fr'
         |       ELSE 'zh' END AS lang_pred
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // Same tokenization contract; n-grams via generate_series + list
+    // slice (empty below width n, like the Spark side). The gate
+    // compares UNROUNDED fractions, mirroring repetitionOk.
+    "q_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(generate_series(1, len(toks)-1), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+        |    list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) AS g3
+        |  FROM t),
+        |m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS dup_tok,
+        |    CASE WHEN len(toks) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0) AS DOUBLE) / len(toks) ELSE 0.0 END AS top_tok,
+        |    CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS dup_2gram,
+        |    CASE WHEN len(g2) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d)))), 0) AS DOUBLE) / len(g2) ELSE 0.0 END AS top_2gram,
+        |    CASE WHEN len(g3) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(g3), d -> len(list_filter(g3, x -> x = d)))), 0) AS DOUBLE) / len(g3) ELSE 0.0 END AS top_3gram
+        |  FROM g)
+        |SELECT doc_id,
+        |  round(dup_tok, 6) AS dup_tok, round(top_tok, 6) AS top_tok,
+        |  round(dup_2gram, 6) AS dup_2gram, round(top_2gram, 6) AS top_2gram,
+        |  round(top_3gram, 6) AS top_3gram,
+        |  CAST(top_2gram <= 0.20 AND top_3gram <= 0.18 AND dup_2gram <= 0.60 AS INT) AS rep_ok
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Per-doc DISTINCT 5-gram sets on both sides (matching shingles'
+    // array_distinct), bench slice = doc_id ≡ 0 mod 97.
+    "q_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-4), i -> array_to_string(toks[i:i+4], ' '))) AS grams
+        |  FROM t),
+        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, count(*) AS n_hits
+        |FROM corpus c JOIN bench b ON c.gram = b.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The exact 60-bit md5-prefix hash arithmetic of Sampling.hashUnit;
+    // all rates/cuts dyadic so the double thresholds are exact.
+    "q_sample_mix" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u_mix,
+        |    ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u_split
+        |  FROM documents)
+        |SELECT doc_id, source,
+        |  CASE WHEN u_split < 0.875 THEN 'train'
+        |       WHEN u_split < 0.9375 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u
+        |WHERE u_mix < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0
+        |                   WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
+        |                   WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.25
+        |                   WHEN source IN ('src15','src16','src17','src18','src19') THEN 0.125
+        |                   ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // KMV replayed literally: distinct 60-bit hashes, 128 smallest,
+    // same two-division estimate expression.
+    "q_distinct_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |k AS (SELECT h FROM h ORDER BY h LIMIT 128)
+        |SELECT CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+        |  round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
+        |        ELSE CAST(count(*) - 1 AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 4) AS est_distinct
+        |FROM k""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT
@@ -1446,6 +1595,17 @@ object SparkEntry {
 
     // Stats that survive the fixed-width round trip: same shaping of
     // lineitem the Spark side formats+parses (3 real dims, 6 missing).
+    // %d_%d_%d with integer div/mod — DuckDB // and % on the same
+    // shaped (stn, YYYYMMDD) pair; both sides unpadded.
+    "q_gsod_pk" ->
+      """WITH shaped AS (
+        |  SELECT CAST(l_orderkey % 1000000 AS INT) AS stn,
+        |    year(l_shipdate) * 10000 + month(l_shipdate) * 100 + day(l_shipdate) AS d
+        |  FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT CAST(stn AS VARCHAR) || '_' || CAST(d // 10000 AS VARCHAR) || '_' || CAST(d % 10000 AS VARCHAR) AS pk,
+        |  count(*) AS n
+        |FROM shaped GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_gsod_roundtrip" ->
       """WITH shaped AS (
         |  SELECT CAST(round(l_quantity) AS DOUBLE) AS temp,

@@ -73,6 +73,18 @@ object Gsod {
     */
   def spec: SkylineSpec = SkylineSpec(valueFields.map(f => SkyDim(f.name, f.dir)))
 
+  /** The reference's record key rendering: `"STN_YYYY_MMDD"` via integer
+    * div/mod on the YYYYMMDD date (Point.java:45-47, `"%d_%d_%d"`).
+    * Deliberately unpadded like the reference — February 5th renders as
+    * `"..._205"`, not `"..._0205"`. NULL stn/date → NULL key
+    * (concat_ws would skip the part and silently shift the format;
+    * concat propagates the NULL instead).
+    */
+  def formatPk(stn: Column, date: Column): Column =
+    concat(stn.cast("string"), lit("_"),
+      floor(date / 10000).cast("int").cast("string"), lit("_"),
+      pmod(date, lit(10000)).cast("int").cast("string"))
+
   /** JVM single-pass variant of [[parse]] (one `mapPartitions`, all 22
     * fields per line in one scan). Bit-identical to the Catalyst form —
     * same trim/cast-or-NULL/sentinel semantics — but ~3× faster on wide

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling, split assignment, and source mixing for
+  * training-data pipelines.
+  *
+  * Spark's `df.sample` is seed-stable only for a fixed partitioning —
+  * repartition the input and the sample changes. These operators hash
+  * the ROW KEY instead: a document keeps or loses its place in the mix
+  * regardless of layout, cluster size, or retry, which is what makes a
+  * 100 TB training mix reproducible (and auditable: membership is a
+  * pure function of (salt, key)).
+  *
+  * The hash is the first 15 hex digits of md5 — a 60-bit value that
+  * fits a signed long in every engine (the repo-wide md5-prefix
+  * discipline, [[graft.util.Md5Hash]]), scaled to a unit double. All
+  * per-row expressions, no UDFs, no shuffle; filters sit directly on
+  * the scan.
+  */
+object Sampling {
+
+  private val TwoPow60 = 1152921504606846976.0
+
+  /** Deterministic unit-interval hash of (salt, key): u ∈ [0, 1).
+    * Division by 2⁶⁰ only rounds the mantissa (exact power-of-two
+    * exponent), so Spark and any IEEE-754 SQL engine produce the
+    * identical double.
+    */
+  def hashUnit(key: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), lit("|"), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / TwoPow60
+
+  /** Deterministic Bernoulli(rate) sample keyed on `keyCol`. */
+  def sample(df: DataFrame, keyCol: String, rate: Double, salt: String): DataFrame =
+    df.filter(hashUnit(col(keyCol), salt) < rate)
+
+  /** Per-source mixing: keep each row with probability
+    * `weights(source)` (0 for unlisted sources). This is how a corpus
+    * is down/up-weighted into a training mix — e.g. keep 100% of books,
+    * 30% of common-crawl. Weights > 1 are capped at keep-always (true
+    * up-sampling needs row replication — see [[replicate]]).
+    */
+  def mixture(
+      df: DataFrame,
+      sourceCol: String,
+      weights: Map[String, Double],
+      keyCol: String,
+      salt: String): DataFrame = {
+    val rate = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (src, w)) => when(col(sourceCol) === src, lit(w)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(keyCol), salt) < rate)
+  }
+
+  /** Integer up-sampling: repeat each row `copies(source)` times (default
+    * 1), tagging the copy index — the replication half of a >1× mix
+    * weight. explode of a literal-bounded sequence: no shuffle, output
+    * scales linearly and locally.
+    */
+  def replicate(
+      df: DataFrame,
+      sourceCol: String,
+      copies: Map[String, Int]): DataFrame = {
+    val nCol = copies.toSeq.sortBy(_._1).foldLeft(lit(1)) {
+      case (acc, (src, k)) => when(col(sourceCol) === src, lit(k)).otherwise(acc)
+    }
+    df.withColumn("copy", explode(sequence(lit(0), nCol - 1)))
+  }
+
+  /** Assign a named split by cumulative hash threshold: fractions
+    * ("train" 0.9, "val" 0.05, "test" 0.05) partition [0,1); every row
+    * lands in exactly one split, deterministically. Rows, not
+    * approximate quantiles — a key's split never changes as data grows.
+    */
+  def assignSplit(
+      df: DataFrame,
+      keyCol: String,
+      splits: Seq[(String, Double)],
+      salt: String): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val u = hashUnit(col(keyCol), salt)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.zip(cuts).init.foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), acc) => when(u < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -48,8 +48,15 @@ object TextFunctions {
     * distinct-set view). The corpus-statistics primitive: explode +
     * groupBy gives n-gram counts with map-side partial aggregation.
     */
-  def ngrams(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def ngrams(text: Column, n: Int): Column = ngramsOfTokens(tokens(text), n)
+
+  /** [[ngrams]] over an already-materialized token array column. Use this
+    * form when several gram widths are computed from one document: project
+    * `tokens(text)` into a named column first and the tokenization runs
+    * once per row instead of once per width (CollapseProject keeps a
+    * multiply-referenced non-cheap projection as its own step).
+    */
+  def ngramsOfTokens(ts: Column, n: Int): Column = {
     // grams_k[i] = tokens i..i+k-1 joined; shift-and-concat n-1 times.
     // zip_with pads the shorter side with nulls; concat propagates the
     // null, and the final slice drops the padded tail.

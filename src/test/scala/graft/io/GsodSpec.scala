@@ -130,4 +130,18 @@ class GsodSpec extends SparkSpec {
     assert((5 to 10).forall(back(0).isNullAt)) // the 6 never-set dims stay NULL
     assert((5 to 10).forall(back(1).isNullAt))
   }
+
+  test("formatPk renders %d_%d_%d unpadded with NULL propagation (Point.java:45-47)") {
+    val rows = Seq(
+      (Some(123), Some(20240115)),
+      (Some(6), Some(20100205)), // Feb 5 → "205", not "0205"
+      (None: Option[Int], Some(20240115)),
+      (Some(123), None: Option[Int])
+    ).toDF("stn", "date")
+      .select(Gsod.formatPk(col("stn"), col("date")).as("pk"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(rows(0) == "123_2024_115")
+    assert(rows(1) == "6_2010_205")
+    assert(rows(2) == null && rows(3) == null)
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+
+  test("sample is layout-invariant (same rows regardless of partitioning)") {
+    val a = Sampling.sample(docs, "id", 0.5, "s1").select("id").as[Long].collect().toSet
+    val b = Sampling.sample(docs.repartition(7), "id", 0.5, "s1")
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // Bernoulli(0.5) over 1000 keys: expect ~500, allow ±5σ (~±79).
+    assert(a.size > 420 && a.size < 580)
+  }
+
+  test("different salts draw different samples") {
+    val a = Sampling.sample(docs, "id", 0.5, "s1").select("id").as[Long].collect().toSet
+    val b = Sampling.sample(docs, "id", 0.5, "s2").select("id").as[Long].collect().toSet
+    assert(a != b)
+  }
+
+  test("mixture keeps per-source rates; unlisted sources drop") {
+    val kept = Sampling.mixture(docs, "source",
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), "id", "m1")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(kept.getOrElse("src0", 0L) == 250L) // rate 1.0 keeps everything
+    assert(!kept.contains("src2") && !kept.contains("src3"))
+    val k1 = kept.getOrElse("src1", 0L)
+    assert(k1 > 85 && k1 < 165) // 250 × 0.5 ± 5σ
+  }
+
+  test("assignSplit partitions every row exactly once, deterministically") {
+    val out = Sampling.assignSplit(docs, "id",
+      Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625), "sp1")
+    assert(out.count() == 1000L)
+    val byStn = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byStn.keySet == Set("train", "val", "test"))
+    assert(byStn("train") > 800L)
+    // re-run agrees row-for-row
+    val a = out.select("id", "split").as[(Long, String)].collect().toSet
+    val b = Sampling.assignSplit(docs.repartition(5), "id",
+      Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625), "sp1")
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("assignSplit rejects fractions that do not sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplit(docs, "id", Seq("a" -> 0.5, "b" -> 0.4), "x")
+    }
+  }
+
+  test("replicate repeats rows with tagged copy indices") {
+    val r = Sampling.replicate(docs, "source", Map("src1" -> 3))
+    assert(r.filter(col("source") === "src1").count() == 750L)
+    assert(r.filter(col("source") === "src0").count() == 250L)
+    val copies = r.filter(col("source") === "src1").select("copy")
+      .distinct().as[Int].collect().toSet
+    assert(copies == Set(0, 1, 2))
+  }
+}

@@ -7,6 +7,7 @@ import graft.dedup.{Decontaminate, Dedup, MinHashLsh, SimHash}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
+import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
@@ -275,22 +276,21 @@ object SparkEntry {
     },
 
     // Gopher-style repetition quality signals: duplicate/top token and
-    // n-gram fractions + the threshold gate. Tokens are materialized
-    // ONCE into a named column (CollapseProject keeps multiply-used
-    // non-cheap projections separate), then every signal is an array
-    // expression over that column — one tokenization pass per row.
+    // n-gram fractions + the threshold gate, via the one-pass JVM
+    // kernel (the Column forms are the pinned-equivalent semantic
+    // reference; inlined into nested HOF lambdas they cost O(n³) regex
+    // per row — see QualityFilters.withSignals).
     "q_repetition" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-      val ts = col("toks")
-      d.select(
-        col("doc_id"),
-        round(QualityFilters.dupTokenFrac(ts), 6).as("dup_tok"),
-        round(QualityFilters.topTokenFrac(ts), 6).as("top_tok"),
-        round(QualityFilters.dupNgramFrac(ts, 2), 6).as("dup_2gram"),
-        round(QualityFilters.topNgramFrac(ts, 2), 6).as("top_2gram"),
-        round(QualityFilters.topNgramFrac(ts, 3), 6).as("top_3gram"),
-        QualityFilters.repetitionOk(ts).cast("int").as("rep_ok"))
+      QualityFilters.withSignals(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
+        .select(
+          col("doc_id"),
+          round(col("dup_tok"), 6).as("dup_tok"),
+          round(col("top_tok"), 6).as("top_tok"),
+          round(col("dup_2gram"), 6).as("dup_2gram"),
+          round(col("top_2gram"), 6).as("top_2gram"),
+          round(col("top_3gram"), 6).as("top_3gram"),
+          col("rep_ok").cast("int").as("rep_ok"))
         .orderBy("doc_id")
     },
 
@@ -318,6 +318,26 @@ object SparkEntry {
       val mixed = Sampling.mixture(docs, "source", weights, "doc_id", salt = "mix1")
       Sampling.assignSplit(mixed, "doc_id",
         Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625), salt = "split1")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id")
+    },
+
+    // The full corpus-preparation pipeline end to end: quality +
+    // repetition gate → exact-dedup survivors → benchmark
+    // decontamination → deterministic mixture + split. One wide shuffle
+    // (the dedup window) + a broadcast semi-join; gates and mix ride
+    // the scan. Every stage is individually oracled above; this entry
+    // proves the COMPOSITION agrees end to end.
+    "q_pipeline" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      val weights = (0 to 19).map(i => s"src$i" -> (if (i < 10) 1.0 else 0.5)).toMap
+      TrainingPipeline.prepare(corpus, bench, "text", "doc_id", "source",
+        TrainingPipeline.Config(
+          minQuality = 0.5, decontamN = 5, weights = weights,
+          splits = Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
+          mixSalt = "mix1", splitSalt = "split1"))
         .select("doc_id", "source", "split")
         .orderBy("doc_id")
     },
@@ -1152,6 +1172,62 @@ object SparkEntry {
         |                   WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.25
         |                   WHEN source IN ('src15','src16','src17','src18','src19') THEN 0.125
         |                   ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // The composed pipeline, stage for stage: quality gate (q_text_stats
+    // tree), repetition gate (q_repetition tree, UNROUNDED), survivors
+    // window (q_dedup_exact fingerprint), 5-gram bench overlap
+    // (q_decontaminate shape), then the q_sample_mix hash arithmetic.
+    "q_pipeline" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, toks,
+        |    len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS sw,
+        |    CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) > 0
+        |      THEN CAST(len(regexp_replace(regexp_replace(text, '\s+', '', 'g'), '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / len(regexp_replace(text, '\s+', '', 'g'))
+        |      ELSE 0.0 END AS pr
+        |  FROM t WHERE doc_id % 97 <> 0),
+        |gate AS (
+        |  SELECT doc_id, source, toks,
+        |    list_transform(generate_series(1, len(toks)-1), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+        |    list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) AS g3
+        |  FROM q
+        |  WHERE round(0.5 * (least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+        |                     * least(1.0, 500.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0)))
+        |            + 0.3 * least(sw * 5.0, 1.0)
+        |            + 0.2 * (1.0 - least(pr * 2.0, 1.0)), 6) >= 0.5),
+        |gate2 AS (
+        |  SELECT doc_id, source, toks FROM gate
+        |  WHERE (CASE WHEN len(g2) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d)))), 0) AS DOUBLE) / len(g2) ELSE 0.0 END) <= 0.20
+        |    AND (CASE WHEN len(g3) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(g3), d -> len(list_filter(g3, x -> x = d)))), 0) AS DOUBLE) / len(g3) ELSE 0.0 END) <= 0.18
+        |    AND (CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END) <= 0.60),
+        |surv AS (
+        |  SELECT doc_id, source, toks FROM (
+        |    SELECT doc_id, source, toks,
+        |      row_number() OVER (PARTITION BY md5(array_to_string(toks, ' ')) ORDER BY doc_id) AS rn
+        |    FROM gate2) WHERE rn = 1),
+        |bg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(toks)-4), i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+        |  FROM t WHERE doc_id % 97 = 0),
+        |hit AS (
+        |  SELECT DISTINCT s.doc_id
+        |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks)-4), i -> array_to_string(toks[i:i+4], ' ')))) AS gram FROM surv) s
+        |  JOIN bg ON s.gram = bg.gram),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u_mix,
+        |    ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u_split
+        |  FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM hit))
+        |SELECT doc_id, source,
+        |  CASE WHEN u_split < 0.875 THEN 'train'
+        |       WHEN u_split < 0.9375 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM u
+        |WHERE u_mix < CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1.0 ELSE 0.5 END
         |ORDER BY doc_id""".stripMargin,
 
     // KMV replayed literally: distinct 60-bit hashes, 128 smallest,

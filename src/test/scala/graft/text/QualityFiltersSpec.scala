@@ -50,4 +50,28 @@ class QualityFiltersSpec extends SparkSpec {
       assert(ok, s"gate should pass for '$t'")
     }
   }
+
+  test("withSignals kernel ≡ Column forms on a varied fixture") {
+    val texts = Seq(
+      "a b a b a", "x", "", "  ", "go go go go go go",
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "Mixed CASE Mixed case tokens  with   runs\tof\nwhitespace",
+      (1 to 40).map(i => s"t${i % 7}").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val kernel = QualityFilters.withSignals(df, "text")
+      .select("id", "dup_tok", "top_tok", "dup_2gram", "top_2gram", "top_3gram", "rep_ok")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val ts = col("toks")
+    val columns = df.select(col("id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(
+        col("id"),
+        QualityFilters.dupTokenFrac(ts),
+        QualityFilters.topTokenFrac(ts),
+        QualityFilters.dupNgramFrac(ts, 2),
+        QualityFilters.topNgramFrac(ts, 2),
+        QualityFilters.topNgramFrac(ts, 3),
+        QualityFilters.repetitionOk(ts))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(kernel == columns)
+  }
 }

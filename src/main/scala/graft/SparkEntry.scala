@@ -322,6 +322,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Per-source TOKEN-budget fill (mixes are specified in tokens, not
+    // doc counts): hash-ordered prefix per source until the budget is
+    // crossed; soft cap — the crossing doc is kept. One window = one
+    // keyed sort-shuffle; selection layout-invariant.
+    "q_token_budget" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val budgets = (0 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 3000L else 1500L)).toMap
+      Sampling.tokenBudget(docs, "source", "n_chars", "doc_id", budgets, "tb1")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // The full corpus-preparation pipeline end to end: quality +
     // repetition gate → exact-dedup survivors → benchmark
     // decontamination → deterministic mixture + split. One wide shuffle
@@ -1172,6 +1184,21 @@ object SparkEntry {
         |                   WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.25
         |                   WHEN source IN ('src15','src16','src17','src18','src19') THEN 0.125
         |                   ELSE 0.0 END
+        |ORDER BY doc_id""".stripMargin,
+
+    // Cumulative window over the same hash order (ties by doc_id);
+    // soft-cap filter on the pre-row cumulative.
+    "q_token_budget" ->
+      """WITH u AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ('0x' || substr(md5('tb1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum
+        |  FROM u)
+        |SELECT doc_id, source, n_chars FROM c
+        |WHERE (cum - n_chars) < CASE WHEN source IN ('src0','src2','src4','src6','src8','src10','src12','src14','src16','src18') THEN 3000 ELSE 1500 END
         |ORDER BY doc_id""".stripMargin,
 
     // The composed pipeline, stage for stage: quality gate (q_text_stats

@@ -69,6 +69,41 @@ object Sampling {
     df.withColumn("copy", explode(sequence(lit(0), nCol - 1)))
   }
 
+  /** Fill a per-source TOKEN budget (training mixes are specified in
+    * tokens, not document counts): order each source's docs by the
+    * deterministic key hash and keep the prefix whose cumulative token
+    * count still fits `budgets(source)` — the first doc to cross the
+    * line is kept (budgets are soft caps, standard for corpus specs);
+    * unlisted sources are dropped. Selection is a pure function of
+    * (salt, key, token counts), layout-invariant like [[sample]].
+    *
+    * One window (= one keyed sort-shuffle on source) — the exact
+    * analogue of SQL `sum() OVER (PARTITION BY source ORDER BY hash)`,
+    * which is also the oracle. At 100 TB a per-source window sorts each
+    * source's rows once; sources are independent, so skew is bounded by
+    * the largest source (salting the window key does not work here —
+    * the cumulative order must be global per source — so very large
+    * sources should instead be pre-thinned with [[sample]] at an
+    * estimated rate before the exact budget pass).
+    */
+  def tokenBudget(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: String,
+      keyCol: String,
+      budgets: Map[String, Long],
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val budget = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (src, b)) => when(col(sourceCol) === src, lit(b)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(hashUnit(col(keyCol), salt), col(keyCol))
+    df.withColumn("__cum", sum(col(tokenCol)).over(w))
+      .filter(budget >= 0 && (col("__cum") - col(tokenCol)) < budget)
+      .drop("__cum")
+  }
+
   /** Assign a named split by cumulative hash threshold: fractions
     * ("train" 0.9, "val" 0.05, "test" 0.05) partition [0,1); every row
     * lands in exactly one split, deterministically. Rows, not

@@ -54,6 +54,22 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudget fills each source to its soft cap in hash order") {
+    val df = (0L until 20L).map(i => (i, if (i < 10) "a" else "b", 10L))
+      .toDF("id", "source", "toks")
+    val kept = Sampling.tokenBudget(df, "source", "toks", "id",
+      Map("a" -> 25L), "t1")
+    val bySrc = kept.groupBy("source").count().as[(String, Long)].collect().toMap
+    // 10-token docs, budget 25: cum 10/20/30 → 3 docs (crossing doc kept);
+    // source b unlisted → dropped entirely.
+    assert(bySrc == Map("a" -> 3L))
+    // layout-invariant and deterministic
+    val a = kept.select("id").as[Long].collect().toSet
+    val b = Sampling.tokenBudget(df.repartition(7), "source", "toks", "id",
+      Map("a" -> 25L), "t1").select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("replicate repeats rows with tagged copy indices") {
     val r = Sampling.replicate(docs, "source", Map("src1" -> 3))
     assert(r.filter(col("source") === "src1").count() == 750L)

@@ -46,6 +46,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 4L))
   }
 
+  test("streaming corpus ingest: quality gate kernel + watermarked dedup (stateless + one state op)") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val good = "the quick brown fox and the lazy dog is it that good to see"
+    val spammy = "spam spam spam spam spam spam spam spam the and is of it in is the and of"
+    val out = runToTable[(java.sql.Timestamp, Long, String)](
+      Seq(
+        Seq((ts(0), 1L, good), (ts(1), 2L, spammy)),   // spammy fails the gate
+        Seq((ts(2), 3L, good), (ts(3), 4L, "zz")),     // 3 is a dup of 1; 4 low quality
+        Seq((ts(4), 5L, good + " again"))
+      ),
+      Seq("ts", "doc_id", "text"),
+      df => graft.text.QualityFilters.withSignals(df, "text")
+        .filter(col("rep_ok") &&
+          graft.text.TextFunctions.qualityScore(col("text")) >= 0.5)
+        .withColumn("fp", graft.text.TextFunctions.fingerprint(col("text")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("fp"),
+      mode = "append")
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+  }
+
   test("streaming tumbling-window count == batch window count") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)

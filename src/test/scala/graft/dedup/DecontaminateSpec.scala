@@ -35,4 +35,15 @@ class DecontaminateSpec extends SparkSpec {
     assert(run(Long.MaxValue) == run(0L))
     assert(run(0L).nonEmpty)
   }
+
+  test("broadcast path plans a broadcast join (no corpus-side shuffle before the join)") {
+    // Note: below the limit the hint forces broadcast regardless of
+    // stats; above it Spark may STILL choose broadcast via its own
+    // autoBroadcastJoinThreshold on small inputs — the guard only
+    // withdraws the hint, so no negative assertion is possible here.
+    val plan = Decontaminate
+      .contaminated(corpus, bench, "text", "doc_id", n = 3, broadcastLimit = Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }

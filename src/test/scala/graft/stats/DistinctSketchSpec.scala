@@ -30,4 +30,11 @@ class DistinctSketchSpec extends SparkSpec {
     val df = ((1 to 50).map(i => Some(s"v$i")) ++ Seq(None, None)).toDF("v")
     assert(DistinctSketch.kmv(df, "v", 128).head().getLong(0) == 50L)
   }
+
+  test("plan is distinct-aggregate + TakeOrdered (k-bounded, no full value shuffle to one node)") {
+    val df = (1 to 1000).map(i => s"v$i").toDF("v")
+    val plan = DistinctSketch.kmv(df, "v", 64).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("GlobalLimit")) // the k-cut must be the top-k operator, not sort+limit
+  }
 }

@@ -51,6 +51,32 @@ class QualityFiltersSpec extends SparkSpec {
     }
   }
 
+  test("withSignals kernel ≡ Column forms on 200 random documents") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "bb", "the", "spam", "x9", "!", "Tok", "zz-q", "ö")
+    val texts = (0 until 200).map { _ =>
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(if (rnd.nextBoolean()) " " else "  ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val kernel = QualityFilters.withSignals(df, "text")
+      .select("id", "dup_tok", "top_tok", "dup_2gram", "top_2gram", "top_3gram", "rep_ok")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val ts = col("toks")
+    val columns = df.select(col("id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(
+        col("id"),
+        QualityFilters.dupTokenFrac(ts),
+        QualityFilters.topTokenFrac(ts),
+        QualityFilters.dupNgramFrac(ts, 2),
+        QualityFilters.topNgramFrac(ts, 2),
+        QualityFilters.topNgramFrac(ts, 3),
+        QualityFilters.repetitionOk(ts))
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(kernel == columns)
+  }
+
   test("withSignals kernel ≡ Column forms on a varied fixture") {
     val texts = Seq(
       "a b a b a", "x", "", "  ", "go go go go go go",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.dedup.{Decontaminate, Dedup, MinHashLsh, SimHash}
+import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
@@ -408,6 +408,30 @@ object SparkEntry {
       SimHash.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
         maxDist = 7)
         .orderBy("id_a", "id_b")
+    },
+
+    // Cluster resolution: MinHash near-dup PAIRS → connected components
+    // (alternating large-star/small-star, O(log n) keyed rounds) →
+    // (doc, component-min) labels. The stage between "a≈b" and "keep
+    // one per duplicate set"; oracle recomputes the pairs brute-force
+    // and closes them transitively with a recursive CTE.
+    "q_dedup_clusters" -> { (s, dir) =>
+      val pairs = MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.5, bands = 32, rows = 4)
+      Clusters.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy("id")
+    },
+
+    // Embedding-cosine near-dup dedup end to end: exact cosine pairs
+    // (label-blocked) → components → keep the min vec_id per cluster,
+    // vectors in no pair survive untouched. One anti-join against the
+    // loser set; the corpus itself is never reshuffled.
+    "q_dedup_embed" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val pairs = VectorSim.cosinePairs(e, "embedding", "vec_id", "label",
+        threshold = 0.3)
+      Clusters.survivors(e.select("vec_id", "label"), "vec_id", pairs, "id_a", "id_b")
+        .orderBy("vec_id")
     },
 
     // ---- embedding similarity over `embeddings` -----------------------
@@ -1335,6 +1359,65 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE list_sum(list_transform(range(1, 65), j -> CASE WHEN a.bv[j] <> b.bv[j] THEN 1 ELSE 0 END)) <= 7
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Same brute-force Jaccard pairs as q_dedup_minhash, transitively
+    // closed by a recursive CTE: comp(id) = min id reachable over the
+    // symmetric pair graph — exactly the star roots the large/small-star
+    // alternation converges to.
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // Cosine pairs (q_cosine_pairs' construction) → components → keep
+    // min vec_id per component; vectors in no pair pass through.
+    "q_dedup_embed" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
+        |  FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(CASE WHEN na.n * nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
+        |    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
+        |  WHERE score >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |losers AS (
+        |  SELECT id FROM (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+        |  WHERE id <> component)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin,
 
     // Double-precision cosine via unnest (DuckDB's
     // list_cosine_similarity computes in float32 — not oracle-grade).

@@ -1,0 +1,149 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over near-duplicate PAIRS — the
+  * cluster-resolution stage a dedup pipeline needs between "these two
+  * documents are near-dups" ([[Dedup.jaccardPairs]], [[MinHashLsh]],
+  * [[SimHash]], [[graft.sim.VectorSim.cosinePairs]]) and "keep exactly
+  * one representative per duplicate set". Near-dup similarity is not
+  * transitive, but dedup treats it as if it were: a↔b and b↔c puts all
+  * three in one cluster, and the cluster keeps its smallest id.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+  * standard O(log n)-round MapReduce formulation:
+  *
+  *  - large-star: for every node u, connect each STRICTLY LARGER
+  *    neighbor v > u to m(u) = min(Γ(u) ∪ {u});
+  *  - small-star: orient every edge large→small; for every node u,
+  *    connect u and each (≤) neighbor to m(u).
+  *
+  * Both steps preserve connectivity and monotonically pull every node
+  * toward its component's minimum; the edge set converges to a star
+  * rooted at each component's min id in O(log n) alternations (near-dup
+  * components are shallow in practice — a handful of rounds).
+  *
+  * Scale shape: each half-round is one keyed groupBy (min per node) and
+  * one keyed join (re-attach m(u) to u's edges) — no collect_list of
+  * neighborhoods (a hub node's neighbor ARRAY would OOM a task at web
+  * scale; the groupBy+join form keeps hubs as ordinary skewed keys that
+  * AQE splits), no driver-side graph, nothing quadratic. Convergence is
+  * detected by an order-insensitive (count, xor-of-hash) signature of
+  * the canonical edge set — one tiny agg job per round, no except().
+  */
+object Clusters {
+
+  /** Maximum large+small-star alternations before giving up (far above
+    * the O(log n) bound for any realistic graph; 2^60 nodes).
+    */
+  val MaxRounds = 60
+
+  /** Connected components of the undirected pair graph. Input: any
+    * DataFrame with two integral id columns (one row per edge; dupes,
+    * self-loops, and either orientation are fine). Output:
+    * `(id, component)` — one row per node that appears in at least one
+    * pair, `component` = the smallest id reachable from it. Nodes in no
+    * pair are absent (callers union them back as singletons; see
+    * [[survivors]]).
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val spark = pairs.sparkSession
+
+    // Canonical undirected edge set, oriented u > v.
+    var edges = truncateLineage(pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct())
+
+    var signature = edgeSignature(edges)
+    var rounds = 0
+    var converged = signature._1 == 0L // empty graph: nothing to do
+    while (!converged && rounds < MaxRounds) {
+      val next = truncateLineage(smallStar(largeStar(edges)))
+      val nextSig = edgeSignature(next) // materializes next's cache
+      edges.unpersist()
+      edges = next
+      converged = nextSig == signature
+      signature = nextSig
+      rounds += 1
+    }
+
+    // Stars: every edge is (member u, root v). Roots appear only on the
+    // v side; emit them as their own component rows.
+    val members = edges.select(col("u").as("id"), col("v").as("component"))
+    val roots = edges.select(col("v").as("id")).distinct()
+      .withColumn("component", col("id"))
+    members.unionByName(roots).distinct()
+  }
+
+  /** Large-star: connect every neighbor v > u to m(u) = min(Γ(u) ∪ {u}).
+    * Keyed groupBy for m(u), keyed join to re-emit — no neighborhood
+    * arrays. Edges arrive and leave in canonical (u > v) orientation.
+    */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionAll(edges.select(col("v").as("u"), col("u").as("v")))
+    // v ranges over Γ(u); min(v) already ≤ u whenever u has any smaller
+    // neighbor, and m(u) must also consider u itself.
+    val m = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v")) // v > u ≥ m, canonical
+      .distinct()
+  }
+
+  /** Small-star: edges already oriented u > v; connect u and every
+    * smaller neighbor to m(u) = min over them.
+    */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy("u").agg(min(col("v")).as("m")) // all v < u
+    val reattached = edges.join(m, "u")
+    val uToM = reattached.select(col("u"), col("m").as("v"))
+    val vToM = reattached.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    uToM.unionAll(vToM).distinct()
+  }
+
+  /** Cut the LOGICAL plan between rounds. Each star round references the
+    * previous edge set several times (symmetrization + the min join), so
+    * without truncation the analyzed plan TREE grows ~4× per round —
+    * exponential analysis/canonicalization cost and eventually a stack
+    * overflow, regardless of caching (persist() memoizes execution, not
+    * the plan). Rebuilding from the round's RDD resets the plan to a
+    * single scan; the previous round stays cached, so a cache miss
+    * recomputes at most one round, and RDD lineage depth is bounded by
+    * [[MaxRounds]].
+    */
+  private def truncateLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Order-insensitive multiset signature of the canonical edge set:
+    * (row count, sum of per-edge 64-bit hashes mod 2⁶⁴ — summed in
+    * decimal(38,0) so no overflow before the final truncation). One
+    * small agg job; collision probability ~2⁻⁶⁴ per comparison.
+    */
+  private def edgeSignature(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(
+      count(lit(1)),
+      coalesce(expr("sum(cast(xxhash64(u, v) as decimal(38,0)))"), lit(0))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
+  }
+
+  /** Near-dup survivors: every row of `df` except non-representative
+    * cluster members (the smallest id per connected component of
+    * `pairs` survives; rows in no pair trivially survive). One
+    * anti-join against the loser set — `df` itself is never shuffled
+    * on content.
+    */
+  def survivors(df: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String, bCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
+    df.join(losers.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}

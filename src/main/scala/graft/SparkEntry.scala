@@ -410,6 +410,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // Incremental dedup against an AT-REST fingerprint index: corpus
+    // (doc_id % 10 ≠ 3) written once as a table bucketed+sorted by
+    // fingerprint; the arriving batch (doc_id % 10 = 3) dedups
+    // within-batch then anti-joins the index — the index side is read
+    // in bucket layout with no Exchange (asserted in DedupSpec), so at
+    // 100 TB the historical corpus never reshuffles per batch.
+    "q_dedup_incr" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Dedup.writeFingerprintIndex(d.filter(col("doc_id") % 10 =!= 3),
+        "text", "doc_id", "graft_fp_idx_q", buckets = 32)
+      Dedup.incrementalSurvivors(d.filter(col("doc_id") % 10 === 3),
+        "text", "doc_id", "graft_fp_idx_q")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // Cluster resolution: MinHash near-dup PAIRS → connected components
     // (alternating large-star/small-star, O(log n) keyed rounds) →
     // (doc, component-min) labels. The stage between "a≈b" and "keep
@@ -1359,6 +1375,22 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE list_sum(list_transform(range(1, 65), j -> CASE WHEN a.bv[j] <> b.bv[j] THEN 1 ELSE 0 END)) <= 7
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // Keep-min-id within the batch, then drop content whose normalized
+    // fingerprint (q_dedup_exact's md5) already exists in the corpus.
+    "q_dedup_incr" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 3),
+        |surv AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fp WHERE doc_id % 10 = 3)
+        |SELECT doc_id FROM surv
+        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
 
     // Same brute-force Jaccard pairs as q_dedup_minhash, transitively
     // closed by a recursive CTE: comp(id) = min id reachable over the

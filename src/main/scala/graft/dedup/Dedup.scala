@@ -40,6 +40,54 @@ object Dedup {
       .drop("__rn")
   }
 
+  /** At-rest fingerprint index for INCREMENTAL dedup — the operational
+    * shape at 100 TB: the corpus is deduped once and its content
+    * fingerprints persist as a table bucketed (and sorted) by `fp`;
+    * each arriving batch then dedups against history via
+    * [[incrementalSurvivors]] WITHOUT reshuffling the historical index
+    * — only the (small) batch side moves. Same at-rest discipline as
+    * `IvfFlat.writeIndex` / `BucketedTables`: pay the layout once,
+    * every later probe is cheap.
+    *
+    * Bucket count should match the probing session's
+    * `spark.sql.shuffle.partitions` divisor story at production scale
+    * (~128 MB–1 GB per bucket); it is baked into the table layout.
+    */
+  def writeFingerprintIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String,
+      buckets: Int = 32): Unit =
+    graft.sources.BucketedTables.writeBucketed(
+      df.select(TextFunctions.fingerprint(col(textCol)).as("fp"),
+          col(idCol).as("keep_id"))
+        .groupBy("fp").agg(min(col("keep_id")).as("keep_id")),
+      table, "fp", buckets, sortCol = Some("fp"))
+
+  /** Dedup a new batch against an at-rest [[writeFingerprintIndex]]
+    * table: keep-min-id within the batch (the [[exactSurvivors]]
+    * window), then drop every row whose content fingerprint already
+    * exists in the corpus index (one left-anti join on `fp`).
+    *
+    * Plan shape (asserted in DedupSpec): the index side is scanned in
+    * its bucket layout with NO Exchange above it; the batch side's
+    * window exchange on `fp` is REUSED by the join when the session's
+    * shuffle partitioning matches the bucket count, so the whole
+    * operation shuffles the batch once and the corpus never.
+    */
+  def incrementalSurvivors(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      indexTable: String): DataFrame = {
+    val idx = batch.sparkSession.table(indexTable).select(col("fp"))
+    exactSurvivors(batch, textCol, idCol)
+      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .join(idx, Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Broadcast-verify guards: beyond either bound the exact-verify
     * stage joins the shingle arrays back per candidate pair
     * (shuffle-safe at any scale); within both, the per-doc shingle

@@ -11,6 +11,12 @@ class ClustersSpec extends SparkSpec {
     Clusters.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
       .as[(Long, Long)].collect().toMap
 
+  /** Force the distributed large/small-star path (driver limit 0). */
+  private def componentsDist(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Clusters.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b",
+      driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+
   /** Brute-force union-find reference. */
   private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
@@ -25,12 +31,15 @@ class ClustersSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  test("single edge, chain, and two separate components") {
-    assert(components(Seq((2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
+  test("single edge, chain, and two separate components (both paths)") {
+    val chainExpected =
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L)
     // chain 5-4-3-2-1 (worst case for naive propagation) + island {10,11}
     val edges = Seq((5L, 4L), (4L, 3L), (3L, 2L), (2L, 1L), (10L, 11L))
-    assert(components(edges) ==
-      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(components(Seq((2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
+    assert(components(edges) == chainExpected)
+    assert(componentsDist(Seq((2L, 1L))) == Map(1L -> 1L, 2L -> 1L))
+    assert(componentsDist(edges) == chainExpected)
   }
 
   test("dupes, self-loops, and either orientation are tolerated") {
@@ -43,7 +52,7 @@ class ClustersSpec extends SparkSpec {
     assert(Clusters.connectedComponents(empty, "id_a", "id_b").count() == 0)
   }
 
-  test("matches union-find on 30 random graphs") {
+  test("matches union-find on 30 random graphs (driver path)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 30) {
       val n = 2 + rnd.nextInt(40)
@@ -52,6 +61,18 @@ class ClustersSpec extends SparkSpec {
         .filter { case (a, b) => a != b }
       if (edges.nonEmpty)
         assert(components(edges) == ufComponents(edges), s"trial $trial edges=$edges")
+    }
+  }
+
+  test("distributed star rounds match union-find on 8 random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 8) {
+      val n = 2 + rnd.nextInt(30)
+      val nEdges = 1 + rnd.nextInt(45)
+      val edges = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (edges.nonEmpty)
+        assert(componentsDist(edges) == ufComponents(edges), s"trial $trial edges=$edges")
     }
   }
 

@@ -65,6 +65,31 @@ class DedupSpec extends SparkSpec with DedupFixture {
     assert(got.contains((2L, 3L)))
   }
 
+  test("incremental dedup vs at-rest fingerprint index: within-batch + vs-corpus, index never shuffled") {
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // corpus: docs 0-3; batch: 8 (dup of corpus 2 mod case), 9+10 dup of
+    // each other (keep 9), 11 fresh.
+    val corpus = docs.filter($"doc_id" <= 3)
+    val batch = Seq(
+      (8L, "PACK my box with five dozen liquor jugs before the long trip to the coast"),
+      (9L, "an entirely new document about nothing in particular at all"),
+      (10L, "an entirely NEW document about nothing in particular at ALL"),
+      (11L, "another genuinely fresh document unlike any other in the corpus")
+    ).toDF("doc_id", "text")
+    Dedup.writeFingerprintIndex(corpus, "text", "doc_id", "graft_fp_idx_t", buckets = 4)
+    try {
+      val surv = Dedup.incrementalSurvivors(batch, "text", "doc_id", "graft_fp_idx_t")
+      assert(surv.select("doc_id").as[Long].collect().toSet == Set(9L, 11L))
+      // the bucketed index scan must not sit under any Exchange
+      val plan = surv.queryExecution.executedPlan
+      val shuffledScans = plan.collect { case e: Exchange => e }
+        .flatMap(_.collectLeaves())
+        .collect { case s: FileSourceScanExec if s.bucketedScan => s }
+      assert(shuffledScans.isEmpty, s"index side was reshuffled:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fp_idx_t")
+  }
+
   test("jaccardPairs == brute force on a randomized overlap-heavy corpus") {
     // Small vocabulary forces heavy shingle sharing, so the prefix AND
     // positional filters both have to discard real candidate rows

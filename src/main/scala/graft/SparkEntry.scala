@@ -326,6 +326,18 @@ object SparkEntry {
     // doc counts): hash-ordered prefix per source until the budget is
     // crossed; soft cap — the crossing doc is kept. One window = one
     // keyed sort-shuffle; selection layout-invariant.
+    // Weighted sample without replacement (Efraimidis-Spirakis): the
+    // 100 longest-weighted documents by u^(1/n_chars) over the
+    // deterministic md5 unit hash — corpus curation's "best k by
+    // quality weight" primitive. TakeOrdered plan, no global sort; the
+    // 9-dp-rounded key makes the selected set engine-reproducible.
+    "q_weighted_sample" -> { (s, dir) =>
+      Sampling.weightedSample(Tables.load(s, dir, "documents"),
+        "doc_id", "n_chars", k = 100, salt = "ws1")
+        .select("doc_id", "wkey")
+        .orderBy("doc_id")
+    },
+
     "q_token_budget" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val budgets = (0 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 3000L else 1500L)).toMap
@@ -358,6 +370,23 @@ object SparkEntry {
     // md5 hashes → (k−1)/(h₍ₖ₎/2⁶⁰). Unlike HLL++ the order-statistic
     // sketch is exactly SQL-reproducible, so the estimate itself faces
     // the oracle gate. Executors ship ≤ k hashes each; no value shuffle.
+    // Misra-Gries heavy hitters as a Catalyst TypedImperativeAggregate:
+    // top-20 corpus tokens from a bounded-memory mergeable summary
+    // (≤ 256 counters per partial buffer) instead of shuffling the full
+    // token keyspace. Capacity far exceeds the fixture vocabulary, so
+    // counts are exact and the GROUP BY oracle applies (the
+    // exact-at-capacity discipline of q_distinct_kmv); the approximate
+    // regime's guarantees are pinned in HeavyHittersSpec.
+    "q_heavy_hitters" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("item"))
+        .agg(graft.stats.HeavyHitters.misraGries(col("item"), 256).as("mg"))
+        .select(explode(col("mg")).as("e"))
+        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
+        .orderBy(col("cnt").desc, col("item").asc)
+        .limit(20)
+    },
+
     "q_distinct_kmv" -> { (s, dir) =>
       DistinctSketch.kmv(Tables.load(s, dir, "documents"), "text", k = 128)
     },
@@ -1228,6 +1257,16 @@ object SparkEntry {
 
     // Cumulative window over the same hash order (ties by doc_id);
     // soft-cap filter on the pre-row cumulative.
+    "q_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    round(pow(('0x' || substr(md5('ws1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0,
+        |              1.0 / n_chars), 9) AS wkey
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, wkey FROM (
+        |  SELECT doc_id, wkey FROM u ORDER BY wkey DESC, doc_id ASC LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
     "q_token_budget" ->
       """WITH u AS (
         |  SELECT doc_id, source, n_chars,
@@ -1299,6 +1338,14 @@ object SparkEntry {
 
     // KMV replayed literally: distinct 60-bit hashes, 128 smallest,
     // same two-division estimate expression.
+    // Exact regime (capacity > vocabulary): plain token counts.
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS item
+        |  FROM documents)
+        |SELECT item, count(*) AS cnt FROM t
+        |GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 20""".stripMargin,
+
     "q_distinct_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h

@@ -104,6 +104,38 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Deterministic weighted sample WITHOUT replacement of size `k`
+    * (Efraimidis & Spirakis 2006): each row scores
+    * `wkey = u^(1/w)` with `u = ` [[hashUnit]]`(key)`, and the k
+    * LARGEST keys are the sample — inclusion odds proportional to the
+    * row's weight, selection a pure function of (salt, key, weight)
+    * like every sampler here. The standard "pick the best k documents,
+    * weighted by quality/length" primitive for corpus curation.
+    *
+    * Scale shape: `orderBy(...).limit(k)` plans as
+    * TakeOrderedAndProject — each task keeps a k-row heap, the driver
+    * merges per-partition heaps; no global sort, no full shuffle.
+    *
+    * `wkey` is rounded to 9 decimals BEFORE selection and kept in the
+    * output: `pow` is the one float op here without a cross-engine
+    * exactness guarantee (unlike the division in [[hashUnit]] and
+    * sqrt), and rounding + the key tie-break makes the selected SET,
+    * not just the values, engine-reproducible. Rows with weight ≤ 0 or
+    * NULL are excluded.
+    */
+  def weightedSample(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    val u = hashUnit(col(keyCol), salt)
+    df.filter(col(weightCol) > 0)
+      .withColumn("wkey", round(pow(u, lit(1.0) / col(weightCol)), 9))
+      .orderBy(col("wkey").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Assign a named split by cumulative hash threshold: fractions
     * ("train" 0.9, "val" 0.05, "test" 0.05) partition [0,1); every row
     * lands in exactly one split, deterministically. Rows, not

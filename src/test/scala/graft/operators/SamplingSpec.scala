@@ -70,6 +70,30 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("weightedSample: layout-invariant, TakeOrdered plan, weight-proportional inclusion") {
+    val weighted = (0L until 1000L).map(i => (i, if (i < 100) 50L else 1L))
+      .toDF("id", "w")
+    val s = Sampling.weightedSample(weighted, "id", "w", k = 200, salt = "ws")
+    assert(s.queryExecution.executedPlan.toString.contains("TakeOrdered"),
+      "expected TakeOrderedAndProject, not a global sort")
+    val ids = s.select("id").as[Long].collect().toSet
+    assert(ids.size == 200)
+    val idsRepart = Sampling.weightedSample(weighted.repartition(7), "id", "w",
+      k = 200, salt = "ws").select("id").as[Long].collect().toSet
+    assert(ids == idsRepart)
+    // 100 rows carry weight 50 vs 900 rows weight 1 — the heavy rows'
+    // share of the weight mass is 5000/5900 ≈ 85%; essentially all of
+    // them should make a 200-row sample (P[miss] is negligible), and
+    // they can never be the whole sample.
+    val heavy = ids.count(_ < 100)
+    assert(heavy >= 95, s"only $heavy of the weight-50 rows sampled")
+    // zero/negative weights are excluded outright
+    val withZero = (0L until 10L).map(i => (i, if (i % 2 == 0) 0L else 3L)).toDF("id", "w")
+    val z = Sampling.weightedSample(withZero, "id", "w", k = 10, salt = "ws")
+      .select("id").as[Long].collect().toSet
+    assert(z == Set(1L, 3L, 5L, 7L, 9L))
+  }
+
   test("replicate repeats rows with tagged copy indices") {
     val r = Sampling.replicate(docs, "source", Map("src1" -> 3))
     assert(r.filter(col("source") === "src1").count() == 750L)

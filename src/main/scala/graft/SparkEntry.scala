@@ -326,6 +326,17 @@ object SparkEntry {
     // doc counts): hash-ordered prefix per source until the budget is
     // crossed; soft cap — the crossing doc is kept. One window = one
     // keyed sort-shuffle; selection layout-invariant.
+    // Deterministic k-per-group sample: 3 docs per source by smallest
+    // (hash, key) — WindowGroupLimit pre-trims per task before the
+    // shuffle (asserted in SamplingSpec), so only ≤ k rows per
+    // (group, partition) move at any corpus size.
+    "q_group_sample" -> { (s, dir) =>
+      Sampling.perGroupSample(Tables.load(s, dir, "documents"),
+        "source", "doc_id", k = 3, salt = "pg1")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
     // Weighted sample without replacement (Efraimidis-Spirakis): the
     // 100 longest-weighted documents by u^(1/n_chars) over the
     // deterministic md5 unit hash — corpus curation's "best k by
@@ -1257,6 +1268,17 @@ object SparkEntry {
 
     // Cumulative window over the same hash order (ties by doc_id);
     // soft-cap filter on the pre-row cumulative.
+    "q_group_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    ('0x' || substr(md5('pg1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rn
+        |  FROM u)
+        |SELECT doc_id, source FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+
     "q_weighted_sample" ->
       """WITH u AS (
         |  SELECT doc_id,

@@ -136,6 +136,29 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic fixed-size sample PER GROUP: the k rows of each
+    * group with the smallest (hash, key) — "k examples per source" for
+    * inspection sets, few-shot pools, per-domain eval slices.
+    * Layout-invariant like every sampler here. The `row_number ≤ k`
+    * filter plans as WindowGroupLimit (spec-asserted): each task
+    * pre-trims to its local top-k per group BEFORE the shuffle, so the
+    * exchange moves ≤ k rows per (group, partition), never whole
+    * groups.
+    */
+  def perGroupSample(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashUnit(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Assign a named split by cumulative hash threshold: fractions
     * ("train" 0.9, "val" 0.05, "test" 0.05) partition [0,1); every row
     * lands in exactly one split, deterministically. Rows, not

@@ -94,6 +94,20 @@ class SamplingSpec extends SparkSpec {
     assert(z == Set(1L, 3L, 5L, 7L, 9L))
   }
 
+  test("perGroupSample: k per group, layout-invariant, WindowGroupLimit plan") {
+    val s = Sampling.perGroupSample(docs, "source", "id", k = 5, salt = "pg")
+    assert(s.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "expected WindowGroupLimit pre-trim before the shuffle")
+    val got = s.select("source", "id").as[(String, Long)].collect()
+    assert(got.groupBy(_._1).forall(_._2.length == 5))
+    val repart = Sampling.perGroupSample(docs.repartition(7), "source", "id",
+      k = 5, salt = "pg").select("source", "id").as[(String, Long)].collect()
+    assert(got.toSet == repart.toSet)
+    // a group smaller than k returns whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "source")
+    assert(Sampling.perGroupSample(tiny, "source", "id", 5, "pg").count() == 3)
+  }
+
   test("replicate repeats rows with tagged copy indices") {
     val r = Sampling.replicate(docs, "source", Map("src1" -> 3))
     assert(r.filter(col("source") === "src1").count() == 750L)

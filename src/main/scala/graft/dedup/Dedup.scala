@@ -88,6 +88,32 @@ object Dedup {
       .drop("fp")
   }
 
+  /** Streaming variant of [[incrementalSurvivors]] for continuous
+    * ingest: first-arrival-wins within the stream (stateful
+    * `dropDuplicates` on the fingerprint — windows don't exist on
+    * streams), then a stream-static LEFT ANTI join against the at-rest
+    * index, re-planned per micro-batch with the index side still in
+    * its bucket layout.
+    *
+    * State: dedup state on `fp` alone is unbounded; a production
+    * stream sets a watermark and passes `withinWatermark = true`
+    * (`dropDuplicatesWithinWatermark`) so fingerprint state ages out —
+    * exact-once only within the watermark horizon, the standard
+    * streaming-dedup contract.
+    */
+  def incrementalStreamSurvivors(
+      stream: DataFrame,
+      textCol: String,
+      indexTable: String,
+      withinWatermark: Boolean = false): DataFrame = {
+    val idx = stream.sparkSession.table(indexTable).select(col("fp"))
+    val keyed = stream.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+    val deduped =
+      if (withinWatermark) keyed.dropDuplicatesWithinWatermark("fp")
+      else keyed.dropDuplicates("fp")
+    deduped.join(idx, Seq("fp"), "left_anti").drop("fp")
+  }
+
   /** Broadcast-verify guards: beyond either bound the exact-verify
     * stage joins the shingle arrays back per candidate pair
     * (shuffle-safe at any scale); within both, the per-doc shingle

@@ -68,6 +68,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
   }
 
+  test("streaming incremental ingest anti-joins the static at-rest fingerprint index") {
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "pack my box with five dozen liquor jugs")
+    ).toDF("doc_id", "text")
+    graft.dedup.Dedup.writeFingerprintIndex(corpus, "text", "doc_id",
+      "graft_fp_idx_s", buckets = 4)
+    try {
+      val out = runToTable[(Long, String)](
+        Seq(
+          Seq((1L, "THE quick brown fox jumps over the lazy dog"), // dup of corpus 100
+              (2L, "a genuinely new streaming document")),
+          Seq((3L, "a genuinely NEW streaming document"), // dup of 2 in-stream
+              (4L, "another fresh document arriving later"))
+        ),
+        Seq("id", "text"),
+        df => graft.dedup.Dedup.incrementalStreamSurvivors(df, "text", "graft_fp_idx_s"),
+        mode = "append")
+      assert(out.select("id").as[Long].collect().toSet == Set(2L, 4L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_fp_idx_s")
+  }
+
   test("streaming tumbling-window count == batch window count") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)

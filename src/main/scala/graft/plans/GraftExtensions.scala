@@ -53,5 +53,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectParser((_, delegate) => new SkylineSqlParser(delegate))
     ext.injectPlannerStrategy(_ => SkylineStrategy)
     ext.injectOptimizerRule(_ => SkylineColumnPruning)
+    graft.sql.GraftFunctions.registrations.foreach(ext.injectFunction)
   }
 }

@@ -12,6 +12,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** EAGER ColumnNode → Catalyst conversion. [[expression]] wraps the
+    * Column's node lazily (`ColumnNodeExpression`), which only the
+    * DataFrame analyzer unwraps — an expression handed straight to a
+    * `FunctionRegistry` builder would reach codegen still wrapped and
+    * die Unevaluable. This converts the whole node tree up front
+    * (functions become ordinary `UnresolvedFunction`s the analyzer then
+    * resolves normally).
+    */
+  def resolvedExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
 
 /** Same one-hop pattern for `Dataset.ofRows` (private[sql]) — needed to

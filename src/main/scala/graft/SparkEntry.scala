@@ -322,10 +322,6 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // Per-source TOKEN-budget fill (mixes are specified in tokens, not
-    // doc counts): hash-ordered prefix per source until the budget is
-    // crossed; soft cap — the crossing doc is kept. One window = one
-    // keyed sort-shuffle; selection layout-invariant.
     // Deterministic k-per-group sample: 3 docs per source by smallest
     // (hash, key) — WindowGroupLimit pre-trims per task before the
     // shuffle (asserted in SamplingSpec), so only ≤ k rows per
@@ -338,10 +334,10 @@ object SparkEntry {
     },
 
     // Weighted sample without replacement (Efraimidis-Spirakis): the
-    // 100 longest-weighted documents by u^(1/n_chars) over the
-    // deterministic md5 unit hash — corpus curation's "best k by
-    // quality weight" primitive. TakeOrdered plan, no global sort; the
-    // 9-dp-rounded key makes the selected set engine-reproducible.
+    // 100 longest-weighted documents by the log-domain key ln(u)/n_chars
+    // (≡ u^(1/n_chars), but precision-stable at any weight scale) over
+    // the deterministic md5 unit hash — corpus curation's "best k by
+    // quality weight" primitive. TakeOrdered plan, no global sort.
     "q_weighted_sample" -> { (s, dir) =>
       Sampling.weightedSample(Tables.load(s, dir, "documents"),
         "doc_id", "n_chars", k = 100, salt = "ws1")
@@ -349,6 +345,10 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Per-source TOKEN-budget fill (mixes are specified in tokens, not
+    // doc counts): hash-ordered prefix per source until the budget is
+    // crossed; soft cap — the crossing doc is kept. One window = one
+    // keyed sort-shuffle; selection layout-invariant.
     "q_token_budget" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val budgets = (0 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 3000L else 1500L)).toMap
@@ -377,10 +377,6 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
-    // KMV distinct-count sketch over document texts: k smallest 60-bit
-    // md5 hashes → (k−1)/(h₍ₖ₎/2⁶⁰). Unlike HLL++ the order-statistic
-    // sketch is exactly SQL-reproducible, so the estimate itself faces
-    // the oracle gate. Executors ship ≤ k hashes each; no value shuffle.
     // Misra-Gries heavy hitters as a Catalyst TypedImperativeAggregate:
     // top-20 corpus tokens from a bounded-memory mergeable summary
     // (≤ 256 counters per partial buffer) instead of shuffling the full
@@ -398,6 +394,10 @@ object SparkEntry {
         .limit(20)
     },
 
+    // KMV distinct-count sketch over document texts: k smallest 60-bit
+    // md5 hashes → (k−1)/(h₍ₖ₎/2⁶⁰). Unlike HLL++ the order-statistic
+    // sketch is exactly SQL-reproducible, so the estimate itself faces
+    // the oracle gate. Executors ship ≤ k hashes each; no value shuffle.
     "q_distinct_kmv" -> { (s, dir) =>
       DistinctSketch.kmv(Tables.load(s, dir, "documents"), "text", k = 128)
     },
@@ -1266,8 +1266,7 @@ object SparkEntry {
         |                   ELSE 0.0 END
         |ORDER BY doc_id""".stripMargin,
 
-    // Cumulative window over the same hash order (ties by doc_id);
-    // soft-cap filter on the pre-row cumulative.
+    // row_number over the per-source hash order, keep rn <= 3.
     "q_group_sample" ->
       """WITH u AS (
         |  SELECT doc_id, source,
@@ -1279,16 +1278,20 @@ object SparkEntry {
         |  FROM u)
         |SELECT doc_id, source FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
 
+    // Log-domain ES key: selection on the UNROUNDED ln(u)/w, output
+    // rounded — see Sampling.weightedSample for why.
     "q_weighted_sample" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |    round(pow(('0x' || substr(md5('ws1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0,
-        |              1.0 / n_chars), 9) AS wkey
+        |    ln(('0x' || substr(md5('ws1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)
+        |      / n_chars AS wk
         |  FROM documents WHERE n_chars > 0)
-        |SELECT doc_id, wkey FROM (
-        |  SELECT doc_id, wkey FROM u ORDER BY wkey DESC, doc_id ASC LIMIT 100)
+        |SELECT doc_id, round(wk, 9) AS wkey FROM (
+        |  SELECT doc_id, wk FROM u ORDER BY wk DESC, doc_id ASC LIMIT 100)
         |ORDER BY doc_id""".stripMargin,
 
+    // Cumulative window over the same hash order (ties by doc_id);
+    // soft-cap filter on the pre-row cumulative.
     "q_token_budget" ->
       """WITH u AS (
         |  SELECT doc_id, source, n_chars,
@@ -1358,8 +1361,6 @@ object SparkEntry {
         |WHERE u_mix < CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1.0 ELSE 0.5 END
         |ORDER BY doc_id""".stripMargin,
 
-    // KMV replayed literally: distinct 60-bit hashes, 128 smallest,
-    // same two-division estimate expression.
     // Exact regime (capacity > vocabulary): plain token counts.
     "q_heavy_hitters" ->
       """WITH t AS (
@@ -1368,6 +1369,8 @@ object SparkEntry {
         |SELECT item, count(*) AS cnt FROM t
         |GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 20""".stripMargin,
 
+    // KMV replayed literally: distinct 60-bit hashes, 128 smallest,
+    // same two-division estimate expression.
     "q_distinct_kmv" ->
       """WITH h AS (
         |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h

@@ -37,27 +37,31 @@ import org.apache.spark.sql.functions._
   * neighborhoods (a hub node's neighbor ARRAY would OOM a task at web
   * scale; the groupBy+join form keeps hubs as ordinary skewed keys that
   * AQE splits), no driver-side graph, nothing quadratic. Convergence is
-  * detected by an order-insensitive (count, xor-of-hash) signature of
+  * detected by an order-insensitive (count, hash-sum) signature of
   * the canonical edge set — one tiny agg job per round, no except().
   */
 object Clusters {
 
-  /** Maximum large+small-star alternations before giving up (far above
-    * the O(log n) bound for any realistic graph; 2^60 nodes).
+  /** Maximum large+small-star alternations before FAILING (the proven
+    * worst-case bound is O(log² n) rounds, not O(log n) — 200 covers
+    * any graph that fits an edge DataFrame; typical near-dup graphs
+    * converge in < 10). Non-convergence throws rather than silently
+    * returning a non-star edge set as component labels.
     */
-  val MaxRounds = 60
+  val MaxRounds = 200
 
   /** Distinct-edge count under which components resolve with a driver
     * union-find instead of distributed star rounds. Near-dup EDGE sets
     * are orders of magnitude smaller than the corpus (a pair is two
     * documents the sketch already called ≈identical), so the common
-    * case fits comfortably: 4M edges ≈ 64 MB on the driver, resolved
-    * in well under a second vs ~log n Spark jobs. Same
-    * bounded-metadata-collect discipline as
-    * [[Dedup.BroadcastVerifyDocLimit]]; beyond the bound the
-    * distributed path takes over with no semantic change.
+    * case fits comfortably: 1M collected (Long, Long) edges is
+    * ~50-100 MB of driver heap WITH JVM boxing overhead (the honest
+    * number, not the 16-byte raw payload), resolved in well under a
+    * second vs ~log n Spark jobs. Same bounded-metadata-collect
+    * discipline as [[Dedup.BroadcastVerifyDocLimit]]; beyond the bound
+    * the distributed path takes over with no semantic change.
     */
-  val DriverEdgeLimit = 4000000L
+  val DriverEdgeLimit = 1000000L
 
   /** Connected components of the undirected pair graph. Input: any
     * DataFrame with two integral id columns (one row per edge; dupes,
@@ -84,7 +88,8 @@ object Clusters {
 
     val nEdges = edges.count()
     if (nEdges <= driverEdgeLimit) {
-      val result = driverComponents(spark, edges.collect().map(r => (r.getLong(0), r.getLong(1))))
+      import spark.implicits._
+      val result = driverComponents(spark, edges.as[(Long, Long)].collect())
       edges.unpersist()
       return result
     }
@@ -101,9 +106,17 @@ object Clusters {
       signature = nextSig
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $MaxRounds star rounds " +
+          s"(${signature._1} edges still changing) — refusing to emit wrong labels")
 
     // Stars: every edge is (member u, root v). Roots appear only on the
-    // v side; emit them as their own component rows.
+    // v side; emit them as their own component rows. The final round's
+    // edge cache backs the returned DataFrame lazily and cannot be
+    // dropped here — Spark's ContextCleaner frees it when the result
+    // goes out of scope (same note as Dedup's persisted shingle sets);
+    // batch harnesses call clearCache() between queries.
     val members = edges.select(col("u").as("id"), col("v").as("component"))
     val roots = edges.select(col("v").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -117,7 +130,6 @@ object Clusters {
     */
   private def driverComponents(spark: SparkSession,
                                edgeArr: Array[(Long, Long)]): DataFrame = {
-    import spark.implicits._
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
       var r = x
@@ -133,7 +145,10 @@ object Clusters {
     }
     val rows = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
     parent.keySet.forEach(k => rows += ((k, find(k))))
-    spark.createDataset(rows.toSeq).toDF("id", "component")
+    // parallelize, not createDataset: a LocalRelation would embed up to
+    // 2M rows into every plan that references the result
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1))
+      .toDF("id", "component")
   }
 
   /** Large-star: connect every neighbor v > u to m(u) = min(Γ(u) ∪ {u}).

@@ -82,8 +82,14 @@ object Dedup {
       idCol: String,
       indexTable: String): DataFrame = {
     val idx = batch.sparkSession.table(indexTable).select(col("fp"))
-    exactSurvivors(batch, textCol, idCol)
-      .withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+    // fingerprint once into a column shared by the keep-min-id window
+    // AND the join key — not exactSurvivors + a second fingerprint,
+    // which would tokenize+md5 every batch row twice
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol).asc)
+    batch.withColumn("fp", TextFunctions.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
       .join(idx, Seq("fp"), "left_anti")
       .drop("fp")
   }

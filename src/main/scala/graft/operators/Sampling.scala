@@ -105,23 +105,30 @@ object Sampling {
   }
 
   /** Deterministic weighted sample WITHOUT replacement of size `k`
-    * (Efraimidis & Spirakis 2006): each row scores
-    * `wkey = u^(1/w)` with `u = ` [[hashUnit]]`(key)`, and the k
-    * LARGEST keys are the sample — inclusion odds proportional to the
-    * row's weight, selection a pure function of (salt, key, weight)
-    * like every sampler here. The standard "pick the best k documents,
-    * weighted by quality/length" primitive for corpus curation.
+    * (Efraimidis & Spirakis 2006): each row scores `u^(1/w)` with
+    * `u = ` [[hashUnit]]`(key)`, and the k LARGEST keys are the sample
+    * — inclusion odds proportional to the row's weight, selection a
+    * pure function of (salt, key, weight) like every sampler here. The
+    * standard "pick the best k documents, weighted by quality/length"
+    * primitive for corpus curation.
+    *
+    * The key is computed and ordered in the LOG domain:
+    * `wkey = ln(u)/w`, monotone-equivalent to `u^(1/w)` (ln u < 0).
+    * The power form saturates — for w ~ 10⁶⁺ (byte sizes, token counts
+    * of long documents) u^(1/w) rounds to 1.0 across huge row ranges
+    * and any tie-break then biases the "sample" toward small keys —
+    * while ln(u)/w keeps full double precision at every weight scale
+    * (values merely approach 0⁻). Selection uses the UNROUNDED key:
+    * ln is within 1 ulp on every serious engine, so a cross-engine
+    * selection flip needs two rows within ~1 ulp of each other AND
+    * straddling rank k — vanishingly unlikely, unlike the guaranteed
+    * mass ties that fixed-decimal rounding creates. The OUTPUT column
+    * is rounded to 9 decimals for value comparison. Rows with
+    * weight ≤ 0 or NULL are excluded.
     *
     * Scale shape: `orderBy(...).limit(k)` plans as
     * TakeOrderedAndProject — each task keeps a k-row heap, the driver
     * merges per-partition heaps; no global sort, no full shuffle.
-    *
-    * `wkey` is rounded to 9 decimals BEFORE selection and kept in the
-    * output: `pow` is the one float op here without a cross-engine
-    * exactness guarantee (unlike the division in [[hashUnit]] and
-    * sqrt), and rounding + the key tie-break makes the selected SET,
-    * not just the values, engine-reproducible. Rows with weight ≤ 0 or
-    * NULL are excluded.
     */
   def weightedSample(
       df: DataFrame,
@@ -131,9 +138,11 @@ object Sampling {
       salt: String): DataFrame = {
     val u = hashUnit(col(keyCol), salt)
     df.filter(col(weightCol) > 0)
-      .withColumn("wkey", round(pow(u, lit(1.0) / col(weightCol)), 9))
-      .orderBy(col("wkey").desc, col(keyCol).asc)
+      .withColumn("__wk", log(u) / col(weightCol))
+      .orderBy(col("__wk").desc, col(keyCol).asc)
       .limit(k)
+      .withColumn("wkey", round(col("__wk"), 9))
+      .drop("__wk")
   }
 
   /** Deterministic fixed-size sample PER GROUP: the k rows of each

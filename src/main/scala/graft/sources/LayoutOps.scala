@@ -22,8 +22,8 @@ object LayoutOps {
 
   /** Write `df` range-partitioned AND sorted by `sortCols`. One range
     * shuffle (sampled bounds) at write time buys row-group pruning on
-    * every later read. `filesPerRange` stays 1 — each output file
-    * covers a disjoint key interval.
+    * every later read. `repartitionByRange(numFiles)` yields one file
+    * per range partition, each covering a disjoint key interval.
     */
   def writeSorted(df: DataFrame, path: String, sortCols: Seq[String], numFiles: Int): Unit =
     df.repartitionByRange(numFiles, sortCols.map(col): _*)

@@ -92,6 +92,13 @@ class SamplingSpec extends SparkSpec {
     val z = Sampling.weightedSample(withZero, "id", "w", k = 10, salt = "ws")
       .select("id").as[Long].collect().toSet
     assert(z == Set(1L, 3L, 5L, 7L, 9L))
+    // huge uniform weights (byte-size scale): the log-domain key keeps
+    // full precision, so selection stays hash-random instead of
+    // collapsing to ties resolved as "smallest ids win"
+    val huge = (0L until 1000L).map(i => (i, 100000000L)).toDF("id", "w")
+    val h = Sampling.weightedSample(huge, "id", "w", k = 100, salt = "ws")
+      .select("id").as[Long].collect().toSet
+    assert(h != (0L until 100L).toSet, "large weights degenerated to smallest-id selection")
   }
 
   test("perGroupSample: k per group, layout-invariant, WindowGroupLimit plan") {

@@ -237,17 +237,22 @@ object SparkEntry {
 
     // Per-document token counts, quality signals, composite score — all
     // codegen'd Column expressions (graft.text.TextFunctions).
+    // One-pass kernel (TextFunctions.withTextStats): the six Column
+    // forms each re-tokenize/re-regex the text (~6 regex passes/row);
+    // the kernel runs one split + one sub-word regex + one char scan,
+    // pinned ≡ the Column forms by TextStatsKernelSpec (nulls and
+    // non-ASCII included).
     "q_text_stats" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val t = col("text")
-      d.select(
-        col("doc_id"),
-        TextFunctions.tokenCount(t).as("n_tokens"),
-        size(TextFunctions.bpeTokens(t)).as("n_bpe"),
-        round(TextFunctions.meanTokenLen(t), 6).as("mean_tok_len"),
-        round(TextFunctions.stopwordRatio(t), 6).as("stopword_ratio"),
-        round(TextFunctions.punctRatio(t), 6).as("punct_ratio"),
-        TextFunctions.qualityScore(t).as("quality"))
+      TextFunctions.withTextStats(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_bpe"),
+          round(col("mean_tok_len"), 6).as("mean_tok_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          col("quality"))
         .orderBy("doc_id")
     },
 
@@ -476,6 +481,16 @@ object SparkEntry {
         "text", "doc_id", n = 3, threshold = 0.5, bands = 32, rows = 4)
       Clusters.connectedComponents(pairs, "id_a", "id_b")
         .orderBy("id")
+    },
+
+    // Dedup audit: duplicate-cluster size histogram over the MinHash
+    // components — the first sanity check on any dedup run (a few huge
+    // clusters = boilerplate, not duplication).
+    "q_cluster_stats" -> { (s, dir) =>
+      val pairs = MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.5, bands = 32, rows = 4)
+      Clusters.sizeHistogram(Clusters.connectedComponents(pairs, "id_a", "id_b"))
+        .orderBy("csize")
     },
 
     // Embedding-cosine near-dup dedup end to end: exact cosine pairs
@@ -1491,6 +1506,33 @@ object SparkEntry {
         |  UNION
         |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // q_dedup_clusters' closure, then sizes → histogram.
+    "q_cluster_stats" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+        |SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
 
     // Cosine pairs (q_cosine_pairs' construction) → components → keep
     // min vec_id per component; vectors in no pair pass through.

@@ -205,6 +205,17 @@ object Clusters {
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getDecimal(1).longValue())
   }
 
+  /** Dedup audit: duplicate-cluster size histogram — how many clusters
+    * of 2, of 3, … (singletons are rows in no pair and never appear in
+    * `components`). THE first sanity check on a dedup run: a handful of
+    * huge clusters usually means boilerplate or a degenerate shingle
+    * choice, not genuine duplication. Two keyed aggregations over the
+    * (already tiny) component labels.
+    */
+  def sizeHistogram(components: DataFrame): DataFrame =
+    components.groupBy(col("component")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+
   /** Near-dup survivors: every row of `df` except non-representative
     * cluster members (the smallest id per connected component of
     * `pairs` survives; rows in no pair trivially survive). One

@@ -208,4 +208,105 @@ object TextFunctions {
       lit(0L),
       (h, t) => pmod(h * B + conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(P)))
   }
+
+  /** One-pass JVM kernel computing ALL the text-stats columns —
+    * n_tokens, n_bpe, mean_tok_len, stopword_ratio, punct_ratio,
+    * quality — appended to `df`. Same discipline as
+    * [[QualityFilters.withSignals]] and `Gsod.parseLines`: the Column
+    * forms above are the semantic reference (pinned equivalent in
+    * TextStatsKernelSpec, non-ASCII included), the kernel is the hot
+    * path. Six independent Column projections each re-tokenize /
+    * re-regex the text (~6 regex passes per row); the kernel runs one
+    * split, one sub-word regex, and one character scan.
+    *
+    * Exactness notes (each pinned by spec):
+    *  - lengths count CODE POINTS, matching Spark's `length` on
+    *    UTF8String (Java's String.length counts UTF-16 units and would
+    *    diverge on astral chars);
+    *  - the character scan replicates java.util.regex semantics of the
+    *    Column forms' patterns: `\s` is ASCII-only, `[a-zA-Z0-9]` on
+    *    the ORIGINAL case (punct_ratio does not lowercase);
+    *  - ratio columns are emitted UNROUNDED (callers round like they
+    *    would the Column forms); quality rounds internally with the
+    *    same BigDecimal HALF_UP as Spark's `round`.
+    */
+  def withTextStats(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("n_tokens", IntegerType, nullable = true),
+      StructField("n_bpe", IntegerType, nullable = true),
+      StructField("mean_tok_len", DoubleType, nullable = false),
+      StructField("stopword_ratio", DoubleType, nullable = false),
+      StructField("punct_ratio", DoubleType, nullable = false),
+      StructField("quality", DoubleType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    val stopwords = stopwordsEn.toSet
+    val bpeRe = java.util.regex.Pattern.compile("[a-z0-9]+|[^a-z0-9\\s]")
+    df.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(idx)) {
+          // NULL text through the Column forms: size(null) = null for
+          // both counts; the when(...).otherwise(0.0) ratios fall to
+          // 0.0; qualityScore's null-skipping least/greatest chain
+          // evaluates to 0.5·1 + 0.3·0 + 0.2·1 = 0.7. Pinned in spec.
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ Seq(null, null, 0.0, 0.0, 0.0, 0.7))
+        } else {
+        val text = r.getString(idx)
+        val lower = text.toLowerCase(java.util.Locale.ROOT)
+        val toks = lower.split("\\s+").filter(_.nonEmpty)
+        val nTok = toks.length
+
+        var bpe = 0
+        val m = bpeRe.matcher(lower)
+        while (m.find()) bpe += 1
+
+        var tokLenSum = 0L // code points, matching length(t) per token
+        var sw = 0
+        toks.foreach { t =>
+          tokLenSum += t.codePointCount(0, t.length)
+          if (stopwords.contains(t)) sw += 1
+        }
+
+        // one scan ≡ length(regexp_replace(text,"\s+","")) and the
+        // [a-zA-Z0-9] strip — java \s is ASCII-only; count code points
+        var nonSpace = 0
+        var punct = 0
+        var i = 0
+        while (i < text.length) {
+          val cp = text.codePointAt(i)
+          val isSpace = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+            cp == '\f' || cp == '\r'
+          if (!isSpace) {
+            nonSpace += 1
+            val alnum = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') ||
+              (cp >= '0' && cp <= '9')
+            if (!alnum) punct += 1
+          }
+          i += Character.charCount(cp)
+        }
+
+        val meanLen = if (nTok > 0) tokLenSum.toDouble / nTok else 0.0
+        val swRatio = if (nTok > 0) sw.toDouble / nTok else 0.0
+        val pRatio = if (nonSpace > 0) punct.toDouble / nonSpace else 0.0
+
+        val nTokD = nTok.toDouble
+        val lenScore = math.min(nTokD / 20.0, 1.0) *
+          math.min(1.0, 500.0 / math.max(nTokD, 1.0))
+        val swScore = math.min(swRatio * 5.0, 1.0)
+        val punctScore = 1.0 - math.min(pRatio * 2.0, 1.0)
+        val quality = java.math.BigDecimal
+          .valueOf(0.5 * lenScore + 0.3 * swScore + 0.2 * punctScore)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+        // Seq[Any]: a bare Seq(Int, …, Double) unifies to Seq[Double]
+        // and silently widens the counts
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq ++ Seq[Any](nTok, bpe, meanLen, swRatio, pRatio, quality))
+        }
+      }
+    }(enc)
+  }
 }

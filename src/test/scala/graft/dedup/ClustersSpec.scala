@@ -76,6 +76,14 @@ class ClustersSpec extends SparkSpec {
     }
   }
 
+  test("sizeHistogram counts clusters by size") {
+    // components: {1,2,3} (size 3), {10,11} and {20,21} (size 2)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("id_a", "id_b")
+    val h = Clusters.sizeHistogram(Clusters.connectedComponents(pairs, "id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(h == Map(3L -> 1L, 2L -> 2L))
+  }
+
   test("survivors keeps component minima plus untouched rows") {
     val df = (0L to 9L).map(i => (i, s"row$i")).toDF("id", "payload")
     val pairs = Seq((0L, 1L), (1L, 2L), (5L, 7L)).toDF("id_a", "id_b")

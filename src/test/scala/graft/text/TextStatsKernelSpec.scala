@@ -1,0 +1,69 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Pins [[TextFunctions.withTextStats]] (one-pass kernel) exactly ≡ the
+  * Column forms it replaces — the same discipline as
+  * QualityFiltersSpec's kernel≡Column pin.
+  */
+class TextStatsKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def columnForms(df: DataFrame): DataFrame =
+    df.select(
+      col("id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      size(TextFunctions.bpeTokens(col("text"))).as("n_bpe"),
+      TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"),
+      TextFunctions.stopwordRatio(col("text")).as("stopword_ratio"),
+      TextFunctions.punctRatio(col("text")).as("punct_ratio"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+
+  private def kernel(df: DataFrame): DataFrame =
+    TextFunctions.withTextStats(df.select("id", "text"), "text")
+      .select("id", "n_tokens", "n_bpe", "mean_tok_len", "stopword_ratio",
+        "punct_ratio", "quality")
+
+  private def assertSame(df: DataFrame): Unit = {
+    // quality is rounded on both sides already; ratios compared raw —
+    // the kernel must reproduce the exact doubles, not approximations
+    val a = columnForms(df).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = kernel(df).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"column=$x kernel=$y") }
+  }
+
+  test("kernel == Column forms on hand-picked edge cases") {
+    assertSame(Seq(
+      (1L, "The quick brown fox and a lazy dog!!"),
+      (2L, ""),
+      (3L, "   "),
+      (4L, "...!!!???"),
+      (5L, "the the the the the"),
+      (6L, "word"),
+      (7L, "tabs\tand\nnewlines\r\nmixed  spacing"),
+      (8L, "MiXeD CaSe AnD 123 numb3rs"),
+      (9L, "café naïve résumé 中文 😀 emoji"),
+      (10L, "a.b,c;d:e(f)g[h]i{j}")
+    ).toDF("id", "text"))
+  }
+
+  test("kernel == Column forms with NULL text") {
+    val df = Seq((1L, Option("real text here")), (2L, None: Option[String]))
+      .toDF("id", "text")
+    assertSame(df)
+  }
+
+  test("kernel == Column forms on random corpora across partitionings") {
+    val rnd = new scala.util.Random(29)
+    val pieces = Seq("the", "of", "and", "word", "X9", "!", "...", "über",
+      "a", "to", "zz", "", " ", "\t")
+    val docs = (0L until 300L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(40))(pieces(rnd.nextInt(pieces.size)))
+        .mkString(" "))
+    }
+    for (parts <- Seq(1, 7)) assertSame(docs.toDF("id", "text").repartition(parts))
+  }
+}

@@ -257,14 +257,12 @@ object SparkEntry {
     },
 
     // Marker-word language heuristic; deterministic argmax with
-    // alphabetical tie-break (graft.text.TextFunctions.langId).
+    // alphabetical tie-break. One-pass kernel (withLangId) — the six
+    // Column forms each re-tokenize; pinned ≡ in TextStatsKernelSpec.
     "q_lang_id" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val t = col("text")
-      val scores = TextFunctions.langScores(t)
-      val scoreCols = TextFunctions.langMarkers.map(_._1).zip(scores)
-        .map { case (code, sc) => sc.as(s"s_$code") }
-      d.select(col("doc_id") +: scoreCols :+ TextFunctions.langId(t).as("lang_pred"): _*)
+      TextFunctions.withLangId(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")
         .orderBy("doc_id")
     },
 

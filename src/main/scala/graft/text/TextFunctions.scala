@@ -209,6 +209,51 @@ object TextFunctions {
       (h, t) => pmod(h * B + conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(P)))
   }
 
+  /** One-pass JVM kernel for marker-word language ID: appends the five
+    * per-language score columns (`s_de`…`s_zh`, [[langMarkers]] order)
+    * and `lang_pred` — one tokenization instead of six (each
+    * [[langScores]] column plus [[langId]]'s argmax re-tokenizes).
+    * Pinned ≡ the Column forms in TextStatsKernelSpec: ties break to
+    * the alphabetically-first code, all-zero → "und", NULL text →
+    * NULL scores + "und".
+    */
+  def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields ++
+      (langMarkers.map { case (code, _) => StructField(s"s_$code", IntegerType) } :+
+        StructField("lang_pred", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    val markerSets = langMarkers.map { case (code, ws) => (code, ws.toSet) }.toArray
+    df.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(idx)) {
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ markerSets.map(_ => null).toSeq :+ "und")
+        } else {
+          val toks = r.getString(idx).toLowerCase(java.util.Locale.ROOT)
+            .split("\\s+").filter(_.nonEmpty)
+          val scores = new Array[Int](markerSets.length)
+          toks.foreach { t =>
+            var i = 0
+            while (i < markerSets.length) {
+              if (markerSets(i)._2.contains(t)) scores(i) += 1
+              i += 1
+            }
+          }
+          var best = 0
+          scores.foreach(s => if (s > best) best = s)
+          val pred =
+            if (best == 0) "und"
+            else markerSets(scores.indexWhere(_ == best))._1
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ scores.toSeq :+ pred)
+        }
+      }
+    }(enc)
+  }
+
   /** One-pass JVM kernel computing ALL the text-stats columns —
     * n_tokens, n_bpe, mean_tok_len, stopword_ratio, punct_ratio,
     * quality — appended to `df`. Same discipline as

@@ -56,6 +56,41 @@ class TextStatsKernelSpec extends SparkSpec {
     assertSame(df)
   }
 
+  private def langColumnForms(df: DataFrame): DataFrame = {
+    val scoreCols = TextFunctions.langMarkers.map(_._1)
+      .zip(TextFunctions.langScores(col("text")))
+      .map { case (code, sc) => sc.as(s"s_$code") }
+    df.select(col("id") +: scoreCols :+ TextFunctions.langId(col("text")).as("lang_pred"): _*)
+  }
+
+  private def langKernel(df: DataFrame): DataFrame =
+    TextFunctions.withLangId(df.select("id", "text"), "text").drop("text")
+
+  test("langId kernel == Column forms: markers, ties, all-zero, nulls") {
+    val df = Seq(
+      (1L, Option("the quick fox and the dog is la la")),
+      (2L, Option("el que la y es de la")),
+      (3L, Option("xyzzy plugh")),              // all-zero -> und
+      (4L, Option("the le la est y und de")),   // cross-language tie
+      (5L, Option("")),
+      (6L, None: Option[String])
+    ).toDF("id", "text")
+    val a = langColumnForms(df).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = langKernel(df).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"column=$x kernel=$y") }
+  }
+
+  test("langId kernel == Column forms on random marker soup") {
+    val rnd = new scala.util.Random(31)
+    val vocab = TextFunctions.langMarkers.flatMap(_._2) ++ Seq("zz", "qq", "xx")
+    val docs = (0L until 200L).map { i =>
+      (i, Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("id", "text")
+    val a = langColumnForms(docs).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = langKernel(docs).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"column=$x kernel=$y") }
+  }
+
   test("kernel == Column forms on random corpora across partitionings") {
     val rnd = new scala.util.Random(29)
     val pieces = Seq("the", "of", "and", "word", "X9", "!", "...", "über",

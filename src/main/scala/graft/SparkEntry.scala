@@ -584,6 +584,23 @@ object SparkEntry {
         .select("vec_id", "label", "score")
     },
 
+    // BATCH serving through the index: 5 queries answered in ONE pass
+    // over the union of their probed list-partitions — broadcast
+    // (qid,list) routing, scoring fan-out bounded by probed lists, same
+    // WindowGroupLimit top-k as q_knn_batch. The IVF analog of q_knn_batch.
+    "q_ann_ivf_batch" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      IvfFlat.writeIndex(e, "embedding", "vec_id", nLists = 16, path)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      IvfFlat.topKIndexedBatch(s, path, "embedding", "vec_id",
+        queries, "qid", "qv", k = 5, nProbe = 4)
+        .select("qid", "vec_id", "label", "score", "rank")
+        .orderBy("qid", "rank")
+    },
+
     // ---- events: windows, JSON, grouped skyline -----------------------
 
     // Tumbling 1-day windowed aggregation per event type.
@@ -1664,6 +1681,52 @@ object SparkEntry {
     // squared-L2 assignment (ties to the smaller centroid rank), same
     // 4-list probe, exact double-precision cosine on the candidates.
     "q_ann_ivf" -> AnnIvfOracle,
+
+    // Batch IVF: the same quantizer/assignment replay, per-query probe
+    // lists (rn <= nProbe over centroid distance), candidates routed by
+    // assignment, q_knn_batch's scoring and rank shape.
+    "q_ann_ivf_batch" ->
+      """WITH cent AS (
+        |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
+        |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
+        |    FROM embeddings ORDER BY h LIMIT 16)),
+        |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+        |        generate_subscripts(cv, 1) AS j FROM cent),
+        |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+        |dists AS (
+        |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+        |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, rank FROM (
+        |    SELECT vec_id, rank,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS qid, rank FROM (
+        |    SELECT vec_id, rank,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+        |    FROM dists WHERE vec_id < 5) WHERE rn <= 4),
+        |cands AS (
+        |  SELECT p.qid, a.vec_id FROM assign a JOIN qprobe p ON a.rank = p.rank),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id, sum(e.x * q.x) AS dt
+        |  FROM ev e
+        |  JOIN ev q ON e.j = q.j AND q.vec_id < 5
+        |  JOIN cands cd ON cd.qid = q.vec_id AND cd.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dots.qid, dots.vec_id,
+        |    round(CASE WHEN ne.n * nq.n > 0 THEN dots.dt / (ne.n * nq.n) ELSE 0.0 END, 6) AS score
+        |  FROM dots
+        |  JOIN norms ne ON dots.vec_id = ne.vec_id
+        |  JOIN norms nq ON dots.qid = nq.vec_id)
+        |SELECT qid, vec_id, label, score, rank FROM (
+        |  SELECT s.qid, s.vec_id, emb.label, s.score,
+        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id ASC) AS rank
+        |  FROM scored s JOIN embeddings emb ON s.vec_id = emb.vec_id)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
 
     // The indexed serving path computes the identical answer (same
     // centroids, assignment, and probe set — only the at-rest layout

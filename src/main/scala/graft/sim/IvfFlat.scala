@@ -186,4 +186,63 @@ object IvfFlat {
         .drop("list"),
       vecCol, query, k, tieBreak = idCol)
   }
+
+  /** BATCH serving against the index: answer MANY queries in ONE pass
+    * over the UNION of their probed `list=` partitions. Each query's
+    * probe lists come from the centroid sidecar (driver-side, the
+    * query set is broadcast-small by contract, like
+    * [[VectorSim.topKBatch]]); a broadcast (qid, list) pair table then
+    * routes every index row ONLY to the queries that probed its list —
+    * scoring fan-out is Σ_q |probed lists of q|, never queries × corpus.
+    * Partition pruning still does the candidate read (only the union of
+    * probed lists is scanned), and the per-query top-k is the same
+    * WindowGroupLimit rank filter as topKBatch.
+    *
+    * @return (qid, index columns, score, rank), rank 1..k per qid
+    */
+  def topKIndexedBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      vecCol: String,
+      idCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val cents = readCentroids(spark, path)
+    val qRows = queries
+      .select(col(qidCol), col(qvecCol).cast("array<double>")).collect()
+    val pairRows = qRows.flatMap { r =>
+      probeLists(r.getSeq[Double](1).toArray, cents, nProbe).map(l => Row(r.get(0), l))
+    }
+    val pairs = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(pairRows.toSeq, 1),
+      StructType(Seq(
+        StructField("qid", queries.schema(qidCol).dataType),
+        StructField("list", IntegerType, nullable = false)))))
+    val allLists = pairRows.map(_.getInt(1)).distinct.sorted
+
+    val qv = broadcast(queries
+      .select(col(qidCol).as("qid"), col(qvecCol).cast("array<double>").as("__qv"))
+      .withColumn("__qn", VectorSim.norm(col("__qv"))))
+
+    val idx = spark.read.parquet(path)
+      .filter(col("list").isin(allLists.map(Integer.valueOf): _*))
+      .withColumn("__cn", VectorSim.norm(col(vecCol).cast("array<double>")))
+
+    val nn = col("__cn") * col("__qn")
+    val score = when(nn > 0,
+      VectorSim.dot(col(vecCol).cast("array<double>"), col("__qv")) / nn)
+      .otherwise(lit(0.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("score").desc, col(idCol).asc)
+    idx.join(pairs, Seq("list"))
+      .join(qv, Seq("qid"))
+      .withColumn("score", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .drop("__qv", "__qn", "__cn", "list")
+  }
 }

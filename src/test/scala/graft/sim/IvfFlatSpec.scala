@@ -71,6 +71,24 @@ class IvfFlatSpec extends SparkSpec {
     assert(all == exact)
   }
 
+  test("topKIndexedBatch == per-query topKIndexed, one pass over the probed union") {
+    val df = corpus(90, 8, 23)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString + "/idx"
+    IvfFlat.writeIndex(df, "embedding", "vec_id", nLists = 8, path)
+    val queries = df.filter($"vec_id" < 4)
+      .select($"vec_id".as("qid"), $"embedding".as("qv"))
+    val batch = IvfFlat.topKIndexedBatch(spark, path, "embedding", "vec_id",
+      queries, "qid", "qv", k = 5, nProbe = 3)
+      .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val single = (0L until 4L).map { qid =>
+      val q = df.filter($"vec_id" === qid).select($"embedding").head.getSeq[Double](0).toArray
+      qid -> IvfFlat.topKIndexed(spark, path, "embedding", "vec_id", q, k = 5, nProbe = 3)
+        .select("vec_id").as[Long].collect().toSeq
+    }.toMap
+    assert(batch == single)
+  }
+
   test("a clone of the query is recalled even at nProbe = 1") {
     // The clone quantizes to the same centroid as the query (they are
     // the same point up to scale), so the query's own nearest list —

@@ -46,6 +46,23 @@ class GraftFunctionsSpec extends SparkSpec {
     intercept[Exception] { spark.sql("SELECT graft_quality('a', 'b')").collect() }
   }
 
+  test("injectFunction wiring: functions resolve in an extensions-built session") {
+    // Mirrors SkylineSqlSpec's extensions e2e: getOrCreate may hand back
+    // the shared extension-less session, so only assert when the
+    // function actually resolved (the runtime-register path above is
+    // the always-on coverage).
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-fn-ext-test")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val viaExt = try {
+      Some(s2.sql("SELECT graft_token_count('a b c') AS n").head().getInt(0))
+    } catch { case _: Throwable => None }
+    viaExt.foreach(n => assert(n == 3))
+  }
+
   test("functions are expression-expanded, not UDFs (optimizer sees through them)") {
     assert(registered)
     val q = spark.sql("SELECT graft_token_count('a b c') AS n")

@@ -837,6 +837,20 @@ object SparkEntry {
         .orderBy("rf", "ls")
     },
 
+    // CUBE sibling of q_rollup: all 2^d grouping sets (adds the
+    // (·, linestatus) margins rollup omits). Same single-shuffle
+    // Expand-based plan family.
+    "q_cube" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    },
+
     // Exact distinct aggregation (count + sum of distincts per group).
     "q_distinct_agg" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
@@ -1924,6 +1938,13 @@ object SparkEntry {
         |  coalesce(l_linestatus, 'ALL') AS ls,
         |  count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
     "q_distinct_agg" ->

@@ -503,6 +503,22 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // The registered SQL-function surface end to end under the oracle
+    // gate: a pure spark.sql query through graft_fingerprint /
+    // graft_token_count / graft_quality / graft_lang_id (each expands
+    // to the codegen'd expression tree — GraftFunctions).
+    "q_sql_functions" -> { (s, dir) =>
+      graft.sql.GraftFunctions.register(s)
+      Tables.load(s, dir, "documents").createOrReplaceTempView("graft_docs_fn")
+      s.sql(
+        """SELECT doc_id,
+          |  graft_fingerprint(text) AS fp,
+          |  graft_token_count(text) AS n_tokens,
+          |  graft_quality(text) AS quality,
+          |  graft_lang_id(text) AS lang_pred
+          |FROM graft_docs_fn ORDER BY doc_id""".stripMargin)
+    },
+
     // ---- embedding similarity over `embeddings` -----------------------
 
     // Exact top-10 cosine neighbors of vec 0: one scan +
@@ -1404,6 +1420,44 @@ object SparkEntry {
         |FROM u
         |WHERE u_mix < CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1.0 ELSE 0.5 END
         |ORDER BY doc_id""".stripMargin,
+
+    // The md5 fingerprint, token count, quality formula, and lang
+    // argmax — exactly the q_dedup_exact / q_text_stats / q_lang_id
+    // expression trees, through the SQL-function names.
+    "q_sql_functions" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks,
+        |    regexp_replace(text, '\s+', '', 'g') AS nosp
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(toks, ' ')) AS fp,
+        |    len(toks) AS n_tokens,
+        |    CASE WHEN len(toks) > 0
+        |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / len(toks)
+        |      ELSE 0.0 END AS stopword_ratio,
+        |    CASE WHEN len(nosp) > 0
+        |      THEN CAST(len(regexp_replace(nosp, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / len(nosp)
+        |      ELSE 0.0 END AS punct_ratio,
+        |    len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist'))) AS s_de,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to'))) AS s_en,
+        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','es'))) AS s_es,
+        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','que'))) AS s_fr,
+        |    len(list_filter(toks, x -> x IN ('de5','shi4','le5','bu4','wo3','ni3'))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, fp, n_tokens,
+        |  round(0.5 * (least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+        |               * least(1.0, 500.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0)))
+        |      + 0.3 * least(stopword_ratio * 5.0, 1.0)
+        |      + 0.2 * (1.0 - least(punct_ratio * 2.0, 1.0)), 6) AS quality,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS lang_pred
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Exact regime (capacity > vocabulary): plain token counts.
     "q_heavy_hitters" ->

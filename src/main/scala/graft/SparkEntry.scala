@@ -506,7 +506,10 @@ object SparkEntry {
     // The registered SQL-function surface end to end under the oracle
     // gate: a pure spark.sql query through graft_fingerprint /
     // graft_token_count / graft_quality / graft_lang_id (each expands
-    // to the codegen'd expression tree — GraftFunctions).
+    // to the codegen'd expression tree — GraftFunctions). Each function
+    // tokenizes independently (~12 regex passes/row here) — that is the
+    // honest cost of the compatibility surface; hot paths use the
+    // one-pass kernels instead (q_text_stats, q_lang_id).
     "q_sql_functions" -> { (s, dir) =>
       graft.sql.GraftFunctions.register(s)
       Tables.load(s, dir, "documents").createOrReplaceTempView("graft_docs_fn")

@@ -77,8 +77,18 @@ class IvfFlatSpec extends SparkSpec {
     IvfFlat.writeIndex(df, "embedding", "vec_id", nLists = 8, path)
     val queries = df.filter($"vec_id" < 4)
       .select($"vec_id".as("qid"), $"embedding".as("qv"))
-    val batch = IvfFlat.topKIndexedBatch(spark, path, "embedding", "vec_id",
+    val batchDf = IvfFlat.topKIndexedBatch(spark, path, "embedding", "vec_id",
       queries, "qid", "qv", k = 5, nProbe = 3)
+    // the union-of-probed-lists filter must land as a PARTITION filter
+    // on the index scan, same as the single-query path. sparkPlan, not
+    // executedPlan: the joins make this an adaptive plan whose scans
+    // are hidden until execution
+    val scans = batchDf.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "list"))),
+      s"list filter missing from batch scan PartitionFilters")
+    val batch = batchDf
       .select("qid", "vec_id", "rank").as[(Long, Long, Int)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
     val single = (0L until 4L).map { qid =>

@@ -268,13 +268,13 @@ object SparkEntry {
 
     // Char-trigram sibling of q_lang_id (Cavnar-Trenkle-shape profile,
     // substring counting via length arithmetic — no regex, no tokens).
+    // One-pass kernel (withLangIdNgram): the Column forms rewrite the
+    // string 25 times (a replace per trigram); pinned ≡ in
+    // TextStatsKernelSpec.
     "q_lang_id_ngram" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val t = col("text")
-      val scores = TextFunctions.langNgramScores(t)
-      val scoreCols = TextFunctions.langTrigrams.map(_._1).zip(scores)
-        .map { case (code, sc) => sc.as(s"g_$code") }
-      d.select(col("doc_id") +: scoreCols :+ TextFunctions.langIdNgram(t).as("lang_pred"): _*)
+      TextFunctions.withLangIdNgram(
+        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
+        .drop("text")
         .orderBy("doc_id")
     },
 

@@ -254,6 +254,51 @@ object TextFunctions {
     }(enc)
   }
 
+  /** One-pass JVM kernel for char-trigram language ID: appends the five
+    * `g_de`…`g_zh` counts ([[langTrigrams]] order) and `lang_pred`.
+    * The Column forms evaluate `lower(text)` + a `replace` per trigram
+    * (25 string rewrites per row); the kernel lowercases once and
+    * counts all trigrams by non-overlapping left-to-right scan —
+    * exactly `replace`'s removal semantics. Pinned ≡ the Column forms
+    * in TextStatsKernelSpec (argmax/tie/und/null identical to
+    * [[withLangId]]).
+    */
+  def withLangIdNgram(df: org.apache.spark.sql.DataFrame, textCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(df.schema.fields ++
+      (langTrigrams.map { case (code, _) => StructField(s"g_$code", LongType) } :+
+        StructField("lang_pred", StringType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    val tris = langTrigrams.map { case (code, ts) => (code, ts.toArray) }.toArray
+    def countOcc(s: String, sub: String): Long = {
+      var c = 0L
+      var i = s.indexOf(sub)
+      while (i >= 0) { c += 1; i = s.indexOf(sub, i + sub.length) }
+      c
+    }
+    df.mapPartitions { it =>
+      it.map { r =>
+        if (r.isNullAt(idx)) {
+          org.apache.spark.sql.Row.fromSeq(
+            r.toSeq ++ tris.map(_ => null).toSeq :+ "und")
+        } else {
+          val lower = r.getString(idx).toLowerCase(java.util.Locale.ROOT)
+          val scores = tris.map { case (_, ts) =>
+            var s = 0L; ts.foreach(t => s += countOcc(lower, t)); s
+          }
+          var best = 0L
+          scores.foreach(s => if (s > best) best = s)
+          val pred =
+            if (best == 0L) "und"
+            else tris(scores.indexWhere(_ == best))._1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq ++ scores.toSeq :+ pred)
+        }
+      }
+    }(enc)
+  }
+
   /** One-pass JVM kernel computing ALL the text-stats columns —
     * n_tokens, n_bpe, mean_tok_len, stopword_ratio, punct_ratio,
     * quality — appended to `df`. Same discipline as

@@ -91,6 +91,30 @@ class TextStatsKernelSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y, s"column=$x kernel=$y") }
   }
 
+  test("langIdNgram kernel == Column forms on edge cases and trigram soup") {
+    def columnForms(df: DataFrame): DataFrame = {
+      val scoreCols = TextFunctions.langTrigrams.map(_._1)
+        .zip(TextFunctions.langNgramScores(col("text")))
+        .map { case (code, sc) => sc.as(s"g_$code") }
+      df.select(col("id") +: scoreCols :+
+        TextFunctions.langIdNgram(col("text")).as("lang_pred"): _*)
+    }
+    val rnd = new scala.util.Random(37)
+    val frags = TextFunctions.langTrigrams.flatMap(_._2) ++ Seq("xx", " ", "THE", "derder")
+    val docs = (Seq(
+      (9000L, Option("the theater gathered der kinder")),
+      (9001L, Option("")),
+      (9002L, None: Option[String]),
+      (9003L, Option("dededede")) // overlapping candidate: replace is non-overlapping
+    ) ++ (0L until 150L).map { i =>
+      (i, Option(Seq.fill(rnd.nextInt(20))(frags(rnd.nextInt(frags.size))).mkString("")))
+    }).toDF("id", "text")
+    val a = columnForms(docs).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val b = TextFunctions.withLangIdNgram(docs.select("id", "text"), "text").drop("text")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"column=$x kernel=$y") }
+  }
+
   test("kernel == Column forms on random corpora across partitionings") {
     val rnd = new scala.util.Random(29)
     val pieces = Seq("the", "of", "and", "word", "X9", "!", "...", "über",

@@ -1346,7 +1346,8 @@ object SparkEntry {
     "q_weighted_sample" ->
       """WITH u AS (
         |  SELECT doc_id,
-        |    ln(('0x' || substr(md5('ws1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)
+        |    ln(greatest(('0x' || substr(md5('ws1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0,
+        |                1.0 / 1152921504606846976.0))
         |      / n_chars AS wk
         |  FROM documents WHERE n_chars > 0)
         |SELECT doc_id, round(wk, 9) AS wkey FROM (

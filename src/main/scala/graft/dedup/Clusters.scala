@@ -67,9 +67,11 @@ object Clusters {
     * DataFrame with two integral id columns (one row per edge; dupes,
     * self-loops, and either orientation are fine). Output:
     * `(id, component)` — one row per node that appears in at least one
-    * pair, `component` = the smallest id reachable from it. Nodes in no
-    * pair are absent (callers union them back as singletons; see
-    * [[survivors]]).
+    * pair WITH A DISTINCT PARTNER, `component` = the smallest id
+    * reachable from it. Nodes in no pair — including nodes whose only
+    * pairs are self-loops, which the `a =!= b` filter drops — are
+    * absent (callers union them back as singletons; see [[survivors]],
+    * which keeps such rows, so no data loss).
     *
     * @param driverEdgeLimit distinct-edge count up to which the driver
     *        union-find path is used (0 forces the distributed rounds)
@@ -185,9 +187,14 @@ object Clusters {
     * exponential analysis/canonicalization cost and eventually a stack
     * overflow, regardless of caching (persist() memoizes execution, not
     * the plan). Rebuilding from the round's RDD resets the plan to a
-    * single scan; the previous round stays cached, so a cache miss
-    * recomputes at most one round, and RDD lineage depth is bounded by
-    * [[MaxRounds]].
+    * single scan. The loop unpersists round i-1 as soon as round i's
+    * cache is materialized, so should an executor later evict one of
+    * round i's MEMORY_AND_DISK blocks, the recompute walks the RDD
+    * lineage through the already-unpersisted earlier rounds — correct
+    * but potentially a full replay, not a one-round hop. Accepted:
+    * eviction of a just-materialized small edge set is rare, and
+    * holding two rounds cached would double peak footprint. Lineage
+    * depth stays bounded by [[MaxRounds]].
     */
   private def truncateLineage(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)

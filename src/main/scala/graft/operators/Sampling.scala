@@ -136,7 +136,12 @@ object Sampling {
       weightCol: String,
       k: Int,
       salt: String): DataFrame = {
-    val u = hashUnit(col(keyCol), salt)
+    // Clamp u away from 0 (probability 2⁻⁶⁰ per row): Spark's log(0)
+    // is NULL (row silently sorts last) but DuckDB's ln(0) raises —
+    // a cross-engine divergence. greatest(u, 2⁻⁶⁰) keeps both engines
+    // on the identical double (2⁻⁶⁰ is the hash's own smallest
+    // nonzero value, so the clamp never reorders real keys).
+    val u = greatest(hashUnit(col(keyCol), salt), lit(1.0 / TwoPow60))
     df.filter(col(weightCol) > 0)
       .withColumn("__wk", log(u) / col(weightCol))
       .orderBy(col("__wk").desc, col(keyCol).asc)

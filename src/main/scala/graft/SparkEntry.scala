@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash}
+import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash, SubstrDedup}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
@@ -467,6 +467,23 @@ object SparkEntry {
         "text", "doc_id", "graft_fp_idx_q")
         .select("doc_id")
         .orderBy("doc_id")
+    },
+
+    // SUBSTRING-level exact dedup (Lee et al. ACL'22 mode): maximal
+    // token spans repeated verbatim anywhere in the corpus — the
+    // shared-boilerplate-inside-distinct-documents case document-level
+    // dedup can't see. 5-token windows, fingerprint groupBy marks
+    // windows with >= 2 occurrences corpus-wide, gaps-and-islands
+    // window merges consecutive duplicated starts into maximal spans,
+    // >= 8 tokens reported (graft.dedup.SubstrDedup).
+    "q_dedup_substr" -> { (s, dir) =>
+      SubstrDedup.duplicatedSpans(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 5, minSpanTokens = 8)
+        // int positions → long: DuckDB range()/min/max are BIGINT and
+        // the driver's compare is dtype-strict.
+        .select(col("doc_id"), col("span_start").cast("long"),
+          col("span_end").cast("long"), col("span_tokens").cast("long"))
+        .orderBy("doc_id", "span_start")
     },
 
     // Cluster resolution: MinHash near-dup PAIRS → connected components
@@ -1565,6 +1582,32 @@ object SparkEntry {
         |SELECT doc_id FROM surv
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
         |ORDER BY doc_id""".stripMargin,
+
+    // Same 5-gram explode with 1-based start positions, same 60-bit
+    // md5-prefix fingerprint, HAVING >= 2 marks duplicated windows,
+    // pos - row_number() names the maximal runs.
+    "q_dedup_substr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS fp
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) - 3)) AS u(i)),
+        |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM g WHERE fp IN (SELECT fp FROM dup)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM f),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+        |    max(pos) - min(pos) + 5 AS span_tokens
+        |  FROM runs GROUP BY doc_id, grp)
+        |SELECT doc_id, span_start, span_end, span_tokens FROM spans
+        |WHERE span_tokens >= 8
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     // Same brute-force Jaccard pairs as q_dedup_minhash, transitively
     // closed by a recursive CTE: comp(id) = min id reachable over the

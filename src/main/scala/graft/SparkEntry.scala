@@ -9,7 +9,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
-import graft.sim.{AnnLsh, IvfFlat, VectorSim}
+import graft.sim.{AnnLsh, IvfFlat, KMeans, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.{DistinctSketch, RangeStats}
 import graft.text.{QualityFilters, TextFunctions}
@@ -637,6 +637,37 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // Deterministic distributed k-means (graft.sim.KMeans): md5-seeded
+    // init, 2 Lloyd refinement rounds with per-round centroid rounding
+    // (the cross-engine contract), final assignment pass. Per round:
+    // one centroid broadcast + one mapPartitions with mergeable
+    // per-cluster (sum, count) partials — shuffle moves k×partitions
+    // records, never data rows. The trained quantizer behind IVF
+    // (trainIters) and semantic dedup.
+    "q_kmeans" -> { (s, dir) =>
+      KMeans.assignments(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 8, iters = 2, salt = "km")
+        .select(col("vec_id"), col("cluster").cast("long"))
+        .orderBy("vec_id")
+    },
+
+    // SemDedup-style SEMANTIC dedup (Abbas et al. '23 shape): k-means
+    // clusters as the blocking key, exact cosine pairs only within a
+    // cluster (quadratic only inside a block), connected components,
+    // keep-min-id survivors. Composes KMeans.assignments +
+    // VectorSim.cosinePairs + Clusters.survivors — the all-pairs-free
+    // near-dup path when there is no natural block key in the data.
+    "q_dedup_semantic" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val assigned = KMeans.assignments(e, "embedding", "vec_id",
+        k = 8, iters = 2, salt = "km")
+      val pairs = VectorSim.cosinePairs(assigned, "embedding", "vec_id",
+        "cluster", threshold = 0.3)
+      Clusters.survivors(e.select("vec_id", "label"), "vec_id",
+        pairs, "id_a", "id_b")
+        .orderBy("vec_id")
+    },
+
     // ---- events: windows, JSON, grouped skyline -----------------------
 
     // Tumbling 1-day windowed aggregation per event type.
@@ -1048,6 +1079,49 @@ object SparkEntry {
       |JOIN norms ON dots.vec_id = norms.vec_id
       |JOIN embeddings emb ON dots.vec_id = emb.vec_id
       |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin
+
+  /** Unrolled Lloyd-iteration CTE chain replaying [[graft.sim.KMeans]]
+    * exactly: md5-ordered init (rank = md5 position), per-iteration
+    * squared-L2 assignment with ties to the smaller rank, per-cluster
+    * per-dim means rounded to 6 (the cross-engine centroid contract),
+    * empty clusters dropping out by construction (no rows in c{i}e).
+    * `iters` refinement rounds = `iters + 1` assignment CTEs; the
+    * caller appends a final SELECT over `a{iters+1}` (assignments) and
+    * `ev`. Starts with WITH RECURSIVE so callers may chain a recursive
+    * closure CTE after it.
+    */
+  private def kmeansCtes(k: Int, iters: Int, salt: String): String = {
+    val sb = new StringBuilder(
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |    generate_subscripts(embedding, 1) AS j
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |c0e AS (
+         |  SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+         |    generate_subscripts(cv, 1) AS j
+         |  FROM (SELECT row_number() OVER (ORDER BY h) - 1 AS rank, cv FROM (
+         |    SELECT md5('$salt:' || vec_id) AS h, embedding AS cv
+         |    FROM embeddings WHERE embedding IS NOT NULL
+         |    ORDER BY h LIMIT $k))),
+         |""".stripMargin)
+    for (i <- 1 to iters + 1) {
+      sb ++= s"""d$i AS (
+                |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+                |  FROM ev e JOIN c${i - 1}e c ON e.j = c.j GROUP BY 1, 2),
+                |a$i AS (
+                |  SELECT vec_id, rank FROM (
+                |    SELECT vec_id, rank,
+                |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+                |    FROM d$i) WHERE rn = 1),
+                |""".stripMargin
+      if (i <= iters)
+        sb ++= s"""c${i}e AS (
+                  |  SELECT a.rank, e.j, round(avg(e.x), 6) AS cx
+                  |  FROM a$i a JOIN ev e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+                  |""".stripMargin
+    }
+    sb.toString
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -1694,6 +1768,42 @@ object SparkEntry {
         |  WHERE id <> component)
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin,
+
+    // Full unrolled Lloyd replay (see kmeansCtes): the final CTE a3 is
+    // the assignment under the trained centroids.
+    "q_kmeans" ->
+      (kmeansCtes(k = 8, iters = 2, salt = "km").stripSuffix(",\n") +
+        "\nSELECT vec_id, rank AS cluster FROM a3 ORDER BY vec_id"),
+
+    // kmeansCtes assignments as the blocking key, then q_dedup_embed's
+    // within-block cosine pairs + recursive closure + keep-min-id.
+    "q_dedup_semantic" ->
+      (kmeansCtes(k = 8, iters = 2, salt = "km") +
+        """norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+          |dots AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
+          |  FROM ev a JOIN ev b ON a.j = b.j AND a.vec_id < b.vec_id
+          |  JOIN a3 ca ON ca.vec_id = a.vec_id
+          |  JOIN a3 cb ON cb.vec_id = b.vec_id AND cb.rank = ca.rank
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT id_a, id_b FROM (
+          |    SELECT id_a, id_b,
+          |      round(CASE WHEN na.n * nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
+          |    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
+          |  WHERE score >= 0.3),
+          |edges AS (
+          |  SELECT id_a AS src, id_b AS dst FROM pairs
+          |  UNION SELECT id_b, id_a FROM pairs),
+          |reach(id, comp) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+          |losers AS (
+          |  SELECT id FROM (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+          |  WHERE id <> component)
+          |SELECT vec_id, label FROM embeddings
+          |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin),
 
     // Double-precision cosine via unnest (DuckDB's
     // list_cosine_similarity computes in float32 — not oracle-grade).

@@ -30,15 +30,29 @@ object IvfFlat {
   /** The nLists (rank, centroid-vector) pairs, rank = position in
     * ascending md5-hex order (lowercase hex compares identically as a
     * string in the JVM and SQL binary collation).
+    *
+    * `trainIters > 0` swaps in the TRAINED quantizer: [[KMeans.fit]]
+    * refines these same md5-sampled seeds for `trainIters` Lloyd
+    * rounds (salt "ivf" keeps the seed set identical to the untrained
+    * baseline, so training is a strict refinement). Trained centroids
+    * track the data's actual density, so list sizes even out and
+    * recall-per-probe rises on clustered embeddings — measured in
+    * IvfFlatSpec on a planted-cluster fixture. Empty clusters drop
+    * out, so the index may have fewer than nLists lists; ranks are
+    * re-densified to keep `list` partition values contiguous.
     */
   private[sim] def centroids(
-      df: DataFrame, vecCol: String, idCol: String, nLists: Int): Array[Array[Double]] =
-    df.select(md5(concat(lit("ivf:"), col(idCol).cast("string"))).as("h"),
-        col(vecCol).cast("array<double>").as("v"))
-      .orderBy("h")
-      .limit(nLists)
-      .collect()
-      .map(r => r.getSeq[Double](1).toArray)
+      df: DataFrame, vecCol: String, idCol: String, nLists: Int,
+      trainIters: Int = 0): Array[Array[Double]] =
+    if (trainIters > 0)
+      KMeans.fit(df, vecCol, idCol, nLists, trainIters, salt = "ivf").map(_._2).toArray
+    else
+      df.select(md5(concat(lit("ivf:"), col(idCol).cast("string"))).as("h"),
+          col(vecCol).cast("array<double>").as("v"))
+        .orderBy("h")
+        .limit(nLists)
+        .collect()
+        .map(r => r.getSeq[Double](1).toArray)
 
   /** Squared L2, left-to-right. */
   private def sqDist(v: Seq[Double], c: Array[Double]): Double = {
@@ -101,8 +115,9 @@ object IvfFlat {
       query: Array[Double],
       k: Int,
       nLists: Int = 16,
-      nProbe: Int = 4): DataFrame = {
-    val cents = centroids(df, vecCol, idCol, nLists)
+      nProbe: Int = 4,
+      trainIters: Int = 0): DataFrame = {
+    val cents = centroids(df, vecCol, idCol, nLists, trainIters)
     val probed = probeLists(query, cents, nProbe)
     val assigned = assignWith(df, vecCol, cents, "list")
     VectorSim.topK(
@@ -142,9 +157,10 @@ object IvfFlat {
       vecCol: String,
       idCol: String,
       nLists: Int,
-      path: String): Unit = {
+      path: String,
+      trainIters: Int = 0): Unit = {
     val spark = df.sparkSession
-    val cents = centroids(df, vecCol, idCol, nLists)
+    val cents = centroids(df, vecCol, idCol, nLists, trainIters)
     assignWith(df, vecCol, cents, "list")
       .write.mode("overwrite").partitionBy("list").parquet(path)
     import spark.implicits._

@@ -113,4 +113,75 @@ class IvfFlatSpec extends SparkSpec {
       .select("vec_id").as[Long].collect()
     assert(got.sameElements(Array(99L)))
   }
+
+  test("trained quantizer beats hash-random recall on clustered data") {
+    // The hash-random failure mode is a SPLIT QUERY CLUSTER: two seeds
+    // inside one tight cluster shard it across two lists, and a
+    // one-probe query sees only one shard. Rather than hope the md5
+    // draw produces it, FORCE it: compute the three md5-smallest seed
+    // ids first (the exact order IvfFlat.centroids and KMeans.fit
+    // share, salt "ivf"), then build the geometry around them — seeds
+    // 0 and 1 inside cluster X, a heavier seedless cluster Y 10 units
+    // away, seed 2 in a far cluster Z. Lloyd provably repairs the
+    // split: Y's mass captures one of X's two centroids (round 1 mean
+    // lands between X and Y, then Y wins it outright), X reunifies
+    // under the other, so trained lists = true clusters. Hash-random
+    // keeps X sharded forever. Fully deterministic — no RNG at all.
+    val dim = 8
+    val n = 110L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bySeedOrder = (0L until n).sortBy(id => md5hex(s"ivf:$id"))
+    val seeds = bySeedOrder.take(3)
+    val rest = bySeedOrder.drop(3).sorted
+    val clusterOf: Map[Long, Int] =
+      (seeds.take(2).map(_ -> 0) ++ rest.take(28).map(_ -> 0) ++
+        rest.slice(28, 88).map(_ -> 1) ++
+        (seeds.drop(2) ++ rest.drop(88)).map(_ -> 2)).toMap
+    val centers = Map(0 -> 0.0, 1 -> 10.0, 2 -> 1000.0)
+    // The two X-seeds are PINNED at 0 and 0.1 on dim 0 with no other
+    // jitter: the initial Voronoi plane at x=0.05 is guaranteed to cut
+    // X's jitter cloud (±0.25), and every Y point is strictly nearer
+    // seed 1 (0.2·x − 0.01 > 0 for x ≈ 10) — the asymmetric capture
+    // Lloyd needs to hand Y one centroid and reunify X under the other.
+    // All points carry +100 on the LAST dim: IVF routes by L2 but
+    // scores by cosine, and the common offset puts the three clusters
+    // in distinct narrow cones so the cosine top-10 and the L2 cells
+    // agree (X-member ≈ 0.99998 vs Y-member ≈ 0.9952 vs Z ≈ 0.0995
+    // to an X query) without touching the Lloyd dynamics.
+    def vec(id: Long): Seq[Double] =
+      if (id == seeds(0)) Seq.fill(dim - 1)(0.0) :+ 100.0
+      else if (id == seeds(1)) (0.1 +: Seq.fill(dim - 2)(0.0)) :+ 100.0
+      else {
+        val c = clusterOf(id)
+        (0 until dim).map { d =>
+          (if (d == 0) centers(c) else 0.0) +
+            (if (d == dim - 1) 100.0 else 0.0) +
+            ((id * 37 + d * 11) % 11 - 5) * 0.05
+        }
+      }
+    val df = (0L until n).map(i => (i, clusterOf(i), vec(i)))
+      .toDF("vec_id", "label", "embedding")
+
+    def avgRecall(trainIters: Int): Double = {
+      val rs = for (c <- 0 to 2) yield {
+        val q = (0 until dim).map(d =>
+          (if (d == 0) centers(c) else 0.0) +
+            (if (d == dim - 1) 100.0 else 0.0) + 0.001).toArray
+        val exact = VectorSim.topK(df, "embedding", q, 10, "vec_id")
+          .select("vec_id").as[Long].collect().toSet
+        val got = IvfFlat.topK(df, "embedding", "vec_id", q, k = 10,
+          nLists = 3, nProbe = 1, trainIters = trainIters)
+          .select("vec_id").as[Long].collect().toSet
+        got.intersect(exact).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val hashRandom = avgRecall(0)
+    val trained = avgRecall(5)
+    assert(trained == 1.0, s"trained recall was $trained")
+    assert(trained > hashRandom,
+      s"trained ($trained) should beat hash-random ($hashRandom)")
+  }
 }

@@ -1,8 +1,9 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash, SubstrDedup}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
@@ -967,6 +968,38 @@ object SparkEntry {
         .select(col("doc_id"), col("rz.n_bytes").cast("long").as("rz_bytes"),
           round(col("rz.mean_byte"), 6).as("rz_mean"))
       perDoc.join(resized, "doc_id").orderBy("doc_id")
+    },
+
+    // REAL image decode (javax.imageio — in the JDK, no external
+    // codec): a deterministic checkerboard grayscale PNG is encoded
+    // per doc (dims and the two tones are pure functions of doc_id),
+    // then decoded back through the actual PNG codec. Gray PNG is
+    // lossless, so decoded width/height/channels/mean-luma equal the
+    // closed-form values the oracle computes arithmetically — the
+    // oracle checks the CODEC ROUND-TRIP, not a byte stub.
+    "q_multimodal_image" -> { (s, dir) =>
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val png = Tables.load(s, dir, "documents").select("doc_id")
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val w = (id % 13 + 4).toInt
+            val h = (id % 7 + 3).toInt
+            val v1 = (id % 256).toInt
+            val v2 = ((id * 7 + 13) % 256).toInt
+            val px = Array.tabulate(h, w)((y, x) => if ((x + y) % 2 == 0) v1 else v2)
+            Row(id, Multimodal.encodeGrayPng(px))
+          }
+        }(enc)
+      Multimodal.extractImageFeatures(png, "payload", "img")
+        .select(
+          col("doc_id"),
+          col("img.width").cast("long").as("width"),
+          col("img.height").cast("long").as("height"),
+          col("img.channels").cast("long").as("channels"),
+          round(col("img.mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id")
     },
 
     // ---- document fingerprinting ---------------------------------------
@@ -2192,6 +2225,26 @@ object SparkEntry {
         |  CAST(L // 2 AS BIGINT) AS rz_bytes,
         |  round(CASE WHEN L // 2 > 0 THEN rs / (L // 2) ELSE 0.0 END, 6) AS rz_mean
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Closed-form checkerboard statistics: the Spark side must decode
+    // the actual PNG it encoded to reproduce these (dims, 1 band, and
+    // mean = (n_even·v1 + n_odd·v2)/(w·h) where n_even counts (x+y)
+    // even cells = (w·h + (w%2)·(h%2)) // 2). Integer pixel sums are
+    // exact in double, so round(…, 6) is bit-stable on both sides.
+    "q_multimodal_image" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h,
+        |    doc_id % 256 AS v1, (doc_id * 7 + 13) % 256 AS v2
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, w, h, v1, v2,
+        |    (w * h + (w % 2) * (h % 2)) // 2 AS ne
+        |  FROM p)
+        |SELECT doc_id, w AS width, h AS height,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  round((ne * v1 + (w * h - ne) * v2) / CAST(w * h AS DOUBLE), 6) AS mean_luma
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // Same tokenization contract as q_dedup_exact; the rolling hash
     // mirrors TextFunctions.rollingFingerprint term by term (md5-prefix

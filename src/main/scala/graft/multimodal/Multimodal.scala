@@ -11,12 +11,15 @@ import org.apache.spark.sql.types._
   * `mapInPandas` stage (iterator-of-batches in, iterator-of-batches
   * out; one JVM object per row, bytes never copied through a string).
   *
-  * The actual codecs (JPEG/PNG/opus/h264) are NOT linked in this
-  * container, so [[decodeStub]] is a clearly-marked deterministic FAKE:
-  * it "decodes" a payload to (width, height, channels, mean byte) from
-  * the raw bytes. Everything around it — the schema contract, the
-  * batch iteration shape, partition sizing, null passthrough — is the
-  * real plumbing a production codec would drop into.
+  * IMAGES decode for real: [[decodeImage]] uses the JDK's own
+  * `javax.imageio` (PNG/JPEG/BMP/GIF ship with Java), so width/height/
+  * channels/mean-luma are true pixel statistics, and [[encodeGrayPng]]
+  * is the matching lossless re-encode. AUDIO/VIDEO codecs (opus/h264)
+  * are NOT in the JDK or this container, so [[decodeStub]] remains a
+  * clearly-marked deterministic FAKE for those: it "decodes" a payload
+  * to byte-level statistics. Everything around both — the schema
+  * contract, the batch iteration shape, partition sizing, null
+  * passthrough — is the real plumbing a production codec drops into.
   */
 object Multimodal {
 
@@ -48,6 +51,89 @@ object Multimodal {
       if (c == 0) acc else { val p = c / n; acc - p * math.log(p) / math.log(2) }
     }
     (bytes.length, sum / n, entropy)
+  }
+
+  /** Output schema of the REAL image decode ([[decodeImage]]). */
+  val imageFeatureType: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("mean_luma", DoubleType)))
+
+  /** REAL image decode via the JDK's own `javax.imageio` (PNG, JPEG,
+    * BMP, GIF — no external codec needed): (width, height, channels,
+    * mean luma). Luma is ITU-R BT.601 (0.299 R + 0.587 G + 0.114 B)
+    * for ≥3-band images, the raw sample for grayscale — read straight
+    * from the raster, never through `getRGB` (which color-space
+    * converts and would break bit-exact grayscale round-trips).
+    * Undecodable or empty payloads → None; only audio/video still go
+    * through [[decodeStub]], whose codecs genuinely are not in the JDK.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val r = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+    var sum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        sum +=
+          (if (bands >= 3)
+            0.299 * r.getSample(x, y, 0) + 0.587 * r.getSample(x, y, 1) +
+              0.114 * r.getSample(x, y, 2)
+          else r.getSample(x, y, 0).toDouble)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, bands, sum / (w.toLong * h)))
+  }
+
+  /** 8-bit grayscale PNG encode of a row-major pixel matrix — the
+    * re-encode half of a real image pipeline (and the deterministic
+    * fixture generator for testing [[decodeImage]]: gray PNG is
+    * lossless, so decode(encode(p)) == p exactly).
+    */
+  def encodeGrayPng(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixels(y)(x) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Append [[decodeImage]] features for a binary image column — same
+    * one-pass mapPartitions shape as [[extractFeatures]]; undecodable
+    * rows get a NULL struct (they stay in the frame for quarantine
+    * filtering rather than silently vanishing).
+    */
+  def extractImageFeatures(df: DataFrame, binCol: String, outCol: String): DataFrame = {
+    val outSchema = df.schema.add(outCol, imageFeatureType)
+    val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val feat = decodeImage(bytes)
+          .map { case (w, h, c, luma) => Row(w, h, c, luma) }
+          .orNull
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
   }
 
   /** Append extracted features for a binary media column. Runs as one

@@ -64,4 +64,38 @@ class MultimodalSpec extends SparkSpec {
     assert(m.getInt(1) == 4 && m.getInt(2) == 2) // width/height halved
     assert(out(1).isNullAt(1)) // NULL payload untouched
   }
+
+  test("decodeImage: lossless gray-PNG round trip through the real codec") {
+    val px = Array.tabulate(3, 5)((y, x) => (x * 40 + y * 7) % 256)
+    val Some((w, h, c, luma)) = Multimodal.decodeImage(Multimodal.encodeGrayPng(px))
+    assert((w, h, c) == (5, 3, 1))
+    val expected = px.flatten.sum.toDouble / 15
+    assert(luma == expected) // integer sums are exact in double
+  }
+
+  test("decodeImage: RGB JPEG decodes with 3 bands and true dims") {
+    val img = new java.awt.image.BufferedImage(
+      7, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 7) img.setRGB(x, y, (x * 30 << 16) | (y * 60 << 8) | 128)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val Some((w, h, c, luma)) = Multimodal.decodeImage(out.toByteArray)
+    assert((w, h, c) == (7, 4, 3))
+    assert(luma >= 0.0 && luma <= 255.0) // JPEG is lossy; only range-check
+  }
+
+  test("decodeImage: garbage, empty, and null payloads → None") {
+    assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+  }
+
+  test("extractImageFeatures: NULL struct for undecodable rows, real stats otherwise") {
+    val png = Multimodal.encodeGrayPng(Array.fill(2, 2)(100))
+    val d = df(Row(1L, png, Row("img", 2, 2, 1)), Row(2L, "junk".getBytes, Row("img", 0, 0, 1)))
+    val out = Multimodal.extractImageFeatures(d, "payload", "img").orderBy("id").collect()
+    val f = out(0).getStruct(3)
+    assert(f.getInt(0) == 2 && f.getInt(1) == 2 && f.getInt(2) == 1 && f.getDouble(3) == 100.0)
+    assert(out(1).isNullAt(3))
+  }
 }

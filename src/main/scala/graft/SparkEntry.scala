@@ -718,14 +718,45 @@ object SparkEntry {
     // streaming↔batch bridge; this entry anchors the batch half to the
     // DuckDB oracle.
     "q_skyline_stream_window" -> { (s, dir) =>
-      val e = Tables.loadEvents(s, dir)
+      // ACTUAL Structured Streaming execution, not a batch mirror: the
+      // events parquet is read through readStream, folded by the
+      // flatMapGroupsWithState running skyline (StreamingSkyline
+      // .attach, keyed by event_type × day window), written to a
+      // memory sink, and the COLLECTED SINK is what faces the oracle.
+      // Trigger.Once (deprecated in favor of AvailableNow, used here
+      // deliberately) guarantees ALL files land in ONE micro-batch, so
+      // each group emits its final skyline exactly once and the
+      // update-mode sink holds no stale earlier versions — the
+      // single-batch guarantee AvailableNow does not make.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      // The file streaming source requires a DIRECTORY; the fixture is
+      // a single file. Stage it behind a symlink in a temp dir (a real
+      // deployment points at the landing directory itself).
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(sch).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select("event_id", "event_type", "value", "ts")
         .withColumn("win", window(col("ts"), "1 day"))
         .withColumn("win_start", date_format(col("win.start"), "yyyy-MM-dd"))
         .drop("win")
-      SkylineOp.grouped(e,
-        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))),
-        Seq("event_type", "win_start"))
+        .withColumn("gkey", concat_ws("|", col("event_type"), col("win_start")))
+      val sky = graft.streaming.StreamingSkyline.attach(stream,
+        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))), "gkey")
+      val qname = "graft_stream_sky_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_stream_ckpt").toString
+      val query = sky.writeStream.format("memory").queryName(qname)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.awaitTermination()
+      s.table(qname)
         .select("event_type", "win_start", "event_id", "value")
         .orderBy("event_type", "win_start", "event_id")
     },

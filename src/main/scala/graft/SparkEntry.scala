@@ -12,7 +12,7 @@ import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, KMeans, VectorSim}
 import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
-import graft.stats.{DistinctSketch, RangeStats}
+import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
 import graft.text.{QualityFilters, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -849,6 +849,29 @@ object SparkEntry {
           round(element_at(col("pe"), 2), 6).as("p50"),
           round(element_at(col("pe"), 3), 6).as("p75"),
           round(col("pq"), 6).as("q90"))
+    },
+
+    // The PRIMARY 100 TB quantile path: graft's own Greenwald-Khanna
+    // TypedImperativeAggregate (graft.stats.QuantileSketch) — bounded
+    // O((1/eps)·log(eps·N)) memory, mergeable partial buffers, vs exact
+    // percentile's full-multiset buffer (kept above as the small-scale
+    // cross-check). Run here at eps=1e-7, whose exact regime covers
+    // N < 5M — so at oracle scale the sketch IS the sorted multiset
+    // and rank-matches DuckDB quantile_disc bit for bit; the
+    // approximate regime's 2eps·N rank bound is pinned in
+    // QuantileSketchSpec instead (no SQL oracle can reproduce it).
+    "q_quantiles_gk" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.agg(
+        QuantileSketch.gkQuantiles(col("l_extendedprice"),
+          Seq(0.25, 0.5, 0.75), eps = 1e-7).as("pe"),
+        QuantileSketch.gkQuantiles(col("l_quantity"),
+          Seq(0.9), eps = 1e-7).as("pq"))
+        .select(
+          round(element_at(col("pe"), 1), 6).as("p25"),
+          round(element_at(col("pe"), 2), 6).as("p50"),
+          round(element_at(col("pe"), 3), 6).as("p75"),
+          round(element_at(col("pq"), 1), 6).as("q90"))
     },
 
     // The SKYLINE OF SQL surface end-to-end: custom parser clause →
@@ -2117,6 +2140,16 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
         |  round(quantile_cont(l_quantity, 0.9), 6) AS q90
+        |FROM lineitem""".stripMargin,
+
+    // graft's own GK sketch in its exact regime: same quantile_disc
+    // rank convention (element at rank max(1, ceil(phi*N))).
+    "q_quantiles_gk" ->
+      """SELECT
+        |  round(quantile_disc(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_disc(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_disc(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_disc(l_quantity, 0.9), 6) AS q90
         |FROM lineitem""".stripMargin,
 
     // Discrete quantiles: GK at accuracy > N is exact and rank-agrees

@@ -134,8 +134,14 @@ object SparkEntry {
       // points as a phase-1 row pre-filter — interleaved A/B at sf0.1
       // (tools/Gsod9Probe, both slot orders) measured 4.4s vs 5.4s
       // without; larger K loses the gain to per-row filter cost.
+      // cellPrune: drop whole cells whose lower corner the FULL sample
+      // skyline dominates, before the phase-1 shuffle. Round-7 A/B
+      // (24 interleaved reps, 2 JVMs): min 4.11s on vs 4.17s off, warm
+      // medians ~4.4 vs ~4.8 — inside the box's IO noise band, never a
+      // regression; kept because the cost is driver-side only and the
+      // drop precedes the shuffle (the 1000-executor lever).
       SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
-        sampleFilterK = 64)
+        sampleFilterK = 64, cellPrune = true)
         .orderBy("stn", "date", "temp", "dewp", "slp", "max_temp", "stp",
           "wdsp", "mxspd", "gust", "min_temp")
     },
@@ -758,6 +764,57 @@ object SparkEntry {
       query.awaitTermination()
       s.table(qname)
         .select("event_type", "win_start", "event_id", "value")
+        .orderBy("event_type", "win_start", "event_id")
+    },
+
+    // The WATERMARK-CLOSED windowed streaming skyline under the oracle:
+    // attachWindowed's append/EventTimeTimeout path executed for real.
+    // One data micro-batch advances the watermark to max(ts) (delay 0);
+    // the engine's subsequent NO-DATA micro-batch (noDataMicroBatches,
+    // on by default) fires the timeouts of every window whose end the
+    // watermark passed, emitting each closed window's FINAL skyline
+    // exactly once. The last (still-open) day never emits — the oracle
+    // applies the same win_end < max(ts) cut. The sink is polled until
+    // the timeout batch lands (processAllAvailable only waits for DATA
+    // batches).
+    "q_stream_window_closed" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamw_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(sch).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "event_type", "value", "ts")
+      val sky = graft.streaming.StreamingSkyline.attachWindowed(stream,
+        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))),
+        "event_type", "ts", "1 day", "0 seconds")
+      val qname = "graft_stream_skyw_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamw_ckpt").toString
+      val query = sky.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.processAllAvailable()
+      // Wait out the no-data timeout batch: stop once the sink count is
+      // stable for 3 consecutive polls (or 30 s — a truncated result
+      // would fail the oracle loudly, never silently).
+      var last = -1L
+      var stable = 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stable < 3 && System.nanoTime() < deadline) {
+        val n = s.table(qname).count()
+        if (n == last && n > 0) stable += 1 else { stable = 0; last = n }
+        Thread.sleep(300)
+      }
+      query.stop()
+      s.table(qname)
+        .select(col("event_type"),
+          date_format(timestamp_seconds(col("window_start")), "yyyy-MM-dd").as("win_start"),
+          col("event_id"), col("value"))
         .orderBy("event_type", "win_start", "event_id")
     },
 
@@ -2100,6 +2157,27 @@ object SparkEntry {
         |FROM e p
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM e q
+        |  WHERE q.event_type = p.event_type AND q.win_start = p.win_start
+        |    AND q.value >= p.value AND q.ts <= p.ts
+        |    AND (q.value > p.value OR q.ts < p.ts))
+        |ORDER BY p.event_type, p.win_start, p.event_id""".stripMargin,
+
+    // Same per-(type, day) skyline as q_skyline_stream_window but cut
+    // to CLOSED windows: win_end < max(ts) mirrors the engine firing a
+    // window's timeout only once the watermark (max ts − 0 delay)
+    // passes its end; the final open day is absent on both sides.
+    "q_stream_window_closed" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value, ts,
+        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_start,
+        |    date_trunc('day', ts) + INTERVAL 1 DAY AS win_end
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
+        |closed AS (SELECT * FROM e WHERE win_end < (SELECT max(ts) FROM e))
+        |SELECT p.event_type, p.win_start, p.event_id, p.value
+        |FROM closed p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM closed q
         |  WHERE q.event_type = p.event_type AND q.win_start = p.win_start
         |    AND q.value >= p.value AND q.ts <= p.ts
         |    AND (q.value > p.value OR q.ts < p.ts))

@@ -38,7 +38,12 @@ object QuadTree {
   /** ord = dense leaf ordinal (shuffle key); id = bit-string region code. */
   final case class Leaf(id: String, ord: Int) extends Node
 
-  final case class Tree(root: Node, d: Int, leafIds: Array[String]) extends Serializable {
+  /** `leafLos(ord)` is leaf ord's lower corner in normalized space —
+    * the most optimistic point the cell can contain; a sample point
+    * dominating it dominates EVERY point routed to the cell (the basis
+    * of SkyMr's cell-level pre-filter prune). */
+  final case class Tree(root: Node, d: Int, leafIds: Array[String],
+      leafLos: Array[Array[Double]]) extends Serializable {
     def leafCount: Int = leafIds.length
 
     /** Leaf ordinal for a normalized vector, or -1 if it lands in a
@@ -78,12 +83,15 @@ object QuadTree {
     require(d >= 1 && d <= 12, s"quadtree fanout is 2^d; d=$d unsupported")
     require(hi.length == d)
     val ids = ArrayBuffer.empty[String]
+    val los = ArrayBuffer.empty[Array[Double]]
 
-    def leaf(id: String): Leaf = { ids += id; Leaf(id, ids.length - 1) }
+    def leaf(id: String, lo: Array[Double]): Leaf = {
+      ids += id; los += lo; Leaf(id, ids.length - 1)
+    }
 
     def divide(pts: Array[Array[Double]], id: String, lo: Array[Double],
         hi: Array[Double], depth: Int): Node = {
-      if (pts.length <= maxp || depth >= maxDepth) return leaf(id)
+      if (pts.length <= maxp || depth >= maxDepth) return leaf(id, lo)
       val mid = Array.tabulate(d)(k => (lo(k) + hi(k)) / 2)
       val buckets = Array.fill(1 << d)(ArrayBuffer.empty[Array[Double]])
       pts.foreach { v =>
@@ -108,7 +116,7 @@ object QuadTree {
       Internal(mid, children)
     }
 
-    Tree(divide(sample, "", lo, hi, 0), d, ids.toArray)
+    Tree(divide(sample, "", lo, hi, 0), d, ids.toArray, los.toArray)
   }
 
   /** Debug JSON dump of a tree — the engine's replacement for the

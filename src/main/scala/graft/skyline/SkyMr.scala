@@ -56,8 +56,10 @@ object SkyMr {
       maxDepth: Int = 8,
       sampleSize: Int = 20000,
       seed: Long = 42L,
-      sampleFilterK: Int = 0): DataFrame =
-    skylineWithSummaries(df, spec, maxp, maxDepth, sampleSize, seed, sampleFilterK)._1
+      sampleFilterK: Int = 0,
+      cellPrune: Boolean = false): DataFrame =
+    skylineWithSummaries(df, spec, maxp, maxDepth, sampleSize, seed,
+      sampleFilterK, cellPrune)._1
 
   /** [[skyline]] plus the phase-1 summary side outputs the reference
     * writes as MultipleOutputs "vpn" and "filter" streams
@@ -77,6 +79,17 @@ object SkyMr {
     *   ~18% (4.4s vs 5.4s, interleaved A/B in both slot orders,
     *   tools/Gsod9Probe) while K≥512 gives the win back to per-row
     *   filter cost. Default off; opt in per workload.
+    * @param cellPrune drop a WHOLE CELL before the phase-1 shuffle when
+    *   some sample-skyline point dominates the cell's lower corner —
+    *   sound because every routed point is ≥ the corner per dim, so a
+    *   dominator of the corner dominates them all (and cannot itself
+    *   sit in the cell: it would have to dominate itself). Unlike the
+    *   capped row filter this uses the FULL sample skyline — the cost
+    *   is cells × sample-sky dominance checks on the DRIVER, never per
+    *   row. Rows it drops are a superset check at cell granularity of
+    *   what the row filter would drop; the win is cutting routing/
+    *   phase-1 work without per-row filter cost. Default off; opt in
+    *   per workload after an A/B (tools/Gsod9Probe).
     */
   def skylineWithSummaries(
       df: DataFrame,
@@ -85,7 +98,8 @@ object SkyMr {
       maxDepth: Int = 8,
       sampleSize: Int = 20000,
       seed: Long = 42L,
-      sampleFilterK: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+      sampleFilterK: Int = 0,
+      cellPrune: Boolean = false): (DataFrame, DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val d = spec.d
     // prep feeds three passes (bounds agg, tree sample, routing) —
@@ -161,14 +175,21 @@ object SkyMr {
     val tree = QuadTree.build(sample, lo, hi, maxp, maxDepth)
     val bcTree = spark.sparkContext.broadcast(tree)
 
-    // Optional sample-skyline row pre-filter (see scaladoc). The
-    // sample's skyline is computed driver-side (SFS-sorted GSKY over
-    // ≤ sampleSize vectors) and truncated to the K ascending-sum
-    // strongest dominators.
+    // Full sample skyline, driver-side (SFS-sorted GSKY over
+    // ≤ sampleSize vectors), ascending-sum order — shared by the row
+    // pre-filter (truncated to K) and the cell-level prune (full).
+    val sampleSkyFull: Array[Array[Double]] =
+      if (sampleFilterK <= 0 && !cellPrune) Array.empty
+      else {
+        val buf = Gsky.emptyBuf[Unit]
+        sample.sortBy(_.sum).foreach(v => Gsky.insert(buf, v, ()))
+        buf.iterator.map(_._1).toArray.sortBy(_.sum)
+      }
+
+    // Optional sample-skyline row pre-filter (see scaladoc), truncated
+    // to the K ascending-sum strongest dominators.
     val preFiltered = if (sampleFilterK <= 0) prep else {
-      val buf = Gsky.emptyBuf[Unit]
-      sample.sortBy(_.sum).foreach(v => Gsky.insert(buf, v, ()))
-      val sampleSky = buf.iterator.map(_._1).toArray.sortBy(_.sum).take(sampleFilterK)
+      val sampleSky = sampleSkyFull.take(sampleFilterK)
       val bcSampleSky = spark.sparkContext.broadcast(sampleSky)
       prep.filter { (r: Row) =>
         val v = Gsky.vecOf(r, skyIdx)
@@ -177,7 +198,18 @@ object SkyMr {
     }
 
     // -- 3. routing column; pruned-cell rows dropped ---------------------
-    val routeUdf = udf((v: Seq[Double]) => bcTree.value.route(v.toArray))
+    // Cell-level prune (see scaladoc): cells whose lower corner is
+    // dominated by any full-sample-skyline point route to -1 like the
+    // region-algebra-pruned ones. cells × sample-sky checks, driver-side.
+    val routeUdf = if (cellPrune) {
+      val dominated = Array.tabulate(tree.leafCount)(ord =>
+        sampleSkyFull.exists(s => Dominance.dominates(s, tree.leafLos(ord))))
+      val bcDominated = spark.sparkContext.broadcast(dominated)
+      udf { (v: Seq[Double]) =>
+        val c = bcTree.value.route(v.toArray)
+        if (c >= 0 && bcDominated.value(c)) -1 else c
+      }
+    } else udf((v: Seq[Double]) => bcTree.value.route(v.toArray))
     val routed = preFiltered.withColumn(CELL, routeUdf(col(SkylineOp.SKY)))
       .filter(col(CELL) >= 0)
     val schema = routed.schema

@@ -65,10 +65,18 @@ object Gsod9Probe {
     // K=16 too weak to pay for itself (6.7s), K=512/full gives the
     // win back to per-row filter cost (7.2-8.1s). q_skyline_gsod9
     // runs with K=64.
+    // Round-7 A/B: cell-level prune (full-sample-sky dominance of each
+    // cell's lower corner, driver-side) on top of the winning K=64 row
+    // filter — interleaved in both slot orders. Findings (sf0.1,
+    // local[32], 24 reps across 2 JVMs): prune min 4.11s / warm median
+    // ~4.4s vs off min 4.17s / ~4.8s — inside the IO noise band,
+    // never a regression. Kept ON in q_skyline_gsod9: cost is a
+    // driver-side cells × sample-sky scan and the drop happens BEFORE
+    // the phase-1 shuffle.
     for (i <- 1 to 3) {
-      t(s"[$i] SkyMr K=64a       ") {
+      t(s"[$i] SkyMr K=64 prune  ") {
         SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
-          sampleFilterK = 64)
+          sampleFilterK = 64, cellPrune = true)
           .write.format("noop").mode("overwrite").save()
       }
       t(s"[$i] SkyMr K=64        ") {
@@ -81,9 +89,9 @@ object Gsod9Probe {
           sampleFilterK = 0)
           .write.format("noop").mode("overwrite").save()
       }
-      t(s"[$i] SkyMr K=64b       ") {
+      t(s"[$i] SkyMr K=64 pruneb ") {
         SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
-          sampleFilterK = 64)
+          sampleFilterK = 64, cellPrune = true)
           .write.format("noop").mode("overwrite").save()
       }
     }

@@ -102,6 +102,13 @@ class SkyMrSpec extends SparkSpec {
       val filtered = canon(SkyMr.skyline(df, spec, maxp = 40, maxDepth = 4,
         sampleSize = 400, sampleFilterK = 8))
       assert(filtered == tp, s"trial $trial: sampleFilterK changed the skyline")
+      // so is the cell-level prune — alone and stacked on the row filter.
+      val pruned = canon(SkyMr.skyline(df, spec, maxp = 40, maxDepth = 4,
+        sampleSize = 400, cellPrune = true))
+      assert(pruned == tp, s"trial $trial: cellPrune changed the skyline")
+      val both = canon(SkyMr.skyline(df, spec, maxp = 40, maxDepth = 4,
+        sampleSize = 400, sampleFilterK = 8, cellPrune = true))
+      assert(both == tp, s"trial $trial: cellPrune+filter changed the skyline")
     }
   }
 

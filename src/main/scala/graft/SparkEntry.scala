@@ -11,9 +11,9 @@ import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, KMeans, VectorSim}
-import graft.skyline.{Max, Min, SkyDim, SkyMr, SkylineOp, SkylineSpec}
+import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
-import graft.text.{QualityFilters, TextFunctions}
+import graft.text.{Bm25, Pii, QualityFilters, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -931,6 +931,23 @@ object SparkEntry {
           round(element_at(col("pq"), 1), 6).as("q90"))
     },
 
+    // REVERSE skyline (Dellis-Seeger VLDB'07, the other half of the
+    // SKY-MR paper's problem family; the reference never implemented
+    // it): which parts find the hypothetical product q = (950.5, 25.5)
+    // Pareto-attractive — no other part sits coordinate-wise strictly
+    // between them and q. q must sit INSIDE the data region (prices
+    // span 900–1000): an out-of-range q gives every point a huge
+    // radius on that dim and the dense grid shadows everything to an
+    // empty result. Off-grid halves avoid exact-coincidence
+    // degeneracies. Transformed-vector anti-join through the fused
+    // DominatesExpr (graft.skyline.ReverseSkyline).
+    "q_skyline_reverse" -> { (s, dir) =>
+      ReverseSkyline.reverseSkyline(
+        Tables.load(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
+        Seq("p_retailprice", "p_size"), "p_partkey", Array(950.5, 25.5))
+        .orderBy("p_partkey")
+    },
+
     // The SKYLINE OF SQL surface end-to-end: custom parser clause →
     // SkylinePlan logical node → SkylineExec physical operator
     // (graft.plans, via the spark.experimental hooks since the driver
@@ -1110,6 +1127,52 @@ object SparkEntry {
           col("img.height").cast("long").as("height"),
           col("img.channels").cast("long").as("channels"),
           round(col("img.mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id")
+    },
+
+    // Okapi BM25 relevance against a 3-term query (graft.text.Bm25):
+    // the lexical-retrieval primitive for query-targeted corpus
+    // slicing. Postings are filtered to the query terms BEFORE any
+    // aggregation (corpus-size-independent shuffle keyspace); corpus
+    // constants ride in as literals; idf is the Lucene non-negative
+    // form.
+    "q_bm25" -> { (s, dir) =>
+      Bm25.score(Tables.load(s, dir, "documents"), "text", "doc_id",
+        Seq("spark", "sort", "hash"))
+        .orderBy("doc_id")
+    },
+
+    // PII detection + redaction (graft.text.Pii): deterministic
+    // synthetic emails/phones/IPs are planted per doc_id (the fixture
+    // vocabulary has none), then DETECTED back by the rule set and
+    // redacted; the oracle replays the identical classification and
+    // hashes the identical redacted text — so the hash match proves
+    // the detection rules, not arithmetic.
+    "q_pii" -> { (s, dir) =>
+      val idStr = col("doc_id").cast("string")
+      val planted = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .withColumn("t2", concat(
+          col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" user"), idStr, lit("@mail"),
+              pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" +1-555-0"),
+              (pmod(col("doc_id"), lit(900)) + 100).cast("string")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+              lit(".0."), pmod(col("doc_id"), lit(100)).cast("string")))
+            .otherwise(lit(""))))
+      val toks = Pii.rawTokens(col("t2"))
+      planted.select(
+        col("doc_id"),
+        Pii.emailCount(toks).cast("long").as("n_emails"),
+        Pii.phoneCount(toks).cast("long").as("n_phones"),
+        Pii.ipCount(toks).cast("long").as("n_ips"),
+        md5(Pii.redact(col("t2"))).as("redacted_fp"))
         .orderBy("doc_id")
     },
 
@@ -2240,6 +2303,22 @@ object SparkEntry {
         |  round(quantile_disc(l_quantity, 0.9), 6) AS q90
         |FROM lineitem""".stripMargin,
 
+    // |c − p| must not dominate |q − p| for any other part c: the same
+    // abs-diff doubles on both engines, so comparisons agree exactly.
+    "q_skyline_reverse" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+        |  AND NOT EXISTS (
+        |  SELECT 1 FROM part c
+        |  WHERE c.p_partkey <> p.p_partkey
+        |    AND c.p_retailprice IS NOT NULL AND c.p_size IS NOT NULL
+        |    AND abs(c.p_retailprice - p.p_retailprice) <= abs(950.5 - p.p_retailprice)
+        |    AND abs(CAST(c.p_size AS DOUBLE) - p.p_size) <= abs(25.5 - p.p_size)
+        |    AND (abs(c.p_retailprice - p.p_retailprice) < abs(950.5 - p.p_retailprice)
+        |      OR abs(CAST(c.p_size AS DOUBLE) - p.p_size) < abs(25.5 - p.p_size)))
+        |ORDER BY p.p_partkey""".stripMargin,
+
     "q_skyline_sql" ->
       """SELECT p.p_partkey, p.p_retailprice, p.p_size
         |FROM part p
@@ -2387,6 +2466,79 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS channels,
         |  round((ne * v1 + (w * h - ne) * v2) / CAST(w * h AS DOUBLE), 6) AS mean_luma
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Same tokenization, the same left-associated BM25 arithmetic
+    // (idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen))); tf/df/N/Σlen
+    // are exact longs so both engines derive identical doubles.
+    "q_bm25" ->
+      """WITH b2 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |b3 AS (SELECT doc_id, toks, len(toks) AS l FROM b2),
+        |consts AS (SELECT count(*) AS n, CAST(sum(l) AS DOUBLE) / count(*) AS avglen FROM b3),
+        |post AS (
+        |  SELECT doc_id, l, t, count(*) AS tf FROM (
+        |    SELECT doc_id, l, unnest(toks) AS t FROM b3)
+        |  WHERE t IN ('spark', 'sort', 'hash') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(
+        |    ln(1 + ((SELECT n FROM consts) - df + 0.5) / (df + 0.5))
+        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * l / (SELECT avglen FROM consts)))), 6) AS score,
+        |  count(*) AS n_terms
+        |FROM post JOIN dfreq USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Identical planting, identical rules (string primitives + the
+    // shared-regex-subset classes), identical precedence and
+    // redaction; DuckDB regexp_replace needs the explicit 'g' flag to
+    // match Spark's replace-all default.
+    "q_pii" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN ' user' || doc_id || '@mail' || (doc_id % 7) || '.example.com' ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' +1-555-0' || (doc_id % 900 + 100) ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |      THEN ' 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END AS t2
+        |  FROM documents WHERE text IS NOT NULL),
+        |tok AS (
+        |  SELECT doc_id, t2,
+        |    list_filter(regexp_split_to_array(t2, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM d),
+        |u AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+        |cls AS (
+        |  SELECT doc_id, t,
+        |    (len(t) - len(replace(t, '@', ''))) = 1 AND position('@' IN t) >= 2
+        |      AND len(t[position('@' IN t) + 1:]) >= 3
+        |      AND position('.' IN t[position('@' IN t) + 1:]) >= 2
+        |      AND t NOT LIKE '%.' AS is_email,
+        |    regexp_full_match(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') AS is_ip,
+        |    len(regexp_replace(t, '[^0-9]', '', 'g')) BETWEEN 7 AND 15
+        |      AND len(t) - len(regexp_replace(t, '[^0-9]', '', 'g')) <= 5 AS is_phone
+        |  FROM u),
+        |agg AS (
+        |  SELECT doc_id,
+        |    count(*) FILTER (is_email) AS n_emails,
+        |    count(*) FILTER (NOT is_email AND NOT is_ip AND is_phone) AS n_phones,
+        |    count(*) FILTER (NOT is_email AND is_ip) AS n_ips
+        |  FROM cls GROUP BY doc_id),
+        |red AS (
+        |  SELECT doc_id, md5(array_to_string(list_transform(toks, x ->
+        |    CASE WHEN ((len(x) - len(replace(x, '@', ''))) = 1 AND position('@' IN x) >= 2
+        |          AND len(x[position('@' IN x) + 1:]) >= 3
+        |          AND position('.' IN x[position('@' IN x) + 1:]) >= 2
+        |          AND x NOT LIKE '%.')
+        |      OR regexp_full_match(x, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')
+        |      OR (len(regexp_replace(x, '[^0-9]', '', 'g')) BETWEEN 7 AND 15
+        |          AND len(x) - len(regexp_replace(x, '[^0-9]', '', 'g')) <= 5)
+        |    THEN '<PII>' ELSE x END), ' ')) AS redacted_fp
+        |  FROM tok)
+        |SELECT agg.doc_id, n_emails, n_phones, n_ips, redacted_fp
+        |FROM agg JOIN red ON agg.doc_id = red.doc_id
+        |ORDER BY agg.doc_id""".stripMargin,
 
     // Same tokenization contract as q_dedup_exact; the rolling hash
     // mirrors TextFunctions.rollingFingerprint term by term (md5-prefix

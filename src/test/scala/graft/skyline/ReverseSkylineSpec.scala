@@ -1,0 +1,58 @@
+package graft.skyline
+
+import scala.util.Random
+import graft.SparkSpec
+
+class ReverseSkylineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def brute(
+      pts: Seq[(Long, Double, Double)], q: (Double, Double)): Set[Long] =
+    pts.filter { case (id, x, y) =>
+      val rx = math.abs(q._1 - x)
+      val ry = math.abs(q._2 - y)
+      !pts.exists { case (cid, cx, cy) =>
+        val dx = math.abs(cx - x)
+        val dy = math.abs(cy - y)
+        cid != id && dx <= rx && dy <= ry && (dx < rx || dy < ry)
+      }
+    }.map(_._1).toSet
+
+  test("hand example: nearest neighbors on each side survive, shadowed points don't") {
+    // 1-D-ish line at y=0, q at x=10: p=8 shadows p=5 (|6−8|=2 ≤ |10−8|=2?
+    // strict on dim x: |6−8|=2 = r=2, |0−0|=0 = 0 — no strict < → 8 stays;
+    // p=2: c=5 has |5−2|=3 ≤ |10−2|=8, 0 ≤ 0, strict → 2 falls.
+    val pts = Seq((1L, 8.0, 0.0), (2L, 5.0, 0.0), (3L, 2.0, 0.0), (4L, 12.0, 0.0))
+    val got = ReverseSkyline.reverseSkyline(
+      pts.toDF("id", "x", "y"), Seq("x", "y"), "id", Array(10.0, 0.0))
+      .select("id").as[Long].collect().toSet
+    assert(got == brute(pts, (10.0, 0.0)))
+    assert(got.contains(1L) && got.contains(4L) && !got.contains(3L))
+  }
+
+  test("matches brute force on random data; exact duplicates knock each other out") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 3) {
+      val base = (1L to 150L).map(i =>
+        (i, rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble))
+      // plant an exact duplicate pair
+      val pts = base :+ (200L, base.head._2, base.head._3)
+      val q = (rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble)
+      val got = ReverseSkyline.reverseSkyline(
+        pts.toDF("id", "x", "y").repartition(5), Seq("x", "y"), "id",
+        Array(q._1, q._2))
+        .select("id").as[Long].collect().toSet
+      assert(got == brute(pts, q), s"trial $trial q=$q")
+      assert(!got.contains(base.head._1) && !got.contains(200L),
+        "exact duplicates should eliminate each other (unless degenerate at q)")
+    }
+  }
+
+  test("incomplete rows (null/NaN dims) are excluded") {
+    val pts = Seq((1L, Some(1.0), 1.0), (2L, None, 2.0), (3L, Some(Double.NaN), 3.0))
+      .toDF("id", "x", "y")
+    val got = ReverseSkyline.reverseSkyline(pts, Seq("x", "y"), "id", Array(0.0, 0.0))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+}

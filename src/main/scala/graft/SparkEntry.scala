@@ -13,7 +13,7 @@ import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, KMeans, VectorSim}
 import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
-import graft.text.{Bm25, Pii, QualityFilters, TextFunctions}
+import graft.text.{Bm25, LmScore, Pii, QualityFilters, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -474,6 +474,39 @@ object SparkEntry {
         "text", "doc_id", "graft_fp_idx_q")
         .select("doc_id")
         .orderBy("doc_id")
+    },
+
+    // STREAMING incremental dedup under the oracle: the held-out batch
+    // (doc_id % 10 = 3) arrives as a STREAM, passes the stateful
+    // first-arrival dropDuplicates and the per-micro-batch stream-
+    // static anti-join against the at-rest bucketed fingerprint index,
+    // and the collected append-mode sink faces the oracle. Output is
+    // the surviving FINGERPRINT set: which row represents a
+    // within-batch duplicate group is arrival-order-dependent (the
+    // streaming contract), but the surviving fp SET is deterministic.
+    "q_stream_dedup" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      Dedup.writeFingerprintIndex(d.filter(col("doc_id") % 10 =!= 3),
+        "text", "doc_id", "graft_fp_idx_qs", buckets = 32)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamd_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$dir/documents.parquet"))
+      val stream = s.readStream.schema(d.schema).parquet(srcDir.toString)
+        .filter(col("doc_id") % 10 === 3)
+      val surv = Dedup.incrementalStreamSurvivors(stream, "text", "graft_fp_idx_qs")
+        .select(TextFunctions.fingerprint(col("text")).as("fp"))
+      val qname = "graft_stream_dedup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamd_ckpt").toString
+      val query = surv.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.awaitTermination()
+      s.table(qname).orderBy("fp")
     },
 
     // SUBSTRING-level exact dedup (Lee et al. ACL'22 mode): maximal
@@ -1139,6 +1172,16 @@ object SparkEntry {
     "q_bm25" -> { (s, dir) =>
       Bm25.score(Tables.load(s, dir, "documents"), "text", "doc_id",
         Seq("spark", "sort", "hash"))
+        .orderBy("doc_id")
+    },
+
+    // CCNet-style LM quality score (graft.text.LmScore): mean log
+    // add-1-smoothed conditional bigram probability under the corpus's
+    // own counts — documents with improbable token transitions score
+    // low. One explode+groupBy per gram order, two keyed joins; counts
+    // are exact longs so both engines derive identical doubles.
+    "q_lm_score" -> { (s, dir) =>
+      LmScore.bigramLogProb(Tables.load(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")
     },
 
@@ -1864,6 +1907,20 @@ object SparkEntry {
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
         |ORDER BY doc_id""".stripMargin,
 
+    // The surviving fingerprint SET of the streamed batch: distinct
+    // batch fps minus the corpus index — q_dedup_incr's oracle shape
+    // with the identity column dropped (within-batch representative
+    // choice is arrival-order-dependent on the stream side).
+    "q_stream_dedup" ->
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
+        |  FROM documents),
+        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 3)
+        |SELECT DISTINCT fp FROM fp
+        |WHERE doc_id % 10 = 3 AND fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY fp""".stripMargin,
+
     // Same 5-gram explode with 1-based start positions, same 60-bit
     // md5-prefix fingerprint, HAVING >= 2 marks duplicated windows,
     // pos - row_number() names the maximal runs.
@@ -2488,6 +2545,26 @@ object SparkEntry {
         |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * l / (SELECT avglen FROM consts)))), 6) AS score,
         |  count(*) AS n_terms
         |FROM post JOIN dfreq USING (t)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same counts (exact longs), same add-1 smoothing, same ln — the
+    // per-doc mean rounds to 6 on both sides.
+    "q_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT unnest(toks) AS w FROM t),
+        |c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |occ AS (
+        |  SELECT doc_id, toks[i] AS w, array_to_string(toks[i:i+1], ' ') AS g
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT g, count(*) AS c2 FROM occ GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * (SELECT v FROM v)))), 6) AS lm_score
+        |FROM occ JOIN c2 USING (g) JOIN c1 USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Identical planting, identical rules (string primitives + the

@@ -677,6 +677,22 @@ object SparkEntry {
         .orderBy("qid", "rank")
     },
 
+    // The TRAINED-quantizer IVF path end to end: same probe/score as
+    // q_ann_ivf but with centroids refined by 2 Lloyd rounds
+    // (trainIters) — the oracle replays the full centroid history
+    // (kmeansCtes at salt "ivf") before routing. Empty-cluster rank
+    // re-densification is order-preserving, so probe sets and
+    // tie-breaks agree across the relabeling.
+    "q_ann_ivf_trained" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      IvfFlat.topK(e, "embedding", "vec_id", q, k = 10, nLists = 16, nProbe = 4,
+        trainIters = 2)
+        .select("vec_id", "label", "score")
+    },
+
     // Deterministic distributed k-means (graft.sim.KMeans): md5-seeded
     // init, 2 Lloyd refinement rounds with per-round centroid rounding
     // (the cross-engine contract), final assignment pass. Per round:
@@ -2032,6 +2048,35 @@ object SparkEntry {
         |  WHERE id <> component)
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin,
+
+    // Trained-IVF replay: the Lloyd CTE chain at salt "ivf" (c2e = the
+    // centroids after 2 refinements, a3 = the corpus assignment under
+    // them), then q_ann_ivf's probe (4 nearest centroids of vec 0 by
+    // squared L2, ties to smaller rank), candidate routing, and exact
+    // cosine tail.
+    "q_ann_ivf_trained" ->
+      (kmeansCtes(k = 16, iters = 2, salt = "ivf") +
+        """qd AS (
+          |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+          |  FROM ev e JOIN c2e c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
+          |probe AS (
+          |  SELECT rank FROM (
+          |    SELECT rank, row_number() OVER (ORDER BY d, rank) AS rn FROM qd)
+          |  WHERE rn <= 4),
+          |cands AS (SELECT vec_id FROM a3 WHERE rank IN (SELECT rank FROM probe)),
+          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+          |q AS (SELECT x, j FROM ev WHERE vec_id = 0),
+          |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+          |dots AS (
+          |  SELECT e.vec_id, sum(e.x * q.x) AS dt FROM ev e JOIN q ON e.j = q.j
+          |  WHERE e.vec_id IN (SELECT vec_id FROM cands) GROUP BY 1)
+          |SELECT emb.vec_id, emb.label,
+          |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+          |    THEN dots.dt / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+          |FROM dots
+          |JOIN norms ON dots.vec_id = norms.vec_id
+          |JOIN embeddings emb ON dots.vec_id = emb.vec_id
+          |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin),
 
     // Full unrolled Lloyd replay (see kmeansCtes): the final CTE a3 is
     // the assignment under the trained centroids.

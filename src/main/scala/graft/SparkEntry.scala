@@ -10,7 +10,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
-import graft.sim.{AnnLsh, IvfFlat, KMeans, VectorSim}
+import graft.sim.{AnnLsh, IvfFlat, KMeans, ProductQuantizer, VectorSim}
 import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
 import graft.text.{Bm25, LmScore, Pii, QualityFilters, TextFunctions}
@@ -526,6 +526,17 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     },
 
+    // The STRIP half of substring dedup under the oracle: every
+    // occurrence of a duplicated span removed, docs without spans pass
+    // through byte-identical (original whitespace/case), compared by
+    // md5 of the resulting text.
+    "q_dedup_substr_strip" -> { (s, dir) =>
+      SubstrDedup.withoutDuplicatedSpans(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 5, minSpanTokens = 8)
+        .select(col("doc_id"), md5(col("text")).as("stripped_fp"))
+        .orderBy("doc_id")
+    },
+
     // Cluster resolution: MinHash near-dup PAIRS → connected components
     // (alternating large-star/small-star, O(log n) keyed rounds) →
     // (doc, component-min) labels. The stage between "a≈b" and "keep
@@ -675,6 +686,23 @@ object SparkEntry {
         queries, "qid", "qv", k = 5, nProbe = 4)
         .select("qid", "vec_id", "label", "score", "rank")
         .orderBy("qid", "rank")
+    },
+
+    // PRODUCT QUANTIZATION (Jégou PAMI'11): 4 independent 8-centroid
+    // sub-quantizers (KMeans per 16-dim slice), vectors stored as
+    // 4 codes, query answered by ADC — one (m × k) driver-side lookup
+    // table, then m table lookups per candidate, no decompression.
+    // 256 bytes → 4 per vector: the embedding-corpus-in-memory tier
+    // for 100 TB serving (graft.sim.ProductQuantizer).
+    "q_ann_pq" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val model = ProductQuantizer.fit(e, "embedding", "vec_id",
+        dim = 64, m = 4, k = 8, iters = 1)
+      ProductQuantizer.topKAdc(e, "embedding", "vec_id", model, q, k = 10)
+        .select("vec_id", "label", "adc")
     },
 
     // The TRAINED-quantizer IVF path end to end: same probe/score as
@@ -1389,6 +1417,51 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Product-quantization replay: per subspace `s`, the same unrolled
+    * Lloyd chain as [[kmeansCtes]] over the slice
+    * `embedding[s·subDim+1 : (s+1)·subDim]` with salt `"pq{s}"`
+    * (suffix `_{s}` on every CTE), ending in the encode assignment
+    * `a{iters+1}_{s}` and the trained centroids `c{iters}e_{s}`. The
+    * caller appends the ADC tail.
+    */
+  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int, salt: String): String = {
+    val sb = new StringBuilder("WITH ")
+    for (s <- 0 until m) {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      val sl = s"embedding[$lo:$hi]"
+      sb ++= s"""ev_$s AS (
+                |  SELECT vec_id, CAST(unnest($sl) AS DOUBLE) AS x,
+                |    generate_subscripts($sl, 1) AS j
+                |  FROM embeddings WHERE embedding IS NOT NULL),
+                |c0e_$s AS (
+                |  SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+                |    generate_subscripts(cv, 1) AS j
+                |  FROM (SELECT row_number() OVER (ORDER BY h) - 1 AS rank, cv FROM (
+                |    SELECT md5('$salt$s:' || vec_id) AS h, $sl AS cv
+                |    FROM embeddings WHERE embedding IS NOT NULL
+                |    ORDER BY h LIMIT $k))),
+                |""".stripMargin
+      for (i <- 1 to iters + 1) {
+        sb ++= s"""d${i}_$s AS (
+                  |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+                  |  FROM ev_$s e JOIN c${i - 1}e_$s c ON e.j = c.j GROUP BY 1, 2),
+                  |a${i}_$s AS (
+                  |  SELECT vec_id, rank FROM (
+                  |    SELECT vec_id, rank,
+                  |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+                  |    FROM d${i}_$s) WHERE rn = 1),
+                  |""".stripMargin
+        if (i <= iters)
+          sb ++= s"""c${i}e_$s AS (
+                    |  SELECT a.rank, e.j, round(avg(e.x), 6) AS cx
+                    |  FROM a${i}_$s a JOIN ev_$s e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+                    |""".stripMargin
+      }
+    }
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -1963,6 +2036,40 @@ object SparkEntry {
         |WHERE span_tokens >= 8
         |ORDER BY doc_id, span_start""".stripMargin,
 
+    // q_dedup_substr's span derivation, then a per-doc token filter:
+    // keep token i iff no span covers it (nested lambda over the
+    // doc's span list), re-join on spaces, md5. Span-free docs hash
+    // their ORIGINAL text.
+    "q_dedup_substr_strip" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, i AS pos,
+        |    ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS fp
+        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) - 3)) AS u(i)),
+        |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
+        |f AS (SELECT doc_id, pos FROM g WHERE fp IN (SELECT fp FROM dup)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM f),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS a, max(pos) + 4 AS b,
+        |    max(pos) - min(pos) + 5 AS n
+        |  FROM runs GROUP BY doc_id, grp),
+        |sl AS (
+        |  SELECT doc_id, list(struct_pack(a := a, b := b)) AS sl
+        |  FROM spans WHERE n >= 8 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CASE WHEN sl.sl IS NULL THEN md5(t.text)
+        |    ELSE md5(coalesce(array_to_string(list_filter(t.toks,
+        |      (x, i) -> len(list_filter(sl.sl, p -> i BETWEEN p.a AND p.b)) = 0), ' '), ''))
+        |  END AS stripped_fp
+        |FROM t LEFT JOIN sl ON t.doc_id = sl.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     // Same brute-force Jaccard pairs as q_dedup_minhash, transitively
     // closed by a recursive CTE: comp(id) = min id reachable over the
     // symmetric pair graph — exactly the star roots the large/small-star
@@ -2048,6 +2155,28 @@ object SparkEntry {
         |  WHERE id <> component)
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin,
+
+    // PQ replay: per-subspace Lloyd chains (pqCtes), then ADC — the
+    // query's per-centroid distances (qd_s from vec 0's slice) joined
+    // to each vector's encode assignment (a2_s), summed across the 4
+    // subspaces, ascending, ties by vec_id.
+    "q_ann_pq" ->
+      (pqCtes(m = 4, subDim = 16, k = 8, iters = 1, salt = "pq") +
+        (0 until 4).map { s =>
+          s"""qd_$s AS (
+             |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+             |  FROM ev_$s e JOIN c1e_$s c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
+             |part_$s AS (SELECT a.vec_id, q.d FROM a2_$s a JOIN qd_$s q ON a.rank = q.rank),
+             |""".stripMargin
+        }.mkString +
+        """adc AS (
+          |  SELECT vec_id, round(sum(d), 6) AS adc FROM (
+          |    SELECT * FROM part_0 UNION ALL SELECT * FROM part_1
+          |    UNION ALL SELECT * FROM part_2 UNION ALL SELECT * FROM part_3)
+          |  GROUP BY vec_id)
+          |SELECT emb.vec_id, emb.label, adc.adc
+          |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
+          |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT 10""".stripMargin),
 
     // Trained-IVF replay: the Lloyd CTE chain at salt "ivf" (c2e = the
     // centroids after 2 refinements, a3 = the corpus assignment under

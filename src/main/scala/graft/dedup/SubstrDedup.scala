@@ -22,24 +22,25 @@ import graft.text.TextFunctions
   *  1. explode each doc into its n-gram occurrences with start
   *     positions (1-based), fingerprinted to a 60-bit md5 prefix
   *     (the repo-wide cross-engine hash discipline, [[graft.util.Md5Hash]]);
-  *  2. one groupBy(fp) marks fingerprints with ≥ `minOccurrences`
-  *     occurrences corpus-wide (within-doc repeats count — a doc that
-  *     plagiarizes itself is still duplication);
-  *  3. a semi-join flags each doc's duplicated window starts, and a
-  *     per-doc gaps-and-islands window merges consecutive starts into
-  *     MAXIMAL spans: starts a..b cover tokens a..b+n-1, so a run of
-  *     length r spans r+n-1 tokens.
+  *  2. one count-over-window on fp marks occurrences of fingerprints
+  *     seen ≥ `minOccurrences` times corpus-wide (within-doc repeats
+  *     count — a doc that plagiarizes itself is still duplication);
+  *  3. a per-doc gaps-and-islands window merges consecutive duplicated
+  *     starts into MAXIMAL spans: starts a..b cover tokens a..b+n-1,
+  *     so a run of length r spans r+n-1 tokens.
   *
   * Spans shorter than `minSpanTokens` tokens are noise (any common
   * n-gram); the Lee-et-al threshold is ~50 tokens at web scale.
   *
-  * Scale shape: two keyed shuffles on the fingerprint (aggregate with
-  * map-side combine, then the semi-join) and one on the doc id (the
-  * island window) — never all-pairs, no driver state, candidate volume
-  * is n-grams-per-token ≈ 1 row per token. The fp aggregate's key space
-  * is the distinct-n-gram count, uniformly hash-distributed by md5, so
-  * no skew salt is needed; the heaviest possible key (a corpus-stopword
-  * n-gram) still reduces to one count row.
+  * Scale shape: ONE keyed shuffle of the gram stream on the
+  * fingerprint (the count window; the groupBy+semi-join alternative
+  * moves the stream twice — measured >2× slower, tools/SubstrProbe)
+  * and one on the doc id (the island window) — never all-pairs, no
+  * driver state, candidate volume is n-grams-per-token ≈ 1 row per
+  * token. Fingerprints are uniformly hash-distributed by md5; a hot
+  * key (a corpus-stopword n-gram) co-locates its occurrences in one
+  * task's sort group — at web scale a pre-aggregated heavy-key
+  * bypass (count hot fps first, broadcast) would cap that task.
   *
   * The reference has no text surface at all (its only string op is the
   * fixed-width substring parse, Point.java:22-31); this operator is
@@ -85,11 +86,16 @@ object SubstrDedup {
     require(n >= 1, "n must be >= 1")
     require(minSpanTokens >= n, s"minSpanTokens ($minSpanTokens) must be >= n ($n)")
     val grams = gramOccurrences(df, textCol, idCol, n)
-    val dupFps = grams.groupBy(col("fp"))
-      .agg(count(lit(1)).as("__c"))
+    // Occurrence-count marking as ONE count-over-window on fp: the
+    // gram stream shuffles once (WindowExec's sort), vs the
+    // groupBy+semi-join form that moves it twice (combined counts AND
+    // the full stream again for the join). Interleaved A/B at sf0.1
+    // (tools/SubstrProbe, warm reps): 1.4-1.5 s vs 3.1 s — >2×.
+    val wFp = Window.partitionBy(col("fp"))
+    val flagged = grams
+      .withColumn("__c", count(lit(1)).over(wFp))
       .filter(col("__c") >= minOccurrences)
-      .select("fp")
-    val flagged = grams.join(dupFps, Seq("fp"), "left_semi")
+      .drop("__c")
     // Gaps and islands: consecutive duplicated starts share
     // (pos - row_number), which names the maximal run.
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -10,7 +10,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
-import graft.sim.{AnnLsh, IvfFlat, KMeans, ProductQuantizer, VectorSim}
+import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
 import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
 import graft.text.{Bm25, LmScore, Pii, QualityFilters, TextFunctions}
@@ -702,6 +702,21 @@ object SparkEntry {
       val model = ProductQuantizer.fit(e, "embedding", "vec_id",
         dim = 64, m = 4, k = 8, iters = 1)
       ProductQuantizer.topKAdc(e, "embedding", "vec_id", model, q, k = 10)
+        .select("vec_id", "label", "adc")
+    },
+
+    // IVF-PQ: the COMPOSED serving layout (FAISS IndexIVFPQ shape) —
+    // coarse quantizer routes to 4 of 16 lists, candidates score from
+    // their 4-byte PQ codes by ADC. Routing prunes the read, PQ
+    // shrinks the bytes; raw-vector codes (one code book), the
+    // documented simplification vs per-list residuals
+    // (graft.sim.IvfPq).
+    "q_ann_ivfpq" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      IvfPq.topK(e, "embedding", "vec_id", dim = 64, q, k = 10)
         .select("vec_id", "label", "adc")
     },
 
@@ -2155,6 +2170,51 @@ object SparkEntry {
         |  WHERE id <> component)
         |SELECT vec_id, label FROM embeddings
         |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin,
+
+    // IVF-PQ replay: q_ann_ivf's hash-random coarse quantizer CTEs
+    // (assignment + the query's 4-list probe) select the candidates;
+    // q_ann_pq's per-subspace Lloyd chains + ADC tail score them.
+    "q_ann_ivfpq" ->
+      ("""WITH cent AS (
+         |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
+         |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
+         |    FROM embeddings ORDER BY h LIMIT 16)),
+         |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+         |        generate_subscripts(cv, 1) AS j FROM cent),
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+         |dists AS (
+         |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+         |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, rank FROM (
+         |    SELECT vec_id, rank,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT rank FROM (
+         |    SELECT rank, row_number() OVER (ORDER BY d, rank) AS rn
+         |    FROM dists WHERE vec_id = 0) WHERE rn <= 4),
+         |cands AS (SELECT vec_id FROM assign WHERE rank IN (SELECT rank FROM qprobe)),
+         |""".stripMargin +
+        pqCtes(m = 4, subDim = 16, k = 8, iters = 1, salt = "pq").stripPrefix("WITH ") +
+        (0 until 4).map { s =>
+          s"""qd_$s AS (
+             |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+             |  FROM ev_$s e JOIN c1e_$s c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
+             |part_$s AS (
+             |  SELECT a.vec_id, q.d FROM a2_$s a JOIN qd_$s q ON a.rank = q.rank
+             |  WHERE a.vec_id IN (SELECT vec_id FROM cands)),
+             |""".stripMargin
+        }.mkString +
+        """adc AS (
+          |  SELECT vec_id, round(sum(d), 6) AS adc FROM (
+          |    SELECT * FROM part_0 UNION ALL SELECT * FROM part_1
+          |    UNION ALL SELECT * FROM part_2 UNION ALL SELECT * FROM part_3)
+          |  GROUP BY vec_id)
+          |SELECT emb.vec_id, emb.label, adc.adc
+          |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
+          |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT 10""".stripMargin),
 
     // PQ replay: per-subspace Lloyd chains (pqCtes), then ADC — the
     // query's per-centroid distances (qd_s from vec 0's slice) joined

@@ -127,7 +127,7 @@ object IvfFlat {
 
   /** The query's `nProbe` nearest centroid ranks (ties to smaller rank,
     * matching [[nearest]]). */
-  private def probeLists(
+  private[sim] def probeLists(
       query: Array[Double], cents: Array[Array[Double]], nProbe: Int): Array[Int] =
     cents.zipWithIndex
       .map { case (c, i) => (sqDist(query.toSeq, c), i) }

@@ -37,6 +37,25 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(got.forall(_ == 2), s"expected all cluster-2 results, got ${got.toSeq}")
   }
 
+  test("IvfPq at nProbe = nLists degenerates to plain PQ ADC") {
+    val q = vec(1, 500L).toArray
+    val all = IvfPq.topK(corpus, "embedding", "vec_id", dim = 8, q, k = 10,
+      nLists = 4, nProbe = 4, m = 2, kSub = 4, pqIters = 1)
+      .select("vec_id").as[Long].collect().toSeq
+    val model = ProductQuantizer.fit(corpus, "embedding", "vec_id", 8, 2, 4, 1)
+    val plain = ProductQuantizer.topKAdc(corpus, "embedding", "vec_id", model, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == plain)
+  }
+
+  test("IvfPq probes prune candidates but keep the query's own cluster") {
+    val q = vec(3, 77L).toArray
+    val got = IvfPq.topK(corpus, "embedding", "vec_id", dim = 8, q, k = 10,
+      nLists = 4, nProbe = 1, m = 2, kSub = 4, pqIters = 3)
+      .select("label").as[Int].collect()
+    assert(got.nonEmpty && got.forall(_ == 3))
+  }
+
   test("null vectors get null codes and are excluded from ADC") {
     val withNull = corpus.union(
       Seq((999L, 0, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "label", "embedding"))

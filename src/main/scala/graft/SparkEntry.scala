@@ -1040,6 +1040,22 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // The GK sketch under a KEYED exchange: per-returnflag quantiles
+    // through partial/merge across the group shuffle — what q_skyline
+    // _agg proves for the skyline aggregate, proven here for the
+    // quantile sketch (same exact-at-accuracy oracle trick).
+    "q_quantiles_gk_grouped" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(QuantileSketch.gkQuantiles(col("l_extendedprice"),
+          Seq(0.5, 0.9), eps = 1e-7).as("pe"))
+        .select(
+          col("l_returnflag"),
+          round(element_at(col("pe"), 1), 6).as("p50"),
+          round(element_at(col("pe"), 2), 6).as("p90"))
+        .orderBy("l_returnflag")
+    },
+
     // The SKYLINE OF SQL surface end-to-end: custom parser clause →
     // SkylinePlan logical node → SkylineExec physical operator
     // (graft.plans, via the spark.experimental hooks since the driver
@@ -2583,6 +2599,13 @@ object SparkEntry {
         |  round(quantile_disc(l_extendedprice, 0.75), 6) AS p75,
         |  round(quantile_disc(l_quantity, 0.9), 6) AS q90
         |FROM lineitem""".stripMargin,
+
+    "q_quantiles_gk_grouped" ->
+      """SELECT l_returnflag,
+        |  round(quantile_disc(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_disc(l_extendedprice, 0.9), 6) AS p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Discrete quantiles: GK at accuracy > N is exact and rank-agrees
     // with quantile_disc (see the query's comment).

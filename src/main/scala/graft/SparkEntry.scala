@@ -404,6 +404,29 @@ object SparkEntry {
         .limit(20)
     },
 
+    // Misra-Gries under a KEYED exchange: per-SOURCE top-5 tokens —
+    // the corpus-audit query shape (which boilerplate dominates which
+    // crawl). The same grouped-aggregate proof q_quantiles_gk_grouped
+    // gives the GK sketch: partial summaries merge across the group
+    // shuffle (ObjectHashAggregate carries the typed buffer), ≤ 256
+    // counters per group per partial — never the full per-source token
+    // keyspace. Capacity again exceeds the fixture vocabulary, so
+    // per-group counts are exact and the GROUP BY oracle applies.
+    "q_heavy_hitters_grouped" -> { (s, dir) =>
+      val counts = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("item"))
+        .groupBy(col("source"))
+        .agg(graft.stats.HeavyHitters.misraGries(col("item"), 256).as("mg"))
+        .select(col("source"), explode(col("mg")).as("e"))
+        .select(col("source"), col("e.item").as("item"), col("e.cnt").as("cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("item").asc)
+      counts.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 5)
+        .drop("__rn")
+        .orderBy(col("source"), col("cnt").desc, col("item").asc)
+    },
+
     // KMV distinct-count sketch over document texts: k smallest 60-bit
     // md5 hashes → (k−1)/(h₍ₖ₎/2⁶⁰). Unlike HLL++ the order-statistic
     // sketch is exactly SQL-reproducible, so the estimate itself faces
@@ -500,9 +523,13 @@ object SparkEntry {
         java.util.UUID.randomUUID.toString.replace("-", "")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_streamd_ckpt").toString
+      // AvailableNow (not the deprecated Trigger.Once): the run may
+      // split into several micro-batches, which an APPEND sink absorbs
+      // naturally — dropDuplicates state spans batches, so the
+      // surviving-fp SET is identical however the files are batched.
       val query = surv.writeStream.format("memory").queryName(qname)
         .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .start()
       query.awaitTermination()
@@ -572,22 +599,21 @@ object SparkEntry {
     },
 
     // The registered SQL-function surface end to end under the oracle
-    // gate: a pure spark.sql query through graft_fingerprint /
-    // graft_token_count / graft_quality / graft_lang_id (each expands
-    // to the codegen'd expression tree — GraftFunctions). Each function
-    // tokenizes independently (~12 regex passes/row here) — that is the
-    // honest cost of the compatibility surface; hot paths use the
-    // one-pass kernels instead (q_text_stats, q_lang_id).
+    // gate: a pure spark.sql query through graft_doc_profile — the
+    // fingerprint/token-count/quality/lang-id quartet fused into ONE
+    // scan kernel (graft.text.DocProfileExpr; the four individual
+    // functions each re-tokenize, ~12 regex passes per row — they
+    // remain registered for à-la-carte use and GraftFunctionsSpec pins
+    // kernel ≡ singles). Same output schema and oracle as the
+    // four-function form it replaced; only the pass count changed.
     "q_sql_functions" -> { (s, dir) =>
       graft.sql.GraftFunctions.register(s)
       Tables.load(s, dir, "documents").createOrReplaceTempView("graft_docs_fn")
       s.sql(
-        """SELECT doc_id,
-          |  graft_fingerprint(text) AS fp,
-          |  graft_token_count(text) AS n_tokens,
-          |  graft_quality(text) AS quality,
-          |  graft_lang_id(text) AS lang_pred
-          |FROM graft_docs_fn ORDER BY doc_id""".stripMargin)
+        """SELECT doc_id, p.fp AS fp, p.n_tokens AS n_tokens,
+          |  p.quality AS quality, p.lang_pred AS lang_pred
+          |FROM (SELECT doc_id, graft_doc_profile(text) AS p FROM graft_docs_fn)
+          |ORDER BY doc_id""".stripMargin)
     },
 
     // ---- embedding similarity over `embeddings` -----------------------
@@ -720,6 +746,23 @@ object SparkEntry {
         .select("vec_id", "label", "adc")
     },
 
+    // IVF-PQ with RESIDUAL encoding (Jégou §IV.B — what serving stacks
+    // default to): codes quantize v − centroid(list(v)) under ONE
+    // shared code book trained on residuals; ADC tables are built per
+    // probed list from the query's residual against that list. Same
+    // bytes as q_ann_ivfpq, strictly better accuracy on clustered data
+    // (A/B in ProductQuantizerSpec). The oracle replays the coarse
+    // assignment, the residual subtraction, the per-subspace Lloyd
+    // chains over residual slices, and the per-list ADC tail.
+    "q_ann_ivfpq_res" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      IvfPq.topKResidual(e, "embedding", "vec_id", dim = 64, q, k = 10)
+        .select("vec_id", "label", "adc")
+    },
+
     // The TRAINED-quantizer IVF path end to end: same probe/score as
     // q_ann_ivf but with centroids refined by 2 Lloyd rounds
     // (trainIters) — the oracle replays the full centroid history
@@ -821,11 +864,12 @@ object SparkEntry {
       // flatMapGroupsWithState running skyline (StreamingSkyline
       // .attach, keyed by event_type × day window), written to a
       // memory sink, and the COLLECTED SINK is what faces the oracle.
-      // Trigger.Once (deprecated in favor of AvailableNow, used here
-      // deliberately) guarantees ALL files land in ONE micro-batch, so
-      // each group emits its final skyline exactly once and the
-      // update-mode sink holds no stale earlier versions — the
-      // single-batch guarantee AvailableNow does not make.
+      // Trigger.AvailableNow may split the files across micro-batches,
+      // so each group's skyline can be emitted several times into the
+      // update-mode sink; attach's VERSION column (incremented per
+      // re-emission) lets the collection keep exactly each group's
+      // LATEST version — batch-id-aware collection instead of the
+      // deprecated Trigger.Once single-batch guarantee.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = s.read.parquet(s"$dir/events.parquet").schema
       // The file streaming source requires a DIRECTORY; the fixture is
@@ -843,18 +887,24 @@ object SparkEntry {
         .drop("win")
         .withColumn("gkey", concat_ws("|", col("event_type"), col("win_start")))
       val sky = graft.streaming.StreamingSkyline.attach(stream,
-        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))), "gkey")
+        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))), "gkey",
+        versionCol = Some("__ver"))
       val qname = "graft_stream_sky_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_stream_ckpt").toString
       val query = sky.writeStream.format("memory").queryName(qname)
         .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .option("checkpointLocation", ckpt)
         .start()
       query.awaitTermination()
+      // Keep each group's LATEST emitted version (stale earlier
+      // versions from prior micro-batches drop out).
+      val wv = Window.partitionBy(col("gkey"))
       s.table(qname)
+        .withColumn("__mx", max(col("__ver")).over(wv))
+        .filter(col("__ver") === col("__mx"))
         .select("event_type", "win_start", "event_id", "value")
         .orderBy("event_type", "win_start", "event_id")
     },
@@ -891,17 +941,21 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .start()
       query.processAllAvailable()
-      // Wait out the no-data timeout batch: stop once the sink count is
-      // stable for 3 consecutive polls (or 30 s — a truncated result
-      // would fail the oracle loudly, never silently).
-      var last = -1L
-      var stable = 0
-      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (stable < 3 && System.nanoTime() < deadline) {
-        val n = s.table(qname).count()
-        if (n == last && n > 0) stable += 1 else { stable = 0; last = n }
-        Thread.sleep(300)
+      // Wait for the engine's NO-DATA micro-batch (the one that fires
+      // the EventTimeTimeouts): processAllAvailable only waits for
+      // DATA batches, but every completed batch — including no-data
+      // ones — reports progress. Stop once recentProgress shows a
+      // zero-input batch AFTER the last data batch (or 60 s — a missed
+      // batch fails the oracle loudly, never silently).
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def timeoutBatchDone: Boolean = {
+        val rp = query.recentProgress
+        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
+        dataBatches.nonEmpty &&
+          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
       }
+      while (!timeoutBatchDone && System.nanoTime() < deadline)
+        Thread.sleep(100)
       query.stop()
       s.table(qname)
         .select(col("event_type"),
@@ -968,6 +1022,16 @@ object SparkEntry {
     // kept here for oracle parity, the boundary is this comment.
     "q_quantiles" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
+      // HARD ROW-CAP GUARD: exact percentile buffers the full value
+      // multiset in ONE aggregation buffer, so this query shape is
+      // forbidden beyond a size where that buffer is executor-safe.
+      // The guard fails LOUDLY instead of OOMing three stages later —
+      // at 100 TB use q_quantiles_gk / q_quantiles_approx (bounded,
+      // mergeable sketches; this query is their exact cross-check).
+      val n = li.count() // parquet metadata count — no data scan
+      require(n <= 50L * 1000 * 1000,
+        s"q_quantiles is the EXACT cross-check tier: refusing $n rows " +
+          "(> 5e7); use the GK sketch forms at scale")
       li.agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pe"),
         expr("percentile(l_quantity, 0.9)").as("pq"))
@@ -1031,10 +1095,14 @@ object SparkEntry {
     // span 900–1000): an out-of-range q gives every point a huge
     // radius on that dim and the dense grid shadows everything to an
     // empty result. Off-grid halves avoid exact-coincidence
-    // degeneracies. Transformed-vector anti-join through the fused
-    // DominatesExpr (graft.skyline.ReverseSkyline).
+    // degeneracies. DISTRIBUTED plan (graft.skyline.ReverseSkyline
+    // .reverseSkylineGrid): broadcast sample-witness prefilter, then
+    // the grid-bucketed box equi-join + exact DominatesExpr verify —
+    // never the O(n²) BroadcastNestedLoopJoin (the BNL form remains
+    // the spec-level cross-check; ReverseSkylineSpec pins equivalence
+    // and asserts the plan is NL-free).
     "q_skyline_reverse" -> { (s, dir) =>
-      ReverseSkyline.reverseSkyline(
+      ReverseSkyline.reverseSkylineGrid(
         Tables.load(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
         Seq("p_retailprice", "p_size"), "p_partkey", Array(950.5, 25.5))
         .orderBy("p_partkey")
@@ -1235,6 +1303,42 @@ object SparkEntry {
           col("img.height").cast("long").as("height"),
           col("img.channels").cast("long").as("channels"),
           round(col("img.mean_luma"), 6).as("mean_luma"))
+        .orderBy("doc_id")
+    },
+
+    // REAL audio decode (javax.sound.sampled — in the JDK, no external
+    // codec): a deterministic stereo square-wave WAV is encoded per doc
+    // (amplitudes and length are pure functions of doc_id), then
+    // decoded back through the actual PCM WAV codec. An even-length
+    // ±A square wave's RMS is EXACTLY A/32768 in normalized PCM16
+    // (powers of two — every normalized value and its square is an
+    // exact double), so decoded rate/channels/frames/duration/RMS
+    // equal the closed-form values the oracle computes arithmetically:
+    // the oracle checks the CODEC ROUND TRIP, not a byte stub.
+    "q_multimodal_audio" -> { (s, dir) =>
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val wav = Tables.load(s, dir, "documents").select("doc_id")
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val n = ((id % 5) + 1).toInt * 100
+            val a0 = (((id % 50) + 1) * 500).toShort
+            val a1 = (((id % 30) + 2) * 700).toShort
+            def sq(a: Short) =
+              Array.tabulate[Short](n)(i => if (i % 2 == 0) a else (-a).toShort)
+            Row(id, Multimodal.encodeWavPcm16(Array(sq(a0), sq(a1)), 8000))
+          }
+        }(enc)
+      Multimodal.extractAudioFeatures(wav, "payload", "au")
+        .select(
+          col("doc_id"),
+          col("au.sample_rate").cast("long").as("sample_rate"),
+          col("au.channels").cast("long").as("channels"),
+          col("au.n_frames").as("n_frames"),
+          round(col("au.duration_sec"), 6).as("duration_sec"),
+          round(element_at(col("au.rms"), 1), 6).as("rms0"),
+          round(element_at(col("au.rms"), 2), 6).as("rms1"))
         .orderBy("doc_id")
     },
 
@@ -1490,6 +1594,96 @@ object SparkEntry {
                     |""".stripMargin
       }
     }
+    sb.toString
+  }
+
+  /** Residual IVF-PQ replay ([[graft.sim.IvfPq.topKResidual]]): the
+    * hash-random coarse quantizer + assignment (as q_ann_ivfpq), the
+    * residual LONG-FORM table rv = v − centroid(list(v)), per-subspace
+    * Lloyd chains over residual SLICES (the [[pqCtes]] chain rebased
+    * onto rv — slicing in long form is a BETWEEN on the subscript),
+    * and the per-probed-list ADC tail (the query's residual differs
+    * per list, so qd carries the list rank too).
+    */
+  private def ivfPqResidualSql(
+      nLists: Int, nProbe: Int, m: Int, subDim: Int, k: Int, iters: Int,
+      salt: String, topK: Int): String = {
+    val sb = new StringBuilder(
+      s"""WITH cent AS (
+         |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
+         |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
+         |    FROM embeddings ORDER BY h LIMIT $nLists)),
+         |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+         |        generate_subscripts(cv, 1) AS j FROM cent),
+         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+         |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+         |dists AS (
+         |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+         |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, rank FROM (
+         |    SELECT vec_id, rank,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+         |    FROM dists) WHERE rn = 1),
+         |qprobe AS (
+         |  SELECT rank FROM (
+         |    SELECT rank, row_number() OVER (ORDER BY d, rank) AS rn
+         |    FROM dists WHERE vec_id = 0) WHERE rn <= $nProbe),
+         |rv AS (
+         |  SELECT e.vec_id, e.x - c.cx AS x, e.j
+         |  FROM ev e JOIN assign a ON e.vec_id = a.vec_id
+         |  JOIN cev c ON c.rank = a.rank AND c.j = e.j),
+         |""".stripMargin)
+    for (s <- 0 until m) {
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      sb ++= s"""ev_$s AS (SELECT vec_id, x, j - ${s * subDim} AS j FROM rv
+                |         WHERE j BETWEEN $lo AND $hi),
+                |seed_$s AS (
+                |  SELECT vec_id, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
+                |    SELECT md5('$salt$s:' || vec_id) AS h, vec_id FROM embeddings
+                |    WHERE embedding IS NOT NULL ORDER BY h LIMIT $k)),
+                |c0e_$s AS (
+                |  SELECT sd.rank, e.j, e.x AS cx
+                |  FROM seed_$s sd JOIN ev_$s e ON e.vec_id = sd.vec_id),
+                |""".stripMargin
+      for (i <- 1 to iters + 1) {
+        sb ++= s"""d${i}_$s AS (
+                  |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+                  |  FROM ev_$s e JOIN c${i - 1}e_$s c ON e.j = c.j GROUP BY 1, 2),
+                  |a${i}_$s AS (
+                  |  SELECT vec_id, rank FROM (
+                  |    SELECT vec_id, rank,
+                  |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+                  |    FROM d${i}_$s) WHERE rn = 1),
+                  |""".stripMargin
+        if (i <= iters)
+          sb ++= s"""c${i}e_$s AS (
+                    |  SELECT a.rank, e.j, round(avg(e.x), 6) AS cx
+                    |  FROM a${i}_$s a JOIN ev_$s e ON a.vec_id = e.vec_id GROUP BY 1, 2),
+                    |""".stripMargin
+      }
+      sb ++= s"""qd_$s AS (
+                |  SELECT r.lrank, c.rank, sum((r.x - c.cx) * (r.x - c.cx)) AS d
+                |  FROM (SELECT c2.rank AS lrank, c2.j - ${s * subDim} AS j, q.x - c2.cx AS x
+                |        FROM cev c2 JOIN ev q ON q.j = c2.j AND q.vec_id = 0
+                |        WHERE c2.rank IN (SELECT rank FROM qprobe)
+                |          AND c2.j BETWEEN $lo AND $hi) r
+                |  JOIN c${iters}e_$s c ON r.j = c.j GROUP BY 1, 2),
+                |part_$s AS (
+                |  SELECT a.vec_id, q.d
+                |  FROM a${iters + 1}_$s a
+                |  JOIN assign av ON av.vec_id = a.vec_id
+                |  JOIN qd_$s q ON q.lrank = av.rank AND q.rank = a.rank),
+                |""".stripMargin
+    }
+    sb ++= s"""adc AS (
+              |  SELECT vec_id, round(sum(d), 6) AS adc FROM (
+              |    ${(0 until m).map(s => s"SELECT * FROM part_$s").mkString("\n    UNION ALL ")})
+              |  GROUP BY vec_id)
+              |SELECT emb.vec_id, emb.label, adc.adc
+              |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
+              |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT $topK""".stripMargin
     sb.toString
   }
 
@@ -1932,6 +2126,20 @@ object SparkEntry {
         |SELECT item, count(*) AS cnt FROM t
         |GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 20""".stripMargin,
 
+    // Exact regime per group (capacity > per-source vocabulary):
+    // plain grouped counts, top-5 per source by (cnt desc, item asc).
+    "q_heavy_hitters_grouped" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS item
+        |  FROM documents),
+        |c AS (SELECT source, item, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |r AS (SELECT source, item, cnt,
+        |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, item ASC) AS rn
+        |      FROM c)
+        |SELECT source, item, cnt FROM r WHERE rn <= 5
+        |ORDER BY source, cnt DESC, item ASC""".stripMargin,
+
     // KMV replayed literally: distinct 60-bit hashes, 128 smallest,
     // same two-division estimate expression.
     "q_distinct_kmv" ->
@@ -2231,6 +2439,12 @@ object SparkEntry {
           |SELECT emb.vec_id, emb.label, adc.adc
           |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
           |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT 10""".stripMargin),
+
+    // Residual IVF-PQ replay: coarse assignment → residual long-form →
+    // per-subspace Lloyd chains over residual slices → per-list ADC.
+    "q_ann_ivfpq_res" ->
+      ivfPqResidualSql(nLists = 16, nProbe = 4, m = 4, subDim = 16, k = 8,
+        iters = 1, salt = "pqr", topK = 10),
 
     // PQ replay: per-subspace Lloyd chains (pqCtes), then ADC — the
     // query's per-centroid distances (qd_s from vec 0's slice) joined
@@ -2780,6 +2994,21 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS channels,
         |  round((ne * v1 + (w * h - ne) * v2) / CAST(w * h AS DOUBLE), 6) AS mean_luma
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Closed-form square-wave statistics: even-length ±A PCM16 square
+    // wave → RMS exactly A/32768 (powers of two keep every normalized
+    // value exact); duration = n/8000 — the identical IEEE division on
+    // both engines. The WAV container round trip happens only on the
+    // Spark side; a mismatch there fails the hash.
+    "q_multimodal_audio" ->
+      """SELECT doc_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(2 AS BIGINT) AS channels,
+        |  CAST(((doc_id % 5) + 1) * 100 AS BIGINT) AS n_frames,
+        |  round((((doc_id % 5) + 1) * 100) / 8000.0, 6) AS duration_sec,
+        |  round((((doc_id % 50) + 1) * 500) / 32768.0, 6) AS rms0,
+        |  round((((doc_id % 30) + 2) * 700) / 32768.0, 6) AS rms1
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // Same tokenization, the same left-associated BM25 arithmetic
     // (idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen))); tf/df/N/Σlen

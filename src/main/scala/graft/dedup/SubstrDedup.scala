@@ -136,12 +136,18 @@ object SubstrDedup {
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     val toks = TextFunctions.tokens(col(textCol))
+    val src = df.filter(col(textCol).isNotNull)
     // Keep token i (1-based) iff no span covers it.
     val kept = filter(
       zip_with(toks, sequence(lit(1), size(toks)), (t, i) => struct(t.as("t"), i.as("i"))),
       p => !exists(col("__spans"),
         s => p.getField("i").between(s.getField("span_start"), s.getField("span_end"))))
-    df.join(spans, Seq(idCol), "left")
+    // NULL-text rows are dropped (not passed through): the rewritten
+    // column is defined over the tokenization contract, and a NULL text
+    // has no token stream — passing it through would emit an
+    // engine-specific md5(NULL) downstream while SQL oracles filter
+    // `text IS NOT NULL`. Align by construction.
+    src.join(spans, Seq(idCol), "left")
       .withColumn(textCol,
         when(col("__spans").isNull, col(textCol))
           .otherwise(array_join(transform(kept, p => p.getField("t")), " ")))

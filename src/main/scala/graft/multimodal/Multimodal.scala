@@ -14,12 +14,18 @@ import org.apache.spark.sql.types._
   * IMAGES decode for real: [[decodeImage]] uses the JDK's own
   * `javax.imageio` (PNG/JPEG/BMP/GIF ship with Java), so width/height/
   * channels/mean-luma are true pixel statistics, and [[encodeGrayPng]]
-  * is the matching lossless re-encode. AUDIO/VIDEO codecs (opus/h264)
-  * are NOT in the JDK or this container, so [[decodeStub]] remains a
-  * clearly-marked deterministic FAKE for those: it "decodes" a payload
-  * to byte-level statistics. Everything around both — the schema
-  * contract, the batch iteration shape, partition sizing, null
-  * passthrough — is the real plumbing a production codec drops into.
+  * is the matching lossless re-encode. AUDIO in PCM containers decodes
+  * for real too: [[decodeAudio]] uses the JDK's own
+  * `javax.sound.sampled` (WAV/AIFF/AU PCM ship with Java), so sample
+  * rate / channels / duration / per-channel RMS are true sample
+  * statistics, and [[encodeWavPcm16]] is the matching lossless
+  * re-encode. Only COMPRESSED codecs (opus/vorbis/h264 — genuinely
+  * absent from the JDK and this container) still go through
+  * [[decodeStub]], a clearly-marked deterministic FAKE that "decodes"
+  * a payload to byte-level statistics. Everything around all three —
+  * the schema contract, the batch iteration shape, partition sizing,
+  * null passthrough — is the real plumbing a production codec drops
+  * into.
   */
 object Multimodal {
 
@@ -36,10 +42,13 @@ object Multimodal {
     StructField("mean_byte", DoubleType),
     StructField("byte_entropy", DoubleType)))
 
-  /** STUB — deterministic fake decode standing in for a real codec.
-    * Real implementation would hand `bytes` to the image/audio library
-    * and return pixel/sample statistics; this one computes byte-level
-    * statistics so the pipeline is end-to-end testable without codecs.
+  /** STUB — deterministic fake decode standing in for a COMPRESSED
+    * codec (opus/vorbis/h264 — the formats genuinely absent from the
+    * JDK and this container). Images ([[decodeImage]]) and PCM audio
+    * ([[decodeAudio]]) decode for real; a production compressed codec
+    * would replace this with sample statistics. This one computes
+    * byte-level statistics so that pipeline tier stays end-to-end
+    * testable.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Double, Double) = {
     if (bytes == null || bytes.isEmpty) return (0, 0.0, 0.0)
@@ -66,8 +75,9 @@ object Multimodal {
     * for ≥3-band images, the raw sample for grayscale — read straight
     * from the raster, never through `getRGB` (which color-space
     * converts and would break bit-exact grayscale round-trips).
-    * Undecodable or empty payloads → None; only audio/video still go
-    * through [[decodeStub]], whose codecs genuinely are not in the JDK.
+    * Undecodable or empty payloads → None; only COMPRESSED audio/video
+    * (opus/h264) still go through [[decodeStub]] — PCM audio decodes
+    * for real via [[decodeAudio]].
     */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Double)] = {
     if (bytes == null || bytes.isEmpty) return None
@@ -114,6 +124,129 @@ object Multimodal {
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
+  }
+
+  /** Output schema of the REAL audio decode ([[decodeAudio]]). */
+  val audioFeatureType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType),
+    StructField("channels", IntegerType),
+    StructField("n_frames", LongType),
+    StructField("duration_sec", DoubleType),
+    StructField("rms", ArrayType(DoubleType, containsNull = false))))
+
+  /** REAL audio decode via the JDK's own `javax.sound.sampled`
+    * (WAV/AIFF/AU PCM containers ship with Java — no external codec):
+    * (sample rate, channels, frame count, duration seconds,
+    * per-channel RMS of samples normalized to [−1, 1]). Handles
+    * signed/unsigned PCM at 8 or 16 bits, either endianness — the
+    * full `javax.sound` PCM matrix. Undecodable payloads (including
+    * compressed codecs, which genuinely are not in the JDK) → None;
+    * those still flow through [[decodeStub]]'s byte-statistics tier.
+    *
+    * Normalization contract (pinned in MultimodalSpec and the
+    * q_multimodal_audio oracle): 16-bit → sample/32768, 8-bit signed →
+    * sample/128, 8-bit unsigned → (sample−128)/128. Powers of two, so
+    * the normalized values — and square-wave RMS — are EXACT doubles.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Long, Double, Array[Double])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = in.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+      val bits = fmt.getSampleSizeInBits
+      val ch = fmt.getChannels
+      if (!(signed || unsigned) || (bits != 8 && bits != 16) || ch < 1) return None
+      val data = in.readAllBytes()
+      val bytesPerSample = bits / 8
+      val frameBytes = bytesPerSample * ch
+      val nFrames = data.length / frameBytes
+      val ss = new Array[Double](ch)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < ch) {
+          val off = f * frameBytes + c * bytesPerSample
+          val v =
+            if (bits == 8) {
+              val raw = data(off) & 0xff
+              if (unsigned) (raw - 128) / 128.0 else data(off) / 128.0
+            } else {
+              val (b0, b1) = (data(off) & 0xff, data(off + 1) & 0xff)
+              val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+              val s = if (unsigned) raw - 32768 else (raw << 16) >> 16
+              s / 32768.0
+            }
+          ss(c) += v * v
+          c += 1
+        }
+        f += 1
+      }
+      val rms = ss.map(s => if (nFrames > 0) math.sqrt(s / nFrames) else 0.0)
+      val rate = fmt.getSampleRate.toInt
+      Some((rate, ch, nFrames.toLong,
+        if (rate > 0) nFrames.toDouble / rate else 0.0, rms))
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** 16-bit signed little-endian PCM WAV encode of per-channel sample
+    * arrays (all the same length) — the re-encode half of a real audio
+    * pipeline, and the deterministic fixture generator for
+    * [[decodeAudio]] (PCM WAV is lossless, so decoded statistics equal
+    * closed-form values exactly).
+    */
+  def encodeWavPcm16(channels: Array[Array[Short]], sampleRate: Int): Array[Byte] = {
+    require(channels.nonEmpty && channels.forall(_.length == channels(0).length),
+      "equal-length per-channel sample arrays")
+    val ch = channels.length
+    val n = channels(0).length
+    val pcm = new Array[Byte](n * ch * 2)
+    var f = 0
+    while (f < n) {
+      var c = 0
+      while (c < ch) {
+        val s = channels(c)(f)
+        val off = (f * ch + c) * 2
+        pcm(off) = (s & 0xff).toByte
+        pcm(off + 1) = ((s >> 8) & 0xff).toByte
+        c += 1
+      }
+      f += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, ch, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Append [[decodeAudio]] features for a binary audio column — same
+    * one-pass mapPartitions shape as [[extractImageFeatures]];
+    * undecodable rows get a NULL struct (quarantine filtering, not
+    * silent loss).
+    */
+  def extractAudioFeatures(df: DataFrame, binCol: String, outCol: String): DataFrame = {
+    val outSchema = df.schema.add(outCol, audioFeatureType)
+    val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val feat = decodeAudio(bytes)
+          .map { case (rate, ch, nf, dur, rms) => Row(rate, ch, nf, dur, rms.toSeq) }
+          .orNull
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
   }
 
   /** Append [[decodeImage]] features for a binary image column — same

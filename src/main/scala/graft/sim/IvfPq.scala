@@ -13,12 +13,20 @@ import org.apache.spark.sql.functions._
   * shrinks the candidate BYTES; together they are the
   * billion-vector-on-a-cluster shape.
   *
-  * Simplification vs the paper, documented deliberately: codes
-  * quantize RAW vectors, not per-list residuals (v − coarse centroid).
-  * Residual encoding recovers accuracy lost to coarse cell width at
-  * the cost of per-list code books; the raw-vector variant keeps ONE
-  * code book, which is both the common memory-constrained deployment
-  * and what a SQL oracle can replay without nLists × m Lloyd chains.
+  * Two encodings:
+  *
+  *  - [[topK]] — codes quantize RAW vectors. One code book, the
+  *    memory-constrained deployment; coarse cell width leaks into the
+  *    codes (each list's offset burns code-book resolution).
+  *  - [[topKResidual]] — codes quantize per-list RESIDUALS
+  *    v − centroid(list(v)) (Jégou §IV.B), ONE code book shared
+  *    across lists trained on the residual distribution. Residuals
+  *    concentrate near 0 regardless of which list a vector sits in,
+  *    so the same m×kSub budget spends entirely on local detail —
+  *    the accuracy-per-byte winner on clustered data (A/B'd in
+  *    ProductQuantizerSpec) and what serving stacks default to. ADC
+  *    tables become per-probed-list (query residual differs per
+  *    list): nProbe × m × kSub entries, still driver-trivial.
   *
   * Scale shape: everything is broadcast mapPartitions + one
   * TakeOrderedAndProject — the at-rest form writes `list` as a
@@ -48,5 +56,91 @@ object IvfPq {
       .filter(col("__list").isin(probed.map(Integer.valueOf): _*))
       .drop("__list")
     ProductQuantizer.topKAdc(candidates, vecCol, idCol, model, query, k)
+  }
+
+  /** Residual-encoded IVF-PQ (Jégou §IV.B): codes quantize
+    * v − centroid(list(v)); scoring uses a per-probed-list ADC table
+    * built from the query's residual against THAT list's centroid.
+    * Same scale shape as [[topK]] — the residual subtraction is a
+    * broadcast-hash-join of the (nLists × dim) centroid table plus a
+    * `zip_with`, everything else is broadcast mapPartitions + one
+    * TakeOrderedAndProject.
+    */
+  def topKResidual(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      query: Array[Double],
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 4,
+      kSub: Int = 8,
+      pqIters: Int = 1,
+      salt: String = "pqr"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val spark = df.sparkSession
+    val subDim = dim / m
+    val cents = IvfFlat.centroids(df, vecCol, idCol, nLists)
+    val probed = IvfFlat.probeLists(query, cents, nProbe)
+
+    // Residual column: broadcast-join the tiny (list, centroid) table,
+    // subtract inside Catalyst (zip_with — codegen'd, no extra pass).
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("__list", "__cent"))
+    val assigned = KMeans.assignWith(
+      df, vecCol, cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq, "__list")
+    val withRes = assigned.join(centDf, Seq("__list"))
+      .withColumn("__res",
+        zip_with(col(vecCol).cast("array<double>"), col("__cent"), (x, c) => x - c))
+      .drop("__cent")
+
+    // One shared code book trained on ALL residuals (the §IV.B shape).
+    val model = ProductQuantizer.fit(withRes, "__res", idCol, dim, m, kSub, pqIters, salt)
+
+    // Per-probed-list ADC tables: the query's residual vs list l is
+    // (q − c_l), so table(l, s, rank) = ‖(q − c_l)_s − cent_{s,rank}‖².
+    val table: Map[(Int, Int, Int), Double] = probed.flatMap { l =>
+      (0 until m).flatMap { s =>
+        model.cents(s).map { case (rank, c) =>
+          var d = 0.0
+          var i = 0
+          while (i < c.length) {
+            val x = (query(s * subDim + i) - cents(l)(s * subDim + i)) - c(i)
+            d += x * x
+            i += 1
+          }
+          (l, s, rank) -> d
+        }
+      }
+    }.toMap
+
+    val candidates = withRes
+      .filter(col("__list").isin(probed.map(Integer.valueOf): _*))
+    val encoded = ProductQuantizer.encode(candidates, "__res", model, "__code")
+    val bc = spark.sparkContext.broadcast(table)
+    val schema = encoded.schema.add("adc", org.apache.spark.sql.types.DoubleType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val cIdx = encoded.schema.fieldIndex("__code")
+    val lIdx = encoded.schema.fieldIndex("__list")
+    encoded.filter(col("__code").isNotNull)
+      .mapPartitions { it =>
+        val t = bc.value
+        it.map { r =>
+          val code = r.getSeq[Int](cIdx)
+          val l = r.getInt(lIdx)
+          var d = 0.0
+          var s = 0
+          while (s < code.length) { d += t((l, s, code(s))); s += 1 }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ d)
+        }
+      }(enc)
+      .withColumn("adc", round(col("adc"), 6))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__code", "__list", "__res")
   }
 }

@@ -74,7 +74,9 @@ object ProductQuantizer {
   }
 
   /** Append the `array<int>` code column — one broadcast mapPartitions
-    * pass, no shuffle; NULL vectors get NULL codes.
+    * pass, no shuffle; NULL vectors get NULL codes. Vectors shorter
+    * than the model's `m · subDim` fail with a clear contract error
+    * (not an index-out-of-bounds deep inside an executor task).
     */
   def encode(df: DataFrame, vecCol: String, model: Model,
       outCol: String = "code"): DataFrame = {
@@ -91,6 +93,9 @@ object ProductQuantizer {
           if (r.isNullAt(vIdx)) null
           else {
             val v = r.getSeq[Double](vIdx)
+            require(v.length >= mdl.m * mdl.subDim,
+              s"vector length ${v.length} < model dim ${mdl.m * mdl.subDim}" +
+                s" (m=${mdl.m} × subDim=${mdl.subDim})")
             (0 until mdl.m).map(s => nearestIn(v, s * mdl.subDim, mdl.cents(s)))
           }
         Row.fromSeq(r.toSeq :+ code)

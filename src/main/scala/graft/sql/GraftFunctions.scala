@@ -31,6 +31,10 @@ object GraftFunctions {
     ("graft_punct_ratio", 1, cs => TextFunctions.punctRatio(cs.head)),
     ("graft_quality", 1, cs => TextFunctions.qualityScore(cs.head)),
     ("graft_lang_id", 1, cs => TextFunctions.langId(cs.head)),
+    // the four above fused into ONE scan pass (struct<fp, n_tokens,
+    // quality, lang_pred>) — the hot-path form; pinned ≡ the singles
+    // in GraftFunctionsSpec
+    ("graft_doc_profile", 1, cs => graft.text.DocProfileExpr(cs.head)),
     ("graft_dominates", 2, cs =>
       ColumnBridge.column(DominatesExpr(
         ColumnBridge.expression(cs(0)), ColumnBridge.expression(cs(1))))))

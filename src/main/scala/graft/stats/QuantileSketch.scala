@@ -139,8 +139,12 @@ final class GkSummary(val eps: Double) {
       } else {
         nv(o) = batch(j); ng(o) = 1L
         // Extremes keep Δ = 0 (exact min/max); interior inserts take
-        // the full slack.
-        nd(o) = if (o == 0 || (i >= used && j == batch.length - 1)) 0L else cap
+        // cap − 1 so g + Δ = ⌊2εN⌋ exactly (the paper's invariant; a
+        // full `cap` would transiently exceed it by one rank until the
+        // next compress).
+        nd(o) =
+          if (o == 0 || (i >= used && j == batch.length - 1)) 0L
+          else math.max(0L, cap - 1)
         j += 1
       }
       o += 1

@@ -34,32 +34,49 @@ object StreamingSkyline {
 
   /** Attach a running per-group skyline to a streaming DataFrame.
     *
-    * @param df        streaming DataFrame (isStreaming must hold)
-    * @param spec      skyline dims over df's columns
-    * @param groupCol  grouping column (e.g. event_type)
+    * @param df         streaming DataFrame (isStreaming must hold)
+    * @param spec       skyline dims over df's columns
+    * @param groupCol   grouping column (e.g. event_type)
+    * @param versionCol when set, append a per-group VERSION column
+    *                   (long, incremented every time the group's state
+    *                   is re-emitted). Update-mode sinks accumulate one
+    *                   emission per triggered batch; the version lets a
+    *                   collector keep only each group's LATEST skyline
+    *                   without assuming everything landed in one
+    *                   micro-batch (the `Trigger.AvailableNow`
+    *                   multi-batch contract).
     * @return streaming DataFrame of the current skyline rows per group,
     *         in Update mode semantics (every triggered group re-emits
     *         its whole current skyline)
     */
-  def attach(df: DataFrame, spec: SkylineSpec, groupCol: String): DataFrame = {
+  def attach(df: DataFrame, spec: SkylineSpec, groupCol: String,
+      versionCol: Option[String] = None): DataFrame = {
     val prep = SkylineOp.prepare(df, spec)
     val schema = prep.schema
     val skyIdx = schema.fieldIndex(SkylineOp.SKY)
     val keyIdx = schema.fieldIndex(groupCol)
-    implicit val rowEnc = Encoders.row(schema)
-    implicit val stateEnc = Encoders.kryo[Array[(Array[Double], Row)]]
+    val outSchema = versionCol
+      .map(v => schema.add(v, org.apache.spark.sql.types.LongType, nullable = false))
+      .getOrElse(schema)
+    implicit val rowEnc = Encoders.row(outSchema)
+    implicit val stateEnc = Encoders.kryo[(Long, Array[(Array[Double], Row)])]
     implicit val keyEnc = Encoders.STRING
 
+    val versioned = versionCol.isDefined
     prep
       .groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))
-      .flatMapGroupsWithState[Array[(Array[Double], Row)], Row](
+      .flatMapGroupsWithState[(Long, Array[(Array[Double], Row)]), Row](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (_: String, rows: Iterator[Row], state: GroupState[Array[(Array[Double], Row)]]) =>
+        (_: String, rows: Iterator[Row],
+         state: GroupState[(Long, Array[(Array[Double], Row)])]) =>
           val buf = Gsky.emptyBuf[Row]
-          state.getOption.foreach(_.foreach { case (v, p) => buf += ((v, p)) })
+          val prior = state.getOption
+          prior.foreach(_._2.foreach { case (v, p) => buf += ((v, p)) })
           rows.foreach(r => Gsky.insert(buf, Gsky.vecOf(r, skyIdx), r))
-          state.update(buf.toArray)
-          buf.iterator.map(_._2)
+          val version = prior.map(_._1).getOrElse(0L) + 1L
+          state.update((version, buf.toArray))
+          if (versioned) buf.iterator.map { case (_, r) => Row.fromSeq(r.toSeq :+ version) }
+          else buf.iterator.map(_._2)
       }
       .drop(SkylineOp.SKY)
   }

@@ -50,8 +50,16 @@ object SubstrProbe {
           .filter(col("__c") >= 2).drop("__c"))
           .write.format("noop").mode("overwrite").save()
       }
+      // The LOSING variant, inlined (it is no longer in SubstrDedup —
+      // duplicatedSpans itself uses count-over-window): combined counts
+      // shuffle once for the groupBy, then the full gram stream moves
+      // AGAIN for the semi-join.
       t(s"[$i] semi-join ") {
-        SubstrDedup.duplicatedSpans(docs, "text", "doc_id", 5, 8)
+        val dupFps = grams.groupBy(col("fp"))
+          .agg(count(lit(1)).as("__c"))
+          .filter(col("__c") >= 2)
+          .select("fp")
+        islands(grams.join(dupFps, Seq("fp"), "left_semi"))
           .write.format("noop").mode("overwrite").save()
       }
       t(s"[$i] windowb   ") {

@@ -55,10 +55,14 @@ class SubstrDedupSpec extends SparkSpec {
     assert(out(2) === "lima mike november oscar papa quebec romeo sierra tango uniform victor")
   }
 
-  test("null text passes through") {
+  test("null text rows are dropped (the oracle's IS NOT NULL contract)") {
+    // The rewritten column is defined over the tokenization contract —
+    // a NULL text has no token stream, and passing it through would
+    // emit engine-specific md5(NULL) downstream while SQL oracles
+    // filter `text IS NOT NULL`. Aligned by construction.
     val withNull = docs.union(Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
     val out = SubstrDedup.withoutDuplicatedSpans(withNull, "text", "doc_id", 5, 8)
-    assert(out.count() === 4)
-    assert(out.filter("doc_id = 4").select("text").first().isNullAt(0))
+    assert(out.count() === 3)
+    assert(out.filter("doc_id = 4").count() === 0)
   }
 }

@@ -98,4 +98,62 @@ class MultimodalSpec extends SparkSpec {
     assert(f.getInt(0) == 2 && f.getInt(1) == 2 && f.getInt(2) == 1 && f.getDouble(3) == 100.0)
     assert(out(1).isNullAt(3))
   }
+
+  test("decodeAudio: planted stereo square wave round-trips exactly through WAV") {
+    // even-length ±A square wave: RMS = A/32768 exactly (powers of 2)
+    val n = 400
+    val a0: Short = 12000
+    val a1: Short = 3000
+    def sq(a: Short) = Array.tabulate[Short](n)(i => if (i % 2 == 0) a else (-a).toShort)
+    val wav = Multimodal.encodeWavPcm16(Array(sq(a0), sq(a1)), 16000)
+    val Some((rate, ch, frames, dur, rms)) = Multimodal.decodeAudio(wav)
+    assert((rate, ch, frames) == (16000, 2, n.toLong))
+    assert(dur == n.toDouble / 16000)
+    assert(rms.toSeq == Seq(a0 / 32768.0, a1 / 32768.0))
+  }
+
+  test("decodeAudio: DC (constant) mono signal has RMS = |level|") {
+    val level: Short = -8192
+    val wav = Multimodal.encodeWavPcm16(Array(Array.fill[Short](100)(level)), 8000)
+    val Some((rate, ch, frames, _, rms)) = Multimodal.decodeAudio(wav)
+    assert((rate, ch, frames) == (8000, 1, 100L))
+    assert(rms.toSeq == Seq(8192 / 32768.0))
+  }
+
+  test("decodeAudio: big-endian PCM via the AIFF container") {
+    val n = 200
+    val a: Short = 6000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = if (i % 2 == 0) a else (-a).toShort
+      pcm(i * 2) = ((s >> 8) & 0xff).toByte // big-endian
+      pcm(i * 2 + 1) = (s & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.AIFF, out)
+    val Some((rate, ch, frames, _, rms)) = Multimodal.decodeAudio(out.toByteArray)
+    assert((rate, ch, frames) == (8000, 1, n.toLong))
+    assert(rms.toSeq == Seq(a / 32768.0))
+  }
+
+  test("decodeAudio: garbage, empty, and null payloads → None") {
+    assert(Multimodal.decodeAudio("not a wav".getBytes).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+  }
+
+  test("extractAudioFeatures: NULL struct for undecodable rows, real stats otherwise") {
+    val wav = Multimodal.encodeWavPcm16(
+      Array(Array.tabulate[Short](50)(i => if (i % 2 == 0) 4096 else -4096)), 8000)
+    val d = df(Row(1L, wav, Row("wav", 0, 0, 1)), Row(2L, "junk".getBytes, Row("wav", 0, 0, 1)))
+    val out = Multimodal.extractAudioFeatures(d, "payload", "au").orderBy("id").collect()
+    val f = out(0).getStruct(3)
+    assert(f.getInt(0) == 8000 && f.getInt(1) == 1 && f.getLong(2) == 50L)
+    assert(f.getSeq[Double](4) == Seq(4096 / 32768.0))
+    assert(out(1).isNullAt(3))
+  }
 }

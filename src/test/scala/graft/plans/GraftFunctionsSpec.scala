@@ -32,6 +32,34 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaSql.toSeq == viaCols.toSeq)
   }
 
+  test("graft_doc_profile ≡ the four singles (one-pass kernel contract)") {
+    assert(registered)
+    val docs = Seq(
+      (1L, "The quick brown fox and the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs!!"),
+      (3L, ""),
+      (4L, "   \t  "),
+      (5L, "der die das und the the"),
+      (6L, "the der"), // exact marker tie → first language in order
+      (7L, "le la les et que es el y de5 shi4"),
+      (8L, "naïve café — über señor ¡hola! 你好 жизнь"),
+      (9L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    docs.createOrReplaceTempView("gf_docs_prof")
+    val fused = spark.sql(
+      """SELECT id, p.fp AS fp, p.n_tokens AS n_tokens,
+        |  p.quality AS quality, p.lang_pred AS lang_pred
+        |FROM (SELECT id, graft_doc_profile(text) AS p FROM gf_docs_prof)
+        |ORDER BY id""".stripMargin).collect()
+    val singles = spark.sql(
+      """SELECT id, graft_fingerprint(text) AS fp,
+        |  graft_token_count(text) AS n_tokens,
+        |  graft_quality(text) AS quality,
+        |  graft_lang_id(text) AS lang_pred
+        |FROM gf_docs_prof ORDER BY id""".stripMargin).collect()
+    assert(fused.toSeq == singles.toSeq)
+  }
+
   test("graft_dominates works as a SQL predicate") {
     assert(registered)
     val r = spark.sql(

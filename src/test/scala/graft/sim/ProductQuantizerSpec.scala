@@ -56,6 +56,49 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(got.nonEmpty && got.forall(_ == 3))
   }
 
+  // Clustered fixture where the cluster OFFSET dominates the signal:
+  // 4 clusters at per-dim offsets 1000·(k+1); intra-cluster detail is
+  // a scalar t ∈ {−2..2} added to every dim. Raw-vector PQ spends its
+  // code book on the offsets (every member of a cluster collapses to
+  // one code → ADC ties → arbitrary tie-break ranking); residual PQ
+  // spends the SAME bytes on the detail axis. Ground truth: the 10
+  // vectors at distance 0 from the query.
+  private def clustered = (0L until 200L).map { i =>
+    val k = (i % 4).toInt
+    val t = (((i / 4) % 3).toDouble - 1.0) * 2.0
+    (i, k, (0 until 8).map(_ => 1000.0 * (k + 1) + t))
+  }.toDF("vec_id", "label", "embedding")
+
+  test("residual encoding ≥ raw at equal bytes on clustered data (Jégou §IV.B)") {
+    val q = (0 until 8).map(_ => 1000.0 * 3 + 2.0).toArray // cluster 2, t = +2
+    // ground truth: top-10 by exact L2, ties by vec_id — the 10
+    // smallest-id members of (cluster 2, t = +2), all at distance 0
+    val truth = (0L until 200L)
+      .filter(i => i % 4 == 2 && (i / 4) % 3 == 2).take(10).toSet
+    assert(truth.size == 10)
+    def recall(ids: Seq[Long]): Double =
+      ids.count(truth.contains).toDouble / truth.size
+    val raw = IvfPq.topK(clustered, "embedding", "vec_id", dim = 8, q, k = 10,
+      nLists = 8, nProbe = 8, m = 2, kSub = 8, pqIters = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    val res = IvfPq.topKResidual(clustered, "embedding", "vec_id", dim = 8, q,
+      k = 10, nLists = 8, nProbe = 8, m = 2, kSub = 8, pqIters = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(recall(res) >= recall(raw),
+      s"residual recall ${recall(res)} < raw ${recall(raw)}")
+    assert(recall(res) >= 0.6,
+      s"residual recall too low: ${recall(res)} (res=$res raw=$raw rawRecall=${recall(raw)})")
+  }
+
+  test("topKResidual is deterministic and layout-invariant") {
+    val q = vec(1, 500L).toArray
+    def run(df: org.apache.spark.sql.DataFrame) =
+      IvfPq.topKResidual(df, "embedding", "vec_id", dim = 8, q, k = 10,
+        nLists = 4, nProbe = 4, m = 2, kSub = 4, pqIters = 1)
+        .select("vec_id", "adc").as[(Long, Double)].collect().toSeq
+    assert(run(corpus) == run(corpus.repartition(7)))
+  }
+
   test("null vectors get null codes and are excluded from ADC") {
     val withNull = corpus.union(
       Seq((999L, 0, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "label", "embedding"))

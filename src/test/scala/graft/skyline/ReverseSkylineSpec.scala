@@ -55,4 +55,47 @@ class ReverseSkylineSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(got == Set(1L))
   }
+
+  test("grid path ≡ BNL path on random data, across grid/sample params") {
+    val rnd = new Random(41)
+    for (trial <- 1 to 5) {
+      val base = (1L to 200L).map(i =>
+        (i, rnd.nextInt(50).toDouble, rnd.nextInt(50).toDouble))
+      val pts = base :+ (300L, base.head._2, base.head._3) // exact duplicate
+      val q = (rnd.nextInt(50).toDouble + 0.5, rnd.nextInt(50).toDouble + 0.5)
+      val df = pts.toDF("id", "x", "y").repartition(5)
+      val expect = ReverseSkyline.reverseSkyline(df, Seq("x", "y"), "id",
+        Array(q._1, q._2)).select("id").as[Long].collect().toSet
+      assert(expect == brute(pts, q), s"BNL vs brute, trial $trial")
+      // degenerate grids and zero/tiny samples must not change the set
+      for ((g, ss) <- Seq((32, 64), (1, 0), (4, 1), (64, 512))) {
+        val got = ReverseSkyline.reverseSkylineGrid(df, Seq("x", "y"), "id",
+          Array(q._1, q._2), gridSize = g, sampleSize = ss)
+          .select("id").as[Long].collect().toSet
+        assert(got == expect, s"grid($g,$ss) vs BNL, trial $trial q=$q")
+      }
+    }
+  }
+
+  test("grid path: q coinciding with a data point, and constant dims") {
+    // constant y → zero-width dim (w clamps); q exactly on a point →
+    // that point's radius is 0 and it must survive.
+    val pts = Seq((1L, 10.0, 5.0), (2L, 12.0, 5.0), (3L, 20.0, 5.0))
+    val got = ReverseSkyline.reverseSkylineGrid(
+      pts.toDF("id", "x", "y"), Seq("x", "y"), "id", Array(10.0, 5.0))
+      .select("id").as[Long].collect().toSet
+    assert(got == brute(pts, (10.0, 5.0)))
+    assert(got.contains(1L))
+  }
+
+  test("grid plan has no nested-loop join and prunes through to an equi-join") {
+    val pts = (1L to 100L).map(i => (i, (i % 17).toDouble, (i % 23).toDouble))
+    val plan = ReverseSkyline.reverseSkylineGrid(
+      pts.toDF("id", "x", "y"), Seq("x", "y"), "id", Array(8.5, 11.5))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"grid path must never plan a nested-loop join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"grid path must never plan a cartesian product:\n$plan")
+  }
 }

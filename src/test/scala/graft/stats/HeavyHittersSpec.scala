@@ -45,6 +45,27 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("grouped: per-key summaries exact at capacity across a keyed exchange") {
+    val rnd = new scala.util.Random(17)
+    val vocab = ('a' to 'j').map(_.toString)
+    val rows = Seq.fill(3000)((s"g${rnd.nextInt(4)}", vocab(rnd.nextInt(vocab.size))))
+    val truth = rows.groupBy(identity).map { case ((g, i), v) => (g, i) -> v.size.toLong }
+    for (parts <- Seq(1, 7)) {
+      val got = rows.toDF("g", "item").repartition(parts)
+        .groupBy(col("g"))
+        .agg(HeavyHitters.misraGries(col("item"), 32).as("mg"))
+        .select(col("g"), explode(col("mg")).as("e"))
+        .select(col("g"), col("e.item"), col("e.cnt"))
+        .as[(String, String, Long)].collect()
+      assert(got.map { case (g, i, c) => (g, i) -> c }.toMap == truth, s"parts=$parts")
+      // per-group output order is (cnt desc, item asc)
+      got.groupBy(_._1).foreach { case (g, rs) =>
+        val seq = rs.map { case (_, i, c) => (i, c) }.toSeq
+        assert(seq == seq.sortBy { case (i, c) => (-c, i) }, s"group $g order")
+      }
+    }
+  }
+
   test("null items are ignored") {
     val got = Seq(Some("a"), None, Some("a"), Some("b"), None).toDF("item")
       .agg(HeavyHitters.misraGries(col("item"), 8).as("mg"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType
 import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash, SubstrDedup}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling}
+import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling, Scd2}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
@@ -140,6 +140,12 @@ object SparkEntry {
       // medians ~4.4 vs ~4.8 — inside the box's IO noise band, never a
       // regression; kept because the cost is driver-side only and the
       // drop precedes the shuffle (the 1000-executor lever).
+      // Round-8 bench-context audit (tools/Gsod9Probe, 3 interleaved
+      // reps): FULL pipeline (scan→format→parse→SkyMr, the bench
+      // shape) min 5.47s; maxDepth=5 min 5.48s — a wash, so the tree
+      // stays at depth 4; compute-only 4.44s. The bench's 8.2s is this
+      // 5.5s plus neighbor-IO/cache pressure from the surrounding 80
+      // queries (the documented ±3× noise), not a plan property.
       SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
         sampleFilterK = 64, cellPrune = true)
         .orderBy("stn", "date", "temp", "dewp", "slp", "max_temp", "stp",
@@ -427,12 +433,36 @@ object SparkEntry {
         .orderBy(col("source"), col("cnt").desc, col("item").asc)
     },
 
+    // Per-doc token-distribution Shannon entropy — the repetition-
+    // collapse quality signal (token-farm spam → ~0 bits; diverse
+    // prose → ~log2 n). Two keyed aggregations, exact integer counts
+    // (graft.text.TextFunctions.tokenEntropy).
+    "q_token_entropy" -> { (s, dir) =>
+      TextFunctions.tokenEntropy(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("entropy"), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // KMV distinct-count sketch over document texts: k smallest 60-bit
     // md5 hashes → (k−1)/(h₍ₖ₎/2⁶⁰). Unlike HLL++ the order-statistic
     // sketch is exactly SQL-reproducible, so the estimate itself faces
     // the oracle gate. Executors ship ≤ k hashes each; no value shuffle.
     "q_distinct_kmv" -> { (s, dir) =>
       DistinctSketch.kmv(Tables.load(s, dir, "documents"), "text", k = 128)
+    },
+
+    // The KMV sketch under a KEYED exchange: per-source distinct-text
+    // estimates through a bounded mergeable k-min buffer (≤ 64 longs
+    // per group per partial — never the full distinct-hash set through
+    // the shuffle). Completes the grouped-sketch trifecta beside
+    // q_quantiles_gk_grouped and q_heavy_hitters_grouped; the order-
+    // statistic output is SQL-exact, so the estimate faces the oracle.
+    "q_distinct_kmv_grouped" -> { (s, dir) =>
+      DistinctSketch.kmvGrouped(
+        Tables.load(s, dir, "documents").filter(col("text").isNotNull),
+        "text", Seq("source"), k = 64)
+        .orderBy("source")
     },
 
     // ---- dedup over `documents` ---------------------------------------
@@ -458,6 +488,17 @@ object SparkEntry {
     "q_dedup_jaccard" -> { (s, dir) =>
       Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
         n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ASYMMETRIC containment pairs |A∩B|/|A| ≥ 0.6 — the short-doc-
+    // quoted-inside-long-doc subsumption case Jaccard structurally
+    // misses. Directed (both directions evaluated); probe-side prefix
+    // against a full inverted index, never all-pairs
+    // (graft.dedup.Dedup.containmentPairs).
+    "q_dedup_containment" -> { (s, dir) =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.6)
         .orderBy("id_a", "id_b")
     },
 
@@ -1006,6 +1047,24 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_events"), max(col("sid")).as("n_sessions"))
         .orderBy("user_id")
+    },
+
+    // Type-2 SCD history from the raw event stream: per user, collapse
+    // consecutive equal event_type runs into [valid_from, valid_to)
+    // validity rows with an is_current flag — the warehouse
+    // point-in-time-join shape, built by gaps-and-islands (two keyed
+    // shuffles, no joins, no driver state; graft.operators.Scd2).
+    "q_scd2" -> { (s, dir) =>
+      Scd2.history(
+        Tables.loadEvents(s, dir).select("user_id", "event_id", "event_type", "ts"),
+        keyCols = Seq("user_id"), tsCol = "ts", attrCols = Seq("event_type"),
+        tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("n_rows"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
     },
 
     // Exact interpolated quantiles (percentile ≡ ANSI quantile_cont).
@@ -2140,6 +2199,21 @@ object SparkEntry {
         |SELECT source, item, cnt FROM r WHERE rn <= 5
         |ORDER BY source, cnt DESC, item ASC""".stripMargin,
 
+    // Same two aggregations; sum(c·ln c) differs only by summation
+    // order, absorbed by round 6 (the LmScore discipline).
+    "q_token_entropy" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tk
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY 1, 2),
+        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        sum(c * ln(c)) AS clogc
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |  round((ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens) / ln(2.0), 6) AS entropy
+        |FROM g ORDER BY doc_id""".stripMargin,
+
     // KMV replayed literally: distinct 60-bit hashes, 128 smallest,
     // same two-division estimate expression.
     "q_distinct_kmv" ->
@@ -2151,6 +2225,20 @@ object SparkEntry {
         |  round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
         |        ELSE CAST(count(*) - 1 AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 4) AS est_distinct
         |FROM k""".stripMargin,
+
+    // Per-group k smallest distinct hashes via a window; the engine
+    // side ships ≤ k per group per partial instead (KMinAgg).
+    "q_distinct_kmv_grouped" ->
+      """WITH h AS (
+        |  SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (SELECT source, h,
+        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |      FROM h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS k_used, max(h) AS kth_hash,
+        |  round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+        |        ELSE CAST(count(*) - 1 AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 4) AS est_distinct
+        |FROM r WHERE rn <= 64 GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT
@@ -2175,6 +2263,23 @@ object SparkEntry {
         |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force all-pairs DIRECTED containment |A∩B|/|A| (both
+    // directions — no a<b cut); the engine side is the asymmetric
+    // prefix × inverted-index join.
+    "q_dedup_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment
+        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id)
+        |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     // The sketch path must find exactly the same pairs (miss probability
     // ≈ 1e-8 at the planted pairs' similarity ≈ 0.98) — same oracle.
@@ -2795,6 +2900,31 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_s) AS BIGINT) AS n_sessions
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // Same gaps-and-islands: change points → running run id → collapse
+    // → lead() for valid_to. IS DISTINCT FROM ≡ Spark's null-safe <=>.
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN rn = 1 OR event_type IS DISTINCT FROM prev
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM o),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run FROM m),
+        |g AS (
+        |  SELECT user_id, run, min(event_type) AS event_type,
+        |    min(epoch_us(ts)) AS valid_from, count(*) AS n_rows
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+        |  n_rows,
+        |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+        |            IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM g ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     "q_quantiles" ->
       """SELECT

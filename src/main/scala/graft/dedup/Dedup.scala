@@ -226,6 +226,78 @@ object Dedup {
     verifyPairs(candidates, ranked2.select(col("id"), col("sh")), threshold)
   }
 
+  /** ASYMMETRIC containment pairs: C(A→B) = |A∩B| / |A| ≥ `threshold`
+    * — the short-doc-inside-long-doc case symmetric Jaccard
+    * structurally misses (a 50-token doc fully quoted inside a
+    * 5000-token doc has J ≈ 0.01 but C = 1.0). The training-data use
+    * is quote/boilerplate subsumption: drop A when some B contains
+    * nearly all of it.
+    *
+    * Same lossless prefix discipline as [[jaccardPairs]], adapted to
+    * the asymmetric overlap bound o ≥ ⌈t·|A|⌉:
+    *  - only the PROBE side (A) explodes a prefix — its
+    *    |A| − ⌈t·|A|⌉ + 1 rarest shingles (pigeonhole: B holding
+    *    ≥ ⌈t·|A|⌉ of A's shingles must hit A's prefix);
+    *  - the CANDIDATE side (B) explodes its FULL set (the inverted
+    *    index — required for losslessness, and why containment costs
+    *    more than Jaccard's prefix×prefix join);
+    *  - length filter: |B| ≥ t·|A| (B can't contain what it can't
+    *    hold); PPJoin positional bound as in [[jaccardPairs]], against
+    *    t·|A|.
+    * Exact verify computes |A∩B|/|A| on the carried sets. Pairs are
+    * DIRECTED: (id_a, id_b, containment) means A's shingles sit in B;
+    * both directions are evaluated independently.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val docs = graft.util.Partitioning.parallelize(df)
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+    val shingleDf = docs
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+
+    val ranked = docs
+      .select(col("id"), explode(col("sh")).as("s"))
+      .join(shingleDf, "s")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("rsh"))
+      .withColumn("sh", transform(col("rsh"), _.getField("s")))
+      .withColumn("pfx", slice(col("sh"), lit(1),
+        (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int")))
+      .select("id", "sh", "pfx")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val a = ranked.select(col("id").as("id_a"), size(col("sh")).as("sz_a"),
+      posexplode(col("pfx")).as(Seq("pa", "s")))
+    val b = ranked.select(col("id").as("id_b"), size(col("sh")).as("sz_b"),
+      posexplode(col("sh")).as(Seq("pb", "s")))
+    val overlapBound = least(col("pa"), col("pb")) + lit(1) +
+      least(col("sz_a") - col("pa") - 1, col("sz_b") - col("pb") - 1)
+    val candidates = a.join(b, a("s") === b("s") && col("id_a") =!= col("id_b") &&
+        col("sz_b") >= col("sz_a") * threshold - lit(1e-9) &&
+        overlapBound >= col("sz_a") * threshold - lit(1e-9))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // Exact containment verify (join form; broadcast form not needed —
+    // the directed candidate set is small by construction of t).
+    candidates
+      .join(ranked.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(ranked.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("containment",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")), 6))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+  }
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     * per-doc shingle sets — broadcast map-side under
     * [[BroadcastVerifyDocLimit]] docs, array-reattach joins above it.

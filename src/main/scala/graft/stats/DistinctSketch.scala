@@ -1,7 +1,13 @@
 package graft.stats
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002;
   * Beyer et al. SIGMOD'07 unbiased estimator).
@@ -49,4 +55,115 @@ object DistinctSketch {
               (col("kth_hash").cast("double") / TwoPow60)),
           4).as("est_distinct"))
   }
+
+  /** GROUPED KMV: per-group sketches under a keyed exchange via
+    * [[KMinAgg]] — a bounded mergeable buffer (≤ k distinct hashes per
+    * partial), the same grouped-aggregate proof the GK sketch and
+    * Misra-Gries carry. The global [[kmv]]'s TakeOrdered shape can't
+    * group; a per-group window over all distinct hashes could, but
+    * ships every distinct hash through the shuffle — the typed
+    * aggregate ships at most k per group per partial. Output is
+    * deterministic (order statistics of md5 hashes), so the estimate
+    * itself faces the SQL oracle exactly like the global form.
+    */
+  def kmvGrouped(df: DataFrame, valueCol: String, groupCols: Seq[String], k: Int): DataFrame = {
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.select(groupCols.map(col) :+ h.as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kMin(col("__h"), k).as("__mins"))
+      .select(groupCols.map(col) ++ Seq(
+        size(col("__mins")).cast("long").as("k_used"),
+        when(size(col("__mins")) > 0, element_at(col("__mins"), size(col("__mins"))))
+          .as("kth_hash"),
+        round(
+          when(size(col("__mins")) < k, size(col("__mins")).cast("double"))
+            .otherwise((size(col("__mins")) - 1).cast("double") /
+              (element_at(col("__mins"), size(col("__mins"))).cast("double") / TwoPow60)),
+          4).as("est_distinct")): _*)
+  }
+
+  /** Column form: the ≤ k smallest DISTINCT values of a long column,
+    * ascending (`array<long>`). NULLs skipped; empty input → empty
+    * array.
+    */
+  def kMin(value: Column, k: Int): Column =
+    ColumnBridge.column(
+      KMinAgg(ColumnBridge.expression(value), k).toAggregateExpression())
+}
+
+/** Bounded mergeable k-minimum-distinct-values aggregate: the buffer is
+  * a TreeSet capped at `k` entries, update inserts and trims the max,
+  * merge unions and trims — ≤ k longs per partial buffer wherever it
+  * sits in the exchange (Agarwal et al., "Mergeable Summaries": k-min
+  * sketches merge by union+trim). eval returns the ascending array —
+  * pure order statistics, reproducible by any SQL engine.
+  */
+case class KMinAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k > 0, "k must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "k_min_distinct"
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(v.asInstanceOf[Long])
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    buf.addAll(other)
+    while (buf.size > k) buf.pollLast()
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val arr = new Array[Any](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next().longValue())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new java.util.TreeSet[java.lang.Long]()
+    var i = 0
+    while (i < n) { buf.add(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): KMinAgg =
+    copy(child = newChildren(0))
 }

@@ -299,6 +299,33 @@ object TextFunctions {
     }(enc)
   }
 
+  /** Per-document token-distribution Shannon entropy (bits):
+    * H = −Σ (c/n)·log₂(c/n) = log₂n − (Σ c·ln c)/(n·ln 2) over the
+    * within-doc token frequencies — the repetition-collapse signal
+    * (spam pages repeating a token farm score near 0; diverse prose
+    * near log₂ n). Two keyed aggregations — explode → (doc, token)
+    * counts with map-side combine → per-doc fold; no joins, no driver
+    * state. Counts are exact longs, so both engines derive the same
+    * doubles up to summation order (rounded to 6 by callers, the
+    * [[LmScore]] discipline). Docs with no tokens (empty/whitespace
+    * text) are absent from the output, matching an `unnest`-based SQL
+    * mirror.
+    */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, textCol: String, idCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("__t"))
+    toks.groupBy(col(idCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * log(col("__c"))).as("__clogc"))
+      .select(col(idCol),
+        col("n_tokens"),
+        ((log(col("n_tokens")) - col("__clogc") / col("n_tokens")) / math.log(2.0))
+          .as("entropy"))
+  }
+
   /** One-pass JVM kernel computing ALL the text-stats columns —
     * n_tokens, n_bpe, mean_tok_len, stopword_ratio, punct_ratio,
     * quality — appended to `df`. Same discipline as

@@ -73,27 +73,26 @@ object Gsod9Probe {
     // never a regression. Kept ON in q_skyline_gsod9: cost is a
     // driver-side cells × sample-sky scan and the drop happens BEFORE
     // the phase-1 shuffle.
+    // Round-8: where does the bench-context time go? The bench shape
+    // re-runs the WHOLE pipeline (scan → shape → format → parse →
+    // SkyMr, no outside persist); the compute-only arms above measure
+    // SkyMr alone. Interleave full-pipeline arms at maxDepth 4 vs 5
+    // plus the compute-only baseline.
+    def fullPipeline(depth: Int) = {
+      val freshParsed = Gsod.parseLines(Gsod.formatLines(shaped))
+      SkyMr.skyline(freshParsed, Gsod.spec, maxp = 20, maxDepth = depth,
+        sampleSize = 5000, sampleFilterK = 64, cellPrune = true)
+        .write.format("noop").mode("overwrite").save()
+    }
     for (i <- 1 to 3) {
-      t(s"[$i] SkyMr K=64 prune  ") {
+      t(s"[$i] full d=4 (bench shape)") { fullPipeline(4) }
+      t(s"[$i] full d=5             ") { fullPipeline(5) }
+      t(s"[$i] compute-only d=4     ") {
         SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
           sampleFilterK = 64, cellPrune = true)
           .write.format("noop").mode("overwrite").save()
       }
-      t(s"[$i] SkyMr K=64        ") {
-        SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
-          sampleFilterK = 64)
-          .write.format("noop").mode("overwrite").save()
-      }
-      t(s"[$i] SkyMr K=0 (off)   ") {
-        SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
-          sampleFilterK = 0)
-          .write.format("noop").mode("overwrite").save()
-      }
-      t(s"[$i] SkyMr K=64 pruneb ") {
-        SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
-          sampleFilterK = 64, cellPrune = true)
-          .write.format("noop").mode("overwrite").save()
-      }
+      t(s"[$i] full d=4 b           ") { fullPipeline(4) }
     }
     spark.stop()
   }

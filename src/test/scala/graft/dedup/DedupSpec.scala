@@ -31,6 +31,17 @@ trait DedupFixture { self: SparkSpec =>
       if union > 0 && inter / union >= t
     } yield (a, b)).toSet
   }
+
+  /** Directed brute-force containment |A∩B|/|A| ≥ t (no a<b cut). */
+  def bruteContainment(df: DataFrame, n: Int, t: Double): Set[(Long, Long)] = {
+    val sets = df.select($"doc_id", TextFunctions.shingles($"text", n).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    (for {
+      a <- sets.keys; b <- sets.keys if a != b
+      sa = sets(a) if sa.nonEmpty
+      if (sa & sets(b)).size.toDouble / sa.size >= t
+    } yield (a, b)).toSet
+  }
 }
 
 class DedupSpec extends SparkSpec with DedupFixture {
@@ -63,6 +74,31 @@ class DedupSpec extends SparkSpec with DedupFixture {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(got.contains((0L, 1L)))
     assert(got.contains((2L, 3L)))
+  }
+
+  test("containmentPairs == directed brute force at several thresholds") {
+    for (t <- Seq(0.4, 0.6, 0.9)) {
+      val got = Dedup.containmentPairs(docs, "text", "doc_id", n = 3, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == bruteContainment(docs, 3, t), s"threshold $t")
+    }
+  }
+
+  test("containment catches short-inside-long subsumption that Jaccard misses") {
+    // doc 100 is fully quoted inside doc 101 (plus a long tail):
+    // C(100→101) = 1.0 but Jaccard ≈ |A|/|B| ≪ 0.5.
+    val quoted = "rare emerald tokens quoted verbatim in a larger report"
+    val tail = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val aug = docs.union(Seq(
+      (100L, quoted),
+      (101L, s"$quoted $tail")).toDF("doc_id", "text"))
+    val cont = Dedup.containmentPairs(aug, "text", "doc_id", n = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cont.contains((100L, 101L)))
+    assert(!cont.contains((101L, 100L))) // direction matters
+    val jac = Dedup.jaccardPairs(aug, "text", "doc_id", n = 3, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((100L, 101L)))
   }
 
   test("incremental dedup vs at-rest fingerprint index: within-batch + vs-corpus, index never shuffled") {

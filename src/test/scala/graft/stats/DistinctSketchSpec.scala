@@ -31,6 +31,39 @@ class DistinctSketchSpec extends SparkSpec {
     assert(DistinctSketch.kmv(df, "v", 128).head().getLong(0) == 50L)
   }
 
+  test("grouped: per-key sketches match the global formula, any partitioning") {
+    // 3 groups with 10/40/90 distinct values — k=64 makes g1/g2 exact
+    // and g3 estimated; the estimate is an order statistic, so it is
+    // identical however the input is partitioned.
+    val rows = (1 to 10).map(i => ("g1", s"a$i")) ++
+      (1 to 40).map(i => ("g2", s"b$i")) ++
+      (1 to 90).map(i => ("g3", s"c$i")) ++
+      (1 to 90).map(i => ("g3", s"c$i")) // dupes must not move it
+    for (parts <- Seq(1, 7)) {
+      val got = DistinctSketch.kmvGrouped(
+        rows.toDF("g", "v").repartition(parts), "v", Seq("g"), k = 64)
+        .orderBy("g")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      assert(got(0) == (("g1", 10L, 10.0)), s"parts=$parts")
+      assert(got(1) == (("g2", 40L, 40.0)), s"parts=$parts")
+      assert(got(2)._2 == 64L && got(2)._3 > 45 && got(2)._3 < 180,
+        s"parts=$parts: ${got(2)}") // KMV error band at k=64
+    }
+  }
+
+  test("grouped: buffers stay capped at k entries per partial") {
+    val rows = (1 to 5000).map(i => ("g", s"v$i"))
+    val mins = rows.toDF("g", "v").repartition(11)
+      .groupBy($"g")
+      .agg(DistinctSketch.kMin(
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5($"v"), 1, 15), 16, 10)
+          .cast("long"), 32).as("m"))
+      .select("m").as[Seq[Long]].head()
+    assert(mins.length == 32 && mins == mins.sorted)
+  }
+
   test("plan is distinct-aggregate + TakeOrdered (k-bounded, no full value shuffle to one node)") {
     val df = (1 to 1000).map(i => s"v$i").toDF("v")
     val plan = DistinctSketch.kmv(df, "v", 64).queryExecution.executedPlan.toString

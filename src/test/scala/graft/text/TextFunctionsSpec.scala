@@ -86,4 +86,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r(0) != r(1)) // rolling hash is order-sensitive, unlike a bag hash
     assert(r.forall(v => v >= 0 && v < 2147483647L))
   }
+
+  test("tokenEntropy: closed-form values, case/whitespace normalization, empties absent") {
+    val df = Seq(
+      (1L, "a a a a"),        // one token type → 0 bits
+      (2L, "a b  A B"),       // uniform 2 types (case-folded) → 1 bit
+      (3L, "a b c d"),        // uniform 4 types → 2 bits
+      (4L, "a a b"),          // 2/3, 1/3 → H ≈ 0.918296
+      (5L, "   "),            // no tokens → absent
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextFunctions.tokenEntropy(df, "text", "doc_id")
+      .select($"doc_id", org.apache.spark.sql.functions.round($"entropy", 6))
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) == 0.0 && got(2L) == 1.0 && got(3L) == 2.0)
+    assert(math.abs(got(4L) - 0.918296) < 1e-6)
+  }
 }

@@ -433,6 +433,60 @@ object SparkEntry {
         .orderBy(col("source"), col("cnt").desc, col("item").asc)
     },
 
+    // Positional phrase search ("slow hash batch" as consecutive
+    // tokens): postings filtered to the query's terms BEFORE any join
+    // (the Bm25 discipline), then k−1 keyed equi-joins on
+    // (doc, anchor-position) — the inverted-index serving shape, never
+    // a LIKE scan over every byte (graft.text.Phrase).
+    "q_phrase" -> { (s, dir) =>
+      graft.text.Phrase.phraseMatches(Tables.load(s, dir, "documents"),
+        "text", "doc_id", Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
+    },
+
+    // Per-group z-score normalization (feature engineering): mean and
+    // population stddev derived from EXACT integer sums (Σx, Σx², n)
+    // so both engines compute bit-identical doubles — deliberately not
+    // the builtin stddev_pop, whose merge order is engine-internal.
+    // One keyed window exchange.
+    "q_zscore" -> { (s, dir) =>
+      val w = Window.partitionBy(col("source"))
+      Tables.load(s, dir, "documents")
+        .withColumn("__s", sum(col("n_chars")).over(w))
+        .withColumn("__s2", sum(col("n_chars") * col("n_chars")).over(w))
+        .withColumn("__n", count(lit(1)).over(w))
+        .withColumn("__mu", col("__s").cast("double") / col("__n"))
+        .withColumn("__var",
+          col("__s2").cast("double") / col("__n") - col("__mu") * col("__mu"))
+        .select(col("doc_id"), col("source"),
+          round(when(col("__var") > 0,
+            (col("n_chars") - col("__mu")) / sqrt(col("__var"))).otherwise(0.0), 6)
+            .as("z"))
+        .orderBy("doc_id")
+    },
+
+    // HOPPING (sliding) window aggregation: 1-day windows every 12
+    // hours — each event lands in exactly two windows (Spark's
+    // window(ts, size, hop), epoch-aligned). The overlap factor is the
+    // size/hop ratio; the shuffle carries one row per (event, window).
+    "q_sliding" -> { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .select(col("event_type"), col("value"),
+          window(col("ts"), "1 day", "12 hours").as("w"))
+        .groupBy(col("event_type"), col("w.start").cast("long").as("w_start"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type", "w_start")
+    },
+
+    // Equi-width histogram over l_extendedprice: 32 bins, clamped ends
+    // — one map-side-combinable groupBy on the bin id
+    // (graft.stats.Histogram).
+    "q_histogram" -> { (s, dir) =>
+      graft.stats.Histogram.equiWidth(Tables.load(s, dir, "lineitem"),
+        "l_extendedprice", lo = 900.0, hi = 105000.0, bins = 32)
+        .orderBy("bin")
+    },
+
     // Per-doc token-distribution Shannon entropy — the repetition-
     // collapse quality signal (token-farm spam → ~0 bits; diverse
     // prose → ~log2 n). Two keyed aggregations, exact integer counts
@@ -2198,6 +2252,64 @@ object SparkEntry {
         |      FROM c)
         |SELECT source, item, cnt FROM r WHERE rn <= 5
         |ORDER BY source, cnt DESC, item ASC""".stripMargin,
+
+    // Phrase hits by list comprehension over token positions — the
+    // brute-force mirror of the postings join (1-based, same
+    // tokenization contract).
+    "q_phrase" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    [i for i in range(1, len(toks) - 1)
+        |       if toks[i] = 'slow' AND toks[i+1] = 'hash' AND toks[i+2] = 'batch'] AS hits
+        |  FROM t WHERE len(toks) >= 3)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |  CAST(hits[1] AS BIGINT) AS first_pos
+        |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Same exact-integer-sums derivation (Σx, Σx², n) — identical IEEE
+    // arithmetic on both engines, no builtin stddev.
+    "q_zscore" ->
+      """WITH g AS (
+        |  SELECT source, sum(n_chars) AS s, sum(n_chars * n_chars) AS s2,
+        |    count(*) AS n
+        |  FROM documents GROUP BY source)
+        |SELECT d.doc_id, d.source,
+        |  round(CASE WHEN CAST(g.s2 AS DOUBLE) / g.n
+        |               - (CAST(g.s AS DOUBLE) / g.n) * (CAST(g.s AS DOUBLE) / g.n) > 0
+        |    THEN (d.n_chars - CAST(g.s AS DOUBLE) / g.n)
+        |         / sqrt(CAST(g.s2 AS DOUBLE) / g.n
+        |                - (CAST(g.s AS DOUBLE) / g.n) * (CAST(g.s AS DOUBLE) / g.n))
+        |    ELSE 0.0 END, 6) AS z
+        |FROM documents d JOIN g ON d.source = g.source
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Each event unnests into its two epoch-aligned hopping windows:
+    // H = ⌊sec/43200⌋·43200 and H − 43200 (nested-floor equality makes
+    // the seconds-level H match Spark's micros-level window math).
+    "q_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value, (epoch_us(ts) // 1000000) AS sec FROM events),
+        |s AS (
+        |  SELECT event_type, value,
+        |    unnest([(sec // 43200) * 43200, (sec // 43200) * 43200 - 43200]) AS w_start
+        |  FROM e)
+        |SELECT event_type, CAST(w_start AS BIGINT) AS w_start,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Identical clamp-and-floor bin arithmetic; w = 104100/32 is a
+    // power-of-two division, exact in binary on both engines.
+    "q_histogram" ->
+      """SELECT least(greatest(CAST(floor((l_extendedprice - 900.0) / 3253.125) AS BIGINT), 0), 31) AS bin,
+        |  count(*) AS n,
+        |  round(min(l_extendedprice), 6) AS lo_seen,
+        |  round(max(l_extendedprice), 6) AS hi_seen
+        |FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
 
     // Same two aggregations; sum(c·ln c) differs only by summation
     // order, absorbed by round 6 (the LmScore discipline).

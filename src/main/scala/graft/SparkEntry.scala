@@ -1141,7 +1141,9 @@ object SparkEntry {
       // The guard fails LOUDLY instead of OOMing three stages later —
       // at 100 TB use q_quantiles_gk / q_quantiles_approx (bounded,
       // mergeable sketches; this query is their exact cross-check).
-      val n = li.count() // parquet metadata count — no data scan
+      // empty-schema count scan (~0.3 s at sf0.1) — the honest price
+      // of failing BEFORE the unbounded buffer builds, not after
+      val n = li.count()
       require(n <= 50L * 1000 * 1000,
         s"q_quantiles is the EXACT cross-check tier: refusing $n rows " +
           "(> 5e7); use the GK sketch forms at scale")

@@ -188,8 +188,8 @@ object Dedup {
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("rsh"))
       .withColumn("sh", transform(col("rsh"), _.getField("s")))
-      .withColumn("pfx", slice(col("sh"), lit(1),
-        (floor(size(col("sh")) * (1 - threshold)) + 1).cast("int")))
+      .withColumn("pfx", slice(col("rsh"), lit(1),
+        (floor(size(col("rsh")) * (1 - threshold)) + 1).cast("int")))
       .select("id", "sh", "pfx")
 
     val ranked2 = ranked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -210,10 +210,18 @@ object Dedup {
     //    row of its first common prefix shingle always passes (its
     //    bound ≥ the actual overlap), so pair recall is exact; the ε
     //    absorbs float error in t·(sa+sb) — slack only ever ADMITS rows.
+    // df ≥ 2 prune on both prefixes, lossless: any SHARED prefix
+    // shingle is in ≥ 2 docs; df = 1 prefix rows can only self-join
+    // (excluded by id_a < id_b anyway) — deleting them shrinks the
+    // prefix index before the shuffle at no recall cost.
     val a = ranked2.select(col("id").as("id_a"), size(col("sh")).as("sz_a"),
-      posexplode(col("pfx")).as(Seq("pa", "s")))
+      posexplode(col("pfx")).as(Seq("pa", "ps")))
+      .filter(col("ps.df") >= 2)
+      .withColumn("s", col("ps.s"))
     val b = ranked2.select(col("id").as("id_b"), size(col("sh")).as("sz_b"),
-      posexplode(col("pfx")).as(Seq("pb", "s")))
+      posexplode(col("pfx")).as(Seq("pb", "ps")))
+      .filter(col("ps.df") >= 2)
+      .withColumn("s", col("ps.s"))
     val overlapBound = least(col("pa"), col("pb")) + lit(1) +
       least(col("sz_a") - col("pa") - 1, col("sz_b") - col("pb") - 1)
     val candidates = a.join(b, a("s") === b("s") && col("id_a") < col("id_b") &&
@@ -269,15 +277,27 @@ object Dedup {
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("s")))).as("rsh"))
       .withColumn("sh", transform(col("rsh"), _.getField("s")))
-      .withColumn("pfx", slice(col("sh"), lit(1),
-        (size(col("sh")) - ceil(size(col("sh")) * threshold) + 1).cast("int")))
-      .select("id", "sh", "pfx")
+      .withColumn("pfx", slice(col("rsh"), lit(1),
+        (size(col("rsh")) - ceil(size(col("rsh")) * threshold) + 1).cast("int")))
+      .select("id", "sh", "rsh", "pfx")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // df ≥ 2 prune on BOTH exploded sides, lossless: a shared shingle
+    // is by definition in ≥ 2 docs, and the pigeonhole guarantees a
+    // qualifying pair shares at least one PREFIX shingle — which is
+    // shared, hence df ≥ 2, hence it survives the prune on both sides.
+    // On a mostly-unique corpus this deletes the bulk of the inverted
+    // index before the shuffle. Positions come from posexplode BEFORE
+    // the prune, so the positional bound still refers to the full
+    // order.
     val a = ranked.select(col("id").as("id_a"), size(col("sh")).as("sz_a"),
-      posexplode(col("pfx")).as(Seq("pa", "s")))
+      posexplode(col("pfx")).as(Seq("pa", "ps")))
+      .filter(col("ps.df") >= 2)
+      .withColumn("s", col("ps.s"))
     val b = ranked.select(col("id").as("id_b"), size(col("sh")).as("sz_b"),
-      posexplode(col("sh")).as(Seq("pb", "s")))
+      posexplode(col("rsh")).as(Seq("pb", "ps")))
+      .filter(col("ps.df") >= 2)
+      .withColumn("s", col("ps.s"))
     val overlapBound = least(col("pa"), col("pb")) + lit(1) +
       least(col("sz_a") - col("pa") - 1, col("sz_b") - col("pb") - 1)
     val candidates = a.join(b, a("s") === b("s") && col("id_a") =!= col("id_b") &&

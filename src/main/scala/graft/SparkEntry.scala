@@ -556,6 +556,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // The survivors view of containment dedup: docs ≥ 0.6-contained in
+    // a LARGER doc drop (ties keep the smaller id); quotes/excerpts
+    // train zero times, their containers once
+    // (graft.dedup.Dedup.containmentSurvivors).
+    "q_dedup_containment_survivors" -> { (s, dir) =>
+      Dedup.containmentSurvivors(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.6)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // Same pairs through the MinHash+banded-LSH sketch path, exact-
     // Jaccard verified. r=4/b=32 (not r=2): this corpus's baseline
     // similarity is high enough that 2-row bands bucket nearly every
@@ -2394,6 +2405,27 @@ object SparkEntry {
         |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment
         |  FROM d a JOIN d b ON a.doc_id <> b.doc_id)
         |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
+
+    // Brute-force containment pairs → larger-container (tie: smaller
+    // id) loser set → anti-join.
+    "q_dedup_containment_survivors" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(a.sh) AS sza, len(b.sh) AS szb
+        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) >= 0.6),
+        |losers AS (
+        |  SELECT DISTINCT id_a FROM pairs
+        |  WHERE szb > sza OR (szb = sza AND id_b < id_a))
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id_a FROM losers)
+        |ORDER BY doc_id""".stripMargin,
 
     // The sketch path must find exactly the same pairs (miss probability
     // ≈ 1e-8 at the planted pairs' similarity ≈ 0.98) — same oracle.

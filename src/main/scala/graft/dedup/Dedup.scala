@@ -318,6 +318,35 @@ object Dedup {
       .select("id_a", "id_b", "containment")
   }
 
+  /** The survivors view of containment dedup: drop every document A
+    * that is ≥ `threshold` contained in some LARGER document B
+    * (more shingles; ties — exact duplicates have C = 1 both ways —
+    * keep the smaller id). The canonical subsumption policy: quotes
+    * and excerpts train zero times, their containers once. Chains
+    * (A ⊂ B ⊂ C) resolve naturally — each doc loses independently to
+    * its own container. One anti-join over the directed loser set;
+    * the corpus itself never reshuffles.
+    */
+  def containmentSurvivors(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.6): DataFrame = {
+    val pairs = containmentPairs(df, textCol, idCol, n, threshold)
+    val sizes = df
+      .select(col(idCol).as("__sid"),
+        size(TextFunctions.shingles(col(textCol), n)).as("__sz"))
+    val losers = pairs
+      .join(sizes.select(col("__sid").as("id_a"), col("__sz").as("__sza")), "id_a")
+      .join(sizes.select(col("__sid").as("id_b"), col("__sz").as("__szb")), "id_b")
+      .filter(col("__szb") > col("__sza") ||
+        (col("__szb") === col("__sza") && col("id_b") < col("id_a")))
+      .select(col("id_a"))
+      .distinct()
+    df.join(losers, df(idCol) === losers("id_a"), "left_anti")
+  }
+
   /** Exact-Jaccard verification of candidate (id_a, id_b) pairs against
     * per-doc shingle sets — broadcast map-side under
     * [[BroadcastVerifyDocLimit]] docs, array-reattach joins above it.

@@ -101,6 +101,23 @@ class DedupSpec extends SparkSpec with DedupFixture {
     assert(!jac.contains((100L, 101L)))
   }
 
+  test("containmentSurvivors: contained docs drop to larger containers; ties keep min id; chains resolve") {
+    val quoted = "rare emerald tokens quoted verbatim in a larger report"
+    val mid = s"$quoted " + (1 to 30).map(i => s"mid$i").mkString(" ")
+    val big = s"$mid " + (1 to 60).map(i => s"big$i").mkString(" ")
+    val aug = docs.union(Seq(
+      (100L, quoted), (101L, mid), (102L, big),
+      (103L, quoted) // exact dup of 100 → mutual C=1, min id survives vs 103
+    ).toDF("doc_id", "text"))
+    val ids = Dedup.containmentSurvivors(aug, "text", "doc_id", n = 3, threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(100L) && !ids.contains(101L), "chain members drop")
+    assert(ids.contains(102L), "top container survives")
+    assert(!ids.contains(103L), "exact dup loses the id tie-break")
+    // base docs 0/1 are exact dups of each other: 0 survives, 1 drops
+    assert(ids.contains(0L) && !ids.contains(1L))
+  }
+
   test("incremental dedup vs at-rest fingerprint index: within-batch + vs-corpus, index never shuffled") {
     import org.apache.spark.sql.execution.exchange.Exchange
     import org.apache.spark.sql.execution.FileSourceScanExec

@@ -1070,6 +1070,53 @@ object SparkEntry {
         .orderBy("event_type", "win_start", "event_id")
     },
 
+    // STREAMING hopping-window aggregation under the oracle: the
+    // builtin watermark/append path (groupBy(window(ts, 1d, 12h)) —
+    // contrast the flatMapGroupsWithState skyline in
+    // q_stream_window_closed) executed for real. The data batch
+    // advances the watermark to max(ts) (delay 0); the engine's
+    // no-data batch then EMITS every window whose end the watermark
+    // passed, exactly once. Open windows never emit — the oracle
+    // applies the same watermark cut in ms (the engine tracks event
+    // time in milliseconds).
+    "q_stream_sliding" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamsl_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("event_type"), window(col("ts"), "1 day", "12 hours").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("event_type"), col("w.start").cast("long").as("w_start"),
+          col("n"), col("sum_value"))
+      val qname = "graft_stream_sliding_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamsl_ckpt").toString
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.processAllAvailable()
+      // Same progress-based wait as q_stream_window_closed: the append
+      // emission happens in the no-data batch after the watermark
+      // update.
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def emitted: Boolean = {
+        val rp = query.recentProgress
+        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
+        dataBatches.nonEmpty &&
+          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
+      }
+      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
+      query.stop()
+      s.table(qname).orderBy("event_type", "w_start")
+    },
+
     // Range join (point-in-interval) via bucket decomposition — an
     // equi-join on bucket ids, never the BroadcastNestedLoopJoin the
     // naive BETWEEN theta-join plans to (graft.operators.RangeJoin).
@@ -2299,6 +2346,24 @@ object SparkEntry {
         |    ELSE 0.0 END, 6) AS z
         |FROM documents d JOIN g ON d.source = g.source
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The batch mirror of the streaming watermark cut: only windows
+    // whose end (in ms — the engine's event-time resolution) is at or
+    // below the final watermark max(ts) emit.
+    "q_stream_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value, (epoch_us(ts) // 1000000) AS sec,
+        |    epoch_us(ts) // 1000 AS ms
+        |  FROM events),
+        |mx AS (SELECT max(ms) AS wm FROM e),
+        |s AS (
+        |  SELECT event_type, value,
+        |    unnest([(sec // 43200) * 43200, (sec // 43200) * 43200 - 43200]) AS w_start
+        |  FROM e)
+        |SELECT event_type, CAST(w_start AS BIGINT) AS w_start,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM s WHERE (w_start + 86400) * 1000 <= (SELECT wm FROM mx)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Each event unnests into its two epoch-aligned hopping windows:
     // H = ⌊sec/43200⌋·43200 and H − 43200 (nested-floor equality makes

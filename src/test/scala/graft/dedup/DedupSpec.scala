@@ -101,6 +101,13 @@ class DedupSpec extends SparkSpec with DedupFixture {
     assert(!jac.contains((100L, 101L)))
   }
 
+  test("containmentPairs plans equi-joins only — no nested-loop, no cartesian") {
+    val plan = Dedup.containmentPairs(docs, "text", "doc_id", n = 3, threshold = 0.6)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"containment must stay an equi-join plan:\n$plan")
+  }
+
   test("containmentSurvivors: contained docs drop to larger containers; ties keep min id; chains resolve") {
     val quoted = "rare emerald tokens quoted verbatim in a larger report"
     val mid = s"$quoted " + (1 to 30).map(i => s"mid$i").mkString(" ")

@@ -40,6 +40,13 @@ class PhraseSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("plan is equi-joins over term-filtered postings — no nested-loop, no cartesian") {
+    val plan = Phrase.phraseMatches(docs, "text", "doc_id", Seq("the", "quick", "brown"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"phrase search must stay an equi-join plan:\n$plan")
+  }
+
   test("input phrase terms are case-normalized") {
     val a = Phrase.phraseMatches(docs, "text", "doc_id", Seq("Quick", "BROWN"))
       .as[(Long, Long, Long)].collect().toSet

@@ -1281,6 +1281,25 @@ object SparkEntry {
         .orderBy("p_partkey")
     },
 
+    // BICHROMATIC reverse skyline — the Dellis-Seeger motivating
+    // scenario proper: probe = "customer preference points"
+    // (Brand#23 parts), candidates = the existing product catalog
+    // (Brand#13 parts); which customers would find the hypothetical
+    // product q = (950.5, 25.5) Pareto-attractive given what is
+    // already on offer. Same distributed plan as q_skyline_reverse
+    // (witness prefilter + grid box join), candidate side drawn from
+    // the second table.
+    "q_skyline_reverse_bi" -> { (s, dir) =>
+      val part = Tables.load(s, dir, "part")
+      ReverseSkyline.reverseSkylineBichromaticGrid(
+        part.filter(col("p_brand") === "Brand#23")
+          .select("p_partkey", "p_retailprice", "p_size"),
+        part.filter(col("p_brand") === "Brand#13")
+          .select("p_retailprice", "p_size"),
+        Seq("p_retailprice", "p_size"), "p_partkey", Array(950.5, 25.5))
+        .orderBy("p_partkey")
+    },
+
     // The GK sketch under a KEYED exchange: per-returnflag quantiles
     // through partial/merge across the group shuffle — what q_skyline
     // _agg proves for the skyline aggregate, proven here for the
@@ -3181,6 +3200,23 @@ object SparkEntry {
         |  AND NOT EXISTS (
         |  SELECT 1 FROM part c
         |  WHERE c.p_partkey <> p.p_partkey
+        |    AND c.p_retailprice IS NOT NULL AND c.p_size IS NOT NULL
+        |    AND abs(c.p_retailprice - p.p_retailprice) <= abs(950.5 - p.p_retailprice)
+        |    AND abs(CAST(c.p_size AS DOUBLE) - p.p_size) <= abs(25.5 - p.p_size)
+        |    AND (abs(c.p_retailprice - p.p_retailprice) < abs(950.5 - p.p_retailprice)
+        |      OR abs(CAST(c.p_size AS DOUBLE) - p.p_size) < abs(25.5 - p.p_size)))
+        |ORDER BY p.p_partkey""".stripMargin,
+
+    // Bichromatic: the NOT EXISTS witness ranges over the OTHER
+    // brand's slice only.
+    "q_skyline_reverse_bi" ->
+      """SELECT p.p_partkey, p.p_retailprice, p.p_size
+        |FROM part p
+        |WHERE p.p_brand = 'Brand#23'
+        |  AND p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
+        |  AND NOT EXISTS (
+        |  SELECT 1 FROM part c
+        |  WHERE c.p_brand = 'Brand#13'
         |    AND c.p_retailprice IS NOT NULL AND c.p_size IS NOT NULL
         |    AND abs(c.p_retailprice - p.p_retailprice) <= abs(950.5 - p.p_retailprice)
         |    AND abs(CAST(c.p_size AS DOUBLE) - p.p_size) <= abs(25.5 - p.p_size)

@@ -88,6 +88,51 @@ class ReverseSkylineSpec extends SparkSpec {
     assert(got.contains(1L))
   }
 
+  private def bruteBi(
+      probe: Seq[(Long, Double, Double)], cand: Seq[(Double, Double)],
+      q: (Double, Double)): Set[Long] =
+    probe.filter { case (_, x, y) =>
+      val rx = math.abs(q._1 - x)
+      val ry = math.abs(q._2 - y)
+      !cand.exists { case (cx, cy) =>
+        val dx = math.abs(cx - x)
+        val dy = math.abs(cy - y)
+        dx <= rx && dy <= ry && (dx < rx || dy < ry)
+      }
+    }.map(_._1).toSet
+
+  test("bichromatic: grid ≡ BNL ≡ brute force; candidate set comes from the other table") {
+    val rnd = new Random(59)
+    for (trial <- 1 to 3) {
+      val probe = (1L to 120L).map(i =>
+        (i, rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble))
+      val cand = (1 to 80).map(_ =>
+        (rnd.nextInt(40).toDouble, rnd.nextInt(40).toDouble))
+      val q = (rnd.nextInt(40).toDouble + 0.5, rnd.nextInt(40).toDouble + 0.5)
+      val pDf = probe.toDF("id", "x", "y").repartition(4)
+      val cDf = cand.toDF("x", "y").repartition(3)
+      val expect = bruteBi(probe, cand, q)
+      val bnl = ReverseSkyline.reverseSkylineBichromatic(pDf, cDf, Seq("x", "y"),
+        Array(q._1, q._2)).select("id").as[Long].collect().toSet
+      assert(bnl == expect, s"BNL vs brute, trial $trial q=$q")
+      for ((g, ss) <- Seq((32, 64), (1, 0), (64, 512))) {
+        val got = ReverseSkyline.reverseSkylineBichromaticGrid(pDf, cDf,
+          Seq("x", "y"), "id", Array(q._1, q._2), gridSize = g, sampleSize = ss)
+          .select("id").as[Long].collect().toSet
+        assert(got == expect, s"grid($g,$ss), trial $trial q=$q")
+      }
+    }
+  }
+
+  test("bichromatic: empty candidate catalog keeps every probe point") {
+    val pDf = Seq((1L, 1.0, 2.0), (2L, 3.0, 4.0)).toDF("id", "x", "y")
+    val cDf = Seq.empty[(Double, Double)].toDF("x", "y")
+    val got = ReverseSkyline.reverseSkylineBichromaticGrid(pDf, cDf,
+      Seq("x", "y"), "id", Array(0.5, 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+
   test("grid plan has no nested-loop join and prunes through to an equi-join") {
     val pts = (1L to 100L).map(i => (i, (i % 17).toDouble, (i % 23).toDouble))
     val plan = ReverseSkyline.reverseSkylineGrid(

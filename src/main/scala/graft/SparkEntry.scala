@@ -1375,6 +1375,44 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // FORWARD as-of join (pandas merge_asof direction='forward'): each
+    // click matched to the user's NEXT purchase at or after the click
+    // — the conversion-attribution shape. Same union+window plan,
+    // frame mirrored (currentRow..following, first ignoreNulls); ties
+    // at equal ts resolve to the smallest purchase event_id.
+    "q_asof_forward" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsofJoin.leftAsofForward(clicks, purchases, Seq("user_id"), "ts", "ts",
+        payload = Seq("event_id", "value", "ts"), tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"),
+          round(col("asof_value"), 6).as("asof_value"),
+          expr("(unix_micros(asof_ts) - unix_micros(ts)) div 1000000").as("gap_s"))
+        .orderBy("event_id")
+    },
+
+    // Backward as-of with a TOLERANCE horizon: matches older than 6
+    // hours null out (merge_asof tolerance semantics) — "recent state
+    // or nothing", the cache-validity join shape.
+    "q_asof_tolerance" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsofJoin.leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts",
+        payload = Seq("event_id", "value", "ts"), tiebreak = "event_id",
+        toleranceMicros = Some(6L * 3600 * 1000000))
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"),
+          round(col("asof_value"), 6).as("asof_value"))
+        .orderBy("event_id")
+    },
+
     // Set operations: customers with orders over the median-ish bar in
     // both halves of the date range (INTERSECT), and only-first-half
     // (EXCEPT) — distinct set semantics, shuffle on the key.
@@ -3288,6 +3326,45 @@ object SparkEntry {
         |  FROM clicks c LEFT JOIN purch p
         |    ON p.user_id = c.user_id AND p.ts <= c.ts)
         |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Forward mirror: earliest purchase at/after the click, ties to
+    // the smallest event_id.
+    "q_asof_forward" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id,
+        |    p.event_id AS asof_event_id,
+        |    round(p.value, 6) AS asof_value,
+        |    (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        |  FROM clicks c LEFT JOIN purch p
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
+        |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Backward join with the 6-hour lookback applied AFTER match
+    // selection (a too-old match nulls out, it does not fall through
+    // to an older-still row) — the merge_asof tolerance contract.
+    "q_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts AS cts, p.ts AS pts,
+        |    p.event_id AS m_event_id, round(p.value, 6) AS m_value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM clicks c LEFT JOIN purch p
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT event_id, user_id,
+        |  CASE WHEN epoch_us(cts) - epoch_us(pts) <= 21600000000 THEN m_event_id END AS asof_event_id,
+        |  CASE WHEN epoch_us(cts) - epoch_us(pts) <= 21600000000 THEN m_value END AS asof_value
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "q_setops" ->

@@ -40,6 +40,9 @@ object AsofJoin {
     * @param payload   right columns to carry to matched left rows
     *                  (emitted as `asof_<name>`, NULL when no match)
     * @param tiebreak  right column ordering ties at equal (key, ts)
+    * @param toleranceMicros optional lookback horizon: a match older
+    *                  than `leftTs − tolerance` nulls out (pandas
+    *                  merge_asof tolerance semantics)
     */
   def leftAsof(
       left: DataFrame,
@@ -48,7 +51,8 @@ object AsofJoin {
       leftTs: String,
       rightTs: String,
       payload: Seq[String],
-      tiebreak: String): DataFrame = {
+      tiebreak: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
     val SIDE = "__asof_side"
     val TS = "__asof_ts"
     val TIE = "__asof_tie"
@@ -87,10 +91,97 @@ object AsofJoin {
       .orderBy(col(TS).asc, col(SIDE).asc, col(TIE).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    unioned
+    val MTS = "__asof_mts"
+    val carried = unioned
+      .withColumn(MTS,
+        last(when(col(SIDE) === 0, col(TS)), ignoreNulls = true).over(w))
       .withColumn(PAY, last(col(PAY), ignoreNulls = true).over(w))
       .filter(col(SIDE) === 1)
-      .select(leftCols.map(col) ++ payload.map(p =>
-        col(s"$PAY.$p").as(s"asof_$p")): _*)
+    // Tolerance: a carried match older than the lookback horizon is no
+    // match at all — the payload nulls out (same as "no right row").
+    // Horizon units: microseconds for timestamp ts columns, the raw
+    // column units otherwise.
+    val gated = toleranceMicros match {
+      case Some(tol) =>
+        carried.withColumn(PAY,
+          when(tsDelta(carried, TS, MTS) <= tol, col(PAY)))
+      case None => carried
+    }
+    gated.select(leftCols.map(col) ++ payload.map(p =>
+      col(s"$PAY.$p").as(s"asof_$p")): _*)
+  }
+
+  /** later − earlier in micros (timestamp ts) or raw units (numeric). */
+  private def tsDelta(df: DataFrame, laterCol: String, earlierCol: String): Column =
+    if (df.schema(laterCol).dataType == org.apache.spark.sql.types.TimestampType)
+      unix_micros(col(laterCol)) - unix_micros(col(earlierCol))
+    else col(laterCol) - col(earlierCol)
+
+  /** FORWARD as-of join: for every left row, the EARLIEST right row
+    * with `rightTs ≥ leftTs` in the same key group (pandas
+    * merge_asof(direction='forward')) — "next state at or after event
+    * time". Same union+window plan mirrored: the frame looks ahead
+    * (currentRow..unboundedFollowing, `first` ignoreNulls), and right
+    * rows sort AFTER left at equal ts so a right row exactly at leftTs
+    * matches (≥). Ties at equal (key, ts) resolve to the smallest
+    * `tiebreak` (the FIRST in ascending order). Optional
+    * `toleranceMicros` bounds the look-ahead horizon.
+    */
+  def leftAsofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tiebreak: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val SIDE = "__asof_side"
+    val TS = "__asof_ts"
+    val TIE = "__asof_tie"
+    val PAY = "__asof_payload"
+
+    val l = left
+      .withColumn(SIDE, lit(0)) // left sorts BEFORE right at equal ts
+      .withColumn(TS, col(leftTs))
+      .withColumn(TIE, lit(null).cast(right.schema(tiebreak).dataType))
+      .withColumn(PAY, lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType)))))
+    val r = right
+      .filter(col(rightTs).isNotNull)
+      .select(
+        keys.map(col) ++ Seq(
+          lit(1).as(SIDE),
+          col(rightTs).as(TS),
+          col(tiebreak).as(TIE),
+          struct(payload.map(col): _*).as(PAY)): _*)
+
+    val leftCols = left.columns.toSeq
+    val rUnion = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l.columns.map(col): _*)
+
+    val unioned = l.unionByName(rUnion)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(TS).asc, col(SIDE).asc, col(TIE).asc_nulls_first)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val MTS = "__asof_mts"
+    val carried = unioned
+      .withColumn(MTS,
+        first(when(col(SIDE) === 1, col(TS)), ignoreNulls = true).over(w))
+      .withColumn(PAY, first(col(PAY), ignoreNulls = true).over(w))
+      .filter(col(SIDE) === 0)
+    val gated = toleranceMicros match {
+      case Some(tol) =>
+        carried.withColumn(PAY,
+          when(tsDelta(carried, MTS, TS) <= tol, col(PAY)))
+      case None => carried
+    }
+    gated.select(leftCols.map(col) ++ payload.map(p =>
+      col(s"$PAY.$p").as(s"asof_$p")): _*)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType
 import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash, SubstrDedup}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, RangeJoin, Salting, Sampling, Scd2}
+import graft.operators.{AsofJoin, Funnel, RangeJoin, Salting, Sampling, Scd2}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
@@ -1373,6 +1373,16 @@ object SparkEntry {
           round(col("asof_value"), 6).as("asof_value"),
           expr("(unix_micros(ts) - unix_micros(asof_ts)) div 1000000").as("gap_s"))
         .orderBy("event_id")
+    },
+
+    // Funnel analysis (view → click → purchase within 24 h): per user,
+    // earliest-chain progression + completion flag — k−1 keyed
+    // join+agg passes, no stream-wide window sort
+    // (graft.operators.Funnel).
+    "q_funnel" -> { (s, dir) =>
+      Funnel.funnel(Tables.loadEvents(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowMicros = 24L * 3600 * 1000000)
+        .orderBy("user_id")
     },
 
     // FORWARD as-of join (pandas merge_asof direction='forward'): each
@@ -3327,6 +3337,29 @@ object SparkEntry {
         |    ON p.user_id = c.user_id AND p.ts <= c.ts)
         |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Earliest-chain funnel: nested min-after-previous-step CTEs, the
+    // same greedy the engine computes pass by pass.
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id AS u, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT s1.u, min(e.ts) AS t2 FROM s1 JOIN events e
+        |  ON e.user_id = s1.u AND e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT s2.u, min(e.ts) AS t3 FROM s2 JOIN events e
+        |  ON e.user_id = s2.u AND e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT s1.u AS user_id,
+        |  CAST(1 + CASE WHEN s2.u IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.u IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached,
+        |  CAST(CASE WHEN s3.u IS NOT NULL
+        |            AND epoch_us(t3) - epoch_us(t1) <= 86400000000
+        |       THEN 1 ELSE 0 END AS BIGINT) AS completed,
+        |  CASE WHEN s3.u IS NOT NULL
+        |       THEN (epoch_us(t3) - epoch_us(t1)) // 1000000 END AS duration_s
+        |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
+        |ORDER BY user_id""".stripMargin,
 
     // Forward mirror: earliest purchase at/after the click, ties to
     // the smallest event_id.

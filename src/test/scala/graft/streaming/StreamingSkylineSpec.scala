@@ -80,6 +80,47 @@ class StreamingSkylineSpec extends SparkSpec {
   /** (group, x, y, id, epochSec) batches through the windowed variant;
     * returns (window_start, id) pairs of FINALIZED emissions only.
     */
+  test("state survives a checkpoint restart (kryo state tuple round-trips)") {
+    // File source + checkpoint: batch 1 establishes a dominating point;
+    // after a full stop/restart from the same checkpoint, batch 2's
+    // dominated point must be REJECTED by the restored state (a lost
+    // state would admit it as the group's whole skyline).
+    val srcDir = java.nio.file.Files.createTempDirectory("sky_restart_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sky_restart_ckpt").toString
+    def writeBatch(rows: Seq[(String, Double, Double, Long)]): Unit =
+      rows.toDF("g", "x", "y", "id").coalesce(1)
+        .write.mode("append").parquet(srcDir)
+    // The memory sink cannot recover from a checkpoint; foreachBatch
+    // can (ForeachBatchSink participates in the commit log), and a
+    // driver-side buffer stands in for the table.
+    def runOnce(): Set[Long] = {
+      val emitted = new scala.collection.mutable.ArrayBuffer[Long]()
+      val stream = spark.readStream
+        .schema("g string, x double, y double, id bigint")
+        .parquet(srcDir)
+      val out = StreamingSkyline.attach(stream, spec, "g",
+        versionCol = Some("__ver"))
+      val q = out.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val ids = batch.select("id").collect().map(_.getLong(0))
+          emitted.synchronized { emitted ++= ids }
+          ()
+        }
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      emitted.synchronized { emitted.toSet }
+    }
+    writeBatch(Seq(("g", 0.0, 100.0, 1L))) // dominates everything below
+    assert(runOnce() == Set(1L))
+    writeBatch(Seq(("g", 1.0, 50.0, 3L))) // dominated by id 1
+    val emitted = runOnce() // restart: processes ONLY the new file
+    assert(emitted == Set(1L),
+      s"restored state must reject the dominated point, got $emitted")
+  }
+
   private def runWindowed(
       batches: Seq[Seq[(String, Double, Double, Long, Long)]]): Set[(Long, Long)] = {
     implicit val sqlCtx = spark.sqlContext

@@ -1375,6 +1375,24 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // Cohort retention matrix: users bucketed by epoch-aligned signup
+    // week; for each (cohort, weeks-since) cell, distinct active users
+    // and event volume — the standard retention triangle. Two keyed
+    // shuffles (first-seen agg + the matrix groupBy); week ids via
+    // exact integer division (`div`), identical on both engines.
+    "q_cohort" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val cohort = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts) div 604800000000")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .withColumn("week", expr("unix_micros(ts) div 604800000000"))
+        .filter(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+
     // Funnel analysis (view → click → purchase within 24 h): per user,
     // earliest-chain progression + completion flag — k−1 keyed
     // join+agg passes, no stream-wide window sort
@@ -3337,6 +3355,20 @@ object SparkEntry {
         |    ON p.user_id = c.user_id AND p.ts <= c.ts)
         |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Same epoch-aligned week arithmetic (exact BIGINT division).
+    "q_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_week
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (
+        |  SELECT e.user_id, f.cohort_week,
+        |    epoch_us(e.ts) // 604800000000 AS week
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_week, week - cohort_week AS weeks_since,
+        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM a WHERE week >= cohort_week
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Earliest-chain funnel: nested min-after-previous-step CTEs, the
     // same greedy the engine computes pass by pass.

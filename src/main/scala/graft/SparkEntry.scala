@@ -852,6 +852,24 @@ object SparkEntry {
         .select("vec_id", "label", "adc")
     },
 
+    // The AT-REST composed index: rows live in list=<r> partition
+    // directories carrying their 4-byte PQ code INSTEAD of the raw
+    // vector (the vector column does not exist at rest); a probe reads
+    // only its 4 lists' codes and ADC-scores them from the sidecar
+    // code book. Same codes as q_ann_ivfpq → same oracle; the layout
+    // is the difference (pruning + equivalence pinned in spec).
+    "q_ann_ivfpq_index" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_idx").toString
+      IvfPq.writeIndex(e, "embedding", "vec_id", dim = 64, path)
+      IvfPq.topKIndexed(s, path, "vec_id", q, k = 10)
+        .select("vec_id", "label", "adc")
+    },
+
     // IVF-PQ with RESIDUAL encoding (Jégou §IV.B — what serving stacks
     // default to): codes quantize v − centroid(list(v)) under ONE
     // shared code book trained on residuals; ADC tables are built per
@@ -1945,6 +1963,53 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Raw-vector IVF-PQ replay, shared by q_ann_ivfpq (in-memory) and
+    * q_ann_ivfpq_index (at-rest layout — identical codes, identical
+    * result): the hash-random coarse quantizer CTEs select candidates;
+    * per-subspace Lloyd chains + the ADC tail score them.
+    */
+  private lazy val ivfPqRawOracle: String =
+    """WITH cent AS (
+      |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
+      |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
+      |    FROM embeddings ORDER BY h LIMIT 16)),
+      |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+      |        generate_subscripts(cv, 1) AS j FROM cent),
+      |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+      |dists AS (
+      |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+      |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
+      |assign AS (
+      |  SELECT vec_id, rank FROM (
+      |    SELECT vec_id, rank,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+      |    FROM dists) WHERE rn = 1),
+      |qprobe AS (
+      |  SELECT rank FROM (
+      |    SELECT rank, row_number() OVER (ORDER BY d, rank) AS rn
+      |    FROM dists WHERE vec_id = 0) WHERE rn <= 4),
+      |cands AS (SELECT vec_id FROM assign WHERE rank IN (SELECT rank FROM qprobe)),
+      |""".stripMargin +
+      pqCtes(m = 4, subDim = 16, k = 8, iters = 1, salt = "pq").stripPrefix("WITH ") +
+      (0 until 4).map { s =>
+        s"""qd_$s AS (
+           |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+           |  FROM ev_$s e JOIN c1e_$s c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
+           |part_$s AS (
+           |  SELECT a.vec_id, q.d FROM a2_$s a JOIN qd_$s q ON a.rank = q.rank
+           |  WHERE a.vec_id IN (SELECT vec_id FROM cands)),
+           |""".stripMargin
+      }.mkString +
+      """adc AS (
+        |  SELECT vec_id, round(sum(d), 6) AS adc FROM (
+        |    SELECT * FROM part_0 UNION ALL SELECT * FROM part_1
+        |    UNION ALL SELECT * FROM part_2 UNION ALL SELECT * FROM part_3)
+        |  GROUP BY vec_id)
+        |SELECT emb.vec_id, emb.label, adc.adc
+        |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
+        |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT 10""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -2799,47 +2864,12 @@ object SparkEntry {
     // IVF-PQ replay: q_ann_ivf's hash-random coarse quantizer CTEs
     // (assignment + the query's 4-list probe) select the candidates;
     // q_ann_pq's per-subspace Lloyd chains + ADC tail score them.
-    "q_ann_ivfpq" ->
-      ("""WITH cent AS (
-         |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
-         |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
-         |    FROM embeddings ORDER BY h LIMIT 16)),
-         |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
-         |        generate_subscripts(cv, 1) AS j FROM cent),
-         |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-         |       generate_subscripts(embedding, 1) AS j FROM embeddings),
-         |dists AS (
-         |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
-         |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
-         |assign AS (
-         |  SELECT vec_id, rank FROM (
-         |    SELECT vec_id, rank,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
-         |    FROM dists) WHERE rn = 1),
-         |qprobe AS (
-         |  SELECT rank FROM (
-         |    SELECT rank, row_number() OVER (ORDER BY d, rank) AS rn
-         |    FROM dists WHERE vec_id = 0) WHERE rn <= 4),
-         |cands AS (SELECT vec_id FROM assign WHERE rank IN (SELECT rank FROM qprobe)),
-         |""".stripMargin +
-        pqCtes(m = 4, subDim = 16, k = 8, iters = 1, salt = "pq").stripPrefix("WITH ") +
-        (0 until 4).map { s =>
-          s"""qd_$s AS (
-             |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
-             |  FROM ev_$s e JOIN c1e_$s c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
-             |part_$s AS (
-             |  SELECT a.vec_id, q.d FROM a2_$s a JOIN qd_$s q ON a.rank = q.rank
-             |  WHERE a.vec_id IN (SELECT vec_id FROM cands)),
-             |""".stripMargin
-        }.mkString +
-        """adc AS (
-          |  SELECT vec_id, round(sum(d), 6) AS adc FROM (
-          |    SELECT * FROM part_0 UNION ALL SELECT * FROM part_1
-          |    UNION ALL SELECT * FROM part_2 UNION ALL SELECT * FROM part_3)
-          |  GROUP BY vec_id)
-          |SELECT emb.vec_id, emb.label, adc.adc
-          |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
-          |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT 10""".stripMargin),
+    "q_ann_ivfpq" -> ivfPqRawOracle,
+
+    // The at-rest index stores the IDENTICAL codes (same quantizers,
+    // same assignment) — only the layout differs, so the oracle is the
+    // same replay.
+    "q_ann_ivfpq_index" -> ivfPqRawOracle,
 
     // Residual IVF-PQ replay: coarse assignment → residual long-form →
     // per-subspace Lloyd chains over residual slices → per-list ADC.

@@ -58,6 +58,98 @@ object IvfPq {
     ProductQuantizer.topKAdc(candidates, vecCol, idCol, model, query, k)
   }
 
+  private def centroidPath(path: String): String = s"$path/_centroids"
+  private def codebookPath(path: String): String = s"$path/_codebook"
+
+  /** Build the at-rest IVF-PQ index — the serving layout both halves
+    * compose to: rows land in `list=<r>` partition directories
+    * ([[IvfFlat.writeIndex]]'s router) and carry their m-byte PQ
+    * `code` INSTEAD of the raw vector (the vector column is dropped at
+    * rest — that is the whole point: a probe reads nProbe/nLists of
+    * the rows at m bytes each, never a float vector). Coarse centroids
+    * and the PQ code book persist as sidecars.
+    */
+  def writeIndex(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      dim: Int,
+      path: String,
+      nLists: Int = 16,
+      m: Int = 4,
+      kSub: Int = 8,
+      pqIters: Int = 1): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = IvfFlat.centroids(df, vecCol, idCol, nLists)
+    val model = ProductQuantizer.fit(df, vecCol, idCol, dim, m, kSub, pqIters)
+    val assigned = KMeans.assignWith(
+      df, vecCol, cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq, "list")
+    ProductQuantizer.encode(assigned, vecCol, model, "code")
+      .filter(col("list").isNotNull)
+      .drop(vecCol)
+      .write.mode("overwrite").partitionBy("list").parquet(path)
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("rank", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidPath(path))
+    model.cents.zipWithIndex.toSeq
+      .flatMap { case (subs, s) => subs.map { case (r, c) => (s, r, c.toSeq) } }
+      .toDF("s", "rank", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(codebookPath(path))
+  }
+
+  /** Serve a query from the at-rest index: probe lists from the
+    * centroid sidecar, scan ONLY those `list=` partitions (the isin
+    * filter lands in PartitionFilters — asserted in spec), and ADC-
+    * score the STORED codes — no vectors read, no encode pass, no
+    * shuffle but the final TakeOrderedAndProject.
+    */
+  def topKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      idCol: String,
+      query: Array[Double],
+      k: Int,
+      nProbe: Int = 4): DataFrame = {
+    val cents = spark.read.parquet(centroidPath(path))
+      .orderBy("rank").collect()
+      .map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+    val cb = spark.read.parquet(codebookPath(path))
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("rank")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+    val subDim = cb.head._3.length
+    val probed = IvfFlat.probeLists(query, cents, nProbe)
+    // Raw-vector codes → ONE global ADC table (independent of list).
+    val table: Map[(Int, Int), Double] = cb.map { case (s, rank, c) =>
+      var d = 0.0
+      var i = 0
+      while (i < c.length) { val x = query(s * subDim + i) - c(i); d += x * x; i += 1 }
+      (s, rank) -> d
+    }.toMap
+    val bc = spark.sparkContext.broadcast(table)
+    val src = spark.read.parquet(path)
+      .filter(col("list").isin(probed.map(Integer.valueOf): _*))
+      .filter(col("code").isNotNull)
+    val schema = src.schema.add("adc", org.apache.spark.sql.types.DoubleType)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val cIdx = src.schema.fieldIndex("code")
+    src.mapPartitions { it =>
+        val t = bc.value
+        it.map { r =>
+          val code = r.getSeq[Int](cIdx)
+          var d = 0.0
+          var s = 0
+          while (s < code.length) { d += t((s, code(s))); s += 1 }
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ d)
+        }
+      }(enc)
+      .withColumn("adc", round(col("adc"), 6))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+      .drop("code", "list")
+  }
+
   /** Residual-encoded IVF-PQ (Jégou §IV.B): codes quantize
     * v − centroid(list(v)); scoring uses a per-probed-list ADC table
     * built from the query's residual against THAT list's centroid.

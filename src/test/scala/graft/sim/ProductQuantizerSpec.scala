@@ -99,6 +99,24 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(run(corpus) == run(corpus.repartition(7)))
   }
 
+  test("at-rest IVF-PQ index: codes-only storage, pruned probe, ≡ in-memory path") {
+    val path = java.nio.file.Files.createTempDirectory("pq_idx_spec").toString
+    IvfPq.writeIndex(corpus, "embedding", "vec_id", dim = 8, path,
+      nLists = 4, m = 2, kSub = 4, pqIters = 1)
+    // the vector column does NOT exist at rest — codes only
+    val stored = spark.read.parquet(path)
+    assert(!stored.columns.contains("embedding") && stored.columns.contains("code"))
+    val q = vec(1, 500L).toArray
+    val served = IvfPq.topKIndexed(spark, path, "vec_id", q, k = 10, nProbe = 4)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list"),
+      s"probe must prune partitions:\n$plan")
+    val inMem = IvfPq.topK(corpus, "embedding", "vec_id", dim = 8, q, k = 10,
+      nLists = 4, nProbe = 4, m = 2, kSub = 4, pqIters = 1)
+      .select("vec_id", "adc").as[(Long, Double)].collect().toSeq
+    assert(served.select("vec_id", "adc").as[(Long, Double)].collect().toSeq == inMem)
+  }
+
   test("null vectors get null codes and are excluded from ADC") {
     val withNull = corpus.union(
       Seq((999L, 0, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "label", "embedding"))

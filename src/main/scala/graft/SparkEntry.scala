@@ -487,6 +487,26 @@ object SparkEntry {
         .orderBy("bin")
     },
 
+    // Unicode accent folding (NFD → strip combining marks → NFC) over
+    // deterministically PLANTED accent vocabulary (the fixture is pure
+    // ASCII — the q_pii planting discipline): the oracle replays the
+    // identical construction through the SQL engine's strip_accents,
+    // so the md5 match proves the fold semantics cross-engine on the
+    // Latin diacritic range (graft.text.AccentFoldExpr — codegen'd
+    // expression, not a UDF).
+    "q_normalize" -> { (s, dir) =>
+      val ws = Seq("école", "crème", "naïve", "señor", "über", "jalapeño",
+        "fiancée", "tête")
+      val wArr = array(ws.map(lit): _*)
+      Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+        .withColumn("__t", concat(col("text"), lit(" "),
+          element_at(wArr, (pmod(col("doc_id"), lit(8)) + 1).cast("int")), lit(" "),
+          element_at(wArr, (pmod(col("doc_id") + 3, lit(8)) + 1).cast("int")), lit(" "),
+          element_at(wArr, (pmod(col("doc_id") * 5 + 1, lit(8)) + 1).cast("int"))))
+        .select(col("doc_id"), md5(graft.text.AccentFoldExpr(col("__t"))).as("fp"))
+        .orderBy("doc_id")
+    },
+
     // Per-doc token-distribution Shannon entropy — the repetition-
     // collapse quality signal (token-farm spam → ~0 bits; diverse
     // prose → ~log2 n). Two keyed aggregations, exact integer counts
@@ -2538,6 +2558,18 @@ object SparkEntry {
         |  round(max(l_extendedprice), 6) AS hi_seen
         |FROM lineitem WHERE l_extendedprice IS NOT NULL
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // strip_accents ≡ the NFD-mark-strip fold on the planted Latin
+    // diacritic vocabulary; md5 over the folded UTF-8 bytes.
+    "q_normalize" ->
+      """WITH w AS (
+        |  SELECT ['école','crème','naïve','señor','über','jalapeño','fiancée','tête'] AS ws),
+        |a AS (
+        |  SELECT doc_id,
+        |    text || ' ' || ws[(doc_id % 8) + 1] || ' ' || ws[((doc_id + 3) % 8) + 1]
+        |         || ' ' || ws[((doc_id * 5 + 1) % 8) + 1] AS t
+        |  FROM documents, w WHERE text IS NOT NULL)
+        |SELECT doc_id, md5(strip_accents(t)) AS fp FROM a ORDER BY doc_id""".stripMargin,
 
     // Same two aggregations; sum(c·ln c) differs only by summation
     // order, absorbed by round 6 (the LmScore discipline).

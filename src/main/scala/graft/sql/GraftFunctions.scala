@@ -35,6 +35,7 @@ object GraftFunctions {
     // quality, lang_pred>) — the hot-path form; pinned ≡ the singles
     // in GraftFunctionsSpec
     ("graft_doc_profile", 1, cs => graft.text.DocProfileExpr(cs.head)),
+    ("graft_fold_accents", 1, cs => graft.text.AccentFoldExpr(cs.head)),
     ("graft_dominates", 2, cs =>
       ColumnBridge.column(DominatesExpr(
         ColumnBridge.expression(cs(0)), ColumnBridge.expression(cs(1))))))

@@ -1413,6 +1413,22 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // Rolling 24-hour per-user features via a RANGE window frame
+    // (time-based, not row-count — peers at the same timestamp are in
+    // or out together, so the result is tie-order-independent): the
+    // standard feature-engineering shape for "activity in the last N
+    // hours at each event".
+    "q_rolling" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-86400L * 1000000, 0)
+      Tables.loadEvents(s, dir)
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("sum_24h", round(sum(col("value")).over(w), 2))
+        .select("event_id", "user_id", "n_24h", "sum_24h")
+        .orderBy("event_id")
+    },
+
     // Cohort retention matrix: users bucketed by epoch-aligned signup
     // week; for each (cohort, weeks-since) cell, distinct active users
     // and event volume — the standard retention triangle. Two keyed
@@ -3417,6 +3433,17 @@ object SparkEntry {
         |    ON p.user_id = c.user_id AND p.ts <= c.ts)
         |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Same micros RANGE frame; round(…,2) absorbs the engines'
+    // frame-sum addition order.
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_24h,
+        |  round(sum(value) OVER w, 2) AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     // Same epoch-aligned week arithmetic (exact BIGINT division).
     "q_cohort" ->

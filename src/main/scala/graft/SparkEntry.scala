@@ -1413,6 +1413,15 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // One-call numeric profiling (the "describe" long form): per
+    // column non-null/distinct/min/max/mean in ONE aggregation job
+    // (graft.stats.Profile).
+    "q_profile" -> { (s, dir) =>
+      graft.stats.Profile.numeric(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")
+    },
+
     // Rolling 24-hour per-user features via a RANGE window frame
     // (time-based, not row-count — peers at the same timestamp are in
     // or out together, so the result is tie-order-independent): the
@@ -3433,6 +3442,16 @@ object SparkEntry {
         |    ON p.user_id = c.user_id AND p.ts <= c.ts)
         |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // One UNION ALL branch per column, same rounding.
+    "q_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 6) AS min,
+           |  round(CAST(max($c) AS DOUBLE), 6) AS max,
+           |  round(avg($c), 6) AS mean FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
 
     // Same micros RANGE frame; round(…,2) absorbs the engines'
     // frame-sum addition order.

@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType
 import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash, SubstrDedup}
 import graft.io.Gsod
 import graft.multimodal.Multimodal
-import graft.operators.{AsofJoin, Funnel, RangeJoin, Salting, Sampling, Scd2}
+import graft.operators.{AsofJoin, BloomJoin, Funnel, RangeJoin, Salting, Sampling, Scd2}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
@@ -243,6 +243,27 @@ object SparkEntry {
         .join(BucketedTables.read(s, ordT), col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Runtime bloom-filter semi-join pruning: a selective dim filter
+    // (urgent + high-value orders, ~12%) becomes a bloom filter over
+    // the dim keys, probed on the fact side BEFORE the join's shuffle
+    // (graft.operators.BloomJoin, codegen graft_might_contain). The
+    // 100 TB lever: shuffled fact volume drops to selectivity + fpp of
+    // the input. Answer-invariant by construction — the oracle is the
+    // plain join.
+    "q_bloom_join" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val sel = Tables.load(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+        .select("o_orderkey", "o_orderpriority")
+      BloomJoin.bloomPrunedJoin(li, sel, "l_orderkey", "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy("o_orderpriority")
     },
 
@@ -2204,6 +2225,16 @@ object SparkEntry {
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The plain join — bloom pruning is a physical-plan optimization,
+    // the answer must not move (false positives die in the join).
+    "q_bloom_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Tokenization contract mirrored from TextFunctions.tokens:

@@ -13,7 +13,7 @@ import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
 import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
-import graft.text.{Bm25, LmScore, Pii, QualityFilters, TextFunctions}
+import graft.text.{Bm25, InvertedIndex, LmScore, Pii, QualityFilters, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -463,6 +463,21 @@ object SparkEntry {
       graft.text.Phrase.phraseMatches(Tables.load(s, dir, "documents"),
         "text", "doc_id", Seq("slow", "hash", "batch"))
         .orderBy("doc_id")
+    },
+
+    // AT-REST inverted index: postings (term, doc_id, tf) written once
+    // into md5-bucketed `bucket=<b>` partitions, then conjunctive
+    // search reads ONLY the query terms' buckets (PartitionFilters
+    // prune — the lexical twin of the IVF `list=` layout) and ranks by
+    // summed tf. 100 TB shape: serving cost is |q-buckets|/nBuckets of
+    // the index bytes, never a corpus rescan (graft.text.InvertedIndex).
+    "q_inverted_index" -> { (s, dir) =>
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_inv_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      InvertedIndex.writeIndex(
+        Tables.load(s, dir, "documents"), "text", "doc_id", nBuckets = 16, path)
+      InvertedIndex.searchAll(s, path, 16,
+        Seq("vector", "merge", "filter"), topK = 20)
     },
 
     // Per-group z-score normalization (feature engineering): mean and
@@ -2555,6 +2570,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Postings recomputed from the corpus — the index layout must not
+    // change the answer; conjunctive via HAVING count(DISTINCT term).
+    "q_inverted_index" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |p AS (
+        |  SELECT term, doc_id, count(*) AS tf FROM t
+        |  WHERE term IN ('vector', 'merge', 'filter') GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM p
+        |  GROUP BY 1 HAVING count(DISTINCT term) = 3)
+        |SELECT doc_id, score FROM m
+        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // Same exact-integer-sums derivation (Σx, Σx², n) — identical IEEE
     // arithmetic on both engines, no builtin stddev.

@@ -465,6 +465,64 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // STREAM-STREAM interval join, executed as a real streaming query:
+    // views joined to same-user purchases within the following hour —
+    // the attribution-join shape — with watermarks on BOTH sides so
+    // the engine can bound join state (the 100 TB requirement: state
+    // is the interval window, not the stream). Inner joins emit
+    // eagerly per micro-batch; AvailableNow drains the source and the
+    // append-mode memory sink collects exactly the matched pairs.
+    // Completes streaming coverage: agg, dedup, sliding, skyline, join.
+    "q_stream_join" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamj_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      def src = s.readStream.schema(sch).parquet(srcDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "0 seconds")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      val joined = views.join(purchases,
+        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
+        .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"))
+      val qname = "graft_stream_join_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamj_ckpt").toString
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.awaitTermination()
+      s.table(qname).orderBy("view_id", "purchase_id")
+    },
+
+    // Deterministic PageRank over the customer→supplier purchase graph
+    // (damped power iteration, dangling-mass redistribution; supplier
+    // node ids offset by 1e6 to disjoin the two key spaces). The
+    // host/domain quality prior of a web-scale corpus pipeline, under
+    // a fully unrolled 3-iteration CTE replay — the k-means oracle
+    // treatment applied to graph iteration (graft.graph.PageRank).
+    "q_pagerank" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      graft.graph.PageRank.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("id")
+    },
+
     // AT-REST inverted index: postings (term, doc_id, tf) written once
     // into md5-bucketed `bucket=<b>` partitions, then conjunctive
     // search reads ONLY the query terms' buckets (PartitionFilters
@@ -2091,6 +2149,42 @@ object SparkEntry {
         |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
         |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT 10""".stripMargin
 
+  /** Unrolled PageRank replay: per iteration, a dangling-mass scalar
+    * (d<k>), in-contributions (c<k>), and the next rank vector (r<k>)
+    * — the same damped update the Spark side runs, with ranks rounded
+    * to 6 each round so both engines feed identical doubles forward.
+    * `(1 - 0.85)`, not the literal 0.15: the implementation computes
+    * 1 − damping and the two differ by one ulp.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 6) AS rank FROM nodes),
+        |""".stripMargin)
+    for (k <- 1 to iters) {
+      val prev = s"r${k - 1}"
+      sb ++= s"""d$k AS (SELECT coalesce(sum(rank), 0) AS dm FROM $prev
+                |  WHERE id NOT IN (SELECT src FROM deg)),
+                |c$k AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS cin
+                |  FROM e JOIN $prev r ON e.src = r.id
+                |  JOIN deg d ON e.src = d.src GROUP BY 1),
+                |r$k AS (SELECT nd.id,
+                |  round(((1 - 0.85) / (SELECT n FROM nn)
+                |         + 0.85 * ((SELECT dm FROM d$k) / (SELECT n FROM nn)))
+                |        + 0.85 * coalesce(c$k.cin, 0), 6) AS rank
+                |  FROM nodes nd LEFT JOIN c$k ON nd.id = c$k.id),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2) // drop trailing ",\n"
+    sb ++= s"\nSELECT id, rank FROM r$iters ORDER BY id"
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -2570,6 +2664,19 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Batch mirror of the streaming interval join, compared in µs
+    // space (epoch_us) to mirror the Spark side's ns→µs truncation.
+    "q_stream_join" ->
+      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+        |  v.user_id AS user_id
+        |FROM events v JOIN events p ON v.user_id = p.user_id
+        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) >= epoch_us(v.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
+    "q_pagerank" -> pageRankOracle(3),
 
     // Postings recomputed from the corpus — the index layout must not
     // change the answer; conjunctive via HAVING count(DISTINCT term).

@@ -1,0 +1,50 @@
+package graft.graph
+
+import graft.SparkSpec
+
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed 3-node chain a→b→c") {
+    // N=3, d=0.85. r0 = 1/3 each (rounded 0.333333).
+    // iter1: dangling = r(c) = 0.333333; base = 0.05 + 0.85*0.333333/3
+    //   a: base + 0            ; b: base + 0.85*r(a); c: base + 0.85*r(b)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val r0 = BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // (1 - 0.85), NOT the literal 0.15: the two differ by one ulp and
+    // the implementation computes 1 − damping.
+    val base = (1 - 0.85) / 3 + 0.85 * (r0 / 3)
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("a") == rnd(base))
+    assert(got("b") == rnd(base + 0.85 * r0))
+    assert(got("c") == rnd(base + 0.85 * r0))
+  }
+
+  test("mass is conserved across iterations (up to rounding)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val total = PageRank.pageRank(edges, "src", "dst", iters = 3)
+      .agg(org.apache.spark.sql.functions.sum("rank")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-3, s"total mass $total")
+  }
+
+  test("a sink (dangling) node still receives and redistributes rank") {
+    // star into a sink: the sink's rank must exceed the leaves', and
+    // the dangling redistribution keeps leaves above the raw teleport.
+    val edges = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(9L) > got(1L))
+    assert(got(1L) > 0.15 / 4 - 1e-9)
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+  }
+
+  test("zero iterations returns the uniform vector") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val got = PageRank.pageRank(edges, "src", "dst", iters = 0)
+      .collect().map(_.getDouble(1)).toSet
+    assert(got == Set(0.5))
+  }
+}

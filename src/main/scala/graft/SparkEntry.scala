@@ -465,6 +465,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Count-min sketch over the corpus token stream: depth×width
+    // bounded counters (8·4·64 bytes/partial here), pointwise-additive
+    // merge, answering point-frequency for keys chosen AFTER the scan
+    // — the complement of Misra-Gries' top-k. The md5-prefix hash
+    // makes the filled sketch partitioning-invariant, so the oracle
+    // replays cells AND estimates exactly (including the deliberate
+    // collision overestimates at width 64 and the absent key).
+    "q_count_min" -> { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
+      toks.agg(graft.stats.CountMin.countMinEstimates(
+          col("t"), depth = 4, width = 64,
+          keys = Seq("join", "hash", "scan", "zzzz")).as("e"))
+        .select(explode(col("e")).as("x"))
+        .select(col("x.item").as("item"), col("x.est").as("est"))
+        .orderBy("item")
+    },
+
     // STREAM-STREAM interval join, executed as a real streaming query:
     // views joined to same-user purchases within the following hour —
     // the attribution-join shape — with watermarks on BOTH sides so
@@ -2664,6 +2683,31 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Cell-exact count-min replay: rebuild every row's cells from the
+    // token counts (sum of counts of ALL tokens hashing to the cell),
+    // then estimate = min over rows of the queried cell; empty cell →
+    // 0 via the LEFT JOIN coalesce.
+    "q_count_min" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0)) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |vc AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT js.j,
+        |    (('0x' || substr(md5(js.j || ':' || vc.t), 1, 15))::BIGINT % 64) AS cell,
+        |    sum(vc.c) AS s
+        |  FROM vc CROSS JOIN js GROUP BY 1, 2),
+        |q AS (SELECT unnest(['join', 'hash', 'scan', 'zzzz']) AS item),
+        |qh AS (
+        |  SELECT q.item, js.j,
+        |    (('0x' || substr(md5(js.j || ':' || q.item), 1, 15))::BIGINT % 64) AS cell
+        |  FROM q CROSS JOIN js)
+        |SELECT qh.item, CAST(min(coalesce(cells.s, 0)) AS BIGINT) AS est
+        |FROM qh LEFT JOIN cells ON qh.j = cells.j AND qh.cell = cells.cell
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Batch mirror of the streaming interval join, compared in µs
     // space (epoch_us) to mirror the Spark side's ns→µs truncation.

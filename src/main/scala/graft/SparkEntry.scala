@@ -465,6 +465,61 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // CDC latest-wins upsert (the MERGE INTO shape): each customer's
+    // balance replaced by the totalprice of their latest order (order
+    // key as the unique change version, base rows at version −1);
+    // customers with no orders keep the base row. One union + one
+    // keyed window pass, no join (graft.operators.Upsert).
+    "q_upsert" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+          lit(-1L).as("version"))
+      val updates = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          round(col("o_totalprice"), 2).as("acctbal"),
+          col("o_orderkey").as("version"))
+      graft.operators.Upsert.latestWins(base, updates, Seq("c_custkey"), "version")
+        .orderBy("c_custkey")
+    },
+
+    // Per-group decile bucketing (feature binning): ntile(10) within
+    // each market segment, ordered by (acctbal, custkey) so ties are
+    // deterministic. Scale note: the sort is per-SEGMENT (keyed window
+    // shuffle), not a global order — the form that survives 100 TB;
+    // a global ntile would single-partition the sort.
+    "q_ntile" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          ntile(10).over(w).as("decile"))
+        .orderBy("c_custkey")
+    },
+
+    // Per-doc top-3 terms by smoothed TF-IDF (sklearn-style
+    // idf = ln((1+N)/(1+df)) + 1): full-vocabulary postings with exact
+    // integer tf/df/N so both engines derive identical doubles, scores
+    // rounded to 6, WindowGroupLimit top-3 per doc. The classic
+    // "what is this document about" signal beside BM25's query-scoped
+    // ranking.
+    "q_tfidf" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      val n = docs.count()
+      val posts = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      posts.join(dfreq, "term")
+        .withColumn("score",
+          round(col("tf") * (log(lit(1.0 + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("score"), col("rank"))
+        .orderBy("doc_id", "rank")
+    },
+
     // Count-min sketch over the corpus token stream: depth×width
     // bounded counters (8·4·64 bytes/partial here), pointwise-additive
     // merge, answering point-frequency for keys chosen AFTER the scan
@@ -2683,6 +2738,52 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Latest order key wins per customer; base rows at version −1.
+    "q_upsert" ->
+      """WITH b AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        |    CAST(-1 AS BIGINT) AS version
+        |  FROM customer),
+        |u AS (
+        |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS acctbal,
+        |    o_orderkey AS version
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM b UNION ALL SELECT * FROM u))
+        |SELECT c_custkey, acctbal, version FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(ntile(10) OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal, c_custkey) AS INT) AS decile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // Same smoothed idf expression shape — (1+N)/(1+df) then ln then
+    // +1 — so the doubles agree bit-for-bit before the 6-dp round.
+    "q_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * (ln((1 + (SELECT n FROM nn)) / (1 + dfq.df)) + 1), 6) AS score
+        |  FROM tf JOIN dfq ON tf.term = dfq.term),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |                               ORDER BY score DESC, term ASC) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
     // Cell-exact count-min replay: rebuild every row's cells from the
     // token counts (sum of counts of ALL tokens hashing to the cell),

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Latest-version-wins merge of a change batch into a base table — the
+  * MERGE INTO / CDC-apply shape every incrementally-maintained corpus
+  * needs (re-crawled documents replacing stale rows, label fixes
+  * landing over training shards).
+  *
+  * Execution: union the two inputs (no join) and keep the max-version
+  * row per key with one keyed window pass — a single shuffle on the
+  * key, map-side-combinable nothing-else. At 100 TB the updates batch
+  * is typically ≪ base; the union keeps base unshuffled columns
+  * untouched and the window's partial sort is per-key (bounded by the
+  * duplicate count per key, usually 2).
+  *
+  * Determinism contract: `versionCol` must be a total order per key
+  * (unique within a key) — ties would make the survivor
+  * partitioning-dependent, so prefer a unique change id (the
+  * q_upsert oracle versions updates by order key, base rows by −1).
+  */
+object Upsert {
+
+  /** Rows of `base ∪ updates` keeping, per `keyCols`, only the row
+    * with the highest `versionCol`. Inputs must be union-compatible
+    * by name.
+    */
+  def latestWins(
+      base: DataFrame,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    base.unionByName(updates)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -465,6 +465,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Data-quality expectation suite (the shard-admission gate): all
+    // scalar checks fold into ONE aggregation pass; key uniqueness is
+    // one keyed groupBy; referential integrity one left-anti join.
+    // Metrics are ratios/counts of exact longs — the range bound is
+    // deliberately tight (450k) so a failing check's metric faces the
+    // oracle too (graft.stats.DataQuality).
+    "q_dq" -> { (s, dir) =>
+      import graft.stats.DataQuality
+      import graft.stats.DataQuality._
+      DataQuality.run(Tables.load(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 450000.0),
+        UniqueKey(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", Tables.load(s, dir, "customer"), "c_custkey")))
+    },
+
     // CDC latest-wins upsert (the MERGE INTO shape): each customer's
     // balance replaced by the totalprice of their latest order (order
     // key as the unique change version, base rows at version −1);
@@ -2738,6 +2754,42 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // One UNION ALL branch per check, same metric definitions.
+    "q_dq" ->
+      """SELECT * FROM (
+        |  SELECT 'in_range:o_totalprice' AS check_name,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |                   AND (o_totalprice < 0 OR o_totalprice > 450000)
+        |             THEN 1 ELSE 0 END) AS DOUBLE) AS metric,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL
+        |              AND (o_totalprice < 0 OR o_totalprice > 450000)
+        |        THEN 1 ELSE 0 END) <= 0 AS pass
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null:o_custkey',
+        |    round(CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |          / count(*), 6),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |          / count(*) <= 0.0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ref_integrity:o_custkey',
+        |    CAST((SELECT count(*) FROM orders o
+        |          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |            ON o.o_custkey = c.c_custkey
+        |          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS DOUBLE),
+        |    (SELECT count(*) FROM orders o
+        |     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |       ON o.o_custkey = c.c_custkey
+        |     WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) = 0
+        |  UNION ALL
+        |  SELECT 'unique_key:o_orderkey',
+        |    CAST((SELECT count(*) FROM (
+        |      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS DOUBLE),
+        |    (SELECT count(*) FROM (
+        |      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) = 0
+        |) ORDER BY check_name""".stripMargin,
 
     // Latest order key wins per customer; base rows at version −1.
     "q_upsert" ->

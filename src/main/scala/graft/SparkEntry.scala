@@ -465,6 +465,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Z-ORDER clustering key (lakehouse OPTIMIZE ZORDER BY): Morton
+    // code over integer-bucketized (l_partkey, l_suppkey) — the sort
+    // key writeZOrdered clusters files by, giving every file a tight
+    // min/max envelope on BOTH dims so parquet stats prune scans
+    // filtered on either (ZOrderSpec pins the locality; this query
+    // pins the code itself — exact integer bucketize + bit interleave,
+    // replayed term-by-term by the oracle). graft.sources.ZOrder.
+    "q_zorder" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.ZOrder.zvalue(li, Seq("l_partkey", "l_suppkey"), bits = 8)
+          .as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Data-quality expectation suite (the shard-admission gate): all
     // scalar checks fold into ONE aggregation pass; key uniqueness is
     // one keyed groupBy; referential integrity one left-anti join.
@@ -2275,6 +2290,29 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Morton-code replay: integer bucketize both dims (floor division,
+    * exact), then one explicit term per bit lane — dim 0 in even bit
+    * positions, dim 1 in odd.
+    */
+  private def zorderOracle(bits: Int): String = {
+    val termsP = (0 until bits).map(i => s"(((bp >> $i) & 1) << ${i * 2})").mkString(" + ")
+    val termsS = (0 until bits).map(i => s"(((bs >> $i) & 1) << ${i * 2 + 1})").mkString(" + ")
+    s"""WITH mm AS (
+       |  SELECT min(l_partkey) AS pmn, max(l_partkey) AS pmx,
+       |    min(l_suppkey) AS smn, max(l_suppkey) AS smx
+       |  FROM lineitem),
+       |b AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    ((l_partkey - (SELECT pmn FROM mm)) * ${1 << bits})
+       |      // ((SELECT pmx FROM mm) - (SELECT pmn FROM mm) + 1) AS bp,
+       |    ((l_suppkey - (SELECT smn FROM mm)) * ${1 << bits})
+       |      // ((SELECT smx FROM mm) - (SELECT smn FROM mm) + 1) AS bs
+       |  FROM lineitem)
+       |SELECT l_orderkey, l_linenumber,
+       |  CAST($termsP + $termsS AS BIGINT) AS zval
+       |FROM b ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -2754,6 +2792,8 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_zorder" -> zorderOracle(8),
 
     // One UNION ALL branch per check, same metric definitions.
     "q_dq" ->

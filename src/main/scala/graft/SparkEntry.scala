@@ -465,6 +465,42 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Small-file compaction, answer-invariant: orders scattered into
+    // 64 tiny files, compacted to ~100k-row files (round-robin
+    // repartition, not coalesce), then the aggregate read THROUGH the
+    // compacted copy against the raw-table oracle. The housekeeping
+    // pass a streaming-ingested 100 TB table cannot live without
+    // (graft.sources.Compaction; file-count drop pinned by spec).
+    "q_compaction" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val scattered = s"$tmp/graft_compact_in_$tag"
+      val compacted = s"$tmp/graft_compact_out_$tag"
+      Tables.load(s, dir, "orders")
+        .repartition(64).write.mode("overwrite").parquet(scattered)
+      graft.sources.Compaction.compact(s, scattered, compacted,
+        targetRecordsPerFile = 100000L)
+      s.read.parquet(compacted)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Incremental aggregation maintenance: daily (day, type) partials
+    // — the state a scheduled pipeline persists per partition — then
+    // any date-range answer is a re-aggregation OF THE PARTIALS, never
+    // a raw rescan. The oracle replays the same two stages; counts are
+    // exact longs, the double sum rounds at 2dp (q1_agg precedent).
+    "q_incr_agg" -> { (s, dir) =>
+      val partials = Tables.loadEvents(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      partials.filter(col("d").between("2024-01-03", "2024-01-09"))
+        .groupBy("event_type")
+        .agg(sum(col("n")).as("n"), round(sum(col("s")), 2).as("sum_value"))
+        .orderBy("event_type")
+    },
+
     // Z-ORDER clustering key (lakehouse OPTIMIZE ZORDER BY): Morton
     // code over integer-bucketized (l_partkey, l_suppkey) — the sort
     // key writeZOrdered clusters files by, giving every file a tight
@@ -2792,6 +2828,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Raw table — compaction must not move the answer.
+    "q_compaction" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Two-stage replay: the same daily partials, then the range
+    // re-aggregation over them.
+    "q_incr_agg" ->
+      """WITH p AS (
+        |  SELECT CAST(ts AS DATE) AS d, event_type,
+        |    count(*) AS n, sum(value) AS s
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |  round(sum(s), 2) AS sum_value
+        |FROM p WHERE d BETWEEN '2024-01-03' AND '2024-01-09'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_zorder" -> zorderOracle(8),
 

@@ -465,6 +465,105 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Deterministic balanced sharding (sequence-packing shape): docs
+    // ranked globally by size desc via the DISTRIBUTED global rank
+    // (range partition + per-partition offsets — NOT the
+    // single-partition window row_number), then round-robin by rank
+    // into 8 shards; big docs spread first, shard loads equalize.
+    // graft.operators.GlobalRank.
+    "q_shard_balance" -> { (s, dir) =>
+      graft.operators.GlobalRank.withGlobalRank(
+        Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc, col("doc_id")))
+        .withColumn("shard", pmod(col("rank") - 1, lit(8L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("shard")
+    },
+
+    // Embedding outlier scan (mislabel curation): squared distance of
+    // every vector to its OWN label centroid, top 20 farthest. Exact
+    // long counts; centroid sums and means rounded at 6 per the
+    // k-means cross-engine contract.
+    "q_embed_outlier" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
+      val cent = ev.groupBy(col("label"), col("j"))
+        .agg(round(sum(col("x")), 6).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cx", round(col("sx") / col("n"), 6))
+        .select("label", "j", "cx")
+      ev.join(cent, Seq("label", "j"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("d2"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+        .limit(20)
+    },
+
+    // GROUPED count-min: one bounded sketch per source under a keyed
+    // exchange — the per-source corpus-audit form, completing the
+    // grouped-sketch quartet (GK quantiles, Misra-Gries, KMV, CMS).
+    "q_count_min_grouped" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .groupBy("source")
+        .agg(graft.stats.CountMin.countMinEstimates(
+          col("t"), depth = 4, width = 64, keys = Seq("join", "vector")).as("e"))
+        .select(col("source"), explode(col("e")).as("x"))
+        .select(col("source"), col("x.item").as("item"), col("x.est").as("est"))
+        .orderBy("source", "item")
+    },
+
+    // Native event-time SESSION windows (session_window, 30-min gap):
+    // sessions merge while consecutive gaps are < gap, close at
+    // last-event + gap — the builtin the manual q_sessions
+    // gaps-and-islands mirrors; boundaries floor to epoch seconds.
+    "q_session_window" -> { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("w.start").cast("long").as("w_start"),
+          col("w.end").cast("long").as("w_end"),
+          col("n"), col("sum_value"))
+        .orderBy("user_id", "w_start")
+    },
+
+    // Wide→long reshape (unpivot via stack): three measure columns
+    // melted to (measure, val) rows — the normalization step before
+    // long-form stats — then re-aggregated to stay compact.
+    "q_unpivot" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(expr("stack(3, 'discount', l_discount, 'quantity', l_quantity, " +
+          "'tax', l_tax) AS (measure, val)"))
+        .groupBy("measure")
+        .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("sum_val"))
+        .orderBy("measure")
+    },
+
+    // Schema evolution: two batches written with DIFFERENT column
+    // subsets, read back as one table via mergeSchema (absent columns
+    // null-fill) — the corpus-reingestion reality check. Aggregated
+    // against a UNION-with-NULLs oracle.
+    "q_schema_merge" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = System.getProperty("java.io.tmpdir") + s"/graft_schmerge_$tag"
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/b=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$base/b=2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/b=1", s"$base/b=2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("?")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("sum_price"))
+        .orderBy("priority")
+    },
+
     // Small-file compaction, answer-invariant: orders scattered into
     // 64 tiny files, compacted to ~100k-row files (round-robin
     // repartition, not coalesce), then the aggregate read THROUGH the
@@ -2828,6 +2927,103 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // The window row_number mirror of the distributed global rank
+    // (same total order: size desc, doc_id).
+    "q_shard_balance" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT (rank - 1) % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same per-label centroid derivation (sum rounded 6, mean rounded
+    // 6), same squared-distance aggregation.
+    "q_embed_outlier" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, j, round(sum(x), 6) AS sx, count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |c2 AS (SELECT label, j, round(sx / n, 6) AS cx FROM cent),
+        |d AS (
+        |  SELECT ev.vec_id, ev.label,
+        |    round(sum((ev.x - c2.cx) * (ev.x - c2.cx)), 6) AS d2
+        |  FROM ev JOIN c2 ON ev.label = c2.label AND ev.j = c2.j
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label, d2 FROM d
+        |ORDER BY d2 DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+    // Per-source cell replay — the q_count_min CTEs with `source`
+    // threaded through vocabulary, cells, and estimates.
+    "q_count_min_grouped" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |vc AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+        |cells AS (
+        |  SELECT vc.source, js.j,
+        |    (('0x' || substr(md5(js.j || ':' || vc.t), 1, 15))::BIGINT % 64) AS cell,
+        |    sum(vc.c) AS s
+        |  FROM vc CROSS JOIN js GROUP BY 1, 2, 3),
+        |srcs AS (SELECT DISTINCT source FROM toks),
+        |q AS (SELECT unnest(['join', 'vector']) AS item),
+        |qh AS (
+        |  SELECT srcs.source, q.item, js.j,
+        |    (('0x' || substr(md5(js.j || ':' || q.item), 1, 15))::BIGINT % 64) AS cell
+        |  FROM srcs CROSS JOIN q CROSS JOIN js)
+        |SELECT qh.source, qh.item, CAST(min(coalesce(cells.s, 0)) AS BIGINT) AS est
+        |FROM qh LEFT JOIN cells
+        |  ON qh.source = cells.source AND qh.j = cells.j AND qh.cell = cells.cell
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands replay of session_window semantics: a new
+    // session starts when the gap is >= 30 min (windows [ts, ts+gap)
+    // merge on overlap); boundaries floor µs → seconds.
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                  OR us - lag(us) OVER w >= 1800000000
+        |            THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |i AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS w_start,
+        |  CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS w_end,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM i GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT measure, count(*) AS n, round(sum(val), 2) AS sum_val
+        |FROM (
+        |  SELECT 'discount' AS measure, l_discount AS val FROM lineitem
+        |  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
+        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The union-with-NULLs the mergeSchema read materializes.
+    "q_schema_merge" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority, '?') AS priority, count(*) AS n,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Raw table — compaction must not move the answer.
     "q_compaction" ->

@@ -57,10 +57,10 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input).asInstanceOf[UTF8String]
     if (v != null) {
-      val s = v.toString
+      val bytes = v.getBytes
       var j = 0
       while (j < depth) {
-        buf(j * width + CountMin.cellOf(j, s, width)) += 1L
+        buf(j * width + CountMin.cellOfBytes(j, bytes, width)) += 1L
         j += 1
       }
     }
@@ -108,16 +108,35 @@ case class CountMinAgg(
 
 object CountMin {
 
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  // "0:".."63:" row-prefix bytes, built once (depth is never near 64).
+  private val rowPrefix: Array[Array[Byte]] =
+    (0 until 64).map(j => (j + ":").getBytes("UTF-8")).toArray
+
   /** h_j(x): first 15 hex digits of md5("j:" ‖ x) as a 60-bit long,
     * mod width — identical to the oracle's
     * `('0x' || substr(md5(j || ':' || x), 1, 15))::BIGINT % width`.
+    * Computed without the hex round trip: the top 15 nibbles of the
+    * digest are the big-endian first 8 bytes shifted right one nibble
+    * (hot path — one digest, no string allocation; pinned ≡ the hex
+    * form by CountMinSpec).
     */
-  private[stats] def cellOf(j: Int, x: String, width: Int): Int = {
-    val hex = MessageDigest.getInstance("MD5")
-      .digest((j + ":" + x).getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString.substring(0, 15)
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+  private[stats] def cellOfBytes(j: Int, x: Array[Byte], width: Int): Int = {
+    val d = md5.get()
+    d.reset()
+    d.update(rowPrefix(j))
+    d.update(x)
+    val h = d.digest()
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (h(i) & 0xffL); i += 1 }
+    ((v >>> 4) % width).toInt
   }
+
+  private[stats] def cellOf(j: Int, x: String, width: Int): Int =
+    cellOfBytes(j, x.getBytes("UTF-8"), width)
 
   /** Column form: `array<struct<item, est>>` of count-min estimates
     * for `keys`, from one bounded-memory aggregation pass.

@@ -38,6 +38,20 @@ class CountMinSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("byte-math cell hash equals the hex-string definition") {
+    // The oracle's definition, computed the slow way.
+    def hexCell(j: Int, x: String, width: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest((j + ":" + x).getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      (java.lang.Long.parseLong(hex, 16) % width).toInt
+    }
+    val samples = Seq("", "a", "join", "zzzz", "héllo wörld", "0:x", "k36",
+      "the quick brown fox") ++ (0 until 50).map(i => s"tok$i")
+    for (s <- samples; j <- 0 until 4; w <- Seq(16, 64, 1024))
+      assert(CountMin.cellOf(j, s, w) == hexCell(j, s, w), s"($j, $s, $w)")
+  }
+
   test("null items are ignored") {
     val df = Seq("a", null, "a", null).toDF("t")
     val got = estimates(df, 2, 64, Seq("a"))

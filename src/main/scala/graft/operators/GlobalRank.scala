@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Distributed global dense ranking — the scalable form of
+  * `row_number() OVER (ORDER BY …)`, which Spark plans as a
+  * SINGLE-partition window (the classic 100 TB cliff: one task sorts
+  * the world). Here: range-repartition on the sort key (distributed
+  * sort), count rows per partition (one cheap job returning
+  * `numPartitions` longs to the driver), then assign
+  * `offset(partition) + local index` per partition — three passes,
+  * no global single-point sort, exact global 1-based ranks.
+  *
+  * The per-partition zip is genuine imperative per-partition logic —
+  * the one place the RDD API is the right tool (mapPartitionsWithIndex
+  * with a broadcast offset table).
+  *
+  * Requires the sort key to be a TOTAL order (include a unique
+  * tiebreak column) — ties across a range boundary would otherwise
+  * make ranks layout-dependent. The q_shard_balance oracle mirrors
+  * with `row_number() OVER (ORDER BY …)` on the same total key.
+  */
+object GlobalRank {
+
+  /** `df` plus a 1-based global `rankCol` ordered by `sortCols`. */
+  def withGlobalRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      rankCol: String = "rank",
+      partitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "at least one sort column")
+    val spark = df.sparkSession
+    val parts =
+      if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd
+    rdd.cache()
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      it.map { r => k += 1L; Row.fromSeq(r.toSeq :+ k) }
+    }
+    val schema = sorted.schema.add(StructField(rankCol, LongType, nullable = false))
+    spark.createDataFrame(ranked, schema)
+  }
+}

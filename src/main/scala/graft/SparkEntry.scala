@@ -465,6 +465,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Deterministic full-batch GD linear regression (quantity ~
+    // discount + tax): one aggregation per iteration computing the
+    // d+1 gradient sums with current weights as literals, driver
+    // state d+1 doubles, gradients and weights rounded 6 per step —
+    // the k-means replay contract on a supervised trainer
+    // (graft.ml.LinearGd; oracle unrolls both iterations as scalar
+    // CTEs with identical operation order).
+    "q_lingd" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_discount").as("x1"), col("l_tax").as("x2"),
+          col("l_quantity").as("y"))
+      val w = graft.ml.LinearGd.fit(li, Seq("x1", "x2"), "y",
+        lr = 0.01, iters = 2)
+      import s.implicits._
+      Seq((w(0), w(1), w(2))).toDF("w0", "w1", "w2")
+    },
+
     // Deterministic balanced sharding (sequence-packing shape): docs
     // ranked globally by size desc via the DISTRIBUTED global rank
     // (range partition + per-partition offsets — NOT the
@@ -2425,6 +2442,42 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled full-batch GD replay: per iteration, three gradient-sum
+    * CTEs over the feature view with the previous weights inlined as
+    * scalar subqueries, then the rounded weight updates — identical
+    * operation order to LinearGd.fit (pred left-assoc, (2·S)/n, round
+    * 6 on gradient and weight).
+    */
+  private def linGdOracle(iters: Int, lr: Double): String = {
+    val sb = new StringBuilder(
+      """WITH d AS (
+        |  SELECT l_discount AS x1, l_tax AS x2, l_quantity AS y FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |w0_0 AS (SELECT 0.0 AS v),
+        |w0_1 AS (SELECT 0.0 AS v),
+        |w0_2 AS (SELECT 0.0 AS v),
+        |""".stripMargin)
+    for (k <- 1 to iters) {
+      val p = k - 1
+      val pred = s"(((SELECT v FROM w${p}_0) + (SELECT v FROM w${p}_1) * x1)" +
+        s" + (SELECT v FROM w${p}_2) * x2)"
+      def upd(j: Int, mult: String): String =
+        s"""s${k}_$j AS (SELECT sum(($pred - y)$mult) AS s FROM d),
+           |w${k}_$j AS (SELECT round((SELECT v FROM w${p}_$j)
+           |  - $lr * round(2.0 * (SELECT s FROM s${k}_$j) / (SELECT n FROM nn), 6), 6) AS v),
+           |""".stripMargin
+      sb ++= upd(0, "")
+      sb ++= upd(1, " * x1")
+      sb ++= upd(2, " * x2")
+    }
+    sb.setLength(sb.length - 2) // trailing ",\n"
+    sb ++= s"""
+              |SELECT (SELECT v FROM w${iters}_0) AS w0,
+              |  (SELECT v FROM w${iters}_1) AS w1,
+              |  (SELECT v FROM w${iters}_2) AS w2""".stripMargin
+    sb.toString
+  }
+
   /** Morton-code replay: integer bucketize both dims (floor division,
     * exact), then one explicit term per bit lane — dim 0 in even bit
     * positions, dim 1 in odd.
@@ -2927,6 +2980,8 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_lingd" -> linGdOracle(2, 0.01),
 
     // The window row_number mirror of the distributed global rank
     // (same total order: size desc, doc_id).

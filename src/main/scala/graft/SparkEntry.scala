@@ -465,6 +465,44 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Token co-occurrence pairs (market-basket over the vocabulary):
+    // distinct tokens per doc, within-doc self-join a<b, count docs
+    // per pair, top 15. Scale shape: the join is WITHIN a doc key and
+    // the pair keyspace is vocabulary², never corpus² — explode is
+    // dominated by per-doc distinct vocab, bounded for natural text.
+    "q_cooccur" -> { (s, dir) =>
+      val toks = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
+        .distinct()
+      val a = toks.select(col("doc_id"), col("t").as("t1"))
+      val b = toks.select(col("doc_id"), col("t").as("t2"))
+      a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("t1").asc, col("t2").asc)
+        .limit(15)
+    },
+
+    // Per-user inter-event gap statistics (the bot/burst screening
+    // signal): lag over the user timeline, µs-exact integer gaps.
+    // Deliberately ALL-integer outputs (sum, not mean): a rounded
+    // sum/count mean sits exactly on 1e-6 rounding boundaries often
+    // enough (~4% of users here) to diverge cross-engine — the
+    // consumer divides, the engine stays exact.
+    "q_gap_stats" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.loadEvents(s, dir)
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap", unix_micros(col("ts")) - unix_micros(col("prev")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap")).as("min_gap"),
+          max(col("gap")).as("max_gap"),
+          sum(col("gap")).as("sum_gap"))
+        .orderBy("user_id")
+    },
+
     // Deterministic full-batch GD linear regression (quantity ~
     // discount + tax): one aggregation per iteration computing the
     // d+1 gradient sums with current weights as literals, driver
@@ -2980,6 +3018,30 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_cooccur" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS t
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT a.t AS t1, b.t AS t2, count(*) AS n_docs
+        |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+        |GROUP BY 1, 2 ORDER BY n_docs DESC, t1 ASC, t2 ASC
+        |LIMIT 15""".stripMargin,
+
+    // Exact integer µs gaps — no division (see the query comment).
+    "q_gap_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |                            ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  min(us - prev) AS min_gap, max(us - prev) AS max_gap,
+        |  CAST(sum(us - prev) AS BIGINT) AS sum_gap
+        |FROM e WHERE prev IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_lingd" -> linGdOracle(2, 0.01),
 

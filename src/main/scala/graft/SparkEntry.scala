@@ -465,6 +465,69 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Document chunking (the pretraining/RAG segmentation pass):
+    // 50-token windows at stride 25 per doc, chunk text re-joined and
+    // fingerprinted — scan-local explode, no shuffle until the
+    // ORDER BY; short tails kept (chunk = whatever remains).
+    "q_chunk" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(25))))
+        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start")
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("toks"), col("start") + 1, lit(50))).as("n_toks"),
+          md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(50))))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Equi-DEPTH histogram (equal row counts per bucket, vs
+    // q_histogram's equal widths) — decile bounds of extendedprice
+    // via the DISTRIBUTED global rank, never a single-partition
+    // window: bucket = (rank−1)·10 div n.
+    "q_histogram_eqdepth" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
+      val n = li.count()
+      graft.operators.GlobalRank.withGlobalRank(li,
+        Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
+        .withColumn("bucket", ((col("rank") - 1) * 10 / lit(n)).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
+        .orderBy("bucket")
+    },
+
+    // Per-source dedup audit: how much of each source is exact-dup
+    // (all-integer — docs, distinct texts, dup rows).
+    "q_dedup_stats" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("text")).as("n_distinct"),
+          (count(lit(1)) - count_distinct(col("text"))).as("n_dup_rows"))
+        .orderBy("source")
+    },
+
+    // Week-over-week event-count deltas per type (epoch-aligned weeks,
+    // integer diffs — the trend-monitoring query).
+    "q_wow" -> { (s, dir) =>
+      val weekly = Tables.loadEvents(s, dir)
+        .withColumn("week", (unix_micros(col("ts")) / lit(604800000000L)).cast("long"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+      weekly.withColumn("prev_n", lag(col("n"), 1).over(w))
+        .withColumn("delta",
+          when(col("prev_n").isNull, lit(null)).otherwise(col("n") - col("prev_n")))
+        .select("event_type", "week", "n", "delta")
+        .orderBy("event_type", "week")
+    },
+
     // Token co-occurrence pairs (market-basket over the vocabulary):
     // distinct tokens per doc, within-doc self-join a<b, count docs
     // per pair, top 15. Scale shape: the join is WITHIN a doc key and
@@ -3018,6 +3081,51 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // Same 1-based slice semantics: toks[s+1 : s+50] truncates at the
+    // array end, md5 over the space-joined window.
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, len(toks), 25)) AS start, toks
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, CAST((start // 25) AS INT) AS chunk_idx,
+        |  CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_toks,
+        |  md5(array_to_string(toks[start + 1 : start + 50], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Global rank replay; bucket = (rank−1)·10 floor-div n.
+    "q_histogram_eqdepth" ->
+      """WITH r AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
+        |                       l_linenumber) AS rank
+        |  FROM lineitem),
+        |nn AS (SELECT count(*) AS n FROM r)
+        |SELECT CAST(((rank - 1) * 10) // (SELECT n FROM nn) AS BIGINT) AS bucket,
+        |  count(*) AS n, round(min(v), 2) AS lo, round(max(v), 2) AS hi
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dedup_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct,
+        |  count(*) - count(DISTINCT text) AS n_dup_rows
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Epoch-aligned week index, integer deltas, NULL first week.
+    "q_wow" ->
+      """WITH w AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(week AS BIGINT) AS week, n,
+        |  n - lag(n) OVER (PARTITION BY event_type ORDER BY week) AS delta
+        |FROM w ORDER BY event_type, week""".stripMargin,
 
     "q_cooccur" ->
       """WITH toks AS (

@@ -528,6 +528,32 @@ object SparkEntry {
         .orderBy("event_type", "week")
     },
 
+    // Model evaluation for the q_lingd weights: MSE and R² of the
+    // 2-iteration model over the training table — the fit/eval pair a
+    // training pipeline reports. One aggregation over predictions
+    // built from the (already rounded) weights; SS divisions are
+    // generic doubles (not integer ratios), so round-6 is safe here.
+    "q_lingd_eval" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_discount").as("x1"), col("l_tax").as("x2"),
+          col("l_quantity").as("y"))
+      val w = graft.ml.LinearGd.fit(li, Seq("x1", "x2"), "y",
+        lr = 0.01, iters = 2)
+      val pred = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      val r = li.agg(
+        count(lit(1)).as("n"),
+        sum((pred - col("y")) * (pred - col("y"))).as("ss_res"),
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy")).head()
+      val n = r.getLong(0).toDouble
+      val ssRes = r.getDouble(1)
+      val ssTot = r.getDouble(3) - r.getDouble(2) * r.getDouble(2) / n
+      def rnd(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((rnd(ssRes / n), rnd(1.0 - ssRes / ssTot))).toDF("mse", "r2")
+    },
+
     // Token co-occurrence pairs (market-basket over the vocabulary):
     // distinct tokens per doc, within-doc self-join a<b, count docs
     // per pair, top 15. Scale shape: the join is WITHIN a doc key and
@@ -2579,6 +2605,26 @@ object SparkEntry {
     sb.toString
   }
 
+  /** MSE/R² of the replayed q_lingd weights — the weight CTEs plus
+    * one evaluation aggregate, ss_tot staged separately so the
+    * operation order matches the Scala driver fold exactly.
+    */
+  private def linGdEvalOracle(iters: Int, lr: Double): String = {
+    val weights = linGdOracle(iters, lr)
+    val body = weights.substring(0, weights.lastIndexOf("\nSELECT"))
+    val p = s"(((SELECT v FROM w${iters}_0) + (SELECT v FROM w${iters}_1) * x1)" +
+      s" + (SELECT v FROM w${iters}_2) * x2)"
+    body + s""",
+       |ev AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    sum(($p - y) * ($p - y)) AS ss_res,
+       |    sum(y) AS sy, sum(y * y) AS syy
+       |  FROM d),
+       |tot AS (SELECT n, ss_res, syy - sy * sy / n AS ss_tot FROM ev)
+       |SELECT round(ss_res / n, 6) AS mse,
+       |  round(1.0 - ss_res / ss_tot, 6) AS r2 FROM tot""".stripMargin
+  }
+
   /** Morton-code replay: integer bucketize both dims (floor division,
     * exact), then one explicit term per bit lane — dim 0 in even bit
     * positions, dim 1 in odd.
@@ -3152,6 +3198,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_lingd" -> linGdOracle(2, 0.01),
+    "q_lingd_eval" -> linGdEvalOracle(2, 0.01),
 
     // The window row_number mirror of the distributed global rank
     // (same total order: size desc, doc_id).

@@ -528,6 +528,34 @@ object SparkEntry {
         .orderBy("event_type", "week")
     },
 
+    // Thumbnail resample through the REAL codec path: checkerboard
+    // gray PNGs decoded and nearest-neighbor downsampled to 2×3 with
+    // exact integer sample indexing — the resize stage of an image
+    // ingest pipeline, closed-form replayable (sum, not mean: gray
+    // sums stay exact integers).
+    "q_multimodal_thumb" -> { (s, dir) =>
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val png = Tables.load(s, dir, "documents").select("doc_id")
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val w = (id % 13 + 4).toInt
+            val h = (id % 7 + 3).toInt
+            val v1 = (id % 256).toInt
+            val v2 = ((id * 7 + 13) % 256).toInt
+            val px = Array.tabulate(h, w)((y, x) => if ((x + y) % 2 == 0) v1 else v2)
+            Row(id, Multimodal.encodeGrayPng(px))
+          }
+        }(enc)
+      Multimodal.extractThumbFeatures(png, "payload", "t", nw = 2, nh = 3)
+        .select(col("doc_id"),
+          col("t.thumb_w").cast("long").as("thumb_w"),
+          col("t.thumb_h").cast("long").as("thumb_h"),
+          col("t.thumb_sum").cast("long").as("thumb_sum"))
+        .orderBy("doc_id")
+    },
+
     // Model evaluation for the q_lingd weights: MSE and R² of the
     // 2-iteration model over the training table — the fit/eval pair a
     // training pipeline reports. One aggregation over predictions
@@ -3196,6 +3224,24 @@ object SparkEntry {
         |  CAST(sum(us - prev) AS BIGINT) AS sum_gap
         |FROM e WHERE prev IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Closed-form 2×3 nearest-neighbor resample of the checkerboard:
+    // sampled pixel (X,Y) is v1 iff (⌊X·w/2⌋ + ⌊Y·h/3⌋) is even.
+    "q_multimodal_thumb" ->
+      """WITH p AS (
+        |  SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h,
+        |    doc_id % 256 AS v1, (doc_id * 7 + 13) % 256 AS v2
+        |  FROM documents),
+        |yy AS (SELECT unnest([0, 1, 2]) AS y),
+        |xx AS (SELECT unnest([0, 1]) AS x),
+        |s AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN ((xx.x * p.w) // 2 + (yy.y * p.h) // 3) % 2 = 0
+        |         THEN p.v1 ELSE p.v2 END AS px
+        |  FROM p CROSS JOIN yy CROSS JOIN xx)
+        |SELECT doc_id, CAST(2 AS BIGINT) AS thumb_w, CAST(3 AS BIGINT) AS thumb_h,
+        |  CAST(sum(px) AS BIGINT) AS thumb_sum
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_lingd" -> linGdOracle(2, 0.01),
     "q_lingd_eval" -> linGdEvalOracle(2, 0.01),

@@ -69,6 +69,70 @@ object Multimodal {
     StructField("channels", IntegerType),
     StructField("mean_luma", DoubleType)))
 
+  /** Output schema of the thumbnail resample ([[thumbnailGray]]). */
+  val thumbFeatureType: StructType = StructType(Seq(
+    StructField("thumb_w", IntegerType),
+    StructField("thumb_h", IntegerType),
+    StructField("thumb_sum", DoubleType)))
+
+  /** Deterministic nearest-neighbor downsample of a decoded image to
+    * `nw × nh`: sample the source at (⌊X·w/nw⌋, ⌊Y·h/nh⌋) — EXACT
+    * integer index arithmetic, no interpolation kernel, so the
+    * resample is replayable in SQL (q_multimodal_thumb closes the
+    * form on checkerboard fixtures). Returns the luma sum of the
+    * nw·nh sampled pixels — a sum, not a mean: integer-valued
+    * gray sums stay exact where a mean's integer ratio would sit on
+    * rounding boundaries (the q_gap_stats lesson). Luma per sampled
+    * pixel follows [[decodeImage]] (BT.601 for ≥3 bands, raw sample
+    * for gray).
+    */
+  def thumbnailGray(bytes: Array[Byte], nw: Int, nh: Int): Option[(Int, Int, Double)] = {
+    require(nw > 0 && nh > 0, "thumbnail dims must be positive")
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val r = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, r.getNumBands)
+    var sum = 0.0
+    var yy = 0
+    while (yy < nh) {
+      val sy = yy * h / nh
+      var xx = 0
+      while (xx < nw) {
+        val sx = xx * w / nw
+        sum +=
+          (if (bands >= 3)
+            0.299 * r.getSample(sx, sy, 0) + 0.587 * r.getSample(sx, sy, 1) +
+              0.114 * r.getSample(sx, sy, 2)
+          else r.getSample(sx, sy, 0).toDouble)
+        xx += 1
+      }
+      yy += 1
+    }
+    Some((nw, nh, sum))
+  }
+
+  /** Append [[thumbnailGray]] features — same one-pass mapPartitions
+    * shape as [[extractImageFeatures]], NULL struct on undecodable.
+    */
+  def extractThumbFeatures(
+      df: DataFrame, binCol: String, outCol: String, nw: Int, nh: Int): DataFrame = {
+    val outSchema = df.schema.add(outCol, thumbFeatureType)
+    val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val feat = thumbnailGray(bytes, nw, nh)
+          .map { case (tw, th, s) => Row(tw, th, s) }
+          .orNull
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
   /** REAL image decode via the JDK's own `javax.imageio` (PNG, JPEG,
     * BMP, GIF — no external codec needed): (width, height, channels,
     * mean luma). Luma is ITU-R BT.601 (0.299 R + 0.587 G + 0.114 B)

@@ -84,6 +84,24 @@ class MultimodalSpec extends SparkSpec {
     assert(luma >= 0.0 && luma <= 255.0) // JPEG is lossy; only range-check
   }
 
+  test("thumbnailGray: exact nearest-neighbor sampling on a known raster") {
+    // 4×2 source, downsample to 2×2: samples at x∈{0,2}, y∈{0,1}.
+    val px = Array(Array(10, 20, 30, 40), Array(50, 60, 70, 80))
+    val Some((tw, th, sum)) =
+      Multimodal.thumbnailGray(Multimodal.encodeGrayPng(px), nw = 2, nh = 2)
+    assert((tw, th) == (2, 2))
+    assert(sum == (10 + 30 + 50 + 70).toDouble)
+  }
+
+  test("thumbnailGray: identity when dims match; None on garbage") {
+    val px = Array(Array(1, 2), Array(3, 4))
+    val Some((_, _, sum)) =
+      Multimodal.thumbnailGray(Multimodal.encodeGrayPng(px), 2, 2)
+    assert(sum == 10.0)
+    assert(Multimodal.thumbnailGray("junk".getBytes, 2, 2).isEmpty)
+    assert(Multimodal.thumbnailGray(null, 2, 2).isEmpty)
+  }
+
   test("decodeImage: garbage, empty, and null payloads → None") {
     assert(Multimodal.decodeImage("not a png".getBytes).isEmpty)
     assert(Multimodal.decodeImage(Array.emptyByteArray).isEmpty)

@@ -528,6 +528,23 @@ object SparkEntry {
         .orderBy("event_type", "week")
     },
 
+    // Per-column frequent values (the DETERMINISTIC form of
+    // DataFrame.stat.freqItems, whose sketch is order-sensitive):
+    // unpivot the audited columns, one keyed count, top-3 per column
+    // under a WindowGroupLimit — exact counts, reproducible output.
+    "q_freq_items" -> { (s, dir) =>
+      val w = Window.partitionBy(col("col_name"))
+        .orderBy(col("n").desc, col("value").asc)
+      Tables.load(s, dir, "orders")
+        .select(expr("stack(2, 'o_orderpriority', o_orderpriority, " +
+          "'o_orderstatus', o_orderstatus) AS (col_name, value)"))
+        .groupBy("col_name", "value").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("col_name", "value", "n", "rank")
+        .orderBy("col_name", "rank")
+    },
+
     // Thumbnail resample through the REAL codec path: checkerboard
     // gray PNGs decoded and nearest-neighbor downsampled to 2×3 with
     // exact integer sample indexing — the resize stage of an image
@@ -3224,6 +3241,19 @@ object SparkEntry {
         |  CAST(sum(us - prev) AS BIGINT) AS sum_gap
         |FROM e WHERE prev IS NOT NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_freq_items" ->
+      """WITH l AS (
+        |  SELECT 'o_orderpriority' AS col_name, o_orderpriority AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', o_orderstatus FROM orders),
+        |c AS (SELECT col_name, value, count(*) AS n FROM l GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY col_name
+        |                               ORDER BY n DESC, value ASC) AS rank
+        |  FROM c)
+        |SELECT col_name, value, n, CAST(rank AS INT) AS rank FROM r
+        |WHERE rank <= 3 ORDER BY col_name, rank""".stripMargin,
 
     // Closed-form 2×3 nearest-neighbor resample of the checkerboard:
     // sampled pixel (X,Y) is v1 iff (⌊X·w/2⌋ + ⌊Y·h/3⌋) is even.

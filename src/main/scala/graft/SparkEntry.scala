@@ -6,14 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
 import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash, SubstrDedup}
 import graft.io.Gsod
-import graft.multimodal.Multimodal
+import graft.multimodal.{ImageDedup, Multimodal}
 import graft.operators.{AsofJoin, BloomJoin, Funnel, RangeJoin, Salting, Sampling, Scd2}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
 import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
 import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
-import graft.text.{Bm25, InvertedIndex, LmScore, Pii, QualityFilters, TextFunctions}
+import graft.text.{Bm25, Bpe, InvertedIndex, LmScore, Pii, QualityFilters, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -32,6 +32,91 @@ object SparkEntry {
     SkyDim("l_extendedprice", Min),
     SkyDim("l_discount", Max),
     SkyDim("l_shipdate", Min)))
+
+  /** Shared containment pair set (round-9 directive): both
+    * q_dedup_containment and q_dedup_containment_survivors derive from
+    * ONE postings-join run — `Dedup.containmentPairs` materializes and
+    * persists its (small, threshold-bounded) result, and this memo
+    * hands the same persisted frame to both queries. Keyed by
+    * (session, data dir); one tiny DataFrame per dataset — bounded.
+    */
+  private val containmentMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def containmentPairsFor(s: SparkSession, dir: String): DataFrame =
+    containmentMemo.computeIfAbsent((s, dir), _ =>
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.6))
+
+  /** Merge rounds for the corpus-trained BPE tokenizer — enough to
+    * learn real multi-char subwords on this vocabulary while keeping
+    * the oracle's round-unrolled CTE chain reviewable.
+    */
+  private val BpeSteps = 16
+
+  /** One BPE model per (session, corpus): q_bpe, q_bpe_encode and
+    * q_token_budget_bpe all derive from the SAME training run — the
+    * tokenizer is trained once and reused, exactly as a pipeline
+    * would.
+    */
+  private val bpeMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Bpe.Model]()
+  private def bpeModelFor(s: SparkSession, dir: String): Bpe.Model =
+    bpeMemo.computeIfAbsent((s, dir), _ =>
+      Bpe.train(Tables.load(s, dir, "documents"), "text", BpeSteps))
+
+  /** Deterministic image fixture for the perceptual-hash dedup
+    * queries: checkerboard gray PNGs whose GEOMETRY (and therefore
+    * dHash) is keyed by doc_id % 41 while the two TONES vary per doc —
+    * every class is a cluster of near-identical images (same gradient
+    * structure, different brightness), the exact invariance dHash is
+    * built for. Encoded through the real PNG codec; the oracle
+    * computes the same hashes closed-form, so the query checks
+    * decode → resample → hash end to end (the q_multimodal_image
+    * pattern).
+    */
+  private def imageDedupFixture(s: SparkSession, dir: String): DataFrame = {
+    val enc = Encoders.row(StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType))))
+    Tables.load(s, dir, "documents").select("doc_id").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val cls = id % 41
+        val w = (cls % 13 + 4).toInt
+        val h = (cls % 7 + 3).toInt
+        val v1 = (20 + id % 7).toInt
+        val v2 = (180 + id % 11).toInt
+        val px = Array.tabulate(h, w)((y, x) => if ((x + y) % 2 == 0) v1 else v2)
+        Row(id, Multimodal.encodeGrayPng(px))
+      }
+    }(enc)
+  }
+
+  /** Deterministic messy-URL fixture for the UrlOps queries: cased
+    * schemes/hosts, default and explicit ports, lowercase
+    * percent-escapes, empty/non-empty queries, fragments — every
+    * normalization branch exercised; the oracle builds the IDENTICAL
+    * strings from the same orders columns.
+    */
+  private def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(s, dir, "orders")
+    val url = concat(
+      when(pmod(col("o_orderkey"), lit(3)) === 0, "HTTP")
+        .when(pmod(col("o_orderkey"), lit(3)) === 1, "https")
+        .otherwise("HtTp"),
+      lit("://WWW.Shop"), pmod(col("o_custkey"), lit(50)).cast("string"),
+      when(pmod(col("o_custkey"), lit(4)) === 0, ".example.COM")
+        .when(pmod(col("o_custkey"), lit(4)) === 1, ".shop.CO.UK")
+        .when(pmod(col("o_custkey"), lit(4)) === 2, ".blog.GitHub.IO")
+        .otherwise(".example.ORG"),
+      when(pmod(col("o_orderkey"), lit(4)) === 0, ":80")
+        .when(pmod(col("o_orderkey"), lit(4)) === 1, ":443")
+        .when(pmod(col("o_orderkey"), lit(4)) === 2, ":8080")
+        .otherwise(""),
+      lit("/items%2fview/"), col("o_orderkey").cast("string"),
+      when(pmod(col("o_orderkey"), lit(2)) === 0, "?q=a%3db").otherwise(""),
+      when(pmod(col("o_orderkey"), lit(5)) === 0, "#Sec%201").otherwise(""))
+    o.select(col("o_orderkey"), url.as("url"))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -95,15 +180,15 @@ object SparkEntry {
 
     // The reference's actual flagship workload shape: a 9-dimensional
     // GSOD skyline (Skyline.java:25-26,369: DIM=9 → 2^9=512-way quadtree
-    // fanout, maxp=20) through the full io path — lineitem shaped into
-    // 9 non-null GSOD dims, rendered to fixed-width lines
-    // (Gsod.formatLines), re-parsed (Gsod.parseLines), then SKY-MR with
-    // reference parameters. Exercises d=9 cell routing, region
-    // dominance algebra, and replication at 512 fanout. Dims are small
-    // integer-valued doubles so the 1-decimal round trip is lossless
-    // and the oracle can reproduce them (floor, not round, for stp —
-    // Spark rounds HALF_UP, DuckDB HALF_EVEN, so exact .5 ties would
-    // diverge).
+    // fanout, maxp=20) — lineitem shaped into 9 non-null GSOD dims in
+    // the parsed-GSOD schema, then SKY-MR with reference parameters.
+    // Exercises d=9 cell routing, region dominance algebra, and
+    // replication at 512 fanout. Dims are small integer-valued doubles,
+    // chosen so the fixed-width 1-decimal GSOD rendering is lossless
+    // (floor, not round, for stp — Spark rounds HALF_UP, DuckDB
+    // HALF_EVEN, so exact .5 ties would diverge); the text round trip
+    // itself now lives in q_gsod_roundtrip + GsodSpec, not here (see
+    // the fusion note below).
     //
     // Cost note (sf0.1, local[32], tools/Gsod9Probe; the box has ±3×
     // IO noise, numbers from interleaved A/B): ~9-15 s, of which the io
@@ -116,20 +201,29 @@ object SparkEntry {
     // 512-way split over the arriving partitioning is the sweet spot.
     "q_skyline_gsod9" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val shaped = li.select(
+      val parsed = li.select(
         pmod(col("l_orderkey"), lit(1000000)).cast("int").as("stn"),
         (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
           dayofmonth(col("l_shipdate"))).as("date"),
-        round(col("l_quantity")).as("temp"),
-        round(col("l_discount") * 100).as("dewp"),
-        round(col("l_tax") * 100).as("slp"),
+        round(col("l_quantity")).cast("double").as("temp"),
+        round(col("l_discount") * 100).cast("double").as("dewp"),
+        round(col("l_tax") * 100).cast("double").as("slp"),
         pmod(col("l_partkey"), lit(97)).cast("double").as("max_temp"),
         floor(col("l_extendedprice") / 1000).cast("double").as("stp"),
         pmod(col("l_suppkey"), lit(53)).cast("double").as("wdsp"),
         col("l_linenumber").cast("double").as("mxspd"),
         pmod(col("l_orderkey"), lit(89)).cast("double").as("gust"),
         pmod(dayofyear(col("l_shipdate")), lit(250)).cast("double").as("min_temp"))
-      val parsed = Gsod.parseLines(Gsod.formatLines(shaped))
+      // Round-9 directive: the format→parse text round trip (render 11
+      // columns to fixed-width GSOD lines, substring-parse them back)
+      // is FUSED OUT of the hot query — all dims are integer-valued
+      // doubles, so the 1-decimal rendering is the identity and the
+      // directly-shaped columns are bit-equal to
+      // parseLines(formatLines(shaped)) (pinned by GsodSpec's
+      // fused-shaping fidelity spec; q_gsod_roundtrip still exercises
+      // the full text path). That removes two string passes over the
+      // hottest query's every row; the oracle replays the same
+      // arithmetic it always did.
       // sampleFilterK=64: broadcast the 64 strongest sample-skyline
       // points as a phase-1 row pre-filter — interleaved A/B at sf0.1
       // (tools/Gsod9Probe, both slot orders) measured 4.4s vs 5.4s
@@ -391,6 +485,122 @@ object SparkEntry {
       val budgets = (0 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 3000L else 1500L)).toMap
       Sampling.tokenBudget(docs, "source", "n_chars", "doc_id", budgets, "tb1")
         .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // Perceptual-hash image dedup (round-9 directive #7): dHash over
+    // the real decode→9×8-resample path, 4×16-bit Hamming banding
+    // (lossless ≤ 3), exact bit_count verify — q_dedup_simhash's
+    // multimodal twin. The oracle computes every hash CLOSED-FORM from
+    // the fixture arithmetic, so a single flipped bit anywhere in
+    // codec, resample, or packing fails the hash compare.
+    "q_dedup_image" -> { (s, dir) =>
+      val hashes = ImageDedup.withDHash(imageDedupFixture(s, dir), "payload", "doc_id")
+      ImageDedup.nearDupPairs(hashes, "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // The survivors view: one representative (smallest id) per
+    // near-dup cluster; same anti-join policy as
+    // q_dedup_containment_survivors.
+    "q_dedup_image_survivors" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val hashes = ImageDedup.withDHash(imageDedupFixture(s, dir), "payload", "doc_id")
+      val pairs = ImageDedup.nearDupPairs(hashes, "doc_id", maxDist = 3)
+      ImageDedup.survivors(docs, "doc_id", pairs)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization (round-9 directive #3): scheme/host
+    // lowercase, userinfo strip, default-port drop, fragment strip,
+    // empty-path '/', percent-escape hex uppercased char-by-char —
+    // each branch exercised by the synthetic fixture; the registrable
+    // domain resolves against the embedded public-suffix subset
+    // (graft.text.UrlOps).
+    "q_url_canon" -> { (s, dir) =>
+      syntheticUrls(s, dir)
+        .select(col("o_orderkey"), col("url"),
+          graft.text.UrlOps.canonicalize(col("url")).as("canon"),
+          graft.text.UrlOps.urlDomain(col("url")).as("domain"))
+        .orderBy("o_orderkey")
+    },
+
+    // Per-registrable-domain aggregation off the same canonical key —
+    // the grouping every per-domain quality signal (grouped sketches,
+    // PageRank priors) hangs off.
+    "q_domain_stats" -> { (s, dir) =>
+      val u = syntheticUrls(s, dir)
+      u.select(graft.text.UrlOps.host(col("url")).as("host"),
+          graft.text.UrlOps.urlDomain(col("url")).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy("domain")
+    },
+
+    // HTML boilerplate extraction (round-9 directive #2): every doc
+    // wrapped into a deterministic page — nav chrome, tracking
+    // comment, a script whose BODY contains markup, entities, numeric
+    // junk — then extracted by the tag-strip + entity-decode +
+    // line-density pipeline (graft.text.Extract). The oracle builds
+    // the IDENTICAL page and runs the literally-identical regex/list
+    // pipeline in DuckDB; md5 of the extracted prose is compared, so
+    // every regex and the integer density gate replay exactly.
+    "q_extract" -> { (s, dir) =>
+      val html = concat(
+        lit("<html><head><title>Doc</title><style>p{color:red}</style>"),
+        lit("<script>var x = \"<p>hidden</p>\";</script></head>"),
+        lit("<body><div>home</div><div>login</div><!-- tracking -->"),
+        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
+        col("text"),
+        lit("</p><p>tail &amp; entity &lt;x&gt; demo line</p>"),
+        lit("<div>4 8 15 16 23 42</div><footer>c</footer></body></html>"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), graft.text.Extract.text(html).as("extracted"))
+        .select(col("doc_id"), md5(col("extracted")).as("h"),
+          length(col("extracted")).cast("long").as("n_extracted"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus-trained BPE tokenizer (round-9 directive #1): the learned
+    // merge table itself — 16 rounds of exact pair counting over the
+    // distributed vocabulary, argmax pair per round (count DESC, then
+    // lexicographic — fully deterministic), greedy merge application
+    // as a boundary-safe string replace. The oracle replays EVERY
+    // round as an unrolled CTE chain (the q_kmeans/q_lingd
+    // deterministic-iteration pattern), so the training itself is
+    // hash-checked, not just the outputs.
+    "q_bpe" -> { (s, dir) =>
+      import s.implicits._
+      bpeModelFor(s, dir).merges
+        .map(m => (m.step, m.lhs, m.rhs, m.lhs + m.rhs, m.cnt))
+        .toDF("step", "lhs", "rhs", "merged", "cnt")
+        .orderBy("step")
+    },
+
+    // Per-document REAL subword token counts from the trained model —
+    // the denomination every budget/chunk/billing operator should use
+    // (whitespace counts are off 1.3-2×). Explode words → broadcast
+    // vocab join → per-doc sum; scan-local except one keyed sum.
+    "q_bpe_encode" -> { (s, dir) =>
+      Bpe.tokenCounts(Tables.load(s, dir, "documents"), "text", "doc_id",
+        bpeModelFor(s, dir))
+        .select("doc_id", "bpe_tokens")
+        .orderBy("doc_id")
+    },
+
+    // q_token_budget re-based on BPE tokens (round-9 directive #1):
+    // same hash-ordered per-source budget fill, but the budget is
+    // denominated in real subword tokens from the corpus-trained
+    // model. The whitespace-denominated q_token_budget stays as the
+    // cross-check tier.
+    "q_token_budget_bpe" -> { (s, dir) =>
+      val docs = Bpe.tokenCounts(Tables.load(s, dir, "documents"), "text",
+        "doc_id", bpeModelFor(s, dir))
+      val budgets = (0 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 2000L else 1000L)).toMap
+      Sampling.tokenBudget(docs, "source", "bpe_tokens", "doc_id", budgets, "tbbpe1")
+        .select("doc_id", "source", "bpe_tokens")
         .orderBy("doc_id")
     },
 
@@ -1092,20 +1302,23 @@ object SparkEntry {
     // quoted-inside-long-doc subsumption case Jaccard structurally
     // misses. Directed (both directions evaluated); probe-side prefix
     // against a full inverted index, never all-pairs
-    // (graft.dedup.Dedup.containmentPairs).
+    // (graft.dedup.Dedup.containmentPairs). The persisted pair set is
+    // shared with the survivors view below (round-9 directive: a user
+    // composing both pays for the postings join once).
     "q_dedup_containment" -> { (s, dir) =>
-      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.6)
-        .orderBy("id_a", "id_b")
+      containmentPairsFor(s, dir).orderBy("id_a", "id_b")
     },
 
     // The survivors view of containment dedup: docs ≥ 0.6-contained in
     // a LARGER doc drop (ties keep the smaller id); quotes/excerpts
     // train zero times, their containers once
-    // (graft.dedup.Dedup.containmentSurvivors).
+    // (graft.dedup.Dedup.containmentSurvivors) — derived from the SAME
+    // persisted pair set as q_dedup_containment, so the postings stage
+    // never re-runs.
     "q_dedup_containment_survivors" -> { (s, dir) =>
       Dedup.containmentSurvivors(Tables.load(s, dir, "documents"),
-        "text", "doc_id", n = 3, threshold = 0.6)
+        "text", "doc_id", n = 3, threshold = 0.6,
+        precomputedPairs = Some(containmentPairsFor(s, dir)))
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     },
@@ -2670,6 +2883,124 @@ object SparkEntry {
        |  round(1.0 - ss_res / ss_tot, 6) AS r2 FROM tot""".stripMargin
   }
 
+  /** Unrolled BPE training replay (the q_kmeans/q_lingd deterministic-
+    * iteration pattern, round-9 directive #1): v0 is the word
+    * histogram with each word's char-wrapped symbol string; every
+    * round k then unrolls as [pair explode p_k] → [exact integer pair
+    * counts pc_k] → [argmax pair b_k, count DESC then lexicographic] →
+    * [greedy merge application v_{k+1} via boundary-safe replace].
+    * Identical string representation and tie-break to Bpe.train, so
+    * all 16 rounds replay bit-for-bit.
+    */
+  private def bpeVocabCtes(steps: Int): String = {
+    // MATERIALIZED is load-bearing: v_{k+1} references v_k ~5 times
+    // (directly + through the argmax's scalar subqueries); DuckDB
+    // inlines CTEs by default, so 16 rounds would expand ~5^16
+    // subtrees (observed as a too-many-open-files explosion).
+    // Materializing each round's vocab and argmax keeps the plan
+    // linear — 0.2 s at sf0.01.
+    val sb = new StringBuilder(
+      """w AS MATERIALIZED (
+        |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        |  FROM documents),
+        |v0 AS MATERIALIZED (
+        |  SELECT word, count(*) AS n,
+        |    '|' || regexp_replace(word, '(.)', '\1||', 'g') || '_|' AS symstr
+        |  FROM w GROUP BY 1)""".stripMargin)
+    for (k <- 0 until steps) {
+      sb ++= s""",
+                |p$k AS (
+                |  SELECT n, unnest([struct_pack(lhs := s[i], rhs := s[i+1])
+                |                    FOR i IN range(1, len(s))]) AS pr
+                |  FROM (SELECT n, string_split(symstr[2:length(symstr)-1], '||') AS s FROM v$k)),
+                |pc$k AS (SELECT pr.lhs AS lhs, pr.rhs AS rhs, sum(n) AS cnt FROM p$k GROUP BY 1, 2),
+                |b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM pc$k ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+                |v${k + 1} AS MATERIALIZED (
+                |  SELECT word, n, replace(symstr,
+                |    '|' || (SELECT lhs FROM b$k) || '||' || (SELECT rhs FROM b$k) || '|',
+                |    '|' || (SELECT lhs FROM b$k) || (SELECT rhs FROM b$k) || '|') AS symstr
+                |  FROM v$k)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Per-doc BPE token counts off the final replayed vocab (the CTEs
+    * every bpe-denominated oracle shares): token count per word =
+    * symbol count of its final symbol string; per doc = sum over its
+    * word occurrences, 0 for wordless docs.
+    */
+  private def bpeTokenCountCtes(steps: Int): String =
+    bpeVocabCtes(steps) + s""",
+       |vt AS (
+       |  SELECT word,
+       |    CAST(len(string_split(symstr[2:length(symstr)-1], '||')) AS BIGINT) AS n_tokens
+       |  FROM v$steps),
+       |dw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents),
+       |jw AS (SELECT dw.doc_id, vt.n_tokens FROM dw JOIN vt USING (word)),
+       |tc AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(coalesce(sum(jw.n_tokens), 0) AS BIGINT) AS bpe_tokens
+       |  FROM documents d LEFT JOIN jw ON d.doc_id = jw.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE prefix of the UrlOps oracles: the identical synthetic
+    * URL strings, then the identical stage-by-stage decomposition —
+    * regexp extracts, per-char %-escape uppercase (list comprehension
+    * over string positions), default-port logic, suffix-rule domain.
+    */
+  private def urlCanonCtes: String = {
+    val suffixes = graft.text.UrlOps.MultiSuffixes.map(x => s"'$x'").mkString(", ")
+    s"""u AS (
+       |  SELECT o_orderkey,
+       |    (CASE o_orderkey % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTp' END)
+       |    || '://WWW.Shop' || CAST(o_custkey % 50 AS VARCHAR)
+       |    || (CASE o_custkey % 4 WHEN 0 THEN '.example.COM' WHEN 1 THEN '.shop.CO.UK'
+       |        WHEN 2 THEN '.blog.GitHub.IO' ELSE '.example.ORG' END)
+       |    || (CASE o_orderkey % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+       |        WHEN 2 THEN ':8080' ELSE '' END)
+       |    || '/items%2fview/' || CAST(o_orderkey AS VARCHAR)
+       |    || (CASE WHEN o_orderkey % 2 = 0 THEN '?q=a%3db' ELSE '' END)
+       |    || (CASE WHEN o_orderkey % 5 = 0 THEN '#Sec%201' ELSE '' END) AS url
+       |  FROM orders),
+       |parts AS (
+       |  SELECT o_orderkey, url,
+       |    lower(regexp_extract(trim(url), '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+       |    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+       |    regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pq
+       |  FROM u),
+       |parts2 AS (
+       |  SELECT o_orderkey, url, sch,
+       |    lower(regexp_extract(hostport, '^(?:[^@]*@)?([^:@]*)', 1)) AS host,
+       |    regexp_extract(hostport, ':([0-9]+)$$', 1) AS port,
+       |    CASE WHEN regexp_replace(pq, '\\?$$', '') = '' THEN '/'
+       |         ELSE regexp_replace(pq, '\\?$$', '') END AS pq2
+       |  FROM parts),
+       |pct AS (
+       |  SELECT o_orderkey, url, sch, host, port,
+       |    array_to_string([CASE WHEN (i > 1 AND pq2[i-1] = '%') OR (i > 2 AND pq2[i-2] = '%')
+       |                     THEN upper(pq2[i]) ELSE pq2[i] END
+       |                     FOR i IN range(1, length(pq2) + 1)], '') AS pqn
+       |  FROM parts2),
+       |canon AS (
+       |  SELECT o_orderkey, url,
+       |    sch || '://' || host
+       |    || (CASE WHEN port <> '' AND NOT ((sch = 'http' AND port = '80')
+       |             OR (sch = 'https' AND port = '443'))
+       |        THEN ':' || port ELSE '' END) || pqn AS canon,
+       |    host,
+       |    CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+       |         WHEN len(string_split(host, '.')) >= 3
+       |              AND (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+       |                  IN ($suffixes)
+       |         THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+       |              || '.' || string_split(host, '.')[-1]
+       |         ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+       |    END AS domain
+       |  FROM pct)""".stripMargin
+  }
+
   /** Morton-code replay: integer bucketize both dims (floor division,
     * exact), then one explicit term per bit lane — dim 0 in even bit
     * positions, dim 1 in odd.
@@ -3039,6 +3370,135 @@ object SparkEntry {
         |SELECT doc_id, source, n_chars FROM c
         |WHERE (cum - n_chars) < CASE WHEN source IN ('src0','src2','src4','src6','src8','src10','src12','src14','src16','src18') THEN 3000 ELSE 1500 END
         |ORDER BY doc_id""".stripMargin,
+
+    // Closed-form dHash replay: thumb pixel (X,Y) of the w×h
+    // checkerboard is v1 iff (⌊X·w/9⌋ + ⌊Y·h/8⌋) even (the
+    // q_multimodal_thumb resample identity), v1 < v2 always, so
+    // bit(y,x) = parity(x) even AND parity(x+1) odd — pure integer
+    // arithmetic per (doc, y, x); halves packed exactly like the
+    // Scala bit loop. Pairs = exact Hamming ≤ 3 all-pairs (the oracle
+    // may brute-force; the Spark plan must not).
+    "q_dedup_image" ->
+      """WITH g AS (
+        |  SELECT doc_id, ((doc_id % 41) % 13) + 4 AS w, ((doc_id % 41) % 7) + 3 AS h
+        |  FROM documents),
+        |yy AS (SELECT unnest(range(8)) AS y),
+        |xx AS (SELECT unnest(range(8)) AS x),
+        |bits AS (
+        |  SELECT g.doc_id, yy.y, xx.x,
+        |    CASE WHEN ((xx.x * g.w) // 9 + (yy.y * g.h) // 8) % 2 = 0
+        |          AND (((xx.x + 1) * g.w) // 9 + (yy.y * g.h) // 8) % 2 = 1
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM g CROSS JOIN yy CROSS JOIN xx),
+        |hh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN y < 4 THEN b * (1::BIGINT << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN y >= 4 THEN b * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
+        |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // Smallest-id representative per cluster: a doc survives iff no
+    // pair names it as the larger side.
+    "q_dedup_image_survivors" ->
+      """WITH g AS (
+        |  SELECT doc_id, ((doc_id % 41) % 13) + 4 AS w, ((doc_id % 41) % 7) + 3 AS h
+        |  FROM documents),
+        |yy AS (SELECT unnest(range(8)) AS y),
+        |xx AS (SELECT unnest(range(8)) AS x),
+        |bits AS (
+        |  SELECT g.doc_id, yy.y, xx.x,
+        |    CASE WHEN ((xx.x * g.w) // 9 + (yy.y * g.h) // 8) % 2 = 0
+        |          AND (((xx.x + 1) * g.w) // 9 + (yy.y * g.h) // 8) % 2 = 1
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM g CROSS JOIN yy CROSS JOIN xx),
+        |hh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN y < 4 THEN b * (1::BIGINT << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN y >= 4 THEN b * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY 1),
+        |losers AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Identical URL construction + stage-by-stage canonicalization
+    // replay (see urlCanonCtes).
+    "q_url_canon" ->
+      ("WITH " + urlCanonCtes + """
+        |SELECT o_orderkey, url, canon, domain FROM canon
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q_domain_stats" ->
+      ("WITH " + urlCanonCtes + """
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // The identical page construction and the identical regex/list
+    // pipeline, stage for stage (script/style strip → comment strip →
+    // block-closer newlines → tag strip → entity decode → integer
+    // line-density gate).
+    "q_extract" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc</title><style>p{color:red}</style>'
+        |    || '<script>var x = "<p>hidden</p>";</script></head>'
+        |    || '<body><div>home</div><div>login</div><!-- tracking -->'
+        |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
+        |    || '</p><p>tail &amp; entity &lt;x&gt; demo line</p>'
+        |    || '<div>4 8 15 16 23 42</div><footer>c</footer></body></html>' AS html
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/td|/table|/ul|/ol|/section|/article|/header|/footer|/nav|/title|/head)[^>]*>', chr(10), 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
+        |s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s5),
+        |ln AS (SELECT doc_id, list_transform(string_split(t, chr(10)),
+        |    l -> trim(regexp_replace(l, '\s+', ' ', 'g'))) AS ls FROM s6),
+        |kp AS (SELECT doc_id, list_filter(ls, l -> len(string_split(l, ' ')) >= 3
+        |    AND 2 * length(regexp_replace(l, '[^a-zA-Z]', '', 'g')) >= length(l)) AS ls FROM ln),
+        |x AS (SELECT doc_id, array_to_string(ls, chr(10)) AS extracted FROM kp)
+        |SELECT doc_id, md5(extracted) AS h,
+        |  CAST(length(extracted) AS BIGINT) AS n_extracted
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    // The 16 merge rounds, each read off its own argmax CTE — the
+    // whole training replayed, not just a final artifact.
+    "q_bpe" ->
+      ("WITH " + bpeVocabCtes(BpeSteps) + "\n" +
+        (0 until BpeSteps).map(k =>
+          s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$k")
+          .mkString("", "\nUNION ALL\n", "\nORDER BY step")),
+
+    // Final replayed vocab → per-word symbol counts → per-doc sums.
+    "q_bpe_encode" ->
+      ("WITH " + bpeTokenCountCtes(BpeSteps) + """
+        |SELECT doc_id, bpe_tokens FROM tc ORDER BY doc_id""".stripMargin),
+
+    // The q_token_budget window over replayed BPE counts (salt tbbpe1,
+    // budgets 2000/1000 tokens).
+    "q_token_budget_bpe" ->
+      ("WITH " + bpeTokenCountCtes(BpeSteps) + """,
+        |u AS (
+        |  SELECT doc_id, source, bpe_tokens,
+        |    ('0x' || substr(md5('tbbpe1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
+        |  FROM tc),
+        |c AS (
+        |  SELECT doc_id, source, bpe_tokens,
+        |    sum(bpe_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum
+        |  FROM u)
+        |SELECT doc_id, source, bpe_tokens FROM c
+        |WHERE (cum - bpe_tokens) < CASE WHEN source IN ('src0','src2','src4','src6','src8','src10','src12','src14','src16','src18') THEN 2000 ELSE 1000 END
+        |ORDER BY doc_id""".stripMargin),
 
     // The composed pipeline, stage for stage: quality gate (q_text_stats
     // tree), repetition gate (q_repetition tree, UNROUNDED), survivors
@@ -4448,14 +4908,17 @@ object SparkEntry {
         |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
-    // One UNION ALL branch per column, same rounding.
+    // One UNION ALL branch per column; the mean divides an EXACT
+    // decimal(38,6) sum cast to double by the count — order-
+    // independent, so bit-identical to Spark (Profile.scala contract).
     "q_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
            |  count(DISTINCT $c) AS n_distinct,
            |  round(CAST(min($c) AS DOUBLE), 6) AS min,
            |  round(CAST(max($c) AS DOUBLE), 6) AS max,
-           |  round(avg($c), 6) AS mean FROM lineitem""".stripMargin
+           |  round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)
+           |    / count($c), 6) AS mean FROM lineitem""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
 
     // Same micros RANGE frame; round(…,2) absorbs the engines'

@@ -308,7 +308,7 @@ object Dedup {
 
     // Exact containment verify (join form; broadcast form not needed —
     // the directed candidate set is small by construction of t).
-    candidates
+    val pairs = candidates
       .join(ranked.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(ranked.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("containment",
@@ -316,6 +316,17 @@ object Dedup {
           / size(col("sh_a")), 6))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (small, t-bounded) pair set eagerly so the
+    // expensive postings stage runs EXACTLY ONCE, then release the
+    // big per-doc shingle cache — round-8 left `ranked` persisted
+    // forever and recomputed the whole join for the survivors view.
+    // The returned pairs stay persisted: every downstream view
+    // ([[containmentSurvivors]], audits) derives from them without
+    // touching the postings again; unpersist when done composing.
+    pairs.count()
+    ranked.unpersist()
+    pairs
   }
 
   /** The survivors view of containment dedup: drop every document A
@@ -326,14 +337,21 @@ object Dedup {
     * (A ⊂ B ⊂ C) resolve naturally — each doc loses independently to
     * its own container. One anti-join over the directed loser set;
     * the corpus itself never reshuffles.
+    *
+    * Pass `precomputedPairs` (the persisted output of
+    * [[containmentPairs]] with the SAME df/n/threshold) to derive the
+    * survivors without re-running the postings stage — the way a user
+    * composing both views pays for the pair join once.
     */
   def containmentSurvivors(
       df: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 3,
-      threshold: Double = 0.6): DataFrame = {
-    val pairs = containmentPairs(df, textCol, idCol, n, threshold)
+      threshold: Double = 0.6,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    val pairs = precomputedPairs
+      .getOrElse(containmentPairs(df, textCol, idCol, n, threshold))
     val sizes = df
       .select(col(idCol).as("__sid"),
         size(TextFunctions.shingles(col(textCol), n)).as("__sz"))

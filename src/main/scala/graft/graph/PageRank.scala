@@ -11,27 +11,46 @@ import org.apache.spark.sql.functions._
   *
   * r₀(v) = 1/N;  r_{k+1}(v) = (1−d)/N + d·(dangling_k/N + Σ_{u→v} r_k(u)/deg(u))
   *
-  * Execution shape per iteration: one keyed join of edges with the
-  * current ranks on src (shuffle on src), one groupBy(dst) with
-  * map-side combine, one left join back onto the node set. The
-  * dangling mass is a single scalar aggregate collected per iteration
-  * (one double — bounded driver state, the Bm25-constants pattern).
-  * At 100 TB the edges DataFrame dominates and is shuffled once per
-  * iteration on the same key — pre-partitioning edges by src lets AQE
-  * reuse the exchange across iterations; ranks are O(|V|).
+  * Execution shape per iteration: ONE action, ZERO driver state. The
+  * per-edge contributions and the dangling mass ride the same keyed
+  * aggregation — dangling nodes' ranks enter the union under a NULL
+  * destination id, the NULL-keyed row is re-read as a broadcast 1-row
+  * frame, and the teleport+dangling base is computed IN-PLAN, so the
+  * dangling scalar never visits the driver (round 8 paid two extra
+  * driver actions per iteration; round 9's first cut still collected
+  * the scalar). The one action is `localCheckpoint(eager = true)` on
+  * the new ranks, which does double duty: it materializes the
+  * iteration AND truncates lineage, keeping every iteration's logical
+  * plan at constant depth. Without truncation the plan nests ~5× per
+  * iteration and Catalyst analysis/cache-canonicalization — pure
+  * driver time, unaffected by data size — comes to dominate
+  * (measured: 13.5 s at sf0.001 for 3 iterations, vs sub-second
+  * per-iteration jobs). When the SparkContext has a reliable
+  * checkpoint dir configured (the cluster deployment), `checkpoint`
+  * is used instead so a 100 TB run survives executor loss; snapshots
+  * of superseded iterations are reclaimed asynchronously by the
+  * ContextCleaner once unreferenced (each holds |V| (id, double)
+  * rows). At 100 TB the edges DataFrame dominates; it is
+  * hash-partitioned by src ONCE up front and cached, so every
+  * iteration's join reads a co-located cached layout instead of
+  * re-shuffling the edges.
   *
   * Cross-engine determinism contract (the k-means precedent): ranks
   * round to 6 decimals each iteration, so both engines feed identical
-  * doubles into the next round; remaining risk is summation order
-  * inside one iteration's Σ, accepted (loud CORRECTNESS failure,
-  * probability ~1e-3 per fixture — see ADVICE.md ledger).
+  * doubles into the next round; the in-plan base uses the exact
+  * association the oracle replays, ((1−d)/N + d·(dm/N)) + d·cin.
+  * Remaining risk is summation order inside one iteration's Σ,
+  * accepted (loud CORRECTNESS failure, probability ~1e-3 per fixture —
+  * see ADVICE.md ledger).
   */
 object PageRank {
 
   /** Ranks after `iters` damped iterations over directed `edges`
     * (columns `srcCol`, `dstCol`; parallel edges should be
     * pre-deduplicated if unwanted). Returns (id, rank), one row per
-    * node appearing as src or dst.
+    * node appearing as src or dst. The result is a materialized
+    * lineage-truncated snapshot — safe to reuse across many actions
+    * without recomputation.
     */
   def pageRank(
       edges: DataFrame,
@@ -40,37 +59,51 @@ object PageRank {
       iters: Int,
       damping: Double = 0.85): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).cache()
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snapshot(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    // Pre-partition by src once: every iteration's edges⋈ranks join
+    // keys on src, so the cached co-located layout replaces a
+    // per-iteration edge shuffle (the reusable-exchange promise).
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).cache()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().cache()
     val n = nodes.count()
     require(n > 0, "empty graph")
+    val idType = nodes.schema("id").dataType
     val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
 
-    var ranks = nodes.select(col("id"),
-      round(lit(1.0 / n), 6).as("rank")).cache()
+    var ranks = snapshot(nodes.select(col("id"),
+      round(lit(1.0 / n), 6).as("rank")))
     for (_ <- 1 to iters) {
-      // Dangling mass: rank held by nodes with no out-edges — without
-      // redistribution the total mass leaks each round.
-      val dangling = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
-      val contribs = e
+      // Per-edge contributions plus, under a NULL id, the rank of each
+      // dangling node (no out-edges) — one union, one keyed aggregate.
+      // Without the dangling redistribution the total mass leaks.
+      val contribRows = e
         .join(ranks, e("src") === ranks("id"))
         .join(deg, "src")
         .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      val danglingRows = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .select(lit(null).cast(idType).as("id"), col("rank").as("c"))
+      val agg = contribRows.union(danglingRows)
         .groupBy("id").agg(sum(col("c")).as("cin"))
-      // (1−d)/N + d·(dm/N) folds to one driver-side double; the same
-      // expression shape runs in the oracle so the bits agree.
-      val base = (1 - damping) / n + damping * (dangling / n)
-      val next = nodes.join(contribs, Seq("id"), "left")
+      // The dangling total as a broadcast 1-row frame; its aggregation
+      // exchange is shared with the keyed branch below (ReuseExchange —
+      // both read the same canonical groupBy(id) shuffle).
+      val dang = agg.filter(col("id").isNull)
+        .agg(coalesce(sum(col("cin")), lit(0.0)).as("dm"))
+      val next = nodes.join(agg.filter(col("id").isNotNull), Seq("id"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("id"),
-          round(lit(base) + lit(damping) * coalesce(col("cin"), lit(0.0)), 6)
+          round((lit((1 - damping) / n) +
+                   lit(damping) * (col("dm") / lit(n.toDouble))) +
+                  lit(damping) * coalesce(col("cin"), lit(0.0)), 6)
             .as("rank"))
-        .cache()
-      next.count() // materialize before unpersisting the parent
-      ranks.unpersist()
-      ranks = next
+      // The iteration's ONLY action: materialize + truncate lineage.
+      ranks = snapshot(next)
     }
+    e.unpersist(); deg.unpersist(); nodes.unpersist()
     ranks
   }
 }

@@ -46,15 +46,34 @@ object BloomJoin {
       expectedItems: Long = -1L,
       fpp: Double = 0.01): DataFrame = {
     val n = if (expectedItems > 0) expectedItems else math.max(small.count(), 1L)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val st = small.schema(smallKey).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(st),
+      s"bloom-pruned join requires an integral build key; '$smallKey' is " +
+        s"${st.simpleString} (see prune's contract)")
     val bf = small.stat.bloomFilter(smallKey, n, fpp)
     prune(big, bigKey, bf).join(small, col(bigKey) === col(smallKey))
   }
 
-  /** The pruning step alone: rows of `df` whose long `keyCol` might be
-    * in `bf` (never drops a true member — bloom filters have no false
-    * negatives). NULL keys are dropped, matching inner-join semantics.
+  /** The pruning step alone: rows of `df` whose integral `keyCol`
+    * might be in `bf` (never drops a true member — bloom filters have
+    * no false negatives). NULL keys are dropped, matching inner-join
+    * semantics.
+    *
+    * The key must be an integral type: `stat.bloomFilter` hashes
+    * byte/short/int/long keys through `mightContainLong`, so widening
+    * to long is exact for those — but a STRING key is hashed as utf8
+    * bytes on the build side, and a silent cast here would probe a
+    * different hash space and drop true matches (ADVICE r8, medium).
+    * Fail loudly instead of returning silently-wrong results.
     */
   def prune(df: DataFrame, keyCol: String, bf: BloomFilter): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, ShortType}
+    val t = df.schema(keyCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(t),
+      s"bloom pruning requires an integral key (probe hashes longs); " +
+        s"'$keyCol' is ${t.simpleString} — hash string keys to a long " +
+        "(e.g. xxhash64) on BOTH sides first")
     val bos = new ByteArrayOutputStream()
     bf.writeTo(bos)
     df.filter(mightContain(new BloomHolder(bos.toByteArray), col(keyCol).cast("long")))

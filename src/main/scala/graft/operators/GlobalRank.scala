@@ -36,8 +36,12 @@ object GlobalRank {
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = df.repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
+    // Deliberately NOT cached (round-8 left this cache leaking across
+    // the whole harness): the count job materializes the range
+    // shuffle's map output, and the ranking job below reuses the SAME
+    // shuffle dependency — Spark re-reads the existing shuffle files,
+    // so the input is scanned and sorted once either way.
     val rdd = sorted.rdd
-    rdd.cache()
     val counts = rdd
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
       .collect().sortBy(_._1).map(_._2)

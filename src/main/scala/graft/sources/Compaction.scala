@@ -31,11 +31,21 @@ object Compaction {
     val n = df.count()
     val files = math.max(1, math.ceil(n.toDouble / targetRecordsPerFile).toInt)
     df.repartition(files).write.mode("overwrite").parquet(outPath)
-    (dataFiles(inPath), dataFiles(outPath))
+    (dataFiles(spark, inPath), dataFiles(spark, outPath))
   }
 
-  private def dataFiles(path: String): Int =
-    Option(new java.io.File(path).listFiles())
-      .map(_.count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")))
-      .getOrElse(0)
+  /** Data-file census through the Hadoop FileSystem API — resolves the
+    * path's own scheme (file://, hdfs://, s3a://…), so the counts are
+    * real on the operator's actual 100 TB targets instead of silently
+    * 0 off the local filesystem (ADVICE r8).
+    */
+  private def dataFiles(spark: SparkSession, path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
 }

@@ -43,7 +43,16 @@ object ZOrder {
     * span = max − min + 1 — exact integer arithmetic, replayable.
     */
   def bucketize(x: Column, min: Long, max: Long, bits: Int): Column = {
+    require(max >= min, s"empty range [$min, $max]")
     val span = max - min + 1
+    // The product (x−min)·2^bits must stay under 2^52 for the double
+    // division below to be floor-exact — wide long dims (snowflake-
+    // style ids) would silently z-shuffle into wrong buckets, so fail
+    // loudly instead (ADVICE r8).
+    require(span <= (1L << 52) / (1L << bits),
+      s"span $span × 2^$bits overflows exact double arithmetic — " +
+        "pre-scale the dimension (e.g. bucket to days / div by a " +
+        "constant) before z-ordering")
     // floor(a / b) == a div b for the nonnegative operands here; both
     // engines floor-divide (Spark floor of double division is exact —
     // the operands stay well under 2^52; DuckDB uses `//`).

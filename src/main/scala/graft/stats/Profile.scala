@@ -21,6 +21,17 @@ object Profile {
 
   /** @return (column, n_nonnull, n_distinct, min, max, mean) — one row
     *         per profiled column, numeric stats rounded to 6.
+    *
+    * The mean is NOT `avg(double)`: a float sum's value depends on
+    * partition/merge order, and round-6 sits exactly on 1e-6 half
+    * boundaries often enough to flake a hash gate (the q_gap_stats
+    * lesson, ADVICE r8). Instead the column is summed as
+    * DECIMAL(38,6) — exact, order-independent, identical in any
+    * engine — and the mean is that one exact decimal cast to double
+    * and divided by the count: identical IEEE inputs → identical
+    * bits. Contract: profiled values must be representable at 6
+    * decimal places (true of every warehouse numeric here); wider
+    * fractions would round into the decimal at cast time.
     */
   def numeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
@@ -30,7 +41,8 @@ object Profile {
         countDistinct(col(c)).as(s"__d_$c"),
         round(min(col(c)).cast("double"), 6).as(s"__min_$c"),
         round(max(col(c)).cast("double"), 6).as(s"__max_$c"),
-        round(avg(col(c)), 6).as(s"__avg_$c"))
+        round(sum(col(c).cast("decimal(38,6)")).cast("double")
+          / count(col(c)), 6).as(s"__avg_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = array(cols.map { c =>

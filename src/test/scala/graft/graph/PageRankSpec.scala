@@ -41,6 +41,45 @@ class PageRankSpec extends SparkSpec {
     assert(got(1L) == got(2L) && got(2L) == got(3L))
   }
 
+  test("ONE driver action per iteration (dangling mass folded into the main aggregate)") {
+    // Round-9 directive: round 8 ran two extra driver actions per
+    // iteration (dangling head() + materializing count()). Now the
+    // dangling mass rides the contribution aggregate under a NULL key,
+    // so the marginal cost of an extra iteration is exactly one query
+    // execution. (Counting raw Spark JOBS would over-count: AQE splits
+    // one action into a job per materialized stage.) Comparing iters=2
+    // vs iters=5 cancels the fixed setup/teardown actions.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    def jobsFor(iters: Int): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onOtherEvent(
+            e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+          case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            counter.incrementAndGet()
+          case _ => ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        PageRank.pageRank(edges, "src", "dst", iters = iters)
+        // Listener delivery is async: poll until the count is stable.
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(200)
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    val j2 = jobsFor(2)
+    val j5 = jobsFor(5)
+    assert(j5 - j2 == 3, s"expected 1 job per extra iteration, got $j2 → $j5")
+  }
+
   test("zero iterations returns the uniform vector") {
     val edges = Seq((1L, 2L)).toDF("src", "dst")
     val got = PageRank.pageRank(edges, "src", "dst", iters = 0)

@@ -131,6 +131,36 @@ class GsodSpec extends SparkSpec {
     assert((5 to 10).forall(back(1).isNullAt))
   }
 
+  test("fused gsod9 shaping ≡ format→parse text round trip (q_skyline_gsod9 fidelity)") {
+    // Round-9 directive: q_skyline_gsod9 no longer renders to fixed-
+    // width lines and re-parses — this pins that the directly-shaped
+    // columns are EXACTLY what the text round trip would produce on
+    // the real fixture (integer-valued dims ⇒ 1-decimal rendering is
+    // the identity).
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+    val direct = li.select(
+      pmod(col("l_orderkey"), lit(1000000)).cast("int").as("stn"),
+      (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
+        dayofmonth(col("l_shipdate"))).as("date"),
+      round(col("l_quantity")).cast("double").as("temp"),
+      round(col("l_discount") * 100).cast("double").as("dewp"),
+      round(col("l_tax") * 100).cast("double").as("slp"),
+      pmod(col("l_partkey"), lit(97)).cast("double").as("max_temp"),
+      floor(col("l_extendedprice") / 1000).cast("double").as("stp"),
+      pmod(col("l_suppkey"), lit(53)).cast("double").as("wdsp"),
+      col("l_linenumber").cast("double").as("mxspd"),
+      pmod(col("l_orderkey"), lit(89)).cast("double").as("gust"),
+      pmod(dayofyear(col("l_shipdate")), lit(250)).cast("double").as("min_temp"))
+    val viaText = Gsod.parseLines(Gsod.formatLines(direct))
+    assert(direct.schema == viaText.schema)
+    val key = direct.columns.map(col)
+    val a = direct.orderBy(key: _*).collect()
+    val b = viaText.orderBy(key: _*).collect()
+    assert(a.length == b.length && a.length > 0)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
+
   test("formatPk renders %d_%d_%d unpadded with NULL propagation (Point.java:45-47)") {
     val rows = Seq(
       (Some(123), Some(20240115)),

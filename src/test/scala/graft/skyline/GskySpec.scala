@@ -66,6 +66,31 @@ class GskySpec extends AnyFunSuite {
     assert(buf.map(_._2).sorted == Seq(3, 4))
   }
 
+  test("anti-correlated blowup trips the buffer cap LOUDLY") {
+    // Diagonal points (i, n−i): every pair is incomparable, so the
+    // "skyline" is the whole input — SURVEY §7's named risk. The cap
+    // must throw, not grind.
+    val anti = (0 until 500).iterator.map(i => (Array(i.toDouble, (500 - i).toDouble), i))
+    val ex = intercept[IllegalStateException] {
+      Gsky.skyline(anti, cap = 100)
+    }
+    assert(ex.getMessage.contains("anti-correlated"))
+    // The merge path also guards: two under-cap halves can't silently
+    // combine past the cap.
+    val a = Gsky.skyline((0 until 90).iterator.map(i => (Array(i.toDouble, (500 - i).toDouble), i)), cap = 100)
+    val b = Gsky.skyline((90 until 180).iterator.map(i => (Array(i.toDouble, (500 - i).toDouble), i)), cap = 100)
+    intercept[IllegalStateException] { Gsky.merge(a, b, cap = 100) }
+  }
+
+  test("correlated data stays far under the default cap") {
+    // Correlated points (i, i+noise): tiny skyline; the guard must be
+    // invisible on healthy inputs (the 15 registered skyline oracles).
+    val rnd = new Random(3)
+    val ps = Seq.fill(5000)({ val x = rnd.nextInt(1000); Array(x.toDouble, (x + rnd.nextInt(5)).toDouble) })
+    val sky = Gsky.skyline(ps.iterator.map(v => (v, ())))
+    assert(sky.length < 100)
+  }
+
   test("3-way compare truth table") {
     assert(Dominance.compare(Array(1.0, 1.0), Array(2.0, 2.0)) == -1)
     assert(Dominance.compare(Array(2.0, 2.0), Array(1.0, 1.0)) == 1)

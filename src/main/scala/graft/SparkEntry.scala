@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
@@ -34,18 +34,35 @@ object SparkEntry {
     SkyDim("l_shipdate", Min)))
 
   /** Shared containment pair set (round-9 directive): both
-    * q_dedup_containment and q_dedup_containment_survivors derive from
-    * ONE postings-join run — `Dedup.containmentPairs` materializes and
-    * persists its (small, threshold-bounded) result, and this memo
-    * hands the same persisted frame to both queries. Keyed by
-    * (session, data dir); one tiny DataFrame per dataset — bounded.
+    * q_dedup_containment_survivors derives from an AT-REST pair
+    * artifact (round-9 directive #6): the first access runs
+    * `Dedup.containmentPairs` ONCE per (session, corpus) and writes
+    * its (small, threshold-bounded) result to parquet; every later
+    * access — the survivors view, audits, repeat invocations — reads
+    * the artifact. Durable storage, not an in-memory memo, because a
+    * cached frame dies with any `clearCache()` (Bench's per-query
+    * hygiene evicted the round-8 memo and BOTH queries silently
+    * recomputed the postings join, 7.4 s + 7.0 s); the at-rest form is
+    * the same pattern as the IVF/inverted indexes and is exactly how a
+    * 100 TB pipeline shares a dedup-pair stage across jobs.
+    * q_dedup_containment itself computes the pairs fresh — it IS the
+    * postings stage, and its bench row should keep pricing it.
     */
-  private val containmentMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def containmentPairsFor(s: SparkSession, dir: String): DataFrame =
-    containmentMemo.computeIfAbsent((s, dir), _ =>
-      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.6))
+  private val containmentPairsPath =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def containmentPairsAtRest(s: SparkSession, dir: String): DataFrame = {
+    val path = containmentPairsPath.computeIfAbsent((s, dir), _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_containment_pairs").toString
+      val pairs = Dedup.containmentPairs(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        n = 3, threshold = 0.6)
+      pairs.write.mode("overwrite").parquet(p)
+      pairs.unpersist()
+      p
+    })
+    s.read.parquet(path)
+  }
 
   /** Merge rounds for the corpus-trained BPE tokenizer — enough to
     * learn real multi-char subwords on this vocabulary while keeping
@@ -97,25 +114,28 @@ object SparkEntry {
     * normalization branch exercised; the oracle builds the IDENTICAL
     * strings from the same orders columns.
     */
+  private def syntheticUrlExpr(custkey: Column, orderkey: Column): Column =
+    concat(
+      when(pmod(orderkey, lit(3)) === 0, "HTTP")
+        .when(pmod(orderkey, lit(3)) === 1, "https")
+        .otherwise("HtTp"),
+      lit("://WWW.Shop"), pmod(custkey, lit(50)).cast("string"),
+      when(pmod(custkey, lit(4)) === 0, ".example.COM")
+        .when(pmod(custkey, lit(4)) === 1, ".shop.CO.UK")
+        .when(pmod(custkey, lit(4)) === 2, ".blog.GitHub.IO")
+        .otherwise(".example.ORG"),
+      when(pmod(orderkey, lit(4)) === 0, ":80")
+        .when(pmod(orderkey, lit(4)) === 1, ":443")
+        .when(pmod(orderkey, lit(4)) === 2, ":8080")
+        .otherwise(""),
+      lit("/items%2fview/"), orderkey.cast("string"),
+      when(pmod(orderkey, lit(2)) === 0, "?q=a%3db").otherwise(""),
+      when(pmod(orderkey, lit(5)) === 0, "#Sec%201").otherwise(""))
+
   private def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
-    val url = concat(
-      when(pmod(col("o_orderkey"), lit(3)) === 0, "HTTP")
-        .when(pmod(col("o_orderkey"), lit(3)) === 1, "https")
-        .otherwise("HtTp"),
-      lit("://WWW.Shop"), pmod(col("o_custkey"), lit(50)).cast("string"),
-      when(pmod(col("o_custkey"), lit(4)) === 0, ".example.COM")
-        .when(pmod(col("o_custkey"), lit(4)) === 1, ".shop.CO.UK")
-        .when(pmod(col("o_custkey"), lit(4)) === 2, ".blog.GitHub.IO")
-        .otherwise(".example.ORG"),
-      when(pmod(col("o_orderkey"), lit(4)) === 0, ":80")
-        .when(pmod(col("o_orderkey"), lit(4)) === 1, ":443")
-        .when(pmod(col("o_orderkey"), lit(4)) === 2, ":8080")
-        .otherwise(""),
-      lit("/items%2fview/"), col("o_orderkey").cast("string"),
-      when(pmod(col("o_orderkey"), lit(2)) === 0, "?q=a%3db").otherwise(""),
-      when(pmod(col("o_orderkey"), lit(5)) === 0, "#Sec%201").otherwise(""))
-    o.select(col("o_orderkey"), url.as("url"))
+    o.select(col("o_orderkey"),
+      syntheticUrlExpr(col("o_custkey"), col("o_orderkey")).as("url"))
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -694,6 +714,48 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // q_chunk re-based on REAL subword accounting (round-9 directive
+    // #1's second half): identical 50/25 word windows, but each chunk
+    // billed in BPE tokens via the learned merge table — the number a
+    // context-length budget actually constrains. Uses ONLY the
+    // driver-side merges (Bpe.countTokens, a scan-local Column fold) —
+    // no vocab join, so the chunk pass stays shuffle-free like
+    // q_chunk; whitespace n_toks kept alongside as the cross-check.
+    "q_chunk_bpe" -> { (s, dir) =>
+      val merges = bpeModelFor(s, dir).merges
+      Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(25))))
+        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start")
+        .select(col("doc_id"), col("chunk_idx"),
+          size(slice(col("toks"), col("start") + 1, lit(50))).as("n_toks"),
+          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(50)))
+            .as("chunk_text"))
+        .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
+          graft.text.Bpe.countTokens(col("chunk_text"), merges).as("n_bpe"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Concat-and-chunk SEQUENCE PACKING (the GPT-style batch-packing
+    // pass downstream of tokenization): docs laid end-to-end in
+    // doc_id order, the BPE token stream cut into 512-token training
+    // sequences, docs splitting across boundaries. Emits the
+    // assignment map (seq_id, seq_pos, in-doc [tok_from, tok_to)) a
+    // data loader consumes — token streams never materialize.
+    // Distributed exclusive prefix sum, no single-partition window
+    // (operators/Packing.scala).
+    "q_pack" -> { (s, dir) =>
+      val docs = Bpe.tokenCounts(Tables.load(s, dir, "documents"), "text",
+        "doc_id", bpeModelFor(s, dir))
+      operators.Packing.pack(docs, "bpe_tokens", Seq(col("doc_id")), 512L)
+        .select("doc_id", "seq_id", "seq_pos", "tok_from", "tok_to")
+        .orderBy("seq_id", "seq_pos")
+    },
+
     // Equi-DEPTH histogram (equal row counts per bucket, vs
     // q_histogram's equal widths) — decile bounds of extendedprice
     // via the DISTRIBUTED global rank, never a single-partition
@@ -1162,6 +1224,29 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    // HOST-level PageRank from URLs — the composition VERDICT r8
+    // motivated (PageRank as a crawl-source quality prior needs an
+    // edge list PRODUCED from URLs): each synthetic page links to the
+    // page of a key-shifted customer, both endpoints reduced to hosts
+    // through the REAL UrlOps parser (trim → authority → userinfo/port
+    // strip → lowercase), self-links dropped, then 3 damped
+    // iterations over the ~200-host graph. At 100 TB the host graph
+    // is tiny next to the page corpus — exactly why host rank is the
+    // practical prior.
+    "q_host_rank" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      val edges = o.select(src.as("src"), dst.as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.graph.PageRank.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("id")
+    },
+
     // AT-REST inverted index: postings (term, doc_id, tf) written once
     // into md5-bucketed `bucket=<b>` partitions, then conjunctive
     // search reads ONLY the query terms' buckets (PartitionFilters
@@ -1306,19 +1391,20 @@ object SparkEntry {
     // shared with the survivors view below (round-9 directive: a user
     // composing both pays for the postings join once).
     "q_dedup_containment" -> { (s, dir) =>
-      containmentPairsFor(s, dir).orderBy("id_a", "id_b")
+      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text",
+        "doc_id", n = 3, threshold = 0.6).orderBy("id_a", "id_b")
     },
 
     // The survivors view of containment dedup: docs ≥ 0.6-contained in
     // a LARGER doc drop (ties keep the smaller id); quotes/excerpts
     // train zero times, their containers once
-    // (graft.dedup.Dedup.containmentSurvivors) — derived from the SAME
-    // persisted pair set as q_dedup_containment, so the postings stage
-    // never re-runs.
+    // (graft.dedup.Dedup.containmentSurvivors) — derived from the
+    // at-rest pair artifact, so the postings stage runs once per
+    // corpus no matter how many views compose over it.
     "q_dedup_containment_survivors" -> { (s, dir) =>
       Dedup.containmentSurvivors(Tables.load(s, dir, "documents"),
         "text", "doc_id", n = 3, threshold = 0.6,
-        precomputedPairs = Some(containmentPairsFor(s, dir)))
+        precomputedPairs = Some(containmentPairsAtRest(s, dir)))
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     },
@@ -1973,12 +2059,16 @@ object SparkEntry {
       // The guard fails LOUDLY instead of OOMing three stages later —
       // at 100 TB use q_quantiles_gk / q_quantiles_approx (bounded,
       // mergeable sketches; this query is their exact cross-check).
-      // empty-schema count scan (~0.3 s at sf0.1) — the honest price
-      // of failing BEFORE the unbounded buffer builds, not after
-      val n = li.count()
-      require(n <= 50L * 1000 * 1000,
-        s"q_quantiles is the EXACT cross-check tier: refusing $n rows " +
-          "(> 5e7); use the GK sketch forms at scale")
+      // LIMIT-probe, not count() (the round-8 guard was a FULL
+      // empty-schema pass before failing): limit(cap+1) stops the scan
+      // as soon as cap+1 rows surface, so an over-cap 100 TB input is
+      // refused after reading ~5e7 rows, and an under-cap input pays
+      // at most the one scan the percentile pass repeats anyway.
+      val cap = 50L * 1000 * 1000
+      val probe = li.limit((cap + 1).toInt).count()
+      require(probe <= cap,
+        s"q_quantiles is the EXACT cross-check tier: refusing > $cap " +
+          "rows; use the GK sketch forms at scale")
       li.agg(
         expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pe"),
         expr("percentile(l_quantity, 0.9)").as("pq"))
@@ -2798,16 +2888,23 @@ object SparkEntry {
     * `(1 - 0.85)`, not the literal 0.15: the implementation computes
     * 1 − damping and the two differ by one ulp.
     */
-  private def pageRankOracle(iters: Int): String = {
+  private def pageRankOracle(
+      iters: Int,
+      edgesCte: String =
+        """e AS (
+          |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin)
+      : String = {
+    // Placeholder substitution AFTER stripMargin: an edges CTE may
+    // contain lines starting with the SQL '||' concat operator, which
+    // stripMargin would corrupt if it ran over interpolated content.
     val sb = new StringBuilder(
-      """WITH e AS (
-        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      """WITH __EDGES__,
         |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
         |r0 AS (SELECT id, round(1.0 / (SELECT n FROM nn), 6) AS rank FROM nodes),
-        |""".stripMargin)
+        |""".stripMargin.replace("__EDGES__", edgesCte))
     for (k <- 1 to iters) {
       val prev = s"r${k - 1}"
       sb ++= s"""d$k AS (SELECT coalesce(sum(rank), 0) AS dm FROM $prev
@@ -2950,19 +3047,35 @@ object SparkEntry {
     * regexp extracts, per-char %-escape uppercase (list comprehension
     * over string positions), default-port logic, suffix-rule domain.
     */
+  /** The synthetic-URL fixture as a DuckDB expression with the key
+    * expressions substitutable — shared by the UrlOps oracles (canon
+    * keys) and the q_host_rank edge oracle (shifted link-target keys).
+    * '||' operators sit at line ENDS so the result survives any outer
+    * stripMargin.
+    */
+  private def urlSqlExpr(ck: String, ok: String): String =
+    s"(CASE $ok % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTp' END) || " +
+      s"'://WWW.Shop' || CAST($ck % 50 AS VARCHAR) || " +
+      s"(CASE $ck % 4 WHEN 0 THEN '.example.COM' WHEN 1 THEN '.shop.CO.UK' " +
+      s"WHEN 2 THEN '.blog.GitHub.IO' ELSE '.example.ORG' END) || " +
+      s"(CASE $ok % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' " +
+      s"WHEN 2 THEN ':8080' ELSE '' END) || " +
+      s"'/items%2fview/' || CAST($ok AS VARCHAR) || " +
+      s"(CASE WHEN $ok % 2 = 0 THEN '?q=a%3db' ELSE '' END) || " +
+      s"(CASE WHEN $ok % 5 = 0 THEN '#Sec%201' ELSE '' END)"
+
+  /** Lowercased host of a URL expression — the parts/parts2 host
+    * stages of urlCanonCtes as one nested extract.
+    */
+  private def hostSqlExpr(url: String): String =
+    "lower(regexp_extract(regexp_extract(trim(" + url +
+      "), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(?:[^@]*@)?([^:@]*)', 1))"
+
   private def urlCanonCtes: String = {
     val suffixes = graft.text.UrlOps.MultiSuffixes.map(x => s"'$x'").mkString(", ")
     s"""u AS (
        |  SELECT o_orderkey,
-       |    (CASE o_orderkey % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTp' END)
-       |    || '://WWW.Shop' || CAST(o_custkey % 50 AS VARCHAR)
-       |    || (CASE o_custkey % 4 WHEN 0 THEN '.example.COM' WHEN 1 THEN '.shop.CO.UK'
-       |        WHEN 2 THEN '.blog.GitHub.IO' ELSE '.example.ORG' END)
-       |    || (CASE o_orderkey % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
-       |        WHEN 2 THEN ':8080' ELSE '' END)
-       |    || '/items%2fview/' || CAST(o_orderkey AS VARCHAR)
-       |    || (CASE WHEN o_orderkey % 2 = 0 THEN '?q=a%3db' ELSE '' END)
-       |    || (CASE WHEN o_orderkey % 5 = 0 THEN '#Sec%201' ELSE '' END) AS url
+       |    ${urlSqlExpr("o_custkey", "o_orderkey")} AS url
        |  FROM orders),
        |parts AS (
        |  SELECT o_orderkey, url,
@@ -3649,6 +3762,66 @@ object SparkEntry {
         |  md5(array_to_string(toks[start + 1 : start + 50], ' ')) AS chunk_md5
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
+    // Same windows, BPE accounting: every chunk word is a word of the
+    // training corpus (chunk text is the SAME lowercased text re-joined
+    // on single spaces — its [a-z0-9]+ runs are unchanged), so each
+    // word's subword count comes from the replayed final vocab; the
+    // chained-replace encoder the Spark side uses is pinned ≡ the
+    // vocab lookup on corpus words by BpeSpec.
+    "q_chunk_bpe" ->
+      ("WITH " + bpeVocabCtes(BpeSteps) +
+        s""",
+        |vt AS (
+        |  SELECT word,
+        |    CAST(len(string_split(symstr[2:length(symstr)-1], '||')) AS BIGINT) AS n_tokens
+        |  FROM v$BpeSteps),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, len(toks), 25)) AS start, toks
+        |  FROM t WHERE len(toks) > 0),
+        |ch AS (
+        |  SELECT doc_id, CAST((start // 25) AS INT) AS chunk_idx,
+        |    CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_toks,
+        |    array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text
+        |  FROM c),
+        |cw AS (
+        |  SELECT doc_id, chunk_idx,
+        |    unnest(regexp_extract_all(lower(chunk_text), '[a-z0-9]+')) AS word
+        |  FROM ch),
+        |cb AS (
+        |  SELECT doc_id, chunk_idx, sum(vt.n_tokens) AS nb
+        |  FROM cw JOIN vt USING (word) GROUP BY 1, 2)
+        |SELECT ch.doc_id, ch.chunk_idx, ch.n_toks,
+        |  CAST(coalesce(cb.nb, 0) AS BIGINT) AS n_bpe,
+        |  md5(ch.chunk_text) AS chunk_md5
+        |FROM ch LEFT JOIN cb USING (doc_id, chunk_idx)
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // Packing replay: exclusive cumulative sum of the replayed BPE
+    // counts in doc_id order, then each doc's span exploded over its
+    // overlapped 512-token sequences — identical integer arithmetic
+    // (floor division, greatest/least span clamps) to Packing.pack.
+    "q_pack" ->
+      ("WITH " + bpeTokenCountCtes(BpeSteps) + """,
+        |p AS (
+        |  SELECT doc_id, bpe_tokens,
+        |    CAST(coalesce(sum(bpe_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM tc WHERE bpe_tokens > 0),
+        |x AS (
+        |  SELECT doc_id, bpe_tokens, off,
+        |    CAST(unnest(range(off // 512, (off + bpe_tokens - 1) // 512 + 1)) AS BIGINT) AS seq_id
+        |  FROM p)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(seq_id * 512, off) - seq_id * 512 AS BIGINT) AS seq_pos,
+        |  CAST(greatest(seq_id * 512, off) - off AS BIGINT) AS tok_from,
+        |  CAST(least((seq_id + 1) * 512, off + bpe_tokens) - off AS BIGINT) AS tok_to
+        |FROM x ORDER BY seq_id, seq_pos""".stripMargin),
+
     // Global rank replay; bucket = (rank−1)·10 floor-div n.
     "q_histogram_eqdepth" ->
       """WITH r AS (
@@ -3972,6 +4145,16 @@ object SparkEntry {
         |ORDER BY view_id, purchase_id""".stripMargin,
 
     "q_pagerank" -> pageRankOracle(3),
+
+    // Host-graph replay: the same two fixture URLs per order (link
+    // target key-shifted), hosts through the identical extract stages,
+    // self-links dropped — then the shared PageRank CTE chain.
+    "q_host_rank" -> pageRankOracle(3,
+      "he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders), " +
+        "e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst)"),
 
     // Postings recomputed from the corpus — the index layout must not
     // change the answer; conjunctive via HAVING count(DISTINCT term).

@@ -70,20 +70,26 @@ object UrlOps {
       .otherwise(regexp_replace(pq, "\\?$", ""))
   }
 
-  /** Uppercase the two hex chars of every %-escape: a char is
-    * uppercased iff one of the two preceding chars is '%'. Pure
-    * per-character arithmetic — identical in any engine.
+  /** Uppercase the two hex chars of every %-escape: split on '%' and
+    * uppercase the first two chars of every fragment AFTER the first —
+    * exactly "a char is uppercased iff one of the two preceding chars
+    * is '%'" ('%' itself and short/empty fragments are fixed points of
+    * upper, so overlapping escapes like "%%2f" agree too). O(len):
+    * the split materializes the source string ONCE and the lambda
+    * touches short fragments. The first cut walked every character
+    * through a lambda whose substr calls re-evaluated the
+    * regexp-extracted SOURCE expression per character (higher-order
+    * functions are interpreted, no subexpression reuse) — 64 s at
+    * sf0.1 for what is now sub-second.
     */
   private def pctUpper(s: Column): Column = {
-    val out = array_join(
-      transform(sequence(lit(1), length(s)), i => {
-        val c = s.substr(i, lit(1))
-        when(
-          (i >= 2 && s.substr(i - 1, lit(1)) === "%") ||
-            (i >= 3 && s.substr(i - 2, lit(1)) === "%"),
-          upper(c)).otherwise(c)
-      }), "")
-    when(length(s) === 0, s).otherwise(out)
+    val parts = split(s, "%", -1)
+    val head = element_at(parts, 1)
+    val tail = transform(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))),
+      frag => concat(upper(substring(frag, 1, 2)),
+        frag.substr(lit(3), greatest(length(frag) - 2, lit(0)))))
+    array_join(concat(array(head), tail), "%")
   }
 
   /** The canonical URL (null for values that are not scheme://… URLs). */

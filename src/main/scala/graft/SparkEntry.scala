@@ -871,6 +871,40 @@ object SparkEntry {
       Seq((rnd(ssRes / n), rnd(1.0 - ssRes / ssTot))).toDF("mse", "r2")
     },
 
+    // Deterministic full-batch GD LOGISTIC regression — the
+    // fastText-style language/quality classifier of a corpus pipeline
+    // (predict lang == 'en' from doc length and token count). One
+    // aggregation per iteration; σ(z) rounded to 6 PER ROW so the
+    // cross-engine exp() last-ulp difference never reaches the
+    // gradient sums (graft.ml.LogisticGd; oracle unrolls all three
+    // iterations as scalar CTEs with identical operation order).
+    "q_logreg" -> { (s, dir) =>
+      val d = logRegFeatures(Tables.load(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 3)
+      d.unpersist()
+      import s.implicits._
+      Seq((w(0), w(1), w(2))).toDF("w0", "w1", "w2")
+    },
+
+    // The inference pass of the same classifier: per-doc probability
+    // (rounded 6) + thresholded label — the corpus-gating scan a
+    // trained quality filter runs over 100 TB (one scan, weights as
+    // literals, whole-stage codegen, no UDF).
+    "q_logreg_score" -> { (s, dir) =>
+      val d = logRegFeatures(Tables.load(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 3)
+      // cache backed training (4 passes); the single serving scan
+      // below re-reads the source directly
+      d.unpersist()
+      graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w)
+        .select(col("doc_id"), col("probability"), col("predicted"))
+        .orderBy("doc_id")
+    },
+
     // Token co-occurrence pairs (market-basket over the vocabulary):
     // distinct tokens per doc, within-doc self-join a<b, count docs
     // per pair, top 15. Scale shape: the join is WITHIN a doc key and
@@ -1109,6 +1143,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    // Snapshot diff (the between-runs audit of a versioned corpus
+    // table): two simulated versions of `orders` — the old snapshot
+    // missing keys ≡0 (mod 7), the new missing ≡0 (mod 5) and with
+    // status rewritten on keys ≡0 (mod 3) — classified into
+    // added/removed/changed via union + ONE keyed aggregation of
+    // (key, side, payload-md5); no full-outer join, no document
+    // bodies in the shuffle (graft.operators.TableDiff).
+    "q_table_diff" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val newSnap = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      graft.operators.TableDiff.diff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus"))
+        .select("o_orderkey", "change", "old_hash", "new_hash")
+        .orderBy("o_orderkey")
+    },
+
     // Per-group decile bucketing (feature binning): ntile(10) within
     // each market segment, ordered by (acctbal, custkey) so ties are
     // deterministic. Scale note: the sort is per-SEGMENT (keyed window
@@ -1182,7 +1237,7 @@ object SparkEntry {
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       def src = s.readStream.schema(sch).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
       val views = src.filter(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
           col("ts").as("v_ts"))
@@ -1443,6 +1498,27 @@ object SparkEntry {
         "text", "doc_id", "graft_fp_idx_q", buckets = 32)
       Dedup.incrementalSurvivors(d.filter(col("doc_id") % 10 === 3),
         "text", "doc_id", "graft_fp_idx_q")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    // Incremental NEAR-dup dedup against an AT-REST MinHash band
+    // index — the sketch-index twin of q_dedup_incr: corpus
+    // (doc_id % 10 ≠ 3) sketched once into (band-signature, id, size)
+    // rows bucketed by signature; the arriving batch probes the index,
+    // only candidate-matched corpus docs are re-read for exact-Jaccard
+    // verification, and near-dup batch rows drop. Recall-safe params
+    // (b=64, r=2: a 0.5-similar pair missed w.p. ≈1e-8), so the LSH
+    // path faces the exhaustive oracle.
+    "q_dedup_incr_minhash" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val corpus = d.filter(col("doc_id") % 10 =!= 3)
+      MinHashLsh.writeBandIndex(corpus, "text", "doc_id",
+        "graft_mh_idx_q", n = 3, bands = 64, rows = 2, buckets = 32)
+      MinHashLsh.incrementalNearDupSurvivors(
+        d.filter(col("doc_id") % 10 === 3), "text", "doc_id",
+        corpus, "graft_mh_idx_q", n = 3, threshold = 0.5,
+        bands = 64, rows = 2)
         .select("doc_id")
         .orderBy("doc_id")
     },
@@ -1846,7 +1922,7 @@ object SparkEntry {
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = s.readStream.schema(sch).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .select("event_id", "event_type", "value", "ts")
         .withColumn("win", window(col("ts"), "1 day"))
         .withColumn("win_start", date_format(col("win.start"), "yyyy-MM-dd"))
@@ -1893,7 +1969,7 @@ object SparkEntry {
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val stream = s.readStream.schema(sch).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .select("event_id", "event_type", "value", "ts")
       val sky = graft.streaming.StreamingSkyline.attachWindowed(stream,
         SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))),
@@ -1947,7 +2023,7 @@ object SparkEntry {
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
       val agg = s.readStream.schema(sch).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .transform(Tables.normalizeEventTs)
         .withWatermark("ts", "0 seconds")
         .groupBy(col("event_type"), window(col("ts"), "1 day", "12 hours").as("w"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -2980,6 +3056,71 @@ object SparkEntry {
        |  round(1.0 - ss_res / ss_tot, 6) AS r2 FROM tot""".stripMargin
   }
 
+  /** Shared feature view of the logistic-regression queries: doc
+    * length and whitespace-token count on comparable scales, label =
+    * (lang == 'en'). Exact-double features (integer / power-of-ten),
+    * identical in any engine.
+    */
+  private def logRegFeatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (col("n_chars").cast("double") / 1000.0).as("x1"),
+      (TextFunctions.tokenCount(col("text")).cast("double") / 100.0).as("x2"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+
+  /** Unrolled logistic-GD replay (the linGdOracle pattern with the
+    * sigmoid nonlinearity): per iteration three gradient-sum CTEs with
+    * σ(z) rounded to 6 per row — the same per-row round the Scala side
+    * applies, so cross-engine exp() ulp differences die before the
+    * sums — accumulated as EXACT decimal(18,6) products
+    * (order-independent, identical in any engine; a double sum was
+    * observed flipping a 0.5e-6 gradient boundary at sf0.01), then the
+    * rounded weight updates (g = S/n, no factor 2). `scoring = true`
+    * appends the per-doc inference projection instead of the weights
+    * row.
+    */
+  private def logRegOracle(iters: Int, lr: Double, scoring: Boolean): String = {
+    val sb = new StringBuilder(
+      """WITH d AS (
+        |  SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000 AS x1,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS DOUBLE) / 100 AS x2,
+        |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+        |  FROM documents),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |w0_0 AS (SELECT 0.0 AS v),
+        |w0_1 AS (SELECT 0.0 AS v),
+        |w0_2 AS (SELECT 0.0 AS v),
+        |""".stripMargin)
+    def zOf(p: Int): String =
+      s"(((SELECT v FROM w${p}_0) + (SELECT v FROM w${p}_1) * x1)" +
+        s" + (SELECT v FROM w${p}_2) * x2)"
+    for (k <- 1 to iters) {
+      val p = k - 1
+      val sig = s"round(1.0 / (1.0 + exp(0.0 - ${zOf(p)})), 6)"
+      def upd(j: Int, mult: String): String =
+        s"""s${k}_$j AS MATERIALIZED (SELECT sum(CAST($sig - y AS DECIMAL(18,6))$mult) AS s FROM d),
+           |w${k}_$j AS MATERIALIZED (SELECT round((SELECT v FROM w${p}_$j)
+           |  - $lr * round(CAST((SELECT s FROM s${k}_$j) AS DOUBLE) / (SELECT n FROM nn), 6), 6) AS v),
+           |""".stripMargin
+      sb ++= upd(0, "")
+      sb ++= upd(1, " * CAST(x1 AS DECIMAL(18,6))")
+      sb ++= upd(2, " * CAST(x2 AS DECIMAL(18,6))")
+    }
+    sb.setLength(sb.length - 2) // trailing ",\n"
+    if (!scoring)
+      sb ++= s"""
+        |SELECT (SELECT v FROM w${iters}_0) AS w0,
+        |  (SELECT v FROM w${iters}_1) AS w1,
+        |  (SELECT v FROM w${iters}_2) AS w2""".stripMargin
+    else {
+      val sig = s"round(1.0 / (1.0 + exp(0.0 - ${zOf(iters)})), 6)"
+      sb ++= s"""
+        |SELECT doc_id, $sig AS probability,
+        |  CASE WHEN $sig >= 0.5 THEN 1 ELSE 0 END AS predicted
+        |FROM d ORDER BY doc_id""".stripMargin
+    }
+    sb.toString
+  }
+
   /** Unrolled BPE training replay (the q_kmeans/q_lingd deterministic-
     * iteration pattern, round-9 directive #1): v0 is the word
     * histogram with each word's char-wrapped symbol string; every
@@ -3908,6 +4049,8 @@ object SparkEntry {
 
     "q_lingd" -> linGdOracle(2, 0.01),
     "q_lingd_eval" -> linGdEvalOracle(2, 0.01),
+    "q_logreg" -> logRegOracle(3, 1.0, scoring = false),
+    "q_logreg_score" -> logRegOracle(3, 1.0, scoring = true),
 
     // The window row_number mirror of the distributed global rank
     // (same total order: size desc, doc_id).
@@ -4078,6 +4221,29 @@ object SparkEntry {
         |  FROM (SELECT * FROM b UNION ALL SELECT * FROM u))
         |SELECT c_custkey, acctbal, version FROM r WHERE rn = 1
         |ORDER BY c_custkey""".stripMargin,
+
+    // FULL OUTER JOIN mirror of the union+agg diff; identical
+    // NUL-separated, SOH-null-sentinel md5 payload.
+    "q_table_diff" ->
+      """WITH oldv AS (
+        |  SELECT o_orderkey AS k,
+        |    md5(concat_ws(chr(0), coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+        |                  coalesce(o_orderstatus, chr(1)))) AS h
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |newv AS (
+        |  SELECT o_orderkey AS k,
+        |    md5(concat_ws(chr(0), coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+        |                  coalesce(CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+        |                           ELSE o_orderstatus END, chr(1)))) AS h
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |  CASE WHEN o.k IS NULL THEN 'added'
+        |       WHEN n.k IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed' END AS change,
+        |  o.h AS old_hash, n.h AS new_hash
+        |FROM oldv o FULL JOIN newv n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL OR o.h <> n.h
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_ntile" ->
       """SELECT c_custkey, c_mktsegment,
@@ -4404,6 +4570,28 @@ object SparkEntry {
         |  FROM fp WHERE doc_id % 10 = 3)
         |SELECT doc_id FROM surv
         |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Directed exhaustive mirror: a batch doc (doc_id % 10 = 3) drops
+    // iff some corpus doc reaches exact 3-gram Jaccard >= 0.5 — the
+    // recall-safe-params contract lets the LSH index path face the
+    // brute-force oracle (same shingle construction as
+    // q_dedup_minhash).
+    "q_dedup_incr_minhash" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |dropped AS (
+        |  SELECT DISTINCT a.doc_id
+        |  FROM d a JOIN d b ON a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 = 3 AND doc_id NOT IN (SELECT doc_id FROM dropped)
         |ORDER BY doc_id""".stripMargin,
 
     // The surviving fingerprint SET of the streamed batch: distinct

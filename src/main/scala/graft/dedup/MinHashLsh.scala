@@ -134,4 +134,84 @@ object MinHashLsh {
     // doc limit, array-reattach joins above it — Dedup.verifyPairs).
     Dedup.verifyPairs(candidates, docs.select(col("id"), col("sh")), threshold)
   }
+
+  /** At-rest MinHash band index — the NEAR-dup twin of
+    * [[Dedup.writeFingerprintIndex]]: the corpus is sketched once and
+    * its (band-signature, id, set-size) rows persist bucketed+sorted
+    * by signature; every arriving batch then probes the index with its
+    * own band signatures and only candidate-matched corpus docs are
+    * ever re-read. The corpus never reshuffles per batch — the at-rest
+    * discipline of `IvfFlat.writeIndex` applied to LSH buckets.
+    *
+    * The band index is already folded into each signature
+    * ([[bandSigs]] mixes it in), so the signature alone is the join
+    * key; a spurious cross-band signature collision is a 64-bit hash
+    * collision and dies in exact verification anyway.
+    */
+  def writeBandIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      table: String,
+      n: Int = 3,
+      bands: Int = 64,
+      rows: Int = 2,
+      buckets: Int = 32): Unit =
+    graft.sources.BucketedTables.writeBucketed(
+      sketched(df, textCol, idCol, n, bands, rows)
+        .select(explode(col("bsig")).as("sig"), col("id"),
+          size(col("sh")).as("sz")),
+      table, "sig", buckets, sortCol = Some("sig"))
+
+  /** Incremental NEAR-dup dedup of a batch against an at-rest
+    * [[writeBandIndex]] corpus: batch docs whose exact n-gram Jaccard
+    * with SOME corpus doc reaches `threshold` are dropped; survivors
+    * pass through unchanged.
+    *
+    * Plan shape: the batch is sketched (one scan), its skinny
+    * (sig, id, sz) rows probe the index with the LSH length filter
+    * inline; only DISTINCT candidate corpus ids are fetched back from
+    * `corpus` (a semi-join — at 100 TB this reads a vanishing fraction
+    * of history) and re-shingled for exact verification. Parameters
+    * must match the ones the index was written with, and batch ids
+    * must be disjoint from corpus ids (the incremental contract —
+    * new arrivals carry new ids).
+    */
+  def incrementalNearDupSurvivors(
+      batch: DataFrame,
+      textCol: String,
+      idCol: String,
+      corpus: DataFrame,
+      indexTable: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      bands: Int = 64,
+      rows: Int = 2): DataFrame = {
+    val spark = batch.sparkSession
+    val docs = sketched(batch, textCol, idCol, n, bands, rows)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val probes = docs.select(col("id").as("bid"), size(col("sh")).as("bsz"),
+      explode(col("bsig")).as("sig"))
+    val idx = spark.table(indexTable)
+    val candidates = probes.join(idx, "sig")
+      .filter(col("bsz") >= col("sz") * threshold &&
+        col("sz") >= col("bsz") * threshold)
+      .select(col("bid").as("id_a"), col("id").as("id_b"))
+      .distinct()
+
+    // Fetch ONLY the candidate corpus docs and re-shingle them for the
+    // exact check; batch shingles ride along from the sketch pass.
+    val corpusSets = corpus
+      .join(candidates.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
+        "left_semi")
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("sh"))
+    val sets = docs.select(col("id"), col("sh")).unionByName(corpusSets)
+    val dropped = Dedup.verifyPairs(candidates, sets, threshold)
+      .select(col("id_a").as(idCol)).distinct()
+
+    val out = batch.join(dropped, Seq(idCol), "left_anti")
+    docs.unpersist()
+    out
+  }
 }

@@ -199,6 +199,24 @@ class MinHashLshSpec extends SparkSpec with DedupFixture {
     assert(got == bruteJaccard(docs, 3, 0.5))
   }
 
+  test("incremental near-dup vs at-rest band index == directed brute force") {
+    // corpus = even ids, batch = odd ids: 1 collapses into 0 (exact
+    // dup mod case/ws), 3 into 2 (near dup ≥ 0.5), 5 and 7 survive
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    MinHashLsh.writeBandIndex(corpus, "text", "doc_id", "graft_mh_idx_t",
+      n = 3, bands = 64, rows = 2, buckets = 4)
+    val surv = MinHashLsh.incrementalNearDupSurvivors(batch, "text", "doc_id",
+      corpus, "graft_mh_idx_t", n = 3, threshold = 0.5, bands = 64, rows = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val pairs = bruteJaccard(docs, 3, 0.5)
+    val expectedDropped = (1L to 7L by 2)
+      .filter(b => pairs.exists { case (x, y) =>
+        (x == b && y % 2 == 0) || (y == b && x % 2 == 0) }).toSet
+    assert(surv == Set(1L, 3L, 5L, 7L) -- expectedDropped)
+    assert(expectedDropped == Set(1L, 3L)) // the fixture's intent, pinned
+  }
+
   test("reported jaccard is the exact value, not an estimate") {
     val got = MinHashLsh.nearDupPairs(docs, "text", "doc_id", n = 3, threshold = 0.3)
       .select($"id_a", $"id_b", $"jaccard").collect()

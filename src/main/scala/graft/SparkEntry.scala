@@ -456,6 +456,21 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Eval-side contamination report (the direction benchmark owners
+    // publish): per eval doc (doc_id ≡0 mod 23), how many of its
+    // distinct 3-grams the training corpus contains, as exact
+    // integers (n_hit, n_total) — the corpus shingle set reduces but
+    // is NEVER broadcast; the MB-scale eval side explodes and
+    // semi-joins against it (graft.dedup.Decontaminate
+    // .evalContamination).
+    "q_contam_score" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(23)) =!= 0)
+      Decontaminate.evalContamination(corpus, bench, "text", "doc_id", n = 3)
+        .orderBy("doc_id")
+    },
+
     // Deterministic training mix + split assignment: per-source keep
     // rates and train/val/test cuts, both pure functions of
     // (salt, doc_id) — layout/retry/cluster-size invariant, unlike
@@ -1438,6 +1453,17 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // Two-stage fuzzy dedup: lossless PPJoin candidates at Jaccard ≥
+    // 0.3, then character-Levenshtein verification dist·5 ≤ max(len)
+    // — integer threshold arithmetic, all-integer output. The edit
+    // stage rejects the subsumption pairs shingle Jaccard accepts
+    // (graft.dedup.Dedup.editVerifiedPairs).
+    "q_dedup_edit" -> { (s, dir) =>
+      Dedup.editVerifiedPairs(Tables.load(s, dir, "documents"), "text",
+        "doc_id", n = 3, jaccardFloor = 0.3, distNum = 1, distDen = 5)
+        .orderBy("id_a", "id_b")
+    },
+
     // ASYMMETRIC containment pairs |A∩B|/|A| ≥ 0.6 — the short-doc-
     // quoted-inside-long-doc subsumption case Jaccard structurally
     // misses. Directed (both directions evaluated); probe-side prefix
@@ -2051,6 +2077,52 @@ object SparkEntry {
       while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
       query.stop()
       s.table(qname).orderBy("event_type", "w_start")
+    },
+
+    // STREAMING session windows: the builtin session_window state
+    // (merge-on-overlap, close at last-event + gap) under a real
+    // watermark/append execution — the stateful-merge complement of
+    // q_stream_sliding's fixed windows and the streaming twin of the
+    // batch q_session_window. A session emits exactly once, when the
+    // watermark (max event ms, delay 0, advanced by the engine's
+    // no-data batch) passes its end; the per-user LAST session stays
+    // open in state and never emits — the oracle applies the same
+    // ms-level cut to its gaps-and-islands replay.
+    "q_stream_session" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamsess_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
+        .transform(Tables.normalizeEventTs)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("w.start").cast("long").as("w_start"),
+          col("w.end").cast("long").as("w_end"),
+          col("n"), col("sum_value"))
+      val qname = "graft_stream_session_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamsess_ckpt").toString
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def emittedSess: Boolean = {
+        val rp = query.recentProgress
+        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
+        dataBatches.nonEmpty &&
+          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
+      }
+      while (!emittedSess && System.nanoTime() < deadline) Thread.sleep(100)
+      query.stop()
+      s.table(qname).orderBy("user_id", "w_start")
     },
 
     // Range join (point-in-interval) via bucket decomposition — an
@@ -3565,6 +3637,25 @@ object SparkEntry {
         |FROM corpus c JOIN bench b ON c.gram = b.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Per-eval-doc distinct 3-grams vs the corpus distinct-gram set;
+    // integers only (the consumer divides).
+    "q_contam_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' '))) AS grams
+        |  FROM t),
+        |cg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 23 <> 0),
+        |ev AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 23 = 0)
+        |SELECT ev.doc_id,
+        |  CAST(sum(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  count(*) AS n_total
+        |FROM ev LEFT JOIN cg ON ev.gram = cg.gram
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The exact 60-bit md5-prefix hash arithmetic of Sampling.hashUnit;
     // all rates/cuts dyadic so the double thresholds are exact.
     "q_sample_mix" ->
@@ -4374,6 +4465,34 @@ object SparkEntry {
         |FROM s WHERE (w_start + 86400) * 1000 <= (SELECT wm FROM mx)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // q_session_window's gaps-and-islands replay with the streaming
+    // emission cut: only sessions whose end (last event + gap) the
+    // ms-level watermark (global max event ms, delay 0) has passed —
+    // each user's open last session is withheld, exactly as the
+    // engine's append-mode state.
+    "q_stream_session" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
+        |mx AS (SELECT max(us) // 1000 AS wm FROM e),
+        |m AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                  OR us - lag(us) OVER w >= 1800000000
+        |            THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |i AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                             ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m),
+        |sess AS (
+        |  SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS w_start,
+        |    CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS w_end,
+        |    count(*) AS n, round(sum(value), 2) AS sum_value,
+        |    (max(us) + 1800000000) // 1000 AS end_ms
+        |  FROM i GROUP BY user_id, sid)
+        |SELECT user_id, w_start, w_end, n, sum_value FROM sess
+        |WHERE end_ms <= (SELECT wm FROM mx)
+        |ORDER BY user_id, w_start""".stripMargin,
+
     // Each event unnests into its two epoch-aligned hopping windows:
     // H = ⌊sec/43200⌋·43200 and H − 43200 (nested-floor equality makes
     // the seconds-level H match Spark's micros-level window math).
@@ -4474,6 +4593,34 @@ object SparkEntry {
         |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    // Exhaustive mirror of both stages: shingle Jaccard ≥ 0.3 then
+    // the integer edit bound dist·5 ≤ max(len). Texts join back by id
+    // so levenshtein runs only on candidate pairs.
+    "q_dedup_edit" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |cand AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.3)
+        |SELECT id_a, id_b,
+        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
+        |  CAST(len(ta.text) AS BIGINT) AS len_a,
+        |  CAST(len(tb.text) AS BIGINT) AS len_b
+        |FROM cand
+        |JOIN documents ta ON ta.doc_id = id_a
+        |JOIN documents tb ON tb.doc_id = id_b
+        |WHERE levenshtein(ta.text, tb.text) * 5 <= greatest(len(ta.text), len(tb.text))
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Brute-force all-pairs DIRECTED containment |A∩B|/|A| (both
     // directions — no a<b cut); the engine side is the asymmetric

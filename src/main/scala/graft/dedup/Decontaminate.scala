@@ -62,6 +62,47 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Eval-side contamination report — the direction benchmark OWNERS
+    * publish ("GSM8K is p% contaminated in corpus X"): for each eval
+    * doc, (idCol, n_hit, n_total) where n_hit counts its distinct
+    * n-grams found ANYWHERE in the corpus and n_total its distinct
+    * n-gram count; the fraction n_hit/n_total is left to the consumer
+    * (integer outputs only — the q_gap_stats discipline, no rounded
+    * division to sit on a cross-engine boundary).
+    *
+    * Direction reversed vs [[contaminated]]: there the benchmark side
+    * reduces to a (broadcastable) shingle set probed by the corpus;
+    * here the CORPUS side reduces — to a distinct-shingle column that
+    * is never broadcast (at 100 TB it is itself huge) — and the
+    * MB-scale eval set explodes to (id, shingle) rows that semi-join
+    * against it. One distinct-aggregate over corpus shingles + one
+    * keyed semi-join + two small aggregations; no document bodies
+    * move, nothing all-pairs.
+    *
+    * Eval docs shorter than n tokens have no shingles and are absent
+    * from the report (n_total would be 0 — there is nothing to
+    * measure).
+    */
+  def evalContamination(
+      corpus: DataFrame,
+      bench: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val corpusShingles = corpus
+      .select(explode(TextFunctions.shingles(col(textCol), n)).as("__g"))
+      .distinct()
+    val evalGrams = bench
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), n)).as("__g"))
+      .distinct()
+    val totals = evalGrams.groupBy(col(idCol)).agg(count(lit(1)).as("n_total"))
+    val hits = evalGrams.join(corpusShingles, Seq("__g"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    totals.join(hits, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        col("n_total"))
+  }
+
   /** The clean view: corpus rows with zero benchmark overlap (left-anti
     * join against the contaminated ids — one more keyed shuffle, no
     * document bodies in the join).

@@ -409,4 +409,46 @@ object Dedup {
         .select("id_a", "id_b", "jaccard")
     }
   }
+
+  /** Character-edit-distance-verified near-dup pairs: token-n-gram
+    * Jaccard ≥ `jaccardFloor` AND Levenshtein distance ≤
+    * (distNum/distDen)·max(len) — the two-stage fuzzy dedup that
+    * catches what each stage alone misses. Shingle Jaccard accepts
+    * SUBSUMPTION pairs (a doc plus a big inserted block keeps Jaccard
+    * = |A|/|B| high while the char distance is the whole insertion);
+    * the edit stage rejects those. Conversely a pure edit-distance
+    * join has no scale-safe blocking here — ed ≤ k blocking needs
+    * PassJoin-style positional segments — so the Jaccard floor IS the
+    * candidate generator and part of the operator's contract, served
+    * by [[jaccardPairs]]'s lossless PPJoin prefix plan; the edit
+    * verify is per-candidate O(len²), bounded by the candidate count,
+    * with texts reattached by two keyed joins (bodies never enter the
+    * candidate shuffle).
+    *
+    * The distance bound is the integer test dist·distDen ≤
+    * max(len)·distNum — no float threshold to sit on a cross-engine
+    * rounding boundary. Output is all-integer: (id_a, id_b, dist,
+    * len_a, len_b); consumers derive the similarity.
+    */
+  def editVerifiedPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      jaccardFloor: Double = 0.3,
+      distNum: Int = 1,
+      distDen: Int = 5): DataFrame = {
+    require(distNum >= 0 && distDen > 0, "distance bound must be a ratio")
+    val cand = jaccardPairs(df, textCol, idCol, n, jaccardFloor)
+      .select("id_a", "id_b")
+    val texts = df.select(col(idCol), col(textCol))
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("dist"),
+        length(col("__ta")).cast("long").as("len_a"),
+        length(col("__tb")).cast("long").as("len_b"))
+      .filter(col("dist") * distDen <= greatest(col("len_a"), col("len_b")) * distNum)
+  }
 }

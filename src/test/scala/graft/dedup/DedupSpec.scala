@@ -217,6 +217,54 @@ class MinHashLshSpec extends SparkSpec with DedupFixture {
     assert(expectedDropped == Set(1L, 3L)) // the fixture's intent, pinned
   }
 
+  test("editVerifiedPairs keeps near-identical pairs, rejects subsumption") {
+    // 10≈11: one word changed — tiny edit distance, high Jaccard.
+    // 12⊂13: 13 is 12 plus a big appended block — shingle Jaccard
+    // stays ≥ 0.3 (|A|/|B|) but the edit distance IS the insertion,
+    // far over max(len)/5. The edit stage must split the two cases.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val planted = Seq(
+      (10L, base),
+      (11L, base.replace("theta", "THETA")),
+      (12L, base),
+      (13L, base + " " + Seq.fill(12)("unrelated filler block words").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(planted, "text", "doc_id",
+      n = 3, jaccardFloor = 0.3, distNum = 1, distDen = 5)
+      .select($"id_a", $"id_b", $"dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // candidate stage accepts (10,11), (10,12)=(identical), (11,12), (12,13)…
+    assert(got.contains((10L, 11L)) && got((10L, 11L)) == 5L)
+    assert(got.contains((10L, 12L)) && got((10L, 12L)) == 0L)
+    assert(!got.keySet.exists { case (a, b) => b == 13L || a == 13L },
+      s"subsumption pair must be edit-rejected: ${got.keySet}")
+    // and the candidate stage DID see 13 (Jaccard alone accepts it)
+    val cand = Dedup.jaccardPairs(planted, "text", "doc_id", n = 3, threshold = 0.3)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(cand.exists { case (a, b) => a == 13L || b == 13L })
+  }
+
+  test("editVerifiedPairs == brute force over the fixture") {
+    val got = Dedup.editVerifiedPairs(docs, "text", "doc_id",
+      n = 3, jaccardFloor = 0.3, distNum = 1, distDen = 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = bruteJaccard(docs, 3, 0.3).filter { case (a, b) =>
+      val (ta, tb) = (texts(a), texts(b))
+      lev(ta, tb) * 5 <= math.max(ta.length, tb.length)
+    }
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("reported jaccard is the exact value, not an estimate") {
     val got = MinHashLsh.nearDupPairs(docs, "text", "doc_id", n = 3, threshold = 0.3)
       .select($"id_a", $"id_b", $"jaccard").collect()

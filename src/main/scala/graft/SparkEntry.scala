@@ -1878,6 +1878,37 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // Cluster topic labeling (the BERTopic c-TF-IDF shape): k-means
+    // blocks over document embeddings (the q_kmeans deterministic
+    // contract, vec_id ≡ doc_id), then each cluster's top-3 tokens by
+    // cluster-term-frequency × the q_tfidf smoothed idf — the "what
+    // IS this cluster" audit a curation pass runs after semantic
+    // grouping. One token explode + two keyed aggs + a per-cluster
+    // WindowGroupLimit; the only driver state is k-means' k×d
+    // centroids.
+    "q_cluster_topics" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      val n = docs.count()
+      val assigned = KMeans.assignments(e, "embedding", "vec_id",
+        k = 8, iters = 2, salt = "km")
+        .select(col("vec_id").as("doc_id"), col("cluster").cast("long").as("cluster"))
+      val toks = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val ctf = toks.join(assigned, "doc_id")
+        .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col("term").asc)
+      ctf.join(dfreq, "term")
+        .withColumn("score",
+          round(col("tf") * (log(lit(1.0 + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("cluster"), col("term"), col("score"), col("rank"))
+        .orderBy("cluster", "rank")
+    },
+
     // ---- events: windows, JSON, grouped skyline -----------------------
 
     // Tumbling 1-day windowed aggregation per event type.
@@ -2634,6 +2665,39 @@ object SparkEntry {
           round(col("au.duration_sec"), 6).as("duration_sec"),
           round(element_at(col("au.rms"), 1), 6).as("rms0"),
           round(element_at(col("au.rms"), 2), 6).as("rms1"))
+        .orderBy("doc_id")
+    },
+
+    // Audio sample-rate conversion THROUGH the real codec both ways
+    // (decode → nearest-neighbor 8000→5000 resample → WAV re-encode →
+    // decode): planted stereo RAMP waves (closed-form sample values),
+    // exact integer index floors, and ALL-INTEGER output stats
+    // (per-channel sum of squared samples) — the oracle replays the
+    // resample index arithmetic and the sample formula with no float
+    // anywhere (graft.multimodal.Multimodal.resampleAudioFeatures).
+    "q_audio_resample" -> { (s, dir) =>
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val wav = Tables.load(s, dir, "documents").select("doc_id")
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val n = ((id % 5) + 1).toInt * 100
+            def ramp(mul: Long, add: Long, sub: Long, amp: Long) =
+              Array.tabulate[Short](n)(i =>
+                (((i * mul + add) % 401 - sub) * amp).toShort)
+            Row(id, Multimodal.encodeWavPcm16(Array(
+              ramp(37L, id, 200L, 80L),
+              ramp(53L, 2L * id, 200L, 70L)), 8000))
+          }
+        }(enc)
+      Multimodal.resampleAudioFeatures(wav, "payload", dstRate = 5000, "rs")
+        .select(
+          col("doc_id"),
+          col("rs.src_frames").as("src_frames"),
+          col("rs.dst_frames").as("dst_frames"),
+          element_at(col("rs.sum_sq"), 1).as("sum_sq0"),
+          element_at(col("rs.sum_sq"), 2).as("sum_sq1"))
         .orderBy("doc_id")
     },
 
@@ -5004,6 +5068,32 @@ object SparkEntry {
           |SELECT vec_id, label FROM embeddings
           |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin),
 
+    // kmeansCtes assignments (a3, vec_id ≡ doc_id) × token stream:
+    // per-cluster term counts × the q_tfidf smoothed idf, top-3 per
+    // cluster by (score desc, term).
+    "q_cluster_topics" ->
+      (kmeansCtes(k = 8, iters = 2, salt = "km") +
+        """toks AS (
+          |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS term
+          |  FROM documents WHERE text IS NOT NULL),
+          |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+          |dfreq AS (
+          |  SELECT term, count(*) AS df
+          |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+          |ctf AS (
+          |  SELECT CAST(a.rank AS BIGINT) AS cluster, t.term, count(*) AS tf
+          |  FROM toks t JOIN a3 a ON t.doc_id = a.vec_id GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT cluster, ctf.term,
+          |    round(tf * (ln((1.0 + (SELECT n FROM nn)) / (df + 1.0)) + 1.0), 6) AS score
+          |  FROM ctf JOIN dfreq ON ctf.term = dfreq.term),
+          |r AS (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+          |    ORDER BY score DESC, term) AS INT) AS rank
+          |  FROM sc)
+          |SELECT cluster, term, score, rank FROM r WHERE rank <= 3
+          |ORDER BY cluster, rank""".stripMargin),
+
     // Double-precision cosine via unnest (DuckDB's
     // list_cosine_similarity computes in float32 — not oracle-grade).
     "q_knn" ->
@@ -5622,6 +5712,32 @@ object SparkEntry {
         |  round((((doc_id % 50) + 1) * 500) / 32768.0, 6) AS rms0,
         |  round((((doc_id % 30) + 2) * 700) / 32768.0, 6) AS rms1
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Integer replay of the nearest-neighbor resample: dst = ⌊n·5/8⌋,
+    // output frame i reads source frame ⌊i·8/5⌋, and the planted ramp
+    // formula reproduces each sample exactly — sums of squares as
+    // BIGINTs, no float anywhere.
+    "q_audio_resample" ->
+      """WITH o AS (
+        |  SELECT doc_id, ((doc_id % 5) + 1) * 100 AS n,
+        |    (((doc_id % 5) + 1) * 100 * 5000) // 8000 AS dst
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, n, dst,
+        |    unnest(generate_series(0, CAST(dst - 1 AS INT))) AS i
+        |  FROM o),
+        |s AS (
+        |  SELECT doc_id, n, dst, (i * 8000) // 5000 AS si FROM f),
+        |sq AS (
+        |  SELECT doc_id, n, dst,
+        |    ((si * 37 + doc_id) % 401 - 200) * 80 AS s0,
+        |    ((si * 53 + 2 * doc_id) % 401 - 200) * 70 AS s1
+        |  FROM s)
+        |SELECT doc_id, CAST(n AS BIGINT) AS src_frames,
+        |  CAST(dst AS BIGINT) AS dst_frames,
+        |  CAST(sum(s0 * s0) AS BIGINT) AS sum_sq0,
+        |  CAST(sum(s1 * s1) AS BIGINT) AS sum_sq1
+        |FROM sq GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
 
     // Same tokenization, the same left-associated BM25 arithmetic
     // (idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen))); tf/df/N/Σlen

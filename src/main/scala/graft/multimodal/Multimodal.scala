@@ -293,6 +293,111 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Raw 16-bit PCM frames per channel through the codec
+    * (javax.sound.sampled) — the sample-exact complement of
+    * [[decodeAudio]]'s normalized statistics, for transforms that must
+    * re-encode (resampling, channel ops). Signed 16-bit PCM only;
+    * anything else returns None (quarantine).
+    */
+  def decodePcm16(bytes: Array[Byte]): Option[(Int, Array[Array[Short]])] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => return None }
+    try {
+      val fmt = in.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        || fmt.getSampleSizeInBits != 16 || fmt.getChannels < 1) return None
+      val ch = fmt.getChannels
+      val data = in.readAllBytes()
+      val nFrames = data.length / (2 * ch)
+      val out = Array.ofDim[Short](ch, nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        while (c < ch) {
+          val off = (f * ch + c) * 2
+          val (b0, b1) = (data(off) & 0xff, data(off + 1) & 0xff)
+          val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+          out(c)(f) = ((raw << 16) >> 16).toShort
+          c += 1
+        }
+        f += 1
+      }
+      Some((fmt.getSampleRate.toInt, out))
+    } catch { case _: Exception => None }
+    finally in.close()
+  }
+
+  /** Nearest-neighbor sample-rate conversion — the audio twin of
+    * [[thumbnailGray]]'s resample, in the same EXACT integer index
+    * arithmetic: dstFrames = ⌊srcFrames·dstRate/srcRate⌋ and output
+    * frame i reads source frame ⌊i·srcRate/dstRate⌋ (always in range:
+    * i < dstFrames ⟹ i·src/dst < srcFrames). No interpolation — a
+    * production pipeline would drop a polyphase filter into this exact
+    * slot; the index contract (and everything around it) is what the
+    * engine owns, and integer floors make it replayable in any engine.
+    */
+  def resampleNearest(
+      chans: Array[Array[Short]],
+      srcRate: Int,
+      dstRate: Int): Array[Array[Short]] = {
+    require(srcRate > 0 && dstRate > 0, "positive sample rates")
+    val srcFrames = if (chans.isEmpty) 0L else chans(0).length.toLong
+    val dstFrames = (srcFrames * dstRate / srcRate).toInt
+    chans.map { c =>
+      Array.tabulate[Short](dstFrames)(i => c((i.toLong * srcRate / dstRate).toInt))
+    }
+  }
+
+  /** Output schema of [[resampleAudioFeatures]]: frame counts plus the
+    * per-channel EXACT integer sum of squared samples of the
+    * resampled-and-re-encoded audio (shorts: sums stay well inside a
+    * long) — all-integer so the oracle replay has no float boundary
+    * anywhere.
+    */
+  val resampleFeatureType: StructType = StructType(Seq(
+    StructField("src_frames", LongType),
+    StructField("dst_frames", LongType),
+    StructField("sum_sq", ArrayType(LongType))))
+
+  /** decode → [[resampleNearest]] to `dstRate` → [[encodeWavPcm16]] →
+    * decode again → integer sample statistics: the resample runs
+    * THROUGH the real codec in both directions, so the emitted stats
+    * certify the full decode/transform/encode loop, not just the index
+    * math. Non-PCM16 rows get a NULL struct (quarantine).
+    */
+  def resampleAudioFeatures(
+      df: DataFrame,
+      binCol: String,
+      dstRate: Int,
+      outCol: String): DataFrame = {
+    val outSchema = df.schema.add(outCol, resampleFeatureType)
+    val enc = Encoders.row(outSchema)
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val feat = decodePcm16(bytes).flatMap { case (srcRate, chans) =>
+          val res = resampleNearest(chans, srcRate, dstRate)
+          decodePcm16(encodeWavPcm16(res, dstRate)).map { case (_, back) =>
+            val sums = back.map { c =>
+              var s = 0L
+              var i = 0
+              while (i < c.length) { s += c(i).toLong * c(i); i += 1 }
+              s
+            }
+            Row(if (chans.isEmpty) 0L else chans(0).length.toLong,
+              if (back.isEmpty) 0L else back(0).length.toLong,
+              sums.toSeq)
+          }
+        }.orNull
+        Row.fromSeq(r.toSeq :+ feat)
+      }
+    }(enc)
+  }
+
   /** Append [[decodeAudio]] features for a binary audio column — same
     * one-pass mapPartitions shape as [[extractImageFeatures]];
     * undecodable rows get a NULL struct (quarantine filtering, not

@@ -174,4 +174,38 @@ class MultimodalSpec extends SparkSpec {
     assert(f.getSeq[Double](4) == Seq(4096 / 32768.0))
     assert(out(1).isNullAt(3))
   }
+
+  test("decodePcm16 recovers the exact planted samples (both endiannesses)") {
+    val samples = Array.tabulate[Short](64)(i => ((i * 523) % 20001 - 10000).toShort)
+    val wav = Multimodal.encodeWavPcm16(Array(samples), 8000)
+    val Some((rate, chans)) = Multimodal.decodePcm16(wav)
+    assert(rate == 8000 && chans.length == 1)
+    assert(chans(0).toSeq == samples.toSeq)
+    assert(Multimodal.decodePcm16("junk".getBytes).isEmpty)
+    assert(Multimodal.decodePcm16(Array.emptyByteArray).isEmpty)
+  }
+
+  test("resampleNearest: identity at equal rates; exact index floors on downsample") {
+    val s = Array.tabulate[Short](10)(i => (i * 100).toShort)
+    assert(Multimodal.resampleNearest(Array(s), 8000, 8000)(0).toSeq == s.toSeq)
+    // 10 frames 8000→5000: dst = 6, indices ⌊i·8/5⌋ = 0,1,3,4,6,8
+    val down = Multimodal.resampleNearest(Array(s), 8000, 5000)(0)
+    assert(down.toSeq == Seq(0, 100, 300, 400, 600, 800).map(_.toShort))
+    // upsample 5000→8000 of the 6: dst = 9, indices ⌊i·5/8⌋
+    val up = Multimodal.resampleNearest(Array(down), 5000, 8000)(0)
+    assert(up.toSeq == (0 until 9).map(i => down(i * 5 / 8)).toSeq)
+  }
+
+  test("resampleAudioFeatures: codec-loop stats equal direct resample; NULL quarantine") {
+    val samples = Array.tabulate[Short](80)(i => ((i * 37) % 401 - 200).toShort)
+    val wav = Multimodal.encodeWavPcm16(Array(samples), 8000)
+    val d = df(Row(1L, wav, Row("wav", 0, 0, 1)), Row(2L, "junk".getBytes, Row("wav", 0, 0, 1)))
+    val out = Multimodal.resampleAudioFeatures(d, "payload", 5000, "rs")
+      .orderBy("id").collect()
+    val f = out(0).getStruct(3)
+    val direct = Multimodal.resampleNearest(Array(samples), 8000, 5000)(0)
+    assert(f.getLong(0) == 80L && f.getLong(1) == direct.length.toLong)
+    assert(f.getSeq[Long](2) == Seq(direct.map(s => s.toLong * s).sum))
+    assert(out(1).isNullAt(3))
+  }
 }

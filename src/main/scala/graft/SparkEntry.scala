@@ -1317,6 +1317,23 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    // Triangle census of the same host graph (community structure /
+    // link-farm signal on a crawl graph): degree-ordered orientation
+    // caps the wedge join's fan-out at O(√m) per node — the form that
+    // survives a star host at 100 TB — and every triangle counts once
+    // at its orientation-minimum vertex (graft.graph.Triangles).
+    // All-integer output: edges, oriented wedges, triangles.
+    "q_triangles" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      graft.graph.Triangles.count(
+        o.select(src.as("src"), dst.as("dst")), "src", "dst")
+    },
+
     // AT-REST inverted index: postings (term, doc_id, tf) written once
     // into md5-bucketed `bucket=<b>` partitions, then conjunctive
     // search reads ONLY the query terms' buckets (PartitionFilters
@@ -1461,6 +1478,27 @@ object SparkEntry {
     "q_dedup_edit" -> { (s, dir) =>
       Dedup.editVerifiedPairs(Tables.load(s, dir, "documents"), "text",
         "doc_id", n = 3, jaccardFloor = 0.3, distNum = 1, distDen = 5)
+        .orderBy("id_a", "id_b")
+    },
+
+    // Train/test LEAKAGE audit: near-dup pairs (the lossless PPJoin
+    // plan) that CROSS the deterministic split assignment — the check
+    // every eval pipeline should run before trusting held-out metrics
+    // (a test doc with a train near-dup is contamination the
+    // exact-match decontaminate pass misses). Split is the same
+    // hash-unit function as q_sample_mix (salt "split1"); two skinny
+    // keyed joins attach splits to pair ids.
+    "q_split_leakage" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val splits = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
+        salt = "split1")
+        .select(col("doc_id"), col("split"))
+      Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
         .orderBy("id_a", "id_b")
     },
 
@@ -2154,6 +2192,43 @@ object SparkEntry {
       while (!emittedSess && System.nanoTime() < deadline) Thread.sleep(100)
       query.stop()
       s.table(qname).orderBy("user_id", "w_start")
+    },
+
+    // STREAM-STATIC enrichment join (the dimension-lookup stage of a
+    // streaming ingest: every arriving event tagged with its
+    // dimension row before landing): events stream × broadcast-sized
+    // nation dim on a derived key, enriched rows appended to the sink
+    // per micro-batch — STATELESS streaming (no watermark needed; the
+    // join carries no state across batches, the 100 TB-friendly
+    // property), then a batch rollup over the landed table.
+    "q_stream_enrich" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamen_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val dim = broadcast(Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")))
+      val enriched = s.readStream.schema(sch).parquet(srcDir.toString)
+        .transform(Tables.normalizeEventTs)
+        .withColumn("n_nationkey", pmod(col("user_id"), lit(25)))
+        .join(dim, "n_nationkey")
+        .select(col("event_id"), col("n_name"), col("value"))
+      val qname = "graft_stream_enrich_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamen_ckpt").toString
+      val query = enriched.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.processAllAvailable()
+      query.stop()
+      s.table(qname)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("n_name")
     },
 
     // Range join (point-in-interval) via bucket decomposition — an
@@ -4477,6 +4552,35 @@ object SparkEntry {
         " AS dst FROM orders), " +
         "e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst)"),
 
+    // Same host edges; canonicalize, orient from the (degree, id)-
+    // smaller endpoint, wedge-join on the center, close against the
+    // canonical set.
+    "q_triangles" ->
+      ("WITH he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders),\n" +
+        """und AS (
+          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          |  FROM he WHERE src <> dst),
+          |deg AS (
+          |  SELECT v, count(*) AS d
+          |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+          |  GROUP BY 1),
+          |o AS (
+          |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+          |              THEN a ELSE b END AS u,
+          |         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
+          |              THEN b ELSE a END AS w
+          |  FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+          |wed AS (
+          |  SELECT e1.w AS x, e2.w AS y
+          |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.w < e2.w)
+          |SELECT (SELECT count(*) FROM und) AS n_edges,
+          |  (SELECT count(*) FROM wed) AS n_wedges,
+          |  (SELECT count(*) FROM wed JOIN und ON und.a = wed.x AND und.b = wed.y)
+          |    AS n_triangles""".stripMargin),
+
     // Postings recomputed from the corpus — the index layout must not
     // change the answer; conjunctive via HAVING count(DISTINCT term).
     "q_inverted_index" ->
@@ -4556,6 +4660,13 @@ object SparkEntry {
         |SELECT user_id, w_start, w_end, n, sum_value FROM sess
         |WHERE end_ms <= (SELECT wm FROM mx)
         |ORDER BY user_id, w_start""".stripMargin,
+
+    // Plain join + rollup — the stateless stream-static enrichment
+    // lands exactly the batch-join rows.
+    "q_stream_enrich" ->
+      """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Each event unnests into its two epoch-aligned hopping windows:
     // H = ⌊sec/43200⌋·43200 and H − 43200 (nested-floor equality makes
@@ -4684,6 +4795,34 @@ object SparkEntry {
         |JOIN documents ta ON ta.doc_id = id_a
         |JOIN documents tb ON tb.doc_id = id_b
         |WHERE levenshtein(ta.text, tb.text) * 5 <= greatest(len(ta.text), len(tb.text))
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // q_dedup_jaccard's exhaustive pairs × q_sample_mix's split-hash
+    // arithmetic; keep only cross-split pairs.
+    "q_split_leakage" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 < 0.875 THEN 'train'
+        |         WHEN ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 < 0.9375 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |p AS (
+        |  SELECT id_a, id_b, jaccard FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.5)
+        |SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jaccard
+        |FROM p JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b
+        |WHERE sa.split <> sb.split
         |ORDER BY id_a, id_b""".stripMargin,
 
     // Brute-force all-pairs DIRECTED containment |A∩B|/|A| (both

@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+
+/** Distributed triangle counting by degree-ordered edge orientation —
+  * the compact-forward / Chiba-Nishizeki form large-graph engines use
+  * (and the standard MapReduce formulation, Suri & Vassilvitskii's
+  * "last reducer" paper): canonicalize the edge set to undirected
+  * (a < b) pairs, orient every edge from its (degree, id)-smaller
+  * endpoint to the larger, enumerate wedges by joining oriented edges
+  * on their center, and close each wedge against the canonical edge
+  * set.
+  *
+  * Why this survives 100 TB where the naive 3-way edge self-join dies:
+  * the acyclic orientation bounds every node's OUT-degree by O(√m) on
+  * any graph (a node of degree d > √m only points to higher-degree
+  * nodes, of which there are < 2√m), so the wedge join's per-key
+  * fan-out — the quadratic blow-up a star node causes in the naive
+  * plan — is capped independent of the maximum degree. Three keyed
+  * shuffles total (degree agg, wedge join, closing join); every
+  * triangle is produced exactly once, at its orientation-minimum
+  * vertex.
+  */
+object Triangles {
+
+  /** One row (n_edges, n_wedges, n_triangles) for the UNDIRECTED
+    * simple graph underlying `edges` (direction, duplicates, and
+    * self-loops are normalized away first). n_wedges counts the
+    * oriented wedges the closing join probes — the plan's actual work,
+    * and with n_triangles the global clustering coefficient's two
+    * ingredients (3·Δ / open-wedge-count is left to the consumer —
+    * integer outputs only).
+    */
+  def count(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(F.count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("w"))
+    // Wedge pair {x, y} emitted once via x < y (both are out-neighbors
+    // of the same center u); the closing edge is then the canonical
+    // pair (x, y) itself.
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.w").as("x"), col("e2.w").as("y"))
+    // Wedge count and closing-edge count fold into ONE job (left join
+    // + indicator sum); the edge count reuses the cached canonical set.
+    val counts = wedges
+      .join(und.select(col("a").as("x"), col("b").as("y"), lit(1L).as("__c")),
+        Seq("x", "y"), "left")
+      .agg(F.count(lit(1)).as("nw"), coalesce(sum(col("__c")), lit(0L)).as("nt"))
+      .head()
+    val nE = und.count()
+    und.unpersist()
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((nE, counts.getLong(0), counts.getLong(1)))
+      .toDF("n_edges", "n_wedges", "n_triangles")
+  }
+}

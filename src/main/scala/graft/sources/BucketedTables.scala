@@ -34,7 +34,15 @@ object BucketedTables {
     val loc = new org.apache.hadoop.fs.Path(warehouse, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    val w = df.write
+    // Pre-partition by the bucket column with the SAME hash the bucket
+    // layout uses: without this, every write task emits a file into
+    // every bucket (tasks × buckets small files — 1024 for a 32-task
+    // 32-bucket write, paid again by every probe's file listing);
+    // with it, each task holds exactly one bucket → `buckets` files
+    // total. One skinny shuffle at write time buys the at-rest layout
+    // the operator exists for.
+    val w = df.repartition(buckets, org.apache.spark.sql.functions.col(bucketCol))
+      .write
       .mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(buckets, bucketCol)

@@ -554,10 +554,11 @@ object SparkEntry {
     // domain resolves against the embedded public-suffix subset
     // (graft.text.UrlOps).
     "q_url_canon" -> { (s, dir) =>
-      syntheticUrls(s, dir)
-        .select(col("o_orderkey"), col("url"),
-          graft.text.UrlOps.canonicalize(col("url")).as("canon"),
-          graft.text.UrlOps.urlDomain(col("url")).as("domain"))
+      // One-pass kernel (pinned ≡ the canonicalize/urlDomain Column
+      // forms by UrlOpsSpec): the Column tree's interpreted
+      // percent-escape HOF + repeated regexes cost ~40 µs/row.
+      graft.text.UrlOps.withCanonical(
+        syntheticUrls(s, dir).select(col("o_orderkey"), col("url")), "url")
         .orderBy("o_orderkey")
     },
 

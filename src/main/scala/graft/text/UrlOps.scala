@@ -121,4 +121,128 @@ object UrlOps {
 
   /** Registrable domain straight from a raw URL. */
   def urlDomain(url: Column): Column = registrableDomain(host(url))
+
+  // ---- one-pass JVM kernel ------------------------------------------
+
+  private lazy val multiSuffixSet: Set[String] = MultiSuffixes.toSet
+
+  /** (canonical, domain) of one raw URL — the [[canonicalize]] +
+    * [[urlDomain]] Column pair as ONE hand-rolled scan, for the hot
+    * path: the Column tree costs several regex passes plus an
+    * INTERPRETED higher-order transform per row (HOFs don't codegen),
+    * ~40 µs/row at sf0.1; this kernel is one pass over the chars.
+    * Semantics are pinned character-for-character equal to the Column
+    * forms by UrlOpsSpec (incl. userinfo, overlapping %%-escapes,
+    * trailing '?', fragments, portless/non-URL inputs) — the
+    * kernel≡Column discipline of TextFunctions/DocProfile.
+    */
+  private[graft] def canonDomainKernel(raw: String): (String, String) = {
+    if (raw == null) return (null, null)
+    // Spark's trim(col) strips ASCII spaces only.
+    var lo = 0
+    var hi = raw.length
+    while (lo < hi && raw.charAt(lo) == ' ') lo += 1
+    while (hi > lo && raw.charAt(hi - 1) == ' ') hi -= 1
+    val s = raw.substring(lo, hi)
+    // scheme = ^[A-Za-z][A-Za-z0-9+.-]*://
+    def schemeEnd: Int = {
+      if (s.isEmpty) return -1
+      val c0 = s.charAt(0)
+      if (!(c0.isLetter && c0 < 128)) return -1
+      var i = 1
+      while (i < s.length && {
+        val c = s.charAt(i)
+        (c.isLetterOrDigit && c < 128) || c == '+' || c == '.' || c == '-'
+      }) i += 1
+      if (i + 2 < s.length && s.charAt(i) == ':' && s.charAt(i + 1) == '/' &&
+        s.charAt(i + 2) == '/') i
+      else -1
+    }
+    val se = schemeEnd
+    if (se < 0) return (null, extractDomain(""))
+    val sch = s.substring(0, se).toLowerCase
+    val authStart = se + 3
+    var authEnd = authStart
+    while (authEnd < s.length && {
+      val c = s.charAt(authEnd); c != '/' && c != '?' && c != '#'
+    }) authEnd += 1
+    val hostport = s.substring(authStart, authEnd)
+    // userinfo: "(?:[^@]*@)?" — up to the FIRST '@'
+    val at = hostport.indexOf('@')
+    val afterUser = if (at >= 0) at + 1 else 0
+    // host = [^:@]* from there
+    var he = afterUser
+    while (he < hostport.length && {
+      val c = hostport.charAt(he); c != ':' && c != '@'
+    }) he += 1
+    val host = hostport.substring(afterUser, he).toLowerCase
+    // port = ":([0-9]+)$" over the FULL hostport
+    val colon = hostport.lastIndexOf(':')
+    val port =
+      if (colon >= 0 && colon < hostport.length - 1 &&
+        hostport.substring(colon + 1).forall(c => c >= '0' && c <= '9'))
+        hostport.substring(colon + 1)
+      else ""
+    // path+query: from authority end up to '#', trailing '?' dropped,
+    // empty → "/"
+    var pqEnd = authEnd
+    while (pqEnd < s.length && s.charAt(pqEnd) != '#') pqEnd += 1
+    var pq = s.substring(authEnd, pqEnd)
+    if (pq.endsWith("?")) pq = pq.substring(0, pq.length - 1)
+    if (pq.isEmpty) pq = "/"
+    // uppercase the two chars after each '%'
+    val sb = new java.lang.StringBuilder(pq.length)
+    var i = 0
+    while (i < pq.length) {
+      val c = pq.charAt(i)
+      if (i >= 1 && pq.charAt(i - 1) == '%') sb.append(c.toUpper)
+      else if (i >= 2 && pq.charAt(i - 2) == '%') sb.append(c.toUpper)
+      else sb.append(c)
+      i += 1
+    }
+    val keepPort = port.nonEmpty &&
+      !((sch == "http" && port == "80") || (sch == "https" && port == "443"))
+    val canon =
+      if (sch.isEmpty || host.isEmpty) null
+      else sch + "://" + host + (if (keepPort) ":" + port else "") + sb.toString
+    (canon, extractDomain(host))
+  }
+
+  /** [[registrableDomain]] as a JVM function — Spark split("\\.")
+    * keeps trailing empties (limit −1), mirrored here.
+    */
+  private def extractDomain(host: String): String = {
+    if (host == null) return null
+    val labels = host.split("\\.", -1)
+    val n = labels.length
+    if (n <= 1) host
+    else {
+      val last2 = labels(n - 2) + "." + labels(n - 1)
+      if (n >= 3 && multiSuffixSet.contains(last2))
+        labels(n - 3) + "." + last2
+      else last2
+    }
+  }
+
+  /** `df` plus canonical-URL and registrable-domain columns via the
+    * one-pass kernel (kernel ≡ Column forms pinned by spec).
+    */
+  def withCanonical(
+      df: org.apache.spark.sql.DataFrame,
+      urlCol: String,
+      canonCol: String = "canon",
+      domainCol: String = "domain"): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.StringType
+    val outSchema = df.schema.add(canonCol, StringType).add(domainCol, StringType)
+    val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(urlCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val (c, d) = canonDomainKernel(
+          if (r.isNullAt(idx)) null else r.getString(idx))
+        Row.fromSeq(r.toSeq :+ c :+ d)
+      }
+    }(enc)
+  }
 }

@@ -1900,6 +1900,27 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // Hashing-trick vectorizer (the fastText input layer): token →
+    // md5-prefix-60 mod 256, (doc, bucket, tf) long form — NO
+    // vocabulary state, post-shuffle key space capped at D regardless
+    // of corpus size (graft.text.FeatureHash).
+    "q_feature_hash" -> { (s, dir) =>
+      graft.text.FeatureHash.hashedCounts(
+        Tables.load(s, dir, "documents"), "text", "doc_id", dims = 256)
+        .orderBy("doc_id", "bucket")
+    },
+
+    // Deterministic PCA (top principal component) by power iteration
+    // over the embedding cloud — dominant-direction diagnostics /
+    // whitening input. One aggregation per iteration, d doubles of
+    // driver state; every rounded intermediate fed by an EXACT
+    // decimal sum (graft.sim.Pca; oracle unrolls both iterations).
+    "q_pca" -> { (s, dir) =>
+      graft.sim.Pca.topComponent(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", iters = 2)
+        .orderBy("j")
+    },
+
     // SemDedup-style SEMANTIC dedup (Abbas et al. '23 shape): k-means
     // clusters as the blocking key, exact cosine pairs only within a
     // cluster (quadratic only inside a block), connected components,
@@ -2984,6 +3005,48 @@ object SparkEntry {
                   |  FROM a$i a JOIN ev e ON a.vec_id = e.vec_id GROUP BY 1, 2),
                   |""".stripMargin
     }
+    sb.toString
+  }
+
+  /** Unrolled power-iteration PCA replay (graft.sim.Pca): inputs
+    * rounded to 6-decimal DECIMALs once, mean from exact-sum-cast-
+    * double (the Profile contract), per-iteration row dots and
+    * dimension sums as EXACT DECIMAL(38,12) aggregations (order-
+    * independent), w rounded 6 before the norm so the sum of squares
+    * is exact too; only sqrt and the final division run in doubles.
+    */
+  private def pcaCtes(iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH ev AS (
+        |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS j,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS x
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |mu AS (
+        |  SELECT j, CAST(round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS DECIMAL(18,6)) AS mu
+        |  FROM ev GROUP BY 1),
+        |cen AS (
+        |  SELECT id, ev.j, CAST(ev.x - mu.mu AS DECIMAL(18,6)) AS c
+        |  FROM ev JOIN mu ON ev.j = mu.j),
+        |v0 AS (
+        |  SELECT j, CAST(round(1.0 / sqrt((SELECT CAST(count(DISTINCT j) AS DOUBLE) FROM ev)), 6) AS DECIMAL(18,6)) AS vj
+        |  FROM (SELECT DISTINCT j FROM ev)),
+        |""".stripMargin)
+    for (k <- 1 to iters) {
+      sb ++= s"""d$k AS (
+                |  SELECT id, CAST(round(sum(CAST(c * vj AS DECIMAL(38,12))), 6) AS DECIMAL(18,6)) AS dt
+                |  FROM cen JOIN v${k - 1} USING (j) GROUP BY id),
+                |w$k AS (
+                |  SELECT cen.j, CAST(round(sum(CAST(c * dt AS DECIMAL(38,12))), 6) AS DECIMAL(18,6)) AS w6
+                |  FROM cen JOIN d$k USING (id) GROUP BY cen.j),
+                |n$k AS (
+                |  SELECT sqrt(CAST(sum(CAST(w6 * w6 AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w$k),
+                |v$k AS (
+                |  SELECT j, CAST(round(CAST(w6 AS DOUBLE) / (SELECT nrm FROM n$k), 6) AS DECIMAL(18,6)) AS vj
+                |  FROM w$k),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"\nSELECT j, CAST(vj AS DOUBLE) AS loading FROM v$iters ORDER BY j"
     sb.toString
   }
 
@@ -5177,6 +5240,19 @@ object SparkEntry {
     "q_kmeans" ->
       (kmeansCtes(k = 8, iters = 2, salt = "km").stripSuffix(",\n") +
         "\nSELECT vec_id, rank AS cluster FROM a3 ORDER BY vec_id"),
+
+    "q_pca" -> pcaCtes(2),
+
+    // Same md5-prefix-60 bucket arithmetic as the Sampling oracles.
+    "q_feature_hash" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS bucket,
+        |  count(*) AS tf
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // kmeansCtes assignments as the blocking key, then q_dedup_embed's
     // within-block cosine pairs + recursive closure + keep-min-id.

@@ -739,7 +739,7 @@ object SparkEntry {
     // q_chunk; whitespace n_toks kept alongside as the cross-check.
     "q_chunk_bpe" -> { (s, dir) =>
       val merges = bpeModelFor(s, dir).merges
-      Tables.load(s, dir, "documents")
+      val chunks = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) > 0)
@@ -750,8 +750,11 @@ object SparkEntry {
           size(slice(col("toks"), col("start") + 1, lit(50))).as("n_toks"),
           concat_ws(" ", slice(col("toks"), col("start") + 1, lit(50)))
             .as("chunk_text"))
-        .select(col("doc_id"), col("chunk_idx"), col("n_toks"),
-          graft.text.Bpe.countTokens(col("chunk_text"), merges).as("n_bpe"),
+      // BPE counts via the JVM kernel (pinned ≡ the countTokens Column
+      // form by BpeSpec): the Column tree's interpreted per-word
+      // replace chain was the #6 bench query at 5.6 s.
+      graft.text.Bpe.withBpeCount(chunks, "chunk_text", merges, "n_bpe")
+        .select(col("doc_id"), col("chunk_idx"), col("n_toks"), col("n_bpe"),
           md5(col("chunk_text")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
     },

@@ -153,4 +153,91 @@ object Bpe {
     })
     coalesce(aggregate(perWord, lit(0L), (acc, x) => acc + x), lit(0L))
   }
+
+  // ---- one-pass JVM kernel ------------------------------------------
+
+  /** [[countTokens]] as a JVM function — the hot-path form: the Column
+    * tree runs `merges.size` chained replaces inside an INTERPRETED
+    * higher-order transform per word (~16 string walks × every word of
+    * every chunk). Same semantics symbol-for-symbol: lowercase
+    * [a-z0-9]+ word runs, char-wrapped symbol strings, the merges as
+    * left-to-right non-overlapping replaces in training order (Java
+    * String.replace ≡ SQL replace), then the symbol count. Pinned ≡
+    * the Column form by BpeSpec (kernel≡Column, the
+    * TextFunctions/UrlOps discipline).
+    */
+  def countTokensJvm(text: String, merges: Seq[Merge]): Long = {
+    if (text == null) return 0L
+    val finds = merges.map(m => s"|${m.lhs}||${m.rhs}|").toArray
+    val repls = merges.map(m => s"|${m.lhs}${m.rhs}|").toArray
+    countTokensJvmPre(text, finds, repls)
+  }
+
+  private def countTokensJvmPre(
+      text: String,
+      finds: Array[String],
+      repls: Array[String]): Long = {
+    if (text == null) return 0L
+    // Locale-independent, matching Spark's lower() (a default-locale
+    // toLowerCase would hit the Turkish-I trap).
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    var total = 0L
+    var i = 0
+    val n = lower.length
+    while (i < n) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = lower.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        // wrapped symbol string of the word lower[i, j)
+        val sb = new java.lang.StringBuilder(2 + 3 * (j - i) + 2)
+        sb.append('|')
+        var k = i
+        while (k < j) { sb.append(lower.charAt(k)).append("||"); k += 1 }
+        sb.append("_|")
+        var sym = sb.toString
+        var m = 0
+        while (m < finds.length) {
+          sym = sym.replace(finds(m), repls(m))
+          m += 1
+        }
+        // symbols = '||' joints in the inner string + 1
+        var joints = 0
+        var p = sym.indexOf("||", 1)
+        while (p >= 0 && p < sym.length - 2) {
+          joints += 1
+          p = sym.indexOf("||", p + 2)
+        }
+        total += joints + 1
+        i = j
+      } else i += 1
+    }
+    total
+  }
+
+  /** `df` plus `outCol` = [[countTokensJvm]] of `textCol` — one
+    * mapPartitions pass with the merge tables precompiled once.
+    */
+  def withBpeCount(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      merges: Seq[Merge],
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = df.schema.add(outCol, LongType, nullable = false)
+    val enc = Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    val finds = merges.map(m => s"|${m.lhs}||${m.rhs}|").toArray
+    val repls = merges.map(m => s"|${m.lhs}${m.rhs}|").toArray
+    df.mapPartitions { it =>
+      it.map { r =>
+        val t = if (r.isNullAt(idx)) null else r.getString(idx)
+        Row.fromSeq(r.toSeq :+ countTokensJvmPre(t, finds, repls))
+      }
+    }(enc)
+  }
 }

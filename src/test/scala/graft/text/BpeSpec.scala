@@ -45,6 +45,22 @@ class BpeSpec extends SparkSpec {
     assert(a(2).getLong(1) == 2L)
   }
 
+  test("JVM kernel ≡ countTokens Column form (adversarial + corpus)") {
+    val m = Bpe.train(corpus, "text", steps = 3)
+    val adversarial = Seq(
+      (1L, "aaab aaab"), (2L, "aab"), (3L, ""), (4L, "  !?—  "),
+      (5L, "AAAB Aab"), (6L, "unseen words zzz9"), (7L, "a"),
+      (8L, "mixed aaab-aab.aaab"), (9L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val colForm = adversarial.select(col("doc_id"),
+        Bpe.countTokens(col("text"), m.merges).as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val kernel = Bpe.withBpeCount(adversarial, "text", m.merges, "n")
+      .select("doc_id", "n")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(colForm.toSeq == kernel.toSeq)
+  }
+
   test("wordless docs count 0; unseen words still encode via countTokens") {
     val m = Bpe.train(corpus, "text", steps = 2)
     val odd = Seq((9L, "!!! ???"), (10L, "baab")).toDF("doc_id", "text")

@@ -476,6 +476,59 @@ object SparkEntry {
     // (salt, doc_id) — layout/retry/cluster-size invariant, unlike
     // df.sample. Rates and cuts are dyadic (exact in binary), so the
     // threshold comparison is bit-identical in any IEEE engine.
+    // Train/test distribution-drift report (population stability
+    // index, the deployment-monitoring standard): doc length binned
+    // at fixed 100-char width, add-1-smoothed shares per split, and
+    // the PER-BIN PSI term (p−q)·ln(p/q) rounded 6 — emitted per bin
+    // with its integer counts, never pre-summed (a cross-bin double
+    // sum would be summation-order-dependent; the consumer adds ≤20
+    // rounded terms). One groupBy + a window total; scale-safe.
+    "q_drift" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val split = Sampling.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
+        salt = "split1")
+        .filter(col("split").isin("train", "test"))
+      val binned = split.select(col("split"),
+        least(floor(col("n_chars") / 100), lit(19L)).as("bin"))
+      val counts = binned.groupBy("bin").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      val wAll = Window.partitionBy()
+      val nBins = lit(20.0)
+      val tTrain = sum(col("n_train")).over(wAll).cast("double")
+      val tTest = sum(col("n_test")).over(wAll).cast("double")
+      counts
+        .withColumn("p", (col("n_train") + lit(1.0)) / (tTrain + nBins))
+        .withColumn("q", (col("n_test") + lit(1.0)) / (tTest + nBins))
+        .select(col("bin"), col("n_train"), col("n_test"),
+          round((col("p") - col("q")) * log(col("p") / col("q")), 6)
+            .as("psi_term"))
+        .orderBy("bin")
+    },
+
+    // Deterministic negative sampling (contrastive-training pairs):
+    // per anchor doc, k=4 negatives via neg = (doc_id + 1 + h mod
+    // (N−1)) mod N with h = the md5-prefix-60 of "neg|id|j" — never
+    // the anchor itself by construction, uniform over the others,
+    // layout/retry-invariant (no RNG state). Dense 0..N−1 ids are the
+    // fixture's contract; the general form maps through a dense rank
+    // first (GlobalRank). Pure projection — no shuffle at all.
+    "q_negative_sample" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val n = docs.count()
+      val ks = (0 until 4).map { j =>
+        val h = conv(substring(md5(
+          concat(lit(s"neg|"), col("doc_id").cast("string"), lit(s"|$j"))), 1, 15),
+          16, 10).cast("long")
+        struct(lit(j).as("j"),
+          pmod(col("doc_id") + 1 + pmod(h, lit(n - 1)), lit(n)).as("neg_id"))
+      }
+      docs.select(col("doc_id"), explode(array(ks: _*)).as("x"))
+        .select(col("doc_id"), col("x.j").as("j"), col("x.neg_id").as("neg_id"))
+        .orderBy("doc_id", "j")
+    },
+
     "q_sample_mix" -> { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       val weights = (0 to 19).map { i =>
@@ -3861,6 +3914,46 @@ object SparkEntry {
         |  count(*) AS n_total
         |FROM ev LEFT JOIN cg ON ev.gram = cg.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same split-hash arithmetic; per-bin PSI terms with identical
+    // operation order ((p − q) · ln(p / q), add-1 smoothing).
+    "q_drift" ->
+      """WITH sp AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN u < 0.875 THEN 'train' WHEN u < 0.9375 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, n_chars,
+        |          ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |            / 1152921504606846976.0 AS u
+        |        FROM documents)),
+        |b AS (
+        |  SELECT split, least(CAST(floor(n_chars / 100) AS BIGINT), 19) AS bin
+        |  FROM sp WHERE split IN ('train', 'test')),
+        |c AS (
+        |  SELECT bin,
+        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+        |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_train) AS DOUBLE) AS tt,
+        |             CAST(sum(n_test) AS DOUBLE) AS te FROM c)
+        |SELECT bin, CAST(n_train AS BIGINT) AS n_train,
+        |  CAST(n_test AS BIGINT) AS n_test,
+        |  round(((n_train + 1.0) / ((SELECT tt FROM t) + 20.0)
+        |         - (n_test + 1.0) / ((SELECT te FROM t) + 20.0))
+        |    * ln(((n_train + 1.0) / ((SELECT tt FROM t) + 20.0))
+        |         / ((n_test + 1.0) / ((SELECT te FROM t) + 20.0))), 6) AS psi_term
+        |FROM c ORDER BY bin""".stripMargin,
+
+    // Same md5-prefix-60 arithmetic; anchor-exclusion by construction.
+    "q_negative_sample" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |jj AS (SELECT unnest(range(4)) AS j)
+        |SELECT d.doc_id, CAST(jj.j AS INT) AS j,
+        |  (d.doc_id + 1 +
+        |   (('0x' || substr(md5('neg|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)), 1, 15))::BIGINT
+        |    % ((SELECT n FROM nn) - 1))) % (SELECT n FROM nn) AS neg_id
+        |FROM documents d CROSS JOIN jj
+        |ORDER BY doc_id, j""".stripMargin,
 
     // The exact 60-bit md5-prefix hash arithmetic of Sampling.hashUnit;
     // all rates/cuts dyadic so the double thresholds are exact.

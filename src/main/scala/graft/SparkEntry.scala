@@ -1774,6 +1774,40 @@ object SparkEntry {
         .select("vec_id", "label", "score")
     },
 
+    // Hybrid retrieval with reciprocal-rank fusion (the RAG-serving
+    // standard): the BM25 lexical list and the cosine vector list for
+    // one query, each ranked on its ROUNDED score (identical in any
+    // engine → identical ranks), fused by Σ 1/(60 + rank) over the
+    // lists a doc appears in, top-20. The rank windows run over
+    // SERVING LISTS (≤50 rows post-limit, the postings-matched set),
+    // not the corpus — single-partition by design, like any reranker.
+    "q_rrf_fusion" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val lex = Bm25.score(docs, "text", "doc_id", Seq("spark", "sort", "hash"))
+        .select(col("doc_id"), col("score"))
+        .withColumn("r_lex",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("r_lex") <= 50)
+        .select("doc_id", "r_lex")
+      val vec = VectorSim.topK(e, "embedding", qv, k = 50, tieBreak = "vec_id")
+        .select(col("vec_id").as("doc_id"), col("score"))
+        .withColumn("r_vec",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select("doc_id", "r_vec")
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)), 6)
+            .as("rrf"),
+          col("r_lex"), col("r_vec"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
     // Exact cosine near-dup pairs blocked by label (quadratic only
     // inside a label block — sharded-GEMM shape).
     "q_cosine_pairs" -> { (s, dir) =>
@@ -6073,6 +6107,52 @@ object SparkEntry {
         |  count(*) AS n_terms
         |FROM post JOIN dfreq USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The q_bm25 scoring CTEs and the q_knn cosine CTEs, each ranked
+    // on its rounded score, fused by Σ 1/(60 + rank).
+    "q_rrf_fusion" ->
+      """WITH b2 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |b3 AS (SELECT doc_id, toks, len(toks) AS l FROM b2),
+        |consts AS (SELECT count(*) AS n, CAST(sum(l) AS DOUBLE) / count(*) AS avglen FROM b3),
+        |post AS (
+        |  SELECT doc_id, l, t, count(*) AS tf FROM (
+        |    SELECT doc_id, l, unnest(toks) AS t FROM b3)
+        |  WHERE t IN ('spark', 'sort', 'hash') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id,
+        |    round(sum(
+        |      ln(1 + ((SELECT n FROM consts) - df + 0.5) / (df + 0.5))
+        |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * l / (SELECT avglen FROM consts)))), 6) AS score
+        |  FROM post JOIN dfreq USING (t) GROUP BY doc_id),
+        |lexr AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
+        |  FROM lex QUALIFY r_lex <= 50),
+        |ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
+        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+        |dots AS (SELECT e.vec_id, sum(e.x * q.x) AS d FROM ev e JOIN q ON e.i = q.i GROUP BY 1),
+        |vecs AS (
+        |  SELECT norms.vec_id AS doc_id,
+        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+        |      THEN dots.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+        |  FROM dots JOIN norms ON dots.vec_id = norms.vec_id),
+        |vecr AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_vec
+        |  FROM vecs QUALIFY r_vec <= 50)
+        |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |  round(coalesce(1.0 / (60.0 + r_lex), 0.0)
+        |    + coalesce(1.0 / (60.0 + r_vec), 0.0), 6) AS rrf,
+        |  l.r_lex, v.r_vec
+        |FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     // Same counts (exact longs), same add-1 smoothing, same ln — the
     // per-doc mean rounds to 6 on both sides.

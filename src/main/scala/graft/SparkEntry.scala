@@ -476,6 +476,32 @@ object SparkEntry {
     // (salt, doc_id) — layout/retry/cluster-size invariant, unlike
     // df.sample. Rates and cuts are dyadic (exact in binary), so the
     // threshold comparison is bit-identical in any IEEE engine.
+    // Winsorization (outlier capping at exact p05/p95, the feature-
+    // cleaning standard): cut values from the DISTRIBUTED global rank
+    // (one range shuffle — never a single-partition window, the
+    // q_histogram_eqdepth machinery), ranks k = max(1, ⌊n·p/100⌋) in
+    // exact integer arithmetic, clamp, then per-source integer stats.
+    // Driver state: two scalar cut values (the ReverseSkyline bbox
+    // class of bounded collect).
+    "q_winsorize" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val ranked = graft.operators.GlobalRank.withGlobalRank(docs,
+        Seq(col("n_chars"), col("doc_id")), "r")
+      val n = docs.count()
+      val k05 = math.max(1L, n * 5 / 100)
+      val k95 = math.max(1L, n * 95 / 100)
+      val cuts = ranked.filter(col("r") === k05 || col("r") === k95)
+        .select(col("r"), col("n_chars")).collect()
+        .map(row => row.getLong(0) -> row.getLong(1)).toMap
+      val (lo, hi) = (cuts(k05), cuts(k95))
+      docs.select(col("source"),
+          least(greatest(col("n_chars"), lit(lo)), lit(hi)).as("clamped"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("clamped")).as("sum_clamped"),
+          min(col("clamped")).as("min_clamped"), max(col("clamped")).as("max_clamped"))
+        .orderBy("source")
+    },
+
     // Train/test distribution-drift report (population stability
     // index, the deployment-monitoring standard): doc length binned
     // at fixed 100-char width, add-1-smoothed shares per split, and
@@ -3948,6 +3974,25 @@ object SparkEntry {
         |  count(*) AS n_total
         |FROM ev LEFT JOIN cg ON ev.gram = cg.gram
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // row_number mirror of the distributed rank; identical integer
+    // k = max(1, n·p//100) and clamp arithmetic.
+    "q_winsorize" ->
+      """WITH o AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS r
+        |  FROM documents),
+        |nn AS (SELECT count(*) AS c FROM documents),
+        |k AS (SELECT greatest((SELECT c FROM nn) * 5 // 100, 1) AS k05,
+        |             greatest((SELECT c FROM nn) * 95 // 100, 1) AS k95),
+        |cuts AS (SELECT
+        |  (SELECT n_chars FROM o WHERE r = (SELECT k05 FROM k)) AS lo,
+        |  (SELECT n_chars FROM o WHERE r = (SELECT k95 FROM k)) AS hi)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(least(greatest(n_chars, (SELECT lo FROM cuts)), (SELECT hi FROM cuts))) AS BIGINT) AS sum_clamped,
+        |  CAST(min(least(greatest(n_chars, (SELECT lo FROM cuts)), (SELECT hi FROM cuts))) AS BIGINT) AS min_clamped,
+        |  CAST(max(least(greatest(n_chars, (SELECT lo FROM cuts)), (SELECT hi FROM cuts))) AS BIGINT) AS max_clamped
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // Same split-hash arithmetic; per-bin PSI terms with identical
     // operation order ((p − q) · ln(p / q), add-1 smoothing).

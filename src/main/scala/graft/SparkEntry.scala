@@ -1707,6 +1707,64 @@ object SparkEntry {
       s.table(qname).orderBy("fp")
     },
 
+    // STREAMING CDC APPLY — the foreachBatch idempotent-merge sink
+    // (the Delta-style MERGE INTO loop without a table format): event
+    // updates arrive as a stream in FORCED multiple micro-batches
+    // (maxFilesPerTrigger=1 over a day-partitioned copy), and each
+    // batch read-merges-overwrites the target via latest-wins.
+    // Latest-wins over unique versions is associative+commutative, so
+    // the FINAL table is independent of batch boundaries — exactly
+    // the idempotence a restart-safe sink needs; the oracle is the
+    // plain one-shot window over all updates.
+    "q_stream_upsert" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = s"$tmp/graft_streamup_src_$tag"
+      val tgtPath = s"$tmp/graft_streamup_tgt_$tag"
+      // Day-keyed 4-file copy: maxFilesPerTrigger=1 then forces 4
+      // genuine incremental merges (31 single-day batches would be
+      // pure harness overhead).
+      Tables.loadEvents(s, dir)
+        .select(col("user_id"), col("event_id").as("version"),
+          round(col("value"), 2).as("value"),
+          dayofmonth(col("ts")).as("d"))
+        .repartition(4, col("d"))
+        .write.mode("overwrite").parquet(srcPath)
+      val fs = new org.apache.hadoop.fs.Path(tgtPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tgtPath), true)
+      val sch = s.read.parquet(srcPath).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(srcPath)
+        .select("user_id", "version", "value")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamup_ckpt").toString
+      val query = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cur =
+            if (fs.exists(new org.apache.hadoop.fs.Path(tgtPath)))
+              s.read.parquet(tgtPath)
+            else batch.limit(0)
+          val merged = graft.operators.Upsert.latestWins(
+            cur, batch, Seq("user_id"), "version")
+          // Write-then-swap (never overwrite the directory being
+          // read, never collect the table): the snapshot-isolation
+          // move a real table format does with a manifest.
+          val next = new org.apache.hadoop.fs.Path(tgtPath + "_next")
+          merged.write.mode("overwrite").parquet(next.toString)
+          fs.delete(new org.apache.hadoop.fs.Path(tgtPath), true)
+          fs.rename(next, new org.apache.hadoop.fs.Path(tgtPath))
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      s.read.parquet(tgtPath)
+        .select("user_id", "version", "value")
+        .orderBy("user_id")
+    },
+
     // SUBSTRING-level exact dedup (Lee et al. ACL'22 mode): maximal
     // token spans repeated verbatim anywhere in the corpus — the
     // shared-boilerplate-inside-distinct-documents case document-level
@@ -4899,6 +4957,14 @@ object SparkEntry {
         |SELECT user_id, w_start, w_end, n, sum_value FROM sess
         |WHERE end_ms <= (SELECT wm FROM mx)
         |ORDER BY user_id, w_start""".stripMargin,
+
+    // One-shot window over all updates — the batch-boundary-invariant
+    // final state of the foreachBatch merge loop.
+    "q_stream_upsert" ->
+      """SELECT user_id, version, value FROM (
+        |  SELECT user_id, event_id AS version, round(value, 2) AS value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
     // Plain join + rollup — the stateless stream-static enrichment
     // lands exactly the batch-join rows.

@@ -114,7 +114,7 @@ object SparkEntry {
     * normalization branch exercised; the oracle builds the IDENTICAL
     * strings from the same orders columns.
     */
-  private def syntheticUrlExpr(custkey: Column, orderkey: Column): Column =
+  private[graft] def syntheticUrlExpr(custkey: Column, orderkey: Column): Column =
     concat(
       when(pmod(orderkey, lit(3)) === 0, "HTTP")
         .when(pmod(orderkey, lit(3)) === 1, "https")

@@ -1393,7 +1393,11 @@ object SparkEntry {
       val dst = graft.text.UrlOps.host(
         syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
           col("o_orderkey") + 1))
+      // Exchange barrier before filter/distinct: CollapseProject would
+      // re-inline the URL host expressions into every consumer (~4-6
+      // evaluations per row — the Triangles.count lesson).
       val edges = o.select(src.as("src"), dst.as("dst"))
+        .repartition(col("src"), col("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
       graft.graph.PageRank.pageRank(edges, "src", "dst", iters = 3)

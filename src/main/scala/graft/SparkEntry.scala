@@ -1404,6 +1404,34 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    // Degree audit of the same host graph (crawl-frontier health:
+    // fan-out per host, link-farm outliers): in/out/total degree per
+    // node over the deduped directed edges, top-10 by (total desc,
+    // id) — two keyed aggs + one outer merge, WindowGroupLimit trim.
+    "q_graph_degrees" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      val edges = o.select(src.as("src"), dst.as("dst"))
+        .repartition(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      val outDeg = edges.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("out_deg"))
+      val inDeg = edges.groupBy(col("dst").as("id"))
+        .agg(count(lit(1)).as("in_deg"))
+      outDeg.join(inDeg, Seq("id"), "full_outer")
+        .select(col("id"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"))
+        .withColumn("total_deg", col("in_deg") + col("out_deg"))
+        .orderBy(col("total_deg").desc, col("id").asc)
+        .limit(10)
+    },
+
     // Triangle census of the same host graph (community structure /
     // link-farm signal on a crawl graph): degree-ordered orientation
     // caps the wedge join's fan-out at O(√m) per node — the form that
@@ -4852,6 +4880,21 @@ object SparkEntry {
         hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
         " AS dst FROM orders), " +
         "e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst)"),
+
+    // Same host edges; per-node in/out counts, full-outer merged.
+    "q_graph_degrees" ->
+      ("WITH he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders),\n" +
+        """e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+          |od AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
+          |idg AS (SELECT dst AS id, count(*) AS in_deg FROM e GROUP BY 1)
+          |SELECT coalesce(od.id, idg.id) AS id,
+          |  coalesce(in_deg, 0) AS in_deg, coalesce(out_deg, 0) AS out_deg,
+          |  coalesce(in_deg, 0) + coalesce(out_deg, 0) AS total_deg
+          |FROM od FULL JOIN idg ON od.id = idg.id
+          |ORDER BY total_deg DESC, id LIMIT 10""".stripMargin),
 
     // Same host edges; canonicalize, orient from the (degree, id)-
     // smaller endpoint, wedge-join on the center, close against the

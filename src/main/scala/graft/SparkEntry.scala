@@ -2691,6 +2691,55 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // k-SKYBAND (Papadias et al. TODS'05 §3): every point dominated by
+    // fewer than k=3 others, with its exact dominator count. Plan:
+    // per-partition SFS-sorted skyband prune (no shuffle) → broadcast
+    // the small candidate set → ONE streamed dominance-count pass over
+    // the input, map-side partial-aggregated to |candidates| rows.
+    "q_skyband" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
+      graft.skyline.Skyband.kSkyband(li, lineitemSpec, k = 3)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // TOP-K DOMINATING (Papadias et al. TODS'05 §5): the k=20 points
+    // with the largest dominance score. Candidates provably live inside
+    // the k-skyband (a dominator strictly out-scores its victims), so
+    // the scoring pass streams the input once against the broadcast
+    // skyband; ties at the cut break deterministically on the PK.
+    "q_top_dominating" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A" && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
+      graft.skyline.Skyband.topKDominating(li, lineitemSpec, k = 20,
+        tieBreak = Seq("l_orderkey", "l_linenumber"))
+        .orderBy(col("score").desc, col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // k-DOMINANT SKYLINE (Chan et al. SIGMOD'06): points no other point
+    // beats in ≥ k of the 4 dims (strictly in at least one of them).
+    // k-dominance is non-transitive, so the plan prunes with the PLAIN
+    // skyline (a provable superset of the answer) and then verifies the
+    // broadcast candidates against one streamed pass of the input. Both
+    // k=4 (≡ the plain 4-dim skyline — the degeneration Chan et al.
+    // prove) and the strictly-smaller k=3 relaxation are emitted,
+    // tagged by `k` (k=2 is already empty on this data — the paper's
+    // own motivation for not pushing k too low: k-dominance cycles
+    // eliminate everything).
+    "q_kdominant" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "N" && col("l_quantity") > 48)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+          "l_shipdate", "l_tax")
+      val spec4 = SkylineSpec(lineitemSpec.dims :+ SkyDim("l_tax", Min))
+      graft.skyline.Skyband.kDominantSkyline(li, spec4, k = 4).withColumn("k", lit(4))
+        .unionAll(
+          graft.skyline.Skyband.kDominantSkyline(li, spec4, k = 3).withColumn("k", lit(3)))
+        .orderBy("k", "l_orderkey", "l_linenumber")
+    },
+
     // The declarative anti-join skyline (p ∈ sky ⟺ no q dominates p,
     // planned as a broadcast nested-loop anti-join) — the O(n²)
     // cross-check form, registered on a deliberately small slice; the
@@ -5986,6 +6035,73 @@ object SparkEntry {
         |      OR q.l_discount > p.l_discount
         |      OR q.l_shipdate < p.l_shipdate))
         |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
+
+    "q_skyband" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_quantity > 45
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_shipdate IS NOT NULL),
+        |cnt AS (
+        |  SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate,
+        |    (SELECT count(*) FROM pts q
+        |      WHERE q.l_extendedprice <= p.l_extendedprice
+        |        AND q.l_discount >= p.l_discount
+        |        AND q.l_shipdate <= p.l_shipdate
+        |        AND (q.l_extendedprice < p.l_extendedprice
+        |          OR q.l_discount > p.l_discount
+        |          OR q.l_shipdate < p.l_shipdate)) AS dom_count
+        |  FROM pts p)
+        |SELECT * FROM cnt WHERE dom_count < 3
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_top_dominating" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'A' AND l_quantity > 45
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_shipdate IS NOT NULL),
+        |sc AS (
+        |  SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate,
+        |    (SELECT count(*) FROM pts q
+        |      WHERE p.l_extendedprice <= q.l_extendedprice
+        |        AND p.l_discount >= q.l_discount
+        |        AND p.l_shipdate <= q.l_shipdate
+        |        AND (p.l_extendedprice < q.l_extendedprice
+        |          OR p.l_discount > q.l_discount
+        |          OR p.l_shipdate < q.l_shipdate)) AS score
+        |  FROM pts p)
+        |SELECT * FROM sc
+        |ORDER BY score DESC, l_orderkey, l_linenumber
+        |LIMIT 20""".stripMargin,
+
+    "q_kdominant" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate, l_tax
+        |  FROM lineitem
+        |  WHERE l_returnflag = 'N' AND l_quantity > 48
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_shipdate IS NOT NULL AND l_tax IS NOT NULL),
+        |kd AS (
+        |  SELECT k.k, p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount,
+        |         p.l_shipdate, p.l_tax
+        |  FROM (SELECT 4 AS k UNION ALL SELECT 3) k
+        |  CROSS JOIN pts p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM pts q
+        |    WHERE (CASE WHEN q.l_extendedprice <= p.l_extendedprice THEN 1 ELSE 0 END
+        |         + CASE WHEN q.l_discount >= p.l_discount THEN 1 ELSE 0 END
+        |         + CASE WHEN q.l_shipdate <= p.l_shipdate THEN 1 ELSE 0 END
+        |         + CASE WHEN q.l_tax <= p.l_tax THEN 1 ELSE 0 END) >= k.k
+        |      AND (CASE WHEN q.l_extendedprice < p.l_extendedprice THEN 1 ELSE 0 END
+        |         + CASE WHEN q.l_discount > p.l_discount THEN 1 ELSE 0 END
+        |         + CASE WHEN q.l_shipdate < p.l_shipdate THEN 1 ELSE 0 END
+        |         + CASE WHEN q.l_tax < p.l_tax THEN 1 ELSE 0 END) >= 1))
+        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate, l_tax, k
+        |FROM kd
+        |ORDER BY k, l_orderkey, l_linenumber""".stripMargin,
 
     "q_skyline_anti" ->
       """WITH pp AS (SELECT * FROM part WHERE p_brand = 'Brand#13')

@@ -1432,6 +1432,29 @@ object SparkEntry {
         .limit(10)
     },
 
+    // BFS hop distance in the (symmetrized) customer–supplier purchase
+    // graph from the smallest node — "how many purchase hops away is
+    // everyone from this customer", the reachability/graph-distance
+    // feature of a link or interaction graph. Pregel-style frontier
+    // expansion against the src-co-located edge cache, one keyed join
+    // + one anti-join per round, until the frontier drains (4 layers
+    // here). Distances are exact integers; the oracle replays the
+    // frontier as a depth-capped recursive CTE.
+    "q_bfs" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = base.unionAll(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      val nodes = edges.select(col("src").as("id")).distinct()
+      val seed = nodes.orderBy("id").limit(1)
+      graft.graph.ShortestPath.hopDistances(edges, "src", "dst", seed,
+        maxIters = 10).orderBy("id")
+    },
+
     // Triangle census of the same host graph (community structure /
     // link-farm signal on a crawl graph): degree-ordered orientation
     // caps the wedge join's fan-out at O(√m) per node — the form that
@@ -4944,6 +4967,21 @@ object SparkEntry {
           |  coalesce(in_deg, 0) + coalesce(out_deg, 0) AS total_deg
           |FROM od FULL JOIN idg ON od.id = idg.id
           |ORDER BY total_deg DESC, id LIMIT 10""".stripMargin),
+
+    "q_bfs" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
+        |nodes AS (SELECT DISTINCT src AS id FROM e),
+        |seed AS (SELECT min(id) AS id FROM nodes),
+        |reach(id, d) AS (
+        |  SELECT id, 0 FROM seed
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.d < 10)
+        |SELECT id, min(d) AS dist FROM reach GROUP BY id
+        |ORDER BY id""".stripMargin,
 
     // Same host edges; canonicalize, orient from the (degree, id)-
     // smaller endpoint, wedge-join on the center, close against the

@@ -1582,6 +1582,18 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // HyperLogLog distinct sketch in the SQL-replayable formulation
+    // (trailing-zero rho, exact bigint-scaled harmonic sum — see
+    // stats/Hll.scala): one 64-register map-side-combinable pass,
+    // estimate cross-checked against the exact distinct in the same
+    // row. Completes the distinct-sketch pair next to KMV.
+    "q_hll" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      graft.stats.Hll.summary(o, "o_custkey")
+        .crossJoin(o.agg(
+          countDistinct(col("o_custkey")).as("exact_distinct")))
+    },
+
     // ---- dedup over `documents` ---------------------------------------
 
     // Exact content dedup: one hash-groupBy on the normalized-token md5.
@@ -5169,6 +5181,36 @@ object SparkEntry {
         |  round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
         |        ELSE CAST(count(*) - 1 AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 4) AS est_distinct
         |FROM k""".stripMargin,
+
+    "q_hll" ->
+      """WITH h AS (
+        |  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (
+        |  SELECT h % 64 AS reg,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE CAST(round(log2((h // 64) & -(h // 64))) AS INT) + 1 END AS rho
+        |  FROM h),
+        |regs AS (SELECT reg, max(rho) AS mrho FROM r GROUP BY reg),
+        |base AS (SELECT max(mrho) AS r_max, count(*) AS present FROM regs),
+        |ag AS (
+        |  SELECT (SELECT r_max FROM base) AS r_max,
+        |         CAST(64 - (SELECT present FROM base) AS BIGINT) AS zeros,
+        |         sum(CAST(1 AS BIGINT) << ((SELECT r_max FROM base) - mrho)) AS sum_present
+        |  FROM regs),
+        |s AS (SELECT r_max, zeros,
+        |        sum_present + zeros * (CAST(1 AS BIGINT) << r_max) AS sum_scaled
+        |      FROM ag)
+        |SELECT 64 AS m, zeros, r_max, sum_scaled,
+        |  round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096
+        |                   * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
+        |                   / CAST(sum_scaled AS DOUBLE)) <= 160.0 AND zeros > 0
+        |        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+        |        ELSE CAST(0.709 AS DOUBLE) * 4096
+        |             * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
+        |             / CAST(sum_scaled AS DOUBLE) END, 4) AS est_distinct,
+        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
+        |FROM s""".stripMargin,
 
     // Per-group k smallest distinct hashes via a window; the engine
     // side ships ≤ k per group per partial instead (KMinAgg).

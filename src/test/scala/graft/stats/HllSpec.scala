@@ -1,0 +1,48 @@
+package graft.stats
+
+import graft.SparkSpec
+
+class HllSpec extends SparkSpec {
+
+  private def est(n: Int): (Double, Long) = {
+    import spark.implicits._
+    val df = (1 to n).map(i => s"val_$i").toDF("v").repartition(4)
+    val row = Hll.summary(df, "v").collect().head
+    (row.getAs[Double]("est_distinct"), row.getAs[Long]("zeros"))
+  }
+
+  test("estimate tracks true cardinality within the m=64 error regime") {
+    // σ ≈ 1.04/√64 = 13%; allow 4σ to keep the test deterministic-safe
+    for (n <- Seq(200, 1000, 5000)) {
+      val (e, _) = est(n)
+      assert(math.abs(e - n) / n < 0.52, s"n=$n est=$e")
+    }
+  }
+
+  test("small cardinalities fall into the linear-counting branch and are near-exact") {
+    for (n <- Seq(3, 10, 40)) {
+      val (e, zeros) = est(n)
+      assert(zeros > 0)
+      // linear counting at m=64 is very tight for n << m
+      assert(math.abs(e - n) <= math.max(2.0, 0.25 * n), s"n=$n est=$e")
+    }
+  }
+
+  test("duplicates do not move the estimate (distinct semantics)") {
+    import spark.implicits._
+    val once = (1 to 300).map(i => s"v$i")
+    val dup = once ++ once ++ once
+    val a = Hll.summary(once.toDF("v"), "v").collect().head
+    val b = Hll.summary(dup.toDF("v").repartition(7), "v").collect().head
+    assert(a == b)
+  }
+
+  test("summary is layout-invariant and deterministic") {
+    import spark.implicits._
+    val data = (1 to 800).map(i => s"doc_$i")
+    val a = Hll.summary(data.toDF("v").repartition(2), "v").collect().head
+    val b = Hll.summary(scala.util.Random.shuffle(data).toDF("v").repartition(13), "v")
+      .collect().head
+    assert(a == b)
+  }
+}

@@ -1508,6 +1508,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Per-segment OLS trend line (price-vs-quantity slope per
+    // returnflag): one keyed pass collecting exact-decimal sufficient
+    // statistics, closed forms in fixed-shape double arithmetic — the
+    // q_zscore exact-sums discipline applied to regression.
+    "q_ols" -> { (s, dir) =>
+      graft.ml.Ols.fitGrouped(Tables.load(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice", Seq("l_returnflag"))
+        .orderBy("l_returnflag")
+    },
+
     // HOPPING (sliding) window aggregation: 1-day windows every 12
     // hours — each event lands in exactly two windows (Spark's
     // window(ts, size, hop), epoch-aligned). The overlap factor is the
@@ -5057,6 +5067,35 @@ object SparkEntry {
         |    ELSE 0.0 END, 6) AS z
         |FROM documents d JOIN g ON d.source = g.source
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_ols" ->
+      """WITH sums AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+        |    CAST(syy AS DOUBLE) AS syyd
+        |  FROM sums)
+        |SELECT l_returnflag, n,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0
+        |    THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END, 6) AS slope,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0
+        |    THEN (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd
+        |    END, 6) AS intercept,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0
+        |    THEN ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
+        |         / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END, 6) AS r2
+        |FROM d
+        |ORDER BY l_returnflag""".stripMargin,
 
     // The batch mirror of the streaming watermark cut: only windows
     // whose end (in ms — the engine's event-time resolution) is at or

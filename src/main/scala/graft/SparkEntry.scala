@@ -1508,6 +1508,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Experiment analysis: deterministic 50/50 hash split of users →
+    // per-user conversion (a high-value purchase) → 2×2 chi-square
+    // independence statistic from exact integer bucket counts in one
+    // fixed-shape double expression (stats/ABTest.scala). The readout
+    // gate of an A/B experiment, fully inside the oracle.
+    "q_chisq" -> { (s, dir) =>
+      val users = Tables.loadEvents(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1)
+          .otherwise(0)).as("conv"))
+      val split = graft.operators.Sampling.assignSplit(
+        users, "user_id", Seq("A" -> 0.5, "B" -> 0.5), "ab9")
+      graft.stats.ABTest.chiSquare2x2(split, "split", "A", "B",
+        col("conv") === 1)
+    },
+
     // Per-segment OLS trend line (price-vs-quantity slope per
     // returnflag): one keyed pass collecting exact-decimal sufficient
     // statistics, closed forms in fixed-shape double arithmetic — the
@@ -5067,6 +5083,48 @@ object SparkEntry {
         |    ELSE 0.0 END, 6) AS z
         |FROM documents d JOIN g ON d.source = g.source
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_chisq" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |sp AS (
+        |  SELECT conv,
+        |    CASE WHEN ('0x' || substr(md5('ab9|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |              / 1152921504606846976.0 < 0.5
+        |         THEN 'A' ELSE 'B' END AS split
+        |  FROM u),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN split = 'A' AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+        |    CAST(sum(CASE WHEN split = 'A' AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+        |    CAST(sum(CASE WHEN split = 'B' AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+        |    CAST(sum(CASE WHEN split = 'B' AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1
+        |  FROM sp),
+        |d AS (
+        |  SELECT a0, a1, b0, b1,
+        |    CAST(a0 AS DOUBLE) AS a0d, CAST(a1 AS DOUBLE) AS a1d,
+        |    CAST(b0 AS DOUBLE) AS b0d, CAST(b1 AS DOUBLE) AS b1d
+        |  FROM c)
+        |SELECT a0, a1, b0, b1,
+        |  CAST(a0d + a1d + b0d + b1d AS BIGINT) AS n,
+        |  round(CASE WHEN a0d + a1d > 0 AND b0d + b1d > 0
+        |              AND a0d + b0d > 0 AND a1d + b1d > 0 THEN
+        |      (a0d - (a0d + a1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
+        |    * (a0d - (a0d + a1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
+        |    / ((a0d + a1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
+        |    + (a1d - (a0d + a1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
+        |    * (a1d - (a0d + a1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
+        |    / ((a0d + a1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
+        |    + (b0d - (b0d + b1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
+        |    * (b0d - (b0d + b1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
+        |    / ((b0d + b1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
+        |    + (b1d - (b0d + b1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
+        |    * (b1d - (b0d + b1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
+        |    / ((b0d + b1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
+        |    END, 6) AS chi2
+        |FROM d""".stripMargin,
 
     "q_ols" ->
       """WITH sums AS (

@@ -1,0 +1,48 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Chi-square test of independence for a 2×2 experiment readout —
+  * "did treatment move the conversion rate" over a deterministic
+  * hash-split assignment ([[graft.operators.Sampling.assignSplit]]).
+  * The experiment-analysis gate of a data pipeline: bucket counts are
+  * exact integers off one map-side-combinable aggregation, and the
+  * statistic evaluates in ONE fixed-shape double expression from those
+  * integers — deterministic across engines (the q_zscore discipline),
+  * so even the test statistic faces the SQL oracle.
+  *
+  * Output: one row of the contingency table (a0 a1 b0 b1), totals, the
+  * chi-square statistic (1 df; Yates-uncorrected, the textbook
+  * Pearson form) rounded to 6dp.
+  */
+object ABTest {
+
+  /** `groupCol` values `ga`/`gb` are the two arms; `outcome` is a
+    * boolean Column. Rows in neither arm are ignored.
+    */
+  def chiSquare2x2(df: DataFrame, groupCol: String, ga: String, gb: String,
+      outcome: Column): DataFrame = {
+    val g = col(groupCol)
+    val counts = df.agg(
+      sum(when(g === ga && !outcome, 1L).otherwise(0L)).as("a0"),
+      sum(when(g === ga && outcome, 1L).otherwise(0L)).as("a1"),
+      sum(when(g === gb && !outcome, 1L).otherwise(0L)).as("b0"),
+      sum(when(g === gb && outcome, 1L).otherwise(0L)).as("b1"))
+    val a0 = col("a0").cast("double"); val a1 = col("a1").cast("double")
+    val b0 = col("b0").cast("double"); val b1 = col("b1").cast("double")
+    val n = a0 + a1 + b0 + b1
+    val ra = a0 + a1; val rb = b0 + b1
+    val c0 = a0 + b0; val c1 = a1 + b1
+    val ea0 = ra * c0 / n; val ea1 = ra * c1 / n
+    val eb0 = rb * c0 / n; val eb1 = rb * c1 / n
+    val chi2 = (a0 - ea0) * (a0 - ea0) / ea0 +
+      (a1 - ea1) * (a1 - ea1) / ea1 +
+      (b0 - eb0) * (b0 - eb0) / eb0 +
+      (b1 - eb1) * (b1 - eb1) / eb1
+    counts.select(
+      col("a0"), col("a1"), col("b0"), col("b1"),
+      n.cast("long").as("n"),
+      round(when(ra > 0 && rb > 0 && c0 > 0 && c1 > 0, chi2), 6).as("chi2"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ABTestSpec extends SparkSpec {
+
+  test("matches the textbook Pearson statistic on a hand 2x2 table") {
+    import spark.implicits._
+    // a: 10 fail / 20 convert; b: 25 fail / 5 convert
+    val rows = Seq.fill(10)(("A", 0)) ++ Seq.fill(20)(("A", 1)) ++
+      Seq.fill(25)(("B", 0)) ++ Seq.fill(5)(("B", 1))
+    val df = rows.toDF("arm", "conv").repartition(4)
+    val r = ABTest.chiSquare2x2(df, "arm", "A", "B", col("conv") === 1)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      (10L, 20L, 25L, 5L, 60L))
+    // by hand: E = [17.5, 12.5, 17.5, 12.5]; chi2 = 4*(7.5^2)/... = 15.428571...
+    val expected = {
+      val e = Seq(17.5, 12.5, 17.5, 12.5)
+      val o = Seq(10.0, 20.0, 25.0, 5.0)
+      o.zip(e).map { case (oo, ee) => (oo - ee) * (oo - ee) / ee }.sum
+    }
+    assert(math.abs(r.getAs[Double]("chi2") - expected) < 1e-5)
+  }
+
+  test("degenerate margins yield NULL instead of NaN") {
+    import spark.implicits._
+    val df = Seq(("A", 1), ("A", 1), ("B", 1)).toDF("arm", "conv")
+    val r = ABTest.chiSquare2x2(df, "arm", "A", "B", col("conv") === 1)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
+  test("rows outside the two arms are ignored") {
+    import spark.implicits._
+    val df = Seq(("A", 0), ("A", 1), ("B", 0), ("B", 1), ("C", 1), ("C", 0))
+      .toDF("arm", "conv")
+    val r = ABTest.chiSquare2x2(df, "arm", "A", "B", col("conv") === 1)
+      .collect().head
+    assert(r.getLong(r.fieldIndex("n")) == 4L)
+  }
+}

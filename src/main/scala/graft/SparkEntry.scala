@@ -1508,6 +1508,49 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Item-item co-purchase similarity (market-basket / "customers
+    // also bought"): distinct (order, part) pairs self-joined on the
+    // order key — fan-out bounded by basket size squared, never
+    // all-pairs over the catalog — then cosine co_cnt/√(n_a·n_b) from
+    // exact integer supports. The item-CF primitive of a recommender
+    // pipeline; co-counts ≥ 2 keep the served pair set sparse.
+    "q_item_sim" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val cnt = li.groupBy("pk").agg(count(lit(1)).as("n"))
+      val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("item_a"), col("y.pk").as("item_b"))
+        .agg(count(lit(1)).as("co_cnt"))
+        .filter(col("co_cnt") >= 2)
+      pairs
+        .join(cnt.select(col("pk").as("item_a"), col("n").as("na")), "item_a")
+        .join(cnt.select(col("pk").as("item_b"), col("n").as("nb")), "item_b")
+        .select(col("item_a"), col("item_b"), col("co_cnt"),
+          round(col("co_cnt").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
+        .orderBy("item_a", "item_b")
+    },
+
+    // First-order Markov transition matrix of the event stream: per
+    // user, consecutive event-type pairs under a deterministic
+    // (ts, event_id) order, then global transition counts and row-
+    // normalized probabilities (exact-integer division — the behavioral
+    // "what happens after X" model behind session analytics and
+    // next-action features). One window pass + one keyed agg.
+    "q_markov" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val trans = Tables.loadEvents(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("cnt"))
+      trans.withColumn("prob",
+        round(col("cnt").cast("double") /
+          sum(col("cnt")).over(Window.partitionBy("from_type")), 6))
+        .orderBy("from_type", "to_type")
+    },
+
     // Experiment analysis: deterministic 50/50 hash split of users →
     // per-user conversion (a high-value purchase) → 2×2 chi-square
     // independence statistic from exact integer bucket counts in one
@@ -5083,6 +5126,33 @@ object SparkEntry {
         |    ELSE 0.0 END, 6) AS z
         |FROM documents d JOIN g ON d.source = g.source
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_item_sim" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |cnt AS (SELECT pk, count(*) AS n FROM li GROUP BY pk),
+        |pairs AS (
+        |  SELECT x.pk AS item_a, y.pk AS item_b, count(*) AS co_cnt
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.co_cnt,
+        |  round(CAST(p.co_cnt AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)), 6) AS cosine
+        |FROM pairs p
+        |JOIN cnt ca ON p.item_a = ca.pk
+        |JOIN cnt cb ON p.item_b = cb.pk
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "q_markov" ->
+      """WITH t AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS cnt
+        |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, cnt,
+        |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY from_type), 6) AS prob
+        |FROM c
+        |ORDER BY from_type, to_type""".stripMargin,
 
     "q_chisq" ->
       """WITH u AS (

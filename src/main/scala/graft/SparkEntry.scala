@@ -1327,6 +1327,46 @@ object SparkEntry {
     // eagerly per micro-batch; AvailableNow drains the source and the
     // append-mode memory sink collects exactly the matched pairs.
     // Completes streaming coverage: agg, dedup, sliding, skyline, join.
+    // Stream-stream LEFT OUTER interval join: views left-joined to
+    // purchases within the hour; unmatched views are held in state and
+    // emitted null-padded only once the watermark proves no match can
+    // still arrive (v_ts + 1h < final watermark). The outer-emission
+    // cut is the semantics under test — the oracle replays it as a
+    // NOT-EXISTS plus the same watermark inequality.
+    "q_stream_outer_join" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamoj_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      def src = s.readStream.schema(sch).parquet(srcDir.toString)
+        .transform(Tables.normalizeEventTs)
+      val views = src.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "0 seconds")
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "0 seconds")
+      val joined = views.join(purchases,
+        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"),
+        "left_outer")
+        .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"))
+      val qname = "graft_stream_outer_join_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamoj_ckpt").toString
+      val query = joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.awaitTermination()
+      s.table(qname).orderBy("view_id", "purchase_id")
+    },
+
     "q_stream_join" -> { (s, dir) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val sch = s.read.parquet(s"$dir/events.parquet").schema
@@ -2980,6 +3020,21 @@ object SparkEntry {
     },
 
     // ROLLUP grouping sets with explicit subtotal labels.
+    // Explicit GROUPING SETS (the general form rollup/cube sugar over):
+    // two non-hierarchical aggregation grains in one pass, plus
+    // grouping_id to disambiguate NULL-as-ALL from NULL data.
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+          |  count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+          |FROM li_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY gid, rf, ls""".stripMargin)
+    },
+
     "q_rollup" -> { (s, dir) =>
       Tables.load(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -5022,6 +5077,37 @@ object SparkEntry {
         |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
         |ORDER BY view_id, purchase_id""".stripMargin,
 
+    // Matched pairs ∪ watermark-finalized unmatched views (null
+    // purchase) — the engine evicts a left row once the ms-level
+    // GLOBAL watermark passes its join-window end (v_ts + 1h < wm).
+    // The global watermark is the MIN across the two sides' watermark
+    // nodes (here the purchase stream ends earlier and governs) — the
+    // multi-watermark rule this oracle exists to pin.
+    "q_stream_outer_join" ->
+      """WITH v AS (
+        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(v_us) FROM v),
+        |                    (SELECT max(p_us) FROM p)) // 1000 AS wm_ms),
+        |m AS (
+        |  SELECT v.view_id, p.purchase_id, v.user_id
+        |  FROM v JOIN p ON v.user_id = p.user_id
+        |    AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000),
+        |um AS (
+        |  SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id
+        |  FROM v
+        |  WHERE NOT EXISTS (
+        |      SELECT 1 FROM p WHERE p.user_id = v.user_id
+        |        AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000)
+        |    AND (v.v_us + 3600000000) // 1000 < (SELECT wm_ms FROM wm))
+        |SELECT view_id, purchase_id, user_id FROM m
+        |UNION ALL
+        |SELECT view_id, purchase_id, user_id FROM um
+        |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin,
+
     "q_pagerank" -> pageRankOracle(3),
 
     // Host-graph replay: the same two fixture URLs per order (link
@@ -6495,6 +6581,15 @@ object SparkEntry {
         |  SELECT o_custkey, 'first_only' AS tag
         |  FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM s))
         |ORDER BY tag, o_custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, rf, ls""".stripMargin,
 
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

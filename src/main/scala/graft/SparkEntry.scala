@@ -1548,6 +1548,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Blocked Jaro-Winkler record linkage (entity resolution): a dirty
+    // variant of every customer name (deterministic character
+    // corruption) is matched back to the clean master within hash
+    // blocks — all-pairs only inside a block, the standard ER
+    // blocking shape — scored by the native codegen JW expression and
+    // resolved to the best match per dirty record. The oracle scores
+    // with DuckDB's OWN jaro_winkler_similarity: an independent-
+    // implementation cross-check (bit-identical by construction — see
+    // text/JaroWinkler.scala), not a replay.
+    "q_jaro_linkage" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val master = c.select(col("c_custkey").as("m_key"),
+        col("c_name").as("m_name"), pmod(col("c_custkey"), lit(50)).as("blk"))
+      val dirty = c.select(col("c_custkey").as("d_key"),
+        translate(col("c_name"), "#0", "=O").as("d_name"),
+        pmod(col("c_custkey"), lit(50)).as("blk"))
+      val w = Window.partitionBy("d_key").orderBy(col("sim").desc, col("m_key"))
+      dirty.join(master, "blk")
+        .withColumn("sim", graft.text.JaroWinkler(col("d_name"), col("m_name")))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("d_key"), col("m_key"), round(col("sim"), 6).as("sim"))
+        .orderBy("d_key")
+    },
+
     // Item-item co-purchase similarity (market-basket / "customers
     // also bought"): distinct (order, part) pairs self-joined on the
     // order key — fan-out bounded by basket size squared, never
@@ -5212,6 +5236,25 @@ object SparkEntry {
         |    ELSE 0.0 END, 6) AS z
         |FROM documents d JOIN g ON d.source = g.source
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_jaro_linkage" ->
+      """WITH m AS (
+        |  SELECT c_custkey AS m_key, c_name AS m_name, c_custkey % 50 AS blk
+        |  FROM customer),
+        |d AS (
+        |  SELECT c_custkey AS d_key, translate(c_name, '#0', '=O') AS d_name,
+        |    c_custkey % 50 AS blk
+        |  FROM customer),
+        |sc AS (
+        |  SELECT d.d_key, m.m_key,
+        |    jaro_winkler_similarity(d.d_name, m.m_name) AS sim
+        |  FROM d JOIN m ON d.blk = m.blk),
+        |r AS (
+        |  SELECT d_key, m_key, sim,
+        |    row_number() OVER (PARTITION BY d_key ORDER BY sim DESC, m_key) AS rn
+        |  FROM sc)
+        |SELECT d_key, m_key, round(sim, 6) AS sim FROM r WHERE rn = 1
+        |ORDER BY d_key""".stripMargin,
 
     "q_item_sim" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -1631,6 +1631,76 @@ object SparkEntry {
         col("conv") === 1)
     },
 
+    // Welch's unequal-variance t-test — the continuous-metric sibling
+    // of q_chisq (chars per doc, en vs everything else): exact BIGINT
+    // (n, Σx, Σx²) per arm off one agg, then the t statistic and
+    // Welch–Satterthwaite df in fixed-shape double arithmetic from
+    // those six integers.
+    "q_ttest" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("grp",
+          when(col("lang") === "en", "en").otherwise("other"))
+      graft.stats.ABTest.welchT(docs, "grp", "en", "other", col("n_chars"))
+    },
+
+    // ROC-AUC of the trained quality classifier (same fit as
+    // q_logreg_score): Mann-Whitney rank-sum with average-rank tie
+    // handling, computed on the 6dp-score HISTOGRAM — the one ordered
+    // window runs over a post-agg-bounded frame (≤ 1e6 + 1 score
+    // values at ANY corpus size), never a corpus-sized row_number.
+    "q_auc" -> { (s, dir) =>
+      val d = logRegFeatures(Tables.load(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 3)
+      d.unpersist()
+      graft.ml.Eval.auc(
+        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w),
+        "probability", "y")
+    },
+
+    // Calibration (reliability) table of the same classifier: 10
+    // equal-width score bins × (exact n, n_pos, exact-decimal score
+    // sum) — mean predicted score vs observed positive rate per bin,
+    // the miscalibration readout. One keyed agg over ≤ 10 groups.
+    "q_calibration" -> { (s, dir) =>
+      val d = logRegFeatures(Tables.load(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 3)
+      d.unpersist()
+      graft.ml.Eval.calibration(
+        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w),
+        "probability", "y", bins = 10)
+        .orderBy("bin")
+    },
+
+    // Skycube: skylines of ALL 7 subspaces of (price MIN, discount
+    // MAX, quantity MIN) in one operator — one scan, per-partition
+    // multi-subspace GSKY buffers, one survivors-only shuffle keyed by
+    // subspace (NOT 7 jobs; see Skycube.scala). The subspace label
+    // tells a user which dims drove each winner.
+    "q_skycube" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
+      graft.skyline.Skycube.skycube(li, SkylineSpec(Seq(
+        SkyDim("l_extendedprice", Min),
+        SkyDim("l_discount", Max),
+        SkyDim("l_quantity", Min))))
+        .orderBy("subspace", "l_orderkey")
+    },
+
+    // Grouped HLL: distinct customers per order priority — the
+    // HLL member of the grouped-sketch family (kmv/count-min/MG all
+    // have grouped forms). Register table is ≤ 64 rows per group;
+    // exact-bigint harmonic sum per group.
+    "q_hll_grouped" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      graft.stats.Hll.summaryGrouped(o, "o_custkey", Seq("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    },
+
     // Per-segment OLS trend line (price-vs-quantity slope per
     // returnflag): one keyed pass collecting exact-decimal sufficient
     // statistics, closed forms in fixed-shape double arithmetic — the
@@ -3791,7 +3861,41 @@ object SparkEntry {
     * appends the per-doc inference projection instead of the weights
     * row.
     */
-  private def logRegOracle(iters: Int, lr: Double, scoring: Boolean): String = {
+  /** 7-subspace UNION ALL of NOT-EXISTS skylines over the q_skycube
+    * slice — one strict-Pareto query per non-empty dim subset, labels
+    * matching Skycube's spec-order "+" join.
+    */
+  private def skycubeOracle: String = {
+    val dims = Seq(("l_extendedprice", true), ("l_discount", false),
+      ("l_quantity", true)) // (col, isMin)
+    val parts = (1 until 8).map { mask =>
+      val sel = dims.zipWithIndex.collect {
+        case (d, i) if (mask & (1 << i)) != 0 => d
+      }
+      val label = sel.map(_._1).mkString("+")
+      val noWorse = sel.map { case (c, isMin) =>
+        if (isMin) s"q.$c <= p.$c" else s"q.$c >= p.$c"
+      }.mkString(" AND ")
+      val strict = sel.map { case (c, isMin) =>
+        if (isMin) s"q.$c < p.$c" else s"q.$c > p.$c"
+      }.mkString(" OR ")
+      s"""SELECT '$label' AS subspace,
+         |  p.l_orderkey, p.l_extendedprice, p.l_discount, p.l_quantity
+         |FROM li p WHERE NOT EXISTS (
+         |  SELECT 1 FROM li q WHERE $noWorse AND ($strict))""".stripMargin
+    }
+    s"""WITH li AS (
+       |  SELECT l_orderkey, l_extendedprice, l_discount, l_quantity
+       |  FROM lineitem
+       |  WHERE l_returnflag = 'R' AND l_linenumber = 1
+       |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
+       |    AND l_quantity IS NOT NULL)
+       |${parts.mkString("\nUNION ALL\n")}
+       |ORDER BY subspace, l_orderkey""".stripMargin
+  }
+
+  private def logRegOracle(iters: Int, lr: Double, scoring: Boolean,
+      withLabel: Boolean = false): String = {
     val sb = new StringBuilder(
       """WITH d AS (
         |  SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000 AS x1,
@@ -3826,9 +3930,10 @@ object SparkEntry {
         |  (SELECT v FROM w${iters}_2) AS w2""".stripMargin
     else {
       val sig = s"round(1.0 / (1.0 + exp(0.0 - ${zOf(iters)})), 6)"
+      val label = if (withLabel) ", y" else ""
       sb ++= s"""
         |SELECT doc_id, $sig AS probability,
-        |  CASE WHEN $sig >= 0.5 THEN 1 ELSE 0 END AS predicted
+        |  CASE WHEN $sig >= 0.5 THEN 1 ELSE 0 END AS predicted$label
         |FROM d ORDER BY doc_id""".stripMargin
     }
     sb.toString
@@ -5324,6 +5429,101 @@ object SparkEntry {
         |    / ((b0d + b1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
         |    END, 6) AS chi2
         |FROM d""".stripMargin,
+
+    // Exact integer moments per arm; t and Welch df in CTE-named
+    // doubles whose expression shapes mirror ABTest.welchT verbatim.
+    "q_ttest" ->
+      """WITH c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_a,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT) ELSE 0 END) AS BIGINT) AS ssq_a,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE CAST(n_chars AS BIGINT) END) AS BIGINT) AS sum_b,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT) END) AS BIGINT) AS ssq_b
+        |  FROM documents),
+        |d AS (SELECT n_a, sum_a, ssq_a, n_b, sum_b, ssq_b,
+        |  CAST(n_a AS DOUBLE) AS nad, CAST(sum_a AS DOUBLE) AS s1a, CAST(ssq_a AS DOUBLE) AS s2a,
+        |  CAST(n_b AS DOUBLE) AS nbd, CAST(sum_b AS DOUBLE) AS s1b, CAST(ssq_b AS DOUBLE) AS s2b
+        |  FROM c),
+        |v AS (SELECT *, s1a / nad AS ma, (s2a - s1a * s1a / nad) / (nad - 1) AS va,
+        |        s1b / nbd AS mb, (s2b - s1b * s1b / nbd) / (nbd - 1) AS vb FROM d),
+        |e AS (SELECT *, va / nad + vb / nbd AS se2 FROM v)
+        |SELECT n_a, sum_a, ssq_a, n_b, sum_b, ssq_b,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 THEN (ma - mb) / sqrt(se2) END, 6) AS t_stat,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 THEN se2 * se2 /
+        |    ((va / nad) * (va / nad) / (nad - 1) + (vb / nbd) * (vb / nbd) / (nbd - 1)) END, 6) AS df_welch
+        |FROM e""".stripMargin,
+
+    // Rank-sum AUC over the scored-probability histogram (the scored
+    // subquery is the full q_logreg_score replay with the label riding
+    // along); doubled average ranks keep every term an exact integer.
+    "q_auc" -> {
+      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
+      s"""WITH hist AS (
+         |  SELECT CAST(round(probability * 1000000) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
+         |  FROM ($scored) scored GROUP BY 1),
+         |c AS (SELECT s, cnt, pos, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
+         |a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |        CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+         |        CAST(sum(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS rank2 FROM c)
+         |SELECT n_pos, n_neg, rank2 - n_pos * (n_pos + 1) AS u2,
+         |  round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+         |FROM a""".stripMargin
+    },
+
+    // Equal-width score bins over the same scored subquery; exact
+    // (n, n_pos, decimal score sum) per bin, ratios at the end.
+    "q_calibration" -> {
+      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
+      s"""WITH b AS (
+         |  SELECT CAST(LEAST(CAST(floor(probability * 10) AS BIGINT), 9) AS INT) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         |    sum(CAST(probability AS DECIMAL(18,6))) AS sum_p
+         |  FROM ($scored) scored GROUP BY 1)
+         |SELECT bin, n, n_pos,
+         |  round(CAST(sum_p AS DOUBLE) / n, 6) AS mean_score,
+         |  round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos
+         |FROM b ORDER BY bin""".stripMargin
+    },
+
+    "q_skycube" -> skycubeOracle,
+
+    // Per-group mirror of q_hll: same register algebra with every
+    // stage keyed by o_orderpriority.
+    "q_hll_grouped" ->
+      """WITH h AS (
+        |  SELECT o_orderpriority AS g,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (
+        |  SELECT g, h % 64 AS reg,
+        |    CASE WHEN h // 64 = 0 THEN 55
+        |         ELSE CAST(round(log2((h // 64) & -(h // 64))) AS INT) + 1 END AS rho
+        |  FROM h),
+        |regs AS (SELECT g, reg, max(rho) AS mrho FROM r GROUP BY g, reg),
+        |base AS (SELECT g, max(mrho) AS r_max, count(*) AS present FROM regs GROUP BY g),
+        |ag AS (
+        |  SELECT regs.g, b.r_max,
+        |         CAST(64 - b.present AS BIGINT) AS zeros,
+        |         sum(CAST(1 AS BIGINT) << (b.r_max - regs.mrho)) AS sum_present
+        |  FROM regs JOIN base b ON regs.g = b.g
+        |  GROUP BY regs.g, b.r_max, b.present),
+        |s AS (SELECT g, r_max, zeros,
+        |        sum_present + zeros * (CAST(1 AS BIGINT) << r_max) AS sum_scaled
+        |      FROM ag)
+        |SELECT g AS o_orderpriority, 64 AS m, zeros, r_max, sum_scaled,
+        |  round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096
+        |                   * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
+        |                   / CAST(sum_scaled AS DOUBLE)) <= 160.0 AND zeros > 0
+        |        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+        |        ELSE CAST(0.709 AS DOUBLE) * 4096
+        |             * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
+        |             / CAST(sum_scaled AS DOUBLE) END, 4) AS est_distinct
+        |FROM s ORDER BY g""".stripMargin,
 
     "q_ols" ->
       """WITH sums AS (

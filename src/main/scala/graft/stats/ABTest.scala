@@ -45,4 +45,49 @@ object ABTest {
       n.cast("long").as("n"),
       round(when(ra > 0 && rb > 0 && c0 > 0 && c1 > 0, chi2), 6).as("chi2"))
   }
+
+  /** Welch's unequal-variance t-test on an INTEGER metric between two
+    * arms — the continuous-metric sibling of [[chiSquare2x2]] (revenue
+    * per user, chars per doc, latency ms). One map-side-combinable
+    * aggregation emits exact BIGINT (n, Σx, Σx²) per arm; the
+    * statistic then evaluates in one fixed-shape double expression
+    * from those six integers, so both the moments AND the t value are
+    * engine-reproducible. Σx² of a 31-bit metric overflows long only
+    * past ~2×10⁹ rows per arm; the guard fails loudly before that.
+    *
+    * t = (m̄ₐ − m̄ᵦ) / √(s²ₐ/nₐ + s²ᵦ/nᵦ) with s² the Bessel-corrected
+    * sample variance; df is the Welch–Satterthwaite approximation.
+    */
+  def welchT(df: DataFrame, groupCol: String, ga: String, gb: String,
+      metric: Column): DataFrame = {
+    val g = col(groupCol)
+    val x = metric.cast("long")
+    val counts = df.agg(
+      sum(when(g === ga, 1L).otherwise(0L)).as("n_a"),
+      sum(when(g === ga, x).otherwise(0L)).as("sum_a"),
+      sum(when(g === ga, x * x).otherwise(0L)).as("ssq_a"),
+      sum(when(g === gb, 1L).otherwise(0L)).as("n_b"),
+      sum(when(g === gb, x).otherwise(0L)).as("sum_b"),
+      sum(when(g === gb, x * x).otherwise(0L)).as("ssq_b"))
+    def stats(suffix: String): (Column, Column, Column) = {
+      val n = col(s"n_$suffix").cast("double")
+      val s1 = col(s"sum_$suffix").cast("double")
+      val s2 = col(s"ssq_$suffix").cast("double")
+      val mean = s1 / n
+      // Bessel-corrected sample variance from exact integer moments.
+      val variance = (s2 - s1 * s1 / n) / (n - 1)
+      (n, mean, variance)
+    }
+    val (na, ma, va) = stats("a")
+    val (nb, mb, vb) = stats("b")
+    val se2 = va / na + vb / nb
+    val t = (ma - mb) / sqrt(se2)
+    val dfW = se2 * se2 /
+      ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+    counts.select(
+      col("n_a"), col("sum_a"), col("ssq_a"),
+      col("n_b"), col("sum_b"), col("ssq_b"),
+      round(when(col("n_a") > 1 && col("n_b") > 1, t), 6).as("t_stat"),
+      round(when(col("n_a") > 1 && col("n_b") > 1, dfW), 6).as("df_welch"))
+  }
 }

@@ -50,6 +50,54 @@ object Hll {
     * exact bigint harmonic sum) and the 4dp estimate, with the
     * small-range linear-counting branch of the standard estimator.
     */
+  /** Per-group HLL — [[summary]] with every stage keyed by
+    * `groupCols` (the grouped-sketch family next to kmvGrouped /
+    * countMinGrouped / heavyHittersGrouped): distinct users per
+    * domain, distinct tokens per source. Same exact-bigint harmonic
+    * sum; the register table is ≤ 64 rows PER GROUP, so the join of
+    * registers against per-group maxima is a keyed join of two
+    * group-bounded frames — one shuffle by (group, reg), one by group,
+    * both map-side combinable. Estimate column semantics identical to
+    * [[summary]].
+    */
+  def summaryGrouped(
+      df: DataFrame, valueCol: String, groupCols: Seq[String]): DataFrame = {
+    val keys = groupCols.map(col)
+    val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val regs = df.select(keys :+ h.as("h"): _*).where(col("h").isNotNull)
+      .select(keys :+ pmod(col("h"), lit(M)).as("reg") :+
+        expr(s"h DIV $M").as("w"): _*)
+      .select(keys :+ col("reg") :+
+        when(col("w") === 0, lit(RhoZero))
+          .otherwise(round(log(2.0, expr("w & -w"))).cast("int") + 1)
+          .as("rho"): _*)
+      .groupBy(keys :+ col("reg"): _*).agg(max(col("rho")).as("mrho"))
+    val base = regs.groupBy(keys: _*)
+      .agg(max(col("mrho")).as("r_max"), count(lit(1)).as("present"))
+    val joined = regs.join(base, groupCols)
+      .groupBy(keys: _*)
+      .agg(
+        first(col("r_max")).as("r_max"),
+        first(lit(M) - col("present")).cast("long").as("zeros"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max - mrho AS INT))"))
+          .as("sum_present"))
+      .select(keys :+ col("r_max") :+ col("zeros") :+
+        (col("sum_present") +
+          col("zeros") * expr("shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT))"))
+          .as("sum_scaled"): _*)
+    val raw = lit(Alpha) * lit(M * M) *
+      expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(r_max AS INT)) AS DOUBLE)") /
+      col("sum_scaled").cast("double")
+    joined.select(keys :+ lit(M).as("m") :+ col("zeros") :+ col("r_max") :+
+      col("sum_scaled") :+
+      round(
+        when(raw <= lit(2.5 * M) && col("zeros") > 0,
+          lit(M.toDouble) * log(lit(M.toDouble) / col("zeros").cast("double")))
+          .otherwise(raw),
+        4).as("est_distinct"): _*)
+  }
+
   def summary(df: DataFrame, valueCol: String): DataFrame = {
     val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
       .cast("long")

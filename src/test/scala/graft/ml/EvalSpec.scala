@@ -1,0 +1,58 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class EvalSpec extends SparkSpec {
+
+  test("AUC matches brute-force pair counting, including ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // Quantized scores so ties are common
+    val rows = (1 to 500).map { _ =>
+      val y = rnd.nextInt(2)
+      val s = (rnd.nextInt(20) + y * rnd.nextInt(6)).toDouble / 25.0
+      (math.rint(s * 1e6) / 1e6, y)
+    }
+    val df = rows.toDF("score", "y").repartition(6)
+    val r = Eval.auc(df, "score", "y").collect().head
+    val pos = rows.filter(_._2 == 1).map(_._1)
+    val neg = rows.filter(_._2 == 0).map(_._1)
+    val u = pos.map(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum).sum
+    val expected = u / (pos.size.toDouble * neg.size)
+    assert(r.getAs[Long]("n_pos") == pos.size)
+    assert(r.getAs[Long]("n_neg") == neg.size)
+    assert(r.getAs[Long]("u2") == math.rint(2 * u).toLong)
+    assert(math.abs(r.getAs[Double]("auc") - expected) < 1e-6)
+  }
+
+  test("AUC is layout-invariant and 0.5 for a constant score") {
+    import spark.implicits._
+    val rows = (1 to 100).map(i => (0.25, i % 2))
+    val a = Eval.auc(rows.toDF("score", "y"), "score", "y").collect().head
+    val b = Eval.auc(scala.util.Random.shuffle(rows).toDF("score", "y")
+      .repartition(11), "score", "y").collect().head
+    assert(a == b)
+    assert(a.getAs[Double]("auc") == 0.5)
+  }
+
+  test("perfect separation gives AUC 1.0") {
+    import spark.implicits._
+    val rows = (1 to 50).map(i => (0.9, 1)) ++ (1 to 50).map(i => (0.1, 0))
+    val r = Eval.auc(rows.toDF("score", "y"), "score", "y").collect().head
+    assert(r.getAs[Double]("auc") == 1.0)
+  }
+
+  test("calibration bins partition the corpus with exact counts and means") {
+    import spark.implicits._
+    val rows = Seq((0.05, 0), (0.07, 1), (0.55, 1), (0.58, 0), (0.99, 1), (1.0, 1))
+    val df = rows.toDF("score", "y")
+    val got = Eval.calibration(df, "score", "y", bins = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("mean_score"), r.getAs[Double]("frac_pos"))).toSet
+    assert(got == Set(
+      (0, 2L, 1L, 0.06, 0.5),
+      (5, 2L, 1L, 0.565, 0.5),
+      (9, 2L, 2L, 0.995, 1.0))) // score 1.0 clamps into the top bin
+  }
+}

@@ -41,4 +41,28 @@ class ABTestSpec extends SparkSpec {
       .collect().head
     assert(r.getLong(r.fieldIndex("n")) == 4L)
   }
+
+  test("Welch t matches the closed form on hand-computed arms") {
+    import spark.implicits._
+    // arm A: 2, 4, 6 (n=3, mean 4, var 4); arm B: 1, 3 (n=2, mean 2, var 2)
+    val df = Seq(("A", 2), ("A", 4), ("A", 6), ("B", 1), ("B", 3))
+      .toDF("arm", "x").repartition(3)
+    val r = ABTest.welchT(df, "arm", "A", "B", col("x")).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (3L, 12L, 56L))
+    assert((r.getLong(3), r.getLong(4), r.getLong(5)) == (2L, 4L, 10L))
+    val se2 = 4.0 / 3 + 2.0 / 2
+    val t = (4.0 - 2.0) / math.sqrt(se2)
+    val dfW = se2 * se2 /
+      ((4.0 / 3) * (4.0 / 3) / 2 + (2.0 / 2) * (2.0 / 2) / 1)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-6)
+    assert(math.abs(r.getAs[Double]("df_welch") - dfW) < 1e-6)
+  }
+
+  test("Welch t: a single-row arm yields NULL statistics, not NaN") {
+    import spark.implicits._
+    val df = Seq(("A", 2), ("A", 4), ("B", 7)).toDF("arm", "x")
+    val r = ABTest.welchT(df, "arm", "A", "B", col("x")).collect().head
+    assert(r.isNullAt(r.fieldIndex("t_stat")))
+    assert(r.isNullAt(r.fieldIndex("df_welch")))
+  }
 }

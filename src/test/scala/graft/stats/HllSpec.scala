@@ -37,6 +37,18 @@ class HllSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("grouped summary equals the plain summary run per group") {
+    import spark.implicits._
+    val rows = (1 to 900).map(i => (s"g${i % 3}", s"v${i % (100 * (i % 3 + 1))}"))
+    val df = rows.toDF("g", "v").repartition(6)
+    val grouped = Hll.summaryGrouped(df, "v", Seq("g")).collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val plain = Hll.summary(df.filter($"g" === g), "v").collect().head.toSeq
+      assert(grouped(g) == plain, s"group $g")
+    }
+  }
+
   test("summary is layout-invariant and deterministic") {
     import spark.implicits._
     val data = (1 to 800).map(i => s"doc_$i")

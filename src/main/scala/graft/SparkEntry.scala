@@ -1701,6 +1701,160 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     },
 
+    // Association rules over order baskets: directed pair rules with
+    // support / confidence / lift from exact counts — the rule-mining
+    // reading of the same co-purchase graph q_item_sim scores. The
+    // candidate join is within the order key (bounded basket size).
+    "q_assoc_rules" -> { (s, dir) =>
+      graft.operators.AssocRules.rules(Tables.load(s, dir, "lineitem"),
+        "l_orderkey", "l_partkey", minPairCount = 3)
+        .orderBy("antecedent", "consequent")
+    },
+
+    // CUSUM change-point scan over the daily event series: the
+    // cumulative deviation from the global mean, kept EXACT by scaling
+    // by n (sdev_k = n·cumsum_k − k·total — pure BIGINT algebra, no
+    // float mean anywhere), with the |sdev| argmax flagged as the
+    // change point. The series is post-agg-bounded (one row per day),
+    // so the unpartitioned windows run over a frame of days, never
+    // events.
+    "q_changepoint" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+      val t = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("total"))
+      val wOrd = Window.orderBy("d")
+      val series = daily.crossJoin(broadcast(t))
+        .withColumn("k", row_number().over(wOrd))
+        .withColumn("cum", sum(col("x")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("d"), col("x"),
+          (col("nd") * col("cum") - col("k") * col("total")).as("sdev"))
+      val mx = series.agg(max(abs(col("sdev"))).as("mx"))
+      series.crossJoin(broadcast(mx))
+        .withColumn("is_peak", abs(col("sdev")) === col("mx"))
+        .drop("mx")
+        // day as ISO string: Spark DATE surfaces as python date objects
+        // while DuckDB DATE surfaces as datetime64 — string unifies
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+          col("x"), col("sdev"), col("is_peak"))
+        .orderBy("d")
+    },
+
+    // Robust anomaly days via median/MAD (the outlier-resistant
+    // z-score): days whose |count − median| exceeds 3·MAD. Both
+    // medians interpolate over exact integer inputs (the q_quantiles
+    // parity), so the threshold comparison is deterministic.
+    "q_anomaly_mad" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+      val med = daily.agg(expr("percentile(x, 0.5)").as("med"))
+      val dev = daily.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("x") - col("med")))
+      val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .filter(col("dev") > lit(3.0) * col("mad"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"),
+          round(col("dev"), 6).as("dev"), round(col("mad"), 6).as("mad"))
+        .orderBy("d")
+    },
+
+    // Deterministic stratified 5-fold audit: fold = md5₆₀(salt|id)
+    // mod 5 (pure function of the key — layout/retry invariant), with
+    // per-(lang, fold) counts and char mass proving hash balance
+    // within every stratum. Per-row expression on the scan + one
+    // keyed agg.
+    "q_fold_assign" -> { (s, dir) =>
+      graft.operators.Sampling.assignFolds(
+        Tables.load(s, dir, "documents"), "doc_id", k = 5, salt = "cv9")
+        .groupBy("lang", "fold")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang", "fold")
+    },
+
+    // Weakly-connected components of the host link graph (the
+    // q_host_rank edges): crawl-frontier connectivity — which host
+    // clusters are reachable from each other. Hosts hash to the
+    // repo-wide 60-bit md5 longs (cross-engine reproducible), then
+    // the large/small-star rounds; names join back at the end.
+    "q_host_components" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      val edges = o.select(src.as("src"), dst.as("dst"))
+        .repartition(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      def h(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      val comps = graft.dedup.Clusters.connectedComponents(
+        edges.select(h(col("src")).as("ha"), h(col("dst")).as("hb")),
+        "ha", "hb")
+      val nodes = edges.select(col("src").as("host"))
+        .unionByName(edges.select(col("dst").as("host")))
+        .distinct()
+        .withColumn("id", h(col("host")))
+      nodes.join(comps, "id").select("host", "component").orderBy("host")
+    },
+
+    // Two-sample Kolmogorov–Smirnov D on chars-per-doc, en vs rest —
+    // the whole-distribution companion to q_ttest. The ECDF gap scaled
+    // by nₐ·nᵦ is exact BIGINT algebra over the value histogram.
+    "q_ks" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("grp",
+          when(col("lang") === "en", "en").otherwise("other"))
+      graft.stats.ABTest.ksTest(docs, "grp", "en", "other", col("n_chars"))
+    },
+
+    // Gini concentration of customer revenue — "how unequal is the
+    // spend distribution", the corpus-balance twin of the source-mix
+    // audits. Ranks come from the DISTRIBUTED global rank (no
+    // single-partition window); revenue is exact integer cents, so the
+    // Lorenz moment Σ rank·cents is exact and the coefficient is one
+    // fixed-shape double expression.
+    "q_gini" -> { (s, dir) =>
+      val cust = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .select(col("o_custkey"), (col("rev") * 100).cast("long").as("cents"))
+      val ranked = graft.operators.GlobalRank.withGlobalRank(
+        cust, Seq(col("cents"), col("o_custkey")), "rank")
+      ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
+          sum(col("rank") * col("cents")).as("weighted"))
+        .select(col("n"), col("total_cents"), col("weighted"),
+          round(lit(2.0) * col("weighted") /
+            (col("n") * col("total_cents")).cast("double") -
+            (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+    },
+
+    // Autocorrelation of the daily event volume at lags 1..7 (the
+    // weekly-seasonality readout). Deviations are scaled by n
+    // (aₜ = n·xₜ − total — exact BIGINT, no float mean), and the n²
+    // factor cancels in rₖ = Σ aₜ·aₜ₋ₖ / Σ aₜ², so numerator AND
+    // denominator are exact integers; one division per lag.
+    "q_acf" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+      val t = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("total"))
+      val w = Window.orderBy("d")
+      val a = daily.crossJoin(broadcast(t))
+        .select(col("d"), (col("nd") * col("x") - col("total")).as("a"))
+      val den = a.agg(sum(col("a") * col("a")).as("den"))
+      val lags = (1 to 7).map { k =>
+        a.select(col("a"), lag(col("a"), k).over(w).as("al"))
+          .agg(sum(col("a") * col("al")).as("num"))
+          .select(lit(k).as("lag_k"), col("num"))
+      }.reduce(_ unionByName _)
+      lags.crossJoin(broadcast(den))
+        .select(col("lag_k"), col("num"), col("den"),
+          round(col("num").cast("double") / col("den"), 6).as("acf"))
+        .orderBy("lag_k")
+    },
+
     // Per-segment OLS trend line (price-vs-quantity slope per
     // returnflag): one keyed pass collecting exact-decimal sufficient
     // statistics, closed forms in fixed-shape double arithmetic — the
@@ -3894,6 +4048,31 @@ object SparkEntry {
        |ORDER BY subspace, l_orderkey""".stripMargin
   }
 
+  /** Lag-k autocorrelation replay: exact scaled deviations
+    * (a = n·x − total), one lag window per k unioned, shared exact
+    * denominator.
+    */
+  private def acfOracle(maxLag: Int): String = {
+    val parts = (1 to maxLag).map { k =>
+      s"""SELECT $k AS lag_k,
+         |  (SELECT CAST(sum(a * al) AS BIGINT)
+         |   FROM (SELECT a, lag(a, $k) OVER (ORDER BY d) AS al FROM av)) AS num""".stripMargin
+    }
+    s"""WITH daily AS (
+       |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+       |        CAST(sum(x) AS BIGINT) AS total FROM daily),
+       |av AS (SELECT d, (SELECT nd FROM t) * x - (SELECT total FROM t) AS a
+       |       FROM daily),
+       |den AS (SELECT CAST(sum(a * a) AS BIGINT) AS den FROM av),
+       |l AS (
+       |${parts.mkString("\nUNION ALL\n")})
+       |SELECT lag_k, num, (SELECT den FROM den) AS den,
+       |  round(CAST(num AS DOUBLE) / (SELECT den FROM den), 6) AS acf
+       |FROM l ORDER BY lag_k""".stripMargin
+  }
+
   private def logRegOracle(iters: Int, lr: Double, scoring: Boolean,
       withLabel: Boolean = false): String = {
     val sb = new StringBuilder(
@@ -5524,6 +5703,146 @@ object SparkEntry {
         |             * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
         |             / CAST(sum_scaled AS DOUBLE) END, 4) AS est_distinct
         |FROM s ORDER BY g""".stripMargin,
+
+    // Within-basket pair counts, directed rule expansion, exact-count
+    // ratios — mirrors AssocRules.rules stage for stage.
+    "q_assoc_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM items),
+        |cnt AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY it),
+        |co AS (
+        |  SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS pair_n
+        |  FROM items x JOIN items y ON x.bk = y.bk AND x.it < y.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |directed AS (
+        |  SELECT a AS antecedent, b AS consequent, pair_n FROM co
+        |  UNION ALL
+        |  SELECT b AS antecedent, a AS consequent, pair_n FROM co)
+        |SELECT d.antecedent, d.consequent, d.pair_n,
+        |  ca.n_item AS n_ant, cc.n_item AS n_cons,
+        |  round(CAST(d.pair_n AS DOUBLE) / (SELECT n_baskets FROM nb), 6) AS support,
+        |  round(CAST(d.pair_n AS DOUBLE) / ca.n_item, 6) AS confidence,
+        |  round(CAST(d.pair_n * (SELECT n_baskets FROM nb) AS DOUBLE)
+        |    / CAST(ca.n_item * cc.n_item AS DOUBLE), 6) AS lift
+        |FROM directed d
+        |JOIN cnt ca ON d.antecedent = ca.it
+        |JOIN cnt cc ON d.consequent = cc.it
+        |ORDER BY d.antecedent, d.consequent""".stripMargin,
+
+    // Daily counts → exact scaled cumulative deviation (n·cum − k·total,
+    // all BIGINT) → |sdev| argmax flag.
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(x) AS BIGINT) AS total FROM daily),
+        |series AS (
+        |  SELECT d, x,
+        |    (SELECT nd FROM t)
+        |      * CAST(sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - CAST(row_number() OVER (ORDER BY d) AS BIGINT) * (SELECT total FROM t) AS sdev
+        |  FROM daily),
+        |mx AS (SELECT max(abs(sdev)) AS mx FROM series)
+        |SELECT CAST(d AS VARCHAR) AS d, x, sdev,
+        |  abs(sdev) = (SELECT mx FROM mx) AS is_peak
+        |FROM series ORDER BY d""".stripMargin,
+
+    // Median/MAD flags; medians interpolate over exact integers on
+    // both engines (q_quantiles parity).
+    "q_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT quantile_cont(x, 0.5) AS med FROM daily),
+        |dev AS (SELECT d, x, abs(x - (SELECT med FROM m)) AS dev FROM daily),
+        |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+        |SELECT CAST(d AS VARCHAR) AS d, x, round(dev, 6) AS dev,
+        |  round((SELECT mad FROM md), 6) AS mad
+        |FROM dev WHERE dev > 3.0 * (SELECT mad FROM md)
+        |ORDER BY d""".stripMargin,
+
+    // fold = md5-60(salt|doc_id) mod 5; per-stratum balance audit.
+    "q_fold_assign" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    CAST(('0x' || substr(md5('cv9|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold,
+        |    n_chars
+        |  FROM documents)
+        |SELECT lang, fold, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin,
+
+    // Host edges (the q_host_rank replay), 60-bit host hashes, then a
+    // recursive min-label closure — the star-root components.
+    "q_host_components" -> {
+      val he = "he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders)"
+      s"""WITH RECURSIVE $he,
+         |e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+         |ed AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(src), 1, 15))::BIGINT AS u,
+         |    ('0x' || substr(md5(dst), 1, 15))::BIGINT AS v FROM e),
+         |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+         |reach(id, comp) AS (
+         |  SELECT u, u FROM sym
+         |  UNION
+         |  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id),
+         |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |nodes AS (
+         |  SELECT DISTINCT host,
+         |    ('0x' || substr(md5(host), 1, 15))::BIGINT AS id
+         |  FROM (SELECT src AS host FROM e UNION SELECT dst AS host FROM e))
+         |SELECT n.host, c.component
+         |FROM nodes n JOIN comp c ON n.id = c.id
+         |ORDER BY n.host""".stripMargin
+    },
+
+    // Value-histogram ECDFs; the scaled max gap is exact BIGINT.
+    "q_ks" ->
+      """WITH b AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
+        |  FROM documents),
+        |hist AS (
+        |  SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
+        |    CAST(count(*) - sum(ia) AS BIGINT) AS cb
+        |  FROM b GROUP BY v),
+        |cum AS (
+        |  SELECT
+        |    CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cca,
+        |    CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccb
+        |  FROM hist),
+        |t AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+        |        CAST(count(*) - sum(ia) AS BIGINT) AS n_b FROM b),
+        |a AS (SELECT (SELECT n_a FROM t) AS n_a, (SELECT n_b FROM t) AS n_b,
+        |        CAST(max(abs(cca * (SELECT n_b FROM t) - ccb * (SELECT n_a FROM t))) AS BIGINT) AS d_num
+        |      FROM cum)
+        |SELECT n_a, n_b, d_num,
+        |  round(CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS ks_d
+        |FROM a""".stripMargin,
+
+    // Integer-cents Lorenz moment over the row_number mirror of the
+    // distributed rank (same total order: cents, custkey).
+    "q_gini" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents, o_custkey) AS rank FROM c),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS total_cents,
+        |        CAST(sum(rank * cents) AS BIGINT) AS weighted FROM r)
+        |SELECT n, total_cents, weighted,
+        |  round(2.0 * weighted / CAST(n * total_cents AS DOUBLE)
+        |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
+        |FROM a""".stripMargin,
+
+    "q_acf" -> acfOracle(7),
 
     "q_ols" ->
       """WITH sums AS (

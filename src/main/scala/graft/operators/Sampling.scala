@@ -192,4 +192,20 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic k-fold assignment keyed on `keyCol`:
+    * fold = md5₆₀(salt|key) mod k — the cross-validation sibling of
+    * [[assignSplit]]. Because membership is a pure function of
+    * (salt, key), folds are layout/retry/cluster-size invariant, and
+    * within any stratum (language, source, label) the folds are
+    * hash-balanced automatically — stratified CV without a stratified
+    * shuffle. Per-row expression straight on the scan; no shuffle.
+    */
+  def assignFolds(df: DataFrame, keyCol: String, k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(
+      substring(md5(concat(lit(salt), lit("|"), col(keyCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    df.withColumn("fold", pmod(h, lit(k.toLong)).cast("int"))
+  }
 }

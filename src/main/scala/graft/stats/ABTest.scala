@@ -1,6 +1,7 @@
 package graft.stats
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Chi-square test of independence for a 2×2 experiment readout —
@@ -89,5 +90,41 @@ object ABTest {
       col("n_b"), col("sum_b"), col("ssq_b"),
       round(when(col("n_a") > 1 && col("n_b") > 1, t), 6).as("t_stat"),
       round(when(col("n_a") > 1 && col("n_b") > 1, dfW), 6).as("df_welch"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov D on an INTEGER metric — the
+    * whole-distribution companion to [[welchT]] (means can match while
+    * shapes diverge; KS catches it). D is the max ECDF gap, and the
+    * ECDF gap at value v, scaled by nₐ·nᵦ, is the exact BIGINT
+    * |ccaᵥ·nᵦ − ccbᵥ·nₐ| — so the statistic's numerator never touches
+    * a float until the final division.
+    *
+    * Scale shape: one groupBy on the VALUE (the metric's distinct
+    * values — the AUC histogram trick again), one cumulative window
+    * over that bounded frame, one agg. The scaled products stay under
+    * 2⁶³ while nₐ·nᵦ does (~3×10⁹ rows per arm); continuous metrics
+    * should be quantized first (the ECDF of a quantized metric is the
+    * quantized ECDF).
+    */
+  def ksTest(df: DataFrame, groupCol: String, ga: String, gb: String,
+      metric: Column): DataFrame = {
+    val g = col(groupCol)
+    val base = df.filter(g === ga || g === gb)
+      .select(metric.cast("long").as("v"),
+        when(g === ga, 1L).otherwise(0L).as("ia"))
+    val hist = base.groupBy("v")
+      .agg(sum(col("ia")).as("ca"), (count(lit(1)) - sum(col("ia"))).as("cb"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.select(
+      sum(col("ca")).over(w).as("cca"), sum(col("cb")).over(w).as("ccb"))
+    val tot = base.agg(sum(col("ia")).as("n_a"),
+      (count(lit(1)) - sum(col("ia"))).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        max(abs(col("cca") * col("n_b") - col("ccb") * col("n_a"))).as("d_num"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("ks_d"))
   }
 }

@@ -123,4 +123,28 @@ class SamplingSpec extends SparkSpec {
       .distinct().as[Int].collect().toSet
     assert(copies == Set(0, 1, 2))
   }
+
+  test("assignFolds: layout-invariant, complete, and roughly balanced per stratum") {
+    val a = Sampling.assignFolds(docs, "id", 5, "cv")
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    val b = Sampling.assignFolds(docs.repartition(13), "id", 5, "cv")
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet == Set(0, 1, 2, 3, 4))
+    // within one stratum (source = id % 4), each fold gets 250/5 = 50 ± slack
+    val strata = Sampling.assignFolds(docs, "id", 5, "cv")
+      .groupBy("source", "fold").count()
+      .as[(String, Int, Long)].collect()
+    strata.foreach { case (src, fold, n) =>
+      assert(n > 25 && n < 85, s"$src/$fold unbalanced: $n")
+    }
+  }
+
+  test("assignFolds: different salts give different assignments") {
+    val a = Sampling.assignFolds(docs, "id", 5, "cv-a")
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    val b = Sampling.assignFolds(docs, "id", 5, "cv-b")
+      .select("id", "fold").as[(Long, Int)].collect().toMap
+    assert(a != b)
+  }
 }

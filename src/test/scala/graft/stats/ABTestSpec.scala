@@ -65,4 +65,36 @@ class ABTestSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("t_stat")))
     assert(r.isNullAt(r.fieldIndex("df_welch")))
   }
+
+  test("KS D matches the brute-force ECDF max gap, ties included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 400).map { _ =>
+      val arm = if (rnd.nextBoolean()) "A" else "B"
+      val v = rnd.nextInt(25) + (if (arm == "A") rnd.nextInt(6) else 0)
+      (arm, v)
+    }
+    val df = rows.toDF("arm", "x").repartition(5)
+    val r = ABTest.ksTest(df, "arm", "A", "B", col("x")).collect().head
+    val a = rows.filter(_._1 == "A").map(_._2)
+    val b = rows.filter(_._1 == "B").map(_._2)
+    val values = (a ++ b).distinct.sorted
+    val d = values.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size - b.count(_ <= v).toDouble / b.size)
+    }.max
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+    assert(math.abs(r.getAs[Double]("ks_d") - d) < 1e-6)
+  }
+
+  test("KS D is 0 for identical samples and 1 for disjoint ranges") {
+    import spark.implicits._
+    val same = ((1 to 50).map(i => ("A", i)) ++ (1 to 50).map(i => ("B", i)))
+      .toDF("arm", "x")
+    assert(ABTest.ksTest(same, "arm", "A", "B", col("x"))
+      .collect().head.getAs[Double]("ks_d") == 0.0)
+    val disjoint = ((1 to 50).map(i => ("A", i)) ++ (1 to 50).map(i => ("B", i + 100)))
+      .toDF("arm", "x")
+    assert(ABTest.ksTest(disjoint, "arm", "A", "B", col("x"))
+      .collect().head.getAs[Double]("ks_d") == 1.0)
+  }
 }

@@ -1855,6 +1855,101 @@ object SparkEntry {
         .orderBy("lag_k")
     },
 
+    // Canonical-URL dedup — the FIRST dedup stage of any crawl
+    // pipeline: raw URLs varying only in semantics-free ways (scheme
+    // case, default :80 port, fragment, %-escape case) collapse to one
+    // canonical form; groups sharing (host key, path key) become dup
+    // buckets. Canonicalization is a scan-local Column pipeline; dedup
+    // is one hash-groupBy on the canonical string.
+    "q_dedup_url" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val raw = concat(
+        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("HTTP"))
+          .otherwise(lit("hTtp")),
+        lit("://WWW.Shop"), pmod(col("o_custkey"), lit(50)).cast("string"),
+        lit(".Example.COM"),
+        when(pmod(col("o_orderkey"), lit(3)) === 0, lit(":80")).otherwise(lit("")),
+        lit("/item%2fview/"), pmod(col("o_orderkey"), lit(500)).cast("string"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("#Sec%201"))
+          .otherwise(lit("")))
+      o.select(col("o_orderkey"),
+          graft.text.UrlOps.canonicalize(raw).as("url"))
+        .groupBy("url")
+        .agg(min(col("o_orderkey")).as("keep_id"), count(lit(1)).as("n_dupes"))
+        .filter(col("n_dupes") >= 2)
+        .orderBy("url")
+    },
+
+    // Token↔label mutual information (feature selection for the
+    // quality/language classifier): per token, the exact 2×2 presence
+    // table against lang='en', MI as four fixed-shape terms from exact
+    // BIGINTs. df ≥ 10 floor bounds the candidate set; top 15 by MI.
+    "q_mutual_info" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+          col("text"))
+      val tot = docs.agg(count(lit(1)).as("n_total"), sum(col("y")).as("n_pos"))
+      val tok = docs
+        .select(col("doc_id"), col("y"),
+          explode(TextFunctions.tokens(col("text"))).as("t"))
+        .distinct()
+        .groupBy("t").agg(count(lit(1)).as("df"), sum(col("y")).as("n11"))
+        .filter(col("df") >= 10)
+      val cells = tok.crossJoin(broadcast(tot))
+        .select(col("t"), col("n11"), (col("df") - col("n11")).as("n10"),
+          (col("n_pos") - col("n11")).as("n01"),
+          (col("n_total") - col("n_pos") - (col("df") - col("n11"))).as("n00"),
+          col("n_total"), col("n_pos"), col("df"))
+      def term(nij: org.apache.spark.sql.Column, ni: org.apache.spark.sql.Column,
+          nj: org.apache.spark.sql.Column) =
+        when(nij > 0,
+          (nij.cast("double") / col("n_total")) *
+            log(nij.cast("double") * col("n_total") /
+              (ni.cast("double") * nj)))
+          .otherwise(lit(0.0))
+      cells
+        .select(col("t"), col("n11"), col("n10"), col("n01"), col("n00"),
+          round(
+            term(col("n11"), col("df"), col("n_pos")) +
+              term(col("n10"), col("df"), col("n_total") - col("n_pos")) +
+              term(col("n01"), col("n_total") - col("df"), col("n_pos")) +
+              term(col("n00"), col("n_total") - col("df"),
+                col("n_total") - col("n_pos")),
+            6).as("mi"))
+        .orderBy(col("mi").desc, col("t"))
+        .limit(15)
+    },
+
+    // Perceptual audio dedup through the REAL codec: planted
+    // pseudo-sawtooth waves where docs sharing a base shape differ
+    // only in GAIN (amplitude) — exact byte dedup sees them all as
+    // distinct; the amplitude-invariant energy-gradient hash
+    // (AudioDedup.energyHash) collapses each shape into one bucket.
+    // All-integer sample/energy arithmetic so the oracle replays the
+    // decode output exactly.
+    "q_dedup_audio" -> { (s, dir) =>
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val wav = Tables.load(s, dir, "documents").select("doc_id")
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val base = id % 25
+            val amp = 50L + (id % 7) * 10L
+            val n = ((base % 5) + 1).toInt * 100
+            val mul = 37L + base
+            val add = 3L * base
+            val chan = Array.tabulate[Short](n)(i =>
+              (((i * mul + add) % 401 - 200) * amp).toShort)
+            Row(id, Multimodal.encodeWavPcm16(Array(chan), 8000))
+          }
+        }(enc)
+      graft.multimodal.AudioDedup.dedupBuckets(wav, "payload", "doc_id")
+        .orderBy("ahash")
+    },
+
     // Per-segment OLS trend line (price-vs-quantity slope per
     // returnflag): one keyed pass collecting exact-decimal sufficient
     // statistics, closed forms in fixed-shape double arithmetic — the
@@ -4209,11 +4304,12 @@ object SparkEntry {
     "lower(regexp_extract(regexp_extract(trim(" + url +
       "), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(?:[^@]*@)?([^:@]*)', 1))"
 
-  private def urlCanonCtes: String = {
+  private def urlCanonCtes(
+      urlExpr: String = urlSqlExpr("o_custkey", "o_orderkey")): String = {
     val suffixes = graft.text.UrlOps.MultiSuffixes.map(x => s"'$x'").mkString(", ")
     s"""u AS (
        |  SELECT o_orderkey,
-       |    ${urlSqlExpr("o_custkey", "o_orderkey")} AS url
+       |    $urlExpr AS url
        |  FROM orders),
        |parts AS (
        |  SELECT o_orderkey, url,
@@ -4760,12 +4856,12 @@ object SparkEntry {
     // Identical URL construction + stage-by-stage canonicalization
     // replay (see urlCanonCtes).
     "q_url_canon" ->
-      ("WITH " + urlCanonCtes + """
+      ("WITH " + urlCanonCtes() + """
         |SELECT o_orderkey, url, canon, domain FROM canon
         |ORDER BY o_orderkey""".stripMargin),
 
     "q_domain_stats" ->
-      ("WITH " + urlCanonCtes + """
+      ("WITH " + urlCanonCtes() + """
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
         |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -5843,6 +5939,81 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q_acf" -> acfOracle(7),
+
+    // The dedup-prone URL variants (scheme case / :80 / fragment) fed
+    // through the SAME stage-by-stage canonicalization replay, then
+    // the dup-bucket groupBy.
+    "q_dedup_url" ->
+      ("WITH " + urlCanonCtes(
+        "(CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP' ELSE 'hTtp' END) || " +
+          "'://WWW.Shop' || CAST(o_custkey % 50 AS VARCHAR) || '.Example.COM' || " +
+          "(CASE WHEN o_orderkey % 3 = 0 THEN ':80' ELSE '' END) || " +
+          "'/item%2fview/' || CAST(o_orderkey % 500 AS VARCHAR) || " +
+          "(CASE WHEN o_orderkey % 5 = 0 THEN '#Sec%201' ELSE '' END)") + """
+        |SELECT canon AS url, min(o_orderkey) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dupes
+        |FROM canon GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY url""".stripMargin),
+
+    // Exact 2×2 presence tables per token; four fixed-shape MI terms
+    // mirroring the Spark expression order.
+    "q_mutual_info" ->
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |          CAST(sum(y) AS BIGINT) AS n_pos FROM d),
+        |tk AS (
+        |  SELECT DISTINCT doc_id, y,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS t
+        |  FROM d),
+        |g AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df, CAST(sum(y) AS BIGINT) AS n11
+        |  FROM tk GROUP BY t HAVING count(*) >= 10),
+        |cells AS (
+        |  SELECT t, n11, df - n11 AS n10,
+        |    (SELECT n_pos FROM tot) - n11 AS n01,
+        |    (SELECT n_total FROM tot) - (SELECT n_pos FROM tot) - (df - n11) AS n00,
+        |    (SELECT n_total FROM tot) AS n_total,
+        |    (SELECT n_pos FROM tot) AS n_pos, df
+        |  FROM g)
+        |SELECT t, n11, n10, n01, n00,
+        |  round(
+        |    (CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE) / n_total)
+        |      * ln(CAST(n11 AS DOUBLE) * n_total / (CAST(df AS DOUBLE) * n_pos)) ELSE 0.0 END)
+        |    + (CASE WHEN n10 > 0 THEN (CAST(n10 AS DOUBLE) / n_total)
+        |      * ln(CAST(n10 AS DOUBLE) * n_total / (CAST(df AS DOUBLE) * (n_total - n_pos))) ELSE 0.0 END)
+        |    + (CASE WHEN n01 > 0 THEN (CAST(n01 AS DOUBLE) / n_total)
+        |      * ln(CAST(n01 AS DOUBLE) * n_total / (CAST(n_total - df AS DOUBLE) * n_pos)) ELSE 0.0 END)
+        |    + (CASE WHEN n00 > 0 THEN (CAST(n00 AS DOUBLE) / n_total)
+        |      * ln(CAST(n00 AS DOUBLE) * n_total / (CAST(n_total - df AS DOUBLE) * (n_total - n_pos))) ELSE 0.0 END),
+        |  6) AS mi
+        |FROM cells ORDER BY mi DESC, t LIMIT 15""".stripMargin,
+
+    // Integer replay of the planted wave through the energy-gradient
+    // hash: per-frame Σ sample² via nested list comprehensions (exact
+    // BIGINT — sample formula × amp, squared), dHash bits e_f > e_f+1.
+    "q_dedup_audio" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 25 AS base, 50 + (doc_id % 7) * 10 AS amp,
+        |    ((doc_id % 25) % 5 + 1) * 100 AS n
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    [list_sum([(((j * (37 + base) + 3 * base) % 401 - 200) * amp)
+        |               * (((j * (37 + base) + 3 * base) % 401 - 200) * amp)
+        |               for j in range((f * n) // 32, ((f + 1) * n) // 32)])
+        |     for f in range(0, 32)] AS en
+        |  FROM p),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN en[f + 1] > en[f + 2]
+        |                        THEN CAST(1 AS BIGINT) << f ELSE 0 END
+        |                   for f in range(0, 31)]) AS BIGINT) AS ahash
+        |  FROM e)
+        |SELECT ahash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dupes
+        |FROM h GROUP BY 1 ORDER BY ahash""".stripMargin,
 
     "q_ols" ->
       """WITH sums AS (

@@ -1950,6 +1950,111 @@ object SparkEntry {
         .orderBy("ahash")
     },
 
+    // SKYLINE FREQUENCY (Chan et al., "On High Dimensional Skylines",
+    // EDBT'06): per point, in how many of the 2^d−1 subspaces it is a
+    // skyline point — the robustness ranking of skycube winners (a
+    // point strong in many subspaces beats a full-space-only winner).
+    // Derived from the one-scan skycube by a keyed count.
+    "q_sky_freq" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
+      graft.skyline.Skycube.skycube(li, SkylineSpec(Seq(
+        SkyDim("l_extendedprice", Min),
+        SkyDim("l_discount", Max),
+        SkyDim("l_quantity", Min))))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_subspaces"))
+        .orderBy(col("n_subspaces").desc, col("l_orderkey"))
+        .limit(20)
+    },
+
+    // Tukey-fence outlier gate per segment: q1/q3 per event type,
+    // fences at 1.5·IQR, exact outlier counts + the observed extremes
+    // (the metric-anomaly sibling of q_anomaly_mad — per-value instead
+    // of per-day). Quantiles interpolate identically cross-engine
+    // (q_quantiles parity); fences are fixed-shape doubles, so the
+    // comparisons are deterministic. Group stats ride in as a
+    // broadcast.
+    "q_iqr_outliers" -> { (s, dir) =>
+      val li = Tables.loadEvents(s, dir)
+        .select(col("event_type").as("g"), col("value").as("v"))
+      val q = li.groupBy("g").agg(
+        expr("percentile(v, 0.25)").as("q1"),
+        expr("percentile(v, 0.75)").as("q3"))
+      val f = q.select(col("g"),
+        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+      li.join(broadcast(f), "g")
+        .filter(col("v") < col("lo") || col("v") > col("hi"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n_outliers"),
+          min(col("v")).as("min_out"), max(col("v")).as("max_out"),
+          round(min(col("lo")), 6).as("lo"), round(min(col("hi")), 6).as("hi"))
+        .orderBy("g")
+    },
+
+    // Frequent 3-itemsets — the Apriori step above q_assoc_rules'
+    // pairs: triples co-purchased in ≥ 2 orders. The candidate join
+    // stays WITHIN the basket key (3-way self-join bounded by basket
+    // size cubed over a ~5-item basket, never corpus³).
+    "q_freq_triples" -> { (s, dir) =>
+      val items = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
+        .distinct()
+      items.as("a")
+        .join(items.as("b"),
+          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
+        .join(items.as("c"),
+          col("a.bk") === col("c.bk") && col("b.it") < col("c.it"))
+        .groupBy(col("a.it").as("i1"), col("b.it").as("i2"), col("c.it").as("i3"))
+        .agg(count(lit(1)).as("n_baskets"))
+        .filter(col("n_baskets") >= 2)
+        .orderBy("i1", "i2", "i3")
+    },
+
+    // Join-key skew audit — the diagnostic run BEFORE reaching for
+    // q_salted_join's remedy: hottest keys by exact count plus the
+    // skew ratio vs a uniform spread (n·n_keys/total). One keyed agg;
+    // at 100 TB this is the cheap pre-flight that decides whether a
+    // shuffle needs salting or AQE skew handling.
+    "q_skew_audit" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val counts = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("o_custkey"), col("n"),
+          round((col("n") * col("n_keys")).cast("double") / col("total"), 6)
+            .as("skew_ratio"))
+        .orderBy(col("n").desc, col("o_custkey"))
+        .limit(10)
+    },
+
+    // Orphan-file vacuum: plant uncommitted junk (temp/attempt/partial
+    // files) next to a committed write, vacuum the directory, read the
+    // aggregate THROUGH the cleaned copy against the raw-table oracle
+    // — proving committed data survived while the junk (which would
+    // crash or double-count a globbing reader) is gone. VacuumSpec
+    // asserts the census.
+    "q_vacuum" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum_$tag"
+      Tables.load(s, dir, "orders")
+        .repartition(8).write.mode("overwrite").parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("part-junk.parquet.inprogress", ".nfs-stale", "task-tmp.tmp")
+        .foreach { n =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(path, n), true)
+          out.write(Array[Byte](1, 2, 3)); out.close()
+        }
+      graft.sources.Vacuum.vacuum(s, path)
+      s.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // Per-segment OLS trend line (price-vs-quantity slope per
     // returnflag): one keyed pass collecting exact-decimal sufficient
     // statistics, closed forms in fixed-shape double arithmetic — the
@@ -6014,6 +6119,54 @@ object SparkEntry {
         |  FROM e)
         |SELECT ahash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dupes
         |FROM h GROUP BY 1 ORDER BY ahash""".stripMargin,
+
+    // Subspace-membership count over the same 7-way skyline union.
+    "q_sky_freq" ->
+      s"""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_subspaces
+         |FROM ($skycubeOracle) sc
+         |GROUP BY 1 ORDER BY n_subspaces DESC, l_orderkey LIMIT 20""".stripMargin,
+
+    // Per-group quantile fences, identical expression shapes.
+    "q_iqr_outliers" ->
+      """WITH li AS (SELECT event_type AS g, value AS v FROM events),
+        |q AS (SELECT g, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
+        |      FROM li GROUP BY g),
+        |f AS (SELECT g, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
+        |SELECT li.g, CAST(count(*) AS BIGINT) AS n_outliers,
+        |  min(v) AS min_out, max(v) AS max_out,
+        |  round(min(lo), 6) AS lo, round(min(hi), 6) AS hi
+        |FROM li JOIN f ON li.g = f.g
+        |WHERE v < lo OR v > hi
+        |GROUP BY li.g ORDER BY li.g""".stripMargin,
+
+    "q_freq_triples" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |tr AS (
+        |  SELECT a.it AS i1, b.it AS i2, c.it AS i3,
+        |    CAST(count(*) AS BIGINT) AS n_baskets
+        |  FROM items a
+        |  JOIN items b ON a.bk = b.bk AND a.it < b.it
+        |  JOIN items c ON a.bk = c.bk AND b.it < c.it
+        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT i1, i2, i3, n_baskets FROM tr ORDER BY i1, i2, i3""".stripMargin,
+
+    "q_skew_audit" ->
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT o_custkey, n,
+        |  round(CAST(n * (SELECT n_keys FROM t) AS DOUBLE) / (SELECT total FROM t), 6)
+        |    AS skew_ratio
+        |FROM c ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
+
+    // Vacuum is answer-invariant: the aggregate through the cleaned
+    // directory equals the raw-table aggregate.
+    "q_vacuum" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_ols" ->
       """WITH sums AS (

@@ -1994,6 +1994,49 @@ object SparkEntry {
         .orderBy("g")
     },
 
+    // Sample-ratio mismatch (SRM) gate — the experimentation-ops check
+    // that runs BEFORE any A/B readout is trusted: a 50/50 hash split
+    // whose observed arm counts drift from expectation signals a
+    // broken assignment (chi-square, 1 df, against equal expected
+    // counts; exact integers in, one fixed-shape double out).
+    "q_srm" -> { (s, dir) =>
+      val users = Tables.loadEvents(s, dir).select("user_id").distinct()
+      val split = graft.operators.Sampling.assignSplit(
+        users, "user_id", Seq("A" -> 0.5, "B" -> 0.5), "ab9")
+      split.agg(
+          sum(when(col("split") === "A", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("split") === "B", 1L).otherwise(0L)).as("n_b"))
+        .select(col("n_a"), col("n_b"),
+          round(
+            (col("n_a").cast("double") - (col("n_a") + col("n_b")).cast("double") / 2) *
+              (col("n_a").cast("double") - (col("n_a") + col("n_b")).cast("double") / 2) /
+              ((col("n_a") + col("n_b")).cast("double") / 2) +
+              (col("n_b").cast("double") - (col("n_a") + col("n_b")).cast("double") / 2) *
+                (col("n_b").cast("double") - (col("n_a") + col("n_b")).cast("double") / 2) /
+                ((col("n_a") + col("n_b")).cast("double") / 2),
+            6).as("chi2_srm"))
+    },
+
+    // ANN quality audit as a GATED query (not just a spec): recall@10
+    // of the IVF probe against the exact cosine top-10 — the number an
+    // index owner watches when tuning nProbe/nLists. Both sides are
+    // the already-oracled serving paths; the audit is one keyed
+    // semi-join over two 10-row lists.
+    "q_ann_recall" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val ivf = IvfFlat.topK(e, "embedding", "vec_id", qv,
+        k = 10, nLists = 16, nProbe = 4).select("vec_id")
+      val exact = VectorSim.topK(e, "embedding", qv, k = 10, tieBreak = "vec_id")
+        .select("vec_id")
+      ivf.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"), lit(10L).as("k"),
+          round(col("n_overlap").cast("double") / 10.0, 6).as("recall"))
+    },
+
     // Frequent 3-itemsets — the Apriori step above q_assoc_rules'
     // pairs: triples co-purchased in ≥ 2 orders. The candidate join
     // stays WITHIN the basket key (3-way self-join bounded by basket
@@ -3793,6 +3836,26 @@ object SparkEntry {
     * assignment with ties to the smaller rank, same 4-list probe,
     * exact double cosine) — only the at-rest layout differs.
     */
+  /** Exact cosine top-10 for query vec 0 — shared by q_knn and the
+    * q_ann_recall ground-truth side.
+    */
+  private val KnnOracle: String =
+    """WITH ev AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+      |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
+      |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+      |dots AS (SELECT e.vec_id, sum(e.x * q.x) AS d FROM ev e JOIN q ON e.i = q.i GROUP BY 1)
+      |SELECT emb.vec_id, emb.label,
+      |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+      |    THEN dots.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+      |FROM dots
+      |JOIN norms ON dots.vec_id = norms.vec_id
+      |JOIN embeddings emb ON dots.vec_id = emb.vec_id
+      |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin
+
   private val AnnIvfOracle: String =
     """WITH cent AS (
       |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
@@ -6139,6 +6202,39 @@ object SparkEntry {
         |WHERE v < lo OR v > hi
         |GROUP BY li.g ORDER BY li.g""".stripMargin,
 
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |sp AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5('ab9|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |                   / 1152921504606846976.0 < 0.5
+        |              THEN 'A' ELSE 'B' END AS split
+        |  FROM u),
+        |c AS (
+        |  SELECT CAST(sum(CASE WHEN split = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN split = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM sp)
+        |SELECT n_a, n_b,
+        |  round(
+        |    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+        |      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+        |      / (CAST(n_a + n_b AS DOUBLE) / 2)
+        |    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+        |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
+        |      / (CAST(n_a + n_b AS DOUBLE) / 2),
+        |  6) AS chi2_srm
+        |FROM c""".stripMargin,
+
+    // Both serving paths' full CTE chains as derived tables; recall is
+    // the exact intersection count over the two 10-row lists.
+    "q_ann_recall" ->
+      s"""WITH ivf AS (SELECT vec_id FROM ($AnnIvfOracle) x),
+         |ex AS (SELECT vec_id FROM ($KnnOracle) y),
+         |o AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+         |      FROM ivf JOIN ex ON ivf.vec_id = ex.vec_id)
+         |SELECT n_overlap, CAST(10 AS BIGINT) AS k,
+         |  round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall
+         |FROM o""".stripMargin,
+
     "q_freq_triples" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
@@ -6868,22 +6964,7 @@ object SparkEntry {
 
     // Double-precision cosine via unnest (DuckDB's
     // list_cosine_similarity computes in float32 — not oracle-grade).
-    "q_knn" ->
-      """WITH ev AS (
-        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
-        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
-        |dots AS (SELECT e.vec_id, sum(e.x * q.x) AS d FROM ev e JOIN q ON e.i = q.i GROUP BY 1)
-        |SELECT emb.vec_id, emb.label,
-        |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
-        |    THEN dots.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
-        |FROM dots
-        |JOIN norms ON dots.vec_id = norms.vec_id
-        |JOIN embeddings emb ON dots.vec_id = emb.vec_id
-        |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin,
+    "q_knn" -> KnnOracle,
 
     // Batch form of q_knn: same double-precision unnest cosine, one
     // row_number per query id. Norm product written ne.n * nq.n to

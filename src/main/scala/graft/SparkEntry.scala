@@ -2006,6 +2006,77 @@ object SparkEntry {
         .orderBy("g")
     },
 
+    // Time-to-convert latency profile: per user, first view → first
+    // purchase at-or-after it; gaps are exact µs longs, the quantiles
+    // interpolate over them (q_quantiles parity). The funnel question
+    // q_funnel's completion counts don't answer: HOW LONG conversion
+    // takes.
+    "q_funnel_latency" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v_ts"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_ts"))
+      purch.join(views, "user_id")
+        .filter(col("p_ts") >= col("v_ts"))
+        .groupBy("user_id")
+        .agg(min(col("p_ts") - col("v_ts")).as("lat"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("lat")).as("min_us"), max(col("lat")).as("max_us"),
+          round(expr("percentile(lat, 0.5)"), 6).as("p50_us"),
+          round(expr("percentile(lat, 0.9)"), 6).as("p90_us"))
+    },
+
+    // Source-mix Shannon entropy per fold — the diversity audit run on
+    // every shard of a training mix (a fold that collapsed to two
+    // sources is a bug the per-source counts hide). Terms are
+    // ln-of-exact-integers; the ≤ 20-term sum is rounded 6 (the
+    // LmScore order-noise contract, ~1e-15 « the round grain).
+    "q_mix_entropy" -> { (s, dir) =>
+      val folds = graft.operators.Sampling.assignFolds(
+        Tables.load(s, dir, "documents"), "doc_id", k = 5, salt = "cv9")
+      val counts = folds.groupBy("fold", "source").agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("fold").agg(sum(col("n")).as("nt"),
+        count(lit(1)).as("n_sources"))
+      counts.join(tot, "fold")
+        .groupBy("fold")
+        .agg(first(col("nt")).as("n_docs"), first(col("n_sources")).as("n_sources"),
+          round(
+            log(first(col("nt")).cast("double")) -
+              sum(col("n").cast("double") * log(col("n").cast("double"))) /
+              first(col("nt")),
+            6).as("entropy"))
+        .orderBy("fold")
+    },
+
+    // Component-size histogram of the host graph (the crawl-graph
+    // sibling of q_cluster_stats' dedup histogram): how many isolated
+    // pairs vs one giant component — frontier-health at a glance.
+    "q_component_stats" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hostedges2_$tag"
+      o.select(src.as("src"), dst.as("dst"))
+        .repartition(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .write.mode("overwrite").parquet(path)
+      val edges = s.read.parquet(path)
+      def h(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+      graft.dedup.Clusters.sizeHistogram(
+        graft.dedup.Clusters.connectedComponents(
+          edges.select(h(col("src")).as("ha"), h(col("dst")).as("hb")),
+          "ha", "hb"))
+        .orderBy("csize")
+    },
+
     // Lang-ID confusion matrix — the heuristic classifier audited
     // against the fixture labels (per (true, predicted) exact counts):
     // the eval step between building a classifier (q_lang_id) and
@@ -6309,6 +6380,65 @@ object SparkEntry {
         |FROM li JOIN f ON li.g = f.g
         |WHERE v < lo OR v > hi
         |GROUP BY li.g ORDER BY li.g""".stripMargin,
+
+    "q_funnel_latency" ->
+      """WITH v AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS v_ts
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |lat AS (
+        |  SELECT p.user_id, CAST(min(p.p_ts - v.v_ts) AS BIGINT) AS lat
+        |  FROM p JOIN v ON p.user_id = v.user_id
+        |  WHERE p.p_ts >= v.v_ts GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |  min(lat) AS min_us, max(lat) AS max_us,
+        |  round(quantile_cont(lat, 0.5), 6) AS p50_us,
+        |  round(quantile_cont(lat, 0.9), 6) AS p90_us
+        |FROM lat""".stripMargin,
+
+    // H = ln N − Σ n·ln n / N per fold; ln of exact integers, the
+    // small-term sum rounded 6 (LmScore order-noise contract).
+    "q_mix_entropy" ->
+      """WITH f AS (
+        |  SELECT CAST(('0x' || substr(md5('cv9|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold,
+        |    source
+        |  FROM documents),
+        |c AS (SELECT fold, source, CAST(count(*) AS BIGINT) AS n
+        |      FROM f GROUP BY 1, 2),
+        |t AS (SELECT fold, CAST(sum(n) AS BIGINT) AS nt,
+        |        CAST(count(*) AS BIGINT) AS n_sources FROM c GROUP BY 1)
+        |SELECT c.fold, t.nt AS n_docs, t.n_sources,
+        |  round(ln(CAST(t.nt AS DOUBLE))
+        |    - sum(CAST(c.n AS DOUBLE) * ln(CAST(c.n AS DOUBLE))) / t.nt,
+        |  6) AS entropy
+        |FROM c JOIN t ON c.fold = t.fold
+        |GROUP BY c.fold, t.nt, t.n_sources ORDER BY c.fold""".stripMargin,
+
+    // The recursive closure of the host edges → component sizes →
+    // histogram (the q_cluster_stats shape on the crawl graph).
+    "q_component_stats" -> {
+      val he = "he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders)"
+      s"""WITH RECURSIVE $he,
+         |e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+         |ed AS (SELECT DISTINCT
+         |    ('0x' || substr(md5(src), 1, 15))::BIGINT AS u,
+         |    ('0x' || substr(md5(dst), 1, 15))::BIGINT AS v FROM e),
+         |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
+         |reach(id, comp) AS (
+         |  SELECT u, u FROM sym
+         |  UNION
+         |  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id),
+         |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
+         |       FROM comp GROUP BY 1)
+         |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY 1 ORDER BY csize""".stripMargin
+    },
 
     // The lang-id replay grouped against the fixture labels.
     "q_lang_confusion" ->

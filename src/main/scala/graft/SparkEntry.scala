@@ -2006,6 +2006,86 @@ object SparkEntry {
         .orderBy("g")
     },
 
+    // Frequency-of-frequencies spectrum with Good-Turing adjusted
+    // counts r* = (r+1)·N_{r+1}/N_r — the species-abundance audit
+    // behind LM smoothing and "how many one-time keys exist" capacity
+    // questions, here over customer order counts (the fixture's text
+    // vocabulary is 31 tokens — no tail to audit; customers have a
+    // real Poisson-ish spread). Two keyed aggs over exact integers;
+    // r* is one division of exact longs per row; the lead window runs
+    // over the ≤ max(r) distinct-count frame, never the corpus.
+    "q_token_spectrum" -> { (s, dir) =>
+      val freqs = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("r"))
+      val spectrum = freqs.groupBy("r").agg(count(lit(1)).as("n_r"))
+      val w = Window.orderBy(col("r"))
+      spectrum
+        .withColumn("n_r1", lead(col("n_r"), 1).over(w))
+        .withColumn("r_next", lead(col("r"), 1).over(w))
+        .select(col("r"), col("n_r"),
+          round(
+            when(col("r_next") === col("r") + 1,
+              (col("r") + 1) * col("n_r1") / col("n_r").cast("double")),
+            6).as("gt_adjusted"))
+        .filter(col("r") <= 15)
+        .orderBy("r")
+    },
+
+    // RFM segmentation of purchasers (recency / frequency / monetary)
+    // with fixed exact-arithmetic thresholds: days-since-last vs the
+    // corpus max ts (integer µs), purchase count, exact decimal spend.
+    // Segment counts are the corpus-marketing audit; one keyed agg +
+    // one tiny group count.
+    "q_rfm" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase")
+      val mx = purch.agg(max(unix_micros(col("ts"))).as("mx"))
+      purch
+        .groupBy("user_id")
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          sum(col("value").cast("decimal(18,2)")).as("monetary"))
+        .crossJoin(broadcast(mx))
+        // integer `div`: Spark's `/` on longs is DOUBLE division and
+        // cast-to-long truncates while DuckDB's CAST rounds — floor
+        // division sidesteps the divergence entirely
+        .select(col("user_id"),
+          expr("(mx - last_us) div 86400000000").as("recency_days"),
+          col("freq"), col("monetary"))
+        .select(
+          when(col("recency_days") <= 7, "active")
+            .otherwise(when(col("recency_days") <= 14, "cooling")
+              .otherwise("lapsed")).as("r_seg"),
+          when(col("freq") >= 15, "power")
+            .otherwise(when(col("freq") >= 8, "regular")
+              .otherwise("light")).as("f_seg"),
+          when(col("monetary") >= 2000, "big")
+            .otherwise("small").as("m_seg"))
+        .groupBy("r_seg", "f_seg", "m_seg").agg(count(lit(1)).as("n_users"))
+        .orderBy("r_seg", "f_seg", "m_seg")
+    },
+
+    // Day-of-week seasonality: per (ISO dow, event type) exact counts
+    // plus the lift vs independence (n·N/(row·col)) — the weekly
+    // rhythm readout. Dow from pure epoch-day arithmetic ((days+3)%7+1,
+    // day 0 = Thursday), so no engine calendar functions disagree.
+    "q_seasonal_dow" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+        .select(col("event_type"),
+          (pmod(floor(unix_micros(col("ts")) / lit(86400000000L)) + 3, lit(7)) + 1)
+            .cast("int").as("dow"))
+      val counts = ev.groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
+      val rows = counts.groupBy("dow").agg(sum(col("n")).as("n_dow"))
+      val cols = counts.groupBy("event_type").agg(sum(col("n")).as("n_type"))
+      val tot = counts.agg(sum(col("n")).as("nt"))
+      counts.join(rows, "dow").join(cols, "event_type")
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("event_type"), col("n"),
+          round((col("n") * col("nt")).cast("double") /
+            (col("n_dow") * col("n_type")).cast("double"), 6).as("lift"))
+        .orderBy("dow", "event_type")
+    },
+
     // Time-to-convert latency profile: per user, first view → first
     // purchase at-or-after it; gaps are exact µs longs, the quantiles
     // interpolate over them (q_quantiles parity). The funnel question
@@ -6380,6 +6460,59 @@ object SparkEntry {
         |FROM li JOIN f ON li.g = f.g
         |WHERE v < lo OR v > hi
         |GROUP BY li.g ORDER BY li.g""".stripMargin,
+
+    "q_token_spectrum" ->
+      """WITH freqs AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS r
+        |  FROM orders GROUP BY 1),
+        |sp AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freqs GROUP BY r),
+        |l AS (
+        |  SELECT r, n_r,
+        |    lead(n_r) OVER (ORDER BY r) AS n_r1,
+        |    lead(r) OVER (ORDER BY r) AS r_next
+        |  FROM sp)
+        |SELECT r, n_r,
+        |  round(CASE WHEN r_next = r + 1
+        |        THEN (r + 1) * n_r1 / CAST(n_r AS DOUBLE) END, 6) AS gt_adjusted
+        |FROM l WHERE r <= 15 ORDER BY r""".stripMargin,
+
+    "q_rfm" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS us, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |mx AS (SELECT CAST(max(us) AS BIGINT) AS mx FROM p),
+        |u AS (
+        |  SELECT user_id, CAST(max(us) AS BIGINT) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    sum(CAST(value AS DECIMAL(18,2))) AS monetary
+        |  FROM p GROUP BY 1),
+        |seg AS (
+        |  SELECT
+        |    CASE WHEN ((SELECT mx FROM mx) - last_us) // 86400000000 <= 7 THEN 'active'
+        |         WHEN ((SELECT mx FROM mx) - last_us) // 86400000000 <= 14 THEN 'cooling'
+        |         ELSE 'lapsed' END AS r_seg,
+        |    CASE WHEN freq >= 15 THEN 'power'
+        |         WHEN freq >= 8 THEN 'regular' ELSE 'light' END AS f_seg,
+        |    CASE WHEN monetary >= 2000 THEN 'big' ELSE 'small' END AS m_seg
+        |  FROM u)
+        |SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY r_seg, f_seg, m_seg""".stripMargin,
+
+    "q_seasonal_dow" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS INT) AS dow
+        |  FROM events),
+        |c AS (SELECT dow, event_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT dow, CAST(sum(n) AS BIGINT) AS n_dow FROM c GROUP BY 1),
+        |k AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+        |SELECT c.dow, c.event_type, c.n,
+        |  round(CAST(c.n * (SELECT nt FROM t) AS DOUBLE)
+        |    / CAST(r.n_dow * k.n_type AS DOUBLE), 6) AS lift
+        |FROM c JOIN r ON c.dow = r.dow JOIN k ON c.event_type = k.event_type
+        |ORDER BY c.dow, c.event_type""".stripMargin,
 
     "q_funnel_latency" ->
       """WITH v AS (

@@ -1962,6 +1962,20 @@ object SparkEntry {
         .orderBy("ahash")
     },
 
+    // The SAME skycube through the SQL surface: SKYCUBE OF parsed by
+    // the session-extensions parser into SkycubePlan → SkycubeExec
+    // (the one-scan multi-buffer physical plan) — a user types one
+    // clause and gets all 7 subspace skylines labeled. Shares
+    // q_skycube's oracle slice; the two paths must agree.
+    "q_skycube_sql" -> { (s, dir) =>
+      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      graft.sql.SkylineSql.sql(s,
+        "SELECT l_orderkey, l_extendedprice, l_discount, l_quantity " +
+          "FROM lineitem_v WHERE l_returnflag = 'R' AND l_linenumber = 1 " +
+          "SKYCUBE OF l_extendedprice MIN, l_discount MAX, l_quantity MIN")
+        .orderBy("subspace", "l_orderkey")
+    },
+
     // SKYLINE FREQUENCY (Chan et al., "On High Dimensional Skylines",
     // EDBT'06): per point, in how many of the 2^d−1 subspaces it is a
     // skyline point — the robustness ranking of skycube winners (a
@@ -6193,6 +6207,9 @@ object SparkEntry {
     },
 
     "q_skycube" -> skycubeOracle,
+
+    // The SQL-surface path must produce the identical cube.
+    "q_skycube_sql" -> skycubeOracle,
 
     // Per-group mirror of q_hll: same register algebra with every
     // stage keyed by o_orderpriority.

@@ -7,11 +7,19 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.SparkPlan
 
-/** Planner strategy: [[SkylinePlan]] → [[SkylineExec]]. */
+/** Planner strategy: [[SkylinePlan]] → [[SkylineExec]],
+  * [[SkycubePlan]] → [[SkycubeExec]].
+  */
 object SkylineStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case sky @ SkylinePlan(_, _, child) =>
       SkylineExec(sky.dims, planLater(child)) :: Nil
+    case cube: SkycubePlan =>
+      val names = cube.dimExprs.map {
+        case a: org.apache.spark.sql.catalyst.expressions.NamedExpression => a.name
+        case e => e.sql
+      }
+      SkycubeExec(cube.dims, names, cube.subspaceAttr, planLater(cube.child)) :: Nil
     case _ => Nil
   }
 }

@@ -27,6 +27,12 @@ class SkylineSqlParser(delegate: ParserInterface) extends ParserInterface {
   import SkylineSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case SkycubeClause(base, clause) =>
+      val dims = parseDims(clause)
+      require(dims.length <= 6,
+        s"SKYCUBE OF is 2^d − 1 subspaces; d=${dims.length} > 6 — " +
+          "query targeted SKYLINE OF subspaces instead")
+      SkycubePlan(dims.map(_._1), dims.map(_._2), delegate.parsePlan(base))
     case SkylineClause(base, clause) =>
       val dims = parseDims(clause)
       SkylinePlan(dims.map(_._1), dims.map(_._2), delegate.parsePlan(base))
@@ -55,6 +61,22 @@ object SkylineSqlParser {
     * misspells a direction still matches the column-word shape and gets
     * a helpful error from [[parseDims]].
     */
+  /** `SKYCUBE OF <dims>` — same clause grammar as SKYLINE OF, same
+    * string-literal/comment hijack protection via the dim-list shape
+    * check.
+    */
+  private[plans] object SkycubeClause {
+    private val re = "(?is)^(.*?)\\bSKYCUBE\\s+OF\\s+(.+?)[\\s;]*$".r
+    private val dimListShape =
+      "(?i)^\\s*[`\\w.]+\\s+\\w+\\s*(,\\s*[`\\w.]+\\s+\\w+\\s*)*$".r
+    def unapply(sql: String): Option[(String, String)] = sql match {
+      case re(base, clause)
+          if base.trim.nonEmpty && dimListShape.matches(clause) =>
+        Some((base, clause))
+      case _ => None
+    }
+  }
+
   private[plans] object SkylineClause {
     private val re = "(?is)^(.*?)\\bSKYLINE\\s+OF\\s+(.+?)[\\s;]*$".r
     // identifier (optionally backquoted/dotted) + a direction-like word

@@ -87,6 +87,36 @@ class SkylineSqlSpec extends SparkSpec {
     }
   }
 
+  test("SKYCUBE OF clause == Skycube operator on every subspace") {
+    fixture().createOrReplaceTempView("items")
+    val got = SkylineSql.sql(spark,
+      "SELECT id, price, rating FROM items SKYCUBE OF price MIN, rating MAX")
+      .select("subspace", "id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    val expected = graft.skyline.Skycube.skycube(
+      fixture().select("id", "price", "rating"),
+      SkylineSpec(Seq(SkyDim("price", Min), SkyDim("rating", Max))))
+      .select("subspace", "id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    assert(got.keySet == Set("price", "rating", "price+rating"))
+    assert(got == expected)
+  }
+
+  test("SKYCUBE OF keeps WHERE; d > 6 rejected at parse") {
+    Seq((1L, 1.0, 5.0, "a"), (2L, 9.0, 1.0, "a"), (3L, 0.5, 9.0, "b"))
+      .toDF("id", "price", "rating", "grp").createOrReplaceTempView("t3")
+    val got = SkylineSql.sql(spark,
+      "SELECT id, price, rating FROM t3 WHERE grp = 'a' SKYCUBE OF price MIN, rating MAX")
+      .select("subspace", "id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) => k -> rs.map(_._2).toSet }
+    assert(got("price") == Set(1L))
+    assert(got("rating") == Set(1L))
+    intercept[IllegalArgumentException] {
+      SkylineSql.sql(spark, "SELECT * FROM t3 SKYCUBE OF " +
+        "price MIN, rating MAX, id MIN, grp MIN, price MAX, rating MIN, id MAX")
+    }
+  }
+
   test("DominatesExpr: truth table + parity with Dominance.dominates") {
     val rnd = new Random(5)
     val pairs = Seq.fill(200)((Seq.fill(4)(rnd.nextInt(5).toDouble), Seq.fill(4)(rnd.nextInt(5).toDouble)))

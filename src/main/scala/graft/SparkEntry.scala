@@ -2209,6 +2209,50 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     },
 
+    // Wilson 95% confidence interval for the per-arm conversion rate —
+    // what the experiment dashboard actually displays next to
+    // q_chisq's verdict. Exact (n, conv) integers per arm; the
+    // interval is one fixed-shape double expression per row
+    // (z = 1.96 literal), identical in any IEEE engine.
+    "q_conversion_ci" -> { (s, dir) =>
+      val users = Tables.loadEvents(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
+          .otherwise(0L)).as("conv"))
+      val split = graft.operators.Sampling.assignSplit(
+        users, "user_id", Seq("A" -> 0.5, "B" -> 0.5), "ab9")
+      val arms = split.groupBy("split")
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("n_conv"))
+      val z = lit(1.96)
+      val nD = col("n").cast("double")
+      val p = col("n_conv").cast("double") / nD
+      val denom = lit(1.0) + z * z / nD
+      val center = p + z * z / (lit(2.0) * nD)
+      val half = z * sqrt(p * (lit(1.0) - p) / nD + z * z / (lit(4.0) * nD * nD))
+      arms.select(col("split"), col("n"), col("n_conv"),
+          round(p, 6).as("rate"),
+          round((center - half) / denom, 6).as("ci_lo"),
+          round((center + half) / denom, 6).as("ci_hi"))
+        .orderBy("split")
+    },
+
+    // Embedding-space norm audit per label: vector norms fold the
+    // array in INDEX order (deterministic in any engine), and only
+    // order-independent extremes aggregate across rows — a collapsed
+    // or exploded norm range is the first symptom of a broken
+    // embedding refresh.
+    "q_embed_norms" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val norm = sqrt(aggregate(col("embedding").cast("array<double>"),
+        lit(0.0), (acc, x) => acc + x * x))
+      e.select(col("label"), norm.as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+        .orderBy("label")
+    },
+
     // Sample-ratio mismatch (SRM) gate — the experimentation-ops check
     // that runs BEFORE any A/B readout is trusted: a 50/50 hash split
     // whose observed arm counts drift from expectation signals a
@@ -6640,6 +6684,46 @@ object SparkEntry {
         |        ORDER BY cnt DESC, user_id) AS rn FROM c)
         |SELECT w_start, user_id, cnt FROM r WHERE rn <= 5
         |ORDER BY w_start, cnt DESC, user_id""".stripMargin,
+
+    // Per-arm Wilson interval; expression shapes mirror the Spark
+    // side operand for operand (z² etc. fold to identical doubles).
+    "q_conversion_ci" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |sp AS (
+        |  SELECT conv,
+        |    CASE WHEN ('0x' || substr(md5('ab9|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+        |              / 1152921504606846976.0 < 0.5
+        |         THEN 'A' ELSE 'B' END AS split
+        |  FROM u),
+        |arms AS (
+        |  SELECT split, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM sp GROUP BY 1),
+        |c AS (SELECT split, n, n_conv, CAST(n AS DOUBLE) AS nd,
+        |        CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM arms)
+        |SELECT split, n, n_conv, round(p, 6) AS rate,
+        |  round((p + 1.96 * 1.96 / (2.0 * nd)
+        |    - 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
+        |    / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_lo,
+        |  round((p + 1.96 * 1.96 / (2.0 * nd)
+        |    + 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
+        |    / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_hi
+        |FROM c ORDER BY split""".stripMargin,
+
+    // Norms per q_knn's unnest shape; only order-independent extremes
+    // aggregate across rows, rounded at the documented grain.
+    "q_embed_norms" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, min(label) AS label, sqrt(sum(x * x)) AS nrm
+        |       FROM ev GROUP BY vec_id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+        |FROM nr GROUP BY label ORDER BY label""".stripMargin,
 
     "q_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

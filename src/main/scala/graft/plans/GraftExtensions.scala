@@ -40,6 +40,17 @@ object SkylineColumnPruning extends Rule[LogicalPlan] {
         Project(projectList, sky.copy(child = Project(keep, child)))
       else p
     }
+    // Same push-through for the cube: subspace comes from the node
+    // itself, so `needed` naturally excludes it from the child filter.
+    case p @ Project(projectList, cube: SkycubePlan)
+        if cube.resolved && p.resolved => {
+      val needed =
+        p.references ++ AttributeSet(cube.dimExprs.flatMap(_.references))
+      val keep = cube.child.output.filter(needed.contains)
+      if (keep.length < cube.child.output.length)
+        Project(projectList, cube.copy(child = Project(keep, cube.child)))
+      else p
+    }
   }
 }
 

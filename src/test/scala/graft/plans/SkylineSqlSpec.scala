@@ -64,6 +64,16 @@ class SkylineSqlSpec extends SparkSpec {
     assert(sky.child.output.map(_.name).toSet == Set("id", "price"))
   }
 
+  test("column pruning rule pushes a project below the skycube too") {
+    val plan = fixture().queryExecution.analyzed
+    val cube = SkycubePlan(Seq(plan.output(1)), Seq(1), plan)
+    val pruned = SkylineColumnPruning(
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(cube.subspaceAttr, plan.output.head), cube))
+    val c2 = pruned.collectFirst { case s: SkycubePlan => s }.get
+    assert(c2.child.output.map(_.name).toSet == Set("id", "price"))
+  }
+
   test("end-to-end via session extensions (newSession carries them)") {
     // A session built WITH extensions: verify the full spark.sql path.
     val s2 = org.apache.spark.sql.SparkSession.builder()

@@ -3717,6 +3717,27 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // NEAREST as-of (pandas direction='nearest') completes the
+    // backward/forward pair: closest purchase either way per click,
+    // exact gap ties to the backward match. Two keyed windows joined
+    // on the unique left id.
+    "q_asof_nearest" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      AsofJoin.leftAsofNearest(clicks, purchases, Seq("user_id"),
+        leftId = "event_id", leftTs = "ts", rightTs = "ts",
+        payload = Seq("event_id", "value", "ts"), tiebreak = "event_id")
+        .select(col("event_id"), col("user_id"),
+          col("asof_event_id"),
+          round(col("asof_value"), 6).as("asof_value"),
+          expr("abs(unix_micros(ts) - unix_micros(asof_ts)) div 1000000")
+            .as("gap_s"))
+        .orderBy("event_id")
+    },
+
     // One-call numeric profiling (the "describe" long form): per
     // column non-null/distinct/min/max/mean in ONE aggregation job
     // (graft.stats.Profile).
@@ -8038,6 +8059,44 @@ object SparkEntry {
         |    ON p.user_id = c.user_id AND p.ts >= c.ts)
         |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    // Both direction candidates ranked, then the identical
+    // choose-backward-on-tie arbitration.
+    "q_asof_nearest" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+        |purch AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |b AS (
+        |  SELECT c.event_id, p.event_id AS b_id, p.value AS b_value, p.ts AS b_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts DESC, p.event_id DESC) AS rn
+        |  FROM clicks c LEFT JOIN purch p
+        |    ON p.user_id = c.user_id AND p.ts <= c.ts),
+        |f AS (
+        |  SELECT c.event_id, p.event_id AS f_id, p.value AS f_value, p.ts AS f_ts,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        |  FROM clicks c LEFT JOIN purch p
+        |    ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts,
+        |    CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+        |           OR epoch_us(c.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(c.ts))
+        |         THEN b.b_id ELSE f.f_id END AS asof_event_id,
+        |    CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+        |           OR epoch_us(c.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(c.ts))
+        |         THEN b.b_value ELSE f.f_value END AS asof_value,
+        |    CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
+        |           OR epoch_us(c.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(c.ts))
+        |         THEN b.b_ts ELSE f.f_ts END AS asof_ts
+        |  FROM clicks c
+        |  JOIN b ON b.event_id = c.event_id AND b.rn = 1
+        |  JOIN f ON f.event_id = c.event_id AND f.rn = 1)
+        |SELECT event_id, user_id, asof_event_id,
+        |  round(asof_value, 6) AS asof_value,
+        |  abs(epoch_us(ts) - epoch_us(asof_ts)) // 1000000 AS gap_s
+        |FROM j ORDER BY event_id""".stripMargin,
 
     // Backward join with the 6-hour lookback applied AFTER match
     // selection (a too-old match nulls out, it does not fall through

@@ -184,4 +184,44 @@ object AsofJoin {
     gated.select(leftCols.map(col) ++ payload.map(p =>
       col(s"$PAY.$p").as(s"asof_$p")): _*)
   }
+
+  /** NEAREST as-of join (pandas merge_asof(direction='nearest')) —
+    * completes the backward/forward pair: for every left row the right
+    * row closest in time either way; an exact gap tie resolves to the
+    * BACKWARD match (the already-observed state beats the future one,
+    * and determinism needs a fixed rule). Composed as one backward +
+    * one forward pass over the same union+window plan joined on a
+    * caller-supplied unique `leftId` — two keyed windows, zero extra
+    * scans of the right side beyond the pair.
+    *
+    * `payload` is augmented with `rightTs` internally (the gaps are
+    * needed to choose); output carries `asof_<p>` for the caller's
+    * payload columns only.
+    */
+  def leftAsofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftId: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      tiebreak: String): DataFrame = {
+    val pay2 = (payload :+ rightTs).distinct
+    val back = leftAsof(left, right, keys, leftTs, rightTs, pay2, tiebreak)
+    val fwd = leftAsofForward(left, right, keys, leftTs, rightTs, pay2, tiebreak)
+      .select(col(leftId).as("__nid") +:
+        pay2.map(p => col(s"asof_$p").as(s"__f_$p")): _*)
+    val joined = back.join(fwd, back(leftId) === fwd("__nid"))
+    val bTs = col(s"asof_$rightTs")
+    val fTs = col(s"__f_$rightTs")
+    val gapB = tsDelta(joined, leftTs, s"asof_$rightTs")
+    val gapF = tsDelta(joined, s"__f_$rightTs", leftTs)
+    val takeBackward =
+      bTs.isNotNull && (fTs.isNull || gapB <= gapF)
+    joined.select(left.columns.map(col) ++ payload.map { p =>
+      when(takeBackward, col(s"asof_$p")).otherwise(col(s"__f_$p"))
+        .as(s"asof_$p")
+    }: _*)
+  }
 }

@@ -88,4 +88,42 @@ class AsofJoinSpec extends SparkSpec {
     val r = AsofJoin.leftAsofForward(lDf, rDf, Seq("k"), "ts", "ts", Seq("v"), "rid").head
     assert(r.getAs[Int]("asof_v") == 42)
   }
+
+  test("nearest matches brute force; exact gap ties resolve backward") {
+    val rnd = new scala.util.Random(17)
+    val lRows = (1L to 120L).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong, i))
+    val rRows = (1L to 80L).map(i => (rnd.nextInt(4).toLong, rnd.nextInt(100).toLong, i, rnd.nextInt(1000)))
+    val lDf = lRows.toDF("k", "ts", "lid").repartition(5)
+    val rDf = rRows.toDF("k", "ts", "rid", "v")
+    val got = AsofJoin.leftAsofNearest(lDf, rDf, Seq("k"), "lid", "ts", "ts",
+      Seq("rid", "v"), "rid")
+      .select("lid", "asof_rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    lRows.foreach { case (k, ts, lid) =>
+      val cands = rRows.filter(_._1 == k)
+      val expected = if (cands.isEmpty) None
+      else {
+        // min gap; tie → backward (rts <= ts wins); within a direction,
+        // backward prefers the LARGEST rid at equal ts, forward the smallest
+        val best = cands.map { case (_, rts, rid, _) =>
+          val gap = math.abs(rts - ts)
+          val backward = rts <= ts
+          (gap, if (backward) 0 else 1, if (backward) -rid else rid, rid)
+        }.min
+        Some(best._4)
+      }
+      assert(got(lid) == expected, s"lid=$lid k=$k ts=$ts")
+    }
+  }
+
+  test("nearest: one-sided groups fall back to the available direction") {
+    val lDf = Seq((1L, 10L, 1L), (2L, 10L, 2L)).toDF("k", "ts", "lid")
+    val rDf = Seq((1L, 50L, 7L, 41), (2L, 3L, 8L, 42)).toDF("k", "ts", "rid", "v")
+    val got = AsofJoin.leftAsofNearest(lDf, rDf, Seq("k"), "lid", "ts", "ts",
+      Seq("v"), "rid")
+      .select("lid", "asof_v").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 41, 2L -> 42))
+  }
 }

@@ -1976,6 +1976,49 @@ object SparkEntry {
         .orderBy("subspace", "l_orderkey")
     },
 
+    // The survivors view of audio dedup (keep the smallest doc_id per
+    // perceptual bucket) — what actually feeds downstream, mirroring
+    // the exact/image survivors contract.
+    "q_dedup_audio_survivors" -> { (s, dir) =>
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val wav = Tables.load(s, dir, "documents").select("doc_id")
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val base = id % 25
+            val amp = 50L + (id % 7) * 10L
+            val n = ((base % 5) + 1).toInt * 100
+            val mul = 37L + base
+            val add = 3L * base
+            val chan = Array.tabulate[Short](n)(i =>
+              (((i * mul + add) % 401 - 200) * amp).toShort)
+            Row(id, Multimodal.encodeWavPcm16(Array(chan), 8000))
+          }
+        }(enc)
+      graft.multimodal.AudioDedup.dedupBuckets(wav, "payload", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+        .orderBy("doc_id")
+    },
+
+    // 2-D histogram (price × quantity) — the heatmap aggregation every
+    // profiling UI draws: clamped integer bin ids on both axes off one
+    // keyed agg, exact counts. The bin keyspace is bins², independent
+    // of corpus size.
+    "q_histogram2d" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      def bin(c: org.apache.spark.sql.Column, lo: Double, hi: Double, n: Int) =
+        least(greatest(
+          floor((c - lit(lo)) / lit((hi - lo) / n)).cast("int"), lit(0)),
+          lit(n - 1))
+      li.select(
+          bin(col("l_extendedprice"), 900.0, 105000.0, 16).as("bin_price"),
+          bin(col("l_quantity"), 1.0, 51.0, 10).as("bin_qty"))
+        .groupBy("bin_price", "bin_qty")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin_price", "bin_qty")
+    },
+
     // SKYLINE FREQUENCY (Chan et al., "On High Dimensional Skylines",
     // EDBT'06): per point, in how many of the 2^d−1 subspaces it is a
     // skyline point — the robustness ranking of skycube winners (a
@@ -6523,6 +6566,37 @@ object SparkEntry {
         |  FROM e)
         |SELECT ahash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dupes
         |FROM h GROUP BY 1 ORDER BY ahash""".stripMargin,
+
+    // Same hash replay; keep the min id per bucket.
+    "q_dedup_audio_survivors" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 25 AS base, 50 + (doc_id % 7) * 10 AS amp,
+        |    ((doc_id % 25) % 5 + 1) * 100 AS n
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    [list_sum([(((j * (37 + base) + 3 * base) % 401 - 200) * amp)
+        |               * (((j * (37 + base) + 3 * base) % 401 - 200) * amp)
+        |               for j in range((f * n) // 32, ((f + 1) * n) // 32)])
+        |     for f in range(0, 32)] AS en
+        |  FROM p),
+        |h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN en[f + 1] > en[f + 2]
+        |                        THEN CAST(1 AS BIGINT) << f ELSE 0 END
+        |                   for f in range(0, 31)]) AS BIGINT) AS ahash
+        |  FROM e)
+        |SELECT min(doc_id) AS doc_id FROM h GROUP BY ahash
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_histogram2d" ->
+      """WITH b AS (
+        |  SELECT
+        |    LEAST(GREATEST(CAST(floor((l_extendedprice - 900.0) / 6506.25) AS INT), 0), 15) AS bin_price,
+        |    LEAST(GREATEST(CAST(floor((l_quantity - 1.0) / 5.0) AS INT), 0), 9) AS bin_qty
+        |  FROM lineitem)
+        |SELECT bin_price, bin_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Subspace-membership count over the same 7-way skyline union.
     "q_sky_freq" ->

@@ -1843,6 +1843,30 @@ object SparkEntry {
             (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
     },
 
+    // Lorenz concentration table — the curve q_gini summarizes: per
+    // spend-rank decile of customers, exact customer/revenue mass and
+    // the revenue share ("does the top decile carry 40% of revenue").
+    // Ranks from the DISTRIBUTED global rank; decile assignment is
+    // exact integer arithmetic ((rank−1)·10 div n).
+    "q_pareto" -> { (s, dir) =>
+      val cust = Tables.load(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+        .select(col("o_custkey"), (col("rev") * 100).cast("long").as("cents"))
+      val ranked = graft.operators.GlobalRank.withGlobalRank(
+        cust, Seq(col("cents"), col("o_custkey")), "rank")
+      val tot = ranked.agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("total_cents"))
+      ranked.crossJoin(broadcast(tot))
+        .select(expr("((rank - 1) * 10) div n").cast("int").as("decile"),
+          col("cents"), col("total_cents"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"),
+          round(sum(col("cents")).cast("double") / first(col("total_cents")), 6)
+            .as("rev_share"))
+        .orderBy("decile")
+    },
+
     // Autocorrelation of the daily event volume at lags 1..7 (the
     // weekly-seasonality readout). Deviations are scaled by n
     // (aₜ = n·xₜ − total — exact BIGINT, no float mean), and the n²
@@ -6491,6 +6515,25 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q_acf" -> acfOracle(7),
+
+    // row_number mirror of the distributed rank, integer decile
+    // arithmetic, exact cents.
+    "q_pareto" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents, o_custkey) AS rank FROM c),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(cents) AS BIGINT) AS total_cents FROM r),
+        |d AS (SELECT CAST(((rank - 1) * 10) // (SELECT n FROM t) AS INT) AS decile,
+        |        cents FROM r)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  round(CAST(sum(cents) AS DOUBLE) / (SELECT total_cents FROM t), 6)
+        |    AS rev_share
+        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
 
     // The dedup-prone URL variants (scheme case / :80 / fragment) fed
     // through the SAME stage-by-stage canonicalization replay, then

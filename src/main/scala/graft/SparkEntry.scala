@@ -1843,6 +1843,30 @@ object SparkEntry {
             (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
     },
 
+    // Star-join rollup across the full dimension chain (region →
+    // nation → customer → orders): revenue per region per order year.
+    // Every dimension is broadcast (region 5 rows, nation 25, customer
+    // corpus-fraction-sized but dimension-class) so the fact table
+    // never shuffles for the joins — the canonical 100 TB star shape.
+    "q_star_join" -> { (s, dir) =>
+      val region = Tables.load(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val nation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      val customer = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val orders = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      orders
+        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("r_name", "o_year")
+    },
+
     // Lorenz concentration table — the curve q_gini summarizes: per
     // spend-rank decile of customers, exact customer/revenue mass and
     // the revenue share ("does the top decile carry 40% of revenue").
@@ -6515,6 +6539,16 @@ object SparkEntry {
         |FROM a""".stripMargin,
 
     "q_acf" -> acfOracle(7),
+
+    "q_star_join" ->
+      """SELECT r.r_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o.o_totalprice), 2) AS revenue
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1, 2 ORDER BY r.r_name, o_year""".stripMargin,
 
     // row_number mirror of the distributed rank, integer decile
     // arithmetic, exact cents.

@@ -1512,6 +1512,28 @@ object SparkEntry {
         o.select(src.as("src"), dst.as("dst")), "src", "dst")
     },
 
+    // k-core decomposition of the customer–supplier interaction graph
+    // (graph-density gate: which buyers/suppliers sit in the densely
+    // connected trading core vs the sparse periphery — the link-farm /
+    // hub primitive on a crawl graph). k self-scales as the exact
+    // 25th-percentile degree (a fixed k goes trivial as density grows
+    // with SF), then iterative peeling deletes deg<k vertices to
+    // fixpoint — per round one endpoint-count agg + two anti-joins,
+    // lineage-truncated (graft.graph.KCore). All-integer output; the
+    // oracle replays the percentile and 3 unrolled peel rounds (the
+    // fixture reaches fixpoint in 1; divergence would hash-fail).
+    "q_kcore" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      val k = graft.graph.KCore.percentileDegree(edges, "src", "dst", 0.25)
+      graft.graph.KCore.kCore(edges, "src", "dst", k, maxIters = 10)
+        .withColumn("k", lit(k.toLong))
+        .orderBy("v")
+    },
+
     // AT-REST inverted index: postings (term, doc_id, tf) written once
     // into md5-bucketed `bucket=<b>` partitions, then conjunctive
     // search reads ONLY the query terms' buckets (PartitionFilters
@@ -6179,6 +6201,49 @@ object SparkEntry {
           |  (SELECT count(*) FROM wed) AS n_wedges,
           |  (SELECT count(*) FROM wed JOIN und ON und.a = wed.x AND und.b = wed.y)
           |    AS n_triangles""".stripMargin),
+
+    // Percentile-k replayed as a cumulative sum over distinct degrees,
+    // then 3 unrolled peel rounds (fixture converges in 1 — extra
+    // rounds are identity; non-convergence would hash-mismatch).
+    "q_kcore" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(o_custkey, l_suppkey + 1000000) AS a,
+        |                  greatest(o_custkey, l_suppkey + 1000000) AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey <> l_suppkey + 1000000),
+        |d0 AS (SELECT v, count(*) AS d
+        |       FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        |       GROUP BY 1),
+        |dc AS (SELECT d, count(*) AS cnt FROM d0 GROUP BY 1),
+        |kv AS (
+        |  SELECT min(d) AS k FROM (
+        |    SELECT d, sum(cnt) OVER (ORDER BY d) AS cum,
+        |           sum(cnt) OVER () AS n
+        |    FROM dc)
+        |  WHERE cum >= ceil(0.25 * n)),
+        |b1 AS (SELECT v FROM d0, kv WHERE d < k),
+        |e1 AS (SELECT a, b FROM e0
+        |       WHERE a NOT IN (SELECT v FROM b1)
+        |         AND b NOT IN (SELECT v FROM b1)),
+        |d1 AS (SELECT v, count(*) AS d
+        |       FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
+        |       GROUP BY 1),
+        |b2 AS (SELECT v FROM d1, kv WHERE d < k),
+        |e2 AS (SELECT a, b FROM e1
+        |       WHERE a NOT IN (SELECT v FROM b2)
+        |         AND b NOT IN (SELECT v FROM b2)),
+        |d2 AS (SELECT v, count(*) AS d
+        |       FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
+        |       GROUP BY 1),
+        |b3 AS (SELECT v FROM d2, kv WHERE d < k),
+        |e3 AS (SELECT a, b FROM e2
+        |       WHERE a NOT IN (SELECT v FROM b3)
+        |         AND b NOT IN (SELECT v FROM b3)),
+        |d3 AS (SELECT v, count(*) AS d
+        |       FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+        |       GROUP BY 1)
+        |SELECT v, d AS core_degree, (SELECT k FROM kv) AS k
+        |FROM d3 ORDER BY v""".stripMargin,
 
     // Postings recomputed from the corpus — the index layout must not
     // change the answer; conjunctive via HAVING count(DISTINCT term).

@@ -1740,6 +1740,24 @@ object SparkEntry {
     // change point. The series is post-agg-bounded (one row per day),
     // so the unpartitioned windows run over a frame of days, never
     // events.
+    // Exact-integer EWMA smoothing of the per-type daily revenue
+    // series (alert-baseline/trend primitive): cents-scaled longs
+    // through the floor-div recurrence s_t = (v_t + s_{t-1}) div 2 —
+    // no float accumulation anywhere, so the sequential recurrence
+    // replays bit-for-bit as a recursive CTE. One keyed repartition +
+    // sortWithinPartitions + a streaming pass carrying one long per
+    // open key (graft.operators.Ewma — the secondary-sort shape).
+    "q_ewma" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      graft.operators.Ewma.smooth(
+        daily, Seq("event_type"), Seq("d"), "cents", num = 1, den = 2)
+        .orderBy("event_type", "d")
+    },
+
     "q_changepoint" -> { (s, dir) =>
       val daily = Tables.loadEvents(s, dir)
         .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
@@ -6494,6 +6512,26 @@ object SparkEntry {
 
     // Daily counts → exact scaled cumulative deviation (n·cum − k·total,
     // all BIGINT) → |sdev| argmax flag.
+    // The floor-div recurrence replayed literally as a recursive CTE
+    // over row-numbered per-type days — all-integer, no float state.
+    "q_ewma" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (
+        |  SELECT event_type, d, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, d, t, cents, cents AS ewma FROM rn WHERE t = 1
+        |  UNION ALL
+        |  SELECT rn.event_type, rn.d, rn.t, rn.cents,
+        |    (rn.cents + r.ewma) // 2
+        |  FROM r JOIN rn ON rn.event_type = r.event_type AND rn.t = r.t + 1)
+        |SELECT event_type, d, cents, ewma FROM r
+        |ORDER BY event_type, d""".stripMargin,
+
     "q_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x

@@ -2559,6 +2559,28 @@ object SparkEntry {
       DistinctSketch.kmv(Tables.load(s, dir, "documents"), "text", k = 128)
     },
 
+    // KMV SET ALGEBRA: union / intersection / Jaccard estimates for
+    // two customer populations (urgent-order vs low-priority buyers)
+    // from their k-min sketches ALONE — the corpus-bookkeeping move
+    // that answers "how much do these two sources overlap?" without
+    // ever co-shuffling them (stats/DistinctSketch.kmvSetOps). The
+    // estimates are order statistics of md5 hashes, so they face the
+    // oracle exactly; exact counts ride along as the cross-check.
+    "q_kmv_setops" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").where(col("o_custkey").isNotNull)
+      val a = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+      val b = o.where(col("o_orderpriority") === "5-LOW").select("o_custkey")
+      val est = DistinctSketch.kmvSetOps(a, b, "o_custkey", k = 256)
+      val exact = o.groupBy("o_custkey").agg(
+        max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("ia"),
+        max(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L))
+          .as("ib"))
+        .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
+          sum(col("ia") * col("ib")).as("exact_inter"))
+      est.crossJoin(exact)
+    },
+
     // The KMV sketch under a KEYED exchange: per-source distinct-text
     // estimates through a bounded mergeable k-min buffer (≤ 64 longs
     // per group per partial — never the full distinct-hash set through
@@ -7214,6 +7236,49 @@ object SparkEntry {
         |  round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
         |        ELSE CAST(count(*) - 1 AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 4) AS est_distinct
         |FROM k""".stripMargin,
+
+    // Set algebra replayed with DuckDB lists: L = k smallest of the
+    // sketch union; ρ = |L ∩ S_A ∩ S_B| / |L| drives inter/Jaccard.
+    "q_kmv_setops" ->
+      """WITH ha AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL),
+        |ka AS (SELECT list(h ORDER BY h) AS a FROM (SELECT h FROM ha ORDER BY h LIMIT 256)),
+        |hb AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM orders WHERE o_orderpriority = '5-LOW' AND o_custkey IS NOT NULL),
+        |kb AS (SELECT list(h ORDER BY h) AS b FROM (SELECT h FROM hb ORDER BY h LIMIT 256)),
+        |m AS (
+        |  SELECT a, b,
+        |    list_slice(list_sort(list_distinct(list_concat(a, b))), 1, 256) AS ul
+        |  FROM ka, kb),
+        |m2 AS (
+        |  SELECT len(ul) AS ku,
+        |    len(list_filter(ul, x -> list_contains(a, x) AND list_contains(b, x))) AS c,
+        |    CASE WHEN len(a) < 256 THEN CAST(len(a) AS DOUBLE)
+        |         ELSE CAST(len(a) - 1 AS DOUBLE) / (CAST(a[len(a)] AS DOUBLE) / 1152921504606846976.0) END AS ea,
+        |    CASE WHEN len(b) < 256 THEN CAST(len(b) AS DOUBLE)
+        |         ELSE CAST(len(b) - 1 AS DOUBLE) / (CAST(b[len(b)] AS DOUBLE) / 1152921504606846976.0) END AS eb,
+        |    CASE WHEN len(ul) < 256 THEN CAST(len(ul) AS DOUBLE)
+        |         ELSE CAST(len(ul) - 1 AS DOUBLE) / (CAST(ul[len(ul)] AS DOUBLE) / 1152921504606846976.0) END AS eu
+        |  FROM m),
+        |fl AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+        |    max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS ib
+        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |ex AS (
+        |  SELECT CAST(sum(ia) AS BIGINT) AS exact_a,
+        |         CAST(sum(ib) AS BIGINT) AS exact_b,
+        |         CAST(sum(ia * ib) AS BIGINT) AS exact_inter
+        |  FROM fl)
+        |SELECT CAST(ku AS BIGINT) AS ku, CAST(c AS BIGINT) AS c,
+        |  round(ea, 4) AS est_a, round(eb, 4) AS est_b,
+        |  round(eu, 4) AS est_union,
+        |  round(CAST(c AS DOUBLE) / ku * eu, 4) AS est_inter,
+        |  round(CAST(c AS DOUBLE) / ku, 6) AS est_jaccard,
+        |  exact_a, exact_b, exact_inter
+        |FROM m2, ex""".stripMargin,
 
     "q_hll" ->
       """WITH h AS (

@@ -83,6 +83,50 @@ object DistinctSketch {
           4).as("est_distinct")): _*)
   }
 
+  /** KMV SET ALGEBRA (Beyer et al. SIGMOD'07 §5): distinct-count
+    * estimates for A∪B, A∩B, and Jaccard(A,B) from two k-min sketches
+    * alone — the reason KMV beats HLL for corpus bookkeeping: sketches
+    * of per-source / per-snapshot slices combine into overlap metrics
+    * WITHOUT rescanning either side. L = the k smallest of S_A ∪ S_B
+    * is exactly the KMV sketch of A∪B; the fraction ρ of L present in
+    * both sketches estimates Jaccard, and ρ·est(A∪B) estimates the
+    * intersection. Everything is order statistics of md5 hashes —
+    * deterministic, SQL-replayable, so even the ESTIMATES face the
+    * oracle. Each input contributes one k-long array to the driver
+    * plan (the sketches meet in a 1×1 cross join); corpus rows never
+    * co-shuffle.
+    */
+  def kmvSetOps(dfA: DataFrame, dfB: DataFrame, valueCol: String, k: Int): DataFrame = {
+    def sketch(df: DataFrame, out: String) = {
+      val h = conv(substring(md5(col(valueCol).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      df.select(h.as("__h")).where(col("__h").isNotNull)
+        .agg(kMin(col("__h"), k).as(out))
+    }
+    def est(arr: Column) = {
+      val n = size(arr)
+      when(n < k, n.cast("double"))
+        .otherwise((n - 1).cast("double") /
+          (element_at(arr, n).cast("double") / TwoPow60))
+    }
+    val u = array_sort(array_distinct(concat(col("a"), col("b"))))
+    sketch(dfA, "a").crossJoin(sketch(dfB, "b"))
+      .withColumn("ul", slice(u, 1, k))
+      .withColumn("ku", size(col("ul")).cast("long"))
+      .withColumn("c", size(filter(col("ul"),
+        x => array_contains(col("a"), x) && array_contains(col("b"), x)))
+        .cast("long"))
+      .withColumn("__eu", est(col("ul")))
+      .select(
+        col("ku"), col("c"),
+        round(est(col("a")), 4).as("est_a"),
+        round(est(col("b")), 4).as("est_b"),
+        round(col("__eu"), 4).as("est_union"),
+        round(col("c").cast("double") / col("ku") * col("__eu"), 4)
+          .as("est_inter"),
+        round(col("c").cast("double") / col("ku"), 6).as("est_jaccard"))
+  }
+
   /** Column form: the ≤ k smallest DISTINCT values of a long column,
     * ascending (`array<long>`). NULLs skipped; empty input → empty
     * array.

@@ -64,6 +64,37 @@ class DistinctSketchSpec extends SparkSpec {
     assert(mins.length == 32 && mins == mins.sorted)
   }
 
+  test("setops: k >= universe makes every estimate exact") {
+    // A = 1..60, B = 41..100: |A|=60 |B|=60 |A∪B|=100 |A∩B|=20.
+    val a = (1 to 60).map(i => s"x$i").toDF("v")
+    val b = (41 to 100).map(i => s"x$i").toDF("v")
+    val r = DistinctSketch.kmvSetOps(a, b, "v", k = 256).head()
+    assert(r.getAs[Double]("est_a") === 60.0)
+    assert(r.getAs[Double]("est_b") === 60.0)
+    assert(r.getAs[Double]("est_union") === 100.0)
+    assert(r.getAs[Double]("est_inter") === 20.0)
+    assert(r.getAs[Double]("est_jaccard") === 0.2)
+  }
+
+  test("setops: estimates land in the KMV error band when k < |sets|") {
+    // A = 1..3000, B = 2001..5000: union 5000, inter 1000, J = 0.2.
+    val a = (1 to 3000).map(i => s"x$i").toDF("v")
+    val b = (2001 to 5000).map(i => s"x$i").toDF("v")
+    val r = DistinctSketch.kmvSetOps(a, b, "v", k = 256).head()
+    assert(r.getAs[Long]("ku") === 256L)
+    assert(math.abs(r.getAs[Double]("est_union") - 5000) < 1500)
+    assert(math.abs(r.getAs[Double]("est_inter") - 1000) < 600)
+    assert(math.abs(r.getAs[Double]("est_jaccard") - 0.2) < 0.12)
+  }
+
+  test("setops: layout-invariant (partitioning does not change the sketch)") {
+    val a = (1 to 800).map(i => s"a$i").toDF("v")
+    val b = (400 to 1200).map(i => s"a$i").toDF("v")
+    val one = DistinctSketch.kmvSetOps(a.coalesce(1), b.coalesce(1), "v", 64).head()
+    val many = DistinctSketch.kmvSetOps(a.repartition(7), b.repartition(5), "v", 64).head()
+    assert(one === many)
+  }
+
   test("plan is distinct-aggregate + TakeOrdered (k-bounded, no full value shuffle to one node)") {
     val df = (1 to 1000).map(i => s"v$i").toDF("v")
     val plan = DistinctSketch.kmv(df, "v", 64).queryExecution.executedPlan.toString

@@ -3476,6 +3476,54 @@ object SparkEntry {
         .orderBy(col("w_start"), col("cnt").desc, col("user_id"))
     },
 
+    // STREAMING GK quantiles: the Greenwald-Khanna summary serialized
+    // through the state store between micro-batches (the sketch-in-
+    // state pattern q_stream_heavy_hitters proved for Misra-Gries,
+    // here for an order-statistics sketch): per-day windowed
+    // percentiles of event value under a real watermark/append
+    // execution. eps=1e-7 ≫ per-window n makes the sketch exact, so
+    // the emitted quantiles rank-agree with quantile_disc and the
+    // closed windows (end < max event time) face the oracle.
+    "q_stream_quantiles" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamgk_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
+        .transform(Tables.normalizeEventTs)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(
+          QuantileSketch.gkQuantiles(col("value"), Seq(0.5, 0.9), eps = 1e-7)
+            .as("qs"),
+          count(lit(1)).as("n"))
+        .select(col("w.start").cast("long").as("w_start"),
+          round(element_at(col("qs"), 1), 6).as("p50"),
+          round(element_at(col("qs"), 2), 6).as("p90"),
+          col("n"))
+      val qname = "graft_stream_gk_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamgk_ckpt").toString
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def emitted: Boolean = {
+        val rp = query.recentProgress
+        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
+        dataBatches.nonEmpty &&
+          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
+      }
+      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
+      query.stop()
+      s.table(qname).orderBy("w_start")
+    },
+
     // STREAMING session windows: the builtin session_window state
     // (merge-on-overlap, close at last-event + gap) under a real
     // watermark/append execution — the stateful-merge complement of
@@ -6981,6 +7029,19 @@ object SparkEntry {
         |        ORDER BY cnt DESC, user_id) AS rn FROM c)
         |SELECT w_start, user_id, cnt FROM r WHERE rn <= 5
         |ORDER BY w_start, cnt DESC, user_id""".stripMargin,
+
+    // Same closed-window cut as q_stream_heavy_hitters; GK at
+    // eps ≫ 1/n rank-agrees with quantile_disc.
+    "q_stream_quantiles" ->
+      """WITH e AS (SELECT value, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT value, (us // 86400000000) * 86400 AS w_start, us FROM e),
+        |mx AS (SELECT max(us) AS m FROM e)
+        |SELECT w_start,
+        |  round(quantile_disc(value, 0.5), 6) AS p50,
+        |  round(quantile_disc(value, 0.9), 6) AS p90,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM w WHERE (w_start + 86400) * 1000000 < (SELECT m FROM mx)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Per-arm Wilson interval; expression shapes mirror the Spark
     // side operand for operand (z² etc. fold to identical doubles).

@@ -2384,6 +2384,25 @@ object SparkEntry {
         .orderBy("label")
     },
 
+    // Rademacher (±1) random projection + JL distortion audit: 64-d
+    // embeddings → 16-d via a constant md5-derived sign matrix, with
+    // per-row ‖y‖²/m vs ‖x‖² distortion (Achlioptas 2003 — the JL
+    // guarantee without a stored Gaussian matrix). Every dot product
+    // and norm is a strict left-to-right chained double sum, the one
+    // float order every engine parses identically, so even the
+    // projected values replay bit-for-bit (graft.sim.RandomProjection).
+    // Scan-local codegen arithmetic: zero shuffles, zero state.
+    "q_rand_proj" -> { (s, dir) =>
+      graft.sim.RandomProjection.distortion(
+        Tables.load(s, dir, "embeddings"), "embedding",
+        d = 64, m = 16, seed = "rp9")
+        .select(col("vec_id"),
+          round(col("x_norm2"), 6).as("x_norm2"),
+          round(col("y_norm2_m"), 6).as("y_norm2_m"),
+          round(col("distortion"), 6).as("distortion"))
+        .orderBy("vec_id")
+    },
+
     // Sample-ratio mismatch (SRM) gate — the experimentation-ops check
     // that runs BEFORE any A/B readout is trusted: a 50/50 hash split
     // whose observed arm counts drift from expectation signals a
@@ -5013,6 +5032,33 @@ object SparkEntry {
     * '||' operators sit at line ENDS so the result survives any outer
     * stripMargin.
     */
+  /** DuckDB mirror of RandomProjection.distortion: same md5 sign
+    * matrix (computed here, emitted as +/− literals) and the same
+    * left-to-right chained double sums, so doubles agree bit-for-bit.
+    */
+  private def randProjSql(d: Int, m: Int, seed: String): String = {
+    def x(i: Int) = s"CAST(embedding[$i] AS DOUBLE)"
+    val ys = (1 to m).map { j =>
+      val chain = (1 to d).map { i =>
+        (if (graft.sim.RandomProjection.sign(seed, i, j) > 0) " + " else " - ") + x(i)
+      }.mkString
+      s"(0.0$chain) AS y$j"
+    }.mkString(",\n    ")
+    val x2 = (1 to d).map(i => s" + ${x(i)} * ${x(i)}").mkString
+    val y2 = (1 to m).map(j => s" + y$j * y$j").mkString
+    s"""WITH p AS (
+       |  SELECT vec_id, (0.0$x2) AS x_norm2,
+       |    $ys
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, x_norm2, (0.0$y2) / $m AS y_norm2_m
+       |  FROM p WHERE x_norm2 > 0)
+       |SELECT vec_id, round(x_norm2, 6) AS x_norm2,
+       |  round(y_norm2_m, 6) AS y_norm2_m,
+       |  round(y_norm2_m / x_norm2, 6) AS distortion
+       |FROM n ORDER BY vec_id""".stripMargin
+  }
+
   private def urlSqlExpr(ck: String, ok: String): String =
     s"(CASE $ok % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTp' END) || " +
       s"'://WWW.Shop' || CAST($ck % 50 AS VARCHAR) || " +
@@ -7082,6 +7128,10 @@ object SparkEntry {
         |SELECT label, CAST(count(*) AS BIGINT) AS n,
         |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
         |FROM nr GROUP BY label ORDER BY label""".stripMargin,
+
+    // Generated from the same sign matrix and chained-sum order as the
+    // Spark side (see randProjSql) — the projection replays exactly.
+    "q_rand_proj" -> randProjSql(d = 64, m = 16, seed = "rp9"),
 
     "q_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

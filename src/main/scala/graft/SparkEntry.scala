@@ -2403,6 +2403,28 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // Deterministic Poisson bootstrap (Chamandy/Google 2012): 32
+    // resampling replicates of mean order revenue, each row entering
+    // replicate b with a Poisson(1) weight that is a pure function of
+    // (salt, b, orderkey) — no RNG state, layout-invariant, so the
+    // whole resampling distribution replays in SQL. Replicates carry
+    // exact integer (Σw·cents, Σw) pairs; ranks 4/29 of 32 are the
+    // percentile-method 10/90 CI. Shuffle cost: B rows per upstream
+    // partition (map-side combine), never the data (stats/Bootstrap).
+    "q_bootstrap" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.stats.Bootstrap.rankedMeans(o, "cents", "o_orderkey",
+          b = 32, salt = "bs9")
+        .select(col("rank"), col("rep"), col("n"), col("sum_v"),
+          round(col("mean"), 6).as("mean"),
+          (col("rank") === 4).as("is_ci10_lo"),
+          (col("rank") === 29).as("is_ci10_hi"))
+        .orderBy("rank")
+    },
+
     // Sample-ratio mismatch (SRM) gate — the experimentation-ops check
     // that runs BEFORE any A/B readout is trusted: a 50/50 hash split
     // whose observed arm counts drift from expectation signals a
@@ -7132,6 +7154,31 @@ object SparkEntry {
     // Generated from the same sign matrix and chained-sum order as the
     // Spark side (see randProjSql) — the projection replays exactly.
     "q_rand_proj" -> randProjSql(d = 64, m = 16, seed = "rp9"),
+
+    // Weights replayed through the shared inverse-CDF literal chain
+    // (Bootstrap.poissonWeightSql — same Scala constants, zero drift).
+    "q_bootstrap" -> {
+      val u = "(('0x' || substr(md5('bs9|' || CAST(rep AS VARCHAR) || '|' || " +
+        "CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)"
+      s"""WITH o AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |reps AS (SELECT range AS rep FROM range(32)),
+         |w AS (
+         |  SELECT rep, cents,
+         |    ${graft.stats.Bootstrap.poissonWeightSql(u)} AS w
+         |  FROM o, reps),
+         |a AS (
+         |  SELECT rep, CAST(sum(w) AS BIGINT) AS n,
+         |    CAST(sum(w * cents) AS BIGINT) AS sum_v
+         |  FROM w GROUP BY 1),
+         |m AS (SELECT rep, n, sum_v, CAST(sum_v AS DOUBLE) / n AS mean FROM a),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY mean, rep) AS rank FROM m)
+         |SELECT rank, rep, n, sum_v, round(mean, 6) AS mean,
+         |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
+         |FROM rk ORDER BY rank""".stripMargin
+    },
 
     "q_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

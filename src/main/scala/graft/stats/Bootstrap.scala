@@ -1,0 +1,92 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic Poisson bootstrap — distribution-free confidence
+  * intervals for a mean at data-parallel scale (Efron resampling in
+  * the "Poissonized" form every large-data system uses: instead of
+  * drawing n rows with replacement — impossible to coordinate across
+  * executors — each row enters replicate b with an independent
+  * Poisson(1) weight, Chamandy et al., "Estimating Uncertainty for
+  * Massive Data Streams", Google 2012).
+  *
+  * Determinism discipline: the Poisson draw is a pure function of
+  * (salt, replicate, row key) — md5 → unit uniform → inverse-CDF
+  * through FIXED literal thresholds — so every engine assigns the
+  * same weights; replicate aggregates are exact integer (Σw·v, Σw)
+  * pairs, and only the final mean is a double (exact-int ÷ exact-int,
+  * bit-identical anywhere). No RNG state, no layout sensitivity.
+  *
+  * Scale shape: explode ×B then ONE keyed aggregate with map-side
+  * partial combine — the shuffle carries B rows per upstream
+  * partition, never the data; the replicate frame itself is B rows.
+  */
+object Bootstrap {
+
+  private val TwoPow60 = 1152921504606846976.0
+
+  /** Poisson(1) CDF thresholds: P(X ≤ k) for k = 0..5; weights cap at
+    * 6 (P ≈ 1 − 6e-5 covered; the cap keeps the when-chain finite and
+    * is standard in Poissonized bootstraps).
+    */
+  private val PoissonCdf = Seq(
+    0.36787944117144233, // P(0)
+    0.7357588823428847, // P(<=1)
+    0.9196986029286058, // P(<=2)
+    0.9810118431238462, // P(<=3)
+    0.9963401531726563, // P(<=4)
+    0.9994058151824183) // P(<=5)
+
+  /** Poisson(1) weight for unit-uniform `u` via inverse CDF. */
+  def poissonWeight(u: Column): Column =
+    PoissonCdf.zipWithIndex.foldRight(lit(6L): Column) {
+      case ((t, k), acc) => when(u < t, lit(k.toLong)).otherwise(acc)
+    }
+
+  /** DuckDB mirror of [[poissonWeight]] over a SQL expression for u —
+    * kept beside the thresholds so the two can never drift.
+    */
+  def poissonWeightSql(u: String): String =
+    PoissonCdf.zipWithIndex.reverse.foldLeft("6") {
+      case (acc, (t, k)) => s"CASE WHEN $u < $t THEN $k ELSE $acc END"
+    }
+
+  /** B replicate rows: (rep, n = Σw, sum = Σw·value) with value read
+    * from `valueCol` (LongType — scale to integer units first) and the
+    * weight keyed on (salt, rep, `idCol`).
+    */
+  def replicateSums(df: DataFrame, valueCol: String, idCol: String,
+      b: Int, salt: String): DataFrame = {
+    require(b > 0, "need at least one replicate")
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$valueCol must be LongType (scale to integer units first)")
+    val u = conv(substring(md5(concat(
+      lit(salt), lit("|"), col("rep").cast("string"), lit("|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / TwoPow60
+    df.select(col(idCol), col(valueCol))
+      .crossJoin(spark_range_df(df, b))
+      .withColumn("w", poissonWeight(u))
+      .groupBy("rep")
+      .agg(sum(col("w")).as("n"),
+        sum(col("w") * col(valueCol)).as("sum_v"))
+  }
+
+  private def spark_range_df(df: DataFrame, b: Int) =
+    df.sparkSession.range(b).toDF("rep")
+
+  /** The ranked replicate table: each replicate's exact (n, Σ) pair,
+    * its double mean, and its rank by mean — the percentile-method CI
+    * reads the means at ranks ⌈α·B⌉ and ⌈(1−α)·B⌉. The rank window
+    * runs over B rows total (bounded, never data-sized).
+    */
+  def rankedMeans(df: DataFrame, valueCol: String, idCol: String,
+      b: Int, salt: String): DataFrame =
+    replicateSums(df, valueCol, idCol, b, salt)
+      .withColumn("mean", col("sum_v").cast("double") / col("n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("mean"), col("rep"))))
+}

@@ -1241,6 +1241,27 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    // Full CDC apply with delete tombstones (Debezium-style op
+    // streams): the highest-version change per key decides its fate —
+    // 'U' upserts, 'D' erases the key (base row included), a later
+    // re-insert resurrects. Same single keyed-window shuffle as
+    // q_upsert — no join, tombstones never fan out
+    // (graft.operators.Upsert.applyCdc).
+    "q_cdc_delete" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+          lit(-1L).as("version"))
+      val changes = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          round(col("o_totalprice"), 2).as("acctbal"),
+          col("o_orderkey").as("version"),
+          when(col("o_orderkey") % 10 < 2, lit("D")).otherwise(lit("U"))
+            .as("op"))
+      graft.operators.Upsert.applyCdc(
+        base, changes, Seq("c_custkey"), "version", "op")
+        .orderBy("c_custkey")
+    },
+
     // Snapshot diff (the between-runs audit of a versioned corpus
     // table): two simulated versions of `orders` — the old snapshot
     // missing keys ≡0 (mod 7), the new missing ≡0 (mod 5) and with
@@ -6166,6 +6187,26 @@ object SparkEntry {
         |                               ORDER BY version DESC) AS rn
         |  FROM (SELECT * FROM b UNION ALL SELECT * FROM u))
         |SELECT c_custkey, acctbal, version FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    // Tombstone semantics: the rn=1 winner is consulted, then 'D'
+    // winners are erased — base rows included.
+    "q_cdc_delete" ->
+      """WITH b AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        |    CAST(-1 AS BIGINT) AS version, 'I' AS op
+        |  FROM customer),
+        |ch AS (
+        |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS acctbal,
+        |    o_orderkey AS version,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM b UNION ALL SELECT * FROM ch))
+        |SELECT c_custkey, acctbal, version FROM r
+        |WHERE rn = 1 AND op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
 
     // FULL OUTER JOIN mirror of the union+agg diff; identical

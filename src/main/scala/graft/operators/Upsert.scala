@@ -40,4 +40,29 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Full CDC apply: like [[latestWins]] but `changes` also carries
+    * `opCol` — 'I'/'U' upsert the row, 'D' is a delete tombstone. The
+    * HIGHEST-version change per key decides the key's fate: a winning
+    * tombstone erases the key (base row included); a later re-insert
+    * naturally resurrects it, because only the winner is consulted —
+    * the standard latest-wins CDC semantics (Debezium-style op
+    * streams). Same single keyed-window shuffle as [[latestWins]]; no
+    * join, tombstones never fan out.
+    */
+  def applyCdc(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc)
+    base.withColumn(opCol, lit("I"))
+      .unionByName(changes)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(opCol) =!= "D")
+      .drop("__rn", opCol)
+  }
 }

@@ -15,6 +15,28 @@ class UpsertSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "D")))
   }
 
+  test("applyCdc: winning tombstone erases the key, later upsert resurrects") {
+    val base = Seq((1L, "a", -1L), (2L, "b", -1L), (3L, "c", -1L))
+      .toDF("k", "v", "version")
+    val changes = Seq(
+      (1L, "x", 10L, "D"), // delete wins over base → key 1 gone
+      (2L, "x", 10L, "D"), (2L, "B", 20L, "U"), // resurrected by later U
+      (3L, "C", 5L, "U"), (3L, "x", 9L, "D"), // later D erases key 3
+      (4L, "N", 1L, "I")) // insert of a new key
+      .toDF("k", "v", "version", "op")
+    val got = Upsert.applyCdc(base, changes, Seq("k"), "version", "op")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((2L, "B"), (4L, "N")))
+  }
+
+  test("applyCdc: untouched base keys survive and op column is dropped") {
+    val base = Seq((1L, "a", -1L)).toDF("k", "v", "version")
+    val changes = Seq((2L, "B", 1L, "U")).toDF("k", "v", "version", "op")
+    val out = Upsert.applyCdc(base, changes, Seq("k"), "version", "op")
+    assert(out.columns.toSeq === Seq("k", "v", "version"))
+    assert(out.orderBy("k").collect().map(_.getString(1)).toSeq === Seq("a", "B"))
+  }
+
   test("result is layout-invariant") {
     val base = (1L to 100L).map(i => (i, s"b$i", -1L)).toDF("k", "v", "version")
     val updates = (1L to 50L).flatMap(i => Seq((i, s"u$i-1", i), (i, s"u$i-2", i + 100)))

@@ -1779,6 +1779,29 @@ object SparkEntry {
         .orderBy("event_type", "d")
     },
 
+    // Brown double exponential smoothing (level + trend forecast
+    // state): the EWMA recurrence applied twice — s2 smooths s1 — then
+    // level = 2·s1 − s2 and trend = s1 − s2 (the α=1/2 Brown form).
+    // Still all-integer (the second pass divides longs, the level/
+    // trend are plain subtractions), so the chained recurrences replay
+    // in one recursive CTE carrying both accumulators.
+    "q_holt" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      val s1 = graft.operators.Ewma.smooth(
+        daily, Seq("event_type"), Seq("d"), "cents", 1, 2, outCol = "s1")
+      val s2 = graft.operators.Ewma.smooth(
+        s1, Seq("event_type"), Seq("d"), "s1", 1, 2, outCol = "s2")
+      s2.select(col("event_type"), col("d"), col("cents"),
+          col("s1"), col("s2"),
+          (lit(2L) * col("s1") - col("s2")).as("level"),
+          (col("s1") - col("s2")).as("trend"))
+        .orderBy("event_type", "d")
+    },
+
     "q_changepoint" -> { (s, dir) =>
       val daily = Tables.loadEvents(s, dir)
         .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
@@ -3569,6 +3592,58 @@ object SparkEntry {
         java.util.UUID.randomUUID.toString.replace("-", "")
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft_streamgk_ckpt").toString
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def emitted: Boolean = {
+        val rp = query.recentProgress
+        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
+        dataBatches.nonEmpty &&
+          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
+      }
+      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
+      query.stop()
+      s.table(qname).orderBy("w_start")
+    },
+
+    // STREAMING KMV distinct sketch: per-day distinct-user estimates
+    // with the bounded k-min buffer serialized through the state store
+    // — completes the sketch-in-state set beside Misra-Gries
+    // (q_stream_heavy_hitters) and GK (q_stream_quantiles). ≤ k longs
+    // per window in state regardless of stream volume; the emitted
+    // order statistic is deterministic, so the ESTIMATE faces the
+    // closed-window oracle replay.
+    "q_stream_distinct" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamkmv_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val k = 64
+      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
+        .transform(Tables.normalizeEventTs)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(DistinctSketch.kMin(h, k).as("mins"))
+        .select(col("w.start").cast("long").as("w_start"),
+          size(col("mins")).cast("long").as("k_used"),
+          element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+          round(
+            when(size(col("mins")) < k, size(col("mins")).cast("double"))
+              .otherwise((size(col("mins")) - 1).cast("double") /
+                (element_at(col("mins"), size(col("mins"))).cast("double") /
+                  1152921504606846976.0)),
+            4).as("est_distinct"))
+      val qname = "graft_stream_kmv_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamkmv_ckpt").toString
       val query = agg.writeStream.format("memory").queryName(qname)
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -6711,6 +6786,29 @@ object SparkEntry {
         |SELECT event_type, d, cents, ewma FROM r
         |ORDER BY event_type, d""".stripMargin,
 
+    // Both accumulators ride the recursion; s2's step consumes the
+    // freshly-computed s1 step inline (no alias self-reference).
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |rn AS (
+        |  SELECT event_type, d, cents,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
+        |  FROM daily),
+        |r AS (
+        |  SELECT event_type, d, t, cents, cents AS s1, cents AS s2
+        |  FROM rn WHERE t = 1
+        |  UNION ALL
+        |  SELECT rn.event_type, rn.d, rn.t, rn.cents,
+        |    (rn.cents + r.s1) // 2,
+        |    (((rn.cents + r.s1) // 2) + r.s2) // 2
+        |  FROM r JOIN rn ON rn.event_type = r.event_type AND rn.t = r.t + 1)
+        |SELECT event_type, d, cents, s1, s2,
+        |  2 * s1 - s2 AS level, s1 - s2 AS trend
+        |FROM r ORDER BY event_type, d""".stripMargin,
+
     "q_changepoint" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
@@ -7138,6 +7236,28 @@ object SparkEntry {
         |        ORDER BY cnt DESC, user_id) AS rn FROM c)
         |SELECT w_start, user_id, cnt FROM r WHERE rn <= 5
         |ORDER BY w_start, cnt DESC, user_id""".stripMargin,
+
+    // KMV per closed window: distinct 60-bit hashes, 64 smallest,
+    // same two-division estimate expression as q_distinct_kmv.
+    "q_stream_distinct" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |w AS (SELECT (us // 86400000000) * 86400 AS w_start, user_id, us FROM e),
+        |mx AS (SELECT max(us) AS m FROM e),
+        |h AS (
+        |  SELECT DISTINCT w_start,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM w WHERE (w_start + 86400) * 1000000 < (SELECT m FROM mx)),
+        |r AS (SELECT w_start, h,
+        |        row_number() OVER (PARTITION BY w_start ORDER BY h) AS rn
+        |      FROM h),
+        |k AS (SELECT w_start, count(*) AS k_used, max(h) AS kth_hash
+        |      FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT w_start, CAST(k_used AS BIGINT) AS k_used, kth_hash,
+        |  round(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
+        |        ELSE CAST(k_used - 1 AS DOUBLE) /
+        |             (CAST(kth_hash AS DOUBLE) / 1152921504606846976.0) END,
+        |    4) AS est_distinct
+        |FROM k ORDER BY w_start""".stripMargin,
 
     // Same closed-window cut as q_stream_heavy_hitters; GK at
     // eps ≫ 1/n rank-agrees with quantile_disc.

@@ -1761,6 +1761,24 @@ object SparkEntry {
     // change point. The series is post-agg-bounded (one row per day),
     // so the unpartitioned windows run over a frame of days, never
     // events.
+    // Peak concurrency via a DISTRIBUTED sweep line: each event opens
+    // a 10-minute [start, end) interval; (+1/−1) points in (t, delta)
+    // order through the Packing prefix-sum machinery (range-partition
+    // sort + per-partition offsets — never a single-partition global
+    // window) give the live count at every instant; per-day max is the
+    // peak. Ties are interchangeable so the per-day max is
+    // deterministic (graft.operators.SweepLine).
+    "q_concurrency" -> { (s, dir) =>
+      val iv = Tables.loadEvents(s, dir)
+        .select(unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 600L * 1000000L).as("e"))
+      graft.operators.SweepLine.concurrency(iv, "s", "e")
+        .groupBy((expr("t div 86400000000") * 86400L).as("d"))
+        .agg(max(col("concurrent")).as("peak"),
+          count(lit(1)).as("n_points"))
+        .orderBy("d")
+    },
+
     // Exact-integer EWMA smoothing of the per-type daily revenue
     // series (alert-baseline/trend primitive): cents-scaled longs
     // through the floor-div recurrence s_t = (v_t + s_{t-1}) div 2 —
@@ -6766,6 +6784,25 @@ object SparkEntry {
 
     // Daily counts → exact scaled cumulative deviation (n·cum − k·total,
     // all BIGINT) → |sdev| argmax flag.
+    // Sweep replayed as one ordered window (fine at oracle scale);
+    // peer-order nondeterminism cancels in the per-day max.
+    "q_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+        |  FROM events),
+        |pts AS (
+        |  SELECT s AS t, 1 AS delta FROM iv
+        |  UNION ALL SELECT e, -1 FROM iv),
+        |run AS (
+        |  SELECT t, delta,
+        |    sum(delta) OVER (ORDER BY t, delta
+        |                     ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM pts)
+        |SELECT (t // 86400000000) * 86400 AS d,
+        |  CAST(max(c) AS BIGINT) AS peak,
+        |  CAST(count(*) AS BIGINT) AS n_points
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The floor-div recurrence replayed literally as a recursive CTE
     // over row-numbered per-type days — all-integer, no float state.
     "q_ewma" ->

@@ -2465,6 +2465,31 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // AMS / count-sketch join-cardinality estimation (the optimizer
+    // statistic): |orders ⋈ events| predicted from two independently
+    // built signed-hash sketches — the join itself never runs; the
+    // median of per-row inner products is an unbiased estimate with
+    // stderr ≈ √(F₂·F₂/width) (stats/AmsJoinSize). Cell and sign read
+    // disjoint md5 bits, the estimate is an integer order statistic,
+    // so it faces the oracle; the exact size (computed join-free from
+    // per-key counts) rides along as the cross-check.
+    "q_join_size" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_custkey")
+      val e = Tables.load(s, dir, "events").select("user_id")
+      val est = graft.stats.AmsJoinSize.estimate(
+        o, "o_custkey", e, "user_id", depth = 5, width = 1024)
+      val ca = o.where(col("o_custkey").isNotNull)
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("na"))
+      val cb = e.where(col("user_id").isNotNull)
+        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("nb"))
+      val exact = ca.join(cb, "k")
+        .agg(sum(col("na") * col("nb")).as("exact_join"))
+      est.crossJoin(exact)
+        .withColumn("err_pct",
+          round(abs(col("est_join") - col("exact_join")).cast("double") /
+            col("exact_join") * 100, 4))
+    },
+
     // Deterministic Poisson bootstrap (Chamandy/Google 2012): 32
     // resampling replicates of mean order revenue, each row entering
     // replicate b with a Poisson(1) weight that is a pure function of
@@ -7352,6 +7377,38 @@ object SparkEntry {
     // Generated from the same sign matrix and chained-sum order as the
     // Spark side (see randProjSql) — the projection replays exactly.
     "q_rand_proj" -> randProjSql(d = 64, m = 16, seed = "rp9"),
+
+    // Sketches replayed cell-for-cell; sign = the md5 bit above the
+    // cell bits; median = 3rd of the 5 sorted per-row inner products.
+    "q_join_size" ->
+      """WITH js AS (SELECT unnest([0, 1, 2, 3, 4]) AS j),
+        |ca AS (
+        |  SELECT js.j,
+        |    (('0x' || substr(md5(js.j || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 1024) AS cell,
+        |    sum(CASE WHEN ((('0x' || substr(md5(js.j || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT // 1024) % 2) = 0
+        |             THEN 1 ELSE -1 END) AS sa
+        |  FROM orders CROSS JOIN js WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
+        |cb AS (
+        |  SELECT js.j,
+        |    (('0x' || substr(md5(js.j || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1024) AS cell,
+        |    sum(CASE WHEN ((('0x' || substr(md5(js.j || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT // 1024) % 2) = 0
+        |             THEN 1 ELSE -1 END) AS sb
+        |  FROM events CROSS JOIN js WHERE user_id IS NOT NULL GROUP BY 1, 2),
+        |ip AS (SELECT ca.j, sum(ca.sa * cb.sb) AS ip
+        |       FROM ca JOIN cb ON ca.j = cb.j AND ca.cell = cb.cell GROUP BY 1),
+        |f AS (SELECT js.j, coalesce(ip.ip, 0) AS ip FROM js LEFT JOIN ip ON js.j = ip.j),
+        |est AS (SELECT list_sort(list(ip)) AS ips FROM f),
+        |exa AS (
+        |  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join FROM
+        |    (SELECT o_custkey AS k, count(*) AS na FROM orders
+        |     WHERE o_custkey IS NOT NULL GROUP BY 1) a
+        |    JOIN
+        |    (SELECT user_id AS k, count(*) AS nb FROM events
+        |     WHERE user_id IS NOT NULL GROUP BY 1) b USING (k))
+        |SELECT CAST(5 AS BIGINT) AS depth, CAST(1024 AS BIGINT) AS width,
+        |  CAST(ips[3] AS BIGINT) AS est_join, exact_join,
+        |  round(abs(CAST(ips[3] AS BIGINT) - exact_join) / CAST(exact_join AS DOUBLE) * 100, 4) AS err_pct
+        |FROM est, exa""".stripMargin,
 
     // Weights replayed through the shared inverse-CDF literal chain
     // (Bootstrap.poissonWeightSql — same Scala constants, zero drift).

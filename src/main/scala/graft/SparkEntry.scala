@@ -1241,6 +1241,33 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    // Referential-integrity audit over the star schema's declared FK
+    // edges plus one deliberately-violating edge (events.user_id →
+    // customer): per edge, child rows / NULL keys / orphan rows /
+    // distinct orphan keys. The child collapses to per-key counts
+    // before any join, so a 100 TB fact audits through its key
+    // cardinality, never row-level joins (graft.operators.FkAudit).
+    "q_fk_audit" -> { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val customer = Tables.load(s, dir, "customer")
+      graft.operators.FkAudit.audit(Seq(
+        ("customer.nationkey->nation", customer, "c_nationkey",
+          Tables.load(s, dir, "nation"), "n_nationkey"),
+        ("events.user_id->customer",
+          Tables.load(s, dir, "events").select("user_id"), "user_id",
+          customer, "c_custkey"),
+        ("lineitem.orderkey->orders", lineitem, "l_orderkey",
+          orders, "o_orderkey"),
+        ("lineitem.partkey->part", lineitem, "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey"),
+        ("lineitem.suppkey->supplier", lineitem, "l_suppkey",
+          Tables.load(s, dir, "supplier"), "s_suppkey"),
+        ("orders.custkey->customer", orders, "o_custkey",
+          customer, "c_custkey")))
+        .orderBy("fk")
+    },
+
     // Full CDC apply with delete tombstones (Debezium-style op
     // streams): the highest-version change per key decides its fate —
     // 'U' upserts, 'D' erases the key (base row included), a later
@@ -6306,6 +6333,36 @@ object SparkEntry {
         |  FROM (SELECT * FROM b UNION ALL SELECT * FROM u))
         |SELECT c_custkey, acctbal, version FROM r WHERE rn = 1
         |ORDER BY c_custkey""".stripMargin,
+
+    // Each edge replayed as per-key counts + NOT IN against parent
+    // distinct keys — same collapse-before-join shape.
+    "q_fk_audit" -> {
+      def block(name: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS child_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $ck IS NULL) AS null_keys,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |   WHERE $ck IS NOT NULL
+           |     AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)) AS orphan_rows,
+           |  (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $child
+           |   WHERE $ck IS NOT NULL
+           |     AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)) AS orphan_keys""".stripMargin
+      Seq(
+        block("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        block("events.user_id->customer", "events", "user_id",
+          "customer", "c_custkey"),
+        block("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        block("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        block("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        block("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
+    },
 
     // Tombstone semantics: the rn=1 winner is consulted, then 'D'
     // winners are erased — base rows included.

@@ -1254,9 +1254,12 @@ object SparkEntry {
       graft.operators.FkAudit.audit(Seq(
         ("customer.nationkey->nation", customer, "c_nationkey",
           Tables.load(s, dir, "nation"), "n_nationkey"),
-        ("events.user_id->customer",
+        // Audited against the SOLVENT-customer dimension subset (a
+        // filtered dimension snapshot) so the gate has real orphans —
+        // events of overdrawn customers point at nothing.
+        ("events.user_id->customer_solvent",
           Tables.load(s, dir, "events").select("user_id"), "user_id",
-          customer, "c_custkey"),
+          customer.where(col("c_acctbal") >= 0), "c_custkey"),
         ("lineitem.orderkey->orders", lineitem, "l_orderkey",
           orders, "o_orderkey"),
         ("lineitem.partkey->part", lineitem, "l_partkey",
@@ -6351,8 +6354,8 @@ object SparkEntry {
       Seq(
         block("customer.nationkey->nation", "customer", "c_nationkey",
           "nation", "n_nationkey"),
-        block("events.user_id->customer", "events", "user_id",
-          "customer", "c_custkey"),
+        block("events.user_id->customer_solvent", "events", "user_id",
+          "(SELECT * FROM customer WHERE c_acctbal >= 0)", "c_custkey"),
         block("lineitem.orderkey->orders", "lineitem", "l_orderkey",
           "orders", "o_orderkey"),
         block("lineitem.partkey->part", "lineitem", "l_partkey",

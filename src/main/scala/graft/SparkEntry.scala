@@ -1791,6 +1791,24 @@ object SparkEntry {
     // change point. The series is post-agg-bounded (one row per day),
     // so the unpartitioned windows run over a frame of days, never
     // events.
+    // First/last-touch conversion attribution: each purchase credits
+    // the most recent click by the same user within a 7-day lookback
+    // (plus the earliest click ever, the first-touch view) via ONE
+    // keyed window in (ts, event_id) total order — no self-join, no
+    // per-row range scan (graft.operators.Attribution). All-integer
+    // µs instants; ties resolve by id deterministically.
+    "q_attribution" -> { (s, dir) =>
+      val e = Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      graft.operators.Attribution.touches(e, "user_id", "us", "event_id",
+          col("event_type") === "click", col("event_type") === "purchase",
+          lookback = 604800000000L)
+        .select(col("event_id"), col("user_id"), col("us"),
+          col("last_touch"), col("first_touch"), col("attributed"))
+        .orderBy("event_id")
+    },
+
     // Peak concurrency via a DISTRIBUTED sweep line: each event opens
     // a 10-minute [start, end) interval; (+1/−1) points in (t, delta)
     // order through the Packing prefix-sum machinery (range-partition
@@ -6869,6 +6887,24 @@ object SparkEntry {
 
     // Daily counts → exact scaled cumulative deviation (n·cum − k·total,
     // all BIGINT) → |sdev| argmax flag.
+    // Same total order, same unbounded-preceding IGNORE NULLS carries.
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |w AS (
+        |  SELECT event_id, user_id, us, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS last_touch,
+        |    first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS first_touch
+        |  FROM e)
+        |SELECT event_id, user_id, us, last_touch, first_touch,
+        |  last_touch IS NOT NULL AND us - last_touch <= 604800000000 AS attributed
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+
     // Sweep replayed as one ordered window (fine at oracle scale);
     // peer-order nondeterminism cancels in the per-day max.
     "q_concurrency" ->

@@ -1271,6 +1271,34 @@ object SparkEntry {
         .orderBy("fk")
     },
 
+    // Incremental JOIN-view maintenance: a per-customer revenue view
+    // over orders⋈lineitem is maintained from insert deltas via
+    // Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (graft.operators.IncrJoin) plus a
+    // partial-aggregate merge — maintenance cost scales with the
+    // change volume, never the view. The oracle recomputes the FULL
+    // join aggregate, so the hash match proves incremental ≡ full.
+    "q_incr_join" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val (oOld, dO) = (o.where(col("o_orderkey") % 7 =!= 0),
+        o.where(col("o_orderkey") % 7 === 0))
+      val (lOld, dL) = (l.where(col("cents") % 3 =!= 0),
+        l.where(col("cents") % 3 === 0))
+      def agg(df: DataFrame) = df.groupBy("o_custkey")
+        .agg(sum(col("cents")).as("rev"), count(lit(1)).as("n"))
+      val vOld = agg(oOld.join(lOld, Seq("o_orderkey")))
+      val dV = agg(graft.operators.IncrJoin.joinDelta(
+        oOld, dO, lOld, dL, Seq("o_orderkey")))
+      vOld.unionByName(dV)
+        .groupBy("o_custkey")
+        .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
+        .orderBy("o_custkey")
+    },
+
     // Full CDC apply with delete tombstones (Debezium-style op
     // streams): the highest-version change per key decides its fate —
     // 'U' upserts, 'D' erases the key (base row included), a later
@@ -6384,6 +6412,15 @@ object SparkEntry {
           "customer", "c_custkey"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
     },
+
+    // The FULL join aggregate — no deltas anywhere: matching it is the
+    // equivalence proof for the incremental maintenance.
+    "q_incr_join" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Tombstone semantics: the rn=1 winner is consulted, then 'D'
     // winners are erased — base rows included.

@@ -299,6 +299,23 @@ object SparkEntry {
         .limit(10)
     },
 
+    // Per-group top-k through a BOUNDED mergeable aggregate
+    // (stats/TopK): ≤ k elements per partial buffer anywhere in the
+    // exchange — the scale-safe replacement for the row_number-window
+    // idiom, which sorts every row of every group to keep k. Struct
+    // child carries (rank key, payload); lexicographic order with the
+    // id tiebreak makes output deterministic.
+    "q_topk_grouped" -> { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(graft.stats.TopK.topK(
+          struct(col("n_chars"), col("doc_id")), 3).as("top"))
+        .select(col("source"), explode(col("top")).as("t"))
+        .select(col("source"), col("t.n_chars").as("n_chars"),
+          col("t.doc_id").as("doc_id"))
+        .orderBy(col("source"), col("n_chars").desc, col("doc_id").desc)
+    },
+
     // Broadcast star join: 600k-row fact × 10-row and 25-row dims.
     "q_join_agg" -> { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
@@ -1299,6 +1316,26 @@ object SparkEntry {
         .orderBy("o_custkey")
     },
 
+    // Min/max data-skipping index (zone map) over a sort-clustered
+    // layout: rows in l_shipdate total order cut into 4096-row files,
+    // per-file (min, max), and a range-probe classification — the
+    // parquet-footer-stats mechanism made explicit, with DETERMINISTIC
+    // file cuts (global rank div rowsPerFile, never RangePartitioner's
+    // sampled boundaries) so the index itself replays in SQL
+    // (graft.sources.MinMaxIndex). The reads_for_probe fraction IS the
+    // skip-scan win sort-clustering buys at 100 TB.
+    "q_minmax_index" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(to_date(col("l_shipdate")), "yyyy-MM-dd").as("d"))
+      val idx = graft.sources.MinMaxIndex.buildIndex(
+        li, "d", Seq(col("d"), col("l_orderkey"), col("l_linenumber")),
+        rowsPerFile = 4096L)
+      graft.sources.MinMaxIndex.annotateProbe(
+          idx, lit("1995-06-01"), lit("1995-08-31"))
+        .orderBy("file_id")
+    },
+
     // Full CDC apply with delete tombstones (Debezium-style op
     // streams): the highest-version change per key decides its fate —
     // 'U' upserts, 'D' erases the key (base row included), a later
@@ -1819,6 +1856,23 @@ object SparkEntry {
     // change point. The series is post-agg-bounded (one row per day),
     // so the unpartitioned windows run over a frame of days, never
     // events.
+    // Cross-source quantile normalization (the batch-effect corrector):
+    // every source's n_chars distribution is mapped onto the pooled
+    // one, so per-source measurement bias can't skew global length
+    // thresholds. Exact integer rank arithmetic with id tiebreaks; the
+    // pooled ranking runs through GlobalRank (range-partitioned, no
+    // single-partition window) + one rank equi-join
+    // (graft.operators.QuantileNorm).
+    "q_quantile_norm" -> { (s, dir) =>
+      graft.operators.QuantileNorm.normalize(
+        Tables.load(s, dir, "documents")
+          .where(col("n_chars").isNotNull)
+          .select("doc_id", "source", "n_chars"),
+        "n_chars", "doc_id", "source")
+        .select("doc_id", "source", "n_chars", "qnorm")
+        .orderBy("doc_id")
+    },
+
     // First/last-touch conversion attribution: each purchase credits
     // the most recent click by the same user within a 7-day lookback
     // (plus the earliest click ever, the first-touch view) via ONE
@@ -5487,6 +5541,17 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
 
+    // The window idiom the bounded aggregate replaces — identical
+    // output by construction.
+    "q_topk_grouped" ->
+      """WITH r AS (
+        |  SELECT source, n_chars, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |  FROM documents)
+        |SELECT source, n_chars, doc_id FROM r WHERE rn <= 3
+        |ORDER BY source, n_chars DESC, doc_id DESC""".stripMargin,
+
     // Per-priority skyline (the grouped Catalyst-aggregate path).
     "q_skyline_agg" ->
       """SELECT p.o_orderpriority, p.o_orderkey, p.o_totalprice, p.o_orderdate
@@ -6413,6 +6478,23 @@ object SparkEntry {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
     },
 
+    // Deterministic file cuts replayed as row_number div rowsPerFile.
+    "q_minmax_index" ->
+      """WITH d AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT d, row_number() OVER (ORDER BY d, l_orderkey, l_linenumber) AS rk
+        |  FROM d),
+        |f AS (
+        |  SELECT (rk - 1) // 4096 AS file_id, count(*) AS n,
+        |    min(d) AS min_v, max(d) AS max_v
+        |  FROM r GROUP BY 1)
+        |SELECT file_id, CAST(n AS BIGINT) AS n, min_v, max_v,
+        |  max_v >= '1995-06-01' AND min_v <= '1995-08-31' AS reads_for_probe
+        |FROM f ORDER BY file_id""".stripMargin,
+
     // The FULL join aggregate — no deltas anywhere: matching it is the
     // equivalence proof for the incremental maintenance.
     "q_incr_join" ->
@@ -6924,6 +7006,27 @@ object SparkEntry {
 
     // Daily counts → exact scaled cumulative deviation (n·cum − k·total,
     // all BIGINT) → |sdev| argmax flag.
+    // Same exact rank mapping: (r·N + n − 1) // n into the pooled
+    // row_number frame.
+    "q_quantile_norm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |src AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |g AS (
+        |  SELECT n_chars AS qnorm,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS k
+        |  FROM d),
+        |t AS (SELECT count(*) AS nt FROM d)
+        |SELECT src.doc_id, src.source, src.n_chars, g.qnorm
+        |FROM src CROSS JOIN t
+        |JOIN g ON g.k = (src.r * t.nt + src.n - 1) // src.n
+        |ORDER BY src.doc_id""".stripMargin,
+
     // Same total order, same unbounded-preceding IGNORE NULLS carries.
     "q_attribution" ->
       """WITH e AS (

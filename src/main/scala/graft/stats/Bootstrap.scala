@@ -67,16 +67,16 @@ object Bootstrap {
       lit(salt), lit("|"), col("rep").cast("string"), lit("|"),
       col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long").cast("double") / TwoPow60
-    df.select(col(idCol), col(valueCol))
-      .crossJoin(spark_range_df(df, b))
+    df.select(col(idCol), col(valueCol),
+        // explode keeps the ×B fan-out inside whole-stage codegen — a
+        // crossJoin with a B-row frame plans as a nested-loop join and
+        // was the slowest bench row before this.
+        explode(sequence(lit(0L), lit((b - 1).toLong))).as("rep"))
       .withColumn("w", poissonWeight(u))
       .groupBy("rep")
       .agg(sum(col("w")).as("n"),
         sum(col("w") * col(valueCol)).as("sum_v"))
   }
-
-  private def spark_range_df(df: DataFrame, b: Int) =
-    df.sparkSession.range(b).toDF("rep")
 
   /** The ranked replicate table: each replicate's exact (n, Σ) pair,
     * its double mean, and its rank by mean — the percentile-method CI

@@ -1316,6 +1316,50 @@ object SparkEntry {
         .orderBy("o_custkey")
     },
 
+    // WHY Z-ORDER: the zone-map skip audit that quantifies the layout
+    // tradeoff. The same lineitem rows are cut into 2048-row files
+    // under two layouts — sorted by partkey vs z-ordered on
+    // (partkey, suppkey) — and three probes (partkey-only,
+    // suppkey-only, both) count files whose min/max zones overlap.
+    // On the fixture the single-sort layout reads 2/293 files for its
+    // own dimension but ALL 293 for the other; z-order reads a few
+    // dozen for EITHER single-dim probe and 1 for the 2-D probe — the
+    // multi-dimensional-locality argument, measured. Deterministic
+    // file cuts (global rank div rowsPerFile) keep it oracle-exact.
+    "q_zorder_skip" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"),
+          col("l_orderkey"), col("l_linenumber"))
+      val z = li.withColumn("zval",
+        graft.sources.ZOrder.zvalue(li, Seq("p", "sk"), bits = 8))
+      def layout(sortCols: Seq[Column], label: String) =
+        graft.operators.GlobalRank.withGlobalRank(z, sortCols, "__rk")
+          .withColumn("f", expr("(__rk - 1) div 2048"))
+          .groupBy("f")
+          .agg(min(col("p")).as("pmn"), max(col("p")).as("pmx"),
+            min(col("sk")).as("smn"), max(col("sk")).as("smx"),
+            count(lit(1)).as("n"))
+          .withColumn("layout", lit(label))
+      val files = layout(
+        Seq(col("p"), col("l_orderkey"), col("l_linenumber")), "sort_partkey")
+        .unionAll(layout(
+          Seq(col("zval"), col("l_orderkey"), col("l_linenumber")), "zorder"))
+      val probes = Seq(
+        ("p", 100L, 199L, 0L, 100000000L),
+        ("ps", 100L, 199L, 10L, 19L),
+        ("s", 0L, 100000000L, 10L, 19L))
+        .toDF("probe", "plo", "phi", "slo", "shi")
+      val reads = col("pmx") >= col("plo") && col("pmn") <= col("phi") &&
+        col("smx") >= col("slo") && col("smn") <= col("shi")
+      files.crossJoin(broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(reads, 1L).otherwise(0L)).as("files_read"),
+          sum(when(reads, col("n")).otherwise(0L)).as("rows_read"))
+        .orderBy("layout", "probe")
+    },
+
     // Min/max data-skipping index (zone map) over a sort-clustered
     // layout: rows in l_shipdate total order cut into 4096-row files,
     // per-file (min, max), and a range-probe classification — the
@@ -6476,6 +6520,55 @@ object SparkEntry {
         block("orders.custkey->customer", "orders", "o_custkey",
           "customer", "c_custkey"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
+    },
+
+    // Both layouts replayed: same z interleave as q_zorder, same
+    // row_number file cuts, probes as a VALUES table.
+    "q_zorder_skip" -> {
+      val bits = 8
+      val termsP = (0 until bits).map(i => s"(((bp >> $i) & 1) << ${i * 2})").mkString(" + ")
+      val termsS = (0 until bits).map(i => s"(((bs >> $i) & 1) << ${i * 2 + 1})").mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT min(l_partkey) AS pmn0, max(l_partkey) AS pmx0,
+         |    min(l_suppkey) AS smn0, max(l_suppkey) AS smx0
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT l_partkey AS p, l_suppkey AS s, l_orderkey, l_linenumber,
+         |    ((l_partkey - (SELECT pmn0 FROM mm)) * ${1 << bits})
+         |      // ((SELECT pmx0 FROM mm) - (SELECT pmn0 FROM mm) + 1) AS bp,
+         |    ((l_suppkey - (SELECT smn0 FROM mm)) * ${1 << bits})
+         |      // ((SELECT smx0 FROM mm) - (SELECT smn0 FROM mm) + 1) AS bs
+         |  FROM lineitem),
+         |z AS (SELECT p, s, l_orderkey, l_linenumber,
+         |        CAST($termsP + $termsS AS BIGINT) AS zval FROM b),
+         |rs AS (SELECT p, s,
+         |         row_number() OVER (ORDER BY p, l_orderkey, l_linenumber) AS rk
+         |       FROM z),
+         |rz AS (SELECT p, s,
+         |         row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber) AS rk
+         |       FROM z),
+         |fs AS (SELECT 'sort_partkey' AS layout, (rk - 1) // 2048 AS f,
+         |         min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
+         |         count(*) AS n
+         |       FROM rs GROUP BY 1, 2),
+         |fz AS (SELECT 'zorder' AS layout, (rk - 1) // 2048 AS f,
+         |         min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
+         |         count(*) AS n
+         |       FROM rz GROUP BY 1, 2),
+         |ff AS (SELECT * FROM fs UNION ALL SELECT * FROM fz),
+         |pr AS (SELECT * FROM (VALUES
+         |         ('p', 100, 199, 0, 100000000),
+         |         ('ps', 100, 199, 10, 19),
+         |         ('s', 0, 100000000, 10, 19))
+         |       AS t(probe, plo, phi, slo, shi))
+         |SELECT layout, probe, CAST(count(*) AS BIGINT) AS files_total,
+         |  CAST(sum(CASE WHEN pmx >= plo AND pmn <= phi
+         |                 AND smx >= slo AND smn <= shi
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+         |  CAST(sum(CASE WHEN pmx >= plo AND pmn <= phi
+         |                 AND smx >= slo AND smn <= shi
+         |            THEN n ELSE 0 END) AS BIGINT) AS rows_read
+         |FROM ff CROSS JOIN pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
 
     // Deterministic file cuts replayed as row_number div rowsPerFile.

@@ -1288,6 +1288,37 @@ object SparkEntry {
         .orderBy("fk")
     },
 
+    // Golden-record merge (MDM survivorship): three deterministic
+    // record versions per customer — each knowing DIFFERENT fields
+    // (later versions carry nulls for fields only older ones knew) —
+    // collapse to per-field latest-non-null via one keyed max_by
+    // aggregate: field-level recency survivorship, which row-level
+    // latest-wins gets wrong (graft.operators.GoldenRecord).
+    "q_golden_record" -> { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val ck = col("c_custkey")
+      val v1 = c.select(ck.as("k"), lit(1L).as("ver"),
+        col("c_name").as("name"), col("c_nationkey").as("nation"),
+        round(col("c_acctbal"), 2).as("acct"),
+        when(ck % 3 === 0, lit(null)).otherwise(col("c_mktsegment"))
+          .as("seg"))
+      val v2 = c.select(ck.as("k"), lit(2L).as("ver"),
+        when(ck % 4 === 0, lit(null))
+          .otherwise(concat(col("c_name"), lit("_v2"))).as("name"),
+        lit(null).cast("long").as("nation"),
+        round(col("c_acctbal") + 10, 2).as("acct"),
+        lit(null).cast("string").as("seg"))
+      val v3 = c.where(ck % 5 === 0).select(ck.as("k"), lit(3L).as("ver"),
+        lit(null).cast("string").as("name"),
+        (col("c_nationkey") + 1).as("nation"),
+        lit(null).cast("double").as("acct"),
+        lit("UPDATED").as("seg"))
+      graft.operators.GoldenRecord.merge(
+        v1.unionByName(v2).unionByName(v3), Seq("k"), "ver",
+        Seq("name", "nation", "acct", "seg"))
+        .orderBy("k")
+    },
+
     // Incremental JOIN-view maintenance: a per-customer revenue view
     // over orders⋈lineitem is maintained from insert deltas via
     // Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (graft.operators.IncrJoin) plus a
@@ -6587,6 +6618,33 @@ object SparkEntry {
         |SELECT file_id, CAST(n AS BIGINT) AS n, min_v, max_v,
         |  max_v >= '1995-06-01' AND min_v <= '1995-08-31' AS reads_for_probe
         |FROM f ORDER BY file_id""".stripMargin,
+
+    // arg_max skips NULL values natively — the per-field
+    // latest-non-null semantics, replayed.
+    "q_golden_record" ->
+      """WITH v1 AS (
+        |  SELECT c_custkey AS k, 1 AS ver, c_name AS name,
+        |    c_nationkey AS nation, round(c_acctbal, 2) AS acct,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey AS k, 2 AS ver,
+        |    CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name || '_v2' END AS name,
+        |    CAST(NULL AS BIGINT) AS nation,
+        |    round(c_acctbal + 10, 2) AS acct,
+        |    CAST(NULL AS VARCHAR) AS seg
+        |  FROM customer),
+        |v3 AS (
+        |  SELECT c_custkey AS k, 3 AS ver, CAST(NULL AS VARCHAR) AS name,
+        |    c_nationkey + 1 AS nation, CAST(NULL AS DOUBLE) AS acct,
+        |    'UPDATED' AS seg
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+        |SELECT k, arg_max(name, ver) AS name, arg_max(nation, ver) AS nation,
+        |  arg_max(acct, ver) AS acct, arg_max(seg, ver) AS seg,
+        |  CAST(max(ver) AS BIGINT) AS latest_version,
+        |  CAST(count(*) AS BIGINT) AS n_versions
+        |FROM u GROUP BY k ORDER BY k""".stripMargin,
 
     // The FULL join aggregate — no deltas anywhere: matching it is the
     // equivalence proof for the incremental maintenance.

@@ -2717,6 +2717,19 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // k-anonymity / l-diversity audit (the dataset-release privacy
+    // gate): every (nation, segment) quasi-identifier group's size and
+    // its count of distinct balance tiers — groups under k=10 rows are
+    // re-identifiable; low l leaks the sensitive attribute even at
+    // high k. One keyed aggregate (graft.stats.Anonymity).
+    "q_kanon" -> { (s, dir) =>
+      graft.stats.Anonymity.audit(
+        Tables.load(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long"), k = 10)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // Sample-ratio mismatch (SRM) gate — the experimentation-ops check
     // that runs BEFORE any A/B readout is trusted: a 50/50 hash split
     // whose observed arm counts drift from expectation signals a
@@ -7821,6 +7834,12 @@ object SparkEntry {
          |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
          |FROM rk ORDER BY rank""".stripMargin
     },
+
+    "q_kanon" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_distinct,
+        |  count(*) < 10 AS risky_k
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -1703,6 +1703,29 @@ object SparkEntry {
         o.select(src.as("src"), dst.as("dst")), "src", "dst")
     },
 
+    // Weighted single-source shortest path (Bellman-Ford relaxation,
+    // graph/BellmanFord): the weighted complement of q_bfs — exact
+    // ≤8-edge shortest costs from the seed over symmetric integer
+    // weights. Per round one keyed join from the IMPROVED-only
+    // frontier + one keyed min-agg, lineage-truncated; the oracle
+    // unrolls the same 8 full-relaxation rounds (frontier BF ≡ full BF
+    // round-for-round).
+    "q_sssp" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val eu = base
+        .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
+      val seed = eu.agg(min(col("src")).as("id"))
+      graft.graph.BellmanFord.distances(eu, "src", "dst", "w", seed,
+          rounds = 8)
+        .orderBy("id")
+    },
+
     // k-core decomposition of the customer–supplier interaction graph
     // (graph-density gate: which buyers/suppliers sit in the densely
     // connected trading core vs the sparse periphery — the link-farm /
@@ -6877,6 +6900,29 @@ object SparkEntry {
           |  (SELECT count(*) FROM wed) AS n_wedges,
           |  (SELECT count(*) FROM wed JOIN und ON und.a = wed.x AND und.b = wed.y)
           |    AS n_triangles""".stripMargin),
+
+    // 8 full-relaxation rounds unrolled; ≤8-edge shortest distances.
+    "q_sssp" -> {
+      val rounds = 8
+      val relax = (1 to rounds).map { r =>
+        s"""d$r AS (SELECT id, min(dist) AS dist FROM (
+           |  SELECT id, dist FROM d${r - 1}
+           |  UNION ALL
+           |  SELECT eu.dst AS id, d${r - 1}.dist + eu.w AS dist
+           |  FROM d${r - 1} JOIN eu ON eu.src = d${r - 1}.id) GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |eu AS (
+         |  SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e
+         |  UNION ALL
+         |  SELECT dst, src, 1 + (src + dst) % 5 FROM e),
+         |seed AS (SELECT min(src) AS id FROM eu),
+         |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM seed),
+         |$relax
+         |SELECT id, dist FROM d$rounds ORDER BY id""".stripMargin
+    },
 
     // Percentile-k replayed as a cumulative sum over distinct degrees,
     // then 3 unrolled peel rounds (fixture converges in 1 — extra

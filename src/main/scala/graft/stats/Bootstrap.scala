@@ -67,7 +67,14 @@ object Bootstrap {
       lit(salt), lit("|"), col("rep").cast("string"), lit("|"),
       col(idCol).cast("string"))), 1, 15), 16, 10)
       .cast("long").cast("double") / TwoPow60
-    df.select(col(idCol), col(valueCol),
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.select(col(idCol), col(valueCol))
+      // Spread rows BEFORE the ×B fan-out: a small table often arrives
+      // as one input split, and 4.8M hash evaluations on one thread
+      // was 8.9 s of the bench — the repartition is a tiny shuffle of
+      // the un-exploded rows that buys full-width parallel hashing.
+      .repartition(parts)
+      .select(col(idCol), col(valueCol),
         // explode keeps the ×B fan-out inside whole-stage codegen — a
         // crossJoin with a B-row frame plans as a nested-loop join and
         // was the slowest bench row before this.

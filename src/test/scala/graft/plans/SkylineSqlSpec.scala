@@ -53,6 +53,24 @@ class SkylineSqlSpec extends SparkSpec {
     assert(n == 1)
   }
 
+  test("WHERE below SKYLINE OF reaches the parquet scan as PushedFilters") {
+    // The scale contract: the clause's WHERE sits BELOW the skyline
+    // node in the parsed plan, so Catalyst's normal pushdown must
+    // carry it all the way into the file scan — a skyline over a
+    // filtered 100 TB table reads only the filtered byte ranges.
+    val dir = java.nio.file.Files.createTempDirectory("graft_sky_push").toString
+    fixture().write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir).createOrReplaceTempView("items_parquet")
+    val df = SkylineSql.sql(spark,
+      "SELECT id, price, rating FROM items_parquet WHERE price > 10.0 " +
+        "SKYLINE OF price MIN, rating MAX")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(price), GreaterThan(price,10.0)]") ||
+      physical.contains("GreaterThan(price,10.0)"),
+      s"filter not pushed to scan:\n$physical")
+    assert(df.count() > 0)
+  }
+
   test("column pruning rule pushes a project below the skyline") {
     val plan = fixture().queryExecution.analyzed
     val pruned = SkylineColumnPruning(

@@ -2740,6 +2740,47 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // Benford first-digit audit (fraud/fabrication screen): observed
+    // first-digit counts of revenue cents vs the Benford expectation
+    // log10(1+1/d), with per-digit chi-square terms. Counts are exact
+    // integers from the INTEGER cents rendering (double formatting
+    // never touches the digit); the expected probabilities are shared
+    // literals; no cross-row float sum — each digit's term stands
+    // alone, so the audit is oracle-exact.
+    "q_benford" -> { (s, dir) =>
+      import s.implicits._
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+      val counts = Tables.load(s, dir, "orders")
+        .where(col("o_totalprice").isNotNull)
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val pDf = benfordP.toDF("digit", "p")
+      val tot = counts.agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(pDf), "digit").crossJoin(tot)
+        .select(col("digit"), col("n"),
+          round(col("p"), 6).as("p_benford"),
+          round(col("tot") * col("p"), 4).as("expected"),
+          round((col("n") - col("tot") * col("p")) *
+            (col("n") - col("tot") * col("p")) /
+            (col("tot") * col("p")), 6).as("chi_term"))
+        .orderBy("digit")
+    },
+
+    // Degree assortativity (Newman 2002) of the customer–supplier
+    // graph: do hubs trade with hubs? All moments are exact integers
+    // (each edge contributes both orientations, collapsing the x/y
+    // marginals), one double division at the end
+    // (graft.graph.GraphStats).
+    "q_assortativity" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.graph.GraphStats.assortativity(edges, "src", "dst")
+    },
+
     // k-anonymity / l-diversity audit (the dataset-release privacy
     // gate): every (nation, segment) quasi-identifier group's size and
     // its count of distinct balance tiers — groups under k=10 rows are
@@ -5434,6 +5475,12 @@ object SparkEntry {
     * '||' operators sit at line ENDS so the result survives any outer
     * stripMargin.
     */
+  /** Benford first-digit probabilities log10(1 + 1/d) — ONE definition
+    * shared by the Spark frame and the generated oracle literals.
+    */
+  private val benfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
+
   /** DuckDB mirror of RandomProjection.distortion: same md5 sign
     * matrix (computed here, emitted as +/− literals) and the same
     * left-to-right chained double sums, so doubles agree bit-for-bit.
@@ -7880,6 +7927,46 @@ object SparkEntry {
          |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
          |FROM rk ORDER BY rank""".stripMargin
     },
+
+    // Shared literal probabilities; integer-cents digit extraction;
+    // per-digit terms only (no cross-row float sum anywhere).
+    "q_benford" -> {
+      val values = benfordP.map { case (d, p) => s"($d, $p)" }.mkString(", ")
+      s"""WITH c AS (
+         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders WHERE o_totalprice IS NOT NULL),
+         |n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM n),
+         |p AS (SELECT digit, CAST(p AS DOUBLE) AS p
+         |      FROM (VALUES $values) AS v(digit, p))
+         |SELECT n.digit, n.n, round(p.p, 6) AS p_benford,
+         |  round(t.tot * p.p, 4) AS expected,
+         |  round((n.n - t.tot * p.p) * (n.n - t.tot * p.p) / (t.tot * p.p), 6) AS chi_term
+         |FROM n JOIN p USING (digit) CROSS JOIN t ORDER BY digit""".stripMargin
+    },
+
+    // Exact-integer moments; both orientations collapse the marginals.
+    "q_assortativity" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT least(o_custkey, l_suppkey + 1000000) AS a,
+        |                  greatest(o_custkey, l_suppkey + 1000000) AS b
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey <> l_suppkey + 1000000),
+        |deg AS (SELECT v, count(*) AS d
+        |        FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
+        |        GROUP BY 1),
+        |j AS (SELECT da.d AS da, db.d AS db
+        |      FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
+        |m AS (SELECT 2 * count(*) AS n,
+        |        CAST(sum(da + db) AS BIGINT) AS sx,
+        |        CAST(2 * sum(da * db) AS BIGINT) AS sxy,
+        |        CAST(sum(da * da + db * db) AS BIGINT) AS sx2
+        |      FROM j)
+        |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+        |  round(CASE WHEN n * sx2 - sx * sx <> 0
+        |        THEN CAST(n * sxy - sx * sx AS DOUBLE) /
+        |             CAST(n * sx2 - sx * sx AS DOUBLE) END, 6) AS r
+        |FROM m""".stripMargin,
 
     "q_kanon" ->
       """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,

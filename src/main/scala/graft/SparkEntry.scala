@@ -2740,6 +2740,41 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // Pairwise Pearson correlation matrix over lineitem's numeric
+    // columns (the profiling step before any feature is trusted) —
+    // every moment is an EXACT DECIMAL(38,0) sum of integer-scaled
+    // values (cents), so all six correlations come from one scan and
+    // one final double expression apiece; deliberately not the builtin
+    // corr(), whose float accumulation order is engine-internal.
+    "q_corr_matrix" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      val cols = corrCols.map { case (name, e) => e.as(name) }
+      val base = li.select(cols: _*)
+      val names = corrCols.map(_._1)
+      def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+      val moments =
+        Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
+          names.map(x => dsum(col(x)).as(s"s_$x")) ++
+          corrPairs.map { case (x, y) =>
+            dsum(col(x) * col(y)).as(s"s_${x}_$y")
+          } ++
+          names.map(x => dsum(col(x) * col(x)).as(s"s_${x}_$x"))
+      val m = base.agg(moments.head, moments.tail: _*)
+      val rows = corrPairs.map { case (x, y) =>
+        val num = (col("n") * col(s"s_${x}_$y") -
+          col(s"s_$x") * col(s"s_$y")).cast("double")
+        val dx = (col("n") * col(s"s_${x}_$x") -
+          col(s"s_$x") * col(s"s_$x")).cast("double")
+        val dy = (col("n") * col(s"s_${y}_$y") -
+          col(s"s_$y") * col(s"s_$y")).cast("double")
+        struct(lit(x).as("x"), lit(y).as("y"),
+          round(num / sqrt(dx * dy), 6).as("r"))
+      }
+      m.select(explode(array(rows: _*)).as("e"))
+        .select(col("e.x"), col("e.y"), col("e.r"))
+        .orderBy("x", "y")
+    },
+
     // Benford first-digit audit (fraud/fabrication screen): observed
     // first-digit counts of revenue cents vs the Benford expectation
     // log10(1+1/d), with per-digit chi-square terms. Counts are exact
@@ -5475,6 +5510,31 @@ object SparkEntry {
     * '||' operators sit at line ENDS so the result survives any outer
     * stripMargin.
     */
+  /** Correlation-matrix columns: integer-scaled (cents) projections of
+    * lineitem's numeric columns, shared by q_corr_matrix's Spark side
+    * and the SQL mirror below.
+    */
+  private def corrCols: Seq[(String, Column)] = Seq(
+    ("disc", (col("l_discount").cast("decimal(18,2)") * 100).cast("long")),
+    ("price", (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
+    ("qty", col("l_quantity").cast("long")),
+    ("tax", (col("l_tax").cast("decimal(18,2)") * 100).cast("long")))
+
+  private def corrPairs: Seq[(String, String)] = {
+    val names = corrCols.map(_._1)
+    for {
+      i <- names.indices
+      j <- names.indices if j > i
+    } yield (names(i), names(j))
+  }
+
+  private def corrColSql(name: String): String = name match {
+    case "qty" => "CAST(l_quantity AS BIGINT)"
+    case "price" => "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    case "disc" => "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    case "tax" => "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"
+  }
+
   /** Benford first-digit probabilities log10(1 + 1/d) — ONE definition
     * shared by the Spark frame and the generated oracle literals.
     */
@@ -7926,6 +7986,39 @@ object SparkEntry {
          |SELECT rank, rep, n, sum_v, round(mean, 6) AS mean,
          |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
          |FROM rk ORDER BY rank""".stripMargin
+    },
+
+    // Same exact integer moments; DuckDB combines them in HUGEINT
+    // (int128) where Spark uses DECIMAL(38,0) — both exact, and the
+    // same integer casts to the same double.
+    "q_corr_matrix" -> {
+      val names = corrCols.map(_._1)
+      val proj = names.map(n => s"${corrColSql(n)} AS $n").mkString(",\n    ")
+      val sums =
+        names.map(n => s"CAST(sum(CAST($n AS HUGEINT)) AS HUGEINT) AS s_$n") ++
+          corrPairs.map { case (x, y) =>
+            s"CAST(sum(CAST($x AS HUGEINT) * CAST($y AS HUGEINT)) AS HUGEINT) AS s_${x}_$y"
+          } ++
+          names.map(n =>
+            s"CAST(sum(CAST($n AS HUGEINT) * CAST($n AS HUGEINT)) AS HUGEINT) AS s_${n}_$n")
+      val rows = corrPairs.map { case (x, y) =>
+        s"""SELECT '$x' AS x, '$y' AS y,
+           |  round(CAST(n * s_${x}_$y - s_$x * s_$y AS DOUBLE) /
+           |        sqrt(CAST(n * s_${x}_$x - s_$x * s_$x AS DOUBLE) *
+           |             CAST(n * s_${y}_$y - s_$y * s_$y AS DOUBLE)), 6) AS r
+           |FROM m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS (
+         |  SELECT
+         |    $proj
+         |  FROM lineitem),
+         |m AS (
+         |  SELECT CAST(count(*) AS HUGEINT) AS n,
+         |    ${sums.mkString(",\n    ")}
+         |  FROM base)
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY x, y""".stripMargin
     },
 
     // Shared literal probabilities; integer-cents digit extraction;

@@ -2740,6 +2740,32 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // Catalog statistics sweep (the ANALYZE TABLE complement of
+    // q_join_size's sketch estimate): per column of the four dimension
+    // tables, row count / exact NDV / null count — collected as ONE
+    // multi-distinct aggregate pass per table (Catalyst's Expand
+    // handles the distinct fan-out), then unpivoted to rows. These are
+    // the numbers a CBO's join reorder and broadcast decisions eat.
+    "q_catalog_stats" -> { (s, dir) =>
+      val frames = catalogSpec.map { case (t, cs) =>
+        val df = Tables.load(s, dir, t)
+        val aggs = Seq(count(lit(1)).as("__n")) ++ cs.flatMap { c =>
+          Seq(countDistinct(col(c)).as(s"__ndv_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        val entries = cs.map { c =>
+          struct(lit(c).as("column"), col(s"__ndv_$c").as("ndv"),
+            col(s"__nulls_$c").as("nulls"))
+        }
+        row.select(lit(t).as("tbl"), col("__n").as("n"),
+            explode(array(entries: _*)).as("e"))
+          .select(col("tbl"), col("e.column").as("col_name"), col("n"),
+            col("e.ndv"), col("e.nulls"))
+      }
+      frames.reduce(_.unionAll(_)).orderBy("tbl", "col_name")
+    },
+
     // Pairwise Pearson correlation matrix over lineitem's numeric
     // columns (the profiling step before any feature is trusted) —
     // every moment is an EXACT DECIMAL(38,0) sum of integer-scaled
@@ -5535,6 +5561,15 @@ object SparkEntry {
     case "tax" => "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"
   }
 
+  /** (table, columns) pairs the catalog-stats sweep profiles — one
+    * definition shared by the Spark side and the SQL mirror.
+    */
+  private val catalogSpec: Seq[(String, Seq[String])] = Seq(
+    "customer" -> Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"),
+    "nation" -> Seq("n_name", "n_nationkey", "n_regionkey"),
+    "region" -> Seq("r_name", "r_regionkey"),
+    "supplier" -> Seq("s_acctbal", "s_name", "s_nationkey", "s_suppkey"))
+
   /** Benford first-digit probabilities log10(1 + 1/d) — ONE definition
     * shared by the Spark frame and the generated oracle literals.
     */
@@ -7986,6 +8021,20 @@ object SparkEntry {
          |SELECT rank, rep, n, sum_v, round(mean, 6) AS mean,
          |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
          |FROM rk ORDER BY rank""".stripMargin
+    },
+
+    // Per-column selects generated from the same catalogSpec.
+    "q_catalog_stats" -> {
+      val selects = catalogSpec.flatMap { case (t, cs) =>
+        cs.map { c =>
+          s"""SELECT '$t' AS tbl, '$c' AS col_name,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls
+             |FROM $t""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$selects\n) ORDER BY tbl, col_name"
     },
 
     // Same exact integer moments; DuckDB combines them in HUGEINT

@@ -3077,6 +3077,34 @@ object SparkEntry {
           countDistinct(col("o_custkey")).as("exact_distinct")))
     },
 
+    // HLL SET ALGEBRA, the lossy complement of q_kmv_setops: per-side
+    // HLL estimates plus the union estimate (an HLL over the union
+    // input ≡ the register-max merge of the two sketches — the merge
+    // property expressed relationally), intersection via
+    // inclusion-exclusion. I-E error compounds — the exact counts ride
+    // along to show by how much, next to KMV's direct intersection.
+    "q_hll_setops" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").where(col("o_custkey").isNotNull)
+      def est(df: DataFrame, name: String) =
+        graft.stats.Hll.summary(df, "o_custkey")
+          .select(col("est_distinct").as(name))
+      val a = o.where(col("o_orderpriority") === "1-URGENT")
+      val b = o.where(col("o_orderpriority") === "5-LOW")
+      val u = o.where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+      val exact = o.groupBy("o_custkey").agg(
+        max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+          .as("ia"),
+        max(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L))
+          .as("ib"))
+        .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
+          sum(col("ia") * col("ib")).as("exact_inter"))
+      est(a, "est_a").crossJoin(est(b, "est_b"))
+        .crossJoin(est(u, "est_union"))
+        .withColumn("est_inter_ie",
+          round(col("est_a") + col("est_b") - col("est_union"), 4))
+        .crossJoin(exact)
+    },
+
     // ---- dedup over `documents` ---------------------------------------
 
     // Exact content dedup: one hash-groupBy on the normalized-token md5.
@@ -8403,6 +8431,56 @@ object SparkEntry {
         |             / CAST(sum_scaled AS DOUBLE) END, 4) AS est_distinct,
         |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
         |FROM s""".stripMargin,
+
+    // Three replay chains from one generator; inclusion-exclusion over
+    // the rounded per-side estimates.
+    "q_hll_setops" -> {
+      def chain(p: String, where: String): String =
+        s"""${p}h AS (
+           |  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
+           |  FROM orders WHERE o_custkey IS NOT NULL AND ($where)),
+           |${p}r AS (
+           |  SELECT h % 64 AS reg,
+           |    CASE WHEN h // 64 = 0 THEN 55
+           |         ELSE CAST(round(log2((h // 64) & -(h // 64))) AS INT) + 1 END AS rho
+           |  FROM ${p}h),
+           |${p}regs AS (SELECT reg, max(rho) AS mrho FROM ${p}r GROUP BY reg),
+           |${p}base AS (SELECT max(mrho) AS r_max, count(*) AS present FROM ${p}regs),
+           |${p}ag AS (
+           |  SELECT (SELECT r_max FROM ${p}base) AS r_max,
+           |         CAST(64 - (SELECT present FROM ${p}base) AS BIGINT) AS zeros,
+           |         sum(CAST(1 AS BIGINT) << ((SELECT r_max FROM ${p}base) - mrho)) AS sum_present
+           |  FROM ${p}regs),
+           |${p}fin AS (SELECT r_max, zeros,
+           |        sum_present + zeros * (CAST(1 AS BIGINT) << r_max) AS sum_scaled
+           |      FROM ${p}ag),
+           |${p}e AS (
+           |  SELECT round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096
+           |                   * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
+           |                   / CAST(sum_scaled AS DOUBLE)) <= 160.0 AND zeros > 0
+           |        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
+           |        ELSE CAST(0.709 AS DOUBLE) * 4096
+           |             * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
+           |             / CAST(sum_scaled AS DOUBLE) END, 4) AS est
+           |  FROM ${p}fin)""".stripMargin
+      s"""WITH ${chain("a", "o_orderpriority = '1-URGENT'")},
+         |${chain("b", "o_orderpriority = '5-LOW'")},
+         |${chain("u", "o_orderpriority IN ('1-URGENT', '5-LOW')")},
+         |fl AS (
+         |  SELECT o_custkey,
+         |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+         |    max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS ib
+         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+         |ex AS (
+         |  SELECT CAST(sum(ia) AS BIGINT) AS exact_a,
+         |         CAST(sum(ib) AS BIGINT) AS exact_b,
+         |         CAST(sum(ia * ib) AS BIGINT) AS exact_inter
+         |  FROM fl)
+         |SELECT ae.est AS est_a, be.est AS est_b, ue.est AS est_union,
+         |  round(ae.est + be.est - ue.est, 4) AS est_inter_ie,
+         |  exact_a, exact_b, exact_inter
+         |FROM ae, be, ue, ex""".stripMargin
+    },
 
     // Per-group k smallest distinct hashes via a window; the engine
     // side ships ≤ k per group per partial instead (KMinAgg).

@@ -4075,6 +4075,51 @@ object SparkEntry {
       s.table(qname).orderBy("w_start")
     },
 
+    // STREAMING per-window top-k: the bounded TopK aggregate's buffer
+    // (≤ k struct elements) serialized through the state store —
+    // fourth member of the sketch-in-state family (MG, GK, KMV, TopK),
+    // and the production exercise of TopKAgg's UnsafeProjection
+    // serialization. Top-3 event values per closed day window.
+    "q_stream_topk" -> { (s, dir) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val sch = s.read.parquet(s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamtk_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
+        .transform(Tables.normalizeEventTs)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 day").as("w"))
+        .agg(graft.stats.TopK.topK(
+          struct(cents.as("cents"), col("event_id")), 3).as("top"))
+        .select(col("w.start").cast("long").as("w_start"), col("top"))
+      val qname = "graft_stream_tk_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamtk_ckpt").toString
+      val query = agg.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+      query.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      def emitted: Boolean = {
+        val rp = query.recentProgress
+        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
+        dataBatches.nonEmpty &&
+          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
+      }
+      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
+      query.stop()
+      s.table(qname)
+        .select(col("w_start"), explode(col("top")).as("t"))
+        .select(col("w_start"), col("t.cents").as("cents"),
+          col("t.event_id").as("event_id"))
+        .orderBy(col("w_start"), col("cents").desc, col("event_id").desc)
+    },
+
     // STREAMING session windows: the builtin session_window state
     // (merge-on-overlap, close at last-event + gap) under a real
     // watermark/append execution — the stateful-merge complement of
@@ -7914,6 +7959,25 @@ object SparkEntry {
         |        ORDER BY cnt DESC, user_id) AS rn FROM c)
         |SELECT w_start, user_id, cnt FROM r WHERE rn <= 5
         |ORDER BY w_start, cnt DESC, user_id""".stripMargin,
+
+    // Closed-window top-3 replayed as a row_number window; the struct
+    // order (cents, event_id) matches the aggregate's lexicographic
+    // ordering.
+    "q_stream_topk" ->
+      """WITH e AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(ts) AS us
+        |  FROM events),
+        |w AS (SELECT event_id, cents, (us // 86400000000) * 86400 AS w_start, us FROM e),
+        |mx AS (SELECT max(us) AS m FROM e),
+        |r AS (
+        |  SELECT w_start, cents, event_id,
+        |    row_number() OVER (PARTITION BY w_start
+        |                       ORDER BY cents DESC, event_id DESC) AS rn
+        |  FROM w WHERE (w_start + 86400) * 1000000 < (SELECT m FROM mx))
+        |SELECT w_start, cents, event_id FROM r WHERE rn <= 3
+        |ORDER BY w_start, cents DESC, event_id DESC""".stripMargin,
 
     // KMV per closed window: distinct 60-bit hashes, 64 smallest,
     // same two-division estimate expression as q_distinct_kmv.

@@ -4959,6 +4959,24 @@ object SparkEntry {
       RangeStats.stats(Gsod.parseLines(Gsod.formatLines(shaped)),
         Gsod.valueFields.map(_.name))
     },
+
+    // Grid-blocked ε-neighbor spatial self-join: every customer pair
+    // within 4000 integer units on a deterministic md5-derived 100k ×
+    // 100k plane. The oracle is the O(n²) brute-force distance join —
+    // the hash match proves the 9-cell grid plan loses no boundary
+    // pair (exact integer dist², no float circle). The registered plan
+    // is the one-shuffle blocked join; brute force exists only inside
+    // the oracle.
+    "q_spatial_join" -> { (s, dir) =>
+      def coord(salt: String) = conv(substring(md5(
+        concat(lit(salt + "|"), col("c_custkey").cast("string"))),
+        1, 15), 16, 10).cast("long") % 100000L
+      val pts = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        coord("sx9").as("x"), coord("sy9").as("y"))
+      graft.operators.SpatialJoin.epsNeighbors(pts, "id", "x", "y", 4000L)
+        .orderBy("a_id", "b_id")
+    },
   )
 
   /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
@@ -9999,5 +10017,21 @@ object SparkEntry {
         |  CAST(0 AS BIGINT) AS c_gust, CAST(NULL AS DOUBLE) AS min_gust, CAST(NULL AS DOUBLE) AS max_gust,
         |  CAST(0 AS BIGINT) AS c_min_temp, CAST(NULL AS DOUBLE) AS min_min_temp, CAST(NULL AS DOUBLE) AS max_min_temp
         |FROM shaped""".stripMargin,
+
+    // Brute-force distance self-join — the lossless mirror of the
+    // 9-cell grid plan. Same md5 coordinate derivation, exact integer
+    // dist² at the boundary circle.
+    "q_spatial_join" ->
+      """WITH p AS (
+        |  SELECT c_custkey AS id,
+        |    ('0x' || substr(md5('sx9|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS x,
+        |    ('0x' || substr(md5('sy9|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS y
+        |  FROM customer)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
+        |FROM p a JOIN p b
+        |  ON a.id < b.id
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000*4000
+        |ORDER BY a_id, b_id""".stripMargin,
   )
 }

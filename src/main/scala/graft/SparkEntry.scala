@@ -4977,6 +4977,30 @@ object SparkEntry {
       graft.operators.SpatialJoin.epsNeighbors(pts, "id", "x", "y", 4000L)
         .orderBy("a_id", "b_id")
     },
+
+    // Kaplan-Meier retention curves per market segment: subject =
+    // customer, duration = weeks between first and last order, event =
+    // churned (last order >30 days before the dataset's horizon),
+    // else censored. The survival product is a left-to-right chain of
+    // exactly-rounded IEEE ops (no exp/ln), so the recursive-CTE
+    // oracle replays the doubles bit-for-bit — the q_rand_proj
+    // chained-sum discipline applied to a chained product.
+    "q_survival" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+      val horizon = o.agg(max(col("d")).as("e"))
+      val subj = o.groupBy("o_custkey")
+        .agg(min(col("d")).as("f"), max(col("d")).as("l"))
+        .crossJoin(broadcast(horizon))
+        .join(Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("seg"),
+          expr("datediff(l, f) div 7").as("dur_w"),
+          when(datediff(col("e"), col("l")) > 30, 1).otherwise(0).as("ev"))
+      graft.operators.Survival.kaplanMeier(subj, Seq("seg"), "dur_w", "ev")
+        .orderBy("seg", "t")
+    },
   )
 
   /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
@@ -10033,5 +10057,43 @@ object SparkEntry {
         |  ON a.id < b.id
         |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000*4000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // The KM product carried through a recursive CTE: each step is
+    // ((s · (n−d)) / n) on doubles — the identical left-assoc op
+    // sequence the Spark recurrence executes, so bits match.
+    "q_survival" ->
+      """WITH RECURSIVE horizon AS (
+        |  SELECT max(CAST(o_orderdate AS DATE)) AS e FROM orders),
+        |subj AS (
+        |  SELECT c.c_mktsegment AS seg,
+        |    date_diff('day', min(CAST(o.o_orderdate AS DATE)),
+        |              max(CAST(o.o_orderdate AS DATE))) // 7 AS t,
+        |    CASE WHEN date_diff('day', max(CAST(o.o_orderdate AS DATE)),
+        |                        (SELECT e FROM horizon)) > 30
+        |         THEN 1 ELSE 0 END AS ev
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_mktsegment, o.o_custkey),
+        |byt AS (
+        |  SELECT seg, t, CAST(sum(ev) AS BIGINT) AS d,
+        |    CAST(sum(1 - ev) AS BIGINT) AS c
+        |  FROM subj GROUP BY seg, t),
+        |rn AS (
+        |  SELECT seg, t, d, c,
+        |    row_number() OVER (PARTITION BY seg ORDER BY t) AS k,
+        |    CAST(sum(d + c) OVER (PARTITION BY seg) AS BIGINT)
+        |      - CAST(sum(d + c) OVER (PARTITION BY seg ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      + d + c AS n
+        |  FROM byt),
+        |r AS (
+        |  SELECT seg, t, d, c, k, n,
+        |    CAST(n - d AS DOUBLE) / n AS s
+        |  FROM rn WHERE k = 1
+        |  UNION ALL
+        |  SELECT rn.seg, rn.t, rn.d, rn.c, rn.k, rn.n,
+        |    r.s * (rn.n - rn.d) / rn.n
+        |  FROM r JOIN rn ON rn.seg = r.seg AND rn.k = r.k + 1)
+        |SELECT seg, t, n AS n_at_risk, d, c, s AS survival
+        |FROM r ORDER BY seg, t""".stripMargin,
   )
 }

@@ -5001,6 +5001,23 @@ object SparkEntry {
       graft.operators.Survival.kaplanMeier(subj, Seq("seg"), "dur_w", "ev")
         .orderBy("seg", "t")
     },
+
+    // Per-node local clustering coefficient on the co-purchase graph
+    // (parts sharing an order, restricted to a deterministic 20% part
+    // subset so the projection graph stays bench-sized: 4.5k edges /
+    // 3.1k triangles at sf0.01 — the host graph is triangle-free, the
+    // hollow-gate lesson). Exact integer (degree, tri, wedges) per
+    // vertex; the coefficient is tri/wedges, left unrationed.
+    "q_clustering_coef" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      graft.graph.Triangles.perNode(e, "pa", "pb").orderBy("v")
+    },
   )
 
   /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
@@ -10095,5 +10112,32 @@ object SparkEntry {
         |  FROM r JOIN rn ON rn.seg = r.seg AND rn.k = r.k + 1)
         |SELECT seg, t, n AS n_at_risk, d, c, s AS survival
         |FROM r ORDER BY seg, t""".stripMargin,
+
+    // Triangle triple-join mirror (a<b<c), each triangle credited to
+    // its three corners; wedges = d(d−1)/2 exact.
+    "q_clustering_coef" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0),
+        |e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v),
+        |tri AS (
+        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pv AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        |    UNION ALL SELECT c AS v FROM tri)
+        |  GROUP BY v)
+        |SELECT deg.v, deg.d, COALESCE(pv.tri, 0) AS tri,
+        |  deg.d * (deg.d - 1) // 2 AS wedges
+        |FROM deg LEFT JOIN pv ON pv.v = deg.v
+        |ORDER BY deg.v""".stripMargin,
   )
 }

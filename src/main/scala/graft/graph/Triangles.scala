@@ -84,4 +84,56 @@ object Triangles {
     Seq((nE, counts.getLong(0), counts.getLong(1)))
       .toDF("n_edges", "n_wedges", "n_triangles")
   }
+
+  /** Per-node local clustering ingredients: for every vertex v of the
+    * canonical undirected graph, (v, degree, tri, wedges) where tri =
+    * triangles through v and wedges = d·(d−1)/2 — the local clustering
+    * coefficient is tri/wedges, left as an exact integer pair (the
+    * sums-not-means discipline; no float division in the gate).
+    *
+    * Same degree-ordered orientation as [[count]], so the wedge join's
+    * fan-out keeps the O(√m) cap; each triangle is materialized once
+    * at its orientation-minimum vertex and then credited to its three
+    * corners with one explode + keyed agg — two extra narrow shuffles
+    * over triangle count, never over wedge count.
+    */
+  def perNode(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .repartition(col("__s"), col("__d"))
+    val und = raw
+      .select(least(col("__s"), col("__d")).as("a"),
+        greatest(col("__s"), col("__d")).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    und.count() // fill the cache before the multi-branch DAG (see count())
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(F.count(lit(1)).as("d"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")), col("b"))
+          .otherwise(col("a")).as("w"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.w") < col("e2.w"))
+      .select(col("e1.u").as("u"), col("e1.w").as("x"), col("e2.w").as("y"))
+    val tris = wedges
+      .join(und.select(col("a").as("x"), col("b").as("y")), Seq("x", "y"))
+    val perV = tris
+      .select(explode(array(col("u"), col("x"), col("y"))).as("v"))
+      .groupBy("v").agg(F.count(lit(1)).as("tri"))
+    val out = deg.join(perV, Seq("v"), "left")
+      .select(col("v"), col("d"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("(d * (d - 1)) div 2").as("wedges")) // integral div: no float
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    und.unpersist()
+    out
+  }
 }

@@ -5018,6 +5018,35 @@ object SparkEntry {
         .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
       graft.graph.Triangles.perNode(e, "pa", "pb").orderBy("v")
     },
+
+    // Dynamic partition pruning through a month-partitioned at-rest
+    // fact: orders land as om=yyyy-MM hive partitions, the month dim
+    // carries the year, and a year filter on the dim side prunes the
+    // fact scan AT RUNTIME via the broadcast-reused DPP subquery —
+    // Catalyst's answer to reading 12 of 79 partitions without a
+    // literal fact-side predicate. DppSpec pins the dynamicpruning
+    // expression in the plan; the oracle recomputes from the unsplit
+    // table. At 100 TB this IS the difference between a 100 TB scan
+    // and a 1.5 TB one on every calendar-scoped star query.
+    "q_dpp" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$tag"
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+      o.select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"), col("om"))
+        .write.mode("overwrite").partitionBy("om").parquet(s"$base/fact")
+      o.select(col("om")).distinct()
+        .withColumn("yr", substring(col("om"), 1, 4))
+        .write.mode("overwrite").parquet(s"$base/dim")
+      val fact = s.read.parquet(s"$base/fact")
+      val dim = s.read.parquet(s"$base/dim").filter(col("yr") === "1996")
+      fact.join(dim, "om")
+        .groupBy("om")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("om")
+    },
   )
 
   /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
@@ -10139,5 +10168,14 @@ object SparkEntry {
         |  deg.d * (deg.d - 1) // 2 AS wedges
         |FROM deg LEFT JOIN pv ON pv.v = deg.v
         |ORDER BY deg.v""".stripMargin,
+
+    // The pruned star query recomputed from the unsplit table.
+    "q_dpp" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS om,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y') = '1996'
+        |GROUP BY 1 ORDER BY om""".stripMargin,
   )
 }

@@ -5047,6 +5047,63 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .orderBy("om")
     },
+
+    // ORC sink/source fidelity: lineitem's mixed types (long, string,
+    // exact cents, date) through a write→read ORC round trip, then a
+    // per-flag aggregate whose row-identity term — an order-independent
+    // DECIMAL(38,0) sum of per-row 60-bit md5 hashes over the key and
+    // the date — would flip if the codec bent any row. The oracle
+    // computes the same aggregate from the parquet it never left.
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$tag"
+      Tables.load(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))
+        .write.mode("overwrite").orc(base)
+      val back = s.read.orc(base)
+      val h = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("sd"))), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+      back.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          min(col("sd")).as("min_sd"), max(col("sd")).as("max_sd"),
+          sum(h).as("rowhash"))
+        .orderBy("l_returnflag")
+    },
+
+    // CSV sink/source fidelity under hostile content: every payload
+    // embeds a double quote, a comma, a newline, and a pipe before the
+    // write (the fixture's prose is delimiter-free — constructing the
+    // hard case is the test), round-trips through a quoted multiLine
+    // CSV, and must hash identically per source afterwards. This is
+    // the reference's own text-serialization concern (its whole MR
+    // pipeline rides on line formats; SURVEY §2 rows 1-2) answered
+    // with RFC-4180 quoting instead of fixed-width columns.
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$tag"
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          concat(substring(col("text"), 1, 40), lit("\",\n|"), col("lang"))
+            .as("payload"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(base)
+      val back = s.read
+        .schema("doc_id LONG, source STRING, payload STRING")
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(base)
+      val h = conv(substring(md5(col("payload")), 1, 15), 16, 10)
+        .cast("decimal(38,0)")
+      back.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(h).as("payload_hash"),
+          sum(length(col("payload"))).as("chars"))
+        .orderBy("source")
+    },
   )
 
   /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
@@ -10177,5 +10234,32 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y') = '1996'
         |GROUP BY 1 ORDER BY om""".stripMargin,
+
+    // The same aggregate straight off parquet — only codec-bent rows
+    // could diverge.
+    "q_orc_roundtrip" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS sd
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  min(sd) AS min_sd, max(sd) AS max_sd,
+        |  CAST(sum(CAST(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || sd
+        |  ), 1, 15))::BIGINT AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rowhash
+        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_csv_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    substr(text, 1, 40) || '",' || chr(10) || '|' || lang AS payload
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(('0x' || substr(md5(payload), 1, 15))::BIGINT
+        |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS payload_hash,
+        |  CAST(sum(length(payload)) AS BIGINT) AS chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
   )
 }

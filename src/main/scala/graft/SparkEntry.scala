@@ -5104,6 +5104,32 @@ object SparkEntry {
           sum(length(col("payload"))).as("chars"))
         .orderBy("source")
     },
+
+    // Multinomial Naive Bayes language routing: train on even doc_ids,
+    // score odd ones. The Laplace-smoothed score product is a chained
+    // double recurrence over the first 40 token positions, so the
+    // recursive-CTE oracle replays every score bit-for-bit and the
+    // argmax (ties → lang asc) agrees exactly. Predictions spread over
+    // all five classes on the fixture (203/14/14/11/8) — not a hollow
+    // constant-class gate.
+    "q_naive_bayes" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("lang"),
+          TextFunctions.tokens(col("text")).as("toks"))
+      val train = docs.filter(col("doc_id") % 2 === 0)
+      val test = docs.filter(col("doc_id") % 2 === 1)
+      val sc = graft.ml.NaiveBayes.score(
+        train, test, "lang", "toks", "doc_id", maxTokens = 40)
+      val w = Window.partitionBy("id")
+        .orderBy(col("score").desc, col("label"))
+      sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id").as("doc_id"), col("label").as("pred"), col("score"))
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("pred"),
+          (col("lang") === col("pred")).as("correct"), col("score"))
+        .orderBy("doc_id")
+    },
   )
 
   /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
@@ -10261,5 +10287,61 @@ object SparkEntry {
         |    AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS payload_hash,
         |  CAST(sum(length(payload)) AS BIGINT) AS chars
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+    // The smoothed-count product as a recursive CTE: base = one prior
+    // division then ((prior·num)/den); step = ((s·num)/den) — the
+    // identical left-assoc IEEE op sequence the Spark recurrence runs.
+    "q_naive_bayes" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+        |train AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+        |test AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+        |ttok AS (
+        |  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS t
+        |  FROM train),
+        |cnt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
+        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM ttok GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM ttok),
+        |prior AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS nc,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM train) AS nn
+        |  FROM train GROUP BY 1),
+        |toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS ts
+        |  FROM test),
+        |pos0 AS (
+        |  SELECT doc_id, ts, unnest(range(1, least(len(ts), 40) + 1)) AS k FROM toks),
+        |pos AS (
+        |  SELECT doc_id, CAST(k AS BIGINT) AS k, ts[CAST(k AS INT)] AS t FROM pos0),
+        |factors AS (
+        |  SELECT p.doc_id, pr.lang, p.k,
+        |    COALESCE(cnt.c, 0) + 1 AS num,
+        |    tot.tot + (SELECT v FROM vocab) AS den,
+        |    pr.nc, pr.nn
+        |  FROM pos p
+        |  CROSS JOIN prior pr
+        |  JOIN tot ON tot.lang = pr.lang
+        |  LEFT JOIN cnt ON cnt.lang = pr.lang AND cnt.t = p.t),
+        |rec AS (
+        |  SELECT doc_id, lang, k,
+        |    ((CAST(nc AS DOUBLE) / nn) * num) / den AS s
+        |  FROM factors WHERE k = 1
+        |  UNION ALL
+        |  SELECT f.doc_id, f.lang, f.k, (r.s * f.num) / f.den
+        |  FROM rec r JOIN factors f
+        |    ON f.doc_id = r.doc_id AND f.lang = r.lang AND f.k = r.k + 1),
+        |last AS (
+        |  SELECT doc_id, lang, arg_max(s, k) AS score
+        |  FROM rec GROUP BY doc_id, lang),
+        |ranked AS (
+        |  SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        |  FROM last)
+        |SELECT t.doc_id, t.lang, r.lang AS pred, (t.lang = r.lang) AS correct,
+        |  r.score
+        |FROM ranked r JOIN test t ON t.doc_id = r.doc_id
+        |WHERE r.rn = 1 ORDER BY t.doc_id""".stripMargin,
   )
 }

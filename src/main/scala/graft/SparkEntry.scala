@@ -5130,6 +5130,21 @@ object SparkEntry {
           (col("lang") === col("pred")).as("correct"), col("score"))
         .orderBy("doc_id")
     },
+
+    // E2LSH Euclidean ANN (⌊proj + b⌋ lattice buckets, 4 tables × 2
+    // concatenated hashes, exact L2 re-rank of candidates): the L2
+    // metric family the cosine sign-LSH tier can't serve. The oracle
+    // replays the whole pipeline — Rademacher projections, offsets,
+    // floor buckets, candidate join, chained-sum distances — so the
+    // bucket pruning is proven lossless against itself and the
+    // distances bit-match.
+    "q_ann_l2" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      graft.sim.EuclideanLsh.annTopK(emb, qs, "vec_id", "embedding",
+          d = 64, g = 2, tables = 4, seed = "e2l9", k = 5)
+        .orderBy("q_id", "rank")
+    },
   )
 
   /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
@@ -5845,6 +5860,54 @@ object SparkEntry {
        |  round(y_norm2_m, 6) AS y_norm2_m,
        |  round(y_norm2_m / x_norm2, 6) AS distortion
        |FROM n ORDER BY vec_id""".stripMargin
+  }
+
+  /** Full E2LSH replay: projection chains, CAST-parsed double offsets
+    * (string→double is correctly rounded, so the literal carries the
+    * exact bits Spark's `lit` plants), floor lattice keys per table,
+    * candidate equi-join, chained-sum L2 re-rank.
+    */
+  private def e2lshSql(d: Int, g: Int, tables: Int, seed: String, k: Int): String = {
+    val m = g * tables
+    val ys = (1 to m).map { j =>
+      val chain = (1 to d).map { i =>
+        (if (graft.sim.RandomProjection.sign(seed, i, j) > 0) " + "
+         else " - ") + s"CAST(embedding[$i] AS DOUBLE)"
+      }.mkString
+      s"(0.0$chain) AS y$j"
+    }.mkString(",\n    ")
+    val keySelects = (1 to tables).map { t =>
+      val key = (1 to g).map { i =>
+        val j = (t - 1) * g + i
+        s"CAST(CAST(floor(y$j + CAST('${graft.sim.EuclideanLsh.offset(seed, j)}' AS DOUBLE)) AS BIGINT) AS VARCHAR)"
+      }.mkString(" || ',' || ")
+      s"SELECT vec_id, $t AS t, $key AS bkey FROM p"
+    }.mkString("\n  UNION ALL\n  ")
+    val dchain = (1 to d).map { i =>
+      s" + (CAST(a.embedding[$i] AS DOUBLE) - CAST(b.embedding[$i] AS DOUBLE))" +
+        s" * (CAST(a.embedding[$i] AS DOUBLE) - CAST(b.embedding[$i] AS DOUBLE))"
+    }.mkString
+    s"""WITH p AS (
+       |  SELECT vec_id,
+       |    $ys
+       |  FROM embeddings),
+       |keys AS (
+       |  $keySelects),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS cand_id
+       |  FROM keys q JOIN keys c ON c.t = q.t AND c.bkey = q.bkey
+       |  WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+       |dist AS (
+       |  SELECT cand.q_id, cand.cand_id, (0.0$dchain) AS dist2
+       |  FROM cand
+       |  JOIN embeddings a ON a.vec_id = cand.q_id
+       |  JOIN embeddings b ON b.vec_id = cand.cand_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, dist2,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, cand_id) AS rank
+       |  FROM dist)
+       |SELECT q_id, CAST(rank AS INT) AS rank, cand_id, dist2
+       |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
   private def urlSqlExpr(ck: String, ok: String): String =
@@ -10343,5 +10406,7 @@ object SparkEntry {
         |  r.score
         |FROM ranked r JOIN test t ON t.doc_id = r.doc_id
         |WHERE r.rn = 1 ORDER BY t.doc_id""".stripMargin,
+
+    "q_ann_l2" -> e2lshSql(d = 64, g = 2, tables = 4, seed = "e2l9", k = 5),
   )
 }

@@ -132,8 +132,12 @@ object Triangles {
       .select(col("v"), col("d"),
         coalesce(col("tri"), lit(0L)).as("tri"),
         expr("(d * (d - 1)) div 2").as("wedges")) // integral div: no float
-    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    // localCheckpoint (eager): materializes once like the old
+    // persist-and-count, but the blocks are owned by the truncated
+    // lineage, not a never-unpersisted cache entry that would
+    // accumulate across a 248-query bench session (ADVICE r10).
+    val mat = out.localCheckpoint(true)
     und.unpersist()
-    out
+    mat
   }
 }

@@ -49,10 +49,14 @@ object NaiveBayes {
     val cnts = ttok.groupBy("label", "t").agg(count(lit(1)).as("c"))
     val tots = ttok.groupBy("label").agg(count(lit(1)).as("tot"))
     val vocab = ttok.agg(countDistinct(col("t")).as("v"))
+    // Left-join + coalesce: a class whose training docs contain zero
+    // tokens has no `tots` row but must still be scored — smoothed
+    // multinomial NB assigns it prior · (1/(0+V))^k, not silence.
     val priors = train.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("nc"))
       .crossJoin(broadcast(train.agg(count(lit(1)).as("nn"))))
-      .join(tots, "label")
+      .join(tots, Seq("label"), "left")
+      .withColumn("tot", coalesce(col("tot"), lit(0L)))
       .crossJoin(broadcast(vocab))
     val pos = test.select(col(idCol).as("id"),
         posexplode(slice(col(tokensCol), 1, maxTokens)).as(Seq("k", "t")))

@@ -351,6 +351,76 @@ object Multimodal {
     }
   }
 
+  /** Greatest common divisor (positive inputs). */
+  private def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+
+  /** Q15 integer tap table of the Hann-windowed-sinc lowpass for an
+    * L/M rational rate conversion (round-10 directive #8 — the real
+    * resampler for the slot [[resampleNearest]] documents). Standard
+    * construction: upsample by L, lowpass at the tighter of the two
+    * Nyquists (cutoff 1/max(L,M) in the upsampled domain), downsample
+    * by M; gain L compensates the zero-stuffing. Taps are quantized
+    * ONCE to integers (round half up, Q15) so the convolution — and
+    * therefore every emitted sample — is pure integer arithmetic,
+    * replayable exactly by a SQL oracle that receives this table as
+    * literals. Index k runs −H..H with H = zeroCrossings·max(L,M);
+    * taps(k + H) stores C[k].
+    */
+  private[graft] def sincTaps(l: Int, m: Int, zeroCrossings: Int = 8): Array[Int] = {
+    require(l > 0 && m > 0 && zeroCrossings > 0)
+    val p = math.max(l, m)
+    val h = zeroCrossings * p
+    Array.tabulate(2 * h + 1) { idx =>
+      val k = idx - h
+      val x = k.toDouble / p
+      val sinc = if (k == 0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
+      val hann = 0.5 * (1.0 + math.cos(math.Pi * k / (h + 1.0)))
+      math.round(l.toDouble / p * sinc * hann * 32768.0).toInt
+    }
+  }
+
+  /** Polyphase windowed-sinc sample-rate conversion — the production
+    * tier next to [[resampleNearest]] (which ALIASES: it keeps source
+    * energy above the destination Nyquist; MultimodalResampleSpec
+    * measures the suppression gap on a planted out-of-band tone).
+    * Same frame-count contract as nearest (dstFrames =
+    * ⌊srcFrames·L/M⌋ for the reduced ratio L/M) and the same
+    * integer-exact replayability: y[j] = clamp(⌊(Σₙ x[n]·C[jM−nL] +
+    * 2¹⁴) / 2¹⁵⌋) over the Q15 taps of [[sincTaps]], edges
+    * zero-padded. Work per output sample is the (2H+1)/L live taps of
+    * its polyphase branch — scan-local, no state across rows.
+    */
+  def resampleSinc(
+      chans: Array[Array[Short]],
+      srcRate: Int,
+      dstRate: Int,
+      zeroCrossings: Int = 8): Array[Array[Short]] = {
+    require(srcRate > 0 && dstRate > 0, "positive sample rates")
+    val g = gcd(srcRate, dstRate)
+    val l = dstRate / g
+    val m = srcRate / g
+    val taps = sincTaps(l, m, zeroCrossings)
+    val h = (taps.length - 1) / 2
+    val srcFrames = if (chans.isEmpty) 0 else chans(0).length
+    val dstFrames = (srcFrames.toLong * l / m).toInt
+    chans.map { c =>
+      Array.tabulate[Short](dstFrames) { j =>
+        val center = j.toLong * m // in upsampled-index units
+        var acc = 0L
+        // n ranges where |jM − nL| ≤ H and 0 ≤ n < srcFrames
+        var n = math.max(0L, (center - h + l - 1) / l).toInt
+        val nEnd = math.min(srcFrames - 1L, (center + h) / l).toInt
+        while (n <= nEnd) {
+          val k = (center - n.toLong * l).toInt // ∈ [−H, H]
+          acc += c(n).toLong * taps(k + h)
+          n += 1
+        }
+        val y = Math.floorDiv(acc + 16384L, 32768L)
+        math.max(-32768L, math.min(32767L, y)).toShort
+      }
+    }
+  }
+
   /** Output schema of [[resampleAudioFeatures]]: frame counts plus the
     * per-channel EXACT integer sum of squared samples of the
     * resampled-and-re-encoded audio (shorts: sums stay well inside a
@@ -372,7 +442,24 @@ object Multimodal {
       df: DataFrame,
       binCol: String,
       dstRate: Int,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    resampleFeaturesWith(df, binCol, dstRate, outCol)(resampleNearest)
+
+  /** [[resampleAudioFeatures]] with the windowed-sinc tier in the
+    * resampler slot — identical codec loop and stats contract. */
+  def resampleSincFeatures(
+      df: DataFrame,
+      binCol: String,
+      dstRate: Int,
+      outCol: String): DataFrame =
+    resampleFeaturesWith(df, binCol, dstRate, outCol)(resampleSinc(_, _, _))
+
+  private def resampleFeaturesWith(
+      df: DataFrame,
+      binCol: String,
+      dstRate: Int,
+      outCol: String)(
+      resampler: (Array[Array[Short]], Int, Int) => Array[Array[Short]]): DataFrame = {
     val outSchema = df.schema.add(outCol, resampleFeatureType)
     val enc = Encoders.row(outSchema)
     val binIdx = df.schema.fieldIndex(binCol)
@@ -380,7 +467,7 @@ object Multimodal {
       it.map { r =>
         val bytes = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
         val feat = decodePcm16(bytes).flatMap { case (srcRate, chans) =>
-          val res = resampleNearest(chans, srcRate, dstRate)
+          val res = resampler(chans, srcRate, dstRate)
           decodePcm16(encodeWavPcm16(res, dstRate)).map { case (_, back) =>
             val sums = back.map { c =>
               var s = 0L

@@ -158,9 +158,45 @@ object IvfFlat {
       idCol: String,
       nLists: Int,
       path: String,
-      trainIters: Int = 0): Unit = {
+      trainIters: Int = 0): Unit =
+    writeIndexWith(df, vecCol,
+      centroids(df, vecCol, idCol, nLists, trainIters), path)
+
+  /** INCREMENTAL index maintenance (round-10 directive #7): route new
+    * vectors to the EXISTING centroids and append their
+    * list-partitioned files — no rebuild, the at-rest corpus never
+    * reshuffles (the [[graft.dedup.Dedup]] incremental-survivors
+    * pattern applied to ANN). The centroid sidecar is untouched, so
+    * every serving path ([[topKIndexed]], [[topKIndexedBatch]])
+    * resolves probes identically before and after the append; the
+    * result is exactly the index [[writeIndex]] would build from the
+    * full corpus WITH THE BASE CENTROIDS (pinned in IvfFlatSpec and
+    * q_ann_ivf_incr). Cost: one broadcast-matrix assignment pass over
+    * the DELTA only + one partitioned append — a continuously
+    * ingesting 100 TB corpus pays per-batch cost proportional to the
+    * batch, never to the corpus. (Centroids drift as the corpus grows;
+    * re-train + rebuild stays the periodic compaction story, this is
+    * the between-rebuilds path.)
+    */
+  def appendToIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      vecCol: String,
+      idCol: String,
+      path: String): Unit = {
+    val cents = readCentroids(spark, path)
+    assignWith(delta, vecCol, cents, "list")
+      .write.mode("append").partitionBy("list").parquet(path)
+  }
+
+  /** [[writeIndex]] with caller-supplied centroids — the rebuild-
+    * equivalence arm of the incremental contract (IvfFlatSpec). */
+  private[sim] def writeIndexWith(
+      df: DataFrame,
+      vecCol: String,
+      cents: Array[Array[Double]],
+      path: String): Unit = {
     val spark = df.sparkSession
-    val cents = centroids(df, vecCol, idCol, nLists, trainIters)
     assignWith(df, vecCol, cents, "list")
       .write.mode("overwrite").partitionBy("list").parquet(path)
     import spark.implicits._

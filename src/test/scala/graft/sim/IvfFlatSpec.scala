@@ -184,4 +184,36 @@ class IvfFlatSpec extends SparkSpec {
     assert(trained > hashRandom,
       s"trained ($trained) should beat hash-random ($hashRandom)")
   }
+
+  test("appendToIndex: index+delta serving == rebuilt index with the base centroids") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val df = corpus(90, 8, 23)
+    val base = df.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = df.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_incr_spec").toString
+    val incrPath = s"$tmp/incr"
+    val rebuiltPath = s"$tmp/rebuilt"
+
+    IvfFlat.writeIndex(base, "embedding", "vec_id", nLists = 8, incrPath)
+    val baseCents = IvfFlat.readCentroids(spark, incrPath)
+    IvfFlat.appendToIndex(spark, delta, "embedding", "vec_id", incrPath)
+    // Rebuild arm: same centroids, full corpus, from scratch.
+    IvfFlat.writeIndexWith(df, "embedding", baseCents, rebuiltPath)
+
+    // Every list partition holds the same id set both ways (the delta
+    // landed exactly where a rebuild would put it)...
+    def lists(p: String) = spark.read.parquet(p)
+      .select("vec_id", "list").as[(Long, Int)].collect().toMap
+    assert(lists(incrPath) == lists(rebuiltPath))
+    assert(lists(incrPath).size == 90)
+    // ...and serving through the merged index is byte-identical.
+    val q = df.filter($"vec_id" === 7).select($"embedding").head.getSeq[Double](0).toArray
+    def serve(p: String) =
+      IvfFlat.topKIndexed(spark, p, "embedding", "vec_id", q, k = 6, nProbe = 3)
+        .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(serve(incrPath) == serve(rebuiltPath))
+    // The sidecar was not touched by the append.
+    assert(IvfFlat.readCentroids(spark, incrPath).map(_.toSeq).toSeq ==
+      baseCents.map(_.toSeq).toSeq)
+  }
 }

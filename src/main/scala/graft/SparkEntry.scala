@@ -3010,6 +3010,35 @@ object SparkEntry {
       mid.unionByName(post).orderBy("phase", "l_returnflag")
     },
 
+    // TIME TRAVEL through the commit log: two committed versions of
+    // an orders table (a pre-1996 slice, then a full-corpus replace);
+    // `readVersion` pins the older snapshot while `read` serves the
+    // head — both resolve their own manifest's file list, so the
+    // answer for a version never changes after later commits (the
+    // replace keeps old files on disk until vacuum). The audit/replay
+    // primitive a training pipeline needs: "which corpus did run X
+    // read?" stays answerable. Oracle recomputes both snapshots from
+    // the raw table with the slice predicate.
+    "q_time_travel" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_timetravel_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val vPast = CommitLog.replace(s,
+        o.filter(col("o_orderdate") < "1996-01-01"), table)
+      CommitLog.replace(s, o, table)
+      def agg(df: DataFrame, phase: String): DataFrame =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+      agg(CommitLog.readVersion(s, table, vPast), "past")
+        .unionByName(agg(CommitLog.read(s, table), "head"))
+        .orderBy("phase", "o_orderstatus")
+    },
+
     // Per-segment OLS trend line (price-vs-quantity slope per
     // returnflag): one keyed pass collecting exact-decimal sufficient
     // statistics, closed forms in fixed-shape double arithmetic — the
@@ -8664,6 +8693,23 @@ object SparkEntry {
         |SELECT a.l_returnflag, a.n, a.cents, p.phase
         |FROM a CROSS JOIN (VALUES ('committed'), ('mid_rewrite')) p(phase)
         |ORDER BY p.phase, a.l_returnflag""".stripMargin,
+
+    // Each snapshot replays from the raw table + its slice predicate;
+    // 'past' must stay the sliced aggregate even though the engine
+    // reads it AFTER the head commit replaced the live set.
+    "q_time_travel" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, 'past' AS phase
+        |FROM b WHERE d < DATE '1996-01-01' GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, 'head' AS phase
+        |FROM b GROUP BY 1
+        |ORDER BY phase, o_orderstatus""".stripMargin,
 
     "q_ols" ->
       """WITH sums AS (

@@ -98,6 +98,47 @@ object IvfPq {
       .coalesce(1).write.mode("overwrite").parquet(codebookPath(path))
   }
 
+  /** INCREMENTAL index maintenance — the IVF-PQ half of round-10
+    * directive #7 (the IvfFlat.appendToIndex pattern): new vectors are
+    * routed with the EXISTING centroid sidecar and encoded with the
+    * EXISTING codebook, then their list-partitioned code files append
+    * in place. Neither sidecar changes, so [[topKIndexed]] serves the
+    * merged index exactly as a rebuild with the same quantizers would
+    * (pinned in IvfPqSpec); per-batch cost is one assignment + one
+    * encode pass over the DELTA only.
+    */
+  def appendToIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      delta: DataFrame,
+      vecCol: String,
+      path: String): Unit = {
+    val cents = spark.read.parquet(centroidPath(path))
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(r.fieldIndex("rank")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+    val model = readCodebook(spark, path)
+    val assigned = KMeans.assignWith(delta, vecCol, cents.toSeq, "list")
+    ProductQuantizer.encode(assigned, vecCol, model, "code")
+      .filter(col("list").isNotNull)
+      .drop(vecCol)
+      .write.mode("append").partitionBy("list").parquet(path)
+  }
+
+  /** The PQ model reconstructed from a written index's codebook
+    * sidecar. */
+  private def readCodebook(
+      spark: org.apache.spark.sql.SparkSession, path: String): ProductQuantizer.Model = {
+    val cb = spark.read.parquet(codebookPath(path))
+      .collect()
+      .map(r => (r.getInt(r.fieldIndex("s")), r.getInt(r.fieldIndex("rank")),
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray))
+    val m = cb.map(_._1).max + 1
+    val subDim = cb.head._3.length
+    val cents = Array.tabulate(m)(s =>
+      cb.filter(_._1 == s).sortBy(_._2).map { case (_, r, c) => (r, c) })
+    ProductQuantizer.Model(m, subDim, cents)
+  }
+
   /** Serve a query from the at-rest index: probe lists from the
     * centroid sidecar, scan ONLY those `list=` partitions (the isin
     * filter lands in PartitionFilters — asserted in spec), and ADC-

@@ -117,6 +117,37 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(served.select("vec_id", "adc").as[(Long, Double)].collect().toSeq == inMem)
   }
 
+  test("IvfPq.appendToIndex: batch-split == one-shot; appended vectors servable") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val base = corpus.filter(pmod(col("vec_id"), lit(3)) =!= 0)
+    val delta = corpus.filter(pmod(col("vec_id"), lit(3)) === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_incr").toString
+    val p1 = s"$tmp/one"; val p2 = s"$tmp/split"
+    for (p <- Seq(p1, p2))
+      IvfPq.writeIndex(base, "embedding", "vec_id", dim = 8, p,
+        nLists = 4, m = 2, kSub = 4)
+    IvfPq.appendToIndex(spark, delta, "embedding", p1)
+    IvfPq.appendToIndex(spark,
+      delta.filter(col("vec_id") < 60), "embedding", p2)
+    IvfPq.appendToIndex(spark,
+      delta.filter(col("vec_id") >= 60), "embedding", p2)
+    // Identical merged content either way — existing quantizers route
+    // and encode the delta deterministically.
+    def content(p: String) = spark.read.parquet(p)
+      .select($"vec_id", $"list", $"code")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(content(p1) == content(p2))
+    assert(content(p1).size == 120)
+    // Serving reaches the appended rows: an appended vector's own
+    // cluster is recalled through the merged index.
+    val q = vec(0, 12L).toArray // vec_id 12 ∈ delta (12 % 3 == 0)
+    val got = IvfPq.topKIndexed(spark, p1, "vec_id", q, k = 10, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got.contains(12L))
+    assert(IvfPq.topKIndexed(spark, p2, "vec_id", q, k = 10, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet == got)
+  }
+
   test("null vectors get null codes and are excluded from ADC") {
     val withNull = corpus.union(
       Seq((999L, 0, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "label", "embedding"))

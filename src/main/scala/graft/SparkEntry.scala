@@ -2158,6 +2158,92 @@ object SparkEntry {
         .orderBy("host")
     },
 
+    // LABEL-PROPAGATION community detection on the synthetic host
+    // graph (graph/LabelProp): 3 synchronous plurality rounds, ties to
+    // the smallest label — the deterministic LPA formulation both
+    // engines replay round-for-round. Communities are finer than
+    // q_host_components' connected components (plurality splits a
+    // component along its dense cores) and labels stay STRINGS (host
+    // names), so no 60-bit hash ever reaches the output. One keyed
+    // join + two keyed aggs per round.
+    "q_label_prop" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      graft.graph.LabelProp.communities(
+        o.select(src.as("src"), dst.as("dst")), "src", "dst", rounds = 3)
+        .select(col("id").as("host"), col("community"))
+        .orderBy("host")
+    },
+
+    // MODULARITY of the LPA partition — the quality score that makes
+    // community detection auditable (Newman 2004): Q = within/m −
+    // Σ_c degsum_c²/(4m²), every term an exact BIGINT until the one
+    // closed-form double. Canonical undirected edges; the same 3
+    // plurality rounds as q_label_prop; bounded driver scalars only.
+    "q_modularity" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      val e = o.select(src.as("a"), dst.as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct().persist()
+      val m = e.count()
+      val comm = graft.graph.LabelProp.communities(e, "u", "v", rounds = 3)
+      val withC = e
+        .join(comm.select(col("id").as("u"), col("community").as("cu")), "u")
+        .join(comm.select(col("id").as("v"), col("community").as("cv")), "v")
+      val within = withC.filter(col("cu") === col("cv")).count()
+      val deg = e.select(col("u").as("id"))
+        .unionAll(e.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+      val dc = deg.join(comm, "id").groupBy("community")
+        .agg(sum(col("d")).as("ds"))
+      val r = dc.agg(sum(col("ds") * col("ds")).as("dsq"),
+        count(lit(1)).as("nc")).head
+      val dsq = r.getLong(0)
+      val nc = r.getLong(1)
+      e.unpersist()
+      val q = within.toDouble / m - dsq.toDouble / (4.0 * m * m)
+      s.range(1).select(
+        lit(m).as("m"), lit(within).as("within_edges"),
+        lit(nc).as("n_communities"),
+        round(lit(q), 6).as("modularity"))
+    },
+
+    // Zipf's-law audit of the corpus vocabulary: top-100 terms by
+    // frequency (GlobalRank — range-partitioned total order, never a
+    // single-partition window over the vocabulary), then the OLS slope
+    // of ln(freq) on ln(rank); healthy natural-language corpora sit
+    // near −1, and a drifting slope is an early corpus-poisoning
+    // signal. Counts exact; the slope is one closed form over 100
+    // rows.
+    "q_zipf" -> { (s, dir) =>
+      val t = Tables.load(s, dir, "documents").where(col("text").isNotNull)
+        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
+      val f = t.groupBy("term").agg(count(lit(1)).as("freq"))
+      val ranked = graft.operators.GlobalRank
+        .withGlobalRank(f, Seq((-col("freq")).asc, col("term").asc), "rank")
+        .filter(col("rank") <= 100)
+      val lr = log(col("rank"))
+      val lf = log(col("freq"))
+      ranked
+        .agg(count(lit(1)).as("n"), max(col("freq")).as("top_freq"),
+          sum(lr).as("sx"), sum(lf).as("sy"),
+          sum(lr * lf).as("sxy"), sum(lr * lr).as("sxx"))
+        .select(col("n").as("n_terms"), col("top_freq"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
+    },
+
     // Two-sample Kolmogorov–Smirnov D on chars-per-doc, en vs rest —
     // the whole-distribution companion to q_ttest. The ECDF gap scaled
     // by nₐ·nᵦ is exact BIGINT algebra over the value histogram.
@@ -3008,6 +3094,142 @@ object SparkEntry {
       CommitLog.commit(s, table, adds = staged, removes = preLive)
       val post = agg(CommitLog.read(s, table), "committed")
       mid.unionByName(post).orderBy("phase", "l_returnflag")
+    },
+
+    // MANIFEST-LEVEL DATA SKIPPING: lineitem lands as 8 range-
+    // clustered files whose integer [min, max] of l_orderkey ride IN
+    // the commit manifest; a range probe then selects files at the
+    // manifest — the driver never lists or opens a pruned file (on a
+    // 100 TB table: planning over one small JSON instead of every
+    // object-store key, the zone-map idea lifted from the footer to
+    // the log, as Delta/Iceberg do). Output carries both the pruning
+    // arithmetic (files_total/files_read — the bucket interval algebra
+    // the oracle replays) and the aggregate over the pruned-plus-
+    // residual-filtered read, which must equal the raw filtered
+    // aggregate: pruning may never lose a row.
+    "q_commit_skip" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_commitskip_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val mx = li.agg(max("l_orderkey")).head.getLong(0)
+      val bucketed = li
+        .withColumn("bk", expr(s"least(7, (l_orderkey * 8) div ${mx + 1})"))
+        .persist()
+      var adds = Seq.empty[String]
+      var stats = Map.empty[String, (Long, Long)]
+      for (b <- 0 to 7) {
+        val slice = bucketed.filter(col("bk") === b).drop("bk")
+        val r = slice.agg(min("l_orderkey"), max("l_orderkey"),
+          count(lit(1))).head
+        if (r.getLong(2) > 0) {
+          val files = CommitLog.stage(s, slice.coalesce(1), table)
+          adds ++= files
+          stats += files.head -> ((r.getLong(0), r.getLong(1)))
+        }
+      }
+      val prevLive = CommitLog.currentVersion(s, table)
+        .map(v => CommitLog.liveFiles(s, table, v)).getOrElse(Seq.empty)
+      CommitLog.commit(s, table, adds = adds, removes = prevLive,
+        statsCol = "l_orderkey", stats = stats)
+      bucketed.unpersist()
+      val lo = mx / 4
+      val hi = lo + mx / 8
+      val (total, sel) = CommitLog.prunedFiles(s, table, lo, hi)
+      CommitLog.readPruned(s, table, lo, hi)
+        .filter(col("l_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("files_total", lit(total.toLong))
+        .withColumn("files_read", lit(sel.size.toLong))
+    },
+
+    // WRITE-AUDIT-PUBLISH: an expectation suite gates every publish —
+    // the good batch (documents with text) stages, audits clean
+    // against its STAGED files, and commits; a second batch with
+    // planted nulls (every 7th doc's text dropped) stages, FAILS the
+    // audit, and never gets a manifest. The table must therefore hold
+    // exactly the clean batch, and audit_rejected records that the
+    // dirty publish was refused — if the gate ever let it through, the
+    // counts would double/dirty and the oracle would flip. Exactly the
+    // Iceberg WAP pattern on this log (sources/CommitLog
+    // .writeAuditPublish); the txn id keeps re-runs idempotent.
+    "q_wap" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wap_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      def audit(batch: DataFrame): Option[String] = {
+        val bad = batch.filter(col("text").isNull || length(col("text")) === 0)
+          .count()
+        if (bad > 0) Some(s"$bad null/empty texts") else None
+      }
+      val good = CommitLog.writeAuditPublish(s,
+        docs.filter(col("text").isNotNull && length(col("text")) > 0),
+        table, audit, txn = "wap-good-1")
+      require(good.isRight, s"clean batch must publish: $good")
+      val dirty = CommitLog.writeAuditPublish(s,
+        docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(null: String))
+            .otherwise(col("text"))),
+        table, audit)
+      require(dirty.isLeft, "planted nulls must be rejected")
+      CommitLog.read(s, table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("chars"))
+        .withColumn("audit_rejected", lit(if (dirty.isLeft) 1L else 0L))
+        .orderBy("source")
+    },
+
+    // EXACTLY-ONCE STREAMING INGEST through the commit log: each
+    // microbatch appends via transactionalAppend with its epoch id as
+    // the txn — a batch replayed after a sink failure finds its txn in
+    // the log and becomes a no-op (the Delta txnAppId idempotence
+    // contract on this manifest log; q_stream_upsert's write-then-swap
+    // generalized to appends). The query itself replays batch 0 with
+    // junk rows after the stream drains — the table must not change —
+    // and the oracle checks the final table equals the full input
+    // exactly once, no drops, no double-appends.
+    "q_stream_commit" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = s"$tmp/graft_streamcommit_src_$tag"
+      val table = s"$tmp/graft_streamcommit_tbl_$tag"
+      import graft.sources.CommitLog
+      Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          dayofmonth(col("ts")).as("d"))
+        .repartition(4, col("d"))
+        .write.mode("overwrite").parquet(srcPath)
+      val sch = s.read.parquet(srcPath).schema
+      val stream = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(srcPath)
+        .select("event_id", "event_type", "user_id")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_streamcommit_ckpt").toString
+      val query = stream.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          CommitLog.transactionalAppend(s, batch, table, s"ev-$bid")
+          ()
+        }
+        .start()
+      query.awaitTermination()
+      // Simulated sink replay of epoch 0 with WRONG rows: exactly-once
+      // means the log already has ev-0 and this must be a no-op.
+      CommitLog.transactionalAppend(s,
+        s.read.parquet(srcPath).select("event_id", "event_type", "user_id")
+          .limit(5), table, "ev-0")
+      CommitLog.read(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")
     },
 
     // TIME TRAVEL through the commit log: two committed versions of
@@ -8011,6 +8233,92 @@ object SparkEntry {
          |ORDER BY n.host""".stripMargin
     },
 
+    // The same three plurality rounds unrolled; ties to the smaller
+    // label via (count DESC, label ASC) row_number — binary string
+    // order in both engines on these ASCII hosts.
+    "q_label_prop" -> {
+      val he = "he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders)"
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT s.u AS id, l.community, count(*) AS c
+           |  FROM sym s JOIN l${i - 1} l ON s.v = l.id GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT id, community FROM (
+           |    SELECT id, community,
+           |      row_number() OVER (PARTITION BY id ORDER BY c DESC, community) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $he,
+         |e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+         |l0 AS (SELECT DISTINCT u AS id, u AS community FROM sym),
+         |$rounds
+         |SELECT id AS host, community FROM l3 ORDER BY host""".stripMargin
+    },
+
+    // LPA replay + the modularity algebra over exact BIGINT terms.
+    "q_modularity" -> {
+      val he = "he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders)"
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT s.u AS id, l.community, count(*) AS c
+           |  FROM sym s JOIN l${i - 1} l ON s.v = l.id GROUP BY 1, 2),
+           |l$i AS (
+           |  SELECT id, community FROM (
+           |    SELECT id, community,
+           |      row_number() OVER (PARTITION BY id ORDER BY c DESC, community) AS rn
+           |    FROM c$i) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $he,
+         |ce AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |       FROM he WHERE src <> dst),
+         |sym AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
+         |l0 AS (SELECT DISTINCT u AS id, u AS community FROM sym),
+         |$rounds,
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
+         |wi AS (SELECT CAST(count(*) AS BIGINT) AS w
+         |       FROM ce e JOIN l3 a ON e.u = a.id JOIN l3 b ON e.v = b.id
+         |       WHERE a.community = b.community),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+         |          SELECT u AS id FROM ce UNION ALL SELECT v FROM ce)
+         |        GROUP BY 1),
+         |dc AS (SELECT a.community, CAST(sum(d.d) AS BIGINT) AS ds
+         |       FROM deg d JOIN l3 a ON d.id = a.id GROUP BY 1),
+         |dq AS (SELECT CAST(sum(ds * ds) AS BIGINT) AS dsq,
+         |              CAST(count(*) AS BIGINT) AS nc FROM dc)
+         |SELECT m, w AS within_edges, nc AS n_communities,
+         |  round(CAST(w AS DOUBLE) / m
+         |    - CAST(dsq AS DOUBLE) / (4.0 * m * m), 6) AS modularity
+         |FROM mm, wi, dq""".stripMargin
+    },
+
+    // Same tokenization contract; exact term counts; one closed-form
+    // slope over the ranked-100 frame.
+    "q_zipf" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1),
+        |r AS (SELECT term, freq,
+        |        row_number() OVER (ORDER BY freq DESC, term) AS rank
+        |      FROM f QUALIFY rank <= 100),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(max(freq) AS BIGINT) AS top_freq,
+        |        sum(ln(rank)) AS sx, sum(ln(freq)) AS sy,
+        |        sum(ln(rank) * ln(freq)) AS sxy,
+        |        sum(ln(rank) * ln(rank)) AS sxx
+        |      FROM r)
+        |SELECT n AS n_terms, top_freq,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+        |FROM s""".stripMargin,
+
     // Value-histogram ECDFs; the scaled max gap is exact BIGINT.
     "q_ks" ->
       """WITH b AS (
@@ -8693,6 +9001,52 @@ object SparkEntry {
         |SELECT a.l_returnflag, a.n, a.cents, p.phase
         |FROM a CROSS JOIN (VALUES ('committed'), ('mid_rewrite')) p(phase)
         |ORDER BY p.phase, a.l_returnflag""".stripMargin,
+
+    // The bucket interval algebra (which range-clustered files a probe
+    // must read) and the no-rows-lost aggregate, both from the raw
+    // table. Spark's `div` and DuckDB's `//` agree on the positive
+    // operands used here.
+    "q_commit_skip" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+        |b AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    LEAST(7, (l_orderkey * 8) // ((SELECT m FROM mx) + 1)) AS bk
+        |  FROM lineitem),
+        |probe AS (SELECT (SELECT m FROM mx) // 4 AS lo,
+        |                 (SELECT m FROM mx) // 4 + (SELECT m FROM mx) // 8 AS hi),
+        |fs AS (SELECT bk, min(l_orderkey) AS mn, max(l_orderkey) AS mxk
+        |       FROM b GROUP BY bk),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |  CAST(sum(CASE WHEN mxk >= (SELECT lo FROM probe)
+        |                 AND mn <= (SELECT hi FROM probe)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |  FROM fs),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents
+        |        FROM b
+        |        WHERE l_orderkey BETWEEN (SELECT lo FROM probe)
+        |          AND (SELECT hi FROM probe))
+        |SELECT a.n, a.cents, c.files_total, c.files_read
+        |FROM cnt c, agg a""".stripMargin,
+
+    // Only the audited-clean batch is visible; the rejected dirty
+    // publish contributes nothing.
+    "q_wap" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(1 AS BIGINT) AS audit_rejected
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // Exactly-once: the committed table must equal the full input —
+    // every event once, none twice, the replayed junk batch invisible.
+    "q_stream_commit" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Each snapshot replays from the raw table + its slice predicate;
     // 'past' must stay the sliced aggregate even though the engine

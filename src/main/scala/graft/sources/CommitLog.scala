@@ -70,8 +70,23 @@ object CommitLog {
   def currentVersion(spark: SparkSession, table: String): Option[Long] =
     versions(spark, table).lastOption
 
+  /** A resolved manifest: the live file set, the transaction id that
+    * produced it (streaming exactly-once; empty for plain commits),
+    * and optional per-file zone-map stats — integer [min, max] of
+    * `statsCol` per live file, carried FORWARD across commits so a
+    * reader prunes at the manifest, before any footer is opened. */
+  final case class Manifest(
+      version: Long,
+      txn: String,
+      statsCol: String,
+      files: Seq[String],
+      stats: Map[String, (Long, Long)])
+
   /** Live file list of `version` (paths relative to the table root). */
-  def liveFiles(spark: SparkSession, table: String, version: Long): Seq[String] = {
+  def liveFiles(spark: SparkSession, table: String, version: Long): Seq[String] =
+    readManifest(spark, table, version).files
+
+  def readManifest(spark: SparkSession, table: String, version: Long): Manifest = {
     val f = fs(spark, table)
     val in = f.open(manifestPath(table, version))
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -79,47 +94,110 @@ object CommitLog {
     parseManifest(body)
   }
 
-  /** One JSON object per manifest; file order is canonicalized so two
-    * manifests with the same live set are byte-comparable. */
-  private def renderManifest(version: Long, files: Seq[String]): String = {
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    files.sorted.map(f => "\"" + esc(f) + "\"")
-      .mkString(s"""{"version":$version,"files":[""", ",", "]}")
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
   }
 
-  private def parseManifest(body: String): Seq[String] = {
-    // Minimal JSON array-of-strings extraction (no JSON lib on the
-    // unmanaged classpath contract); paths we wrote never contain
-    // escapes beyond the renderer's, so unescape mirrors it.
-    val arr = body.substring(body.indexOf('[') + 1, body.lastIndexOf(']'))
-    if (arr.trim.isEmpty) Seq.empty
+  /** One JSON object per manifest; file order is canonicalized (and
+    * mins/maxs aligned to it) so two manifests with the same live set
+    * are byte-comparable. */
+  private def renderManifest(m: Manifest): String = {
+    val ordered = m.files.sorted
+    val fileJson = ordered.map(f => "\"" + esc(f) + "\"").mkString(",")
+    val withStats = ordered.filter(m.stats.contains)
+    val statsJson =
+      if (m.statsCol.isEmpty || withStats.size != ordered.size) ""
+      else {
+        val mins = ordered.map(f => m.stats(f)._1).mkString(",")
+        val maxs = ordered.map(f => m.stats(f)._2).mkString(",")
+        s""","statsCol":"${esc(m.statsCol)}","mins":[$mins],"maxs":[$maxs]"""
+      }
+    s"""{"version":${m.version},"txn":"${esc(m.txn)}","files":[$fileJson]$statsJson}"""
+  }
+
+  // Minimal JSON field extraction (no JSON lib on the unmanaged
+  // classpath contract); the renderer above is the only writer, so the
+  // grammar is fixed: string scalars, string arrays, long arrays.
+
+  private def parseStrings(arr: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inStr = false
+    var i = 0
+    while (i < arr.length) {
+      val c = arr.charAt(i)
+      if (!inStr) { if (c == '"') inStr = true }
+      else c match {
+        case '"' => out += sb.result(); sb.clear(); inStr = false
+        case '\\' =>
+          i += 1
+          arr.charAt(i) match {
+            case 'u' => sb += Integer.parseInt(arr.substring(i + 1, i + 5), 16).toChar; i += 4
+            case e => sb += e
+          }
+        case _ => sb += c
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** The bracketed body of `"key":[...]`, or None. Safe because the
+    * renderer emits keys in fixed order and paths cannot inject a
+    * `","key":[` sequence without its quote being escaped. */
+  private def arrayField(body: String, key: String): Option[String] = {
+    val tag = "\"" + key + "\":["
+    val at = body.indexOf(tag)
+    if (at < 0) None
     else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val sb = new StringBuilder
+      val start = at + tag.length
+      var depth = 1
       var inStr = false
-      var i = 0
-      while (i < arr.length) {
-        val c = arr.charAt(i)
-        if (!inStr) { if (c == '"') inStr = true }
+      var i = start
+      while (depth > 0) {
+        val c = body.charAt(i)
+        if (inStr) { if (c == '\\') i += 1 else if (c == '"') inStr = false }
         else c match {
-          case '"' => out += sb.result(); sb.clear(); inStr = false
-          case '\\' =>
-            i += 1
-            arr.charAt(i) match {
-              case 'u' => sb += Integer.parseInt(arr.substring(i + 1, i + 5), 16).toChar; i += 4
-              case e => sb += e
-            }
-          case _ => sb += c
+          case '"' => inStr = true
+          case '[' => depth += 1
+          case ']' => depth -= 1
+          case _ =>
         }
         i += 1
       }
-      out.toSeq
+      Some(body.substring(start, i - 1))
     }
+  }
+
+  private def stringField(body: String, key: String): String = {
+    val tag = "\"" + key + "\":\""
+    val at = body.indexOf(tag)
+    if (at < 0) "" else parseStrings(body.substring(at + tag.length - 1)).headOption.getOrElse("")
+  }
+
+  private def parseManifest(body: String): Manifest = {
+    val version = {
+      val tag = "\"version\":"
+      val at = body.indexOf(tag) + tag.length
+      body.substring(at, body.indexWhere(c => c == ',' || c == '}', at)).trim.toLong
+    }
+    val files = arrayField(body, "files").map(parseStrings).getOrElse(Seq.empty)
+    def longs(key: String): Seq[Long] = arrayField(body, key)
+      .map(a => if (a.trim.isEmpty) Seq.empty[Long]
+                else a.split(',').toSeq.map(_.trim.toLong))
+      .getOrElse(Seq.empty)
+    val mins = longs("mins")
+    val maxs = longs("maxs")
+    val ordered = files.sorted
+    val stats =
+      if (mins.size == ordered.size && maxs.size == ordered.size && ordered.nonEmpty)
+        ordered.zip(mins.zip(maxs)).toMap
+      else Map.empty[String, (Long, Long)]
+    Manifest(version, stringField(body, "txn"), stringField(body, "statsCol"),
+      files, stats)
   }
 
   /** Publish the fully-written `tmp` manifest at `dst` iff `dst` does
@@ -153,18 +231,28 @@ object CommitLog {
       table: String,
       adds: Seq[String],
       removes: Seq[String] = Seq.empty,
+      txn: String = "",
+      statsCol: String = "",
+      stats: Map[String, (Long, Long)] = Map.empty,
       maxAttempts: Int = 200): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     var attempt = 0
     while (attempt < maxAttempts) {
       val base = currentVersion(spark, table)
-      val live = base.map(v => liveFiles(spark, table, v)).getOrElse(Seq.empty)
-      val next = base.getOrElse(0L) + 1
+        .map(v => readManifest(spark, table, v))
+      val live = base.map(_.files).getOrElse(Seq.empty)
+      val next = base.map(_.version).getOrElse(0L) + 1
       val newLive = (live.filterNot(removes.toSet) ++ adds).distinct
+      // Surviving files keep their recorded stats; removed files drop
+      // out; the adds bring their own. The stats column is sticky
+      // across commits unless this commit sets one.
+      val col = if (statsCol.nonEmpty) statsCol else base.map(_.statsCol).getOrElse("")
+      val carried = base.map(_.stats).getOrElse(Map.empty) -- removes
       val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(renderManifest(next, newLive).getBytes("UTF-8"))
+      try out.write(renderManifest(
+        Manifest(next, txn, col, newLive, carried ++ stats)).getBytes("UTF-8"))
       finally out.close()
       if (atomicPublish(f, tmp, manifestPath(table, next))) return next
       f.delete(tmp, false) // lost the race — retry against the new head
@@ -191,6 +279,136 @@ object CommitLog {
   /** Transactional append: stage + commit(adds). */
   def append(spark: SparkSession, df: DataFrame, table: String): Long =
     commit(spark, table, adds = stage(spark, df, table))
+
+  /** Append with manifest-level ZONE MAPS: after staging, ONE pass
+    * over the staged batch collects integer [min, max] of `statsCol`
+    * per file (keyed by input_file_name — the batch, never the table,
+    * is rescanned) and the commit records them beside the file list.
+    * [[readPruned]] then skips dead files at the MANIFEST — the driver
+    * never lists, opens, or footers a pruned file, which on a 100 TB
+    * table is the difference between planning over every object-store
+    * key and planning over a byte-sized JSON. (A production committer
+    * would fold the stats into the write task itself; the one extra
+    * batch-local pass keeps this engine's writer stock.) */
+  def appendWithStats(
+      spark: SparkSession, df: DataFrame, table: String, statsCol: String): Long = {
+    val staged = stage(spark, df, table)
+    commit(spark, table, adds = staged, statsCol = statsCol,
+      stats = statsFor(spark, table, staged, statsCol))
+  }
+
+  /** Integer [min, max] of `statsCol` per staged file, in one scan of
+    * just those files. Files with no non-null values get no entry
+    * (readers keep them conservatively). */
+  private def statsFor(
+      spark: SparkSession, table: String, staged: Seq[String],
+      statsCol: String): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    if (staged.isEmpty) Map.empty
+    else {
+      val byName = staged.map(rel => rel.split('/').takeRight(2).mkString("/") -> rel).toMap
+      spark.read.parquet(staged.map(rel => s"$table/$rel"): _*)
+        .groupBy(input_file_name().as("__f"))
+        .agg(min(col(statsCol).cast("long")).as("mn"),
+          max(col(statsCol).cast("long")).as("mx"))
+        .collect()
+        .flatMap { r =>
+          val key = r.getString(0).split('/').takeRight(2).mkString("/")
+          if (r.isNullAt(1)) None
+          else byName.get(key).map(rel => rel -> (r.getLong(1), r.getLong(2)))
+        }.toMap
+    }
+  }
+
+  /** The head manifest's live files whose recorded [min, max] range
+    * intersects [lo, hi] on the manifest's stats column — files
+    * without stats are kept (pruning must never lose rows). Returns
+    * (liveTotal, selected). */
+  def prunedFiles(
+      spark: SparkSession, table: String, lo: Long, hi: Long): (Int, Seq[String]) = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val m = readManifest(spark, table, v)
+    val sel = m.files.filter(f => m.stats.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+    (m.files.size, sel)
+  }
+
+  /** Read only the manifest-pruned files for a [lo, hi] range on the
+    * stats column. File granularity: callers still apply the residual
+    * row predicate. An all-pruned range yields an empty frame with the
+    * table's schema (resolved from one live file). */
+  def readPruned(
+      spark: SparkSession, table: String, lo: Long, hi: Long): DataFrame = {
+    val (_, sel) = prunedFiles(spark, table, lo, hi)
+    if (sel.nonEmpty) spark.read.parquet(sel.map(f => s"$table/$f"): _*)
+    else read(spark, table).limit(0)
+  }
+
+  /** WRITE-AUDIT-PUBLISH (the Iceberg WAP pattern on this log): stage
+    * the batch, run the audit against the STAGED FILES — the bytes
+    * that would actually be published, so writer bugs are caught too,
+    * not just logical bad rows — and only a passing batch gets a
+    * manifest. A failing batch never becomes visible: its files stay
+    * dead on disk (vacuum's problem) and readers cannot have seen a
+    * partial or dirty state at any point. Returns Right(version) or
+    * Left(reason) from the audit.
+    *
+    * `audit` receives the staged batch as a DataFrame and returns
+    * None to publish or Some(reason) to reject — expectation suites
+    * (null checks, ranges, FK counts) compose as one boolean
+    * aggregate, which is one scan of the BATCH, never the table.
+    */
+  def writeAuditPublish(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      audit: DataFrame => Option[String],
+      statsCol: String = "",
+      txn: String = ""): Either[String, Long] = {
+    if (txn.nonEmpty) {
+      val existing = findTxn(spark, table, txn)
+      if (existing.isDefined) return Right(existing.get)
+    }
+    val staged = stage(spark, df, table)
+    val stagedDf = spark.read.parquet(staged.map(f => s"$table/$f"): _*)
+    audit(stagedDf) match {
+      case Some(reason) => Left(reason)
+      case None =>
+        val st = if (statsCol.isEmpty) Map.empty[String, (Long, Long)]
+          else statsFor(spark, table, staged, statsCol)
+        Right(commit(spark, table, adds = staged, txn = txn,
+          statsCol = statsCol, stats = st))
+    }
+  }
+
+  /** The committed version carrying `txn`, newest first, if any. */
+  def findTxn(spark: SparkSession, table: String, txn: String): Option[Long] =
+    versions(spark, table).reverse
+      .find(v => readManifest(spark, table, v).txn == txn)
+
+  /** EXACTLY-ONCE streaming append: the foreachBatch sink body. A
+    * batch replayed after a sink failure (same stream, same epoch →
+    * same `txn`) finds its id already in the log and returns the
+    * existing version without staging twice — the Delta
+    * txnAppId/txnVersion idempotence contract on this log. Single
+    * committer per txn id by contract (a restarted stream IS that:
+    * microbatch epochs never run concurrently for one query). The
+    * txn scan walks manifests newest-first and a replayed epoch is
+    * near the head, so the common probe is O(1) manifest reads. */
+  def transactionalAppend(
+      spark: SparkSession, df: DataFrame, table: String, txn: String,
+      statsCol: String = ""): Long = {
+    require(txn.nonEmpty, "transactionalAppend needs a non-empty txn id")
+    findTxn(spark, table, txn).getOrElse {
+      val staged = stage(spark, df, table)
+      val st = if (statsCol.isEmpty) Map.empty[String, (Long, Long)]
+        else statsFor(spark, table, staged, statsCol)
+      commit(spark, table, adds = staged, txn = txn, statsCol = statsCol, stats = st)
+    }
+  }
 
   /** Transactional full rewrite (compaction / CDC swap): stage the
     * replacement, then ONE commit removes every previously-live file

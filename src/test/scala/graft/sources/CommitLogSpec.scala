@@ -102,6 +102,83 @@ class CommitLogSpec extends SparkSpec {
     } finally pool.shutdownNow()
   }
 
+  test("manifest zone maps: pruning skips dead files, never loses rows, carries across commits") {
+    val t = freshTable()
+    // Three range-disjoint batches, one file each, stats on id.
+    for (r <- Seq(0L until 100L, 100L until 200L, 200L until 300L))
+      CommitLog.appendWithStats(spark,
+        r.map(i => (i, s"v$i")).toDF("id", "s").coalesce(1), t, "id")
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m.statsCol == "id")
+    assert(m.files.size == 3 && m.stats.size == 3)
+    // A probe inside one batch's range selects exactly that file…
+    val (total, sel) = CommitLog.prunedFiles(spark, t, 120L, 150L)
+    assert(total == 3 && sel.size == 1)
+    // …and the pruned read + residual filter equals the full filter.
+    val pruned = CommitLog.readPruned(spark, t, 120L, 150L)
+      .filter($"id".between(120L, 150L)).as[(Long, String)].collect().toSet
+    val full = CommitLog.read(spark, t)
+      .filter($"id".between(120L, 150L)).as[(Long, String)].collect().toSet
+    assert(pruned == full && full.size == 31)
+    // Stats survive an unrelated commit (carry-forward)…
+    CommitLog.append(spark, Seq((999L, "x")).toDF("id", "s"), t)
+    val m2 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m2.files.size == 4)
+    // …but a live set with any stats-less file publishes no zone map
+    // (pruning would have to keep that file anyway; all-or-nothing
+    // keeps the manifest honest) — every file is then kept.
+    assert(CommitLog.prunedFiles(spark, t, 120L, 150L)._2.size == 4)
+    // An all-miss probe yields an empty, correctly-typed frame when
+    // every live file carries stats.
+    val t2 = freshTable()
+    CommitLog.appendWithStats(spark,
+      (0L until 50L).map(i => (i, "a")).toDF("id", "s").coalesce(1), t2, "id")
+    assert(CommitLog.readPruned(spark, t2, 1000L, 2000L).count() == 0)
+  }
+
+  test("transactionalAppend: a replayed txn is a no-op; distinct txns append") {
+    val t = freshTable()
+    val v1 = CommitLog.transactionalAppend(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, "batch-0")
+    // Sink replay of the same epoch, even with different rows:
+    val v1b = CommitLog.transactionalAppend(spark,
+      Seq((666L, "junk")).toDF("id", "s"), t, "batch-0")
+    assert(v1b == v1)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    val v2 = CommitLog.transactionalAppend(spark,
+      Seq((3L, "c")).toDF("id", "s"), t, "batch-1")
+    assert(v2 == v1 + 1)
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(CommitLog.findTxn(spark, t, "batch-0").contains(v1))
+    assert(CommitLog.findTxn(spark, t, "batch-7").isEmpty)
+  }
+
+  test("write-audit-publish: a failing audit publishes nothing, ever") {
+    val t = freshTable()
+    def audit(b: org.apache.spark.sql.DataFrame): Option[String] = {
+      val bad = b.filter($"s".isNull).count()
+      if (bad > 0) Some(s"$bad nulls") else None
+    }
+    val ok = CommitLog.writeAuditPublish(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "s"), t, audit)
+    assert(ok.isRight)
+    val before = CommitLog.currentVersion(spark, t)
+    val rejected = CommitLog.writeAuditPublish(spark,
+      Seq((3L, "c"), (4L, null.asInstanceOf[String])).toDF("id", "s"), t, audit)
+    assert(rejected == Left("1 nulls"))
+    // No new manifest, no visible change — the dirty files are dead.
+    assert(CommitLog.currentVersion(spark, t) == before)
+    assert(rows(t) == Set((1L, "a"), (2L, "b")))
+    // Idempotent publish under a txn id: the replay (even with rows
+    // that would now fail the audit) resolves to the original version.
+    val v = CommitLog.writeAuditPublish(spark,
+      Seq((5L, "d")).toDF("id", "s"), t, audit, txn = "wap-1")
+    val replay = CommitLog.writeAuditPublish(spark,
+      Seq((9L, null.asInstanceOf[String])).toDF("id", "s"), t, audit, txn = "wap-1")
+    assert(replay == v)
+    assert(rows(t) == Set((1L, "a"), (2L, "b"), (5L, "d")))
+  }
+
   test("vacuum retires unreferenced files and old manifests; head keeps reading") {
     val t = freshTable()
     CommitLog.replace(spark, (1L to 10L).map(i => (i, "old")).toDF("id", "s"), t)

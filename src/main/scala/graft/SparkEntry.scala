@@ -35,6 +35,19 @@ object SparkEntry {
     dir.replaceAll("[^0-9A-Za-z]", "_") + "_" + hex
   }
 
+  /** Publish `df` as a RANGE-CLUSTERED commit-log table (delegates to
+    * [[graft.sources.CommitLog.replaceClustered]] — one shuffle, one
+    * stats scan, one commit, any bucket count). */
+  private def commitClustered(
+      s: SparkSession,
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      statsCol: String): Unit = {
+    graft.sources.CommitLog.replaceClustered(s, df, table, bucketCol, statsCol)
+    ()
+  }
+
   /** Skyline spec used by the flagship + oracled skyline queries:
     * cheapest (min price), best discount (max), earliest ship (min) —
     * the Pareto front a buyer would consider. */
@@ -3116,26 +3129,9 @@ object SparkEntry {
         (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
           .as("cents"))
       val mx = li.agg(max("l_orderkey")).head.getLong(0)
-      val bucketed = li
-        .withColumn("bk", expr(s"least(7, (l_orderkey * 8) div ${mx + 1})"))
-        .persist()
-      var adds = Seq.empty[String]
-      var stats = Map.empty[String, (Long, Long)]
-      for (b <- 0 to 7) {
-        val slice = bucketed.filter(col("bk") === b).drop("bk")
-        val r = slice.agg(min("l_orderkey"), max("l_orderkey"),
-          count(lit(1))).head
-        if (r.getLong(2) > 0) {
-          val files = CommitLog.stage(s, slice.coalesce(1), table)
-          adds ++= files
-          stats += files.head -> ((r.getLong(0), r.getLong(1)))
-        }
-      }
-      val prevLive = CommitLog.currentVersion(s, table)
-        .map(v => CommitLog.liveFiles(s, table, v)).getOrElse(Seq.empty)
-      CommitLog.commit(s, table, adds = adds, removes = prevLive,
-        statsCol = "l_orderkey", stats = stats)
-      bucketed.unpersist()
+      commitClustered(s,
+        li.withColumn("bk", expr(s"least(7, (l_orderkey * 8) div ${mx + 1})")),
+        table, "bk", "l_orderkey")
       val lo = mx / 4
       val hi = lo + mx / 8
       val (total, sel) = CommitLog.prunedFiles(s, table, lo, hi)
@@ -3144,6 +3140,36 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
         .withColumn("files_total", lit(total.toLong))
         .withColumn("files_read", lit(sel.size.toLong))
+    },
+
+    // PARTIAL OVERWRITE BY PREDICATE (Delta's replaceWhere on this
+    // log): orders committed as a year-clustered table (one file per
+    // year, [min, max] year in the manifest), then fiscal-1996 is
+    // RE-STATED — every 1996 order's cents +5 — by ONE commit that
+    // swaps exactly the 1996 file for the staged restatement. Other
+    // years' files are untouched (same physical files before and
+    // after), a reader racing the restatement sees wholly old or
+    // wholly new 1996, and a replacement that strayed outside 1996 or
+    // a file straddling the range would throw rather than corrupt
+    // (CommitLogSpec). The oracle applies the restatement as a CASE
+    // over the raw table.
+    "q_replace_where" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_replwhere_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      commitClustered(s, o.withColumn("bk", col("yr")), table, "bk", "yr")
+      val restated = o.filter(col("yr") === 1996)
+        .withColumn("cents", col("cents") + 5)
+      CommitLog.replaceWhere(s, restated, table, 1996L, 1996L)
+      CommitLog.read(s, table)
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("yr")
     },
 
     // WRITE-AUDIT-PUBLISH: an expectation suite gates every publish —
@@ -9029,6 +9055,19 @@ object SparkEntry {
         |          AND (SELECT hi FROM probe))
         |SELECT a.n, a.cents, c.files_total, c.files_read
         |FROM cnt c, agg a""".stripMargin,
+
+    // The restatement as a CASE over the raw table: 1996 rows +5
+    // cents, everything else untouched.
+    "q_replace_where" ->
+      """WITH b AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+        |             THEN 5 ELSE 0 END AS cents
+        |  FROM orders)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM b GROUP BY 1 ORDER BY yr""".stripMargin,
 
     // Only the audited-clean batch is visible; the rejected dirty
     // publish contributes nothing.

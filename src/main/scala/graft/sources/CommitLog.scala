@@ -266,14 +266,26 @@ object CommitLog {
     * committing. Returns the staged file paths (relative) for a later
     * [[commit]] — the two halves of every transactional write, split
     * so compaction/CDC can stage long before their swap. */
-  def stage(spark: SparkSession, df: DataFrame, table: String): Seq[String] = {
+  def stage(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      partitionBy: Seq[String] = Seq.empty): Seq[String] = {
     val sub = s"stage-${UUID.randomUUID()}"
-    df.write.mode("overwrite").parquet(s"$table/$sub")
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$table/$sub")
     val f = fs(spark, table)
-    f.listStatus(new Path(table, sub)).toSeq
-      .map(_.getPath.getName)
-      .filter(n => n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-      .map(n => s"$sub/$n")
+    val root = new Path(table, sub)
+    def walk(p: Path): Seq[String] = f.listStatus(p).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) walk(st.getPath)
+      else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
+        Seq(st.getPath.toUri.getPath
+          .substring(new Path(table).toUri.getPath.length + 1))
+      else Seq.empty
+    }
+    walk(root)
   }
 
   /** Transactional append: stage + commit(adds). */
@@ -306,18 +318,47 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     if (staged.isEmpty) Map.empty
     else {
-      val byName = staged.map(rel => rel.split('/').takeRight(2).mkString("/") -> rel).toMap
+      // Key on the path from its stage-* segment down — unique within
+      // a commit (each stage dir is a fresh uuid) and stable across
+      // the partitioned layout's bk=<v> subdirs, where bare file
+      // names can repeat between sibling dirs.
+      def key(p: String): String = p.substring(p.indexOf("stage-"))
+      val byKey = staged.map(rel => key(rel) -> rel).toMap
       spark.read.parquet(staged.map(rel => s"$table/$rel"): _*)
         .groupBy(input_file_name().as("__f"))
         .agg(min(col(statsCol).cast("long")).as("mn"),
           max(col(statsCol).cast("long")).as("mx"))
         .collect()
         .flatMap { r =>
-          val key = r.getString(0).split('/').takeRight(2).mkString("/")
           if (r.isNullAt(1)) None
-          else byName.get(key).map(rel => rel -> (r.getLong(1), r.getLong(2)))
+          else byKey.get(key(r.getString(0)))
+            .map(rel => rel -> (r.getLong(1), r.getLong(2)))
         }.toMap
     }
+  }
+
+  /** Publish `df` as a RANGE-CLUSTERED table in ONE shuffle: hive-
+    * partition the stage by `bucketCol` (year, month, hash bucket — a
+    * bounded vocabulary), record each file's exact [min, max] of
+    * `statsCol`, and swap the previous live set in one commit. The
+    * layout [[readPruned]] and [[replaceWhere]] are built for; the
+    * bucket column itself lives only in the directory names, so
+    * readers see the data columns unchanged. One write job + one
+    * stats scan of the staged batch, regardless of bucket count.
+    */
+  def replaceClustered(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      statsCol: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val staged = stage(spark, df.repartition(col(bucketCol)), table, Seq(bucketCol))
+    val st = statsFor(spark, table, staged, statsCol)
+    val prev = currentVersion(spark, table)
+      .map(v => liveFiles(spark, table, v)).getOrElse(Seq.empty)
+    commit(spark, table, adds = staged, removes = prev,
+      statsCol = statsCol, stats = st)
   }
 
   /** The head manifest's live files whose recorded [min, max] range
@@ -382,6 +423,76 @@ object CommitLog {
         Right(commit(spark, table, adds = staged, txn = txn,
           statsCol = statsCol, stats = st))
     }
+  }
+
+  /** Transactional small-file compaction ([[Compaction]] lifted onto
+    * the log): rewrite the live set into ~`targetRecordsPerFile`-row
+    * files and swap them in ONE commit — a reader racing the
+    * compaction resolves the old manifest and never sees half a
+    * rewrite. When the table carries zone maps the rewrite
+    * repartitions BY RANGE on the stats column, so compaction
+    * tightens per-file [min, max] instead of smearing each file
+    * across the full domain the way round-robin would — compaction
+    * and data-skipping stay friends. */
+  def compactTable(
+      spark: SparkSession, table: String, targetRecordsPerFile: Long): Long = {
+    import org.apache.spark.sql.functions.col
+    require(targetRecordsPerFile > 0, "target must be positive")
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val m = readManifest(spark, table, v)
+    val df = readVersion(spark, table, v)
+    val n = df.count()
+    val nFiles = math.max(1L, math.ceil(n.toDouble / targetRecordsPerFile).toLong).toInt
+    val shaped =
+      if (m.statsCol.nonEmpty) df.repartitionByRange(nFiles, col(m.statsCol))
+      else df.repartition(nFiles)
+    val staged = stage(spark, shaped, table)
+    val st = if (m.statsCol.isEmpty) Map.empty[String, (Long, Long)]
+      else statsFor(spark, table, staged, m.statsCol)
+    commit(spark, table, adds = staged, removes = m.files,
+      statsCol = m.statsCol, stats = st)
+  }
+
+  /** PARTIAL OVERWRITE by range predicate (Delta's replaceWhere): one
+    * commit swaps exactly the live files whose stats column lies
+    * wholly inside [lo, hi] for the staged replacement — the monthly
+    * re-statement / backfill primitive, at file granularity through
+    * the manifest. LOUD on the two states that would otherwise corrupt
+    * silently: a file OVERLAPPING but not contained in the range (its
+    * out-of-range rows would be dropped with it) and a file with no
+    * stats at all (can't prove either way) both throw — on a
+    * range-clustered table (the [[appendWithStats]] +
+    * [[writeAuditPublish]] layouts) neither occurs. The replacement
+    * batch itself must sit inside [lo, hi]; its stats are recorded so
+    * the table stays prunable.
+    */
+  def replaceWhere(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      lo: Long,
+      hi: Long): Long = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val m = readManifest(spark, table, v)
+    require(m.statsCol.nonEmpty, s"replaceWhere needs a stats column at $table")
+    val (contained, overlapping) = m.files
+      .map(f => f -> m.stats.getOrElse(f,
+        throw new IllegalStateException(s"file without stats: $f")))
+      .filter { case (_, (mn, mx)) => mx >= lo && mn <= hi }
+      .partition { case (_, (mn, mx)) => mn >= lo && mx <= hi }
+    if (overlapping.nonEmpty)
+      throw new IllegalStateException(
+        s"files straddle [$lo, $hi] — rewrite them first: ${overlapping.map(_._1)}")
+    val staged = stage(spark, df, table)
+    val st = statsFor(spark, table, staged, m.statsCol)
+    st.values.foreach { case (mn, mx) =>
+      require(mn >= lo && mx <= hi,
+        s"replacement rows [$mn, $mx] escape the replaced range [$lo, $hi]")
+    }
+    commit(spark, table, adds = staged, removes = contained.map(_._1),
+      statsCol = m.statsCol, stats = st)
   }
 
   /** The committed version carrying `txn`, newest first, if any. */

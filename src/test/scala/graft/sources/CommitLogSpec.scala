@@ -179,6 +179,72 @@ class CommitLogSpec extends SparkSpec {
     assert(rows(t) == Set((1L, "a"), (2L, "b"), (5L, "d")))
   }
 
+  test("replaceWhere swaps exactly the contained files; loud on straddle/escape/statless") {
+    val t = freshTable()
+    // Three range-disjoint files: [0,99], [100,199], [200,299].
+    for (r <- Seq(0L until 100L, 100L until 200L, 200L until 300L))
+      CommitLog.appendWithStats(spark,
+        r.map(i => (i, "old")).toDF("id", "s").coalesce(1), t, "id")
+    val before = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    // Re-state the middle range with half as many rows.
+    CommitLog.replaceWhere(spark,
+      (100L until 150L).map(i => (i, "new")).toDF("id", "s").coalesce(1),
+      t, 100L, 199L)
+    val after = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    // The two out-of-range files are the SAME physical files…
+    assert(before.files.toSet.intersect(after.files.toSet).size == 2)
+    // …and the content is old outside, new inside.
+    val got = rows(t)
+    assert(got.count(_._2 == "old") == 200)
+    assert(got.count(_._2 == "new") == 50)
+    assert(got.filter(r => r._1 >= 100 && r._1 < 200).forall(_._2 == "new"))
+    // Replacement rows escaping the range: refused, nothing committed.
+    val v = CommitLog.currentVersion(spark, t)
+    intercept[IllegalArgumentException] {
+      CommitLog.replaceWhere(spark,
+        Seq((999L, "escape")).toDF("id", "s"), t, 100L, 199L)
+    }
+    assert(CommitLog.currentVersion(spark, t) == v)
+    // A range that straddles a file boundary: refused.
+    intercept[IllegalStateException] {
+      CommitLog.replaceWhere(spark,
+        Seq((150L, "x")).toDF("id", "s"), t, 150L, 249L)
+    }
+    // A table with a stats-less live file: refused. (The all-or-
+    // nothing manifest renderer drops the zone map — and with it the
+    // stats column — the moment any live file lacks stats, so the
+    // refusal surfaces at the statsCol require.)
+    CommitLog.append(spark, Seq((400L, "nostats")).toDF("id", "s"), t)
+    intercept[IllegalArgumentException] {
+      CommitLog.replaceWhere(spark,
+        Seq((250L, "x")).toDF("id", "s"), t, 200L, 299L)
+    }
+  }
+
+  test("compactTable: fewer files, same rows, zone maps stay tight and prunable") {
+    val t = freshTable()
+    // 10 tiny stat-carrying appends → 10 live files.
+    for (k <- 0 until 10)
+      CommitLog.appendWithStats(spark,
+        (k * 30L until (k + 1) * 30L).map(i => (i, s"r$i")).toDF("id", "s")
+          .coalesce(1), t, "id")
+    val before = rows(t)
+    assert(CommitLog.readManifest(spark, t,
+      CommitLog.currentVersion(spark, t).get).files.size == 10)
+    CommitLog.compactTable(spark, t, targetRecordsPerFile = 100)
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m.files.size == 3, s"expected 3 compacted files, got ${m.files.size}")
+    assert(rows(t) == before)
+    // Range repartition kept the zone maps tight: a 30-wide probe
+    // still skips most files.
+    assert(m.stats.size == 3)
+    // (≤ 2 allows a range-sampling boundary near the probe edge; with
+    // round-robin layout every file would span [0, 299] and all 3
+    // would be selected.)
+    val (total, sel) = CommitLog.prunedFiles(spark, t, 0L, 29L)
+    assert(total == 3 && sel.size <= 2, s"pruning degraded: $sel")
+  }
+
   test("vacuum retires unreferenced files and old manifests; head keeps reading") {
     val t = freshTable()
     CommitLog.replace(spark, (1L to 10L).map(i => (i, "old")).toDF("id", "s"), t)

@@ -3142,6 +3142,32 @@ object SparkEntry {
         .withColumn("files_read", lit(sel.size.toLong))
     },
 
+    // CDC READ FEED from the commit log: three transactional appends
+    // (events sliced by id residue), then `changesBetween(v1, v3)`
+    // reads exactly the files batches 2+3 added — the incremental-sync
+    // primitive: a consumer remembers its last version and never
+    // rescans the table (CommitLog.changesBetween; Delta CDF shape on
+    // append-only tables). Txn ids keep re-runs idempotent, so the
+    // version window is stable. Oracle: the residue predicate over raw
+    // events.
+    "q_table_changes" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_tblchanges_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val e = Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val v1 = CommitLog.transactionalAppend(s,
+        e.filter(pmod(col("event_id"), lit(3)) === 0), table, "chg-b1")
+      CommitLog.transactionalAppend(s,
+        e.filter(pmod(col("event_id"), lit(3)) === 1), table, "chg-b2")
+      val v3 = CommitLog.transactionalAppend(s,
+        e.filter(pmod(col("event_id"), lit(3)) === 2), table, "chg-b3")
+      CommitLog.changesBetween(s, table, v1, v3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    },
+
     // PARTIAL OVERWRITE BY PREDICATE (Delta's replaceWhere on this
     // log): orders committed as a year-clustered table (one file per
     // year, [min, max] year in the manifest), then fiscal-1996 is
@@ -3285,6 +3311,122 @@ object SparkEntry {
       agg(CommitLog.readVersion(s, table, vPast), "past")
         .unionByName(agg(CommitLog.read(s, table), "head"))
         .orderBy("phase", "o_orderstatus")
+    },
+
+    // DECISION STUMP (the CART split-search primitive): the exact
+    // best threshold on l_quantity for predicting price — one
+    // value-histogram pass collecting exact (n, Σy, Σy²) per feature
+    // value (sums in DECIMAL(38,0)/HUGEINT so nothing rounds), running
+    // totals over the ≤50-row histogram (bounded window frame, never
+    // the corpus), SSE(t) in one fixed-shape double closed form per
+    // candidate, argmin with ties to the smaller threshold. The gain
+    // column (1 − SSE_split/SSE_root) is what a tree learner would
+    // greedily maximize; every distributed pass is the same the full
+    // CART would run per node.
+    "q_stump" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val hist = li.groupBy("q").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sy"),
+        sum(col("cents").cast("decimal(19,0)")
+          * col("cents").cast("decimal(19,0)")).as("syy"))
+      val tot = hist.agg(sum(col("n")), sum(col("sy")), sum(col("syy"))).head
+      val nTot = tot.getLong(0)
+      val syTot = tot.getDecimal(1).doubleValue()
+      val syyTot = tot.getDecimal(2).doubleValue()
+      val sseRoot = syyTot - syTot * syTot / nTot
+      val w = Window.orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("csy", sum(col("sy")).over(w))
+        .withColumn("csyy", sum(col("syy")).over(w))
+        .filter(col("cn") < nTot) // right side must be non-empty
+      val csyD = col("csy").cast("double")
+      val csyyD = col("csyy").cast("double")
+      val rn = (lit(nTot) - col("cn")).cast("double")
+      val rsy = lit(syTot) - csyD
+      val rsyy = lit(syyTot) - csyyD
+      val sse = (csyyD - csyD * csyD / col("cn")) + (rsyy - rsy * rsy / rn)
+      cum.withColumn("sse", sse)
+        .orderBy(col("sse").asc, col("q").asc)
+        .limit(1)
+        .select(col("q").as("split_q"),
+          col("cn").as("n_left"), (lit(nTot) - col("cn")).as("n_right"),
+          round(csyD / col("cn"), 6).as("mean_left"),
+          round(rsy / rn, 6).as("mean_right"),
+          round(lit(1.0) - col("sse") / lit(sseRoot), 6).as("gain"))
+    },
+
+    // LEAKAGE-SAFE TARGET ENCODING (the CatBoost/leave-fold-out
+    // standard): each (category, fold) cell is encoded with the mean
+    // target of the OTHER folds — (ΣT − Σf)/(nT − nf) over exact cent
+    // sums — so a row never sees its own fold's targets, the leak that
+    // makes naive mean-encoding overfit. Folds are the deterministic
+    // md5 assignment of q_fold_assign; two keyed aggs, one closed
+    // form, no shuffle wider than the (category × fold) grid.
+    "q_target_encoding" -> { (s, dir) =>
+      val o = graft.operators.Sampling.assignFolds(
+        Tables.load(s, dir, "orders"), "o_orderkey", k = 5, salt = "te")
+        .select(col("o_orderpriority").as("cat"), col("fold"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      val perFold = o.groupBy("cat", "fold")
+        .agg(count(lit(1)).as("nf"), sum(col("cents")).as("syf"))
+      val perCat = o.groupBy("cat")
+        .agg(count(lit(1)).as("nt"), sum(col("cents")).as("syt"))
+      perFold.join(perCat, "cat")
+        .select(col("cat"), col("fold"), col("nf"),
+          round((col("syt") - col("syf")).cast("double")
+            / (col("nt") - col("nf")), 6).as("enc"))
+        .orderBy("cat", "fold")
+    },
+
+    // EQUAL-FREQUENCY BINNING (quantile discretization) through the
+    // range-partitioned GlobalRank — the feature-prep op that needs a
+    // corpus-wide total order and must NOT become a single-partition
+    // window at 100 TB. bin = ⌊(rank−1)·10/N⌋; ties share a value, so
+    // every per-bin statistic is multiset-determined even though tied
+    // rows may swap ranks. Output: per-bin count, bounds, mass.
+    "q_binning" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").select(
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val n = li.count()
+      graft.operators.GlobalRank
+        .withGlobalRank(li, Seq(col("cents").asc), "rk")
+        .withColumn("bin", expr(s"((rk - 1) * 10) div ${n}L"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+          max(col("cents")).as("hi"), sum(col("cents")).as("mass"))
+        .orderBy("bin")
+    },
+
+    // GRADIENT-BOOSTED STUMPS (L2 boosting, ml/BoostedStumps): three
+    // rounds of residual-fitting stumps on the SAME (q → cents) task
+    // as q_stump — the corpus is shuffled ONCE into the per-value
+    // histogram; every boosting round then runs in exact BigInt
+    // closed form on the driver (integer predictions via an explicit
+    // floor((2Σ+n)/2n) rule make the residual histogram updatable
+    // without a second corpus pass). The oracle unrolls all three
+    // rounds: same argmin, same floor-div rounding, same residual
+    // algebra — boosting itself faces the gate, not just one split.
+    "q_gbt" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val model = graft.ml.BoostedStumps.fit(li, "q", "cents", rounds = 3)
+      model.zipWithIndex.map { case (st, i) =>
+        (i + 1L, st.threshold, st.predLeft, st.predRight,
+          BigDecimal(st.gain).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }.toDF("round", "split_q", "pred_left", "pred_right", "gain")
+        .orderBy("round")
     },
 
     // Per-segment OLS trend line (price-vs-quantity slope per
@@ -9056,6 +9198,14 @@ object SparkEntry {
         |SELECT a.n, a.cents, c.files_total, c.files_read
         |FROM cnt c, agg a""".stripMargin,
 
+    // The change window = batches 2+3 = the id-residue complement of
+    // batch 1.
+    "q_table_changes" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events WHERE event_id % 3 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The restatement as a CASE over the raw table: 1996 rows +5
     // cents, everything else untouched.
     "q_replace_where" ->
@@ -9103,6 +9253,134 @@ object SparkEntry {
         |  CAST(sum(cents) AS BIGINT) AS cents, 'head' AS phase
         |FROM b GROUP BY 1
         |ORDER BY phase, o_orderstatus""".stripMargin,
+
+    // Exact-histogram replay: HUGEINT sufficient statistics, the same
+    // running totals, the same double closed form per candidate split,
+    // the same (sse, q) argmin.
+    "q_stump" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(c AS HUGEINT)) AS sy,
+        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
+        |      FROM b GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
+        |        CAST(sum(sy) AS DOUBLE) AS syt,
+        |        CAST(sum(syy) AS DOUBLE) AS syyt FROM h),
+        |cw AS (SELECT q,
+        |        sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
+        |        sum(syy) OVER w AS csyy
+        |      FROM h WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT q, CAST(cn AS BIGINT) AS cn,
+        |        CAST(csy AS DOUBLE) AS csy, CAST(csyy AS DOUBLE) AS csyy,
+        |        t.nt, t.syt, t.syyt
+        |      FROM cw, t WHERE cn < t.nt),
+        |e AS (SELECT q, cn, nt - cn AS rn,
+        |        csy, syt - csy AS rsy,
+        |        (csyy - csy * csy / cn)
+        |          + ((syyt - csyy) - (syt - csy) * (syt - csy) / (nt - cn)) AS sse,
+        |        syyt - syt * syt / nt AS sse_root
+        |      FROM s)
+        |SELECT q AS split_q, cn AS n_left, CAST(rn AS BIGINT) AS n_right,
+        |  round(csy / cn, 6) AS mean_left,
+        |  round(rsy / rn, 6) AS mean_right,
+        |  round(1.0 - sse / sse_root, 6) AS gain
+        |FROM e ORDER BY sse, q LIMIT 1""".stripMargin,
+
+    // Same md5 fold assignment; leave-fold-out means from exact sums.
+    "q_target_encoding" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS cat,
+        |    CAST(('0x' || substr(md5('te|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |pf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS nf,
+        |         CAST(sum(cents) AS BIGINT) AS syf
+        |       FROM o GROUP BY 1, 2),
+        |pc AS (SELECT cat, CAST(count(*) AS BIGINT) AS nt,
+        |         CAST(sum(cents) AS BIGINT) AS syt
+        |       FROM o GROUP BY 1)
+        |SELECT pf.cat, pf.fold, pf.nf,
+        |  round(CAST(pc.syt - pf.syf AS DOUBLE) / (pc.nt - pf.nf), 6) AS enc
+        |FROM pf JOIN pc ON pf.cat = pc.cat
+        |ORDER BY pf.cat, pf.fold""".stripMargin,
+
+    // Same floor rank→bin arithmetic over a row_number total order —
+    // per-bin stats are multiset-determined under ties.
+    "q_binning" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk,
+        |        count(*) OVER () AS n FROM b)
+        |SELECT ((rk - 1) * 10) // n AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,
+        |  CAST(sum(cents) AS BIGINT) AS mass
+        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Three unrolled boosting rounds: each round adjusts the exact
+    // HUGEINT histogram by the accumulated integer offsets (Σr =
+    // Σy−n·f, Σr² = Σy²−2fΣy+nf²), takes the same (sse, q) argmin,
+    // and rounds means with the same floor((2Σ+n)/2n) rule (floor
+    // division spelled out since HUGEINT `/` truncates).
+    "q_gbt" -> {
+      def fdivSql(a: String, b: String): String =
+        s"(($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b)"
+      def offsetExpr(r: Int): String =
+        if (r == 0) "CAST(0 AS HUGEINT)"
+        else (1 to r).map(i =>
+          s"(CASE WHEN q <= (SELECT t FROM s$i) THEN (SELECT pl FROM s$i) " +
+            s"ELSE (SELECT pr FROM s$i) END)").mkString(" + ")
+      val rounds = (1 to 3).map { r =>
+        s"""h$r AS (
+           |  SELECT q, n, sy - n * o AS sy, syy - 2 * o * sy + n * o * o AS syy
+           |  FROM (SELECT q, n, sy, syy, ${offsetExpr(r - 1)} AS o FROM h)),
+           |t$r AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
+           |          sum(syy) AS syyt FROM h$r),
+           |c$r AS (SELECT q, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
+           |          sum(syy) OVER w AS csyy
+           |        FROM h$r
+           |        WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+           |e$r AS (SELECT q, CAST(cn AS BIGINT) AS cn, csy, t.nt, t.syt,
+           |          (CAST(csyy AS DOUBLE)
+           |             - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) / CAST(cn AS BIGINT))
+           |          + ((CAST(t.syyt AS DOUBLE) - CAST(csyy AS DOUBLE))
+           |             - (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
+           |               * (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
+           |               / (t.nt - cn)) AS sse,
+           |          CAST(t.syyt AS DOUBLE)
+           |            - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
+           |        FROM c$r, t$r t WHERE cn < t.nt),
+           |s$r AS (SELECT q AS t,
+           |          ${fdivSql("2 * csy + cn", "2 * cn")} AS pl,
+           |          ${fdivSql("2 * (syt - csy) + (nt - cn)", "2 * (nt - cn)")} AS pr,
+           |          sse, sse_root
+           |        FROM e$r ORDER BY sse, q LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      def row(r: Int): String =
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |  (SELECT t FROM s$r) AS split_q,
+           |  CAST((SELECT pl FROM s$r) AS BIGINT) AS pred_left,
+           |  CAST((SELECT pr FROM s$r) AS BIGINT) AS pred_right,
+           |  round(1.0 - (SELECT sse FROM s$r) / (SELECT sse_root FROM s$r), 6) AS gain""".stripMargin
+      s"""WITH b AS (
+         |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM lineitem),
+         |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+         |        sum(CAST(c AS HUGEINT)) AS sy,
+         |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
+         |      FROM b GROUP BY 1),
+         |$rounds
+         |${row(1)}
+         |UNION ALL
+         |${row(2)}
+         |UNION ALL
+         |${row(3)}
+         |ORDER BY round""".stripMargin
+    },
 
     "q_ols" ->
       """WITH sums AS (

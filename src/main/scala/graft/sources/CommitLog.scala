@@ -547,6 +547,25 @@ object CommitLog {
     spark.read.parquet(files: _*)
   }
 
+  /** CDC read feed: the rows ADDED between `fromVersion` (exclusive)
+    * and `toVersion` (inclusive) — the union of files live at `to` but
+    * not at `from`, read directly; a downstream consumer incrementally
+    * syncs by remembering the last version it saw, never rescanning
+    * the table. File-granular like Delta's change feed without delete
+    * vectors: on an APPEND-ONLY table this is exactly the new rows;
+    * after a replace/compaction the rewritten files' rows reappear
+    * (callers see that as `to`'s manifest listing rewritten files).
+    */
+  def changesBetween(
+      spark: SparkSession, table: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
+    val before = readManifest(spark, table, fromVersion).files.toSet
+    val added = readManifest(spark, table, toVersion).files.filterNot(before)
+    if (added.nonEmpty) spark.read.parquet(added.map(f => s"$table/$f"): _*)
+    else readVersion(spark, table, toVersion).limit(0)
+  }
+
   /** Retire history: delete data files referenced by NO manifest among
     * the newest `keepVersions`, then the older manifests themselves.
     * Returns deleted data-file count. Safe order — files first would

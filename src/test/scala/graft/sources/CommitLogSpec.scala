@@ -245,6 +245,21 @@ class CommitLogSpec extends SparkSpec {
     assert(total == 3 && sel.size <= 2, s"pruning degraded: $sel")
   }
 
+  test("changesBetween reads exactly the appended window; empty and rewrite windows behave") {
+    val t = freshTable()
+    val v1 = CommitLog.append(spark, Seq((1L, "a")).toDF("id", "s"), t)
+    val v2 = CommitLog.append(spark, Seq((2L, "b")).toDF("id", "s"), t)
+    val v3 = CommitLog.append(spark, Seq((3L, "c")).toDF("id", "s"), t)
+    def chg(a: Long, b: Long) = CommitLog.changesBetween(spark, t, a, b)
+      .as[(Long, String)].collect().toSet
+    assert(chg(v1, v3) == Set((2L, "b"), (3L, "c")))
+    assert(chg(v2, v3) == Set((3L, "c")))
+    assert(chg(v3, v3).isEmpty) // empty window, correctly typed
+    // A replace rewrites everything: its whole live set is "changed".
+    val v4 = CommitLog.replace(spark, Seq((9L, "z")).toDF("id", "s"), t)
+    assert(chg(v3, v4) == Set((9L, "z")))
+  }
+
   test("vacuum retires unreferenced files and old manifests; head keeps reading") {
     val t = freshTable()
     CommitLog.replace(spark, (1L to 10L).map(i => (i, "old")).toDF("id", "s"), t)

@@ -5381,6 +5381,36 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // The UPSAMPLING branch of the sinc kernel (8000→12000, L/M =
+    // 3/2): interpolation taps at the SOURCE Nyquist cutoff with gain
+    // L — the ratio family's other half, same fixture, same integer
+    // contract.
+    "q_audio_upsample_sinc" -> { (s, dir) =>
+      val enc = Encoders.row(StructType(Seq(
+        StructField("doc_id", LongType), StructField("payload", BinaryType))))
+      val wav = Tables.load(s, dir, "documents").select("doc_id")
+        .mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val n = ((id % 5) + 1).toInt * 100
+            def ramp(mul: Long, add: Long, sub: Long, amp: Long) =
+              Array.tabulate[Short](n)(i =>
+                (((i * mul + add) % 401 - sub) * amp).toShort)
+            Row(id, Multimodal.encodeWavPcm16(Array(
+              ramp(37L, id, 200L, 80L),
+              ramp(53L, 2L * id, 200L, 70L)), 8000))
+          }
+        }(enc)
+      Multimodal.resampleSincFeatures(wav, "payload", dstRate = 12000, "rs")
+        .select(
+          col("doc_id"),
+          col("rs.src_frames").as("src_frames"),
+          col("rs.dst_frames").as("dst_frames"),
+          element_at(col("rs.sum_sq"), 1).as("sum_sq0"),
+          element_at(col("rs.sum_sq"), 2).as("sum_sq1"))
+        .orderBy("doc_id")
+    },
+
     // Okapi BM25 relevance against a 3-term query (graft.text.Bm25):
     // the lexical-retrieval primitive for query-targeted corpus
     // slicing. Postings are filtered to the query terms BEFORE any
@@ -5794,6 +5824,54 @@ object SparkEntry {
       |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin
 
   private val AnnIvfOracle: String = annIvfOracle("TRUE")
+
+  /** Full integer replay of the polyphase windowed-sinc convolution
+    * for an L/M conversion of the planted ramp fixture: the Q15 tap
+    * table rides in as literals (generated from the SAME
+    * [[graft.multimodal.Multimodal.sincTaps]] call the operator uses —
+    * shared model constants, like the q_knn query vector), each output
+    * sample j gathers the taps its polyphase branch makes live
+    * ((j·M − k) ≡ 0 mod L, zero-padded edges), and the one rounding
+    * floor is exact in double range (|acc| < 2^40). */
+  private def sincResampleOracle(l: Int, m: Int): String = {
+    val taps = Multimodal.sincTaps(l, m)
+    val h = (taps.length - 1) / 2
+    val vals = taps.zipWithIndex
+      .map { case (c, i) => s"(${i - h},$c)" }.mkString(",")
+    s"""WITH o AS (
+      |  SELECT doc_id, ((doc_id % 5) + 1) * 100 AS n,
+      |    (((doc_id % 5) + 1) * 100 * $l) // $m AS dst
+      |  FROM documents),
+      |taps(k, c) AS (VALUES $vals),
+      |jf AS (
+      |  SELECT doc_id, n, dst,
+      |    unnest(generate_series(0, CAST(dst - 1 AS INT))) AS j
+      |  FROM o),
+      |contrib AS (
+      |  SELECT f.doc_id, f.n, f.dst, f.j, t.c,
+      |    (f.j * $m - t.k) // $l AS i
+      |  FROM jf f CROSS JOIN taps t
+      |  WHERE (f.j * $m - t.k) >= 0
+      |    AND (f.j * $m - t.k) % $l = 0
+      |    AND (f.j * $m - t.k) // $l < f.n),
+      |acc AS (
+      |  SELECT doc_id, n, dst, j,
+      |    sum(c * (((i * 37 + doc_id) % 401 - 200) * 80)) AS a0,
+      |    sum(c * (((i * 53 + 2 * doc_id) % 401 - 200) * 70)) AS a1
+      |  FROM contrib GROUP BY 1, 2, 3, 4),
+      |y AS (
+      |  SELECT doc_id, n, dst, j,
+      |    GREATEST(-32768, LEAST(32767,
+      |      CAST(floor((a0 + 16384) / 32768.0) AS BIGINT))) AS y0,
+      |    GREATEST(-32768, LEAST(32767,
+      |      CAST(floor((a1 + 16384) / 32768.0) AS BIGINT))) AS y1
+      |  FROM acc)
+      |SELECT doc_id, CAST(n AS BIGINT) AS src_frames,
+      |  CAST(dst AS BIGINT) AS dst_frames,
+      |  CAST(sum(y0 * y0) AS BIGINT) AS sum_sq0,
+      |  CAST(sum(y1 * y1) AS BIGINT) AS sum_sq1
+      |FROM y GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+  }
 
   /** Unrolled Lloyd-iteration CTE chain replaying [[graft.sim.KMeans]]
     * exactly: md5-ordered init (rank = md5 position), per-iteration
@@ -10933,45 +11011,12 @@ object SparkEntry {
     // output sample j gathers the taps its polyphase branch makes
     // live ((j·8 − k) ≡ 0 mod 5, zero-padded edges), and the one
     // rounding floor is exact in double range (|acc| < 2^40).
-    "q_audio_resample_sinc" -> {
-      val taps = Multimodal.sincTaps(5, 8)
-      val h = (taps.length - 1) / 2
-      val vals = taps.zipWithIndex
-        .map { case (c, i) => s"(${i - h},$c)" }.mkString(",")
-      s"""WITH o AS (
-        |  SELECT doc_id, ((doc_id % 5) + 1) * 100 AS n,
-        |    (((doc_id % 5) + 1) * 100 * 5) // 8 AS dst
-        |  FROM documents),
-        |taps(k, c) AS (VALUES $vals),
-        |jf AS (
-        |  SELECT doc_id, n, dst,
-        |    unnest(generate_series(0, CAST(dst - 1 AS INT))) AS j
-        |  FROM o),
-        |contrib AS (
-        |  SELECT f.doc_id, f.n, f.dst, f.j, t.c,
-        |    (f.j * 8 - t.k) // 5 AS i
-        |  FROM jf f CROSS JOIN taps t
-        |  WHERE (f.j * 8 - t.k) >= 0
-        |    AND (f.j * 8 - t.k) % 5 = 0
-        |    AND (f.j * 8 - t.k) // 5 < f.n),
-        |acc AS (
-        |  SELECT doc_id, n, dst, j,
-        |    sum(c * (((i * 37 + doc_id) % 401 - 200) * 80)) AS a0,
-        |    sum(c * (((i * 53 + 2 * doc_id) % 401 - 200) * 70)) AS a1
-        |  FROM contrib GROUP BY 1, 2, 3, 4),
-        |y AS (
-        |  SELECT doc_id, n, dst, j,
-        |    GREATEST(-32768, LEAST(32767,
-        |      CAST(floor((a0 + 16384) / 32768.0) AS BIGINT))) AS y0,
-        |    GREATEST(-32768, LEAST(32767,
-        |      CAST(floor((a1 + 16384) / 32768.0) AS BIGINT))) AS y1
-        |  FROM acc)
-        |SELECT doc_id, CAST(n AS BIGINT) AS src_frames,
-        |  CAST(dst AS BIGINT) AS dst_frames,
-        |  CAST(sum(y0 * y0) AS BIGINT) AS sum_sq0,
-        |  CAST(sum(y1 * y1) AS BIGINT) AS sum_sq1
-        |FROM y GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
-    },
+    "q_audio_resample_sinc" -> sincResampleOracle(l = 5, m = 8),
+
+    // The UPSAMPLING branch of the same kernel (8000→12000, L/M=3/2,
+    // cutoff at the SOURCE Nyquist, gain L): same taps-as-literals
+    // replay with the ratio swapped.
+    "q_audio_upsample_sinc" -> sincResampleOracle(l = 3, m = 2),
 
     // Same tokenization, the same left-associated BM25 arithmetic
     // (idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen))); tf/df/N/Σlen

@@ -67,6 +67,20 @@ class MultimodalResampleSpec extends SparkSpec {
     assert(Multimodal.resampleSinc(x, 8000, 8000)(0).toSeq == x(0).toSeq)
   }
 
+  test("upsampling branch (L>M): frame count, energy preservation, DC exactness") {
+    val x = Array(tone(440.0, 4000))
+    val up = Multimodal.resampleSinc(x, 8000, 12000) // L/M = 3/2
+    assert(up(0).length == 4000 * 3 / 2)
+    val ratio = energy(up(0).drop(150).dropRight(150)) /
+      energy(x(0).drop(100).dropRight(100))
+    assert(math.abs(ratio - 1.0) < 0.02, s"upsample energy ratio $ratio")
+    val dc = Array(Array.fill[Short](2000)(1000))
+    val interior = Multimodal.resampleSinc(dc, 8000, 12000)(0)
+      .drop(100).dropRight(100)
+    assert(interior.forall(v => math.abs(v - 1000) <= 1),
+      s"DC drifted on upsample: ${interior.distinct.toSeq.take(5)}")
+  }
+
   test("tap table: odd length, symmetric, Q15 DC gain ≈ L/M branch sum") {
     val taps = Multimodal.sincTaps(5, 8)
     assert(taps.length % 2 == 1)

@@ -3405,6 +3405,68 @@ object SparkEntry {
         .orderBy("bin")
     },
 
+    // ISOTONIC REGRESSION (ml/Isotonic) — the monotone repair /
+    // calibration primitive, via the minimax closed form fit(k) =
+    // max_{i≤k} min_{j≥k} mean[i..j] ≡ pool-adjacent-violators, with
+    // no sequential loop to replay: one corpus pass to the exact
+    // per-quantity histogram, then (i,k,j) triples of the ≤50-row
+    // histogram. Mean discount per quantity bucket, forced monotone.
+    "q_isotonic" -> { (s, dir) =>
+      graft.ml.Isotonic.fit(
+        Tables.load(s, dir, "lineitem").select(
+          round(col("l_quantity")).cast("long").as("qty"),
+          (col("l_discount").cast("decimal(18,2)") * 10000).cast("long")
+            .as("disc_bp")),
+        "qty", "disc_bp")
+        .orderBy("q")
+    },
+
+    // SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk; the distribution-
+    // free uncertainty wrapper a production model ships with): train a
+    // stump on folds 0-2, take the ⌈(n+1)·0.9⌉-th smallest absolute
+    // residual on the CALIBRATION fold as the interval half-width
+    // q̂ (an exact integer order statistic through the range-
+    // partitioned GlobalRank — never a driver limit(k)), then audit
+    // empirical coverage of pred ± q̂ on the held-out TEST fold —
+    // guaranteed ≥ 90% in expectation by exchangeability, and the
+    // oracle replays every step: md5 folds, floor-div stump
+    // predictions, rank arithmetic, exact coverage counts.
+    "q_conformal" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .withColumn("key", col("l_orderkey") * 8 + col("l_linenumber"))
+      val folded = graft.operators.Sampling
+        .assignFolds(li, "key", k = 5, salt = "conf")
+        .select(col("fold"),
+          round(col("l_quantity")).cast("long").as("q"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+        .persist()
+      val st = graft.ml.BoostedStumps
+        .fit(folded.filter(col("fold") <= 2), "q", "cents", rounds = 1).head
+      val pred = when(col("q") <= st.threshold, lit(st.predLeft))
+        .otherwise(lit(st.predRight))
+      val cal = folded.filter(col("fold") === 3)
+        .select(abs(col("cents") - pred).as("r"))
+      val nCal = cal.count()
+      val k = math.ceil((nCal + 1) * 0.9).toLong
+      val qhat = graft.operators.GlobalRank
+        .withGlobalRank(cal, Seq(col("r").asc), "rk")
+        .filter(col("rk") === k).head.getLong(0)
+      val test = folded.filter(col("fold") === 4)
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(abs(col("cents") - pred) <= qhat, 1L).otherwise(0L))
+            .as("n_covered")).head
+      folded.unpersist()
+      s.range(1).select(
+        lit(st.threshold).as("split_q"),
+        lit(st.predLeft).as("pred_left"), lit(st.predRight).as("pred_right"),
+        lit(nCal).as("n_cal"), lit(k).as("k"), lit(qhat).as("qhat"),
+        lit(test.getLong(0)).as("n_test"),
+        lit(test.getLong(1)).as("n_covered"),
+        round(lit(test.getLong(1).toDouble / test.getLong(0)), 6)
+          .as("coverage"))
+    },
+
     // GRADIENT-BOOSTED STUMPS (L2 boosting, ml/BoostedStumps): three
     // rounds of residual-fitting stumps on the SAME (q → cents) task
     // as q_stump — the corpus is shuffled ONCE into the per-value
@@ -9397,6 +9459,87 @@ object SparkEntry {
         |  CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,
         |  CAST(sum(cents) AS BIGINT) AS mass
         |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // The same minimax enumeration over the exact histogram: prefix
+    // sums, interval means from HUGEINT sums, max-of-min per value.
+    "q_isotonic" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT) AS y
+        |  FROM lineitem),
+        |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(y AS HUGEINT)) AS sy FROM b GROUP BY 1),
+        |c AS (SELECT q, n,
+        |        sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
+        |        sum(n) OVER w - n AS pn, sum(sy) OVER w - sy AS psy
+        |      FROM h
+        |      WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (SELECT a.q AS qi, b2.q AS qj,
+        |        CAST(b2.csy - a.psy AS DOUBLE) / (b2.cn - a.pn) AS mean
+        |      FROM c a JOIN c b2 ON a.q <= b2.q),
+        |i AS (SELECT k.q AS k, k.n AS kn, p.qi, min(p.mean) AS mn
+        |      FROM c k JOIN p ON p.qi <= k.q AND p.qj >= k.q
+        |      GROUP BY 1, 2, 3)
+        |SELECT k AS q, kn AS n, round(max(mn), 6) AS fit
+        |FROM i GROUP BY 1, 2 ORDER BY q""".stripMargin,
+
+    // md5 folds → train-fold stump (same floor-div preds as q_gbt) →
+    // calibration rank statistic → exact test coverage counts.
+    "q_conformal" -> {
+      def fdivSql(a: String, b: String): String =
+        s"(($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b)"
+      s"""WITH b AS (
+         |  SELECT CAST(('0x' || substr(md5('conf|' ||
+         |      CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT
+         |      % 5 AS INT) AS fold,
+         |    CAST(round(l_quantity) AS BIGINT) AS q,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM lineitem),
+         |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+         |        sum(CAST(c AS HUGEINT)) AS sy,
+         |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
+         |      FROM b WHERE fold <= 2 GROUP BY 1),
+         |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
+         |         sum(syy) AS syyt FROM h),
+         |c1 AS (SELECT q, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
+         |         sum(syy) OVER w AS csyy
+         |       FROM h
+         |       WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |e1 AS (SELECT q, CAST(cn AS BIGINT) AS cn, csy, t.nt, t.syt,
+         |         (CAST(csyy AS DOUBLE)
+         |            - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) / CAST(cn AS BIGINT))
+         |         + ((CAST(t.syyt AS DOUBLE) - CAST(csyy AS DOUBLE))
+         |            - (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
+         |              * (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
+         |              / (t.nt - cn)) AS sse
+         |       FROM c1, t1 t WHERE cn < t.nt),
+         |s1 AS (SELECT q AS t,
+         |         ${fdivSql("2 * csy + cn", "2 * cn")} AS pl,
+         |         ${fdivSql("2 * (syt - csy) + (nt - cn)", "2 * (nt - cn)")} AS pr
+         |       FROM e1 ORDER BY sse, q LIMIT 1),
+         |pr AS (SELECT fold, c,
+         |         CASE WHEN q <= (SELECT t FROM s1)
+         |              THEN CAST((SELECT pl FROM s1) AS BIGINT)
+         |              ELSE CAST((SELECT pr FROM s1) AS BIGINT) END AS pred
+         |       FROM b WHERE fold >= 3),
+         |cal AS (SELECT abs(c - pred) AS r FROM pr WHERE fold = 3),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
+         |         CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k FROM cal),
+         |qh AS (SELECT r AS qhat FROM (
+         |         SELECT r, row_number() OVER (ORDER BY r) AS rk FROM cal)
+         |       WHERE rk = (SELECT k FROM kk)),
+         |tst AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
+         |          CAST(sum(CASE WHEN abs(c - pred) <= (SELECT qhat FROM qh)
+         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+         |        FROM pr WHERE fold = 4)
+         |SELECT (SELECT t FROM s1) AS split_q,
+         |  CAST((SELECT pl FROM s1) AS BIGINT) AS pred_left,
+         |  CAST((SELECT pr FROM s1) AS BIGINT) AS pred_right,
+         |  kk.n_cal, kk.k, (SELECT qhat FROM qh) AS qhat,
+         |  tst.n_test, tst.n_covered,
+         |  round(CAST(tst.n_covered AS DOUBLE) / tst.n_test, 6) AS coverage
+         |FROM kk, tst""".stripMargin
+    },
 
     // Three unrolled boosting rounds: each round adjusts the exact
     // HUGEINT histogram by the accumulated integer offsets (Σr =

@@ -260,6 +260,25 @@ class CommitLogSpec extends SparkSpec {
     assert(chg(v3, v4) == Set((9L, "z")))
   }
 
+  test("replaceClustered: exactly one file per bucket value, stats exact, re-run replaces") {
+    val t = freshTable()
+    val df = (0L until 300L).map(i => (i % 6, i, s"r$i"))
+      .toDF("bk", "id", "s")
+    CommitLog.replaceClustered(spark, df, t, "bk", "id")
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    // One file per distinct bucket (q_commit_skip's files_total oracle
+    // relies on this), each with the exact [min, max] of its bucket.
+    assert(m.files.size == 6 && m.stats.size == 6)
+    val ranges = m.files.map(m.stats).toSet
+    assert(ranges == (0L until 6L).map(b => (b, 294L + b)).toSet, s"got $ranges")
+    // The bucket column lives in directory names only.
+    assert(CommitLog.read(spark, t).columns.toSeq == Seq("id", "s"))
+    assert(CommitLog.read(spark, t).count() == 300)
+    // Re-publishing replaces, not appends.
+    CommitLog.replaceClustered(spark, df, t, "bk", "id")
+    assert(CommitLog.read(spark, t).count() == 300)
+  }
+
   test("vacuum retires unreferenced files and old manifests; head keeps reading") {
     val t = freshTable()
     CommitLog.replace(spark, (1L to 10L).map(i => (i, "old")).toDF("id", "s"), t)

@@ -3405,6 +3405,121 @@ object SparkEntry {
         .orderBy("bin")
     },
 
+    // DEPTH-2 DECISION TREE, one shuffle per LEVEL (how a distributed
+    // tree learner actually scales — never a pass per node): the root
+    // stump comes from the level-1 histogram; BOTH children then find
+    // their exact splits from ONE level-2 pass keyed by (side, value),
+    // each child's argmin running over its own bounded partition. At
+    // depth d the corpus is read d times regardless of the 2^d node
+    // count. Same exact-sufficient-statistics algebra as
+    // q_stump/q_feature_gain; the oracle replays both levels.
+    "q_tree2" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("q"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val root = graft.ml.BoostedStumps.fit(li, "q", "cents", rounds = 1).head
+      val l2 = li.withColumn("side",
+        when(col("q") <= root.threshold, lit(0L)).otherwise(lit(1L)))
+      val hist = l2.groupBy("side", "q").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sy"),
+        sum(col("cents").cast("decimal(19,0)")
+          * col("cents").cast("decimal(19,0)")).as("syy"))
+      val tots = hist.groupBy("side").agg(
+        sum(col("n")).as("nt"), sum(col("sy")).as("syt"),
+        sum(col("syy")).as("syyt"))
+      val w = Window.partitionBy("side").orderBy("q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("csy", sum(col("sy")).over(w))
+        .withColumn("csyy", sum(col("syy")).over(w))
+        .join(tots, "side")
+        .filter(col("cn") < col("nt"))
+      val csyD = col("csy").cast("double")
+      val csyyD = col("csyy").cast("double")
+      val sytD = col("syt").cast("double")
+      val syytD = col("syyt").cast("double")
+      val sse = (csyyD - csyD * csyD / col("cn")) +
+        ((syytD - csyyD)
+          - (sytD - csyD) * (sytD - csyD) / (col("nt") - col("cn")))
+      val kids = cum.withColumn("sse", sse)
+        .withColumn("sse_root", syytD - sytD * sytD / col("nt"))
+        .groupBy("side")
+        .agg(min_by(struct(col("q"), col("cn"), col("sse"), col("sse_root")),
+          struct(col("sse"), col("q"))).as("b"))
+        .select(
+          when(col("side") === 0L, lit("left")).otherwise(lit("right"))
+            .as("node"),
+          col("b.q").as("split_q"), col("b.cn").as("n_left"),
+          round(lit(1.0) - col("b.sse") / col("b.sse_root"), 6).as("gain"))
+      val rootRow = s.range(1).select(
+        lit("root").as("node"), lit(root.threshold).as("split_q"),
+        lit(-1L).as("n_left"), round(lit(root.gain), 6).as("gain"))
+      rootRow.unionByName(
+        kids.withColumn("n_left", col("n_left").cast("long")))
+        .orderBy("node")
+    },
+
+    // PER-FEATURE SPLIT GAINS IN ONE PASS — the distributed CART-node
+    // primitive: all four candidate features' value histograms come
+    // out of a SINGLE corpus shuffle (explode a feature map → one
+    // groupBy(feature, value)); running totals then run per feature
+    // (partitioned, bounded frames), each feature's exact SSE argmin
+    // is one min_by over its ≤vocab candidates, and the ranking —
+    // which feature a tree would split on — is 1 − SSE/SSE_root. The
+    // per-feature work never rescans the corpus; adding a feature
+    // costs one map entry, not a pass.
+    "q_feature_gain" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem").select(
+        round(col("l_quantity")).cast("long").as("qty"),
+        (col("l_discount").cast("decimal(18,2)") * 10000).cast("long")
+          .as("disc_bp"),
+        (col("l_tax").cast("decimal(18,2)") * 10000).cast("long")
+          .as("tax_bp"),
+        pmod(col("l_partkey"), lit(97)).as("pk_mod"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val feats = Seq("qty", "disc_bp", "tax_bp", "pk_mod")
+      val lng = li.select(
+        explode(map(feats.flatMap(f => Seq(lit(f), col(f))): _*))
+          .as(Seq("f", "v")),
+        col("cents"))
+      val hist = lng.groupBy("f", "v").agg(
+        count(lit(1)).as("n"),
+        sum(col("cents").cast("decimal(38,0)")).as("sy"),
+        sum(col("cents").cast("decimal(19,0)")
+          * col("cents").cast("decimal(19,0)")).as("syy"))
+      val tots = hist.groupBy("f").agg(
+        sum(col("n")).as("nt"), sum(col("sy")).as("syt"),
+        sum(col("syy")).as("syyt"))
+      val w = Window.partitionBy("f").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("csy", sum(col("sy")).over(w))
+        .withColumn("csyy", sum(col("syy")).over(w))
+        .join(tots, "f")
+        .filter(col("cn") < col("nt"))
+      val csyD = col("csy").cast("double")
+      val csyyD = col("csyy").cast("double")
+      val sytD = col("syt").cast("double")
+      val syytD = col("syyt").cast("double")
+      val sse = (csyyD - csyD * csyD / col("cn")) +
+        ((syytD - csyyD)
+          - (sytD - csyD) * (sytD - csyD) / (col("nt") - col("cn")))
+      cum.withColumn("sse", sse)
+        .withColumn("sse_root", syytD - sytD * sytD / col("nt"))
+        .groupBy("f")
+        .agg(min_by(struct(col("v"), col("cn"), col("sse"), col("sse_root")),
+          struct(col("sse"), col("v"))).as("b"))
+        .select(col("f").as("feature"), col("b.v").as("split_v"),
+          col("b.cn").as("n_left"),
+          round(lit(1.0) - col("b.sse") / col("b.sse_root"), 6).as("gain"))
+        .orderBy(col("gain").desc, col("feature"))
+    },
+
     // ISOTONIC REGRESSION (ml/Isotonic) — the monotone repair /
     // calibration primitive, via the minimax closed form fit(k) =
     // max_{i≤k} min_{j≥k} mean[i..j] ≡ pool-adjacent-violators, with
@@ -9459,6 +9574,110 @@ object SparkEntry {
         |  CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,
         |  CAST(sum(cents) AS BIGINT) AS mass
         |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Root split replayed from the level-1 histogram, both child
+    // splits from the level-2 (side, value) histogram — the same
+    // exact algebra partitioned by side.
+    "q_tree2" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(c AS HUGEINT)) AS sy,
+        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
+        |      FROM b GROUP BY 1),
+        |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
+        |         sum(syy) AS syyt FROM h),
+        |c1 AS (SELECT q, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
+        |         sum(syy) OVER w AS csyy
+        |       FROM h
+        |       WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |e1 AS (SELECT q,
+        |         (CAST(csyy AS DOUBLE)
+        |            - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) / CAST(cn AS BIGINT))
+        |         + ((CAST(t.syyt AS DOUBLE) - CAST(csyy AS DOUBLE))
+        |            - (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
+        |              * (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
+        |              / (t.nt - cn)) AS sse,
+        |         CAST(t.syyt AS DOUBLE)
+        |           - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
+        |       FROM c1, t1 t WHERE cn < t.nt),
+        |s1 AS (SELECT q AS t, sse, sse_root FROM e1 ORDER BY sse, q LIMIT 1),
+        |h2 AS (SELECT CASE WHEN q <= (SELECT t FROM s1) THEN 0 ELSE 1 END AS side,
+        |         q, n, sy, syy FROM h),
+        |t2 AS (SELECT side, CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
+        |         sum(syy) AS syyt FROM h2 GROUP BY 1),
+        |c2 AS (SELECT side, q, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
+        |         sum(syy) OVER w AS csyy
+        |       FROM h2
+        |       WINDOW w AS (PARTITION BY side ORDER BY q
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |e2 AS (SELECT c2.side, c2.q, CAST(c2.cn AS BIGINT) AS cn,
+        |         (CAST(c2.csyy AS DOUBLE)
+        |            - CAST(c2.csy AS DOUBLE) * CAST(c2.csy AS DOUBLE) / CAST(c2.cn AS BIGINT))
+        |         + ((CAST(t.syyt AS DOUBLE) - CAST(c2.csyy AS DOUBLE))
+        |            - (CAST(t.syt AS DOUBLE) - CAST(c2.csy AS DOUBLE))
+        |              * (CAST(t.syt AS DOUBLE) - CAST(c2.csy AS DOUBLE))
+        |              / (t.nt - c2.cn)) AS sse,
+        |         CAST(t.syyt AS DOUBLE)
+        |           - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
+        |       FROM c2 JOIN t2 t ON c2.side = t.side WHERE c2.cn < t.nt),
+        |r2 AS (SELECT side, q, cn, sse, sse_root,
+        |         row_number() OVER (PARTITION BY side ORDER BY sse, q) AS rn
+        |       FROM e2)
+        |SELECT 'root' AS node, (SELECT t FROM s1) AS split_q,
+        |  CAST(-1 AS BIGINT) AS n_left,
+        |  round(1.0 - (SELECT sse FROM s1) / (SELECT sse_root FROM s1), 6) AS gain
+        |UNION ALL
+        |SELECT CASE WHEN side = 0 THEN 'left' ELSE 'right' END, q, cn,
+        |  round(1.0 - sse / sse_root, 6)
+        |FROM r2 WHERE rn = 1
+        |ORDER BY node""".stripMargin,
+
+    // One long-format union of the four feature extractions, the same
+    // exact-histogram split algebra per feature, per-feature argmin
+    // via (sse, v) row_number, ranked by gain.
+    "q_feature_gain" ->
+      """WITH b AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT) AS disc_bp,
+        |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 10000 AS BIGINT) AS tax_bp,
+        |    l_partkey % 97 AS pk_mod,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM lineitem),
+        |l AS (
+        |  SELECT 'qty' AS f, qty AS v, c FROM b
+        |  UNION ALL SELECT 'disc_bp', disc_bp, c FROM b
+        |  UNION ALL SELECT 'tax_bp', tax_bp, c FROM b
+        |  UNION ALL SELECT 'pk_mod', pk_mod, c FROM b),
+        |h AS (SELECT f, v, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(c AS HUGEINT)) AS sy,
+        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
+        |      FROM l GROUP BY 1, 2),
+        |t AS (SELECT f, CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
+        |        sum(syy) AS syyt FROM h GROUP BY 1),
+        |cw AS (SELECT f, v, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
+        |         sum(syy) OVER w AS csyy
+        |       FROM h
+        |       WINDOW w AS (PARTITION BY f ORDER BY v
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |e AS (SELECT cw.f, cw.v, CAST(cw.cn AS BIGINT) AS cn,
+        |        (CAST(cw.csyy AS DOUBLE)
+        |           - CAST(cw.csy AS DOUBLE) * CAST(cw.csy AS DOUBLE) / CAST(cw.cn AS BIGINT))
+        |        + ((CAST(t.syyt AS DOUBLE) - CAST(cw.csyy AS DOUBLE))
+        |           - (CAST(t.syt AS DOUBLE) - CAST(cw.csy AS DOUBLE))
+        |             * (CAST(t.syt AS DOUBLE) - CAST(cw.csy AS DOUBLE))
+        |             / (t.nt - cw.cn)) AS sse,
+        |        CAST(t.syyt AS DOUBLE)
+        |          - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
+        |      FROM cw JOIN t ON cw.f = t.f WHERE cw.cn < t.nt),
+        |r AS (SELECT f, v, cn, sse, sse_root,
+        |        row_number() OVER (PARTITION BY f ORDER BY sse, v) AS rn
+        |      FROM e)
+        |SELECT f AS feature, v AS split_v, cn AS n_left,
+        |  round(1.0 - sse / sse_root, 6) AS gain
+        |FROM r WHERE rn = 1 ORDER BY gain DESC, feature""".stripMargin,
 
     // The same minimax enumeration over the exact histogram: prefix
     // sums, interval means from HUGEINT sums, max-of-min per value.

@@ -2071,6 +2071,27 @@ object SparkEntry {
         .orderBy("event_type", "d")
     },
 
+    // ADDITIVE HOLT-WINTERS (level + trend + weekly season) — the
+    // seasonal completion of the q_ewma/q_holt smoothing family, as a
+    // per-key streaming recurrence (operators/HoltWinters): one hash
+    // repartition on the series key, sortWithinPartitions, then a
+    // single pass carrying O(m) longs of state (level, trend, 7-slot
+    // seasonal ring) per open key — never a window over an unbounded
+    // frame, never per-group materialization. All arithmetic is
+    // truncating long division (Java `/` ≡ DuckDB `//`, including on
+    // the negative deseasonalized deltas), so the recurrence replays
+    // bit-for-bit as a recursive CTE carrying the ring as a LIST.
+    "q_holt_winters" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(col("event_type"),
+          date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("cents"))
+      graft.operators.HoltWinters.smooth(
+          daily, Seq("event_type"), Seq("d"), "cents", m = 7)
+        .orderBy("event_type", "d")
+    },
+
     "q_changepoint" -> { (s, dir) =>
       val daily = Tables.loadEvents(s, dir)
         .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
@@ -8585,6 +8606,59 @@ object SparkEntry {
         |SELECT event_type, d, cents, s1, s2,
         |  2 * s1 - s2 AS level, s1 - s2 AS trend
         |FROM r ORDER BY event_type, d""".stripMargin,
+
+    // Recursive CTE carrying (level, trend, seasonal LIST); every
+    // step repeats the truncating-div expressions inline (a recursive
+    // member can't reference its own select-list aliases). Keys with
+    // fewer than 7 observations emit nothing — the operator contract.
+    "q_holt_winters" -> {
+      val V = "rn.cents"
+      val S1 = "r.seas[1]"
+      val L = s"(($V - $S1 + r.level + r.trend) // 2)"
+      val B = s"(($L - r.level + r.trend) // 2)"
+      val SN = s"(($V - $L + $S1) // 2)"
+      s"""WITH RECURSIVE daily AS (
+         |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |rn AS (
+         |  SELECT event_type, d, cents,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
+         |    count(*) OVER (PARTITION BY event_type) AS cnt
+         |  FROM daily),
+         |l0 AS (
+         |  SELECT event_type, CAST(sum(cents) AS BIGINT) // 7 AS l0
+         |  FROM rn WHERE t <= 7 AND cnt >= 7 GROUP BY 1),
+         |init AS (
+         |  SELECT rn.event_type, rn.d, rn.t, rn.cents,
+         |    l0.l0 AS level, CAST(0 AS BIGINT) AS trend,
+         |    rn.cents - l0.l0 AS season
+         |  FROM rn JOIN l0 USING (event_type) WHERE rn.t <= 7),
+         |initfc AS (
+         |  SELECT event_type, d, t, cents, level, trend, season,
+         |    level + coalesce(
+         |      lead(season) OVER (PARTITION BY event_type ORDER BY t),
+         |      first_value(season) OVER (PARTITION BY event_type ORDER BY t)) AS fc
+         |  FROM init),
+         |anchor AS (
+         |  SELECT event_type, CAST(7 AS BIGINT) AS t, level, trend,
+         |    list(season ORDER BY t) AS seas,
+         |    CAST(NULL AS VARCHAR) AS d, CAST(NULL AS BIGINT) AS cents,
+         |    CAST(NULL AS BIGINT) AS season, CAST(NULL AS BIGINT) AS fc
+         |  FROM init GROUP BY event_type, level, trend),
+         |r AS (
+         |  SELECT event_type, t, level, trend, seas, d, cents, season, fc
+         |  FROM anchor
+         |  UNION ALL
+         |  SELECT rn.event_type, rn.t, $L AS level, $B AS trend,
+         |    list_append(r.seas[2:], $SN) AS seas,
+         |    rn.d, rn.cents, $SN AS season, $L + $B + r.seas[2] AS fc
+         |  FROM r JOIN rn ON rn.event_type = r.event_type AND rn.t = r.t + 1)
+         |SELECT event_type, d, cents, level, trend, season, fc FROM initfc
+         |UNION ALL
+         |SELECT event_type, d, cents, level, trend, season, fc FROM r WHERE t > 7
+         |ORDER BY event_type, d""".stripMargin
+    },
 
     "q_changepoint" ->
       """WITH daily AS (

@@ -3483,6 +3483,83 @@ object SparkEntry {
         .orderBy("node")
     },
 
+    // BAGGED FOREST OF STUMPS, one corpus shuffle for ALL trees — the
+    // random-forest training shape at scale: each row enters tree b
+    // with a deterministic Poisson(1) weight (stats/Bootstrap's
+    // Chamandy resampling, keyed (salt, tree, row id) — no RNG state,
+    // layout-invariant), the ×B×F fan-out stays inside whole-stage
+    // codegen (explode of sequence + feature map), and map-side
+    // combine collapses it to weighted (tree, feature, value)
+    // histograms before the exchange — the shuffle carries sufficient
+    // statistics, never data. Each tree then picks its best (feature,
+    // split) by exact weighted SSE over its own bounded candidate set.
+    // Trees disagree because their bootstrap weights disagree — the
+    // variance across the `split_v` column IS the ensemble's value.
+    "q_forest" -> { (s, dir) =>
+      val B = 8
+      val li = Tables.load(s, dir, "lineitem").select(
+        concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string")).as("rid"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        (col("l_discount").cast("decimal(18,2)") * 10000).cast("long")
+          .as("disc_bp"),
+        (col("l_tax").cast("decimal(18,2)") * 10000).cast("long")
+          .as("tax_bp"),
+        pmod(col("l_partkey"), lit(97)).as("pk_mod"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val u = conv(substring(md5(concat(
+        lit("rf11|"), col("tree").cast("string"), lit("|"), col("rid"))),
+        1, 15), 16, 10).cast("long").cast("double") / 1152921504606846976.0
+      val fan = li
+        .select(col("*"),
+          explode(sequence(lit(0L), lit((B - 1).toLong))).as("tree"))
+        .withColumn("w", graft.stats.Bootstrap.poissonWeight(u))
+        .filter(col("w") > 0)
+      val feats = Seq("qty", "disc_bp", "tax_bp", "pk_mod")
+      val lng = fan.select(col("tree"),
+        explode(map(feats.flatMap(f => Seq(lit(f), col(f))): _*))
+          .as(Seq("f", "v")),
+        col("w"), col("cents"))
+      val hist = lng.groupBy("tree", "f", "v").agg(
+        sum(col("w")).as("n"),
+        sum(col("w") * col("cents").cast("decimal(38,0)")).as("sy"),
+        sum(col("w") * col("cents").cast("decimal(19,0)")
+          * col("cents").cast("decimal(19,0)")).as("syy"))
+      val tots = hist.groupBy("tree", "f").agg(
+        sum(col("n")).as("nt"), sum(col("sy")).as("syt"),
+        sum(col("syy")).as("syyt"))
+      val w7 = Window.partitionBy("tree", "f").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cn", sum(col("n")).over(w7))
+        .withColumn("csy", sum(col("sy")).over(w7))
+        .withColumn("csyy", sum(col("syy")).over(w7))
+        .join(tots, Seq("tree", "f"))
+        .filter(col("cn") < col("nt"))
+      val csyD = col("csy").cast("double")
+      val csyyD = col("csyy").cast("double")
+      val sytD = col("syt").cast("double")
+      val syytD = col("syyt").cast("double")
+      val sse = (csyyD - csyD * csyD / col("cn")) +
+        ((syytD - csyyD)
+          - (sytD - csyD) * (sytD - csyD) / (col("nt") - col("cn")))
+      cum.withColumn("sse", sse)
+        .withColumn("sse_root", syytD - sytD * sytD / col("nt"))
+        .groupBy("tree", "f")
+        .agg(min_by(struct(col("v"), col("cn"), col("sse"), col("sse_root")),
+          struct(col("sse"), col("v"))).as("b"))
+        .groupBy("tree")
+        .agg(min_by(struct(col("f"), col("b")),
+          struct(col("b.sse"), col("f"))).as("t"))
+        .select(col("tree"), col("t.f").as("feature"),
+          col("t.b.v").as("split_v"),
+          col("t.b.cn").cast("long").as("n_left"),
+          round(lit(1.0) - col("t.b.sse") / col("t.b.sse_root"), 6)
+            .as("gain"))
+        .orderBy("tree")
+    },
+
     // PER-FEATURE SPLIT GAINS IN ONE PASS — the distributed CART-node
     // primitive: all four candidate features' value histograms come
     // out of a SINGLE corpus shuffle (explode a feature map → one
@@ -9752,6 +9829,64 @@ object SparkEntry {
         |SELECT f AS feature, v AS split_v, cn AS n_left,
         |  round(1.0 - sse / sse_root, 6) AS gain
         |FROM r WHERE rn = 1 ORDER BY gain DESC, feature""".stripMargin,
+
+    // Bootstrap weights replayed from the same md5 inverse-CDF
+    // (stats/Bootstrap.poissonWeightSql keeps the thresholds from
+    // drifting), then the q_feature_gain algebra with a tree dimension.
+    "q_forest" -> {
+      val u = "(('0x' || substr(md5('rf11|' || CAST(tree AS VARCHAR) || " +
+        "'|' || rid), 1, 15))::BIGINT / 1152921504606846976.0)"
+      s"""WITH b AS (
+         |  SELECT CAST(l_orderkey AS VARCHAR) || '#' ||
+         |      CAST(l_linenumber AS VARCHAR) AS rid,
+         |    CAST(round(l_quantity) AS BIGINT) AS qty,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT) AS disc_bp,
+         |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 10000 AS BIGINT) AS tax_bp,
+         |    l_partkey % 97 AS pk_mod,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+         |  FROM lineitem),
+         |fan AS (
+         |  SELECT b.*, reps.range AS tree,
+         |    ${graft.stats.Bootstrap.poissonWeightSql(u)} AS w
+         |  FROM b, range(8) reps),
+         |fw AS (SELECT * FROM fan WHERE w > 0),
+         |l AS (
+         |  SELECT tree, 'qty' AS f, qty AS v, w, c FROM fw
+         |  UNION ALL SELECT tree, 'disc_bp', disc_bp, w, c FROM fw
+         |  UNION ALL SELECT tree, 'tax_bp', tax_bp, w, c FROM fw
+         |  UNION ALL SELECT tree, 'pk_mod', pk_mod, w, c FROM fw),
+         |h AS (SELECT tree, f, v, CAST(sum(w) AS BIGINT) AS n,
+         |        sum(w * CAST(c AS HUGEINT)) AS sy,
+         |        sum(w * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
+         |      FROM l GROUP BY 1, 2, 3),
+         |t AS (SELECT tree, f, CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
+         |        sum(syy) AS syyt FROM h GROUP BY 1, 2),
+         |cw AS (SELECT tree, f, v, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
+         |         sum(syy) OVER w AS csyy
+         |       FROM h
+         |       WINDOW w AS (PARTITION BY tree, f ORDER BY v
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |e AS (SELECT cw.tree, cw.f, cw.v, CAST(cw.cn AS BIGINT) AS cn,
+         |        (CAST(cw.csyy AS DOUBLE)
+         |           - CAST(cw.csy AS DOUBLE) * CAST(cw.csy AS DOUBLE) / CAST(cw.cn AS BIGINT))
+         |        + ((CAST(t.syyt AS DOUBLE) - CAST(cw.csyy AS DOUBLE))
+         |           - (CAST(t.syt AS DOUBLE) - CAST(cw.csy AS DOUBLE))
+         |             * (CAST(t.syt AS DOUBLE) - CAST(cw.csy AS DOUBLE))
+         |             / (t.nt - cw.cn)) AS sse,
+         |        CAST(t.syyt AS DOUBLE)
+         |          - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
+         |      FROM cw JOIN t ON cw.tree = t.tree AND cw.f = t.f
+         |      WHERE cw.cn < t.nt),
+         |pf AS (SELECT tree, f, v, cn, sse, sse_root,
+         |         row_number() OVER (PARTITION BY tree, f ORDER BY sse, v) AS rn
+         |       FROM e),
+         |pt AS (SELECT tree, f, v, cn, sse, sse_root,
+         |         row_number() OVER (PARTITION BY tree ORDER BY sse, f) AS rt
+         |       FROM pf WHERE rn = 1)
+         |SELECT tree, f AS feature, v AS split_v, cn AS n_left,
+         |  round(1.0 - sse / sse_root, 6) AS gain
+         |FROM pt WHERE rt = 1 ORDER BY tree""".stripMargin
+    },
 
     // The same minimax enumeration over the exact histogram: prefix
     // sums, interval means from HUGEINT sums, max-of-min per value.

@@ -1658,6 +1658,30 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    // HITS hub/authority over the same host graph (graph/Hits) — the
+    // PageRank complement: hubs seed a crawl frontier, authorities
+    // weight documents. Runs UNNORMALIZED on exact DECIMAL(38,0)
+    // accumulators (h₀=1, every score an integer sum of integers — no
+    // float order risk anywhere), max-normalizing only at the end with
+    // one double division per side. Two cached edge layouts (by src
+    // and by dst) give both join directions a co-located read; each
+    // half-iteration is one keyed join+agg and a lineage-truncating
+    // snapshot.
+    "q_hits" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      val edges = o.select(src.as("src"), dst.as("dst"))
+        .repartition(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.graph.Hits.hits(edges, "src", "dst", iters = 2)
+        .orderBy("id")
+    },
+
     // Degree audit of the same host graph (crawl-frontier health:
     // fan-out per host, link-farm outliers): in/out/total degree per
     // node over the deduped directed edges, top-10 by (total desc,
@@ -8207,6 +8231,42 @@ object SparkEntry {
         hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
         " AS dst FROM orders), " +
         "e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst)"),
+
+    // Same host edges; two unrolled mutual-reinforcement rounds on
+    // HUGEINT (exact, like Spark's DECIMAL(38,0)), max-normalized at
+    // the end by one double division per side.
+    "q_hits" -> {
+      "WITH he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders),\n" +
+        """e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
+          |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+          |h0 AS (SELECT id, CAST(1 AS HUGEINT) AS s FROM nodes),
+          |a1 AS (SELECT n.id, coalesce(t.v, CAST(0 AS HUGEINT)) AS s
+          |       FROM nodes n LEFT JOIN (
+          |         SELECT e.dst AS id, sum(h0.s) AS v
+          |         FROM e JOIN h0 ON e.src = h0.id GROUP BY 1) t USING (id)),
+          |h1 AS (SELECT n.id, coalesce(t.v, CAST(0 AS HUGEINT)) AS s
+          |       FROM nodes n LEFT JOIN (
+          |         SELECT e.src AS id, sum(a1.s) AS v
+          |         FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1) t USING (id)),
+          |a2 AS (SELECT n.id, coalesce(t.v, CAST(0 AS HUGEINT)) AS s
+          |       FROM nodes n LEFT JOIN (
+          |         SELECT e.dst AS id, sum(h1.s) AS v
+          |         FROM e JOIN h1 ON e.src = h1.id GROUP BY 1) t USING (id)),
+          |h2 AS (SELECT n.id, coalesce(t.v, CAST(0 AS HUGEINT)) AS s
+          |       FROM nodes n LEFT JOIN (
+          |         SELECT e.src AS id, sum(a2.s) AS v
+          |         FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1) t USING (id))
+          |SELECT a2.id, CAST(a2.s AS BIGINT) AS auth_raw,
+          |  CAST(h2.s AS BIGINT) AS hub_raw,
+          |  round(CAST(a2.s AS DOUBLE)
+          |        / (SELECT CAST(max(s) AS DOUBLE) FROM a2), 6) AS auth,
+          |  round(CAST(h2.s AS DOUBLE)
+          |        / (SELECT CAST(max(s) AS DOUBLE) FROM h2), 6) AS hub
+          |FROM a2 JOIN h2 USING (id) ORDER BY id""".stripMargin
+    },
 
     // Same host edges; per-node in/out counts, full-outer merged.
     "q_graph_degrees" ->

@@ -3738,6 +3738,19 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    // RIDGE PATH FROM ONE PASS (ml/Ridge) — the regularized normal
+    // equations over exact decimal sufficient statistics: all three λ
+    // rows (λ=0 is the exact OLS baseline) come from a SINGLE
+    // map-side-combinable aggregate; each λ is a constant-time double
+    // expression over the nine moments. A hyperparameter sweep that
+    // costs one corpus pass total is the shape that survives 100 TB.
+    "q_ridge" -> { (s, dir) =>
+      graft.ml.Ridge.fit(Tables.load(s, dir, "lineitem"),
+        "l_quantity", "l_discount", "l_extendedprice",
+        lambdas = Seq(0.0, 1000.0, 1000000.0))
+        .orderBy("lam")
+    },
+
     // HOPPING (sliding) window aggregation: 1-day windows every 12
     // hours — each event lands in exactly two windows (Spark's
     // window(ts, size, hop), epoch-aligned). The overlap factor is the
@@ -10119,6 +10132,51 @@ object SparkEntry {
         |         / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END, 6) AS r2
         |FROM d
         |ORDER BY l_returnflag""".stripMargin,
+
+    // The same nine exact decimal moments; per-λ rows from an unnest,
+    // every double expression shape identical to ml/Ridge.
+    "q_ridge" -> {
+      val c11 = "(sx1x1d - sx1d * sx1d / nd)"
+      val c22 = "(sx2x2d - sx2d * sx2d / nd)"
+      val c12 = "(sx1x2d - sx1d * sx2d / nd)"
+      val c1y = "(sx1yd - sx1d * syd / nd)"
+      val c2y = "(sx2yd - sx2d * syd / nd)"
+      val a11 = s"($c11 + lam)"
+      val a22 = s"($c22 + lam)"
+      val det = s"($a11 * $a22 - $c12 * $c12)"
+      val w1 = s"(($c1y * $a22 - $c2y * $c12) / $det)"
+      val w2 = s"(($a11 * $c2y - $c12 * $c1y) / $det)"
+      s"""WITH sums AS (
+         |  SELECT count(*) AS n,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx1,
+         |    sum(CAST(l_discount AS DECIMAL(18,2))) AS sx2,
+         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sx1x1,
+         |    sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sx2x2,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sx1x2,
+         |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sx1y,
+         |    sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sx2y
+         |  FROM lineitem
+         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+         |    AND l_extendedprice IS NOT NULL),
+         |d AS (
+         |  SELECT n, CAST(n AS DOUBLE) AS nd,
+         |    CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
+         |    CAST(sy AS DOUBLE) AS syd,
+         |    CAST(sx1x1 AS DOUBLE) AS sx1x1d, CAST(sx2x2 AS DOUBLE) AS sx2x2d,
+         |    CAST(sx1x2 AS DOUBLE) AS sx1x2d,
+         |    CAST(sx1y AS DOUBLE) AS sx1yd, CAST(sx2y AS DOUBLE) AS sx2yd
+         |  FROM sums),
+         |lams AS (SELECT unnest([CAST(0 AS DOUBLE), CAST(1000 AS DOUBLE),
+         |                        CAST(1000000 AS DOUBLE)]) AS lam)
+         |SELECT lam, n,
+         |  round(CASE WHEN $det <> 0.0 THEN $w1 END, 6) AS w1,
+         |  round(CASE WHEN $det <> 0.0 THEN $w2 END, 6) AS w2,
+         |  round(CASE WHEN $det <> 0.0
+         |    THEN (syd - $w1 * sx1d - $w2 * sx2d) / nd END, 6) AS intercept
+         |FROM d, lams
+         |ORDER BY lam""".stripMargin
+    },
 
     // The batch mirror of the streaming watermark cut: only windows
     // whose end (in ms — the engine's event-time resolution) is at or

@@ -1281,6 +1281,44 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    // FULL CONDITIONAL MERGE (operators/MergeInto) — the multi-clause
+    // ANSI MERGE the latest-wins upsert can't express: clause ORDER
+    // fires first-match (active customers get the credit even when
+    // they'd also match the low-spend purge), all four categories in
+    // one full-outer join + one codegen projection: matched+active →
+    // UPDATE, matched+low-spend → DELETE, source-only → INSERT,
+    // target-only → DORMANT re-segment. Base = the solvent customer
+    // snapshot, source = per-customer order rollup (overdrawn
+    // customers' orders become the NOT MATCHED inserts).
+    "q_merge_into" -> { (s, dir) =>
+      import graft.operators.MergeInto
+      val base = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") >= 0)
+        .select(col("c_custkey").as("custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("c_mktsegment").as("mktsegment"))
+      val src = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("total"))
+      MergeInto.merge(base, src, Seq("custkey"),
+        matched = Seq(
+          (col("s_n_orders") >= 20, MergeInto.Update(Map(
+            "cents" -> (col("t_cents") + expr("s_total div 100"))))),
+          (col("s_total") < 5000000L, MergeInto.Delete)),
+        notMatched = Seq(
+          (lit(true), MergeInto.Insert(Map(
+            "custkey" -> col("s_custkey"),
+            "cents" -> expr("s_total div 1000"),
+            "mktsegment" -> lit("NEW"))))),
+        bySource = Seq(
+          (lit(true), MergeInto.Update(Map(
+            "mktsegment" -> lit("DORMANT"))))))
+        .orderBy("custkey")
+    },
+
     // Referential-integrity audit over the star schema's declared FK
     // edges plus one deliberately-violating edge (events.user_id →
     // customer): per edge, child rows / NULL keys / orphan rows /
@@ -7961,6 +7999,41 @@ object SparkEntry {
         |  FROM (SELECT * FROM b UNION ALL SELECT * FROM u))
         |SELECT c_custkey, acctbal, version FROM r WHERE rn = 1
         |ORDER BY c_custkey""".stripMargin,
+
+    // Full-outer join + one first-match CASE per category (disjoint
+    // categories, so clause order only matters within MATCHED — the
+    // active-credit clause outranks the low-spend purge).
+    "q_merge_into" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE c_acctbal >= 0),
+        |s AS (
+        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(t.k, s.k) AS k, t.cents, t.seg, s.n_orders, s.total,
+        |    t.k IS NOT NULL AS has_t, s.k IS NOT NULL AS has_s
+        |  FROM t FULL OUTER JOIN s ON t.k = s.k),
+        |a AS (
+        |  SELECT *, CASE
+        |    WHEN has_t AND has_s AND n_orders >= 20 THEN 1000
+        |    WHEN has_t AND has_s AND total < 5000000 THEN 1001
+        |    WHEN NOT has_t AND has_s THEN 2000
+        |    WHEN has_t AND NOT has_s THEN 3000
+        |    ELSE 0 END AS act
+        |  FROM j)
+        |SELECT k AS custkey,
+        |  CASE act WHEN 1000 THEN cents + total // 100
+        |           WHEN 2000 THEN total // 1000
+        |           ELSE cents END AS cents,
+        |  CASE act WHEN 2000 THEN 'NEW'
+        |           WHEN 3000 THEN 'DORMANT'
+        |           ELSE seg END AS mktsegment
+        |FROM a WHERE act <> 1001
+        |ORDER BY custkey""".stripMargin,
 
     // Each edge replayed as per-key counts + NOT IN against parent
     // distinct keys — same collapse-before-join shape.

@@ -3192,6 +3192,53 @@ object SparkEntry {
       mid.unionByName(post).orderBy("phase", "l_returnflag")
     },
 
+    // OPTIMISTIC-CONCURRENCY CONFLICT DETECTION (CommitLog.rewrite) —
+    // the serializability teeth of the commit layer: two compactors
+    // race to rewrite the SAME live files; the winner's CAS lands, and
+    // the loser's rewrite MUST abort (its read-set is gone — blindly
+    // retrying would commit a second copy of every row, the silent-
+    // duplication failure Delta/Iceberg's concurrent-delete rule
+    // exists to prevent). The loser's phase name encodes the outcome:
+    // if the conflict is NOT raised, the Spark side emits a different
+    // phase literal and the oracle compare goes red — the gate proves
+    // the exception fires, and the per-phase aggregates prove no row
+    // was ever duplicated or lost across the race.
+    "q_commit_conflict" -> { (s, dir) =>
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_commitconflict_${stageTag(dir)}"
+      val base = Tables.load(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      import graft.sources.CommitLog
+      CommitLog.replace(s, base.repartition(8), table)
+      val live0 = CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get)
+      def agg(phase: String, files: Int): DataFrame =
+        CommitLog.read(s, table).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+          .withColumn("files", lit(files.toLong))
+      val pre = agg("pre", live0.size)
+      // both compactors stage against version 1's live set…
+      val stagedA = CommitLog.stage(s, CommitLog.read(s, table).coalesce(1), table)
+      val stagedB = CommitLog.stage(s, CommitLog.read(s, table).coalesce(1), table)
+      // …A's CAS lands first
+      CommitLog.rewrite(s, table, adds = stagedA, removes = live0)
+      val winner = agg("winner", CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get).size)
+      val loserPhase =
+        try {
+          CommitLog.rewrite(s, table, adds = stagedB, removes = live0)
+          "loser_committed" // would be silent duplication — oracle reds
+        } catch {
+          case _: CommitLog.ConcurrentRewriteException => "loser_conflicted"
+        }
+      val after = agg(loserPhase, CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get).size)
+      pre.unionByName(winner).unionByName(after)
+        .orderBy("phase", "l_returnflag")
+    },
+
     // MANIFEST-LEVEL DATA SKIPPING: lineitem lands as 8 range-
     // clustered files whose integer [min, max] of l_orderkey ride IN
     // the commit manifest; a range probe then selects files at the
@@ -9720,6 +9767,22 @@ object SparkEntry {
         |  FROM lineitem GROUP BY 1)
         |SELECT a.l_returnflag, a.n, a.cents, p.phase
         |FROM a CROSS JOIN (VALUES ('committed'), ('mid_rewrite')) p(phase)
+        |ORDER BY p.phase, a.l_returnflag""".stripMargin,
+
+    // Three phases of the same aggregate (nothing duplicated, nothing
+    // lost across the race) with the expected live-file count per
+    // phase; 'loser_conflicted' asserts the exception fired — a
+    // non-conflicting loser would emit 'loser_committed' and red this
+    // row.
+    "q_commit_conflict" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.l_returnflag, a.n, a.cents, p.phase, CAST(p.files AS BIGINT) AS files
+        |FROM a CROSS JOIN (VALUES ('pre', 8), ('winner', 1),
+        |                          ('loser_conflicted', 1)) p(phase, files)
         |ORDER BY p.phase, a.l_returnflag""".stripMargin,
 
     // The bucket interval algebra (which range-clustered files a probe

@@ -234,7 +234,52 @@ object CommitLog {
       txn: String = "",
       statsCol: String = "",
       stats: Map[String, (Long, Long)] = Map.empty,
-      maxAttempts: Int = 200): Long = {
+      maxAttempts: Int = 200): Long =
+    commitInternal(spark, table, adds, removes, txn, statsCol, stats,
+      maxAttempts, requireRemovesLive = false)
+
+  /** Thrown by [[rewrite]] when a file it meant to replace was already
+    * removed by a concurrent commit — proceeding would re-add the
+    * file's content beside its replacement (silent duplication). */
+  final class ConcurrentRewriteException(table: String, gone: Seq[String])
+    extends java.util.ConcurrentModificationException(
+      s"rewrite conflict at $table: ${gone.size} file(s) no longer live " +
+        s"(first: ${gone.headOption.getOrElse("")}) — rebase on the new " +
+        "version and restage")
+
+  /** REWRITE commit (compaction, z-order, CDC swap — any commit that
+    * REPLACES data): like [[commit]], but the CAS loop additionally
+    * verifies every `removes` entry is STILL LIVE at the version being
+    * replaced, and throws [[ConcurrentRewriteException]] otherwise —
+    * the Delta/Iceberg concurrent-delete conflict rule. The blind
+    * [[commit]] stays correct for appends (its retry recomputes the
+    * live set), but a rewrite that lost its read-set must NOT retry:
+    * its staged output duplicates content whose original rows were
+    * already rewritten or deleted by the winner. Losers rebase (re-read
+    * the new version, restage) rather than re-commit.
+    */
+  def rewrite(
+      spark: SparkSession,
+      table: String,
+      adds: Seq[String],
+      removes: Seq[String],
+      txn: String = "",
+      statsCol: String = "",
+      stats: Map[String, (Long, Long)] = Map.empty,
+      maxAttempts: Int = 200): Long =
+    commitInternal(spark, table, adds, removes, txn, statsCol, stats,
+      maxAttempts, requireRemovesLive = true)
+
+  private def commitInternal(
+      spark: SparkSession,
+      table: String,
+      adds: Seq[String],
+      removes: Seq[String],
+      txn: String,
+      statsCol: String,
+      stats: Map[String, (Long, Long)],
+      maxAttempts: Int,
+      requireRemovesLive: Boolean): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     var attempt = 0
@@ -242,6 +287,10 @@ object CommitLog {
       val base = currentVersion(spark, table)
         .map(v => readManifest(spark, table, v))
       val live = base.map(_.files).getOrElse(Seq.empty)
+      if (requireRemovesLive) {
+        val gone = removes.filterNot(live.toSet)
+        if (gone.nonEmpty) throw new ConcurrentRewriteException(table, gone)
+      }
       val next = base.map(_.version).getOrElse(0L) + 1
       val newLive = (live.filterNot(removes.toSet) ++ adds).distinct
       // Surviving files keep their recorded stats; removed files drop

@@ -296,4 +296,56 @@ class CommitLogSpec extends SparkSpec {
     assert(dataFiles(new java.io.File(t)) ==
       CommitLog.liveFiles(spark, t, CommitLog.currentVersion(spark, t).get).size)
   }
+
+  test("rewrite conflict: racing compactors never duplicate rows") {
+    val t = freshTable()
+    CommitLog.replace(spark,
+      (1L to 100L).map(i => (i, s"r$i")).toDF("id", "s").repartition(4), t)
+    val live0 = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    assert(live0.size > 1)
+    // both compactors stage full rewrites of the same read-set
+    val a = CommitLog.stage(spark, CommitLog.read(spark, t).coalesce(1), t)
+    val b = CommitLog.stage(spark, CommitLog.read(spark, t).coalesce(1), t)
+    CommitLog.rewrite(spark, t, adds = a, removes = live0)
+    val before = rows(t)
+    // the loser MUST abort — a blind commit here would double every row
+    intercept[CommitLog.ConcurrentRewriteException] {
+      CommitLog.rewrite(spark, t, adds = b, removes = live0)
+    }
+    assert(rows(t) == before)
+    assert(rows(t).size == 100)
+  }
+
+  test("rewrite tolerates a concurrent APPEND (disjoint read-set): retry lands") {
+    val t = freshTable()
+    CommitLog.replace(spark,
+      (1L to 50L).map(i => (i, "base")).toDF("id", "s").repartition(2), t)
+    val live0 = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    val compacted = CommitLog.stage(spark, CommitLog.read(spark, t).coalesce(1), t)
+    // an append lands BETWEEN the compactor's stage and its commit —
+    // the compactor's removes are all still live, so the CAS retry
+    // succeeds and the appended rows survive the compaction commit
+    CommitLog.append(spark, Seq((999L, "late")).toDF("id", "s"), t)
+    CommitLog.rewrite(spark, t, adds = compacted, removes = live0)
+    assert(rows(t) == ((1L to 50L).map(i => (i, "base")).toSet + ((999L, "late"))))
+  }
+
+  test("rewrite conflicts with a concurrent DELETE of part of its read-set") {
+    val t = freshTable()
+    CommitLog.replace(spark,
+      (1L to 40L).map(i => (i, "x")).toDF("id", "s").repartition(4), t)
+    val live0 = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    val compacted = CommitLog.stage(spark, CommitLog.read(spark, t).coalesce(1), t)
+    // someone else deletes ONE of the files the compactor read
+    CommitLog.commit(spark, t, adds = Nil, removes = Seq(live0.head))
+    val before = rows(t)
+    intercept[CommitLog.ConcurrentRewriteException] {
+      CommitLog.rewrite(spark, t, adds = compacted, removes = live0)
+    }
+    // the deleted file's rows must NOT resurrect via the stale rewrite
+    assert(rows(t) == before)
+  }
 }

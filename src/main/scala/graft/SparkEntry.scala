@@ -1720,6 +1720,28 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    // PERSONALIZED PageRank from a trusted seed set (the .example.com
+    // hosts): teleports land on the seeds, so authority flows OUTWARD
+    // from them — the crawl-seed-expansion / trust-propagation
+    // primitive. Same one-action-per-iteration scaffold as q_pagerank
+    // (NULL-keyed dangling row, in-plan base, round-to-6 contract);
+    // the only driver scalar is |seeds|.
+    "q_ppr" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val src = graft.text.UrlOps.host(
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
+      val dst = graft.text.UrlOps.host(
+        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
+          col("o_orderkey") + 1))
+      val edges = o.select(src.as("src"), dst.as("dst"))
+        .repartition(col("src"), col("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      graft.graph.PageRank.personalized(edges, "src", "dst",
+          seedPred = col("id").endsWith(".example.com"), iters = 3)
+        .orderBy("id")
+    },
+
     // Degree audit of the same host graph (crawl-frontier health:
     // fan-out per host, link-farm outliers): in/out/total degree per
     // node over the deduped directed edges, top-10 by (total desc,
@@ -6580,6 +6602,44 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Personalized-PageRank replay: the [[pageRankOracle]] scaffold
+    * with the uniform teleport replaced by p(v) = 1/|S| on `seedLike`
+    * matches (dangling mass re-enters through p — the strongly-
+    * preferential form PageRank.personalized computes). `(1 - 0.85)`
+    * stays an ARITHMETIC expression so both engines produce the same
+    * 0.15000000000000002 double. */
+  private def pprOracle(iters: Int, seedLike: String, edgesCte: String)
+      : String = {
+    val sb = new StringBuilder(
+      """WITH __EDGES__,
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |sc AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM nodes
+        |       WHERE id LIKE '__SEED__'),
+        |p AS (SELECT id, CASE WHEN id LIKE '__SEED__'
+        |        THEN 1.0 / (SELECT m FROM sc) ELSE 0.0 END AS p FROM nodes),
+        |r0 AS (SELECT id, round(p, 6) AS rank FROM p),
+        |""".stripMargin
+        .replace("__EDGES__", edgesCte).replace("__SEED__", seedLike))
+    for (k <- 1 to iters) {
+      val prev = s"r${k - 1}"
+      sb ++= s"""d$k AS (SELECT coalesce(sum(rank), 0) AS dm FROM $prev
+                |  WHERE id NOT IN (SELECT src FROM deg)),
+                |c$k AS (SELECT e.dst AS id, sum(r.rank / d.deg) AS cin
+                |  FROM e JOIN $prev r ON e.src = r.id
+                |  JOIN deg d ON e.src = d.src GROUP BY 1),
+                |r$k AS (SELECT p.id,
+                |  round(((1 - 0.85) * p.p
+                |         + 0.85 * ((SELECT dm FROM d$k) * p.p))
+                |        + 0.85 * coalesce(c$k.cin, 0), 6) AS rank
+                |  FROM p LEFT JOIN c$k ON p.id = c$k.id),
+                |""".stripMargin
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"\nSELECT id, rank FROM r$iters ORDER BY id"
+    sb.toString
+  }
+
   /** Unrolled full-batch GD replay: per iteration, three gradient-sum
     * CTEs over the feature view with the previous weights inlined as
     * scalar subqueries, then the rounded weight updates — identical
@@ -8400,6 +8460,13 @@ object SparkEntry {
           |        / (SELECT CAST(max(s) AS DOUBLE) FROM h2), 6) AS hub
           |FROM a2 JOIN h2 USING (id) ORDER BY id""".stripMargin
     },
+
+    "q_ppr" -> pprOracle(3, "%.example.com",
+      "he AS (SELECT " +
+        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
+        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
+        " AS dst FROM orders), " +
+        "e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst)"),
 
     // Same host edges; per-node in/out counts, full-outer merged.
     "q_graph_degrees" ->

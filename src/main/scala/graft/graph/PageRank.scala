@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deterministic distributed PageRank (Brin & Page 1998; damped power
@@ -104,6 +104,72 @@ object PageRank {
       ranks = snapshot(next)
     }
     e.unpersist(); deg.unpersist(); nodes.unpersist()
+    ranks
+  }
+
+  /** PERSONALIZED PageRank (Jeh & Widom 2003 / the original teleport
+    * vector of Brin & Page): teleports land on a SEED SET instead of
+    * uniformly — the "expand from what I trust" primitive of a crawl
+    * pipeline (seed hosts → which neighbors inherit their authority)
+    * and of graph-based label propagation from curated examples.
+    *
+    *   r_{k+1}(v) = (1−d)·p(v) + d·(dangling_k·p(v) + Σ_{u→v} r_k(u)/deg(u))
+    *
+    * with p(v) = 1/|S| on the seeds, 0 elsewhere (dangling mass also
+    * re-enters through p — the standard strongly-preferential
+    * formulation, so total mass stays 1). Same execution scaffold as
+    * [[pageRank]]: edges hash-partitioned once and cached, one action
+    * per iteration (the lineage-truncating snapshot), dangling mass
+    * via the NULL-keyed union row, per-iteration round-to-6 as the
+    * cross-engine contract. The only scalar on the driver is |S|
+    * (one count of the seed subset — bounded metadata).
+    *
+    * `seedPred` is a predicate over the node id column `id`.
+    */
+  def personalized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seedPred: Column,
+      iters: Int,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def snapshot(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(eager = true) else df.localCheckpoint(eager = true)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().cache()
+    val m = nodes.filter(seedPred).count()
+    require(m > 0, "empty seed set")
+    val idType = nodes.schema("id").dataType
+    val p = nodes.select(col("id"),
+      when(seedPred, lit(1.0 / m)).otherwise(lit(0.0)).as("p")).cache()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg")).cache()
+
+    var ranks = snapshot(p.select(col("id"), round(col("p"), 6).as("rank")))
+    for (_ <- 1 to iters) {
+      val contribRows = e
+        .join(ranks, e("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), (col("rank") / col("deg")).as("c"))
+      val danglingRows = ranks.join(deg, ranks("id") === deg("src"), "left_anti")
+        .select(lit(null).cast(idType).as("id"), col("rank").as("c"))
+      val agg = contribRows.union(danglingRows)
+        .groupBy("id").agg(sum(col("c")).as("cin"))
+      val dang = agg.filter(col("id").isNull)
+        .agg(coalesce(sum(col("cin")), lit(0.0)).as("dm"))
+      val next = p.join(agg.filter(col("id").isNotNull), Seq("id"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("id"),
+          round((lit(1 - damping) * col("p") +
+                   lit(damping) * (col("dm") * col("p"))) +
+                  lit(damping) * coalesce(col("cin"), lit(0.0)), 6)
+            .as("rank"))
+      ranks = snapshot(next)
+    }
+    e.unpersist(); deg.unpersist(); nodes.unpersist(); p.unpersist()
     ranks
   }
 }

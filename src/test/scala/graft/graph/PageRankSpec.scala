@@ -86,4 +86,45 @@ class PageRankSpec extends SparkSpec {
       .collect().map(_.getDouble(1)).toSet
     assert(got == Set(0.5))
   }
+
+  test("personalized: matches the scalar strongly-preferential recurrence") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val seeds = Set(1L, 2L)
+    val got = PageRank.personalized(edges, "src", "dst",
+        seedPred = org.apache.spark.sql.functions.col("id").isin(1L, 2L),
+        iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // scalar replay with identical per-iteration rounding
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L)
+    val out = Map(1L -> Seq(2L), 2L -> Seq(3L, 4L), 3L -> Seq(1L),
+      4L -> Seq(5L), 5L -> Seq.empty[Long])
+    val p = nodes.map(n => n -> (if (seeds(n)) 0.5 else 0.0)).toMap
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var r = nodes.map(n => n -> rnd(p(n))).toMap
+    for (_ <- 1 to 4) {
+      val dm = nodes.filter(out(_).isEmpty).map(r).sum
+      r = nodes.map { v =>
+        val cin = nodes.filter(u => out(u).contains(v))
+          .map(u => r(u) / out(u).size).sum
+        v -> rnd((0.15 * p(v) + 0.85 * (dm * p(v))) + 0.85 * cin)
+      }.toMap
+    }
+    nodes.foreach(n => assert(math.abs(got(n) - r(n)) < 2e-6, s"node $n"))
+    // mass conserved: teleport + dangling both re-enter through p
+    assert(math.abs(got.values.sum - 1.0) < 1e-4)
+    // authority decays with distance from the seed set
+    assert(got(3L) > got(5L))
+  }
+
+  test("personalized: a node unreachable from the seeds holds zero rank") {
+    val edges = Seq((1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val got = PageRank.personalized(edges, "src", "dst",
+        seedPred = org.apache.spark.sql.functions.col("id") === 1L,
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(3L) === 0.0) // not a seed, no in-path from seeds
+    assert(got(1L) > 0.0 && got(2L) > 0.0)
+  }
 }

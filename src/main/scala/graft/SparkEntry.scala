@@ -830,6 +830,38 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // RAKE KEYWORD EXTRACTION (Rose 2010) over the corpus: candidate
+    // phrases are maximal non-stopword token runs (scan-local Column
+    // chain — TextFunctions.candidatePhrases, no per-doc shuffle),
+    // word stats (freq, degree = Σ phrase length) come from ONE keyed
+    // aggregate over exploded phrase words, and phrase scores are
+    // integer-scaled word-score sums — (deg·10⁴) div freq summed as
+    // exact longs, so there is NO float accumulation order anywhere.
+    // Top-15 via TakeOrderedAndProject (bounded per partition, never a
+    // global sort of the phrase table).
+    "q_keywords" -> { (s, dir) =>
+      val phrases = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(graft.text.TextFunctions.candidatePhrases(
+          col("text"))).as("phrase"))
+      val pw = phrases.select(col("phrase"),
+        size(split(col("phrase"), " ")).as("plen"))
+        .select(col("phrase"), col("plen"),
+          explode(split(col("phrase"), " ")).as("word"))
+      val ws = pw.groupBy("word")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("wscore", expr("(deg * 10000) div freq"))
+      val pc = phrases.groupBy("phrase").agg(count(lit(1)).as("n"))
+      pc.select(col("phrase"), col("n"),
+          explode(split(col("phrase"), " ")).as("word"))
+        .join(ws.select(col("word"), col("wscore")), "word")
+        .groupBy("phrase", "n")
+        .agg(sum(col("wscore")).as("score"))
+        .select(col("phrase"), col("n"), col("score"))
+        .orderBy(col("score").desc, col("phrase"))
+        .limit(15)
+    },
+
     // Document chunking (the pretraining/RAG segmentation pass):
     // 50-token windows at stride 25 per doc, chunk text re-joined and
     // fingerprinted — scan-local explode, no shuffle until the
@@ -7771,6 +7803,39 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
         |  CAST(hits[1] AS BIGINT) AS first_pos
         |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
+
+    // The same doubled-space stopword-break chain (replace() is
+    // non-overlapping left-to-right on both engines), then RAKE's
+    // integer-scaled word-score algebra. The break chain is GENERATED
+    // from TextFunctions.stopwordsEn so the lists can't drift.
+    "q_keywords" -> {
+      val marked = graft.text.TextFunctions.stopwordsEn.foldLeft("s") {
+        (acc, w) => s"replace($acc, ' $w ', ' | ')"
+      }
+      s"""WITH d AS (SELECT lower(text) AS t FROM documents WHERE text IS NOT NULL),
+         |nt AS (SELECT ' ' || array_to_string(
+         |         list_filter(regexp_split_to_array(t, '\\s+'), x -> len(x) > 0),
+         |         ' ') || ' ' AS s FROM d),
+         |dd AS (SELECT replace(s, ' ', '  ') AS s FROM nt),
+         |mk AS (SELECT $marked AS s FROM dd),
+         |ph0 AS (SELECT unnest(string_split(s, '|')) AS p FROM mk),
+         |phr AS (SELECT array_to_string(
+         |          list_filter(regexp_split_to_array(p, ' +'), x -> len(x) > 0),
+         |          ' ') AS phrase FROM ph0),
+         |phx AS (SELECT phrase FROM phr WHERE len(phrase) > 0),
+         |pw AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         |         unnest(string_split(phrase, ' ')) AS word FROM phx),
+         |ws AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |         CAST(sum(plen) AS BIGINT) AS deg FROM pw GROUP BY 1),
+         |wsc AS (SELECT word, (deg * 10000) // freq AS wscore FROM ws),
+         |pc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n FROM phx GROUP BY 1),
+         |pwd AS (SELECT phrase, n, unnest(string_split(phrase, ' ')) AS word
+         |        FROM pc)
+         |SELECT pwd.phrase, pwd.n, CAST(sum(w.wscore) AS BIGINT) AS score
+         |FROM pwd JOIN wsc w USING (word)
+         |GROUP BY 1, 2
+         |ORDER BY score DESC, phrase LIMIT 15""".stripMargin
+    },
 
     // Same 1-based slice semantics: toks[s+1 : s+50] truncates at the
     // array end, md5 over the space-joined window.

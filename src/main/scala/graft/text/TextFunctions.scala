@@ -80,6 +80,30 @@ object TextFunctions {
       .otherwise(lit(0.0))
   }
 
+  /** RAKE candidate phrases (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): maximal runs of non-
+    * stopword tokens — the phrase inventory keyword scoring ranks.
+    *
+    * Pure-Column extraction, no per-doc shuffle: the token stream is
+    * space-joined, every space DOUBLED (so adjacent stopwords each
+    * keep their own delimiting spaces — " of the " must split twice),
+    * each stopword occurrence " w " rewritten to a '|' break, and the
+    * result split + retokenized. The whole chain is scan-local string
+    * work inside whole-stage codegen, replayable verbatim in SQL.
+    */
+  def candidatePhrases(text: Column,
+      stopwords: Seq[String] = stopwordsEn): Column = {
+    val nt = concat(lit(" "), concat_ws(" ", tokens(text)), lit(" "))
+    val dd = regexp_replace(nt, " ", "  ")
+    val marked = stopwords.foldLeft(dd) { (acc, w) =>
+      regexp_replace(acc, java.util.regex.Pattern.quote(s" $w "), " | ")
+    }
+    filter(
+      transform(split(marked, "\\|"),
+        p => array_join(filter(split(p, " +"), t => length(t) > 0), " ")),
+      p => length(p) > 0)
+  }
+
   /** Fraction of non-space characters that are punctuation/symbols. */
   def punctRatio(text: Column): Column = {
     val nonSpace = length(regexp_replace(text, "\\s+", ""))

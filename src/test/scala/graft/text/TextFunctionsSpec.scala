@@ -103,4 +103,24 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got(1L) == 0.0 && got(2L) == 1.0 && got(3L) == 2.0)
     assert(math.abs(got(4L) - 0.918296) < 1e-6)
   }
+
+  test("candidatePhrases splits at every stopword, adjacent ones included") {
+    import org.apache.spark.sql.functions.col
+    def phrases(s: String): Seq[String] =
+      Seq(s).toDF("text")
+        .select(TextFunctions.candidatePhrases(col("text")).as("p"))
+        .as[Seq[String]].head()
+    // adjacent stopwords ("of the") must both break; case folds
+    assert(phrases("Quick brown fox of the lazy dog") ==
+      Seq("quick brown fox", "lazy dog"))
+    // leading/trailing stopwords produce no empty phrases
+    assert(phrases("the deep learning and the gradient descent and") ==
+      Seq("deep learning", "gradient descent"))
+    // repeated identical stopwords back to back
+    assert(phrases("alpha the the beta") == Seq("alpha", "beta"))
+    // no stopwords: one maximal phrase; empty text: none
+    assert(phrases("red green blue") == Seq("red green blue"))
+    assert(phrases("") == Seq.empty)
+    assert(phrases("the of and") == Seq.empty)
+  }
 }

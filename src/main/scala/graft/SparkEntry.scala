@@ -3877,6 +3877,25 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    // RANK-2 ALS MATRIX FACTORIZATION (ml/Als) — alternating ridge
+    // solves over the supplier×part rating matrix, with factors held
+    // as EXACT integer micros: every normal-equation moment is a
+    // decimal sum of long products (zero float accumulation), only
+    // the per-entity 2×2 Cramer solve runs in double, and the RMSE
+    // residuals are exact integers in 10⁻¹² units. Each half-step is
+    // one broadcast factor join + one keyed aggregate over a cached
+    // co-partitioned ratings layout — the distributed-ALS shape.
+    "q_als" -> { (s, dir) =>
+      val ratings = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("u"), col("l_partkey").as("i"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("r"))
+      val (userF, _, rmse) = graft.ml.Als.fit(
+        ratings, "u", "i", "r", iters = 2, lambda = 0.1)
+      userF.select(col("id").as("suppkey"), col("f1"), col("f2"),
+          lit(rmse).as("rmse"))
+        .orderBy("suppkey")
+    },
+
     // RIDGE PATH FROM ONE PASS (ml/Ridge) — the regularized normal
     // equations over exact decimal sufficient statistics: all three λ
     // rows (λ=0 is the exact OLS baseline) come from a SINGLE
@@ -10400,6 +10419,58 @@ object SparkEntry {
         |         / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END, 6) AS r2
         |FROM d
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Two unrolled alternations, each half-step one join + one keyed
+    // aggregate on exact HUGEINT moments, factors re-quantized to
+    // micros per solve — CTEs generated from one template so the two
+    // directions (and the Spark expression shapes) can't drift.
+    "q_als" -> {
+      def half(mName: String, outName: String, solveKey: String,
+          otherKey: String, prevF: String): String = {
+        val a11 = "(CAST(s11 AS DOUBLE) / 1e12 + 0.1)"
+        val a12 = "(CAST(s12 AS DOUBLE) / 1e12)"
+        val a22 = "(CAST(s22 AS DOUBLE) / 1e12 + 0.1)"
+        val b1 = "(CAST(b1 AS DOUBLE) / 1e6)"
+        val b2 = "(CAST(b2 AS DOUBLE) / 1e6)"
+        val det = s"($a11 * $a22 - $a12 * $a12)"
+        val w1 = s"(($b1 * $a22 - $b2 * $a12) / $det)"
+        val w2 = s"(($a11 * $b2 - $a12 * $b1) / $det)"
+        s"""$mName AS (
+           |  SELECT r.$solveKey AS id,
+           |    sum(CAST(f.f1 * f.f1 AS HUGEINT)) AS s11,
+           |    sum(CAST(f.f1 * f.f2 AS HUGEINT)) AS s12,
+           |    sum(CAST(f.f2 * f.f2 AS HUGEINT)) AS s22,
+           |    sum(CAST(r.r * f.f1 AS HUGEINT)) AS b1,
+           |    sum(CAST(r.r * f.f2 AS HUGEINT)) AS b2
+           |  FROM ratings r JOIN $prevF f ON r.$otherKey = f.id GROUP BY 1),
+           |$outName AS (
+           |  SELECT id, CAST(round($w1 * 1e6, 0) AS BIGINT) AS f1,
+           |    CAST(round($w2 * 1e6, 0) AS BIGINT) AS f2
+           |  FROM $mName)""".stripMargin
+      }
+      s"""WITH ratings AS (
+         |  SELECT l_suppkey AS u, l_partkey AS i,
+         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS r
+         |  FROM lineitem GROUP BY 1, 2),
+         |if0 AS (
+         |  SELECT DISTINCT i AS id,
+         |    1000000 + (i % 7) * 100000 AS f1,
+         |    1000000 - (i % 5) * 50000 AS f2
+         |  FROM ratings),
+         |${half("m1", "uf1", "u", "i", "if0")},
+         |${half("m2", "if1", "i", "u", "uf1")},
+         |${half("m3", "uf2", "u", "i", "if1")},
+         |${half("m4", "if2", "i", "u", "uf2")},
+         |e AS (
+         |  SELECT CAST(r.r * 1000000000000 -
+         |    (u.f1 * i.f1 + u.f2 * i.f2) AS BIGINT) AS e
+         |  FROM ratings r JOIN uf2 u ON r.u = u.id JOIN if2 i ON r.i = i.id),
+         |st AS (SELECT sum(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS sse,
+         |         CAST(count(*) AS BIGINT) AS n FROM e)
+         |SELECT u.id AS suppkey, u.f1, u.f2,
+         |  round(sqrt(CAST(sse AS DOUBLE) / n) / 1e12, 6) AS rmse
+         |FROM uf2 u, st ORDER BY suppkey""".stripMargin
+    },
 
     // The same nine exact decimal moments; per-λ rows from an unnest,
     // every double expression shape identical to ml/Ridge.

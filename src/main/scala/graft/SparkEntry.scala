@@ -4386,6 +4386,51 @@ object SparkEntry {
         .select("vec_id", "label", "score")
     },
 
+    // INT8 SCALAR QUANTIZATION tier (the FAISS-SQ8 production
+    // technique): per-dimension [min,max] from ONE stats pass, every
+    // vector re-coded to [-127,127] ints, and serving runs on EXACT
+    // INTEGER dot products — 4× smaller at rest and no float
+    // accumulation order anywhere in the score. The recall audit joins
+    // the quantized top-10 against the exact float-cosine top-10
+    // (self excluded on both sides): `in_exact` per row is the
+    // quality-vs-compression tradeoff made measurable, the q_ann_recall
+    // discipline applied to quantization instead of partitioning.
+    "q_ann_sq8" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val ev = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+      val mm = ev.groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+      val codes = ev.join(broadcast(mm), "i")
+        .select(col("vec_id"), col("i"),
+          (when(col("hi") > col("lo"),
+            round((col("x") - col("lo")) / (col("hi") - col("lo")) * 254, 0))
+            .otherwise(lit(0.0)).cast("long") - 127).as("c"))
+      val qc = codes.filter(col("vec_id") === 0)
+        .select(col("i"), col("c").as("qc"))
+      val quantTop = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(qc), "i")
+        .groupBy("vec_id").agg(sum(col("c") * col("qc")).as("dot"))
+        .agg(graft.stats.TopK.topK(
+          struct(col("dot").as("d"), (-col("vec_id")).as("nid")), 10)
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "v")))
+        .select((col("p") + 1).cast("int").as("rank"),
+          (-col("v.nid")).as("vec_id"), col("v.d").as("dot"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val exact10 = VectorSim.topK(e, "embedding", q, k = 11,
+          tieBreak = "vec_id")
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(true).as("in_exact"))
+      quantTop.join(broadcast(exact10), Seq("vec_id"), "left")
+        .select(col("rank"), col("vec_id"), col("dot"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact"))
+        .orderBy("rank")
+    },
+
     // Hybrid retrieval with reciprocal-rank fusion (the RAG-serving
     // standard): the BM25 lexical list and the cosine vector list for
     // one query, fused by Σ 1/(60 + rank) over the lists a doc appears
@@ -11286,6 +11331,46 @@ object SparkEntry {
     // Double-precision cosine via unnest (DuckDB's
     // list_cosine_similarity computes in float32 — not oracle-grade).
     "q_knn" -> KnnOracle,
+
+    // Same quantization arithmetic (double ops on exact per-dim
+    // [min,max], half-up rounding), integer dot products, and the
+    // KnnOracle's float-cosine exact tier for the recall join.
+    "q_ann_sq8" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
+        |codes AS (
+        |  SELECT vec_id, ev.i,
+        |    CAST(CASE WHEN hi > lo
+        |      THEN round((x - lo) / (hi - lo) * 254, 0)
+        |      ELSE 0.0 END AS BIGINT) - 127 AS c
+        |  FROM ev JOIN mm ON ev.i = mm.i),
+        |qc AS (SELECT i, c FROM codes WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT codes.vec_id, CAST(sum(codes.c * qc.c) AS BIGINT) AS dot
+        |  FROM codes JOIN qc ON codes.i = qc.i
+        |  WHERE codes.vec_id <> 0 GROUP BY 1),
+        |qt AS (SELECT vec_id, dot,
+        |         row_number() OVER (ORDER BY dot DESC, vec_id) AS rank
+        |       FROM dots),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
+        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+        |dx AS (SELECT e.vec_id, sum(e.x * q.x) AS d
+        |       FROM ev e JOIN q ON e.i = q.i GROUP BY 1),
+        |scored AS (
+        |  SELECT dx.vec_id,
+        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+        |      THEN dx.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+        |  FROM dx JOIN norms ON dx.vec_id = norms.vec_id
+        |  WHERE dx.vec_id <> 0),
+        |exact10 AS (SELECT vec_id FROM scored
+        |            ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, dot,
+        |  vec_id IN (SELECT vec_id FROM exact10) AS in_exact
+        |FROM qt WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // Batch form of q_knn: same double-precision unnest cosine, one
     // row_number per query id. Norm product written ne.n * nq.n to

@@ -3896,6 +3896,36 @@ object SparkEntry {
         .orderBy("suppkey")
     },
 
+    // ALS SERVING: top-3 unrated parts per supplier by factor dot
+    // product — EXACT integer scores (micro × micro products of the
+    // long factors, no float anywhere), already-rated pairs masked by
+    // a left-anti join, per-user lists via the bounded TopK aggregate
+    // (≤3 structs per partial — the shuffle carries lists, never the
+    // |U|×|I| score matrix). The full cross-scoring is the honest
+    // exact tier at this scale; at 100 TB the item factors feed the
+    // ANN family (q_ann_*) instead — same vectors, bucketed serving.
+    "q_als_recs" -> { (s, dir) =>
+      val ratings = Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_suppkey").as("u"), col("l_partkey").as("i"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("r"))
+      val (userF, itemF, _) = graft.ml.Als.fit(
+        ratings, "u", "i", "r", iters = 2, lambda = 0.1)
+      val scored = userF.select(col("id").as("u"),
+          col("f1").as("u1"), col("f2").as("u2"))
+        .crossJoin(broadcast(itemF.select(col("id").as("i"),
+          col("f1").as("v1"), col("f2").as("v2"))))
+        .join(ratings.select("u", "i"), Seq("u", "i"), "left_anti")
+        .select(col("u"), col("i"),
+          (col("u1") * col("v1") + col("u2") * col("v2")).as("dot"))
+      scored.groupBy("u")
+        .agg(graft.stats.TopK.topK(
+          struct(col("dot").as("d"), (-col("i")).as("ni")), 3).as("top"))
+        .select(col("u").as("suppkey"), posexplode(col("top")).as(Seq("p", "v")))
+        .select(col("suppkey"), (col("p") + 1).cast("int").as("rank"),
+          (-col("v.ni")).as("partkey"), col("v.d").as("dot"))
+        .orderBy("suppkey", "rank")
+    },
+
     // RIDGE PATH FROM ONE PASS (ml/Ridge) — the regularized normal
     // equations over exact decimal sufficient statistics: all three λ
     // rows (λ=0 is the exact OLS baseline) come from a SINGLE
@@ -6696,6 +6726,51 @@ object SparkEntry {
     sb.setLength(sb.length - 2) // drop trailing ",\n"
     sb ++= s"\nSELECT id, rank FROM r$iters ORDER BY id"
     sb.toString
+  }
+
+  /** The q_als factor pipeline as a WITH-body (ratings → init → two
+    * unrolled alternations → uf2/if2), shared by q_als and
+    * q_als_recs so the recurrence replay can't drift between them.
+    * Each half-step's CTE pair comes from one template; every double
+    * expression shape mirrors ml/Als.halfStep.
+    */
+  private def alsOracleCtes: String = {
+    def half(mName: String, outName: String, solveKey: String,
+        otherKey: String, prevF: String): String = {
+      val a11 = "(CAST(s11 AS DOUBLE) / 1e12 + 0.1)"
+      val a12 = "(CAST(s12 AS DOUBLE) / 1e12)"
+      val a22 = "(CAST(s22 AS DOUBLE) / 1e12 + 0.1)"
+      val b1 = "(CAST(b1 AS DOUBLE) / 1e6)"
+      val b2 = "(CAST(b2 AS DOUBLE) / 1e6)"
+      val det = s"($a11 * $a22 - $a12 * $a12)"
+      val w1 = s"(($b1 * $a22 - $b2 * $a12) / $det)"
+      val w2 = s"(($a11 * $b2 - $a12 * $b1) / $det)"
+      s"""$mName AS (
+         |  SELECT r.$solveKey AS id,
+         |    sum(CAST(f.f1 * f.f1 AS HUGEINT)) AS s11,
+         |    sum(CAST(f.f1 * f.f2 AS HUGEINT)) AS s12,
+         |    sum(CAST(f.f2 * f.f2 AS HUGEINT)) AS s22,
+         |    sum(CAST(r.r * f.f1 AS HUGEINT)) AS b1,
+         |    sum(CAST(r.r * f.f2 AS HUGEINT)) AS b2
+         |  FROM ratings r JOIN $prevF f ON r.$otherKey = f.id GROUP BY 1),
+         |$outName AS (
+         |  SELECT id, CAST(round($w1 * 1e6, 0) AS BIGINT) AS f1,
+         |    CAST(round($w2 * 1e6, 0) AS BIGINT) AS f2
+         |  FROM $mName)""".stripMargin
+    }
+    s"""ratings AS (
+       |  SELECT l_suppkey AS u, l_partkey AS i,
+       |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS r
+       |  FROM lineitem GROUP BY 1, 2),
+       |if0 AS (
+       |  SELECT DISTINCT i AS id,
+       |    1000000 + (i % 7) * 100000 AS f1,
+       |    1000000 - (i % 5) * 50000 AS f2
+       |  FROM ratings),
+       |${half("m1", "uf1", "u", "i", "if0")},
+       |${half("m2", "if1", "i", "u", "uf1")},
+       |${half("m3", "uf2", "u", "i", "if1")},
+       |${half("m4", "if2", "i", "u", "uf2")}""".stripMargin
   }
 
   /** Personalized-PageRank replay: the [[pageRankOracle]] scaffold
@@ -10469,43 +10544,8 @@ object SparkEntry {
     // aggregate on exact HUGEINT moments, factors re-quantized to
     // micros per solve — CTEs generated from one template so the two
     // directions (and the Spark expression shapes) can't drift.
-    "q_als" -> {
-      def half(mName: String, outName: String, solveKey: String,
-          otherKey: String, prevF: String): String = {
-        val a11 = "(CAST(s11 AS DOUBLE) / 1e12 + 0.1)"
-        val a12 = "(CAST(s12 AS DOUBLE) / 1e12)"
-        val a22 = "(CAST(s22 AS DOUBLE) / 1e12 + 0.1)"
-        val b1 = "(CAST(b1 AS DOUBLE) / 1e6)"
-        val b2 = "(CAST(b2 AS DOUBLE) / 1e6)"
-        val det = s"($a11 * $a22 - $a12 * $a12)"
-        val w1 = s"(($b1 * $a22 - $b2 * $a12) / $det)"
-        val w2 = s"(($a11 * $b2 - $a12 * $b1) / $det)"
-        s"""$mName AS (
-           |  SELECT r.$solveKey AS id,
-           |    sum(CAST(f.f1 * f.f1 AS HUGEINT)) AS s11,
-           |    sum(CAST(f.f1 * f.f2 AS HUGEINT)) AS s12,
-           |    sum(CAST(f.f2 * f.f2 AS HUGEINT)) AS s22,
-           |    sum(CAST(r.r * f.f1 AS HUGEINT)) AS b1,
-           |    sum(CAST(r.r * f.f2 AS HUGEINT)) AS b2
-           |  FROM ratings r JOIN $prevF f ON r.$otherKey = f.id GROUP BY 1),
-           |$outName AS (
-           |  SELECT id, CAST(round($w1 * 1e6, 0) AS BIGINT) AS f1,
-           |    CAST(round($w2 * 1e6, 0) AS BIGINT) AS f2
-           |  FROM $mName)""".stripMargin
-      }
-      s"""WITH ratings AS (
-         |  SELECT l_suppkey AS u, l_partkey AS i,
-         |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS r
-         |  FROM lineitem GROUP BY 1, 2),
-         |if0 AS (
-         |  SELECT DISTINCT i AS id,
-         |    1000000 + (i % 7) * 100000 AS f1,
-         |    1000000 - (i % 5) * 50000 AS f2
-         |  FROM ratings),
-         |${half("m1", "uf1", "u", "i", "if0")},
-         |${half("m2", "if1", "i", "u", "uf1")},
-         |${half("m3", "uf2", "u", "i", "if1")},
-         |${half("m4", "if2", "i", "u", "uf2")},
+    "q_als" ->
+      s"""WITH $alsOracleCtes,
          |e AS (
          |  SELECT CAST(r.r * 1000000000000 -
          |    (u.f1 * i.f1 + u.f2 * i.f2) AS BIGINT) AS e
@@ -10514,8 +10554,23 @@ object SparkEntry {
          |         CAST(count(*) AS BIGINT) AS n FROM e)
          |SELECT u.id AS suppkey, u.f1, u.f2,
          |  round(sqrt(CAST(sse AS DOUBLE) / n) / 1e12, 6) AS rmse
-         |FROM uf2 u, st ORDER BY suppkey""".stripMargin
-    },
+         |FROM uf2 u, st ORDER BY suppkey""".stripMargin,
+
+    // The shared ALS factor CTEs plus the serving tail: mask rated
+    // pairs, exact integer dots, rank-3 per user.
+    "q_als_recs" ->
+      s"""WITH $alsOracleCtes,
+         |sc AS (
+         |  SELECT u.id AS u, i.id AS i, u.f1 * i.f1 + u.f2 * i.f2 AS dot
+         |  FROM uf2 u CROSS JOIN if2 i
+         |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
+         |                    WHERE r.u = u.id AND r.i = i.id)),
+         |rk AS (SELECT u, i, dot,
+         |         row_number() OVER (PARTITION BY u ORDER BY dot DESC, i) AS rank
+         |       FROM sc)
+         |SELECT u AS suppkey, CAST(rank AS INTEGER) AS rank, i AS partkey,
+         |  CAST(dot AS BIGINT) AS dot
+         |FROM rk WHERE rank <= 3 ORDER BY suppkey, rank""".stripMargin,
 
     // The same nine exact decimal moments; per-λ rows from an unnest,
     // every double expression shape identical to ml/Ridge.

@@ -3674,7 +3674,13 @@ object SparkEntry {
       val u = conv(substring(md5(concat(
         lit("rf11|"), col("tree").cast("string"), lit("|"), col("rid"))),
         1, 15), 16, 10).cast("long").cast("double") / 1152921504606846976.0
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val fan = li
+        // Spread rows BEFORE the ×B fan-out (the Bootstrap.replicateSums
+        // lesson): the scan's few input splits would otherwise hash
+        // B×|rows| md5s on a handful of threads — this was 21 s of the
+        // sf0.1 bench; the small pre-shuffle buys full-width hashing.
+        .repartition(parts)
         .select(col("*"),
           explode(sequence(lit(0L), lit((B - 1).toLong))).as("tree"))
         .withColumn("w", graft.stats.Bootstrap.poissonWeight(u))
@@ -3905,16 +3911,32 @@ object SparkEntry {
     // exact tier at this scale; at 100 TB the item factors feed the
     // ANN family (q_ann_*) instead — same vectors, bucketed serving.
     "q_als_recs" -> { (s, dir) =>
+      // cache the rollup: the fit's two layouts AND the serving mask
+      // all read it — one lineitem aggregation total
       val ratings = Tables.load(s, dir, "lineitem")
         .groupBy(col("l_suppkey").as("u"), col("l_partkey").as("i"))
         .agg(sum(round(col("l_quantity")).cast("long")).as("r"))
+        .cache()
       val (userF, itemF, _) = graft.ml.Als.fit(
-        ratings, "u", "i", "r", iters = 2, lambda = 0.1)
+        ratings, "u", "i", "r", iters = 2, lambda = 0.1,
+        computeRmse = false)
+      // broadcast BOTH small sides: the item factors for the cross and
+      // the rated-pair set for the anti join — the |U|×|I| score rows
+      // then never leave their map task (a sort-merge anti join here
+      // shuffled 20M rows and was 20 s of the sf0.1 bench). The mask
+      // key is PACKED into one long (u·2³² + i): a single-long hash
+      // probe beats the two-column row hash measurably at 20M probes.
+      // Probe-measured (tools/RecsProbe, sf0.1): cross 0.2 s,
+      // cross+anti 4.0 s, +TopK agg 0.5 s; the row_number/
+      // WindowGroupLimit form was 16.8 s — the bounded TopK aggregate
+      // wins by 3× end to end, so it stays.
+      val packed = (col("u") * 4294967296L + col("i")).as("k")
       val scored = userF.select(col("id").as("u"),
           col("f1").as("u1"), col("f2").as("u2"))
         .crossJoin(broadcast(itemF.select(col("id").as("i"),
           col("f1").as("v1"), col("f2").as("v2"))))
-        .join(ratings.select("u", "i"), Seq("u", "i"), "left_anti")
+        .withColumn("k", packed)
+        .join(broadcast(ratings.select(packed)), Seq("k"), "left_anti")
         .select(col("u"), col("i"),
           (col("u1") * col("v1") + col("u2") * col("v2")).as("dot"))
       scored.groupBy("u")

@@ -91,19 +91,26 @@ object Als {
       itemCol: String,
       ratingCol: String,
       iters: Int,
-      lambda: Double = 0.1): (DataFrame, DataFrame, Double) = {
+      lambda: Double = 0.1,
+      computeRmse: Boolean = true): (DataFrame, DataFrame, Double) = {
     require(iters >= 1, "iters must be >= 1")
     val r0 = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
       col(ratingCol).as("r"))
-    // two cached layouts: the user step groups by u, the item step by i
+    // two cached layouts: the user step groups by u, the item step by
+    // i. byI derives from byU's CACHE, so the upstream ratings rollup
+    // (often a full-corpus aggregation) runs once, not once per layout.
     val byU = r0.repartition(col("u")).cache()
-    val byI = r0.repartition(col("i")).cache()
+    val byI = byU.repartition(col("i")).cache()
     var itemF = initFactors(byI.select(col("i")).distinct(), "i")
       .localCheckpoint(true)
     var userF: DataFrame = null
     for (_ <- 1 to iters) {
       userF = halfStep(byU, "u", "i", itemF, lambda).localCheckpoint(true)
       itemF = halfStep(byI, "i", "u", userF, lambda).localCheckpoint(true)
+    }
+    if (!computeRmse) {
+      byU.unpersist(); byI.unpersist()
+      return (userF, itemF, Double.NaN)
     }
     // exact residuals: pred = u·v in 10⁻¹² units (long products), so
     // e = r·10¹² − pred is an exact integer and Σe² an exact decimal

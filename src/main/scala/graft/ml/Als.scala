@@ -58,8 +58,13 @@ object Als {
       fixed: DataFrame,
       lambda: Double): DataFrame = {
     val d = lit(1.0e12)
+    // BROADCAST the factor frame (|entities| rows — always the small
+    // side): without the hint the localCheckpoint's unknown size
+    // estimate picks a sort-merge join that re-shuffles the ratings
+    // AND destroys their cached co-partitioning, so the groupBy pays a
+    // second exchange — measured 2× the whole fit at sf0.1.
     val joined = ratings
-      .join(fixed.withColumnRenamed("id", fixedKey), fixedKey)
+      .join(broadcast(fixed.withColumnRenamed("id", fixedKey)), fixedKey)
     val m = joined.groupBy(col(solveKey).as("id")).agg(
       sum((col("f1") * col("f1")).cast("decimal(38,0)")).as("s11"),
       sum((col("f1") * col("f2")).cast("decimal(38,0)")).as("s12"),

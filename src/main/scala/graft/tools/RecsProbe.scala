@@ -64,6 +64,14 @@ object RecsProbe {
         .filter(col("rank") <= 3).count()
       println("  rows=" + n)
     }
+    // the EXACT registered query, twice, bench-style (cache cleared)
+    for (rep <- 1 to 2) {
+      spark.catalog.clearCache()
+      t(s"registered_q_als_recs_$rep") {
+        println("  rows=" +
+          graft.SparkEntry.queries("q_als_recs")(spark, dir).count())
+      }
+    }
     spark.stop()
   }
 }

@@ -2208,6 +2208,34 @@ object SparkEntry {
         .orderBy("event_type", "d")
     },
 
+    // STL-STYLE DECOMPOSITION of the daily event-count series into
+    // trend + day-of-week seasonal + residual, all EXACT INTEGER (the
+    // q_holt_winters discipline): trend = centered 7-day moving
+    // average (integer div, full windows only), seasonal = per-DOW
+    // truncated mean of the detrended series, residual = the exact
+    // remainder. The series frame is bounded (one row per day), so the
+    // ordered window is a bounded frame, not a data-scaled sort.
+    "q_stl" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+      val wTr = Window.orderBy("d").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("wn", count(lit(1)).over(wTr))
+        .withColumn("trend",
+          when(col("wn") === 7, expr("sum(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
+        .filter(col("trend").isNotNull)
+        .withColumn("det", col("x") - col("trend"))
+        .withColumn("dow", dayofweek(col("d")) - 1)
+      val seas = tr.groupBy("dow")
+        .agg(expr("sum(det) div count(1)").as("seasonal"))
+      tr.join(broadcast(seas), "dow")
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
+          col("x"), col("trend"), col("dow").cast("long").as("dow"),
+          col("seasonal"),
+          (col("x") - col("trend") - col("seasonal")).as("resid"))
+        .orderBy("d")
+    },
+
     "q_changepoint" -> { (s, dir) =>
       val daily = Tables.loadEvents(s, dir)
         .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
@@ -9222,6 +9250,30 @@ object SparkEntry {
          |SELECT event_type, d, cents, level, trend, season, fc FROM r WHERE t > 7
          |ORDER BY event_type, d""".stripMargin
     },
+
+    // Same integer moving-average / truncated-mean algebra; the `div`
+    // vs `//` truncation agreement covers the negative detrended rows.
+    "q_stl" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT d, x,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN CAST(sum(x) OVER w AS BIGINT) // 7 END AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT d, x, trend, x - trend AS det, dayofweek(d) AS dow
+        |  FROM tr WHERE trend IS NOT NULL),
+        |seas AS (
+        |  SELECT dow, CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal
+        |  FROM det GROUP BY 1)
+        |SELECT CAST(det.d AS VARCHAR) AS d, det.x, det.trend,
+        |  CAST(det.dow AS BIGINT) AS dow, seas.seasonal,
+        |  det.x - det.trend - seas.seasonal AS resid
+        |FROM det JOIN seas ON det.dow = seas.dow
+        |ORDER BY d""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (

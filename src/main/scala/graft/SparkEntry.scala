@@ -3135,6 +3135,47 @@ object SparkEntry {
         .orderBy("c_nationkey", "c_mktsegment")
     },
 
+    // T-CLOSENESS (Li/Li/Venkatasubramanian 2007) — the distribution-
+    // distance completion of the q_kanon/l-diversity privacy trio: a
+    // QI group can be k-anonymous and l-diverse yet still leak through
+    // its sensitive-value DISTRIBUTION. For the ordered sensitive
+    // attribute, EMD is the mean |cumulative difference| between group
+    // and global distributions — computed here as EXACT integers on
+    // the common denominator n_g·n (|cg·n − c·n_g| per bin prefix), so
+    // the only double is the final normalized division. Every frame is
+    // bounded (groups × bins), built from one pass of per-cell counts.
+    "q_tcloseness" -> { (s, dir) =>
+      val cust = Tables.load(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bin"))
+      val cells = cust.groupBy("c_nationkey", "c_mktsegment", "bin")
+        .agg(count(lit(1)).as("cnt"))
+      val groups = cells.groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum(col("cnt")).as("n_g"))
+      val bins = cust.groupBy("bin").agg(count(lit(1)).as("cnt_b"))
+        .withColumn("c", sum(col("cnt_b")).over(Window.orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val tot = bins.agg(sum(col("cnt_b")).as("n"),
+        count(lit(1)).as("nbins"))
+      val wg = Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      groups.crossJoin(broadcast(bins.select(col("bin"), col("c"))))
+        .join(cells, Seq("c_nationkey", "c_mktsegment", "bin"), "left")
+        .withColumn("cg", sum(coalesce(col("cnt"), lit(0L))).over(wg))
+        .crossJoin(broadcast(tot))
+        .withColumn("term", abs(col("cg") * col("n") - col("c") * col("n_g")))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+          col("n"), col("nbins"))
+        .agg(sum(col("term")).as("emd_scaled"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
+          round(col("emd_scaled").cast("double") /
+            (col("n_g") * col("n") * (col("nbins") - 1)).cast("double"), 6)
+            .as("emd"))
+        .withColumn("breach", col("emd") > 0.2)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // Sample-ratio mismatch (SRM) gate — the experimentation-ops check
     // that runs BEFORE any A/B readout is trusted: a 50/50 hash split
     // whose observed arm counts drift from expectation signals a
@@ -10038,6 +10079,44 @@ object SparkEntry {
         |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_distinct,
         |  count(*) < 10 AS risky_k
         |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The same exact common-denominator EMD: per-group and global
+    // cumulatives over the full bin list, |cg·n − c·n_g| summed.
+    "q_tcloseness" ->
+      """WITH cu AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bin
+        |  FROM customer),
+        |cells AS (SELECT c_nationkey, c_mktsegment, bin,
+        |            CAST(count(*) AS BIGINT) AS cnt FROM cu GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_nationkey, c_mktsegment,
+        |          CAST(sum(cnt) AS BIGINT) AS n_g FROM cells GROUP BY 1, 2),
+        |bins AS (
+        |  SELECT bin, CAST(count(*) AS BIGINT) AS cnt_b,
+        |    CAST(sum(count(*)) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+        |  FROM cu GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt_b) AS BIGINT) AS n,
+        |          CAST(count(*) AS BIGINT) AS nbins FROM bins),
+        |fz AS (
+        |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.bin, b.c,
+        |    CAST(sum(coalesce(ce.cnt, 0)) OVER (
+        |      PARTITION BY g.c_nationkey, g.c_mktsegment ORDER BY b.bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg
+        |  FROM grp g CROSS JOIN bins b
+        |  LEFT JOIN cells ce ON ce.c_nationkey = g.c_nationkey
+        |    AND ce.c_mktsegment = g.c_mktsegment AND ce.bin = b.bin),
+        |agg AS (
+        |  SELECT f.c_nationkey, f.c_mktsegment, f.n_g,
+        |    CAST(sum(abs(f.cg * t.n - f.c * f.n_g)) AS BIGINT) AS emd_scaled,
+        |    max(t.n) AS n, max(t.nbins) AS nbins
+        |  FROM fz f, tot t GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment, n_g,
+        |  round(CAST(emd_scaled AS DOUBLE)
+        |        / CAST(n_g * n * (nbins - 1) AS DOUBLE), 6) AS emd,
+        |  round(CAST(emd_scaled AS DOUBLE)
+        |        / CAST(n_g * n * (nbins - 1) AS DOUBLE), 6) > 0.2 AS breach
+        |FROM agg ORDER BY 1, 2""".stripMargin,
 
     "q_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

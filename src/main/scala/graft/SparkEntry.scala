@@ -3020,6 +3020,26 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // MEDIAN bootstrap (stats/Bootstrap.rankedMedians) — the CI the
+    // q_bootstrap machinery exists for (no CLT closed form for a
+    // median): same deterministic Poisson weights, but each replicate
+    // takes the exact weighted median via percentile's frequency arg —
+    // resampled rows never physically repeat; the oracle unnests
+    // range(w) for identical repeated-value semantics.
+    "q_bootstrap_median" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"))
+      graft.stats.Bootstrap.rankedMedians(o, "cents", "o_orderkey",
+          b = 32, salt = "bm11")
+        .select(col("rank"), col("rep"), col("n"),
+          round(col("med"), 6).as("med"),
+          (col("rank") === 4).as("is_ci10_lo"),
+          (col("rank") === 29).as("is_ci10_hi"))
+        .orderBy("rank")
+    },
+
     // Catalog statistics sweep (the ANALYZE TABLE complement of
     // q_join_size's sketch estimate): per column of the four dimension
     // tables, row count / exact NDV / null count — collected as ONE
@@ -9983,6 +10003,33 @@ object SparkEntry {
          |m AS (SELECT rep, n, sum_v, CAST(sum_v AS DOUBLE) / n AS mean FROM a),
          |rk AS (SELECT *, row_number() OVER (ORDER BY mean, rep) AS rank FROM m)
          |SELECT rank, rep, n, sum_v, round(mean, 6) AS mean,
+         |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
+         |FROM rk ORDER BY rank""".stripMargin
+    },
+
+    // Same weights; the frequency-weighted median replayed by
+    // physically unnesting range(w) per row.
+    "q_bootstrap_median" -> {
+      val u = "(('0x' || substr(md5('bm11|' || CAST(rep AS VARCHAR) || '|' || " +
+        "CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)"
+      s"""WITH o AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |reps AS (SELECT range AS rep FROM range(32)),
+         |w AS (
+         |  SELECT rep, cents,
+         |    ${graft.stats.Bootstrap.poissonWeightSql(u)} AS w
+         |  FROM o, reps),
+         |wx AS (SELECT rep, cents
+         |       FROM w JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS k) r
+         |         ON r.k <= w.w),
+         |a AS (
+         |  SELECT rep, quantile_cont(cents, 0.5) AS med,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM wx GROUP BY 1),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY med, rep) AS rank FROM a)
+         |SELECT rank, rep, n, round(med, 6) AS med,
          |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
          |FROM rk ORDER BY rank""".stripMargin
     },

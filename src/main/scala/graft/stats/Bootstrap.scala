@@ -96,4 +96,38 @@ object Bootstrap {
       .withColumn("mean", col("sum_v").cast("double") / col("n"))
       .withColumn("rank",
         row_number().over(Window.orderBy(col("mean"), col("rep"))))
+
+  /** Median bootstrap: the same deterministic Poisson fan-out, but
+    * each replicate takes the exact interpolated WEIGHTED median — the
+    * Poisson weight rides `percentile(v, 0.5, w)` as a frequency, so
+    * the resampled rows are never physically repeated (the oracle
+    * unnests `range(w)` instead; identical repeated-value semantics).
+    * Rank window over B rows; the CI for a median is where the
+    * bootstrap actually earns its keep — no CLT closed form to lean
+    * on. Medians over integer units interpolate exactly on both
+    * engines (the q_quantiles parity).
+    */
+  def rankedMedians(df: DataFrame, valueCol: String, idCol: String,
+      b: Int, salt: String): DataFrame = {
+    require(b > 0, "need at least one replicate")
+    require(df.schema(valueCol).dataType ==
+      org.apache.spark.sql.types.LongType,
+      s"$valueCol must be LongType (scale to integer units first)")
+    val u = conv(substring(md5(concat(
+      lit(salt), lit("|"), col("rep").cast("string"), lit("|"),
+      col(idCol).cast("string"))), 1, 15), 16, 10)
+      .cast("long").cast("double") / TwoPow60
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.select(col(idCol), col(valueCol))
+      .repartition(parts)
+      .select(col(idCol), col(valueCol),
+        explode(sequence(lit(0L), lit((b - 1).toLong))).as("rep"))
+      .withColumn("w", poissonWeight(u))
+      .filter(col("w") > 0)
+      .groupBy("rep")
+      .agg(expr(s"percentile($valueCol, 0.5, w)").as("med"),
+        sum(col("w")).as("n"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("med"), col("rep"))))
+  }
 }

@@ -1504,6 +1504,43 @@ object SparkEntry {
         .orderBy("file_id")
     },
 
+    // PER-FILE BLOOM INDEX (sources/BloomIndex) — the equality-probe
+    // complement of q_minmax_index, on a layout where zone maps are
+    // USELESS by construction (rows in md5-hash order, so every file's
+    // [min, max] of l_orderkey spans the domain): the index stores
+    // each file's md5-derived bit-position set, a point probe reads
+    // only files whose bloom holds all k positions. Output shows both
+    // prunings side by side — `reads_zone` ≈ every file,
+    // `reads_bloom` ≈ the files that truly contain the key (+ rare
+    // false positives, never a false negative).
+    "q_bloom_index" -> { (s, dir) =>
+      import graft.sources.{BloomIndex, MinMaxIndex}
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          md5(concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string"))).as("h"))
+      val sortCols = Seq(col("h"), col("l_orderkey"), col("l_linenumber"))
+      val bloom = BloomIndex.buildIndex(li, "l_orderkey", sortCols,
+        rowsPerFile = 4096L)
+      val zones = MinMaxIndex.buildIndex(li, "l_orderkey", sortCols,
+        rowsPerFile = 4096L)
+      // a mid-domain key that EXISTS (smallest key ≥ max/2): zone maps
+      // cannot prune it on this layout, the bloom can — bounded
+      // two-scalar derivation, replayed verbatim by the oracle
+      val half = li.agg(max("l_orderkey")).head.getLong(0) / 2
+      val probeV = li.filter(col("l_orderkey") >= half)
+        .agg(min("l_orderkey")).head.getLong(0)
+      val probe = lit(probeV)
+      BloomIndex.annotateProbe(bloom, probe)
+        .withColumnRenamed("reads_for_probe", "reads_bloom")
+        .join(MinMaxIndex.annotateProbe(zones, probe, probe)
+          .withColumnRenamed("reads_for_probe", "reads_zone"), "file_id")
+        .select(col("file_id"), col("n"), col("n_positions"),
+          size(col("bloom")).cast("long").as("bloom_size"),
+          col("min_v"), col("max_v"), col("reads_bloom"), col("reads_zone"))
+        .orderBy("file_id")
+    },
+
     // Full CDC apply with delete tombstones (Debezium-style op
     // streams): the highest-version change per key decides its fate —
     // 'U' upserts, 'D' erases the key (base row included), a later
@@ -8552,6 +8589,48 @@ object SparkEntry {
         |SELECT file_id, CAST(n AS BIGINT) AS n, min_v, max_v,
         |  max_v >= '1995-06-01' AND min_v <= '1995-08-31' AS reads_for_probe
         |FROM f ORDER BY file_id""".stripMargin,
+
+    // Same md5 hash-order layout and bit positions; bloom membership
+    // replayed as per-position EXISTS over the exploded set.
+    "q_bloom_index" -> {
+      def posSql(v: String, i: Int): String =
+        s"(('0x' || substr(md5('bl$i|' || $v), 1, 15))::BIGINT % 16384)"
+      val rowPos = (0 until 4)
+        .map(i => posSql("CAST(l_orderkey AS VARCHAR)", i)).mkString(", ")
+      val pv = "(SELECT CAST(min(l_orderkey) AS VARCHAR) FROM lineitem " +
+        "WHERE l_orderkey >= (SELECT max(l_orderkey) // 2 FROM lineitem))"
+      val pvN = "(SELECT min(l_orderkey) FROM lineitem " +
+        "WHERE l_orderkey >= (SELECT max(l_orderkey) // 2 FROM lineitem))"
+      val probePos = (0 until 4).map(i => posSql(pv, i))
+      s"""WITH b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+         |        CAST(l_linenumber AS VARCHAR)) AS h
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_orderkey,
+         |    row_number() OVER (ORDER BY h, l_orderkey, l_linenumber) AS rk
+         |  FROM b),
+         |f AS (SELECT (rk - 1) // 4096 AS file_id, l_orderkey FROM r),
+         |pos AS (
+         |  SELECT file_id, unnest([$rowPos]) AS p FROM f),
+         |g AS (
+         |  SELECT file_id, CAST(count(*) AS BIGINT) AS n_positions,
+         |    CAST(count(DISTINCT p) AS BIGINT) AS bloom_size,
+         |    ${probePos.zipWithIndex.map { case (p, i) =>
+               s"bool_or(p = $p) AS hit$i" }.mkString(",\n         |    ")}
+         |  FROM pos GROUP BY 1),
+         |mm AS (
+         |  SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+         |    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v
+         |  FROM f GROUP BY 1)
+         |SELECT g.file_id, mm.n, g.n_positions, g.bloom_size,
+         |  mm.min_v, mm.max_v,
+         |  g.hit0 AND g.hit1 AND g.hit2 AND g.hit3 AS reads_bloom,
+         |  mm.max_v >= $pvN AND mm.min_v <= $pvN AS reads_zone
+         |FROM g JOIN mm ON g.file_id = mm.file_id
+         |ORDER BY g.file_id""".stripMargin
+    },
 
     // arg_max skips NULL values natively — the per-field
     // latest-non-null semantics, replayed.

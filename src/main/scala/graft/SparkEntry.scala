@@ -2027,6 +2027,27 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     },
 
+    // POISSON REGRESSION (log-link GLM, ml/PoissonGd) — the
+    // count-outcome member of the GLM family (q_lingd identity link,
+    // q_logreg logit link): events-per-user-per-day modeled on a
+    // weekend indicator and a user bucket. One aggregation job per
+    // iteration, exact decimal gradient sums, per-row rounded
+    // clamped e^z — training replays bit-for-bit in the oracle.
+    "q_poisson" -> { (s, dir) =>
+      val d = Tables.loadEvents(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("y"))
+        .select(
+          when((dayofweek(col("day")) - 1).isin(0, 6), 1.0)
+            .otherwise(0.0).as("x1"),
+          (pmod(col("user_id"), lit(5)).cast("double") / 10.0).as("x2"),
+          col("y"))
+      val w = graft.ml.PoissonGd.fit(d, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 6)
+      s.range(1).select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+        lit(w(2)).as("w2"))
+    },
+
     // Experiment analysis: deterministic 50/50 hash split of users →
     // per-user conversion (a high-value purchase) → 2×2 chi-square
     // independence statistic from exact integer bucket counts in one
@@ -7140,6 +7161,45 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled Poisson-GD replay (the logRegOracle pattern with the
+    * clamped exponential mean): μ̂ = round(e^min(z, 5), 6) per row,
+    * exact decimal(18,6) gradient sums, rounded updates.
+    */
+  private def poissonOracle(iters: Int, lr: Double): String = {
+    val sb = new StringBuilder(
+      """WITH d AS (
+        |  SELECT CASE WHEN dayofweek(day) IN (0, 6) THEN 1.0 ELSE 0.0 END AS x1,
+        |    CAST(user_id % 5 AS DOUBLE) / 10 AS x2, CAST(cnt AS DOUBLE) AS y
+        |  FROM (SELECT user_id, CAST(ts AS DATE) AS day,
+        |          count(*) AS cnt FROM events GROUP BY 1, 2)),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |w0_0 AS (SELECT 0.0 AS v),
+        |w0_1 AS (SELECT 0.0 AS v),
+        |w0_2 AS (SELECT 0.0 AS v),
+        |""".stripMargin)
+    def zOf(p: Int): String =
+      s"(((SELECT v FROM w${p}_0) + (SELECT v FROM w${p}_1) * x1)" +
+        s" + (SELECT v FROM w${p}_2) * x2)"
+    for (k <- 1 to iters) {
+      val p = k - 1
+      val mu = s"round(exp(least(${zOf(p)}, 5.0)), 6)"
+      def upd(j: Int, mult: String): String =
+        s"""s${k}_$j AS MATERIALIZED (SELECT sum(CAST($mu - y AS DECIMAL(18,6))$mult) AS s FROM d),
+           |w${k}_$j AS MATERIALIZED (SELECT round((SELECT v FROM w${p}_$j)
+           |  - $lr * round(CAST((SELECT s FROM s${k}_$j) AS DOUBLE) / (SELECT n FROM nn), 6), 6) AS v),
+           |""".stripMargin
+      sb ++= upd(0, "")
+      sb ++= upd(1, " * CAST(x1 AS DECIMAL(18,6))")
+      sb ++= upd(2, " * CAST(x2 AS DECIMAL(18,6))")
+    }
+    sb.setLength(sb.length - 2)
+    sb ++= s"""
+      |SELECT (SELECT v FROM w${iters}_0) AS w0,
+      |  (SELECT v FROM w${iters}_1) AS w1,
+      |  (SELECT v FROM w${iters}_2) AS w2""".stripMargin
+    sb.toString
+  }
+
   /** Unrolled BPE training replay (the q_kmeans/q_lingd deterministic-
     * iteration pattern, round-9 directive #1): v0 is the word
     * histogram with each word's char-wrapped symbol string; every
@@ -8287,6 +8347,7 @@ object SparkEntry {
     "q_lingd" -> linGdOracle(2, 0.01),
     "q_lingd_eval" -> linGdEvalOracle(2, 0.01),
     "q_logreg" -> logRegOracle(3, 1.0, scoring = false),
+    "q_poisson" -> poissonOracle(6, 1.0),
     "q_logreg_score" -> logRegOracle(3, 1.0, scoring = true),
 
     // The window row_number mirror of the distributed global rank

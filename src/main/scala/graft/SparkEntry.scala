@@ -211,6 +211,26 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // INCREMENTAL SKYLINE MAINTENANCE — the engine's core operator
+    // made append-friendly: for insert-only batches,
+    // Sky(D ∪ B) = Sky(Sky(D) ∪ B), so a maintained skyline absorbs a
+    // delta by running the operator over (current skyline ∪ batch) —
+    // per-batch cost ∝ |Sky| + |B|, the corpus is NEVER rescanned
+    // (the q_incr_agg/q_incr_join discipline applied to dominance).
+    // The oracle is the FULL recompute over base ∪ delta — passing
+    // hash-equality IS the equivalence proof.
+    "q_skyline_incr" -> { (s, dir) =>
+      val r = Tables.load(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice",
+          "l_discount", "l_shipdate")
+      val base = r.filter(col("l_orderkey") % 10 =!= 0)
+      val delta = r.filter(col("l_orderkey") % 10 === 0)
+      val maintained = SkylineOp.twoPhase(base, lineitemSpec)
+      SkylineOp.twoPhase(maintained.unionByName(delta), lineitemSpec)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // Same skyline semantics through the quadtree-partitioned SKY-MR
     // plan (parallel final merge) — scoped to returnflag 'A' so it
     // exercises a different slice than q_skyline_lineitem.
@@ -7502,6 +7522,25 @@ object SparkEntry {
         |  min(CASE WHEN l_discount <> 0.0 THEN l_discount END) AS min_l_discount,
         |  max(CASE WHEN l_discount <> 0.0 THEN l_discount END) AS max_l_discount
         |FROM lineitem""".stripMargin,
+
+    // FULL recompute over base ∪ delta (= the whole 'R' slice): hash
+    // equality with the incremental result proves
+    // Sky(Sky(D) ∪ B) ≡ Sky(D ∪ B).
+    "q_skyline_incr" ->
+      """SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate
+        |FROM lineitem p
+        |WHERE p.l_returnflag = 'R'
+        |  AND p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_shipdate IS NOT NULL
+        |  AND NOT EXISTS (
+        |  SELECT 1 FROM lineitem q WHERE q.l_returnflag = 'R'
+        |    AND q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_shipdate IS NOT NULL
+        |    AND q.l_extendedprice <= p.l_extendedprice
+        |    AND q.l_discount >= p.l_discount
+        |    AND q.l_shipdate <= p.l_shipdate
+        |    AND (q.l_extendedprice < p.l_extendedprice
+        |      OR q.l_discount > p.l_discount
+        |      OR q.l_shipdate < p.l_shipdate))
+        |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
 
     "q_skyline_lineitem" ->
       """SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate

@@ -1882,6 +1882,27 @@ object SparkEntry {
         maxIters = 10).orderBy("id")
     },
 
+    // Closeness centrality of the 4 lowest-id customers over the same
+    // bipartite customer–supplier host graph as q_bfs: per-seed BFS
+    // with (seed, id)-keyed frontier state (graph/Closeness — k seeds
+    // share one edge co-location, NOT k sequential passes). Exact
+    // integer output (n_reached, sum_dist, ecc); the closeness ratio
+    // (n_reached−1)/sum_dist stays rational, never floated.
+    "q_closeness" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = base.unionAll(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(4)
+      graft.graph.Closeness.closeness(edges, "src", "dst", seeds,
+        maxIters = 10).orderBy("seed")
+    },
+
     // Triangle census of the same host graph (community structure /
     // link-farm signal on a crawl graph): degree-ordered orientation
     // caps the wedge join's fan-out at O(√m) per node — the form that
@@ -6290,6 +6311,23 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     },
 
+    // DBSCAN over the same synthetic geo surface (different salt):
+    // grid-blocked ε-join → core/border/noise with min-id-pinned
+    // border attachment (sim/Dbscan — textbook DBSCAN's scan-order
+    // dependence made deterministic). Exact integer distances; the
+    // oracle replays core/border algebra relationally and the core
+    // components by recursive min-label propagation.
+    "q_dbscan" -> { (s, dir) =>
+      def coord(salt: String) = conv(substring(md5(
+        concat(lit(salt + "|"), col("c_custkey").cast("string"))),
+        1, 15), 16, 10).cast("long") % 100000L
+      val pts = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        coord("dbx").as("x"), coord("dby").as("y"))
+      graft.sim.Dbscan.cluster(pts, "id", "x", "y", 4000L, 5)
+        .orderBy("id")
+    },
+
     // Kaplan-Meier retention curves per market segment: subject =
     // customer, duration = weeks between first and last order, event =
     // churned (last order >30 days before the dataset's horizon),
@@ -8991,6 +9029,25 @@ object SparkEntry {
         |  WHERE r.d < 10)
         |SELECT id, min(d) AS dist FROM reach GROUP BY id
         |ORDER BY id""".stripMargin,
+
+    // Same host graph; per-seed BFS replayed as a (seed, id, d)
+    // recursive CTE from the 4 lowest-id nodes, min-d per pair, then
+    // the integer closeness summary.
+    "q_closeness" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
+        |seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 4),
+        |reach(seed, id, d) AS (
+        |  SELECT id, id, 0 FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.d < 10),
+        |md AS (SELECT seed, id, min(d) AS d FROM reach GROUP BY seed, id)
+        |SELECT seed, count(*) AS n_reached,
+        |  CAST(sum(d) AS BIGINT) AS sum_dist, max(d) AS ecc
+        |FROM md GROUP BY seed ORDER BY seed""".stripMargin,
 
     // Same host edges; canonicalize, orient from the (degree, id)-
     // smaller endpoint, wedge-join on the center, close against the
@@ -12775,6 +12832,46 @@ object SparkEntry {
         |  ON a.id < b.id
         |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000*4000
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // Same coordinate generator (dbx/dby salt); all-pairs ε-join is
+    // fine oracle-side at sf0.01. Core = |N_ε|+self ≥ 5; components of
+    // the core subgraph by recursive min-label propagation; border =
+    // non-core attached through its minimum-id core neighbor.
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT c_custkey AS id,
+        |    ('0x' || substr(md5('dbx|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS x,
+        |    ('0x' || substr(md5('dby|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS y
+        |  FROM customer),
+        |nb AS (
+        |  SELECT a.id AS id, b.id AS nid FROM p a JOIN p b
+        |  ON a.id <> b.id
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000*4000),
+        |core AS (
+        |  SELECT id FROM nb GROUP BY id HAVING count(*) + 1 >= 5),
+        |ce AS (
+        |  SELECT n.id AS a, n.nid AS b FROM nb n
+        |  JOIN core c1 ON n.id = c1.id JOIN core c2 ON n.nid = c2.id),
+        |cc(id, comp) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT ce.b, cc.comp FROM cc JOIN ce ON ce.a = cc.id),
+        |lab AS (SELECT id, min(comp) AS cluster FROM cc GROUP BY id),
+        |bord AS (
+        |  SELECT n.id, min(n.nid) AS anchor FROM nb n
+        |  JOIN core c ON n.nid = c.id
+        |  WHERE n.id NOT IN (SELECT id FROM core)
+        |  GROUP BY n.id)
+        |SELECT p.id,
+        |  CASE WHEN lab.cluster IS NOT NULL THEN 'core'
+        |       WHEN al.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(lab.cluster, al.cluster) AS cluster
+        |FROM p
+        |LEFT JOIN lab ON lab.id = p.id
+        |LEFT JOIN (SELECT bord.id, lab.cluster FROM bord
+        |           JOIN lab ON lab.id = bord.anchor) al ON al.id = p.id
+        |ORDER BY p.id""".stripMargin,
 
     // The KM product carried through a recursive CTE: each step is
     // ((s · (n−d)) / n) on doubles — the identical left-assoc op

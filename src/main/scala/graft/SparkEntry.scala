@@ -6369,6 +6369,25 @@ object SparkEntry {
       graft.graph.Triangles.perNode(e, "pa", "pb").orderBy("v")
     },
 
+    // Link prediction on the same co-purchase projection: rank
+    // non-adjacent part pairs at distance 2 by shared-neighbor count
+    // (graph/LinkPred — wedge equi-join candidate generation, exact
+    // integer common-neighbor / rational-Jaccard / preferential-
+    // attachment scores). Top 100 by (cn desc, a, b): unique pair key
+    // makes the cut deterministic; TakeOrdered, never a global sort.
+    "q_link_pred" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
+      graft.graph.LinkPred.commonNeighborScores(e, "pa", "pb",
+          minCommon = 2L)
+        .orderBy(col("cn").desc, col("a"), col("b")).limit(100)
+    },
+
     // Dynamic partition pruning through a month-partitioned at-rest
     // fact: orders land as om=yyyy-MM hive partitions, the month dim
     // carries the year, and a year filter on the dim side prunes the
@@ -12937,6 +12956,31 @@ object SparkEntry {
         |  deg.d * (deg.d - 1) // 2 AS wedges
         |FROM deg LEFT JOIN pv ON pv.v = deg.v
         |ORDER BY deg.v""".stripMargin,
+
+    // Same projection edges; wedge join on the shared neighbor, the
+    // NOT EXISTS mirror of the Spark anti-join, integer scores.
+    "q_link_pred" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0),
+        |und AS (
+        |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
+        |  FROM li x JOIN li y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |sym AS (SELECT u AS c, v AS n FROM und
+        |        UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY c),
+        |wed AS (
+        |  SELECT s1.n AS x, s2.n AS y, CAST(count(*) AS BIGINT) AS cn
+        |  FROM sym s1 JOIN sym s2 ON s1.c = s2.c AND s1.n < s2.n
+        |  GROUP BY s1.n, s2.n HAVING count(*) >= 2),
+        |cand AS (
+        |  SELECT w.* FROM wed w WHERE NOT EXISTS
+        |    (SELECT 1 FROM und WHERE und.u = w.x AND und.v = w.y))
+        |SELECT c.x AS a, c.y AS b, c.cn, c.cn AS jac_num,
+        |  da.d + db.d - c.cn AS jac_den, da.d * db.d AS pa
+        |FROM cand c
+        |JOIN deg da ON da.c = c.x JOIN deg db ON db.c = c.y
+        |ORDER BY c.cn DESC, a, b LIMIT 100""".stripMargin,
 
     // The pruned star query recomputed from the unsplit table.
     "q_dpp" ->

@@ -3036,6 +3036,23 @@ object SparkEntry {
         .orderBy("split")
     },
 
+    // Empirical-Bayes beta-binomial shrinkage of per-user click-
+    // through rates (clicks / click-or-view events): method-of-moments
+    // Beta prior fit and posterior means entirely in 1e-6 fixed point
+    // (stats/EbSmooth) — small-n users shrink to the corpus rate,
+    // heavy users keep their own. Zero floats; the oracle replays the
+    // identical integer algebra.
+    "q_eb_smooth" -> { (s, dir) =>
+      val g = Tables.loadEvents(s, dir)
+        .filter(col("event_type").isin("view", "click"))
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("k"),
+          count(lit(1)).as("n"))
+      graft.stats.EbSmooth.betaBinomial(g, Seq("user_id"), "k", "n")
+        .orderBy("user_id")
+    },
+
     // Embedding-space norm audit per label: vector norms fold the
     // array in INDEX order (deterministic in any engine), and only
     // order-independent extremes aggregate across rows — a collapsed
@@ -10188,6 +10205,29 @@ object SparkEntry {
         |    + 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
         |    / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_hi
         |FROM c ORDER BY split""".stripMargin,
+
+    // The fixed-point EB fit replayed verbatim: integer div at every
+    // step, scalar CTEs instead of broadcasts.
+    "q_eb_smooth" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |  GROUP BY user_id),
+        |p AS (SELECT user_id, k, n, (k * 1000000) // n AS p6 FROM g),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS gg,
+        |        CAST(sum(p6) AS BIGINT) // CAST(count(*) AS BIGINT) AS m6
+        |      FROM p),
+        |v AS (SELECT CAST(sum((p.p6 - m.m6) * (p.p6 - m.m6)) AS BIGINT)
+        |        // max(m.gg) AS var12
+        |      FROM p, m),
+        |r AS (SELECT greatest(2, (m.m6 * (1000000 - m.m6))
+        |        // greatest(v.var12, 1)) AS r, m.m6 AS m6
+        |      FROM m, v)
+        |SELECT p.user_id, p.k, p.n, p.p6,
+        |  (p.k * 1000000 + r.m6 * (r.r - 1)) // (p.n + r.r - 1) AS post6
+        |FROM p, r ORDER BY p.user_id""".stripMargin,
 
     // Norms per q_knn's unnest shape; only order-independent extremes
     // aggregate across rows, rounded at the documented grain.

@@ -1285,6 +1285,39 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
+    // Transparent materialized-view rewrite (plans/MvRewrite): an MV
+    // summarizing orders by (priority, status) with partial counts +
+    // exact key checksums is staged once; the registered Catalyst rule
+    // then re-aims this ROLLUP (priority only — a strict subset of the
+    // MV grouping) at the summary, merging partials (count → Σcnt,
+    // sum → Σpartial). The oracle recomputes from base — identical
+    // answers prove the merge algebra; MvRewriteSpec pins the plan
+    // actually scanning the summary and the filter/extra-measure
+    // guardrails.
+    "q_mv_rewrite" -> { (s, dir) =>
+      val basePath = s"$dir/orders.parquet"
+      val summ = System.getProperty("java.io.tmpdir") +
+        s"/graft_mv_orders_${stageTag(dir)}"
+      if (!new java.io.File(summ, "_SUCCESS").exists())
+        Tables.load(s, dir, "orders")
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("mv_cnt"),
+            sum(col("o_orderkey")).as("mv_sum_okey"))
+          .write.mode("overwrite").parquet(summ)
+      val mv = graft.plans.MvDef(basePath, summ,
+        Seq("o_orderpriority", "o_orderstatus"), "mv_cnt",
+        Map("o_orderkey" -> "mv_sum_okey"))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MvRewrite => r.mv == mv
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.MvRewrite(s, mv)
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderpriority")
+    },
+
     // Z-ORDER clustering key (lakehouse OPTIMIZE ZORDER BY): Morton
     // code over integer-bucketized (l_partkey, l_suppkey) — the sort
     // key writeZOrdered clusters files by, giving every file a tight
@@ -8577,6 +8610,14 @@ object SparkEntry {
         |  round(sum(s), 2) AS sum_value
         |FROM p WHERE d BETWEEN '2024-01-03' AND '2024-01-09'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Recomputed from the base table — the MV-merged rollup must be
+    // indistinguishable from the direct aggregate.
+    "q_mv_rewrite" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q_zorder" -> zorderOracle(8),
 

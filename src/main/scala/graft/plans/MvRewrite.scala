@@ -1,0 +1,142 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+
+/** Materialized-view definition for [[MvRewrite]]: a summary parquet
+  * at `summaryPath` holding, per distinct `groupCols` combination of
+  * the base parquet at `basePath`, a partial row count (`cntCol`) and
+  * partial sums (`sumCols`: base measure column → summary column).
+  * Measures must be integral or double base columns; partial counts
+  * and integral sums re-merge exactly, which is why the canonical MV
+  * measures here are row counts and key checksums (replica-audit
+  * aggregates), not float money columns.
+  */
+case class MvDef(
+    basePath: String,
+    summaryPath: String,
+    groupCols: Seq[String],
+    cntCol: String,
+    sumCols: Map[String, String])
+
+/** Transparent aggregate rewrite onto a materialized summary — the
+  * lakehouse "query rewrite using materialized views" optimization as
+  * a Catalyst `Rule[LogicalPlan]`: an `Aggregate` whose grouping is a
+  * SUBSET of the MV's group columns (rollups included), whose
+  * aggregates are `count(literal)` / `sum(measure)`, and whose child
+  * is a bare scan (optionally attribute-only `Project`) of the MV's
+  * base parquet is re-aimed at the summary parquet, with the
+  * aggregates re-associated: count → Σ partial counts, sum → Σ
+  * partial sums. Output attribute ids and names are preserved via
+  * explicit-exprId aliases, so parent operators (sorts, projects)
+  * never notice the swap.
+  *
+  * Guardrails = correctness: any `Filter`, computed projection,
+  * distinct aggregate, aggregate filter clause, unsupported function,
+  * or out-of-MV column leaves the plan untouched. The base tables here
+  * are immutable per data dir; a mutable-table deployment would gate
+  * this rule on the commit-log version of base vs summary
+  * ([[graft.sources.CommitLog]]), which is metadata the rule can
+  * check without reading data.
+  *
+  * Register per session via `spark.experimental.extraOptimizations`
+  * (the [[graft.sql.SkylineSql]] hook pattern) — runs after the main
+  * optimizer batches, when pruned scans are still `LogicalRelation`s.
+  *
+  * At 100 TB this is the difference between a full fact scan and a
+  * ~|groups| summary read for every dashboard rollup; the reference
+  * engine recomputes from raw text on every job (Skyline.java's
+  * single-pass design — no at-rest summary surface at all).
+  */
+class MvRewrite(spark: SparkSession, val mv: MvDef)
+    extends Rule[LogicalPlan] {
+
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The child is a scan of the MV base (possibly through an
+    * attribute-only Project). */
+  private def isBaseScan(plan: LogicalPlan): Boolean = plan match {
+    case lr: LogicalRelation => lr.relation match {
+      case fs: HadoopFsRelation =>
+        fs.location.rootPaths.exists(rp =>
+          norm(rp.toString) == norm(mv.basePath))
+      case _ => false
+    }
+    case Project(pl, child)
+        if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      isBaseScan(child)
+    case _ => false
+  }
+
+  private def plainAgg(e: Expression): Option[AggregateExpression] =
+    e match {
+      case ae: AggregateExpression
+          if ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty =>
+        Some(ae)
+      case _ => None
+    }
+
+  /** Summary measure column answering this aggregate function, if
+    * supported: count(lit) → cntCol, sum(col in sumCols) → its
+    * partial-sum column. */
+  private def partialCol(ae: AggregateExpression): Option[String] =
+    ae.aggregateFunction match {
+      case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+        Some(mv.cntCol)
+      case s: Sum => s.child match {
+        case a: AttributeReference => mv.sumCols.get(a.name)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private def rewritable(agg: Aggregate): Boolean =
+    agg.groupingExpressions.forall {
+      case a: AttributeReference => mv.groupCols.contains(a.name)
+      case _ => false
+    } && agg.aggregateExpressions.forall {
+      case a: AttributeReference => mv.groupCols.contains(a.name)
+      case al @ Alias(child, _) => child match {
+        case a: AttributeReference => mv.groupCols.contains(a.name)
+        case other => plainAgg(other).exists(partialCol(_).isDefined)
+      }
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg: Aggregate
+        if agg.resolved && isBaseScan(agg.child) && rewritable(agg) =>
+      // Fresh relation per rewrite: two rewritten aggregates in one
+      // tree must not share attribute ids.
+      val sumRel = spark.read.parquet(mv.summaryPath)
+        .queryExecution.analyzed
+      val sAttr: Map[String, Attribute] =
+        sumRel.output.map(a => a.name -> a).toMap
+      def remapAgg(ae: AggregateExpression): Expression =
+        AggregateExpression(
+          Sum(sAttr(partialCol(ae).get)), Complete, isDistinct = false)
+      def keepId(child: Expression, name: String,
+          old: NamedExpression): NamedExpression =
+        Alias(child, name)(exprId = old.exprId)
+      val newGroup = agg.groupingExpressions.map {
+        case a: AttributeReference => sAttr(a.name)
+      }
+      val newResult = agg.aggregateExpressions.map {
+        case a: AttributeReference => keepId(sAttr(a.name), a.name, a)
+        case al @ Alias(child, name) => child match {
+          case a: AttributeReference => keepId(sAttr(a.name), name, al)
+          case other => keepId(remapAgg(plainAgg(other).get), name, al)
+        }
+      }
+      Aggregate(newGroup, newResult, sumRel)
+  }
+}

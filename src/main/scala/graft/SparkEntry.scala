@@ -2368,6 +2368,39 @@ object SparkEntry {
         .orderBy("d")
     },
 
+    // Seasonally-adjusted anomaly days: the q_stl decomposition's
+    // exact-integer residuals gated by the q_anomaly_mad median/MAD
+    // test (2·MAD here — the residual series is already detrended and
+    // deseasonalized, so a tighter gate is the point: spikes that
+    // day-of-week structure would have excused no longer are).
+    "q_anomaly_stl" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+      val wTr = Window.orderBy("d").rowsBetween(-3, 3)
+      val tr = daily
+        .withColumn("wn", count(lit(1)).over(wTr))
+        .withColumn("trend",
+          when(col("wn") === 7, expr("sum(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
+        .filter(col("trend").isNotNull)
+        .withColumn("det", col("x") - col("trend"))
+        .withColumn("dow", dayofweek(col("d")) - 1)
+      val seas = tr.groupBy("dow")
+        .agg(expr("sum(det) div count(1)").as("seasonal"))
+      val resid = tr.join(broadcast(seas), "dow")
+        .select(col("d"), col("x"),
+          (col("x") - col("trend") - col("seasonal")).as("resid"))
+      val med = resid.agg(expr("percentile(resid, 0.5)").as("med"))
+      val dev = resid.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("resid") - col("med")))
+      val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .filter(col("dev") > lit(2.0) * col("mad"))
+        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"),
+          col("resid"), round(col("dev"), 6).as("dev"),
+          round(col("mad"), 6).as("mad"))
+        .orderBy("d")
+    },
+
     "q_changepoint" -> { (s, dir) =>
       val daily = Tables.loadEvents(s, dir)
         .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
@@ -9647,6 +9680,35 @@ object SparkEntry {
         |  CAST(det.dow AS BIGINT) AS dow, seas.seasonal,
         |  det.x - det.trend - seas.seasonal AS resid
         |FROM det JOIN seas ON det.dow = seas.dow
+        |ORDER BY d""".stripMargin,
+
+    // q_stl's residuals through q_anomaly_mad's median/MAD gate.
+    "q_anomaly_stl" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |tr AS (
+        |  SELECT d, x,
+        |    CASE WHEN count(*) OVER w = 7
+        |      THEN CAST(sum(x) OVER w AS BIGINT) // 7 END AS trend
+        |  FROM daily
+        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT d, x, trend, x - trend AS det, dayofweek(d) AS dow
+        |  FROM tr WHERE trend IS NOT NULL),
+        |seas AS (
+        |  SELECT dow, CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal
+        |  FROM det GROUP BY 1),
+        |r AS (
+        |  SELECT det.d, det.x, det.x - det.trend - seas.seasonal AS resid
+        |  FROM det JOIN seas ON det.dow = seas.dow),
+        |m AS (SELECT quantile_cont(resid, 0.5) AS med FROM r),
+        |dev AS (SELECT d, x, resid,
+        |          abs(resid - (SELECT med FROM m)) AS dev FROM r),
+        |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
+        |SELECT CAST(d AS VARCHAR) AS d, x, resid, round(dev, 6) AS dev,
+        |  round((SELECT mad FROM md), 6) AS mad
+        |FROM dev WHERE dev > 2.0 * (SELECT mad FROM md)
         |ORDER BY d""".stripMargin,
 
     "q_changepoint" ->

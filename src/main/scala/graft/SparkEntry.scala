@@ -1150,6 +1150,24 @@ object SparkEntry {
       Seq((w(0), w(1), w(2))).toDF("w0", "w1", "w2")
     },
 
+    // QUANTILE regression (pinball-loss subgradient descent,
+    // ml/QuantileGd): the conditional p75 of order quantity given
+    // discount/tax — same feature view as q_lingd, integer lr, exact
+    // decimal gradient sums, NO transcendental anywhere (the indicator
+    // is a deterministic double comparison). Output = weights plus the
+    // empirical coverage audit P(y ≤ ŷ).
+    "q_quantile_reg" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_discount").as("x1"), col("l_tax").as("x2"),
+          col("l_quantity").as("y"))
+      val w = graft.ml.QuantileGd.fit(li, Seq("x1", "x2"), "y",
+        tau = 0.75, lr = 10.0, iters = 3)
+      li.agg(graft.ml.QuantileGd.coverage(li, Seq("x1", "x2"), "y", w)
+          .as("coverage"))
+        .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
+          lit(w(2)).as("w2"), col("coverage"))
+    },
+
     // Deterministic balanced sharding (sequence-packing shape): docs
     // ranked globally by size desc via the DISTRIBUTED global rank
     // (range partition + per-partition offsets — NOT the
@@ -7176,6 +7194,46 @@ object SparkEntry {
     sb.toString
   }
 
+  /** Unrolled quantile-GD replay (the linGdOracle CTE chain with the
+    * pinball indicator and logRegOracle's exact decimal sums): per
+    * iteration sum((1{y<ŷ} − τ)·x_j) as DECIMAL(18,6), rounded update
+    * with integer lr, and the final coverage audit P(y ≤ ŷ).
+    */
+  private def quantGdOracle(tau: Double, lr: Double, iters: Int): String = {
+    val sb = new StringBuilder(
+      """WITH d AS (
+        |  SELECT l_discount AS x1, l_tax AS x2, l_quantity AS y FROM lineitem),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+        |w0_0 AS (SELECT 0.0 AS v),
+        |w0_1 AS (SELECT 0.0 AS v),
+        |w0_2 AS (SELECT 0.0 AS v),
+        |""".stripMargin)
+    def predOf(p: Int): String =
+      s"(((SELECT v FROM w${p}_0) + (SELECT v FROM w${p}_1) * x1)" +
+        s" + (SELECT v FROM w${p}_2) * x2)"
+    for (k <- 1 to iters) {
+      val p = k - 1
+      val ind = s"CASE WHEN y < ${predOf(p)} THEN 1.0 ELSE 0.0 END"
+      def upd(j: Int, mult: String): String =
+        s"""s${k}_$j AS MATERIALIZED (SELECT sum(CAST($ind - $tau AS DECIMAL(18,6))$mult) AS s FROM d),
+           |w${k}_$j AS MATERIALIZED (SELECT round((SELECT v FROM w${p}_$j)
+           |  - $lr * round(CAST((SELECT s FROM s${k}_$j) AS DOUBLE) / (SELECT n FROM nn), 6), 6) AS v),
+           |""".stripMargin
+      sb ++= upd(0, "")
+      sb ++= upd(1, " * CAST(x1 AS DECIMAL(18,6))")
+      sb ++= upd(2, " * CAST(x2 AS DECIMAL(18,6))")
+    }
+    sb.setLength(sb.length - 2) // trailing ",\n"
+    sb ++= s"""
+      |SELECT (SELECT v FROM w${iters}_0) AS w0,
+      |  (SELECT v FROM w${iters}_1) AS w1,
+      |  (SELECT v FROM w${iters}_2) AS w2,
+      |  (SELECT round(avg(CASE WHEN y <= ${predOf(iters)}
+      |     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6)
+      |   FROM d) AS coverage""".stripMargin
+    sb.toString
+  }
+
   /** MSE/R² of the replayed q_lingd weights — the weight CTEs plus
     * one evaluation aggregate, ss_tot staged separately so the
     * operation order matches the Scala driver fold exactly.
@@ -8524,6 +8582,7 @@ object SparkEntry {
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_lingd" -> linGdOracle(2, 0.01),
+    "q_quantile_reg" -> quantGdOracle(0.75, 10.0, 3),
     "q_lingd_eval" -> linGdEvalOracle(2, 0.01),
     "q_logreg" -> logRegOracle(3, 1.0, scoring = false),
     "q_poisson" -> poissonOracle(6, 1.0),

@@ -2419,6 +2419,22 @@ object SparkEntry {
         .orderBy("d")
     },
 
+    // Theil–Sen robust trend of the daily event-count series
+    // (stats/TheilSen): median pairwise slope over integer (dy, dx)
+    // pairs with a total-order tie-break, half-sum of the two middle
+    // slopes, percentile-median intercept. The pair set and ordering
+    // window are bounded by the CALENDAR length of the series, not by
+    // corpus size (the q_acf clause).
+    "q_theil_sen" -> { (s, dir) =>
+      val daily = Tables.loadEvents(s, dir)
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+      val d0 = daily.agg(min(col("d")).as("d0"))
+      val series = daily.crossJoin(broadcast(d0))
+        .select(datediff(col("d"), col("d0")).cast("long").as("k"),
+          col("x"))
+      graft.stats.TheilSen.fit(series, "k", "x")
+    },
+
     "q_changepoint" -> { (s, dir) =>
       val daily = Tables.loadEvents(s, dir)
         .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
@@ -9769,6 +9785,32 @@ object SparkEntry {
         |  round((SELECT mad FROM md), 6) AS mad
         |FROM dev WHERE dev > 2.0 * (SELECT mad FROM md)
         |ORDER BY d""".stripMargin,
+
+    // All pairwise slopes as integer pairs, the same
+    // (ratio, dy, dx) total order, middle-two selection, and the
+    // quantile_cont intercept.
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |m0 AS (SELECT min(d) AS d0 FROM daily),
+        |s AS (SELECT CAST(date_diff('day', (SELECT d0 FROM m0), d) AS BIGINT) AS k, x
+        |      FROM daily),
+        |pr AS (SELECT b.x - a.x AS dy, b.k - a.k AS dx
+        |       FROM s a JOIN s b ON b.k > a.k),
+        |o AS (SELECT dy, dx, row_number() OVER (
+        |        ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn FROM pr),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pr),
+        |lo AS (SELECT dy, dx FROM o WHERE rn = ((SELECT np FROM np) + 1) // 2),
+        |hi AS (SELECT dy, dx FROM o WHERE rn = (SELECT np FROM np) // 2 + 1),
+        |sl AS (SELECT round((CAST((SELECT dy FROM lo) AS DOUBLE) / (SELECT dx FROM lo)
+        |         + CAST((SELECT dy FROM hi) AS DOUBLE) / (SELECT dx FROM hi)) / 2.0, 6) AS slope)
+        |SELECT (SELECT np FROM np) AS n_pairs,
+        |  (SELECT dy FROM lo) AS lo_num, (SELECT dx FROM lo) AS lo_den,
+        |  (SELECT dy FROM hi) AS hi_num, (SELECT dx FROM hi) AS hi_den,
+        |  (SELECT slope FROM sl) AS slope,
+        |  (SELECT round(quantile_cont(x - (SELECT slope FROM sl) * k, 0.5), 6)
+        |   FROM s) AS icept""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (

@@ -2168,6 +2168,16 @@ object SparkEntry {
       graft.stats.ABTest.welchT(docs, "grp", "en", "other", col("n_chars"))
     },
 
+    // Mann–Whitney U on the same en-vs-other doc-length contrast as
+    // q_ttest — the nonparametric twin (stats/MannWhitney): exact
+    // histogram midranks (the Eval.auc machinery), exact Σ(t³−t) tie
+    // correction, tie-corrected z in one pinned double formula.
+    "q_mannwhitney" -> { (s, dir) =>
+      graft.stats.MannWhitney.uTest(
+        Tables.load(s, dir, "documents"),
+        col("lang") === "en", "n_chars")
+    },
+
     // ROC-AUC of the trained quality classifier (same fit as
     // q_logreg_score): Mann-Whitney rank-sum with average-rank tie
     // handling, computed on the 6dp-score HISTOGRAM — the one ordered
@@ -9475,6 +9485,35 @@ object SparkEntry {
         |  round(CASE WHEN n_a > 1 AND n_b > 1 THEN se2 * se2 /
         |    ((va / nad) * (va / nad) / (nad - 1) + (vb / nbd) * (vb / nbd) / (nbd - 1)) END, 6) AS df_welch
         |FROM e""".stripMargin,
+
+    // Value-histogram midranks (the q_auc machinery on raw n_chars),
+    // exact tie cubes, the same pinned z formula.
+    "q_mannwhitney" ->
+      """WITH d AS (
+        |  SELECT CAST(n_chars AS BIGINT) AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
+        |  FROM documents),
+        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(a) AS BIGINT) AS na FROM d GROUP BY v),
+        |c AS (SELECT v, cnt, na,
+        |        CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
+        |agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |  CAST(sum(cnt) - sum(na) AS BIGINT) AS n_b,
+        |  CAST(sum(na * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS rank2,
+        |  CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties FROM c),
+        |u AS (SELECT n_a, n_b, rank2 - n_a * (n_a + 1) AS u2, ties FROM agg),
+        |s AS (SELECT n_a, n_b, u2, ties,
+        |  CASE WHEN n_a + n_b > 1 THEN
+        |    CAST(n_a AS DOUBLE) * n_b / 12.0 *
+        |      (CAST(n_a + n_b + 1 AS DOUBLE)
+        |       - CAST(ties AS DOUBLE) /
+        |         (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
+        |  END AS se2 FROM u)
+        |SELECT n_a, n_b, u2, ties,
+        |  CASE WHEN se2 > 0 THEN
+        |    round((CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
+        |      / sqrt(se2), 6) END AS z
+        |FROM s""".stripMargin,
 
     // Rank-sum AUC over the scored-probability histogram (the scored
     // subquery is the full q_logreg_score replay with the label riding

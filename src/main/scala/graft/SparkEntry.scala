@@ -3561,6 +3561,37 @@ object SparkEntry {
       mid.unionByName(post).orderBy("phase", "l_returnflag")
     },
 
+    // GIT-LIKE TABLE BRANCHES over the commit log (CommitLog refs,
+    // `path#branch`): dev forks main ZERO-COPY (the fork manifest
+    // lists main's live files), January data stays on main while
+    // February lands only on dev, and the snapshot merge adopts dev's
+    // head as a new main commit — three aggregates prove isolation
+    // before the merge and convergence after. BranchSpec pins the
+    // cross-ref vacuum-safety contract (shared files survive a
+    // one-ref vacuum).
+    "q_table_branch" -> { (s, dir) =>
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_branch_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      def month(m: String) = Tables.load(s, dir, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === m)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      CommitLog.replace(s, month("1996-01").repartition(4), table)
+      val dev = CommitLog.createBranch(s, table, "dev")
+      CommitLog.append(s, month("1996-02").repartition(2), dev)
+      def agg(ref: String, phase: String): DataFrame =
+        CommitLog.read(s, ref)
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+      val pre = agg(table, "main_pre") // resolves main BEFORE the merge
+      val devAgg = agg(dev, "dev")
+      CommitLog.mergeBranch(s, table, dev)
+      val merged = agg(table, "main_merged")
+      pre.unionByName(devAgg).unionByName(merged).orderBy("phase")
+    },
+
     // OPTIMISTIC-CONCURRENCY CONFLICT DETECTION (CommitLog.rewrite) —
     // the serializability teeth of the commit layer: two compactors
     // race to rewrite the SAME live files; the winner's CAS lands, and
@@ -10777,6 +10808,23 @@ object SparkEntry {
         |SELECT a.l_returnflag, a.n, a.cents, p.phase
         |FROM a CROSS JOIN (VALUES ('committed'), ('mid_rewrite')) p(phase)
         |ORDER BY p.phase, a.l_returnflag""".stripMargin,
+
+    // main_pre = January only; dev and the merged main = Jan + Feb.
+    "q_table_branch" ->
+      """WITH m AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |jan AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents
+        |        FROM m WHERE ym = '1996-01'),
+        |jf AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents
+        |        FROM m WHERE ym IN ('1996-01', '1996-02'))
+        |SELECT n, cents, 'dev' AS phase FROM jf
+        |UNION ALL SELECT n, cents, 'main_merged' FROM jf
+        |UNION ALL SELECT n, cents, 'main_pre' FROM jan
+        |ORDER BY phase""".stripMargin,
 
     // Three phases of the same aggregate (nothing duplicated, nothing
     // lost across the race) with the expected live-file count per

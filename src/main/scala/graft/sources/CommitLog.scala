@@ -47,10 +47,32 @@ object CommitLog {
 
   private val ManifestSuffix = ".manifest"
 
-  private def fs(spark: SparkSession, path: String): FileSystem =
-    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  /** A table ref is `path` (the main branch) or `path#branch`. The
+    * branch shares the main table's DATA directory — every manifest
+    * path is relative to the same root, so branching is zero-copy —
+    * but resolves and commits through its own `_log@branch` directory.
+    * Any function here accepts a ref wherever it takes a table. */
+  private[sources] def dataRoot(table: String): String = {
+    val i = table.indexOf('#')
+    if (i < 0) table else table.substring(0, i)
+  }
 
-  private def logDir(table: String) = new Path(table, "_log")
+  private def branchOf(table: String): Option[String] = {
+    val i = table.indexOf('#')
+    if (i < 0) None else Some(table.substring(i + 1))
+  }
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(dataRoot(path))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(table: String) = branchOf(table) match {
+    case None => new Path(dataRoot(table), "_log")
+    case Some(b) =>
+      require(b.nonEmpty && b.forall(c => c.isLetterOrDigit || c == '_' ||
+        c == '-'), s"branch name must be [A-Za-z0-9_-]+: '$b'")
+      new Path(dataRoot(table), s"_log@$b")
+  }
 
   private def manifestPath(table: String, version: Long): Path =
     new Path(logDir(table), f"$version%020d$ManifestSuffix")
@@ -323,15 +345,15 @@ object CommitLog {
     val sub = s"stage-${UUID.randomUUID()}"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(s"$table/$sub")
+      .parquet(s"${dataRoot(table)}/$sub")
     val f = fs(spark, table)
-    val root = new Path(table, sub)
+    val root = new Path(dataRoot(table), sub)
     def walk(p: Path): Seq[String] = f.listStatus(p).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (st.isDirectory) walk(st.getPath)
       else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
         Seq(st.getPath.toUri.getPath
-          .substring(new Path(table).toUri.getPath.length + 1))
+          .substring(new Path(dataRoot(table)).toUri.getPath.length + 1))
       else Seq.empty
     }
     walk(root)
@@ -373,7 +395,7 @@ object CommitLog {
       // names can repeat between sibling dirs.
       def key(p: String): String = p.substring(p.indexOf("stage-"))
       val byKey = staged.map(rel => key(rel) -> rel).toMap
-      spark.read.parquet(staged.map(rel => s"$table/$rel"): _*)
+      spark.read.parquet(staged.map(rel => s"${dataRoot(table)}/$rel"): _*)
         .groupBy(input_file_name().as("__f"))
         .agg(min(col(statsCol).cast("long")).as("mn"),
           max(col(statsCol).cast("long")).as("mx"))
@@ -433,7 +455,7 @@ object CommitLog {
   def readPruned(
       spark: SparkSession, table: String, lo: Long, hi: Long): DataFrame = {
     val (_, sel) = prunedFiles(spark, table, lo, hi)
-    if (sel.nonEmpty) spark.read.parquet(sel.map(f => s"$table/$f"): _*)
+    if (sel.nonEmpty) spark.read.parquet(sel.map(f => s"${dataRoot(table)}/$f"): _*)
     else read(spark, table).limit(0)
   }
 
@@ -463,7 +485,7 @@ object CommitLog {
       if (existing.isDefined) return Right(existing.get)
     }
     val staged = stage(spark, df, table)
-    val stagedDf = spark.read.parquet(staged.map(f => s"$table/$f"): _*)
+    val stagedDf = spark.read.parquet(staged.map(f => s"${dataRoot(table)}/$f"): _*)
     audit(stagedDf) match {
       case Some(reason) => Left(reason)
       case None =>
@@ -592,7 +614,7 @@ object CommitLog {
 
   /** Time travel: read exactly `version`'s live set. */
   def readVersion(spark: SparkSession, table: String, version: Long): DataFrame = {
-    val files = liveFiles(spark, table, version).map(f => s"$table/$f")
+    val files = liveFiles(spark, table, version).map(f => s"${dataRoot(table)}/$f")
     spark.read.parquet(files: _*)
   }
 
@@ -611,7 +633,7 @@ object CommitLog {
     require(fromVersion <= toVersion, "fromVersion must be <= toVersion")
     val before = readManifest(spark, table, fromVersion).files.toSet
     val added = readManifest(spark, table, toVersion).files.filterNot(before)
-    if (added.nonEmpty) spark.read.parquet(added.map(f => s"$table/$f"): _*)
+    if (added.nonEmpty) spark.read.parquet(added.map(f => s"${dataRoot(table)}/$f"): _*)
     else readVersion(spark, table, toVersion).limit(0)
   }
 
@@ -627,15 +649,79 @@ object CommitLog {
     val f = fs(spark, table)
     val vs = versions(spark, table)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
-    val keepSet = keep.flatMap(v => liveFiles(spark, table, v)).toSet
+    // Branch safety: data files are SHARED across every ref of this
+    // root (zero-copy branching), so liveness is the union over every
+    // OTHER ref's full manifest history — a vacuum on main must never
+    // delete a file a dev branch still resolves, and vice versa.
+    val others = refs(spark, table).filterNot(_ == table)
+    val shared = others.flatMap(r =>
+      versions(spark, r).flatMap(v => liveFiles(spark, r, v))).toSet
+    val keepSet = keep.flatMap(v => liveFiles(spark, table, v)).toSet ++ shared
     val dropSet = drop.flatMap(v => liveFiles(spark, table, v)).toSet -- keepSet
     drop.foreach(v => f.delete(manifestPath(table, v), false))
-    dropSet.foreach(rel => f.delete(new Path(table, rel), false))
+    dropSet.foreach(rel => f.delete(new Path(dataRoot(table), rel), false))
     // Prune now-empty stage dirs (cosmetic; readers never glob).
-    f.listStatus(new Path(table)).foreach { st =>
+    f.listStatus(new Path(dataRoot(table))).foreach { st =>
       if (st.isDirectory && st.getPath.getName.startsWith("stage-") &&
         f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
     }
     dropSet.size
+  }
+
+  // ----- branches (git-like refs over the shared data directory) -----
+
+  /** Every ref of `table`'s root: the main ref first, then each
+    * `#branch` ref that has a log directory, sorted by name. */
+  def refs(spark: SparkSession, table: String): Seq[String] = {
+    val root = dataRoot(table)
+    val f = fs(spark, table)
+    val branches =
+      if (!f.exists(new Path(root))) Seq.empty
+      else f.listStatus(new Path(root)).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("_log@"))
+        .map(st => s"$root#${st.getPath.getName.stripPrefix("_log@")}")
+        .sorted
+    root +: branches
+  }
+
+  /** Create branch `branch` at `from`'s current version — a ZERO-COPY
+    * fork: the new ref's first manifest lists exactly `from`'s live
+    * files (version number preserved, so cross-ref diffs line up).
+    * `from` may itself be a branch ref. Fails if the branch exists.
+    * Returns the branch ref string to use with every other function
+    * here. */
+  def createBranch(spark: SparkSession, from: String, branch: String): String = {
+    val ref = s"${dataRoot(from)}#$branch"
+    val f = fs(spark, from)
+    require(versions(spark, ref).isEmpty, s"branch exists: $ref")
+    val v = currentVersion(spark, from).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $from"))
+    val m = readManifest(spark, from, v)
+    f.mkdirs(logDir(ref))
+    val tmp = new Path(logDir(ref), s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    if (!atomicPublish(f, tmp, manifestPath(ref, v))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"branch creation race at $ref")
+    }
+    ref
+  }
+
+  /** Adopt `branch`'s current snapshot as a new commit on `into`
+    * (snapshot merge — the branch's live set wins wholesale, the
+    * Nessie/Iceberg "commit the branch head" shape; both refs keep
+    * their histories). Returns the new version on `into`. */
+  def mergeBranch(spark: SparkSession, into: String, branch: String): Long = {
+    require(dataRoot(into) == dataRoot(branch),
+      s"refs of different tables: $into vs $branch")
+    val bv = currentVersion(spark, branch).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $branch"))
+    val bLive = liveFiles(spark, branch, bv)
+    val iLive = currentVersion(spark, into)
+      .map(v => liveFiles(spark, into, v)).getOrElse(Seq.empty)
+    commit(spark, into,
+      adds = bLive.filterNot(iLive.toSet),
+      removes = iLive.filterNot(bLive.toSet))
   }
 }

@@ -2194,6 +2194,27 @@ object SparkEntry {
         "probability", "y")
     },
 
+    // HELD-OUT cross-validated evaluation — the audit q_auc (trained
+    // and scored on the same corpus) deliberately lacks: the same
+    // logistic fit on folds 1-4 of the deterministic md5 5-fold split
+    // (q_fold_assign's hash, salt cv9), AUC measured on the UNSEEN
+    // fold 0. The oracle replays training with the fold filter in
+    // every gradient sum and scores only the held-out fold.
+    "q_cv_eval" -> { (s, dir) =>
+      val d = graft.operators.Sampling.assignFolds(
+        logRegFeatures(Tables.load(s, dir, "documents")),
+        "doc_id", k = 5, salt = "cv9")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val train = d.filter(col("fold") =!= 0)
+      val w = graft.ml.LogisticGd.fit(train, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 3)
+      d.unpersist()
+      graft.ml.Eval.auc(
+        graft.ml.LogisticGd.predict(d.filter(col("fold") === 0),
+          Seq("x1", "x2"), w),
+        "probability", "y")
+    },
+
     // Calibration (reliability) table of the same classifier: 10
     // equal-width score bins × (exact n, n_pos, exact-decimal score
     // sum) — mean predicted score vs observed positive rate per bin,
@@ -7392,12 +7413,21 @@ object SparkEntry {
   }
 
   private def logRegOracle(iters: Int, lr: Double, scoring: Boolean,
-      withLabel: Boolean = false): String = {
+      withLabel: Boolean = false, cvSalt: String = ""): String = {
+    // cvSalt != "": 5-fold cross-validation replay — fold rides along
+    // (the q_fold_assign hash), training sums see folds 1-4 only, the
+    // scoring projection sees the held-out fold 0 only.
+    val foldCol =
+      if (cvSalt.isEmpty) ""
+      else s""",
+         |    ('0x' || substr(md5('$cvSalt|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS fold""".stripMargin
+    val trainW = if (cvSalt.isEmpty) "" else " WHERE fold <> 0"
+    val scoreW = if (cvSalt.isEmpty) "" else " WHERE fold = 0"
     val sb = new StringBuilder(
-      """WITH d AS (
+      s"""WITH d AS (
         |  SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000 AS x1,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS DOUBLE) / 100 AS x2,
-        |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)) AS DOUBLE) / 100 AS x2,
+        |    CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y$foldCol
         |  FROM documents),
         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
         |w0_0 AS (SELECT 0.0 AS v),
@@ -7411,7 +7441,7 @@ object SparkEntry {
       val p = k - 1
       val sig = s"round(1.0 / (1.0 + exp(0.0 - ${zOf(p)})), 6)"
       def upd(j: Int, mult: String): String =
-        s"""s${k}_$j AS MATERIALIZED (SELECT sum(CAST($sig - y AS DECIMAL(18,6))$mult) AS s FROM d),
+        s"""s${k}_$j AS MATERIALIZED (SELECT sum(CAST($sig - y AS DECIMAL(18,6))$mult) AS s FROM d$trainW),
            |w${k}_$j AS MATERIALIZED (SELECT round((SELECT v FROM w${p}_$j)
            |  - $lr * round(CAST((SELECT s FROM s${k}_$j) AS DOUBLE) / (SELECT n FROM nn), 6), 6) AS v),
            |""".stripMargin
@@ -7431,7 +7461,7 @@ object SparkEntry {
       sb ++= s"""
         |SELECT doc_id, $sig AS probability,
         |  CASE WHEN $sig >= 0.5 THEN 1 ELSE 0 END AS predicted$label
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d$scoreW ORDER BY doc_id""".stripMargin
     }
     sb.toString
   }
@@ -9551,6 +9581,25 @@ object SparkEntry {
     // along); doubled average ranks keep every term an exact integer.
     "q_auc" -> {
       val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
+      s"""WITH hist AS (
+         |  SELECT CAST(round(probability * 1000000) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
+         |  FROM ($scored) scored GROUP BY 1),
+         |c AS (SELECT s, cnt, pos, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
+         |a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |        CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+         |        CAST(sum(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS rank2 FROM c)
+         |SELECT n_pos, n_neg, rank2 - n_pos * (n_pos + 1) AS u2,
+         |  round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
+         |FROM a""".stripMargin
+    },
+
+    // The q_auc rank-sum wrapper over the CV-replayed scored subquery
+    // (train folds 1-4, score fold 0 only).
+    "q_cv_eval" -> {
+      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true,
+        cvSalt = "cv9")
       s"""WITH hist AS (
          |  SELECT CAST(round(probability * 1000000) AS BIGINT) AS s,
          |    CAST(count(*) AS BIGINT) AS cnt,

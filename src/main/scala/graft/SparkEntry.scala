@@ -1954,6 +1954,25 @@ object SparkEntry {
         maxIters = 10).orderBy("seed")
     },
 
+    // Harmonic centrality of the same seeds — the disconnection-robust
+    // centrality (unreachable nodes contribute 0, not ∞), exact in
+    // 1/2520 units: 2520 = lcm(1..10) divides every ≤10-hop distance,
+    // so Σ 2520/d is pure integer algebra (graph/Closeness).
+    "q_harmonic" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = base.unionAll(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(4)
+      graft.graph.Closeness.harmonic2520(edges, "src", "dst", seeds,
+        maxIters = 10).orderBy("seed")
+    },
+
     // Triangle census of the same host graph (community structure /
     // link-farm signal on a crawl graph): degree-ordered orientation
     // caps the wedge join's fan-out at O(√m) per node — the form that
@@ -9304,6 +9323,23 @@ object SparkEntry {
         |SELECT seed, count(*) AS n_reached,
         |  CAST(sum(d) AS BIGINT) AS sum_dist, max(d) AS ecc
         |FROM md GROUP BY seed ORDER BY seed""".stripMargin,
+
+    // Same per-seed BFS; Σ 2520 // d over non-seed reached nodes.
+    "q_harmonic" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
+        |seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 4),
+        |reach(seed, id, d) AS (
+        |  SELECT id, id, 0 FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.d < 10),
+        |md AS (SELECT seed, id, min(d) AS d FROM reach GROUP BY seed, id)
+        |SELECT seed, count(*) AS n_reached,
+        |  CAST(sum(2520 // d) AS BIGINT) AS h2520
+        |FROM md WHERE d > 0 GROUP BY seed ORDER BY seed""".stripMargin,
 
     // Same host edges; canonicalize, orient from the (degree, id)-
     // smaller endpoint, wedge-join on the center, close against the

@@ -75,4 +75,22 @@ object Closeness {
       .agg(count(lit(1)).as("n_reached"),
         sum(col("dist").cast("long")).as("sum_dist"),
         max(col("dist")).as("ecc"))
+
+  /** Harmonic centrality per seed, EXACT in 1/2520 units:
+    * h2520 = Σ_{v reachable, v≠seed} 2520/d(v). 2520 = lcm(1..10)
+    * divides every hop distance a ≤10-round BFS can produce, so the
+    * integer division is exact — the rational-sum trick that keeps
+    * harmonic (which unlike closeness handles disconnected graphs
+    * gracefully) float-free. Requires maxIters ≤ 10.
+    */
+  def harmonic2520(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, maxIters: Int = 10): DataFrame = {
+    require(maxIters <= 10,
+      s"2520 = lcm(1..10): maxIters > 10 would truncate, got $maxIters")
+    perSeedDistances(edges, srcCol, dstCol, seeds, maxIters)
+      .where(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("2520 div dist").cast("long")).as("h2520"))
+  }
 }

@@ -50,4 +50,18 @@ class ClosenessSpec extends SparkSpec {
     val m = summary(es, Seq(1L), cap = 1)
     assert(m == Map(1L -> ((2L, 1L, 1))))
   }
+
+  test("harmonic2520: exact reciprocal sums, seed excluded") {
+    import spark.implicits._
+    // path 1-2-3-4 from seed 1: dists 1,2,3 -> 2520 + 1260 + 840
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val m = Closeness.harmonic2520(edgesDf(es), "s", "d", seedDf(1L))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(m == Map(1L -> ((3L, 4620L))))
+    intercept[IllegalArgumentException] {
+      Closeness.harmonic2520(edgesDf(es), "s", "d", seedDf(1L),
+        maxIters = 11)
+    }
+  }
 }

@@ -38,7 +38,8 @@ object GraftFunctions {
     ("graft_fold_accents", 1, cs => graft.text.AccentFoldExpr(cs.head)),
     ("graft_dominates", 2, cs =>
       ColumnBridge.column(DominatesExpr(
-        ColumnBridge.expression(cs(0)), ColumnBridge.expression(cs(1))))))
+        ColumnBridge.expression(cs(0)), ColumnBridge.expression(cs(1))))),
+    ("graft_dot", 2, cs => graft.sim.DotExpr(cs(0), cs(1))))
 
   /** FunctionRegistry-shaped triple for one entry. */
   private[graft] def registration(name: String, arity: Int, f: Seq[Column] => Column)

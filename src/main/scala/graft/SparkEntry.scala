@@ -464,6 +464,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // FLESCH READING EASE per language: per-doc 206.835 −
+    // 1.015·(words/sentences) − 84.6·(syllables/words) with exact long
+    // word / sentence-run / vowel-group counts (clamped ≥1 in the
+    // ratios only), the per-doc double rounded to 4 and summed as
+    // exact DECIMAL (the Eval.calibration mean discipline — corpus
+    // averages must not depend on summation order). Scan-local kernel,
+    // one keyed agg.
+    "q_readability" -> { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val w = TextFunctions.tokenCount(col("text")).cast("long")
+      val sc = TextFunctions.sentenceCount(col("text"))
+      val y = TextFunctions.vowelGroupCount(col("text"))
+      val wd = greatest(lit(1L), col("w")).cast("double")
+      val sd = greatest(lit(1L), col("sc")).cast("double")
+      val flesch = round(lit(206.835) - lit(1.015) * (wd / sd) -
+        lit(84.6) * (col("y").cast("double") / wd), 4)
+      d.select(col("lang"), w.as("w"), sc.as("sc"), y.as("y"))
+        .withColumn("fl", flesch.cast("decimal(18,4)"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("sum_words"),
+          sum(col("sc")).as("sum_sents"),
+          sum(col("y")).as("sum_sylls"),
+          round(sum(col("fl")).cast("double") / count(lit(1)), 6)
+            .as("mean_flesch"))
+        .orderBy("lang")
+    },
+
     // Marker-word language heuristic; deterministic argmax with
     // alphabetical tie-break. One-pass kernel (withLangId) — the six
     // Column forms each re-tokenize; pinned ≡ in TextStatsKernelSpec.
@@ -8022,6 +8050,27 @@ object SparkEntry {
         |      + 0.3 * least(stopword_ratio * 5.0, 1.0)
         |      + 0.2 * (1.0 - least(punct_ratio * 2.0, 1.0)), 6) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // Same count/flesch kernel; per-doc 4dp rounds sum as DECIMAL.
+    "q_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sc,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+        |  FROM documents),
+        |f AS (SELECT lang, w, sc, y,
+        |  CAST(round(206.835
+        |    - 1.015 * (CAST(greatest(1, w) AS DOUBLE) / CAST(greatest(1, sc) AS DOUBLE))
+        |    - 84.6 * (CAST(y AS DOUBLE) / CAST(greatest(1, w) AS DOUBLE)), 4)
+        |    AS DECIMAL(18,4)) AS fl
+        |  FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS sum_words,
+        |  CAST(sum(sc) AS BIGINT) AS sum_sents,
+        |  CAST(sum(y) AS BIGINT) AS sum_sylls,
+        |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Argmax with ties resolved in langMarkers order (de,en,es,fr,zh),
     // 'und' when no marker hits — mirrors TextFunctions.langId.

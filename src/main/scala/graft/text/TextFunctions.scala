@@ -30,6 +30,18 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Vowel-group count over the lowercased text — the classic
+    * syllable surrogate of readability formulas (each maximal
+    * [aeiouy]+ run ≈ one syllable). Exact long; regex class is
+    * engine-portable (no lookaround, no unicode classes). */
+  def vowelGroupCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+
+  /** Sentence-terminator run count ([.!?]+ ≈ one sentence end). */
+  def sentenceCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.!?]+"), lit(0))).cast("long")
+
   /** Distinct n-gram (shingle) set over whitespace tokens, each shingle
     * a single space-joined string. Used by Jaccard/MinHash dedup.
     *

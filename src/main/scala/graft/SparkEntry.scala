@@ -2001,6 +2001,30 @@ object SparkEntry {
         maxIters = 10).orderBy("seed")
     },
 
+    // Seed-sampled Brandes betweenness of the same host graph — the
+    // brokerage centrality (which nodes sit ON the shortest paths,
+    // vs closeness/harmonic's "how near is everything"). Forward
+    // per-seed BFS carries exact path counts σ; the backward pass
+    // accumulates dependencies in EXACT 1e-6 units (the DAG only has
+    // level-(L)→(L+1) edges, so ⌊σv·(10⁶+δw)/σw⌋ is pure integer
+    // algebra both engines replay term-for-term). Top-20 via the
+    // bounded TopK aggregate — never a global sort
+    // (graft.graph.Betweenness; replica-verified in BetweennessSpec).
+    "q_betweenness" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      val edges = base.unionAll(
+        base.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = edges.select(col("src").as("id")).distinct()
+        .orderBy("id").limit(4)
+      graft.graph.Betweenness.topMicro(edges, "src", "dst", seeds,
+        maxLevel = 4, k = 20).orderBy("rank")
+    },
+
     // Triangle census of the same host graph (community structure /
     // link-farm signal on a crawl graph): degree-ordered orientation
     // caps the wedge join's fan-out at O(√m) per node — the form that
@@ -9389,6 +9413,70 @@ object SparkEntry {
         |SELECT seed, count(*) AS n_reached,
         |  CAST(sum(2520 // d) AS BIGINT) AS h2520
         |FROM md WHERE d > 0 GROUP BY seed ORDER BY seed""".stripMargin,
+
+    // Same per-seed BFS, 4-hop horizon; sigma per level from the
+    // previous level's sums, then the backward dependency unrolled
+    // d3→d1 with the identical ⌊σv·(10⁶+δw)/σw⌋ integer term.
+    "q_betweenness" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
+        |seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 4),
+        |reach(seed, id, d) AS (
+        |  SELECT id, id, 0 FROM seeds
+        |  UNION
+        |  SELECT r.seed, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
+        |  WHERE r.d < 4),
+        |md AS (SELECT seed, id, min(d) AS d FROM reach GROUP BY seed, id),
+        |s0 AS (SELECT id AS seed, id, CAST(1 AS BIGINT) AS sigma FROM seeds),
+        |s1 AS (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+        |       FROM md m JOIN e ON e.dst = m.id
+        |       JOIN s0 p ON p.seed = m.seed AND p.id = e.src
+        |       WHERE m.d = 1 GROUP BY m.seed, m.id),
+        |s2 AS (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+        |       FROM md m JOIN e ON e.dst = m.id
+        |       JOIN s1 p ON p.seed = m.seed AND p.id = e.src
+        |       WHERE m.d = 2 GROUP BY m.seed, m.id),
+        |s3 AS (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+        |       FROM md m JOIN e ON e.dst = m.id
+        |       JOIN s2 p ON p.seed = m.seed AND p.id = e.src
+        |       WHERE m.d = 3 GROUP BY m.seed, m.id),
+        |s4 AS (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
+        |       FROM md m JOIN e ON e.dst = m.id
+        |       JOIN s3 p ON p.seed = m.seed AND p.id = e.src
+        |       WHERE m.d = 4 GROUP BY m.seed, m.id),
+        |d4 AS (SELECT seed, id, sigma, CAST(0 AS BIGINT) AS delta FROM s4),
+        |d3 AS (SELECT v.seed, v.id, v.sigma,
+        |         CAST(coalesce(sum((v.sigma * (1000000 + w.delta)) // w.sigma),
+        |                       0) AS BIGINT) AS delta
+        |       FROM s3 v
+        |       LEFT JOIN e ON e.src = v.id
+        |       LEFT JOIN d4 w ON w.seed = v.seed AND w.id = e.dst
+        |       GROUP BY v.seed, v.id, v.sigma),
+        |d2 AS (SELECT v.seed, v.id, v.sigma,
+        |         CAST(coalesce(sum((v.sigma * (1000000 + w.delta)) // w.sigma),
+        |                       0) AS BIGINT) AS delta
+        |       FROM s2 v
+        |       LEFT JOIN e ON e.src = v.id
+        |       LEFT JOIN d3 w ON w.seed = v.seed AND w.id = e.dst
+        |       GROUP BY v.seed, v.id, v.sigma),
+        |d1 AS (SELECT v.seed, v.id, v.sigma,
+        |         CAST(coalesce(sum((v.sigma * (1000000 + w.delta)) // w.sigma),
+        |                       0) AS BIGINT) AS delta
+        |       FROM s1 v
+        |       LEFT JOIN e ON e.src = v.id
+        |       LEFT JOIN d2 w ON w.seed = v.seed AND w.id = e.dst
+        |       GROUP BY v.seed, v.id, v.sigma),
+        |bc AS (SELECT id, CAST(sum(delta) AS BIGINT) AS bc_micro
+        |       FROM (SELECT id, delta FROM d1
+        |             UNION ALL SELECT id, delta FROM d2
+        |             UNION ALL SELECT id, delta FROM d3)
+        |       GROUP BY id)
+        |SELECT CAST(row_number() OVER (ORDER BY bc_micro DESC, id) AS INT)
+        |         AS rank,
+        |       id, bc_micro
+        |FROM bc ORDER BY bc_micro DESC, id LIMIT 20""".stripMargin,
 
     // Same host edges; canonicalize, orient from the (degree, id)-
     // smaller endpoint, wedge-join on the center, close against the

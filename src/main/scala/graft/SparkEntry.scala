@@ -6667,6 +6667,41 @@ object SparkEntry {
         .orderBy("om")
     },
 
+    // Iceberg-style POSITION DELETES (merge-on-read): lineitem staged
+    // as 8 position-addressed data files, a quantity predicate lands
+    // as small (file_id, pos) delete files, and the reader subtracts
+    // them with one keyed anti join — data files never rewritten (the
+    // GDPR-delete path at 100 TB; copy-on-write is q_replace_where).
+    // n_deleted is read from the delete FILES, n_live + an exact
+    // integer membership checksum from the MoR read, so the gate
+    // proves both artifacts, not just the final filter
+    // (graft.sources.DeleteVectors; non-destructiveness + dense-pos
+    // invariants in DeleteVectorsSpec).
+    "q_delete_vectors" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dv_$tag"
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        pmod(col("l_orderkey"), lit(8L)).as("file_id"))
+      graft.sources.DeleteVectors.stage(li, "file_id",
+        Seq("l_orderkey", "l_linenumber"), s"$base/data")
+      graft.sources.DeleteVectors.writeDeletes(s, s"$base/data",
+        s"$base/deletes", col("l_quantity") >= 45, "file_id")
+      val live = graft.sources.DeleteVectors.readMor(s, s"$base/data",
+        s"$base/deletes", "file_id")
+      val liveAgg = live.groupBy("file_id").agg(
+        count(lit(1)).as("n_live"),
+        sum(pmod(col("l_orderkey"), lit(1000L)) + col("l_linenumber"))
+          .as("live_checksum"))
+      val delAgg = s.read.parquet(s"$base/deletes")
+        .groupBy("file_id").agg(count(lit(1)).as("n_deleted"))
+      liveAgg.join(delAgg, Seq("file_id"), "left")
+        .select(col("file_id"), col("n_live"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          col("live_checksum"))
+        .orderBy("file_id")
+    },
+
     // ORC sink/source fidelity: lineitem's mixed types (long, string,
     // exact cents, date) through a write→read ORC round trip, then a
     // per-flag aggregate whose row-identity term — an order-independent
@@ -13543,6 +13578,23 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y') = '1996'
         |GROUP BY 1 ORDER BY om""".stripMargin,
+
+    // Logical replay of the position-delete pipeline: MoR read ≡
+    // NOT-predicate filter, delete-file counts ≡ predicate counts.
+    "q_delete_vectors" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_orderkey % 8 AS file_id
+        |  FROM lineitem)
+        |SELECT file_id,
+        |  CAST(count(*) FILTER (WHERE NOT (l_quantity >= 45)) AS BIGINT)
+        |    AS n_live,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 45) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(sum(l_orderkey % 1000 + l_linenumber)
+        |       FILTER (WHERE NOT (l_quantity >= 45)) AS BIGINT)
+        |    AS live_checksum
+        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
 
     // The same aggregate straight off parquet — only codec-bent rows
     // could diverge.

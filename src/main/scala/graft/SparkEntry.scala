@@ -492,6 +492,42 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // Interpolated Kneser-Ney bigram LM trained on the doc_id%5!=0
+    // split, scored on the held-out split — LM TRAINING as a corpus
+    // job (q_lm_score is fixed add-α scoring; this learns the
+    // discount/continuation form). Exact-long count tables, three
+    // keyed left joins for the eval pass, two driver scalars (B, V);
+    // per-source mean ln P rounded to 6 (the lm_score float
+    // contract), plus the integer backoff count as an exact
+    // cross-check (graft.text.KneserNey, KneserNeySpec).
+    "q_kn_lm" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      graft.text.KneserNey.heldOutLogProb(docs, "text", "source",
+        col("doc_id") % 5 =!= 0).orderBy("source")
+    },
+
+    // Dense vocabulary ids at corpus scale: 0..V-1 by (count desc,
+    // token asc) via range-partition + within-partition sort +
+    // zipWithIndex (driver state = one count per partition), NEVER
+    // row_number() over an unpartitioned window — the single-partition
+    // sort that caps out exactly when the vocab gets interesting. The
+    // 10-bucket Σ id·cnt checksum pins the ENTIRE assignment, not a
+    // head sample (graft.text.Vocab; window-equivalence + plan shape
+    // in VocabSpec).
+    "q_vocab_ids" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val counts = docs
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      graft.text.Vocab.assignIds(counts, "token", "cnt", parts = 32)
+        .groupBy(pmod(col("id"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("id") * col("cnt")).as("idcnt_checksum"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          sum(col("cnt")).as("sum_cnt"))
+        .orderBy("bucket")
+    },
+
     // Marker-word language heuristic; deterministic argmax with
     // alphabetical tie-break. One-pass kernel (withLangId) — the six
     // Column forms each re-tokenize; pinned ≡ in TextStatsKernelSpec.
@@ -8130,6 +8166,73 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same split, same count tables, same expression tree (division
+    // order matters for bit-identical doubles before the round-6).
+    "q_kn_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |ev AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |tocc AS (
+        |  SELECT toks[i] AS v, toks[i+1] AS w
+        |  FROM tr CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |c2 AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c2
+        |       FROM tocc GROUP BY 1, 2),
+        |ctx AS (SELECT v, CAST(sum(c2) AS BIGINT) AS c1,
+        |               CAST(count(*) AS BIGINT) AS n1v
+        |        FROM c2 GROUP BY 1),
+        |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cont
+        |       FROM c2 GROUP BY 1),
+        |bv AS (SELECT (SELECT count(*) FROM c2)
+        |         + (SELECT count(DISTINCT t)
+        |            FROM (SELECT unnest(toks) AS t FROM tr)) AS denom),
+        |eocc AS (
+        |  SELECT source, toks[i] AS v, toks[i+1] AS w
+        |  FROM ev CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |j AS (
+        |  SELECT source, coalesce(c2.c2, 0) AS c2v, ctx.c1, ctx.n1v,
+        |         coalesce(cw.cont, 0) AS cont
+        |  FROM eocc
+        |  LEFT JOIN c2 ON c2.v = eocc.v AND c2.w = eocc.w
+        |  LEFT JOIN ctx ON ctx.v = eocc.v
+        |  LEFT JOIN cw ON cw.w = eocc.w),
+        |p AS (
+        |  SELECT source,
+        |    CASE WHEN coalesce(c1, 0) > 0
+        |      THEN (greatest(c2v - 0.75, 0.0) / c1)
+        |           + (((0.75 * n1v) / c1)
+        |              * ((cont + 1.0) / (SELECT denom FROM bv)))
+        |      ELSE ((cont + 1.0) / (SELECT denom FROM bv)) END AS p,
+        |    CASE WHEN coalesce(c1, 0) > 0 THEN 0 ELSE 1 END AS backoff
+        |  FROM j)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_eval_bigrams,
+        |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
+        |  round(avg(ln(p)), 6) AS kn_logprob
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    // row_number() is fine ORACLE-side (DuckDB, one box); the Spark
+    // side must produce the identical order without the global window.
+    "q_vocab_ids" ->
+      """WITH t AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                            x -> len(x) > 0)) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
+        |v AS (SELECT token, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, token) - 1 AS id
+        |      FROM c)
+        |SELECT id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(id * cnt) AS BIGINT) AS idcnt_checksum,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt
+        |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // Argmax with ties resolved in langMarkers order (de,en,es,fr,zh),
     // 'und' when no marker hits — mirrors TextFunctions.langId.

@@ -1,0 +1,39 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class VocabSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ids are dense 0..V-1 in (count desc, token asc) order") {
+    val counts = Seq(("b", 5L), ("a", 5L), ("z", 9L), ("m", 1L), ("k", 3L))
+      .toDF("token", "cnt")
+    val got = Vocab.assignIds(counts, "token", "cnt", parts = 3)
+      .select("token", "id").as[(String, Long)].collect().toMap
+    assert(got == Map("z" -> 0L, "a" -> 1L, "b" -> 2L, "k" -> 3L, "m" -> 4L))
+  }
+
+  test("assignment matches the single-partition window form at any parts") {
+    val rnd = new scala.util.Random(7)
+    val counts = (1 to 500)
+      .map(i => (s"tok_${rnd.nextInt(10000)}_$i", rnd.nextInt(50).toLong + 1))
+      .toDF("token", "cnt")
+    val expected = counts.orderBy(col("cnt").desc, col("token"))
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getString(0), i.toLong) }.toMap
+    for (parts <- Seq(1, 4, 17)) {
+      val got = Vocab.assignIds(counts, "token", "cnt", parts)
+        .select("token", "id").as[(String, Long)].collect().toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  test("no unpartitioned Window appears in the plan") {
+    val counts = Seq(("a", 1L)).toDF("token", "cnt")
+    val plan = Vocab.assignIds(counts, "token", "cnt", parts = 2)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("windowspecdefinition()"))
+    assert(!plan.toLowerCase.contains("window"))
+  }
+}

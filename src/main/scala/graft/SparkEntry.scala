@@ -6738,6 +6738,68 @@ object SparkEntry {
         .orderBy("file_id")
     },
 
+    // PARTITION-SPEC EVOLUTION: history stays year-partitioned, 1996+
+    // data lands month-partitioned, and ONE date-range predicate
+    // prunes both layouts (string partition ranges — lexicographic on
+    // yyyy / yyyy-MM is chronological — plus the exact row filter).
+    // The rewrite this avoids at 100 TB is re-partitioning years of
+    // history to adopt a finer spec. Output counts partitions touched
+    // per layout; directory-level pruning itself is plan-pinned in
+    // PartitionEvolutionSpec (graft.sources.PartitionEvolution).
+    "q_partition_evolution" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pe_$tag"
+      val oldL = graft.sources.PartitionEvolution.Layout(
+        "year", s"$base/old", "yyyy")
+      val newL = graft.sources.PartitionEvolution.Layout(
+        "month", s"$base/new", "yyyy-MM")
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      graft.sources.PartitionEvolution.write(
+        o.filter(col("o_orderdate") < "1996-01-01"), "o_orderdate", oldL)
+      graft.sources.PartitionEvolution.write(
+        o.filter(col("o_orderdate") >= "1996-01-01"), "o_orderdate", newL)
+      graft.sources.PartitionEvolution.readRange(s, Seq(oldL, newL),
+          "o_orderdate", "1995-06-01", "1996-09-30")
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          countDistinct(col("part_value")).as("n_partitions"))
+        .orderBy("layout")
+    },
+
+    // Iceberg-style EQUALITY DELETES (the CDC flavor of
+    // q_delete_vectors): the delete file names KEY VALUES plus a
+    // sequence number; a row dies iff some delete matches its key
+    // with delete_seq > data_seq, so a delete+reinsert pair replays
+    // correctly in any file order. Base snapshot (seq 1), 'F'-status
+    // keys deleted at seq 2, every %7 order re-appended at seq 3 and
+    // surviving its own deletion. One equi anti join with the
+    // sequence inequality as residual; seq_sum in the output proves
+    // the sequence logic, not just final membership
+    // (graft.sources.DeleteVectors.readMorEquality).
+    "q_equality_deletes" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_eqdel_$tag"
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+      graft.sources.DeleteVectors.stageSnapshot(o, 1L, s"$base/snap1")
+      graft.sources.DeleteVectors.writeEqualityDeletes(
+        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        2L, s"$base/deletes")
+      graft.sources.DeleteVectors.stageSnapshot(
+        o.filter(col("o_orderkey") % 7 === 0), 3L, s"$base/snap2")
+      graft.sources.DeleteVectors.readMorEquality(s,
+          Seq(s"$base/snap1", s"$base/snap2"), s"$base/deletes",
+          Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
+          sum(col("data_seq")).as("seq_sum"))
+        .orderBy("o_orderstatus")
+    },
+
     // ORC sink/source fidelity: lineitem's mixed types (long, string,
     // exact cents, date) through a write→read ORC round trip, then a
     // per-flag aggregate whose row-identity term — an order-independent
@@ -13681,6 +13743,48 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y') = '1996'
         |GROUP BY 1 ORDER BY om""".stripMargin,
+
+    // Replays the layout split rule (<1996 → year epoch) and the
+    // range semantics; n_partitions = distinct partition values each
+    // epoch serves inside the range.
+    "q_partition_evolution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |r AS (SELECT *,
+        |        CASE WHEN dt < DATE '1996-01-01' THEN 'year'
+        |             ELSE 'month' END AS layout,
+        |        CASE WHEN dt < DATE '1996-01-01' THEN strftime(dt, '%Y')
+        |             ELSE strftime(dt, '%Y-%m') END AS part_value
+        |      FROM o
+        |      WHERE dt >= DATE '1995-06-01' AND dt <= DATE '1996-09-30')
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(count(DISTINCT part_value) AS BIGINT) AS n_partitions
+        |FROM r GROUP BY layout ORDER BY layout""".stripMargin,
+
+    // Logical replay of the sequence rule: survivors = rows NOT
+    // (seq < 2 AND key ∈ F-keys) over base(seq 1) ∪ reappend(seq 3).
+    "q_equality_deletes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey, 1 AS data_seq
+        |  FROM orders),
+        |app AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey, 3 AS data_seq
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |       WHERE o_orderstatus = 'F'),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |live AS (
+        |  SELECT * FROM t
+        |  WHERE NOT (data_seq < 2
+        |             AND o_orderkey IN (SELECT k FROM dk)))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
+        |  CAST(sum(data_seq) AS BIGINT) AS seq_sum
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Logical replay of the position-delete pipeline: MoR read ≡
     // NOT-predicate filter, delete-file counts ≡ predicate counts.

@@ -65,4 +65,37 @@ object DeleteVectors {
       .select(col(fileIdCol), col("pos"))
     data.join(dels, Seq(fileIdCol, "pos"), "left_anti")
   }
+
+  // ---- Equality deletes (the CDC flavor) -------------------------
+  //
+  // An equality delete names KEY VALUES, not positions, and carries a
+  // sequence number: it removes every data row with a matching key
+  // whose snapshot sequence is OLDER than the delete's. A row
+  // re-inserted AFTER the delete (higher sequence) survives — the
+  // semantics a CDC ingest needs so a delete+reinsert pair replays in
+  // any file order. The reader is one anti join: equi on the keys
+  // (shuffle/broadcast-able) plus the sequence inequality as its
+  // residual filter.
+
+  /** Stage a data snapshot tagged with its commit sequence. */
+  def stageSnapshot(df: DataFrame, seq: Long, dir: String): Unit =
+    df.withColumn("data_seq", lit(seq)).write.mode("overwrite").parquet(dir)
+
+  /** Write an equality-delete file: distinct key tuples + the
+    * delete's sequence number. */
+  def writeEqualityDeletes(keys: DataFrame, seq: Long, dir: String): Unit =
+    keys.distinct().withColumn("delete_seq", lit(seq))
+      .write.mode("overwrite").parquet(dir)
+
+  /** Merge-on-read across snapshots: a row dies iff SOME delete
+    * matches its keys with delete_seq > data_seq. */
+  def readMorEquality(spark: SparkSession, dataDirs: Seq[String],
+      deleteDir: String, keyCols: Seq[String]): DataFrame = {
+    val data = dataDirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    val dels = spark.read.parquet(deleteDir).select(
+      keyCols.map(c => col(c).as(s"__del_$c")) :+ col("delete_seq"): _*)
+    val cond = keyCols.map(c => data(c) === dels(s"__del_$c"))
+      .reduce(_ && _) && data("data_seq") < dels("delete_seq")
+    data.join(dels, cond, "left_anti")
+  }
 }

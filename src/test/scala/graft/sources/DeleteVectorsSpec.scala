@@ -61,4 +61,34 @@ class DeleteVectorsSpec extends SparkSpec {
       "file_id")
     assert(mor.count() == 8)
   }
+
+  test("equality deletes: sequence ordering revives late re-inserts") {
+    val base = freshDir()
+    DeleteVectors.stageSnapshot(
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v"), 1L,
+      s"$base/snap1")
+    // delete keys 2 and 3 at seq 2
+    DeleteVectors.writeEqualityDeletes(
+      Seq(2L, 3L).toDF("k"), 2L, s"$base/deletes")
+    // key 3 re-inserted at seq 3 — must survive the seq-2 delete
+    DeleteVectors.stageSnapshot(
+      Seq((3L, "z2")).toDF("k", "v"), 3L, s"$base/snap2")
+    val live = DeleteVectors.readMorEquality(spark,
+      Seq(s"$base/snap1", s"$base/snap2"), s"$base/deletes", Seq("k"))
+      .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(live == Seq((1L, "x"), (3L, "z2")))
+  }
+
+  test("equality deletes: a newer delete kills an older re-insert too") {
+    val base = freshDir()
+    DeleteVectors.stageSnapshot(
+      Seq((7L, "a")).toDF("k", "v"), 1L, s"$base/snap1")
+    DeleteVectors.stageSnapshot(
+      Seq((7L, "b")).toDF("k", "v"), 2L, s"$base/snap2")
+    DeleteVectors.writeEqualityDeletes(Seq(7L).toDF("k"), 5L,
+      s"$base/deletes")
+    val live = DeleteVectors.readMorEquality(spark,
+      Seq(s"$base/snap1", s"$base/snap2"), s"$base/deletes", Seq("k"))
+    assert(live.count() == 0)
+  }
 }

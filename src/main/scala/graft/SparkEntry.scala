@@ -4957,6 +4957,20 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // Greedy k-CENTER CORESET (Gonzalez farthest-point): 6 maximally
+    // spread exemplars of the embedding corpus — the diversity-
+    // sampling step of training-data curation (2-approx k-center
+    // cover; seeds diverse finetuning subsets and tail-covering IVF
+    // quantizers). Exact integer squared-L2 over one-pass int8
+    // quantization (the q_ann_sq8 recipe): every selection and
+    // tie-break replays bit-for-bit in SQL. k narrow map+agg rounds
+    // over a cached codes frame — no shuffle per round
+    // (graft.sim.Coreset; scalar-replica equivalence in CoresetSpec).
+    "q_coreset" -> { (s, dir) =>
+      graft.sim.Coreset.kCenters(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 6).orderBy("round")
+    },
+
     // Hybrid retrieval with reciprocal-rank fusion (the RAG-serving
     // standard): the BM25 lexical list and the cosine vector list for
     // one query, fused by Σ 1/(60 + rank) over the lists a doc appears
@@ -12594,6 +12608,61 @@ object SparkEntry {
     // Double-precision cosine via unnest (DuckDB's
     // list_cosine_similarity computes in float32 — not oracle-grade).
     "q_knn" -> KnnOracle,
+
+    // Same sq8 codes; the greedy rounds unrolled — each m_r is the
+    // (d desc, id) argmax outside the chosen set, each d_r the
+    // running least() against the new center's exact integer
+    // distances.
+    "q_coreset" -> {
+      val k = 6
+      val header =
+        """WITH ev AS (
+          |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+          |    generate_subscripts(embedding, 1) AS i
+          |  FROM embeddings),
+          |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
+          |codes AS (
+          |  SELECT vec_id, ev.i,
+          |    CAST(CASE WHEN hi > lo
+          |      THEN round((x - lo) / (hi - lo) * 254, 0)
+          |      ELSE 0.0 END AS BIGINT) - 127 AS c
+          |  FROM ev JOIN mm ON ev.i = mm.i),
+          |seed AS (SELECT min(vec_id) AS id FROM codes),
+          |d1 AS (
+          |  SELECT a.vec_id, CAST(sum((a.c - b.c)*(a.c - b.c)) AS BIGINT) AS d
+          |  FROM codes a JOIN codes b
+          |    ON a.i = b.i AND b.vec_id = (SELECT id FROM seed)
+          |  GROUP BY 1)""".stripMargin
+      val rounds = (2 to k).map { r =>
+        val excl = (1 until r).map {
+          case 1 => "SELECT id AS vec_id FROM seed"
+          case j => s"SELECT vec_id FROM m$j"
+        }.mkString(" UNION ALL ")
+        val pick =
+          s"""m$r AS (
+             |  SELECT vec_id, d FROM d${r - 1}
+             |  WHERE vec_id NOT IN ($excl)
+             |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+        if (r == k) pick else pick + ",\n" +
+          s"""t$r AS (
+             |  SELECT a.vec_id, CAST(sum((a.c - b.c)*(a.c - b.c)) AS BIGINT) AS d
+             |  FROM codes a JOIN codes b
+             |    ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM m$r)
+             |  GROUP BY 1),
+             |d$r AS (
+             |  SELECT t$r.vec_id, least(d${r - 1}.d, t$r.d) AS d
+             |  FROM t$r JOIN d${r - 1} ON d${r - 1}.vec_id = t$r.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val finals = (2 to k)
+        .map(r => s"UNION ALL SELECT $r AS round, vec_id, d AS dist_sq FROM m$r")
+        .mkString("\n")
+      s"""$header,
+         |$rounds
+         |SELECT 1 AS round, (SELECT id FROM seed) AS vec_id,
+         |  CAST(0 AS BIGINT) AS dist_sq
+         |$finals
+         |ORDER BY round""".stripMargin
+    },
 
     // Same quantization arithmetic (double ops on exact per-dim
     // [min,max], half-up rounding), integer dot products, and the

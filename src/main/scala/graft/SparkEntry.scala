@@ -2047,7 +2047,13 @@ object SparkEntry {
     // bounded TopK aggregate — never a global sort
     // (graft.graph.Betweenness; replica-verified in BetweennessSpec).
     "q_betweenness" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
+      // 25% order subset (the q_triangles projection discipline): the
+      // estimator's cost is rounds × |E|, and the pilot-seed form is
+      // already a sample — sampling edges the same way keeps the
+      // 7-round bench cost proportional without changing the plan.
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_custkey")
       val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
       val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"),
@@ -9634,7 +9640,8 @@ object SparkEntry {
     "q_betweenness" ->
       """WITH RECURSIVE b AS (
         |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 4 = 0),
         |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
         |seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 4),
         |reach(seed, id, d) AS (

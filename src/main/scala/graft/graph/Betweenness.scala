@@ -68,8 +68,10 @@ object Betweenness {
       if (next.isEmpty) drained = true
       else {
         levels :+= next
+        // no checkpoint: a union of ≤ maxLevel already-checkpointed
+        // level frames is constant-depth lineage, and skipping the
+        // eager materialization saves one full pass per round.
         visited = visited.unionAll(next.select("seed", "id"))
-          .localCheckpoint()
       }
     }
 

@@ -492,6 +492,32 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // Within-domain BOILERPLATE detection (the CCNet/RefinedWeb
+    // header/footer strip that runs BEFORE dedup): a planted 8-token
+    // per-source notice on every even doc (constructing the hard case
+    // is the test — the q_pii planting discipline) must surface as
+    // exactly its two 4-token chunks per source at the integer-exact
+    // df·10 ≥ 3·n_docs rule, while the prose chunks stay clean. One
+    // explode + (source, chunk) countDistinct — a corpus-count job
+    // (graft.text.Boilerplate, BoilerplateSpec).
+    "q_boilerplate" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .withColumn("t2", when(col("doc_id") % 2 === 0,
+          concat(lit("begin boilerplate notice for "), col("source"),
+            lit(" all rights reserved "), col("text")))
+          .otherwise(col("text")))
+      graft.text.Boilerplate.detect(docs, "t2", "doc_id", "source",
+          n = 4, num = 3, den = 10)
+        .groupBy("source")
+        .agg(max(col("n_docs")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("is_boiler"), 1L).otherwise(0L))
+            .as("n_boiler_chunks"),
+          sum(when(col("is_boiler"), col("df")).otherwise(0L))
+            .as("boiler_hits"))
+        .orderBy("source")
+    },
+
     // Interpolated Kneser-Ney bigram LM trained on the doc_id%5!=0
     // split, scored on the held-out split — LM TRAINING as a corpus
     // job (q_lm_score is fixed add-α scoring; this learns the
@@ -524,6 +550,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("id") * col("cnt")).as("idcnt_checksum"),
           min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+          sum(col("cnt")).as("sum_cnt"))
+        .orderBy("bucket")
+    },
+
+    // Incremental vocab update with STABLE ids: the 4/5 split's vocab
+    // ids are frozen (already-encoded corpora reference them); the
+    // held-out fifth's unseen tokens append at V, V+1, … by (delta
+    // count desc, token). Counts merge through one full-outer keyed
+    // join; the new tail reuses the window-free assignment. Same
+    // 10-bucket full-assignment checksum as q_vocab_ids plus the
+    // per-bucket new-token count (graft.text.Vocab.updateIds).
+    "q_vocab_incr" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      def counts(d: DataFrame) = d
+        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+      val baseIds = graft.text.Vocab.assignIds(
+        counts(docs.filter(col("doc_id") % 5 =!= 0)), "token", "cnt", 32)
+      val updated = graft.text.Vocab.updateIds(baseIds,
+        counts(docs.filter(col("doc_id") % 5 === 0)), "token", "cnt", 32)
+      updated.groupBy(pmod(col("id"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+          sum(col("id") * col("cnt")).as("idcnt_checksum"),
           sum(col("cnt")).as("sum_cnt"))
         .orderBy("bucket")
     },
@@ -8249,6 +8299,40 @@ object SparkEntry {
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // Identical planting, identical 4-token chunking (list slices are
+    // 1-based inclusive), identical integer df rule.
+    "q_boilerplate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'begin boilerplate notice for ' || source ||
+        |           ' all rights reserved ' || text
+        |      ELSE text END AS t2
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(t2), '\s+'),
+        |                x -> len(x) > 0) AS toks
+        |  FROM d),
+        |ch AS (
+        |  SELECT doc_id, source,
+        |    array_to_string(toks[k*4+1 : k*4+4], ' ') AS chunk
+        |  FROM tk CROSS JOIN UNNEST(range(0, len(toks) // 4)) AS r(k)),
+        |cc AS (SELECT source, chunk,
+        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM ch GROUP BY 1, 2),
+        |sd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT)
+        |         AS n_docs
+        |       FROM d GROUP BY 1)
+        |SELECT cc.source, max(sd.n_docs) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE df * 10 >= n_docs * 3) AS BIGINT)
+        |    AS n_boiler_chunks,
+        |  CAST(coalesce(sum(df) FILTER (WHERE df * 10 >= n_docs * 3), 0)
+        |       AS BIGINT) AS boiler_hits
+        |FROM cc JOIN sd ON sd.source = cc.source
+        |GROUP BY cc.source ORDER BY cc.source""".stripMargin,
+
     // Same split, same count tables, same expression tree (division
     // order matters for bit-identical doubles before the round-6).
     "q_kn_lm" ->
@@ -8315,6 +8399,37 @@ object SparkEntry {
         |  CAST(max(id) AS BIGINT) AS max_id,
         |  CAST(sum(cnt) AS BIGINT) AS sum_cnt
         |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // Base ids frozen from the train split; the delta's unseen tokens
+    // row_number from V in (delta cnt desc, token) order.
+    "q_vocab_incr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents WHERE text IS NOT NULL),
+        |bc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t
+        |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+        |dc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t
+        |       WHERE doc_id % 5 = 0 GROUP BY 1),
+        |b AS (SELECT token, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, token) - 1 AS id
+        |      FROM bc),
+        |v AS (SELECT count(*) AS v FROM b),
+        |ex AS (SELECT b.token, b.cnt + coalesce(dc.cnt, 0) AS cnt, b.id,
+        |         false AS is_new
+        |       FROM b LEFT JOIN dc USING (token)),
+        |nw AS (SELECT dc.token, dc.cnt,
+        |         row_number() OVER (ORDER BY dc.cnt DESC, dc.token) - 1
+        |           + (SELECT v FROM v) AS id,
+        |         true AS is_new
+        |       FROM dc ANTI JOIN b USING (token)),
+        |u AS (SELECT * FROM ex UNION ALL SELECT * FROM nw)
+        |SELECT id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE is_new) AS BIGINT) AS n_new,
+        |  CAST(sum(id * cnt) AS BIGINT) AS idcnt_checksum,
+        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt
+        |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // Argmax with ties resolved in langMarkers order (de,en,es,fr,zh),
     // 'und' when no marker hits — mirrors TextFunctions.langId.

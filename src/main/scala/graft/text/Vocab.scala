@@ -43,4 +43,33 @@ object Vocab {
     }
     spark.createDataFrame(withId, schema)
   }
+
+  /** Incremental vocab update with STABLE ids — the production
+    * constraint a rebuild breaks: already-encoded corpora reference
+    * the old ids, so existing tokens must keep theirs while a new
+    * batch's unseen tokens append at V, V+1, … in (delta count desc,
+    * token asc) order. One full-outer keyed join for the count merge,
+    * the same window-free assignment for the new tail, one bounded
+    * driver scalar (V). Output: (token, cnt, id, is_new) with cnt =
+    * merged count.
+    */
+  def updateIds(baseIds: DataFrame, deltaCounts: DataFrame,
+      tokenCol: String, countCol: String, parts: Int): DataFrame = {
+    val base = baseIds.select(col(tokenCol),
+      col(countCol).as("__bc"), col("id").as("__bid"))
+    val delta = deltaCounts.select(col(tokenCol), col(countCol).as("__dc"))
+    val merged = base.join(delta, Seq(tokenCol), "full_outer")
+    val existing = merged.filter(col("__bid").isNotNull)
+      .select(col(tokenCol),
+        (col("__bc") + coalesce(col("__dc"), lit(0L))).as(countCol),
+        col("__bid").as("id"), lit(false).as("is_new"))
+    val vocabSize = baseIds.count() // bounded driver scalar
+    val fresh = assignIds(
+      merged.filter(col("__bid").isNull)
+        .select(col(tokenCol), col("__dc").as(countCol)),
+      tokenCol, countCol, parts)
+      .select(col(tokenCol), col(countCol),
+        (col("id") + vocabSize).as("id"), lit(true).as("is_new"))
+    existing.unionAll(fresh)
+  }
 }

@@ -36,4 +36,21 @@ class VocabSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition()"))
     assert(!plan.toLowerCase.contains("window"))
   }
+
+  test("updateIds: existing tokens keep ids, new tokens append at V") {
+    val base = Vocab.assignIds(
+      Seq(("z", 9L), ("a", 5L), ("b", 5L)).toDF("token", "cnt"),
+      "token", "cnt", parts = 2)
+    // base ids: z->0 a->1 b->2
+    val delta = Seq(("a", 4L), ("q", 7L), ("m", 7L)).toDF("token", "cnt")
+    val got = Vocab.updateIds(base, delta, "token", "cnt", parts = 2)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(got == Map(
+      "z" -> ((9L, 0L, false)), "a" -> ((9L, 1L, false)),
+      "b" -> ((5L, 2L, false)),
+      // new tail by (delta cnt desc, token): m, q at V=3, 4
+      "m" -> ((7L, 3L, true)), "q" -> ((7L, 4L, true))))
+  }
 }

@@ -5013,6 +5013,52 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // MATRYOSHKA (MRL) PREFIX-DIM serving tier: top-10 by the FIRST 16
+    // of 64 dimensions, int8-quantized — the embedding-truncation
+    // trade every MRL deployment makes (4× less compute/IO per probe)
+    // — audited in-plan against the exact full-dim cosine top-10 (the
+    // q_ann_sq8 recall discipline applied to dimension truncation
+    // instead of quantization). Prefix stats, codes, and integer dots
+    // never touch dims ≥ 16, so the serving scan reads a quarter of
+    // the vector bytes at rest.
+    "q_ann_mrl" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val pfx = 16
+      val ev = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .filter(col("i") < pfx)
+        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+      val mm = ev.groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+      val codes = ev.join(broadcast(mm), "i")
+        .select(col("vec_id"), col("i"),
+          (when(col("hi") > col("lo"),
+            round((col("x") - col("lo")) / (col("hi") - col("lo")) * 254, 0))
+            .otherwise(lit(0.0)).cast("long") - 127).as("c"))
+      val qc = codes.filter(col("vec_id") === 0)
+        .select(col("i"), col("c").as("qc"))
+      val prefixTop = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(qc), "i")
+        .groupBy("vec_id").agg(sum(col("c") * col("qc")).as("dot"))
+        .agg(graft.stats.TopK.topK(
+          struct(col("dot").as("d"), (-col("vec_id")).as("nid")), 10)
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "v")))
+        .select((col("p") + 1).cast("int").as("rank"),
+          (-col("v.nid")).as("vec_id"), col("v.d").as("dot"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val exact10 = VectorSim.topK(e, "embedding", q, k = 11,
+          tieBreak = "vec_id")
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(true).as("in_exact"))
+      prefixTop.join(broadcast(exact10), Seq("vec_id"), "left")
+        .select(col("rank"), col("vec_id"), col("dot"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact"))
+        .orderBy("rank")
+    },
+
     // Greedy k-CENTER CORESET (Gonzalez farthest-point): 6 maximally
     // spread exemplars of the embedding corpus — the diversity-
     // sampling step of training-data curation (2-approx k-center
@@ -12730,6 +12776,46 @@ object SparkEntry {
     // Double-precision cosine via unnest (DuckDB's
     // list_cosine_similarity computes in float32 — not oracle-grade).
     "q_knn" -> KnnOracle,
+
+    // Prefix-restricted sq8 codes (i <= 16, 1-based) for the serving
+    // tier; the exact audit tier is the full-dim cosine verbatim.
+    "q_ann_mrl" ->
+      """WITH evf AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |ev AS (SELECT * FROM evf WHERE i <= 16),
+        |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
+        |codes AS (
+        |  SELECT vec_id, ev.i,
+        |    CAST(CASE WHEN hi > lo
+        |      THEN round((x - lo) / (hi - lo) * 254, 0)
+        |      ELSE 0.0 END AS BIGINT) - 127 AS c
+        |  FROM ev JOIN mm ON ev.i = mm.i),
+        |qc AS (SELECT i, c FROM codes WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT codes.vec_id, CAST(sum(codes.c * qc.c) AS BIGINT) AS dot
+        |  FROM codes JOIN qc ON codes.i = qc.i
+        |  WHERE codes.vec_id <> 0 GROUP BY 1),
+        |qt AS (SELECT vec_id, dot,
+        |         row_number() OVER (ORDER BY dot DESC, vec_id) AS rank
+        |       FROM dots),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM evf GROUP BY 1),
+        |q AS (SELECT x, i FROM evf WHERE vec_id = 0),
+        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+        |dx AS (SELECT e.vec_id, sum(e.x * q.x) AS d
+        |       FROM evf e JOIN q ON e.i = q.i GROUP BY 1),
+        |scored AS (
+        |  SELECT dx.vec_id,
+        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+        |      THEN dx.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+        |  FROM dx JOIN norms ON dx.vec_id = norms.vec_id
+        |  WHERE dx.vec_id <> 0),
+        |exact10 AS (SELECT vec_id FROM scored
+        |            ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, dot,
+        |  vec_id IN (SELECT vec_id FROM exact10) AS in_exact
+        |FROM qt WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // Same sq8 codes; the greedy rounds unrolled — each m_r is the
     // (d desc, id) argmax outside the chosen set, each d_r the

@@ -2087,6 +2087,47 @@ object SparkEntry {
         maxIters = 10).orderBy("seed")
     },
 
+    // DOUBLE-SWEEP diameter estimate (the iFUB/BFS-heuristic lower
+    // bound every graph profiler runs first): BFS from the lowest id
+    // → farthest node u (tie: min id), BFS from u → ecc(u), which
+    // lower-bounds the diameter and is exact on trees. Two frontier
+    // BFS passes over the shared edge cache; all-integer output
+    // (graph/Closeness.perSeedDistances reused as-is).
+    "q_graph_diameter" -> { (s, dir) =>
+      // Same 25% sampled host graph as q_betweenness — the "sampled
+      // graph profile" family shares one fixture; two full-graph BFS
+      // sweeps would double the q_bfs bench cost for the same plan
+      // evidence.
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 4 === 0)
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+        .distinct()
+      // cache the symmetric edge frame ONCE: both sweeps (and the
+      // per-sweep src-co-located copy inside perSeedDistances) read
+      // it instead of re-running the o⋈li distinct per sweep.
+      val edges = base.unionAll(
+          base.select(col("dst").as("src"), col("src").as("dst")))
+        .cache()
+      val seed1 = edges.agg(min("src")).head().getLong(0)
+      import s.implicits._
+      def sweep(from: Long): (Long, Int, Long) = {
+        val d = graft.graph.Closeness.perSeedDistances(edges, "src", "dst",
+          Seq(from).toDF("id"), maxIters = 10)
+        val far = d.agg(max(struct(col("dist"), (-col("id")).as("nid"))))
+          .head().getStruct(0)
+        (from, far.getInt(0), -far.getLong(1))
+      }
+      val (_, ecc1, u) = sweep(seed1)
+      val (_, ecc2, w) = sweep(u)
+      edges.unpersist()
+      Seq((seed1, ecc1, u, ecc2, w))
+        .toDF("seed", "ecc_seed", "far_node", "diameter_lb", "periphery")
+    },
+
     // Seed-sampled Brandes betweenness of the same host graph — the
     // brokerage centrality (which nodes sit ON the shortest paths,
     // vs closeness/harmonic's "how near is everything"). Forward
@@ -9794,6 +9835,35 @@ object SparkEntry {
         |SELECT seed, count(*) AS n_reached,
         |  CAST(sum(2520 // d) AS BIGINT) AS h2520
         |FROM md WHERE d > 0 GROUP BY seed ORDER BY seed""".stripMargin,
+
+    // Two recursive-CTE sweeps; farthest tie-break (dist desc, id asc)
+    // mirrors the max-struct with negated id.
+    "q_graph_diameter" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_orderkey % 4 = 0),
+        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
+        |s1 AS (SELECT min(src) AS id FROM e),
+        |r1(id, d) AS (
+        |  SELECT id, 0 FROM s1
+        |  UNION
+        |  SELECT e.dst, r1.d + 1 FROM r1 JOIN e ON e.src = r1.id
+        |  WHERE r1.d < 10),
+        |m1 AS (SELECT id, min(d) AS d FROM r1 GROUP BY id),
+        |f1 AS (SELECT id, d FROM m1 ORDER BY d DESC, id LIMIT 1),
+        |r2(id, d) AS (
+        |  SELECT id, 0 FROM f1
+        |  UNION
+        |  SELECT e.dst, r2.d + 1 FROM r2 JOIN e ON e.src = r2.id
+        |  WHERE r2.d < 10),
+        |m2 AS (SELECT id, min(d) AS d FROM r2 GROUP BY id),
+        |f2 AS (SELECT id, d FROM m2 ORDER BY d DESC, id LIMIT 1)
+        |SELECT (SELECT id FROM s1) AS seed,
+        |  CAST((SELECT d FROM f1) AS INTEGER) AS ecc_seed,
+        |  (SELECT id FROM f1) AS far_node,
+        |  CAST((SELECT d FROM f2) AS INTEGER) AS diameter_lb,
+        |  (SELECT id FROM f2) AS periphery""".stripMargin,
 
     // Same per-seed BFS, 4-hop horizon; sigma per level from the
     // previous level's sums, then the backward dependency unrolled

@@ -5114,6 +5114,65 @@ object SparkEntry {
         "embedding", "vec_id", k = 6).orderBy("round")
     },
 
+    // IR EVALUATION of the lexical serving stack: MRR, P@10,
+    // recall@20 and nDCG@10 of the BM25 top-20 against graded
+    // relevance planted as "distinct query terms present" (0..3 —
+    // exactly replayable, no human qrels needed). The ranked list
+    // comes from the bounded TopK aggregate; the IDEAL ranking for
+    // nDCG needs no sort at all — it's a closed form over the three
+    // grade counts crossed with positions 1..10. The judge-every-
+    // retrieval-change discipline, in-plan.
+    "q_ir_eval" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val terms = Seq("spark", "sort", "hash")
+      val relExpr = terms.map(t =>
+        when(array_contains(TextFunctions.tokens(col("text")), t), 1)
+          .otherwise(0)).reduce(_ + _)
+      val rel = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), relExpr.as("rel"))
+        .filter(col("rel") > 0)
+      val ranked = Bm25.score(docs, "text", "doc_id", terms)
+        .agg(graft.stats.TopK.topK(
+          struct(col("score").as("s"), (-col("doc_id")).as("nid")), 20)
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "v")))
+        .select((col("p") + 1).cast("int").as("rank"),
+          (-col("v.nid")).as("doc_id"))
+      val judged = ranked.join(rel, Seq("doc_id"), "left")
+        .select(col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
+      val m = judged.agg(
+        round(max(when(col("rel") >= 2, lit(1.0) / col("rank"))
+          .otherwise(lit(0.0))), 6).as("mrr"),
+        sum(when(col("rank") <= 10 && col("rel") > 0, 1L).otherwise(0L))
+          .as("p10_hits"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("rel_retrieved"),
+        round(sum(when(col("rank") <= 10,
+          (pow(lit(2.0), col("rel")) - 1.0) / log2(col("rank") + 1))
+          .otherwise(lit(0.0))), 6).as("dcg10"))
+      val gc = rel.agg(
+        sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
+      val ideal = gc
+        .select(explode(sequence(lit(1), lit(10))).as("r"),
+          col("n3"), col("n2"), col("n1"))
+        .select(col("r"), when(col("r") <= col("n3"), 3)
+          .when(col("r") <= col("n3") + col("n2"), 2)
+          .when(col("r") <= col("n3") + col("n2") + col("n1"), 1)
+          .otherwise(0).as("g"))
+        .agg(round(sum((pow(lit(2.0), col("g")) - 1.0)
+          / log2(col("r") + 1)), 6).as("idcg10"))
+      m.crossJoin(ideal)
+        .crossJoin(gc.select(
+          (col("n3") + col("n2") + col("n1")).as("n_relevant")))
+        .select(col("n_relevant"), col("mrr"), col("p10_hits"),
+          col("rel_retrieved"),
+          round(col("rel_retrieved").cast("double") / col("n_relevant"), 6)
+            .as("recall20"),
+          col("dcg10"), col("idcg10"),
+          round(col("dcg10") / col("idcg10"), 6).as("ndcg10"))
+    },
+
     // Hybrid retrieval with reciprocal-rank fusion (the RAG-serving
     // standard): the BM25 lexical list and the cosine vector list for
     // one query, fused by Σ 1/(60 + rank) over the lists a doc appears
@@ -13763,6 +13822,70 @@ object SparkEntry {
         |  count(*) AS n_terms
         |FROM post JOIN dfreq USING (t)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The q_bm25 scoring CTEs ranked to 20; graded relevance from
+    // list_contains; ideal nDCG ranking as the grade-count closed
+    // form over positions 1..10.
+    "q_ir_eval" ->
+      """WITH b2 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |rel AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'sort') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS rel
+        |  FROM b2),
+        |relq AS (SELECT * FROM rel WHERE rel > 0),
+        |gc AS (SELECT
+        |    CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+        |    CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM relq),
+        |b3 AS (SELECT doc_id, toks, len(toks) AS l FROM b2),
+        |consts AS (SELECT count(*) AS n, CAST(sum(l) AS DOUBLE) / count(*) AS avglen FROM b3),
+        |post AS (
+        |  SELECT doc_id, l, t, count(*) AS tf FROM (
+        |    SELECT doc_id, l, unnest(toks) AS t FROM b3)
+        |  WHERE t IN ('spark', 'sort', 'hash') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id,
+        |    round(sum(
+        |      ln(1 + ((SELECT n FROM consts) - df + 0.5) / (df + 0.5))
+        |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * l / (SELECT avglen FROM consts)))), 6) AS score
+        |  FROM post JOIN dfreq USING (t) GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+        |  FROM lex QUALIFY rank <= 20),
+        |judged AS (
+        |  SELECT ranked.rank, coalesce(rel.rel, 0) AS rel
+        |  FROM ranked LEFT JOIN rel USING (doc_id)),
+        |m AS (SELECT
+        |    round(max(CASE WHEN rel >= 2
+        |      THEN CAST(1 AS DOUBLE) / rank ELSE 0.0 END), 6) AS mrr,
+        |    CAST(sum(CASE WHEN rank <= 10 AND rel > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS p10_hits,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS rel_retrieved,
+        |    round(sum(CASE WHEN rank <= 10
+        |      THEN (pow(2.0, rel) - 1.0) / log2(rank + 1)
+        |      ELSE 0.0 END), 6) AS dcg10
+        |  FROM judged),
+        |ideal AS (
+        |  SELECT round(sum((pow(2.0, g) - 1.0) / log2(r + 1)), 6) AS idcg10
+        |  FROM (SELECT r,
+        |          CASE WHEN r <= n3 THEN 3
+        |               WHEN r <= n3 + n2 THEN 2
+        |               WHEN r <= n3 + n2 + n1 THEN 1
+        |               ELSE 0 END AS g
+        |        FROM gc CROSS JOIN UNNEST(range(1, 11)) AS t(r)))
+        |SELECT (n3 + n2 + n1) AS n_relevant, mrr, p10_hits, rel_retrieved,
+        |  round(CAST(rel_retrieved AS DOUBLE) / (n3 + n2 + n1), 6) AS recall20,
+        |  dcg10, idcg10, round(dcg10 / idcg10, 6) AS ndcg10
+        |FROM m CROSS JOIN ideal CROSS JOIN gc""".stripMargin,
 
     // The q_bm25 scoring CTEs and the q_knn cosine CTEs, each ranked
     // on its rounded score, fused by Σ 1/(60 + rank).

@@ -492,6 +492,20 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // ε-DP NOISY COUNTS (Laplace mechanism, seeded): the release step
+    // of the privacy family — k-anon/l-div/t-closeness AUDIT the
+    // data, this perturbs the published statistic. Inverse-CDF
+    // Laplace at scale 1/ε from a salted md5 uniform, so the run
+    // replays bit-for-bit (the guarantee then rests on the salt
+    // staying secret — production swaps in a secure RNG, scaladoc'd).
+    // One keyed count; noise is a per-group scalar expression
+    // (graft.stats.DpNoise, DpNoiseSpec).
+    "q_dp_counts" -> { (s, dir) =>
+      graft.stats.DpNoise.noisyCounts(
+        Tables.load(s, dir, "documents"), "source", "dp1", epsilon = 0.5)
+        .orderBy("source")
+    },
+
     // Within-domain BOILERPLATE detection (the CCNet/RefinedWeb
     // header/footer strip that runs BEFORE dedup): a planted 8-token
     // per-source notice on every even doc (constructing the hard case
@@ -8444,6 +8458,25 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Identical salted-md5 uniform ((h+0.5)/2^60), identical
+    // inverse-CDF Laplace, identical parity sign bit and clamp.
+    "q_dp_counts" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |z AS (
+        |  SELECT source, n,
+        |    (('0x' || substr(md5('dp1|' || source), 1, 15))::BIGINT + 0.5)
+        |      / 1152921504606846976.0 AS u,
+        |    CASE WHEN ('0x' || substr(md5('dp1|' || source), 16, 1))::BIGINT
+        |              % 2 = 0 THEN 1 ELSE -1 END AS sign
+        |  FROM c)
+        |SELECT source,
+        |  greatest(CAST(0 AS BIGINT),
+        |    n + CAST(round(-ln(u) / 0.5, 0) AS BIGINT) * sign)
+        |    AS noisy_count
+        |FROM z ORDER BY source""".stripMargin,
 
     // Identical planting, identical 4-token chunking (list slices are
     // 1-based inclusive), identical integer df rule.

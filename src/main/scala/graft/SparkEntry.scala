@@ -492,6 +492,24 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // FUNCTIONAL-DEPENDENCY audit (schema profiling): which candidate
+    // keys actually determine which columns — a true FD
+    // (o_orderkey→o_custkey) must show zero violating groups while
+    // the dirty candidates expose their fan-out. One keyed
+    // countDistinct per candidate, collapsed to a row; candidates
+    // union in parallel (graft.operators.FdAudit).
+    "q_fd_audit" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      graft.operators.FdAudit.audit(o, Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderpriority"))
+        .unionAll(graft.operators.FdAudit.audit(li, Seq(
+          "l_orderkey" -> "l_linestatus",
+          "l_partkey" -> "l_returnflag")))
+        .orderBy("fd")
+    },
+
     // ε-DP NOISY COUNTS (Laplace mechanism, seeded): the release step
     // of the privacy family — k-anon/l-div/t-closeness AUDIT the
     // data, this perturbs the published statistic. Inverse-CDF
@@ -8458,6 +8476,39 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Four independent group-profile aggregates, one per candidate.
+    "q_fd_audit" ->
+      """WITH a1 AS (SELECT o_orderkey AS l, count(DISTINCT o_custkey) AS k
+        |            FROM orders GROUP BY 1),
+        |a2 AS (SELECT o_custkey AS l, count(DISTINCT o_orderpriority) AS k
+        |       FROM orders GROUP BY 1),
+        |a3 AS (SELECT l_orderkey AS l, count(DISTINCT l_linestatus) AS k
+        |       FROM lineitem GROUP BY 1),
+        |a4 AS (SELECT l_partkey AS l, count(DISTINCT l_returnflag) AS k
+        |       FROM lineitem GROUP BY 1)
+        |SELECT fd, n_lhs, n_violating, max_rhs FROM (
+        |  SELECT 'o_orderkey->o_custkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_lhs,
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(k) AS BIGINT) AS max_rhs FROM a1
+        |  UNION ALL
+        |  SELECT 'o_custkey->o_orderpriority',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT) FROM a2
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_linestatus',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT) FROM a3
+        |  UNION ALL
+        |  SELECT 'l_partkey->l_returnflag',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT) FROM a4)
+        |ORDER BY fd""".stripMargin,
 
     // Identical salted-md5 uniform ((h+0.5)/2^60), identical
     // inverse-CDF Laplace, identical parity sign bit and clamp.

@@ -492,6 +492,25 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // HIERARCHICAL SUBTREE ROLLUP (BOM explosion) over the formula
+    // tree parent(k)=k DIV 7 on customer ids: every ancestor's
+    // order-count and cents totals. NOT a recursive self-join per
+    // level — the ancestor closure is an in-row array, so the whole
+    // rollup is one explode + ONE keyed aggregate regardless of depth
+    // (graft.operators.Hierarchy; scalar-equivalence in
+    // HierarchySpec). Output: the 57 depth-≤2 ancestors.
+    "q_hierarchy_rollup" -> { (s, dir) =>
+      val vals = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("node"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("cents"))
+      graft.operators.Hierarchy.rollup(vals, "node", fanout = 7,
+          levels = 10, measures = Seq("n_orders", "cents"))
+        .filter(col("anc") < 57)
+        .orderBy("anc")
+    },
+
     // FUNCTIONAL-DEPENDENCY audit (schema profiling): which candidate
     // keys actually determine which columns — a true FD
     // (o_orderkey→o_custkey) must show zero violating groups while
@@ -8476,6 +8495,24 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same formula closure: each value node unnests its ≤10 division
+    // ancestors, then one grouped sum.
+    "q_hierarchy_rollup" ->
+      """WITH v AS (
+        |  SELECT o_custkey AS node, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |a AS (
+        |  SELECT unnest(list_distinct([node, node//7, node//49, node//343,
+        |    node//2401, node//16807, node//117649, node//823543,
+        |    node//5764801, node//40353607])) AS anc, n_orders, cents
+        |  FROM v)
+        |SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
+        |  CAST(sum(n_orders) AS BIGINT) AS subtree_n_orders,
+        |  CAST(sum(cents) AS BIGINT) AS subtree_cents
+        |FROM a WHERE anc < 57 GROUP BY anc ORDER BY anc""".stripMargin,
 
     // Four independent group-profile aggregates, one per candidate.
     "q_fd_audit" ->

@@ -492,6 +492,30 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // CDC NET-CHANGE COLLAPSE (the Debezium-consumer / MERGE-writer
+    // primitive): a batch's per-key churn collapses to one net
+    // insert/update/delete/none from the first and last ops — a 10⁶-
+    // change batch touching 10³ keys becomes ≤10³ writes. One keyed
+    // min/max-struct aggregate, no window, no sort
+    // (graft.operators.Upsert.netChanges, UpsertSpec).
+    "q_cdc_collapse" -> { (s, dir) =>
+      val changes = Tables.load(s, dir, "orders").select(
+        pmod(col("o_custkey"), lit(500L)).as("key"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderkey") % 10 < 2, "D")
+          .when(col("o_orderkey") % 10 < 4, "I")
+          .otherwise("U").as("op"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      graft.operators.Upsert.netChanges(changes, Seq("key"), "version",
+          "op", Seq("cents"))
+        .groupBy("net_op")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("key")).as("key_checksum"),
+          sum(coalesce(col("cents"), lit(0L))).as("cents_sum"))
+        .orderBy("net_op")
+    },
+
     // HIERARCHICAL SUBTREE ROLLUP (BOM explosion) over the formula
     // tree parent(k)=k DIV 7 on customer ids: every ancestor's
     // order-count and cents totals. NOT a recursive self-join per
@@ -8495,6 +8519,35 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // arg_min/arg_max by the unique version replay the struct
+    // min/max; same first/last net rule.
+    "q_cdc_collapse" ->
+      """WITH c AS (
+        |  SELECT o_custkey % 500 AS key, o_orderkey AS version,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+        |         WHEN o_orderkey % 10 < 4 THEN 'I' ELSE 'U' END AS op,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT key, arg_min(op, version) AS fop,
+        |    arg_max(op, version) AS lop,
+        |    arg_max(cents, version) AS lcents
+        |  FROM c GROUP BY 1),
+        |n AS (
+        |  SELECT key,
+        |    CASE WHEN fop = 'I' AND lop = 'D' THEN 'none'
+        |         WHEN lop = 'D' THEN 'delete'
+        |         WHEN fop = 'I' THEN 'insert'
+        |         ELSE 'update' END AS net_op,
+        |    lcents
+        |  FROM g)
+        |SELECT net_op, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(key) AS BIGINT) AS key_checksum,
+        |  CAST(sum(CASE WHEN net_op IN ('insert', 'update')
+        |    THEN lcents ELSE 0 END) AS BIGINT) AS cents_sum
+        |FROM n GROUP BY net_op ORDER BY net_op""".stripMargin,
 
     // Same formula closure: each value node unnests its ≤10 division
     // ancestors, then one grouped sum.

@@ -65,4 +65,41 @@ object Upsert {
       .filter(col("__rn") === 1 && col(opCol) =!= "D")
       .drop("__rn", opCol)
   }
+
+  /** NET-CHANGE COLLAPSE of a CDC batch (the Debezium-consumer /
+    * MERGE-writer primitive that minimizes write amplification):
+    * per key, the batch's first and last ops decide its net effect —
+    * first=I & last=D → `none` (the key flickered into and out of
+    * existence inside the batch); last=D otherwise → net `delete`;
+    * last≠D & first=I → net `insert` carrying the LAST payload;
+    * otherwise → net `update` with the last payload. One keyed
+    * min/max-struct aggregate — no window, no sort, tombstones never
+    * fan out; a 10⁶-change batch touching 10³ keys shrinks to ≤10³
+    * writes before it ever reaches the table.
+    *
+    * Output: keyCols + net_op + the last payload columns (NULL
+    * payload on `delete`/`none` rows).
+    */
+  def netChanges(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      versionCol: String,
+      opCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val firstOp = min(struct(col(versionCol), col(opCol))).as("__f")
+    val lastRow = max(struct(col(versionCol) +: col(opCol) +:
+      payloadCols.map(col): _*)).as("__l")
+    val g = changes.groupBy(keyCols.map(col): _*).agg(firstOp, lastRow)
+    val fOp = col("__f").getField(opCol)
+    val lOp = col("__l").getField(opCol)
+    val netOp = when(fOp === "I" && lOp === "D", "none")
+      .when(lOp === "D", "delete")
+      .when(fOp === "I", "insert")
+      .otherwise("update")
+    g.select(keyCols.map(col) ++ Seq(netOp.as("net_op")) ++
+      payloadCols.map(p =>
+        when(netOp.isin("insert", "update"), col("__l").getField(p))
+          .as(p)): _*)
+  }
 }

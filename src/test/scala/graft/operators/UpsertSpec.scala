@@ -48,4 +48,22 @@ class UpsertSpec extends SparkSpec {
     assert(a == b)
     assert(a.count(_.getString(1).startsWith("u")) == 50)
   }
+
+  test("netChanges: first/last ops decide the net effect per key") {
+    val changes = Seq(
+      (1L, 1L, "I", "a"), (1L, 2L, "U", "b"), // insert with last payload
+      (2L, 1L, "U", "x"), (2L, 2L, "U", "y"), // update
+      (3L, 1L, "I", "p"), (3L, 2L, "D", "q"), // flicker → none
+      (4L, 1L, "D", "z"),                     // delete
+      (5L, 1L, "D", "q"), (5L, 2L, "I", "r")  // delete+reinsert → update
+    ).toDF("k", "version", "op", "v")
+    val got = Upsert.netChanges(changes, Seq("k"), "version", "op", Seq("v"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), Option(r.getString(2)))))
+      .toMap
+    assert(got == Map(
+      1L -> (("insert", Some("b"))), 2L -> (("update", Some("y"))),
+      3L -> (("none", None)), 4L -> (("delete", None)),
+      5L -> (("update", Some("r")))))
+  }
 }

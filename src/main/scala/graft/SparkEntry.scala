@@ -492,6 +492,40 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // ROBOTS.TXT COMPLIANCE with RFC-9309 LONGEST-MATCH semantics —
+    // the crawl pipeline's first gate: per host the longest matching
+    // path prefix decides, Allow beats Disallow on a length tie.
+    // Rules are synthesized per host from its md5 (full-disallow
+    // hosts, a Disallow prefix, and a longer Allow override), so both
+    // engines derive the identical rule set. Lookup is a broadcast-
+    // able host equi join; the longest-match argmax is one keyed
+    // integer-score aggregate — no struct compare, no window
+    // (graft.text.Robots, RobotsSpec).
+    "q_robots" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val urls = o.select(col("o_orderkey"),
+        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")).as("url"))
+      val hosts = urls
+        .select(graft.text.UrlOps.host(col("url")).as("host")).distinct()
+      val h = conv(substring(md5(col("host")), 1, 15), 16, 10).cast("long")
+      val full = hosts.filter(pmod(h, lit(5L)) === 0)
+        .select(col("host"), lit("/").as("rule"), lit(false).as("allow"))
+      val rest = hosts.filter(pmod(h, lit(5L)) =!= 0)
+      val dis = rest.select(col("host"),
+        concat(lit("/items%2fview/"), pmod(h, lit(10L)).cast("string"))
+          .as("rule"), lit(false).as("allow"))
+      val alw = rest.select(col("host"),
+        concat(lit("/items%2fview/"), pmod(h, lit(10L)).cast("string"),
+          lit("0")).as("rule"), lit(true).as("allow"))
+      graft.text.Robots.evaluate(urls, "url", Seq("o_orderkey"),
+          full.unionAll(dis).unionAll(alw))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("host")).as("n_hosts"),
+          sum(pmod(col("o_orderkey"), lit(100000L))).as("key_checksum"))
+        .orderBy("verdict")
+    },
+
     // CDC NET-CHANGE COLLAPSE (the Debezium-consumer / MERGE-writer
     // primitive): a batch's per-key churn collapses to one net
     // insert/update/delete/none from the first and last ops — a 10⁶-
@@ -8519,6 +8553,51 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same md5 rule synthesis, same integer longest-match score
+    // (matchlen·2 + allowBit), same path slice.
+    "q_robots" -> {
+      val pathRaw =
+        "regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)"
+      s"""WITH u AS (
+         |  SELECT o_orderkey, ${urlSqlExpr("o_custkey", "o_orderkey")} AS url
+         |  FROM orders),
+         |p AS (
+         |  SELECT o_orderkey, ${hostSqlExpr("url")} AS host,
+         |    CASE WHEN regexp_replace($pathRaw, '\\?$$', '') = '' THEN '/'
+         |         ELSE regexp_replace($pathRaw, '\\?$$', '') END AS path
+         |  FROM u),
+         |hh AS (
+         |  SELECT host, ('0x' || substr(md5(host), 1, 15))::BIGINT AS h
+         |  FROM (SELECT DISTINCT host FROM p)),
+         |rules AS (
+         |  SELECT host, '/' AS rule, false AS allow FROM hh WHERE h % 5 = 0
+         |  UNION ALL
+         |  SELECT host, '/items%2fview/' || CAST(h % 10 AS VARCHAR), false
+         |  FROM hh WHERE h % 5 <> 0
+         |  UNION ALL
+         |  SELECT host, '/items%2fview/' || CAST(h % 10 AS VARCHAR) || '0',
+         |    true
+         |  FROM hh WHERE h % 5 <> 0),
+         |j AS (
+         |  SELECT p.o_orderkey, p.host,
+         |    max(CASE WHEN r.rule IS NOT NULL AND starts_with(p.path, r.rule)
+         |             THEN len(r.rule) * 2
+         |                  + CASE WHEN r.allow THEN 1 ELSE 0 END
+         |             ELSE -2 END) AS s
+         |  FROM p LEFT JOIN rules r ON r.host = p.host
+         |  GROUP BY 1, 2),
+         |v AS (
+         |  SELECT o_orderkey, host,
+         |    CASE WHEN s < 0 THEN 'allowed'
+         |         WHEN s % 2 = 1 THEN 'allowed_override'
+         |         ELSE 'blocked' END AS verdict
+         |  FROM j)
+         |SELECT verdict, CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+         |  CAST(sum(o_orderkey % 100000) AS BIGINT) AS key_checksum
+         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // arg_min/arg_max by the unique version replay the struct
     // min/max; same first/last net rule.

@@ -492,6 +492,54 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // KAPPA BACKFILL CUTOVER: batch history (days ≤ 20) + a live feed
+    // that OVERLAPS it (days ≥ 11) must union to exactly-once — the
+    // stream side cuts over at the batch HIGH WATERMARK (strict
+    // ts > max(batch.ts); every tie at the watermark is already in
+    // batch), appends through a checkpointed AvailableNow parquet
+    // sink, and the final read is batch ∪ tail. The oracle counts
+    // every event exactly once per day — a duplicate from the overlap
+    // or a gap at the seam hash-fails. The migration pattern every
+    // pipeline runs when a batch job hands off to a stream.
+    "q_stream_backfill" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val batchPath = s"$tmp/graft_bf_batch_$tag"
+      val srcPath = s"$tmp/graft_bf_src_$tag"
+      val tailPath = s"$tmp/graft_bf_tail_$tag"
+      val fs = new org.apache.hadoop.fs.Path(tailPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tailPath), true)
+      val e = Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          dayofmonth(col("ts")).as("d"))
+      e.filter(col("d") <= 20)
+        .write.mode("overwrite").parquet(batchPath)
+      e.filter(col("d") >= 11).repartition(4, col("d"))
+        .write.mode("overwrite").parquet(srcPath)
+      val hwm = s.read.parquet(batchPath)
+        .agg(max(col("ts"))).head().getTimestamp(0)
+      val sch = s.read.parquet(srcPath).schema
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_bf_ckpt").toString
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(srcPath)
+        .filter(col("ts") > lit(hwm))
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", tailPath)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(batchPath)
+        .unionByName(s.read.parquet(tailPath))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(pmod(col("event_id"), lit(100000L))).as("checksum"))
+        .orderBy("d")
+    },
+
     // ROBOTS.TXT COMPLIANCE with RFC-9309 LONGEST-MATCH semantics —
     // the crawl pipeline's first gate: per host the longest matching
     // path prefix decides, Allow beats Disallow on a length tie.
@@ -505,8 +553,15 @@ object SparkEntry {
       val o = Tables.load(s, dir, "orders")
       val urls = o.select(col("o_orderkey"),
         syntheticUrlExpr(col("o_custkey"), col("o_orderkey")).as("url"))
-      val hosts = urls
-        .select(graft.text.UrlOps.host(col("url")).as("host")).distinct()
+      // parse ONCE (host+path regexes are the dominant cost) — the
+      // checkpointed frame feeds both the rule synthesis and the
+      // verdict join; rules lose their stats behind it, so broadcast
+      // explicitly (the ALS localCheckpoint lesson, ADVICE r11).
+      val parsed = urls.select(col("o_orderkey"),
+          graft.text.UrlOps.host(col("url")).as("host"),
+          graft.text.Robots.pathQuery(col("url")).as("path"))
+        .localCheckpoint()
+      val hosts = parsed.select("host").distinct()
       val h = conv(substring(md5(col("host")), 1, 15), 16, 10).cast("long")
       val full = hosts.filter(pmod(h, lit(5L)) === 0)
         .select(col("host"), lit("/").as("rule"), lit(false).as("allow"))
@@ -517,8 +572,8 @@ object SparkEntry {
       val alw = rest.select(col("host"),
         concat(lit("/items%2fview/"), pmod(h, lit(10L)).cast("string"),
           lit("0")).as("rule"), lit(true).as("allow"))
-      graft.text.Robots.evaluate(urls, "url", Seq("o_orderkey"),
-          full.unionAll(dis).unionAll(alw))
+      graft.text.Robots.evaluateParsed(parsed, Seq("o_orderkey"),
+          broadcast(full.unionAll(dis).unionAll(alw)))
         .groupBy("verdict")
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("host")).as("n_hosts"),
@@ -8553,6 +8608,18 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Every event exactly once per day — overlap duplicates or seam
+    // gaps hash-fail.
+    "q_stream_backfill" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, date_part('day', ts) AS d
+        |  FROM events)
+        |SELECT CAST(d AS INTEGER) AS d,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id % 100000) AS BIGINT) AS checksum
+        |FROM e GROUP BY d ORDER BY d""".stripMargin,
 
     // Same md5 rule synthesis, same integer longest-match score
     // (matchlen·2 + allowBit), same path slice.

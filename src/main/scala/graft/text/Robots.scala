@@ -33,10 +33,16 @@ object Robots {
     * (an Allow rule won the longest match) / blocked.
     */
   def evaluate(urls: DataFrame, urlCol: String, idCols: Seq[String],
-      rules: DataFrame): DataFrame = {
-    val u = urls.select(idCols.map(col) :+
+      rules: DataFrame): DataFrame =
+    evaluateParsed(urls.select(idCols.map(col) :+
       UrlOps.host(col(urlCol)).as("host") :+
-      pathQuery(col(urlCol)).as("path"): _*)
+      pathQuery(col(urlCol)).as("path"): _*), idCols, rules)
+
+  /** [[evaluate]] over an already-parsed (idCols…, host, path) frame —
+    * for callers that also derive the RULES from the same parse (the
+    * q_robots shape): parse once, checkpoint, reuse. */
+  def evaluateParsed(u: DataFrame, idCols: Seq[String],
+      rules: DataFrame): DataFrame = {
     val j = u.join(rules, Seq("host"), "left")
     val matched = col("rule").isNotNull &&
       col("path").startsWith(col("rule"))

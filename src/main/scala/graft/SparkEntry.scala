@@ -492,6 +492,39 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // TIME-WEIGHTED AVERAGE (TWAP — the telemetry/finance aggregate
+    // where a value HOLDS until the next observation, so plain avg()
+    // over-weights chatty periods): per (user, day) segments from
+    // lead() over the bounded per-user-day window, integrated in
+    // EXACT integers (cents × whole seconds), then per-day Σnum/Σden
+    // as the single rounded division. Magnitudes stay ≤ ~2e13 —
+    // far from both int64 and the 18-digit oracle ceiling.
+    "q_twap" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.loadEvents(s, dir).select(
+        col("user_id"), col("event_id"), col("ts"),
+        dayofmonth(col("ts")).as("d"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val w = Window.partitionBy("user_id", "d")
+        .orderBy(col("ts"), col("event_id"))
+      val seg = e
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("d"),
+          expr("(unix_micros(nxt) - unix_micros(ts)) DIV 1000000")
+            .as("dtsec"),
+          col("cents"))
+      seg.groupBy("d")
+        .agg(sum(col("cents") * col("dtsec")).as("num"),
+          sum(col("dtsec")).as("den"),
+          count(lit(1)).as("n_segments"))
+        .select(col("d"), col("num"), col("den"), col("n_segments"),
+          round(col("num").cast("double") / col("den"), 6)
+            .as("twap_cents"))
+        .orderBy("d")
+    },
+
     // KAPPA BACKFILL CUTOVER: batch history (days ≤ 20) + a live feed
     // that OVERLAPS it (days ≥ 11) must union to exactly-once — the
     // stream side cuts over at the batch HIGH WATERMARK (strict
@@ -8608,6 +8641,27 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Same lead() segments, same integer cents×seconds integration.
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, date_part('day', ts) AS d,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |s AS (
+        |  SELECT d, cents,
+        |    (epoch_us(lead(ts) OVER (PARTITION BY user_id, d
+        |                             ORDER BY ts, event_id))
+        |     - epoch_us(ts)) // 1000000 AS dtsec
+        |  FROM e),
+        |f AS (SELECT * FROM s WHERE dtsec IS NOT NULL)
+        |SELECT CAST(d AS INTEGER) AS d,
+        |  CAST(sum(cents * dtsec) AS BIGINT) AS num,
+        |  CAST(sum(dtsec) AS BIGINT) AS den,
+        |  CAST(count(*) AS BIGINT) AS n_segments,
+        |  round(CAST(sum(cents * dtsec) AS DOUBLE) / sum(dtsec), 6)
+        |    AS twap_cents
+        |FROM f GROUP BY d ORDER BY d""".stripMargin,
 
     // Every event exactly once per day — overlap duplicates or seam
     // gaps hash-fail.

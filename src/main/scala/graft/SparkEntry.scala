@@ -492,6 +492,31 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // REPRODUCIBLE EPOCH SHUFFLE: the deterministic global permutation
+    // a training loader consumes — shuffle position = dense rank of
+    // md5(epoch_salt | doc_id) via the window-free assignment
+    // (graft.text.Vocab.assignIds with a constant count column: order
+    // reduces to shuffle_key asc), then round-robin sharding by
+    // position for balanced, interleaved shards. Σ pos·(doc_id%1000)
+    // per shard pins the ENTIRE permutation, not a sample. Changing
+    // the salt is a new epoch; same salt replays bit-for-bit.
+    "q_epoch_shuffle" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
+          md5(concat(lit("epoch7|"), col("doc_id"))).as("shuffle_key"),
+          lit(0L).as("zero"))
+      graft.text.Vocab.assignIds(docs, "shuffle_key", "zero", parts = 32)
+        .select(col("doc_id"), col("n_tok"), col("id").as("pos"))
+        .groupBy(pmod(col("pos"), lit(8L)).as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"),
+          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
+          sum(col("pos") * pmod(col("doc_id"), lit(1000L)))
+            .as("assign_checksum"))
+        .orderBy("shard")
+    },
+
     // TIME-WEIGHTED AVERAGE (TWAP — the telemetry/finance aggregate
     // where a value HOLDS until the next observation, so plain avg()
     // over-weights chatty periods): per (user, day) segments from
@@ -8641,6 +8666,25 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // row_number over the md5 shuffle key (hex sorts identically in
+    // both engines) replays the permutation.
+    "q_epoch_shuffle" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tok,
+        |    md5('epoch7|' || doc_id) AS shuffle_key
+        |  FROM documents),
+        |p AS (SELECT doc_id, n_tok,
+        |        row_number() OVER (ORDER BY shuffle_key) - 1 AS pos
+        |      FROM d)
+        |SELECT pos % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+        |  CAST(min(pos) AS BIGINT) AS min_pos,
+        |  CAST(max(pos) AS BIGINT) AS max_pos,
+        |  CAST(sum(pos * (doc_id % 1000)) AS BIGINT) AS assign_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
 
     // Same lead() segments, same integer cents×seconds integration.
     "q_twap" ->

@@ -7207,6 +7207,44 @@ object SparkEntry {
         .orderBy("layout")
     },
 
+    // TRANSACTIONAL merge-on-read: q_equality_deletes' sequence rule
+    // with the delete files IN the commit-log manifest (the Iceberg
+    // v2 shape) — one atomic commit makes the delete visible, and
+    // TIME TRAVEL reads straight through it (the pre-delete version
+    // lists no delete file, so the rows are simply back). Output
+    // unions the v1 snapshot (pre-delete) and the v3 head (delete +
+    // reinsert applied): both sides of the atomicity story in one
+    // oracle (graft.sources.MorTable; crash/visibility invariants in
+    // MorTableSpec).
+    "q_commit_mor" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mor_$tag/t"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+      val v1 = graft.sources.MorTable.appendData(s, o, 1L, table)
+      graft.sources.MorTable.commitDeletes(s,
+        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        2L, table)
+      val v3 = graft.sources.MorTable.appendData(s,
+        o.filter(col("o_orderkey") % 7 === 0), 3L, table)
+      def agg(version: Long, tagName: String) =
+        graft.sources.MorTable.readMor(s, table, Seq("o_orderkey"),
+            Some(version))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
+            sum(col("data_seq")).as("seq_sum"))
+          .withColumn("snapshot", lit(tagName))
+      agg(v1, "v1").unionAll(agg(v3, "v3"))
+        .select("snapshot", "o_orderstatus", "n", "key_checksum",
+          "seq_sum")
+        .orderBy("snapshot", "o_orderstatus")
+    },
+
     // Iceberg-style EQUALITY DELETES (the CDC flavor of
     // q_delete_vectors): the delete file names KEY VALUES plus a
     // sequence number; a row dies iff some delete matches its key
@@ -14631,6 +14669,36 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y') = '1996'
         |GROUP BY 1 ORDER BY om""".stripMargin,
+
+    // v1 = the raw table at seq 1; v3 = the q_equality_deletes
+    // sequence rule over base(1) ∪ reappend(3).
+    "q_commit_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, 1 AS data_seq FROM orders),
+        |app AS (
+        |  SELECT o_orderkey, o_orderstatus, 3 AS data_seq
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |       WHERE o_orderstatus = 'F'),
+        |v1 AS (
+        |  SELECT 'v1' AS snapshot, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
+        |    CAST(sum(data_seq) AS BIGINT) AS seq_sum
+        |  FROM base GROUP BY 2),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |live AS (
+        |  SELECT * FROM t
+        |  WHERE NOT (data_seq < 2
+        |             AND o_orderkey IN (SELECT k FROM dk))),
+        |v3 AS (
+        |  SELECT 'v3' AS snapshot, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
+        |    CAST(sum(data_seq) AS BIGINT) AS seq_sum
+        |  FROM live GROUP BY 2)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v3
+        |ORDER BY snapshot, o_orderstatus""".stripMargin,
 
     // Replays the layout split rule (<1996 → year epoch) and the
     // range semantics; n_partitions = distinct partition values each

@@ -341,8 +341,19 @@ object CommitLog {
       spark: SparkSession,
       df: DataFrame,
       table: String,
+      partitionBy: Seq[String] = Seq.empty): Seq[String] =
+    stageUnder(spark, df, table, "stage", partitionBy)
+
+  /** [[stage]] with a caller-chosen dir prefix — the prefix is how
+    * multi-ROLE manifests (data files vs delete files, [[MorTable]])
+    * tell file kinds apart without a manifest schema change. */
+  private[sources] def stageUnder(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      prefix: String,
       partitionBy: Seq[String] = Seq.empty): Seq[String] = {
-    val sub = s"stage-${UUID.randomUUID()}"
+    val sub = s"$prefix-${UUID.randomUUID()}"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"${dataRoot(table)}/$sub")

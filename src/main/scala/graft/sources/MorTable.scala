@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read table = [[CommitLog]] manifests + equality-delete
+  * files IN the manifest — the full Iceberg v2 shape: ONE atomic
+  * commit makes a delete visible (readers racing it see either the
+  * whole delete or none of it), time travel reads straight through
+  * (a pre-delete version still lists no delete file, so the rows are
+  * simply back), and vacuum/compaction already handle delete files
+  * because they are ordinary manifest entries.
+  *
+  * File roles ride the staging dir prefix (`stage-` data, `deletes-`
+  * delete files) — no manifest schema change. Data rows carry their
+  * commit's sequence in a `data_seq` column; a delete file carries
+  * key tuples + `delete_seq`, and a row dies iff some live delete
+  * matches its keys with `delete_seq > data_seq` (so delete +
+  * re-insert replays in any file order — [[DeleteVectors]]'
+  * equality-delete rule, now transactional). The MoR read is the
+  * same broadcast-able anti join.
+  */
+object MorTable {
+
+  /** Append a data snapshot (tagging rows with `seq`); one commit. */
+  def appendData(spark: SparkSession, df: DataFrame, seq: Long,
+      table: String): Long =
+    CommitLog.commit(spark, table,
+      adds = CommitLog.stage(spark, df.withColumn("data_seq", lit(seq)),
+        table))
+
+  /** Commit an equality-delete file for `keys` at `seq`; one commit —
+    * the delete becomes visible atomically with the manifest swap. */
+  def commitDeletes(spark: SparkSession, keys: DataFrame, seq: Long,
+      table: String): Long =
+    CommitLog.commit(spark, table,
+      adds = CommitLog.stageUnder(spark,
+        keys.distinct().withColumn("delete_seq", lit(seq)),
+        table, "deletes"))
+
+  /** Merge-on-read at `version` (current if None): live data files
+    * MINUS live delete files under the sequence rule. */
+  def readMor(spark: SparkSession, table: String, keyCols: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(CommitLog.currentVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+    val files = CommitLog.liveFiles(spark, table, v)
+    val (delFiles, dataFiles) = files.partition(_.startsWith("deletes-"))
+    val root = CommitLog.dataRoot(table)
+    val data = spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
+    if (delFiles.isEmpty) data
+    else {
+      val dels = spark.read.parquet(delFiles.map(f => s"$root/$f"): _*)
+        .select(keyCols.map(c => col(c).as(s"__del_$c"))
+          :+ col("delete_seq"): _*)
+      val cond = keyCols.map(c => data(c) === dels(s"__del_$c"))
+        .reduce(_ && _) && data("data_seq") < dels("delete_seq")
+      data.join(dels, cond, "left_anti")
+    }
+  }
+}

@@ -1,0 +1,39 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+
+class MorTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_mor_spec").toString + "/t"
+
+  test("delete commits atomically; time travel reads through it") {
+    val t = freshTable()
+    val v1 = MorTable.appendData(spark,
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v"), 1L, t)
+    val v2 = MorTable.commitDeletes(spark, Seq(2L, 3L).toDF("k"), 2L, t)
+    val v3 = MorTable.appendData(spark,
+      Seq((3L, "z2")).toDF("k", "v"), 3L, t)
+    def ks(version: Long) =
+      MorTable.readMor(spark, t, Seq("k"), Some(version))
+        .select("k", "v").as[(Long, String)].collect().sorted.toSeq
+    // current: 1 survives, 3 re-inserted after its delete, 2 gone
+    assert(ks(v3) == Seq((1L, "x"), (3L, "z2")))
+    // at the delete commit: only 1
+    assert(ks(v2) == Seq((1L, "x")))
+    // time travel BEFORE the delete: full pre-state
+    assert(ks(v1) == Seq((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+
+  test("delete files are ordinary manifest entries (version diff)") {
+    val t = freshTable()
+    MorTable.appendData(spark, Seq((7L, "a")).toDF("k", "v"), 1L, t)
+    val v2 = MorTable.commitDeletes(spark, Seq(7L).toDF("k"), 2L, t)
+    val files = CommitLog.liveFiles(spark, t, v2)
+    assert(files.exists(_.startsWith("deletes-")))
+    assert(files.exists(_.startsWith("stage-")))
+    assert(MorTable.readMor(spark, t, Seq("k")).count() == 0)
+  }
+}

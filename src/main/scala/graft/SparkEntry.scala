@@ -492,6 +492,29 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    // TOKENIZER FERTILITY per language (subword tokens per whitespace
+    // word — THE tokenizer-evaluation metric: fertility ≫ 1 on a
+    // language means the vocab under-serves it and its effective
+    // context shrinks): the corpus-trained BPE's token counts joined
+    // with word counts, aggregated per lang. Reuses the replayable
+    // BPE encode (q_bpe_encode) — one scan each side, one tiny join.
+    "q_tokenizer_fertility" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val bpe = Bpe.tokenCounts(docs, "text", "doc_id", bpeModelFor(s, dir))
+        .select("doc_id", "bpe_tokens")
+      val words = docs.select(col("doc_id"), col("lang"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("words"))
+      words.join(bpe, "doc_id")
+        .filter(col("words") > 0)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("bpe_tokens")).as("sum_bpe"),
+          sum(col("words")).as("sum_words"),
+          round(sum(col("bpe_tokens")).cast("double") / sum(col("words")), 6)
+            .as("fertility"))
+        .orderBy("lang")
+    },
+
     // REPRODUCIBLE EPOCH SHUFFLE: the deterministic global permutation
     // a training loader consumes — shuffle position = dense rank of
     // md5(epoch_salt | doc_id) via the window-free assignment
@@ -8704,6 +8727,24 @@ object SparkEntry {
         |  CAST(sum(y) AS BIGINT) AS sum_sylls,
         |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
         |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // The replayed BPE token counts (tc) joined with whitespace word
+    // counts; one rounded division per lang.
+    "q_tokenizer_fertility" ->
+      ("WITH " + bpeTokenCountCtes(BpeSteps) + """,
+        |wd AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS words
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tc.bpe_tokens) AS BIGINT) AS sum_bpe,
+        |  CAST(sum(wd.words) AS BIGINT) AS sum_words,
+        |  round(CAST(sum(tc.bpe_tokens) AS DOUBLE) / sum(wd.words), 6)
+        |    AS fertility
+        |FROM wd JOIN tc USING (doc_id)
+        |WHERE wd.words > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin),
 
     // row_number over the md5 shuffle key (hex sorts identically in
     // both engines) replays the permutation.

@@ -7268,6 +7268,41 @@ object SparkEntry {
         .orderBy("snapshot", "o_orderstatus")
     },
 
+    // MoR COMPACTION pays off the delete debt: materialize the
+    // current merge-on-read state as fresh data files and retire old
+    // data + delete files in ONE rewrite commit (which aborts on a
+    // racing touch of its read set — no resurrection window). Rows
+    // keep their data_seq, so the compacted read is
+    // indistinguishable (the oracle IS the uncompacted semantics)
+    // and n_delete_files proves the debt is gone
+    // (graft.sources.MorTable.compact; invariants in MorTableSpec).
+    "q_mor_compact" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_morc_$tag/t"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+      graft.sources.MorTable.appendData(s, o, 1L, table)
+      graft.sources.MorTable.commitDeletes(s,
+        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        2L, table)
+      graft.sources.MorTable.appendData(s,
+        o.filter(col("o_orderkey") % 7 === 0), 3L, table)
+      val vC = graft.sources.MorTable.compact(s, table, Seq("o_orderkey"))
+      val nDel = graft.sources.CommitLog.liveFiles(s, table, vC)
+        .count(_.startsWith("deletes-")).toLong
+      graft.sources.MorTable.readMor(s, table, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
+          sum(col("data_seq")).as("seq_sum"))
+        .withColumn("n_delete_files", lit(nDel))
+        .orderBy("o_orderstatus")
+    },
+
     // Iceberg-style EQUALITY DELETES (the CDC flavor of
     // q_delete_vectors): the delete file names KEY VALUES plus a
     // sequence number; a row dies iff some delete matches its key
@@ -14710,6 +14745,27 @@ object SparkEntry {
         |FROM orders
         |WHERE strftime(CAST(o_orderdate AS DATE), '%Y') = '1996'
         |GROUP BY 1 ORDER BY om""".stripMargin,
+
+    // Compaction must be invisible: the oracle is the UNCOMPACTED
+    // sequence-rule semantics, plus the zero delete-file count.
+    "q_mor_compact" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, 1 AS data_seq FROM orders),
+        |app AS (
+        |  SELECT o_orderkey, o_orderstatus, 3 AS data_seq
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |       WHERE o_orderstatus = 'F'),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |live AS (
+        |  SELECT * FROM t
+        |  WHERE NOT (data_seq < 2
+        |             AND o_orderkey IN (SELECT k FROM dk)))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
+        |  CAST(sum(data_seq) AS BIGINT) AS seq_sum,
+        |  CAST(0 AS BIGINT) AS n_delete_files
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // v1 = the raw table at seq 1; v3 = the q_equality_deletes
     // sequence rule over base(1) ∪ reappend(3).

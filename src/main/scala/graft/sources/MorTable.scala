@@ -38,6 +38,25 @@ object MorTable {
         keys.distinct().withColumn("delete_seq", lit(seq)),
         table, "deletes"))
 
+  /** COMPACT the merge-on-read debt: materialize the current MoR
+    * state as fresh data files and retire BOTH the old data files and
+    * the delete files in one [[CommitLog.rewrite]] — which aborts
+    * with ConcurrentRewriteException if a racing commit touched the
+    * read set (the Delta concurrent-delete rule), so the swap never
+    * resurrects deleted rows. Rows keep their data_seq: a reader
+    * can't tell compacted from not (pinned in spec), and later
+    * deletes still sequence correctly against them. Returns the new
+    * version. */
+  def compact(spark: SparkSession, table: String,
+      keyCols: Seq[String]): Long = {
+    val v = CommitLog.currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val live = CommitLog.liveFiles(spark, table, v)
+    val staged = CommitLog.stage(spark,
+      readMor(spark, table, keyCols, Some(v)), table)
+    CommitLog.rewrite(spark, table, adds = staged, removes = live)
+  }
+
   /** Merge-on-read at `version` (current if None): live data files
     * MINUS live delete files under the sequence rule. */
   def readMor(spark: SparkSession, table: String, keyCols: Seq[String],

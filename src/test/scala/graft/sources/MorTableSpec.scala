@@ -27,6 +27,29 @@ class MorTableSpec extends SparkSpec {
     assert(ks(v1) == Seq((1L, "x"), (2L, "y"), (3L, "z")))
   }
 
+  test("compact applies deletes, retires delete files, keeps data_seq") {
+    val t = freshTable()
+    MorTable.appendData(spark,
+      Seq((1L, "x"), (2L, "y")).toDF("k", "v"), 1L, t)
+    MorTable.commitDeletes(spark, Seq(2L).toDF("k"), 2L, t)
+    MorTable.appendData(spark, Seq((2L, "y2")).toDF("k", "v"), 3L, t)
+    val before = MorTable.readMor(spark, t, Seq("k"))
+      .select("k", "v", "data_seq")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    val vC = MorTable.compact(spark, t, Seq("k"))
+    val after = MorTable.readMor(spark, t, Seq("k"))
+      .select("k", "v", "data_seq")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(after == before) // a reader can't tell compacted from not
+    assert(before == Seq((1L, "x", 1L), (2L, "y2", 3L)))
+    // delete debt is gone from the manifest
+    assert(!CommitLog.liveFiles(spark, t, vC).exists(_.startsWith("deletes-")))
+    // a later delete still sequences against the preserved data_seq
+    MorTable.commitDeletes(spark, Seq(1L).toDF("k"), 4L, t)
+    assert(MorTable.readMor(spark, t, Seq("k"))
+      .select("k").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("delete files are ordinary manifest entries (version diff)") {
     val t = freshTable()
     MorTable.appendData(spark, Seq((7L, "a")).toDF("k", "v"), 1L, t)

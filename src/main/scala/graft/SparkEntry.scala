@@ -573,6 +573,53 @@ object SparkEntry {
         .orderBy("d")
     },
 
+    // STREAMING CDC INTO THE TRANSACTIONAL MoR TABLE (the Iceberg
+    // streaming-upsert writer): each microbatch lands as ONE commit —
+    // an equality-delete file at the key's max batch version plus the
+    // non-tombstone rows as data files. Sequencing comes from the
+    // DATA (event_id), so batch arrival order cannot change the final
+    // table (property-pinned in MorTableSpec); net semantics are
+    // exactly latest-wins CDC, which is what the oracle computes
+    // (graft.sources.MorTable.applyCdcBatch).
+    "q_stream_mor" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val srcPath = s"$tmp/graft_smor_src_$tag"
+      val table = s"$tmp/graft_smor_tbl_$tag/t"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      Tables.loadEvents(s, dir)
+        .select(col("user_id"), col("event_id").as("version"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          when(col("event_id") % 10 < 2, "D").otherwise("U").as("op"),
+          dayofmonth(col("ts")).as("d"))
+        .repartition(4, col("d")).drop("d")
+        .write.mode("overwrite").parquet(srcPath)
+      val sch = s.read.parquet(srcPath).schema
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_smor_ckpt").toString
+      val q = s.readStream.schema(sch)
+        .option("maxFilesPerTrigger", 1).parquet(srcPath)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.MorTable.applyCdcBatch(s, batch, Seq("user_id"),
+            "version", "op", table)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      graft.sources.MorTable.readMor(s, table, Seq("user_id"))
+        .groupBy(pmod(col("user_id"), lit(10L)).as("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cents")).as("cents_sum"),
+          sum(col("data_seq")).as("version_sum"))
+        .orderBy("bucket")
+    },
+
     // KAPPA BACKFILL CUTOVER: batch history (days ≤ 20) + a live feed
     // that OVERLAPS it (days ≥ 11) must union to exactly-once — the
     // stream side cuts over at the batch HIGH WATERMARK (strict
@@ -8820,6 +8867,26 @@ object SparkEntry {
         |  round(CAST(sum(cents * dtsec) AS DOUBLE) / sum(dtsec), 6)
         |    AS twap_cents
         |FROM f GROUP BY d ORDER BY d""".stripMargin,
+
+    // Latest-wins CDC per user (arg_max by the unique event_id),
+    // tombstone-last keys dropped — the order-independent net state.
+    "q_stream_mor" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS version,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, arg_max(op, version) AS lop,
+        |    arg_max(cents, version) AS lcents,
+        |    max(version) AS v
+        |  FROM c GROUP BY 1),
+        |live AS (SELECT * FROM g WHERE lop <> 'D')
+        |SELECT user_id % 10 AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(lcents) AS BIGINT) AS cents_sum,
+        |  CAST(sum(v) AS BIGINT) AS version_sum
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Every event exactly once per day — overlap duplicates or seam
     // gaps hash-fail.

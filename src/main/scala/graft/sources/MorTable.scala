@@ -38,6 +38,30 @@ object MorTable {
         keys.distinct().withColumn("delete_seq", lit(seq)),
         table, "deletes"))
 
+  /** Apply one CDC batch as ONE atomic commit (the Iceberg
+    * streaming-upsert writer): an equality-delete file with each
+    * key's max batch version, plus data files for the non-tombstone
+    * rows carrying their own version as `data_seq`. Because
+    * sequencing comes from the DATA (not the batch id), replaying
+    * batches in any order converges to the same table: an
+    * out-of-order older batch's delete_seq can't kill newer rows,
+    * and its stale data is already covered by the newer batch's
+    * delete file. Within a batch the winner survives its own delete
+    * (strict `<`). Net semantics ≡ [[graft.operators.Upsert.applyCdc]]
+    * latest-wins.
+    */
+  def applyCdcBatch(spark: SparkSession, batch: DataFrame,
+      keyCols: Seq[String], versionCol: String, opCol: String,
+      table: String): Long = {
+    val dels = batch.groupBy(keyCols.map(col): _*)
+      .agg(max(col(versionCol)).as("delete_seq"))
+    val data = batch.filter(col(opCol) =!= "D").drop(opCol)
+      .withColumnRenamed(versionCol, "data_seq")
+    CommitLog.commit(spark, table,
+      adds = CommitLog.stageUnder(spark, dels, table, "deletes") ++
+        CommitLog.stage(spark, data, table))
+  }
+
   /** COMPACT the merge-on-read debt: materialize the current MoR
     * state as fresh data files and retire BOTH the old data files and
     * the delete files in one [[CommitLog.rewrite]] — which aborts

@@ -50,6 +50,28 @@ class MorTableSpec extends SparkSpec {
       .select("k").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("applyCdcBatch: batch order does not change the final table") {
+    val b1 = Seq((1L, 10L, "U", "a1"), (2L, 11L, "U", "b1"))
+      .toDF("k", "version", "op", "v")
+    val b2 = Seq((1L, 20L, "U", "a2"), (2L, 21L, "D", ""),
+      (3L, 22L, "U", "c1"), (3L, 23L, "U", "c2"))
+      .toDF("k", "version", "op", "v")
+    def build(batches: Seq[org.apache.spark.sql.DataFrame]) = {
+      val t = freshTable()
+      batches.foreach(b =>
+        MorTable.applyCdcBatch(spark, b, Seq("k"), "version", "op", t))
+      MorTable.readMor(spark, t, Seq("k"))
+        .select("k", "v", "data_seq")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+    }
+    val forward = build(Seq(b1, b2))
+    val reversed = build(Seq(b2, b1))
+    assert(forward == reversed)
+    // latest-wins: 1 -> a2@20; 2 deleted@21; 3 -> c2@23 (within-batch
+    // winner survives its own delete file)
+    assert(forward == Seq((1L, "a2", 20L), (3L, "c2", 23L)))
+  }
+
   test("delete files are ordinary manifest entries (version diff)") {
     val t = freshTable()
     MorTable.appendData(spark, Seq((7L, "a")).toDF("k", "v"), 1L, t)

@@ -2690,6 +2690,26 @@ object SparkEntry {
         "probability", "y")
     },
 
+    // FAIRNESS-SLICE AUC: the q_auc classifier's ranking quality PER
+    // SOURCE — the audit that catches a model that ranks well
+    // globally while failing a segment. Same exact rank-sum on the
+    // score histogram, window partitioned by slice (still post-agg-
+    // bounded per group); single-class slices emit NULL instead of
+    // silently vanishing (ml/Eval.aucGrouped, EvalSpec).
+    "q_auc_grouped" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val d = logRegFeatures(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 3)
+      d.unpersist()
+      graft.ml.Eval.aucGrouped(
+        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w)
+          .join(docs.select("doc_id", "source"), "doc_id"),
+        "probability", "y", "source")
+        .orderBy("source")
+    },
+
     // HELD-OUT cross-validated evaluation — the audit q_auc (trained
     // and scored on the same corpus) deliberately lacks: the same
     // logistic fit on folds 1-4 of the deterministic md5 5-fold split
@@ -10876,6 +10896,34 @@ object SparkEntry {
          |SELECT n_pos, n_neg, rank2 - n_pos * (n_pos + 1) AS u2,
          |  round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
          |FROM a""".stripMargin
+    },
+
+    // The q_auc rank-sum partitioned by source over the same scored
+    // subquery; NULL auc on single-class slices.
+    "q_auc_grouped" -> {
+      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
+      s"""WITH sc AS ($scored),
+         |j AS (SELECT sc.doc_id, sc.probability, sc.y, d2.source
+         |      FROM sc JOIN documents d2 USING (doc_id)),
+         |hist AS (
+         |  SELECT source, CAST(round(probability * 1000000) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS cnt,
+         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
+         |  FROM j GROUP BY 1, 2),
+         |c AS (SELECT source, s, cnt, pos,
+         |        sum(cnt) OVER (PARTITION BY source ORDER BY s) AS cum
+         |      FROM hist),
+         |a AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
+         |        CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
+         |        CAST(sum(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
+         |          AS rank2
+         |      FROM c GROUP BY 1)
+         |SELECT source, n_pos, n_neg,
+         |  rank2 - n_pos * (n_pos + 1) AS u2,
+         |  CASE WHEN n_pos > 0 AND n_neg > 0
+         |    THEN round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+         |               / (2.0 * n_pos * n_neg), 6) END AS auc
+         |FROM a ORDER BY source""".stripMargin
     },
 
     // The q_auc rank-sum wrapper over the CV-replayed scored subquery

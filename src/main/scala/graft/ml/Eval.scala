@@ -67,6 +67,39 @@ object Eval {
           6).as("auc"))
   }
 
+  /** Per-group AUC — the FAIRNESS-SLICE audit (does the classifier
+    * rank as well on every segment as it does globally?): the exact
+    * [[auc]] rank-sum, keyed by `groupCol`. The ordered window is
+    * PARTITIONED by group over the post-agg score histogram (still ≤
+    * 1e6+1 rows per group at any corpus size — never a corpus-sized
+    * sort). Single-class groups emit NULL auc (undefined) so the
+    * slice stays visible instead of silently vanishing.
+    */
+  def aucGrouped(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String): DataFrame = {
+    val hist = df
+      .select(col(groupCol),
+        round(col(scoreCol) * 1e6).cast("long").as("s"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(groupCol, "s")
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+    val w = Window.partitionBy(groupCol).orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u2 = col("rank2") - col("n_pos") * (col("n_pos") + 1)
+    hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .groupBy(groupCol)
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        (sum(col("cnt")) - sum(col("pos"))).as("n_neg"),
+        sum(col("pos") * (lit(2) * (col("cum") - col("cnt")) + col("cnt") + 1))
+          .as("rank2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"), u2.as("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(u2.cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+  }
+
   /** Calibration (reliability) table: scores bucketed into `bins`
     * equal-width bins; per bin the exact count, positive count, and
     * the two rates whose divergence IS miscalibration — mean predicted

@@ -43,6 +43,36 @@ class EvalSpec extends SparkSpec {
     assert(r.getAs[Double]("auc") == 1.0)
   }
 
+  test("aucGrouped: per-slice rank-sum, NULL on single-class slices") {
+    import spark.implicits._
+    val rows =
+      // slice a: perfect separation → 1.0
+      (1 to 10).map(_ => ("a", 0.9, 1)) ++ (1 to 10).map(_ => ("a", 0.1, 0)) ++
+      // slice b: anti-ranked → 0.0
+      (1 to 5).map(_ => ("b", 0.1, 1)) ++ (1 to 5).map(_ => ("b", 0.9, 0)) ++
+      // slice c: single class → undefined
+      (1 to 4).map(_ => ("c", 0.5, 1))
+    val got = Eval.aucGrouped(rows.toDF("g", "score", "y"),
+        "score", "y", "g")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got == Map("a" -> Some(1.0), "b" -> Some(0.0), "c" -> None))
+  }
+
+  test("aucGrouped matches global auc on a single slice") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 200).map { _ =>
+      val y = rnd.nextInt(2)
+      ("only", math.min(1.0, math.max(0.0, rnd.nextDouble() * 0.6 + y * 0.3)), y)
+    }
+    val df = rows.toDF("g", "score", "y")
+    val global = Eval.auc(df, "score", "y").collect().head.getAs[Double]("auc")
+    val sliced = Eval.aucGrouped(df, "score", "y", "g")
+      .collect().head.getAs[Double]("auc")
+    assert(sliced == global)
+  }
+
   test("calibration bins partition the corpus with exact counts and means") {
     import spark.implicits._
     val rows = Seq((0.05, 0), (0.07, 1), (0.55, 1), (0.58, 0), (0.99, 1), (1.0, 1))

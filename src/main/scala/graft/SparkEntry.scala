@@ -2710,6 +2710,25 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // Per-slice EXPECTED CALIBRATION ERROR: q_calibration's
+    // reliability gap collapsed to the fairness scalar per source —
+    // Σ (n_bin/n)·|mean_score − frac_pos|. Two keyed aggregates over
+    // ≤ slices×bins rows; |gap| runs on the identical rounded per-bin
+    // rates both engines derive (ml/Eval.eceGrouped, EvalSpec).
+    "q_ece_grouped" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val d = logRegFeatures(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 3)
+      d.unpersist()
+      graft.ml.Eval.eceGrouped(
+        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w)
+          .join(docs.select("doc_id", "source"), "doc_id"),
+        "probability", "y", "source")
+        .orderBy("source")
+    },
+
     // HELD-OUT cross-validated evaluation — the audit q_auc (trained
     // and scored on the same corpus) deliberately lacks: the same
     // logistic fit on folds 1-4 of the deterministic md5 5-fold split
@@ -10924,6 +10943,31 @@ object SparkEntry {
          |    THEN round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
          |               / (2.0 * n_pos * n_neg), 6) END AS auc
          |FROM a ORDER BY source""".stripMargin
+    },
+
+    // The q_calibration bins keyed by source, rolled to the weighted
+    // |gap| scalar on the same rounded per-bin rates.
+    "q_ece_grouped" -> {
+      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
+      s"""WITH sc AS ($scored),
+         |j AS (SELECT sc.doc_id, sc.probability, sc.y, d2.source
+         |      FROM sc JOIN documents d2 USING (doc_id)),
+         |b AS (
+         |  SELECT source,
+         |    CAST(LEAST(CAST(floor(probability * 10) AS BIGINT), 9) AS INT)
+         |      AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+         |    sum(CAST(probability AS DECIMAL(18,6))) AS sum_p
+         |  FROM j GROUP BY 1, 2),
+         |r AS (SELECT source, n,
+         |        round(CAST(sum_p AS DOUBLE) / n, 6) AS ms,
+         |        round(CAST(n_pos AS DOUBLE) / n, 6) AS fp
+         |      FROM b)
+         |SELECT source, CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  round(sum(n * abs(ms - fp)) / sum(n), 6) AS ece
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // The q_auc rank-sum wrapper over the CV-replayed scored subquery

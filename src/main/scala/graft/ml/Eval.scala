@@ -125,4 +125,29 @@ object Eval {
         round(col("sum_p").cast("double") / col("n"), 6).as("mean_score"),
         round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
   }
+
+  /** Per-group EXPECTED CALIBRATION ERROR — [[calibration]] sliced by
+    * segment and collapsed to the scalar every fairness review wants:
+    * ece = Σ_bins (n_bin/n)·|mean_score − frac_pos|. Two keyed
+    * aggregates over ≤ groups×bins rows; the |gap| works on the same
+    * rounded per-bin rates both engines derive, so the weighted sum
+    * is deterministic. Output: (groupCol, n, n_bins, ece).
+    */
+  def eceGrouped(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String, bins: Int = 10): DataFrame = {
+    val bin = least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int")
+    val byBin = df.select(col(groupCol), bin.as("bin"),
+        col(scoreCol).cast("decimal(18,6)").as("p"),
+        col(labelCol).cast("long").as("y"))
+      .groupBy(groupCol, "bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(col("p")).cast("decimal(38,6)").as("sum_p"))
+      .select(col(groupCol), col("n"),
+        round(col("sum_p").cast("double") / col("n"), 6).as("ms"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("fp"))
+    byBin.groupBy(groupCol)
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        round(sum(col("n") * abs(col("ms") - col("fp")))
+          / sum(col("n")), 6).as("ece"))
+  }
 }

@@ -73,6 +73,18 @@ class EvalSpec extends SparkSpec {
     assert(sliced == global)
   }
 
+  test("eceGrouped: zero when perfectly calibrated, weighted gap otherwise") {
+    import spark.implicits._
+    // slice a perfectly calibrated in its bins: bin .5 with half pos
+    val a = Seq(("a", 0.5, 1), ("a", 0.5, 0), ("a", 0.5, 1), ("a", 0.5, 0))
+    // slice b: predicts .9 but nothing is positive → ece = .9
+    val b = Seq(("b", 0.9, 0), ("b", 0.9, 0))
+    val got = Eval.eceGrouped((a ++ b).toDF("g", "score", "y"),
+        "score", "y", "g")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("ece")).toMap
+    assert(got == Map("a" -> 0.0, "b" -> 0.9))
+  }
+
   test("calibration bins partition the corpus with exact counts and means") {
     import spark.implicits._
     val rows = Seq((0.05, 0), (0.07, 1), (0.55, 1), (0.58, 0), (0.99, 1), (1.0, 1))

@@ -2710,6 +2710,24 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    // Per-slice BRIER SCORE completing the eval triple (AUC ranks,
+    // ECE calibrates, Brier punishes confident wrongness): exact
+    // DECIMAL(38,12) squared-residual sums — order-independent — one
+    // keyed aggregate (ml/Eval.brierGrouped, EvalSpec).
+    "q_brier_grouped" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val d = logRegFeatures(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
+        lr = 1.0, iters = 3)
+      d.unpersist()
+      graft.ml.Eval.brierGrouped(
+        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w)
+          .join(docs.select("doc_id", "source"), "doc_id"),
+        "probability", "y", "source")
+        .orderBy("source")
+    },
+
     // Per-slice EXPECTED CALIBRATION ERROR: q_calibration's
     // reliability gap collapsed to the fairness scalar per source —
     // Σ (n_bin/n)·|mean_score − frac_pos|. Two keyed aggregates over
@@ -10943,6 +10961,25 @@ object SparkEntry {
          |    THEN round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
          |               / (2.0 * n_pos * n_neg), 6) END AS auc
          |FROM a ORDER BY source""".stripMargin
+    },
+
+    // Exact decimal squared residuals per source; one rounded
+    // division per row.
+    "q_brier_grouped" -> {
+      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
+      s"""WITH sc AS ($scored),
+         |j AS (SELECT sc.probability, sc.y, d2.source
+         |      FROM sc JOIN documents d2 USING (doc_id)),
+         |r AS (SELECT source,
+         |        CAST((CAST(probability AS DECIMAL(18,6))
+         |              - CAST(y AS DECIMAL(18,6)))
+         |             * (CAST(probability AS DECIMAL(18,6))
+         |                - CAST(y AS DECIMAL(18,6)))
+         |             AS DECIMAL(38,12)) AS sq
+         |      FROM j)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  round(CAST(sum(sq) AS DOUBLE) / count(*), 6) AS brier
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     // The q_calibration bins keyed by source, rolled to the weighted

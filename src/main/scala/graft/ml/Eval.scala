@@ -150,4 +150,22 @@ object Eval {
         round(sum(col("n") * abs(col("ms") - col("fp")))
           / sum(col("n")), 6).as("ece"))
   }
+
+  /** Per-group BRIER SCORE — mean (p − y)², the proper scoring rule
+    * that punishes confident wrongness where AUC only sees order.
+    * The squared residuals accumulate as EXACT DECIMAL(38,12)
+    * (p is a 6dp probability, so (p−y)² is exactly representable at
+    * scale 12 and the sum is order-independent); one keyed aggregate.
+    * Output: (groupCol, n, brier).
+    */
+  def brierGrouped(df: DataFrame, scoreCol: String, labelCol: String,
+      groupCol: String): DataFrame = {
+    val r = (col(scoreCol).cast("decimal(18,6)") -
+      col(labelCol).cast("decimal(18,6)"))
+    df.select(col(groupCol), (r * r).cast("decimal(38,12)").as("sq"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("sq")).cast("double") / count(lit(1)), 6)
+          .as("brier"))
+  }
 }

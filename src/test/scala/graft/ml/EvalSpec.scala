@@ -85,6 +85,18 @@ class EvalSpec extends SparkSpec {
     assert(got == Map("a" -> 0.0, "b" -> 0.9))
   }
 
+  test("brierGrouped: exact mean squared residual per slice") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 1.0, 1), ("a", 0.0, 0),          // perfect → 0
+      ("b", 0.5, 1), ("b", 0.5, 0),          // hedged → 0.25
+      ("c", 0.9, 0))                          // confidently wrong → 0.81
+    val got = Eval.brierGrouped(rows.toDF("g", "score", "y"),
+        "score", "y", "g")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("brier")).toMap
+    assert(got == Map("a" -> 0.0, "b" -> 0.25, "c" -> 0.81))
+  }
+
   test("calibration bins partition the corpus with exact counts and means") {
     import spark.implicits._
     val rows = Seq((0.05, 0), (0.07, 1), (0.55, 1), (0.58, 0), (0.99, 1), (1.0, 1))

@@ -51,11 +51,18 @@ object LabelProp {
       // Plurality label, ties to the smallest: min over the unique
       // (-count, label) ordering — deterministic because the ordering
       // key is unique within each group.
+      // Truncate lineage EVERY round (the PageRank/Hits/Closeness
+      // discipline): without this, plan depth grows linearly with the
+      // round budget and analysis/codegen blow up long before the data
+      // does.
       labels = cnt.groupBy("id")
         .agg(min_by(col("community"),
           struct((-col("c")).as("nc"), col("community"))).as("community"))
+        .localCheckpoint(true)
     }
-    val out = labels.localCheckpoint(true)
+    // rounds == 0 still needs its lineage severed from sym before the
+    // unpersist below; rounds >= 1 is already checkpointed.
+    val out = if (rounds == 0) labels.localCheckpoint(true) else labels
     sym.unpersist()
     out
   }

@@ -97,6 +97,36 @@ object MergeInto {
       else col("__a") =!= -1 &&
         !col("__a").isin(deleteIds.map(_.asInstanceOf[Any]): _*)
     val withAction = j.withColumn("__a", action).filter(keep)
+
+    // ANSI-MERGE analysis rule: every SET/INSERT expression must
+    // up-cast LOSSLESSLY to its target column type — Delta/ANSI MERGE
+    // fails analysis on e.g. a double expression into a long column;
+    // a silent Cast here would truncate data instead. One driver-side
+    // schema probe, no execution.
+    val typed: Seq[(String, String, Column)] =
+      (matched.collect { case (_, Update(set)) => set } ++
+        bySource.collect { case (_, Update(set)) => set } ++
+        notMatched.map(_._2.values)).zipWithIndex.flatMap {
+        case (m, ci) => m.toSeq.zipWithIndex.collect {
+          case ((c, e), ei) if outCols.contains(c) =>
+            (c, s"__probe_${ci}_$ei", e)
+        }
+      }
+    if (typed.nonEmpty) {
+      val probed = j.select(typed.map { case (_, a, e) => e.as(a) }: _*)
+        .schema
+      typed.foreach { case (c, a, _) =>
+        val from = probed(a).dataType
+        val to = base.schema(c).dataType
+        require(from == org.apache.spark.sql.types.NullType ||
+          org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+          s"MERGE type mismatch on column '$c': expression type " +
+            s"${from.simpleString} does not up-cast losslessly to " +
+            s"${to.simpleString} — add an explicit cast if the " +
+            "narrowing is intended")
+      }
+    }
+
     val out = outCols.map { c =>
       val updates =
         matched.zipWithIndex.collect { case ((_, Update(set)), i)

@@ -124,18 +124,25 @@ object CommitLog {
   }
 
   /** One JSON object per manifest; file order is canonicalized (and
-    * mins/maxs aligned to it) so two manifests with the same live set
-    * are byte-comparable. */
+    * statsFiles/mins/maxs aligned to it) so two manifests with the
+    * same live set are byte-comparable. Stats are SPARSE: only the
+    * files that have an entry are serialized (as `statsFiles` with
+    * aligned mins/maxs), so one stats-less add — a plain [[append]]
+    * onto a stats-carrying table, or an all-NULL stats batch — never
+    * erases the carried stats of the surviving files. Readers treat
+    * absent entries conservatively ([[prunedFiles]] keeps them;
+    * [[replaceWhere]] throws on them, its documented contract). */
   private def renderManifest(m: Manifest): String = {
     val ordered = m.files.sorted
     val fileJson = ordered.map(f => "\"" + esc(f) + "\"").mkString(",")
     val withStats = ordered.filter(m.stats.contains)
     val statsJson =
-      if (m.statsCol.isEmpty || withStats.size != ordered.size) ""
+      if (m.statsCol.isEmpty || withStats.isEmpty) ""
       else {
-        val mins = ordered.map(f => m.stats(f)._1).mkString(",")
-        val maxs = ordered.map(f => m.stats(f)._2).mkString(",")
-        s""","statsCol":"${esc(m.statsCol)}","mins":[$mins],"maxs":[$maxs]"""
+        val sfiles = withStats.map(f => "\"" + esc(f) + "\"").mkString(",")
+        val mins = withStats.map(f => m.stats(f)._1).mkString(",")
+        val maxs = withStats.map(f => m.stats(f)._2).mkString(",")
+        s""","statsCol":"${esc(m.statsCol)}","statsFiles":[$sfiles],"mins":[$mins],"maxs":[$maxs]"""
       }
     s"""{"version":${m.version},"txn":"${esc(m.txn)}","files":[$fileJson]$statsJson}"""
   }
@@ -213,10 +220,13 @@ object CommitLog {
       .getOrElse(Seq.empty)
     val mins = longs("mins")
     val maxs = longs("maxs")
-    val ordered = files.sorted
+    // Sparse format carries its own statsFiles list; the legacy dense
+    // format aligned mins/maxs to the full sorted file list.
+    val statted = arrayField(body, "statsFiles").map(parseStrings)
+      .getOrElse(files.sorted)
     val stats =
-      if (mins.size == ordered.size && maxs.size == ordered.size && ordered.nonEmpty)
-        ordered.zip(mins.zip(maxs)).toMap
+      if (mins.size == statted.size && maxs.size == statted.size && statted.nonEmpty)
+        statted.zip(mins.zip(maxs)).toMap
       else Map.empty[String, (Long, Long)]
     Manifest(version, stringField(body, "txn"), stringField(body, "statsCol"),
       files, stats)
@@ -233,9 +243,12 @@ object CommitLog {
   private def atomicPublish(f: FileSystem, tmp: Path, dst: Path): Boolean =
     if ("file".equalsIgnoreCase(f.getUri.getScheme)) {
       try {
+        // Qualify first: a relative Path's URI path is itself relative
+        // and java.nio would resolve it against the JVM cwd, not the
+        // filesystem's working directory.
         java.nio.file.Files.createLink(
-          java.nio.file.Paths.get(dst.toUri.getPath),
-          java.nio.file.Paths.get(tmp.toUri.getPath))
+          java.nio.file.Paths.get(f.makeQualified(dst).toUri.getPath),
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath))
         f.delete(tmp, false)
         true
       } catch {
@@ -358,13 +371,18 @@ object CommitLog {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(s"${dataRoot(table)}/$sub")
     val f = fs(spark, table)
-    val root = new Path(dataRoot(table), sub)
+    // Relativize against the FULLY-QUALIFIED root: listStatus returns
+    // qualified paths, so substringing an unqualified (possibly
+    // relative) dataRoot would compute a wrong offset and record
+    // garbage paths in the manifest.
+    val qualifiedRoot = f.makeQualified(new Path(dataRoot(table)))
+    val rootLen = qualifiedRoot.toUri.getPath.length
+    val root = f.makeQualified(new Path(qualifiedRoot, sub))
     def walk(p: Path): Seq[String] = f.listStatus(p).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (st.isDirectory) walk(st.getPath)
       else if (n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith("."))
-        Seq(st.getPath.toUri.getPath
-          .substring(new Path(dataRoot(table)).toUri.getPath.length + 1))
+        Seq(st.getPath.toUri.getPath.substring(rootLen + 1))
       else Seq.empty
     }
     walk(root)

@@ -120,14 +120,18 @@ class CommitLogSpec extends SparkSpec {
     val full = CommitLog.read(spark, t)
       .filter($"id".between(120L, 150L)).as[(Long, String)].collect().toSet
     assert(pruned == full && full.size == 31)
-    // Stats survive an unrelated commit (carry-forward)…
+    // Stats survive an unrelated STATS-LESS commit (sparse carry-
+    // forward): the three original files keep their zone maps…
     CommitLog.append(spark, Seq((999L, "x")).toDF("id", "s"), t)
     val m2 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
-    assert(m2.files.size == 4)
-    // …but a live set with any stats-less file publishes no zone map
-    // (pruning would have to keep that file anyway; all-or-nothing
-    // keeps the manifest honest) — every file is then kept.
-    assert(CommitLog.prunedFiles(spark, t, 120L, 150L)._2.size == 4)
+    assert(m2.files.size == 4 && m2.stats.size == 3 && m2.statsCol == "id")
+    // …so pruning still skips the two out-of-range statted files and
+    // keeps only the matching file plus the unprovable stats-less one.
+    assert(CommitLog.prunedFiles(spark, t, 120L, 150L)._2.size == 2)
+    // The pruned read stays lossless with the mixed manifest.
+    val pruned2 = CommitLog.readPruned(spark, t, 120L, 150L)
+      .filter($"id".between(120L, 150L)).as[(Long, String)].collect().toSet
+    assert(pruned2 == full)
     // An all-miss probe yields an empty, correctly-typed frame when
     // every live file carries stats.
     val t2 = freshTable()
@@ -210,12 +214,12 @@ class CommitLogSpec extends SparkSpec {
       CommitLog.replaceWhere(spark,
         Seq((150L, "x")).toDF("id", "s"), t, 150L, 249L)
     }
-    // A table with a stats-less live file: refused. (The all-or-
-    // nothing manifest renderer drops the zone map — and with it the
-    // stats column — the moment any live file lacks stats, so the
-    // refusal surfaces at the statsCol require.)
+    // A table with a stats-less live file: refused LOUDLY — that file
+    // might hold rows inside any range, so no replaceWhere can prove
+    // its read set. (Stats stay sparse in the manifest: the statted
+    // files keep their zone maps, only the one add is unprovable.)
     CommitLog.append(spark, Seq((400L, "nostats")).toDF("id", "s"), t)
-    intercept[IllegalArgumentException] {
+    intercept[IllegalStateException] {
       CommitLog.replaceWhere(spark,
         Seq((250L, "x")).toDF("id", "s"), t, 200L, 299L)
     }

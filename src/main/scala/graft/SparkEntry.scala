@@ -38,7 +38,7 @@ object SparkEntry {
   /** Publish `df` as a RANGE-CLUSTERED commit-log table (delegates to
     * [[graft.sources.CommitLog.replaceClustered]] — one shuffle, one
     * stats scan, one commit, any bucket count). */
-  private def commitClustered(
+  private[graft] def commitClustered(
       s: SparkSession,
       df: DataFrame,
       table: String,
@@ -71,9 +71,9 @@ object SparkEntry {
     * q_dedup_containment itself computes the pairs fresh — it IS the
     * postings stage, and its bench row should keep pricing it.
     */
-  private val containmentPairsPath =
+  private[graft] val containmentPairsPath =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
-  private def containmentPairsAtRest(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def containmentPairsAtRest(s: SparkSession, dir: String): DataFrame = {
     val path = containmentPairsPath.computeIfAbsent((s, dir), _ => {
       val p = java.nio.file.Files
         .createTempDirectory("graft_containment_pairs").toString
@@ -91,16 +91,16 @@ object SparkEntry {
     * learn real multi-char subwords on this vocabulary while keeping
     * the oracle's round-unrolled CTE chain reviewable.
     */
-  private val BpeSteps = 16
+  private[graft] val BpeSteps = 16
 
   /** One BPE model per (session, corpus): q_bpe, q_bpe_encode and
     * q_token_budget_bpe all derive from the SAME training run — the
     * tokenizer is trained once and reused, exactly as a pipeline
     * would.
     */
-  private val bpeMemo =
+  private[graft] val bpeMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Bpe.Model]()
-  private def bpeModelFor(s: SparkSession, dir: String): Bpe.Model =
+  private[graft] def bpeModelFor(s: SparkSession, dir: String): Bpe.Model =
     bpeMemo.computeIfAbsent((s, dir), _ =>
       Bpe.train(Tables.load(s, dir, "documents"), "text", BpeSteps))
 
@@ -114,7 +114,7 @@ object SparkEntry {
     * decode → resample → hash end to end (the q_multimodal_image
     * pattern).
     */
-  private def imageDedupFixture(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def imageDedupFixture(s: SparkSession, dir: String): DataFrame = {
     val enc = Encoders.row(StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType))))
     Tables.load(s, dir, "documents").select("doc_id").mapPartitions { it =>
@@ -155,7 +155,7 @@ object SparkEntry {
       when(pmod(orderkey, lit(2)) === 0, "?q=a%3db").otherwise(""),
       when(pmod(orderkey, lit(5)) === 0, "#Sec%201").otherwise(""))
 
-  private def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def syntheticUrls(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.load(s, dir, "orders")
     o.select(col("o_orderkey"),
       syntheticUrlExpr(col("o_custkey"), col("o_orderkey")).as("url"))
@@ -171,7380 +171,50 @@ object SparkEntry {
       lineitemSpec)
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
-          count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    },
-
-    "q_range_stats" -> { (s, dir) =>
-      RangeStats.stats(
-        Tables.load(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-    },
-
-    // Sentinel→NULL missing-value semantics (reference Range.java:20,
-    // Map.java:15-26): treat discount 0.0 as "missing".
-    "q_missing_stats" -> { (s, dir) =>
-      RangeStats.stats(
-        Tables.load(s, dir, "lineitem"),
-        Seq("l_quantity", "l_discount"),
-        sentinels = Map("l_discount" -> 0.0))
-    },
-
-    // Flagship skyline (GSKY two-phase), scoped to one returnflag so the
-    // DuckDB NOT-EXISTS oracle stays cheap at sf0.01.
-    // Output columns are projected BEFORE the operator: the skyline
-    // carries whole rows through an opaque mapPartitions, so Catalyst
-    // cannot prune through it — projecting early is what gets
-    // ReadSchema down to the 5 needed columns at the parquet scan.
-    "q_skyline_lineitem" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
-      SkylineOp.twoPhase(li, lineitemSpec)
-        .orderBy("l_orderkey", "l_linenumber")
-    },
-
-    // INCREMENTAL SKYLINE MAINTENANCE — the engine's core operator
-    // made append-friendly: for insert-only batches,
-    // Sky(D ∪ B) = Sky(Sky(D) ∪ B), so a maintained skyline absorbs a
-    // delta by running the operator over (current skyline ∪ batch) —
-    // per-batch cost ∝ |Sky| + |B|, the corpus is NEVER rescanned
-    // (the q_incr_agg/q_incr_join discipline applied to dominance).
-    // The oracle is the FULL recompute over base ∪ delta — passing
-    // hash-equality IS the equivalence proof.
-    "q_skyline_incr" -> { (s, dir) =>
-      val r = Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R")
-        .select("l_orderkey", "l_linenumber", "l_extendedprice",
-          "l_discount", "l_shipdate")
-      val base = r.filter(col("l_orderkey") % 10 =!= 0)
-      val delta = r.filter(col("l_orderkey") % 10 === 0)
-      val maintained = SkylineOp.twoPhase(base, lineitemSpec)
-      SkylineOp.twoPhase(maintained.unionByName(delta), lineitemSpec)
-        .orderBy("l_orderkey", "l_linenumber")
-    },
-
-    // Same skyline semantics through the quadtree-partitioned SKY-MR
-    // plan (parallel final merge) — scoped to returnflag 'A' so it
-    // exercises a different slice than q_skyline_lineitem.
-    "q_skyline_skymr" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "A")
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
-      SkyMr.skyline(li, lineitemSpec, maxp = 64, maxDepth = 6, sampleSize = 5000)
-        .orderBy("l_orderkey", "l_linenumber")
-    },
-
-    // The reference's actual flagship workload shape: a 9-dimensional
-    // GSOD skyline (Skyline.java:25-26,369: DIM=9 → 2^9=512-way quadtree
-    // fanout, maxp=20) — lineitem shaped into 9 non-null GSOD dims in
-    // the parsed-GSOD schema, then SKY-MR with reference parameters.
-    // Exercises d=9 cell routing, region dominance algebra, and
-    // replication at 512 fanout. Dims are small integer-valued doubles,
-    // chosen so the fixed-width 1-decimal GSOD rendering is lossless
-    // (floor, not round, for stp — Spark rounds HALF_UP, DuckDB
-    // HALF_EVEN, so exact .5 ties would diverge); the text round trip
-    // itself now lives in q_gsod_roundtrip + GsodSpec, not here (see
-    // the fusion note below).
-    //
-    // Cost note (sf0.1, local[32], tools/Gsod9Probe; the box has ±3×
-    // IO noise, numbers from interleaved A/B): ~9-15 s, of which the io
-    // round trip is ~0.9 s — the rest is the intrinsically large d=9
-    // skyline (~10% of input survives). This is the workload SkyMr
-    // exists for: twoPhase takes ~2× longer, deeper trees invert the
-    // win (more cells → quadratically more mayDominate pairs +
-    // replication fanout at d=9), and spreading the input hurts (the
-    // phase-1 combiner reduces better on bigger partitions); one
-    // 512-way split over the arriving partitioning is the sweet spot.
-    "q_skyline_gsod9" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val parsed = li.select(
-        pmod(col("l_orderkey"), lit(1000000)).cast("int").as("stn"),
-        (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
-          dayofmonth(col("l_shipdate"))).as("date"),
-        round(col("l_quantity")).cast("double").as("temp"),
-        round(col("l_discount") * 100).cast("double").as("dewp"),
-        round(col("l_tax") * 100).cast("double").as("slp"),
-        pmod(col("l_partkey"), lit(97)).cast("double").as("max_temp"),
-        floor(col("l_extendedprice") / 1000).cast("double").as("stp"),
-        pmod(col("l_suppkey"), lit(53)).cast("double").as("wdsp"),
-        col("l_linenumber").cast("double").as("mxspd"),
-        pmod(col("l_orderkey"), lit(89)).cast("double").as("gust"),
-        pmod(dayofyear(col("l_shipdate")), lit(250)).cast("double").as("min_temp"))
-      // Round-9 directive: the format→parse text round trip (render 11
-      // columns to fixed-width GSOD lines, substring-parse them back)
-      // is FUSED OUT of the hot query — all dims are integer-valued
-      // doubles, so the 1-decimal rendering is the identity and the
-      // directly-shaped columns are bit-equal to
-      // parseLines(formatLines(shaped)) (pinned by GsodSpec's
-      // fused-shaping fidelity spec; q_gsod_roundtrip still exercises
-      // the full text path). That removes two string passes over the
-      // hottest query's every row; the oracle replays the same
-      // arithmetic it always did.
-      // sampleFilterK=64: broadcast the 64 strongest sample-skyline
-      // points as a phase-1 row pre-filter — interleaved A/B at sf0.1
-      // (tools/Gsod9Probe, both slot orders) measured 4.4s vs 5.4s
-      // without; larger K loses the gain to per-row filter cost.
-      // cellPrune: drop whole cells whose lower corner the FULL sample
-      // skyline dominates, before the phase-1 shuffle. Round-7 A/B
-      // (24 interleaved reps, 2 JVMs): min 4.11s on vs 4.17s off, warm
-      // medians ~4.4 vs ~4.8 — inside the box's IO noise band, never a
-      // regression; kept because the cost is driver-side only and the
-      // drop precedes the shuffle (the 1000-executor lever).
-      // Round-8 bench-context audit (tools/Gsod9Probe, 3 interleaved
-      // reps): FULL pipeline (scan→format→parse→SkyMr, the bench
-      // shape) min 5.47s; maxDepth=5 min 5.48s — a wash, so the tree
-      // stays at depth 4; compute-only 4.44s. The bench's 8.2s is this
-      // 5.5s plus neighbor-IO/cache pressure from the surrounding 80
-      // queries (the documented ±3× noise), not a plan property.
-      SkyMr.skyline(parsed, Gsod.spec, maxp = 20, maxDepth = 4, sampleSize = 5000,
-        sampleFilterK = 64, cellPrune = true)
-        .orderBy("stn", "date", "temp", "dewp", "slp", "max_temp", "stp",
-          "wdsp", "mxspd", "gust", "min_temp")
-    },
-
-    // 2-D skyline on orders: cheapest AND most recent. Early
-    // projection for scan pruning (see q_skyline_lineitem).
-    "q_skyline_orders" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_totalprice", "o_orderdate")
-      SkylineOp.twoPhase(o, SkylineSpec(Seq(
-        SkyDim("o_totalprice", Min), SkyDim("o_orderdate", Max))))
-        .orderBy("o_orderkey")
-    },
-
-    // Same dominance semantics through the native Catalyst aggregate
-    // (SkylineAgg: TypedImperativeAggregate with partial/merge + kryo
-    // buffer serialization) — grouped by priority so the merge path
-    // crosses a real keyed exchange. This is the spill-safe/AQE form;
-    // the round-2 serialization bug lived here, so it faces the oracle,
-    // not just SkylineAggSpec.
-    "q_skyline_agg" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
-      SkylineOp.viaAggregate(o,
-        SkylineSpec(Seq(SkyDim("o_totalprice", Min), SkyDim("o_orderdate", Max))),
-        groupCols = Seq("o_orderpriority"))
-        .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
-        .orderBy("o_orderpriority", "o_orderkey")
-    },
-
-    "q_topk" -> { (s, dir) =>
-      Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        .limit(10)
-    },
-
-    // Per-group top-k through a BOUNDED mergeable aggregate
-    // (stats/TopK): ≤ k elements per partial buffer anywhere in the
-    // exchange — the scale-safe replacement for the row_number-window
-    // idiom, which sorts every row of every group to keep k. Struct
-    // child carries (rank key, payload); lexicographic order with the
-    // id tiebreak makes output deterministic.
-    "q_topk_grouped" -> { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .groupBy("source")
-        .agg(graft.stats.TopK.topK(
-          struct(col("n_chars"), col("doc_id")), 3).as("top"))
-        .select(col("source"), explode(col("top")).as("t"))
-        .select(col("source"), col("t.n_chars").as("n_chars"),
-          col("t.doc_id").as("doc_id"))
-        .orderBy(col("source"), col("n_chars").desc, col("doc_id").desc)
-    },
-
-    // Broadcast star join: 600k-row fact × 10-row and 25-row dims.
-    "q_join_agg" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val sup = Tables.load(s, dir, "supplier")
-      val nat = Tables.load(s, dir, "nation")
-      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
-        .groupBy(col("n_name"))
-        .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("n_items"))
-        .orderBy(col("n_name"))
-    },
-
-    "q_window" -> { (s, dir) =>
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      Tables.load(s, dir, "orders")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
-        .orderBy("o_custkey", "rn")
-    },
-
-    // Skew-mitigated join: orders (the "skewed" probe side) salted into
-    // 8 sub-keys, customer replicated per salt. Result must be
-    // IDENTICAL to the plain join — the oracle is the unsalted SQL, so
-    // the gate proves salting is a pure physical rewrite.
-    "q_salted_join" -> { (s, dir) =>
-      val orders = Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-      val cust = Tables.load(s, dir, "customer")
-        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
-      Salting.saltedJoin(orders, cust, Seq("o_custkey"), salts = 8)
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n"),
-          round(sum("o_totalprice"), 2).as("sum_price"))
-        .orderBy("c_mktsegment")
-    },
-
-    // Co-located fact-fact join through bucketed tables: both sides
-    // written bucketBy(8, orderkey) once, so the join itself is
-    // exchange-free (asserted in BucketedTablesSpec) — the 100 TB shape
-    // for a join that repeats across a pipeline. Same oracle as the
-    // plain join: bucketing must not change the answer.
-    "q_bucketed_join" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val liT = s"graft_bli_$tag"; val ordT = s"graft_bord_$tag"
-      BucketedTables.writeBucketed(
-        Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
-        liT, "l_orderkey", buckets = 8)
-      BucketedTables.writeBucketed(
-        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-        ordT, "o_orderkey", buckets = 8)
-      BucketedTables.read(s, liT)
-        .join(BucketedTables.read(s, ordT), col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
-        .orderBy("o_orderpriority")
-    },
-
-    // Runtime bloom-filter semi-join pruning: a selective dim filter
-    // (urgent + high-value orders, ~12%) becomes a bloom filter over
-    // the dim keys, probed on the fact side BEFORE the join's shuffle
-    // (graft.operators.BloomJoin, codegen graft_might_contain). The
-    // 100 TB lever: shuffled fact volume drops to selectivity + fpp of
-    // the input. Answer-invariant by construction — the oracle is the
-    // plain join.
-    "q_bloom_join" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .select("l_orderkey", "l_quantity", "l_extendedprice")
-      val sel = Tables.load(s, dir, "orders")
-        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
-        .select("o_orderkey", "o_orderpriority")
-      BloomJoin.bloomPrunedJoin(li, sel, "l_orderkey", "o_orderkey")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_price"))
-        .orderBy("o_orderpriority")
-    },
-
-    // ---- text analysis over `documents` -------------------------------
-
-    // Per-document token counts, quality signals, composite score — all
-    // codegen'd Column expressions (graft.text.TextFunctions).
-    // One-pass kernel (TextFunctions.withTextStats): the six Column
-    // forms each re-tokenize/re-regex the text (~6 regex passes/row);
-    // the kernel runs one split + one sub-word regex + one char scan,
-    // pinned ≡ the Column forms by TextStatsKernelSpec (nulls and
-    // non-ASCII included).
-    "q_text_stats" -> { (s, dir) =>
-      TextFunctions.withTextStats(
-        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
-        .select(
-          col("doc_id"),
-          col("n_tokens"),
-          col("n_bpe"),
-          round(col("mean_tok_len"), 6).as("mean_tok_len"),
-          round(col("stopword_ratio"), 6).as("stopword_ratio"),
-          round(col("punct_ratio"), 6).as("punct_ratio"),
-          col("quality"))
-        .orderBy("doc_id")
-    },
-
-    // FLESCH READING EASE per language: per-doc 206.835 −
-    // 1.015·(words/sentences) − 84.6·(syllables/words) with exact long
-    // word / sentence-run / vowel-group counts (clamped ≥1 in the
-    // ratios only), the per-doc double rounded to 4 and summed as
-    // exact DECIMAL (the Eval.calibration mean discipline — corpus
-    // averages must not depend on summation order). Scan-local kernel,
-    // one keyed agg.
-    "q_readability" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val w = TextFunctions.tokenCount(col("text")).cast("long")
-      val sc = TextFunctions.sentenceCount(col("text"))
-      val y = TextFunctions.vowelGroupCount(col("text"))
-      val wd = greatest(lit(1L), col("w")).cast("double")
-      val sd = greatest(lit(1L), col("sc")).cast("double")
-      val flesch = round(lit(206.835) - lit(1.015) * (wd / sd) -
-        lit(84.6) * (col("y").cast("double") / wd), 4)
-      d.select(col("lang"), w.as("w"), sc.as("sc"), y.as("y"))
-        .withColumn("fl", flesch.cast("decimal(18,4)"))
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("w")).as("sum_words"),
-          sum(col("sc")).as("sum_sents"),
-          sum(col("y")).as("sum_sylls"),
-          round(sum(col("fl")).cast("double") / count(lit(1)), 6)
-            .as("mean_flesch"))
-        .orderBy("lang")
-    },
-
-    // TOKENIZER FERTILITY per language (subword tokens per whitespace
-    // word — THE tokenizer-evaluation metric: fertility ≫ 1 on a
-    // language means the vocab under-serves it and its effective
-    // context shrinks): the corpus-trained BPE's token counts joined
-    // with word counts, aggregated per lang. Reuses the replayable
-    // BPE encode (q_bpe_encode) — one scan each side, one tiny join.
-    "q_tokenizer_fertility" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val bpe = Bpe.tokenCounts(docs, "text", "doc_id", bpeModelFor(s, dir))
-        .select("doc_id", "bpe_tokens")
-      val words = docs.select(col("doc_id"), col("lang"),
-        TextFunctions.tokenCount(col("text")).cast("long").as("words"))
-      words.join(bpe, "doc_id")
-        .filter(col("words") > 0)
-        .groupBy("lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("bpe_tokens")).as("sum_bpe"),
-          sum(col("words")).as("sum_words"),
-          round(sum(col("bpe_tokens")).cast("double") / sum(col("words")), 6)
-            .as("fertility"))
-        .orderBy("lang")
-    },
-
-    // REPRODUCIBLE EPOCH SHUFFLE: the deterministic global permutation
-    // a training loader consumes — shuffle position = dense rank of
-    // md5(epoch_salt | doc_id) via the window-free assignment
-    // (graft.text.Vocab.assignIds with a constant count column: order
-    // reduces to shuffle_key asc), then round-robin sharding by
-    // position for balanced, interleaved shards. Σ pos·(doc_id%1000)
-    // per shard pins the ENTIRE permutation, not a sample. Changing
-    // the salt is a new epoch; same salt replays bit-for-bit.
-    "q_epoch_shuffle" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          TextFunctions.tokenCount(col("text")).cast("long").as("n_tok"),
-          md5(concat(lit("epoch7|"), col("doc_id"))).as("shuffle_key"),
-          lit(0L).as("zero"))
-      graft.text.Vocab.assignIds(docs, "shuffle_key", "zero", parts = 32)
-        .select(col("doc_id"), col("n_tok"), col("id").as("pos"))
-        .groupBy(pmod(col("pos"), lit(8L)).as("shard"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tok")).as("sum_tokens"),
-          min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"),
-          sum(col("pos") * pmod(col("doc_id"), lit(1000L)))
-            .as("assign_checksum"))
-        .orderBy("shard")
-    },
-
-    // TIME-WEIGHTED AVERAGE (TWAP — the telemetry/finance aggregate
-    // where a value HOLDS until the next observation, so plain avg()
-    // over-weights chatty periods): per (user, day) segments from
-    // lead() over the bounded per-user-day window, integrated in
-    // EXACT integers (cents × whole seconds), then per-day Σnum/Σden
-    // as the single rounded division. Magnitudes stay ≤ ~2e13 —
-    // far from both int64 and the 18-digit oracle ceiling.
-    "q_twap" -> { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val e = Tables.loadEvents(s, dir).select(
-        col("user_id"), col("event_id"), col("ts"),
-        dayofmonth(col("ts")).as("d"),
-        (col("value").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val w = Window.partitionBy("user_id", "d")
-        .orderBy(col("ts"), col("event_id"))
-      val seg = e
-        .withColumn("nxt", lead(col("ts"), 1).over(w))
-        .filter(col("nxt").isNotNull)
-        .select(col("d"),
-          expr("(unix_micros(nxt) - unix_micros(ts)) DIV 1000000")
-            .as("dtsec"),
-          col("cents"))
-      seg.groupBy("d")
-        .agg(sum(col("cents") * col("dtsec")).as("num"),
-          sum(col("dtsec")).as("den"),
-          count(lit(1)).as("n_segments"))
-        .select(col("d"), col("num"), col("den"), col("n_segments"),
-          round(col("num").cast("double") / col("den"), 6)
-            .as("twap_cents"))
-        .orderBy("d")
-    },
-
-    // STREAMING CDC INTO THE TRANSACTIONAL MoR TABLE (the Iceberg
-    // streaming-upsert writer): each microbatch lands as ONE commit —
-    // an equality-delete file at the key's max batch version plus the
-    // non-tombstone rows as data files. Sequencing comes from the
-    // DATA (event_id), so batch arrival order cannot change the final
-    // table (property-pinned in MorTableSpec); net semantics are
-    // exactly latest-wins CDC, which is what the oracle computes
-    // (graft.sources.MorTable.applyCdcBatch).
-    "q_stream_mor" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = s"$tmp/graft_smor_src_$tag"
-      val table = s"$tmp/graft_smor_tbl_$tag/t"
-      val fs = new org.apache.hadoop.fs.Path(table)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(table), true)
-      Tables.loadEvents(s, dir)
-        .select(col("user_id"), col("event_id").as("version"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"),
-          when(col("event_id") % 10 < 2, "D").otherwise("U").as("op"),
-          dayofmonth(col("ts")).as("d"))
-        .repartition(4, col("d")).drop("d")
-        .write.mode("overwrite").parquet(srcPath)
-      val sch = s.read.parquet(srcPath).schema
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_smor_ckpt").toString
-      val q = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 1).parquet(srcPath)
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sources.MorTable.applyCdcBatch(s, batch, Seq("user_id"),
-            "version", "op", table)
-          ()
-        }
-        .start()
-      q.awaitTermination()
-      graft.sources.MorTable.readMor(s, table, Seq("user_id"))
-        .groupBy(pmod(col("user_id"), lit(10L)).as("bucket"))
-        .agg(count(lit(1)).as("n_keys"),
-          sum(col("cents")).as("cents_sum"),
-          sum(col("data_seq")).as("version_sum"))
-        .orderBy("bucket")
-    },
-
-    // KAPPA BACKFILL CUTOVER: batch history (days ≤ 20) + a live feed
-    // that OVERLAPS it (days ≥ 11) must union to exactly-once — the
-    // stream side cuts over at the batch HIGH WATERMARK (strict
-    // ts > max(batch.ts); every tie at the watermark is already in
-    // batch), appends through a checkpointed AvailableNow parquet
-    // sink, and the final read is batch ∪ tail. The oracle counts
-    // every event exactly once per day — a duplicate from the overlap
-    // or a gap at the seam hash-fails. The migration pattern every
-    // pipeline runs when a batch job hands off to a stream.
-    "q_stream_backfill" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val batchPath = s"$tmp/graft_bf_batch_$tag"
-      val srcPath = s"$tmp/graft_bf_src_$tag"
-      val tailPath = s"$tmp/graft_bf_tail_$tag"
-      val fs = new org.apache.hadoop.fs.Path(tailPath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(tailPath), true)
-      val e = Tables.loadEvents(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          dayofmonth(col("ts")).as("d"))
-      e.filter(col("d") <= 20)
-        .write.mode("overwrite").parquet(batchPath)
-      e.filter(col("d") >= 11).repartition(4, col("d"))
-        .write.mode("overwrite").parquet(srcPath)
-      val hwm = s.read.parquet(batchPath)
-        .agg(max(col("ts"))).head().getTimestamp(0)
-      val sch = s.read.parquet(srcPath).schema
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_bf_ckpt").toString
-      val q = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 1).parquet(srcPath)
-        .filter(col("ts") > lit(hwm))
-        .writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .format("parquet").option("path", tailPath)
-        .start()
-      q.awaitTermination()
-      s.read.parquet(batchPath)
-        .unionByName(s.read.parquet(tailPath))
-        .groupBy("d")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(pmod(col("event_id"), lit(100000L))).as("checksum"))
-        .orderBy("d")
-    },
-
-    // ROBOTS.TXT COMPLIANCE with RFC-9309 LONGEST-MATCH semantics —
-    // the crawl pipeline's first gate: per host the longest matching
-    // path prefix decides, Allow beats Disallow on a length tie.
-    // Rules are synthesized per host from its md5 (full-disallow
-    // hosts, a Disallow prefix, and a longer Allow override), so both
-    // engines derive the identical rule set. Lookup is a broadcast-
-    // able host equi join; the longest-match argmax is one keyed
-    // integer-score aggregate — no struct compare, no window
-    // (graft.text.Robots, RobotsSpec).
-    "q_robots" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val urls = o.select(col("o_orderkey"),
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")).as("url"))
-      // parse ONCE (host+path regexes are the dominant cost) — the
-      // checkpointed frame feeds both the rule synthesis and the
-      // verdict join; rules lose their stats behind it, so broadcast
-      // explicitly (the ALS localCheckpoint lesson, ADVICE r11).
-      val parsed = urls.select(col("o_orderkey"),
-          graft.text.UrlOps.host(col("url")).as("host"),
-          graft.text.Robots.pathQuery(col("url")).as("path"))
-        .localCheckpoint()
-      val hosts = parsed.select("host").distinct()
-      val h = conv(substring(md5(col("host")), 1, 15), 16, 10).cast("long")
-      val full = hosts.filter(pmod(h, lit(5L)) === 0)
-        .select(col("host"), lit("/").as("rule"), lit(false).as("allow"))
-      val rest = hosts.filter(pmod(h, lit(5L)) =!= 0)
-      val dis = rest.select(col("host"),
-        concat(lit("/items%2fview/"), pmod(h, lit(10L)).cast("string"))
-          .as("rule"), lit(false).as("allow"))
-      val alw = rest.select(col("host"),
-        concat(lit("/items%2fview/"), pmod(h, lit(10L)).cast("string"),
-          lit("0")).as("rule"), lit(true).as("allow"))
-      graft.text.Robots.evaluateParsed(parsed, Seq("o_orderkey"),
-          broadcast(full.unionAll(dis).unionAll(alw)))
-        .groupBy("verdict")
-        .agg(count(lit(1)).as("n_urls"),
-          countDistinct(col("host")).as("n_hosts"),
-          sum(pmod(col("o_orderkey"), lit(100000L))).as("key_checksum"))
-        .orderBy("verdict")
-    },
-
-    // CDC NET-CHANGE COLLAPSE (the Debezium-consumer / MERGE-writer
-    // primitive): a batch's per-key churn collapses to one net
-    // insert/update/delete/none from the first and last ops — a 10⁶-
-    // change batch touching 10³ keys becomes ≤10³ writes. One keyed
-    // min/max-struct aggregate, no window, no sort
-    // (graft.operators.Upsert.netChanges, UpsertSpec).
-    "q_cdc_collapse" -> { (s, dir) =>
-      val changes = Tables.load(s, dir, "orders").select(
-        pmod(col("o_custkey"), lit(500L)).as("key"),
-        col("o_orderkey").as("version"),
-        when(col("o_orderkey") % 10 < 2, "D")
-          .when(col("o_orderkey") % 10 < 4, "I")
-          .otherwise("U").as("op"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      graft.operators.Upsert.netChanges(changes, Seq("key"), "version",
-          "op", Seq("cents"))
-        .groupBy("net_op")
-        .agg(count(lit(1)).as("n_keys"),
-          sum(col("key")).as("key_checksum"),
-          sum(coalesce(col("cents"), lit(0L))).as("cents_sum"))
-        .orderBy("net_op")
-    },
-
-    // HIERARCHICAL SUBTREE ROLLUP (BOM explosion) over the formula
-    // tree parent(k)=k DIV 7 on customer ids: every ancestor's
-    // order-count and cents totals. NOT a recursive self-join per
-    // level — the ancestor closure is an in-row array, so the whole
-    // rollup is one explode + ONE keyed aggregate regardless of depth
-    // (graft.operators.Hierarchy; scalar-equivalence in
-    // HierarchySpec). Output: the 57 depth-≤2 ancestors.
-    "q_hierarchy_rollup" -> { (s, dir) =>
-      val vals = Tables.load(s, dir, "orders")
-        .groupBy(col("o_custkey").as("node"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")).as("cents"))
-      graft.operators.Hierarchy.rollup(vals, "node", fanout = 7,
-          levels = 10, measures = Seq("n_orders", "cents"))
-        .filter(col("anc") < 57)
-        .orderBy("anc")
-    },
-
-    // FUNCTIONAL-DEPENDENCY audit (schema profiling): which candidate
-    // keys actually determine which columns — a true FD
-    // (o_orderkey→o_custkey) must show zero violating groups while
-    // the dirty candidates expose their fan-out. One keyed
-    // countDistinct per candidate, collapsed to a row; candidates
-    // union in parallel (graft.operators.FdAudit).
-    "q_fd_audit" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val li = Tables.load(s, dir, "lineitem")
-      graft.operators.FdAudit.audit(o, Seq(
-          "o_orderkey" -> "o_custkey",
-          "o_custkey" -> "o_orderpriority"))
-        .unionAll(graft.operators.FdAudit.audit(li, Seq(
-          "l_orderkey" -> "l_linestatus",
-          "l_partkey" -> "l_returnflag")))
-        .orderBy("fd")
-    },
-
-    // ε-DP NOISY COUNTS (Laplace mechanism, seeded): the release step
-    // of the privacy family — k-anon/l-div/t-closeness AUDIT the
-    // data, this perturbs the published statistic. Inverse-CDF
-    // Laplace at scale 1/ε from a salted md5 uniform, so the run
-    // replays bit-for-bit (the guarantee then rests on the salt
-    // staying secret — production swaps in a secure RNG, scaladoc'd).
-    // One keyed count; noise is a per-group scalar expression
-    // (graft.stats.DpNoise, DpNoiseSpec).
-    "q_dp_counts" -> { (s, dir) =>
-      graft.stats.DpNoise.noisyCounts(
-        Tables.load(s, dir, "documents"), "source", "dp1", epsilon = 0.5)
-        .orderBy("source")
-    },
-
-    // Within-domain BOILERPLATE detection (the CCNet/RefinedWeb
-    // header/footer strip that runs BEFORE dedup): a planted 8-token
-    // per-source notice on every even doc (constructing the hard case
-    // is the test — the q_pii planting discipline) must surface as
-    // exactly its two 4-token chunks per source at the integer-exact
-    // df·10 ≥ 3·n_docs rule, while the prose chunks stay clean. One
-    // explode + (source, chunk) countDistinct — a corpus-count job
-    // (graft.text.Boilerplate, BoilerplateSpec).
-    "q_boilerplate" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("t2", when(col("doc_id") % 2 === 0,
-          concat(lit("begin boilerplate notice for "), col("source"),
-            lit(" all rights reserved "), col("text")))
-          .otherwise(col("text")))
-      graft.text.Boilerplate.detect(docs, "t2", "doc_id", "source",
-          n = 4, num = 3, den = 10)
-        .groupBy("source")
-        .agg(max(col("n_docs")).as("n_docs"),
-          count(lit(1)).as("n_chunks"),
-          sum(when(col("is_boiler"), 1L).otherwise(0L))
-            .as("n_boiler_chunks"),
-          sum(when(col("is_boiler"), col("df")).otherwise(0L))
-            .as("boiler_hits"))
-        .orderBy("source")
-    },
-
-    // Interpolated Kneser-Ney bigram LM trained on the doc_id%5!=0
-    // split, scored on the held-out split — LM TRAINING as a corpus
-    // job (q_lm_score is fixed add-α scoring; this learns the
-    // discount/continuation form). Exact-long count tables, three
-    // keyed left joins for the eval pass, two driver scalars (B, V);
-    // per-source mean ln P rounded to 6 (the lm_score float
-    // contract), plus the integer backoff count as an exact
-    // cross-check (graft.text.KneserNey, KneserNeySpec).
-    "q_kn_lm" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      graft.text.KneserNey.heldOutLogProb(docs, "text", "source",
-        col("doc_id") % 5 =!= 0).orderBy("source")
-    },
-
-    // Dense vocabulary ids at corpus scale: 0..V-1 by (count desc,
-    // token asc) via range-partition + within-partition sort +
-    // zipWithIndex (driver state = one count per partition), NEVER
-    // row_number() over an unpartitioned window — the single-partition
-    // sort that caps out exactly when the vocab gets interesting. The
-    // 10-bucket Σ id·cnt checksum pins the ENTIRE assignment, not a
-    // head sample (graft.text.Vocab; window-equivalence + plan shape
-    // in VocabSpec).
-    "q_vocab_ids" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val counts = docs
-        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-      graft.text.Vocab.assignIds(counts, "token", "cnt", parts = 32)
-        .groupBy(pmod(col("id"), lit(10L)).as("bucket"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("id") * col("cnt")).as("idcnt_checksum"),
-          min(col("id")).as("min_id"), max(col("id")).as("max_id"),
-          sum(col("cnt")).as("sum_cnt"))
-        .orderBy("bucket")
-    },
-
-    // Incremental vocab update with STABLE ids: the 4/5 split's vocab
-    // ids are frozen (already-encoded corpora reference them); the
-    // held-out fifth's unseen tokens append at V, V+1, … by (delta
-    // count desc, token). Counts merge through one full-outer keyed
-    // join; the new tail reuses the window-free assignment. Same
-    // 10-bucket full-assignment checksum as q_vocab_ids plus the
-    // per-bucket new-token count (graft.text.Vocab.updateIds).
-    "q_vocab_incr" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      def counts(d: DataFrame) = d
-        .select(explode(TextFunctions.tokens(col("text"))).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("cnt"))
-      val baseIds = graft.text.Vocab.assignIds(
-        counts(docs.filter(col("doc_id") % 5 =!= 0)), "token", "cnt", 32)
-      val updated = graft.text.Vocab.updateIds(baseIds,
-        counts(docs.filter(col("doc_id") % 5 === 0)), "token", "cnt", 32)
-      updated.groupBy(pmod(col("id"), lit(10L)).as("bucket"))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
-          sum(col("id") * col("cnt")).as("idcnt_checksum"),
-          sum(col("cnt")).as("sum_cnt"))
-        .orderBy("bucket")
-    },
-
-    // Marker-word language heuristic; deterministic argmax with
-    // alphabetical tie-break. One-pass kernel (withLangId) — the six
-    // Column forms each re-tokenize; pinned ≡ in TextStatsKernelSpec.
-    "q_lang_id" -> { (s, dir) =>
-      TextFunctions.withLangId(
-        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
-        .drop("text")
-        .orderBy("doc_id")
-    },
-
-    // Char-trigram sibling of q_lang_id (Cavnar-Trenkle-shape profile,
-    // substring counting via length arithmetic — no regex, no tokens).
-    // One-pass kernel (withLangIdNgram): the Column forms rewrite the
-    // string 25 times (a replace per trigram); pinned ≡ in
-    // TextStatsKernelSpec.
-    "q_lang_id_ngram" -> { (s, dir) =>
-      TextFunctions.withLangIdNgram(
-        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
-        .drop("text")
-        .orderBy("doc_id")
-    },
-
-    // Gopher-style repetition quality signals: duplicate/top token and
-    // n-gram fractions + the threshold gate, via the one-pass JVM
-    // kernel (the Column forms are the pinned-equivalent semantic
-    // reference; inlined into nested HOF lambdas they cost O(n³) regex
-    // per row — see QualityFilters.withSignals).
-    "q_repetition" -> { (s, dir) =>
-      QualityFilters.withSignals(
-        Tables.load(s, dir, "documents").select("doc_id", "text"), "text")
-        .select(
-          col("doc_id"),
-          round(col("dup_tok"), 6).as("dup_tok"),
-          round(col("top_tok"), 6).as("top_tok"),
-          round(col("dup_2gram"), 6).as("dup_2gram"),
-          round(col("top_2gram"), 6).as("top_2gram"),
-          round(col("top_3gram"), 6).as("top_3gram"),
-          col("rep_ok").cast("int").as("rep_ok"))
-        .orderBy("doc_id")
-    },
-
-    // Benchmark decontamination: docs sharing any 5-token shingle with
-    // the "benchmark" slice (doc_id ≡ 0 mod 97 stands in for an eval
-    // set). Broadcast bench-shingle semi-join; nothing all-pairs.
-    "q_decontaminate" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      Decontaminate.contaminated(corpus, bench, "text", "doc_id", n = 5)
-        .orderBy("doc_id")
-    },
-
-    // Eval-side contamination report (the direction benchmark owners
-    // publish): per eval doc (doc_id ≡0 mod 23), how many of its
-    // distinct 3-grams the training corpus contains, as exact
-    // integers (n_hit, n_total) — the corpus shingle set reduces but
-    // is NEVER broadcast; the MB-scale eval side explodes and
-    // semi-joins against it (graft.dedup.Decontaminate
-    // .evalContamination).
-    "q_contam_score" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val bench = docs.filter(pmod(col("doc_id"), lit(23)) === 0)
-      val corpus = docs.filter(pmod(col("doc_id"), lit(23)) =!= 0)
-      Decontaminate.evalContamination(corpus, bench, "text", "doc_id", n = 3)
-        .orderBy("doc_id")
-    },
-
-    // Deterministic training mix + split assignment: per-source keep
-    // rates and train/val/test cuts, both pure functions of
-    // (salt, doc_id) — layout/retry/cluster-size invariant, unlike
-    // df.sample. Rates and cuts are dyadic (exact in binary), so the
-    // threshold comparison is bit-identical in any IEEE engine.
-    // Winsorization (outlier capping at exact p05/p95, the feature-
-    // cleaning standard): cut values from the DISTRIBUTED global rank
-    // (one range shuffle — never a single-partition window, the
-    // q_histogram_eqdepth machinery), ranks k = max(1, ⌊n·p/100⌋) in
-    // exact integer arithmetic, clamp, then per-source integer stats.
-    // Driver state: two scalar cut values (the ReverseSkyline bbox
-    // class of bounded collect).
-    "q_winsorize" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val ranked = graft.operators.GlobalRank.withGlobalRank(docs,
-        Seq(col("n_chars"), col("doc_id")), "r")
-      val n = docs.count()
-      val k05 = math.max(1L, n * 5 / 100)
-      val k95 = math.max(1L, n * 95 / 100)
-      val cuts = ranked.filter(col("r") === k05 || col("r") === k95)
-        .select(col("r"), col("n_chars")).collect()
-        .map(row => row.getLong(0) -> row.getLong(1)).toMap
-      val (lo, hi) = (cuts(k05), cuts(k95))
-      docs.select(col("source"),
-          least(greatest(col("n_chars"), lit(lo)), lit(hi)).as("clamped"))
-        .groupBy("source")
-        .agg(count(lit(1)).as("n"), sum(col("clamped")).as("sum_clamped"),
-          min(col("clamped")).as("min_clamped"), max(col("clamped")).as("max_clamped"))
-        .orderBy("source")
-    },
-
-    // Train/test distribution-drift report (population stability
-    // index, the deployment-monitoring standard): doc length binned
-    // at fixed 100-char width, add-1-smoothed shares per split, and
-    // the PER-BIN PSI term (p−q)·ln(p/q) rounded 6 — emitted per bin
-    // with its integer counts, never pre-summed (a cross-bin double
-    // sum would be summation-order-dependent; the consumer adds ≤20
-    // rounded terms). One groupBy + a window total; scale-safe.
-    "q_drift" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val split = Sampling.assignSplit(docs, "doc_id",
-        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
-        salt = "split1")
-        .filter(col("split").isin("train", "test"))
-      val binned = split.select(col("split"),
-        least(floor(col("n_chars") / 100), lit(19L)).as("bin"))
-      val counts = binned.groupBy("bin").agg(
-        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
-        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
-      val wAll = Window.partitionBy()
-      val nBins = lit(20.0)
-      val tTrain = sum(col("n_train")).over(wAll).cast("double")
-      val tTest = sum(col("n_test")).over(wAll).cast("double")
-      counts
-        .withColumn("p", (col("n_train") + lit(1.0)) / (tTrain + nBins))
-        .withColumn("q", (col("n_test") + lit(1.0)) / (tTest + nBins))
-        .select(col("bin"), col("n_train"), col("n_test"),
-          round((col("p") - col("q")) * log(col("p") / col("q")), 6)
-            .as("psi_term"))
-        .orderBy("bin")
-    },
-
-    // Deterministic negative sampling (contrastive-training pairs):
-    // per anchor doc, k=4 negatives via neg = (doc_id + 1 + h mod
-    // (N−1)) mod N with h = the md5-prefix-60 of "neg|id|j" — never
-    // the anchor itself by construction, uniform over the others,
-    // layout/retry-invariant (no RNG state). Dense 0..N−1 ids are the
-    // fixture's contract; the general form maps through a dense rank
-    // first (GlobalRank). Pure projection — no shuffle at all.
-    "q_negative_sample" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val n = docs.count()
-      val ks = (0 until 4).map { j =>
-        val h = conv(substring(md5(
-          concat(lit(s"neg|"), col("doc_id").cast("string"), lit(s"|$j"))), 1, 15),
-          16, 10).cast("long")
-        struct(lit(j).as("j"),
-          pmod(col("doc_id") + 1 + pmod(h, lit(n - 1)), lit(n)).as("neg_id"))
-      }
-      docs.select(col("doc_id"), explode(array(ks: _*)).as("x"))
-        .select(col("doc_id"), col("x.j").as("j"), col("x.neg_id").as("neg_id"))
-        .orderBy("doc_id", "j")
-    },
-
-    "q_sample_mix" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val weights = (0 to 19).map { i =>
-        s"src$i" -> (if (i < 5) 1.0 else if (i < 10) 0.5 else if (i < 15) 0.25 else 0.125)
-      }.toMap
-      val mixed = Sampling.mixture(docs, "source", weights, "doc_id", salt = "mix1")
-      Sampling.assignSplit(mixed, "doc_id",
-        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625), salt = "split1")
-        .select("doc_id", "source", "split")
-        .orderBy("doc_id")
-    },
-
-    // Deterministic k-per-group sample: 3 docs per source by smallest
-    // (hash, key) — WindowGroupLimit pre-trims per task before the
-    // shuffle (asserted in SamplingSpec), so only ≤ k rows per
-    // (group, partition) move at any corpus size.
-    "q_group_sample" -> { (s, dir) =>
-      Sampling.perGroupSample(Tables.load(s, dir, "documents"),
-        "source", "doc_id", k = 3, salt = "pg1")
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    },
-
-    // Weighted sample without replacement (Efraimidis-Spirakis): the
-    // 100 longest-weighted documents by the log-domain key ln(u)/n_chars
-    // (≡ u^(1/n_chars), but precision-stable at any weight scale) over
-    // the deterministic md5 unit hash — corpus curation's "best k by
-    // quality weight" primitive. TakeOrdered plan, no global sort.
-    "q_weighted_sample" -> { (s, dir) =>
-      Sampling.weightedSample(Tables.load(s, dir, "documents"),
-        "doc_id", "n_chars", k = 100, salt = "ws1")
-        .select("doc_id", "wkey")
-        .orderBy("doc_id")
-    },
-
-    // Per-source TOKEN-budget fill (mixes are specified in tokens, not
-    // doc counts): hash-ordered prefix per source until the budget is
-    // crossed; soft cap — the crossing doc is kept. One window = one
-    // keyed sort-shuffle; selection layout-invariant.
-    "q_token_budget" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val budgets = (0 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 3000L else 1500L)).toMap
-      Sampling.tokenBudget(docs, "source", "n_chars", "doc_id", budgets, "tb1")
-        .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
-    },
-
-    // Perceptual-hash image dedup (round-9 directive #7): dHash over
-    // the real decode→9×8-resample path, 4×16-bit Hamming banding
-    // (lossless ≤ 3), exact bit_count verify — q_dedup_simhash's
-    // multimodal twin. The oracle computes every hash CLOSED-FORM from
-    // the fixture arithmetic, so a single flipped bit anywhere in
-    // codec, resample, or packing fails the hash compare.
-    "q_dedup_image" -> { (s, dir) =>
-      val hashes = ImageDedup.withDHash(imageDedupFixture(s, dir), "payload", "doc_id")
-      ImageDedup.nearDupPairs(hashes, "doc_id", maxDist = 3)
-        .orderBy("id_a", "id_b")
-    },
-
-    // The survivors view: one representative (smallest id) per
-    // near-dup cluster; same anti-join policy as
-    // q_dedup_containment_survivors.
-    "q_dedup_image_survivors" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val hashes = ImageDedup.withDHash(imageDedupFixture(s, dir), "payload", "doc_id")
-      val pairs = ImageDedup.nearDupPairs(hashes, "doc_id", maxDist = 3)
-      ImageDedup.survivors(docs, "doc_id", pairs)
-        .select("doc_id", "source")
-        .orderBy("doc_id")
-    },
-
-    // URL canonicalization (round-9 directive #3): scheme/host
-    // lowercase, userinfo strip, default-port drop, fragment strip,
-    // empty-path '/', percent-escape hex uppercased char-by-char —
-    // each branch exercised by the synthetic fixture; the registrable
-    // domain resolves against the embedded public-suffix subset
-    // (graft.text.UrlOps).
-    "q_url_canon" -> { (s, dir) =>
-      // One-pass kernel (pinned ≡ the canonicalize/urlDomain Column
-      // forms by UrlOpsSpec): the Column tree's interpreted
-      // percent-escape HOF + repeated regexes cost ~40 µs/row.
-      graft.text.UrlOps.withCanonical(
-        syntheticUrls(s, dir).select(col("o_orderkey"), col("url")), "url")
-        .orderBy("o_orderkey")
-    },
-
-    // Per-registrable-domain aggregation off the same canonical key —
-    // the grouping every per-domain quality signal (grouped sketches,
-    // PageRank priors) hangs off.
-    "q_domain_stats" -> { (s, dir) =>
-      val u = syntheticUrls(s, dir)
-      u.select(graft.text.UrlOps.host(col("url")).as("host"),
-          graft.text.UrlOps.urlDomain(col("url")).as("domain"))
-        .groupBy("domain")
-        .agg(count(lit(1)).as("n_urls"),
-          countDistinct(col("host")).as("n_hosts"))
-        .orderBy("domain")
-    },
-
-    // HTML boilerplate extraction (round-9 directive #2): every doc
-    // wrapped into a deterministic page — nav chrome, tracking
-    // comment, a script whose BODY contains markup, entities, numeric
-    // junk — then extracted by the tag-strip + entity-decode +
-    // line-density pipeline (graft.text.Extract). The oracle builds
-    // the IDENTICAL page and runs the literally-identical regex/list
-    // pipeline in DuckDB; md5 of the extracted prose is compared, so
-    // every regex and the integer density gate replay exactly.
-    "q_extract" -> { (s, dir) =>
-      val html = concat(
-        lit("<html><head><title>Doc</title><style>p{color:red}</style>"),
-        lit("<script>var x = \"<p>hidden</p>\";</script></head>"),
-        lit("<body><div>home</div><div>login</div><!-- tracking -->"),
-        lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1><p>"),
-        col("text"),
-        lit("</p><p>tail &amp; entity &lt;x&gt; demo line</p>"),
-        lit("<div>4 8 15 16 23 42</div><footer>c</footer></body></html>"))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"), graft.text.Extract.text(html).as("extracted"))
-        .select(col("doc_id"), md5(col("extracted")).as("h"),
-          length(col("extracted")).cast("long").as("n_extracted"))
-        .orderBy("doc_id")
-    },
-
-    // Corpus-trained BPE tokenizer (round-9 directive #1): the learned
-    // merge table itself — 16 rounds of exact pair counting over the
-    // distributed vocabulary, argmax pair per round (count DESC, then
-    // lexicographic — fully deterministic), greedy merge application
-    // as a boundary-safe string replace. The oracle replays EVERY
-    // round as an unrolled CTE chain (the q_kmeans/q_lingd
-    // deterministic-iteration pattern), so the training itself is
-    // hash-checked, not just the outputs.
-    "q_bpe" -> { (s, dir) =>
-      import s.implicits._
-      bpeModelFor(s, dir).merges
-        .map(m => (m.step, m.lhs, m.rhs, m.lhs + m.rhs, m.cnt))
-        .toDF("step", "lhs", "rhs", "merged", "cnt")
-        .orderBy("step")
-    },
-
-    // Per-document REAL subword token counts from the trained model —
-    // the denomination every budget/chunk/billing operator should use
-    // (whitespace counts are off 1.3-2×). Explode words → broadcast
-    // vocab join → per-doc sum; scan-local except one keyed sum.
-    "q_bpe_encode" -> { (s, dir) =>
-      Bpe.tokenCounts(Tables.load(s, dir, "documents"), "text", "doc_id",
-        bpeModelFor(s, dir))
-        .select("doc_id", "bpe_tokens")
-        .orderBy("doc_id")
-    },
-
-    // q_token_budget re-based on BPE tokens (round-9 directive #1):
-    // same hash-ordered per-source budget fill, but the budget is
-    // denominated in real subword tokens from the corpus-trained
-    // model. The whitespace-denominated q_token_budget stays as the
-    // cross-check tier.
-    "q_token_budget_bpe" -> { (s, dir) =>
-      val docs = Bpe.tokenCounts(Tables.load(s, dir, "documents"), "text",
-        "doc_id", bpeModelFor(s, dir))
-      val budgets = (0 to 19).map(i => s"src$i" -> (if (i % 2 == 0) 2000L else 1000L)).toMap
-      Sampling.tokenBudget(docs, "source", "bpe_tokens", "doc_id", budgets, "tbbpe1")
-        .select("doc_id", "source", "bpe_tokens")
-        .orderBy("doc_id")
-    },
-
-    // The full corpus-preparation pipeline end to end: quality +
-    // repetition gate → exact-dedup survivors → benchmark
-    // decontamination → deterministic mixture + split. One wide shuffle
-    // (the dedup window) + a broadcast semi-join; gates and mix ride
-    // the scan. Every stage is individually oracled above; this entry
-    // proves the COMPOSITION agrees end to end.
-    "q_pipeline" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val bench = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
-      val corpus = docs.filter(pmod(col("doc_id"), lit(97)) =!= 0)
-      val weights = (0 to 19).map(i => s"src$i" -> (if (i < 10) 1.0 else 0.5)).toMap
-      TrainingPipeline.prepare(corpus, bench, "text", "doc_id", "source",
-        TrainingPipeline.Config(
-          minQuality = 0.5, decontamN = 5, weights = weights,
-          splits = Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
-          mixSalt = "mix1", splitSalt = "split1"))
-        .select("doc_id", "source", "split")
-        .orderBy("doc_id")
-    },
-
-    // Misra-Gries heavy hitters as a Catalyst TypedImperativeAggregate:
-    // top-20 corpus tokens from a bounded-memory mergeable summary
-    // (≤ 256 counters per partial buffer) instead of shuffling the full
-    // token keyspace. Capacity far exceeds the fixture vocabulary, so
-    // counts are exact and the GROUP BY oracle applies (the
-    // exact-at-capacity discipline of q_distinct_kmv); the approximate
-    // regime's guarantees are pinned in HeavyHittersSpec.
-    "q_heavy_hitters" -> { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(explode(TextFunctions.tokens(col("text"))).as("item"))
-        .agg(graft.stats.HeavyHitters.misraGries(col("item"), 256).as("mg"))
-        .select(explode(col("mg")).as("e"))
-        .select(col("e.item").as("item"), col("e.cnt").as("cnt"))
-        .orderBy(col("cnt").desc, col("item").asc)
-        .limit(20)
-    },
-
-    // Misra-Gries under a KEYED exchange: per-SOURCE top-5 tokens —
-    // the corpus-audit query shape (which boilerplate dominates which
-    // crawl). The same grouped-aggregate proof q_quantiles_gk_grouped
-    // gives the GK sketch: partial summaries merge across the group
-    // shuffle (ObjectHashAggregate carries the typed buffer), ≤ 256
-    // counters per group per partial — never the full per-source token
-    // keyspace. Capacity again exceeds the fixture vocabulary, so
-    // per-group counts are exact and the GROUP BY oracle applies.
-    "q_heavy_hitters_grouped" -> { (s, dir) =>
-      val counts = Tables.load(s, dir, "documents")
-        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("item"))
-        .groupBy(col("source"))
-        .agg(graft.stats.HeavyHitters.misraGries(col("item"), 256).as("mg"))
-        .select(col("source"), explode(col("mg")).as("e"))
-        .select(col("source"), col("e.item").as("item"), col("e.cnt").as("cnt"))
-      val w = Window.partitionBy(col("source"))
-        .orderBy(col("cnt").desc, col("item").asc)
-      counts.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= 5)
-        .drop("__rn")
-        .orderBy(col("source"), col("cnt").desc, col("item").asc)
-    },
-
-    // Positional phrase search ("slow hash batch" as consecutive
-    // tokens): postings filtered to the query's terms BEFORE any join
-    // (the Bm25 discipline), then k−1 keyed equi-joins on
-    // (doc, anchor-position) — the inverted-index serving shape, never
-    // a LIKE scan over every byte (graft.text.Phrase).
-    "q_phrase" -> { (s, dir) =>
-      graft.text.Phrase.phraseMatches(Tables.load(s, dir, "documents"),
-        "text", "doc_id", Seq("slow", "hash", "batch"))
-        .orderBy("doc_id")
-    },
-
-    // RAKE KEYWORD EXTRACTION (Rose 2010) over the corpus: candidate
-    // phrases are maximal non-stopword token runs (scan-local Column
-    // chain — TextFunctions.candidatePhrases, no per-doc shuffle),
-    // word stats (freq, degree = Σ phrase length) come from ONE keyed
-    // aggregate over exploded phrase words, and phrase scores are
-    // integer-scaled word-score sums — (deg·10⁴) div freq summed as
-    // exact longs, so there is NO float accumulation order anywhere.
-    // Top-15 via TakeOrderedAndProject (bounded per partition, never a
-    // global sort of the phrase table).
-    "q_keywords" -> { (s, dir) =>
-      val phrases = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(explode(graft.text.TextFunctions.candidatePhrases(
-          col("text"))).as("phrase"))
-      val pw = phrases.select(col("phrase"),
-        size(split(col("phrase"), " ")).as("plen"))
-        .select(col("phrase"), col("plen"),
-          explode(split(col("phrase"), " ")).as("word"))
-      val ws = pw.groupBy("word")
-        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-        .withColumn("wscore", expr("(deg * 10000) div freq"))
-      val pc = phrases.groupBy("phrase").agg(count(lit(1)).as("n"))
-      pc.select(col("phrase"), col("n"),
-          explode(split(col("phrase"), " ")).as("word"))
-        .join(ws.select(col("word"), col("wscore")), "word")
-        .groupBy("phrase", "n")
-        .agg(sum(col("wscore")).as("score"))
-        .select(col("phrase"), col("n"), col("score"))
-        .orderBy(col("score").desc, col("phrase"))
-        .limit(15)
-    },
-
-    // Document chunking (the pretraining/RAG segmentation pass):
-    // 50-token windows at stride 25 per doc, chunk text re-joined and
-    // fingerprinted — scan-local explode, no shuffle until the
-    // ORDER BY; short tails kept (chunk = whatever remains).
-    "q_chunk" -> { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), col("toks"),
-          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(25))))
-        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start")
-        .select(col("doc_id"), col("chunk_idx"),
-          size(slice(col("toks"), col("start") + 1, lit(50))).as("n_toks"),
-          md5(concat_ws(" ", slice(col("toks"), col("start") + 1, lit(50))))
-            .as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
-    },
-
-    // q_chunk re-based on REAL subword accounting (round-9 directive
-    // #1's second half): identical 50/25 word windows, but each chunk
-    // billed in BPE tokens via the learned merge table — the number a
-    // context-length budget actually constrains. Uses ONLY the
-    // driver-side merges (Bpe.countTokens, a scan-local Column fold) —
-    // no vocab join, so the chunk pass stays shuffle-free like
-    // q_chunk; whitespace n_toks kept alongside as the cross-check.
-    "q_chunk_bpe" -> { (s, dir) =>
-      val merges = bpeModelFor(s, dir).merges
-      val chunks = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), col("toks"),
-          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(25))))
-        .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "start")
-        .select(col("doc_id"), col("chunk_idx"),
-          size(slice(col("toks"), col("start") + 1, lit(50))).as("n_toks"),
-          concat_ws(" ", slice(col("toks"), col("start") + 1, lit(50)))
-            .as("chunk_text"))
-      // BPE counts via the JVM kernel (pinned ≡ the countTokens Column
-      // form by BpeSpec): the Column tree's interpreted per-word
-      // replace chain was the #6 bench query at 5.6 s.
-      graft.text.Bpe.withBpeCount(chunks, "chunk_text", merges, "n_bpe")
-        .select(col("doc_id"), col("chunk_idx"), col("n_toks"), col("n_bpe"),
-          md5(col("chunk_text")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_idx")
-    },
-
-    // Concat-and-chunk SEQUENCE PACKING (the GPT-style batch-packing
-    // pass downstream of tokenization): docs laid end-to-end in
-    // doc_id order, the BPE token stream cut into 512-token training
-    // sequences, docs splitting across boundaries. Emits the
-    // assignment map (seq_id, seq_pos, in-doc [tok_from, tok_to)) a
-    // data loader consumes — token streams never materialize.
-    // Distributed exclusive prefix sum, no single-partition window
-    // (operators/Packing.scala).
-    "q_pack" -> { (s, dir) =>
-      val docs = Bpe.tokenCounts(Tables.load(s, dir, "documents"), "text",
-        "doc_id", bpeModelFor(s, dir))
-      operators.Packing.pack(docs, "bpe_tokens", Seq(col("doc_id")), 512L)
-        .select("doc_id", "seq_id", "seq_pos", "tok_from", "tok_to")
-        .orderBy("seq_id", "seq_pos")
-    },
-
-    // Equi-DEPTH histogram (equal row counts per bucket, vs
-    // q_histogram's equal widths) — decile bounds of extendedprice
-    // via the DISTRIBUTED global rank, never a single-partition
-    // window: bucket = (rank−1)·10 div n.
-    "q_histogram_eqdepth" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_extendedprice").as("v"), col("l_orderkey"), col("l_linenumber"))
-      val n = li.count()
-      graft.operators.GlobalRank.withGlobalRank(li,
-        Seq(col("v"), col("l_orderkey"), col("l_linenumber")))
-        .withColumn("bucket", ((col("rank") - 1) * 10 / lit(n)).cast("long"))
-        .groupBy("bucket")
-        .agg(count(lit(1)).as("n"),
-          round(min(col("v")), 2).as("lo"), round(max(col("v")), 2).as("hi"))
-        .orderBy("bucket")
-    },
-
-    // Per-source dedup audit: how much of each source is exact-dup
-    // (all-integer — docs, distinct texts, dup rows).
-    "q_dedup_stats" -> { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"),
-          count_distinct(col("text")).as("n_distinct"),
-          (count(lit(1)) - count_distinct(col("text"))).as("n_dup_rows"))
-        .orderBy("source")
-    },
-
-    // Week-over-week event-count deltas per type (epoch-aligned weeks,
-    // integer diffs — the trend-monitoring query).
-    "q_wow" -> { (s, dir) =>
-      val weekly = Tables.loadEvents(s, dir)
-        .withColumn("week", (unix_micros(col("ts")) / lit(604800000000L)).cast("long"))
-        .groupBy("event_type", "week")
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
-      weekly.withColumn("prev_n", lag(col("n"), 1).over(w))
-        .withColumn("delta",
-          when(col("prev_n").isNull, lit(null)).otherwise(col("n") - col("prev_n")))
-        .select("event_type", "week", "n", "delta")
-        .orderBy("event_type", "week")
-    },
-
-    // Per-column frequent values (the DETERMINISTIC form of
-    // DataFrame.stat.freqItems, whose sketch is order-sensitive):
-    // unpivot the audited columns, one keyed count, top-3 per column
-    // under a WindowGroupLimit — exact counts, reproducible output.
-    "q_freq_items" -> { (s, dir) =>
-      val w = Window.partitionBy(col("col_name"))
-        .orderBy(col("n").desc, col("value").asc)
-      Tables.load(s, dir, "orders")
-        .select(expr("stack(2, 'o_orderpriority', o_orderpriority, " +
-          "'o_orderstatus', o_orderstatus) AS (col_name, value)"))
-        .groupBy("col_name", "value").agg(count(lit(1)).as("n"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select("col_name", "value", "n", "rank")
-        .orderBy("col_name", "rank")
-    },
-
-    // Thumbnail resample through the REAL codec path: checkerboard
-    // gray PNGs decoded and nearest-neighbor downsampled to 2×3 with
-    // exact integer sample indexing — the resize stage of an image
-    // ingest pipeline, closed-form replayable (sum, not mean: gray
-    // sums stay exact integers).
-    "q_multimodal_thumb" -> { (s, dir) =>
-      val enc = Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val png = Tables.load(s, dir, "documents").select("doc_id")
-        .mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val w = (id % 13 + 4).toInt
-            val h = (id % 7 + 3).toInt
-            val v1 = (id % 256).toInt
-            val v2 = ((id * 7 + 13) % 256).toInt
-            val px = Array.tabulate(h, w)((y, x) => if ((x + y) % 2 == 0) v1 else v2)
-            Row(id, Multimodal.encodeGrayPng(px))
-          }
-        }(enc)
-      Multimodal.extractThumbFeatures(png, "payload", "t", nw = 2, nh = 3)
-        .select(col("doc_id"),
-          col("t.thumb_w").cast("long").as("thumb_w"),
-          col("t.thumb_h").cast("long").as("thumb_h"),
-          col("t.thumb_sum").cast("long").as("thumb_sum"))
-        .orderBy("doc_id")
-    },
-
-    // Model evaluation for the q_lingd weights: MSE and R² of the
-    // 2-iteration model over the training table — the fit/eval pair a
-    // training pipeline reports. One aggregation over predictions
-    // built from the (already rounded) weights; SS divisions are
-    // generic doubles (not integer ratios), so round-6 is safe here.
-    "q_lingd_eval" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_discount").as("x1"), col("l_tax").as("x2"),
-          col("l_quantity").as("y"))
-      val w = graft.ml.LinearGd.fit(li, Seq("x1", "x2"), "y",
-        lr = 0.01, iters = 2)
-      val pred = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
-      val r = li.agg(
-        count(lit(1)).as("n"),
-        sum((pred - col("y")) * (pred - col("y"))).as("ss_res"),
-        sum(col("y")).as("sy"),
-        sum(col("y") * col("y")).as("syy")).head()
-      val n = r.getLong(0).toDouble
-      val ssRes = r.getDouble(1)
-      val ssTot = r.getDouble(3) - r.getDouble(2) * r.getDouble(2) / n
-      def rnd(x: Double) =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      import s.implicits._
-      Seq((rnd(ssRes / n), rnd(1.0 - ssRes / ssTot))).toDF("mse", "r2")
-    },
-
-    // Deterministic full-batch GD LOGISTIC regression — the
-    // fastText-style language/quality classifier of a corpus pipeline
-    // (predict lang == 'en' from doc length and token count). One
-    // aggregation per iteration; σ(z) rounded to 6 PER ROW so the
-    // cross-engine exp() last-ulp difference never reaches the
-    // gradient sums (graft.ml.LogisticGd; oracle unrolls all three
-    // iterations as scalar CTEs with identical operation order).
-    "q_logreg" -> { (s, dir) =>
-      val d = logRegFeatures(Tables.load(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 3)
-      d.unpersist()
-      import s.implicits._
-      Seq((w(0), w(1), w(2))).toDF("w0", "w1", "w2")
-    },
-
-    // The inference pass of the same classifier: per-doc probability
-    // (rounded 6) + thresholded label — the corpus-gating scan a
-    // trained quality filter runs over 100 TB (one scan, weights as
-    // literals, whole-stage codegen, no UDF).
-    "q_logreg_score" -> { (s, dir) =>
-      val d = logRegFeatures(Tables.load(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 3)
-      // cache backed training (4 passes); the single serving scan
-      // below re-reads the source directly
-      d.unpersist()
-      graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w)
-        .select(col("doc_id"), col("probability"), col("predicted"))
-        .orderBy("doc_id")
-    },
-
-    // Token co-occurrence pairs (market-basket over the vocabulary):
-    // distinct tokens per doc, within-doc self-join a<b, count docs
-    // per pair, top 15. Scale shape: the join is WITHIN a doc key and
-    // the pair keyspace is vocabulary², never corpus² — explode is
-    // dominated by per-doc distinct vocab, bounded for natural text.
-    "q_cooccur" -> { (s, dir) =>
-      val toks = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("t"))
-        .distinct()
-      val a = toks.select(col("doc_id"), col("t").as("t1"))
-      val b = toks.select(col("doc_id"), col("t").as("t2"))
-      a.join(b, Seq("doc_id")).filter(col("t1") < col("t2"))
-        .groupBy("t1", "t2").agg(count(lit(1)).as("n_docs"))
-        .orderBy(col("n_docs").desc, col("t1").asc, col("t2").asc)
-        .limit(15)
-    },
-
-    // Per-user inter-event gap statistics (the bot/burst screening
-    // signal): lag over the user timeline, µs-exact integer gaps.
-    // Deliberately ALL-integer outputs (sum, not mean): a rounded
-    // sum/count mean sits exactly on 1e-6 rounding boundaries often
-    // enough (~4% of users here) to diverge cross-engine — the
-    // consumer divides, the engine stays exact.
-    "q_gap_stats" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      Tables.loadEvents(s, dir)
-        .withColumn("prev", lag(col("ts"), 1).over(w))
-        .filter(col("prev").isNotNull)
-        .withColumn("gap", unix_micros(col("ts")) - unix_micros(col("prev")))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_gaps"),
-          min(col("gap")).as("min_gap"),
-          max(col("gap")).as("max_gap"),
-          sum(col("gap")).as("sum_gap"))
-        .orderBy("user_id")
-    },
-
-    // Deterministic full-batch GD linear regression (quantity ~
-    // discount + tax): one aggregation per iteration computing the
-    // d+1 gradient sums with current weights as literals, driver
-    // state d+1 doubles, gradients and weights rounded 6 per step —
-    // the k-means replay contract on a supervised trainer
-    // (graft.ml.LinearGd; oracle unrolls both iterations as scalar
-    // CTEs with identical operation order).
-    "q_lingd" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_discount").as("x1"), col("l_tax").as("x2"),
-          col("l_quantity").as("y"))
-      val w = graft.ml.LinearGd.fit(li, Seq("x1", "x2"), "y",
-        lr = 0.01, iters = 2)
-      import s.implicits._
-      Seq((w(0), w(1), w(2))).toDF("w0", "w1", "w2")
-    },
-
-    // QUANTILE regression (pinball-loss subgradient descent,
-    // ml/QuantileGd): the conditional p75 of order quantity given
-    // discount/tax — same feature view as q_lingd, integer lr, exact
-    // decimal gradient sums, NO transcendental anywhere (the indicator
-    // is a deterministic double comparison). Output = weights plus the
-    // empirical coverage audit P(y ≤ ŷ).
-    "q_quantile_reg" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_discount").as("x1"), col("l_tax").as("x2"),
-          col("l_quantity").as("y"))
-      val w = graft.ml.QuantileGd.fit(li, Seq("x1", "x2"), "y",
-        tau = 0.75, lr = 10.0, iters = 3)
-      li.agg(graft.ml.QuantileGd.coverage(li, Seq("x1", "x2"), "y", w)
-          .as("coverage"))
-        .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
-          lit(w(2)).as("w2"), col("coverage"))
-    },
-
-    // Deterministic balanced sharding (sequence-packing shape): docs
-    // ranked globally by size desc via the DISTRIBUTED global rank
-    // (range partition + per-partition offsets — NOT the
-    // single-partition window row_number), then round-robin by rank
-    // into 8 shards; big docs spread first, shard loads equalize.
-    // graft.operators.GlobalRank.
-    "q_shard_balance" -> { (s, dir) =>
-      graft.operators.GlobalRank.withGlobalRank(
-        Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
-        Seq(col("n_chars").desc, col("doc_id")))
-        .withColumn("shard", pmod(col("rank") - 1, lit(8L)))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
-        .orderBy("shard")
-    },
-
-    // Embedding outlier scan (mislabel curation): squared distance of
-    // every vector to its OWN label centroid, top 20 farthest. Exact
-    // long counts; centroid sums and means rounded at 6 per the
-    // k-means cross-engine contract.
-    "q_embed_outlier" -> { (s, dir) =>
-      val ev = Tables.load(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"),
-          posexplode(col("embedding").cast("array<double>")))
-        .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
-      val cent = ev.groupBy(col("label"), col("j"))
-        .agg(round(sum(col("x")), 6).as("sx"), count(lit(1)).as("n"))
-        .withColumn("cx", round(col("sx") / col("n"), 6))
-        .select("label", "j", "cx")
-      ev.join(cent, Seq("label", "j"))
-        .groupBy(col("vec_id"), col("label"))
-        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("d2"))
-        .orderBy(col("d2").desc, col("vec_id").asc)
-        .limit(20)
-    },
-
-    // GROUPED count-min: one bounded sketch per source under a keyed
-    // exchange — the per-source corpus-audit form, completing the
-    // grouped-sketch quartet (GK quantiles, Misra-Gries, KMV, CMS).
-    "q_count_min_grouped" -> { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("t"))
-        .groupBy("source")
-        .agg(graft.stats.CountMin.countMinEstimates(
-          col("t"), depth = 4, width = 64, keys = Seq("join", "vector")).as("e"))
-        .select(col("source"), explode(col("e")).as("x"))
-        .select(col("source"), col("x.item").as("item"), col("x.est").as("est"))
-        .orderBy("source", "item")
-    },
-
-    // Native event-time SESSION windows (session_window, 30-min gap):
-    // sessions merge while consecutive gaps are < gap, close at
-    // last-event + gap — the builtin the manual q_sessions
-    // gaps-and-islands mirrors; boundaries floor to epoch seconds.
-    "q_session_window" -> { (s, dir) =>
-      Tables.loadEvents(s, dir)
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .select(col("user_id"),
-          col("w.start").cast("long").as("w_start"),
-          col("w.end").cast("long").as("w_end"),
-          col("n"), col("sum_value"))
-        .orderBy("user_id", "w_start")
-    },
-
-    // Wide→long reshape (unpivot via stack): three measure columns
-    // melted to (measure, val) rows — the normalization step before
-    // long-form stats — then re-aggregated to stay compact.
-    "q_unpivot" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .select(expr("stack(3, 'discount', l_discount, 'quantity', l_quantity, " +
-          "'tax', l_tax) AS (measure, val)"))
-        .groupBy("measure")
-        .agg(count(lit(1)).as("n"), round(sum(col("val")), 2).as("sum_val"))
-        .orderBy("measure")
-    },
-
-    // Schema evolution: two batches written with DIFFERENT column
-    // subsets, read back as one table via mergeSchema (absent columns
-    // null-fill) — the corpus-reingestion reality check. Aggregated
-    // against a UNION-with-NULLs oracle.
-    "q_schema_merge" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val base = System.getProperty("java.io.tmpdir") + s"/graft_schmerge_$tag"
-      val o = Tables.load(s, dir, "orders")
-      o.filter(col("o_orderkey") % 2 === 0)
-        .select("o_orderkey", "o_totalprice")
-        .write.mode("overwrite").parquet(s"$base/b=1")
-      o.filter(col("o_orderkey") % 2 === 1)
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite").parquet(s"$base/b=2")
-      s.read.option("mergeSchema", "true").parquet(s"$base/b=1", s"$base/b=2")
-        .groupBy(coalesce(col("o_orderpriority"), lit("?")).as("priority"))
-        .agg(count(lit(1)).as("n"),
-          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("sum_price"))
-        .orderBy("priority")
-    },
-
-    // Small-file compaction, answer-invariant: orders scattered into
-    // 64 tiny files, compacted to ~100k-row files (round-robin
-    // repartition, not coalesce), then the aggregate read THROUGH the
-    // compacted copy against the raw-table oracle. The housekeeping
-    // pass a streaming-ingested 100 TB table cannot live without
-    // (graft.sources.Compaction; file-count drop pinned by spec).
-    "q_compaction" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val scattered = s"$tmp/graft_compact_in_$tag"
-      val compacted = s"$tmp/graft_compact_out_$tag"
-      Tables.load(s, dir, "orders")
-        .repartition(64).write.mode("overwrite").parquet(scattered)
-      graft.sources.Compaction.compact(s, scattered, compacted,
-        targetRecordsPerFile = 100000L)
-      s.read.parquet(compacted)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
-        .orderBy("o_orderpriority")
-    },
-
-    // Incremental aggregation maintenance: daily (day, type) partials
-    // — the state a scheduled pipeline persists per partition — then
-    // any date-range answer is a re-aggregation OF THE PARTIALS, never
-    // a raw rescan. The oracle replays the same two stages; counts are
-    // exact longs, the double sum rounds at 2dp (q1_agg precedent).
-    "q_incr_agg" -> { (s, dir) =>
-      val partials = Tables.loadEvents(s, dir)
-        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
-      partials.filter(col("d").between("2024-01-03", "2024-01-09"))
-        .groupBy("event_type")
-        .agg(sum(col("n")).as("n"), round(sum(col("s")), 2).as("sum_value"))
-        .orderBy("event_type")
-    },
-
-    // Transparent materialized-view rewrite (plans/MvRewrite): an MV
-    // summarizing orders by (priority, status) with partial counts +
-    // exact key checksums is staged once; the registered Catalyst rule
-    // then re-aims this ROLLUP (priority only — a strict subset of the
-    // MV grouping) at the summary, merging partials (count → Σcnt,
-    // sum → Σpartial). The oracle recomputes from base — identical
-    // answers prove the merge algebra; MvRewriteSpec pins the plan
-    // actually scanning the summary and the filter/extra-measure
-    // guardrails.
-    "q_mv_rewrite" -> { (s, dir) =>
-      val basePath = s"$dir/orders.parquet"
-      val summ = System.getProperty("java.io.tmpdir") +
-        s"/graft_mv_orders_${stageTag(dir)}"
-      if (!new java.io.File(summ, "_SUCCESS").exists())
-        Tables.load(s, dir, "orders")
-          .groupBy("o_orderpriority", "o_orderstatus")
-          .agg(count(lit(1)).as("mv_cnt"),
-            sum(col("o_orderkey")).as("mv_sum_okey"))
-          .write.mode("overwrite").parquet(summ)
-      val mv = graft.plans.MvDef(basePath, summ,
-        Seq("o_orderpriority", "o_orderstatus"), "mv_cnt",
-        Map("o_orderkey" -> "mv_sum_okey"))
-      if (!s.experimental.extraOptimizations.exists {
-            case r: graft.plans.MvRewrite => r.mv == mv
-            case _ => false })
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ new graft.plans.MvRewrite(s, mv)
-      Tables.load(s, dir, "orders")
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-        .orderBy("o_orderpriority")
-    },
-
-    // Z-ORDER clustering key (lakehouse OPTIMIZE ZORDER BY): Morton
-    // code over integer-bucketized (l_partkey, l_suppkey) — the sort
-    // key writeZOrdered clusters files by, giving every file a tight
-    // min/max envelope on BOTH dims so parquet stats prune scans
-    // filtered on either (ZOrderSpec pins the locality; this query
-    // pins the code itself — exact integer bucketize + bit interleave,
-    // replayed term-by-term by the oracle). graft.sources.ZOrder.
-    "q_zorder" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      li.select(col("l_orderkey"), col("l_linenumber"),
-        graft.sources.ZOrder.zvalue(li, Seq("l_partkey", "l_suppkey"), bits = 8)
-          .as("zval"))
-        .orderBy("l_orderkey", "l_linenumber")
-    },
-
-    // Data-quality expectation suite (the shard-admission gate): all
-    // scalar checks fold into ONE aggregation pass; key uniqueness is
-    // one keyed groupBy; referential integrity one left-anti join.
-    // Metrics are ratios/counts of exact longs — the range bound is
-    // deliberately tight (450k) so a failing check's metric faces the
-    // oracle too (graft.stats.DataQuality).
-    "q_dq" -> { (s, dir) =>
-      import graft.stats.DataQuality
-      import graft.stats.DataQuality._
-      DataQuality.run(Tables.load(s, dir, "orders"), Seq(
-        NotNull("o_custkey"),
-        InRange("o_totalprice", 0.0, 450000.0),
-        UniqueKey(Seq("o_orderkey")),
-        RefIntegrity("o_custkey", Tables.load(s, dir, "customer"), "c_custkey")))
-    },
-
-    // CDC latest-wins upsert (the MERGE INTO shape): each customer's
-    // balance replaced by the totalprice of their latest order (order
-    // key as the unique change version, base rows at version −1);
-    // customers with no orders keep the base row. One union + one
-    // keyed window pass, no join (graft.operators.Upsert).
-    "q_upsert" -> { (s, dir) =>
-      val base = Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
-          lit(-1L).as("version"))
-      val updates = Tables.load(s, dir, "orders")
-        .select(col("o_custkey").as("c_custkey"),
-          round(col("o_totalprice"), 2).as("acctbal"),
-          col("o_orderkey").as("version"))
-      graft.operators.Upsert.latestWins(base, updates, Seq("c_custkey"), "version")
-        .orderBy("c_custkey")
-    },
-
-    // FULL CONDITIONAL MERGE (operators/MergeInto) — the multi-clause
-    // ANSI MERGE the latest-wins upsert can't express: clause ORDER
-    // fires first-match (active customers get the credit even when
-    // they'd also match the low-spend purge), all four categories in
-    // one full-outer join + one codegen projection: matched+active →
-    // UPDATE, matched+low-spend → DELETE, source-only → INSERT,
-    // target-only → DORMANT re-segment. Base = the solvent customer
-    // snapshot, source = per-customer order rollup (overdrawn
-    // customers' orders become the NOT MATCHED inserts).
-    "q_merge_into" -> { (s, dir) =>
-      import graft.operators.MergeInto
-      val base = Tables.load(s, dir, "customer")
-        .filter(col("c_acctbal") >= 0)
-        .select(col("c_custkey").as("custkey"),
-          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"),
-          col("c_mktsegment").as("mktsegment"))
-      val src = Tables.load(s, dir, "orders")
-        .groupBy(col("o_custkey").as("custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-            .cast("long")).as("total"))
-      MergeInto.merge(base, src, Seq("custkey"),
-        matched = Seq(
-          (col("s_n_orders") >= 20, MergeInto.Update(Map(
-            "cents" -> (col("t_cents") + expr("s_total div 100"))))),
-          (col("s_total") < 5000000L, MergeInto.Delete)),
-        notMatched = Seq(
-          (lit(true), MergeInto.Insert(Map(
-            "custkey" -> col("s_custkey"),
-            "cents" -> expr("s_total div 1000"),
-            "mktsegment" -> lit("NEW"))))),
-        bySource = Seq(
-          (lit(true), MergeInto.Update(Map(
-            "mktsegment" -> lit("DORMANT"))))))
-        .orderBy("custkey")
-    },
-
-    // Referential-integrity audit over the star schema's declared FK
-    // edges plus one deliberately-violating edge (events.user_id →
-    // customer): per edge, child rows / NULL keys / orphan rows /
-    // distinct orphan keys. The child collapses to per-key counts
-    // before any join, so a 100 TB fact audits through its key
-    // cardinality, never row-level joins (graft.operators.FkAudit).
-    "q_fk_audit" -> { (s, dir) =>
-      val orders = Tables.load(s, dir, "orders")
-      val lineitem = Tables.load(s, dir, "lineitem")
-      val customer = Tables.load(s, dir, "customer")
-      graft.operators.FkAudit.audit(Seq(
-        ("customer.nationkey->nation", customer, "c_nationkey",
-          Tables.load(s, dir, "nation"), "n_nationkey"),
-        // Audited against the SOLVENT-customer dimension subset (a
-        // filtered dimension snapshot) so the gate has real orphans —
-        // events of overdrawn customers point at nothing.
-        ("events.user_id->customer_solvent",
-          Tables.load(s, dir, "events").select("user_id"), "user_id",
-          customer.where(col("c_acctbal") >= 0), "c_custkey"),
-        ("lineitem.orderkey->orders", lineitem, "l_orderkey",
-          orders, "o_orderkey"),
-        ("lineitem.partkey->part", lineitem, "l_partkey",
-          Tables.load(s, dir, "part"), "p_partkey"),
-        ("lineitem.suppkey->supplier", lineitem, "l_suppkey",
-          Tables.load(s, dir, "supplier"), "s_suppkey"),
-        ("orders.custkey->customer", orders, "o_custkey",
-          customer, "c_custkey")))
-        .orderBy("fk")
-    },
-
-    // Golden-record merge (MDM survivorship): three deterministic
-    // record versions per customer — each knowing DIFFERENT fields
-    // (later versions carry nulls for fields only older ones knew) —
-    // collapse to per-field latest-non-null via one keyed max_by
-    // aggregate: field-level recency survivorship, which row-level
-    // latest-wins gets wrong (graft.operators.GoldenRecord).
-    "q_golden_record" -> { (s, dir) =>
-      val c = Tables.load(s, dir, "customer")
-      val ck = col("c_custkey")
-      val v1 = c.select(ck.as("k"), lit(1L).as("ver"),
-        col("c_name").as("name"), col("c_nationkey").as("nation"),
-        round(col("c_acctbal"), 2).as("acct"),
-        when(ck % 3 === 0, lit(null)).otherwise(col("c_mktsegment"))
-          .as("seg"))
-      val v2 = c.select(ck.as("k"), lit(2L).as("ver"),
-        when(ck % 4 === 0, lit(null))
-          .otherwise(concat(col("c_name"), lit("_v2"))).as("name"),
-        lit(null).cast("long").as("nation"),
-        round(col("c_acctbal") + 10, 2).as("acct"),
-        lit(null).cast("string").as("seg"))
-      val v3 = c.where(ck % 5 === 0).select(ck.as("k"), lit(3L).as("ver"),
-        lit(null).cast("string").as("name"),
-        (col("c_nationkey") + 1).as("nation"),
-        lit(null).cast("double").as("acct"),
-        lit("UPDATED").as("seg"))
-      graft.operators.GoldenRecord.merge(
-        v1.unionByName(v2).unionByName(v3), Seq("k"), "ver",
-        Seq("name", "nation", "acct", "seg"))
-        .orderBy("k")
-    },
-
-    // Incremental JOIN-view maintenance: a per-customer revenue view
-    // over orders⋈lineitem is maintained from insert deltas via
-    // Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (graft.operators.IncrJoin) plus a
-    // partial-aggregate merge — maintenance cost scales with the
-    // change volume, never the view. The oracle recomputes the FULL
-    // join aggregate, so the hash match proves incremental ≡ full.
-    "q_incr_join" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-      val l = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"),
-          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
-      val (oOld, dO) = (o.where(col("o_orderkey") % 7 =!= 0),
-        o.where(col("o_orderkey") % 7 === 0))
-      val (lOld, dL) = (l.where(col("cents") % 3 =!= 0),
-        l.where(col("cents") % 3 === 0))
-      def agg(df: DataFrame) = df.groupBy("o_custkey")
-        .agg(sum(col("cents")).as("rev"), count(lit(1)).as("n"))
-      val vOld = agg(oOld.join(lOld, Seq("o_orderkey")))
-      val dV = agg(graft.operators.IncrJoin.joinDelta(
-        oOld, dO, lOld, dL, Seq("o_orderkey")))
-      vOld.unionByName(dV)
-        .groupBy("o_custkey")
-        .agg(sum(col("rev")).as("rev"), sum(col("n")).as("n"))
-        .orderBy("o_custkey")
-    },
-
-    // WHY Z-ORDER: the zone-map skip audit that quantifies the layout
-    // tradeoff. The same lineitem rows are cut into 2048-row files
-    // under two layouts — sorted by partkey vs z-ordered on
-    // (partkey, suppkey) — and three probes (partkey-only,
-    // suppkey-only, both) count files whose min/max zones overlap.
-    // On the fixture the single-sort layout reads 2/293 files for its
-    // own dimension but ALL 293 for the other; z-order reads a few
-    // dozen for EITHER single-dim probe and 1 for the 2-D probe — the
-    // multi-dimensional-locality argument, measured. Deterministic
-    // file cuts (global rank div rowsPerFile) keep it oracle-exact.
-    "q_zorder_skip" -> { (s, dir) =>
-      import s.implicits._
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"),
-          col("l_orderkey"), col("l_linenumber"))
-      val z = li.withColumn("zval",
-        graft.sources.ZOrder.zvalue(li, Seq("p", "sk"), bits = 8))
-      def layout(sortCols: Seq[Column], label: String) =
-        graft.operators.GlobalRank.withGlobalRank(z, sortCols, "__rk")
-          .withColumn("f", expr("(__rk - 1) div 2048"))
-          .groupBy("f")
-          .agg(min(col("p")).as("pmn"), max(col("p")).as("pmx"),
-            min(col("sk")).as("smn"), max(col("sk")).as("smx"),
-            count(lit(1)).as("n"))
-          .withColumn("layout", lit(label))
-      val files = layout(
-        Seq(col("p"), col("l_orderkey"), col("l_linenumber")), "sort_partkey")
-        .unionAll(layout(
-          Seq(col("zval"), col("l_orderkey"), col("l_linenumber")), "zorder"))
-      val probes = Seq(
-        ("p", 100L, 199L, 0L, 100000000L),
-        ("ps", 100L, 199L, 10L, 19L),
-        ("s", 0L, 100000000L, 10L, 19L))
-        .toDF("probe", "plo", "phi", "slo", "shi")
-      val reads = col("pmx") >= col("plo") && col("pmn") <= col("phi") &&
-        col("smx") >= col("slo") && col("smn") <= col("shi")
-      files.crossJoin(broadcast(probes))
-        .groupBy("layout", "probe")
-        .agg(count(lit(1)).as("files_total"),
-          sum(when(reads, 1L).otherwise(0L)).as("files_read"),
-          sum(when(reads, col("n")).otherwise(0L)).as("rows_read"))
-        .orderBy("layout", "probe")
-    },
-
-    // Min/max data-skipping index (zone map) over a sort-clustered
-    // layout: rows in l_shipdate total order cut into 4096-row files,
-    // per-file (min, max), and a range-probe classification — the
-    // parquet-footer-stats mechanism made explicit, with DETERMINISTIC
-    // file cuts (global rank div rowsPerFile, never RangePartitioner's
-    // sampled boundaries) so the index itself replays in SQL
-    // (graft.sources.MinMaxIndex). The reads_for_probe fraction IS the
-    // skip-scan win sort-clustering buys at 100 TB.
-    "q_minmax_index" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          date_format(to_date(col("l_shipdate")), "yyyy-MM-dd").as("d"))
-      val idx = graft.sources.MinMaxIndex.buildIndex(
-        li, "d", Seq(col("d"), col("l_orderkey"), col("l_linenumber")),
-        rowsPerFile = 4096L)
-      graft.sources.MinMaxIndex.annotateProbe(
-          idx, lit("1995-06-01"), lit("1995-08-31"))
-        .orderBy("file_id")
-    },
-
-    // PER-FILE BLOOM INDEX (sources/BloomIndex) — the equality-probe
-    // complement of q_minmax_index, on a layout where zone maps are
-    // USELESS by construction (rows in md5-hash order, so every file's
-    // [min, max] of l_orderkey spans the domain): the index stores
-    // each file's md5-derived bit-position set, a point probe reads
-    // only files whose bloom holds all k positions. Output shows both
-    // prunings side by side — `reads_zone` ≈ every file,
-    // `reads_bloom` ≈ the files that truly contain the key (+ rare
-    // false positives, never a false negative).
-    "q_bloom_index" -> { (s, dir) =>
-      import graft.sources.{BloomIndex, MinMaxIndex}
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_linenumber"),
-          md5(concat(col("l_orderkey").cast("string"), lit("#"),
-            col("l_linenumber").cast("string"))).as("h"))
-      val sortCols = Seq(col("h"), col("l_orderkey"), col("l_linenumber"))
-      val bloom = BloomIndex.buildIndex(li, "l_orderkey", sortCols,
-        rowsPerFile = 4096L)
-      val zones = MinMaxIndex.buildIndex(li, "l_orderkey", sortCols,
-        rowsPerFile = 4096L)
-      // a mid-domain key that EXISTS (smallest key ≥ max/2): zone maps
-      // cannot prune it on this layout, the bloom can — bounded
-      // two-scalar derivation, replayed verbatim by the oracle
-      val half = li.agg(max("l_orderkey")).head.getLong(0) / 2
-      val probeV = li.filter(col("l_orderkey") >= half)
-        .agg(min("l_orderkey")).head.getLong(0)
-      val probe = lit(probeV)
-      BloomIndex.annotateProbe(bloom, probe)
-        .withColumnRenamed("reads_for_probe", "reads_bloom")
-        .join(MinMaxIndex.annotateProbe(zones, probe, probe)
-          .withColumnRenamed("reads_for_probe", "reads_zone"), "file_id")
-        .select(col("file_id"), col("n"), col("n_positions"),
-          size(col("bloom")).cast("long").as("bloom_size"),
-          col("min_v"), col("max_v"), col("reads_bloom"), col("reads_zone"))
-        .orderBy("file_id")
-    },
-
-    // Full CDC apply with delete tombstones (Debezium-style op
-    // streams): the highest-version change per key decides its fate —
-    // 'U' upserts, 'D' erases the key (base row included), a later
-    // re-insert resurrects. Same single keyed-window shuffle as
-    // q_upsert — no join, tombstones never fan out
-    // (graft.operators.Upsert.applyCdc).
-    "q_cdc_delete" -> { (s, dir) =>
-      val base = Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
-          lit(-1L).as("version"))
-      val changes = Tables.load(s, dir, "orders")
-        .select(col("o_custkey").as("c_custkey"),
-          round(col("o_totalprice"), 2).as("acctbal"),
-          col("o_orderkey").as("version"),
-          when(col("o_orderkey") % 10 < 2, lit("D")).otherwise(lit("U"))
-            .as("op"))
-      graft.operators.Upsert.applyCdc(
-        base, changes, Seq("c_custkey"), "version", "op")
-        .orderBy("c_custkey")
-    },
-
-    // Snapshot diff (the between-runs audit of a versioned corpus
-    // table): two simulated versions of `orders` — the old snapshot
-    // missing keys ≡0 (mod 7), the new missing ≡0 (mod 5) and with
-    // status rewritten on keys ≡0 (mod 3) — classified into
-    // added/removed/changed via union + ONE keyed aggregation of
-    // (key, side, payload-md5); no full-outer join, no document
-    // bodies in the shuffle (graft.operators.TableDiff).
-    "q_table_diff" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
-      val newSnap = o.filter(col("o_orderkey") % 5 =!= 0)
-        .select(col("o_orderkey"), col("o_custkey"),
-          when(col("o_orderkey") % 3 === 0, lit("X"))
-            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
-      graft.operators.TableDiff.diff(oldSnap, newSnap,
-        Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus"))
-        .select("o_orderkey", "change", "old_hash", "new_hash")
-        .orderBy("o_orderkey")
-    },
-
-    // Per-group decile bucketing (feature binning): ntile(10) within
-    // each market segment, ordered by (acctbal, custkey) so ties are
-    // deterministic. Scale note: the sort is per-SEGMENT (keyed window
-    // shuffle), not a global order — the form that survives 100 TB;
-    // a global ntile would single-partition the sort.
-    "q_ntile" -> { (s, dir) =>
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("c_acctbal"), col("c_custkey"))
-      Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"),
-          ntile(10).over(w).as("decile"))
-        .orderBy("c_custkey")
-    },
-
-    // Per-doc top-3 terms by smoothed TF-IDF (sklearn-style
-    // idf = ln((1+N)/(1+df)) + 1): full-vocabulary postings with exact
-    // integer tf/df/N so both engines derive identical doubles, scores
-    // rounded to 6, WindowGroupLimit top-3 per doc. The classic
-    // "what is this document about" signal beside BM25's query-scoped
-    // ranking.
-    "q_tfidf" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
-      val n = docs.count()
-      val posts = docs
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = posts.groupBy("term").agg(count(lit(1)).as("df"))
-      val w = Window.partitionBy(col("doc_id"))
-        .orderBy(col("score").desc, col("term").asc)
-      posts.join(dfreq, "term")
-        .withColumn("score",
-          round(col("tf") * (log(lit(1.0 + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("doc_id"), col("term"), col("score"), col("rank"))
-        .orderBy("doc_id", "rank")
-    },
-
-    // Count-min sketch over the corpus token stream: depth×width
-    // bounded counters (8·4·64 bytes/partial here), pointwise-additive
-    // merge, answering point-frequency for keys chosen AFTER the scan
-    // — the complement of Misra-Gries' top-k. The md5-prefix hash
-    // makes the filled sketch partitioning-invariant, so the oracle
-    // replays cells AND estimates exactly (including the deliberate
-    // collision overestimates at width 64 and the absent key).
-    "q_count_min" -> { (s, dir) =>
-      val toks = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(explode(TextFunctions.tokens(col("text"))).as("t"))
-      toks.agg(graft.stats.CountMin.countMinEstimates(
-          col("t"), depth = 4, width = 64,
-          keys = Seq("join", "hash", "scan", "zzzz")).as("e"))
-        .select(explode(col("e")).as("x"))
-        .select(col("x.item").as("item"), col("x.est").as("est"))
-        .orderBy("item")
-    },
-
-    // STREAM-STREAM interval join, executed as a real streaming query:
-    // views joined to same-user purchases within the following hour —
-    // the attribution-join shape — with watermarks on BOTH sides so
-    // the engine can bound join state (the 100 TB requirement: state
-    // is the interval window, not the stream). Inner joins emit
-    // eagerly per micro-batch; AvailableNow drains the source and the
-    // append-mode memory sink collects exactly the matched pairs.
-    // Completes streaming coverage: agg, dedup, sliding, skyline, join.
-    // Stream-stream LEFT OUTER interval join: views left-joined to
-    // purchases within the hour; unmatched views are held in state and
-    // emitted null-padded only once the watermark proves no match can
-    // still arrive (v_ts + 1h < final watermark). The outer-emission
-    // cut is the semantics under test — the oracle replays it as a
-    // NOT-EXISTS plus the same watermark inequality.
-    "q_stream_outer_join" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamoj_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      def src = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-      val views = src.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          col("ts").as("v_ts"))
-        .withWatermark("v_ts", "0 seconds")
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"))
-        .withWatermark("p_ts", "0 seconds")
-      val joined = views.join(purchases,
-        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"),
-        "left_outer")
-        .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"))
-      val qname = "graft_stream_outer_join_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamoj_ckpt").toString
-      val query = joined.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.awaitTermination()
-      s.table(qname).orderBy("view_id", "purchase_id")
-    },
-
-    "q_stream_join" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamj_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      def src = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-      val views = src.filter(col("event_type") === "view")
-        .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
-          col("ts").as("v_ts"))
-        .withWatermark("v_ts", "0 seconds")
-      val purchases = src.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
-          col("ts").as("p_ts"))
-        .withWatermark("p_ts", "0 seconds")
-      val joined = views.join(purchases,
-        expr("v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + interval 1 hour"))
-        .select(col("view_id"), col("purchase_id"), col("v_user").as("user_id"))
-      val qname = "graft_stream_join_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamj_ckpt").toString
-      val query = joined.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.awaitTermination()
-      s.table(qname).orderBy("view_id", "purchase_id")
-    },
-
-    // Deterministic PageRank over the customer→supplier purchase graph
-    // (damped power iteration, dangling-mass redistribution; supplier
-    // node ids offset by 1e6 to disjoin the two key spaces). The
-    // host/domain quality prior of a web-scale corpus pipeline, under
-    // a fully unrolled 3-iteration CTE replay — the k-means oracle
-    // treatment applied to graph iteration (graft.graph.PageRank).
-    "q_pagerank" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      graft.graph.PageRank.pageRank(edges, "src", "dst", iters = 3)
-        .orderBy("id")
-    },
-
-    // HOST-level PageRank from URLs — the composition VERDICT r8
-    // motivated (PageRank as a crawl-source quality prior needs an
-    // edge list PRODUCED from URLs): each synthetic page links to the
-    // page of a key-shifted customer, both endpoints reduced to hosts
-    // through the REAL UrlOps parser (trim → authority → userinfo/port
-    // strip → lowercase), self-links dropped, then 3 damped
-    // iterations over the ~200-host graph. At 100 TB the host graph
-    // is tiny next to the page corpus — exactly why host rank is the
-    // practical prior.
-    "q_host_rank" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      // Exchange barrier before filter/distinct: CollapseProject would
-      // re-inline the URL host expressions into every consumer (~4-6
-      // evaluations per row — the Triangles.count lesson).
-      val edges = o.select(src.as("src"), dst.as("dst"))
-        .repartition(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      graft.graph.PageRank.pageRank(edges, "src", "dst", iters = 3)
-        .orderBy("id")
-    },
-
-    // HITS hub/authority over the same host graph (graph/Hits) — the
-    // PageRank complement: hubs seed a crawl frontier, authorities
-    // weight documents. Runs UNNORMALIZED on exact DECIMAL(38,0)
-    // accumulators (h₀=1, every score an integer sum of integers — no
-    // float order risk anywhere), max-normalizing only at the end with
-    // one double division per side. Two cached edge layouts (by src
-    // and by dst) give both join directions a co-located read; each
-    // half-iteration is one keyed join+agg and a lineage-truncating
-    // snapshot.
-    "q_hits" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      val edges = o.select(src.as("src"), dst.as("dst"))
-        .repartition(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      graft.graph.Hits.hits(edges, "src", "dst", iters = 2)
-        .orderBy("id")
-    },
-
-    // PERSONALIZED PageRank from a trusted seed set (the .example.com
-    // hosts): teleports land on the seeds, so authority flows OUTWARD
-    // from them — the crawl-seed-expansion / trust-propagation
-    // primitive. Same one-action-per-iteration scaffold as q_pagerank
-    // (NULL-keyed dangling row, in-plan base, round-to-6 contract);
-    // the only driver scalar is |seeds|.
-    "q_ppr" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      val edges = o.select(src.as("src"), dst.as("dst"))
-        .repartition(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      graft.graph.PageRank.personalized(edges, "src", "dst",
-          seedPred = col("id").endsWith(".example.com"), iters = 3)
-        .orderBy("id")
-    },
-
-    // Degree audit of the same host graph (crawl-frontier health:
-    // fan-out per host, link-farm outliers): in/out/total degree per
-    // node over the deduped directed edges, top-10 by (total desc,
-    // id) — two keyed aggs + one outer merge, WindowGroupLimit trim.
-    "q_graph_degrees" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      val edges = o.select(src.as("src"), dst.as("dst"))
-        .repartition(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-      val outDeg = edges.groupBy(col("src").as("id"))
-        .agg(count(lit(1)).as("out_deg"))
-      val inDeg = edges.groupBy(col("dst").as("id"))
-        .agg(count(lit(1)).as("in_deg"))
-      outDeg.join(inDeg, Seq("id"), "full_outer")
-        .select(col("id"),
-          coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-          coalesce(col("out_deg"), lit(0L)).as("out_deg"))
-        .withColumn("total_deg", col("in_deg") + col("out_deg"))
-        .orderBy(col("total_deg").desc, col("id").asc)
-        .limit(10)
-    },
-
-    // BFS hop distance in the (symmetrized) customer–supplier purchase
-    // graph from the smallest node — "how many purchase hops away is
-    // everyone from this customer", the reachability/graph-distance
-    // feature of a link or interaction graph. Pregel-style frontier
-    // expansion against the src-co-located edge cache, one keyed join
-    // + one anti-join per round, until the frontier drains (4 layers
-    // here). Distances are exact integers; the oracle replays the
-    // frontier as a depth-capped recursive CTE.
-    "q_bfs" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      val edges = base.unionAll(
-        base.select(col("dst").as("src"), col("src").as("dst")))
-      val nodes = edges.select(col("src").as("id")).distinct()
-      val seed = nodes.orderBy("id").limit(1)
-      graft.graph.ShortestPath.hopDistances(edges, "src", "dst", seed,
-        maxIters = 10).orderBy("id")
-    },
-
-    // Closeness centrality of the 4 lowest-id customers over the same
-    // bipartite customer–supplier host graph as q_bfs: per-seed BFS
-    // with (seed, id)-keyed frontier state (graph/Closeness — k seeds
-    // share one edge co-location, NOT k sequential passes). Exact
-    // integer output (n_reached, sum_dist, ecc); the closeness ratio
-    // (n_reached−1)/sum_dist stays rational, never floated.
-    "q_closeness" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      val edges = base.unionAll(
-        base.select(col("dst").as("src"), col("src").as("dst")))
-      val seeds = edges.select(col("src").as("id")).distinct()
-        .orderBy("id").limit(4)
-      graft.graph.Closeness.closeness(edges, "src", "dst", seeds,
-        maxIters = 10).orderBy("seed")
-    },
-
-    // Harmonic centrality of the same seeds — the disconnection-robust
-    // centrality (unreachable nodes contribute 0, not ∞), exact in
-    // 1/2520 units: 2520 = lcm(1..10) divides every ≤10-hop distance,
-    // so Σ 2520/d is pure integer algebra (graph/Closeness).
-    "q_harmonic" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      val edges = base.unionAll(
-        base.select(col("dst").as("src"), col("src").as("dst")))
-      val seeds = edges.select(col("src").as("id")).distinct()
-        .orderBy("id").limit(4)
-      graft.graph.Closeness.harmonic2520(edges, "src", "dst", seeds,
-        maxIters = 10).orderBy("seed")
-    },
-
-    // DOUBLE-SWEEP diameter estimate (the iFUB/BFS-heuristic lower
-    // bound every graph profiler runs first): BFS from the lowest id
-    // → farthest node u (tie: min id), BFS from u → ecc(u), which
-    // lower-bounds the diameter and is exact on trees. Two frontier
-    // BFS passes over the shared edge cache; all-integer output
-    // (graph/Closeness.perSeedDistances reused as-is).
-    "q_graph_diameter" -> { (s, dir) =>
-      // Same 25% sampled host graph as q_betweenness — the "sampled
-      // graph profile" family shares one fixture; two full-graph BFS
-      // sweeps would double the q_bfs bench cost for the same plan
-      // evidence.
-      val o = Tables.load(s, dir, "orders")
-        .filter(col("o_orderkey") % 4 === 0)
-        .select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      // cache the symmetric edge frame ONCE: both sweeps (and the
-      // per-sweep src-co-located copy inside perSeedDistances) read
-      // it instead of re-running the o⋈li distinct per sweep.
-      val edges = base.unionAll(
-          base.select(col("dst").as("src"), col("src").as("dst")))
-        .cache()
-      val seed1 = edges.agg(min("src")).head().getLong(0)
-      import s.implicits._
-      def sweep(from: Long): (Long, Int, Long) = {
-        val d = graft.graph.Closeness.perSeedDistances(edges, "src", "dst",
-          Seq(from).toDF("id"), maxIters = 10)
-        val far = d.agg(max(struct(col("dist"), (-col("id")).as("nid"))))
-          .head().getStruct(0)
-        (from, far.getInt(0), -far.getLong(1))
-      }
-      val (_, ecc1, u) = sweep(seed1)
-      val (_, ecc2, w) = sweep(u)
-      edges.unpersist()
-      Seq((seed1, ecc1, u, ecc2, w))
-        .toDF("seed", "ecc_seed", "far_node", "diameter_lb", "periphery")
-    },
-
-    // Seed-sampled Brandes betweenness of the same host graph — the
-    // brokerage centrality (which nodes sit ON the shortest paths,
-    // vs closeness/harmonic's "how near is everything"). Forward
-    // per-seed BFS carries exact path counts σ; the backward pass
-    // accumulates dependencies in EXACT 1e-6 units (the DAG only has
-    // level-(L)→(L+1) edges, so ⌊σv·(10⁶+δw)/σw⌋ is pure integer
-    // algebra both engines replay term-for-term). Top-20 via the
-    // bounded TopK aggregate — never a global sort
-    // (graft.graph.Betweenness; replica-verified in BetweennessSpec).
-    "q_betweenness" -> { (s, dir) =>
-      // 25% order subset (the q_triangles projection discipline): the
-      // estimator's cost is rounds × |E|, and the pilot-seed form is
-      // already a sample — sampling edges the same way keeps the
-      // 7-round bench cost proportional without changing the plan.
-      val o = Tables.load(s, dir, "orders")
-        .filter(col("o_orderkey") % 4 === 0)
-        .select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      val edges = base.unionAll(
-        base.select(col("dst").as("src"), col("src").as("dst")))
-      val seeds = edges.select(col("src").as("id")).distinct()
-        .orderBy("id").limit(4)
-      graft.graph.Betweenness.topMicro(edges, "src", "dst", seeds,
-        maxLevel = 4, k = 20).orderBy("rank")
-    },
-
-    // Triangle census of the same host graph (community structure /
-    // link-farm signal on a crawl graph): degree-ordered orientation
-    // caps the wedge join's fan-out at O(√m) per node — the form that
-    // survives a star host at 100 TB — and every triangle counts once
-    // at its orientation-minimum vertex (graft.graph.Triangles).
-    // All-integer output: edges, oriented wedges, triangles.
-    "q_triangles" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      graft.graph.Triangles.count(
-        o.select(src.as("src"), dst.as("dst")), "src", "dst")
-    },
-
-    // Weighted single-source shortest path (Bellman-Ford relaxation,
-    // graph/BellmanFord): the weighted complement of q_bfs — exact
-    // ≤8-edge shortest costs from the seed over symmetric integer
-    // weights. Per round one keyed join from the IMPROVED-only
-    // frontier + one keyed min-agg, lineage-truncated; the oracle
-    // unrolls the same 8 full-relaxation rounds (frontier BF ≡ full BF
-    // round-for-round).
-    "q_sssp" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val base = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-        .distinct()
-      val eu = base
-        .unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
-        .withColumn("w", lit(1L) + pmod(col("src") + col("dst"), lit(5L)))
-      val seed = eu.agg(min(col("src")).as("id"))
-      graft.graph.BellmanFord.distances(eu, "src", "dst", "w", seed,
-          rounds = 8)
-        .orderBy("id")
-    },
-
-    // k-core decomposition of the customer–supplier interaction graph
-    // (graph-density gate: which buyers/suppliers sit in the densely
-    // connected trading core vs the sparse periphery — the link-farm /
-    // hub primitive on a crawl graph). k self-scales as the exact
-    // 25th-percentile degree (a fixed k goes trivial as density grows
-    // with SF), then iterative peeling deletes deg<k vertices to
-    // fixpoint — per round one endpoint-count agg + two anti-joins,
-    // lineage-truncated (graft.graph.KCore). All-integer output; the
-    // oracle replays the percentile and 3 unrolled peel rounds (the
-    // fixture reaches fixpoint in 1; divergence would hash-fail).
-    "q_kcore" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-      val k = graft.graph.KCore.percentileDegree(edges, "src", "dst", 0.25)
-      graft.graph.KCore.kCore(edges, "src", "dst", k, maxIters = 10)
-        .withColumn("k", lit(k.toLong))
-        .orderBy("v")
-    },
-
-    // AT-REST inverted index: postings (term, doc_id, tf) written once
-    // into md5-bucketed `bucket=<b>` partitions, then conjunctive
-    // search reads ONLY the query terms' buckets (PartitionFilters
-    // prune — the lexical twin of the IVF `list=` layout) and ranks by
-    // summed tf. 100 TB shape: serving cost is |q-buckets|/nBuckets of
-    // the index bytes, never a corpus rescan (graft.text.InvertedIndex).
-    "q_inverted_index" -> { (s, dir) =>
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_inv_index_" + stageTag(dir)
-      InvertedIndex.writeIndex(
-        Tables.load(s, dir, "documents"), "text", "doc_id", nBuckets = 16, path)
-      InvertedIndex.searchAll(s, path, 16,
-        Seq("vector", "merge", "filter"), topK = 20)
-    },
-
-    // Per-group z-score normalization (feature engineering): mean and
-    // population stddev derived from EXACT integer sums (Σx, Σx², n)
-    // so both engines compute bit-identical doubles — deliberately not
-    // the builtin stddev_pop, whose merge order is engine-internal.
-    // One keyed window exchange.
-    "q_zscore" -> { (s, dir) =>
-      val w = Window.partitionBy(col("source"))
-      Tables.load(s, dir, "documents")
-        .withColumn("__s", sum(col("n_chars")).over(w))
-        .withColumn("__s2", sum(col("n_chars") * col("n_chars")).over(w))
-        .withColumn("__n", count(lit(1)).over(w))
-        .withColumn("__mu", col("__s").cast("double") / col("__n"))
-        .withColumn("__var",
-          col("__s2").cast("double") / col("__n") - col("__mu") * col("__mu"))
-        .select(col("doc_id"), col("source"),
-          round(when(col("__var") > 0,
-            (col("n_chars") - col("__mu")) / sqrt(col("__var"))).otherwise(0.0), 6)
-            .as("z"))
-        .orderBy("doc_id")
-    },
-
-    // Blocked Jaro-Winkler record linkage (entity resolution): a dirty
-    // variant of every customer name (deterministic character
-    // corruption) is matched back to the clean master within hash
-    // blocks — all-pairs only inside a block, the standard ER
-    // blocking shape — scored by the native codegen JW expression and
-    // resolved to the best match per dirty record. The oracle scores
-    // with DuckDB's OWN jaro_winkler_similarity: an independent-
-    // implementation cross-check (bit-identical by construction — see
-    // text/JaroWinkler.scala), not a replay.
-    "q_jaro_linkage" -> { (s, dir) =>
-      val c = Tables.load(s, dir, "customer")
-      val master = c.select(col("c_custkey").as("m_key"),
-        col("c_name").as("m_name"), pmod(col("c_custkey"), lit(50)).as("blk"))
-      val dirty = c.select(col("c_custkey").as("d_key"),
-        translate(col("c_name"), "#0", "=O").as("d_name"),
-        pmod(col("c_custkey"), lit(50)).as("blk"))
-      val w = Window.partitionBy("d_key").orderBy(col("sim").desc, col("m_key"))
-      dirty.join(master, "blk")
-        .withColumn("sim", graft.text.JaroWinkler(col("d_name"), col("m_name")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("d_key"), col("m_key"), round(col("sim"), 6).as("sim"))
-        .orderBy("d_key")
-    },
-
-    // Item-item co-purchase similarity (market-basket / "customers
-    // also bought"): distinct (order, part) pairs self-joined on the
-    // order key — fan-out bounded by basket size squared, never
-    // all-pairs over the catalog — then cosine co_cnt/√(n_a·n_b) from
-    // exact integer supports. The item-CF primitive of a recommender
-    // pipeline; co-counts ≥ 2 keep the served pair set sparse.
-    "q_item_sim" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      val cnt = li.groupBy("pk").agg(count(lit(1)).as("n"))
-      val pairs = li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .groupBy(col("x.pk").as("item_a"), col("y.pk").as("item_b"))
-        .agg(count(lit(1)).as("co_cnt"))
-        .filter(col("co_cnt") >= 2)
-      pairs
-        .join(cnt.select(col("pk").as("item_a"), col("n").as("na")), "item_a")
-        .join(cnt.select(col("pk").as("item_b"), col("n").as("nb")), "item_b")
-        .select(col("item_a"), col("item_b"), col("co_cnt"),
-          round(col("co_cnt").cast("double") /
-            sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
-        .orderBy("item_a", "item_b")
-    },
-
-    // First-order Markov transition matrix of the event stream: per
-    // user, consecutive event-type pairs under a deterministic
-    // (ts, event_id) order, then global transition counts and row-
-    // normalized probabilities (exact-integer division — the behavioral
-    // "what happens after X" model behind session analytics and
-    // next-action features). One window pass + one keyed agg.
-    "q_markov" -> { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val trans = Tables.loadEvents(s, dir)
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
-        .agg(count(lit(1)).as("cnt"))
-      trans.withColumn("prob",
-        round(col("cnt").cast("double") /
-          sum(col("cnt")).over(Window.partitionBy("from_type")), 6))
-        .orderBy("from_type", "to_type")
-    },
-
-    // POISSON REGRESSION (log-link GLM, ml/PoissonGd) — the
-    // count-outcome member of the GLM family (q_lingd identity link,
-    // q_logreg logit link): events-per-user-per-day modeled on a
-    // weekend indicator and a user bucket. One aggregation job per
-    // iteration, exact decimal gradient sums, per-row rounded
-    // clamped e^z — training replays bit-for-bit in the oracle.
-    "q_poisson" -> { (s, dir) =>
-      val d = Tables.loadEvents(s, dir)
-        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).cast("double").as("y"))
-        .select(
-          when((dayofweek(col("day")) - 1).isin(0, 6), 1.0)
-            .otherwise(0.0).as("x1"),
-          (pmod(col("user_id"), lit(5)).cast("double") / 10.0).as("x2"),
-          col("y"))
-      val w = graft.ml.PoissonGd.fit(d, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 6)
-      s.range(1).select(lit(w(0)).as("w0"), lit(w(1)).as("w1"),
-        lit(w(2)).as("w2"))
-    },
-
-    // Experiment analysis: deterministic 50/50 hash split of users →
-    // per-user conversion (a high-value purchase) → 2×2 chi-square
-    // independence statistic from exact integer bucket counts in one
-    // fixed-shape double expression (stats/ABTest.scala). The readout
-    // gate of an A/B experiment, fully inside the oracle.
-    "q_chisq" -> { (s, dir) =>
-      val users = Tables.loadEvents(s, dir)
-        .groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1)
-          .otherwise(0)).as("conv"))
-      val split = graft.operators.Sampling.assignSplit(
-        users, "user_id", Seq("A" -> 0.5, "B" -> 0.5), "ab9")
-      graft.stats.ABTest.chiSquare2x2(split, "split", "A", "B",
-        col("conv") === 1)
-    },
-
-    // Welch's unequal-variance t-test — the continuous-metric sibling
-    // of q_chisq (chars per doc, en vs everything else): exact BIGINT
-    // (n, Σx, Σx²) per arm off one agg, then the t statistic and
-    // Welch–Satterthwaite df in fixed-shape double arithmetic from
-    // those six integers.
-    "q_ttest" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("grp",
-          when(col("lang") === "en", "en").otherwise("other"))
-      graft.stats.ABTest.welchT(docs, "grp", "en", "other", col("n_chars"))
-    },
-
-    // Mann–Whitney U on the same en-vs-other doc-length contrast as
-    // q_ttest — the nonparametric twin (stats/MannWhitney): exact
-    // histogram midranks (the Eval.auc machinery), exact Σ(t³−t) tie
-    // correction, tie-corrected z in one pinned double formula.
-    "q_mannwhitney" -> { (s, dir) =>
-      graft.stats.MannWhitney.uTest(
-        Tables.load(s, dir, "documents"),
-        col("lang") === "en", "n_chars")
-    },
-
-    // ROC-AUC of the trained quality classifier (same fit as
-    // q_logreg_score): Mann-Whitney rank-sum with average-rank tie
-    // handling, computed on the 6dp-score HISTOGRAM — the one ordered
-    // window runs over a post-agg-bounded frame (≤ 1e6 + 1 score
-    // values at ANY corpus size), never a corpus-sized row_number.
-    "q_auc" -> { (s, dir) =>
-      val d = logRegFeatures(Tables.load(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 3)
-      d.unpersist()
-      graft.ml.Eval.auc(
-        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w),
-        "probability", "y")
-    },
-
-    // FAIRNESS-SLICE AUC: the q_auc classifier's ranking quality PER
-    // SOURCE — the audit that catches a model that ranks well
-    // globally while failing a segment. Same exact rank-sum on the
-    // score histogram, window partitioned by slice (still post-agg-
-    // bounded per group); single-class slices emit NULL instead of
-    // silently vanishing (ml/Eval.aucGrouped, EvalSpec).
-    "q_auc_grouped" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val d = logRegFeatures(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 3)
-      d.unpersist()
-      graft.ml.Eval.aucGrouped(
-        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w)
-          .join(docs.select("doc_id", "source"), "doc_id"),
-        "probability", "y", "source")
-        .orderBy("source")
-    },
-
-    // Per-slice BRIER SCORE completing the eval triple (AUC ranks,
-    // ECE calibrates, Brier punishes confident wrongness): exact
-    // DECIMAL(38,12) squared-residual sums — order-independent — one
-    // keyed aggregate (ml/Eval.brierGrouped, EvalSpec).
-    "q_brier_grouped" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val d = logRegFeatures(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 3)
-      d.unpersist()
-      graft.ml.Eval.brierGrouped(
-        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w)
-          .join(docs.select("doc_id", "source"), "doc_id"),
-        "probability", "y", "source")
-        .orderBy("source")
-    },
-
-    // Per-slice EXPECTED CALIBRATION ERROR: q_calibration's
-    // reliability gap collapsed to the fairness scalar per source —
-    // Σ (n_bin/n)·|mean_score − frac_pos|. Two keyed aggregates over
-    // ≤ slices×bins rows; |gap| runs on the identical rounded per-bin
-    // rates both engines derive (ml/Eval.eceGrouped, EvalSpec).
-    "q_ece_grouped" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val d = logRegFeatures(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 3)
-      d.unpersist()
-      graft.ml.Eval.eceGrouped(
-        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w)
-          .join(docs.select("doc_id", "source"), "doc_id"),
-        "probability", "y", "source")
-        .orderBy("source")
-    },
-
-    // HELD-OUT cross-validated evaluation — the audit q_auc (trained
-    // and scored on the same corpus) deliberately lacks: the same
-    // logistic fit on folds 1-4 of the deterministic md5 5-fold split
-    // (q_fold_assign's hash, salt cv9), AUC measured on the UNSEEN
-    // fold 0. The oracle replays training with the fold filter in
-    // every gradient sum and scores only the held-out fold.
-    "q_cv_eval" -> { (s, dir) =>
-      val d = graft.operators.Sampling.assignFolds(
-        logRegFeatures(Tables.load(s, dir, "documents")),
-        "doc_id", k = 5, salt = "cv9")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val train = d.filter(col("fold") =!= 0)
-      val w = graft.ml.LogisticGd.fit(train, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 3)
-      d.unpersist()
-      graft.ml.Eval.auc(
-        graft.ml.LogisticGd.predict(d.filter(col("fold") === 0),
-          Seq("x1", "x2"), w),
-        "probability", "y")
-    },
-
-    // Calibration (reliability) table of the same classifier: 10
-    // equal-width score bins × (exact n, n_pos, exact-decimal score
-    // sum) — mean predicted score vs observed positive rate per bin,
-    // the miscalibration readout. One keyed agg over ≤ 10 groups.
-    "q_calibration" -> { (s, dir) =>
-      val d = logRegFeatures(Tables.load(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val w = graft.ml.LogisticGd.fit(d, Seq("x1", "x2"), "y",
-        lr = 1.0, iters = 3)
-      d.unpersist()
-      graft.ml.Eval.calibration(
-        graft.ml.LogisticGd.predict(d, Seq("x1", "x2"), w),
-        "probability", "y", bins = 10)
-        .orderBy("bin")
-    },
-
-    // Skycube: skylines of ALL 7 subspaces of (price MIN, discount
-    // MAX, quantity MIN) in one operator — one scan, per-partition
-    // multi-subspace GSKY buffers, one survivors-only shuffle keyed by
-    // subspace (NOT 7 jobs; see Skycube.scala). The subspace label
-    // tells a user which dims drove each winner.
-    "q_skycube" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
-        .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
-      graft.skyline.Skycube.skycube(li, SkylineSpec(Seq(
-        SkyDim("l_extendedprice", Min),
-        SkyDim("l_discount", Max),
-        SkyDim("l_quantity", Min))))
-        .orderBy("subspace", "l_orderkey")
-    },
-
-    // Grouped HLL: distinct customers per order priority — the
-    // HLL member of the grouped-sketch family (kmv/count-min/MG all
-    // have grouped forms). Register table is ≤ 64 rows per group;
-    // exact-bigint harmonic sum per group.
-    "q_hll_grouped" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      graft.stats.Hll.summaryGrouped(o, "o_custkey", Seq("o_orderpriority"))
-        .orderBy("o_orderpriority")
-    },
-
-    // Association rules over order baskets: directed pair rules with
-    // support / confidence / lift from exact counts — the rule-mining
-    // reading of the same co-purchase graph q_item_sim scores. The
-    // candidate join is within the order key (bounded basket size).
-    "q_assoc_rules" -> { (s, dir) =>
-      graft.operators.AssocRules.rules(Tables.load(s, dir, "lineitem"),
-        "l_orderkey", "l_partkey", minPairCount = 3)
-        .orderBy("antecedent", "consequent")
-    },
-
-    // CUSUM change-point scan over the daily event series: the
-    // cumulative deviation from the global mean, kept EXACT by scaling
-    // by n (sdev_k = n·cumsum_k − k·total — pure BIGINT algebra, no
-    // float mean anywhere), with the |sdev| argmax flagged as the
-    // change point. The series is post-agg-bounded (one row per day),
-    // so the unpartitioned windows run over a frame of days, never
-    // events.
-    // Cross-source quantile normalization (the batch-effect corrector):
-    // every source's n_chars distribution is mapped onto the pooled
-    // one, so per-source measurement bias can't skew global length
-    // thresholds. Exact integer rank arithmetic with id tiebreaks; the
-    // pooled ranking runs through GlobalRank (range-partitioned, no
-    // single-partition window) + one rank equi-join
-    // (graft.operators.QuantileNorm).
-    "q_quantile_norm" -> { (s, dir) =>
-      graft.operators.QuantileNorm.normalize(
-        Tables.load(s, dir, "documents")
-          .where(col("n_chars").isNotNull)
-          .select("doc_id", "source", "n_chars"),
-        "n_chars", "doc_id", "source")
-        .select("doc_id", "source", "n_chars", "qnorm")
-        .orderBy("doc_id")
-    },
-
-    // First/last-touch conversion attribution: each purchase credits
-    // the most recent click by the same user within a 7-day lookback
-    // (plus the earliest click ever, the first-touch view) via ONE
-    // keyed window in (ts, event_id) total order — no self-join, no
-    // per-row range scan (graft.operators.Attribution). All-integer
-    // µs instants; ties resolve by id deterministically.
-    "q_attribution" -> { (s, dir) =>
-      val e = Tables.loadEvents(s, dir)
-        .select(col("event_id"), col("user_id"),
-          unix_micros(col("ts")).as("us"), col("event_type"))
-      graft.operators.Attribution.touches(e, "user_id", "us", "event_id",
-          col("event_type") === "click", col("event_type") === "purchase",
-          lookback = 604800000000L)
-        .select(col("event_id"), col("user_id"), col("us"),
-          col("last_touch"), col("first_touch"), col("attributed"))
-        .orderBy("event_id")
-    },
-
-    // Peak concurrency via a DISTRIBUTED sweep line: each event opens
-    // a 10-minute [start, end) interval; (+1/−1) points in (t, delta)
-    // order through the Packing prefix-sum machinery (range-partition
-    // sort + per-partition offsets — never a single-partition global
-    // window) give the live count at every instant; per-day max is the
-    // peak. Ties are interchangeable so the per-day max is
-    // deterministic (graft.operators.SweepLine).
-    "q_concurrency" -> { (s, dir) =>
-      val iv = Tables.loadEvents(s, dir)
-        .select(unix_micros(col("ts")).as("s"),
-          (unix_micros(col("ts")) + 600L * 1000000L).as("e"))
-      graft.operators.SweepLine.concurrency(iv, "s", "e")
-        .groupBy((expr("t div 86400000000") * 86400L).as("d"))
-        .agg(max(col("concurrent")).as("peak"),
-          count(lit(1)).as("n_points"))
-        .orderBy("d")
-    },
-
-    // Exact-integer EWMA smoothing of the per-type daily revenue
-    // series (alert-baseline/trend primitive): cents-scaled longs
-    // through the floor-div recurrence s_t = (v_t + s_{t-1}) div 2 —
-    // no float accumulation anywhere, so the sequential recurrence
-    // replays bit-for-bit as a recursive CTE. One keyed repartition +
-    // sortWithinPartitions + a streaming pass carrying one long per
-    // open key (graft.operators.Ewma — the secondary-sort shape).
-    "q_ewma" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(col("event_type"),
-          date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
-        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
-          .as("cents"))
-      graft.operators.Ewma.smooth(
-        daily, Seq("event_type"), Seq("d"), "cents", num = 1, den = 2)
-        .orderBy("event_type", "d")
-    },
-
-    // Brown double exponential smoothing (level + trend forecast
-    // state): the EWMA recurrence applied twice — s2 smooths s1 — then
-    // level = 2·s1 − s2 and trend = s1 − s2 (the α=1/2 Brown form).
-    // Still all-integer (the second pass divides longs, the level/
-    // trend are plain subtractions), so the chained recurrences replay
-    // in one recursive CTE carrying both accumulators.
-    "q_holt" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(col("event_type"),
-          date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
-        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
-          .as("cents"))
-      val s1 = graft.operators.Ewma.smooth(
-        daily, Seq("event_type"), Seq("d"), "cents", 1, 2, outCol = "s1")
-      val s2 = graft.operators.Ewma.smooth(
-        s1, Seq("event_type"), Seq("d"), "s1", 1, 2, outCol = "s2")
-      s2.select(col("event_type"), col("d"), col("cents"),
-          col("s1"), col("s2"),
-          (lit(2L) * col("s1") - col("s2")).as("level"),
-          (col("s1") - col("s2")).as("trend"))
-        .orderBy("event_type", "d")
-    },
-
-    // ADDITIVE HOLT-WINTERS (level + trend + weekly season) — the
-    // seasonal completion of the q_ewma/q_holt smoothing family, as a
-    // per-key streaming recurrence (operators/HoltWinters): one hash
-    // repartition on the series key, sortWithinPartitions, then a
-    // single pass carrying O(m) longs of state (level, trend, 7-slot
-    // seasonal ring) per open key — never a window over an unbounded
-    // frame, never per-group materialization. All arithmetic is
-    // truncating long division (Java `/` ≡ DuckDB `//`, including on
-    // the negative deseasonalized deltas), so the recurrence replays
-    // bit-for-bit as a recursive CTE carrying the ring as a LIST.
-    "q_holt_winters" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(col("event_type"),
-          date_format(to_date(col("ts")), "yyyy-MM-dd").as("d"))
-        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
-          .as("cents"))
-      graft.operators.HoltWinters.smooth(
-          daily, Seq("event_type"), Seq("d"), "cents", m = 7)
-        .orderBy("event_type", "d")
-    },
-
-    // STL-STYLE DECOMPOSITION of the daily event-count series into
-    // trend + day-of-week seasonal + residual, all EXACT INTEGER (the
-    // q_holt_winters discipline): trend = centered 7-day moving
-    // average (integer div, full windows only), seasonal = per-DOW
-    // truncated mean of the detrended series, residual = the exact
-    // remainder. The series frame is bounded (one row per day), so the
-    // ordered window is a bounded frame, not a data-scaled sort.
-    "q_stl" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
-      val wTr = Window.orderBy("d").rowsBetween(-3, 3)
-      val tr = daily
-        .withColumn("wn", count(lit(1)).over(wTr))
-        .withColumn("trend",
-          when(col("wn") === 7, expr("sum(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
-        .filter(col("trend").isNotNull)
-        .withColumn("det", col("x") - col("trend"))
-        .withColumn("dow", dayofweek(col("d")) - 1)
-      val seas = tr.groupBy("dow")
-        .agg(expr("sum(det) div count(1)").as("seasonal"))
-      tr.join(broadcast(seas), "dow")
-        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
-          col("x"), col("trend"), col("dow").cast("long").as("dow"),
-          col("seasonal"),
-          (col("x") - col("trend") - col("seasonal")).as("resid"))
-        .orderBy("d")
-    },
-
-    // Seasonally-adjusted anomaly days: the q_stl decomposition's
-    // exact-integer residuals gated by the q_anomaly_mad median/MAD
-    // test (2·MAD here — the residual series is already detrended and
-    // deseasonalized, so a tighter gate is the point: spikes that
-    // day-of-week structure would have excused no longer are).
-    "q_anomaly_stl" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
-      val wTr = Window.orderBy("d").rowsBetween(-3, 3)
-      val tr = daily
-        .withColumn("wn", count(lit(1)).over(wTr))
-        .withColumn("trend",
-          when(col("wn") === 7, expr("sum(x) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) div 7")))
-        .filter(col("trend").isNotNull)
-        .withColumn("det", col("x") - col("trend"))
-        .withColumn("dow", dayofweek(col("d")) - 1)
-      val seas = tr.groupBy("dow")
-        .agg(expr("sum(det) div count(1)").as("seasonal"))
-      val resid = tr.join(broadcast(seas), "dow")
-        .select(col("d"), col("x"),
-          (col("x") - col("trend") - col("seasonal")).as("resid"))
-      val med = resid.agg(expr("percentile(resid, 0.5)").as("med"))
-      val dev = resid.crossJoin(broadcast(med))
-        .withColumn("dev", abs(col("resid") - col("med")))
-      val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
-      dev.crossJoin(broadcast(mad))
-        .filter(col("dev") > lit(2.0) * col("mad"))
-        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"),
-          col("resid"), round(col("dev"), 6).as("dev"),
-          round(col("mad"), 6).as("mad"))
-        .orderBy("d")
-    },
-
-    // Theil–Sen robust trend of the daily event-count series
-    // (stats/TheilSen): median pairwise slope over integer (dy, dx)
-    // pairs with a total-order tie-break, half-sum of the two middle
-    // slopes, percentile-median intercept. The pair set and ordering
-    // window are bounded by the CALENDAR length of the series, not by
-    // corpus size (the q_acf clause).
-    "q_theil_sen" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
-      val d0 = daily.agg(min(col("d")).as("d0"))
-      val series = daily.crossJoin(broadcast(d0))
-        .select(datediff(col("d"), col("d0")).cast("long").as("k"),
-          col("x"))
-      graft.stats.TheilSen.fit(series, "k", "x")
-    },
-
-    "q_changepoint" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
-      val t = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("total"))
-      val wOrd = Window.orderBy("d")
-      val series = daily.crossJoin(broadcast(t))
-        .withColumn("k", row_number().over(wOrd))
-        .withColumn("cum", sum(col("x")).over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .select(col("d"), col("x"),
-          (col("nd") * col("cum") - col("k") * col("total")).as("sdev"))
-      val mx = series.agg(max(abs(col("sdev"))).as("mx"))
-      series.crossJoin(broadcast(mx))
-        .withColumn("is_peak", abs(col("sdev")) === col("mx"))
-        .drop("mx")
-        // day as ISO string: Spark DATE surfaces as python date objects
-        // while DuckDB DATE surfaces as datetime64 — string unifies
-        .select(date_format(col("d"), "yyyy-MM-dd").as("d"),
-          col("x"), col("sdev"), col("is_peak"))
-        .orderBy("d")
-    },
-
-    // Robust anomaly days via median/MAD (the outlier-resistant
-    // z-score): days whose |count − median| exceeds 3·MAD. Both
-    // medians interpolate over exact integer inputs (the q_quantiles
-    // parity), so the threshold comparison is deterministic.
-    "q_anomaly_mad" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
-      val med = daily.agg(expr("percentile(x, 0.5)").as("med"))
-      val dev = daily.crossJoin(broadcast(med))
-        .withColumn("dev", abs(col("x") - col("med")))
-      val mad = dev.agg(expr("percentile(dev, 0.5)").as("mad"))
-      dev.crossJoin(broadcast(mad))
-        .filter(col("dev") > lit(3.0) * col("mad"))
-        .select(date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"),
-          round(col("dev"), 6).as("dev"), round(col("mad"), 6).as("mad"))
-        .orderBy("d")
-    },
-
-    // Deterministic stratified 5-fold audit: fold = md5₆₀(salt|id)
-    // mod 5 (pure function of the key — layout/retry invariant), with
-    // per-(lang, fold) counts and char mass proving hash balance
-    // within every stratum. Per-row expression on the scan + one
-    // keyed agg.
-    "q_fold_assign" -> { (s, dir) =>
-      graft.operators.Sampling.assignFolds(
-        Tables.load(s, dir, "documents"), "doc_id", k = 5, salt = "cv9")
-        .groupBy("lang", "fold")
-        .agg(count(lit(1)).as("n"),
-          sum(col("n_chars").cast("long")).as("sum_chars"))
-        .orderBy("lang", "fold")
-    },
-
-    // Weakly-connected components of the host link graph (the
-    // q_host_rank edges): crawl-frontier connectivity — which host
-    // clusters are reachable from each other. Hosts hash to the
-    // repo-wide 60-bit md5 longs (cross-engine reproducible), then
-    // the large/small-star rounds; names join back at the end.
-    "q_host_components" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      // ONE url-extract scan: the distinct host-pair set is
-      // vocabulary²-bounded (tiny next to the orders scan), so it goes
-      // to an at-rest artifact once and BOTH consumers below (the CC
-      // rounds, which run their own count actions, and the name-map
-      // join) read the small parquet instead of re-running the regex
-      // scan — the containment-pairs at-rest lesson; was the #2 bench
-      // row (9.0 s at sf0.1) with the scan in the lineage twice.
-      val tag = stageTag(dir)
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_hostedges_$tag"
-      o.select(src.as("src"), dst.as("dst"))
-        .repartition(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .write.mode("overwrite").parquet(path)
-      val edges = s.read.parquet(path)
-      def h(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      val comps = graft.dedup.Clusters.connectedComponents(
-        edges.select(h(col("src")).as("ha"), h(col("dst")).as("hb")),
-        "ha", "hb")
-      val nodes = edges.select(col("src").as("host"))
-        .unionByName(edges.select(col("dst").as("host")))
-        .distinct()
-        .withColumn("id", h(col("host")))
-      // component is a min-of-60-bit-hashes label — two 30-bit halves
-      // keep every output numeric ≤ 18 digits (VERDICT r10).
-      nodes.join(comps, "id")
-        .select(col("host"),
-          shiftright(col("component"), 30).as("component_hi"),
-          col("component").bitwiseAND(lit(1073741823L)).as("component_lo"))
-        .orderBy("host")
-    },
-
-    // LABEL-PROPAGATION community detection on the synthetic host
-    // graph (graph/LabelProp): 3 synchronous plurality rounds, ties to
-    // the smallest label — the deterministic LPA formulation both
-    // engines replay round-for-round. Communities are finer than
-    // q_host_components' connected components (plurality splits a
-    // component along its dense cores) and labels stay STRINGS (host
-    // names), so no 60-bit hash ever reaches the output. One keyed
-    // join + two keyed aggs per round.
-    "q_label_prop" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      graft.graph.LabelProp.communities(
-        o.select(src.as("src"), dst.as("dst")), "src", "dst", rounds = 3)
-        .select(col("id").as("host"), col("community"))
-        .orderBy("host")
-    },
-
-    // MODULARITY of the LPA partition — the quality score that makes
-    // community detection auditable (Newman 2004): Q = within/m −
-    // Σ_c degsum_c²/(4m²), every term an exact BIGINT until the one
-    // closed-form double. Canonical undirected edges; the same 3
-    // plurality rounds as q_label_prop; bounded driver scalars only.
-    "q_modularity" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      val e = o.select(src.as("a"), dst.as("b"))
-        .filter(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("u"),
-          greatest(col("a"), col("b")).as("v"))
-        .distinct().persist()
-      val m = e.count()
-      val comm = graft.graph.LabelProp.communities(e, "u", "v", rounds = 3)
-      val withC = e
-        .join(comm.select(col("id").as("u"), col("community").as("cu")), "u")
-        .join(comm.select(col("id").as("v"), col("community").as("cv")), "v")
-      val within = withC.filter(col("cu") === col("cv")).count()
-      val deg = e.select(col("u").as("id"))
-        .unionAll(e.select(col("v").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("d"))
-      val dc = deg.join(comm, "id").groupBy("community")
-        .agg(sum(col("d")).as("ds"))
-      val r = dc.agg(sum(col("ds") * col("ds")).as("dsq"),
-        count(lit(1)).as("nc")).head
-      val dsq = r.getLong(0)
-      val nc = r.getLong(1)
-      e.unpersist()
-      val q = within.toDouble / m - dsq.toDouble / (4.0 * m * m)
-      s.range(1).select(
-        lit(m).as("m"), lit(within).as("within_edges"),
-        lit(nc).as("n_communities"),
-        round(lit(q), 6).as("modularity"))
-    },
-
-    // Zipf's-law audit of the corpus vocabulary: top-100 terms by
-    // frequency (GlobalRank — range-partitioned total order, never a
-    // single-partition window over the vocabulary), then the OLS slope
-    // of ln(freq) on ln(rank); healthy natural-language corpora sit
-    // near −1, and a drifting slope is an early corpus-poisoning
-    // signal. Counts exact; the slope is one closed form over 100
-    // rows.
-    "q_zipf" -> { (s, dir) =>
-      val t = Tables.load(s, dir, "documents").where(col("text").isNotNull)
-        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
-      val f = t.groupBy("term").agg(count(lit(1)).as("freq"))
-      val ranked = graft.operators.GlobalRank
-        .withGlobalRank(f, Seq((-col("freq")).asc, col("term").asc), "rank")
-        .filter(col("rank") <= 100)
-      val lr = log(col("rank"))
-      val lf = log(col("freq"))
-      ranked
-        .agg(count(lit(1)).as("n"), max(col("freq")).as("top_freq"),
-          sum(lr).as("sx"), sum(lf).as("sy"),
-          sum(lr * lf).as("sxy"), sum(lr * lr).as("sxx"))
-        .select(col("n").as("n_terms"), col("top_freq"),
-          round((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"))
-    },
-
-    // Two-sample Kolmogorov–Smirnov D on chars-per-doc, en vs rest —
-    // the whole-distribution companion to q_ttest. The ECDF gap scaled
-    // by nₐ·nᵦ is exact BIGINT algebra over the value histogram.
-    "q_ks" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .withColumn("grp",
-          when(col("lang") === "en", "en").otherwise("other"))
-      graft.stats.ABTest.ksTest(docs, "grp", "en", "other", col("n_chars"))
-    },
-
-    // Gini concentration of customer revenue — "how unequal is the
-    // spend distribution", the corpus-balance twin of the source-mix
-    // audits. Ranks come from the DISTRIBUTED global rank (no
-    // single-partition window); revenue is exact integer cents, so the
-    // Lorenz moment Σ rank·cents is exact and the coefficient is one
-    // fixed-shape double expression.
-    "q_gini" -> { (s, dir) =>
-      val cust = Tables.load(s, dir, "orders")
-        .groupBy("o_custkey")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-        .select(col("o_custkey"), (col("rev") * 100).cast("long").as("cents"))
-      val ranked = graft.operators.GlobalRank.withGlobalRank(
-        cust, Seq(col("cents"), col("o_custkey")), "rank")
-      ranked.agg(count(lit(1)).as("n"), sum(col("cents")).as("total_cents"),
-          sum(col("rank") * col("cents")).as("weighted"))
-        .select(col("n"), col("total_cents"), col("weighted"),
-          round(lit(2.0) * col("weighted") /
-            (col("n") * col("total_cents")).cast("double") -
-            (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
-    },
-
-    // Star-join rollup across the full dimension chain (region →
-    // nation → customer → orders): revenue per region per order year.
-    // Every dimension is broadcast (region 5 rows, nation 25, customer
-    // corpus-fraction-sized but dimension-class) so the fact table
-    // never shuffles for the joins — the canonical 100 TB star shape.
-    "q_star_join" -> { (s, dir) =>
-      val region = Tables.load(s, dir, "region")
-        .select(col("r_regionkey"), col("r_name"))
-      val nation = Tables.load(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_regionkey"))
-      val customer = Tables.load(s, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"))
-      val orders = Tables.load(s, dir, "orders")
-        .select(col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
-      orders
-        .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-        .groupBy(col("r_name"), year(col("o_orderdate")).as("o_year"))
-        .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
-        .orderBy("r_name", "o_year")
-    },
-
-    // Lorenz concentration table — the curve q_gini summarizes: per
-    // spend-rank decile of customers, exact customer/revenue mass and
-    // the revenue share ("does the top decile carry 40% of revenue").
-    // Ranks from the DISTRIBUTED global rank; decile assignment is
-    // exact integer arithmetic ((rank−1)·10 div n).
-    "q_pareto" -> { (s, dir) =>
-      val cust = Tables.load(s, dir, "orders")
-        .groupBy("o_custkey")
-        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
-        .select(col("o_custkey"), (col("rev") * 100).cast("long").as("cents"))
-      val ranked = graft.operators.GlobalRank.withGlobalRank(
-        cust, Seq(col("cents"), col("o_custkey")), "rank")
-      val tot = ranked.agg(count(lit(1)).as("n"),
-        sum(col("cents")).as("total_cents"))
-      ranked.crossJoin(broadcast(tot))
-        .select(expr("((rank - 1) * 10) div n").cast("int").as("decile"),
-          col("cents"), col("total_cents"))
-        .groupBy("decile")
-        .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"),
-          round(sum(col("cents")).cast("double") / first(col("total_cents")), 6)
-            .as("rev_share"))
-        .orderBy("decile")
-    },
-
-    // Autocorrelation of the daily event volume at lags 1..7 (the
-    // weekly-seasonality readout). Deviations are scaled by n
-    // (aₜ = n·xₜ − total — exact BIGINT, no float mean), and the n²
-    // factor cancels in rₖ = Σ aₜ·aₜ₋ₖ / Σ aₜ², so numerator AND
-    // denominator are exact integers; one division per lag.
-    "q_acf" -> { (s, dir) =>
-      val daily = Tables.loadEvents(s, dir)
-        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
-      val t = daily.agg(count(lit(1)).as("nd"), sum(col("x")).as("total"))
-      val w = Window.orderBy("d")
-      val a = daily.crossJoin(broadcast(t))
-        .select(col("d"), (col("nd") * col("x") - col("total")).as("a"))
-      val den = a.agg(sum(col("a") * col("a")).as("den"))
-      val lags = (1 to 7).map { k =>
-        a.select(col("a"), lag(col("a"), k).over(w).as("al"))
-          .agg(sum(col("a") * col("al")).as("num"))
-          .select(lit(k).as("lag_k"), col("num"))
-      }.reduce(_ unionByName _)
-      lags.crossJoin(broadcast(den))
-        .select(col("lag_k"), col("num"), col("den"),
-          round(col("num").cast("double") / col("den"), 6).as("acf"))
-        .orderBy("lag_k")
-    },
-
-    // Canonical-URL dedup — the FIRST dedup stage of any crawl
-    // pipeline: raw URLs varying only in semantics-free ways (scheme
-    // case, default :80 port, fragment, %-escape case) collapse to one
-    // canonical form; groups sharing (host key, path key) become dup
-    // buckets. Canonicalization is a scan-local Column pipeline; dedup
-    // is one hash-groupBy on the canonical string.
-    "q_dedup_url" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val raw = concat(
-        when(pmod(col("o_orderkey"), lit(2)) === 0, lit("HTTP"))
-          .otherwise(lit("hTtp")),
-        lit("://WWW.Shop"), pmod(col("o_custkey"), lit(50)).cast("string"),
-        lit(".Example.COM"),
-        when(pmod(col("o_orderkey"), lit(3)) === 0, lit(":80")).otherwise(lit("")),
-        lit("/item%2fview/"), pmod(col("o_orderkey"), lit(500)).cast("string"),
-        when(pmod(col("o_orderkey"), lit(5)) === 0, lit("#Sec%201"))
-          .otherwise(lit("")))
-      o.select(col("o_orderkey"),
-          graft.text.UrlOps.canonicalize(raw).as("url"))
-        .groupBy("url")
-        .agg(min(col("o_orderkey")).as("keep_id"), count(lit(1)).as("n_dupes"))
-        .filter(col("n_dupes") >= 2)
-        .orderBy("url")
-    },
-
-    // Token↔label mutual information (feature selection for the
-    // quality/language classifier): per token, the exact 2×2 presence
-    // table against lang='en', MI as four fixed-shape terms from exact
-    // BIGINTs. df ≥ 10 floor bounds the candidate set; top 15 by MI.
-    "q_mutual_info" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"),
-          when(col("lang") === "en", 1L).otherwise(0L).as("y"),
-          col("text"))
-      val tot = docs.agg(count(lit(1)).as("n_total"), sum(col("y")).as("n_pos"))
-      val tok = docs
-        .select(col("doc_id"), col("y"),
-          explode(TextFunctions.tokens(col("text"))).as("t"))
-        .distinct()
-        .groupBy("t").agg(count(lit(1)).as("df"), sum(col("y")).as("n11"))
-        .filter(col("df") >= 10)
-      val cells = tok.crossJoin(broadcast(tot))
-        .select(col("t"), col("n11"), (col("df") - col("n11")).as("n10"),
-          (col("n_pos") - col("n11")).as("n01"),
-          (col("n_total") - col("n_pos") - (col("df") - col("n11"))).as("n00"),
-          col("n_total"), col("n_pos"), col("df"))
-      def term(nij: org.apache.spark.sql.Column, ni: org.apache.spark.sql.Column,
-          nj: org.apache.spark.sql.Column) =
-        when(nij > 0,
-          (nij.cast("double") / col("n_total")) *
-            log(nij.cast("double") * col("n_total") /
-              (ni.cast("double") * nj)))
-          .otherwise(lit(0.0))
-      cells
-        .select(col("t"), col("n11"), col("n10"), col("n01"), col("n00"),
-          round(
-            term(col("n11"), col("df"), col("n_pos")) +
-              term(col("n10"), col("df"), col("n_total") - col("n_pos")) +
-              term(col("n01"), col("n_total") - col("df"), col("n_pos")) +
-              term(col("n00"), col("n_total") - col("df"),
-                col("n_total") - col("n_pos")),
-            6).as("mi"))
-        .orderBy(col("mi").desc, col("t"))
-        .limit(15)
-    },
-
-    // Perceptual audio dedup through the REAL codec: planted
-    // pseudo-sawtooth waves where docs sharing a base shape differ
-    // only in GAIN (amplitude) — exact byte dedup sees them all as
-    // distinct; the amplitude-invariant energy-gradient hash
-    // (AudioDedup.energyHash) collapses each shape into one bucket.
-    // All-integer sample/energy arithmetic so the oracle replays the
-    // decode output exactly.
-    "q_dedup_audio" -> { (s, dir) =>
-      val enc = Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val wav = Tables.load(s, dir, "documents").select("doc_id")
-        .mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val base = id % 25
-            val amp = 50L + (id % 7) * 10L
-            val n = ((base % 5) + 1).toInt * 100
-            val mul = 37L + base
-            val add = 3L * base
-            val chan = Array.tabulate[Short](n)(i =>
-              (((i * mul + add) % 401 - 200) * amp).toShort)
-            Row(id, Multimodal.encodeWavPcm16(Array(chan), 8000))
-          }
-        }(enc)
-      graft.multimodal.AudioDedup.dedupBuckets(wav, "payload", "doc_id")
-        .orderBy("ahash")
-    },
-
-    // The SAME skycube through the SQL surface: SKYCUBE OF parsed by
-    // the session-extensions parser into SkycubePlan → SkycubeExec
-    // (the one-scan multi-buffer physical plan) — a user types one
-    // clause and gets all 7 subspace skylines labeled. Shares
-    // q_skycube's oracle slice; the two paths must agree.
-    "q_skycube_sql" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
-      graft.sql.SkylineSql.sql(s,
-        "SELECT l_orderkey, l_extendedprice, l_discount, l_quantity " +
-          "FROM lineitem_v WHERE l_returnflag = 'R' AND l_linenumber = 1 " +
-          "SKYCUBE OF l_extendedprice MIN, l_discount MAX, l_quantity MIN")
-        .orderBy("subspace", "l_orderkey")
-    },
-
-    // The survivors view of audio dedup (keep the smallest doc_id per
-    // perceptual bucket) — what actually feeds downstream, mirroring
-    // the exact/image survivors contract.
-    "q_dedup_audio_survivors" -> { (s, dir) =>
-      val enc = Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val wav = Tables.load(s, dir, "documents").select("doc_id")
-        .mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val base = id % 25
-            val amp = 50L + (id % 7) * 10L
-            val n = ((base % 5) + 1).toInt * 100
-            val mul = 37L + base
-            val add = 3L * base
-            val chan = Array.tabulate[Short](n)(i =>
-              (((i * mul + add) % 401 - 200) * amp).toShort)
-            Row(id, Multimodal.encodeWavPcm16(Array(chan), 8000))
-          }
-        }(enc)
-      graft.multimodal.AudioDedup.dedupBuckets(wav, "payload", "doc_id")
-        .select(col("keep_id").as("doc_id"))
-        .orderBy("doc_id")
-    },
-
-    // 2-D histogram (price × quantity) — the heatmap aggregation every
-    // profiling UI draws: clamped integer bin ids on both axes off one
-    // keyed agg, exact counts. The bin keyspace is bins², independent
-    // of corpus size.
-    "q_histogram2d" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      def bin(c: org.apache.spark.sql.Column, lo: Double, hi: Double, n: Int) =
-        least(greatest(
-          floor((c - lit(lo)) / lit((hi - lo) / n)).cast("int"), lit(0)),
-          lit(n - 1))
-      li.select(
-          bin(col("l_extendedprice"), 900.0, 105000.0, 16).as("bin_price"),
-          bin(col("l_quantity"), 1.0, 51.0, 10).as("bin_qty"))
-        .groupBy("bin_price", "bin_qty")
-        .agg(count(lit(1)).as("n"))
-        .orderBy("bin_price", "bin_qty")
-    },
-
-    // SKYLINE FREQUENCY (Chan et al., "On High Dimensional Skylines",
-    // EDBT'06): per point, in how many of the 2^d−1 subspaces it is a
-    // skyline point — the robustness ranking of skycube winners (a
-    // point strong in many subspaces beats a full-space-only winner).
-    // Derived from the one-scan skycube by a keyed count.
-    "q_sky_freq" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R" && col("l_linenumber") === 1)
-        .select("l_orderkey", "l_extendedprice", "l_discount", "l_quantity")
-      graft.skyline.Skycube.skycube(li, SkylineSpec(Seq(
-        SkyDim("l_extendedprice", Min),
-        SkyDim("l_discount", Max),
-        SkyDim("l_quantity", Min))))
-        .groupBy("l_orderkey")
-        .agg(count(lit(1)).as("n_subspaces"))
-        .orderBy(col("n_subspaces").desc, col("l_orderkey"))
-        .limit(20)
-    },
-
-    // Tukey-fence outlier gate per segment: q1/q3 per event type,
-    // fences at 1.5·IQR, exact outlier counts + the observed extremes
-    // (the metric-anomaly sibling of q_anomaly_mad — per-value instead
-    // of per-day). Quantiles interpolate identically cross-engine
-    // (q_quantiles parity); fences are fixed-shape doubles, so the
-    // comparisons are deterministic. Group stats ride in as a
-    // broadcast.
-    "q_iqr_outliers" -> { (s, dir) =>
-      val li = Tables.loadEvents(s, dir)
-        .select(col("event_type").as("g"), col("value").as("v"))
-      val q = li.groupBy("g").agg(
-        expr("percentile(v, 0.25)").as("q1"),
-        expr("percentile(v, 0.75)").as("q3"))
-      val f = q.select(col("g"),
-        (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
-        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
-      li.join(broadcast(f), "g")
-        .filter(col("v") < col("lo") || col("v") > col("hi"))
-        .groupBy("g")
-        .agg(count(lit(1)).as("n_outliers"),
-          min(col("v")).as("min_out"), max(col("v")).as("max_out"),
-          round(min(col("lo")), 6).as("lo"), round(min(col("hi")), 6).as("hi"))
-        .orderBy("g")
-    },
-
-    // Frequency-of-frequencies spectrum with Good-Turing adjusted
-    // counts r* = (r+1)·N_{r+1}/N_r — the species-abundance audit
-    // behind LM smoothing and "how many one-time keys exist" capacity
-    // questions, here over customer order counts (the fixture's text
-    // vocabulary is 31 tokens — no tail to audit; customers have a
-    // real Poisson-ish spread). Two keyed aggs over exact integers;
-    // r* is one division of exact longs per row; the lead window runs
-    // over the ≤ max(r) distinct-count frame, never the corpus.
-    "q_token_spectrum" -> { (s, dir) =>
-      val freqs = Tables.load(s, dir, "orders")
-        .groupBy("o_custkey").agg(count(lit(1)).as("r"))
-      val spectrum = freqs.groupBy("r").agg(count(lit(1)).as("n_r"))
-      val w = Window.orderBy(col("r"))
-      spectrum
-        .withColumn("n_r1", lead(col("n_r"), 1).over(w))
-        .withColumn("r_next", lead(col("r"), 1).over(w))
-        .select(col("r"), col("n_r"),
-          round(
-            when(col("r_next") === col("r") + 1,
-              (col("r") + 1) * col("n_r1") / col("n_r").cast("double")),
-            6).as("gt_adjusted"))
-        .filter(col("r") <= 15)
-        .orderBy("r")
-    },
-
-    // RFM segmentation of purchasers (recency / frequency / monetary)
-    // with fixed exact-arithmetic thresholds: days-since-last vs the
-    // corpus max ts (integer µs), purchase count, exact decimal spend.
-    // Segment counts are the corpus-marketing audit; one keyed agg +
-    // one tiny group count.
-    "q_rfm" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-      val purch = ev.filter(col("event_type") === "purchase")
-      val mx = purch.agg(max(unix_micros(col("ts"))).as("mx"))
-      purch
-        .groupBy("user_id")
-        .agg(max(unix_micros(col("ts"))).as("last_us"),
-          count(lit(1)).as("freq"),
-          sum(col("value").cast("decimal(18,2)")).as("monetary"))
-        .crossJoin(broadcast(mx))
-        // integer `div`: Spark's `/` on longs is DOUBLE division and
-        // cast-to-long truncates while DuckDB's CAST rounds — floor
-        // division sidesteps the divergence entirely
-        .select(col("user_id"),
-          expr("(mx - last_us) div 86400000000").as("recency_days"),
-          col("freq"), col("monetary"))
-        .select(
-          when(col("recency_days") <= 7, "active")
-            .otherwise(when(col("recency_days") <= 14, "cooling")
-              .otherwise("lapsed")).as("r_seg"),
-          when(col("freq") >= 15, "power")
-            .otherwise(when(col("freq") >= 8, "regular")
-              .otherwise("light")).as("f_seg"),
-          when(col("monetary") >= 2000, "big")
-            .otherwise("small").as("m_seg"))
-        .groupBy("r_seg", "f_seg", "m_seg").agg(count(lit(1)).as("n_users"))
-        .orderBy("r_seg", "f_seg", "m_seg")
-    },
-
-    // Day-of-week seasonality: per (ISO dow, event type) exact counts
-    // plus the lift vs independence (n·N/(row·col)) — the weekly
-    // rhythm readout. Dow from pure epoch-day arithmetic ((days+3)%7+1,
-    // day 0 = Thursday), so no engine calendar functions disagree.
-    "q_seasonal_dow" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-        .select(col("event_type"),
-          (pmod(floor(unix_micros(col("ts")) / lit(86400000000L)) + 3, lit(7)) + 1)
-            .cast("int").as("dow"))
-      val counts = ev.groupBy("dow", "event_type").agg(count(lit(1)).as("n"))
-      val rows = counts.groupBy("dow").agg(sum(col("n")).as("n_dow"))
-      val cols = counts.groupBy("event_type").agg(sum(col("n")).as("n_type"))
-      val tot = counts.agg(sum(col("n")).as("nt"))
-      counts.join(rows, "dow").join(cols, "event_type")
-        .crossJoin(broadcast(tot))
-        .select(col("dow"), col("event_type"), col("n"),
-          round((col("n") * col("nt")).cast("double") /
-            (col("n_dow") * col("n_type")).cast("double"), 6).as("lift"))
-        .orderBy("dow", "event_type")
-    },
-
-    // Time-to-convert latency profile: per user, first view → first
-    // purchase at-or-after it; gaps are exact µs longs, the quantiles
-    // interpolate over them (q_quantiles parity). The funnel question
-    // q_funnel's completion counts don't answer: HOW LONG conversion
-    // takes.
-    "q_funnel_latency" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-      val views = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min(unix_micros(col("ts"))).as("v_ts"))
-      val purch = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("p_ts"))
-      purch.join(views, "user_id")
-        .filter(col("p_ts") >= col("v_ts"))
-        .groupBy("user_id")
-        .agg(min(col("p_ts") - col("v_ts")).as("lat"))
-        .agg(count(lit(1)).as("n_converted"),
-          min(col("lat")).as("min_us"), max(col("lat")).as("max_us"),
-          round(expr("percentile(lat, 0.5)"), 6).as("p50_us"),
-          round(expr("percentile(lat, 0.9)"), 6).as("p90_us"))
-    },
-
-    // Source-mix Shannon entropy per fold — the diversity audit run on
-    // every shard of a training mix (a fold that collapsed to two
-    // sources is a bug the per-source counts hide). Terms are
-    // ln-of-exact-integers; the ≤ 20-term sum is rounded 6 (the
-    // LmScore order-noise contract, ~1e-15 « the round grain).
-    "q_mix_entropy" -> { (s, dir) =>
-      val folds = graft.operators.Sampling.assignFolds(
-        Tables.load(s, dir, "documents"), "doc_id", k = 5, salt = "cv9")
-      val counts = folds.groupBy("fold", "source").agg(count(lit(1)).as("n"))
-      val tot = counts.groupBy("fold").agg(sum(col("n")).as("nt"),
-        count(lit(1)).as("n_sources"))
-      counts.join(tot, "fold")
-        .groupBy("fold")
-        .agg(first(col("nt")).as("n_docs"), first(col("n_sources")).as("n_sources"),
-          round(
-            log(first(col("nt")).cast("double")) -
-              sum(col("n").cast("double") * log(col("n").cast("double"))) /
-              first(col("nt")),
-            6).as("entropy"))
-        .orderBy("fold")
-    },
-
-    // Component-size histogram of the host graph (the crawl-graph
-    // sibling of q_cluster_stats' dedup histogram): how many isolated
-    // pairs vs one giant component — frontier-health at a glance.
-    "q_component_stats" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val src = graft.text.UrlOps.host(
-        syntheticUrlExpr(col("o_custkey"), col("o_orderkey")))
-      val dst = graft.text.UrlOps.host(
-        syntheticUrlExpr(pmod(col("o_custkey") * 7 + 3, lit(1000)),
-          col("o_orderkey") + 1))
-      val tag = stageTag(dir)
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_hostedges2_$tag"
-      o.select(src.as("src"), dst.as("dst"))
-        .repartition(col("src"), col("dst"))
-        .filter(col("src") =!= col("dst"))
-        .distinct()
-        .write.mode("overwrite").parquet(path)
-      val edges = s.read.parquet(path)
-      def h(c: org.apache.spark.sql.Column) =
-        conv(substring(md5(c), 1, 15), 16, 10).cast("long")
-      graft.dedup.Clusters.sizeHistogram(
-        graft.dedup.Clusters.connectedComponents(
-          edges.select(h(col("src")).as("ha"), h(col("dst")).as("hb")),
-          "ha", "hb"))
-        .orderBy("csize")
-    },
-
-    // Lang-ID confusion matrix — the heuristic classifier audited
-    // against the fixture labels (per (true, predicted) exact counts):
-    // the eval step between building a classifier (q_lang_id) and
-    // trusting it to gate a corpus. One scan + one keyed agg.
-    "q_lang_confusion" -> { (s, dir) =>
-      TextFunctions.withLangId(
-        Tables.load(s, dir, "documents").select("doc_id", "lang", "text"), "text")
-        .groupBy(col("lang"), col("lang_pred"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy("lang", "lang_pred")
-    },
-
-    // Point-in-time-correct dimension lookup — the SCD2 history
-    // actually USED: a value-tier dimension built from the event
-    // stream (Scd2.history), then each purchase fact joined to the
-    // version whose [valid_from, valid_to) interval contains the
-    // purchase timestamp. The warehouse query every "as of when it
-    // happened" report runs; the join is user-keyed equi + interval
-    // predicate, so it shuffles on the key, never cross.
-    "q_scd2_asof" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-      val tiered = ev.select(col("user_id"), col("event_id"), col("ts"),
-        when(col("value") >= 100, "high").otherwise("low").as("tier"))
-      val dim = graft.operators.Scd2.history(tiered,
-        keyCols = Seq("user_id"), tsCol = "ts", attrCols = Seq("tier"),
-        tieCols = Seq("event_id"))
-        .select(col("user_id"), col("tier"),
-          unix_micros(col("valid_from")).as("vf"),
-          coalesce(unix_micros(col("valid_to")), lit(Long.MaxValue)).as("vt"))
-      val facts = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("event_id"),
-          unix_micros(col("ts")).as("fts"))
-      facts.join(dim, Seq("user_id"))
-        .filter(col("fts") >= col("vf") && col("fts") < col("vt"))
-        .select(col("user_id"), col("event_id"), col("fts"), col("tier"))
-        .orderBy("user_id", "event_id")
-    },
-
-    // Wilson 95% confidence interval for the per-arm conversion rate —
-    // what the experiment dashboard actually displays next to
-    // q_chisq's verdict. Exact (n, conv) integers per arm; the
-    // interval is one fixed-shape double expression per row
-    // (z = 1.96 literal), identical in any IEEE engine.
-    "q_conversion_ci" -> { (s, dir) =>
-      val users = Tables.loadEvents(s, dir)
-        .groupBy("user_id")
-        .agg(max(when(col("event_type") === "purchase" && col("value") > 180, 1L)
-          .otherwise(0L)).as("conv"))
-      val split = graft.operators.Sampling.assignSplit(
-        users, "user_id", Seq("A" -> 0.5, "B" -> 0.5), "ab9")
-      val arms = split.groupBy("split")
-        .agg(count(lit(1)).as("n"), sum(col("conv")).as("n_conv"))
-      val z = lit(1.96)
-      val nD = col("n").cast("double")
-      val p = col("n_conv").cast("double") / nD
-      val denom = lit(1.0) + z * z / nD
-      val center = p + z * z / (lit(2.0) * nD)
-      val half = z * sqrt(p * (lit(1.0) - p) / nD + z * z / (lit(4.0) * nD * nD))
-      arms.select(col("split"), col("n"), col("n_conv"),
-          round(p, 6).as("rate"),
-          round((center - half) / denom, 6).as("ci_lo"),
-          round((center + half) / denom, 6).as("ci_hi"))
-        .orderBy("split")
-    },
-
-    // Empirical-Bayes beta-binomial shrinkage of per-user click-
-    // through rates (clicks / click-or-view events): method-of-moments
-    // Beta prior fit and posterior means entirely in 1e-6 fixed point
-    // (stats/EbSmooth) — small-n users shrink to the corpus rate,
-    // heavy users keep their own. Zero floats; the oracle replays the
-    // identical integer algebra.
-    "q_eb_smooth" -> { (s, dir) =>
-      val g = Tables.loadEvents(s, dir)
-        .filter(col("event_type").isin("view", "click"))
-        .groupBy("user_id")
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-            .as("k"),
-          count(lit(1)).as("n"))
-      graft.stats.EbSmooth.betaBinomial(g, Seq("user_id"), "k", "n")
-        .orderBy("user_id")
-    },
-
-    // Embedding-space norm audit per label: vector norms fold the
-    // array in INDEX order (deterministic in any engine), and only
-    // order-independent extremes aggregate across rows — a collapsed
-    // or exploded norm range is the first symptom of a broken
-    // embedding refresh.
-    "q_embed_norms" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val norm = sqrt(aggregate(col("embedding").cast("array<double>"),
-        lit(0.0), (acc, x) => acc + x * x))
-      e.select(col("label"), norm.as("nrm"))
-        .groupBy("label")
-        .agg(count(lit(1)).as("n"),
-          round(min(col("nrm")), 6).as("min_norm"),
-          round(max(col("nrm")), 6).as("max_norm"))
-        .orderBy("label")
-    },
-
-    // Rademacher (±1) random projection + JL distortion audit: 64-d
-    // embeddings → 16-d via a constant md5-derived sign matrix, with
-    // per-row ‖y‖²/m vs ‖x‖² distortion (Achlioptas 2003 — the JL
-    // guarantee without a stored Gaussian matrix). Every dot product
-    // and norm is a strict left-to-right chained double sum, the one
-    // float order every engine parses identically, so even the
-    // projected values replay bit-for-bit (graft.sim.RandomProjection).
-    // Scan-local codegen arithmetic: zero shuffles, zero state.
-    "q_rand_proj" -> { (s, dir) =>
-      graft.sim.RandomProjection.distortion(
-        Tables.load(s, dir, "embeddings"), "embedding",
-        d = 64, m = 16, seed = "rp9")
-        .select(col("vec_id"),
-          round(col("x_norm2"), 6).as("x_norm2"),
-          round(col("y_norm2_m"), 6).as("y_norm2_m"),
-          round(col("distortion"), 6).as("distortion"))
-        .orderBy("vec_id")
-    },
-
-    // AMS / count-sketch join-cardinality estimation (the optimizer
-    // statistic): |orders ⋈ events| predicted from two independently
-    // built signed-hash sketches — the join itself never runs; the
-    // median of per-row inner products is an unbiased estimate with
-    // stderr ≈ √(F₂·F₂/width) (stats/AmsJoinSize). Cell and sign read
-    // disjoint md5 bits, the estimate is an integer order statistic,
-    // so it faces the oracle; the exact size (computed join-free from
-    // per-key counts) rides along as the cross-check.
-    "q_join_size" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_custkey")
-      val e = Tables.load(s, dir, "events").select("user_id")
-      val est = graft.stats.AmsJoinSize.estimate(
-        o, "o_custkey", e, "user_id", depth = 5, width = 1024)
-      val ca = o.where(col("o_custkey").isNotNull)
-        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("na"))
-      val cb = e.where(col("user_id").isNotNull)
-        .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("nb"))
-      val exact = ca.join(cb, "k")
-        .agg(sum(col("na") * col("nb")).as("exact_join"))
-      est.crossJoin(exact)
-        .withColumn("err_pct",
-          round(abs(col("est_join") - col("exact_join")).cast("double") /
-            col("exact_join") * 100, 4))
-    },
-
-    // Deterministic Poisson bootstrap (Chamandy/Google 2012): 32
-    // resampling replicates of mean order revenue, each row entering
-    // replicate b with a Poisson(1) weight that is a pure function of
-    // (salt, b, orderkey) — no RNG state, layout-invariant, so the
-    // whole resampling distribution replays in SQL. Replicates carry
-    // exact integer (Σw·cents, Σw) pairs; ranks 4/29 of 32 are the
-    // percentile-method 10/90 CI. Shuffle cost: B rows per upstream
-    // partition (map-side combine), never the data (stats/Bootstrap).
-    "q_bootstrap" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
-      graft.stats.Bootstrap.rankedMeans(o, "cents", "o_orderkey",
-          b = 32, salt = "bs9")
-        .select(col("rank"), col("rep"), col("n"), col("sum_v"),
-          round(col("mean"), 6).as("mean"),
-          (col("rank") === 4).as("is_ci10_lo"),
-          (col("rank") === 29).as("is_ci10_hi"))
-        .orderBy("rank")
-    },
-
-    // MEDIAN bootstrap (stats/Bootstrap.rankedMedians) — the CI the
-    // q_bootstrap machinery exists for (no CLT closed form for a
-    // median): same deterministic Poisson weights, but each replicate
-    // takes the exact weighted median via percentile's frequency arg —
-    // resampled rows never physically repeat; the oracle unnests
-    // range(w) for identical repeated-value semantics.
-    "q_bootstrap_median" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-        .select(col("o_orderkey"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
-      graft.stats.Bootstrap.rankedMedians(o, "cents", "o_orderkey",
-          b = 32, salt = "bm11")
-        .select(col("rank"), col("rep"), col("n"),
-          round(col("med"), 6).as("med"),
-          (col("rank") === 4).as("is_ci10_lo"),
-          (col("rank") === 29).as("is_ci10_hi"))
-        .orderBy("rank")
-    },
-
-    // Catalog statistics sweep (the ANALYZE TABLE complement of
-    // q_join_size's sketch estimate): per column of the four dimension
-    // tables, row count / exact NDV / null count — collected as ONE
-    // multi-distinct aggregate pass per table (Catalyst's Expand
-    // handles the distinct fan-out), then unpivoted to rows. These are
-    // the numbers a CBO's join reorder and broadcast decisions eat.
-    "q_catalog_stats" -> { (s, dir) =>
-      val frames = catalogSpec.map { case (t, cs) =>
-        val df = Tables.load(s, dir, t)
-        val aggs = Seq(count(lit(1)).as("__n")) ++ cs.flatMap { c =>
-          Seq(countDistinct(col(c)).as(s"__ndv_$c"),
-            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
-        }
-        val row = df.agg(aggs.head, aggs.tail: _*)
-        val entries = cs.map { c =>
-          struct(lit(c).as("column"), col(s"__ndv_$c").as("ndv"),
-            col(s"__nulls_$c").as("nulls"))
-        }
-        row.select(lit(t).as("tbl"), col("__n").as("n"),
-            explode(array(entries: _*)).as("e"))
-          .select(col("tbl"), col("e.column").as("col_name"), col("n"),
-            col("e.ndv"), col("e.nulls"))
-      }
-      frames.reduce(_.unionAll(_)).orderBy("tbl", "col_name")
-    },
-
-    // Pairwise Pearson correlation matrix over lineitem's numeric
-    // columns (the profiling step before any feature is trusted) —
-    // every moment is an EXACT DECIMAL(38,0) sum of integer-scaled
-    // values (cents), so all six correlations come from one scan and
-    // one final double expression apiece; deliberately not the builtin
-    // corr(), whose float accumulation order is engine-internal.
-    "q_corr_matrix" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val cols = corrCols.map { case (name, e) => e.as(name) }
-      val base = li.select(cols: _*)
-      val names = corrCols.map(_._1)
-      def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
-      val moments =
-        Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
-          names.map(x => dsum(col(x)).as(s"s_$x")) ++
-          corrPairs.map { case (x, y) =>
-            dsum(col(x) * col(y)).as(s"s_${x}_$y")
-          } ++
-          names.map(x => dsum(col(x) * col(x)).as(s"s_${x}_$x"))
-      val m = base.agg(moments.head, moments.tail: _*)
-      val rows = corrPairs.map { case (x, y) =>
-        val num = (col("n") * col(s"s_${x}_$y") -
-          col(s"s_$x") * col(s"s_$y")).cast("double")
-        val dx = (col("n") * col(s"s_${x}_$x") -
-          col(s"s_$x") * col(s"s_$x")).cast("double")
-        val dy = (col("n") * col(s"s_${y}_$y") -
-          col(s"s_$y") * col(s"s_$y")).cast("double")
-        struct(lit(x).as("x"), lit(y).as("y"),
-          round(num / sqrt(dx * dy), 6).as("r"))
-      }
-      m.select(explode(array(rows: _*)).as("e"))
-        .select(col("e.x"), col("e.y"), col("e.r"))
-        .orderBy("x", "y")
-    },
-
-    // Benford first-digit audit (fraud/fabrication screen): observed
-    // first-digit counts of revenue cents vs the Benford expectation
-    // log10(1+1/d), with per-digit chi-square terms. Counts are exact
-    // integers from the INTEGER cents rendering (double formatting
-    // never touches the digit); the expected probabilities are shared
-    // literals; no cross-row float sum — each digit's term stands
-    // alone, so the audit is oracle-exact.
-    "q_benford" -> { (s, dir) =>
-      import s.implicits._
-      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
-        .cast("long")
-      val counts = Tables.load(s, dir, "orders")
-        .where(col("o_totalprice").isNotNull)
-        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
-        .groupBy("digit").agg(count(lit(1)).as("n"))
-      val pDf = benfordP.toDF("digit", "p")
-      val tot = counts.agg(sum(col("n")).as("tot"))
-      counts.join(broadcast(pDf), "digit").crossJoin(tot)
-        .select(col("digit"), col("n"),
-          round(col("p"), 6).as("p_benford"),
-          round(col("tot") * col("p"), 4).as("expected"),
-          round((col("n") - col("tot") * col("p")) *
-            (col("n") - col("tot") * col("p")) /
-            (col("tot") * col("p")), 6).as("chi_term"))
-        .orderBy("digit")
-    },
-
-    // Degree assortativity (Newman 2002) of the customer–supplier
-    // graph: do hubs trade with hubs? All moments are exact integers
-    // (each edge contributes both orientations, collapsing the x/y
-    // marginals), one double division at the end
-    // (graft.graph.GraphStats).
-    "q_assortativity" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val li = Tables.load(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val edges = o.join(li, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("src"),
-          (col("l_suppkey") + 1000000L).as("dst"))
-      graft.graph.GraphStats.assortativity(edges, "src", "dst")
-    },
-
-    // k-anonymity / l-diversity audit (the dataset-release privacy
-    // gate): every (nation, segment) quasi-identifier group's size and
-    // its count of distinct balance tiers — groups under k=10 rows are
-    // re-identifiable; low l leaks the sensitive attribute even at
-    // high k. One keyed aggregate (graft.stats.Anonymity).
-    "q_kanon" -> { (s, dir) =>
-      graft.stats.Anonymity.audit(
-        Tables.load(s, dir, "customer"),
-        Seq("c_nationkey", "c_mktsegment"),
-        floor(col("c_acctbal") / 1000).cast("long"), k = 10)
-        .orderBy("c_nationkey", "c_mktsegment")
-    },
-
-    // T-CLOSENESS (Li/Li/Venkatasubramanian 2007) — the distribution-
-    // distance completion of the q_kanon/l-diversity privacy trio: a
-    // QI group can be k-anonymous and l-diverse yet still leak through
-    // its sensitive-value DISTRIBUTION. For the ordered sensitive
-    // attribute, EMD is the mean |cumulative difference| between group
-    // and global distributions — computed here as EXACT integers on
-    // the common denominator n_g·n (|cg·n − c·n_g| per bin prefix), so
-    // the only double is the final normalized division. Every frame is
-    // bounded (groups × bins), built from one pass of per-cell counts.
-    "q_tcloseness" -> { (s, dir) =>
-      val cust = Tables.load(s, dir, "customer").select(
-        col("c_nationkey"), col("c_mktsegment"),
-        floor(col("c_acctbal") / 1000).cast("long").as("bin"))
-      val cells = cust.groupBy("c_nationkey", "c_mktsegment", "bin")
-        .agg(count(lit(1)).as("cnt"))
-      val groups = cells.groupBy("c_nationkey", "c_mktsegment")
-        .agg(sum(col("cnt")).as("n_g"))
-      val bins = cust.groupBy("bin").agg(count(lit(1)).as("cnt_b"))
-        .withColumn("c", sum(col("cnt_b")).over(Window.orderBy("bin")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val tot = bins.agg(sum(col("cnt_b")).as("n"),
-        count(lit(1)).as("nbins"))
-      val wg = Window.partitionBy("c_nationkey", "c_mktsegment")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      groups.crossJoin(broadcast(bins.select(col("bin"), col("c"))))
-        .join(cells, Seq("c_nationkey", "c_mktsegment", "bin"), "left")
-        .withColumn("cg", sum(coalesce(col("cnt"), lit(0L))).over(wg))
-        .crossJoin(broadcast(tot))
-        .withColumn("term", abs(col("cg") * col("n") - col("c") * col("n_g")))
-        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
-          col("n"), col("nbins"))
-        .agg(sum(col("term")).as("emd_scaled"))
-        .select(col("c_nationkey"), col("c_mktsegment"), col("n_g"),
-          round(col("emd_scaled").cast("double") /
-            (col("n_g") * col("n") * (col("nbins") - 1)).cast("double"), 6)
-            .as("emd"))
-        .withColumn("breach", col("emd") > 0.2)
-        .orderBy("c_nationkey", "c_mktsegment")
-    },
-
-    // Sample-ratio mismatch (SRM) gate — the experimentation-ops check
-    // that runs BEFORE any A/B readout is trusted: a 50/50 hash split
-    // whose observed arm counts drift from expectation signals a
-    // broken assignment (chi-square, 1 df, against equal expected
-    // counts; exact integers in, one fixed-shape double out).
-    "q_srm" -> { (s, dir) =>
-      val users = Tables.loadEvents(s, dir).select("user_id").distinct()
-      val split = graft.operators.Sampling.assignSplit(
-        users, "user_id", Seq("A" -> 0.5, "B" -> 0.5), "ab9")
-      split.agg(
-          sum(when(col("split") === "A", 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("split") === "B", 1L).otherwise(0L)).as("n_b"))
-        .select(col("n_a"), col("n_b"),
-          round(
-            (col("n_a").cast("double") - (col("n_a") + col("n_b")).cast("double") / 2) *
-              (col("n_a").cast("double") - (col("n_a") + col("n_b")).cast("double") / 2) /
-              ((col("n_a") + col("n_b")).cast("double") / 2) +
-              (col("n_b").cast("double") - (col("n_a") + col("n_b")).cast("double") / 2) *
-                (col("n_b").cast("double") - (col("n_a") + col("n_b")).cast("double") / 2) /
-                ((col("n_a") + col("n_b")).cast("double") / 2),
-            6).as("chi2_srm"))
-    },
-
-    // ANN quality audit as a GATED query (not just a spec): recall@10
-    // of the IVF probe against the exact cosine top-10 — the number an
-    // index owner watches when tuning nProbe/nLists. Both sides are
-    // the already-oracled serving paths; the audit is one keyed
-    // semi-join over two 10-row lists.
-    "q_ann_recall" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      val ivf = IvfFlat.topK(e, "embedding", "vec_id", qv,
-        k = 10, nLists = 16, nProbe = 4).select("vec_id")
-      val exact = VectorSim.topK(e, "embedding", qv, k = 10, tieBreak = "vec_id")
-        .select("vec_id")
-      ivf.join(exact, "vec_id")
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(col("n_overlap"), lit(10L).as("k"),
-          round(col("n_overlap").cast("double") / 10.0, 6).as("recall"))
-    },
-
-    // Frequent 3-itemsets — the Apriori step above q_assoc_rules'
-    // pairs: triples co-purchased in ≥ 2 orders. The candidate join
-    // stays WITHIN the basket key (3-way self-join bounded by basket
-    // size cubed over a ~5-item basket, never corpus³).
-    "q_freq_triples" -> { (s, dir) =>
-      val items = Tables.load(s, dir, "lineitem")
-        .select(col("l_orderkey").as("bk"), col("l_partkey").as("it"))
-        .distinct()
-      items.as("a")
-        .join(items.as("b"),
-          col("a.bk") === col("b.bk") && col("a.it") < col("b.it"))
-        .join(items.as("c"),
-          col("a.bk") === col("c.bk") && col("b.it") < col("c.it"))
-        .groupBy(col("a.it").as("i1"), col("b.it").as("i2"), col("c.it").as("i3"))
-        .agg(count(lit(1)).as("n_baskets"))
-        .filter(col("n_baskets") >= 2)
-        .orderBy("i1", "i2", "i3")
-    },
-
-    // Join-key skew audit — the diagnostic run BEFORE reaching for
-    // q_salted_join's remedy: hottest keys by exact count plus the
-    // skew ratio vs a uniform spread (n·n_keys/total). One keyed agg;
-    // at 100 TB this is the cheap pre-flight that decides whether a
-    // shuffle needs salting or AQE skew handling.
-    "q_skew_audit" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val counts = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
-      val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
-      counts.crossJoin(broadcast(tot))
-        .select(col("o_custkey"), col("n"),
-          round((col("n") * col("n_keys")).cast("double") / col("total"), 6)
-            .as("skew_ratio"))
-        .orderBy(col("n").desc, col("o_custkey"))
-        .limit(10)
-    },
-
-    // Orphan-file vacuum: plant uncommitted junk (temp/attempt/partial
-    // files) next to a committed write, vacuum the directory, read the
-    // aggregate THROUGH the cleaned copy against the raw-table oracle
-    // — proving committed data survived while the junk (which would
-    // crash or double-count a globbing reader) is gone. VacuumSpec
-    // asserts the census.
-    "q_vacuum" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum_$tag"
-      Tables.load(s, dir, "orders")
-        .repartition(8).write.mode("overwrite").parquet(path)
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq("part-junk.parquet.inprogress", ".nfs-stale", "task-tmp.tmp")
-        .foreach { n =>
-          val out = fs.create(new org.apache.hadoop.fs.Path(path, n), true)
-          out.write(Array[Byte](1, 2, 3)); out.close()
-        }
-      graft.sources.Vacuum.vacuum(s, path)
-      s.read.parquet(path)
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
-        .orderBy("o_orderstatus")
-    },
-
-    // ATOMIC TABLE COMMITS (round-10 directive #6): the manifest/
-    // commit-log layer (sources/CommitLog) under a live rewrite.
-    // lineitem lands as a committed multi-file table (replace = stage
-    // + one CAS manifest publish); a compaction then STAGES its
-    // single-file rewrite WITHOUT committing — the `mid_rewrite` read
-    // resolves the old manifest and must equal the pre-state even
-    // though the new files are already on disk; the commit is one
-    // atomic manifest swap, after which `committed` reads the
-    // compacted layout with identical content. A globbing reader
-    // would double-count mid-rewrite; the manifest reader cannot see
-    // a partial state by construction (crash windows pinned in
-    // CommitLogSpec). Oracle: the same aggregate from raw lineitem,
-    // once per phase — both phases MUST equal it.
-    "q_table_commit" -> { (s, dir) =>
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_commitlog_${stageTag(dir)}"
-      val base = Tables.load(s, dir, "lineitem").select(
-        col("l_returnflag"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      import graft.sources.CommitLog
-      CommitLog.replace(s, base.repartition(8), table)
-      def agg(df: DataFrame, phase: String): DataFrame =
-        df.groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-          .withColumn("phase", lit(phase))
-      // Stage the compacted rewrite; files hit disk, manifest untouched.
-      val staged = CommitLog.stage(s, CommitLog.read(s, table).coalesce(1), table)
-      val mid = agg(CommitLog.read(s, table), "mid_rewrite") // resolves pre-state
-      val preLive = CommitLog.liveFiles(s, table,
-        CommitLog.currentVersion(s, table).get)
-      CommitLog.commit(s, table, adds = staged, removes = preLive)
-      val post = agg(CommitLog.read(s, table), "committed")
-      mid.unionByName(post).orderBy("phase", "l_returnflag")
-    },
-
-    // GIT-LIKE TABLE BRANCHES over the commit log (CommitLog refs,
-    // `path#branch`): dev forks main ZERO-COPY (the fork manifest
-    // lists main's live files), January data stays on main while
-    // February lands only on dev, and the snapshot merge adopts dev's
-    // head as a new main commit — three aggregates prove isolation
-    // before the merge and convergence after. BranchSpec pins the
-    // cross-ref vacuum-safety contract (shared files survive a
-    // one-ref vacuum).
-    "q_table_branch" -> { (s, dir) =>
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_branch_${stageTag(dir)}"
-      import graft.sources.CommitLog
-      val p = new org.apache.hadoop.fs.Path(table)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      def month(m: String) = Tables.load(s, dir, "orders")
-        .filter(date_format(col("o_orderdate"), "yyyy-MM") === m)
-        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long").as("cents"))
-      CommitLog.replace(s, month("1996-01").repartition(4), table)
-      val dev = CommitLog.createBranch(s, table, "dev")
-      CommitLog.append(s, month("1996-02").repartition(2), dev)
-      def agg(ref: String, phase: String): DataFrame =
-        CommitLog.read(s, ref)
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-          .withColumn("phase", lit(phase))
-      val pre = agg(table, "main_pre") // resolves main BEFORE the merge
-      val devAgg = agg(dev, "dev")
-      CommitLog.mergeBranch(s, table, dev)
-      val merged = agg(table, "main_merged")
-      pre.unionByName(devAgg).unionByName(merged).orderBy("phase")
-    },
-
-    // OPTIMISTIC-CONCURRENCY CONFLICT DETECTION (CommitLog.rewrite) —
-    // the serializability teeth of the commit layer: two compactors
-    // race to rewrite the SAME live files; the winner's CAS lands, and
-    // the loser's rewrite MUST abort (its read-set is gone — blindly
-    // retrying would commit a second copy of every row, the silent-
-    // duplication failure Delta/Iceberg's concurrent-delete rule
-    // exists to prevent). The loser's phase name encodes the outcome:
-    // if the conflict is NOT raised, the Spark side emits a different
-    // phase literal and the oracle compare goes red — the gate proves
-    // the exception fires, and the per-phase aggregates prove no row
-    // was ever duplicated or lost across the race.
-    "q_commit_conflict" -> { (s, dir) =>
-      val table = s"${System.getProperty("java.io.tmpdir")}/graft_commitconflict_${stageTag(dir)}"
-      val base = Tables.load(s, dir, "lineitem").select(
-        col("l_returnflag"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      import graft.sources.CommitLog
-      CommitLog.replace(s, base.repartition(8), table)
-      val live0 = CommitLog.liveFiles(s, table,
-        CommitLog.currentVersion(s, table).get)
-      def agg(phase: String, files: Int): DataFrame =
-        CommitLog.read(s, table).groupBy("l_returnflag")
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-          .withColumn("phase", lit(phase))
-          .withColumn("files", lit(files.toLong))
-      val pre = agg("pre", live0.size)
-      // both compactors stage against version 1's live set…
-      val stagedA = CommitLog.stage(s, CommitLog.read(s, table).coalesce(1), table)
-      val stagedB = CommitLog.stage(s, CommitLog.read(s, table).coalesce(1), table)
-      // …A's CAS lands first
-      CommitLog.rewrite(s, table, adds = stagedA, removes = live0)
-      val winner = agg("winner", CommitLog.liveFiles(s, table,
-        CommitLog.currentVersion(s, table).get).size)
-      val loserPhase =
-        try {
-          CommitLog.rewrite(s, table, adds = stagedB, removes = live0)
-          "loser_committed" // would be silent duplication — oracle reds
-        } catch {
-          case _: CommitLog.ConcurrentRewriteException => "loser_conflicted"
-        }
-      val after = agg(loserPhase, CommitLog.liveFiles(s, table,
-        CommitLog.currentVersion(s, table).get).size)
-      pre.unionByName(winner).unionByName(after)
-        .orderBy("phase", "l_returnflag")
-    },
-
-    // MANIFEST-LEVEL DATA SKIPPING: lineitem lands as 8 range-
-    // clustered files whose integer [min, max] of l_orderkey ride IN
-    // the commit manifest; a range probe then selects files at the
-    // manifest — the driver never lists or opens a pruned file (on a
-    // 100 TB table: planning over one small JSON instead of every
-    // object-store key, the zone-map idea lifted from the footer to
-    // the log, as Delta/Iceberg do). Output carries both the pruning
-    // arithmetic (files_total/files_read — the bucket interval algebra
-    // the oracle replays) and the aggregate over the pruned-plus-
-    // residual-filtered read, which must equal the raw filtered
-    // aggregate: pruning may never lose a row.
-    "q_commit_skip" -> { (s, dir) =>
-      val table =
-        s"${System.getProperty("java.io.tmpdir")}/graft_commitskip_${stageTag(dir)}"
-      import graft.sources.CommitLog
-      val li = Tables.load(s, dir, "lineitem").select(
-        col("l_orderkey"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val mx = li.agg(max("l_orderkey")).head.getLong(0)
-      commitClustered(s,
-        li.withColumn("bk", expr(s"least(7, (l_orderkey * 8) div ${mx + 1})")),
-        table, "bk", "l_orderkey")
-      val lo = mx / 4
-      val hi = lo + mx / 8
-      val (total, sel) = CommitLog.prunedFiles(s, table, lo, hi)
-      CommitLog.readPruned(s, table, lo, hi)
-        .filter(col("l_orderkey").between(lo, hi))
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-        .withColumn("files_total", lit(total.toLong))
-        .withColumn("files_read", lit(sel.size.toLong))
-    },
-
-    // CDC READ FEED from the commit log: three transactional appends
-    // (events sliced by id residue), then `changesBetween(v1, v3)`
-    // reads exactly the files batches 2+3 added — the incremental-sync
-    // primitive: a consumer remembers its last version and never
-    // rescans the table (CommitLog.changesBetween; Delta CDF shape on
-    // append-only tables). Txn ids keep re-runs idempotent, so the
-    // version window is stable. Oracle: the residue predicate over raw
-    // events.
-    "q_table_changes" -> { (s, dir) =>
-      val table =
-        s"${System.getProperty("java.io.tmpdir")}/graft_tblchanges_${stageTag(dir)}"
-      import graft.sources.CommitLog
-      val e = Tables.loadEvents(s, dir)
-        .select(col("event_id"), col("event_type"), col("user_id"))
-      val v1 = CommitLog.transactionalAppend(s,
-        e.filter(pmod(col("event_id"), lit(3)) === 0), table, "chg-b1")
-      CommitLog.transactionalAppend(s,
-        e.filter(pmod(col("event_id"), lit(3)) === 1), table, "chg-b2")
-      val v3 = CommitLog.transactionalAppend(s,
-        e.filter(pmod(col("event_id"), lit(3)) === 2), table, "chg-b3")
-      CommitLog.changesBetween(s, table, v1, v3)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
-        .orderBy("event_type")
-    },
-
-    // PARTIAL OVERWRITE BY PREDICATE (Delta's replaceWhere on this
-    // log): orders committed as a year-clustered table (one file per
-    // year, [min, max] year in the manifest), then fiscal-1996 is
-    // RE-STATED — every 1996 order's cents +5 — by ONE commit that
-    // swaps exactly the 1996 file for the staged restatement. Other
-    // years' files are untouched (same physical files before and
-    // after), a reader racing the restatement sees wholly old or
-    // wholly new 1996, and a replacement that strayed outside 1996 or
-    // a file straddling the range would throw rather than corrupt
-    // (CommitLogSpec). The oracle applies the restatement as a CASE
-    // over the raw table.
-    "q_replace_where" -> { (s, dir) =>
-      val table =
-        s"${System.getProperty("java.io.tmpdir")}/graft_replwhere_${stageTag(dir)}"
-      import graft.sources.CommitLog
-      val o = Tables.load(s, dir, "orders").select(
-        col("o_orderstatus"),
-        year(col("o_orderdate")).cast("long").as("yr"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      commitClustered(s, o.withColumn("bk", col("yr")), table, "bk", "yr")
-      val restated = o.filter(col("yr") === 1996)
-        .withColumn("cents", col("cents") + 5)
-      CommitLog.replaceWhere(s, restated, table, 1996L, 1996L)
-      CommitLog.read(s, table)
-        .groupBy("yr")
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-        .orderBy("yr")
-    },
-
-    // WRITE-AUDIT-PUBLISH: an expectation suite gates every publish —
-    // the good batch (documents with text) stages, audits clean
-    // against its STAGED files, and commits; a second batch with
-    // planted nulls (every 7th doc's text dropped) stages, FAILS the
-    // audit, and never gets a manifest. The table must therefore hold
-    // exactly the clean batch, and audit_rejected records that the
-    // dirty publish was refused — if the gate ever let it through, the
-    // counts would double/dirty and the oracle would flip. Exactly the
-    // Iceberg WAP pattern on this log (sources/CommitLog
-    // .writeAuditPublish); the txn id keeps re-runs idempotent.
-    "q_wap" -> { (s, dir) =>
-      val table =
-        s"${System.getProperty("java.io.tmpdir")}/graft_wap_${stageTag(dir)}"
-      import graft.sources.CommitLog
-      val docs = Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-      def audit(batch: DataFrame): Option[String] = {
-        val bad = batch.filter(col("text").isNull || length(col("text")) === 0)
-          .count()
-        if (bad > 0) Some(s"$bad null/empty texts") else None
-      }
-      val good = CommitLog.writeAuditPublish(s,
-        docs.filter(col("text").isNotNull && length(col("text")) > 0),
-        table, audit, txn = "wap-good-1")
-      require(good.isRight, s"clean batch must publish: $good")
-      val dirty = CommitLog.writeAuditPublish(s,
-        docs.withColumn("text",
-          when(pmod(col("doc_id"), lit(7)) === 0, lit(null: String))
-            .otherwise(col("text"))),
-        table, audit)
-      require(dirty.isLeft, "planted nulls must be rejected")
-      CommitLog.read(s, table)
-        .groupBy("source")
-        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
-          sum(length(col("text"))).as("chars"))
-        .withColumn("audit_rejected", lit(if (dirty.isLeft) 1L else 0L))
-        .orderBy("source")
-    },
-
-    // EXACTLY-ONCE STREAMING INGEST through the commit log: each
-    // microbatch appends via transactionalAppend with its epoch id as
-    // the txn — a batch replayed after a sink failure finds its txn in
-    // the log and becomes a no-op (the Delta txnAppId idempotence
-    // contract on this manifest log; q_stream_upsert's write-then-swap
-    // generalized to appends). The query itself replays batch 0 with
-    // junk rows after the stream drains — the table must not change —
-    // and the oracle checks the final table equals the full input
-    // exactly once, no drops, no double-appends.
-    "q_stream_commit" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = s"$tmp/graft_streamcommit_src_$tag"
-      val table = s"$tmp/graft_streamcommit_tbl_$tag"
-      import graft.sources.CommitLog
-      Tables.loadEvents(s, dir)
-        .select(col("event_id"), col("event_type"), col("user_id"),
-          dayofmonth(col("ts")).as("d"))
-        .repartition(4, col("d"))
-        .write.mode("overwrite").parquet(srcPath)
-      val sch = s.read.parquet(srcPath).schema
-      val stream = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 1).parquet(srcPath)
-        .select("event_id", "event_type", "user_id")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamcommit_ckpt").toString
-      val query = stream.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, bid: Long) =>
-          CommitLog.transactionalAppend(s, batch, table, s"ev-$bid")
-          ()
-        }
-        .start()
-      query.awaitTermination()
-      // Simulated sink replay of epoch 0 with WRONG rows: exactly-once
-      // means the log already has ev-0 and this must be a no-op.
-      CommitLog.transactionalAppend(s,
-        s.read.parquet(srcPath).select("event_id", "event_type", "user_id")
-          .limit(5), table, "ev-0")
-      CommitLog.read(s, table)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"),
-          countDistinct(col("user_id")).as("users"))
-        .orderBy("event_type")
-    },
-
-    // TIME TRAVEL through the commit log: two committed versions of
-    // an orders table (a pre-1996 slice, then a full-corpus replace);
-    // `readVersion` pins the older snapshot while `read` serves the
-    // head — both resolve their own manifest's file list, so the
-    // answer for a version never changes after later commits (the
-    // replace keeps old files on disk until vacuum). The audit/replay
-    // primitive a training pipeline needs: "which corpus did run X
-    // read?" stays answerable. Oracle recomputes both snapshots from
-    // the raw table with the slice predicate.
-    "q_time_travel" -> { (s, dir) =>
-      val table =
-        s"${System.getProperty("java.io.tmpdir")}/graft_timetravel_${stageTag(dir)}"
-      import graft.sources.CommitLog
-      val o = Tables.load(s, dir, "orders").select(
-        col("o_orderstatus"), col("o_orderdate"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val vPast = CommitLog.replace(s,
-        o.filter(col("o_orderdate") < "1996-01-01"), table)
-      CommitLog.replace(s, o, table)
-      def agg(df: DataFrame, phase: String): DataFrame =
-        df.groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-          .withColumn("phase", lit(phase))
-      agg(CommitLog.readVersion(s, table, vPast), "past")
-        .unionByName(agg(CommitLog.read(s, table), "head"))
-        .orderBy("phase", "o_orderstatus")
-    },
-
-    // DECISION STUMP (the CART split-search primitive): the exact
-    // best threshold on l_quantity for predicting price — one
-    // value-histogram pass collecting exact (n, Σy, Σy²) per feature
-    // value (sums in DECIMAL(38,0)/HUGEINT so nothing rounds), running
-    // totals over the ≤50-row histogram (bounded window frame, never
-    // the corpus), SSE(t) in one fixed-shape double closed form per
-    // candidate, argmin with ties to the smaller threshold. The gain
-    // column (1 − SSE_split/SSE_root) is what a tree learner would
-    // greedily maximize; every distributed pass is the same the full
-    // CART would run per node.
-    "q_stump" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").select(
-        round(col("l_quantity")).cast("long").as("q"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val hist = li.groupBy("q").agg(
-        count(lit(1)).as("n"),
-        sum(col("cents").cast("decimal(38,0)")).as("sy"),
-        sum(col("cents").cast("decimal(19,0)")
-          * col("cents").cast("decimal(19,0)")).as("syy"))
-      val tot = hist.agg(sum(col("n")), sum(col("sy")), sum(col("syy"))).head
-      val nTot = tot.getLong(0)
-      val syTot = tot.getDecimal(1).doubleValue()
-      val syyTot = tot.getDecimal(2).doubleValue()
-      val sseRoot = syyTot - syTot * syTot / nTot
-      val w = Window.orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cn", sum(col("n")).over(w))
-        .withColumn("csy", sum(col("sy")).over(w))
-        .withColumn("csyy", sum(col("syy")).over(w))
-        .filter(col("cn") < nTot) // right side must be non-empty
-      val csyD = col("csy").cast("double")
-      val csyyD = col("csyy").cast("double")
-      val rn = (lit(nTot) - col("cn")).cast("double")
-      val rsy = lit(syTot) - csyD
-      val rsyy = lit(syyTot) - csyyD
-      val sse = (csyyD - csyD * csyD / col("cn")) + (rsyy - rsy * rsy / rn)
-      cum.withColumn("sse", sse)
-        .orderBy(col("sse").asc, col("q").asc)
-        .limit(1)
-        .select(col("q").as("split_q"),
-          col("cn").as("n_left"), (lit(nTot) - col("cn")).as("n_right"),
-          round(csyD / col("cn"), 6).as("mean_left"),
-          round(rsy / rn, 6).as("mean_right"),
-          round(lit(1.0) - col("sse") / lit(sseRoot), 6).as("gain"))
-    },
-
-    // LEAKAGE-SAFE TARGET ENCODING (the CatBoost/leave-fold-out
-    // standard): each (category, fold) cell is encoded with the mean
-    // target of the OTHER folds — (ΣT − Σf)/(nT − nf) over exact cent
-    // sums — so a row never sees its own fold's targets, the leak that
-    // makes naive mean-encoding overfit. Folds are the deterministic
-    // md5 assignment of q_fold_assign; two keyed aggs, one closed
-    // form, no shuffle wider than the (category × fold) grid.
-    "q_target_encoding" -> { (s, dir) =>
-      val o = graft.operators.Sampling.assignFolds(
-        Tables.load(s, dir, "orders"), "o_orderkey", k = 5, salt = "te")
-        .select(col("o_orderpriority").as("cat"), col("fold"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
-      val perFold = o.groupBy("cat", "fold")
-        .agg(count(lit(1)).as("nf"), sum(col("cents")).as("syf"))
-      val perCat = o.groupBy("cat")
-        .agg(count(lit(1)).as("nt"), sum(col("cents")).as("syt"))
-      perFold.join(perCat, "cat")
-        .select(col("cat"), col("fold"), col("nf"),
-          round((col("syt") - col("syf")).cast("double")
-            / (col("nt") - col("nf")), 6).as("enc"))
-        .orderBy("cat", "fold")
-    },
-
-    // EQUAL-FREQUENCY BINNING (quantile discretization) through the
-    // range-partitioned GlobalRank — the feature-prep op that needs a
-    // corpus-wide total order and must NOT become a single-partition
-    // window at 100 TB. bin = ⌊(rank−1)·10/N⌋; ties share a value, so
-    // every per-bin statistic is multiset-determined even though tied
-    // rows may swap ranks. Output: per-bin count, bounds, mass.
-    "q_binning" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").select(
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val n = li.count()
-      graft.operators.GlobalRank
-        .withGlobalRank(li, Seq(col("cents").asc), "rk")
-        .withColumn("bin", expr(s"((rk - 1) * 10) div ${n}L"))
-        .groupBy("bin")
-        .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
-          max(col("cents")).as("hi"), sum(col("cents")).as("mass"))
-        .orderBy("bin")
-    },
-
-    // DEPTH-2 DECISION TREE, one shuffle per LEVEL (how a distributed
-    // tree learner actually scales — never a pass per node): the root
-    // stump comes from the level-1 histogram; BOTH children then find
-    // their exact splits from ONE level-2 pass keyed by (side, value),
-    // each child's argmin running over its own bounded partition. At
-    // depth d the corpus is read d times regardless of the 2^d node
-    // count. Same exact-sufficient-statistics algebra as
-    // q_stump/q_feature_gain; the oracle replays both levels.
-    "q_tree2" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").select(
-        round(col("l_quantity")).cast("long").as("q"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val root = graft.ml.BoostedStumps.fit(li, "q", "cents", rounds = 1).head
-      val l2 = li.withColumn("side",
-        when(col("q") <= root.threshold, lit(0L)).otherwise(lit(1L)))
-      val hist = l2.groupBy("side", "q").agg(
-        count(lit(1)).as("n"),
-        sum(col("cents").cast("decimal(38,0)")).as("sy"),
-        sum(col("cents").cast("decimal(19,0)")
-          * col("cents").cast("decimal(19,0)")).as("syy"))
-      val tots = hist.groupBy("side").agg(
-        sum(col("n")).as("nt"), sum(col("sy")).as("syt"),
-        sum(col("syy")).as("syyt"))
-      val w = Window.partitionBy("side").orderBy("q")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cn", sum(col("n")).over(w))
-        .withColumn("csy", sum(col("sy")).over(w))
-        .withColumn("csyy", sum(col("syy")).over(w))
-        .join(tots, "side")
-        .filter(col("cn") < col("nt"))
-      val csyD = col("csy").cast("double")
-      val csyyD = col("csyy").cast("double")
-      val sytD = col("syt").cast("double")
-      val syytD = col("syyt").cast("double")
-      val sse = (csyyD - csyD * csyD / col("cn")) +
-        ((syytD - csyyD)
-          - (sytD - csyD) * (sytD - csyD) / (col("nt") - col("cn")))
-      val kids = cum.withColumn("sse", sse)
-        .withColumn("sse_root", syytD - sytD * sytD / col("nt"))
-        .groupBy("side")
-        .agg(min_by(struct(col("q"), col("cn"), col("sse"), col("sse_root")),
-          struct(col("sse"), col("q"))).as("b"))
-        .select(
-          when(col("side") === 0L, lit("left")).otherwise(lit("right"))
-            .as("node"),
-          col("b.q").as("split_q"), col("b.cn").as("n_left"),
-          round(lit(1.0) - col("b.sse") / col("b.sse_root"), 6).as("gain"))
-      val rootRow = s.range(1).select(
-        lit("root").as("node"), lit(root.threshold).as("split_q"),
-        lit(-1L).as("n_left"), round(lit(root.gain), 6).as("gain"))
-      rootRow.unionByName(
-        kids.withColumn("n_left", col("n_left").cast("long")))
-        .orderBy("node")
-    },
-
-    // BAGGED FOREST OF STUMPS, one corpus shuffle for ALL trees — the
-    // random-forest training shape at scale: each row enters tree b
-    // with a deterministic Poisson(1) weight (stats/Bootstrap's
-    // Chamandy resampling, keyed (salt, tree, row id) — no RNG state,
-    // layout-invariant), the ×B×F fan-out stays inside whole-stage
-    // codegen (explode of sequence + feature map), and map-side
-    // combine collapses it to weighted (tree, feature, value)
-    // histograms before the exchange — the shuffle carries sufficient
-    // statistics, never data. Each tree then picks its best (feature,
-    // split) by exact weighted SSE over its own bounded candidate set.
-    // Trees disagree because their bootstrap weights disagree — the
-    // variance across the `split_v` column IS the ensemble's value.
-    "q_forest" -> { (s, dir) =>
-      val B = 8
-      val li = Tables.load(s, dir, "lineitem").select(
-        concat(col("l_orderkey").cast("string"), lit("#"),
-          col("l_linenumber").cast("string")).as("rid"),
-        round(col("l_quantity")).cast("long").as("qty"),
-        (col("l_discount").cast("decimal(18,2)") * 10000).cast("long")
-          .as("disc_bp"),
-        (col("l_tax").cast("decimal(18,2)") * 10000).cast("long")
-          .as("tax_bp"),
-        pmod(col("l_partkey"), lit(97)).as("pk_mod"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val u = conv(substring(md5(concat(
-        lit("rf11|"), col("tree").cast("string"), lit("|"), col("rid"))),
-        1, 15), 16, 10).cast("long").cast("double") / 1152921504606846976.0
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
-      val fan = li
-        // Spread rows BEFORE the ×B fan-out (the Bootstrap.replicateSums
-        // lesson): the scan's few input splits would otherwise hash
-        // B×|rows| md5s on a handful of threads — this was 21 s of the
-        // sf0.1 bench; the small pre-shuffle buys full-width hashing.
-        .repartition(parts)
-        .select(col("*"),
-          explode(sequence(lit(0L), lit((B - 1).toLong))).as("tree"))
-        .withColumn("w", graft.stats.Bootstrap.poissonWeight(u))
-        .filter(col("w") > 0)
-      val feats = Seq("qty", "disc_bp", "tax_bp", "pk_mod")
-      val lng = fan.select(col("tree"),
-        explode(map(feats.flatMap(f => Seq(lit(f), col(f))): _*))
-          .as(Seq("f", "v")),
-        col("w"), col("cents"))
-      val hist = lng.groupBy("tree", "f", "v").agg(
-        sum(col("w")).as("n"),
-        sum(col("w") * col("cents").cast("decimal(38,0)")).as("sy"),
-        sum(col("w") * col("cents").cast("decimal(19,0)")
-          * col("cents").cast("decimal(19,0)")).as("syy"))
-      val tots = hist.groupBy("tree", "f").agg(
-        sum(col("n")).as("nt"), sum(col("sy")).as("syt"),
-        sum(col("syy")).as("syyt"))
-      val w7 = Window.partitionBy("tree", "f").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cn", sum(col("n")).over(w7))
-        .withColumn("csy", sum(col("sy")).over(w7))
-        .withColumn("csyy", sum(col("syy")).over(w7))
-        .join(tots, Seq("tree", "f"))
-        .filter(col("cn") < col("nt"))
-      val csyD = col("csy").cast("double")
-      val csyyD = col("csyy").cast("double")
-      val sytD = col("syt").cast("double")
-      val syytD = col("syyt").cast("double")
-      val sse = (csyyD - csyD * csyD / col("cn")) +
-        ((syytD - csyyD)
-          - (sytD - csyD) * (sytD - csyD) / (col("nt") - col("cn")))
-      cum.withColumn("sse", sse)
-        .withColumn("sse_root", syytD - sytD * sytD / col("nt"))
-        .groupBy("tree", "f")
-        .agg(min_by(struct(col("v"), col("cn"), col("sse"), col("sse_root")),
-          struct(col("sse"), col("v"))).as("b"))
-        .groupBy("tree")
-        .agg(min_by(struct(col("f"), col("b")),
-          struct(col("b.sse"), col("f"))).as("t"))
-        .select(col("tree"), col("t.f").as("feature"),
-          col("t.b.v").as("split_v"),
-          col("t.b.cn").cast("long").as("n_left"),
-          round(lit(1.0) - col("t.b.sse") / col("t.b.sse_root"), 6)
-            .as("gain"))
-        .orderBy("tree")
-    },
-
-    // PER-FEATURE SPLIT GAINS IN ONE PASS — the distributed CART-node
-    // primitive: all four candidate features' value histograms come
-    // out of a SINGLE corpus shuffle (explode a feature map → one
-    // groupBy(feature, value)); running totals then run per feature
-    // (partitioned, bounded frames), each feature's exact SSE argmin
-    // is one min_by over its ≤vocab candidates, and the ranking —
-    // which feature a tree would split on — is 1 − SSE/SSE_root. The
-    // per-feature work never rescans the corpus; adding a feature
-    // costs one map entry, not a pass.
-    "q_feature_gain" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem").select(
-        round(col("l_quantity")).cast("long").as("qty"),
-        (col("l_discount").cast("decimal(18,2)") * 10000).cast("long")
-          .as("disc_bp"),
-        (col("l_tax").cast("decimal(18,2)") * 10000).cast("long")
-          .as("tax_bp"),
-        pmod(col("l_partkey"), lit(97)).as("pk_mod"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val feats = Seq("qty", "disc_bp", "tax_bp", "pk_mod")
-      val lng = li.select(
-        explode(map(feats.flatMap(f => Seq(lit(f), col(f))): _*))
-          .as(Seq("f", "v")),
-        col("cents"))
-      val hist = lng.groupBy("f", "v").agg(
-        count(lit(1)).as("n"),
-        sum(col("cents").cast("decimal(38,0)")).as("sy"),
-        sum(col("cents").cast("decimal(19,0)")
-          * col("cents").cast("decimal(19,0)")).as("syy"))
-      val tots = hist.groupBy("f").agg(
-        sum(col("n")).as("nt"), sum(col("sy")).as("syt"),
-        sum(col("syy")).as("syyt"))
-      val w = Window.partitionBy("f").orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("cn", sum(col("n")).over(w))
-        .withColumn("csy", sum(col("sy")).over(w))
-        .withColumn("csyy", sum(col("syy")).over(w))
-        .join(tots, "f")
-        .filter(col("cn") < col("nt"))
-      val csyD = col("csy").cast("double")
-      val csyyD = col("csyy").cast("double")
-      val sytD = col("syt").cast("double")
-      val syytD = col("syyt").cast("double")
-      val sse = (csyyD - csyD * csyD / col("cn")) +
-        ((syytD - csyyD)
-          - (sytD - csyD) * (sytD - csyD) / (col("nt") - col("cn")))
-      cum.withColumn("sse", sse)
-        .withColumn("sse_root", syytD - sytD * sytD / col("nt"))
-        .groupBy("f")
-        .agg(min_by(struct(col("v"), col("cn"), col("sse"), col("sse_root")),
-          struct(col("sse"), col("v"))).as("b"))
-        .select(col("f").as("feature"), col("b.v").as("split_v"),
-          col("b.cn").as("n_left"),
-          round(lit(1.0) - col("b.sse") / col("b.sse_root"), 6).as("gain"))
-        .orderBy(col("gain").desc, col("feature"))
-    },
-
-    // ISOTONIC REGRESSION (ml/Isotonic) — the monotone repair /
-    // calibration primitive, via the minimax closed form fit(k) =
-    // max_{i≤k} min_{j≥k} mean[i..j] ≡ pool-adjacent-violators, with
-    // no sequential loop to replay: one corpus pass to the exact
-    // per-quantity histogram, then (i,k,j) triples of the ≤50-row
-    // histogram. Mean discount per quantity bucket, forced monotone.
-    "q_isotonic" -> { (s, dir) =>
-      graft.ml.Isotonic.fit(
-        Tables.load(s, dir, "lineitem").select(
-          round(col("l_quantity")).cast("long").as("qty"),
-          (col("l_discount").cast("decimal(18,2)") * 10000).cast("long")
-            .as("disc_bp")),
-        "qty", "disc_bp")
-        .orderBy("q")
-    },
-
-    // SPLIT-CONFORMAL PREDICTION INTERVALS (Vovk; the distribution-
-    // free uncertainty wrapper a production model ships with): train a
-    // stump on folds 0-2, take the ⌈(n+1)·0.9⌉-th smallest absolute
-    // residual on the CALIBRATION fold as the interval half-width
-    // q̂ (an exact integer order statistic through the range-
-    // partitioned GlobalRank — never a driver limit(k)), then audit
-    // empirical coverage of pred ± q̂ on the held-out TEST fold —
-    // guaranteed ≥ 90% in expectation by exchangeability, and the
-    // oracle replays every step: md5 folds, floor-div stump
-    // predictions, rank arithmetic, exact coverage counts.
-    "q_conformal" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .withColumn("key", col("l_orderkey") * 8 + col("l_linenumber"))
-      val folded = graft.operators.Sampling
-        .assignFolds(li, "key", k = 5, salt = "conf")
-        .select(col("fold"),
-          round(col("l_quantity")).cast("long").as("q"),
-          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"))
-        .persist()
-      val st = graft.ml.BoostedStumps
-        .fit(folded.filter(col("fold") <= 2), "q", "cents", rounds = 1).head
-      val pred = when(col("q") <= st.threshold, lit(st.predLeft))
-        .otherwise(lit(st.predRight))
-      val cal = folded.filter(col("fold") === 3)
-        .select(abs(col("cents") - pred).as("r"))
-      val nCal = cal.count()
-      val k = math.ceil((nCal + 1) * 0.9).toLong
-      val qhat = graft.operators.GlobalRank
-        .withGlobalRank(cal, Seq(col("r").asc), "rk")
-        .filter(col("rk") === k).head.getLong(0)
-      val test = folded.filter(col("fold") === 4)
-        .agg(count(lit(1)).as("n_test"),
-          sum(when(abs(col("cents") - pred) <= qhat, 1L).otherwise(0L))
-            .as("n_covered")).head
-      folded.unpersist()
-      s.range(1).select(
-        lit(st.threshold).as("split_q"),
-        lit(st.predLeft).as("pred_left"), lit(st.predRight).as("pred_right"),
-        lit(nCal).as("n_cal"), lit(k).as("k"), lit(qhat).as("qhat"),
-        lit(test.getLong(0)).as("n_test"),
-        lit(test.getLong(1)).as("n_covered"),
-        round(lit(test.getLong(1).toDouble / test.getLong(0)), 6)
-          .as("coverage"))
-    },
-
-    // GRADIENT-BOOSTED STUMPS (L2 boosting, ml/BoostedStumps): three
-    // rounds of residual-fitting stumps on the SAME (q → cents) task
-    // as q_stump — the corpus is shuffled ONCE into the per-value
-    // histogram; every boosting round then runs in exact BigInt
-    // closed form on the driver (integer predictions via an explicit
-    // floor((2Σ+n)/2n) rule make the residual histogram updatable
-    // without a second corpus pass). The oracle unrolls all three
-    // rounds: same argmin, same floor-div rounding, same residual
-    // algebra — boosting itself faces the gate, not just one split.
-    "q_gbt" -> { (s, dir) =>
-      import s.implicits._
-      val li = Tables.load(s, dir, "lineitem").select(
-        round(col("l_quantity")).cast("long").as("q"),
-        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      val model = graft.ml.BoostedStumps.fit(li, "q", "cents", rounds = 3)
-      model.zipWithIndex.map { case (st, i) =>
-        (i + 1L, st.threshold, st.predLeft, st.predRight,
-          BigDecimal(st.gain).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-            .toDouble)
-      }.toDF("round", "split_q", "pred_left", "pred_right", "gain")
-        .orderBy("round")
-    },
-
-    // Per-segment OLS trend line (price-vs-quantity slope per
-    // returnflag): one keyed pass collecting exact-decimal sufficient
-    // statistics, closed forms in fixed-shape double arithmetic — the
-    // q_zscore exact-sums discipline applied to regression.
-    "q_ols" -> { (s, dir) =>
-      graft.ml.Ols.fitGrouped(Tables.load(s, dir, "lineitem"),
-        "l_quantity", "l_extendedprice", Seq("l_returnflag"))
-        .orderBy("l_returnflag")
-    },
-
-    // RANK-2 ALS MATRIX FACTORIZATION (ml/Als) — alternating ridge
-    // solves over the supplier×part rating matrix, with factors held
-    // as EXACT integer micros: every normal-equation moment is a
-    // decimal sum of long products (zero float accumulation), only
-    // the per-entity 2×2 Cramer solve runs in double, and the RMSE
-    // residuals are exact integers in 10⁻¹² units. Each half-step is
-    // one broadcast factor join + one keyed aggregate over a cached
-    // co-partitioned ratings layout — the distributed-ALS shape.
-    "q_als" -> { (s, dir) =>
-      val ratings = Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_suppkey").as("u"), col("l_partkey").as("i"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("r"))
-      val (userF, _, rmse) = graft.ml.Als.fit(
-        ratings, "u", "i", "r", iters = 2, lambda = 0.1)
-      userF.select(col("id").as("suppkey"), col("f1"), col("f2"),
-          lit(rmse).as("rmse"))
-        .orderBy("suppkey")
-    },
-
-    // ALS SERVING: top-3 unrated parts per supplier by factor dot
-    // product — EXACT integer scores (micro × micro products of the
-    // long factors, no float anywhere), already-rated pairs masked by
-    // a left-anti join, per-user lists via the bounded TopK aggregate
-    // (≤3 structs per partial — the shuffle carries lists, never the
-    // |U|×|I| score matrix). The full cross-scoring is the honest
-    // exact tier at this scale; at 100 TB the item factors feed the
-    // ANN family (q_ann_*) instead — same vectors, bucketed serving.
-    "q_als_recs" -> { (s, dir) =>
-      // cache the rollup: the fit's two layouts AND the serving mask
-      // all read it — one lineitem aggregation total
-      val ratings = Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_suppkey").as("u"), col("l_partkey").as("i"))
-        .agg(sum(round(col("l_quantity")).cast("long")).as("r"))
-        .cache()
-      val (userF, itemF, _) = graft.ml.Als.fit(
-        ratings, "u", "i", "r", iters = 2, lambda = 0.1,
-        computeRmse = false)
-      // broadcast BOTH small sides: the item factors for the cross and
-      // the rated-pair set for the anti join — the |U|×|I| score rows
-      // then never leave their map task (a sort-merge anti join here
-      // shuffled 20M rows and was 20 s of the sf0.1 bench). The mask
-      // key is PACKED into one long (u·2³² + i): a single-long hash
-      // probe beats the two-column row hash measurably at 20M probes.
-      // Probe-measured (tools/RecsProbe, sf0.1): cross 0.2 s,
-      // cross+anti 4.0 s, +TopK agg 0.5 s; the row_number/
-      // WindowGroupLimit form was 16.8 s — the bounded TopK aggregate
-      // wins by 3× end to end, so it stays.
-      val packed = (col("u") * 4294967296L + col("i")).as("k")
-      val scored = userF.select(col("id").as("u"),
-          col("f1").as("u1"), col("f2").as("u2"))
-        .crossJoin(broadcast(itemF.select(col("id").as("i"),
-          col("f1").as("v1"), col("f2").as("v2"))))
-        .withColumn("k", packed)
-        .join(broadcast(ratings.select(packed)), Seq("k"), "left_anti")
-        .select(col("u"), col("i"),
-          (col("u1") * col("v1") + col("u2") * col("v2")).as("dot"))
-      scored.groupBy("u")
-        .agg(graft.stats.TopK.topK(
-          struct(col("dot").as("d"), (-col("i")).as("ni")), 3).as("top"))
-        .select(col("u").as("suppkey"), posexplode(col("top")).as(Seq("p", "v")))
-        .select(col("suppkey"), (col("p") + 1).cast("int").as("rank"),
-          (-col("v.ni")).as("partkey"), col("v.d").as("dot"))
-        .orderBy("suppkey", "rank")
-    },
-
-    // RIDGE PATH FROM ONE PASS (ml/Ridge) — the regularized normal
-    // equations over exact decimal sufficient statistics: all three λ
-    // rows (λ=0 is the exact OLS baseline) come from a SINGLE
-    // map-side-combinable aggregate; each λ is a constant-time double
-    // expression over the nine moments. A hyperparameter sweep that
-    // costs one corpus pass total is the shape that survives 100 TB.
-    "q_ridge" -> { (s, dir) =>
-      graft.ml.Ridge.fit(Tables.load(s, dir, "lineitem"),
-        "l_quantity", "l_discount", "l_extendedprice",
-        lambdas = Seq(0.0, 1000.0, 1000000.0))
-        .orderBy("lam")
-    },
-
-    // HOPPING (sliding) window aggregation: 1-day windows every 12
-    // hours — each event lands in exactly two windows (Spark's
-    // window(ts, size, hop), epoch-aligned). The overlap factor is the
-    // size/hop ratio; the shuffle carries one row per (event, window).
-    "q_sliding" -> { (s, dir) =>
-      Tables.loadEvents(s, dir)
-        .select(col("event_type"), col("value"),
-          window(col("ts"), "1 day", "12 hours").as("w"))
-        .groupBy(col("event_type"), col("w.start").cast("long").as("w_start"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .orderBy("event_type", "w_start")
-    },
-
-    // Equi-width histogram over l_extendedprice: 32 bins, clamped ends
-    // — one map-side-combinable groupBy on the bin id
-    // (graft.stats.Histogram).
-    "q_histogram" -> { (s, dir) =>
-      graft.stats.Histogram.equiWidth(Tables.load(s, dir, "lineitem"),
-        "l_extendedprice", lo = 900.0, hi = 105000.0, bins = 32)
-        .orderBy("bin")
-    },
-
-    // Unicode accent folding (NFD → strip combining marks → NFC) over
-    // deterministically PLANTED accent vocabulary (the fixture is pure
-    // ASCII — the q_pii planting discipline): the oracle replays the
-    // identical construction through the SQL engine's strip_accents,
-    // so the md5 match proves the fold semantics cross-engine on the
-    // Latin diacritic range (graft.text.AccentFoldExpr — codegen'd
-    // expression, not a UDF).
-    "q_normalize" -> { (s, dir) =>
-      val ws = Seq("école", "crème", "naïve", "señor", "über", "jalapeño",
-        "fiancée", "tête")
-      val wArr = array(ws.map(lit): _*)
-      Tables.load(s, dir, "documents").filter(col("text").isNotNull)
-        .withColumn("__t", concat(col("text"), lit(" "),
-          element_at(wArr, (pmod(col("doc_id"), lit(8)) + 1).cast("int")), lit(" "),
-          element_at(wArr, (pmod(col("doc_id") + 3, lit(8)) + 1).cast("int")), lit(" "),
-          element_at(wArr, (pmod(col("doc_id") * 5 + 1, lit(8)) + 1).cast("int"))))
-        .select(col("doc_id"), md5(graft.text.AccentFoldExpr(col("__t"))).as("fp"))
-        .orderBy("doc_id")
-    },
-
-    // Per-doc token-distribution Shannon entropy — the repetition-
-    // collapse quality signal (token-farm spam → ~0 bits; diverse
-    // prose → ~log2 n). Two keyed aggregations, exact integer counts
-    // (graft.text.TextFunctions.tokenEntropy).
-    "q_token_entropy" -> { (s, dir) =>
-      TextFunctions.tokenEntropy(Tables.load(s, dir, "documents"), "text", "doc_id")
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("entropy"), 6).as("entropy"))
-        .orderBy("doc_id")
-    },
-
-    // KMV distinct-count sketch over document texts: k smallest 60-bit
-    // md5 hashes → (k−1)/(h₍ₖ₎/2⁶⁰). Unlike HLL++ the order-statistic
-    // sketch is exactly SQL-reproducible, so the estimate itself faces
-    // the oracle gate. Executors ship ≤ k hashes each; no value shuffle.
-    // kth_hash is a raw 60-bit order statistic — emitted as two 30-bit
-    // halves (never a >18-digit numeric output column; VERDICT r10).
-    "q_distinct_kmv" -> { (s, dir) =>
-      DistinctSketch.kmv(Tables.load(s, dir, "documents"), "text", k = 128)
-        .select(col("k_used"),
-          shiftright(col("kth_hash"), 30).as("kth_hash_hi"),
-          col("kth_hash").bitwiseAND(lit(1073741823L)).as("kth_hash_lo"),
-          col("est_distinct"))
-    },
-
-    // KMV SET ALGEBRA: union / intersection / Jaccard estimates for
-    // two customer populations (urgent-order vs low-priority buyers)
-    // from their k-min sketches ALONE — the corpus-bookkeeping move
-    // that answers "how much do these two sources overlap?" without
-    // ever co-shuffling them (stats/DistinctSketch.kmvSetOps). The
-    // estimates are order statistics of md5 hashes, so they face the
-    // oracle exactly; exact counts ride along as the cross-check.
-    "q_kmv_setops" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").where(col("o_custkey").isNotNull)
-      val a = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
-      val b = o.where(col("o_orderpriority") === "5-LOW").select("o_custkey")
-      val est = DistinctSketch.kmvSetOps(a, b, "o_custkey", k = 256)
-      val exact = o.groupBy("o_custkey").agg(
-        max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
-          .as("ia"),
-        max(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L))
-          .as("ib"))
-        .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
-          sum(col("ia") * col("ib")).as("exact_inter"))
-      est.crossJoin(exact)
-    },
-
-    // The KMV sketch under a KEYED exchange: per-source distinct-text
-    // estimates through a bounded mergeable k-min buffer (≤ 64 longs
-    // per group per partial — never the full distinct-hash set through
-    // the shuffle). Completes the grouped-sketch trifecta beside
-    // q_quantiles_gk_grouped and q_heavy_hitters_grouped; the order-
-    // statistic output is SQL-exact, so the estimate faces the oracle.
-    "q_distinct_kmv_grouped" -> { (s, dir) =>
-      DistinctSketch.kmvGrouped(
-        Tables.load(s, dir, "documents").filter(col("text").isNotNull),
-        "text", Seq("source"), k = 64)
-        .select(col("source"), col("k_used"),
-          shiftright(col("kth_hash"), 30).as("kth_hash_hi"),
-          col("kth_hash").bitwiseAND(lit(1073741823L)).as("kth_hash_lo"),
-          col("est_distinct"))
-        .orderBy("source")
-    },
-
-    // HyperLogLog distinct sketch in the SQL-replayable formulation
-    // (trailing-zero rho, exact bigint-scaled harmonic sum — see
-    // stats/Hll.scala): one 64-register map-side-combinable pass,
-    // estimate cross-checked against the exact distinct in the same
-    // row. Completes the distinct-sketch pair next to KMV.
-    "q_hll" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      graft.stats.Hll.summary(o, "o_custkey")
-        .crossJoin(o.agg(
-          countDistinct(col("o_custkey")).as("exact_distinct")))
-    },
-
-    // HLL SET ALGEBRA, the lossy complement of q_kmv_setops: per-side
-    // HLL estimates plus the union estimate (an HLL over the union
-    // input ≡ the register-max merge of the two sketches — the merge
-    // property expressed relationally), intersection via
-    // inclusion-exclusion. I-E error compounds — the exact counts ride
-    // along to show by how much, next to KMV's direct intersection.
-    "q_hll_setops" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders").where(col("o_custkey").isNotNull)
-      def est(df: DataFrame, name: String) =
-        graft.stats.Hll.summary(df, "o_custkey")
-          .select(col("est_distinct").as(name))
-      val a = o.where(col("o_orderpriority") === "1-URGENT")
-      val b = o.where(col("o_orderpriority") === "5-LOW")
-      val u = o.where(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
-      val exact = o.groupBy("o_custkey").agg(
-        max(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
-          .as("ia"),
-        max(when(col("o_orderpriority") === "5-LOW", 1L).otherwise(0L))
-          .as("ib"))
-        .agg(sum(col("ia")).as("exact_a"), sum(col("ib")).as("exact_b"),
-          sum(col("ia") * col("ib")).as("exact_inter"))
-      est(a, "est_a").crossJoin(est(b, "est_b"))
-        .crossJoin(est(u, "est_union"))
-        .withColumn("est_inter_ie",
-          round(col("est_a") + col("est_b") - col("est_union"), 4))
-        .crossJoin(exact)
-    },
-
-    // ---- dedup over `documents` ---------------------------------------
-
-    // Exact content dedup: one hash-groupBy on the normalized-token md5.
-    "q_dedup_exact" -> { (s, dir) =>
-      Dedup.exact(Tables.load(s, dir, "documents"), "text", "doc_id")
-        .orderBy("fp")
-    },
-
-    // The survivors view of exact dedup: the kept ROWS themselves
-    // (keep-smallest-id per content fingerprint) — what a training-data
-    // pipeline actually feeds downstream. One window over the
-    // fingerprint (a single keyed shuffle), no join back.
-    "q_dedup_survivors" -> { (s, dir) =>
-      Dedup.exactSurvivors(Tables.load(s, dir, "documents"), "text", "doc_id")
-        .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
-    },
-
-    // Exact 3-gram Jaccard near-dup pairs via prefix-filtered inverted-
-    // index join (never all-pairs; see graft.dedup.Dedup.jaccardPairs).
-    "q_dedup_jaccard" -> { (s, dir) =>
-      Dedup.jaccardPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.5)
-        .orderBy("id_a", "id_b")
-    },
-
-    // Two-stage fuzzy dedup: lossless PPJoin candidates at Jaccard ≥
-    // 0.3, then character-Levenshtein verification dist·5 ≤ max(len)
-    // — integer threshold arithmetic, all-integer output. The edit
-    // stage rejects the subsumption pairs shingle Jaccard accepts
-    // (graft.dedup.Dedup.editVerifiedPairs).
-    "q_dedup_edit" -> { (s, dir) =>
-      Dedup.editVerifiedPairs(Tables.load(s, dir, "documents"), "text",
-        "doc_id", n = 3, jaccardFloor = 0.3, distNum = 1, distDen = 5)
-        .orderBy("id_a", "id_b")
-    },
-
-    // Train/test LEAKAGE audit: near-dup pairs (the lossless PPJoin
-    // plan) that CROSS the deterministic split assignment — the check
-    // every eval pipeline should run before trusting held-out metrics
-    // (a test doc with a train near-dup is contamination the
-    // exact-match decontaminate pass misses). Split is the same
-    // hash-unit function as q_sample_mix (salt "split1"); two skinny
-    // keyed joins attach splits to pair ids.
-    "q_split_leakage" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val splits = Sampling.assignSplit(docs, "doc_id",
-        Seq("train" -> 0.875, "val" -> 0.0625, "test" -> 0.0625),
-        salt = "split1")
-        .select(col("doc_id"), col("split"))
-      Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
-        .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
-        .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
-        .filter(col("split_a") =!= col("split_b"))
-        .select("id_a", "id_b", "split_a", "split_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    },
-
-    // ASYMMETRIC containment pairs |A∩B|/|A| ≥ 0.6 — the short-doc-
-    // quoted-inside-long-doc subsumption case Jaccard structurally
-    // misses. Directed (both directions evaluated); probe-side prefix
-    // against a full inverted index, never all-pairs
-    // (graft.dedup.Dedup.containmentPairs). The persisted pair set is
-    // shared with the survivors view below (round-9 directive: a user
-    // composing both pays for the postings join once).
-    "q_dedup_containment" -> { (s, dir) =>
-      Dedup.containmentPairs(Tables.load(s, dir, "documents"), "text",
-        "doc_id", n = 3, threshold = 0.6).orderBy("id_a", "id_b")
-    },
-
-    // The survivors view of containment dedup: docs ≥ 0.6-contained in
-    // a LARGER doc drop (ties keep the smaller id); quotes/excerpts
-    // train zero times, their containers once
-    // (graft.dedup.Dedup.containmentSurvivors) — derived from the
-    // at-rest pair artifact, so the postings stage runs once per
-    // corpus no matter how many views compose over it.
-    "q_dedup_containment_survivors" -> { (s, dir) =>
-      Dedup.containmentSurvivors(Tables.load(s, dir, "documents"),
-        "text", "doc_id", n = 3, threshold = 0.6,
-        precomputedPairs = Some(containmentPairsAtRest(s, dir)))
-        .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id")
-    },
-
-    // Same pairs through the MinHash+banded-LSH sketch path, exact-
-    // Jaccard verified. r=4/b=32 (not r=2): this corpus's baseline
-    // similarity is high enough that 2-row bands bucket nearly every
-    // doc pair; 4-row bands cut candidates ~50× while the planted
-    // dupes (Jaccard ≥ 0.97) are missed with probability
-    // (1-0.97⁴)³² ≈ 1e-30 — the brute-force oracle stays safe.
-    "q_dedup_minhash" -> { (s, dir) =>
-      MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        n = 3, threshold = 0.5, bands = 32, rows = 4)
-        .orderBy("id_a", "id_b")
-    },
-
-    // SimHash near-dups: 64-bit md5-prefix signature, q-of-m
-    // pigeonhole-blocked exact Hamming search. Oracle-checked (the
-    // md5 token hash is DuckDB-reproducible); SimHashSpec additionally
-    // pins the blocked join against brute force.
-    "q_dedup_simhash" -> { (s, dir) =>
-      SimHash.nearDupPairs(Tables.load(s, dir, "documents"), "text", "doc_id",
-        maxDist = 7)
-        .orderBy("id_a", "id_b")
-    },
-
-    // Incremental dedup against an AT-REST fingerprint index: corpus
-    // (doc_id % 10 ≠ 3) written once as a table bucketed+sorted by
-    // fingerprint; the arriving batch (doc_id % 10 = 3) dedups
-    // within-batch then anti-joins the index — the index side is read
-    // in bucket layout with no Exchange (asserted in DedupSpec), so at
-    // 100 TB the historical corpus never reshuffles per batch.
-    "q_dedup_incr" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      Dedup.writeFingerprintIndex(d.filter(col("doc_id") % 10 =!= 3),
-        "text", "doc_id", "graft_fp_idx_q", buckets = 32)
-      Dedup.incrementalSurvivors(d.filter(col("doc_id") % 10 === 3),
-        "text", "doc_id", "graft_fp_idx_q")
-        .select("doc_id")
-        .orderBy("doc_id")
-    },
-
-    // Incremental NEAR-dup dedup against an AT-REST MinHash band
-    // index — the sketch-index twin of q_dedup_incr: corpus
-    // (doc_id % 10 ≠ 3) sketched once into (band-signature, id, size)
-    // rows bucketed by signature; the arriving batch probes the index,
-    // only candidate-matched corpus docs are re-read for exact-Jaccard
-    // verification, and near-dup batch rows drop. Recall-safe params
-    // (b=64, r=2: a 0.5-similar pair missed w.p. ≈1e-8), so the LSH
-    // path faces the exhaustive oracle.
-    "q_dedup_incr_minhash" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      val corpus = d.filter(col("doc_id") % 10 =!= 3)
-      MinHashLsh.writeBandIndex(corpus, "text", "doc_id",
-        "graft_mh_idx_q", n = 3, bands = 64, rows = 2, buckets = 32)
-      MinHashLsh.incrementalNearDupSurvivors(
-        d.filter(col("doc_id") % 10 === 3), "text", "doc_id",
-        corpus, "graft_mh_idx_q", n = 3, threshold = 0.5,
-        bands = 64, rows = 2)
-        .select("doc_id")
-        .orderBy("doc_id")
-    },
-
-    // STREAMING incremental dedup under the oracle: the held-out batch
-    // (doc_id % 10 = 3) arrives as a STREAM, passes the stateful
-    // first-arrival dropDuplicates and the per-micro-batch stream-
-    // static anti-join against the at-rest bucketed fingerprint index,
-    // and the collected append-mode sink faces the oracle. Output is
-    // the surviving FINGERPRINT set: which row represents a
-    // within-batch duplicate group is arrival-order-dependent (the
-    // streaming contract), but the surviving fp SET is deterministic.
-    "q_stream_dedup" -> { (s, dir) =>
-      val d = Tables.load(s, dir, "documents")
-      Dedup.writeFingerprintIndex(d.filter(col("doc_id") % 10 =!= 3),
-        "text", "doc_id", "graft_fp_idx_qs", buckets = 32)
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamd_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$dir/documents.parquet"))
-      val stream = s.readStream.schema(d.schema).parquet(srcDir.toString)
-        .filter(col("doc_id") % 10 === 3)
-      val surv = Dedup.incrementalStreamSurvivors(stream, "text", "graft_fp_idx_qs")
-        .select(TextFunctions.fingerprint(col("text")).as("fp"))
-      val qname = "graft_stream_dedup_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamd_ckpt").toString
-      // AvailableNow (not the deprecated Trigger.Once): the run may
-      // split into several micro-batches, which an APPEND sink absorbs
-      // naturally — dropDuplicates state spans batches, so the
-      // surviving-fp SET is identical however the files are batched.
-      val query = surv.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.awaitTermination()
-      s.table(qname).orderBy("fp")
-    },
-
-    // STREAMING CDC APPLY — the foreachBatch idempotent-merge sink
-    // (the Delta-style MERGE INTO loop without a table format): event
-    // updates arrive as a stream in FORCED multiple micro-batches
-    // (maxFilesPerTrigger=1 over a day-partitioned copy), and each
-    // batch read-merges-overwrites the target via latest-wins.
-    // Latest-wins over unique versions is associative+commutative, so
-    // the FINAL table is independent of batch boundaries — exactly
-    // the idempotence a restart-safe sink needs; the oracle is the
-    // plain one-shot window over all updates.
-    "q_stream_upsert" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val tmp = System.getProperty("java.io.tmpdir")
-      val srcPath = s"$tmp/graft_streamup_src_$tag"
-      val tgtPath = s"$tmp/graft_streamup_tgt_$tag"
-      // Day-keyed 4-file copy: maxFilesPerTrigger=1 then forces 4
-      // genuine incremental merges (31 single-day batches would be
-      // pure harness overhead).
-      Tables.loadEvents(s, dir)
-        .select(col("user_id"), col("event_id").as("version"),
-          round(col("value"), 2).as("value"),
-          dayofmonth(col("ts")).as("d"))
-        .repartition(4, col("d"))
-        .write.mode("overwrite").parquet(srcPath)
-      val fs = new org.apache.hadoop.fs.Path(tgtPath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(tgtPath), true)
-      val sch = s.read.parquet(srcPath).schema
-      val stream = s.readStream.schema(sch)
-        .option("maxFilesPerTrigger", 1).parquet(srcPath)
-        .select("user_id", "version", "value")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamup_ckpt").toString
-      val query = stream.writeStream
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val cur =
-            if (fs.exists(new org.apache.hadoop.fs.Path(tgtPath)))
-              s.read.parquet(tgtPath)
-            else batch.limit(0)
-          val merged = graft.operators.Upsert.latestWins(
-            cur, batch, Seq("user_id"), "version")
-          // Write-then-swap (never overwrite the directory being
-          // read, never collect the table): the snapshot-isolation
-          // move a real table format does with a manifest.
-          val next = new org.apache.hadoop.fs.Path(tgtPath + "_next")
-          merged.write.mode("overwrite").parquet(next.toString)
-          fs.delete(new org.apache.hadoop.fs.Path(tgtPath), true)
-          fs.rename(next, new org.apache.hadoop.fs.Path(tgtPath))
-          ()
-        }
-        .start()
-      query.awaitTermination()
-      s.read.parquet(tgtPath)
-        .select("user_id", "version", "value")
-        .orderBy("user_id")
-    },
-
-    // SUBSTRING-level exact dedup (Lee et al. ACL'22 mode): maximal
-    // token spans repeated verbatim anywhere in the corpus — the
-    // shared-boilerplate-inside-distinct-documents case document-level
-    // dedup can't see. 5-token windows, fingerprint groupBy marks
-    // windows with >= 2 occurrences corpus-wide, gaps-and-islands
-    // window merges consecutive duplicated starts into maximal spans,
-    // >= 8 tokens reported (graft.dedup.SubstrDedup).
-    "q_dedup_substr" -> { (s, dir) =>
-      SubstrDedup.duplicatedSpans(Tables.load(s, dir, "documents"),
-        "text", "doc_id", n = 5, minSpanTokens = 8)
-        // int positions → long: DuckDB range()/min/max are BIGINT and
-        // the driver's compare is dtype-strict.
-        .select(col("doc_id"), col("span_start").cast("long"),
-          col("span_end").cast("long"), col("span_tokens").cast("long"))
-        .orderBy("doc_id", "span_start")
-    },
-
-    // The STRIP half of substring dedup under the oracle: every
-    // occurrence of a duplicated span removed, docs without spans pass
-    // through byte-identical (original whitespace/case), compared by
-    // md5 of the resulting text.
-    "q_dedup_substr_strip" -> { (s, dir) =>
-      SubstrDedup.withoutDuplicatedSpans(Tables.load(s, dir, "documents"),
-        "text", "doc_id", n = 5, minSpanTokens = 8)
-        .select(col("doc_id"), md5(col("text")).as("stripped_fp"))
-        .orderBy("doc_id")
-    },
-
-    // Cluster resolution: MinHash near-dup PAIRS → connected components
-    // (alternating large-star/small-star, O(log n) keyed rounds) →
-    // (doc, component-min) labels. The stage between "a≈b" and "keep
-    // one per duplicate set"; oracle recomputes the pairs brute-force
-    // and closes them transitively with a recursive CTE.
-    "q_dedup_clusters" -> { (s, dir) =>
-      val pairs = MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
-        "text", "doc_id", n = 3, threshold = 0.5, bands = 32, rows = 4)
-      Clusters.connectedComponents(pairs, "id_a", "id_b")
-        .orderBy("id")
-    },
-
-    // Dedup audit: duplicate-cluster size histogram over the MinHash
-    // components — the first sanity check on any dedup run (a few huge
-    // clusters = boilerplate, not duplication).
-    "q_cluster_stats" -> { (s, dir) =>
-      val pairs = MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
-        "text", "doc_id", n = 3, threshold = 0.5, bands = 32, rows = 4)
-      Clusters.sizeHistogram(Clusters.connectedComponents(pairs, "id_a", "id_b"))
-        .orderBy("csize")
-    },
-
-    // Embedding-cosine near-dup dedup end to end: exact cosine pairs
-    // (label-blocked) → components → keep the min vec_id per cluster,
-    // vectors in no pair survive untouched. One anti-join against the
-    // loser set; the corpus itself is never reshuffled.
-    "q_dedup_embed" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val pairs = VectorSim.cosinePairs(e, "embedding", "vec_id", "label",
-        threshold = 0.3)
-      Clusters.survivors(e.select("vec_id", "label"), "vec_id", pairs, "id_a", "id_b")
-        .orderBy("vec_id")
-    },
-
-    // The registered SQL-function surface end to end under the oracle
-    // gate: a pure spark.sql query through graft_doc_profile — the
-    // fingerprint/token-count/quality/lang-id quartet fused into ONE
-    // scan kernel (graft.text.DocProfileExpr; the four individual
-    // functions each re-tokenize, ~12 regex passes per row — they
-    // remain registered for à-la-carte use and GraftFunctionsSpec pins
-    // kernel ≡ singles). Same output schema and oracle as the
-    // four-function form it replaced; only the pass count changed.
-    "q_sql_functions" -> { (s, dir) =>
-      graft.sql.GraftFunctions.register(s)
-      Tables.load(s, dir, "documents").createOrReplaceTempView("graft_docs_fn")
-      s.sql(
-        """SELECT doc_id, p.fp AS fp, p.n_tokens AS n_tokens,
-          |  p.quality AS quality, p.lang_pred AS lang_pred
-          |FROM (SELECT doc_id, graft_doc_profile(text) AS p FROM graft_docs_fn)
-          |ORDER BY doc_id""".stripMargin)
-    },
-
-    // ---- embedding similarity over `embeddings` -----------------------
-
-    // Exact top-10 cosine neighbors of vec 0: one scan +
-    // TakeOrderedAndProject; the query vector is a plan literal.
-    "q_knn" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      VectorSim.topK(e, "embedding", q, k = 10, tieBreak = "vec_id")
-        .select("vec_id", "label", "score")
-    },
-
-    // INT8 SCALAR QUANTIZATION tier (the FAISS-SQ8 production
-    // technique): per-dimension [min,max] from ONE stats pass, every
-    // vector re-coded to [-127,127] ints, and serving runs on EXACT
-    // INTEGER dot products — 4× smaller at rest and no float
-    // accumulation order anywhere in the score. The recall audit joins
-    // the quantized top-10 against the exact float-cosine top-10
-    // (self excluded on both sides): `in_exact` per row is the
-    // quality-vs-compression tradeoff made measurable, the q_ann_recall
-    // discipline applied to quantization instead of partitioning.
-    "q_ann_sq8" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val ev = e.select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("i", "xf")))
-        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
-      val mm = ev.groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
-      val codes = ev.join(broadcast(mm), "i")
-        .select(col("vec_id"), col("i"),
-          (when(col("hi") > col("lo"),
-            round((col("x") - col("lo")) / (col("hi") - col("lo")) * 254, 0))
-            .otherwise(lit(0.0)).cast("long") - 127).as("c"))
-      val qc = codes.filter(col("vec_id") === 0)
-        .select(col("i"), col("c").as("qc"))
-      val quantTop = codes.filter(col("vec_id") =!= 0)
-        .join(broadcast(qc), "i")
-        .groupBy("vec_id").agg(sum(col("c") * col("qc")).as("dot"))
-        .agg(graft.stats.TopK.topK(
-          struct(col("dot").as("d"), (-col("vec_id")).as("nid")), 10)
-          .as("top"))
-        .select(posexplode(col("top")).as(Seq("p", "v")))
-        .select((col("p") + 1).cast("int").as("rank"),
-          (-col("v.nid")).as("vec_id"), col("v.d").as("dot"))
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      val exact10 = VectorSim.topK(e, "embedding", q, k = 11,
-          tieBreak = "vec_id")
-        .filter(col("vec_id") =!= 0)
-        .orderBy(col("score").desc, col("vec_id")).limit(10)
-        .select(col("vec_id"), lit(true).as("in_exact"))
-      quantTop.join(broadcast(exact10), Seq("vec_id"), "left")
-        .select(col("rank"), col("vec_id"), col("dot"),
-          coalesce(col("in_exact"), lit(false)).as("in_exact"))
-        .orderBy("rank")
-    },
-
-    // MATRYOSHKA (MRL) PREFIX-DIM serving tier: top-10 by the FIRST 16
-    // of 64 dimensions, int8-quantized — the embedding-truncation
-    // trade every MRL deployment makes (4× less compute/IO per probe)
-    // — audited in-plan against the exact full-dim cosine top-10 (the
-    // q_ann_sq8 recall discipline applied to dimension truncation
-    // instead of quantization). Prefix stats, codes, and integer dots
-    // never touch dims ≥ 16, so the serving scan reads a quarter of
-    // the vector bytes at rest.
-    "q_ann_mrl" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val pfx = 16
-      val ev = e.select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("i", "xf")))
-        .filter(col("i") < pfx)
-        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
-      val mm = ev.groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
-      val codes = ev.join(broadcast(mm), "i")
-        .select(col("vec_id"), col("i"),
-          (when(col("hi") > col("lo"),
-            round((col("x") - col("lo")) / (col("hi") - col("lo")) * 254, 0))
-            .otherwise(lit(0.0)).cast("long") - 127).as("c"))
-      val qc = codes.filter(col("vec_id") === 0)
-        .select(col("i"), col("c").as("qc"))
-      val prefixTop = codes.filter(col("vec_id") =!= 0)
-        .join(broadcast(qc), "i")
-        .groupBy("vec_id").agg(sum(col("c") * col("qc")).as("dot"))
-        .agg(graft.stats.TopK.topK(
-          struct(col("dot").as("d"), (-col("vec_id")).as("nid")), 10)
-          .as("top"))
-        .select(posexplode(col("top")).as(Seq("p", "v")))
-        .select((col("p") + 1).cast("int").as("rank"),
-          (-col("v.nid")).as("vec_id"), col("v.d").as("dot"))
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      val exact10 = VectorSim.topK(e, "embedding", q, k = 11,
-          tieBreak = "vec_id")
-        .filter(col("vec_id") =!= 0)
-        .orderBy(col("score").desc, col("vec_id")).limit(10)
-        .select(col("vec_id"), lit(true).as("in_exact"))
-      prefixTop.join(broadcast(exact10), Seq("vec_id"), "left")
-        .select(col("rank"), col("vec_id"), col("dot"),
-          coalesce(col("in_exact"), lit(false)).as("in_exact"))
-        .orderBy("rank")
-    },
-
-    // Greedy k-CENTER CORESET (Gonzalez farthest-point): 6 maximally
-    // spread exemplars of the embedding corpus — the diversity-
-    // sampling step of training-data curation (2-approx k-center
-    // cover; seeds diverse finetuning subsets and tail-covering IVF
-    // quantizers). Exact integer squared-L2 over one-pass int8
-    // quantization (the q_ann_sq8 recipe): every selection and
-    // tie-break replays bit-for-bit in SQL. k narrow map+agg rounds
-    // over a cached codes frame — no shuffle per round
-    // (graft.sim.Coreset; scalar-replica equivalence in CoresetSpec).
-    "q_coreset" -> { (s, dir) =>
-      graft.sim.Coreset.kCenters(Tables.load(s, dir, "embeddings"),
-        "embedding", "vec_id", k = 6).orderBy("round")
-    },
-
-    // IR EVALUATION of the lexical serving stack: MRR, P@10,
-    // recall@20 and nDCG@10 of the BM25 top-20 against graded
-    // relevance planted as "distinct query terms present" (0..3 —
-    // exactly replayable, no human qrels needed). The ranked list
-    // comes from the bounded TopK aggregate; the IDEAL ranking for
-    // nDCG needs no sort at all — it's a closed form over the three
-    // grade counts crossed with positions 1..10. The judge-every-
-    // retrieval-change discipline, in-plan.
-    "q_ir_eval" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val terms = Seq("spark", "sort", "hash")
-      val relExpr = terms.map(t =>
-        when(array_contains(TextFunctions.tokens(col("text")), t), 1)
-          .otherwise(0)).reduce(_ + _)
-      val rel = docs.filter(col("text").isNotNull)
-        .select(col("doc_id"), relExpr.as("rel"))
-        .filter(col("rel") > 0)
-      val ranked = Bm25.score(docs, "text", "doc_id", terms)
-        .agg(graft.stats.TopK.topK(
-          struct(col("score").as("s"), (-col("doc_id")).as("nid")), 20)
-          .as("top"))
-        .select(posexplode(col("top")).as(Seq("p", "v")))
-        .select((col("p") + 1).cast("int").as("rank"),
-          (-col("v.nid")).as("doc_id"))
-      val judged = ranked.join(rel, Seq("doc_id"), "left")
-        .select(col("rank"), coalesce(col("rel"), lit(0)).as("rel"))
-      val m = judged.agg(
-        round(max(when(col("rel") >= 2, lit(1.0) / col("rank"))
-          .otherwise(lit(0.0))), 6).as("mrr"),
-        sum(when(col("rank") <= 10 && col("rel") > 0, 1L).otherwise(0L))
-          .as("p10_hits"),
-        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("rel_retrieved"),
-        round(sum(when(col("rank") <= 10,
-          (pow(lit(2.0), col("rel")) - 1.0) / log2(col("rank") + 1))
-          .otherwise(lit(0.0))), 6).as("dcg10"))
-      val gc = rel.agg(
-        sum(when(col("rel") === 3, 1L).otherwise(0L)).as("n3"),
-        sum(when(col("rel") === 2, 1L).otherwise(0L)).as("n2"),
-        sum(when(col("rel") === 1, 1L).otherwise(0L)).as("n1"))
-      val ideal = gc
-        .select(explode(sequence(lit(1), lit(10))).as("r"),
-          col("n3"), col("n2"), col("n1"))
-        .select(col("r"), when(col("r") <= col("n3"), 3)
-          .when(col("r") <= col("n3") + col("n2"), 2)
-          .when(col("r") <= col("n3") + col("n2") + col("n1"), 1)
-          .otherwise(0).as("g"))
-        .agg(round(sum((pow(lit(2.0), col("g")) - 1.0)
-          / log2(col("r") + 1)), 6).as("idcg10"))
-      m.crossJoin(ideal)
-        .crossJoin(gc.select(
-          (col("n3") + col("n2") + col("n1")).as("n_relevant")))
-        .select(col("n_relevant"), col("mrr"), col("p10_hits"),
-          col("rel_retrieved"),
-          round(col("rel_retrieved").cast("double") / col("n_relevant"), 6)
-            .as("recall20"),
-          col("dcg10"), col("idcg10"),
-          round(col("dcg10") / col("idcg10"), 6).as("ndcg10"))
-    },
-
-    // Hybrid retrieval with reciprocal-rank fusion (the RAG-serving
-    // standard): the BM25 lexical list and the cosine vector list for
-    // one query, fused by Σ 1/(60 + rank) over the lists a doc appears
-    // in, top-20. Ranks come from the bounded top-k aggregate (round-10
-    // directive #4), NOT `row_number() OVER (ORDER BY score)`: the BM25
-    // frame holds EVERY doc containing a query term, so the window form
-    // single-partition-sorts a df-scaled frame before its `<= 50` trim,
-    // while TopKAgg carries ≤ 50 (score, -doc_id) structs per partial
-    // buffer anywhere in the exchange. posexplode of the descending
-    // array IS the rank (struct order = score desc, doc_id asc — the
-    // negated id flips the tiebreak). RrfFusionSpec pins plan shape
-    // (zero Window operators) and rank semantics vs the window form.
-    "q_rrf_fusion" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-      val e = Tables.load(s, dir, "embeddings")
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      def ranked(scored: DataFrame, rankCol: String): DataFrame =
-        scored
-          .agg(graft.stats.TopK.topK(
-            struct(col("score").as("s"), (-col("doc_id")).as("nid")), 50)
-            .as("top"))
-          .select(posexplode(col("top")).as(Seq("p", "v")))
-          .select((-col("v.nid")).as("doc_id"),
-            (col("p") + 1).cast("int").as(rankCol))
-      val lex = ranked(
-        Bm25.score(docs, "text", "doc_id", Seq("spark", "sort", "hash"))
-          .select(col("doc_id"), col("score")), "r_lex")
-      val vec = ranked(
-        VectorSim.topK(e, "embedding", qv, k = 50, tieBreak = "vec_id")
-          .select(col("vec_id").as("doc_id"), col("score")), "r_vec")
-      lex.join(vec, Seq("doc_id"), "full_outer")
-        .select(col("doc_id"),
-          round(coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0))
-            + coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)), 6)
-            .as("rrf"),
-          col("r_lex"), col("r_vec"))
-        .orderBy(col("rrf").desc, col("doc_id").asc)
-        .limit(20)
-    },
-
-    // Exact cosine near-dup pairs blocked by label (quadratic only
-    // inside a label block — sharded-GEMM shape).
-    "q_cosine_pairs" -> { (s, dir) =>
-      VectorSim.cosinePairs(Tables.load(s, dir, "embeddings"),
-        "embedding", "vec_id", "label", threshold = 0.3)
-        .orderBy("id_a", "id_b")
-    },
-
-    // Approximate variant: md5-seeded sparse-Achlioptas sign-LSH
-    // buckets + exact verification. The plane construction is
-    // integer-exact and replayed by the DuckDB oracle, so the bucket
-    // assignment — and therefore the candidate set — is identical on
-    // both sides; recall additionally pinned on planted near-dups in
-    // AnnLshSpec.
-    "q_ann_pairs" -> { (s, dir) =>
-      AnnLsh.nearNeighborPairs(Tables.load(s, dir, "embeddings"),
-        "embedding", "vec_id", dim = 64, threshold = 0.3,
-        bits = 8, tables = 8)
-        .orderBy("id_a", "id_b")
-    },
-
-    // IVF-Flat: hash-random coarse quantizer (16 lists, md5-picked
-    // member centroids — SQL-reproducible, no Lloyd iterations), probe
-    // the query's 4 nearest lists, exact cosine top-10 on just those
-    // candidates. The partition-pruning ANN layout, vs q_ann_pairs'
-    // sign-LSH (graft.sim.IvfFlat).
-    "q_ann_ivf" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      IvfFlat.topK(e, "embedding", "vec_id", q, k = 10, nLists = 16, nProbe = 4)
-        .select("vec_id", "label", "score")
-    },
-
-    // BATCH top-k: 5 query vectors against the whole corpus in ONE
-    // scan — queries broadcast, scoring codegen'd, and the per-query
-    // limit planned as WindowGroupLimit so each task pre-trims to its
-    // local top k before the qid shuffle (plan-asserted in
-    // VectorSimSpec). The serving shape when lookups amortize a pass.
-    "q_knn_batch" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      VectorSim.topKBatch(e, "embedding", queries, "qid", "qv", k = 5, tieBreak = "vec_id")
-        .select("qid", "vec_id", "label", "score", "rank")
-        .orderBy("qid", "rank")
-    },
-
-    // The IVF SERVING path: build the at-rest index once
-    // (partitionBy("list") parquet + centroid sidecar), then answer the
-    // query by reading ONLY the 4 probed list-partitions — the list
-    // filter lands in the scan's PartitionFilters (asserted in
-    // IvfFlatSpec), so per-query cost is nProbe/nLists of the corpus
-    // with no assignment pass. Same centroids/assignment/probe as
-    // q_ann_ivf, hence the same oracle.
-    "q_ann_ivf_index" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_ivf_index_" + stageTag(dir)
-      IvfFlat.writeIndex(e, "embedding", "vec_id", nLists = 16, path)
-      IvfFlat.topKIndexed(s, path, "embedding", "vec_id", q, k = 10, nProbe = 4)
-        .select("vec_id", "label", "score")
-    },
-
-    // INCREMENTAL index maintenance: build the index from the base
-    // 3/4 of the corpus, then APPEND the remaining quarter by routing
-    // it to the existing centroid lists (IvfFlat.appendToIndex — one
-    // assignment pass over the delta + a partitioned append; the
-    // at-rest base never reshuffles, the sidecar never changes).
-    // Serving then reads the merged lists through the unchanged probe
-    // path. The oracle replays the same algebra: centroids sampled
-    // from the BASE only, every vector (base + delta) assigned to its
-    // nearest, query probes 4 lists, candidates exact-scored — i.e.
-    // index+delta serving ≡ a rebuild with the base centroids.
-    "q_ann_ivf_incr" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
-      val delta = e.filter(pmod(col("vec_id"), lit(4)) === 0)
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_ivf_incr_" + stageTag(dir)
-      IvfFlat.writeIndex(base, "embedding", "vec_id", nLists = 16, path)
-      IvfFlat.appendToIndex(s, delta, "embedding", "vec_id", path)
-      IvfFlat.topKIndexed(s, path, "embedding", "vec_id", q, k = 10, nProbe = 4)
-        .select("vec_id", "label", "score")
-    },
-
-    // BATCH serving through the index: 5 queries answered in ONE pass
-    // over the union of their probed list-partitions — broadcast
-    // (qid,list) routing, scoring fan-out bounded by probed lists, same
-    // WindowGroupLimit top-k as q_knn_batch. The IVF analog of q_knn_batch.
-    "q_ann_ivf_batch" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val path = System.getProperty("java.io.tmpdir") +
-        "/graft_ivf_index_" + stageTag(dir)
-      IvfFlat.writeIndex(e, "embedding", "vec_id", nLists = 16, path)
-      val queries = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      IvfFlat.topKIndexedBatch(s, path, "embedding", "vec_id",
-        queries, "qid", "qv", k = 5, nProbe = 4)
-        .select("qid", "vec_id", "label", "score", "rank")
-        .orderBy("qid", "rank")
-    },
-
-    // PRODUCT QUANTIZATION (Jégou PAMI'11): 4 independent 8-centroid
-    // sub-quantizers (KMeans per 16-dim slice), vectors stored as
-    // 4 codes, query answered by ADC — one (m × k) driver-side lookup
-    // table, then m table lookups per candidate, no decompression.
-    // 256 bytes → 4 per vector: the embedding-corpus-in-memory tier
-    // for 100 TB serving (graft.sim.ProductQuantizer).
-    "q_ann_pq" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      val model = ProductQuantizer.fit(e, "embedding", "vec_id",
-        dim = 64, m = 4, k = 8, iters = 1)
-      ProductQuantizer.topKAdc(e, "embedding", "vec_id", model, q, k = 10)
-        .select("vec_id", "label", "adc")
-    },
-
-    // IVF-PQ: the COMPOSED serving layout (FAISS IndexIVFPQ shape) —
-    // coarse quantizer routes to 4 of 16 lists, candidates score from
-    // their 4-byte PQ codes by ADC. Routing prunes the read, PQ
-    // shrinks the bytes; raw-vector codes (one code book), the
-    // documented simplification vs per-list residuals
-    // (graft.sim.IvfPq).
-    "q_ann_ivfpq" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      IvfPq.topK(e, "embedding", "vec_id", dim = 64, q, k = 10)
-        .select("vec_id", "label", "adc")
-    },
-
-    // The AT-REST composed index: rows live in list=<r> partition
-    // directories carrying their 4-byte PQ code INSTEAD of the raw
-    // vector (the vector column does not exist at rest); a probe reads
-    // only its 4 lists' codes and ADC-scores them from the sidecar
-    // code book. Same codes as q_ann_ivfpq → same oracle; the layout
-    // is the difference (pruning + equivalence pinned in spec).
-    "q_ann_ivfpq_index" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_idx").toString
-      IvfPq.writeIndex(e, "embedding", "vec_id", dim = 64, path)
-      IvfPq.topKIndexed(s, path, "vec_id", q, k = 10)
-        .select("vec_id", "label", "adc")
-    },
-
-    // IVF-PQ with RESIDUAL encoding (Jégou §IV.B — what serving stacks
-    // default to): codes quantize v − centroid(list(v)) under ONE
-    // shared code book trained on residuals; ADC tables are built per
-    // probed list from the query's residual against that list. Same
-    // bytes as q_ann_ivfpq, strictly better accuracy on clustered data
-    // (A/B in ProductQuantizerSpec). The oracle replays the coarse
-    // assignment, the residual subtraction, the per-subspace Lloyd
-    // chains over residual slices, and the per-list ADC tail.
-    "q_ann_ivfpq_res" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      IvfPq.topKResidual(e, "embedding", "vec_id", dim = 64, q, k = 10)
-        .select("vec_id", "label", "adc")
-    },
-
-    // The TRAINED-quantizer IVF path end to end: same probe/score as
-    // q_ann_ivf but with centroids refined by 2 Lloyd rounds
-    // (trainIters) — the oracle replays the full centroid history
-    // (kmeansCtes at salt "ivf") before routing. Empty-cluster rank
-    // re-densification is order-preserving, so probe sets and
-    // tie-breaks agree across the relabeling.
-    "q_ann_ivf_trained" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>")).head()
-        .getSeq[Double](0).toArray
-      IvfFlat.topK(e, "embedding", "vec_id", q, k = 10, nLists = 16, nProbe = 4,
-        trainIters = 2)
-        .select("vec_id", "label", "score")
-    },
-
-    // Deterministic distributed k-means (graft.sim.KMeans): md5-seeded
-    // init, 2 Lloyd refinement rounds with per-round centroid rounding
-    // (the cross-engine contract), final assignment pass. Per round:
-    // one centroid broadcast + one mapPartitions with mergeable
-    // per-cluster (sum, count) partials — shuffle moves k×partitions
-    // records, never data rows. The trained quantizer behind IVF
-    // (trainIters) and semantic dedup.
-    "q_kmeans" -> { (s, dir) =>
-      KMeans.assignments(Tables.load(s, dir, "embeddings"),
-        "embedding", "vec_id", k = 8, iters = 2, salt = "km")
-        .select(col("vec_id"), col("cluster").cast("long"))
-        .orderBy("vec_id")
-    },
-
-    // Hashing-trick vectorizer (the fastText input layer): token →
-    // md5-prefix-60 mod 256, (doc, bucket, tf) long form — NO
-    // vocabulary state, post-shuffle key space capped at D regardless
-    // of corpus size (graft.text.FeatureHash).
-    "q_feature_hash" -> { (s, dir) =>
-      graft.text.FeatureHash.hashedCounts(
-        Tables.load(s, dir, "documents"), "text", "doc_id", dims = 256)
-        .orderBy("doc_id", "bucket")
-    },
-
-    // Deterministic PCA (top principal component) by power iteration
-    // over the embedding cloud — dominant-direction diagnostics /
-    // whitening input. One aggregation per iteration, d doubles of
-    // driver state; every rounded intermediate fed by an EXACT
-    // decimal sum (graft.sim.Pca; oracle unrolls both iterations).
-    "q_pca" -> { (s, dir) =>
-      graft.sim.Pca.topComponent(Tables.load(s, dir, "embeddings"),
-        "embedding", "vec_id", iters = 2)
-        .orderBy("j")
-    },
-
-    // SemDedup-style SEMANTIC dedup (Abbas et al. '23 shape): k-means
-    // clusters as the blocking key, exact cosine pairs only within a
-    // cluster (quadratic only inside a block), connected components,
-    // keep-min-id survivors. Composes KMeans.assignments +
-    // VectorSim.cosinePairs + Clusters.survivors — the all-pairs-free
-    // near-dup path when there is no natural block key in the data.
-    "q_dedup_semantic" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val assigned = KMeans.assignments(e, "embedding", "vec_id",
-        k = 8, iters = 2, salt = "km")
-      val pairs = VectorSim.cosinePairs(assigned, "embedding", "vec_id",
-        "cluster", threshold = 0.3)
-      Clusters.survivors(e.select("vec_id", "label"), "vec_id",
-        pairs, "id_a", "id_b")
-        .orderBy("vec_id")
-    },
-
-    // Cluster topic labeling (the BERTopic c-TF-IDF shape): k-means
-    // blocks over document embeddings (the q_kmeans deterministic
-    // contract, vec_id ≡ doc_id), then each cluster's top-3 tokens by
-    // cluster-term-frequency × the q_tfidf smoothed idf — the "what
-    // IS this cluster" audit a curation pass runs after semantic
-    // grouping. One token explode + two keyed aggs + a per-cluster
-    // WindowGroupLimit; the only driver state is k-means' k×d
-    // centroids.
-    "q_cluster_topics" -> { (s, dir) =>
-      val e = Tables.load(s, dir, "embeddings")
-      val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
-      val n = docs.count()
-      val assigned = KMeans.assignments(e, "embedding", "vec_id",
-        k = 8, iters = 2, salt = "km")
-        .select(col("vec_id").as("doc_id"), col("cluster").cast("long").as("cluster"))
-      val toks = docs
-        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
-      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
-      val ctf = toks.join(assigned, "doc_id")
-        .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
-      val w = Window.partitionBy(col("cluster"))
-        .orderBy(col("score").desc, col("term").asc)
-      ctf.join(dfreq, "term")
-        .withColumn("score",
-          round(col("tf") * (log(lit(1.0 + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .select(col("cluster"), col("term"), col("score"), col("rank"))
-        .orderBy("cluster", "rank")
-    },
-
-    // ---- events: windows, JSON, grouped skyline -----------------------
-
-    // Tumbling 1-day windowed aggregation per event type.
-    "q_events_window" -> { (s, dir) =>
-      Tables.loadEvents(s, dir)
-        .groupBy(col("event_type"),
-          // day as a plain string: DATE parquet surfaces as python
-          // date objects vs DuckDB's datetime64 — same values, unequal
-          // types under a strict compare.
-          date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        .agg(count(lit(1)).as("n"),
-          round(sum(col("value")), 6).as("sum_value"),
-          round(avg(col("value")), 6).as("avg_value"))
-        .orderBy("event_type", "day")
-    },
-
-    // JSON property extraction + aggregation over the `props` column.
-    "q_json" -> { (s, dir) =>
-      Tables.loadEvents(s, dir)
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
-        .groupBy(col("event_type"))
-        .agg(count(col("k")).as("n"),
-          round(avg(col("k")), 6).as("avg_k"),
-          min(col("k")).as("min_k"),
-          max(col("k")).as("max_k"))
-        .orderBy("event_type")
-    },
-
-    // Per-(event_type, day) skyline: highest-value, earliest events —
-    // the grouped skyline operator (map-side partial + one keyed
-    // shuffle; see SkylineOp.grouped).
-    "q_skyline_events" -> { (s, dir) =>
-      val e = Tables.loadEvents(s, dir)
-        .select("event_id", "event_type", "value", "ts") // prune before the opaque op
-        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      SkylineOp.grouped(e,
-        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))),
-        Seq("event_type", "day"))
-        .select("event_type", "day", "event_id", "value")
-        .orderBy("event_type", "day", "event_id")
-    },
-
-    // The windowed-streaming mirror: SkylineOp.grouped over tumbling
-    // `window(ts, '1 day')` — exactly what StreamingSkyline computes
-    // incrementally per group (the foreachBatch windowed variant named
-    // in its scaladoc). StreamingSkylineSpec's batch-replay test is the
-    // streaming↔batch bridge; this entry anchors the batch half to the
-    // DuckDB oracle.
-    "q_skyline_stream_window" -> { (s, dir) =>
-      // ACTUAL Structured Streaming execution, not a batch mirror: the
-      // events parquet is read through readStream, folded by the
-      // flatMapGroupsWithState running skyline (StreamingSkyline
-      // .attach, keyed by event_type × day window), written to a
-      // memory sink, and the COLLECTED SINK is what faces the oracle.
-      // Trigger.AvailableNow may split the files across micro-batches,
-      // so each group's skyline can be emitted several times into the
-      // update-mode sink; attach's VERSION column (incremented per
-      // re-emission) lets the collection keep exactly each group's
-      // LATEST version — batch-id-aware collection instead of the
-      // deprecated Trigger.Once single-batch guarantee.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      // The file streaming source requires a DIRECTORY; the fixture is
-      // a single file. Stage it behind a symlink in a temp dir (a real
-      // deployment points at the landing directory itself).
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .select("event_id", "event_type", "value", "ts")
-        .withColumn("win", window(col("ts"), "1 day"))
-        .withColumn("win_start", date_format(col("win.start"), "yyyy-MM-dd"))
-        .drop("win")
-        .withColumn("gkey", concat_ws("|", col("event_type"), col("win_start")))
-      val sky = graft.streaming.StreamingSkyline.attach(stream,
-        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))), "gkey",
-        versionCol = Some("__ver"))
-      val qname = "graft_stream_sky_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_stream_ckpt").toString
-      val query = sky.writeStream.format("memory").queryName(qname)
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.awaitTermination()
-      // Keep each group's LATEST emitted version (stale earlier
-      // versions from prior micro-batches drop out).
-      val wv = Window.partitionBy(col("gkey"))
-      s.table(qname)
-        .withColumn("__mx", max(col("__ver")).over(wv))
-        .filter(col("__ver") === col("__mx"))
-        .select("event_type", "win_start", "event_id", "value")
-        .orderBy("event_type", "win_start", "event_id")
-    },
-
-    // The WATERMARK-CLOSED windowed streaming skyline under the oracle:
-    // attachWindowed's append/EventTimeTimeout path executed for real.
-    // One data micro-batch advances the watermark to max(ts) (delay 0);
-    // the engine's subsequent NO-DATA micro-batch (noDataMicroBatches,
-    // on by default) fires the timeouts of every window whose end the
-    // watermark passed, emitting each closed window's FINAL skyline
-    // exactly once. The last (still-open) day never emits — the oracle
-    // applies the same win_end < max(ts) cut. The sink is polled until
-    // the timeout batch lands (processAllAvailable only waits for DATA
-    // batches).
-    "q_stream_window_closed" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamw_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val stream = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .select("event_id", "event_type", "value", "ts")
-      val sky = graft.streaming.StreamingSkyline.attachWindowed(stream,
-        SkylineSpec(Seq(SkyDim("value", Max), SkyDim("ts", Min))),
-        "event_type", "ts", "1 day", "0 seconds")
-      val qname = "graft_stream_skyw_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamw_ckpt").toString
-      val query = sky.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.processAllAvailable()
-      // Wait for the engine's NO-DATA micro-batch (the one that fires
-      // the EventTimeTimeouts): processAllAvailable only waits for
-      // DATA batches, but every completed batch — including no-data
-      // ones — reports progress. Stop once recentProgress shows a
-      // zero-input batch AFTER the last data batch (or 60 s — a missed
-      // batch fails the oracle loudly, never silently).
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def timeoutBatchDone: Boolean = {
-        val rp = query.recentProgress
-        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
-        dataBatches.nonEmpty &&
-          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
-      }
-      while (!timeoutBatchDone && System.nanoTime() < deadline)
-        Thread.sleep(100)
-      query.stop()
-      s.table(qname)
-        .select(col("event_type"),
-          date_format(timestamp_seconds(col("window_start")), "yyyy-MM-dd").as("win_start"),
-          col("event_id"), col("value"))
-        .orderBy("event_type", "win_start", "event_id")
-    },
-
-    // STREAMING hopping-window aggregation under the oracle: the
-    // builtin watermark/append path (groupBy(window(ts, 1d, 12h)) —
-    // contrast the flatMapGroupsWithState skyline in
-    // q_stream_window_closed) executed for real. The data batch
-    // advances the watermark to max(ts) (delay 0); the engine's
-    // no-data batch then EMITS every window whose end the watermark
-    // passed, exactly once. Open windows never emit — the oracle
-    // applies the same watermark cut in ms (the engine tracks event
-    // time in milliseconds).
-    "q_stream_sliding" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamsl_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(col("event_type"), window(col("ts"), "1 day", "12 hours").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .select(col("event_type"), col("w.start").cast("long").as("w_start"),
-          col("n"), col("sum_value"))
-      val qname = "graft_stream_sliding_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamsl_ckpt").toString
-      val query = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.processAllAvailable()
-      // Same progress-based wait as q_stream_window_closed: the append
-      // emission happens in the no-data batch after the watermark
-      // update.
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def emitted: Boolean = {
-        val rp = query.recentProgress
-        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
-        dataBatches.nonEmpty &&
-          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
-      }
-      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
-      query.stop()
-      s.table(qname).orderBy("event_type", "w_start")
-    },
-
-    // STREAMING heavy hitters: the Misra-Gries TypedImperativeAggregate
-    // running INSIDE a watermarked tumbling-window streaming agg — the
-    // state store serializes the bounded sketch buffer between
-    // micro-batches, so per-window top-user summaries stream out at
-    // window close with ≤ capacity entries of state per window ever
-    // held. Capacity 256 ≥ the per-window distinct-user count at the
-    // oracle's sf0.01, so closed-window counts are exact there (the
-    // q_heavy_hitters_grouped capacity discipline); at larger SF the
-    // sketch degrades gracefully to its ε-approximation contract.
-    "q_stream_heavy_hitters" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamhh_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 day").as("w"))
-        .agg(graft.stats.HeavyHitters
-          .misraGries(col("user_id").cast("string"), 256).as("mg"))
-        .select(col("w.start").cast("long").as("w_start"), col("mg"))
-      val qname = "graft_stream_hh_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamhh_ckpt").toString
-      val query = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.processAllAvailable()
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def emitted: Boolean = {
-        val rp = query.recentProgress
-        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
-        dataBatches.nonEmpty &&
-          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
-      }
-      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
-      query.stop()
-      val w = Window.partitionBy(col("w_start"))
-        .orderBy(col("cnt").desc, col("user_id").asc)
-      s.table(qname)
-        .select(col("w_start"), explode(col("mg")).as("e"))
-        .select(col("w_start"), col("e.item").cast("long").as("user_id"),
-          col("e.cnt").as("cnt"))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= 5)
-        .drop("__rn")
-        .orderBy(col("w_start"), col("cnt").desc, col("user_id"))
-    },
-
-    // STREAMING GK quantiles: the Greenwald-Khanna summary serialized
-    // through the state store between micro-batches (the sketch-in-
-    // state pattern q_stream_heavy_hitters proved for Misra-Gries,
-    // here for an order-statistics sketch): per-day windowed
-    // percentiles of event value under a real watermark/append
-    // execution. eps=1e-7 ≫ per-window n makes the sketch exact, so
-    // the emitted quantiles rank-agree with quantile_disc and the
-    // closed windows (end < max event time) face the oracle.
-    "q_stream_quantiles" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamgk_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 day").as("w"))
-        .agg(
-          QuantileSketch.gkQuantiles(col("value"), Seq(0.5, 0.9), eps = 1e-7)
-            .as("qs"),
-          count(lit(1)).as("n"))
-        .select(col("w.start").cast("long").as("w_start"),
-          round(element_at(col("qs"), 1), 6).as("p50"),
-          round(element_at(col("qs"), 2), 6).as("p90"),
-          col("n"))
-      val qname = "graft_stream_gk_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamgk_ckpt").toString
-      val query = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.processAllAvailable()
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def emitted: Boolean = {
-        val rp = query.recentProgress
-        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
-        dataBatches.nonEmpty &&
-          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
-      }
-      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
-      query.stop()
-      s.table(qname).orderBy("w_start")
-    },
-
-    // STREAMING KMV distinct sketch: per-day distinct-user estimates
-    // with the bounded k-min buffer serialized through the state store
-    // — completes the sketch-in-state set beside Misra-Gries
-    // (q_stream_heavy_hitters) and GK (q_stream_quantiles). ≤ k longs
-    // per window in state regardless of stream volume; the emitted
-    // order statistic is deterministic, so the ESTIMATE faces the
-    // closed-window oracle replay.
-    "q_stream_distinct" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamkmv_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val h = conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("long")
-      val k = 64
-      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 day").as("w"))
-        .agg(DistinctSketch.kMin(h, k).as("mins"))
-        .select(col("w.start").cast("long").as("w_start"),
-          size(col("mins")).cast("long").as("k_used"),
-          element_at(col("mins"), size(col("mins"))).as("kth_hash"),
-          round(
-            when(size(col("mins")) < k, size(col("mins")).cast("double"))
-              .otherwise((size(col("mins")) - 1).cast("double") /
-                (element_at(col("mins"), size(col("mins"))).cast("double") /
-                  1152921504606846976.0)),
-            4).as("est_distinct"))
-      val qname = "graft_stream_kmv_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamkmv_ckpt").toString
-      val query = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.processAllAvailable()
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def emitted: Boolean = {
-        val rp = query.recentProgress
-        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
-        dataBatches.nonEmpty &&
-          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
-      }
-      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
-      query.stop()
-      s.table(qname).orderBy("w_start")
-    },
-
-    // STREAMING per-window top-k: the bounded TopK aggregate's buffer
-    // (≤ k struct elements) serialized through the state store —
-    // fourth member of the sketch-in-state family (MG, GK, KMV, TopK),
-    // and the production exercise of TopKAgg's UnsafeProjection
-    // serialization. Top-3 event values per closed day window.
-    "q_stream_topk" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamtk_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
-      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(window(col("ts"), "1 day").as("w"))
-        .agg(graft.stats.TopK.topK(
-          struct(cents.as("cents"), col("event_id")), 3).as("top"))
-        .select(col("w.start").cast("long").as("w_start"), col("top"))
-      val qname = "graft_stream_tk_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamtk_ckpt").toString
-      val query = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.processAllAvailable()
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def emitted: Boolean = {
-        val rp = query.recentProgress
-        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
-        dataBatches.nonEmpty &&
-          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
-      }
-      while (!emitted && System.nanoTime() < deadline) Thread.sleep(100)
-      query.stop()
-      s.table(qname)
-        .select(col("w_start"), explode(col("top")).as("t"))
-        .select(col("w_start"), col("t.cents").as("cents"),
-          col("t.event_id").as("event_id"))
-        .orderBy(col("w_start"), col("cents").desc, col("event_id").desc)
-    },
-
-    // STREAMING session windows: the builtin session_window state
-    // (merge-on-overlap, close at last-event + gap) under a real
-    // watermark/append execution — the stateful-merge complement of
-    // q_stream_sliding's fixed windows and the streaming twin of the
-    // batch q_session_window. A session emits exactly once, when the
-    // watermark (max event ms, delay 0, advanced by the engine's
-    // no-data batch) passes its end; the per-user LAST session stays
-    // open in state and never emits — the oracle applies the same
-    // ms-level cut to its gaps-and-islands replay.
-    "q_stream_session" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamsess_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val agg = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .withWatermark("ts", "0 seconds")
-        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .select(col("user_id"),
-          col("w.start").cast("long").as("w_start"),
-          col("w.end").cast("long").as("w_end"),
-          col("n"), col("sum_value"))
-      val qname = "graft_stream_session_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamsess_ckpt").toString
-      val query = agg.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.processAllAvailable()
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      def emittedSess: Boolean = {
-        val rp = query.recentProgress
-        val dataBatches = rp.filter(_.numInputRows > 0).map(_.batchId)
-        dataBatches.nonEmpty &&
-          rp.exists(p => p.numInputRows == 0 && p.batchId > dataBatches.max)
-      }
-      while (!emittedSess && System.nanoTime() < deadline) Thread.sleep(100)
-      query.stop()
-      s.table(qname).orderBy("user_id", "w_start")
-    },
-
-    // STREAM-STATIC enrichment join (the dimension-lookup stage of a
-    // streaming ingest: every arriving event tagged with its
-    // dimension row before landing): events stream × broadcast-sized
-    // nation dim on a derived key, enriched rows appended to the sink
-    // per micro-batch — STATELESS streaming (no watermark needed; the
-    // join carries no state across batches, the 100 TB-friendly
-    // property), then a batch rollup over the landed table.
-    "q_stream_enrich" -> { (s, dir) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val sch = s.read.parquet(s"$dir/events.parquet").schema
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamen_src")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val dim = broadcast(Tables.load(s, dir, "nation")
-        .select(col("n_nationkey"), col("n_name")))
-      val enriched = s.readStream.schema(sch).parquet(srcDir.toString)
-        .transform(Tables.normalizeEventTs)
-        .withColumn("n_nationkey", pmod(col("user_id"), lit(25)))
-        .join(dim, "n_nationkey")
-        .select(col("event_id"), col("n_name"), col("value"))
-      val qname = "graft_stream_enrich_" +
-        java.util.UUID.randomUUID.toString.replace("-", "")
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_streamen_ckpt").toString
-      val query = enriched.writeStream.format("memory").queryName(qname)
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .start()
-      query.processAllAvailable()
-      query.stop()
-      s.table(qname)
-        .groupBy("n_name")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
-        .orderBy("n_name")
-    },
-
-    // Range join (point-in-interval) via bucket decomposition — an
-    // equi-join on bucket ids, never the BroadcastNestedLoopJoin the
-    // naive BETWEEN theta-join plans to (graft.operators.RangeJoin).
-    // 25 overlapping price bands from nation × 600k lineitem points.
-    "q_range_join" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val bands = Tables.load(s, dir, "nation").select(
-        col("n_nationkey").as("band_id"),
-        (col("n_nationkey") * 4000.0).as("lo"),
-        (col("n_nationkey") * 4000.0 + 12000.0).as("hi"))
-      RangeJoin.pointInInterval(li, "l_extendedprice", bands, "lo", "hi",
-        bucketWidth = 4000.0)
-        .groupBy(col("band_id"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
-        .orderBy("band_id")
-    },
-
-    // Pivot (crosstab aggregation) with a fixed value list.
-    "q_pivot" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(round(sum(col("l_quantity")), 2))
-        .orderBy("l_returnflag")
-    },
-
-    // Sessionization (gaps-and-islands): a new session starts after a
-    // >30-minute gap; per user, event and session counts. Window +
-    // running sum — one keyed shuffle.
-    "q_sessions" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.loadEvents(s, dir)
-        .withColumn("prev", lag(col("ts"), 1).over(w))
-        .withColumn("new_s",
-          when(col("prev").isNull ||
-            unix_micros(col("ts")) - unix_micros(col("prev")) > 30L * 60 * 1000000, 1)
-            .otherwise(0))
-        .withColumn("sid", sum(col("new_s")).over(run))
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n_events"), max(col("sid")).as("n_sessions"))
-        .orderBy("user_id")
-    },
-
-    // Type-2 SCD history from the raw event stream: per user, collapse
-    // consecutive equal event_type runs into [valid_from, valid_to)
-    // validity rows with an is_current flag — the warehouse
-    // point-in-time-join shape, built by gaps-and-islands (two keyed
-    // shuffles, no joins, no driver state; graft.operators.Scd2).
-    "q_scd2" -> { (s, dir) =>
-      Scd2.history(
-        Tables.loadEvents(s, dir).select("user_id", "event_id", "event_type", "ts"),
-        keyCols = Seq("user_id"), tsCol = "ts", attrCols = Seq("event_type"),
-        tieCols = Seq("event_id"))
-        .select(col("user_id"), col("event_type"),
-          unix_micros(col("valid_from")).as("valid_from"),
-          unix_micros(col("valid_to")).as("valid_to"),
-          col("n_rows"),
-          col("is_current").cast("long").as("is_current"))
-        .orderBy("user_id", "valid_from", "event_type")
-    },
-
-    // Exact interpolated quantiles (percentile ≡ ANSI quantile_cont).
-    // One array-form percentile per column — N separate percentile
-    // aggregates each re-collect the column's value multiset.
-    //
-    // SCALE BOUNDARY: exact `percentile` is a TypedImperativeAggregate
-    // that buffers the column's full value multiset in one final
-    // buffer — correct and fast at bench scale, an OOM by design at
-    // 100 TB. The 100 TB form is `approx_percentile` (Greenwald-Khanna,
-    // bounded sketch, mergeable map-side) or a t-digest; it returns a
-    // member value with rank error ≤ n/accuracy rather than the
-    // interpolated quantile, so it cannot share this oracle — exact is
-    // kept here for oracle parity, the boundary is this comment.
-    "q_quantiles" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      // HARD ROW-CAP GUARD: exact percentile buffers the full value
-      // multiset in ONE aggregation buffer, so this query shape is
-      // forbidden beyond a size where that buffer is executor-safe.
-      // The guard fails LOUDLY instead of OOMing three stages later —
-      // at 100 TB use q_quantiles_gk / q_quantiles_approx (bounded,
-      // mergeable sketches; this query is their exact cross-check).
-      // LIMIT-probe, not count() (the round-8 guard was a FULL
-      // empty-schema pass before failing): limit(cap+1) stops the scan
-      // as soon as cap+1 rows surface, so an over-cap 100 TB input is
-      // refused after reading ~5e7 rows, and an under-cap input pays
-      // at most the one scan the percentile pass repeats anyway.
-      val cap = 50L * 1000 * 1000
-      val probe = li.limit((cap + 1).toInt).count()
-      require(probe <= cap,
-        s"q_quantiles is the EXACT cross-check tier: refusing > $cap " +
-          "rows; use the GK sketch forms at scale")
-      li.agg(
-        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").as("pe"),
-        expr("percentile(l_quantity, 0.9)").as("pq"))
-        .select(
-          round(element_at(col("pe"), 1), 6).as("p25"),
-          round(element_at(col("pe"), 2), 6).as("p50"),
-          round(element_at(col("pe"), 3), 6).as("p75"),
-          round(col("pq"), 6).as("q90"))
-    },
-
-    // The 100 TB form of q_quantiles: Greenwald-Khanna sketch
-    // (approx_percentile) whose memory is O((1/eps)·log(eps·N)) —
-    // bounded regardless of input size — vs exact percentile's
-    // full-multiset buffer (the documented scale boundary above). At
-    // oracle scale the sketch is EXACT: accuracy 1e6 > N=60k means GK
-    // never compresses, and its discrete-rank answer equals DuckDB's
-    // quantile_disc (verified bit-for-bit; tools/ApproxQProbe.scala),
-    // so this gets a full hash oracle, not a rows-only check. At
-    // production accuracy (default 1e4) answers are ±1e-4-rank
-    // approximate and no SQL oracle could reproduce them.
-    "q_quantiles_approx" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      li.agg(
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000000)").as("pe"),
-        expr("approx_percentile(l_quantity, 0.9, 1000000)").as("pq"))
-        .select(
-          round(element_at(col("pe"), 1), 6).as("p25"),
-          round(element_at(col("pe"), 2), 6).as("p50"),
-          round(element_at(col("pe"), 3), 6).as("p75"),
-          round(col("pq"), 6).as("q90"))
-    },
-
-    // The PRIMARY 100 TB quantile path: graft's own Greenwald-Khanna
-    // TypedImperativeAggregate (graft.stats.QuantileSketch) — bounded
-    // O((1/eps)·log(eps·N)) memory, mergeable partial buffers, vs exact
-    // percentile's full-multiset buffer (kept above as the small-scale
-    // cross-check). Run here at eps=1e-7, whose exact regime covers
-    // N < 5M — so at oracle scale the sketch IS the sorted multiset
-    // and rank-matches DuckDB quantile_disc bit for bit; the
-    // approximate regime's 2eps·N rank bound is pinned in
-    // QuantileSketchSpec instead (no SQL oracle can reproduce it).
-    "q_quantiles_gk" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      li.agg(
-        QuantileSketch.gkQuantiles(col("l_extendedprice"),
-          Seq(0.25, 0.5, 0.75), eps = 1e-7).as("pe"),
-        QuantileSketch.gkQuantiles(col("l_quantity"),
-          Seq(0.9), eps = 1e-7).as("pq"))
-        .select(
-          round(element_at(col("pe"), 1), 6).as("p25"),
-          round(element_at(col("pe"), 2), 6).as("p50"),
-          round(element_at(col("pe"), 3), 6).as("p75"),
-          round(element_at(col("pq"), 1), 6).as("q90"))
-    },
-
-    // REVERSE skyline (Dellis-Seeger VLDB'07, the other half of the
-    // SKY-MR paper's problem family; the reference never implemented
-    // it): which parts find the hypothetical product q = (950.5, 25.5)
-    // Pareto-attractive — no other part sits coordinate-wise strictly
-    // between them and q. q must sit INSIDE the data region (prices
-    // span 900–1000): an out-of-range q gives every point a huge
-    // radius on that dim and the dense grid shadows everything to an
-    // empty result. Off-grid halves avoid exact-coincidence
-    // degeneracies. DISTRIBUTED plan (graft.skyline.ReverseSkyline
-    // .reverseSkylineGrid): broadcast sample-witness prefilter, then
-    // the grid-bucketed box equi-join + exact DominatesExpr verify —
-    // never the O(n²) BroadcastNestedLoopJoin (the BNL form remains
-    // the spec-level cross-check; ReverseSkylineSpec pins equivalence
-    // and asserts the plan is NL-free).
-    "q_skyline_reverse" -> { (s, dir) =>
-      ReverseSkyline.reverseSkylineGrid(
-        Tables.load(s, dir, "part").select("p_partkey", "p_retailprice", "p_size"),
-        Seq("p_retailprice", "p_size"), "p_partkey", Array(950.5, 25.5))
-        .orderBy("p_partkey")
-    },
-
-    // BICHROMATIC reverse skyline — the Dellis-Seeger motivating
-    // scenario proper: probe = "customer preference points"
-    // (Brand#23 parts), candidates = the existing product catalog
-    // (Brand#13 parts); which customers would find the hypothetical
-    // product q = (950.5, 25.5) Pareto-attractive given what is
-    // already on offer. Same distributed plan as q_skyline_reverse
-    // (witness prefilter + grid box join), candidate side drawn from
-    // the second table.
-    "q_skyline_reverse_bi" -> { (s, dir) =>
-      val part = Tables.load(s, dir, "part")
-      ReverseSkyline.reverseSkylineBichromaticGrid(
-        part.filter(col("p_brand") === "Brand#23")
-          .select("p_partkey", "p_retailprice", "p_size"),
-        part.filter(col("p_brand") === "Brand#13")
-          .select("p_retailprice", "p_size"),
-        Seq("p_retailprice", "p_size"), "p_partkey", Array(950.5, 25.5))
-        .orderBy("p_partkey")
-    },
-
-    // The GK sketch under a KEYED exchange: per-returnflag quantiles
-    // through partial/merge across the group shuffle — what q_skyline
-    // _agg proves for the skyline aggregate, proven here for the
-    // quantile sketch (same exact-at-accuracy oracle trick).
-    "q_quantiles_gk_grouped" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(QuantileSketch.gkQuantiles(col("l_extendedprice"),
-          Seq(0.5, 0.9), eps = 1e-7).as("pe"))
-        .select(
-          col("l_returnflag"),
-          round(element_at(col("pe"), 1), 6).as("p50"),
-          round(element_at(col("pe"), 2), 6).as("p90"))
-        .orderBy("l_returnflag")
-    },
-
-    // The SKYLINE OF SQL surface end-to-end: custom parser clause →
-    // SkylinePlan logical node → SkylineExec physical operator
-    // (graft.plans, via the spark.experimental hooks since the driver
-    // owns this session).
-    "q_skyline_sql" -> { (s, dir) =>
-      Tables.load(s, dir, "part").createOrReplaceTempView("part_v")
-      graft.sql.SkylineSql.sql(s,
-        "SELECT p_partkey, p_retailprice, p_size FROM part_v " +
-          "SKYLINE OF p_retailprice MIN, p_size MAX")
-        .orderBy("p_partkey")
-    },
-
-    // Per-dimension missing-value SENTINEL semantics inside a skyline
-    // (reference Range.java:20 / Map.java:15-17): discount 0.0 is
-    // declared "missing", so the 484 zero-discount rows in this slice
-    // are excluded — the strict no-missing policy the reference's Job 1
-    // enforces, here exercised through SkylineSpec's sentinel→NULL
-    // normalization rather than a pre-filter.
-    "q_skyline_sentinel" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R" && col("l_linestatus") === "F")
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
-      SkylineOp.twoPhase(li, SkylineSpec(Seq(
-        SkyDim("l_extendedprice", Min),
-        SkyDim("l_discount", Max, missing = Some(0.0)),
-        SkyDim("l_shipdate", Min))))
-        .orderBy("l_orderkey", "l_linenumber")
-    },
-
-    // k-SKYBAND (Papadias et al. TODS'05 §3): every point dominated by
-    // fewer than k=3 others, with its exact dominator count. Plan:
-    // per-partition SFS-sorted skyband prune (no shuffle) → broadcast
-    // the small candidate set → ONE streamed dominance-count pass over
-    // the input, map-side partial-aggregated to |candidates| rows.
-    "q_skyband" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
-      graft.skyline.Skyband.kSkyband(li, lineitemSpec, k = 3)
-        .orderBy("l_orderkey", "l_linenumber")
-    },
-
-    // TOP-K DOMINATING (Papadias et al. TODS'05 §5): the k=20 points
-    // with the largest dominance score. Candidates provably live inside
-    // the k-skyband (a dominator strictly out-scores its victims), so
-    // the scoring pass streams the input once against the broadcast
-    // skyband; ties at the cut break deterministically on the PK.
-    "q_top_dominating" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "A" && col("l_quantity") > 45)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate")
-      graft.skyline.Skyband.topKDominating(li, lineitemSpec, k = 20,
-        tieBreak = Seq("l_orderkey", "l_linenumber"))
-        .orderBy(col("score").desc, col("l_orderkey"), col("l_linenumber"))
-    },
-
-    // k-DOMINANT SKYLINE (Chan et al. SIGMOD'06): points no other point
-    // beats in ≥ k of the 4 dims (strictly in at least one of them).
-    // k-dominance is non-transitive, so the plan prunes with the PLAIN
-    // skyline (a provable superset of the answer) and then verifies the
-    // broadcast candidates against one streamed pass of the input. Both
-    // k=4 (≡ the plain 4-dim skyline — the degeneration Chan et al.
-    // prove) and the strictly-smaller k=3 relaxation are emitted,
-    // tagged by `k` (k=2 is already empty on this data — the paper's
-    // own motivation for not pushing k too low: k-dominance cycles
-    // eliminate everything).
-    "q_kdominant" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "N" && col("l_quantity") > 48)
-        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
-          "l_shipdate", "l_tax")
-      val spec4 = SkylineSpec(lineitemSpec.dims :+ SkyDim("l_tax", Min))
-      graft.skyline.Skyband.kDominantSkyline(li, spec4, k = 4).withColumn("k", lit(4))
-        .unionAll(
-          graft.skyline.Skyband.kDominantSkyline(li, spec4, k = 3).withColumn("k", lit(3)))
-        .orderBy("k", "l_orderkey", "l_linenumber")
-    },
-
-    // The declarative anti-join skyline (p ∈ sky ⟺ no q dominates p,
-    // planned as a broadcast nested-loop anti-join) — the O(n²)
-    // cross-check form, registered on a deliberately small slice; the
-    // imperative paths (twoPhase/SkyMr/agg) are the scale plans.
-    "q_skyline_anti" -> { (s, dir) =>
-      val p = Tables.load(s, dir, "part").filter(col("p_brand") === "Brand#13")
-        .select("p_partkey", "p_retailprice", "p_size")
-      SkylineOp.antiJoin(p, SkylineSpec(Seq(
-        SkyDim("p_retailprice", Min), SkyDim("p_size", Max))))
-        .orderBy("p_partkey")
-    },
-
-    // As-of join: each click matched to the user's most recent purchase
-    // at or before the click (union+window plan — one keyed shuffle, no
-    // inequality join blow-up; graft.operators.AsofJoin).
-    "q_asof" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts", "value")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts", "value")
-      AsofJoin.leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts",
-        payload = Seq("event_id", "value", "ts"), tiebreak = "event_id")
-        .select(col("event_id"), col("user_id"),
-          col("asof_event_id"),
-          round(col("asof_value"), 6).as("asof_value"),
-          expr("(unix_micros(ts) - unix_micros(asof_ts)) div 1000000").as("gap_s"))
-        .orderBy("event_id")
-    },
-
-    // NEAREST as-of (pandas direction='nearest') completes the
-    // backward/forward pair: closest purchase either way per click,
-    // exact gap ties to the backward match. Two keyed windows joined
-    // on the unique left id.
-    "q_asof_nearest" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts", "value")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts", "value")
-      AsofJoin.leftAsofNearest(clicks, purchases, Seq("user_id"),
-        leftId = "event_id", leftTs = "ts", rightTs = "ts",
-        payload = Seq("event_id", "value", "ts"), tiebreak = "event_id")
-        .select(col("event_id"), col("user_id"),
-          col("asof_event_id"),
-          round(col("asof_value"), 6).as("asof_value"),
-          expr("abs(unix_micros(ts) - unix_micros(asof_ts)) div 1000000")
-            .as("gap_s"))
-        .orderBy("event_id")
-    },
-
-    // One-call numeric profiling (the "describe" long form): per
-    // column non-null/distinct/min/max/mean in ONE aggregation job
-    // (graft.stats.Profile).
-    "q_profile" -> { (s, dir) =>
-      graft.stats.Profile.numeric(Tables.load(s, dir, "lineitem"),
-        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
-        .orderBy("column")
-    },
-
-    // Rolling 24-hour per-user features via a RANGE window frame
-    // (time-based, not row-count — peers at the same timestamp are in
-    // or out together, so the result is tie-order-independent): the
-    // standard feature-engineering shape for "activity in the last N
-    // hours at each event".
-    "q_rolling" -> { (s, dir) =>
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(unix_micros(col("ts")))
-        .rangeBetween(-86400L * 1000000, 0)
-      Tables.loadEvents(s, dir)
-        .withColumn("n_24h", count(lit(1)).over(w))
-        .withColumn("sum_24h", round(sum(col("value")).over(w), 2))
-        .select("event_id", "user_id", "n_24h", "sum_24h")
-        .orderBy("event_id")
-    },
-
-    // Cohort retention matrix: users bucketed by epoch-aligned signup
-    // week; for each (cohort, weeks-since) cell, distinct active users
-    // and event volume — the standard retention triangle. Two keyed
-    // shuffles (first-seen agg + the matrix groupBy); week ids via
-    // exact integer division (`div`), identical on both engines.
-    "q_cohort" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-      val cohort = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id"))
-        .agg(min(expr("unix_micros(ts) div 604800000000")).as("cohort_week"))
-      ev.join(cohort, "user_id")
-        .withColumn("week", expr("unix_micros(ts) div 604800000000"))
-        .filter(col("week") >= col("cohort_week"))
-        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
-        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
-        .orderBy("cohort_week", "weeks_since")
-    },
-
-    // Funnel analysis (view → click → purchase within 24 h): per user,
-    // earliest-chain progression + completion flag — k−1 keyed
-    // join+agg passes, no stream-wide window sort
-    // (graft.operators.Funnel).
-    "q_funnel" -> { (s, dir) =>
-      Funnel.funnel(Tables.loadEvents(s, dir), "user_id", "event_type", "ts",
-        Seq("view", "click", "purchase"), windowMicros = 24L * 3600 * 1000000)
-        .orderBy("user_id")
-    },
-
-    // FORWARD as-of join (pandas merge_asof direction='forward'): each
-    // click matched to the user's NEXT purchase at or after the click
-    // — the conversion-attribution shape. Same union+window plan,
-    // frame mirrored (currentRow..following, first ignoreNulls); ties
-    // at equal ts resolve to the smallest purchase event_id.
-    "q_asof_forward" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts", "value")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts", "value")
-      AsofJoin.leftAsofForward(clicks, purchases, Seq("user_id"), "ts", "ts",
-        payload = Seq("event_id", "value", "ts"), tiebreak = "event_id")
-        .select(col("event_id"), col("user_id"),
-          col("asof_event_id"),
-          round(col("asof_value"), 6).as("asof_value"),
-          expr("(unix_micros(asof_ts) - unix_micros(ts)) div 1000000").as("gap_s"))
-        .orderBy("event_id")
-    },
-
-    // Backward as-of with a TOLERANCE horizon: matches older than 6
-    // hours null out (merge_asof tolerance semantics) — "recent state
-    // or nothing", the cache-validity join shape.
-    "q_asof_tolerance" -> { (s, dir) =>
-      val ev = Tables.loadEvents(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select("event_id", "user_id", "ts", "value")
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select("event_id", "user_id", "ts", "value")
-      AsofJoin.leftAsof(clicks, purchases, Seq("user_id"), "ts", "ts",
-        payload = Seq("event_id", "value", "ts"), tiebreak = "event_id",
-        toleranceMicros = Some(6L * 3600 * 1000000))
-        .select(col("event_id"), col("user_id"),
-          col("asof_event_id"),
-          round(col("asof_value"), 6).as("asof_value"))
-        .orderBy("event_id")
-    },
-
-    // Set operations: customers with orders over the median-ish bar in
-    // both halves of the date range (INTERSECT), and only-first-half
-    // (EXCEPT) — distinct set semantics, shuffle on the key.
-    "q_setops" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-      val firstHalf = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
-        .select("o_custkey")
-      val secondHalf = o.filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
-        .select("o_custkey")
-      val both = firstHalf.intersect(secondHalf).withColumn("tag", lit("both"))
-      val onlyFirst = firstHalf.except(secondHalf).withColumn("tag", lit("first_only"))
-      both.unionByName(onlyFirst).orderBy("tag", "o_custkey")
-    },
-
-    // ROLLUP grouping sets with explicit subtotal labels.
-    // Explicit GROUPING SETS (the general form rollup/cube sugar over):
-    // two non-hierarchical aggregation grains in one pass, plus
-    // grouping_id to disambiguate NULL-as-ALL from NULL data.
-    "q_grouping_sets" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem").createOrReplaceTempView("li_gs")
-      s.sql(
-        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-          |  coalesce(l_linestatus, 'ALL') AS ls,
-          |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
-          |  count(*) AS n, round(sum(l_extendedprice), 2) AS rev
-          |FROM li_gs
-          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-          |ORDER BY gid, rf, ls""".stripMargin)
-    },
-
-    "q_rollup" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("n"), col("qty"))
-        .orderBy("rf", "ls")
-    },
-
-    // CUBE sibling of q_rollup: all 2^d grouping sets (adds the
-    // (·, linestatus) margins rollup omits). Same single-shuffle
-    // Expand-based plan family.
-    "q_cube" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
-        .select(
-          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
-          col("n"), col("qty"))
-        .orderBy("rf", "ls")
-    },
-
-    // Exact distinct aggregation (count + sum of distincts per group).
-    "q_distinct_agg" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(col("l_partkey")).as("n_part"),
-          round(sum_distinct(col("l_quantity")), 2).as("sum_d_qty"))
-        .orderBy("l_returnflag")
-    },
-
-    // ---- multimodal binary plumbing over `documents` -------------------
-
-    // The full multimodal pipeline on deterministic payloads (UTF-8
-    // bytes of `text`, all-ASCII fixture): feature extraction (stub
-    // decode = byte stats), strided frame sampling, and a 2× "resize",
-    // each a mapPartitions batch pass over binary columns
-    // (graft.multimodal.Multimodal). Every output is integer/byte math
-    // a DuckDB oracle reproduces exactly from the text column.
-    "q_multimodal" -> { (s, dir) =>
-      // text IS NOT NULL on BOTH sides (here and in the oracle):
-      // sampleFrames drops NULL payloads and the inner join would then
-      // silently drop those doc_ids while a bare oracle would emit them
-      // with NULL metrics — align by construction, not by fixture luck.
-      val base = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(
-        col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        struct(
-          lit("txt").as("format"),
-          lit(null).cast("int").as("width"),
-          lit(null).cast("int").as("height"),
-          (pmod(col("doc_id"), lit(7)) + 1).cast("int").as("n_frames")).as("meta"))
-      val feat = Multimodal.extractFeatures(base, "payload", "feat")
-      val perDoc = Multimodal.sampleFrames(feat, "payload", "meta", stride = 2)
-        .groupBy(col("doc_id"))
-        .agg(
-          // int features cast to long: DuckDB's octet_length/list math
-          // is BIGINT and the driver's compare is dtype-strict.
-          first(col("feat.n_bytes")).cast("long").as("n_bytes"),
-          round(first(col("feat.mean_byte")), 6).as("mean_byte"),
-          count(lit(1)).as("n_frames_kept"),
-          sum(length(col("frame_bytes"))).as("kept_bytes"))
-      val resized = Multimodal.extractFeatures(
-        Multimodal.resize(base, "payload", "meta", factor = 2), "payload", "rz")
-        .select(col("doc_id"), col("rz.n_bytes").cast("long").as("rz_bytes"),
-          round(col("rz.mean_byte"), 6).as("rz_mean"))
-      perDoc.join(resized, "doc_id").orderBy("doc_id")
-    },
-
-    // REAL image decode (javax.imageio — in the JDK, no external
-    // codec): a deterministic checkerboard grayscale PNG is encoded
-    // per doc (dims and the two tones are pure functions of doc_id),
-    // then decoded back through the actual PNG codec. Gray PNG is
-    // lossless, so decoded width/height/channels/mean-luma equal the
-    // closed-form values the oracle computes arithmetically — the
-    // oracle checks the CODEC ROUND-TRIP, not a byte stub.
-    "q_multimodal_image" -> { (s, dir) =>
-      val enc = Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val png = Tables.load(s, dir, "documents").select("doc_id")
-        .mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val w = (id % 13 + 4).toInt
-            val h = (id % 7 + 3).toInt
-            val v1 = (id % 256).toInt
-            val v2 = ((id * 7 + 13) % 256).toInt
-            val px = Array.tabulate(h, w)((y, x) => if ((x + y) % 2 == 0) v1 else v2)
-            Row(id, Multimodal.encodeGrayPng(px))
-          }
-        }(enc)
-      Multimodal.extractImageFeatures(png, "payload", "img")
-        .select(
-          col("doc_id"),
-          col("img.width").cast("long").as("width"),
-          col("img.height").cast("long").as("height"),
-          col("img.channels").cast("long").as("channels"),
-          round(col("img.mean_luma"), 6).as("mean_luma"))
-        .orderBy("doc_id")
-    },
-
-    // REAL audio decode (javax.sound.sampled — in the JDK, no external
-    // codec): a deterministic stereo square-wave WAV is encoded per doc
-    // (amplitudes and length are pure functions of doc_id), then
-    // decoded back through the actual PCM WAV codec. An even-length
-    // ±A square wave's RMS is EXACTLY A/32768 in normalized PCM16
-    // (powers of two — every normalized value and its square is an
-    // exact double), so decoded rate/channels/frames/duration/RMS
-    // equal the closed-form values the oracle computes arithmetically:
-    // the oracle checks the CODEC ROUND TRIP, not a byte stub.
-    "q_multimodal_audio" -> { (s, dir) =>
-      val enc = Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val wav = Tables.load(s, dir, "documents").select("doc_id")
-        .mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val n = ((id % 5) + 1).toInt * 100
-            val a0 = (((id % 50) + 1) * 500).toShort
-            val a1 = (((id % 30) + 2) * 700).toShort
-            def sq(a: Short) =
-              Array.tabulate[Short](n)(i => if (i % 2 == 0) a else (-a).toShort)
-            Row(id, Multimodal.encodeWavPcm16(Array(sq(a0), sq(a1)), 8000))
-          }
-        }(enc)
-      Multimodal.extractAudioFeatures(wav, "payload", "au")
-        .select(
-          col("doc_id"),
-          col("au.sample_rate").cast("long").as("sample_rate"),
-          col("au.channels").cast("long").as("channels"),
-          col("au.n_frames").as("n_frames"),
-          round(col("au.duration_sec"), 6).as("duration_sec"),
-          round(element_at(col("au.rms"), 1), 6).as("rms0"),
-          round(element_at(col("au.rms"), 2), 6).as("rms1"))
-        .orderBy("doc_id")
-    },
-
-    // Audio sample-rate conversion THROUGH the real codec both ways
-    // (decode → nearest-neighbor 8000→5000 resample → WAV re-encode →
-    // decode): planted stereo RAMP waves (closed-form sample values),
-    // exact integer index floors, and ALL-INTEGER output stats
-    // (per-channel sum of squared samples) — the oracle replays the
-    // resample index arithmetic and the sample formula with no float
-    // anywhere (graft.multimodal.Multimodal.resampleAudioFeatures).
-    "q_audio_resample" -> { (s, dir) =>
-      val enc = Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val wav = Tables.load(s, dir, "documents").select("doc_id")
-        .mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val n = ((id % 5) + 1).toInt * 100
-            def ramp(mul: Long, add: Long, sub: Long, amp: Long) =
-              Array.tabulate[Short](n)(i =>
-                (((i * mul + add) % 401 - sub) * amp).toShort)
-            Row(id, Multimodal.encodeWavPcm16(Array(
-              ramp(37L, id, 200L, 80L),
-              ramp(53L, 2L * id, 200L, 70L)), 8000))
-          }
-        }(enc)
-      Multimodal.resampleAudioFeatures(wav, "payload", dstRate = 5000, "rs")
-        .select(
-          col("doc_id"),
-          col("rs.src_frames").as("src_frames"),
-          col("rs.dst_frames").as("dst_frames"),
-          element_at(col("rs.sum_sq"), 1).as("sum_sq0"),
-          element_at(col("rs.sum_sq"), 2).as("sum_sq1"))
-        .orderBy("doc_id")
-    },
-
-    // The REAL resampler in the same slot (round-10 directive #8):
-    // polyphase Hann-windowed-sinc 8000→5000 (L/M = 5/8), Q15 integer
-    // taps, y[j] = clamp(⌊(Σ x[n]·C[jM−nL] + 2¹⁴)/2¹⁵⌋) — nearest-
-    // neighbor ALIASES out-of-band energy, this one suppresses it
-    // (measured in MultimodalResampleSpec on a planted 3.6 kHz tone).
-    // Same planted ramps, same codec round trip, same all-integer
-    // stats; the oracle replays the convolution with the tap table
-    // passed as literals, so there is no float anywhere but one
-    // exact-range floor.
-    "q_audio_resample_sinc" -> { (s, dir) =>
-      val enc = Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val wav = Tables.load(s, dir, "documents").select("doc_id")
-        .mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val n = ((id % 5) + 1).toInt * 100
-            def ramp(mul: Long, add: Long, sub: Long, amp: Long) =
-              Array.tabulate[Short](n)(i =>
-                (((i * mul + add) % 401 - sub) * amp).toShort)
-            Row(id, Multimodal.encodeWavPcm16(Array(
-              ramp(37L, id, 200L, 80L),
-              ramp(53L, 2L * id, 200L, 70L)), 8000))
-          }
-        }(enc)
-      Multimodal.resampleSincFeatures(wav, "payload", dstRate = 5000, "rs")
-        .select(
-          col("doc_id"),
-          col("rs.src_frames").as("src_frames"),
-          col("rs.dst_frames").as("dst_frames"),
-          element_at(col("rs.sum_sq"), 1).as("sum_sq0"),
-          element_at(col("rs.sum_sq"), 2).as("sum_sq1"))
-        .orderBy("doc_id")
-    },
-
-    // The UPSAMPLING branch of the sinc kernel (8000→12000, L/M =
-    // 3/2): interpolation taps at the SOURCE Nyquist cutoff with gain
-    // L — the ratio family's other half, same fixture, same integer
-    // contract.
-    "q_audio_upsample_sinc" -> { (s, dir) =>
-      val enc = Encoders.row(StructType(Seq(
-        StructField("doc_id", LongType), StructField("payload", BinaryType))))
-      val wav = Tables.load(s, dir, "documents").select("doc_id")
-        .mapPartitions { it =>
-          it.map { r =>
-            val id = r.getLong(0)
-            val n = ((id % 5) + 1).toInt * 100
-            def ramp(mul: Long, add: Long, sub: Long, amp: Long) =
-              Array.tabulate[Short](n)(i =>
-                (((i * mul + add) % 401 - sub) * amp).toShort)
-            Row(id, Multimodal.encodeWavPcm16(Array(
-              ramp(37L, id, 200L, 80L),
-              ramp(53L, 2L * id, 200L, 70L)), 8000))
-          }
-        }(enc)
-      Multimodal.resampleSincFeatures(wav, "payload", dstRate = 12000, "rs")
-        .select(
-          col("doc_id"),
-          col("rs.src_frames").as("src_frames"),
-          col("rs.dst_frames").as("dst_frames"),
-          element_at(col("rs.sum_sq"), 1).as("sum_sq0"),
-          element_at(col("rs.sum_sq"), 2).as("sum_sq1"))
-        .orderBy("doc_id")
-    },
-
-    // Okapi BM25 relevance against a 3-term query (graft.text.Bm25):
-    // the lexical-retrieval primitive for query-targeted corpus
-    // slicing. Postings are filtered to the query terms BEFORE any
-    // aggregation (corpus-size-independent shuffle keyspace); corpus
-    // constants ride in as literals; idf is the Lucene non-negative
-    // form.
-    "q_bm25" -> { (s, dir) =>
-      Bm25.score(Tables.load(s, dir, "documents"), "text", "doc_id",
-        Seq("spark", "sort", "hash"))
-        .orderBy("doc_id")
-    },
-
-    // CCNet-style LM quality score (graft.text.LmScore): mean log
-    // add-1-smoothed conditional bigram probability under the corpus's
-    // own counts — documents with improbable token transitions score
-    // low. One explode+groupBy per gram order, two keyed joins; counts
-    // are exact longs so both engines derive identical doubles.
-    "q_lm_score" -> { (s, dir) =>
-      LmScore.bigramLogProb(Tables.load(s, dir, "documents"), "text", "doc_id")
-        .orderBy("doc_id")
-    },
-
-    // PII detection + redaction (graft.text.Pii): deterministic
-    // synthetic emails/phones/IPs are planted per doc_id (the fixture
-    // vocabulary has none), then DETECTED back by the rule set and
-    // redacted; the oracle replays the identical classification and
-    // hashes the identical redacted text — so the hash match proves
-    // the detection rules, not arithmetic.
-    "q_pii" -> { (s, dir) =>
-      val idStr = col("doc_id").cast("string")
-      val planted = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .withColumn("t2", concat(
-          col("text"),
-          when(pmod(col("doc_id"), lit(3)) === 0,
-            concat(lit(" user"), idStr, lit("@mail"),
-              pmod(col("doc_id"), lit(7)).cast("string"), lit(".example.com")))
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(5)) === 0,
-            concat(lit(" +1-555-0"),
-              (pmod(col("doc_id"), lit(900)) + 100).cast("string")))
-            .otherwise(lit("")),
-          when(pmod(col("doc_id"), lit(7)) === 0,
-            concat(lit(" 10."), pmod(col("doc_id"), lit(256)).cast("string"),
-              lit(".0."), pmod(col("doc_id"), lit(100)).cast("string")))
-            .otherwise(lit(""))))
-      val toks = Pii.rawTokens(col("t2"))
-      planted.select(
-        col("doc_id"),
-        Pii.emailCount(toks).cast("long").as("n_emails"),
-        Pii.phoneCount(toks).cast("long").as("n_phones"),
-        Pii.ipCount(toks).cast("long").as("n_ips"),
-        md5(Pii.redact(col("t2"))).as("redacted_fp"))
-        .orderBy("doc_id")
-    },
-
-    // ---- document fingerprinting ---------------------------------------
-
-    // Content fingerprints per document: 128-bit md5 of the normalized
-    // token stream + the rolling polynomial (Rabin-Karp) hash — both
-    // pure codegen'd expressions (graft.text.TextFunctions).
-    "q_fingerprint" -> { (s, dir) =>
-      Tables.load(s, dir, "documents").select(
-        col("doc_id"),
-        TextFunctions.fingerprint(col("text")).as("fp_md5"),
-        TextFunctions.rollingFingerprint(col("text")).as("fp_roll"))
-        .orderBy("doc_id")
-    },
-
-    // Corpus bigram counts, top 20 — the vocabulary-statistics shape
-    // (explode → groupBy with map-side partial agg → one keyed shuffle
-    // → TakeOrderedAndProject; only 20·partitions rows reach the
-    // driver-side merge regardless of corpus size).
-    "q_ngram_topk" -> { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(explode(TextFunctions.ngrams(col("text"), 2)).as("ngram"))
-        .groupBy("ngram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("ngram").asc)
-        .limit(20)
-    },
-
-    // ---- GSOD fixed-width ingest (reference source format) ------------
-
-    // Round-trip proof of the fixed-width parser: shape lineitem into
-    // GSOD-layout lines (3 real dims, 6 at their missing sentinel),
-    // parse them back with graft.io.Gsod, aggregate Range-style stats.
-    // The oracle computes the same stats from lineitem directly.
-    // The reference's record-key rendering (Point.java:45-47,
-    // "%d_%d_%d" over stn + date div/mod — SURVEY §2 row 26): shape a
-    // deterministic (stn, YYYYMMDD) pair from lineitem, render, count
-    // per key. Unpadded exactly like the reference's %d.
-    "q_gsod_pk" -> { (s, dir) =>
-      Tables.load(s, dir, "lineitem")
-        .filter(pmod(col("l_orderkey"), lit(100)) === 0)
-        .select(
-          Gsod.formatPk(
-            pmod(col("l_orderkey"), lit(1000000)).cast("int"),
-            year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
-              dayofmonth(col("l_shipdate"))).as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("n"))
-        .orderBy("pk")
-    },
-
-    "q_gsod_roundtrip" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-      val shaped = li.select(
-        pmod(col("l_orderkey"), lit(1000000)).cast("int").as("stn"),
-        (year(col("l_shipdate")) * 10000 + month(col("l_shipdate")) * 100 +
-          dayofmonth(col("l_shipdate"))).as("date"),
-        round(col("l_quantity")).as("temp"),
-        round(col("l_discount") * 100).as("dewp"),
-        round(col("l_tax") * 100).as("slp"),
-        lit(null).cast("double").as("max_temp"),
-        lit(null).cast("double").as("stp"),
-        lit(null).cast("double").as("wdsp"),
-        lit(null).cast("double").as("mxspd"),
-        lit(null).cast("double").as("gust"),
-        lit(null).cast("double").as("min_temp"))
-      // JVM kernels both ways: formatLines' mapPartitions output is an
-      // opaque computed column (Catalyst can't collapse the formatter
-      // into per-parsed-column re-eval), and parseLines slices each
-      // line once instead of 22 substring expressions. Equivalence to
-      // the Catalyst format/parse forms is pinned in GsodSpec.
-      RangeStats.stats(Gsod.parseLines(Gsod.formatLines(shaped)),
-        Gsod.valueFields.map(_.name))
-    },
-
-    // Grid-blocked ε-neighbor spatial self-join: every customer pair
-    // within 4000 integer units on a deterministic md5-derived 100k ×
-    // 100k plane. The oracle is the O(n²) brute-force distance join —
-    // the hash match proves the 9-cell grid plan loses no boundary
-    // pair (exact integer dist², no float circle). The registered plan
-    // is the one-shuffle blocked join; brute force exists only inside
-    // the oracle.
-    "q_spatial_join" -> { (s, dir) =>
-      def coord(salt: String) = conv(substring(md5(
-        concat(lit(salt + "|"), col("c_custkey").cast("string"))),
-        1, 15), 16, 10).cast("long") % 100000L
-      val pts = Tables.load(s, dir, "customer").select(
-        col("c_custkey").as("id"),
-        coord("sx9").as("x"), coord("sy9").as("y"))
-      graft.operators.SpatialJoin.epsNeighbors(pts, "id", "x", "y", 4000L)
-        .orderBy("a_id", "b_id")
-    },
-
-    // DBSCAN over the same synthetic geo surface (different salt):
-    // grid-blocked ε-join → core/border/noise with min-id-pinned
-    // border attachment (sim/Dbscan — textbook DBSCAN's scan-order
-    // dependence made deterministic). Exact integer distances; the
-    // oracle replays core/border algebra relationally and the core
-    // components by recursive min-label propagation.
-    "q_dbscan" -> { (s, dir) =>
-      def coord(salt: String) = conv(substring(md5(
-        concat(lit(salt + "|"), col("c_custkey").cast("string"))),
-        1, 15), 16, 10).cast("long") % 100000L
-      val pts = Tables.load(s, dir, "customer").select(
-        col("c_custkey").as("id"),
-        coord("dbx").as("x"), coord("dby").as("y"))
-      graft.sim.Dbscan.cluster(pts, "id", "x", "y", 4000L, 5)
-        .orderBy("id")
-    },
-
-    // Kaplan-Meier retention curves per market segment: subject =
-    // customer, duration = weeks between first and last order, event =
-    // churned (last order >30 days before the dataset's horizon),
-    // else censored. The survival product is a left-to-right chain of
-    // exactly-rounded IEEE ops (no exp/ln), so the recursive-CTE
-    // oracle replays the doubles bit-for-bit — the q_rand_proj
-    // chained-sum discipline applied to a chained product.
-    "q_survival" -> { (s, dir) =>
-      val o = Tables.load(s, dir, "orders")
-        .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
-      val horizon = o.agg(max(col("d")).as("e"))
-      val subj = o.groupBy("o_custkey")
-        .agg(min(col("d")).as("f"), max(col("d")).as("l"))
-        .crossJoin(broadcast(horizon))
-        .join(Tables.load(s, dir, "customer")
-          .select(col("c_custkey"), col("c_mktsegment").as("seg")),
-          col("o_custkey") === col("c_custkey"))
-        .select(col("seg"),
-          expr("datediff(l, f) div 7").as("dur_w"),
-          when(datediff(col("e"), col("l")) > 30, 1).otherwise(0).as("ev"))
-      graft.operators.Survival.kaplanMeier(subj, Seq("seg"), "dur_w", "ev")
-        .orderBy("seg", "t")
-    },
-
-    // Per-node local clustering coefficient on the co-purchase graph
-    // (parts sharing an order, restricted to a deterministic 20% part
-    // subset so the projection graph stays bench-sized: 4.5k edges /
-    // 3.1k triangles at sf0.01 — the host graph is triangle-free, the
-    // hollow-gate lesson). Exact integer (degree, tri, wedges) per
-    // vertex; the coefficient is tri/wedges, left unrationed.
-    "q_clustering_coef" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_partkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-      graft.graph.Triangles.perNode(e, "pa", "pb").orderBy("v")
-    },
-
-    // Link prediction on the same co-purchase projection: rank
-    // non-adjacent part pairs at distance 2 by shared-neighbor count
-    // (graph/LinkPred — wedge equi-join candidate generation, exact
-    // integer common-neighbor / rational-Jaccard / preferential-
-    // attachment scores). Top 100 by (cn desc, a, b): unique pair key
-    // makes the cut deterministic; TakeOrdered, never a global sort.
-    "q_link_pred" -> { (s, dir) =>
-      val li = Tables.load(s, dir, "lineitem")
-        .filter(col("l_partkey") % 5 === 0)
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("x").join(li.as("y"),
-          col("x.l_orderkey") === col("y.l_orderkey") &&
-            col("x.l_partkey") < col("y.l_partkey"))
-        .select(col("x.l_partkey").as("pa"), col("y.l_partkey").as("pb"))
-      graft.graph.LinkPred.commonNeighborScores(e, "pa", "pb",
-          minCommon = 2L)
-        .orderBy(col("cn").desc, col("a"), col("b")).limit(100)
-    },
-
-    // Dynamic partition pruning through a month-partitioned at-rest
-    // fact: orders land as om=yyyy-MM hive partitions, the month dim
-    // carries the year, and a year filter on the dim side prunes the
-    // fact scan AT RUNTIME via the broadcast-reused DPP subquery —
-    // Catalyst's answer to reading 12 of 79 partitions without a
-    // literal fact-side predicate. DppSpec pins the dynamicpruning
-    // expression in the plan; the oracle recomputes from the unsplit
-    // table. At 100 TB this IS the difference between a 100 TB scan
-    // and a 1.5 TB one on every calendar-scoped star query.
-    "q_dpp" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$tag"
-      val o = Tables.load(s, dir, "orders")
-        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
-      o.select(col("o_orderkey"),
-          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"), col("om"))
-        .write.mode("overwrite").partitionBy("om").parquet(s"$base/fact")
-      o.select(col("om")).distinct()
-        .withColumn("yr", substring(col("om"), 1, 4))
-        .write.mode("overwrite").parquet(s"$base/dim")
-      val fact = s.read.parquet(s"$base/fact")
-      val dim = s.read.parquet(s"$base/dim").filter(col("yr") === "1996")
-      fact.join(dim, "om")
-        .groupBy("om")
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
-        .orderBy("om")
-    },
-
-    // Iceberg-style POSITION DELETES (merge-on-read): lineitem staged
-    // as 8 position-addressed data files, a quantity predicate lands
-    // as small (file_id, pos) delete files, and the reader subtracts
-    // them with one keyed anti join — data files never rewritten (the
-    // GDPR-delete path at 100 TB; copy-on-write is q_replace_where).
-    // n_deleted is read from the delete FILES, n_live + an exact
-    // integer membership checksum from the MoR read, so the gate
-    // proves both artifacts, not just the final filter
-    // (graft.sources.DeleteVectors; non-destructiveness + dense-pos
-    // invariants in DeleteVectorsSpec).
-    "q_delete_vectors" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dv_$tag"
-      val li = Tables.load(s, dir, "lineitem").select(
-        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
-        pmod(col("l_orderkey"), lit(8L)).as("file_id"))
-      graft.sources.DeleteVectors.stage(li, "file_id",
-        Seq("l_orderkey", "l_linenumber"), s"$base/data")
-      graft.sources.DeleteVectors.writeDeletes(s, s"$base/data",
-        s"$base/deletes", col("l_quantity") >= 45, "file_id")
-      val live = graft.sources.DeleteVectors.readMor(s, s"$base/data",
-        s"$base/deletes", "file_id")
-      val liveAgg = live.groupBy("file_id").agg(
-        count(lit(1)).as("n_live"),
-        sum(pmod(col("l_orderkey"), lit(1000L)) + col("l_linenumber"))
-          .as("live_checksum"))
-      val delAgg = s.read.parquet(s"$base/deletes")
-        .groupBy("file_id").agg(count(lit(1)).as("n_deleted"))
-      liveAgg.join(delAgg, Seq("file_id"), "left")
-        .select(col("file_id"), col("n_live"),
-          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
-          col("live_checksum"))
-        .orderBy("file_id")
-    },
-
-    // PARTITION-SPEC EVOLUTION: history stays year-partitioned, 1996+
-    // data lands month-partitioned, and ONE date-range predicate
-    // prunes both layouts (string partition ranges — lexicographic on
-    // yyyy / yyyy-MM is chronological — plus the exact row filter).
-    // The rewrite this avoids at 100 TB is re-partitioning years of
-    // history to adopt a finer spec. Output counts partitions touched
-    // per layout; directory-level pruning itself is plan-pinned in
-    // PartitionEvolutionSpec (graft.sources.PartitionEvolution).
-    "q_partition_evolution" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pe_$tag"
-      val oldL = graft.sources.PartitionEvolution.Layout(
-        "year", s"$base/old", "yyyy")
-      val newL = graft.sources.PartitionEvolution.Layout(
-        "month", s"$base/new", "yyyy-MM")
-      val o = Tables.load(s, dir, "orders").select(
-        col("o_orderkey"), col("o_orderdate"),
-        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
-          .as("cents"))
-      graft.sources.PartitionEvolution.write(
-        o.filter(col("o_orderdate") < "1996-01-01"), "o_orderdate", oldL)
-      graft.sources.PartitionEvolution.write(
-        o.filter(col("o_orderdate") >= "1996-01-01"), "o_orderdate", newL)
-      graft.sources.PartitionEvolution.readRange(s, Seq(oldL, newL),
-          "o_orderdate", "1995-06-01", "1996-09-30")
-        .groupBy("layout")
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-          countDistinct(col("part_value")).as("n_partitions"))
-        .orderBy("layout")
-    },
-
-    // TRANSACTIONAL merge-on-read: q_equality_deletes' sequence rule
-    // with the delete files IN the commit-log manifest (the Iceberg
-    // v2 shape) — one atomic commit makes the delete visible, and
-    // TIME TRAVEL reads straight through it (the pre-delete version
-    // lists no delete file, so the rows are simply back). Output
-    // unions the v1 snapshot (pre-delete) and the v3 head (delete +
-    // reinsert applied): both sides of the atomicity story in one
-    // oracle (graft.sources.MorTable; crash/visibility invariants in
-    // MorTableSpec).
-    "q_commit_mor" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val table =
-        s"${System.getProperty("java.io.tmpdir")}/graft_mor_$tag/t"
-      val fs = new org.apache.hadoop.fs.Path(table)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(table), true)
-      val o = Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_custkey")
-      val v1 = graft.sources.MorTable.appendData(s, o, 1L, table)
-      graft.sources.MorTable.commitDeletes(s,
-        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
-        2L, table)
-      val v3 = graft.sources.MorTable.appendData(s,
-        o.filter(col("o_orderkey") % 7 === 0), 3L, table)
-      def agg(version: Long, tagName: String) =
-        graft.sources.MorTable.readMor(s, table, Seq("o_orderkey"),
-            Some(version))
-          .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n"),
-            sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
-            sum(col("data_seq")).as("seq_sum"))
-          .withColumn("snapshot", lit(tagName))
-      agg(v1, "v1").unionAll(agg(v3, "v3"))
-        .select("snapshot", "o_orderstatus", "n", "key_checksum",
-          "seq_sum")
-        .orderBy("snapshot", "o_orderstatus")
-    },
-
-    // MoR COMPACTION pays off the delete debt: materialize the
-    // current merge-on-read state as fresh data files and retire old
-    // data + delete files in ONE rewrite commit (which aborts on a
-    // racing touch of its read set — no resurrection window). Rows
-    // keep their data_seq, so the compacted read is
-    // indistinguishable (the oracle IS the uncompacted semantics)
-    // and n_delete_files proves the debt is gone
-    // (graft.sources.MorTable.compact; invariants in MorTableSpec).
-    "q_mor_compact" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val table =
-        s"${System.getProperty("java.io.tmpdir")}/graft_morc_$tag/t"
-      val fs = new org.apache.hadoop.fs.Path(table)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(table), true)
-      val o = Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_custkey")
-      graft.sources.MorTable.appendData(s, o, 1L, table)
-      graft.sources.MorTable.commitDeletes(s,
-        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
-        2L, table)
-      graft.sources.MorTable.appendData(s,
-        o.filter(col("o_orderkey") % 7 === 0), 3L, table)
-      val vC = graft.sources.MorTable.compact(s, table, Seq("o_orderkey"))
-      val nDel = graft.sources.CommitLog.liveFiles(s, table, vC)
-        .count(_.startsWith("deletes-")).toLong
-      graft.sources.MorTable.readMor(s, table, Seq("o_orderkey"))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
-          sum(col("data_seq")).as("seq_sum"))
-        .withColumn("n_delete_files", lit(nDel))
-        .orderBy("o_orderstatus")
-    },
-
-    // Iceberg-style EQUALITY DELETES (the CDC flavor of
-    // q_delete_vectors): the delete file names KEY VALUES plus a
-    // sequence number; a row dies iff some delete matches its key
-    // with delete_seq > data_seq, so a delete+reinsert pair replays
-    // correctly in any file order. Base snapshot (seq 1), 'F'-status
-    // keys deleted at seq 2, every %7 order re-appended at seq 3 and
-    // surviving its own deletion. One equi anti join with the
-    // sequence inequality as residual; seq_sum in the output proves
-    // the sequence logic, not just final membership
-    // (graft.sources.DeleteVectors.readMorEquality).
-    "q_equality_deletes" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_eqdel_$tag"
-      val o = Tables.load(s, dir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_custkey")
-      graft.sources.DeleteVectors.stageSnapshot(o, 1L, s"$base/snap1")
-      graft.sources.DeleteVectors.writeEqualityDeletes(
-        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
-        2L, s"$base/deletes")
-      graft.sources.DeleteVectors.stageSnapshot(
-        o.filter(col("o_orderkey") % 7 === 0), 3L, s"$base/snap2")
-      graft.sources.DeleteVectors.readMorEquality(s,
-          Seq(s"$base/snap1", s"$base/snap2"), s"$base/deletes",
-          Seq("o_orderkey"))
-        .groupBy("o_orderstatus")
-        .agg(count(lit(1)).as("n"),
-          sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
-          sum(col("data_seq")).as("seq_sum"))
-        .orderBy("o_orderstatus")
-    },
-
-    // ORC sink/source fidelity: lineitem's mixed types (long, string,
-    // exact cents, date) through a write→read ORC round trip, then a
-    // per-flag aggregate whose row-identity term — an order-independent
-    // DECIMAL(38,0) sum of per-row 60-bit md5 hashes over the key and
-    // the date — would flip if the codec bent any row. The oracle
-    // computes the same aggregate from the parquet it never left.
-    "q_orc_roundtrip" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$tag"
-      Tables.load(s, dir, "lineitem").select(
-          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
-            .as("cents"),
-          date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))
-        .write.mode("overwrite").orc(base)
-      val back = s.read.orc(base)
-      // 60-bit per-row hash, summed losslessly inside int64 as two
-      // 30-bit halves: sum(h) == sum(hi)·2^30 + sum(lo), and each half
-      // sum stays ≤ n·2^30 « 2^63. A single DECIMAL(38,0) sum is exact
-      // too, but >18-digit numerics turn float64 in the oracle's pandas
-      // bridge and hash-mismatch (VERDICT r10) — never emit one.
-      val h = conv(substring(md5(concat_ws("|",
-        col("l_orderkey"), col("l_linenumber"), col("sd"))), 1, 15), 16, 10)
-        .cast("long")
-      back.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
-          min(col("sd")).as("min_sd"), max(col("sd")).as("max_sd"),
-          sum(shiftright(h, 30)).as("rowhash_hi"),
-          sum(h.bitwiseAND(lit(1073741823L))).as("rowhash_lo"))
-        .orderBy("l_returnflag")
-    },
-
-    // CSV sink/source fidelity under hostile content: every payload
-    // embeds a double quote, a comma, a newline, and a pipe before the
-    // write (the fixture's prose is delimiter-free — constructing the
-    // hard case is the test), round-trips through a quoted multiLine
-    // CSV, and must hash identically per source afterwards. This is
-    // the reference's own text-serialization concern (its whole MR
-    // pipeline rides on line formats; SURVEY §2 rows 1-2) answered
-    // with RFC-4180 quoting instead of fixed-width columns.
-    "q_csv_roundtrip" -> { (s, dir) =>
-      val tag = stageTag(dir)
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$tag"
-      Tables.load(s, dir, "documents").select(
-          col("doc_id"), col("source"),
-          concat(substring(col("text"), 1, 40), lit("\",\n|"), col("lang"))
-            .as("payload"))
-        .write.mode("overwrite")
-        .option("header", "true").option("escape", "\"")
-        .csv(base)
-      val back = s.read
-        .schema("doc_id LONG, source STRING, payload STRING")
-        .option("header", "true").option("multiLine", "true")
-        .option("escape", "\"")
-        .csv(base)
-      // Same lossless two-half int64 hash sum as q_orc_roundtrip.
-      val h = conv(substring(md5(col("payload")), 1, 15), 16, 10)
-        .cast("long")
-      back.groupBy("source")
-        .agg(count(lit(1)).as("n"),
-          sum(shiftright(h, 30)).as("payload_hash_hi"),
-          sum(h.bitwiseAND(lit(1073741823L))).as("payload_hash_lo"),
-          sum(length(col("payload"))).as("chars"))
-        .orderBy("source")
-    },
-
-    // Multinomial Naive Bayes language routing: train on even doc_ids,
-    // score odd ones. The Laplace-smoothed score product is a chained
-    // double recurrence over the first 40 token positions, so the
-    // recursive-CTE oracle replays every score bit-for-bit and the
-    // argmax (ties → lang asc) agrees exactly. Predictions spread over
-    // all five classes on the fixture (203/14/14/11/8) — not a hollow
-    // constant-class gate.
-    "q_naive_bayes" -> { (s, dir) =>
-      val docs = Tables.load(s, dir, "documents")
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), col("lang"),
-          TextFunctions.tokens(col("text")).as("toks"))
-      val train = docs.filter(col("doc_id") % 2 === 0)
-      val test = docs.filter(col("doc_id") % 2 === 1)
-      val sc = graft.ml.NaiveBayes.score(
-        train, test, "lang", "toks", "doc_id", maxTokens = 40)
-      val w = Window.partitionBy("id")
-        .orderBy(col("score").desc, col("label"))
-      sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("id").as("doc_id"), col("label").as("pred"), col("score"))
-        .join(test.select(col("doc_id"), col("lang")), "doc_id")
-        .select(col("doc_id"), col("lang"), col("pred"),
-          (col("lang") === col("pred")).as("correct"), col("score"))
-        .orderBy("doc_id")
-    },
-
-    // E2LSH Euclidean ANN (⌊proj + b⌋ lattice buckets, 4 tables × 2
-    // concatenated hashes, exact L2 re-rank of candidates): the L2
-    // metric family the cosine sign-LSH tier can't serve. The oracle
-    // replays the whole pipeline — Rademacher projections, offsets,
-    // floor buckets, candidate join, chained-sum distances — so the
-    // bucket pruning is proven lossless against itself and the
-    // distances bit-match.
-    "q_ann_l2" -> { (s, dir) =>
-      val emb = Tables.load(s, dir, "embeddings")
-      val qs = emb.filter(col("vec_id") % 50 === 0)
-      graft.sim.EuclideanLsh.annTopK(emb, qs, "vec_id", "embedding",
-          d = 64, g = 2, tables = 4, seed = "e2l9", k = 5)
-        .orderBy("q_id", "rank")
-    },
-  )
+  /** One entry per implemented operator from SURVEY.md §2 — merged
+    * from the per-domain registries under graft/registry/ (the maps
+    * are disjoint by construction; a duplicate name would silently
+    * drop one entry, so mergedDisjoint asserts). */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    mergedDisjoint(Seq(
+      registry.RegDedup.queries,
+      registry.RegGraph.queries,
+      registry.RegMl.queries,
+      registry.RegMultimodal.queries,
+      registry.RegRel.queries,
+      registry.RegSim.queries,
+      registry.RegSketches.queries,
+      registry.RegSkyline.queries,
+      registry.RegStats.queries,
+      registry.RegStreaming.queries,
+      registry.RegText.queries,
+      registry.RegTimeseries.queries,
+      registry.RegWarehouse.queries))
+
+  /** DuckDB-equivalent SQL per query, same merge rule. */
+  lazy val oracleSql: Map[String, String] =
+    mergedDisjoint(Seq(
+      registry.RegDedup.oracles,
+      registry.RegGraph.oracles,
+      registry.RegMl.oracles,
+      registry.RegMultimodal.oracles,
+      registry.RegRel.oracles,
+      registry.RegSim.oracles,
+      registry.RegSketches.oracles,
+      registry.RegSkyline.oracles,
+      registry.RegStats.oracles,
+      registry.RegStreaming.oracles,
+      registry.RegText.oracles,
+      registry.RegTimeseries.oracles,
+      registry.RegWarehouse.oracles))
+
+  private[graft] def mergedDisjoint[V](ms: Seq[Map[String, V]]): Map[String, V] = {
+    val merged = ms.reduce(_ ++ _)
+    val n = ms.map(_.size).sum
+    require(merged.size == n,
+      s"duplicate query name across registries: ${n - merged.size} collision(s)")
+    merged
+  }
 
   /** Shared oracle for q_ann_ivf and q_ann_ivf_index: both compute the
     * identical answer (same md5-ordered centroid pick, same squared-L2
@@ -7554,7 +224,7 @@ object SparkEntry {
   /** Exact cosine top-10 for query vec 0 — shared by q_knn and the
     * q_ann_recall ground-truth side.
     */
-  private val KnnOracle: String =
+  private[graft] val KnnOracle: String =
     """WITH ev AS (
       |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
       |    generate_subscripts(embedding, 1) AS i
@@ -7574,7 +244,7 @@ object SparkEntry {
   /** Marker-count lang-id replay - shared by q_lang_id and the
     * q_lang_confusion matrix.
     */
-  private val LangIdOracle: String =
+  private[graft] val LangIdOracle: String =
     """WITH t AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
@@ -7601,7 +271,7 @@ object SparkEntry {
     * `TRUE` for the full-corpus indexes, the base predicate for the
     * incremental one; assignment/probe/scoring always run over the
     * full corpus). */
-  private def annIvfOracle(centWhere: String): String =
+  private[graft] def annIvfOracle(centWhere: String): String =
     s"""WITH cent AS (
       |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
       |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
@@ -7635,7 +305,7 @@ object SparkEntry {
       |JOIN embeddings emb ON dots.vec_id = emb.vec_id
       |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin
 
-  private val AnnIvfOracle: String = annIvfOracle("TRUE")
+  private[graft] val AnnIvfOracle: String = annIvfOracle("TRUE")
 
   /** Full integer replay of the polyphase windowed-sinc convolution
     * for an L/M conversion of the planted ramp fixture: the Q15 tap
@@ -7645,7 +315,7 @@ object SparkEntry {
     * sample j gathers the taps its polyphase branch makes live
     * ((j·M − k) ≡ 0 mod L, zero-padded edges), and the one rounding
     * floor is exact in double range (|acc| < 2^40). */
-  private def sincResampleOracle(l: Int, m: Int): String = {
+  private[graft] def sincResampleOracle(l: Int, m: Int): String = {
     val taps = Multimodal.sincTaps(l, m)
     val h = (taps.length - 1) / 2
     val vals = taps.zipWithIndex
@@ -7695,7 +365,7 @@ object SparkEntry {
     * `ev`. Starts with WITH RECURSIVE so callers may chain a recursive
     * closure CTE after it.
     */
-  private def kmeansCtes(k: Int, iters: Int, salt: String): String = {
+  private[graft] def kmeansCtes(k: Int, iters: Int, salt: String): String = {
     val sb = new StringBuilder(
       s"""WITH RECURSIVE ev AS (
          |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -7735,7 +405,7 @@ object SparkEntry {
     * independent), w rounded 6 before the norm so the sum of squares
     * is exact too; only sqrt and the final division run in doubles.
     */
-  private def pcaCtes(iters: Int): String = {
+  private[graft] def pcaCtes(iters: Int): String = {
     val sb = new StringBuilder(
       """WITH ev AS (
         |  SELECT vec_id AS id, generate_subscripts(embedding, 1) - 1 AS j,
@@ -7777,7 +447,7 @@ object SparkEntry {
     * `a{iters+1}_{s}` and the trained centroids `c{iters}e_{s}`. The
     * caller appends the ADC tail.
     */
-  private def pqCtes(m: Int, subDim: Int, k: Int, iters: Int, salt: String): String = {
+  private[graft] def pqCtes(m: Int, subDim: Int, k: Int, iters: Int, salt: String): String = {
     val sb = new StringBuilder("WITH ")
     for (s <- 0 until m) {
       val lo = s * subDim + 1
@@ -7823,7 +493,7 @@ object SparkEntry {
     * and the per-probed-list ADC tail (the query's residual differs
     * per list, so qd carries the list rank too).
     */
-  private def ivfPqResidualSql(
+  private[graft] def ivfPqResidualSql(
       nLists: Int, nProbe: Int, m: Int, subDim: Int, k: Int, iters: Int,
       salt: String, topK: Int): String = {
     val sb = new StringBuilder(
@@ -7910,7 +580,7 @@ object SparkEntry {
     * result): the hash-random coarse quantizer CTEs select candidates;
     * per-subspace Lloyd chains + the ADC tail score them.
     */
-  private lazy val ivfPqRawOracle: String =
+  private[graft] lazy val ivfPqRawOracle: String =
     """WITH cent AS (
       |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
       |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
@@ -7959,7 +629,7 @@ object SparkEntry {
     * `(1 - 0.85)`, not the literal 0.15: the implementation computes
     * 1 − damping and the two differ by one ulp.
     */
-  private def pageRankOracle(
+  private[graft] def pageRankOracle(
       iters: Int,
       edgesCte: String =
         """e AS (
@@ -8001,7 +671,7 @@ object SparkEntry {
     * Each half-step's CTE pair comes from one template; every double
     * expression shape mirrors ml/Als.halfStep.
     */
-  private def alsOracleCtes: String = {
+  private[graft] def alsOracleCtes: String = {
     def half(mName: String, outName: String, solveKey: String,
         otherKey: String, prevF: String): String = {
       val a11 = "(CAST(s11 AS DOUBLE) / 1e12 + 0.1)"
@@ -8046,7 +716,7 @@ object SparkEntry {
     * preferential form PageRank.personalized computes). `(1 - 0.85)`
     * stays an ARITHMETIC expression so both engines produce the same
     * 0.15000000000000002 double. */
-  private def pprOracle(iters: Int, seedLike: String, edgesCte: String)
+  private[graft] def pprOracle(iters: Int, seedLike: String, edgesCte: String)
       : String = {
     val sb = new StringBuilder(
       """WITH __EDGES__,
@@ -8084,7 +754,7 @@ object SparkEntry {
     * operation order to LinearGd.fit (pred left-assoc, (2·S)/n, round
     * 6 on gradient and weight).
     */
-  private def linGdOracle(iters: Int, lr: Double): String = {
+  private[graft] def linGdOracle(iters: Int, lr: Double): String = {
     val sb = new StringBuilder(
       """WITH d AS (
         |  SELECT l_discount AS x1, l_tax AS x2, l_quantity AS y FROM lineitem),
@@ -8119,7 +789,7 @@ object SparkEntry {
     * iteration sum((1{y<ŷ} − τ)·x_j) as DECIMAL(18,6), rounded update
     * with integer lr, and the final coverage audit P(y ≤ ŷ).
     */
-  private def quantGdOracle(tau: Double, lr: Double, iters: Int): String = {
+  private[graft] def quantGdOracle(tau: Double, lr: Double, iters: Int): String = {
     val sb = new StringBuilder(
       """WITH d AS (
         |  SELECT l_discount AS x1, l_tax AS x2, l_quantity AS y FROM lineitem),
@@ -8158,7 +828,7 @@ object SparkEntry {
     * one evaluation aggregate, ss_tot staged separately so the
     * operation order matches the Scala driver fold exactly.
     */
-  private def linGdEvalOracle(iters: Int, lr: Double): String = {
+  private[graft] def linGdEvalOracle(iters: Int, lr: Double): String = {
     val weights = linGdOracle(iters, lr)
     val body = weights.substring(0, weights.lastIndexOf("\nSELECT"))
     val p = s"(((SELECT v FROM w${iters}_0) + (SELECT v FROM w${iters}_1) * x1)" +
@@ -8179,7 +849,7 @@ object SparkEntry {
     * (lang == 'en'). Exact-double features (integer / power-of-ten),
     * identical in any engine.
     */
-  private def logRegFeatures(docs: DataFrame): DataFrame =
+  private[graft] def logRegFeatures(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       (col("n_chars").cast("double") / 1000.0).as("x1"),
       (TextFunctions.tokenCount(col("text")).cast("double") / 100.0).as("x2"),
@@ -8200,7 +870,7 @@ object SparkEntry {
     * slice — one strict-Pareto query per non-empty dim subset, labels
     * matching Skycube's spec-order "+" join.
     */
-  private def skycubeOracle: String = {
+  private[graft] def skycubeOracle: String = {
     val dims = Seq(("l_extendedprice", true), ("l_discount", false),
       ("l_quantity", true)) // (col, isMin)
     val parts = (1 until 8).map { mask =>
@@ -8233,7 +903,7 @@ object SparkEntry {
     * (a = n·x − total), one lag window per k unioned, shared exact
     * denominator.
     */
-  private def acfOracle(maxLag: Int): String = {
+  private[graft] def acfOracle(maxLag: Int): String = {
     val parts = (1 to maxLag).map { k =>
       s"""SELECT $k AS lag_k,
          |  (SELECT CAST(sum(a * al) AS BIGINT)
@@ -8254,7 +924,7 @@ object SparkEntry {
        |FROM l ORDER BY lag_k""".stripMargin
   }
 
-  private def logRegOracle(iters: Int, lr: Double, scoring: Boolean,
+  private[graft] def logRegOracle(iters: Int, lr: Double, scoring: Boolean,
       withLabel: Boolean = false, cvSalt: String = ""): String = {
     // cvSalt != "": 5-fold cross-validation replay — fold rides along
     // (the q_fold_assign hash), training sums see folds 1-4 only, the
@@ -8312,7 +982,7 @@ object SparkEntry {
     * clamped exponential mean): μ̂ = round(e^min(z, 5), 6) per row,
     * exact decimal(18,6) gradient sums, rounded updates.
     */
-  private def poissonOracle(iters: Int, lr: Double): String = {
+  private[graft] def poissonOracle(iters: Int, lr: Double): String = {
     val sb = new StringBuilder(
       """WITH d AS (
         |  SELECT CASE WHEN dayofweek(day) IN (0, 6) THEN 1.0 ELSE 0.0 END AS x1,
@@ -8356,7 +1026,7 @@ object SparkEntry {
     * Identical string representation and tie-break to Bpe.train, so
     * all 16 rounds replay bit-for-bit.
     */
-  private def bpeVocabCtes(steps: Int): String = {
+  private[graft] def bpeVocabCtes(steps: Int): String = {
     // MATERIALIZED is load-bearing: v_{k+1} references v_k ~5 times
     // (directly + through the argmax's scalar subqueries); DuckDB
     // inlines CTEs by default, so 16 rounds would expand ~5^16
@@ -8393,7 +1063,7 @@ object SparkEntry {
     * symbol count of its final symbol string; per doc = sum over its
     * word occurrences, 0 for wordless docs.
     */
-  private def bpeTokenCountCtes(steps: Int): String =
+  private[graft] def bpeTokenCountCtes(steps: Int): String =
     bpeVocabCtes(steps) + s""",
        |vt AS (
        |  SELECT word,
@@ -8424,13 +1094,13 @@ object SparkEntry {
     * lineitem's numeric columns, shared by q_corr_matrix's Spark side
     * and the SQL mirror below.
     */
-  private def corrCols: Seq[(String, Column)] = Seq(
+  private[graft] def corrCols: Seq[(String, Column)] = Seq(
     ("disc", (col("l_discount").cast("decimal(18,2)") * 100).cast("long")),
     ("price", (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")),
     ("qty", col("l_quantity").cast("long")),
     ("tax", (col("l_tax").cast("decimal(18,2)") * 100).cast("long")))
 
-  private def corrPairs: Seq[(String, String)] = {
+  private[graft] def corrPairs: Seq[(String, String)] = {
     val names = corrCols.map(_._1)
     for {
       i <- names.indices
@@ -8438,7 +1108,7 @@ object SparkEntry {
     } yield (names(i), names(j))
   }
 
-  private def corrColSql(name: String): String = name match {
+  private[graft] def corrColSql(name: String): String = name match {
     case "qty" => "CAST(l_quantity AS BIGINT)"
     case "price" => "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
     case "disc" => "CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -8448,7 +1118,7 @@ object SparkEntry {
   /** (table, columns) pairs the catalog-stats sweep profiles — one
     * definition shared by the Spark side and the SQL mirror.
     */
-  private val catalogSpec: Seq[(String, Seq[String])] = Seq(
+  private[graft] val catalogSpec: Seq[(String, Seq[String])] = Seq(
     "customer" -> Seq("c_acctbal", "c_custkey", "c_mktsegment", "c_name", "c_nationkey"),
     "nation" -> Seq("n_name", "n_nationkey", "n_regionkey"),
     "region" -> Seq("r_name", "r_regionkey"),
@@ -8457,14 +1127,14 @@ object SparkEntry {
   /** Benford first-digit probabilities log10(1 + 1/d) — ONE definition
     * shared by the Spark frame and the generated oracle literals.
     */
-  private val benfordP: Seq[(Int, Double)] =
+  private[graft] val benfordP: Seq[(Int, Double)] =
     (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
 
   /** DuckDB mirror of RandomProjection.distortion: same md5 sign
     * matrix (computed here, emitted as +/− literals) and the same
     * left-to-right chained double sums, so doubles agree bit-for-bit.
     */
-  private def randProjSql(d: Int, m: Int, seed: String): String = {
+  private[graft] def randProjSql(d: Int, m: Int, seed: String): String = {
     def x(i: Int) = s"CAST(embedding[$i] AS DOUBLE)"
     val ys = (1 to m).map { j =>
       val chain = (1 to d).map { i =>
@@ -8492,7 +1162,7 @@ object SparkEntry {
     * exact bits Spark's `lit` plants), floor lattice keys per table,
     * candidate equi-join, chained-sum L2 re-rank.
     */
-  private def e2lshSql(d: Int, g: Int, tables: Int, seed: String, k: Int): String = {
+  private[graft] def e2lshSql(d: Int, g: Int, tables: Int, seed: String, k: Int): String = {
     val m = g * tables
     val ys = (1 to m).map { j =>
       val chain = (1 to d).map { i =>
@@ -8535,7 +1205,7 @@ object SparkEntry {
        |FROM ranked WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
-  private def urlSqlExpr(ck: String, ok: String): String =
+  private[graft] def urlSqlExpr(ck: String, ok: String): String =
     s"(CASE $ok % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HtTp' END) || " +
       s"'://WWW.Shop' || CAST($ck % 50 AS VARCHAR) || " +
       s"(CASE $ck % 4 WHEN 0 THEN '.example.COM' WHEN 1 THEN '.shop.CO.UK' " +
@@ -8549,11 +1219,11 @@ object SparkEntry {
   /** Lowercased host of a URL expression — the parts/parts2 host
     * stages of urlCanonCtes as one nested extract.
     */
-  private def hostSqlExpr(url: String): String =
+  private[graft] def hostSqlExpr(url: String): String =
     "lower(regexp_extract(regexp_extract(trim(" + url +
       "), '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), '^(?:[^@]*@)?([^:@]*)', 1))"
 
-  private def urlCanonCtes(
+  private[graft] def urlCanonCtes(
       urlExpr: String = urlSqlExpr("o_custkey", "o_orderkey")): String = {
     val suffixes = graft.text.UrlOps.MultiSuffixes.map(x => s"'$x'").mkString(", ")
     s"""u AS (
@@ -8601,7 +1271,7 @@ object SparkEntry {
     * exact), then one explicit term per bit lane — dim 0 in even bit
     * positions, dim 1 in odd.
     */
-  private def zorderOracle(bits: Int): String = {
+  private[graft] def zorderOracle(bits: Int): String = {
     val termsP = (0 until bits).map(i => s"(((bp >> $i) & 1) << ${i * 2})").mkString(" + ")
     val termsS = (0 until bits).map(i => s"(((bs >> $i) & 1) << ${i * 2 + 1})").mkString(" + ")
     s"""WITH mm AS (
@@ -8622,6524 +1292,4 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
-        |  count(*) AS n
-        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "q_range_stats" ->
-      """SELECT count(*) AS c,
-        |  count(CASE WHEN l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |             AND l_discount IS NOT NULL AND l_tax IS NOT NULL THEN 1 END) AS c_no_missing,
-        |  count(l_quantity) AS c_l_quantity, min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
-        |  count(l_extendedprice) AS c_l_extendedprice, min(l_extendedprice) AS min_l_extendedprice, max(l_extendedprice) AS max_l_extendedprice,
-        |  count(l_discount) AS c_l_discount, min(l_discount) AS min_l_discount, max(l_discount) AS max_l_discount,
-        |  count(l_tax) AS c_l_tax, min(l_tax) AS min_l_tax, max(l_tax) AS max_l_tax
-        |FROM lineitem""".stripMargin,
-
-    "q_missing_stats" ->
-      """SELECT count(*) AS c,
-        |  count(CASE WHEN l_quantity IS NOT NULL AND l_discount <> 0.0 THEN 1 END) AS c_no_missing,
-        |  count(l_quantity) AS c_l_quantity, min(l_quantity) AS min_l_quantity, max(l_quantity) AS max_l_quantity,
-        |  count(CASE WHEN l_discount <> 0.0 THEN 1 END) AS c_l_discount,
-        |  min(CASE WHEN l_discount <> 0.0 THEN l_discount END) AS min_l_discount,
-        |  max(CASE WHEN l_discount <> 0.0 THEN l_discount END) AS max_l_discount
-        |FROM lineitem""".stripMargin,
-
-    // FULL recompute over base ∪ delta (= the whole 'R' slice): hash
-    // equality with the incremental result proves
-    // Sky(Sky(D) ∪ B) ≡ Sky(D ∪ B).
-    "q_skyline_incr" ->
-      """SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate
-        |FROM lineitem p
-        |WHERE p.l_returnflag = 'R'
-        |  AND p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_shipdate IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM lineitem q WHERE q.l_returnflag = 'R'
-        |    AND q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_shipdate IS NOT NULL
-        |    AND q.l_extendedprice <= p.l_extendedprice
-        |    AND q.l_discount >= p.l_discount
-        |    AND q.l_shipdate <= p.l_shipdate
-        |    AND (q.l_extendedprice < p.l_extendedprice
-        |      OR q.l_discount > p.l_discount
-        |      OR q.l_shipdate < p.l_shipdate))
-        |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
-
-    "q_skyline_lineitem" ->
-      """SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate
-        |FROM lineitem p
-        |WHERE p.l_returnflag = 'R'
-        |  AND p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_shipdate IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM lineitem q WHERE q.l_returnflag = 'R'
-        |    AND q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_shipdate IS NOT NULL
-        |    AND q.l_extendedprice <= p.l_extendedprice
-        |    AND q.l_discount >= p.l_discount
-        |    AND q.l_shipdate <= p.l_shipdate
-        |    AND (q.l_extendedprice < p.l_extendedprice
-        |      OR q.l_discount > p.l_discount
-        |      OR q.l_shipdate < p.l_shipdate))
-        |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
-
-    "q_skyline_skymr" ->
-      """SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate
-        |FROM lineitem p
-        |WHERE p.l_returnflag = 'A'
-        |  AND p.l_extendedprice IS NOT NULL AND p.l_discount IS NOT NULL AND p.l_shipdate IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM lineitem q WHERE q.l_returnflag = 'A'
-        |    AND q.l_extendedprice IS NOT NULL AND q.l_discount IS NOT NULL AND q.l_shipdate IS NOT NULL
-        |    AND q.l_extendedprice <= p.l_extendedprice
-        |    AND q.l_discount >= p.l_discount
-        |    AND q.l_shipdate <= p.l_shipdate
-        |    AND (q.l_extendedprice < p.l_extendedprice
-        |      OR q.l_discount > p.l_discount
-        |      OR q.l_shipdate < p.l_shipdate))
-        |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
-
-    // Same shaping as the Spark side (the fixed-width round trip is
-    // lossless for these integer-valued dims); 9-way NOT-EXISTS
-    // dominance with the GSOD directions (temp/dewp/slp/max_temp Max,
-    // stp/wdsp/mxspd/gust/min_temp Min).
-    "q_skyline_gsod9" ->
-      """WITH shaped AS (
-        |  SELECT CAST(l_orderkey % 1000000 AS INT) AS stn,
-        |    CAST(year(l_shipdate)*10000 + month(l_shipdate)*100 + dayofmonth(l_shipdate) AS INT) AS "date",
-        |    CAST(round(l_quantity) AS DOUBLE) AS temp,
-        |    CAST(round(l_discount*100) AS DOUBLE) AS dewp,
-        |    CAST(round(l_tax*100) AS DOUBLE) AS slp,
-        |    CAST(l_partkey % 97 AS DOUBLE) AS max_temp,
-        |    CAST(floor(l_extendedprice/1000) AS DOUBLE) AS stp,
-        |    CAST(l_suppkey % 53 AS DOUBLE) AS wdsp,
-        |    CAST(l_linenumber AS DOUBLE) AS mxspd,
-        |    CAST(l_orderkey % 89 AS DOUBLE) AS gust,
-        |    CAST(dayofyear(l_shipdate) % 250 AS DOUBLE) AS min_temp
-        |  FROM lineitem WHERE l_returnflag = 'R')
-        |SELECT * FROM shaped p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM shaped q
-        |  WHERE q.temp >= p.temp AND q.dewp >= p.dewp AND q.slp >= p.slp
-        |    AND q.max_temp >= p.max_temp AND q.stp <= p.stp AND q.wdsp <= p.wdsp
-        |    AND q.mxspd <= p.mxspd AND q.gust <= p.gust AND q.min_temp <= p.min_temp
-        |    AND (q.temp > p.temp OR q.dewp > p.dewp OR q.slp > p.slp
-        |      OR q.max_temp > p.max_temp OR q.stp < p.stp OR q.wdsp < p.wdsp
-        |      OR q.mxspd < p.mxspd OR q.gust < p.gust OR q.min_temp < p.min_temp))
-        |ORDER BY stn, "date", temp, dewp, slp, max_temp, stp, wdsp, mxspd, gust, min_temp""".stripMargin,
-
-    "q_skyline_orders" ->
-      """SELECT p.o_orderkey, p.o_totalprice, p.o_orderdate
-        |FROM orders p
-        |WHERE p.o_totalprice IS NOT NULL AND p.o_orderdate IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM orders q
-        |  WHERE q.o_totalprice IS NOT NULL AND q.o_orderdate IS NOT NULL
-        |    AND q.o_totalprice <= p.o_totalprice AND q.o_orderdate >= p.o_orderdate
-        |    AND (q.o_totalprice < p.o_totalprice OR q.o_orderdate > p.o_orderdate))
-        |ORDER BY p.o_orderkey""".stripMargin,
-
-    "q_topk" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
-
-    // The window idiom the bounded aggregate replaces — identical
-    // output by construction.
-    "q_topk_grouped" ->
-      """WITH r AS (
-        |  SELECT source, n_chars, doc_id,
-        |    row_number() OVER (PARTITION BY source
-        |                       ORDER BY n_chars DESC, doc_id DESC) AS rn
-        |  FROM documents)
-        |SELECT source, n_chars, doc_id FROM r WHERE rn <= 3
-        |ORDER BY source, n_chars DESC, doc_id DESC""".stripMargin,
-
-    // Per-priority skyline (the grouped Catalyst-aggregate path).
-    "q_skyline_agg" ->
-      """SELECT p.o_orderpriority, p.o_orderkey, p.o_totalprice, p.o_orderdate
-        |FROM orders p
-        |WHERE p.o_totalprice IS NOT NULL AND p.o_orderdate IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM orders q
-        |  WHERE q.o_orderpriority = p.o_orderpriority
-        |    AND q.o_totalprice IS NOT NULL AND q.o_orderdate IS NOT NULL
-        |    AND q.o_totalprice <= p.o_totalprice AND q.o_orderdate >= p.o_orderdate
-        |    AND (q.o_totalprice < p.o_totalprice OR q.o_orderdate > p.o_orderdate))
-        |ORDER BY p.o_orderpriority, p.o_orderkey""".stripMargin,
-
-    "q_join_agg" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |  count(*) AS n_items
-        |FROM lineitem
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin,
-
-    "q_window" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
-        |  SELECT o_custkey, o_orderkey, o_totalprice,
-        |    row_number() OVER (PARTITION BY o_custkey
-        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
-        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
-
-    // The UNSALTED join — salting is a physical rewrite, the answer
-    // must not move.
-    "q_salted_join" ->
-      """SELECT c_mktsegment, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The plain (unbucketed) join — bucketing is a storage layout, the
-    // answer must not move.
-    "q_bucketed_join" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The plain join — bloom pruning is a physical-plan optimization,
-    // the answer must not move (false positives die in the join).
-    "q_bloom_join" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Tokenization contract mirrored from TextFunctions.tokens:
-    // lowercase, split on \s+, drop empties. Every ratio replicates the
-    // Spark expression tree exactly (same operation order) so doubles
-    // agree bit-for-bit before the 6-dp round.
-    "q_text_stats" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks,
-        |    regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]') AS bpe,
-        |    regexp_replace(text, '\s+', '', 'g') AS nosp
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    len(toks) AS n_tokens,
-        |    len(bpe) AS n_bpe,
-        |    CASE WHEN len(toks) > 0
-        |      THEN CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / len(toks)
-        |      ELSE 0.0 END AS mean_tok_len,
-        |    CASE WHEN len(toks) > 0
-        |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / len(toks)
-        |      ELSE 0.0 END AS stopword_ratio,
-        |    CASE WHEN len(nosp) > 0
-        |      THEN CAST(len(regexp_replace(nosp, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / len(nosp)
-        |      ELSE 0.0 END AS punct_ratio
-        |  FROM t)
-        |SELECT doc_id, n_tokens, n_bpe,
-        |  round(mean_tok_len, 6) AS mean_tok_len,
-        |  round(stopword_ratio, 6) AS stopword_ratio,
-        |  round(punct_ratio, 6) AS punct_ratio,
-        |  round(0.5 * (least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-        |               * least(1.0, 500.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0)))
-        |      + 0.3 * least(stopword_ratio * 5.0, 1.0)
-        |      + 0.2 * (1.0 - least(punct_ratio * 2.0, 1.0)), 6) AS quality
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    // Same count/flesch kernel; per-doc 4dp rounds sum as DECIMAL.
-    "q_readability" ->
-      """WITH d AS (
-        |  SELECT lang,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> len(t) > 0)) AS BIGINT) AS w,
-        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sc,
-        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
-        |  FROM documents),
-        |f AS (SELECT lang, w, sc, y,
-        |  CAST(round(206.835
-        |    - 1.015 * (CAST(greatest(1, w) AS DOUBLE) / CAST(greatest(1, sc) AS DOUBLE))
-        |    - 84.6 * (CAST(y AS DOUBLE) / CAST(greatest(1, w) AS DOUBLE)), 4)
-        |    AS DECIMAL(18,4)) AS fl
-        |  FROM d)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(w) AS BIGINT) AS sum_words,
-        |  CAST(sum(sc) AS BIGINT) AS sum_sents,
-        |  CAST(sum(y) AS BIGINT) AS sum_sylls,
-        |  round(CAST(sum(fl) AS DOUBLE) / count(*), 6) AS mean_flesch
-        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
-
-    // The replayed BPE token counts (tc) joined with whitespace word
-    // counts; one rounded division per lang.
-    "q_tokenizer_fertility" ->
-      ("WITH " + bpeTokenCountCtes(BpeSteps) + """,
-        |wd AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                         x -> len(x) > 0)) AS BIGINT) AS words
-        |  FROM documents WHERE text IS NOT NULL)
-        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(tc.bpe_tokens) AS BIGINT) AS sum_bpe,
-        |  CAST(sum(wd.words) AS BIGINT) AS sum_words,
-        |  round(CAST(sum(tc.bpe_tokens) AS DOUBLE) / sum(wd.words), 6)
-        |    AS fertility
-        |FROM wd JOIN tc USING (doc_id)
-        |WHERE wd.words > 0
-        |GROUP BY lang ORDER BY lang""".stripMargin),
-
-    // row_number over the md5 shuffle key (hex sorts identically in
-    // both engines) replays the permutation.
-    "q_epoch_shuffle" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                         x -> len(x) > 0)) AS BIGINT) AS n_tok,
-        |    md5('epoch7|' || doc_id) AS shuffle_key
-        |  FROM documents),
-        |p AS (SELECT doc_id, n_tok,
-        |        row_number() OVER (ORDER BY shuffle_key) - 1 AS pos
-        |      FROM d)
-        |SELECT pos % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
-        |  CAST(min(pos) AS BIGINT) AS min_pos,
-        |  CAST(max(pos) AS BIGINT) AS max_pos,
-        |  CAST(sum(pos * (doc_id % 1000)) AS BIGINT) AS assign_checksum
-        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
-
-    // Same lead() segments, same integer cents×seconds integration.
-    "q_twap" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, ts, date_part('day', ts) AS d,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM events),
-        |s AS (
-        |  SELECT d, cents,
-        |    (epoch_us(lead(ts) OVER (PARTITION BY user_id, d
-        |                             ORDER BY ts, event_id))
-        |     - epoch_us(ts)) // 1000000 AS dtsec
-        |  FROM e),
-        |f AS (SELECT * FROM s WHERE dtsec IS NOT NULL)
-        |SELECT CAST(d AS INTEGER) AS d,
-        |  CAST(sum(cents * dtsec) AS BIGINT) AS num,
-        |  CAST(sum(dtsec) AS BIGINT) AS den,
-        |  CAST(count(*) AS BIGINT) AS n_segments,
-        |  round(CAST(sum(cents * dtsec) AS DOUBLE) / sum(dtsec), 6)
-        |    AS twap_cents
-        |FROM f GROUP BY d ORDER BY d""".stripMargin,
-
-    // Latest-wins CDC per user (arg_max by the unique event_id),
-    // tombstone-last keys dropped — the order-independent net state.
-    "q_stream_mor" ->
-      """WITH c AS (
-        |  SELECT user_id, event_id AS version,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    CASE WHEN event_id % 10 < 2 THEN 'D' ELSE 'U' END AS op
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, arg_max(op, version) AS lop,
-        |    arg_max(cents, version) AS lcents,
-        |    max(version) AS v
-        |  FROM c GROUP BY 1),
-        |live AS (SELECT * FROM g WHERE lop <> 'D')
-        |SELECT user_id % 10 AS bucket,
-        |  CAST(count(*) AS BIGINT) AS n_keys,
-        |  CAST(sum(lcents) AS BIGINT) AS cents_sum,
-        |  CAST(sum(v) AS BIGINT) AS version_sum
-        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Every event exactly once per day — overlap duplicates or seam
-    // gaps hash-fail.
-    "q_stream_backfill" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, date_part('day', ts) AS d
-        |  FROM events)
-        |SELECT CAST(d AS INTEGER) AS d,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  CAST(sum(event_id % 100000) AS BIGINT) AS checksum
-        |FROM e GROUP BY d ORDER BY d""".stripMargin,
-
-    // Same md5 rule synthesis, same integer longest-match score
-    // (matchlen·2 + allowBit), same path slice.
-    "q_robots" -> {
-      val pathRaw =
-        "regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)"
-      s"""WITH u AS (
-         |  SELECT o_orderkey, ${urlSqlExpr("o_custkey", "o_orderkey")} AS url
-         |  FROM orders),
-         |p AS (
-         |  SELECT o_orderkey, ${hostSqlExpr("url")} AS host,
-         |    CASE WHEN regexp_replace($pathRaw, '\\?$$', '') = '' THEN '/'
-         |         ELSE regexp_replace($pathRaw, '\\?$$', '') END AS path
-         |  FROM u),
-         |hh AS (
-         |  SELECT host, ('0x' || substr(md5(host), 1, 15))::BIGINT AS h
-         |  FROM (SELECT DISTINCT host FROM p)),
-         |rules AS (
-         |  SELECT host, '/' AS rule, false AS allow FROM hh WHERE h % 5 = 0
-         |  UNION ALL
-         |  SELECT host, '/items%2fview/' || CAST(h % 10 AS VARCHAR), false
-         |  FROM hh WHERE h % 5 <> 0
-         |  UNION ALL
-         |  SELECT host, '/items%2fview/' || CAST(h % 10 AS VARCHAR) || '0',
-         |    true
-         |  FROM hh WHERE h % 5 <> 0),
-         |j AS (
-         |  SELECT p.o_orderkey, p.host,
-         |    max(CASE WHEN r.rule IS NOT NULL AND starts_with(p.path, r.rule)
-         |             THEN len(r.rule) * 2
-         |                  + CASE WHEN r.allow THEN 1 ELSE 0 END
-         |             ELSE -2 END) AS s
-         |  FROM p LEFT JOIN rules r ON r.host = p.host
-         |  GROUP BY 1, 2),
-         |v AS (
-         |  SELECT o_orderkey, host,
-         |    CASE WHEN s < 0 THEN 'allowed'
-         |         WHEN s % 2 = 1 THEN 'allowed_override'
-         |         ELSE 'blocked' END AS verdict
-         |  FROM j)
-         |SELECT verdict, CAST(count(*) AS BIGINT) AS n_urls,
-         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
-         |  CAST(sum(o_orderkey % 100000) AS BIGINT) AS key_checksum
-         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    // arg_min/arg_max by the unique version replay the struct
-    // min/max; same first/last net rule.
-    "q_cdc_collapse" ->
-      """WITH c AS (
-        |  SELECT o_custkey % 500 AS key, o_orderkey AS version,
-        |    CASE WHEN o_orderkey % 10 < 2 THEN 'D'
-        |         WHEN o_orderkey % 10 < 4 THEN 'I' ELSE 'U' END AS op,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM orders),
-        |g AS (
-        |  SELECT key, arg_min(op, version) AS fop,
-        |    arg_max(op, version) AS lop,
-        |    arg_max(cents, version) AS lcents
-        |  FROM c GROUP BY 1),
-        |n AS (
-        |  SELECT key,
-        |    CASE WHEN fop = 'I' AND lop = 'D' THEN 'none'
-        |         WHEN lop = 'D' THEN 'delete'
-        |         WHEN fop = 'I' THEN 'insert'
-        |         ELSE 'update' END AS net_op,
-        |    lcents
-        |  FROM g)
-        |SELECT net_op, CAST(count(*) AS BIGINT) AS n_keys,
-        |  CAST(sum(key) AS BIGINT) AS key_checksum,
-        |  CAST(sum(CASE WHEN net_op IN ('insert', 'update')
-        |    THEN lcents ELSE 0 END) AS BIGINT) AS cents_sum
-        |FROM n GROUP BY net_op ORDER BY net_op""".stripMargin,
-
-    // Same formula closure: each value node unnests its ≤10 division
-    // ancestors, then one grouped sum.
-    "q_hierarchy_rollup" ->
-      """WITH v AS (
-        |  SELECT o_custkey AS node, CAST(count(*) AS BIGINT) AS n_orders,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
-        |      AS BIGINT)) AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1),
-        |a AS (
-        |  SELECT unnest(list_distinct([node, node//7, node//49, node//343,
-        |    node//2401, node//16807, node//117649, node//823543,
-        |    node//5764801, node//40353607])) AS anc, n_orders, cents
-        |  FROM v)
-        |SELECT anc, CAST(count(*) AS BIGINT) AS n_desc,
-        |  CAST(sum(n_orders) AS BIGINT) AS subtree_n_orders,
-        |  CAST(sum(cents) AS BIGINT) AS subtree_cents
-        |FROM a WHERE anc < 57 GROUP BY anc ORDER BY anc""".stripMargin,
-
-    // Four independent group-profile aggregates, one per candidate.
-    "q_fd_audit" ->
-      """WITH a1 AS (SELECT o_orderkey AS l, count(DISTINCT o_custkey) AS k
-        |            FROM orders GROUP BY 1),
-        |a2 AS (SELECT o_custkey AS l, count(DISTINCT o_orderpriority) AS k
-        |       FROM orders GROUP BY 1),
-        |a3 AS (SELECT l_orderkey AS l, count(DISTINCT l_linestatus) AS k
-        |       FROM lineitem GROUP BY 1),
-        |a4 AS (SELECT l_partkey AS l, count(DISTINCT l_returnflag) AS k
-        |       FROM lineitem GROUP BY 1)
-        |SELECT fd, n_lhs, n_violating, max_rhs FROM (
-        |  SELECT 'o_orderkey->o_custkey' AS fd,
-        |    CAST(count(*) AS BIGINT) AS n_lhs,
-        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS n_violating,
-        |    CAST(max(k) AS BIGINT) AS max_rhs FROM a1
-        |  UNION ALL
-        |  SELECT 'o_custkey->o_orderpriority',
-        |    CAST(count(*) AS BIGINT),
-        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |    CAST(max(k) AS BIGINT) FROM a2
-        |  UNION ALL
-        |  SELECT 'l_orderkey->l_linestatus',
-        |    CAST(count(*) AS BIGINT),
-        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |    CAST(max(k) AS BIGINT) FROM a3
-        |  UNION ALL
-        |  SELECT 'l_partkey->l_returnflag',
-        |    CAST(count(*) AS BIGINT),
-        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
-        |    CAST(max(k) AS BIGINT) FROM a4)
-        |ORDER BY fd""".stripMargin,
-
-    // Identical salted-md5 uniform ((h+0.5)/2^60), identical
-    // inverse-CDF Laplace, identical parity sign bit and clamp.
-    "q_dp_counts" ->
-      """WITH c AS (
-        |  SELECT source, CAST(count(*) AS BIGINT) AS n
-        |  FROM documents GROUP BY 1),
-        |z AS (
-        |  SELECT source, n,
-        |    (('0x' || substr(md5('dp1|' || source), 1, 15))::BIGINT + 0.5)
-        |      / 1152921504606846976.0 AS u,
-        |    CASE WHEN ('0x' || substr(md5('dp1|' || source), 16, 1))::BIGINT
-        |              % 2 = 0 THEN 1 ELSE -1 END AS sign
-        |  FROM c)
-        |SELECT source,
-        |  greatest(CAST(0 AS BIGINT),
-        |    n + CAST(round(-ln(u) / 0.5, 0) AS BIGINT) * sign)
-        |    AS noisy_count
-        |FROM z ORDER BY source""".stripMargin,
-
-    // Identical planting, identical 4-token chunking (list slices are
-    // 1-based inclusive), identical integer df rule.
-    "q_boilerplate" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    CASE WHEN doc_id % 2 = 0
-        |      THEN 'begin boilerplate notice for ' || source ||
-        |           ' all rights reserved ' || text
-        |      ELSE text END AS t2
-        |  FROM documents),
-        |tk AS (
-        |  SELECT doc_id, source,
-        |    list_filter(regexp_split_to_array(lower(t2), '\s+'),
-        |                x -> len(x) > 0) AS toks
-        |  FROM d),
-        |ch AS (
-        |  SELECT doc_id, source,
-        |    array_to_string(toks[k*4+1 : k*4+4], ' ') AS chunk
-        |  FROM tk CROSS JOIN UNNEST(range(0, len(toks) // 4)) AS r(k)),
-        |cc AS (SELECT source, chunk,
-        |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-        |       FROM ch GROUP BY 1, 2),
-        |sd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT)
-        |         AS n_docs
-        |       FROM d GROUP BY 1)
-        |SELECT cc.source, max(sd.n_docs) AS n_docs,
-        |  CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(count(*) FILTER (WHERE df * 10 >= n_docs * 3) AS BIGINT)
-        |    AS n_boiler_chunks,
-        |  CAST(coalesce(sum(df) FILTER (WHERE df * 10 >= n_docs * 3), 0)
-        |       AS BIGINT) AS boiler_hits
-        |FROM cc JOIN sd ON sd.source = cc.source
-        |GROUP BY cc.source ORDER BY cc.source""".stripMargin,
-
-    // Same split, same count tables, same expression tree (division
-    // order matters for bit-identical doubles before the round-6).
-    "q_kn_lm" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
-        |ev AS (SELECT * FROM d WHERE doc_id % 5 = 0),
-        |tocc AS (
-        |  SELECT toks[i] AS v, toks[i+1] AS w
-        |  FROM tr CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
-        |  WHERE len(toks) >= 2),
-        |c2 AS (SELECT v, w, CAST(count(*) AS BIGINT) AS c2
-        |       FROM tocc GROUP BY 1, 2),
-        |ctx AS (SELECT v, CAST(sum(c2) AS BIGINT) AS c1,
-        |               CAST(count(*) AS BIGINT) AS n1v
-        |        FROM c2 GROUP BY 1),
-        |cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cont
-        |       FROM c2 GROUP BY 1),
-        |bv AS (SELECT (SELECT count(*) FROM c2)
-        |         + (SELECT count(DISTINCT t)
-        |            FROM (SELECT unnest(toks) AS t FROM tr)) AS denom),
-        |eocc AS (
-        |  SELECT source, toks[i] AS v, toks[i+1] AS w
-        |  FROM ev CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
-        |  WHERE len(toks) >= 2),
-        |j AS (
-        |  SELECT source, coalesce(c2.c2, 0) AS c2v, ctx.c1, ctx.n1v,
-        |         coalesce(cw.cont, 0) AS cont
-        |  FROM eocc
-        |  LEFT JOIN c2 ON c2.v = eocc.v AND c2.w = eocc.w
-        |  LEFT JOIN ctx ON ctx.v = eocc.v
-        |  LEFT JOIN cw ON cw.w = eocc.w),
-        |p AS (
-        |  SELECT source,
-        |    CASE WHEN coalesce(c1, 0) > 0
-        |      THEN (greatest(c2v - 0.75, 0.0) / c1)
-        |           + (((0.75 * n1v) / c1)
-        |              * ((cont + 1.0) / (SELECT denom FROM bv)))
-        |      ELSE ((cont + 1.0) / (SELECT denom FROM bv)) END AS p,
-        |    CASE WHEN coalesce(c1, 0) > 0 THEN 0 ELSE 1 END AS backoff
-        |  FROM j)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_eval_bigrams,
-        |  CAST(sum(backoff) AS BIGINT) AS n_backoff,
-        |  round(avg(ln(p)), 6) AS kn_logprob
-        |FROM p GROUP BY source ORDER BY source""".stripMargin,
-
-    // row_number() is fine ORACLE-side (DuckDB, one box); the Spark
-    // side must produce the identical order without the global window.
-    "q_vocab_ids" ->
-      """WITH t AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                            x -> len(x) > 0)) AS token
-        |  FROM documents WHERE text IS NOT NULL),
-        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1),
-        |v AS (SELECT token, cnt,
-        |        row_number() OVER (ORDER BY cnt DESC, token) - 1 AS id
-        |      FROM c)
-        |SELECT id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(sum(id * cnt) AS BIGINT) AS idcnt_checksum,
-        |  CAST(min(id) AS BIGINT) AS min_id,
-        |  CAST(max(id) AS BIGINT) AS max_id,
-        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt
-        |FROM v GROUP BY bucket ORDER BY bucket""".stripMargin,
-
-    // Base ids frozen from the train split; the delta's unseen tokens
-    // row_number from V in (delta cnt desc, token) order.
-    "q_vocab_incr" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                       x -> len(x) > 0)) AS token
-        |  FROM documents WHERE text IS NOT NULL),
-        |bc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t
-        |       WHERE doc_id % 5 <> 0 GROUP BY 1),
-        |dc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t
-        |       WHERE doc_id % 5 = 0 GROUP BY 1),
-        |b AS (SELECT token, cnt,
-        |        row_number() OVER (ORDER BY cnt DESC, token) - 1 AS id
-        |      FROM bc),
-        |v AS (SELECT count(*) AS v FROM b),
-        |ex AS (SELECT b.token, b.cnt + coalesce(dc.cnt, 0) AS cnt, b.id,
-        |         false AS is_new
-        |       FROM b LEFT JOIN dc USING (token)),
-        |nw AS (SELECT dc.token, dc.cnt,
-        |         row_number() OVER (ORDER BY dc.cnt DESC, dc.token) - 1
-        |           + (SELECT v FROM v) AS id,
-        |         true AS is_new
-        |       FROM dc ANTI JOIN b USING (token)),
-        |u AS (SELECT * FROM ex UNION ALL SELECT * FROM nw)
-        |SELECT id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n_tokens,
-        |  CAST(count(*) FILTER (WHERE is_new) AS BIGINT) AS n_new,
-        |  CAST(sum(id * cnt) AS BIGINT) AS idcnt_checksum,
-        |  CAST(sum(cnt) AS BIGINT) AS sum_cnt
-        |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin,
-
-    // Argmax with ties resolved in langMarkers order (de,en,es,fr,zh),
-    // 'und' when no marker hits — mirrors TextFunctions.langId.
-    "q_lang_id" -> LangIdOracle,
-
-    // Per-trigram INDEPENDENT occurrence counts over the original text
-    // ((len − len(replace))/3 summed per language) — NOT nested
-    // replaces, whose sequential removal would perturb later counts.
-    "q_lang_id_ngram" ->
-      """WITH lt AS (SELECT doc_id, lower(text) AS t, len(lower(text)) AS L FROM documents),
-        |sc AS (
-        |  SELECT doc_id,
-        |    CAST((5*L - len(replace(t,'der','')) - len(replace(t,'ein','')) - len(replace(t,'sch','')) - len(replace(t,'ung','')) - len(replace(t,'cht',''))) / 3 AS BIGINT) AS g_de,
-        |    CAST((5*L - len(replace(t,'the','')) - len(replace(t,'ing','')) - len(replace(t,'and','')) - len(replace(t,'ion','')) - len(replace(t,'ent',''))) / 3 AS BIGINT) AS g_en,
-        |    CAST((5*L - len(replace(t,'que','')) - len(replace(t,'ado','')) - len(replace(t,'los','')) - len(replace(t,'nte','')) - len(replace(t,'cio',''))) / 3 AS BIGINT) AS g_es,
-        |    CAST((5*L - len(replace(t,'les','')) - len(replace(t,'ent','')) - len(replace(t,'que','')) - len(replace(t,'eur','')) - len(replace(t,'ais',''))) / 3 AS BIGINT) AS g_fr,
-        |    CAST((5*L - len(replace(t,'de5','')) - len(replace(t,'hi4','')) - len(replace(t,'le5','')) - len(replace(t,'bu4','')) - len(replace(t,'wo3',''))) / 3 AS BIGINT) AS g_zh
-        |  FROM lt)
-        |SELECT doc_id, g_de, g_en, g_es, g_fr, g_zh,
-        |  CASE WHEN greatest(g_de, g_en, g_es, g_fr, g_zh) = 0 THEN 'und'
-        |       WHEN g_de = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'de'
-        |       WHEN g_en = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'en'
-        |       WHEN g_es = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'es'
-        |       WHEN g_fr = greatest(g_de, g_en, g_es, g_fr, g_zh) THEN 'fr'
-        |       ELSE 'zh' END AS lang_pred
-        |FROM sc ORDER BY doc_id""".stripMargin,
-
-    // Same tokenization contract; n-grams via generate_series + list
-    // slice (empty below width n, like the Spark side). The gate
-    // compares UNROUNDED fractions, mirroring repetitionOk.
-    "q_repetition" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, toks,
-        |    list_transform(generate_series(1, len(toks)-1), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
-        |    list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) AS g3
-        |  FROM t),
-        |m AS (
-        |  SELECT doc_id,
-        |    CASE WHEN len(toks) > 0 THEN CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS dup_tok,
-        |    CASE WHEN len(toks) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(toks), d -> len(list_filter(toks, x -> x = d)))), 0) AS DOUBLE) / len(toks) ELSE 0.0 END AS top_tok,
-        |    CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END AS dup_2gram,
-        |    CASE WHEN len(g2) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d)))), 0) AS DOUBLE) / len(g2) ELSE 0.0 END AS top_2gram,
-        |    CASE WHEN len(g3) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(g3), d -> len(list_filter(g3, x -> x = d)))), 0) AS DOUBLE) / len(g3) ELSE 0.0 END AS top_3gram
-        |  FROM g)
-        |SELECT doc_id,
-        |  round(dup_tok, 6) AS dup_tok, round(top_tok, 6) AS top_tok,
-        |  round(dup_2gram, 6) AS dup_2gram, round(top_2gram, 6) AS top_2gram,
-        |  round(top_3gram, 6) AS top_3gram,
-        |  CAST(top_2gram <= 0.20 AND top_3gram <= 0.18 AND dup_2gram <= 0.60 AS INT) AS rep_ok
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    // Per-doc DISTINCT 5-gram sets on both sides (matching shingles'
-    // array_distinct), bench slice = doc_id ≡ 0 mod 97.
-    "q_decontaminate" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks)-4), i -> array_to_string(toks[i:i+4], ' '))) AS grams
-        |  FROM t),
-        |bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
-        |corpus AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
-        |SELECT c.doc_id, count(*) AS n_hits
-        |FROM corpus c JOIN bench b ON c.gram = b.gram
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Per-eval-doc distinct 3-grams vs the corpus distinct-gram set;
-    // integers only (the consumer divides).
-    "q_contam_score" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' '))) AS grams
-        |  FROM t),
-        |cg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 23 <> 0),
-        |ev AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 23 = 0)
-        |SELECT ev.doc_id,
-        |  CAST(sum(CASE WHEN cg.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
-        |  count(*) AS n_total
-        |FROM ev LEFT JOIN cg ON ev.gram = cg.gram
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // row_number mirror of the distributed rank; identical integer
-    // k = max(1, n·p//100) and clamp arithmetic.
-    "q_winsorize" ->
-      """WITH o AS (
-        |  SELECT doc_id, n_chars,
-        |    row_number() OVER (ORDER BY n_chars, doc_id) AS r
-        |  FROM documents),
-        |nn AS (SELECT count(*) AS c FROM documents),
-        |k AS (SELECT greatest((SELECT c FROM nn) * 5 // 100, 1) AS k05,
-        |             greatest((SELECT c FROM nn) * 95 // 100, 1) AS k95),
-        |cuts AS (SELECT
-        |  (SELECT n_chars FROM o WHERE r = (SELECT k05 FROM k)) AS lo,
-        |  (SELECT n_chars FROM o WHERE r = (SELECT k95 FROM k)) AS hi)
-        |SELECT source, count(*) AS n,
-        |  CAST(sum(least(greatest(n_chars, (SELECT lo FROM cuts)), (SELECT hi FROM cuts))) AS BIGINT) AS sum_clamped,
-        |  CAST(min(least(greatest(n_chars, (SELECT lo FROM cuts)), (SELECT hi FROM cuts))) AS BIGINT) AS min_clamped,
-        |  CAST(max(least(greatest(n_chars, (SELECT lo FROM cuts)), (SELECT hi FROM cuts))) AS BIGINT) AS max_clamped
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-
-    // Same split-hash arithmetic; per-bin PSI terms with identical
-    // operation order ((p − q) · ln(p / q), add-1 smoothing).
-    "q_drift" ->
-      """WITH sp AS (
-        |  SELECT doc_id, n_chars,
-        |    CASE WHEN u < 0.875 THEN 'train' WHEN u < 0.9375 THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM (SELECT doc_id, n_chars,
-        |          ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-        |            / 1152921504606846976.0 AS u
-        |        FROM documents)),
-        |b AS (
-        |  SELECT split, least(CAST(floor(n_chars / 100) AS BIGINT), 19) AS bin
-        |  FROM sp WHERE split IN ('train', 'test')),
-        |c AS (
-        |  SELECT bin,
-        |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
-        |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
-        |  FROM b GROUP BY 1),
-        |t AS (SELECT CAST(sum(n_train) AS DOUBLE) AS tt,
-        |             CAST(sum(n_test) AS DOUBLE) AS te FROM c)
-        |SELECT bin, CAST(n_train AS BIGINT) AS n_train,
-        |  CAST(n_test AS BIGINT) AS n_test,
-        |  round(((n_train + 1.0) / ((SELECT tt FROM t) + 20.0)
-        |         - (n_test + 1.0) / ((SELECT te FROM t) + 20.0))
-        |    * ln(((n_train + 1.0) / ((SELECT tt FROM t) + 20.0))
-        |         / ((n_test + 1.0) / ((SELECT te FROM t) + 20.0))), 6) AS psi_term
-        |FROM c ORDER BY bin""".stripMargin,
-
-    // Same md5-prefix-60 arithmetic; anchor-exclusion by construction.
-    "q_negative_sample" ->
-      """WITH nn AS (SELECT count(*) AS n FROM documents),
-        |jj AS (SELECT unnest(range(4)) AS j)
-        |SELECT d.doc_id, CAST(jj.j AS INT) AS j,
-        |  (d.doc_id + 1 +
-        |   (('0x' || substr(md5('neg|' || CAST(d.doc_id AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)), 1, 15))::BIGINT
-        |    % ((SELECT n FROM nn) - 1))) % (SELECT n FROM nn) AS neg_id
-        |FROM documents d CROSS JOIN jj
-        |ORDER BY doc_id, j""".stripMargin,
-
-    // The exact 60-bit md5-prefix hash arithmetic of Sampling.hashUnit;
-    // all rates/cuts dyadic so the double thresholds are exact.
-    "q_sample_mix" ->
-      """WITH u AS (
-        |  SELECT doc_id, source,
-        |    ('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u_mix,
-        |    ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u_split
-        |  FROM documents)
-        |SELECT doc_id, source,
-        |  CASE WHEN u_split < 0.875 THEN 'train'
-        |       WHEN u_split < 0.9375 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM u
-        |WHERE u_mix < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1.0
-        |                   WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.5
-        |                   WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.25
-        |                   WHEN source IN ('src15','src16','src17','src18','src19') THEN 0.125
-        |                   ELSE 0.0 END
-        |ORDER BY doc_id""".stripMargin,
-
-    // row_number over the per-source hash order, keep rn <= 3.
-    "q_group_sample" ->
-      """WITH u AS (
-        |  SELECT doc_id, source,
-        |    ('0x' || substr(md5('pg1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, source,
-        |    row_number() OVER (PARTITION BY source ORDER BY u ASC, doc_id ASC) AS rn
-        |  FROM u)
-        |SELECT doc_id, source FROM r WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
-
-    // Log-domain ES key: selection on the UNROUNDED ln(u)/w, output
-    // rounded — see Sampling.weightedSample for why.
-    "q_weighted_sample" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    ln(greatest(('0x' || substr(md5('ws1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0,
-        |                1.0 / 1152921504606846976.0))
-        |      / n_chars AS wk
-        |  FROM documents WHERE n_chars > 0)
-        |SELECT doc_id, round(wk, 9) AS wkey FROM (
-        |  SELECT doc_id, wk FROM u ORDER BY wk DESC, doc_id ASC LIMIT 100)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Cumulative window over the same hash order (ties by doc_id);
-    // soft-cap filter on the pre-row cumulative.
-    "q_token_budget" ->
-      """WITH u AS (
-        |  SELECT doc_id, source, n_chars,
-        |    ('0x' || substr(md5('tb1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
-        |  FROM documents),
-        |c AS (
-        |  SELECT doc_id, source, n_chars,
-        |    sum(n_chars) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum
-        |  FROM u)
-        |SELECT doc_id, source, n_chars FROM c
-        |WHERE (cum - n_chars) < CASE WHEN source IN ('src0','src2','src4','src6','src8','src10','src12','src14','src16','src18') THEN 3000 ELSE 1500 END
-        |ORDER BY doc_id""".stripMargin,
-
-    // Closed-form dHash replay: thumb pixel (X,Y) of the w×h
-    // checkerboard is v1 iff (⌊X·w/9⌋ + ⌊Y·h/8⌋) even (the
-    // q_multimodal_thumb resample identity), v1 < v2 always, so
-    // bit(y,x) = parity(x) even AND parity(x+1) odd — pure integer
-    // arithmetic per (doc, y, x); halves packed exactly like the
-    // Scala bit loop. Pairs = exact Hamming ≤ 3 all-pairs (the oracle
-    // may brute-force; the Spark plan must not).
-    "q_dedup_image" ->
-      """WITH g AS (
-        |  SELECT doc_id, ((doc_id % 41) % 13) + 4 AS w, ((doc_id % 41) % 7) + 3 AS h
-        |  FROM documents),
-        |yy AS (SELECT unnest(range(8)) AS y),
-        |xx AS (SELECT unnest(range(8)) AS x),
-        |bits AS (
-        |  SELECT g.doc_id, yy.y, xx.x,
-        |    CASE WHEN ((xx.x * g.w) // 9 + (yy.y * g.h) // 8) % 2 = 0
-        |          AND (((xx.x + 1) * g.w) // 9 + (yy.y * g.h) // 8) % 2 = 1
-        |         THEN 1 ELSE 0 END AS b
-        |  FROM g CROSS JOIN yy CROSS JOIN xx),
-        |hh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN y < 4 THEN b * (1::BIGINT << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN y >= 4 THEN b * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY 1)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) AS dist
-        |FROM hh a JOIN hh b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Smallest-id representative per cluster: a doc survives iff no
-    // pair names it as the larger side.
-    "q_dedup_image_survivors" ->
-      """WITH g AS (
-        |  SELECT doc_id, ((doc_id % 41) % 13) + 4 AS w, ((doc_id % 41) % 7) + 3 AS h
-        |  FROM documents),
-        |yy AS (SELECT unnest(range(8)) AS y),
-        |xx AS (SELECT unnest(range(8)) AS x),
-        |bits AS (
-        |  SELECT g.doc_id, yy.y, xx.x,
-        |    CASE WHEN ((xx.x * g.w) // 9 + (yy.y * g.h) // 8) % 2 = 0
-        |          AND (((xx.x + 1) * g.w) // 9 + (yy.y * g.h) // 8) % 2 = 1
-        |         THEN 1 ELSE 0 END AS b
-        |  FROM g CROSS JOIN yy CROSS JOIN xx),
-        |hh AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN y < 4 THEN b * (1::BIGINT << (y * 8 + x)) ELSE 0 END) AS BIGINT) AS hi,
-        |    CAST(sum(CASE WHEN y >= 4 THEN b * (1::BIGINT << ((y - 4) * 8 + x)) ELSE 0 END) AS BIGINT) AS lo
-        |  FROM bits GROUP BY 1),
-        |losers AS (
-        |  SELECT DISTINCT b.doc_id
-        |  FROM hh a JOIN hh b ON a.doc_id < b.doc_id
-        |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)
-        |SELECT d.doc_id, d.source FROM documents d
-        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // Identical URL construction + stage-by-stage canonicalization
-    // replay (see urlCanonCtes).
-    "q_url_canon" ->
-      ("WITH " + urlCanonCtes() + """
-        |SELECT o_orderkey, url, canon, domain FROM canon
-        |ORDER BY o_orderkey""".stripMargin),
-
-    "q_domain_stats" ->
-      ("WITH " + urlCanonCtes() + """
-        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
-        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts
-        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin),
-
-    // The identical page construction and the identical regex/list
-    // pipeline, stage for stage (script/style strip → comment strip →
-    // block-closer newlines → tag strip → entity decode → integer
-    // line-density gate).
-    "q_extract" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |    '<html><head><title>Doc</title><style>p{color:red}</style>'
-        |    || '<script>var x = "<p>hidden</p>";</script></head>'
-        |    || '<body><div>home</div><div>login</div><!-- tracking -->'
-        |    || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' || text
-        |    || '</p><p>tail &amp; entity &lt;x&gt; demo line</p>'
-        |    || '<div>4 8 15 16 23 42</div><footer>c</footer></body></html>' AS html
-        |  FROM documents),
-        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script\s*>', ' ', 'g') AS t FROM h),
-        |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style\s*>', ' ', 'g') AS t FROM s1),
-        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
-        |s4 AS (SELECT doc_id, regexp_replace(t, '(?i)<(br|/p|/div|/h[1-6]|/li|/tr|/td|/table|/ul|/ol|/section|/article|/header|/footer|/nav|/title|/head)[^>]*>', chr(10), 'g') AS t FROM s3),
-        |s5 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]*>', ' ', 'g') AS t FROM s4),
-        |s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
-        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t FROM s5),
-        |ln AS (SELECT doc_id, list_transform(string_split(t, chr(10)),
-        |    l -> trim(regexp_replace(l, '\s+', ' ', 'g'))) AS ls FROM s6),
-        |kp AS (SELECT doc_id, list_filter(ls, l -> len(string_split(l, ' ')) >= 3
-        |    AND 2 * length(regexp_replace(l, '[^a-zA-Z]', '', 'g')) >= length(l)) AS ls FROM ln),
-        |x AS (SELECT doc_id, array_to_string(ls, chr(10)) AS extracted FROM kp)
-        |SELECT doc_id, md5(extracted) AS h,
-        |  CAST(length(extracted) AS BIGINT) AS n_extracted
-        |FROM x ORDER BY doc_id""".stripMargin,
-
-    // The 16 merge rounds, each read off its own argmax CTE — the
-    // whole training replayed, not just a final artifact.
-    "q_bpe" ->
-      ("WITH " + bpeVocabCtes(BpeSteps) + "\n" +
-        (0 until BpeSteps).map(k =>
-          s"SELECT $k AS step, lhs, rhs, lhs || rhs AS merged, CAST(cnt AS BIGINT) AS cnt FROM b$k")
-          .mkString("", "\nUNION ALL\n", "\nORDER BY step")),
-
-    // Final replayed vocab → per-word symbol counts → per-doc sums.
-    "q_bpe_encode" ->
-      ("WITH " + bpeTokenCountCtes(BpeSteps) + """
-        |SELECT doc_id, bpe_tokens FROM tc ORDER BY doc_id""".stripMargin),
-
-    // The q_token_budget window over replayed BPE counts (salt tbbpe1,
-    // budgets 2000/1000 tokens).
-    "q_token_budget_bpe" ->
-      ("WITH " + bpeTokenCountCtes(BpeSteps) + """,
-        |u AS (
-        |  SELECT doc_id, source, bpe_tokens,
-        |    ('0x' || substr(md5('tbbpe1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u
-        |  FROM tc),
-        |c AS (
-        |  SELECT doc_id, source, bpe_tokens,
-        |    sum(bpe_tokens) OVER (PARTITION BY source ORDER BY u, doc_id) AS cum
-        |  FROM u)
-        |SELECT doc_id, source, bpe_tokens FROM c
-        |WHERE (cum - bpe_tokens) < CASE WHEN source IN ('src0','src2','src4','src6','src8','src10','src12','src14','src16','src18') THEN 2000 ELSE 1000 END
-        |ORDER BY doc_id""".stripMargin),
-
-    // The composed pipeline, stage for stage: quality gate (q_text_stats
-    // tree), repetition gate (q_repetition tree, UNROUNDED), survivors
-    // window (q_dedup_exact fingerprint), 5-gram bench overlap
-    // (q_decontaminate shape), then the q_sample_mix hash arithmetic.
-    "q_pipeline" ->
-      """WITH t AS (
-        |  SELECT doc_id, source, text,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |q AS (
-        |  SELECT doc_id, source, toks,
-        |    len(toks) AS n_tokens,
-        |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / len(toks) ELSE 0.0 END AS sw,
-        |    CASE WHEN len(regexp_replace(text, '\s+', '', 'g')) > 0
-        |      THEN CAST(len(regexp_replace(regexp_replace(text, '\s+', '', 'g'), '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / len(regexp_replace(text, '\s+', '', 'g'))
-        |      ELSE 0.0 END AS pr
-        |  FROM t WHERE doc_id % 97 <> 0),
-        |gate AS (
-        |  SELECT doc_id, source, toks,
-        |    list_transform(generate_series(1, len(toks)-1), i -> array_to_string(toks[i:i+1], ' ')) AS g2,
-        |    list_transform(generate_series(1, len(toks)-2), i -> array_to_string(toks[i:i+2], ' ')) AS g3
-        |  FROM q
-        |  WHERE round(0.5 * (least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-        |                     * least(1.0, 500.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0)))
-        |            + 0.3 * least(sw * 5.0, 1.0)
-        |            + 0.2 * (1.0 - least(pr * 2.0, 1.0)), 6) >= 0.5),
-        |gate2 AS (
-        |  SELECT doc_id, source, toks FROM gate
-        |  WHERE (CASE WHEN len(g2) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(g2), d -> len(list_filter(g2, x -> x = d)))), 0) AS DOUBLE) / len(g2) ELSE 0.0 END) <= 0.20
-        |    AND (CASE WHEN len(g3) > 0 THEN CAST(coalesce(list_max(list_transform(list_distinct(g3), d -> len(list_filter(g3, x -> x = d)))), 0) AS DOUBLE) / len(g3) ELSE 0.0 END) <= 0.18
-        |    AND (CASE WHEN len(g2) > 0 THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) ELSE 0.0 END) <= 0.60),
-        |surv AS (
-        |  SELECT doc_id, source, toks FROM (
-        |    SELECT doc_id, source, toks,
-        |      row_number() OVER (PARTITION BY md5(array_to_string(toks, ' ')) ORDER BY doc_id) AS rn
-        |    FROM gate2) WHERE rn = 1),
-        |bg AS (
-        |  SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(toks)-4), i -> array_to_string(toks[i:i+4], ' ')))) AS gram
-        |  FROM t WHERE doc_id % 97 = 0),
-        |hit AS (
-        |  SELECT DISTINCT s.doc_id
-        |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(toks)-4), i -> array_to_string(toks[i:i+4], ' ')))) AS gram FROM surv) s
-        |  JOIN bg ON s.gram = bg.gram),
-        |u AS (
-        |  SELECT doc_id, source,
-        |    ('0x' || substr(md5('mix1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u_mix,
-        |    ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 AS u_split
-        |  FROM surv WHERE doc_id NOT IN (SELECT doc_id FROM hit))
-        |SELECT doc_id, source,
-        |  CASE WHEN u_split < 0.875 THEN 'train'
-        |       WHEN u_split < 0.9375 THEN 'val'
-        |       ELSE 'test' END AS split
-        |FROM u
-        |WHERE u_mix < CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6','src7','src8','src9') THEN 1.0 ELSE 0.5 END
-        |ORDER BY doc_id""".stripMargin,
-
-    // The md5 fingerprint, token count, quality formula, and lang
-    // argmax — exactly the q_dedup_exact / q_text_stats / q_lang_id
-    // expression trees, through the SQL-function names.
-    "q_sql_functions" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks,
-        |    regexp_replace(text, '\s+', '', 'g') AS nosp
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(toks, ' ')) AS fp,
-        |    len(toks) AS n_tokens,
-        |    CASE WHEN len(toks) > 0
-        |      THEN CAST(len(list_filter(toks, x -> x IN ('the','a','an','of','to','and','in','is','it','that'))) AS DOUBLE) / len(toks)
-        |      ELSE 0.0 END AS stopword_ratio,
-        |    CASE WHEN len(nosp) > 0
-        |      THEN CAST(len(regexp_replace(nosp, '[a-zA-Z0-9]', '', 'g')) AS DOUBLE) / len(nosp)
-        |      ELSE 0.0 END AS punct_ratio,
-        |    len(list_filter(toks, x -> x IN ('der','die','das','und','nicht','ist'))) AS s_de,
-        |    len(list_filter(toks, x -> x IN ('the','a','of','and','is','to'))) AS s_en,
-        |    len(list_filter(toks, x -> x IN ('el','la','de','que','y','es'))) AS s_es,
-        |    len(list_filter(toks, x -> x IN ('le','la','les','et','est','que'))) AS s_fr,
-        |    len(list_filter(toks, x -> x IN ('de5','shi4','le5','bu4','wo3','ni3'))) AS s_zh
-        |  FROM t)
-        |SELECT doc_id, fp, n_tokens,
-        |  round(0.5 * (least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-        |               * least(1.0, 500.0 / greatest(CAST(n_tokens AS DOUBLE), 1.0)))
-        |      + 0.3 * least(stopword_ratio * 5.0, 1.0)
-        |      + 0.2 * (1.0 - least(punct_ratio * 2.0, 1.0)), 6) AS quality,
-        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
-        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
-        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
-        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
-        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
-        |       ELSE 'zh' END AS lang_pred
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    // Exact regime (capacity > vocabulary): plain token counts.
-    "q_heavy_hitters" ->
-      """WITH t AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS item
-        |  FROM documents)
-        |SELECT item, count(*) AS cnt FROM t
-        |GROUP BY item ORDER BY cnt DESC, item ASC LIMIT 20""".stripMargin,
-
-    // Exact regime per group (capacity > per-source vocabulary):
-    // plain grouped counts, top-5 per source by (cnt desc, item asc).
-    "q_heavy_hitters_grouped" ->
-      """WITH t AS (
-        |  SELECT source,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS item
-        |  FROM documents),
-        |c AS (SELECT source, item, count(*) AS cnt FROM t GROUP BY 1, 2),
-        |r AS (SELECT source, item, cnt,
-        |        row_number() OVER (PARTITION BY source ORDER BY cnt DESC, item ASC) AS rn
-        |      FROM c)
-        |SELECT source, item, cnt FROM r WHERE rn <= 5
-        |ORDER BY source, cnt DESC, item ASC""".stripMargin,
-
-    // Phrase hits by list comprehension over token positions — the
-    // brute-force mirror of the postings join (1-based, same
-    // tokenization contract).
-    "q_phrase" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT doc_id,
-        |    [i for i in range(1, len(toks) - 1)
-        |       if toks[i] = 'slow' AND toks[i+1] = 'hash' AND toks[i+2] = 'batch'] AS hits
-        |  FROM t WHERE len(toks) >= 3)
-        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
-        |  CAST(hits[1] AS BIGINT) AS first_pos
-        |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
-
-    // The same doubled-space stopword-break chain (replace() is
-    // non-overlapping left-to-right on both engines), then RAKE's
-    // integer-scaled word-score algebra. The break chain is GENERATED
-    // from TextFunctions.stopwordsEn so the lists can't drift.
-    "q_keywords" -> {
-      val marked = graft.text.TextFunctions.stopwordsEn.foldLeft("s") {
-        (acc, w) => s"replace($acc, ' $w ', ' | ')"
-      }
-      s"""WITH d AS (SELECT lower(text) AS t FROM documents WHERE text IS NOT NULL),
-         |nt AS (SELECT ' ' || array_to_string(
-         |         list_filter(regexp_split_to_array(t, '\\s+'), x -> len(x) > 0),
-         |         ' ') || ' ' AS s FROM d),
-         |dd AS (SELECT replace(s, ' ', '  ') AS s FROM nt),
-         |mk AS (SELECT $marked AS s FROM dd),
-         |ph0 AS (SELECT unnest(string_split(s, '|')) AS p FROM mk),
-         |phr AS (SELECT array_to_string(
-         |          list_filter(regexp_split_to_array(p, ' +'), x -> len(x) > 0),
-         |          ' ') AS phrase FROM ph0),
-         |phx AS (SELECT phrase FROM phr WHERE len(phrase) > 0),
-         |pw AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen,
-         |         unnest(string_split(phrase, ' ')) AS word FROM phx),
-         |ws AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
-         |         CAST(sum(plen) AS BIGINT) AS deg FROM pw GROUP BY 1),
-         |wsc AS (SELECT word, (deg * 10000) // freq AS wscore FROM ws),
-         |pc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n FROM phx GROUP BY 1),
-         |pwd AS (SELECT phrase, n, unnest(string_split(phrase, ' ')) AS word
-         |        FROM pc)
-         |SELECT pwd.phrase, pwd.n, CAST(sum(w.wscore) AS BIGINT) AS score
-         |FROM pwd JOIN wsc w USING (word)
-         |GROUP BY 1, 2
-         |ORDER BY score DESC, phrase LIMIT 15""".stripMargin
-    },
-
-    // Same 1-based slice semantics: toks[s+1 : s+50] truncates at the
-    // array end, md5 over the space-joined window.
-    "q_chunk" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |c AS (
-        |  SELECT doc_id, unnest(range(0, len(toks), 25)) AS start, toks
-        |  FROM t WHERE len(toks) > 0)
-        |SELECT doc_id, CAST((start // 25) AS INT) AS chunk_idx,
-        |  CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_toks,
-        |  md5(array_to_string(toks[start + 1 : start + 50], ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
-
-    // Same windows, BPE accounting: every chunk word is a word of the
-    // training corpus (chunk text is the SAME lowercased text re-joined
-    // on single spaces — its [a-z0-9]+ runs are unchanged), so each
-    // word's subword count comes from the replayed final vocab; the
-    // chained-replace encoder the Spark side uses is pinned ≡ the
-    // vocab lookup on corpus words by BpeSpec.
-    "q_chunk_bpe" ->
-      ("WITH " + bpeVocabCtes(BpeSteps) +
-        s""",
-        |vt AS (
-        |  SELECT word,
-        |    CAST(len(string_split(symstr[2:length(symstr)-1], '||')) AS BIGINT) AS n_tokens
-        |  FROM v$BpeSteps),
-        |t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-        |                x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |c AS (
-        |  SELECT doc_id, unnest(range(0, len(toks), 25)) AS start, toks
-        |  FROM t WHERE len(toks) > 0),
-        |ch AS (
-        |  SELECT doc_id, CAST((start // 25) AS INT) AS chunk_idx,
-        |    CAST(len(toks[start + 1 : start + 50]) AS INT) AS n_toks,
-        |    array_to_string(toks[start + 1 : start + 50], ' ') AS chunk_text
-        |  FROM c),
-        |cw AS (
-        |  SELECT doc_id, chunk_idx,
-        |    unnest(regexp_extract_all(lower(chunk_text), '[a-z0-9]+')) AS word
-        |  FROM ch),
-        |cb AS (
-        |  SELECT doc_id, chunk_idx, sum(vt.n_tokens) AS nb
-        |  FROM cw JOIN vt USING (word) GROUP BY 1, 2)
-        |SELECT ch.doc_id, ch.chunk_idx, ch.n_toks,
-        |  CAST(coalesce(cb.nb, 0) AS BIGINT) AS n_bpe,
-        |  md5(ch.chunk_text) AS chunk_md5
-        |FROM ch LEFT JOIN cb USING (doc_id, chunk_idx)
-        |ORDER BY doc_id, chunk_idx""".stripMargin),
-
-    // Packing replay: exclusive cumulative sum of the replayed BPE
-    // counts in doc_id order, then each doc's span exploded over its
-    // overlapped 512-token sequences — identical integer arithmetic
-    // (floor division, greatest/least span clamps) to Packing.pack.
-    "q_pack" ->
-      ("WITH " + bpeTokenCountCtes(BpeSteps) + """,
-        |p AS (
-        |  SELECT doc_id, bpe_tokens,
-        |    CAST(coalesce(sum(bpe_tokens) OVER (ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-        |  FROM tc WHERE bpe_tokens > 0),
-        |x AS (
-        |  SELECT doc_id, bpe_tokens, off,
-        |    CAST(unnest(range(off // 512, (off + bpe_tokens - 1) // 512 + 1)) AS BIGINT) AS seq_id
-        |  FROM p)
-        |SELECT doc_id, seq_id,
-        |  CAST(greatest(seq_id * 512, off) - seq_id * 512 AS BIGINT) AS seq_pos,
-        |  CAST(greatest(seq_id * 512, off) - off AS BIGINT) AS tok_from,
-        |  CAST(least((seq_id + 1) * 512, off + bpe_tokens) - off AS BIGINT) AS tok_to
-        |FROM x ORDER BY seq_id, seq_pos""".stripMargin),
-
-    // Global rank replay; bucket = (rank−1)·10 floor-div n.
-    "q_histogram_eqdepth" ->
-      """WITH r AS (
-        |  SELECT l_extendedprice AS v,
-        |    row_number() OVER (ORDER BY l_extendedprice, l_orderkey,
-        |                       l_linenumber) AS rank
-        |  FROM lineitem),
-        |nn AS (SELECT count(*) AS n FROM r)
-        |SELECT CAST(((rank - 1) * 10) // (SELECT n FROM nn) AS BIGINT) AS bucket,
-        |  count(*) AS n, round(min(v), 2) AS lo, round(max(v), 2) AS hi
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_dedup_stats" ->
-      """SELECT source, count(*) AS n_docs,
-        |  count(DISTINCT text) AS n_distinct,
-        |  count(*) - count(DISTINCT text) AS n_dup_rows
-        |FROM documents WHERE text IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Epoch-aligned week index, integer deltas, NULL first week.
-    "q_wow" ->
-      """WITH w AS (
-        |  SELECT event_type, epoch_us(ts) // 604800000000 AS week,
-        |    count(*) AS n
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, CAST(week AS BIGINT) AS week, n,
-        |  n - lag(n) OVER (PARTITION BY event_type ORDER BY week) AS delta
-        |FROM w ORDER BY event_type, week""".stripMargin,
-
-    "q_cooccur" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                       x -> len(x) > 0)) AS t
-        |  FROM documents WHERE text IS NOT NULL)
-        |SELECT a.t AS t1, b.t AS t2, count(*) AS n_docs
-        |FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
-        |GROUP BY 1, 2 ORDER BY n_docs DESC, t1 ASC, t2 ASC
-        |LIMIT 15""".stripMargin,
-
-    // Exact integer µs gaps — no division (see the query comment).
-    "q_gap_stats" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us,
-        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
-        |                            ORDER BY epoch_us(ts), event_id) AS prev
-        |  FROM events)
-        |SELECT user_id, count(*) AS n_gaps,
-        |  min(us - prev) AS min_gap, max(us - prev) AS max_gap,
-        |  CAST(sum(us - prev) AS BIGINT) AS sum_gap
-        |FROM e WHERE prev IS NOT NULL
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_freq_items" ->
-      """WITH l AS (
-        |  SELECT 'o_orderpriority' AS col_name, o_orderpriority AS value FROM orders
-        |  UNION ALL
-        |  SELECT 'o_orderstatus', o_orderstatus FROM orders),
-        |c AS (SELECT col_name, value, count(*) AS n FROM l GROUP BY 1, 2),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY col_name
-        |                               ORDER BY n DESC, value ASC) AS rank
-        |  FROM c)
-        |SELECT col_name, value, n, CAST(rank AS INT) AS rank FROM r
-        |WHERE rank <= 3 ORDER BY col_name, rank""".stripMargin,
-
-    // Closed-form 2×3 nearest-neighbor resample of the checkerboard:
-    // sampled pixel (X,Y) is v1 iff (⌊X·w/2⌋ + ⌊Y·h/3⌋) is even.
-    "q_multimodal_thumb" ->
-      """WITH p AS (
-        |  SELECT doc_id, (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h,
-        |    doc_id % 256 AS v1, (doc_id * 7 + 13) % 256 AS v2
-        |  FROM documents),
-        |yy AS (SELECT unnest([0, 1, 2]) AS y),
-        |xx AS (SELECT unnest([0, 1]) AS x),
-        |s AS (
-        |  SELECT p.doc_id,
-        |    CASE WHEN ((xx.x * p.w) // 2 + (yy.y * p.h) // 3) % 2 = 0
-        |         THEN p.v1 ELSE p.v2 END AS px
-        |  FROM p CROSS JOIN yy CROSS JOIN xx)
-        |SELECT doc_id, CAST(2 AS BIGINT) AS thumb_w, CAST(3 AS BIGINT) AS thumb_h,
-        |  CAST(sum(px) AS BIGINT) AS thumb_sum
-        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_lingd" -> linGdOracle(2, 0.01),
-    "q_quantile_reg" -> quantGdOracle(0.75, 10.0, 3),
-    "q_lingd_eval" -> linGdEvalOracle(2, 0.01),
-    "q_logreg" -> logRegOracle(3, 1.0, scoring = false),
-    "q_poisson" -> poissonOracle(6, 1.0),
-    "q_logreg_score" -> logRegOracle(3, 1.0, scoring = true),
-
-    // The window row_number mirror of the distributed global rank
-    // (same total order: size desc, doc_id).
-    "q_shard_balance" ->
-      """WITH r AS (
-        |  SELECT doc_id, n_chars,
-        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
-        |  FROM documents)
-        |SELECT (rank - 1) % 8 AS shard, count(*) AS n_docs,
-        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Same per-label centroid derivation (sum rounded 6, mean rounded
-    // 6), same squared-distance aggregation.
-    "q_embed_outlier" ->
-      """WITH ev AS (
-        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
-        |    CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |cent AS (
-        |  SELECT label, j, round(sum(x), 6) AS sx, count(*) AS n
-        |  FROM ev GROUP BY 1, 2),
-        |c2 AS (SELECT label, j, round(sx / n, 6) AS cx FROM cent),
-        |d AS (
-        |  SELECT ev.vec_id, ev.label,
-        |    round(sum((ev.x - c2.cx) * (ev.x - c2.cx)), 6) AS d2
-        |  FROM ev JOIN c2 ON ev.label = c2.label AND ev.j = c2.j
-        |  GROUP BY 1, 2)
-        |SELECT vec_id, label, d2 FROM d
-        |ORDER BY d2 DESC, vec_id ASC LIMIT 20""".stripMargin,
-
-    // Per-source cell replay — the q_count_min CTEs with `source`
-    // threaded through vocabulary, cells, and estimates.
-    "q_count_min_grouped" ->
-      """WITH toks AS (
-        |  SELECT source,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                       x -> len(x) > 0)) AS t
-        |  FROM documents WHERE text IS NOT NULL),
-        |vc AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2),
-        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-        |cells AS (
-        |  SELECT vc.source, js.j,
-        |    (('0x' || substr(md5(js.j || ':' || vc.t), 1, 15))::BIGINT % 64) AS cell,
-        |    sum(vc.c) AS s
-        |  FROM vc CROSS JOIN js GROUP BY 1, 2, 3),
-        |srcs AS (SELECT DISTINCT source FROM toks),
-        |q AS (SELECT unnest(['join', 'vector']) AS item),
-        |qh AS (
-        |  SELECT srcs.source, q.item, js.j,
-        |    (('0x' || substr(md5(js.j || ':' || q.item), 1, 15))::BIGINT % 64) AS cell
-        |  FROM srcs CROSS JOIN q CROSS JOIN js)
-        |SELECT qh.source, qh.item, CAST(min(coalesce(cells.s, 0)) AS BIGINT) AS est
-        |FROM qh LEFT JOIN cells
-        |  ON qh.source = cells.source AND qh.j = cells.j AND qh.cell = cells.cell
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Gaps-and-islands replay of session_window semantics: a new
-    // session starts when the gap is >= 30 min (windows [ts, ts+gap)
-    // merge on overlap); boundaries floor µs → seconds.
-    "q_session_window" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
-        |m AS (
-        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-        |                  OR us - lag(us) OVER w >= 1800000000
-        |            THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-        |i AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
-        |                             ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m)
-        |SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS w_start,
-        |  CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS w_end,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM i GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin,
-
-    "q_unpivot" ->
-      """SELECT measure, count(*) AS n, round(sum(val), 2) AS sum_val
-        |FROM (
-        |  SELECT 'discount' AS measure, l_discount AS val FROM lineitem
-        |  UNION ALL SELECT 'quantity', l_quantity FROM lineitem
-        |  UNION ALL SELECT 'tax', l_tax FROM lineitem)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The union-with-NULLs the mergeSchema read materializes.
-    "q_schema_merge" ->
-      """WITH m AS (
-        |  SELECT o_orderkey, o_totalprice,
-        |    CAST(NULL AS VARCHAR) AS o_orderpriority
-        |  FROM orders WHERE o_orderkey % 2 = 0
-        |  UNION ALL
-        |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
-        |  FROM orders WHERE o_orderkey % 2 = 1)
-        |SELECT coalesce(o_orderpriority, '?') AS priority, count(*) AS n,
-        |  round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Raw table — compaction must not move the answer.
-    "q_compaction" ->
-      """SELECT o_orderpriority, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Two-stage replay: the same daily partials, then the range
-    // re-aggregation over them.
-    "q_incr_agg" ->
-      """WITH p AS (
-        |  SELECT CAST(ts AS DATE) AS d, event_type,
-        |    count(*) AS n, sum(value) AS s
-        |  FROM events GROUP BY 1, 2)
-        |SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
-        |  round(sum(s), 2) AS sum_value
-        |FROM p WHERE d BETWEEN '2024-01-03' AND '2024-01-09'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Recomputed from the base table — the MV-merged rollup must be
-    // indistinguishable from the direct aggregate.
-    "q_mv_rewrite" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-
-    "q_zorder" -> zorderOracle(8),
-
-    // One UNION ALL branch per check, same metric definitions.
-    "q_dq" ->
-      """SELECT * FROM (
-        |  SELECT 'in_range:o_totalprice' AS check_name,
-        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
-        |                   AND (o_totalprice < 0 OR o_totalprice > 450000)
-        |             THEN 1 ELSE 0 END) AS DOUBLE) AS metric,
-        |    sum(CASE WHEN o_totalprice IS NOT NULL
-        |              AND (o_totalprice < 0 OR o_totalprice > 450000)
-        |        THEN 1 ELSE 0 END) <= 0 AS pass
-        |  FROM orders
-        |  UNION ALL
-        |  SELECT 'not_null:o_custkey',
-        |    round(CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |          / count(*), 6),
-        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        |          / count(*) <= 0.0
-        |  FROM orders
-        |  UNION ALL
-        |  SELECT 'ref_integrity:o_custkey',
-        |    CAST((SELECT count(*) FROM orders o
-        |          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
-        |            ON o.o_custkey = c.c_custkey
-        |          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS DOUBLE),
-        |    (SELECT count(*) FROM orders o
-        |     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
-        |       ON o.o_custkey = c.c_custkey
-        |     WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) = 0
-        |  UNION ALL
-        |  SELECT 'unique_key:o_orderkey',
-        |    CAST((SELECT count(*) FROM (
-        |      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS DOUBLE),
-        |    (SELECT count(*) FROM (
-        |      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) = 0
-        |) ORDER BY check_name""".stripMargin,
-
-    // Latest order key wins per customer; base rows at version −1.
-    "q_upsert" ->
-      """WITH b AS (
-        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
-        |    CAST(-1 AS BIGINT) AS version
-        |  FROM customer),
-        |u AS (
-        |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS acctbal,
-        |    o_orderkey AS version
-        |  FROM orders),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
-        |                               ORDER BY version DESC) AS rn
-        |  FROM (SELECT * FROM b UNION ALL SELECT * FROM u))
-        |SELECT c_custkey, acctbal, version FROM r WHERE rn = 1
-        |ORDER BY c_custkey""".stripMargin,
-
-    // Full-outer join + one first-match CASE per category (disjoint
-    // categories, so clause order only matters within MATCHED — the
-    // active-credit clause outranks the low-spend purge).
-    "q_merge_into" ->
-      """WITH t AS (
-        |  SELECT c_custkey AS k,
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    c_mktsegment AS seg
-        |  FROM customer WHERE c_acctbal >= 0),
-        |s AS (
-        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
-        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
-        |  FROM orders GROUP BY 1),
-        |j AS (
-        |  SELECT coalesce(t.k, s.k) AS k, t.cents, t.seg, s.n_orders, s.total,
-        |    t.k IS NOT NULL AS has_t, s.k IS NOT NULL AS has_s
-        |  FROM t FULL OUTER JOIN s ON t.k = s.k),
-        |a AS (
-        |  SELECT *, CASE
-        |    WHEN has_t AND has_s AND n_orders >= 20 THEN 1000
-        |    WHEN has_t AND has_s AND total < 5000000 THEN 1001
-        |    WHEN NOT has_t AND has_s THEN 2000
-        |    WHEN has_t AND NOT has_s THEN 3000
-        |    ELSE 0 END AS act
-        |  FROM j)
-        |SELECT k AS custkey,
-        |  CASE act WHEN 1000 THEN cents + total // 100
-        |           WHEN 2000 THEN total // 1000
-        |           ELSE cents END AS cents,
-        |  CASE act WHEN 2000 THEN 'NEW'
-        |           WHEN 3000 THEN 'DORMANT'
-        |           ELSE seg END AS mktsegment
-        |FROM a WHERE act <> 1001
-        |ORDER BY custkey""".stripMargin,
-
-    // Each edge replayed as per-key counts + NOT IN against parent
-    // distinct keys — same collapse-before-join shape.
-    "q_fk_audit" -> {
-      def block(name: String, child: String, ck: String,
-          parent: String, pk: String): String =
-        s"""SELECT '$name' AS fk,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS child_rows,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $ck IS NULL) AS null_keys,
-           |  (SELECT CAST(count(*) AS BIGINT) FROM $child
-           |   WHERE $ck IS NOT NULL
-           |     AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)) AS orphan_rows,
-           |  (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $child
-           |   WHERE $ck IS NOT NULL
-           |     AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)) AS orphan_keys""".stripMargin
-      Seq(
-        block("customer.nationkey->nation", "customer", "c_nationkey",
-          "nation", "n_nationkey"),
-        block("events.user_id->customer_solvent", "events", "user_id",
-          "(SELECT * FROM customer WHERE c_acctbal >= 0)", "c_custkey"),
-        block("lineitem.orderkey->orders", "lineitem", "l_orderkey",
-          "orders", "o_orderkey"),
-        block("lineitem.partkey->part", "lineitem", "l_partkey",
-          "part", "p_partkey"),
-        block("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
-          "supplier", "s_suppkey"),
-        block("orders.custkey->customer", "orders", "o_custkey",
-          "customer", "c_custkey"))
-        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
-    },
-
-    // Both layouts replayed: same z interleave as q_zorder, same
-    // row_number file cuts, probes as a VALUES table.
-    "q_zorder_skip" -> {
-      val bits = 8
-      val termsP = (0 until bits).map(i => s"(((bp >> $i) & 1) << ${i * 2})").mkString(" + ")
-      val termsS = (0 until bits).map(i => s"(((bs >> $i) & 1) << ${i * 2 + 1})").mkString(" + ")
-      s"""WITH mm AS (
-         |  SELECT min(l_partkey) AS pmn0, max(l_partkey) AS pmx0,
-         |    min(l_suppkey) AS smn0, max(l_suppkey) AS smx0
-         |  FROM lineitem),
-         |b AS (
-         |  SELECT l_partkey AS p, l_suppkey AS s, l_orderkey, l_linenumber,
-         |    ((l_partkey - (SELECT pmn0 FROM mm)) * ${1 << bits})
-         |      // ((SELECT pmx0 FROM mm) - (SELECT pmn0 FROM mm) + 1) AS bp,
-         |    ((l_suppkey - (SELECT smn0 FROM mm)) * ${1 << bits})
-         |      // ((SELECT smx0 FROM mm) - (SELECT smn0 FROM mm) + 1) AS bs
-         |  FROM lineitem),
-         |z AS (SELECT p, s, l_orderkey, l_linenumber,
-         |        CAST($termsP + $termsS AS BIGINT) AS zval FROM b),
-         |rs AS (SELECT p, s,
-         |         row_number() OVER (ORDER BY p, l_orderkey, l_linenumber) AS rk
-         |       FROM z),
-         |rz AS (SELECT p, s,
-         |         row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber) AS rk
-         |       FROM z),
-         |fs AS (SELECT 'sort_partkey' AS layout, (rk - 1) // 2048 AS f,
-         |         min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
-         |         count(*) AS n
-         |       FROM rs GROUP BY 1, 2),
-         |fz AS (SELECT 'zorder' AS layout, (rk - 1) // 2048 AS f,
-         |         min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
-         |         count(*) AS n
-         |       FROM rz GROUP BY 1, 2),
-         |ff AS (SELECT * FROM fs UNION ALL SELECT * FROM fz),
-         |pr AS (SELECT * FROM (VALUES
-         |         ('p', 100, 199, 0, 100000000),
-         |         ('ps', 100, 199, 10, 19),
-         |         ('s', 0, 100000000, 10, 19))
-         |       AS t(probe, plo, phi, slo, shi))
-         |SELECT layout, probe, CAST(count(*) AS BIGINT) AS files_total,
-         |  CAST(sum(CASE WHEN pmx >= plo AND pmn <= phi
-         |                 AND smx >= slo AND smn <= shi
-         |            THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
-         |  CAST(sum(CASE WHEN pmx >= plo AND pmn <= phi
-         |                 AND smx >= slo AND smn <= shi
-         |            THEN n ELSE 0 END) AS BIGINT) AS rows_read
-         |FROM ff CROSS JOIN pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
-
-    // Deterministic file cuts replayed as row_number div rowsPerFile.
-    "q_minmax_index" ->
-      """WITH d AS (
-        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d,
-        |    l_orderkey, l_linenumber
-        |  FROM lineitem),
-        |r AS (
-        |  SELECT d, row_number() OVER (ORDER BY d, l_orderkey, l_linenumber) AS rk
-        |  FROM d),
-        |f AS (
-        |  SELECT (rk - 1) // 4096 AS file_id, count(*) AS n,
-        |    min(d) AS min_v, max(d) AS max_v
-        |  FROM r GROUP BY 1)
-        |SELECT file_id, CAST(n AS BIGINT) AS n, min_v, max_v,
-        |  max_v >= '1995-06-01' AND min_v <= '1995-08-31' AS reads_for_probe
-        |FROM f ORDER BY file_id""".stripMargin,
-
-    // Same md5 hash-order layout and bit positions; bloom membership
-    // replayed as per-position EXISTS over the exploded set.
-    "q_bloom_index" -> {
-      def posSql(v: String, i: Int): String =
-        s"(('0x' || substr(md5('bl$i|' || $v), 1, 15))::BIGINT % 16384)"
-      val rowPos = (0 until 4)
-        .map(i => posSql("CAST(l_orderkey AS VARCHAR)", i)).mkString(", ")
-      val pv = "(SELECT CAST(min(l_orderkey) AS VARCHAR) FROM lineitem " +
-        "WHERE l_orderkey >= (SELECT max(l_orderkey) // 2 FROM lineitem))"
-      val pvN = "(SELECT min(l_orderkey) FROM lineitem " +
-        "WHERE l_orderkey >= (SELECT max(l_orderkey) // 2 FROM lineitem))"
-      val probePos = (0 until 4).map(i => posSql(pv, i))
-      s"""WITH b AS (
-         |  SELECT l_orderkey, l_linenumber,
-         |    md5(CAST(l_orderkey AS VARCHAR) || '#' ||
-         |        CAST(l_linenumber AS VARCHAR)) AS h
-         |  FROM lineitem),
-         |r AS (
-         |  SELECT l_orderkey,
-         |    row_number() OVER (ORDER BY h, l_orderkey, l_linenumber) AS rk
-         |  FROM b),
-         |f AS (SELECT (rk - 1) // 4096 AS file_id, l_orderkey FROM r),
-         |pos AS (
-         |  SELECT file_id, unnest([$rowPos]) AS p FROM f),
-         |g AS (
-         |  SELECT file_id, CAST(count(*) AS BIGINT) AS n_positions,
-         |    CAST(count(DISTINCT p) AS BIGINT) AS bloom_size,
-         |    ${probePos.zipWithIndex.map { case (p, i) =>
-               s"bool_or(p = $p) AS hit$i" }.mkString(",\n         |    ")}
-         |  FROM pos GROUP BY 1),
-         |mm AS (
-         |  SELECT file_id, CAST(count(*) AS BIGINT) AS n,
-         |    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v
-         |  FROM f GROUP BY 1)
-         |SELECT g.file_id, mm.n, g.n_positions, g.bloom_size,
-         |  mm.min_v, mm.max_v,
-         |  g.hit0 AND g.hit1 AND g.hit2 AND g.hit3 AS reads_bloom,
-         |  mm.max_v >= $pvN AND mm.min_v <= $pvN AS reads_zone
-         |FROM g JOIN mm ON g.file_id = mm.file_id
-         |ORDER BY g.file_id""".stripMargin
-    },
-
-    // arg_max skips NULL values natively — the per-field
-    // latest-non-null semantics, replayed.
-    "q_golden_record" ->
-      """WITH v1 AS (
-        |  SELECT c_custkey AS k, 1 AS ver, c_name AS name,
-        |    c_nationkey AS nation, round(c_acctbal, 2) AS acct,
-        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_mktsegment END AS seg
-        |  FROM customer),
-        |v2 AS (
-        |  SELECT c_custkey AS k, 2 AS ver,
-        |    CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_name || '_v2' END AS name,
-        |    CAST(NULL AS BIGINT) AS nation,
-        |    round(c_acctbal + 10, 2) AS acct,
-        |    CAST(NULL AS VARCHAR) AS seg
-        |  FROM customer),
-        |v3 AS (
-        |  SELECT c_custkey AS k, 3 AS ver, CAST(NULL AS VARCHAR) AS name,
-        |    c_nationkey + 1 AS nation, CAST(NULL AS DOUBLE) AS acct,
-        |    'UPDATED' AS seg
-        |  FROM customer WHERE c_custkey % 5 = 0),
-        |u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
-        |SELECT k, arg_max(name, ver) AS name, arg_max(nation, ver) AS nation,
-        |  arg_max(acct, ver) AS acct, arg_max(seg, ver) AS seg,
-        |  CAST(max(ver) AS BIGINT) AS latest_version,
-        |  CAST(count(*) AS BIGINT) AS n_versions
-        |FROM u GROUP BY k ORDER BY k""".stripMargin,
-
-    // The FULL join aggregate — no deltas anywhere: matching it is the
-    // equivalence proof for the incremental maintenance.
-    "q_incr_join" ->
-      """SELECT o_custkey,
-        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Tombstone semantics: the rn=1 winner is consulted, then 'D'
-    // winners are erased — base rows included.
-    "q_cdc_delete" ->
-      """WITH b AS (
-        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
-        |    CAST(-1 AS BIGINT) AS version, 'I' AS op
-        |  FROM customer),
-        |ch AS (
-        |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS acctbal,
-        |    o_orderkey AS version,
-        |    CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op
-        |  FROM orders),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
-        |                               ORDER BY version DESC) AS rn
-        |  FROM (SELECT * FROM b UNION ALL SELECT * FROM ch))
-        |SELECT c_custkey, acctbal, version FROM r
-        |WHERE rn = 1 AND op <> 'D'
-        |ORDER BY c_custkey""".stripMargin,
-
-    // FULL OUTER JOIN mirror of the union+agg diff; identical
-    // NUL-separated, SOH-null-sentinel md5 payload.
-    "q_table_diff" ->
-      """WITH oldv AS (
-        |  SELECT o_orderkey AS k,
-        |    md5(concat_ws(chr(0), coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
-        |                  coalesce(o_orderstatus, chr(1)))) AS h
-        |  FROM orders WHERE o_orderkey % 7 <> 0),
-        |newv AS (
-        |  SELECT o_orderkey AS k,
-        |    md5(concat_ws(chr(0), coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
-        |                  coalesce(CASE WHEN o_orderkey % 3 = 0 THEN 'X'
-        |                           ELSE o_orderstatus END, chr(1)))) AS h
-        |  FROM orders WHERE o_orderkey % 5 <> 0)
-        |SELECT coalesce(o.k, n.k) AS o_orderkey,
-        |  CASE WHEN o.k IS NULL THEN 'added'
-        |       WHEN n.k IS NULL THEN 'removed'
-        |       WHEN o.h <> n.h THEN 'changed' END AS change,
-        |  o.h AS old_hash, n.h AS new_hash
-        |FROM oldv o FULL JOIN newv n ON o.k = n.k
-        |WHERE o.k IS NULL OR n.k IS NULL OR o.h <> n.h
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q_ntile" ->
-      """SELECT c_custkey, c_mktsegment,
-        |  CAST(ntile(10) OVER (PARTITION BY c_mktsegment
-        |                       ORDER BY c_acctbal, c_custkey) AS INT) AS decile
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    // Same smoothed idf expression shape — (1+N)/(1+df) then ln then
-    // +1 — so the doubles agree bit-for-bit before the 6-dp round.
-    "q_tfidf" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
-        |p AS (SELECT doc_id, unnest(toks) AS term FROM d),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM p GROUP BY 1, 2),
-        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |s AS (
-        |  SELECT tf.doc_id, tf.term,
-        |    round(tf.tf * (ln((1 + (SELECT n FROM nn)) / (1 + dfq.df)) + 1), 6) AS score
-        |  FROM tf JOIN dfq ON tf.term = dfq.term),
-        |r AS (
-        |  SELECT *, row_number() OVER (PARTITION BY doc_id
-        |                               ORDER BY score DESC, term ASC) AS rank
-        |  FROM s)
-        |SELECT doc_id, term, score, CAST(rank AS INT) AS rank FROM r
-        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
-
-    // Cell-exact count-min replay: rebuild every row's cells from the
-    // token counts (sum of counts of ALL tokens hashing to the cell),
-    // then estimate = min over rows of the queried cell; empty cell →
-    // 0 via the LEFT JOIN coalesce.
-    "q_count_min" ->
-      """WITH toks AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                            x -> len(x) > 0)) AS t
-        |  FROM documents WHERE text IS NOT NULL),
-        |vc AS (SELECT t, count(*) AS c FROM toks GROUP BY 1),
-        |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
-        |cells AS (
-        |  SELECT js.j,
-        |    (('0x' || substr(md5(js.j || ':' || vc.t), 1, 15))::BIGINT % 64) AS cell,
-        |    sum(vc.c) AS s
-        |  FROM vc CROSS JOIN js GROUP BY 1, 2),
-        |q AS (SELECT unnest(['join', 'hash', 'scan', 'zzzz']) AS item),
-        |qh AS (
-        |  SELECT q.item, js.j,
-        |    (('0x' || substr(md5(js.j || ':' || q.item), 1, 15))::BIGINT % 64) AS cell
-        |  FROM q CROSS JOIN js)
-        |SELECT qh.item, CAST(min(coalesce(cells.s, 0)) AS BIGINT) AS est
-        |FROM qh LEFT JOIN cells ON qh.j = cells.j AND qh.cell = cells.cell
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Batch mirror of the streaming interval join, compared in µs
-    // space (epoch_us) to mirror the Spark side's ns→µs truncation.
-    "q_stream_join" ->
-      """SELECT v.event_id AS view_id, p.event_id AS purchase_id,
-        |  v.user_id AS user_id
-        |FROM events v JOIN events p ON v.user_id = p.user_id
-        |WHERE v.event_type = 'view' AND p.event_type = 'purchase'
-        |  AND epoch_us(p.ts) >= epoch_us(v.ts)
-        |  AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
-        |ORDER BY view_id, purchase_id""".stripMargin,
-
-    // Matched pairs ∪ watermark-finalized unmatched views (null
-    // purchase) — the engine evicts a left row once the ms-level
-    // GLOBAL watermark passes its join-window end (v_ts + 1h < wm).
-    // The global watermark is the MIN across the two sides' watermark
-    // nodes (here the purchase stream ends earlier and governs) — the
-    // multi-watermark rule this oracle exists to pin.
-    "q_stream_outer_join" ->
-      """WITH v AS (
-        |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS v_us
-        |  FROM events WHERE event_type = 'view'),
-        |p AS (
-        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
-        |  FROM events WHERE event_type = 'purchase'),
-        |wm AS (SELECT least((SELECT max(v_us) FROM v),
-        |                    (SELECT max(p_us) FROM p)) // 1000 AS wm_ms),
-        |m AS (
-        |  SELECT v.view_id, p.purchase_id, v.user_id
-        |  FROM v JOIN p ON v.user_id = p.user_id
-        |    AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000),
-        |um AS (
-        |  SELECT v.view_id, CAST(NULL AS BIGINT) AS purchase_id, v.user_id
-        |  FROM v
-        |  WHERE NOT EXISTS (
-        |      SELECT 1 FROM p WHERE p.user_id = v.user_id
-        |        AND p.p_us >= v.v_us AND p.p_us <= v.v_us + 3600000000)
-        |    AND (v.v_us + 3600000000) // 1000 < (SELECT wm_ms FROM wm))
-        |SELECT view_id, purchase_id, user_id FROM m
-        |UNION ALL
-        |SELECT view_id, purchase_id, user_id FROM um
-        |ORDER BY view_id, purchase_id NULLS FIRST""".stripMargin,
-
-    "q_pagerank" -> pageRankOracle(3),
-
-    // Host-graph replay: the same two fixture URLs per order (link
-    // target key-shifted), hosts through the identical extract stages,
-    // self-links dropped — then the shared PageRank CTE chain.
-    "q_host_rank" -> pageRankOracle(3,
-      "he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders), " +
-        "e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst)"),
-
-    // Same host edges; two unrolled mutual-reinforcement rounds on
-    // HUGEINT (exact, like Spark's DECIMAL(38,0)), max-normalized at
-    // the end by one double division per side.
-    "q_hits" -> {
-      "WITH he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders),\n" +
-        """e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
-          |nodes AS (SELECT src AS id FROM e UNION SELECT dst AS id FROM e),
-          |h0 AS (SELECT id, CAST(1 AS HUGEINT) AS s FROM nodes),
-          |a1 AS (SELECT n.id, coalesce(t.v, CAST(0 AS HUGEINT)) AS s
-          |       FROM nodes n LEFT JOIN (
-          |         SELECT e.dst AS id, sum(h0.s) AS v
-          |         FROM e JOIN h0 ON e.src = h0.id GROUP BY 1) t USING (id)),
-          |h1 AS (SELECT n.id, coalesce(t.v, CAST(0 AS HUGEINT)) AS s
-          |       FROM nodes n LEFT JOIN (
-          |         SELECT e.src AS id, sum(a1.s) AS v
-          |         FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1) t USING (id)),
-          |a2 AS (SELECT n.id, coalesce(t.v, CAST(0 AS HUGEINT)) AS s
-          |       FROM nodes n LEFT JOIN (
-          |         SELECT e.dst AS id, sum(h1.s) AS v
-          |         FROM e JOIN h1 ON e.src = h1.id GROUP BY 1) t USING (id)),
-          |h2 AS (SELECT n.id, coalesce(t.v, CAST(0 AS HUGEINT)) AS s
-          |       FROM nodes n LEFT JOIN (
-          |         SELECT e.src AS id, sum(a2.s) AS v
-          |         FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1) t USING (id))
-          |SELECT a2.id, CAST(a2.s AS BIGINT) AS auth_raw,
-          |  CAST(h2.s AS BIGINT) AS hub_raw,
-          |  round(CAST(a2.s AS DOUBLE)
-          |        / (SELECT CAST(max(s) AS DOUBLE) FROM a2), 6) AS auth,
-          |  round(CAST(h2.s AS DOUBLE)
-          |        / (SELECT CAST(max(s) AS DOUBLE) FROM h2), 6) AS hub
-          |FROM a2 JOIN h2 USING (id) ORDER BY id""".stripMargin
-    },
-
-    "q_ppr" -> pprOracle(3, "%.example.com",
-      "he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders), " +
-        "e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst)"),
-
-    // Same host edges; per-node in/out counts, full-outer merged.
-    "q_graph_degrees" ->
-      ("WITH he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders),\n" +
-        """e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
-          |od AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
-          |idg AS (SELECT dst AS id, count(*) AS in_deg FROM e GROUP BY 1)
-          |SELECT coalesce(od.id, idg.id) AS id,
-          |  coalesce(in_deg, 0) AS in_deg, coalesce(out_deg, 0) AS out_deg,
-          |  coalesce(in_deg, 0) + coalesce(out_deg, 0) AS total_deg
-          |FROM od FULL JOIN idg ON od.id = idg.id
-          |ORDER BY total_deg DESC, id LIMIT 10""".stripMargin),
-
-    "q_bfs" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
-        |nodes AS (SELECT DISTINCT src AS id FROM e),
-        |seed AS (SELECT min(id) AS id FROM nodes),
-        |reach(id, d) AS (
-        |  SELECT id, 0 FROM seed
-        |  UNION
-        |  SELECT e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
-        |  WHERE r.d < 10)
-        |SELECT id, min(d) AS dist FROM reach GROUP BY id
-        |ORDER BY id""".stripMargin,
-
-    // Same host graph; per-seed BFS replayed as a (seed, id, d)
-    // recursive CTE from the 4 lowest-id nodes, min-d per pair, then
-    // the integer closeness summary.
-    "q_closeness" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
-        |seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 4),
-        |reach(seed, id, d) AS (
-        |  SELECT id, id, 0 FROM seeds
-        |  UNION
-        |  SELECT r.seed, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
-        |  WHERE r.d < 10),
-        |md AS (SELECT seed, id, min(d) AS d FROM reach GROUP BY seed, id)
-        |SELECT seed, count(*) AS n_reached,
-        |  CAST(sum(d) AS BIGINT) AS sum_dist, max(d) AS ecc
-        |FROM md GROUP BY seed ORDER BY seed""".stripMargin,
-
-    // Same per-seed BFS; Σ 2520 // d over non-seed reached nodes.
-    "q_harmonic" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
-        |seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 4),
-        |reach(seed, id, d) AS (
-        |  SELECT id, id, 0 FROM seeds
-        |  UNION
-        |  SELECT r.seed, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
-        |  WHERE r.d < 10),
-        |md AS (SELECT seed, id, min(d) AS d FROM reach GROUP BY seed, id)
-        |SELECT seed, count(*) AS n_reached,
-        |  CAST(sum(2520 // d) AS BIGINT) AS h2520
-        |FROM md WHERE d > 0 GROUP BY seed ORDER BY seed""".stripMargin,
-
-    // Two recursive-CTE sweeps; farthest tie-break (dist desc, id asc)
-    // mirrors the max-struct with negated id.
-    "q_graph_diameter" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  WHERE o_orderkey % 4 = 0),
-        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
-        |s1 AS (SELECT min(src) AS id FROM e),
-        |r1(id, d) AS (
-        |  SELECT id, 0 FROM s1
-        |  UNION
-        |  SELECT e.dst, r1.d + 1 FROM r1 JOIN e ON e.src = r1.id
-        |  WHERE r1.d < 10),
-        |m1 AS (SELECT id, min(d) AS d FROM r1 GROUP BY id),
-        |f1 AS (SELECT id, d FROM m1 ORDER BY d DESC, id LIMIT 1),
-        |r2(id, d) AS (
-        |  SELECT id, 0 FROM f1
-        |  UNION
-        |  SELECT e.dst, r2.d + 1 FROM r2 JOIN e ON e.src = r2.id
-        |  WHERE r2.d < 10),
-        |m2 AS (SELECT id, min(d) AS d FROM r2 GROUP BY id),
-        |f2 AS (SELECT id, d FROM m2 ORDER BY d DESC, id LIMIT 1)
-        |SELECT (SELECT id FROM s1) AS seed,
-        |  CAST((SELECT d FROM f1) AS INTEGER) AS ecc_seed,
-        |  (SELECT id FROM f1) AS far_node,
-        |  CAST((SELECT d FROM f2) AS INTEGER) AS diameter_lb,
-        |  (SELECT id FROM f2) AS periphery""".stripMargin,
-
-    // Same per-seed BFS, 4-hop horizon; sigma per level from the
-    // previous level's sums, then the backward dependency unrolled
-    // d3→d1 with the identical ⌊σv·(10⁶+δw)/σw⌋ integer term.
-    "q_betweenness" ->
-      """WITH RECURSIVE b AS (
-        |  SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  WHERE o_orderkey % 4 = 0),
-        |e AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b),
-        |seeds AS (SELECT DISTINCT src AS id FROM e ORDER BY id LIMIT 4),
-        |reach(seed, id, d) AS (
-        |  SELECT id, id, 0 FROM seeds
-        |  UNION
-        |  SELECT r.seed, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.id
-        |  WHERE r.d < 4),
-        |md AS (SELECT seed, id, min(d) AS d FROM reach GROUP BY seed, id),
-        |s0 AS (SELECT id AS seed, id, CAST(1 AS BIGINT) AS sigma FROM seeds),
-        |s1 AS (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
-        |       FROM md m JOIN e ON e.dst = m.id
-        |       JOIN s0 p ON p.seed = m.seed AND p.id = e.src
-        |       WHERE m.d = 1 GROUP BY m.seed, m.id),
-        |s2 AS (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
-        |       FROM md m JOIN e ON e.dst = m.id
-        |       JOIN s1 p ON p.seed = m.seed AND p.id = e.src
-        |       WHERE m.d = 2 GROUP BY m.seed, m.id),
-        |s3 AS (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
-        |       FROM md m JOIN e ON e.dst = m.id
-        |       JOIN s2 p ON p.seed = m.seed AND p.id = e.src
-        |       WHERE m.d = 3 GROUP BY m.seed, m.id),
-        |s4 AS (SELECT m.seed, m.id, CAST(sum(p.sigma) AS BIGINT) AS sigma
-        |       FROM md m JOIN e ON e.dst = m.id
-        |       JOIN s3 p ON p.seed = m.seed AND p.id = e.src
-        |       WHERE m.d = 4 GROUP BY m.seed, m.id),
-        |d4 AS (SELECT seed, id, sigma, CAST(0 AS BIGINT) AS delta FROM s4),
-        |d3 AS (SELECT v.seed, v.id, v.sigma,
-        |         CAST(coalesce(sum((v.sigma * (1000000 + w.delta)) // w.sigma),
-        |                       0) AS BIGINT) AS delta
-        |       FROM s3 v
-        |       LEFT JOIN e ON e.src = v.id
-        |       LEFT JOIN d4 w ON w.seed = v.seed AND w.id = e.dst
-        |       GROUP BY v.seed, v.id, v.sigma),
-        |d2 AS (SELECT v.seed, v.id, v.sigma,
-        |         CAST(coalesce(sum((v.sigma * (1000000 + w.delta)) // w.sigma),
-        |                       0) AS BIGINT) AS delta
-        |       FROM s2 v
-        |       LEFT JOIN e ON e.src = v.id
-        |       LEFT JOIN d3 w ON w.seed = v.seed AND w.id = e.dst
-        |       GROUP BY v.seed, v.id, v.sigma),
-        |d1 AS (SELECT v.seed, v.id, v.sigma,
-        |         CAST(coalesce(sum((v.sigma * (1000000 + w.delta)) // w.sigma),
-        |                       0) AS BIGINT) AS delta
-        |       FROM s1 v
-        |       LEFT JOIN e ON e.src = v.id
-        |       LEFT JOIN d2 w ON w.seed = v.seed AND w.id = e.dst
-        |       GROUP BY v.seed, v.id, v.sigma),
-        |bc AS (SELECT id, CAST(sum(delta) AS BIGINT) AS bc_micro
-        |       FROM (SELECT id, delta FROM d1
-        |             UNION ALL SELECT id, delta FROM d2
-        |             UNION ALL SELECT id, delta FROM d3)
-        |       GROUP BY id)
-        |SELECT CAST(row_number() OVER (ORDER BY bc_micro DESC, id) AS INT)
-        |         AS rank,
-        |       id, bc_micro
-        |FROM bc ORDER BY bc_micro DESC, id LIMIT 20""".stripMargin,
-
-    // Same host edges; canonicalize, orient from the (degree, id)-
-    // smaller endpoint, wedge-join on the center, close against the
-    // canonical set.
-    "q_triangles" ->
-      ("WITH he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders),\n" +
-        """und AS (
-          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-          |  FROM he WHERE src <> dst),
-          |deg AS (
-          |  SELECT v, count(*) AS d
-          |  FROM (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
-          |  GROUP BY 1),
-          |o AS (
-          |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
-          |              THEN a ELSE b END AS u,
-          |         CASE WHEN da.d < db.d OR (da.d = db.d AND a < b)
-          |              THEN b ELSE a END AS w
-          |  FROM und JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
-          |wed AS (
-          |  SELECT e1.w AS x, e2.w AS y
-          |  FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.w < e2.w)
-          |SELECT (SELECT count(*) FROM und) AS n_edges,
-          |  (SELECT count(*) FROM wed) AS n_wedges,
-          |  (SELECT count(*) FROM wed JOIN und ON und.a = wed.x AND und.b = wed.y)
-          |    AS n_triangles""".stripMargin),
-
-    // 8 full-relaxation rounds unrolled; ≤8-edge shortest distances.
-    "q_sssp" -> {
-      val rounds = 8
-      val relax = (1 to rounds).map { r =>
-        s"""d$r AS (SELECT id, min(dist) AS dist FROM (
-           |  SELECT id, dist FROM d${r - 1}
-           |  UNION ALL
-           |  SELECT eu.dst AS id, d${r - 1}.dist + eu.w AS dist
-           |  FROM d${r - 1} JOIN eu ON eu.src = d${r - 1}.id) GROUP BY id)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS (
-         |  SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
-         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-         |eu AS (
-         |  SELECT src, dst, 1 + (src + dst) % 5 AS w FROM e
-         |  UNION ALL
-         |  SELECT dst, src, 1 + (src + dst) % 5 FROM e),
-         |seed AS (SELECT min(src) AS id FROM eu),
-         |d0 AS (SELECT id, CAST(0 AS BIGINT) AS dist FROM seed),
-         |$relax
-         |SELECT id, dist FROM d$rounds ORDER BY id""".stripMargin
-    },
-
-    // Percentile-k replayed as a cumulative sum over distinct degrees,
-    // then 3 unrolled peel rounds (fixture converges in 1 — extra
-    // rounds are identity; non-convergence would hash-mismatch).
-    "q_kcore" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT least(o_custkey, l_suppkey + 1000000) AS a,
-        |                  greatest(o_custkey, l_suppkey + 1000000) AS b
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  WHERE o_custkey <> l_suppkey + 1000000),
-        |d0 AS (SELECT v, count(*) AS d
-        |       FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
-        |       GROUP BY 1),
-        |dc AS (SELECT d, count(*) AS cnt FROM d0 GROUP BY 1),
-        |kv AS (
-        |  SELECT min(d) AS k FROM (
-        |    SELECT d, sum(cnt) OVER (ORDER BY d) AS cum,
-        |           sum(cnt) OVER () AS n
-        |    FROM dc)
-        |  WHERE cum >= ceil(0.25 * n)),
-        |b1 AS (SELECT v FROM d0, kv WHERE d < k),
-        |e1 AS (SELECT a, b FROM e0
-        |       WHERE a NOT IN (SELECT v FROM b1)
-        |         AND b NOT IN (SELECT v FROM b1)),
-        |d1 AS (SELECT v, count(*) AS d
-        |       FROM (SELECT a AS v FROM e1 UNION ALL SELECT b FROM e1)
-        |       GROUP BY 1),
-        |b2 AS (SELECT v FROM d1, kv WHERE d < k),
-        |e2 AS (SELECT a, b FROM e1
-        |       WHERE a NOT IN (SELECT v FROM b2)
-        |         AND b NOT IN (SELECT v FROM b2)),
-        |d2 AS (SELECT v, count(*) AS d
-        |       FROM (SELECT a AS v FROM e2 UNION ALL SELECT b FROM e2)
-        |       GROUP BY 1),
-        |b3 AS (SELECT v FROM d2, kv WHERE d < k),
-        |e3 AS (SELECT a, b FROM e2
-        |       WHERE a NOT IN (SELECT v FROM b3)
-        |         AND b NOT IN (SELECT v FROM b3)),
-        |d3 AS (SELECT v, count(*) AS d
-        |       FROM (SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
-        |       GROUP BY 1)
-        |SELECT v, d AS core_degree, (SELECT k FROM kv) AS k
-        |FROM d3 ORDER BY v""".stripMargin,
-
-    // Postings recomputed from the corpus — the index layout must not
-    // change the answer; conjunctive via HAVING count(DISTINCT term).
-    "q_inverted_index" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |                       x -> len(x) > 0)) AS term
-        |  FROM documents WHERE text IS NOT NULL),
-        |p AS (
-        |  SELECT term, doc_id, count(*) AS tf FROM t
-        |  WHERE term IN ('vector', 'merge', 'filter') GROUP BY 1, 2),
-        |m AS (
-        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS score FROM p
-        |  GROUP BY 1 HAVING count(DISTINCT term) = 3)
-        |SELECT doc_id, score FROM m
-        |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin,
-
-    // Same exact-integer-sums derivation (Σx, Σx², n) — identical IEEE
-    // arithmetic on both engines, no builtin stddev.
-    "q_zscore" ->
-      """WITH g AS (
-        |  SELECT source, sum(n_chars) AS s, sum(n_chars * n_chars) AS s2,
-        |    count(*) AS n
-        |  FROM documents GROUP BY source)
-        |SELECT d.doc_id, d.source,
-        |  round(CASE WHEN CAST(g.s2 AS DOUBLE) / g.n
-        |               - (CAST(g.s AS DOUBLE) / g.n) * (CAST(g.s AS DOUBLE) / g.n) > 0
-        |    THEN (d.n_chars - CAST(g.s AS DOUBLE) / g.n)
-        |         / sqrt(CAST(g.s2 AS DOUBLE) / g.n
-        |                - (CAST(g.s AS DOUBLE) / g.n) * (CAST(g.s AS DOUBLE) / g.n))
-        |    ELSE 0.0 END, 6) AS z
-        |FROM documents d JOIN g ON d.source = g.source
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "q_jaro_linkage" ->
-      """WITH m AS (
-        |  SELECT c_custkey AS m_key, c_name AS m_name, c_custkey % 50 AS blk
-        |  FROM customer),
-        |d AS (
-        |  SELECT c_custkey AS d_key, translate(c_name, '#0', '=O') AS d_name,
-        |    c_custkey % 50 AS blk
-        |  FROM customer),
-        |sc AS (
-        |  SELECT d.d_key, m.m_key,
-        |    jaro_winkler_similarity(d.d_name, m.m_name) AS sim
-        |  FROM d JOIN m ON d.blk = m.blk),
-        |r AS (
-        |  SELECT d_key, m_key, sim,
-        |    row_number() OVER (PARTITION BY d_key ORDER BY sim DESC, m_key) AS rn
-        |  FROM sc)
-        |SELECT d_key, m_key, round(sim, 6) AS sim FROM r WHERE rn = 1
-        |ORDER BY d_key""".stripMargin,
-
-    "q_item_sim" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
-        |cnt AS (SELECT pk, count(*) AS n FROM li GROUP BY pk),
-        |pairs AS (
-        |  SELECT x.pk AS item_a, y.pk AS item_b, count(*) AS co_cnt
-        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
-        |  GROUP BY 1, 2 HAVING count(*) >= 2)
-        |SELECT p.item_a, p.item_b, p.co_cnt,
-        |  round(CAST(p.co_cnt AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)), 6) AS cosine
-        |FROM pairs p
-        |JOIN cnt ca ON p.item_a = ca.pk
-        |JOIN cnt cb ON p.item_b = cb.pk
-        |ORDER BY item_a, item_b""".stripMargin,
-
-    "q_markov" ->
-      """WITH t AS (
-        |  SELECT event_type AS from_type,
-        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
-        |  FROM events),
-        |c AS (
-        |  SELECT from_type, to_type, count(*) AS cnt
-        |  FROM t WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
-        |SELECT from_type, to_type, cnt,
-        |  round(CAST(cnt AS DOUBLE) / sum(cnt) OVER (PARTITION BY from_type), 6) AS prob
-        |FROM c
-        |ORDER BY from_type, to_type""".stripMargin,
-
-    "q_chisq" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv
-        |  FROM events GROUP BY user_id),
-        |sp AS (
-        |  SELECT conv,
-        |    CASE WHEN ('0x' || substr(md5('ab9|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
-        |              / 1152921504606846976.0 < 0.5
-        |         THEN 'A' ELSE 'B' END AS split
-        |  FROM u),
-        |c AS (
-        |  SELECT
-        |    CAST(sum(CASE WHEN split = 'A' AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
-        |    CAST(sum(CASE WHEN split = 'A' AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
-        |    CAST(sum(CASE WHEN split = 'B' AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
-        |    CAST(sum(CASE WHEN split = 'B' AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1
-        |  FROM sp),
-        |d AS (
-        |  SELECT a0, a1, b0, b1,
-        |    CAST(a0 AS DOUBLE) AS a0d, CAST(a1 AS DOUBLE) AS a1d,
-        |    CAST(b0 AS DOUBLE) AS b0d, CAST(b1 AS DOUBLE) AS b1d
-        |  FROM c)
-        |SELECT a0, a1, b0, b1,
-        |  CAST(a0d + a1d + b0d + b1d AS BIGINT) AS n,
-        |  round(CASE WHEN a0d + a1d > 0 AND b0d + b1d > 0
-        |              AND a0d + b0d > 0 AND a1d + b1d > 0 THEN
-        |      (a0d - (a0d + a1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
-        |    * (a0d - (a0d + a1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
-        |    / ((a0d + a1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
-        |    + (a1d - (a0d + a1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
-        |    * (a1d - (a0d + a1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
-        |    / ((a0d + a1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
-        |    + (b0d - (b0d + b1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
-        |    * (b0d - (b0d + b1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
-        |    / ((b0d + b1d) * (a0d + b0d) / (a0d + a1d + b0d + b1d))
-        |    + (b1d - (b0d + b1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
-        |    * (b1d - (b0d + b1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
-        |    / ((b0d + b1d) * (a1d + b1d) / (a0d + a1d + b0d + b1d))
-        |    END, 6) AS chi2
-        |FROM d""".stripMargin,
-
-    // Exact integer moments per arm; t and Welch df in CTE-named
-    // doubles whose expression shapes mirror ABTest.welchT verbatim.
-    "q_ttest" ->
-      """WITH c AS (
-        |  SELECT
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS BIGINT) ELSE 0 END) AS BIGINT) AS sum_a,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT) ELSE 0 END) AS BIGINT) AS ssq_a,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_b,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE CAST(n_chars AS BIGINT) END) AS BIGINT) AS sum_b,
-        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT) END) AS BIGINT) AS ssq_b
-        |  FROM documents),
-        |d AS (SELECT n_a, sum_a, ssq_a, n_b, sum_b, ssq_b,
-        |  CAST(n_a AS DOUBLE) AS nad, CAST(sum_a AS DOUBLE) AS s1a, CAST(ssq_a AS DOUBLE) AS s2a,
-        |  CAST(n_b AS DOUBLE) AS nbd, CAST(sum_b AS DOUBLE) AS s1b, CAST(ssq_b AS DOUBLE) AS s2b
-        |  FROM c),
-        |v AS (SELECT *, s1a / nad AS ma, (s2a - s1a * s1a / nad) / (nad - 1) AS va,
-        |        s1b / nbd AS mb, (s2b - s1b * s1b / nbd) / (nbd - 1) AS vb FROM d),
-        |e AS (SELECT *, va / nad + vb / nbd AS se2 FROM v)
-        |SELECT n_a, sum_a, ssq_a, n_b, sum_b, ssq_b,
-        |  round(CASE WHEN n_a > 1 AND n_b > 1 THEN (ma - mb) / sqrt(se2) END, 6) AS t_stat,
-        |  round(CASE WHEN n_a > 1 AND n_b > 1 THEN se2 * se2 /
-        |    ((va / nad) * (va / nad) / (nad - 1) + (vb / nbd) * (vb / nbd) / (nbd - 1)) END, 6) AS df_welch
-        |FROM e""".stripMargin,
-
-    // Value-histogram midranks (the q_auc machinery on raw n_chars),
-    // exact tie cubes, the same pinned z formula.
-    "q_mannwhitney" ->
-      """WITH d AS (
-        |  SELECT CAST(n_chars AS BIGINT) AS v,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a
-        |  FROM documents),
-        |h AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt,
-        |        CAST(sum(a) AS BIGINT) AS na FROM d GROUP BY v),
-        |c AS (SELECT v, cnt, na,
-        |        CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS cum FROM h),
-        |agg AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
-        |  CAST(sum(cnt) - sum(na) AS BIGINT) AS n_b,
-        |  CAST(sum(na * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS rank2,
-        |  CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS ties FROM c),
-        |u AS (SELECT n_a, n_b, rank2 - n_a * (n_a + 1) AS u2, ties FROM agg),
-        |s AS (SELECT n_a, n_b, u2, ties,
-        |  CASE WHEN n_a + n_b > 1 THEN
-        |    CAST(n_a AS DOUBLE) * n_b / 12.0 *
-        |      (CAST(n_a + n_b + 1 AS DOUBLE)
-        |       - CAST(ties AS DOUBLE) /
-        |         (CAST(n_a + n_b AS DOUBLE) * (CAST(n_a + n_b AS DOUBLE) - 1.0)))
-        |  END AS se2 FROM u)
-        |SELECT n_a, n_b, u2, ties,
-        |  CASE WHEN se2 > 0 THEN
-        |    round((CAST(u2 AS DOUBLE) / 2.0 - CAST(n_a AS DOUBLE) * n_b / 2.0)
-        |      / sqrt(se2), 6) END AS z
-        |FROM s""".stripMargin,
-
-    // Rank-sum AUC over the scored-probability histogram (the scored
-    // subquery is the full q_logreg_score replay with the label riding
-    // along); doubled average ranks keep every term an exact integer.
-    "q_auc" -> {
-      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
-      s"""WITH hist AS (
-         |  SELECT CAST(round(probability * 1000000) AS BIGINT) AS s,
-         |    CAST(count(*) AS BIGINT) AS cnt,
-         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
-         |  FROM ($scored) scored GROUP BY 1),
-         |c AS (SELECT s, cnt, pos, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
-         |a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-         |        CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
-         |        CAST(sum(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS rank2 FROM c)
-         |SELECT n_pos, n_neg, rank2 - n_pos * (n_pos + 1) AS u2,
-         |  round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
-         |FROM a""".stripMargin
-    },
-
-    // The q_auc rank-sum partitioned by source over the same scored
-    // subquery; NULL auc on single-class slices.
-    "q_auc_grouped" -> {
-      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
-      s"""WITH sc AS ($scored),
-         |j AS (SELECT sc.doc_id, sc.probability, sc.y, d2.source
-         |      FROM sc JOIN documents d2 USING (doc_id)),
-         |hist AS (
-         |  SELECT source, CAST(round(probability * 1000000) AS BIGINT) AS s,
-         |    CAST(count(*) AS BIGINT) AS cnt,
-         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
-         |  FROM j GROUP BY 1, 2),
-         |c AS (SELECT source, s, cnt, pos,
-         |        sum(cnt) OVER (PARTITION BY source ORDER BY s) AS cum
-         |      FROM hist),
-         |a AS (SELECT source, CAST(sum(pos) AS BIGINT) AS n_pos,
-         |        CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
-         |        CAST(sum(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT)
-         |          AS rank2
-         |      FROM c GROUP BY 1)
-         |SELECT source, n_pos, n_neg,
-         |  rank2 - n_pos * (n_pos + 1) AS u2,
-         |  CASE WHEN n_pos > 0 AND n_neg > 0
-         |    THEN round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
-         |               / (2.0 * n_pos * n_neg), 6) END AS auc
-         |FROM a ORDER BY source""".stripMargin
-    },
-
-    // Exact decimal squared residuals per source; one rounded
-    // division per row.
-    "q_brier_grouped" -> {
-      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
-      s"""WITH sc AS ($scored),
-         |j AS (SELECT sc.probability, sc.y, d2.source
-         |      FROM sc JOIN documents d2 USING (doc_id)),
-         |r AS (SELECT source,
-         |        CAST((CAST(probability AS DECIMAL(18,6))
-         |              - CAST(y AS DECIMAL(18,6)))
-         |             * (CAST(probability AS DECIMAL(18,6))
-         |                - CAST(y AS DECIMAL(18,6)))
-         |             AS DECIMAL(38,12)) AS sq
-         |      FROM j)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n,
-         |  round(CAST(sum(sq) AS DOUBLE) / count(*), 6) AS brier
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    // The q_calibration bins keyed by source, rolled to the weighted
-    // |gap| scalar on the same rounded per-bin rates.
-    "q_ece_grouped" -> {
-      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
-      s"""WITH sc AS ($scored),
-         |j AS (SELECT sc.doc_id, sc.probability, sc.y, d2.source
-         |      FROM sc JOIN documents d2 USING (doc_id)),
-         |b AS (
-         |  SELECT source,
-         |    CAST(LEAST(CAST(floor(probability * 10) AS BIGINT), 9) AS INT)
-         |      AS bin,
-         |    CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
-         |    sum(CAST(probability AS DECIMAL(18,6))) AS sum_p
-         |  FROM j GROUP BY 1, 2),
-         |r AS (SELECT source, n,
-         |        round(CAST(sum_p AS DOUBLE) / n, 6) AS ms,
-         |        round(CAST(n_pos AS DOUBLE) / n, 6) AS fp
-         |      FROM b)
-         |SELECT source, CAST(sum(n) AS BIGINT) AS n,
-         |  CAST(count(*) AS BIGINT) AS n_bins,
-         |  round(sum(n * abs(ms - fp)) / sum(n), 6) AS ece
-         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
-    },
-
-    // The q_auc rank-sum wrapper over the CV-replayed scored subquery
-    // (train folds 1-4, score fold 0 only).
-    "q_cv_eval" -> {
-      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true,
-        cvSalt = "cv9")
-      s"""WITH hist AS (
-         |  SELECT CAST(round(probability * 1000000) AS BIGINT) AS s,
-         |    CAST(count(*) AS BIGINT) AS cnt,
-         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos
-         |  FROM ($scored) scored GROUP BY 1),
-         |c AS (SELECT s, cnt, pos, sum(cnt) OVER (ORDER BY s) AS cum FROM hist),
-         |a AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
-         |        CAST(sum(cnt) - sum(pos) AS BIGINT) AS n_neg,
-         |        CAST(sum(pos * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS rank2 FROM c)
-         |SELECT n_pos, n_neg, rank2 - n_pos * (n_pos + 1) AS u2,
-         |  round(CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc
-         |FROM a""".stripMargin
-    },
-
-    // Equal-width score bins over the same scored subquery; exact
-    // (n, n_pos, decimal score sum) per bin, ratios at the end.
-    "q_calibration" -> {
-      val scored = logRegOracle(3, 1.0, scoring = true, withLabel = true)
-      s"""WITH b AS (
-         |  SELECT CAST(LEAST(CAST(floor(probability * 10) AS BIGINT), 9) AS INT) AS bin,
-         |    CAST(count(*) AS BIGINT) AS n,
-         |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
-         |    sum(CAST(probability AS DECIMAL(18,6))) AS sum_p
-         |  FROM ($scored) scored GROUP BY 1)
-         |SELECT bin, n, n_pos,
-         |  round(CAST(sum_p AS DOUBLE) / n, 6) AS mean_score,
-         |  round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos
-         |FROM b ORDER BY bin""".stripMargin
-    },
-
-    "q_skycube" -> skycubeOracle,
-
-    // The SQL-surface path must produce the identical cube.
-    "q_skycube_sql" -> skycubeOracle,
-
-    // Per-group mirror of q_hll: same register algebra with every
-    // stage keyed by o_orderpriority.
-    "q_hll_grouped" ->
-      """WITH h AS (
-        |  SELECT o_orderpriority AS g,
-        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM orders WHERE o_custkey IS NOT NULL),
-        |r AS (
-        |  SELECT g, h % 64 AS reg,
-        |    CASE WHEN h // 64 = 0 THEN 55
-        |         ELSE CAST(round(log2((h // 64) & -(h // 64))) AS INT) + 1 END AS rho
-        |  FROM h),
-        |regs AS (SELECT g, reg, max(rho) AS mrho FROM r GROUP BY g, reg),
-        |base AS (SELECT g, max(mrho) AS r_max, count(*) AS present FROM regs GROUP BY g),
-        |ag AS (
-        |  SELECT regs.g, b.r_max,
-        |         CAST(64 - b.present AS BIGINT) AS zeros,
-        |         sum(CAST(1 AS BIGINT) << (b.r_max - regs.mrho)) AS sum_present
-        |  FROM regs JOIN base b ON regs.g = b.g
-        |  GROUP BY regs.g, b.r_max, b.present),
-        |s AS (SELECT g, r_max, zeros,
-        |        sum_present + zeros * (CAST(1 AS BIGINT) << r_max) AS sum_scaled
-        |      FROM ag)
-        |SELECT g AS o_orderpriority, 64 AS m, zeros, r_max,
-        |  CAST(sum_scaled AS BIGINT) AS sum_scaled,
-        |  round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096
-        |                   * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
-        |                   / CAST(sum_scaled AS DOUBLE)) <= 160.0 AND zeros > 0
-        |        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
-        |        ELSE CAST(0.709 AS DOUBLE) * 4096
-        |             * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
-        |             / CAST(sum_scaled AS DOUBLE) END, 4) AS est_distinct
-        |FROM s ORDER BY g""".stripMargin,
-
-    // Within-basket pair counts, directed rule expansion, exact-count
-    // ratios — mirrors AssocRules.rules stage for stage.
-    "q_assoc_rules" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
-        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
-        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM items),
-        |cnt AS (SELECT it, CAST(count(*) AS BIGINT) AS n_item FROM items GROUP BY it),
-        |co AS (
-        |  SELECT x.it AS a, y.it AS b, CAST(count(*) AS BIGINT) AS pair_n
-        |  FROM items x JOIN items y ON x.bk = y.bk AND x.it < y.it
-        |  GROUP BY 1, 2 HAVING count(*) >= 3),
-        |directed AS (
-        |  SELECT a AS antecedent, b AS consequent, pair_n FROM co
-        |  UNION ALL
-        |  SELECT b AS antecedent, a AS consequent, pair_n FROM co)
-        |SELECT d.antecedent, d.consequent, d.pair_n,
-        |  ca.n_item AS n_ant, cc.n_item AS n_cons,
-        |  round(CAST(d.pair_n AS DOUBLE) / (SELECT n_baskets FROM nb), 6) AS support,
-        |  round(CAST(d.pair_n AS DOUBLE) / ca.n_item, 6) AS confidence,
-        |  round(CAST(d.pair_n * (SELECT n_baskets FROM nb) AS DOUBLE)
-        |    / CAST(ca.n_item * cc.n_item AS DOUBLE), 6) AS lift
-        |FROM directed d
-        |JOIN cnt ca ON d.antecedent = ca.it
-        |JOIN cnt cc ON d.consequent = cc.it
-        |ORDER BY d.antecedent, d.consequent""".stripMargin,
-
-    // Daily counts → exact scaled cumulative deviation (n·cum − k·total,
-    // all BIGINT) → |sdev| argmax flag.
-    // Same exact rank mapping: (r·N + n − 1) // n into the pooled
-    // row_number frame.
-    "q_quantile_norm" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, n_chars FROM documents
-        |  WHERE n_chars IS NOT NULL),
-        |src AS (
-        |  SELECT doc_id, source, n_chars,
-        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
-        |    count(*) OVER (PARTITION BY source) AS n
-        |  FROM d),
-        |g AS (
-        |  SELECT n_chars AS qnorm,
-        |    row_number() OVER (ORDER BY n_chars, doc_id) AS k
-        |  FROM d),
-        |t AS (SELECT count(*) AS nt FROM d)
-        |SELECT src.doc_id, src.source, src.n_chars, g.qnorm
-        |FROM src CROSS JOIN t
-        |JOIN g ON g.k = (src.r * t.nt + src.n - 1) // src.n
-        |ORDER BY src.doc_id""".stripMargin,
-
-    // Same total order, same unbounded-preceding IGNORE NULLS carries.
-    "q_attribution" ->
-      """WITH e AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type
-        |  FROM events WHERE event_type IN ('click', 'purchase')),
-        |w AS (
-        |  SELECT event_id, user_id, us, event_type,
-        |    last_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY us, event_id
-        |            ROWS UNBOUNDED PRECEDING) AS last_touch,
-        |    first_value(CASE WHEN event_type = 'click' THEN us END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id ORDER BY us, event_id
-        |            ROWS UNBOUNDED PRECEDING) AS first_touch
-        |  FROM e)
-        |SELECT event_id, user_id, us, last_touch, first_touch,
-        |  last_touch IS NOT NULL AND us - last_touch <= 604800000000 AS attributed
-        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
-
-    // Sweep replayed as one ordered window (fine at oracle scale);
-    // peer-order nondeterminism cancels in the per-day max.
-    "q_concurrency" ->
-      """WITH iv AS (
-        |  SELECT epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
-        |  FROM events),
-        |pts AS (
-        |  SELECT s AS t, 1 AS delta FROM iv
-        |  UNION ALL SELECT e, -1 FROM iv),
-        |run AS (
-        |  SELECT t, delta,
-        |    sum(delta) OVER (ORDER BY t, delta
-        |                     ROWS UNBOUNDED PRECEDING) AS c
-        |  FROM pts)
-        |SELECT (t // 86400000000) * 86400 AS d,
-        |  CAST(max(c) AS BIGINT) AS peak,
-        |  CAST(count(*) AS BIGINT) AS n_points
-        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The floor-div recurrence replayed literally as a recursive CTE
-    // over row-numbered per-type days — all-integer, no float state.
-    "q_ewma" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
-        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |rn AS (
-        |  SELECT event_type, d, cents,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
-        |  FROM daily),
-        |r AS (
-        |  SELECT event_type, d, t, cents, cents AS ewma FROM rn WHERE t = 1
-        |  UNION ALL
-        |  SELECT rn.event_type, rn.d, rn.t, rn.cents,
-        |    (rn.cents + r.ewma) // 2
-        |  FROM r JOIN rn ON rn.event_type = r.event_type AND rn.t = r.t + 1)
-        |SELECT event_type, d, cents, ewma FROM r
-        |ORDER BY event_type, d""".stripMargin,
-
-    // Both accumulators ride the recursion; s2's step consumes the
-    // freshly-computed s1 step inline (no alias self-reference).
-    "q_holt" ->
-      """WITH RECURSIVE daily AS (
-        |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
-        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
-        |  FROM events GROUP BY 1, 2),
-        |rn AS (
-        |  SELECT event_type, d, cents,
-        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t
-        |  FROM daily),
-        |r AS (
-        |  SELECT event_type, d, t, cents, cents AS s1, cents AS s2
-        |  FROM rn WHERE t = 1
-        |  UNION ALL
-        |  SELECT rn.event_type, rn.d, rn.t, rn.cents,
-        |    (rn.cents + r.s1) // 2,
-        |    (((rn.cents + r.s1) // 2) + r.s2) // 2
-        |  FROM r JOIN rn ON rn.event_type = r.event_type AND rn.t = r.t + 1)
-        |SELECT event_type, d, cents, s1, s2,
-        |  2 * s1 - s2 AS level, s1 - s2 AS trend
-        |FROM r ORDER BY event_type, d""".stripMargin,
-
-    // Recursive CTE carrying (level, trend, seasonal LIST); every
-    // step repeats the truncating-div expressions inline (a recursive
-    // member can't reference its own select-list aliases). Keys with
-    // fewer than 7 observations emit nothing — the operator contract.
-    "q_holt_winters" -> {
-      val V = "rn.cents"
-      val S1 = "r.seas[1]"
-      val L = s"(($V - $S1 + r.level + r.trend) // 2)"
-      val B = s"(($L - r.level + r.trend) // 2)"
-      val SN = s"(($V - $L + $S1) // 2)"
-      s"""WITH RECURSIVE daily AS (
-         |  SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
-         |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
-         |  FROM events GROUP BY 1, 2),
-         |rn AS (
-         |  SELECT event_type, d, cents,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS t,
-         |    count(*) OVER (PARTITION BY event_type) AS cnt
-         |  FROM daily),
-         |l0 AS (
-         |  SELECT event_type, CAST(sum(cents) AS BIGINT) // 7 AS l0
-         |  FROM rn WHERE t <= 7 AND cnt >= 7 GROUP BY 1),
-         |init AS (
-         |  SELECT rn.event_type, rn.d, rn.t, rn.cents,
-         |    l0.l0 AS level, CAST(0 AS BIGINT) AS trend,
-         |    rn.cents - l0.l0 AS season
-         |  FROM rn JOIN l0 USING (event_type) WHERE rn.t <= 7),
-         |initfc AS (
-         |  SELECT event_type, d, t, cents, level, trend, season,
-         |    level + coalesce(
-         |      lead(season) OVER (PARTITION BY event_type ORDER BY t),
-         |      first_value(season) OVER (PARTITION BY event_type ORDER BY t)) AS fc
-         |  FROM init),
-         |anchor AS (
-         |  SELECT event_type, CAST(7 AS BIGINT) AS t, level, trend,
-         |    list(season ORDER BY t) AS seas,
-         |    CAST(NULL AS VARCHAR) AS d, CAST(NULL AS BIGINT) AS cents,
-         |    CAST(NULL AS BIGINT) AS season, CAST(NULL AS BIGINT) AS fc
-         |  FROM init GROUP BY event_type, level, trend),
-         |r AS (
-         |  SELECT event_type, t, level, trend, seas, d, cents, season, fc
-         |  FROM anchor
-         |  UNION ALL
-         |  SELECT rn.event_type, rn.t, $L AS level, $B AS trend,
-         |    list_append(r.seas[2:], $SN) AS seas,
-         |    rn.d, rn.cents, $SN AS season, $L + $B + r.seas[2] AS fc
-         |  FROM r JOIN rn ON rn.event_type = r.event_type AND rn.t = r.t + 1)
-         |SELECT event_type, d, cents, level, trend, season, fc FROM initfc
-         |UNION ALL
-         |SELECT event_type, d, cents, level, trend, season, fc FROM r WHERE t > 7
-         |ORDER BY event_type, d""".stripMargin
-    },
-
-    // Same integer moving-average / truncated-mean algebra; the `div`
-    // vs `//` truncation agreement covers the negative detrended rows.
-    "q_stl" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY 1),
-        |tr AS (
-        |  SELECT d, x,
-        |    CASE WHEN count(*) OVER w = 7
-        |      THEN CAST(sum(x) OVER w AS BIGINT) // 7 END AS trend
-        |  FROM daily
-        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |det AS (
-        |  SELECT d, x, trend, x - trend AS det, dayofweek(d) AS dow
-        |  FROM tr WHERE trend IS NOT NULL),
-        |seas AS (
-        |  SELECT dow, CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal
-        |  FROM det GROUP BY 1)
-        |SELECT CAST(det.d AS VARCHAR) AS d, det.x, det.trend,
-        |  CAST(det.dow AS BIGINT) AS dow, seas.seasonal,
-        |  det.x - det.trend - seas.seasonal AS resid
-        |FROM det JOIN seas ON det.dow = seas.dow
-        |ORDER BY d""".stripMargin,
-
-    // q_stl's residuals through q_anomaly_mad's median/MAD gate.
-    "q_anomaly_stl" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY 1),
-        |tr AS (
-        |  SELECT d, x,
-        |    CASE WHEN count(*) OVER w = 7
-        |      THEN CAST(sum(x) OVER w AS BIGINT) // 7 END AS trend
-        |  FROM daily
-        |  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
-        |det AS (
-        |  SELECT d, x, trend, x - trend AS det, dayofweek(d) AS dow
-        |  FROM tr WHERE trend IS NOT NULL),
-        |seas AS (
-        |  SELECT dow, CAST(sum(det) AS BIGINT) // CAST(count(*) AS BIGINT) AS seasonal
-        |  FROM det GROUP BY 1),
-        |r AS (
-        |  SELECT det.d, det.x, det.x - det.trend - seas.seasonal AS resid
-        |  FROM det JOIN seas ON det.dow = seas.dow),
-        |m AS (SELECT quantile_cont(resid, 0.5) AS med FROM r),
-        |dev AS (SELECT d, x, resid,
-        |          abs(resid - (SELECT med FROM m)) AS dev FROM r),
-        |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
-        |SELECT CAST(d AS VARCHAR) AS d, x, resid, round(dev, 6) AS dev,
-        |  round((SELECT mad FROM md), 6) AS mad
-        |FROM dev WHERE dev > 2.0 * (SELECT mad FROM md)
-        |ORDER BY d""".stripMargin,
-
-    // All pairwise slopes as integer pairs, the same
-    // (ratio, dy, dx) total order, middle-two selection, and the
-    // quantile_cont intercept.
-    "q_theil_sen" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY 1),
-        |m0 AS (SELECT min(d) AS d0 FROM daily),
-        |s AS (SELECT CAST(date_diff('day', (SELECT d0 FROM m0), d) AS BIGINT) AS k, x
-        |      FROM daily),
-        |pr AS (SELECT b.x - a.x AS dy, b.k - a.k AS dx
-        |       FROM s a JOIN s b ON b.k > a.k),
-        |o AS (SELECT dy, dx, row_number() OVER (
-        |        ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn FROM pr),
-        |np AS (SELECT CAST(count(*) AS BIGINT) AS np FROM pr),
-        |lo AS (SELECT dy, dx FROM o WHERE rn = ((SELECT np FROM np) + 1) // 2),
-        |hi AS (SELECT dy, dx FROM o WHERE rn = (SELECT np FROM np) // 2 + 1),
-        |sl AS (SELECT round((CAST((SELECT dy FROM lo) AS DOUBLE) / (SELECT dx FROM lo)
-        |         + CAST((SELECT dy FROM hi) AS DOUBLE) / (SELECT dx FROM hi)) / 2.0, 6) AS slope)
-        |SELECT (SELECT np FROM np) AS n_pairs,
-        |  (SELECT dy FROM lo) AS lo_num, (SELECT dx FROM lo) AS lo_den,
-        |  (SELECT dy FROM hi) AS hi_num, (SELECT dx FROM hi) AS hi_den,
-        |  (SELECT slope FROM sl) AS slope,
-        |  (SELECT round(quantile_cont(x - (SELECT slope FROM sl) * k, 0.5), 6)
-        |   FROM s) AS icept""".stripMargin,
-
-    "q_changepoint" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY 1),
-        |t AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(x) AS BIGINT) AS total FROM daily),
-        |series AS (
-        |  SELECT d, x,
-        |    (SELECT nd FROM t)
-        |      * CAST(sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      - CAST(row_number() OVER (ORDER BY d) AS BIGINT) * (SELECT total FROM t) AS sdev
-        |  FROM daily),
-        |mx AS (SELECT max(abs(sdev)) AS mx FROM series)
-        |SELECT CAST(d AS VARCHAR) AS d, x, sdev,
-        |  abs(sdev) = (SELECT mx FROM mx) AS is_peak
-        |FROM series ORDER BY d""".stripMargin,
-
-    // Median/MAD flags; medians interpolate over exact integers on
-    // both engines (q_quantiles parity).
-    "q_anomaly_mad" ->
-      """WITH daily AS (
-        |  SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
-        |  FROM events GROUP BY 1),
-        |m AS (SELECT quantile_cont(x, 0.5) AS med FROM daily),
-        |dev AS (SELECT d, x, abs(x - (SELECT med FROM m)) AS dev FROM daily),
-        |md AS (SELECT quantile_cont(dev, 0.5) AS mad FROM dev)
-        |SELECT CAST(d AS VARCHAR) AS d, x, round(dev, 6) AS dev,
-        |  round((SELECT mad FROM md), 6) AS mad
-        |FROM dev WHERE dev > 3.0 * (SELECT mad FROM md)
-        |ORDER BY d""".stripMargin,
-
-    // fold = md5-60(salt|doc_id) mod 5; per-stratum balance audit.
-    "q_fold_assign" ->
-      """WITH f AS (
-        |  SELECT lang,
-        |    CAST(('0x' || substr(md5('cv9|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold,
-        |    n_chars
-        |  FROM documents)
-        |SELECT lang, fold, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars
-        |FROM f GROUP BY 1, 2 ORDER BY lang, fold""".stripMargin,
-
-    // Host edges (the q_host_rank replay), 60-bit host hashes, then a
-    // recursive min-label closure — the star-root components.
-    "q_host_components" -> {
-      val he = "he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders)"
-      s"""WITH RECURSIVE $he,
-         |e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
-         |ed AS (SELECT DISTINCT
-         |    ('0x' || substr(md5(src), 1, 15))::BIGINT AS u,
-         |    ('0x' || substr(md5(dst), 1, 15))::BIGINT AS v FROM e),
-         |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
-         |reach(id, comp) AS (
-         |  SELECT u, u FROM sym
-         |  UNION
-         |  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id),
-         |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
-         |nodes AS (
-         |  SELECT DISTINCT host,
-         |    ('0x' || substr(md5(host), 1, 15))::BIGINT AS id
-         |  FROM (SELECT src AS host FROM e UNION SELECT dst AS host FROM e))
-         |SELECT n.host,
-         |  CAST(c.component // 1073741824 AS BIGINT) AS component_hi,
-         |  CAST(c.component % 1073741824 AS BIGINT) AS component_lo
-         |FROM nodes n JOIN comp c ON n.id = c.id
-         |ORDER BY n.host""".stripMargin
-    },
-
-    // The same three plurality rounds unrolled; ties to the smaller
-    // label via (count DESC, label ASC) row_number — binary string
-    // order in both engines on these ASCII hosts.
-    "q_label_prop" -> {
-      val he = "he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders)"
-      val rounds = (1 to 3).map { i =>
-        s"""c$i AS (
-           |  SELECT s.u AS id, l.community, count(*) AS c
-           |  FROM sym s JOIN l${i - 1} l ON s.v = l.id GROUP BY 1, 2),
-           |l$i AS (
-           |  SELECT id, community FROM (
-           |    SELECT id, community,
-           |      row_number() OVER (PARTITION BY id ORDER BY c DESC, community) AS rn
-           |    FROM c$i) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $he,
-         |e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
-         |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
-         |l0 AS (SELECT DISTINCT u AS id, u AS community FROM sym),
-         |$rounds
-         |SELECT id AS host, community FROM l3 ORDER BY host""".stripMargin
-    },
-
-    // LPA replay + the modularity algebra over exact BIGINT terms.
-    "q_modularity" -> {
-      val he = "he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders)"
-      val rounds = (1 to 3).map { i =>
-        s"""c$i AS (
-           |  SELECT s.u AS id, l.community, count(*) AS c
-           |  FROM sym s JOIN l${i - 1} l ON s.v = l.id GROUP BY 1, 2),
-           |l$i AS (
-           |  SELECT id, community FROM (
-           |    SELECT id, community,
-           |      row_number() OVER (PARTITION BY id ORDER BY c DESC, community) AS rn
-           |    FROM c$i) WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $he,
-         |ce AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
-         |       FROM he WHERE src <> dst),
-         |sym AS (SELECT u, v FROM ce UNION SELECT v, u FROM ce),
-         |l0 AS (SELECT DISTINCT u AS id, u AS community FROM sym),
-         |$rounds,
-         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ce),
-         |wi AS (SELECT CAST(count(*) AS BIGINT) AS w
-         |       FROM ce e JOIN l3 a ON e.u = a.id JOIN l3 b ON e.v = b.id
-         |       WHERE a.community = b.community),
-         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
-         |          SELECT u AS id FROM ce UNION ALL SELECT v FROM ce)
-         |        GROUP BY 1),
-         |dc AS (SELECT a.community, CAST(sum(d.d) AS BIGINT) AS ds
-         |       FROM deg d JOIN l3 a ON d.id = a.id GROUP BY 1),
-         |dq AS (SELECT CAST(sum(ds * ds) AS BIGINT) AS dsq,
-         |              CAST(count(*) AS BIGINT) AS nc FROM dc)
-         |SELECT m, w AS within_edges, nc AS n_communities,
-         |  round(CAST(w AS DOUBLE) / m
-         |    - CAST(dsq AS DOUBLE) / (4.0 * m * m), 6) AS modularity
-         |FROM mm, wi, dq""".stripMargin
-    },
-
-    // Same tokenization contract; exact term counts; one closed-form
-    // slope over the ranked-100 frame.
-    "q_zipf" ->
-      """WITH t AS (
-        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> len(x) > 0)) AS term
-        |  FROM documents WHERE text IS NOT NULL),
-        |f AS (SELECT term, CAST(count(*) AS BIGINT) AS freq FROM t GROUP BY 1),
-        |r AS (SELECT term, freq,
-        |        row_number() OVER (ORDER BY freq DESC, term) AS rank
-        |      FROM f QUALIFY rank <= 100),
-        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |        CAST(max(freq) AS BIGINT) AS top_freq,
-        |        sum(ln(rank)) AS sx, sum(ln(freq)) AS sy,
-        |        sum(ln(rank) * ln(freq)) AS sxy,
-        |        sum(ln(rank) * ln(rank)) AS sxx
-        |      FROM r)
-        |SELECT n AS n_terms, top_freq,
-        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
-        |FROM s""".stripMargin,
-
-    // Value-histogram ECDFs; the scaled max gap is exact BIGINT.
-    "q_ks" ->
-      """WITH b AS (
-        |  SELECT CAST(n_chars AS BIGINT) AS v,
-        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia
-        |  FROM documents),
-        |hist AS (
-        |  SELECT v, CAST(sum(ia) AS BIGINT) AS ca,
-        |    CAST(count(*) - sum(ia) AS BIGINT) AS cb
-        |  FROM b GROUP BY v),
-        |cum AS (
-        |  SELECT
-        |    CAST(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cca,
-        |    CAST(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ccb
-        |  FROM hist),
-        |t AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
-        |        CAST(count(*) - sum(ia) AS BIGINT) AS n_b FROM b),
-        |a AS (SELECT (SELECT n_a FROM t) AS n_a, (SELECT n_b FROM t) AS n_b,
-        |        CAST(max(abs(cca * (SELECT n_b FROM t) - ccb * (SELECT n_a FROM t))) AS BIGINT) AS d_num
-        |      FROM cum)
-        |SELECT n_a, n_b, d_num,
-        |  round(CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE), 6) AS ks_d
-        |FROM a""".stripMargin,
-
-    // Integer-cents Lorenz moment over the row_number mirror of the
-    // distributed rank (same total order: cents, custkey).
-    "q_gini" ->
-      """WITH c AS (
-        |  SELECT o_custkey,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1),
-        |r AS (SELECT cents,
-        |        row_number() OVER (ORDER BY cents, o_custkey) AS rank FROM c),
-        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |        CAST(sum(cents) AS BIGINT) AS total_cents,
-        |        CAST(sum(rank * cents) AS BIGINT) AS weighted FROM r)
-        |SELECT n, total_cents, weighted,
-        |  round(2.0 * weighted / CAST(n * total_cents AS DOUBLE)
-        |    - CAST(n + 1 AS DOUBLE) / n, 6) AS gini
-        |FROM a""".stripMargin,
-
-    "q_acf" -> acfOracle(7),
-
-    "q_star_join" ->
-      """SELECT r.r_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  round(sum(o.o_totalprice), 2) AS revenue
-        |FROM orders o
-        |JOIN customer c ON o.o_custkey = c.c_custkey
-        |JOIN nation n ON c.c_nationkey = n.n_nationkey
-        |JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY 1, 2 ORDER BY r.r_name, o_year""".stripMargin,
-
-    // row_number mirror of the distributed rank, integer decile
-    // arithmetic, exact cents.
-    "q_pareto" ->
-      """WITH c AS (
-        |  SELECT o_custkey,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
-        |  FROM orders GROUP BY 1),
-        |r AS (SELECT cents,
-        |        row_number() OVER (ORDER BY cents, o_custkey) AS rank FROM c),
-        |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |        CAST(sum(cents) AS BIGINT) AS total_cents FROM r),
-        |d AS (SELECT CAST(((rank - 1) * 10) // (SELECT n FROM t) AS INT) AS decile,
-        |        cents FROM r)
-        |SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
-        |  CAST(sum(cents) AS BIGINT) AS cents,
-        |  round(CAST(sum(cents) AS DOUBLE) / (SELECT total_cents FROM t), 6)
-        |    AS rev_share
-        |FROM d GROUP BY 1 ORDER BY decile""".stripMargin,
-
-    // The dedup-prone URL variants (scheme case / :80 / fragment) fed
-    // through the SAME stage-by-stage canonicalization replay, then
-    // the dup-bucket groupBy.
-    "q_dedup_url" ->
-      ("WITH " + urlCanonCtes(
-        "(CASE WHEN o_orderkey % 2 = 0 THEN 'HTTP' ELSE 'hTtp' END) || " +
-          "'://WWW.Shop' || CAST(o_custkey % 50 AS VARCHAR) || '.Example.COM' || " +
-          "(CASE WHEN o_orderkey % 3 = 0 THEN ':80' ELSE '' END) || " +
-          "'/item%2fview/' || CAST(o_orderkey % 500 AS VARCHAR) || " +
-          "(CASE WHEN o_orderkey % 5 = 0 THEN '#Sec%201' ELSE '' END)") + """
-        |SELECT canon AS url, min(o_orderkey) AS keep_id,
-        |  CAST(count(*) AS BIGINT) AS n_dupes
-        |FROM canon GROUP BY 1 HAVING count(*) >= 2
-        |ORDER BY url""".stripMargin),
-
-    // Exact 2×2 presence tables per token; four fixed-shape MI terms
-    // mirroring the Spark expression order.
-    "q_mutual_info" ->
-      """WITH d AS (
-        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y, text
-        |  FROM documents WHERE text IS NOT NULL),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
-        |          CAST(sum(y) AS BIGINT) AS n_pos FROM d),
-        |tk AS (
-        |  SELECT DISTINCT doc_id, y,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |      x -> len(x) > 0)) AS t
-        |  FROM d),
-        |g AS (
-        |  SELECT t, CAST(count(*) AS BIGINT) AS df, CAST(sum(y) AS BIGINT) AS n11
-        |  FROM tk GROUP BY t HAVING count(*) >= 10),
-        |cells AS (
-        |  SELECT t, n11, df - n11 AS n10,
-        |    (SELECT n_pos FROM tot) - n11 AS n01,
-        |    (SELECT n_total FROM tot) - (SELECT n_pos FROM tot) - (df - n11) AS n00,
-        |    (SELECT n_total FROM tot) AS n_total,
-        |    (SELECT n_pos FROM tot) AS n_pos, df
-        |  FROM g)
-        |SELECT t, n11, n10, n01, n00,
-        |  round(
-        |    (CASE WHEN n11 > 0 THEN (CAST(n11 AS DOUBLE) / n_total)
-        |      * ln(CAST(n11 AS DOUBLE) * n_total / (CAST(df AS DOUBLE) * n_pos)) ELSE 0.0 END)
-        |    + (CASE WHEN n10 > 0 THEN (CAST(n10 AS DOUBLE) / n_total)
-        |      * ln(CAST(n10 AS DOUBLE) * n_total / (CAST(df AS DOUBLE) * (n_total - n_pos))) ELSE 0.0 END)
-        |    + (CASE WHEN n01 > 0 THEN (CAST(n01 AS DOUBLE) / n_total)
-        |      * ln(CAST(n01 AS DOUBLE) * n_total / (CAST(n_total - df AS DOUBLE) * n_pos)) ELSE 0.0 END)
-        |    + (CASE WHEN n00 > 0 THEN (CAST(n00 AS DOUBLE) / n_total)
-        |      * ln(CAST(n00 AS DOUBLE) * n_total / (CAST(n_total - df AS DOUBLE) * (n_total - n_pos))) ELSE 0.0 END),
-        |  6) AS mi
-        |FROM cells ORDER BY mi DESC, t LIMIT 15""".stripMargin,
-
-    // Integer replay of the planted wave through the energy-gradient
-    // hash: per-frame Σ sample² via nested list comprehensions (exact
-    // BIGINT — sample formula × amp, squared), dHash bits e_f > e_f+1.
-    "q_dedup_audio" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 25 AS base, 50 + (doc_id % 7) * 10 AS amp,
-        |    ((doc_id % 25) % 5 + 1) * 100 AS n
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id,
-        |    [list_sum([(((j * (37 + base) + 3 * base) % 401 - 200) * amp)
-        |               * (((j * (37 + base) + 3 * base) % 401 - 200) * amp)
-        |               for j in range((f * n) // 32, ((f + 1) * n) // 32)])
-        |     for f in range(0, 32)] AS en
-        |  FROM p),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum([CASE WHEN en[f + 1] > en[f + 2]
-        |                        THEN CAST(1 AS BIGINT) << f ELSE 0 END
-        |                   for f in range(0, 31)]) AS BIGINT) AS ahash
-        |  FROM e)
-        |SELECT ahash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dupes
-        |FROM h GROUP BY 1 ORDER BY ahash""".stripMargin,
-
-    // Same hash replay; keep the min id per bucket.
-    "q_dedup_audio_survivors" ->
-      """WITH p AS (
-        |  SELECT doc_id, doc_id % 25 AS base, 50 + (doc_id % 7) * 10 AS amp,
-        |    ((doc_id % 25) % 5 + 1) * 100 AS n
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id,
-        |    [list_sum([(((j * (37 + base) + 3 * base) % 401 - 200) * amp)
-        |               * (((j * (37 + base) + 3 * base) % 401 - 200) * amp)
-        |               for j in range((f * n) // 32, ((f + 1) * n) // 32)])
-        |     for f in range(0, 32)] AS en
-        |  FROM p),
-        |h AS (
-        |  SELECT doc_id,
-        |    CAST(list_sum([CASE WHEN en[f + 1] > en[f + 2]
-        |                        THEN CAST(1 AS BIGINT) << f ELSE 0 END
-        |                   for f in range(0, 31)]) AS BIGINT) AS ahash
-        |  FROM e)
-        |SELECT min(doc_id) AS doc_id FROM h GROUP BY ahash
-        |ORDER BY doc_id""".stripMargin,
-
-    "q_histogram2d" ->
-      """WITH b AS (
-        |  SELECT
-        |    LEAST(GREATEST(CAST(floor((l_extendedprice - 900.0) / 6506.25) AS INT), 0), 15) AS bin_price,
-        |    LEAST(GREATEST(CAST(floor((l_quantity - 1.0) / 5.0) AS INT), 0), 9) AS bin_qty
-        |  FROM lineitem)
-        |SELECT bin_price, bin_qty, CAST(count(*) AS BIGINT) AS n
-        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Subspace-membership count over the same 7-way skyline union.
-    "q_sky_freq" ->
-      s"""SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_subspaces
-         |FROM ($skycubeOracle) sc
-         |GROUP BY 1 ORDER BY n_subspaces DESC, l_orderkey LIMIT 20""".stripMargin,
-
-    // Per-group quantile fences, identical expression shapes.
-    "q_iqr_outliers" ->
-      """WITH li AS (SELECT event_type AS g, value AS v FROM events),
-        |q AS (SELECT g, quantile_cont(v, 0.25) AS q1, quantile_cont(v, 0.75) AS q3
-        |      FROM li GROUP BY g),
-        |f AS (SELECT g, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM q)
-        |SELECT li.g, CAST(count(*) AS BIGINT) AS n_outliers,
-        |  min(v) AS min_out, max(v) AS max_out,
-        |  round(min(lo), 6) AS lo, round(min(hi), 6) AS hi
-        |FROM li JOIN f ON li.g = f.g
-        |WHERE v < lo OR v > hi
-        |GROUP BY li.g ORDER BY li.g""".stripMargin,
-
-    "q_token_spectrum" ->
-      """WITH freqs AS (
-        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS r
-        |  FROM orders GROUP BY 1),
-        |sp AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freqs GROUP BY r),
-        |l AS (
-        |  SELECT r, n_r,
-        |    lead(n_r) OVER (ORDER BY r) AS n_r1,
-        |    lead(r) OVER (ORDER BY r) AS r_next
-        |  FROM sp)
-        |SELECT r, n_r,
-        |  round(CASE WHEN r_next = r + 1
-        |        THEN (r + 1) * n_r1 / CAST(n_r AS DOUBLE) END, 6) AS gt_adjusted
-        |FROM l WHERE r <= 15 ORDER BY r""".stripMargin,
-
-    "q_rfm" ->
-      """WITH p AS (
-        |  SELECT user_id, epoch_us(ts) AS us, value
-        |  FROM events WHERE event_type = 'purchase'),
-        |mx AS (SELECT CAST(max(us) AS BIGINT) AS mx FROM p),
-        |u AS (
-        |  SELECT user_id, CAST(max(us) AS BIGINT) AS last_us,
-        |    CAST(count(*) AS BIGINT) AS freq,
-        |    sum(CAST(value AS DECIMAL(18,2))) AS monetary
-        |  FROM p GROUP BY 1),
-        |seg AS (
-        |  SELECT
-        |    CASE WHEN ((SELECT mx FROM mx) - last_us) // 86400000000 <= 7 THEN 'active'
-        |         WHEN ((SELECT mx FROM mx) - last_us) // 86400000000 <= 14 THEN 'cooling'
-        |         ELSE 'lapsed' END AS r_seg,
-        |    CASE WHEN freq >= 15 THEN 'power'
-        |         WHEN freq >= 8 THEN 'regular' ELSE 'light' END AS f_seg,
-        |    CASE WHEN monetary >= 2000 THEN 'big' ELSE 'small' END AS m_seg
-        |  FROM u)
-        |SELECT r_seg, f_seg, m_seg, CAST(count(*) AS BIGINT) AS n_users
-        |FROM seg GROUP BY 1, 2, 3 ORDER BY r_seg, f_seg, m_seg""".stripMargin,
-
-    "q_seasonal_dow" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    CAST((epoch_us(ts) // 86400000000 + 3) % 7 + 1 AS INT) AS dow
-        |  FROM events),
-        |c AS (SELECT dow, event_type, CAST(count(*) AS BIGINT) AS n
-        |      FROM e GROUP BY 1, 2),
-        |r AS (SELECT dow, CAST(sum(n) AS BIGINT) AS n_dow FROM c GROUP BY 1),
-        |k AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type FROM c GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
-        |SELECT c.dow, c.event_type, c.n,
-        |  round(CAST(c.n * (SELECT nt FROM t) AS DOUBLE)
-        |    / CAST(r.n_dow * k.n_type AS DOUBLE), 6) AS lift
-        |FROM c JOIN r ON c.dow = r.dow JOIN k ON c.event_type = k.event_type
-        |ORDER BY c.dow, c.event_type""".stripMargin,
-
-    "q_funnel_latency" ->
-      """WITH v AS (
-        |  SELECT user_id, min(epoch_us(ts)) AS v_ts
-        |  FROM events WHERE event_type = 'view' GROUP BY 1),
-        |p AS (
-        |  SELECT user_id, epoch_us(ts) AS p_ts
-        |  FROM events WHERE event_type = 'purchase'),
-        |lat AS (
-        |  SELECT p.user_id, CAST(min(p.p_ts - v.v_ts) AS BIGINT) AS lat
-        |  FROM p JOIN v ON p.user_id = v.user_id
-        |  WHERE p.p_ts >= v.v_ts GROUP BY 1)
-        |SELECT CAST(count(*) AS BIGINT) AS n_converted,
-        |  min(lat) AS min_us, max(lat) AS max_us,
-        |  round(quantile_cont(lat, 0.5), 6) AS p50_us,
-        |  round(quantile_cont(lat, 0.9), 6) AS p90_us
-        |FROM lat""".stripMargin,
-
-    // H = ln N − Σ n·ln n / N per fold; ln of exact integers, the
-    // small-term sum rounded 6 (LmScore order-noise contract).
-    "q_mix_entropy" ->
-      """WITH f AS (
-        |  SELECT CAST(('0x' || substr(md5('cv9|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold,
-        |    source
-        |  FROM documents),
-        |c AS (SELECT fold, source, CAST(count(*) AS BIGINT) AS n
-        |      FROM f GROUP BY 1, 2),
-        |t AS (SELECT fold, CAST(sum(n) AS BIGINT) AS nt,
-        |        CAST(count(*) AS BIGINT) AS n_sources FROM c GROUP BY 1)
-        |SELECT c.fold, t.nt AS n_docs, t.n_sources,
-        |  round(ln(CAST(t.nt AS DOUBLE))
-        |    - sum(CAST(c.n AS DOUBLE) * ln(CAST(c.n AS DOUBLE))) / t.nt,
-        |  6) AS entropy
-        |FROM c JOIN t ON c.fold = t.fold
-        |GROUP BY c.fold, t.nt, t.n_sources ORDER BY c.fold""".stripMargin,
-
-    // The recursive closure of the host edges → component sizes →
-    // histogram (the q_cluster_stats shape on the crawl graph).
-    "q_component_stats" -> {
-      val he = "he AS (SELECT " +
-        hostSqlExpr(urlSqlExpr("o_custkey", "o_orderkey")) + " AS src, " +
-        hostSqlExpr(urlSqlExpr("(o_custkey * 7 + 3) % 1000", "(o_orderkey + 1)")) +
-        " AS dst FROM orders)"
-      s"""WITH RECURSIVE $he,
-         |e AS (SELECT DISTINCT src, dst FROM he WHERE src <> dst),
-         |ed AS (SELECT DISTINCT
-         |    ('0x' || substr(md5(src), 1, 15))::BIGINT AS u,
-         |    ('0x' || substr(md5(dst), 1, 15))::BIGINT AS v FROM e),
-         |sym AS (SELECT u, v FROM ed UNION SELECT v, u FROM ed),
-         |reach(id, comp) AS (
-         |  SELECT u, u FROM sym
-         |  UNION
-         |  SELECT s.v, r.comp FROM reach r JOIN sym s ON s.u = r.id),
-         |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
-         |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS csize
-         |       FROM comp GROUP BY 1)
-         |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters
-         |FROM sz GROUP BY 1 ORDER BY csize""".stripMargin
-    },
-
-    // The lang-id replay grouped against the fixture labels.
-    "q_lang_confusion" ->
-      s"""SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n
-         |FROM ($LangIdOracle) p
-         |JOIN documents d ON p.doc_id = d.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Tier-attribute SCD2 intervals (the q_scd2 gaps-and-islands
-    // shape), then the interval-containment fact join.
-    "q_scd2_asof" ->
-      """WITH o AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS tier
-        |  FROM events),
-        |w AS (
-        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM o),
-        |m AS (SELECT *, CASE WHEN rn = 1 OR tier IS DISTINCT FROM prev
-        |                THEN 1 ELSE 0 END AS chg FROM w),
-        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run FROM m),
-        |g AS (SELECT user_id, run, min(tier) AS tier,
-        |        min(epoch_us(ts)) AS vf FROM r GROUP BY 1, 2),
-        |d AS (SELECT user_id, tier, vf,
-        |        coalesce(lead(vf) OVER (PARTITION BY user_id ORDER BY run),
-        |                 9223372036854775807) AS vt
-        |      FROM g),
-        |f AS (SELECT user_id, event_id, epoch_us(ts) AS fts
-        |      FROM events WHERE event_type = 'purchase')
-        |SELECT f.user_id, f.event_id, f.fts, d.tier
-        |FROM f JOIN d ON f.user_id = d.user_id
-        |  AND f.fts >= d.vf AND f.fts < d.vt
-        |ORDER BY f.user_id, f.event_id""".stripMargin,
-
-    // Exact per-closed-window user counts, top 5 — the capacity-256
-    // Misra-Gries is exact at the oracle SF; the emission cut mirrors
-    // q_stream_window_closed (window end strictly before max event
-    // time).
-    "q_stream_heavy_hitters" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-        |w AS (SELECT user_id, (us // 86400000000) * 86400 AS w_start, us FROM e),
-        |mx AS (SELECT max(us) AS m FROM e),
-        |c AS (
-        |  SELECT w_start, user_id, CAST(count(*) AS BIGINT) AS cnt
-        |  FROM w WHERE (w_start + 86400) * 1000000 < (SELECT m FROM mx)
-        |  GROUP BY 1, 2),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY w_start
-        |        ORDER BY cnt DESC, user_id) AS rn FROM c)
-        |SELECT w_start, user_id, cnt FROM r WHERE rn <= 5
-        |ORDER BY w_start, cnt DESC, user_id""".stripMargin,
-
-    // Closed-window top-3 replayed as a row_number window; the struct
-    // order (cents, event_id) matches the aggregate's lexicographic
-    // ordering.
-    "q_stream_topk" ->
-      """WITH e AS (
-        |  SELECT event_id,
-        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    epoch_us(ts) AS us
-        |  FROM events),
-        |w AS (SELECT event_id, cents, (us // 86400000000) * 86400 AS w_start, us FROM e),
-        |mx AS (SELECT max(us) AS m FROM e),
-        |r AS (
-        |  SELECT w_start, cents, event_id,
-        |    row_number() OVER (PARTITION BY w_start
-        |                       ORDER BY cents DESC, event_id DESC) AS rn
-        |  FROM w WHERE (w_start + 86400) * 1000000 < (SELECT m FROM mx))
-        |SELECT w_start, cents, event_id FROM r WHERE rn <= 3
-        |ORDER BY w_start, cents DESC, event_id DESC""".stripMargin,
-
-    // KMV per closed window: distinct 60-bit hashes, 64 smallest,
-    // same two-division estimate expression as q_distinct_kmv.
-    "q_stream_distinct" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
-        |w AS (SELECT (us // 86400000000) * 86400 AS w_start, user_id, us FROM e),
-        |mx AS (SELECT max(us) AS m FROM e),
-        |h AS (
-        |  SELECT DISTINCT w_start,
-        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM w WHERE (w_start + 86400) * 1000000 < (SELECT m FROM mx)),
-        |r AS (SELECT w_start, h,
-        |        row_number() OVER (PARTITION BY w_start ORDER BY h) AS rn
-        |      FROM h),
-        |k AS (SELECT w_start, count(*) AS k_used, max(h) AS kth_hash
-        |      FROM r WHERE rn <= 64 GROUP BY 1)
-        |SELECT w_start, CAST(k_used AS BIGINT) AS k_used, kth_hash,
-        |  round(CASE WHEN k_used < 64 THEN CAST(k_used AS DOUBLE)
-        |        ELSE CAST(k_used - 1 AS DOUBLE) /
-        |             (CAST(kth_hash AS DOUBLE) / 1152921504606846976.0) END,
-        |    4) AS est_distinct
-        |FROM k ORDER BY w_start""".stripMargin,
-
-    // Same closed-window cut as q_stream_heavy_hitters; GK at
-    // eps ≫ 1/n rank-agrees with quantile_disc.
-    "q_stream_quantiles" ->
-      """WITH e AS (SELECT value, epoch_us(ts) AS us FROM events),
-        |w AS (SELECT value, (us // 86400000000) * 86400 AS w_start, us FROM e),
-        |mx AS (SELECT max(us) AS m FROM e)
-        |SELECT w_start,
-        |  round(quantile_disc(value, 0.5), 6) AS p50,
-        |  round(quantile_disc(value, 0.9), 6) AS p90,
-        |  CAST(count(*) AS BIGINT) AS n
-        |FROM w WHERE (w_start + 86400) * 1000000 < (SELECT m FROM mx)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Per-arm Wilson interval; expression shapes mirror the Spark
-    // side operand for operand (z² etc. fold to identical doubles).
-    "q_conversion_ci" ->
-      """WITH u AS (
-        |  SELECT user_id,
-        |    max(CASE WHEN event_type = 'purchase' AND value > 180 THEN 1 ELSE 0 END) AS conv
-        |  FROM events GROUP BY user_id),
-        |sp AS (
-        |  SELECT conv,
-        |    CASE WHEN ('0x' || substr(md5('ab9|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
-        |              / 1152921504606846976.0 < 0.5
-        |         THEN 'A' ELSE 'B' END AS split
-        |  FROM u),
-        |arms AS (
-        |  SELECT split, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(conv) AS BIGINT) AS n_conv
-        |  FROM sp GROUP BY 1),
-        |c AS (SELECT split, n, n_conv, CAST(n AS DOUBLE) AS nd,
-        |        CAST(n_conv AS DOUBLE) / CAST(n AS DOUBLE) AS p FROM arms)
-        |SELECT split, n, n_conv, round(p, 6) AS rate,
-        |  round((p + 1.96 * 1.96 / (2.0 * nd)
-        |    - 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
-        |    / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_lo,
-        |  round((p + 1.96 * 1.96 / (2.0 * nd)
-        |    + 1.96 * sqrt(p * (1.0 - p) / nd + 1.96 * 1.96 / (4.0 * nd * nd)))
-        |    / (1.0 + 1.96 * 1.96 / nd), 6) AS ci_hi
-        |FROM c ORDER BY split""".stripMargin,
-
-    // The fixed-point EB fit replayed verbatim: integer div at every
-    // step, scalar CTEs instead of broadcasts.
-    "q_eb_smooth" ->
-      """WITH g AS (
-        |  SELECT user_id,
-        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS k,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM events WHERE event_type IN ('view', 'click')
-        |  GROUP BY user_id),
-        |p AS (SELECT user_id, k, n, (k * 1000000) // n AS p6 FROM g),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS gg,
-        |        CAST(sum(p6) AS BIGINT) // CAST(count(*) AS BIGINT) AS m6
-        |      FROM p),
-        |v AS (SELECT CAST(sum((p.p6 - m.m6) * (p.p6 - m.m6)) AS BIGINT)
-        |        // max(m.gg) AS var12
-        |      FROM p, m),
-        |r AS (SELECT greatest(2, (m.m6 * (1000000 - m.m6))
-        |        // greatest(v.var12, 1)) AS r, m.m6 AS m6
-        |      FROM m, v)
-        |SELECT p.user_id, p.k, p.n, p.p6,
-        |  (p.k * 1000000 + r.m6 * (r.r - 1)) // (p.n + r.r - 1) AS post6
-        |FROM p, r ORDER BY p.user_id""".stripMargin,
-
-    // Norms per q_knn's unnest shape; only order-independent extremes
-    // aggregate across rows, rounded at the documented grain.
-    "q_embed_norms" ->
-      """WITH ev AS (
-        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
-        |  FROM embeddings),
-        |nr AS (SELECT vec_id, min(label) AS label, sqrt(sum(x * x)) AS nrm
-        |       FROM ev GROUP BY vec_id)
-        |SELECT label, CAST(count(*) AS BIGINT) AS n,
-        |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
-        |FROM nr GROUP BY label ORDER BY label""".stripMargin,
-
-    // Generated from the same sign matrix and chained-sum order as the
-    // Spark side (see randProjSql) — the projection replays exactly.
-    "q_rand_proj" -> randProjSql(d = 64, m = 16, seed = "rp9"),
-
-    // Sketches replayed cell-for-cell; sign = the md5 bit above the
-    // cell bits; median = 3rd of the 5 sorted per-row inner products.
-    "q_join_size" ->
-      """WITH js AS (SELECT unnest([0, 1, 2, 3, 4]) AS j),
-        |ca AS (
-        |  SELECT js.j,
-        |    (('0x' || substr(md5(js.j || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT % 1024) AS cell,
-        |    sum(CASE WHEN ((('0x' || substr(md5(js.j || ':' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT // 1024) % 2) = 0
-        |             THEN 1 ELSE -1 END) AS sa
-        |  FROM orders CROSS JOIN js WHERE o_custkey IS NOT NULL GROUP BY 1, 2),
-        |cb AS (
-        |  SELECT js.j,
-        |    (('0x' || substr(md5(js.j || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 1024) AS cell,
-        |    sum(CASE WHEN ((('0x' || substr(md5(js.j || ':' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT // 1024) % 2) = 0
-        |             THEN 1 ELSE -1 END) AS sb
-        |  FROM events CROSS JOIN js WHERE user_id IS NOT NULL GROUP BY 1, 2),
-        |ip AS (SELECT ca.j, sum(ca.sa * cb.sb) AS ip
-        |       FROM ca JOIN cb ON ca.j = cb.j AND ca.cell = cb.cell GROUP BY 1),
-        |f AS (SELECT js.j, coalesce(ip.ip, 0) AS ip FROM js LEFT JOIN ip ON js.j = ip.j),
-        |est AS (SELECT list_sort(list(ip)) AS ips FROM f),
-        |exa AS (
-        |  SELECT CAST(sum(na * nb) AS BIGINT) AS exact_join FROM
-        |    (SELECT o_custkey AS k, count(*) AS na FROM orders
-        |     WHERE o_custkey IS NOT NULL GROUP BY 1) a
-        |    JOIN
-        |    (SELECT user_id AS k, count(*) AS nb FROM events
-        |     WHERE user_id IS NOT NULL GROUP BY 1) b USING (k))
-        |SELECT CAST(5 AS BIGINT) AS depth, CAST(1024 AS BIGINT) AS width,
-        |  CAST(ips[3] AS BIGINT) AS est_join, exact_join,
-        |  round(abs(CAST(ips[3] AS BIGINT) - exact_join) / CAST(exact_join AS DOUBLE) * 100, 4) AS err_pct
-        |FROM est, exa""".stripMargin,
-
-    // Weights replayed through the shared inverse-CDF literal chain
-    // (Bootstrap.poissonWeightSql — same Scala constants, zero drift).
-    "q_bootstrap" -> {
-      val u = "(('0x' || substr(md5('bs9|' || CAST(rep AS VARCHAR) || '|' || " +
-        "CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)"
-      s"""WITH o AS (
-         |  SELECT o_orderkey,
-         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-         |  FROM orders),
-         |reps AS (SELECT range AS rep FROM range(32)),
-         |w AS (
-         |  SELECT rep, cents,
-         |    ${graft.stats.Bootstrap.poissonWeightSql(u)} AS w
-         |  FROM o, reps),
-         |a AS (
-         |  SELECT rep, CAST(sum(w) AS BIGINT) AS n,
-         |    CAST(sum(w * cents) AS BIGINT) AS sum_v
-         |  FROM w GROUP BY 1),
-         |m AS (SELECT rep, n, sum_v, CAST(sum_v AS DOUBLE) / n AS mean FROM a),
-         |rk AS (SELECT *, row_number() OVER (ORDER BY mean, rep) AS rank FROM m)
-         |SELECT rank, rep, n, sum_v, round(mean, 6) AS mean,
-         |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
-         |FROM rk ORDER BY rank""".stripMargin
-    },
-
-    // Same weights; the frequency-weighted median replayed by
-    // physically unnesting range(w) per row.
-    "q_bootstrap_median" -> {
-      val u = "(('0x' || substr(md5('bm11|' || CAST(rep AS VARCHAR) || '|' || " +
-        "CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0)"
-      s"""WITH o AS (
-         |  SELECT o_orderkey,
-         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-         |  FROM orders),
-         |reps AS (SELECT range AS rep FROM range(32)),
-         |w AS (
-         |  SELECT rep, cents,
-         |    ${graft.stats.Bootstrap.poissonWeightSql(u)} AS w
-         |  FROM o, reps),
-         |wx AS (SELECT rep, cents
-         |       FROM w JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS k) r
-         |         ON r.k <= w.w),
-         |a AS (
-         |  SELECT rep, quantile_cont(cents, 0.5) AS med,
-         |    CAST(count(*) AS BIGINT) AS n
-         |  FROM wx GROUP BY 1),
-         |rk AS (SELECT *, row_number() OVER (ORDER BY med, rep) AS rank FROM a)
-         |SELECT rank, rep, n, round(med, 6) AS med,
-         |  rank = 4 AS is_ci10_lo, rank = 29 AS is_ci10_hi
-         |FROM rk ORDER BY rank""".stripMargin
-    },
-
-    // Per-column selects generated from the same catalogSpec.
-    "q_catalog_stats" -> {
-      val selects = catalogSpec.flatMap { case (t, cs) =>
-        cs.map { c =>
-          s"""SELECT '$t' AS tbl, '$c' AS col_name,
-             |  CAST(count(*) AS BIGINT) AS n,
-             |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
-             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls
-             |FROM $t""".stripMargin
-        }
-      }.mkString("\nUNION ALL\n")
-      s"SELECT * FROM (\n$selects\n) ORDER BY tbl, col_name"
-    },
-
-    // Same exact integer moments; DuckDB combines them in HUGEINT
-    // (int128) where Spark uses DECIMAL(38,0) — both exact, and the
-    // same integer casts to the same double.
-    "q_corr_matrix" -> {
-      val names = corrCols.map(_._1)
-      val proj = names.map(n => s"${corrColSql(n)} AS $n").mkString(",\n    ")
-      val sums =
-        names.map(n => s"CAST(sum(CAST($n AS HUGEINT)) AS HUGEINT) AS s_$n") ++
-          corrPairs.map { case (x, y) =>
-            s"CAST(sum(CAST($x AS HUGEINT) * CAST($y AS HUGEINT)) AS HUGEINT) AS s_${x}_$y"
-          } ++
-          names.map(n =>
-            s"CAST(sum(CAST($n AS HUGEINT) * CAST($n AS HUGEINT)) AS HUGEINT) AS s_${n}_$n")
-      val rows = corrPairs.map { case (x, y) =>
-        s"""SELECT '$x' AS x, '$y' AS y,
-           |  round(CAST(n * s_${x}_$y - s_$x * s_$y AS DOUBLE) /
-           |        sqrt(CAST(n * s_${x}_$x - s_$x * s_$x AS DOUBLE) *
-           |             CAST(n * s_${y}_$y - s_$y * s_$y AS DOUBLE)), 6) AS r
-           |FROM m""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH base AS (
-         |  SELECT
-         |    $proj
-         |  FROM lineitem),
-         |m AS (
-         |  SELECT CAST(count(*) AS HUGEINT) AS n,
-         |    ${sums.mkString(",\n    ")}
-         |  FROM base)
-         |SELECT * FROM (
-         |$rows
-         |) ORDER BY x, y""".stripMargin
-    },
-
-    // Shared literal probabilities; integer-cents digit extraction;
-    // per-digit terms only (no cross-row float sum anywhere).
-    "q_benford" -> {
-      val values = benfordP.map { case (d, p) => s"($d, $p)" }.mkString(", ")
-      s"""WITH c AS (
-         |  SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
-         |  FROM orders WHERE o_totalprice IS NOT NULL),
-         |n AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
-         |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM n),
-         |p AS (SELECT digit, CAST(p AS DOUBLE) AS p
-         |      FROM (VALUES $values) AS v(digit, p))
-         |SELECT n.digit, n.n, round(p.p, 6) AS p_benford,
-         |  round(t.tot * p.p, 4) AS expected,
-         |  round((n.n - t.tot * p.p) * (n.n - t.tot * p.p) / (t.tot * p.p), 6) AS chi_term
-         |FROM n JOIN p USING (digit) CROSS JOIN t ORDER BY digit""".stripMargin
-    },
-
-    // Exact-integer moments; both orientations collapse the marginals.
-    "q_assortativity" ->
-      """WITH e0 AS (
-        |  SELECT DISTINCT least(o_custkey, l_suppkey + 1000000) AS a,
-        |                  greatest(o_custkey, l_suppkey + 1000000) AS b
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |  WHERE o_custkey <> l_suppkey + 1000000),
-        |deg AS (SELECT v, count(*) AS d
-        |        FROM (SELECT a AS v FROM e0 UNION ALL SELECT b FROM e0)
-        |        GROUP BY 1),
-        |j AS (SELECT da.d AS da, db.d AS db
-        |      FROM e0 JOIN deg da ON da.v = e0.a JOIN deg db ON db.v = e0.b),
-        |m AS (SELECT 2 * count(*) AS n,
-        |        CAST(sum(da + db) AS BIGINT) AS sx,
-        |        CAST(2 * sum(da * db) AS BIGINT) AS sxy,
-        |        CAST(sum(da * da + db * db) AS BIGINT) AS sx2
-        |      FROM j)
-        |SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-        |  round(CASE WHEN n * sx2 - sx * sx <> 0
-        |        THEN CAST(n * sxy - sx * sx AS DOUBLE) /
-        |             CAST(n * sx2 - sx * sx AS DOUBLE) END, 6) AS r
-        |FROM m""".stripMargin,
-
-    "q_kanon" ->
-      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_distinct,
-        |  count(*) < 10 AS risky_k
-        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // The same exact common-denominator EMD: per-group and global
-    // cumulatives over the full bin list, |cg·n − c·n_g| summed.
-    "q_tcloseness" ->
-      """WITH cu AS (
-        |  SELECT c_nationkey, c_mktsegment,
-        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bin
-        |  FROM customer),
-        |cells AS (SELECT c_nationkey, c_mktsegment, bin,
-        |            CAST(count(*) AS BIGINT) AS cnt FROM cu GROUP BY 1, 2, 3),
-        |grp AS (SELECT c_nationkey, c_mktsegment,
-        |          CAST(sum(cnt) AS BIGINT) AS n_g FROM cells GROUP BY 1, 2),
-        |bins AS (
-        |  SELECT bin, CAST(count(*) AS BIGINT) AS cnt_b,
-        |    CAST(sum(count(*)) OVER (ORDER BY bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
-        |  FROM cu GROUP BY 1),
-        |tot AS (SELECT CAST(sum(cnt_b) AS BIGINT) AS n,
-        |          CAST(count(*) AS BIGINT) AS nbins FROM bins),
-        |fz AS (
-        |  SELECT g.c_nationkey, g.c_mktsegment, g.n_g, b.bin, b.c,
-        |    CAST(sum(coalesce(ce.cnt, 0)) OVER (
-        |      PARTITION BY g.c_nationkey, g.c_mktsegment ORDER BY b.bin
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cg
-        |  FROM grp g CROSS JOIN bins b
-        |  LEFT JOIN cells ce ON ce.c_nationkey = g.c_nationkey
-        |    AND ce.c_mktsegment = g.c_mktsegment AND ce.bin = b.bin),
-        |agg AS (
-        |  SELECT f.c_nationkey, f.c_mktsegment, f.n_g,
-        |    CAST(sum(abs(f.cg * t.n - f.c * f.n_g)) AS BIGINT) AS emd_scaled,
-        |    max(t.n) AS n, max(t.nbins) AS nbins
-        |  FROM fz f, tot t GROUP BY 1, 2, 3)
-        |SELECT c_nationkey, c_mktsegment, n_g,
-        |  round(CAST(emd_scaled AS DOUBLE)
-        |        / CAST(n_g * n * (nbins - 1) AS DOUBLE), 6) AS emd,
-        |  round(CAST(emd_scaled AS DOUBLE)
-        |        / CAST(n_g * n * (nbins - 1) AS DOUBLE), 6) > 0.2 AS breach
-        |FROM agg ORDER BY 1, 2""".stripMargin,
-
-    "q_srm" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |sp AS (
-        |  SELECT CASE WHEN ('0x' || substr(md5('ab9|' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
-        |                   / 1152921504606846976.0 < 0.5
-        |              THEN 'A' ELSE 'B' END AS split
-        |  FROM u),
-        |c AS (
-        |  SELECT CAST(sum(CASE WHEN split = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |         CAST(sum(CASE WHEN split = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-        |  FROM sp)
-        |SELECT n_a, n_b,
-        |  round(
-        |    (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
-        |      * (CAST(n_a AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
-        |      / (CAST(n_a + n_b AS DOUBLE) / 2)
-        |    + (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
-        |      * (CAST(n_b AS DOUBLE) - CAST(n_a + n_b AS DOUBLE) / 2)
-        |      / (CAST(n_a + n_b AS DOUBLE) / 2),
-        |  6) AS chi2_srm
-        |FROM c""".stripMargin,
-
-    // Both serving paths' full CTE chains as derived tables; recall is
-    // the exact intersection count over the two 10-row lists.
-    "q_ann_recall" ->
-      s"""WITH ivf AS (SELECT vec_id FROM ($AnnIvfOracle) x),
-         |ex AS (SELECT vec_id FROM ($KnnOracle) y),
-         |o AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
-         |      FROM ivf JOIN ex ON ivf.vec_id = ex.vec_id)
-         |SELECT n_overlap, CAST(10 AS BIGINT) AS k,
-         |  round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall
-         |FROM o""".stripMargin,
-
-    "q_freq_triples" ->
-      """WITH items AS (
-        |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
-        |tr AS (
-        |  SELECT a.it AS i1, b.it AS i2, c.it AS i3,
-        |    CAST(count(*) AS BIGINT) AS n_baskets
-        |  FROM items a
-        |  JOIN items b ON a.bk = b.bk AND a.it < b.it
-        |  JOIN items c ON a.bk = c.bk AND b.it < c.it
-        |  GROUP BY 1, 2, 3 HAVING count(*) >= 2)
-        |SELECT i1, i2, i3, n_baskets FROM tr ORDER BY i1, i2, i3""".stripMargin,
-
-    "q_skew_audit" ->
-      """WITH c AS (
-        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
-        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
-        |        CAST(sum(n) AS BIGINT) AS total FROM c)
-        |SELECT o_custkey, n,
-        |  round(CAST(n * (SELECT n_keys FROM t) AS DOUBLE) / (SELECT total FROM t), 6)
-        |    AS skew_ratio
-        |FROM c ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
-
-    // Vacuum is answer-invariant: the aggregate through the cleaned
-    // directory equals the raw-table aggregate.
-    "q_vacuum" ->
-      """SELECT o_orderstatus, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Both phases — a read racing the staged-but-uncommitted rewrite
-    // and a read after the atomic manifest swap — must equal the raw
-    // aggregate: the commit log admits no third state.
-    "q_table_commit" ->
-      """WITH a AS (
-        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |      AS BIGINT) AS cents
-        |  FROM lineitem GROUP BY 1)
-        |SELECT a.l_returnflag, a.n, a.cents, p.phase
-        |FROM a CROSS JOIN (VALUES ('committed'), ('mid_rewrite')) p(phase)
-        |ORDER BY p.phase, a.l_returnflag""".stripMargin,
-
-    // main_pre = January only; dev and the merged main = Jan + Feb.
-    "q_table_branch" ->
-      """WITH m AS (
-        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM orders),
-        |jan AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |          CAST(sum(cents) AS BIGINT) AS cents
-        |        FROM m WHERE ym = '1996-01'),
-        |jf AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |          CAST(sum(cents) AS BIGINT) AS cents
-        |        FROM m WHERE ym IN ('1996-01', '1996-02'))
-        |SELECT n, cents, 'dev' AS phase FROM jf
-        |UNION ALL SELECT n, cents, 'main_merged' FROM jf
-        |UNION ALL SELECT n, cents, 'main_pre' FROM jan
-        |ORDER BY phase""".stripMargin,
-
-    // Three phases of the same aggregate (nothing duplicated, nothing
-    // lost across the race) with the expected live-file count per
-    // phase; 'loser_conflicted' asserts the exception fired — a
-    // non-conflicting loser would emit 'loser_committed' and red this
-    // row.
-    "q_commit_conflict" ->
-      """WITH a AS (
-        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
-        |      AS BIGINT) AS cents
-        |  FROM lineitem GROUP BY 1)
-        |SELECT a.l_returnflag, a.n, a.cents, p.phase, CAST(p.files AS BIGINT) AS files
-        |FROM a CROSS JOIN (VALUES ('pre', 8), ('winner', 1),
-        |                          ('loser_conflicted', 1)) p(phase, files)
-        |ORDER BY p.phase, a.l_returnflag""".stripMargin,
-
-    // The bucket interval algebra (which range-clustered files a probe
-    // must read) and the no-rows-lost aggregate, both from the raw
-    // table. Spark's `div` and DuckDB's `//` agree on the positive
-    // operands used here.
-    "q_commit_skip" ->
-      """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
-        |b AS (
-        |  SELECT l_orderkey,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    LEAST(7, (l_orderkey * 8) // ((SELECT m FROM mx) + 1)) AS bk
-        |  FROM lineitem),
-        |probe AS (SELECT (SELECT m FROM mx) // 4 AS lo,
-        |                 (SELECT m FROM mx) // 4 + (SELECT m FROM mx) // 8 AS hi),
-        |fs AS (SELECT bk, min(l_orderkey) AS mn, max(l_orderkey) AS mxk
-        |       FROM b GROUP BY bk),
-        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
-        |  CAST(sum(CASE WHEN mxk >= (SELECT lo FROM probe)
-        |                 AND mn <= (SELECT hi FROM probe)
-        |            THEN 1 ELSE 0 END) AS BIGINT) AS files_read
-        |  FROM fs),
-        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
-        |          CAST(sum(cents) AS BIGINT) AS cents
-        |        FROM b
-        |        WHERE l_orderkey BETWEEN (SELECT lo FROM probe)
-        |          AND (SELECT hi FROM probe))
-        |SELECT a.n, a.cents, c.files_total, c.files_read
-        |FROM cnt c, agg a""".stripMargin,
-
-    // The change window = batches 2+3 = the id-residue complement of
-    // batch 1.
-    "q_table_changes" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_id
-        |FROM events WHERE event_id % 3 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // The restatement as a CASE over the raw table: 1996 rows +5
-    // cents, everything else untouched.
-    "q_replace_where" ->
-      """WITH b AS (
-        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      + CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
-        |             THEN 5 ELSE 0 END AS cents
-        |  FROM orders)
-        |SELECT yr, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS cents
-        |FROM b GROUP BY 1 ORDER BY yr""".stripMargin,
-
-    // Only the audited-clean batch is visible; the rejected dirty
-    // publish contributes nothing.
-    "q_wap" ->
-      """SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
-        |  CAST(sum(length(text)) AS BIGINT) AS chars,
-        |  CAST(1 AS BIGINT) AS audit_rejected
-        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
-        |GROUP BY source ORDER BY source""".stripMargin,
-
-    // Exactly-once: the committed table must equal the full input —
-    // every event once, none twice, the replayed junk batch invisible.
-    "q_stream_commit" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(event_id) AS BIGINT) AS sum_id,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Each snapshot replays from the raw table + its slice predicate;
-    // 'past' must stay the sliced aggregate even though the engine
-    // reads it AFTER the head commit replaced the live set.
-    "q_time_travel" ->
-      """WITH b AS (
-        |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM orders)
-        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS cents, 'past' AS phase
-        |FROM b WHERE d < DATE '1996-01-01' GROUP BY 1
-        |UNION ALL
-        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS cents, 'head' AS phase
-        |FROM b GROUP BY 1
-        |ORDER BY phase, o_orderstatus""".stripMargin,
-
-    // Exact-histogram replay: HUGEINT sufficient statistics, the same
-    // running totals, the same double closed form per candidate split,
-    // the same (sse, q) argmin.
-    "q_stump" ->
-      """WITH b AS (
-        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM lineitem),
-        |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
-        |        sum(CAST(c AS HUGEINT)) AS sy,
-        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
-        |      FROM b GROUP BY 1),
-        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt,
-        |        CAST(sum(sy) AS DOUBLE) AS syt,
-        |        CAST(sum(syy) AS DOUBLE) AS syyt FROM h),
-        |cw AS (SELECT q,
-        |        sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
-        |        sum(syy) OVER w AS csyy
-        |      FROM h WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |s AS (SELECT q, CAST(cn AS BIGINT) AS cn,
-        |        CAST(csy AS DOUBLE) AS csy, CAST(csyy AS DOUBLE) AS csyy,
-        |        t.nt, t.syt, t.syyt
-        |      FROM cw, t WHERE cn < t.nt),
-        |e AS (SELECT q, cn, nt - cn AS rn,
-        |        csy, syt - csy AS rsy,
-        |        (csyy - csy * csy / cn)
-        |          + ((syyt - csyy) - (syt - csy) * (syt - csy) / (nt - cn)) AS sse,
-        |        syyt - syt * syt / nt AS sse_root
-        |      FROM s)
-        |SELECT q AS split_q, cn AS n_left, CAST(rn AS BIGINT) AS n_right,
-        |  round(csy / cn, 6) AS mean_left,
-        |  round(rsy / rn, 6) AS mean_right,
-        |  round(1.0 - sse / sse_root, 6) AS gain
-        |FROM e ORDER BY sse, q LIMIT 1""".stripMargin,
-
-    // Same md5 fold assignment; leave-fold-out means from exact sums.
-    "q_target_encoding" ->
-      """WITH o AS (
-        |  SELECT o_orderpriority AS cat,
-        |    CAST(('0x' || substr(md5('te|' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 5 AS INT) AS fold,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM orders),
-        |pf AS (SELECT cat, fold, CAST(count(*) AS BIGINT) AS nf,
-        |         CAST(sum(cents) AS BIGINT) AS syf
-        |       FROM o GROUP BY 1, 2),
-        |pc AS (SELECT cat, CAST(count(*) AS BIGINT) AS nt,
-        |         CAST(sum(cents) AS BIGINT) AS syt
-        |       FROM o GROUP BY 1)
-        |SELECT pf.cat, pf.fold, pf.nf,
-        |  round(CAST(pc.syt - pf.syf AS DOUBLE) / (pc.nt - pf.nf), 6) AS enc
-        |FROM pf JOIN pc ON pf.cat = pc.cat
-        |ORDER BY pf.cat, pf.fold""".stripMargin,
-
-    // Same floor rank→bin arithmetic over a row_number total order —
-    // per-bin stats are multiset-determined under ties.
-    "q_binning" ->
-      """WITH b AS (
-        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
-        |  FROM lineitem),
-        |r AS (SELECT cents, row_number() OVER (ORDER BY cents) AS rk,
-        |        count(*) OVER () AS n FROM b)
-        |SELECT ((rk - 1) * 10) // n AS bin, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,
-        |  CAST(sum(cents) AS BIGINT) AS mass
-        |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
-
-    // Root split replayed from the level-1 histogram, both child
-    // splits from the level-2 (side, value) histogram — the same
-    // exact algebra partitioned by side.
-    "q_tree2" ->
-      """WITH b AS (
-        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM lineitem),
-        |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
-        |        sum(CAST(c AS HUGEINT)) AS sy,
-        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
-        |      FROM b GROUP BY 1),
-        |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
-        |         sum(syy) AS syyt FROM h),
-        |c1 AS (SELECT q, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
-        |         sum(syy) OVER w AS csyy
-        |       FROM h
-        |       WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |e1 AS (SELECT q,
-        |         (CAST(csyy AS DOUBLE)
-        |            - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) / CAST(cn AS BIGINT))
-        |         + ((CAST(t.syyt AS DOUBLE) - CAST(csyy AS DOUBLE))
-        |            - (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
-        |              * (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
-        |              / (t.nt - cn)) AS sse,
-        |         CAST(t.syyt AS DOUBLE)
-        |           - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
-        |       FROM c1, t1 t WHERE cn < t.nt),
-        |s1 AS (SELECT q AS t, sse, sse_root FROM e1 ORDER BY sse, q LIMIT 1),
-        |h2 AS (SELECT CASE WHEN q <= (SELECT t FROM s1) THEN 0 ELSE 1 END AS side,
-        |         q, n, sy, syy FROM h),
-        |t2 AS (SELECT side, CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
-        |         sum(syy) AS syyt FROM h2 GROUP BY 1),
-        |c2 AS (SELECT side, q, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
-        |         sum(syy) OVER w AS csyy
-        |       FROM h2
-        |       WINDOW w AS (PARTITION BY side ORDER BY q
-        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |e2 AS (SELECT c2.side, c2.q, CAST(c2.cn AS BIGINT) AS cn,
-        |         (CAST(c2.csyy AS DOUBLE)
-        |            - CAST(c2.csy AS DOUBLE) * CAST(c2.csy AS DOUBLE) / CAST(c2.cn AS BIGINT))
-        |         + ((CAST(t.syyt AS DOUBLE) - CAST(c2.csyy AS DOUBLE))
-        |            - (CAST(t.syt AS DOUBLE) - CAST(c2.csy AS DOUBLE))
-        |              * (CAST(t.syt AS DOUBLE) - CAST(c2.csy AS DOUBLE))
-        |              / (t.nt - c2.cn)) AS sse,
-        |         CAST(t.syyt AS DOUBLE)
-        |           - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
-        |       FROM c2 JOIN t2 t ON c2.side = t.side WHERE c2.cn < t.nt),
-        |r2 AS (SELECT side, q, cn, sse, sse_root,
-        |         row_number() OVER (PARTITION BY side ORDER BY sse, q) AS rn
-        |       FROM e2)
-        |SELECT 'root' AS node, (SELECT t FROM s1) AS split_q,
-        |  CAST(-1 AS BIGINT) AS n_left,
-        |  round(1.0 - (SELECT sse FROM s1) / (SELECT sse_root FROM s1), 6) AS gain
-        |UNION ALL
-        |SELECT CASE WHEN side = 0 THEN 'left' ELSE 'right' END, q, cn,
-        |  round(1.0 - sse / sse_root, 6)
-        |FROM r2 WHERE rn = 1
-        |ORDER BY node""".stripMargin,
-
-    // One long-format union of the four feature extractions, the same
-    // exact-histogram split algebra per feature, per-feature argmin
-    // via (sse, v) row_number, ranked by gain.
-    "q_feature_gain" ->
-      """WITH b AS (
-        |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
-        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT) AS disc_bp,
-        |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 10000 AS BIGINT) AS tax_bp,
-        |    l_partkey % 97 AS pk_mod,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-        |  FROM lineitem),
-        |l AS (
-        |  SELECT 'qty' AS f, qty AS v, c FROM b
-        |  UNION ALL SELECT 'disc_bp', disc_bp, c FROM b
-        |  UNION ALL SELECT 'tax_bp', tax_bp, c FROM b
-        |  UNION ALL SELECT 'pk_mod', pk_mod, c FROM b),
-        |h AS (SELECT f, v, CAST(count(*) AS BIGINT) AS n,
-        |        sum(CAST(c AS HUGEINT)) AS sy,
-        |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
-        |      FROM l GROUP BY 1, 2),
-        |t AS (SELECT f, CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
-        |        sum(syy) AS syyt FROM h GROUP BY 1),
-        |cw AS (SELECT f, v, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
-        |         sum(syy) OVER w AS csyy
-        |       FROM h
-        |       WINDOW w AS (PARTITION BY f ORDER BY v
-        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |e AS (SELECT cw.f, cw.v, CAST(cw.cn AS BIGINT) AS cn,
-        |        (CAST(cw.csyy AS DOUBLE)
-        |           - CAST(cw.csy AS DOUBLE) * CAST(cw.csy AS DOUBLE) / CAST(cw.cn AS BIGINT))
-        |        + ((CAST(t.syyt AS DOUBLE) - CAST(cw.csyy AS DOUBLE))
-        |           - (CAST(t.syt AS DOUBLE) - CAST(cw.csy AS DOUBLE))
-        |             * (CAST(t.syt AS DOUBLE) - CAST(cw.csy AS DOUBLE))
-        |             / (t.nt - cw.cn)) AS sse,
-        |        CAST(t.syyt AS DOUBLE)
-        |          - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
-        |      FROM cw JOIN t ON cw.f = t.f WHERE cw.cn < t.nt),
-        |r AS (SELECT f, v, cn, sse, sse_root,
-        |        row_number() OVER (PARTITION BY f ORDER BY sse, v) AS rn
-        |      FROM e)
-        |SELECT f AS feature, v AS split_v, cn AS n_left,
-        |  round(1.0 - sse / sse_root, 6) AS gain
-        |FROM r WHERE rn = 1 ORDER BY gain DESC, feature""".stripMargin,
-
-    // Bootstrap weights replayed from the same md5 inverse-CDF
-    // (stats/Bootstrap.poissonWeightSql keeps the thresholds from
-    // drifting), then the q_feature_gain algebra with a tree dimension.
-    "q_forest" -> {
-      val u = "(('0x' || substr(md5('rf11|' || CAST(tree AS VARCHAR) || " +
-        "'|' || rid), 1, 15))::BIGINT / 1152921504606846976.0)"
-      s"""WITH b AS (
-         |  SELECT CAST(l_orderkey AS VARCHAR) || '#' ||
-         |      CAST(l_linenumber AS VARCHAR) AS rid,
-         |    CAST(round(l_quantity) AS BIGINT) AS qty,
-         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT) AS disc_bp,
-         |    CAST(CAST(l_tax AS DECIMAL(18,2)) * 10000 AS BIGINT) AS tax_bp,
-         |    l_partkey % 97 AS pk_mod,
-         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-         |  FROM lineitem),
-         |fan AS (
-         |  SELECT b.*, reps.range AS tree,
-         |    ${graft.stats.Bootstrap.poissonWeightSql(u)} AS w
-         |  FROM b, range(8) reps),
-         |fw AS (SELECT * FROM fan WHERE w > 0),
-         |l AS (
-         |  SELECT tree, 'qty' AS f, qty AS v, w, c FROM fw
-         |  UNION ALL SELECT tree, 'disc_bp', disc_bp, w, c FROM fw
-         |  UNION ALL SELECT tree, 'tax_bp', tax_bp, w, c FROM fw
-         |  UNION ALL SELECT tree, 'pk_mod', pk_mod, w, c FROM fw),
-         |h AS (SELECT tree, f, v, CAST(sum(w) AS BIGINT) AS n,
-         |        sum(w * CAST(c AS HUGEINT)) AS sy,
-         |        sum(w * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
-         |      FROM l GROUP BY 1, 2, 3),
-         |t AS (SELECT tree, f, CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
-         |        sum(syy) AS syyt FROM h GROUP BY 1, 2),
-         |cw AS (SELECT tree, f, v, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
-         |         sum(syy) OVER w AS csyy
-         |       FROM h
-         |       WINDOW w AS (PARTITION BY tree, f ORDER BY v
-         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |e AS (SELECT cw.tree, cw.f, cw.v, CAST(cw.cn AS BIGINT) AS cn,
-         |        (CAST(cw.csyy AS DOUBLE)
-         |           - CAST(cw.csy AS DOUBLE) * CAST(cw.csy AS DOUBLE) / CAST(cw.cn AS BIGINT))
-         |        + ((CAST(t.syyt AS DOUBLE) - CAST(cw.csyy AS DOUBLE))
-         |           - (CAST(t.syt AS DOUBLE) - CAST(cw.csy AS DOUBLE))
-         |             * (CAST(t.syt AS DOUBLE) - CAST(cw.csy AS DOUBLE))
-         |             / (t.nt - cw.cn)) AS sse,
-         |        CAST(t.syyt AS DOUBLE)
-         |          - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
-         |      FROM cw JOIN t ON cw.tree = t.tree AND cw.f = t.f
-         |      WHERE cw.cn < t.nt),
-         |pf AS (SELECT tree, f, v, cn, sse, sse_root,
-         |         row_number() OVER (PARTITION BY tree, f ORDER BY sse, v) AS rn
-         |       FROM e),
-         |pt AS (SELECT tree, f, v, cn, sse, sse_root,
-         |         row_number() OVER (PARTITION BY tree ORDER BY sse, f) AS rt
-         |       FROM pf WHERE rn = 1)
-         |SELECT tree, f AS feature, v AS split_v, cn AS n_left,
-         |  round(1.0 - sse / sse_root, 6) AS gain
-         |FROM pt WHERE rt = 1 ORDER BY tree""".stripMargin
-    },
-
-    // The same minimax enumeration over the exact histogram: prefix
-    // sums, interval means from HUGEINT sums, max-of-min per value.
-    "q_isotonic" ->
-      """WITH b AS (
-        |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
-        |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT) AS y
-        |  FROM lineitem),
-        |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
-        |        sum(CAST(y AS HUGEINT)) AS sy FROM b GROUP BY 1),
-        |c AS (SELECT q, n,
-        |        sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
-        |        sum(n) OVER w - n AS pn, sum(sy) OVER w - sy AS psy
-        |      FROM h
-        |      WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-        |p AS (SELECT a.q AS qi, b2.q AS qj,
-        |        CAST(b2.csy - a.psy AS DOUBLE) / (b2.cn - a.pn) AS mean
-        |      FROM c a JOIN c b2 ON a.q <= b2.q),
-        |i AS (SELECT k.q AS k, k.n AS kn, p.qi, min(p.mean) AS mn
-        |      FROM c k JOIN p ON p.qi <= k.q AND p.qj >= k.q
-        |      GROUP BY 1, 2, 3)
-        |SELECT k AS q, kn AS n, round(max(mn), 6) AS fit
-        |FROM i GROUP BY 1, 2 ORDER BY q""".stripMargin,
-
-    // md5 folds → train-fold stump (same floor-div preds as q_gbt) →
-    // calibration rank statistic → exact test coverage counts.
-    "q_conformal" -> {
-      def fdivSql(a: String, b: String): String =
-        s"(($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b)"
-      s"""WITH b AS (
-         |  SELECT CAST(('0x' || substr(md5('conf|' ||
-         |      CAST(l_orderkey * 8 + l_linenumber AS VARCHAR)), 1, 15))::BIGINT
-         |      % 5 AS INT) AS fold,
-         |    CAST(round(l_quantity) AS BIGINT) AS q,
-         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-         |  FROM lineitem),
-         |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
-         |        sum(CAST(c AS HUGEINT)) AS sy,
-         |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
-         |      FROM b WHERE fold <= 2 GROUP BY 1),
-         |t1 AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
-         |         sum(syy) AS syyt FROM h),
-         |c1 AS (SELECT q, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
-         |         sum(syy) OVER w AS csyy
-         |       FROM h
-         |       WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-         |e1 AS (SELECT q, CAST(cn AS BIGINT) AS cn, csy, t.nt, t.syt,
-         |         (CAST(csyy AS DOUBLE)
-         |            - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) / CAST(cn AS BIGINT))
-         |         + ((CAST(t.syyt AS DOUBLE) - CAST(csyy AS DOUBLE))
-         |            - (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
-         |              * (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
-         |              / (t.nt - cn)) AS sse
-         |       FROM c1, t1 t WHERE cn < t.nt),
-         |s1 AS (SELECT q AS t,
-         |         ${fdivSql("2 * csy + cn", "2 * cn")} AS pl,
-         |         ${fdivSql("2 * (syt - csy) + (nt - cn)", "2 * (nt - cn)")} AS pr
-         |       FROM e1 ORDER BY sse, q LIMIT 1),
-         |pr AS (SELECT fold, c,
-         |         CASE WHEN q <= (SELECT t FROM s1)
-         |              THEN CAST((SELECT pl FROM s1) AS BIGINT)
-         |              ELSE CAST((SELECT pr FROM s1) AS BIGINT) END AS pred
-         |       FROM b WHERE fold >= 3),
-         |cal AS (SELECT abs(c - pred) AS r FROM pr WHERE fold = 3),
-         |kk AS (SELECT CAST(count(*) AS BIGINT) AS n_cal,
-         |         CAST(ceil((count(*) + 1) * 0.9) AS BIGINT) AS k FROM cal),
-         |qh AS (SELECT r AS qhat FROM (
-         |         SELECT r, row_number() OVER (ORDER BY r) AS rk FROM cal)
-         |       WHERE rk = (SELECT k FROM kk)),
-         |tst AS (SELECT CAST(count(*) AS BIGINT) AS n_test,
-         |          CAST(sum(CASE WHEN abs(c - pred) <= (SELECT qhat FROM qh)
-         |                    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
-         |        FROM pr WHERE fold = 4)
-         |SELECT (SELECT t FROM s1) AS split_q,
-         |  CAST((SELECT pl FROM s1) AS BIGINT) AS pred_left,
-         |  CAST((SELECT pr FROM s1) AS BIGINT) AS pred_right,
-         |  kk.n_cal, kk.k, (SELECT qhat FROM qh) AS qhat,
-         |  tst.n_test, tst.n_covered,
-         |  round(CAST(tst.n_covered AS DOUBLE) / tst.n_test, 6) AS coverage
-         |FROM kk, tst""".stripMargin
-    },
-
-    // Three unrolled boosting rounds: each round adjusts the exact
-    // HUGEINT histogram by the accumulated integer offsets (Σr =
-    // Σy−n·f, Σr² = Σy²−2fΣy+nf²), takes the same (sse, q) argmin,
-    // and rounds means with the same floor((2Σ+n)/2n) rule (floor
-    // division spelled out since HUGEINT `/` truncates).
-    "q_gbt" -> {
-      def fdivSql(a: String, b: String): String =
-        s"(($a) - ((($a) % ($b) + ($b)) % ($b))) / ($b)"
-      def offsetExpr(r: Int): String =
-        if (r == 0) "CAST(0 AS HUGEINT)"
-        else (1 to r).map(i =>
-          s"(CASE WHEN q <= (SELECT t FROM s$i) THEN (SELECT pl FROM s$i) " +
-            s"ELSE (SELECT pr FROM s$i) END)").mkString(" + ")
-      val rounds = (1 to 3).map { r =>
-        s"""h$r AS (
-           |  SELECT q, n, sy - n * o AS sy, syy - 2 * o * sy + n * o * o AS syy
-           |  FROM (SELECT q, n, sy, syy, ${offsetExpr(r - 1)} AS o FROM h)),
-           |t$r AS (SELECT CAST(sum(n) AS BIGINT) AS nt, sum(sy) AS syt,
-           |          sum(syy) AS syyt FROM h$r),
-           |c$r AS (SELECT q, sum(n) OVER w AS cn, sum(sy) OVER w AS csy,
-           |          sum(syy) OVER w AS csyy
-           |        FROM h$r
-           |        WINDOW w AS (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-           |e$r AS (SELECT q, CAST(cn AS BIGINT) AS cn, csy, t.nt, t.syt,
-           |          (CAST(csyy AS DOUBLE)
-           |             - CAST(csy AS DOUBLE) * CAST(csy AS DOUBLE) / CAST(cn AS BIGINT))
-           |          + ((CAST(t.syyt AS DOUBLE) - CAST(csyy AS DOUBLE))
-           |             - (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
-           |               * (CAST(t.syt AS DOUBLE) - CAST(csy AS DOUBLE))
-           |               / (t.nt - cn)) AS sse,
-           |          CAST(t.syyt AS DOUBLE)
-           |            - CAST(t.syt AS DOUBLE) * CAST(t.syt AS DOUBLE) / t.nt AS sse_root
-           |        FROM c$r, t$r t WHERE cn < t.nt),
-           |s$r AS (SELECT q AS t,
-           |          ${fdivSql("2 * csy + cn", "2 * cn")} AS pl,
-           |          ${fdivSql("2 * (syt - csy) + (nt - cn)", "2 * (nt - cn)")} AS pr,
-           |          sse, sse_root
-           |        FROM e$r ORDER BY sse, q LIMIT 1)""".stripMargin
-      }.mkString(",\n")
-      def row(r: Int): String =
-        s"""SELECT CAST($r AS BIGINT) AS round,
-           |  (SELECT t FROM s$r) AS split_q,
-           |  CAST((SELECT pl FROM s$r) AS BIGINT) AS pred_left,
-           |  CAST((SELECT pr FROM s$r) AS BIGINT) AS pred_right,
-           |  round(1.0 - (SELECT sse FROM s$r) / (SELECT sse_root FROM s$r), 6) AS gain""".stripMargin
-      s"""WITH b AS (
-         |  SELECT CAST(round(l_quantity) AS BIGINT) AS q,
-         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
-         |  FROM lineitem),
-         |h AS (SELECT q, CAST(count(*) AS BIGINT) AS n,
-         |        sum(CAST(c AS HUGEINT)) AS sy,
-         |        sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS syy
-         |      FROM b GROUP BY 1),
-         |$rounds
-         |${row(1)}
-         |UNION ALL
-         |${row(2)}
-         |UNION ALL
-         |${row(3)}
-         |ORDER BY round""".stripMargin
-    },
-
-    "q_ols" ->
-      """WITH sums AS (
-        |  SELECT l_returnflag, count(*) AS n,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy,
-        |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy
-        |  FROM lineitem
-        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
-        |  GROUP BY l_returnflag),
-        |d AS (
-        |  SELECT l_returnflag, n, CAST(n AS DOUBLE) AS nd,
-        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
-        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
-        |    CAST(syy AS DOUBLE) AS syyd
-        |  FROM sums)
-        |SELECT l_returnflag, n,
-        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0
-        |    THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END, 6) AS slope,
-        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0
-        |    THEN (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd) / nd
-        |    END, 6) AS intercept,
-        |  round(CASE WHEN nd * sxxd - sxd * sxd <> 0.0
-        |    THEN ((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd))
-        |         / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END, 6) AS r2
-        |FROM d
-        |ORDER BY l_returnflag""".stripMargin,
-
-    // Two unrolled alternations, each half-step one join + one keyed
-    // aggregate on exact HUGEINT moments, factors re-quantized to
-    // micros per solve — CTEs generated from one template so the two
-    // directions (and the Spark expression shapes) can't drift.
-    "q_als" ->
-      s"""WITH $alsOracleCtes,
-         |e AS (
-         |  SELECT CAST(r.r * 1000000000000 -
-         |    (u.f1 * i.f1 + u.f2 * i.f2) AS BIGINT) AS e
-         |  FROM ratings r JOIN uf2 u ON r.u = u.id JOIN if2 i ON r.i = i.id),
-         |st AS (SELECT sum(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS sse,
-         |         CAST(count(*) AS BIGINT) AS n FROM e)
-         |SELECT u.id AS suppkey, u.f1, u.f2,
-         |  round(sqrt(CAST(sse AS DOUBLE) / n) / 1e12, 6) AS rmse
-         |FROM uf2 u, st ORDER BY suppkey""".stripMargin,
-
-    // The shared ALS factor CTEs plus the serving tail: mask rated
-    // pairs, exact integer dots, rank-3 per user.
-    "q_als_recs" ->
-      s"""WITH $alsOracleCtes,
-         |sc AS (
-         |  SELECT u.id AS u, i.id AS i, u.f1 * i.f1 + u.f2 * i.f2 AS dot
-         |  FROM uf2 u CROSS JOIN if2 i
-         |  WHERE NOT EXISTS (SELECT 1 FROM ratings r
-         |                    WHERE r.u = u.id AND r.i = i.id)),
-         |rk AS (SELECT u, i, dot,
-         |         row_number() OVER (PARTITION BY u ORDER BY dot DESC, i) AS rank
-         |       FROM sc)
-         |SELECT u AS suppkey, CAST(rank AS INTEGER) AS rank, i AS partkey,
-         |  CAST(dot AS BIGINT) AS dot
-         |FROM rk WHERE rank <= 3 ORDER BY suppkey, rank""".stripMargin,
-
-    // The same nine exact decimal moments; per-λ rows from an unnest,
-    // every double expression shape identical to ml/Ridge.
-    "q_ridge" -> {
-      val c11 = "(sx1x1d - sx1d * sx1d / nd)"
-      val c22 = "(sx2x2d - sx2d * sx2d / nd)"
-      val c12 = "(sx1x2d - sx1d * sx2d / nd)"
-      val c1y = "(sx1yd - sx1d * syd / nd)"
-      val c2y = "(sx2yd - sx2d * syd / nd)"
-      val a11 = s"($c11 + lam)"
-      val a22 = s"($c22 + lam)"
-      val det = s"($a11 * $a22 - $c12 * $c12)"
-      val w1 = s"(($c1y * $a22 - $c2y * $c12) / $det)"
-      val w2 = s"(($a11 * $c2y - $c12 * $c1y) / $det)"
-      s"""WITH sums AS (
-         |  SELECT count(*) AS n,
-         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx1,
-         |    sum(CAST(l_discount AS DECIMAL(18,2))) AS sx2,
-         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-         |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS sx1x1,
-         |    sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sx2x2,
-         |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS sx1x2,
-         |    sum(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sx1y,
-         |    sum(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS sx2y
-         |  FROM lineitem
-         |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
-         |    AND l_extendedprice IS NOT NULL),
-         |d AS (
-         |  SELECT n, CAST(n AS DOUBLE) AS nd,
-         |    CAST(sx1 AS DOUBLE) AS sx1d, CAST(sx2 AS DOUBLE) AS sx2d,
-         |    CAST(sy AS DOUBLE) AS syd,
-         |    CAST(sx1x1 AS DOUBLE) AS sx1x1d, CAST(sx2x2 AS DOUBLE) AS sx2x2d,
-         |    CAST(sx1x2 AS DOUBLE) AS sx1x2d,
-         |    CAST(sx1y AS DOUBLE) AS sx1yd, CAST(sx2y AS DOUBLE) AS sx2yd
-         |  FROM sums),
-         |lams AS (SELECT unnest([CAST(0 AS DOUBLE), CAST(1000 AS DOUBLE),
-         |                        CAST(1000000 AS DOUBLE)]) AS lam)
-         |SELECT lam, n,
-         |  round(CASE WHEN $det <> 0.0 THEN $w1 END, 6) AS w1,
-         |  round(CASE WHEN $det <> 0.0 THEN $w2 END, 6) AS w2,
-         |  round(CASE WHEN $det <> 0.0
-         |    THEN (syd - $w1 * sx1d - $w2 * sx2d) / nd END, 6) AS intercept
-         |FROM d, lams
-         |ORDER BY lam""".stripMargin
-    },
-
-    // The batch mirror of the streaming watermark cut: only windows
-    // whose end (in ms — the engine's event-time resolution) is at or
-    // below the final watermark max(ts) emit.
-    "q_stream_sliding" ->
-      """WITH e AS (
-        |  SELECT event_type, value, (epoch_us(ts) // 1000000) AS sec,
-        |    epoch_us(ts) // 1000 AS ms
-        |  FROM events),
-        |mx AS (SELECT max(ms) AS wm FROM e),
-        |s AS (
-        |  SELECT event_type, value,
-        |    unnest([(sec // 43200) * 43200, (sec // 43200) * 43200 - 43200]) AS w_start
-        |  FROM e)
-        |SELECT event_type, CAST(w_start AS BIGINT) AS w_start,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM s WHERE (w_start + 86400) * 1000 <= (SELECT wm FROM mx)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // q_session_window's gaps-and-islands replay with the streaming
-    // emission cut: only sessions whose end (last event + gap) the
-    // ms-level watermark (global max event ms, delay 0) has passed —
-    // each user's open last session is withheld, exactly as the
-    // engine's append-mode state.
-    "q_stream_session" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us, value FROM events),
-        |mx AS (SELECT max(us) // 1000 AS wm FROM e),
-        |m AS (
-        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
-        |                  OR us - lag(us) OVER w >= 1800000000
-        |            THEN 1 ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
-        |i AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us
-        |                             ROWS UNBOUNDED PRECEDING) AS sid
-        |  FROM m),
-        |sess AS (
-        |  SELECT user_id, CAST(min(us) // 1000000 AS BIGINT) AS w_start,
-        |    CAST((max(us) + 1800000000) // 1000000 AS BIGINT) AS w_end,
-        |    count(*) AS n, round(sum(value), 2) AS sum_value,
-        |    (max(us) + 1800000000) // 1000 AS end_ms
-        |  FROM i GROUP BY user_id, sid)
-        |SELECT user_id, w_start, w_end, n, sum_value FROM sess
-        |WHERE end_ms <= (SELECT wm FROM mx)
-        |ORDER BY user_id, w_start""".stripMargin,
-
-    // One-shot window over all updates — the batch-boundary-invariant
-    // final state of the foreachBatch merge loop.
-    "q_stream_upsert" ->
-      """SELECT user_id, version, value FROM (
-        |  SELECT user_id, event_id AS version, round(value, 2) AS value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
-
-    // Plain join + rollup — the stateless stream-static enrichment
-    // lands exactly the batch-join rows.
-    "q_stream_enrich" ->
-      """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS sum_value
-        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Each event unnests into its two epoch-aligned hopping windows:
-    // H = ⌊sec/43200⌋·43200 and H − 43200 (nested-floor equality makes
-    // the seconds-level H match Spark's micros-level window math).
-    "q_sliding" ->
-      """WITH e AS (
-        |  SELECT event_type, value, (epoch_us(ts) // 1000000) AS sec FROM events),
-        |s AS (
-        |  SELECT event_type, value,
-        |    unnest([(sec // 43200) * 43200, (sec // 43200) * 43200 - 43200]) AS w_start
-        |  FROM e)
-        |SELECT event_type, CAST(w_start AS BIGINT) AS w_start,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Identical clamp-and-floor bin arithmetic; w = 104100/32 is a
-    // power-of-two division, exact in binary on both engines.
-    "q_histogram" ->
-      """SELECT least(greatest(CAST(floor((l_extendedprice - 900.0) / 3253.125) AS BIGINT), 0), 31) AS bin,
-        |  count(*) AS n,
-        |  round(min(l_extendedprice), 6) AS lo_seen,
-        |  round(max(l_extendedprice), 6) AS hi_seen
-        |FROM lineitem WHERE l_extendedprice IS NOT NULL
-        |GROUP BY 1 ORDER BY bin""".stripMargin,
-
-    // strip_accents ≡ the NFD-mark-strip fold on the planted Latin
-    // diacritic vocabulary; md5 over the folded UTF-8 bytes.
-    "q_normalize" ->
-      """WITH w AS (
-        |  SELECT ['école','crème','naïve','señor','über','jalapeño','fiancée','tête'] AS ws),
-        |a AS (
-        |  SELECT doc_id,
-        |    text || ' ' || ws[(doc_id % 8) + 1] || ' ' || ws[((doc_id + 3) % 8) + 1]
-        |         || ' ' || ws[((doc_id * 5 + 1) % 8) + 1] AS t
-        |  FROM documents, w WHERE text IS NOT NULL)
-        |SELECT doc_id, md5(strip_accents(t)) AS fp FROM a ORDER BY doc_id""".stripMargin,
-
-    // Same two aggregations; sum(c·ln c) differs only by summation
-    // order, absorbed by round 6 (the LmScore discipline).
-    "q_token_entropy" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tk
-        |  FROM documents WHERE text IS NOT NULL),
-        |c AS (SELECT doc_id, tk, count(*) AS c FROM t GROUP BY 1, 2),
-        |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-        |        sum(c * ln(c)) AS clogc
-        |      FROM c GROUP BY 1)
-        |SELECT doc_id, n_tokens,
-        |  round((ln(CAST(n_tokens AS DOUBLE)) - clogc / n_tokens) / ln(2.0), 6) AS entropy
-        |FROM g ORDER BY doc_id""".stripMargin,
-
-    // KMV replayed literally: distinct 60-bit hashes, 128 smallest,
-    // same two-division estimate expression.
-    "q_distinct_kmv" ->
-      """WITH h AS (
-        |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-        |  FROM documents WHERE text IS NOT NULL),
-        |k AS (SELECT h FROM h ORDER BY h LIMIT 128)
-        |SELECT CAST(count(*) AS BIGINT) AS k_used,
-        |  CAST(max(h) // 1073741824 AS BIGINT) AS kth_hash_hi,
-        |  CAST(max(h) % 1073741824 AS BIGINT) AS kth_hash_lo,
-        |  round(CASE WHEN count(*) < 128 THEN CAST(count(*) AS DOUBLE)
-        |        ELSE CAST(count(*) - 1 AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 4) AS est_distinct
-        |FROM k""".stripMargin,
-
-    // Set algebra replayed with DuckDB lists: L = k smallest of the
-    // sketch union; ρ = |L ∩ S_A ∩ S_B| / |L| drives inter/Jaccard.
-    "q_kmv_setops" ->
-      """WITH ha AS (
-        |  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL),
-        |ka AS (SELECT list(h ORDER BY h) AS a FROM (SELECT h FROM ha ORDER BY h LIMIT 256)),
-        |hb AS (
-        |  SELECT DISTINCT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM orders WHERE o_orderpriority = '5-LOW' AND o_custkey IS NOT NULL),
-        |kb AS (SELECT list(h ORDER BY h) AS b FROM (SELECT h FROM hb ORDER BY h LIMIT 256)),
-        |m AS (
-        |  SELECT a, b,
-        |    list_slice(list_sort(list_distinct(list_concat(a, b))), 1, 256) AS ul
-        |  FROM ka, kb),
-        |m2 AS (
-        |  SELECT len(ul) AS ku,
-        |    len(list_filter(ul, x -> list_contains(a, x) AND list_contains(b, x))) AS c,
-        |    CASE WHEN len(a) < 256 THEN CAST(len(a) AS DOUBLE)
-        |         ELSE CAST(len(a) - 1 AS DOUBLE) / (CAST(a[len(a)] AS DOUBLE) / 1152921504606846976.0) END AS ea,
-        |    CASE WHEN len(b) < 256 THEN CAST(len(b) AS DOUBLE)
-        |         ELSE CAST(len(b) - 1 AS DOUBLE) / (CAST(b[len(b)] AS DOUBLE) / 1152921504606846976.0) END AS eb,
-        |    CASE WHEN len(ul) < 256 THEN CAST(len(ul) AS DOUBLE)
-        |         ELSE CAST(len(ul) - 1 AS DOUBLE) / (CAST(ul[len(ul)] AS DOUBLE) / 1152921504606846976.0) END AS eu
-        |  FROM m),
-        |fl AS (
-        |  SELECT o_custkey,
-        |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
-        |    max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS ib
-        |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
-        |ex AS (
-        |  SELECT CAST(sum(ia) AS BIGINT) AS exact_a,
-        |         CAST(sum(ib) AS BIGINT) AS exact_b,
-        |         CAST(sum(ia * ib) AS BIGINT) AS exact_inter
-        |  FROM fl)
-        |SELECT CAST(ku AS BIGINT) AS ku, CAST(c AS BIGINT) AS c,
-        |  round(ea, 4) AS est_a, round(eb, 4) AS est_b,
-        |  round(eu, 4) AS est_union,
-        |  round(CAST(c AS DOUBLE) / ku * eu, 4) AS est_inter,
-        |  round(CAST(c AS DOUBLE) / ku, 6) AS est_jaccard,
-        |  exact_a, exact_b, exact_inter
-        |FROM m2, ex""".stripMargin,
-
-    "q_hll" ->
-      """WITH h AS (
-        |  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM orders WHERE o_custkey IS NOT NULL),
-        |r AS (
-        |  SELECT h % 64 AS reg,
-        |    CASE WHEN h // 64 = 0 THEN 55
-        |         ELSE CAST(round(log2((h // 64) & -(h // 64))) AS INT) + 1 END AS rho
-        |  FROM h),
-        |regs AS (SELECT reg, max(rho) AS mrho FROM r GROUP BY reg),
-        |base AS (SELECT max(mrho) AS r_max, count(*) AS present FROM regs),
-        |ag AS (
-        |  SELECT (SELECT r_max FROM base) AS r_max,
-        |         CAST(64 - (SELECT present FROM base) AS BIGINT) AS zeros,
-        |         sum(CAST(1 AS BIGINT) << ((SELECT r_max FROM base) - mrho)) AS sum_present
-        |  FROM regs),
-        |s AS (SELECT r_max, zeros,
-        |        sum_present + zeros * (CAST(1 AS BIGINT) << r_max) AS sum_scaled
-        |      FROM ag)
-        |SELECT 64 AS m, zeros, r_max, CAST(sum_scaled AS BIGINT) AS sum_scaled,
-        |  round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096
-        |                   * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
-        |                   / CAST(sum_scaled AS DOUBLE)) <= 160.0 AND zeros > 0
-        |        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
-        |        ELSE CAST(0.709 AS DOUBLE) * 4096
-        |             * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
-        |             / CAST(sum_scaled AS DOUBLE) END, 4) AS est_distinct,
-        |  (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct
-        |FROM s""".stripMargin,
-
-    // Three replay chains from one generator; inclusion-exclusion over
-    // the rounded per-side estimates.
-    "q_hll_setops" -> {
-      def chain(p: String, where: String): String =
-        s"""${p}h AS (
-           |  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS h
-           |  FROM orders WHERE o_custkey IS NOT NULL AND ($where)),
-           |${p}r AS (
-           |  SELECT h % 64 AS reg,
-           |    CASE WHEN h // 64 = 0 THEN 55
-           |         ELSE CAST(round(log2((h // 64) & -(h // 64))) AS INT) + 1 END AS rho
-           |  FROM ${p}h),
-           |${p}regs AS (SELECT reg, max(rho) AS mrho FROM ${p}r GROUP BY reg),
-           |${p}base AS (SELECT max(mrho) AS r_max, count(*) AS present FROM ${p}regs),
-           |${p}ag AS (
-           |  SELECT (SELECT r_max FROM ${p}base) AS r_max,
-           |         CAST(64 - (SELECT present FROM ${p}base) AS BIGINT) AS zeros,
-           |         sum(CAST(1 AS BIGINT) << ((SELECT r_max FROM ${p}base) - mrho)) AS sum_present
-           |  FROM ${p}regs),
-           |${p}fin AS (SELECT r_max, zeros,
-           |        sum_present + zeros * (CAST(1 AS BIGINT) << r_max) AS sum_scaled
-           |      FROM ${p}ag),
-           |${p}e AS (
-           |  SELECT round(CASE WHEN (CAST(0.709 AS DOUBLE) * 4096
-           |                   * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
-           |                   / CAST(sum_scaled AS DOUBLE)) <= 160.0 AND zeros > 0
-           |        THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE))
-           |        ELSE CAST(0.709 AS DOUBLE) * 4096
-           |             * CAST(CAST(1 AS BIGINT) << r_max AS DOUBLE)
-           |             / CAST(sum_scaled AS DOUBLE) END, 4) AS est
-           |  FROM ${p}fin)""".stripMargin
-      s"""WITH ${chain("a", "o_orderpriority = '1-URGENT'")},
-         |${chain("b", "o_orderpriority = '5-LOW'")},
-         |${chain("u", "o_orderpriority IN ('1-URGENT', '5-LOW')")},
-         |fl AS (
-         |  SELECT o_custkey,
-         |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
-         |    max(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS ib
-         |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
-         |ex AS (
-         |  SELECT CAST(sum(ia) AS BIGINT) AS exact_a,
-         |         CAST(sum(ib) AS BIGINT) AS exact_b,
-         |         CAST(sum(ia * ib) AS BIGINT) AS exact_inter
-         |  FROM fl)
-         |SELECT ae.est AS est_a, be.est AS est_b, ue.est AS est_union,
-         |  round(ae.est + be.est - ue.est, 4) AS est_inter_ie,
-         |  exact_a, exact_b, exact_inter
-         |FROM ae, be, ue, ex""".stripMargin
-    },
-
-    // Per-group k smallest distinct hashes via a window; the engine
-    // side ships ≤ k per group per partial instead (KMinAgg).
-    "q_distinct_kmv_grouped" ->
-      """WITH h AS (
-        |  SELECT DISTINCT source, ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
-        |  FROM documents WHERE text IS NOT NULL),
-        |r AS (SELECT source, h,
-        |        row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-        |      FROM h)
-        |SELECT source, CAST(count(*) AS BIGINT) AS k_used,
-        |  CAST(max(h) // 1073741824 AS BIGINT) AS kth_hash_hi,
-        |  CAST(max(h) % 1073741824 AS BIGINT) AS kth_hash_lo,
-        |  round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
-        |        ELSE CAST(count(*) - 1 AS DOUBLE) / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END, 4) AS est_distinct
-        |FROM r WHERE rn <= 64 GROUP BY source ORDER BY source""".stripMargin,
-
-    "q_dedup_exact" ->
-      """SELECT
-        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp,
-        |  min(doc_id) AS keep_id,
-        |  count(*) AS n_dupes
-        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
-
-    // Brute-force all-pairs 3-gram Jaccard (fine at sf0.01 oracle
-    // scale; the engine side is the prefix-filtered join).
-    "q_dedup_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-
-    // Exhaustive mirror of both stages: shingle Jaccard ≥ 0.3 then
-    // the integer edit bound dist·5 ≤ max(len). Texts join back by id
-    // so levenshtein runs only on candidate pairs.
-    "q_dedup_edit" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |cand AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
-        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.3)
-        |SELECT id_a, id_b,
-        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist,
-        |  CAST(len(ta.text) AS BIGINT) AS len_a,
-        |  CAST(len(tb.text) AS BIGINT) AS len_b
-        |FROM cand
-        |JOIN documents ta ON ta.doc_id = id_a
-        |JOIN documents tb ON tb.doc_id = id_b
-        |WHERE levenshtein(ta.text, tb.text) * 5 <= greatest(len(ta.text), len(tb.text))
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // q_dedup_jaccard's exhaustive pairs × q_sample_mix's split-hash
-    // arithmetic; keep only cross-split pairs.
-    "q_split_leakage" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |sp AS (
-        |  SELECT doc_id,
-        |    CASE WHEN ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 < 0.875 THEN 'train'
-        |         WHEN ('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT / 1152921504606846976.0 < 0.9375 THEN 'val'
-        |         ELSE 'test' END AS split
-        |  FROM documents),
-        |p AS (
-        |  SELECT id_a, id_b, jaccard FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
-        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.5)
-        |SELECT id_a, id_b, sa.split AS split_a, sb.split AS split_b, jaccard
-        |FROM p JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b
-        |WHERE sa.split <> sb.split
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Brute-force all-pairs DIRECTED containment |A∩B|/|A| (both
-    // directions — no a<b cut); the engine side is the asymmetric
-    // prefix × inverted-index join.
-    "q_dedup_containment" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3)
-        |SELECT id_a, id_b, containment FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) AS containment
-        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id)
-        |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
-
-    // Brute-force containment pairs → larger-container (tie: smaller
-    // id) loser set → anti-join.
-    "q_dedup_containment_survivors" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, len(a.sh) AS sza, len(b.sh) AS szb
-        |  FROM d a JOIN d b ON a.doc_id <> b.doc_id
-        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6) >= 0.6),
-        |losers AS (
-        |  SELECT DISTINCT id_a FROM pairs
-        |  WHERE szb > sza OR (szb = sza AND id_b < id_a))
-        |SELECT doc_id, source, n_chars FROM documents
-        |WHERE doc_id NOT IN (SELECT id_a FROM losers)
-        |ORDER BY doc_id""".stripMargin,
-
-    // The sketch path must find exactly the same pairs (miss probability
-    // ≈ 1e-8 at the planted pairs' similarity ≈ 0.98) — same oracle.
-    "q_dedup_minhash" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3)
-        |SELECT id_a, id_b, jaccard FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
-        |  FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-
-    // Brute-force oracle: same md5-prefix token hash (the SimHash
-    // kernel's contract, pinned in SimHashSpec), 64 bit-vote sums via a
-    // range(64) cross join, Hamming over the bit vectors of every
-    // a<b pair. The engine's q-of-m pigeonhole blocking is exact, so
-    // blocked pairs == all-pairs.
-    "q_dedup_simhash" ->
-      """WITH th AS (
-        |  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS h
-        |  FROM (SELECT doc_id,
-        |          unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS t
-        |        FROM documents)),
-        |bits AS (
-        |  SELECT d.doc_id, g.i,
-        |    CASE WHEN COALESCE(SUM(CASE WHEN (th.h >> g.i) & 1 = 1 THEN 1 ELSE -1 END), 0) > 0
-        |         THEN 1 ELSE 0 END AS bit
-        |  FROM documents d
-        |  CROSS JOIN (SELECT unnest(range(64)) AS i) g
-        |  LEFT JOIN th ON th.doc_id = d.doc_id
-        |  GROUP BY d.doc_id, g.i),
-        |sh AS (SELECT doc_id, list(bit ORDER BY i) AS bv FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(list_sum(list_transform(range(1, 65), j -> CASE WHEN a.bv[j] <> b.bv[j] THEN 1 ELSE 0 END)) AS INT) AS dist
-        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |WHERE list_sum(list_transform(range(1, 65), j -> CASE WHEN a.bv[j] <> b.bv[j] THEN 1 ELSE 0 END)) <= 7
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    // Keep-min-id within the batch, then drop content whose normalized
-    // fingerprint (q_dedup_exact's md5) already exists in the corpus.
-    "q_dedup_incr" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
-        |  FROM documents),
-        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 3),
-        |surv AS (
-        |  SELECT doc_id, fp,
-        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-        |  FROM fp WHERE doc_id % 10 = 3)
-        |SELECT doc_id FROM surv
-        |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM corpus)
-        |ORDER BY doc_id""".stripMargin,
-
-    // Directed exhaustive mirror: a batch doc (doc_id % 10 = 3) drops
-    // iff some corpus doc reaches exact 3-gram Jaccard >= 0.5 — the
-    // recall-safe-params contract lets the LSH index path face the
-    // brute-force oracle (same shingle construction as
-    // q_dedup_minhash).
-    "q_dedup_incr_minhash" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |dropped AS (
-        |  SELECT DISTINCT a.doc_id
-        |  FROM d a JOIN d b ON a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3
-        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |      / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) >= 0.5)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id % 10 = 3 AND doc_id NOT IN (SELECT doc_id FROM dropped)
-        |ORDER BY doc_id""".stripMargin,
-
-    // The surviving fingerprint SET of the streamed batch: distinct
-    // batch fps minus the corpus index — q_dedup_incr's oracle shape
-    // with the identity column dropped (within-batch representative
-    // choice is arrival-order-dependent on the stream side).
-    "q_stream_dedup" ->
-      """WITH fp AS (
-        |  SELECT doc_id,
-        |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp
-        |  FROM documents),
-        |corpus AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 10 <> 3)
-        |SELECT DISTINCT fp FROM fp
-        |WHERE doc_id % 10 = 3 AND fp NOT IN (SELECT fp FROM corpus)
-        |ORDER BY fp""".stripMargin,
-
-    // Same 5-gram explode with 1-based start positions, same 60-bit
-    // md5-prefix fingerprint, HAVING >= 2 marks duplicated windows,
-    // pos - row_number() names the maximal runs.
-    "q_dedup_substr" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |g AS (
-        |  SELECT doc_id, i AS pos,
-        |    ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS fp
-        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) - 3)) AS u(i)),
-        |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
-        |f AS (SELECT doc_id, pos FROM g WHERE fp IN (SELECT fp FROM dup)),
-        |runs AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM f),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
-        |    max(pos) - min(pos) + 5 AS span_tokens
-        |  FROM runs GROUP BY doc_id, grp)
-        |SELECT doc_id, span_start, span_end, span_tokens FROM spans
-        |WHERE span_tokens >= 8
-        |ORDER BY doc_id, span_start""".stripMargin,
-
-    // q_dedup_substr's span derivation, then a per-doc token filter:
-    // keep token i iff no span covers it (nested lambda over the
-    // doc's span list), re-join on spaces, md5. Span-free docs hash
-    // their ORIGINAL text.
-    "q_dedup_substr_strip" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |g AS (
-        |  SELECT doc_id, i AS pos,
-        |    ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT AS fp
-        |  FROM t CROSS JOIN UNNEST(range(1, len(toks) - 3)) AS u(i)),
-        |dup AS (SELECT fp FROM g GROUP BY fp HAVING count(*) >= 2),
-        |f AS (SELECT doc_id, pos FROM g WHERE fp IN (SELECT fp FROM dup)),
-        |runs AS (
-        |  SELECT doc_id, pos,
-        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
-        |  FROM f),
-        |spans AS (
-        |  SELECT doc_id, min(pos) AS a, max(pos) + 4 AS b,
-        |    max(pos) - min(pos) + 5 AS n
-        |  FROM runs GROUP BY doc_id, grp),
-        |sl AS (
-        |  SELECT doc_id, list(struct_pack(a := a, b := b)) AS sl
-        |  FROM spans WHERE n >= 8 GROUP BY doc_id)
-        |SELECT t.doc_id,
-        |  CASE WHEN sl.sl IS NULL THEN md5(t.text)
-        |    ELSE md5(coalesce(array_to_string(list_filter(t.toks,
-        |      (x, i) -> len(list_filter(sl.sl, p -> i BETWEEN p.a AND p.b)) = 0), ' '), ''))
-        |  END AS stripped_fp
-        |FROM t LEFT JOIN sl ON t.doc_id = sl.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
-
-    // Same brute-force Jaccard pairs as q_dedup_minhash, transitively
-    // closed by a recursive CTE: comp(id) = min id reachable over the
-    // symmetric pair graph — exactly the star roots the large/small-star
-    // alternation converges to.
-    "q_dedup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
-        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id)
-        |SELECT id, min(comp) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin,
-
-    // q_dedup_clusters' closure, then sizes → histogram.
-    "q_cluster_stats" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id,
-        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |        FROM documents)
-        |  WHERE len(toks) >= 3),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
-        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
-        |  WHERE jaccard >= 0.5),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
-        |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
-        |SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
-
-    // Cosine pairs (q_cosine_pairs' construction) → components → keep
-    // min vec_id per component; vectors in no pair pass through.
-    "q_dedup_embed" ->
-      """WITH RECURSIVE ev AS (
-        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |dots AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
-        |  FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT id_a, id_b,
-        |      round(CASE WHEN na.n * nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
-        |    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
-        |  WHERE score >= 0.3),
-        |edges AS (
-        |  SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(id, comp) AS (
-        |  SELECT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-        |losers AS (
-        |  SELECT id FROM (SELECT id, min(comp) AS component FROM reach GROUP BY id)
-        |  WHERE id <> component)
-        |SELECT vec_id, label FROM embeddings
-        |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin,
-
-    // IVF-PQ replay: q_ann_ivf's hash-random coarse quantizer CTEs
-    // (assignment + the query's 4-list probe) select the candidates;
-    // q_ann_pq's per-subspace Lloyd chains + ADC tail score them.
-    "q_ann_ivfpq" -> ivfPqRawOracle,
-
-    // The at-rest index stores the IDENTICAL codes (same quantizers,
-    // same assignment) — only the layout differs, so the oracle is the
-    // same replay.
-    "q_ann_ivfpq_index" -> ivfPqRawOracle,
-
-    // Residual IVF-PQ replay: coarse assignment → residual long-form →
-    // per-subspace Lloyd chains over residual slices → per-list ADC.
-    "q_ann_ivfpq_res" ->
-      ivfPqResidualSql(nLists = 16, nProbe = 4, m = 4, subDim = 16, k = 8,
-        iters = 1, salt = "pqr", topK = 10),
-
-    // PQ replay: per-subspace Lloyd chains (pqCtes), then ADC — the
-    // query's per-centroid distances (qd_s from vec 0's slice) joined
-    // to each vector's encode assignment (a2_s), summed across the 4
-    // subspaces, ascending, ties by vec_id.
-    "q_ann_pq" ->
-      (pqCtes(m = 4, subDim = 16, k = 8, iters = 1, salt = "pq") +
-        (0 until 4).map { s =>
-          s"""qd_$s AS (
-             |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
-             |  FROM ev_$s e JOIN c1e_$s c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
-             |part_$s AS (SELECT a.vec_id, q.d FROM a2_$s a JOIN qd_$s q ON a.rank = q.rank),
-             |""".stripMargin
-        }.mkString +
-        """adc AS (
-          |  SELECT vec_id, round(sum(d), 6) AS adc FROM (
-          |    SELECT * FROM part_0 UNION ALL SELECT * FROM part_1
-          |    UNION ALL SELECT * FROM part_2 UNION ALL SELECT * FROM part_3)
-          |  GROUP BY vec_id)
-          |SELECT emb.vec_id, emb.label, adc.adc
-          |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
-          |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT 10""".stripMargin),
-
-    // Trained-IVF replay: the Lloyd CTE chain at salt "ivf" (c2e = the
-    // centroids after 2 refinements, a3 = the corpus assignment under
-    // them), then q_ann_ivf's probe (4 nearest centroids of vec 0 by
-    // squared L2, ties to smaller rank), candidate routing, and exact
-    // cosine tail.
-    "q_ann_ivf_trained" ->
-      (kmeansCtes(k = 16, iters = 2, salt = "ivf") +
-        """qd AS (
-          |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
-          |  FROM ev e JOIN c2e c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
-          |probe AS (
-          |  SELECT rank FROM (
-          |    SELECT rank, row_number() OVER (ORDER BY d, rank) AS rn FROM qd)
-          |  WHERE rn <= 4),
-          |cands AS (SELECT vec_id FROM a3 WHERE rank IN (SELECT rank FROM probe)),
-          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-          |q AS (SELECT x, j FROM ev WHERE vec_id = 0),
-          |qn AS (SELECT n FROM norms WHERE vec_id = 0),
-          |dots AS (
-          |  SELECT e.vec_id, sum(e.x * q.x) AS dt FROM ev e JOIN q ON e.j = q.j
-          |  WHERE e.vec_id IN (SELECT vec_id FROM cands) GROUP BY 1)
-          |SELECT emb.vec_id, emb.label,
-          |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
-          |    THEN dots.dt / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
-          |FROM dots
-          |JOIN norms ON dots.vec_id = norms.vec_id
-          |JOIN embeddings emb ON dots.vec_id = emb.vec_id
-          |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin),
-
-    // Full unrolled Lloyd replay (see kmeansCtes): the final CTE a3 is
-    // the assignment under the trained centroids.
-    "q_kmeans" ->
-      (kmeansCtes(k = 8, iters = 2, salt = "km").stripSuffix(",\n") +
-        "\nSELECT vec_id, rank AS cluster FROM a3 ORDER BY vec_id"),
-
-    "q_pca" -> pcaCtes(2),
-
-    // Same md5-prefix-60 bucket arithmetic as the Sampling oracles.
-    "q_feature_hash" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS tok
-        |  FROM documents WHERE text IS NOT NULL)
-        |SELECT doc_id,
-        |  ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS bucket,
-        |  count(*) AS tf
-        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // kmeansCtes assignments as the blocking key, then q_dedup_embed's
-    // within-block cosine pairs + recursive closure + keep-min-id.
-    "q_dedup_semantic" ->
-      (kmeansCtes(k = 8, iters = 2, salt = "km") +
-        """norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-          |dots AS (
-          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
-          |  FROM ev a JOIN ev b ON a.j = b.j AND a.vec_id < b.vec_id
-          |  JOIN a3 ca ON ca.vec_id = a.vec_id
-          |  JOIN a3 cb ON cb.vec_id = b.vec_id AND cb.rank = ca.rank
-          |  GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT id_a, id_b FROM (
-          |    SELECT id_a, id_b,
-          |      round(CASE WHEN na.n * nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
-          |    FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
-          |  WHERE score >= 0.3),
-          |edges AS (
-          |  SELECT id_a AS src, id_b AS dst FROM pairs
-          |  UNION SELECT id_b, id_a FROM pairs),
-          |reach(id, comp) AS (
-          |  SELECT src, src FROM edges
-          |  UNION
-          |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
-          |losers AS (
-          |  SELECT id FROM (SELECT id, min(comp) AS component FROM reach GROUP BY id)
-          |  WHERE id <> component)
-          |SELECT vec_id, label FROM embeddings
-          |WHERE vec_id NOT IN (SELECT id FROM losers) ORDER BY vec_id""".stripMargin),
-
-    // kmeansCtes assignments (a3, vec_id ≡ doc_id) × token stream:
-    // per-cluster term counts × the q_tfidf smoothed idf, top-3 per
-    // cluster by (score desc, term).
-    "q_cluster_topics" ->
-      (kmeansCtes(k = 8, iters = 2, salt = "km") +
-        """toks AS (
-          |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS term
-          |  FROM documents WHERE text IS NOT NULL),
-          |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
-          |dfreq AS (
-          |  SELECT term, count(*) AS df
-          |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
-          |ctf AS (
-          |  SELECT CAST(a.rank AS BIGINT) AS cluster, t.term, count(*) AS tf
-          |  FROM toks t JOIN a3 a ON t.doc_id = a.vec_id GROUP BY 1, 2),
-          |sc AS (
-          |  SELECT cluster, ctf.term,
-          |    round(tf * (ln((1.0 + (SELECT n FROM nn)) / (df + 1.0)) + 1.0), 6) AS score
-          |  FROM ctf JOIN dfreq ON ctf.term = dfreq.term),
-          |r AS (
-          |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
-          |    ORDER BY score DESC, term) AS INT) AS rank
-          |  FROM sc)
-          |SELECT cluster, term, score, rank FROM r WHERE rank <= 3
-          |ORDER BY cluster, rank""".stripMargin),
-
-    // Double-precision cosine via unnest (DuckDB's
-    // list_cosine_similarity computes in float32 — not oracle-grade).
-    "q_knn" -> KnnOracle,
-
-    // Prefix-restricted sq8 codes (i <= 16, 1-based) for the serving
-    // tier; the exact audit tier is the full-dim cosine verbatim.
-    "q_ann_mrl" ->
-      """WITH evf AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |ev AS (SELECT * FROM evf WHERE i <= 16),
-        |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
-        |codes AS (
-        |  SELECT vec_id, ev.i,
-        |    CAST(CASE WHEN hi > lo
-        |      THEN round((x - lo) / (hi - lo) * 254, 0)
-        |      ELSE 0.0 END AS BIGINT) - 127 AS c
-        |  FROM ev JOIN mm ON ev.i = mm.i),
-        |qc AS (SELECT i, c FROM codes WHERE vec_id = 0),
-        |dots AS (
-        |  SELECT codes.vec_id, CAST(sum(codes.c * qc.c) AS BIGINT) AS dot
-        |  FROM codes JOIN qc ON codes.i = qc.i
-        |  WHERE codes.vec_id <> 0 GROUP BY 1),
-        |qt AS (SELECT vec_id, dot,
-        |         row_number() OVER (ORDER BY dot DESC, vec_id) AS rank
-        |       FROM dots),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM evf GROUP BY 1),
-        |q AS (SELECT x, i FROM evf WHERE vec_id = 0),
-        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
-        |dx AS (SELECT e.vec_id, sum(e.x * q.x) AS d
-        |       FROM evf e JOIN q ON e.i = q.i GROUP BY 1),
-        |scored AS (
-        |  SELECT dx.vec_id,
-        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
-        |      THEN dx.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
-        |  FROM dx JOIN norms ON dx.vec_id = norms.vec_id
-        |  WHERE dx.vec_id <> 0),
-        |exact10 AS (SELECT vec_id FROM scored
-        |            ORDER BY score DESC, vec_id ASC LIMIT 10)
-        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, dot,
-        |  vec_id IN (SELECT vec_id FROM exact10) AS in_exact
-        |FROM qt WHERE rank <= 10 ORDER BY rank""".stripMargin,
-
-    // Same sq8 codes; the greedy rounds unrolled — each m_r is the
-    // (d desc, id) argmax outside the chosen set, each d_r the
-    // running least() against the new center's exact integer
-    // distances.
-    "q_coreset" -> {
-      val k = 6
-      val header =
-        """WITH ev AS (
-          |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-          |    generate_subscripts(embedding, 1) AS i
-          |  FROM embeddings),
-          |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
-          |codes AS (
-          |  SELECT vec_id, ev.i,
-          |    CAST(CASE WHEN hi > lo
-          |      THEN round((x - lo) / (hi - lo) * 254, 0)
-          |      ELSE 0.0 END AS BIGINT) - 127 AS c
-          |  FROM ev JOIN mm ON ev.i = mm.i),
-          |seed AS (SELECT min(vec_id) AS id FROM codes),
-          |d1 AS (
-          |  SELECT a.vec_id, CAST(sum((a.c - b.c)*(a.c - b.c)) AS BIGINT) AS d
-          |  FROM codes a JOIN codes b
-          |    ON a.i = b.i AND b.vec_id = (SELECT id FROM seed)
-          |  GROUP BY 1)""".stripMargin
-      val rounds = (2 to k).map { r =>
-        val excl = (1 until r).map {
-          case 1 => "SELECT id AS vec_id FROM seed"
-          case j => s"SELECT vec_id FROM m$j"
-        }.mkString(" UNION ALL ")
-        val pick =
-          s"""m$r AS (
-             |  SELECT vec_id, d FROM d${r - 1}
-             |  WHERE vec_id NOT IN ($excl)
-             |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
-        if (r == k) pick else pick + ",\n" +
-          s"""t$r AS (
-             |  SELECT a.vec_id, CAST(sum((a.c - b.c)*(a.c - b.c)) AS BIGINT) AS d
-             |  FROM codes a JOIN codes b
-             |    ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM m$r)
-             |  GROUP BY 1),
-             |d$r AS (
-             |  SELECT t$r.vec_id, least(d${r - 1}.d, t$r.d) AS d
-             |  FROM t$r JOIN d${r - 1} ON d${r - 1}.vec_id = t$r.vec_id)""".stripMargin
-      }.mkString(",\n")
-      val finals = (2 to k)
-        .map(r => s"UNION ALL SELECT $r AS round, vec_id, d AS dist_sq FROM m$r")
-        .mkString("\n")
-      s"""$header,
-         |$rounds
-         |SELECT 1 AS round, (SELECT id FROM seed) AS vec_id,
-         |  CAST(0 AS BIGINT) AS dist_sq
-         |$finals
-         |ORDER BY round""".stripMargin
-    },
-
-    // Same quantization arithmetic (double ops on exact per-dim
-    // [min,max], half-up rounding), integer dot products, and the
-    // KnnOracle's float-cosine exact tier for the recall join.
-    "q_ann_sq8" ->
-      """WITH ev AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
-        |codes AS (
-        |  SELECT vec_id, ev.i,
-        |    CAST(CASE WHEN hi > lo
-        |      THEN round((x - lo) / (hi - lo) * 254, 0)
-        |      ELSE 0.0 END AS BIGINT) - 127 AS c
-        |  FROM ev JOIN mm ON ev.i = mm.i),
-        |qc AS (SELECT i, c FROM codes WHERE vec_id = 0),
-        |dots AS (
-        |  SELECT codes.vec_id, CAST(sum(codes.c * qc.c) AS BIGINT) AS dot
-        |  FROM codes JOIN qc ON codes.i = qc.i
-        |  WHERE codes.vec_id <> 0 GROUP BY 1),
-        |qt AS (SELECT vec_id, dot,
-        |         row_number() OVER (ORDER BY dot DESC, vec_id) AS rank
-        |       FROM dots),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
-        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
-        |dx AS (SELECT e.vec_id, sum(e.x * q.x) AS d
-        |       FROM ev e JOIN q ON e.i = q.i GROUP BY 1),
-        |scored AS (
-        |  SELECT dx.vec_id,
-        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
-        |      THEN dx.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
-        |  FROM dx JOIN norms ON dx.vec_id = norms.vec_id
-        |  WHERE dx.vec_id <> 0),
-        |exact10 AS (SELECT vec_id FROM scored
-        |            ORDER BY score DESC, vec_id ASC LIMIT 10)
-        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, dot,
-        |  vec_id IN (SELECT vec_id FROM exact10) AS in_exact
-        |FROM qt WHERE rank <= 10 ORDER BY rank""".stripMargin,
-
-    // Batch form of q_knn: same double-precision unnest cosine, one
-    // row_number per query id. Norm product written ne.n * nq.n to
-    // match the engine's corpus-norm × query-norm multiply order.
-    "q_knn_batch" ->
-      """WITH ev AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |dots AS (
-        |  SELECT q.vec_id AS qid, e.vec_id, sum(e.x * q.x) AS d
-        |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < 5
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT dots.qid, dots.vec_id,
-        |    round(CASE WHEN ne.n * nq.n > 0 THEN dots.d / (ne.n * nq.n) ELSE 0.0 END, 6) AS score
-        |  FROM dots
-        |  JOIN norms ne ON dots.vec_id = ne.vec_id
-        |  JOIN norms nq ON dots.qid = nq.vec_id)
-        |SELECT qid, vec_id, label, score, rank FROM (
-        |  SELECT s.qid, s.vec_id, emb.label, s.score,
-        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id ASC) AS rank
-        |  FROM scored s JOIN embeddings emb ON s.vec_id = emb.vec_id)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-
-    "q_cosine_pairs" ->
-      """WITH ev AS (
-        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |dots AS (
-        |  SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
-        |  FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2, 3)
-        |SELECT blk, id_a, id_b, score FROM (
-        |  SELECT blk, id_a, id_b,
-        |    round(CASE WHEN na.n * nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
-        |  FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
-        |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin,
-
-    // Replays the engine's LSH exactly: same md5-mod-6 Achlioptas
-    // planes (seed 42, 8 tables × 8 bits over dim 64), same sign
-    // buckets, then exact double-precision cosine on bucket-mates.
-    "q_ann_pairs" ->
-      """WITH p AS (
-        |  SELECT t.t, b.i, d.j,
-        |    CASE CAST(('0x' || substr(md5('42:' || t.t || ':' || b.i || ':' || d.j), 1, 16)) AS UBIGINT) % 6
-        |      WHEN 0 THEN 1.0 WHEN 5 THEN -1.0 ELSE 0.0 END AS c
-        |  FROM (SELECT unnest(range(8)) AS t) t
-        |  CROSS JOIN (SELECT unnest(range(8)) AS i) b
-        |  CROSS JOIN (SELECT unnest(range(64)) AS j) d),
-        |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |       generate_subscripts(embedding, 1) AS j FROM embeddings),
-        |dots AS (
-        |  SELECT e.vec_id, p.t, p.i, sum(e.x * p.c) AS d
-        |  FROM ev e JOIN p ON e.j = p.j + 1
-        |  GROUP BY 1, 2, 3),
-        |sigs AS (
-        |  SELECT vec_id, t,
-        |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM dots GROUP BY 1, 2),
-        |cands AS (
-        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |pd AS (
-        |  SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS d
-        |  FROM cands c
-        |  JOIN ev ea ON ea.vec_id = c.id_a
-        |  JOIN ev eb ON eb.vec_id = c.id_b AND ea.j = eb.j
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, score FROM (
-        |  SELECT pd.id_a, pd.id_b,
-        |    round(CASE WHEN na.n * nb.n > 0 THEN pd.d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
-        |  FROM pd JOIN norms na ON pd.id_a = na.vec_id JOIN norms nb ON pd.id_b = nb.vec_id)
-        |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin,
-
-    // Replays the IVF pipeline: same md5-ordered centroid pick, same
-    // squared-L2 assignment (ties to the smaller centroid rank), same
-    // 4-list probe, exact double-precision cosine on the candidates.
-    "q_ann_ivf" -> AnnIvfOracle,
-
-    // Batch IVF: the same quantizer/assignment replay, per-query probe
-    // lists (rn <= nProbe over centroid distance), candidates routed by
-    // assignment, q_knn_batch's scoring and rank shape.
-    "q_ann_ivf_batch" ->
-      """WITH cent AS (
-        |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
-        |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
-        |    FROM embeddings ORDER BY h LIMIT 16)),
-        |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
-        |        generate_subscripts(cv, 1) AS j FROM cent),
-        |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |       generate_subscripts(embedding, 1) AS j FROM embeddings),
-        |dists AS (
-        |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
-        |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
-        |assign AS (
-        |  SELECT vec_id, rank FROM (
-        |    SELECT vec_id, rank,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
-        |    FROM dists) WHERE rn = 1),
-        |qprobe AS (
-        |  SELECT vec_id AS qid, rank FROM (
-        |    SELECT vec_id, rank,
-        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
-        |    FROM dists WHERE vec_id < 5) WHERE rn <= 4),
-        |cands AS (
-        |  SELECT p.qid, a.vec_id FROM assign a JOIN qprobe p ON a.rank = p.rank),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |dots AS (
-        |  SELECT q.vec_id AS qid, e.vec_id, sum(e.x * q.x) AS dt
-        |  FROM ev e
-        |  JOIN ev q ON e.j = q.j AND q.vec_id < 5
-        |  JOIN cands cd ON cd.qid = q.vec_id AND cd.vec_id = e.vec_id
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT dots.qid, dots.vec_id,
-        |    round(CASE WHEN ne.n * nq.n > 0 THEN dots.dt / (ne.n * nq.n) ELSE 0.0 END, 6) AS score
-        |  FROM dots
-        |  JOIN norms ne ON dots.vec_id = ne.vec_id
-        |  JOIN norms nq ON dots.qid = nq.vec_id)
-        |SELECT qid, vec_id, label, score, rank FROM (
-        |  SELECT s.qid, s.vec_id, emb.label, s.score,
-        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id ASC) AS rank
-        |  FROM scored s JOIN embeddings emb ON s.vec_id = emb.vec_id)
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
-
-    // The indexed serving path computes the identical answer (same
-    // centroids, assignment, and probe set — only the at-rest layout
-    // differs), so it shares the oracle.
-    "q_ann_ivf_index" -> AnnIvfOracle,
-
-    // Centroids sampled from the base 3/4 only; assignment, probe and
-    // scoring over the full corpus — exactly what writeIndex(base) +
-    // appendToIndex(delta) serves.
-    "q_ann_ivf_incr" -> annIvfOracle("vec_id % 4 <> 0"),
-
-    // Survivors = the row with the smallest id per content fingerprint
-    // (same md5-of-normalized-tokens fingerprint as q_dedup_exact).
-    "q_dedup_survivors" ->
-      """SELECT doc_id, lang, source, n_chars FROM (
-        |  SELECT doc_id, lang, source, n_chars,
-        |    row_number() OVER (
-        |      PARTITION BY md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' '))
-        |      ORDER BY doc_id) AS rn
-        |  FROM documents)
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-    "q_events_window" ->
-      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-        |  count(*) AS n,
-        |  round(sum(value), 6) AS sum_value,
-        |  round(avg(value), 6) AS avg_value
-        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
-
-    "q_json" ->
-      """SELECT event_type,
-        |  count(CAST(props->>'$.k' AS INT)) AS n,
-        |  round(avg(CAST(props->>'$.k' AS INT)), 6) AS avg_k,
-        |  min(CAST(props->>'$.k' AS INT)) AS min_k,
-        |  max(CAST(props->>'$.k' AS INT)) AS max_k
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
-
-    // Per-(event_type, day) Pareto front: max value, earliest ts.
-    // Timestamps have no sub-microsecond component, so DuckDB's nanos
-    // and Spark's micros order identically.
-    "q_skyline_events" ->
-      """WITH e AS (
-        |  SELECT event_id, event_type, value, ts,
-        |    strftime(ts, '%Y-%m-%d') AS day
-        |  FROM events
-        |  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL)
-        |SELECT p.event_type, p.day, p.event_id, p.value
-        |FROM e p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM e q
-        |  WHERE q.event_type = p.event_type AND q.day = p.day
-        |    AND q.value >= p.value AND q.ts <= p.ts
-        |    AND (q.value > p.value OR q.ts < p.ts))
-        |ORDER BY p.event_type, p.day, p.event_id""".stripMargin,
-
-    // Tumbling 1-day windows are UTC-midnight aligned, so the window
-    // start renders as the event's own day.
-    "q_skyline_stream_window" ->
-      """WITH e AS (
-        |  SELECT event_id, event_type, value, ts,
-        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_start
-        |  FROM events
-        |  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL)
-        |SELECT p.event_type, p.win_start, p.event_id, p.value
-        |FROM e p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM e q
-        |  WHERE q.event_type = p.event_type AND q.win_start = p.win_start
-        |    AND q.value >= p.value AND q.ts <= p.ts
-        |    AND (q.value > p.value OR q.ts < p.ts))
-        |ORDER BY p.event_type, p.win_start, p.event_id""".stripMargin,
-
-    // Same per-(type, day) skyline as q_skyline_stream_window but cut
-    // to CLOSED windows: win_end < max(ts) mirrors the engine firing a
-    // window's timeout only once the watermark (max ts − 0 delay)
-    // passes its end; the final open day is absent on both sides.
-    "q_stream_window_closed" ->
-      """WITH e AS (
-        |  SELECT event_id, event_type, value, ts,
-        |    strftime(date_trunc('day', ts), '%Y-%m-%d') AS win_start,
-        |    date_trunc('day', ts) + INTERVAL 1 DAY AS win_end
-        |  FROM events
-        |  WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL),
-        |closed AS (SELECT * FROM e WHERE win_end < (SELECT max(ts) FROM e))
-        |SELECT p.event_type, p.win_start, p.event_id, p.value
-        |FROM closed p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM closed q
-        |  WHERE q.event_type = p.event_type AND q.win_start = p.win_start
-        |    AND q.value >= p.value AND q.ts <= p.ts
-        |    AND (q.value > p.value OR q.ts < p.ts))
-        |ORDER BY p.event_type, p.win_start, p.event_id""".stripMargin,
-
-    "q_range_join" ->
-      """SELECT n_nationkey AS band_id, count(*) AS n,
-        |  round(sum(l_quantity), 2) AS qty
-        |FROM nation JOIN lineitem
-        |  ON l_extendedprice >= n_nationkey * 4000.0
-        | AND l_extendedprice <= n_nationkey * 4000.0 + 12000.0
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_pivot" ->
-      """SELECT l_returnflag,
-        |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F,
-        |  round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_sessions" ->
-      """WITH g AS (
-        |  SELECT user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |m AS (
-        |  SELECT user_id,
-        |    CASE WHEN prev IS NULL
-        |           OR (epoch_us(ts) - epoch_us(prev)) > 30 * 60 * 1000000
-        |         THEN 1 ELSE 0 END AS new_s
-        |  FROM g)
-        |SELECT user_id, count(*) AS n_events,
-        |  CAST(sum(new_s) AS BIGINT) AS n_sessions
-        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // Same gaps-and-islands: change points → running run id → collapse
-    // → lead() for valid_to. IS DISTINCT FROM ≡ Spark's null-safe <=>.
-    "q_scd2" ->
-      """WITH o AS (
-        |  SELECT user_id, event_type, ts, event_id,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events),
-        |m AS (
-        |  SELECT *, CASE WHEN rn = 1 OR event_type IS DISTINCT FROM prev
-        |                 THEN 1 ELSE 0 END AS chg
-        |  FROM o),
-        |r AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run FROM m),
-        |g AS (
-        |  SELECT user_id, run, min(event_type) AS event_type,
-        |    min(epoch_us(ts)) AS valid_from, count(*) AS n_rows
-        |  FROM r GROUP BY 1, 2)
-        |SELECT user_id, event_type, valid_from,
-        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
-        |  n_rows,
-        |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
-        |            IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
-        |FROM g ORDER BY user_id, valid_from, event_type""".stripMargin,
-
-    "q_quantiles" ->
-      """SELECT
-        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
-        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
-        |  round(quantile_cont(l_quantity, 0.9), 6) AS q90
-        |FROM lineitem""".stripMargin,
-
-    // graft's own GK sketch in its exact regime: same quantile_disc
-    // rank convention (element at rank max(1, ceil(phi*N))).
-    "q_quantiles_gk" ->
-      """SELECT
-        |  round(quantile_disc(l_extendedprice, 0.25), 6) AS p25,
-        |  round(quantile_disc(l_extendedprice, 0.5), 6) AS p50,
-        |  round(quantile_disc(l_extendedprice, 0.75), 6) AS p75,
-        |  round(quantile_disc(l_quantity, 0.9), 6) AS q90
-        |FROM lineitem""".stripMargin,
-
-    "q_quantiles_gk_grouped" ->
-      """SELECT l_returnflag,
-        |  round(quantile_disc(l_extendedprice, 0.5), 6) AS p50,
-        |  round(quantile_disc(l_extendedprice, 0.9), 6) AS p90
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
-
-    // Discrete quantiles: GK at accuracy > N is exact and rank-agrees
-    // with quantile_disc (see the query's comment).
-    "q_quantiles_approx" ->
-      """SELECT
-        |  round(quantile_disc(l_extendedprice, 0.25), 6) AS p25,
-        |  round(quantile_disc(l_extendedprice, 0.5), 6) AS p50,
-        |  round(quantile_disc(l_extendedprice, 0.75), 6) AS p75,
-        |  round(quantile_disc(l_quantity, 0.9), 6) AS q90
-        |FROM lineitem""".stripMargin,
-
-    // |c − p| must not dominate |q − p| for any other part c: the same
-    // abs-diff doubles on both engines, so comparisons agree exactly.
-    "q_skyline_reverse" ->
-      """SELECT p.p_partkey, p.p_retailprice, p.p_size
-        |FROM part p
-        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM part c
-        |  WHERE c.p_partkey <> p.p_partkey
-        |    AND c.p_retailprice IS NOT NULL AND c.p_size IS NOT NULL
-        |    AND abs(c.p_retailprice - p.p_retailprice) <= abs(950.5 - p.p_retailprice)
-        |    AND abs(CAST(c.p_size AS DOUBLE) - p.p_size) <= abs(25.5 - p.p_size)
-        |    AND (abs(c.p_retailprice - p.p_retailprice) < abs(950.5 - p.p_retailprice)
-        |      OR abs(CAST(c.p_size AS DOUBLE) - p.p_size) < abs(25.5 - p.p_size)))
-        |ORDER BY p.p_partkey""".stripMargin,
-
-    // Bichromatic: the NOT EXISTS witness ranges over the OTHER
-    // brand's slice only.
-    "q_skyline_reverse_bi" ->
-      """SELECT p.p_partkey, p.p_retailprice, p.p_size
-        |FROM part p
-        |WHERE p.p_brand = 'Brand#23'
-        |  AND p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM part c
-        |  WHERE c.p_brand = 'Brand#13'
-        |    AND c.p_retailprice IS NOT NULL AND c.p_size IS NOT NULL
-        |    AND abs(c.p_retailprice - p.p_retailprice) <= abs(950.5 - p.p_retailprice)
-        |    AND abs(CAST(c.p_size AS DOUBLE) - p.p_size) <= abs(25.5 - p.p_size)
-        |    AND (abs(c.p_retailprice - p.p_retailprice) < abs(950.5 - p.p_retailprice)
-        |      OR abs(CAST(c.p_size AS DOUBLE) - p.p_size) < abs(25.5 - p.p_size)))
-        |ORDER BY p.p_partkey""".stripMargin,
-
-    "q_skyline_sql" ->
-      """SELECT p.p_partkey, p.p_retailprice, p.p_size
-        |FROM part p
-        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM part q
-        |  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
-        |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
-        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-        |ORDER BY p.p_partkey""".stripMargin,
-
-    // Sentinel → NULL → excluded: the oracle spells the sentinel out as
-    // a predicate on both the outer and inner scans.
-    "q_skyline_sentinel" ->
-      """WITH e AS (
-        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
-        |  FROM lineitem
-        |  WHERE l_returnflag = 'R' AND l_linestatus = 'F'
-        |    AND l_extendedprice IS NOT NULL
-        |    AND l_discount IS NOT NULL AND l_discount <> 0.0
-        |    AND l_shipdate IS NOT NULL)
-        |SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate
-        |FROM e p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM e q
-        |  WHERE q.l_extendedprice <= p.l_extendedprice
-        |    AND q.l_discount >= p.l_discount
-        |    AND q.l_shipdate <= p.l_shipdate
-        |    AND (q.l_extendedprice < p.l_extendedprice
-        |      OR q.l_discount > p.l_discount
-        |      OR q.l_shipdate < p.l_shipdate))
-        |ORDER BY p.l_orderkey, p.l_linenumber""".stripMargin,
-
-    "q_skyband" ->
-      """WITH pts AS (
-        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
-        |  FROM lineitem
-        |  WHERE l_returnflag = 'R' AND l_quantity > 45
-        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-        |    AND l_shipdate IS NOT NULL),
-        |cnt AS (
-        |  SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate,
-        |    (SELECT count(*) FROM pts q
-        |      WHERE q.l_extendedprice <= p.l_extendedprice
-        |        AND q.l_discount >= p.l_discount
-        |        AND q.l_shipdate <= p.l_shipdate
-        |        AND (q.l_extendedprice < p.l_extendedprice
-        |          OR q.l_discount > p.l_discount
-        |          OR q.l_shipdate < p.l_shipdate)) AS dom_count
-        |  FROM pts p)
-        |SELECT * FROM cnt WHERE dom_count < 3
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
-
-    "q_top_dominating" ->
-      """WITH pts AS (
-        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate
-        |  FROM lineitem
-        |  WHERE l_returnflag = 'A' AND l_quantity > 45
-        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-        |    AND l_shipdate IS NOT NULL),
-        |sc AS (
-        |  SELECT p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount, p.l_shipdate,
-        |    (SELECT count(*) FROM pts q
-        |      WHERE p.l_extendedprice <= q.l_extendedprice
-        |        AND p.l_discount >= q.l_discount
-        |        AND p.l_shipdate <= q.l_shipdate
-        |        AND (p.l_extendedprice < q.l_extendedprice
-        |          OR p.l_discount > q.l_discount
-        |          OR p.l_shipdate < q.l_shipdate)) AS score
-        |  FROM pts p)
-        |SELECT * FROM sc
-        |ORDER BY score DESC, l_orderkey, l_linenumber
-        |LIMIT 20""".stripMargin,
-
-    "q_kdominant" ->
-      """WITH pts AS (
-        |  SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate, l_tax
-        |  FROM lineitem
-        |  WHERE l_returnflag = 'N' AND l_quantity > 48
-        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL
-        |    AND l_shipdate IS NOT NULL AND l_tax IS NOT NULL),
-        |kd AS (
-        |  SELECT k.k, p.l_orderkey, p.l_linenumber, p.l_extendedprice, p.l_discount,
-        |         p.l_shipdate, p.l_tax
-        |  FROM (SELECT 4 AS k UNION ALL SELECT 3) k
-        |  CROSS JOIN pts p
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM pts q
-        |    WHERE (CASE WHEN q.l_extendedprice <= p.l_extendedprice THEN 1 ELSE 0 END
-        |         + CASE WHEN q.l_discount >= p.l_discount THEN 1 ELSE 0 END
-        |         + CASE WHEN q.l_shipdate <= p.l_shipdate THEN 1 ELSE 0 END
-        |         + CASE WHEN q.l_tax <= p.l_tax THEN 1 ELSE 0 END) >= k.k
-        |      AND (CASE WHEN q.l_extendedprice < p.l_extendedprice THEN 1 ELSE 0 END
-        |         + CASE WHEN q.l_discount > p.l_discount THEN 1 ELSE 0 END
-        |         + CASE WHEN q.l_shipdate < p.l_shipdate THEN 1 ELSE 0 END
-        |         + CASE WHEN q.l_tax < p.l_tax THEN 1 ELSE 0 END) >= 1))
-        |SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount, l_shipdate, l_tax, k
-        |FROM kd
-        |ORDER BY k, l_orderkey, l_linenumber""".stripMargin,
-
-    "q_skyline_anti" ->
-      """WITH pp AS (SELECT * FROM part WHERE p_brand = 'Brand#13')
-        |SELECT p.p_partkey, p.p_retailprice, p.p_size
-        |FROM pp p
-        |WHERE p.p_retailprice IS NOT NULL AND p.p_size IS NOT NULL
-        |  AND NOT EXISTS (
-        |  SELECT 1 FROM pp q
-        |  WHERE q.p_retailprice IS NOT NULL AND q.p_size IS NOT NULL
-        |    AND q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
-        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-        |ORDER BY p.p_partkey""".stripMargin,
-
-    // Window-reformulated as-of join (DuckDB's native ASOF JOIN leaves
-    // equal-ts ties implementation-defined; the explicit row_number
-    // formulation pins the same tie-break as the engine: latest ts,
-    // then max event_id).
-    "q_asof" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
-        |purch AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        |j AS (
-        |  SELECT c.event_id, c.user_id,
-        |    p.event_id AS asof_event_id,
-        |    round(p.value, 6) AS asof_value,
-        |    (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS gap_s,
-        |    row_number() OVER (PARTITION BY c.event_id
-        |      ORDER BY p.ts DESC, p.event_id DESC) AS rn
-        |  FROM clicks c LEFT JOIN purch p
-        |    ON p.user_id = c.user_id AND p.ts <= c.ts)
-        |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
-
-    // One UNION ALL branch per column; the mean divides an EXACT
-    // decimal(38,6) sum cast to double by the count — order-
-    // independent, so bit-identical to Spark (Profile.scala contract).
-    "q_profile" ->
-      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
-        s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  round(CAST(min($c) AS DOUBLE), 6) AS min,
-           |  round(CAST(max($c) AS DOUBLE), 6) AS max,
-           |  round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)
-           |    / count($c), 6) AS mean FROM lineitem""".stripMargin
-      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
-
-    // Same micros RANGE frame; round(…,2) absorbs the engines'
-    // frame-sum addition order.
-    "q_rolling" ->
-      """SELECT event_id, user_id,
-        |  count(*) OVER w AS n_24h,
-        |  round(sum(value) OVER w, 2) AS sum_24h
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
-        |ORDER BY event_id""".stripMargin,
-
-    // Same epoch-aligned week arithmetic (exact BIGINT division).
-    "q_cohort" ->
-      """WITH f AS (
-        |  SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_week
-        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
-        |a AS (
-        |  SELECT e.user_id, f.cohort_week,
-        |    epoch_us(e.ts) // 604800000000 AS week
-        |  FROM events e JOIN f USING (user_id))
-        |SELECT cohort_week, week - cohort_week AS weeks_since,
-        |  count(DISTINCT user_id) AS n_users, count(*) AS n_events
-        |FROM a WHERE week >= cohort_week
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    // Earliest-chain funnel: nested min-after-previous-step CTEs, the
-    // same greedy the engine computes pass by pass.
-    "q_funnel" ->
-      """WITH s1 AS (
-        |  SELECT user_id AS u, min(ts) AS t1 FROM events
-        |  WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (
-        |  SELECT s1.u, min(e.ts) AS t2 FROM s1 JOIN events e
-        |  ON e.user_id = s1.u AND e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
-        |s3 AS (
-        |  SELECT s2.u, min(e.ts) AS t3 FROM s2 JOIN events e
-        |  ON e.user_id = s2.u AND e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
-        |SELECT s1.u AS user_id,
-        |  CAST(1 + CASE WHEN s2.u IS NOT NULL THEN 1 ELSE 0 END
-        |         + CASE WHEN s3.u IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS steps_reached,
-        |  CAST(CASE WHEN s3.u IS NOT NULL
-        |            AND epoch_us(t3) - epoch_us(t1) <= 86400000000
-        |       THEN 1 ELSE 0 END AS BIGINT) AS completed,
-        |  CASE WHEN s3.u IS NOT NULL
-        |       THEN (epoch_us(t3) - epoch_us(t1)) // 1000000 END AS duration_s
-        |FROM s1 LEFT JOIN s2 ON s1.u = s2.u LEFT JOIN s3 ON s1.u = s3.u
-        |ORDER BY user_id""".stripMargin,
-
-    // Forward mirror: earliest purchase at/after the click, ties to
-    // the smallest event_id.
-    "q_asof_forward" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
-        |purch AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        |j AS (
-        |  SELECT c.event_id, c.user_id,
-        |    p.event_id AS asof_event_id,
-        |    round(p.value, 6) AS asof_value,
-        |    (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s,
-        |    row_number() OVER (PARTITION BY c.event_id
-        |      ORDER BY p.ts ASC, p.event_id ASC) AS rn
-        |  FROM clicks c LEFT JOIN purch p
-        |    ON p.user_id = c.user_id AND p.ts >= c.ts)
-        |SELECT event_id, user_id, asof_event_id, asof_value, gap_s
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
-
-    // Both direction candidates ranked, then the identical
-    // choose-backward-on-tie arbitration.
-    "q_asof_nearest" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
-        |purch AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        |b AS (
-        |  SELECT c.event_id, p.event_id AS b_id, p.value AS b_value, p.ts AS b_ts,
-        |    row_number() OVER (PARTITION BY c.event_id
-        |      ORDER BY p.ts DESC, p.event_id DESC) AS rn
-        |  FROM clicks c LEFT JOIN purch p
-        |    ON p.user_id = c.user_id AND p.ts <= c.ts),
-        |f AS (
-        |  SELECT c.event_id, p.event_id AS f_id, p.value AS f_value, p.ts AS f_ts,
-        |    row_number() OVER (PARTITION BY c.event_id
-        |      ORDER BY p.ts ASC, p.event_id ASC) AS rn
-        |  FROM clicks c LEFT JOIN purch p
-        |    ON p.user_id = c.user_id AND p.ts >= c.ts),
-        |j AS (
-        |  SELECT c.event_id, c.user_id, c.ts,
-        |    CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
-        |           OR epoch_us(c.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(c.ts))
-        |         THEN b.b_id ELSE f.f_id END AS asof_event_id,
-        |    CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
-        |           OR epoch_us(c.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(c.ts))
-        |         THEN b.b_value ELSE f.f_value END AS asof_value,
-        |    CASE WHEN b.b_ts IS NOT NULL AND (f.f_ts IS NULL
-        |           OR epoch_us(c.ts) - epoch_us(b.b_ts) <= epoch_us(f.f_ts) - epoch_us(c.ts))
-        |         THEN b.b_ts ELSE f.f_ts END AS asof_ts
-        |  FROM clicks c
-        |  JOIN b ON b.event_id = c.event_id AND b.rn = 1
-        |  JOIN f ON f.event_id = c.event_id AND f.rn = 1)
-        |SELECT event_id, user_id, asof_event_id,
-        |  round(asof_value, 6) AS asof_value,
-        |  abs(epoch_us(ts) - epoch_us(asof_ts)) // 1000000 AS gap_s
-        |FROM j ORDER BY event_id""".stripMargin,
-
-    // Backward join with the 6-hour lookback applied AFTER match
-    // selection (a too-old match nulls out, it does not fall through
-    // to an older-still row) — the merge_asof tolerance contract.
-    "q_asof_tolerance" ->
-      """WITH clicks AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
-        |purch AS (
-        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        |j AS (
-        |  SELECT c.event_id, c.user_id, c.ts AS cts, p.ts AS pts,
-        |    p.event_id AS m_event_id, round(p.value, 6) AS m_value,
-        |    row_number() OVER (PARTITION BY c.event_id
-        |      ORDER BY p.ts DESC, p.event_id DESC) AS rn
-        |  FROM clicks c LEFT JOIN purch p
-        |    ON p.user_id = c.user_id AND p.ts <= c.ts)
-        |SELECT event_id, user_id,
-        |  CASE WHEN epoch_us(cts) - epoch_us(pts) <= 21600000000 THEN m_event_id END AS asof_event_id,
-        |  CASE WHEN epoch_us(cts) - epoch_us(pts) <= 21600000000 THEN m_value END AS asof_value
-        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
-
-    "q_setops" ->
-      """WITH f AS (SELECT DISTINCT o_custkey FROM orders
-        |           WHERE o_orderdate < TIMESTAMP '1997-01-01'),
-        |     s AS (SELECT DISTINCT o_custkey FROM orders
-        |           WHERE o_orderdate >= TIMESTAMP '1997-01-01')
-        |SELECT o_custkey, tag FROM (
-        |  SELECT o_custkey, 'both' AS tag
-        |  FROM (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM s)
-        |  UNION ALL
-        |  SELECT o_custkey, 'first_only' AS tag
-        |  FROM (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM s))
-        |ORDER BY tag, o_custkey""".stripMargin,
-
-    "q_grouping_sets" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid,
-        |  count(*) AS n, round(sum(l_extendedprice), 2) AS rev
-        |FROM lineitem
-        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        |ORDER BY gid, rf, ls""".stripMargin,
-
-    "q_rollup" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin,
-
-    "q_cube" ->
-      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
-        |  coalesce(l_linestatus, 'ALL') AS ls,
-        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
-        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY rf, ls""".stripMargin,
-
-    "q_distinct_agg" ->
-      """SELECT l_returnflag,
-        |  count(DISTINCT l_suppkey) AS n_supp,
-        |  count(DISTINCT l_partkey) AS n_part,
-        |  round(sum(DISTINCT l_quantity), 2) AS sum_d_qty
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Byte-level reconstruction of the multimodal pipeline from `text`
-    // (all-ASCII fixture: code point == UTF-8 byte). Frame math mirrors
-    // Multimodal.sampleFrames exactly: frameLen = max(L/nf, 1), frame f
-    // covers [f*fl, f*fl+fl) clamped to L, last frame takes the tail.
-    "q_multimodal" ->
-      """WITH m AS (
-        |  SELECT doc_id,
-        |    octet_length(encode(text)) AS L,
-        |    (doc_id % 7) + 1 AS nf,
-        |    list_transform(split(text, ''), x -> unicode(x)) AS cps
-        |  FROM documents WHERE text IS NOT NULL),
-        |c AS (
-        |  SELECT doc_id, L, nf,
-        |    greatest(L // nf, 1) AS fl,
-        |    CAST(list_sum(cps) AS DOUBLE) AS s,
-        |    CAST(list_sum(list_transform(range(0, L // 2), i -> cps[i * 2 + 1])) AS DOUBLE) AS rs
-        |  FROM m)
-        |SELECT doc_id,
-        |  CAST(L AS BIGINT) AS n_bytes,
-        |  round(CASE WHEN L > 0 THEN s / L ELSE 0.0 END, 6) AS mean_byte,
-        |  CAST(len(range(0, nf, 2)) AS BIGINT) AS n_frames_kept,
-        |  CAST(list_sum(list_transform(range(0, nf, 2), f ->
-        |    CASE WHEN f = nf - 1 THEN L - least(f * fl, L)
-        |         ELSE least(L, f * fl + fl) - least(f * fl, L) END)) AS BIGINT) AS kept_bytes,
-        |  CAST(L // 2 AS BIGINT) AS rz_bytes,
-        |  round(CASE WHEN L // 2 > 0 THEN rs / (L // 2) ELSE 0.0 END, 6) AS rz_mean
-        |FROM c ORDER BY doc_id""".stripMargin,
-
-    // Closed-form checkerboard statistics: the Spark side must decode
-    // the actual PNG it encoded to reproduce these (dims, 1 band, and
-    // mean = (n_even·v1 + n_odd·v2)/(w·h) where n_even counts (x+y)
-    // even cells = (w·h + (w%2)·(h%2)) // 2). Integer pixel sums are
-    // exact in double, so round(…, 6) is bit-stable on both sides.
-    "q_multimodal_image" ->
-      """WITH p AS (
-        |  SELECT doc_id,
-        |    (doc_id % 13) + 4 AS w, (doc_id % 7) + 3 AS h,
-        |    doc_id % 256 AS v1, (doc_id * 7 + 13) % 256 AS v2
-        |  FROM documents),
-        |m AS (
-        |  SELECT doc_id, w, h, v1, v2,
-        |    (w * h + (w % 2) * (h % 2)) // 2 AS ne
-        |  FROM p)
-        |SELECT doc_id, w AS width, h AS height,
-        |  CAST(1 AS BIGINT) AS channels,
-        |  round((ne * v1 + (w * h - ne) * v2) / CAST(w * h AS DOUBLE), 6) AS mean_luma
-        |FROM m ORDER BY doc_id""".stripMargin,
-
-    // Closed-form square-wave statistics: even-length ±A PCM16 square
-    // wave → RMS exactly A/32768 (powers of two keep every normalized
-    // value exact); duration = n/8000 — the identical IEEE division on
-    // both engines. The WAV container round trip happens only on the
-    // Spark side; a mismatch there fails the hash.
-    "q_multimodal_audio" ->
-      """SELECT doc_id,
-        |  CAST(8000 AS BIGINT) AS sample_rate,
-        |  CAST(2 AS BIGINT) AS channels,
-        |  CAST(((doc_id % 5) + 1) * 100 AS BIGINT) AS n_frames,
-        |  round((((doc_id % 5) + 1) * 100) / 8000.0, 6) AS duration_sec,
-        |  round((((doc_id % 50) + 1) * 500) / 32768.0, 6) AS rms0,
-        |  round((((doc_id % 30) + 2) * 700) / 32768.0, 6) AS rms1
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Integer replay of the nearest-neighbor resample: dst = ⌊n·5/8⌋,
-    // output frame i reads source frame ⌊i·8/5⌋, and the planted ramp
-    // formula reproduces each sample exactly — sums of squares as
-    // BIGINTs, no float anywhere.
-    "q_audio_resample" ->
-      """WITH o AS (
-        |  SELECT doc_id, ((doc_id % 5) + 1) * 100 AS n,
-        |    (((doc_id % 5) + 1) * 100 * 5000) // 8000 AS dst
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, n, dst,
-        |    unnest(generate_series(0, CAST(dst - 1 AS INT))) AS i
-        |  FROM o),
-        |s AS (
-        |  SELECT doc_id, n, dst, (i * 8000) // 5000 AS si FROM f),
-        |sq AS (
-        |  SELECT doc_id, n, dst,
-        |    ((si * 37 + doc_id) % 401 - 200) * 80 AS s0,
-        |    ((si * 53 + 2 * doc_id) % 401 - 200) * 70 AS s1
-        |  FROM s)
-        |SELECT doc_id, CAST(n AS BIGINT) AS src_frames,
-        |  CAST(dst AS BIGINT) AS dst_frames,
-        |  CAST(sum(s0 * s0) AS BIGINT) AS sum_sq0,
-        |  CAST(sum(s1 * s1) AS BIGINT) AS sum_sq1
-        |FROM sq GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
-
-    // Full integer replay of the polyphase windowed-sinc convolution:
-    // the Q15 tap table rides in as literals (generated from the SAME
-    // graft.multimodal.Multimodal.sincTaps call the operator uses —
-    // shared model constants, like the q_knn query vector), each
-    // output sample j gathers the taps its polyphase branch makes
-    // live ((j·8 − k) ≡ 0 mod 5, zero-padded edges), and the one
-    // rounding floor is exact in double range (|acc| < 2^40).
-    "q_audio_resample_sinc" -> sincResampleOracle(l = 5, m = 8),
-
-    // The UPSAMPLING branch of the same kernel (8000→12000, L/M=3/2,
-    // cutoff at the SOURCE Nyquist, gain L): same taps-as-literals
-    // replay with the ratio swapped.
-    "q_audio_upsample_sinc" -> sincResampleOracle(l = 3, m = 2),
-
-    // Same tokenization, the same left-associated BM25 arithmetic
-    // (idf·tf·(k1+1) / (tf + k1·(1−b + b·len/avgLen))); tf/df/N/Σlen
-    // are exact longs so both engines derive identical doubles.
-    "q_bm25" ->
-      """WITH b2 AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |b3 AS (SELECT doc_id, toks, len(toks) AS l FROM b2),
-        |consts AS (SELECT count(*) AS n, CAST(sum(l) AS DOUBLE) / count(*) AS avglen FROM b3),
-        |post AS (
-        |  SELECT doc_id, l, t, count(*) AS tf FROM (
-        |    SELECT doc_id, l, unnest(toks) AS t FROM b3)
-        |  WHERE t IN ('spark', 'sort', 'hash') GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY 1)
-        |SELECT doc_id,
-        |  round(sum(
-        |    ln(1 + ((SELECT n FROM consts) - df + 0.5) / (df + 0.5))
-        |      * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * l / (SELECT avglen FROM consts)))), 6) AS score,
-        |  count(*) AS n_terms
-        |FROM post JOIN dfreq USING (t)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // The q_bm25 scoring CTEs ranked to 20; graded relevance from
-    // list_contains; ideal nDCG ranking as the grade-count closed
-    // form over positions 1..10.
-    "q_ir_eval" ->
-      """WITH b2 AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |rel AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(toks, 'sort') THEN 1 ELSE 0 END
-        |     + CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS rel
-        |  FROM b2),
-        |relq AS (SELECT * FROM rel WHERE rel > 0),
-        |gc AS (SELECT
-        |    CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
-        |    CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-        |    CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
-        |  FROM relq),
-        |b3 AS (SELECT doc_id, toks, len(toks) AS l FROM b2),
-        |consts AS (SELECT count(*) AS n, CAST(sum(l) AS DOUBLE) / count(*) AS avglen FROM b3),
-        |post AS (
-        |  SELECT doc_id, l, t, count(*) AS tf FROM (
-        |    SELECT doc_id, l, unnest(toks) AS t FROM b3)
-        |  WHERE t IN ('spark', 'sort', 'hash') GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
-        |lex AS (
-        |  SELECT doc_id,
-        |    round(sum(
-        |      ln(1 + ((SELECT n FROM consts) - df + 0.5) / (df + 0.5))
-        |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * l / (SELECT avglen FROM consts)))), 6) AS score
-        |  FROM post JOIN dfreq USING (t) GROUP BY doc_id),
-        |ranked AS (
-        |  SELECT doc_id,
-        |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
-        |  FROM lex QUALIFY rank <= 20),
-        |judged AS (
-        |  SELECT ranked.rank, coalesce(rel.rel, 0) AS rel
-        |  FROM ranked LEFT JOIN rel USING (doc_id)),
-        |m AS (SELECT
-        |    round(max(CASE WHEN rel >= 2
-        |      THEN CAST(1 AS DOUBLE) / rank ELSE 0.0 END), 6) AS mrr,
-        |    CAST(sum(CASE WHEN rank <= 10 AND rel > 0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS p10_hits,
-        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS rel_retrieved,
-        |    round(sum(CASE WHEN rank <= 10
-        |      THEN (pow(2.0, rel) - 1.0) / log2(rank + 1)
-        |      ELSE 0.0 END), 6) AS dcg10
-        |  FROM judged),
-        |ideal AS (
-        |  SELECT round(sum((pow(2.0, g) - 1.0) / log2(r + 1)), 6) AS idcg10
-        |  FROM (SELECT r,
-        |          CASE WHEN r <= n3 THEN 3
-        |               WHEN r <= n3 + n2 THEN 2
-        |               WHEN r <= n3 + n2 + n1 THEN 1
-        |               ELSE 0 END AS g
-        |        FROM gc CROSS JOIN UNNEST(range(1, 11)) AS t(r)))
-        |SELECT (n3 + n2 + n1) AS n_relevant, mrr, p10_hits, rel_retrieved,
-        |  round(CAST(rel_retrieved AS DOUBLE) / (n3 + n2 + n1), 6) AS recall20,
-        |  dcg10, idcg10, round(dcg10 / idcg10, 6) AS ndcg10
-        |FROM m CROSS JOIN ideal CROSS JOIN gc""".stripMargin,
-
-    // The q_bm25 scoring CTEs and the q_knn cosine CTEs, each ranked
-    // on its rounded score, fused by Σ 1/(60 + rank).
-    "q_rrf_fusion" ->
-      """WITH b2 AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |b3 AS (SELECT doc_id, toks, len(toks) AS l FROM b2),
-        |consts AS (SELECT count(*) AS n, CAST(sum(l) AS DOUBLE) / count(*) AS avglen FROM b3),
-        |post AS (
-        |  SELECT doc_id, l, t, count(*) AS tf FROM (
-        |    SELECT doc_id, l, unnest(toks) AS t FROM b3)
-        |  WHERE t IN ('spark', 'sort', 'hash') GROUP BY 1, 2, 3),
-        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
-        |lex AS (
-        |  SELECT doc_id,
-        |    round(sum(
-        |      ln(1 + ((SELECT n FROM consts) - df + 0.5) / (df + 0.5))
-        |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * l / (SELECT avglen FROM consts)))), 6) AS score
-        |  FROM post JOIN dfreq USING (t) GROUP BY doc_id),
-        |lexr AS (
-        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
-        |  FROM lex QUALIFY r_lex <= 50),
-        |ev AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |    generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
-        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
-        |dots AS (SELECT e.vec_id, sum(e.x * q.x) AS d FROM ev e JOIN q ON e.i = q.i GROUP BY 1),
-        |vecs AS (
-        |  SELECT norms.vec_id AS doc_id,
-        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
-        |      THEN dots.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
-        |  FROM dots JOIN norms ON dots.vec_id = norms.vec_id),
-        |vecr AS (
-        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_vec
-        |  FROM vecs QUALIFY r_vec <= 50)
-        |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
-        |  round(coalesce(1.0 / (60.0 + r_lex), 0.0)
-        |    + coalesce(1.0 / (60.0 + r_vec), 0.0), 6) AS rrf,
-        |  l.r_lex, v.r_vec
-        |FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
-        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
-
-    // Same counts (exact longs), same add-1 smoothing, same ln — the
-    // per-doc mean rounds to 6 on both sides.
-    "q_lm_score" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |u AS (SELECT unnest(toks) AS w FROM t),
-        |c1 AS (SELECT w, count(*) AS c1 FROM u GROUP BY 1),
-        |v AS (SELECT count(*) AS v FROM c1),
-        |occ AS (
-        |  SELECT doc_id, toks[i] AS w, array_to_string(toks[i:i+1], ' ') AS g
-        |  FROM t CROSS JOIN UNNEST(range(1, len(toks))) AS r(i)
-        |  WHERE len(toks) >= 2),
-        |c2 AS (SELECT g, count(*) AS c2 FROM occ GROUP BY 1)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(avg(ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * (SELECT v FROM v)))), 6) AS lm_score
-        |FROM occ JOIN c2 USING (g) JOIN c1 USING (w)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // Identical planting, identical rules (string primitives + the
-    // shared-regex-subset classes), identical precedence and
-    // redaction; DuckDB regexp_replace needs the explicit 'g' flag to
-    // match Spark's replace-all default.
-    "q_pii" ->
-      """WITH d AS (
-        |  SELECT doc_id, text ||
-        |    CASE WHEN doc_id % 3 = 0
-        |      THEN ' user' || doc_id || '@mail' || (doc_id % 7) || '.example.com' ELSE '' END ||
-        |    CASE WHEN doc_id % 5 = 0
-        |      THEN ' +1-555-0' || (doc_id % 900 + 100) ELSE '' END ||
-        |    CASE WHEN doc_id % 7 = 0
-        |      THEN ' 10.' || (doc_id % 256) || '.0.' || (doc_id % 100) ELSE '' END AS t2
-        |  FROM documents WHERE text IS NOT NULL),
-        |tok AS (
-        |  SELECT doc_id, t2,
-        |    list_filter(regexp_split_to_array(t2, '\s+'), x -> len(x) > 0) AS toks
-        |  FROM d),
-        |u AS (SELECT doc_id, unnest(toks) AS t FROM tok),
-        |cls AS (
-        |  SELECT doc_id, t,
-        |    (len(t) - len(replace(t, '@', ''))) = 1 AND position('@' IN t) >= 2
-        |      AND len(t[position('@' IN t) + 1:]) >= 3
-        |      AND position('.' IN t[position('@' IN t) + 1:]) >= 2
-        |      AND t NOT LIKE '%.' AS is_email,
-        |    regexp_full_match(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}') AS is_ip,
-        |    len(regexp_replace(t, '[^0-9]', '', 'g')) BETWEEN 7 AND 15
-        |      AND len(t) - len(regexp_replace(t, '[^0-9]', '', 'g')) <= 5 AS is_phone
-        |  FROM u),
-        |agg AS (
-        |  SELECT doc_id,
-        |    count(*) FILTER (is_email) AS n_emails,
-        |    count(*) FILTER (NOT is_email AND NOT is_ip AND is_phone) AS n_phones,
-        |    count(*) FILTER (NOT is_email AND is_ip) AS n_ips
-        |  FROM cls GROUP BY doc_id),
-        |red AS (
-        |  SELECT doc_id, md5(array_to_string(list_transform(toks, x ->
-        |    CASE WHEN ((len(x) - len(replace(x, '@', ''))) = 1 AND position('@' IN x) >= 2
-        |          AND len(x[position('@' IN x) + 1:]) >= 3
-        |          AND position('.' IN x[position('@' IN x) + 1:]) >= 2
-        |          AND x NOT LIKE '%.')
-        |      OR regexp_full_match(x, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')
-        |      OR (len(regexp_replace(x, '[^0-9]', '', 'g')) BETWEEN 7 AND 15
-        |          AND len(x) - len(regexp_replace(x, '[^0-9]', '', 'g')) <= 5)
-        |    THEN '<PII>' ELSE x END), ' ')) AS redacted_fp
-        |  FROM tok)
-        |SELECT agg.doc_id, n_emails, n_phones, n_ips, redacted_fp
-        |FROM agg JOIN red ON agg.doc_id = red.doc_id
-        |ORDER BY agg.doc_id""".stripMargin,
-
-    // Same tokenization contract as q_dedup_exact; the rolling hash
-    // mirrors TextFunctions.rollingFingerprint term by term (md5-prefix
-    // token hash, h = (h*B + x) mod P, fold seeded with 0).
-    "q_fingerprint" ->
-      """SELECT doc_id,
-        |  md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0), ' ')) AS fp_md5,
-        |  list_reduce(
-        |    list_prepend(0, list_transform(
-        |      list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0),
-        |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
-        |    (a, x) -> (a * 1000003 + x) % 2147483647) AS fp_roll
-        |FROM documents ORDER BY doc_id""".stripMargin,
-
-    // Occurrence bigrams (NOT the per-doc distinct shingle set the
-    // dedup oracles use): one gram per starting token position.
-    "q_ngram_topk" ->
-      """WITH t AS (
-        |  SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS ngram
-        |  FROM t WHERE len(toks) >= 2)
-        |SELECT ngram, count(*) AS n FROM g
-        |GROUP BY 1 ORDER BY n DESC, ngram ASC LIMIT 20""".stripMargin,
-
-    // Stats that survive the fixed-width round trip: same shaping of
-    // lineitem the Spark side formats+parses (3 real dims, 6 missing).
-    // %d_%d_%d with integer div/mod — DuckDB // and % on the same
-    // shaped (stn, YYYYMMDD) pair; both sides unpadded.
-    "q_gsod_pk" ->
-      """WITH shaped AS (
-        |  SELECT CAST(l_orderkey % 1000000 AS INT) AS stn,
-        |    year(l_shipdate) * 10000 + month(l_shipdate) * 100 + day(l_shipdate) AS d
-        |  FROM lineitem WHERE l_orderkey % 100 = 0)
-        |SELECT CAST(stn AS VARCHAR) || '_' || CAST(d // 10000 AS VARCHAR) || '_' || CAST(d % 10000 AS VARCHAR) AS pk,
-        |  count(*) AS n
-        |FROM shaped GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q_gsod_roundtrip" ->
-      """WITH shaped AS (
-        |  SELECT CAST(round(l_quantity) AS DOUBLE) AS temp,
-        |    CAST(round(l_discount * 100) AS DOUBLE) AS dewp,
-        |    CAST(round(l_tax * 100) AS DOUBLE) AS slp
-        |  FROM lineitem)
-        |SELECT count(*) AS c, CAST(0 AS BIGINT) AS c_no_missing,
-        |  count(temp) AS c_temp, min(temp) AS min_temp, max(temp) AS max_temp,
-        |  count(dewp) AS c_dewp, min(dewp) AS min_dewp, max(dewp) AS max_dewp,
-        |  count(slp) AS c_slp, min(slp) AS min_slp, max(slp) AS max_slp,
-        |  CAST(0 AS BIGINT) AS c_max_temp, CAST(NULL AS DOUBLE) AS min_max_temp, CAST(NULL AS DOUBLE) AS max_max_temp,
-        |  CAST(0 AS BIGINT) AS c_stp, CAST(NULL AS DOUBLE) AS min_stp, CAST(NULL AS DOUBLE) AS max_stp,
-        |  CAST(0 AS BIGINT) AS c_wdsp, CAST(NULL AS DOUBLE) AS min_wdsp, CAST(NULL AS DOUBLE) AS max_wdsp,
-        |  CAST(0 AS BIGINT) AS c_mxspd, CAST(NULL AS DOUBLE) AS min_mxspd, CAST(NULL AS DOUBLE) AS max_mxspd,
-        |  CAST(0 AS BIGINT) AS c_gust, CAST(NULL AS DOUBLE) AS min_gust, CAST(NULL AS DOUBLE) AS max_gust,
-        |  CAST(0 AS BIGINT) AS c_min_temp, CAST(NULL AS DOUBLE) AS min_min_temp, CAST(NULL AS DOUBLE) AS max_min_temp
-        |FROM shaped""".stripMargin,
-
-    // Brute-force distance self-join — the lossless mirror of the
-    // 9-cell grid plan. Same md5 coordinate derivation, exact integer
-    // dist² at the boundary circle.
-    "q_spatial_join" ->
-      """WITH p AS (
-        |  SELECT c_custkey AS id,
-        |    ('0x' || substr(md5('sx9|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS x,
-        |    ('0x' || substr(md5('sy9|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS y
-        |  FROM customer)
-        |SELECT a.id AS a_id, b.id AS b_id,
-        |  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS dist2
-        |FROM p a JOIN p b
-        |  ON a.id < b.id
-        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000*4000
-        |ORDER BY a_id, b_id""".stripMargin,
-
-    // Same coordinate generator (dbx/dby salt); all-pairs ε-join is
-    // fine oracle-side at sf0.01. Core = |N_ε|+self ≥ 5; components of
-    // the core subgraph by recursive min-label propagation; border =
-    // non-core attached through its minimum-id core neighbor.
-    "q_dbscan" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT c_custkey AS id,
-        |    ('0x' || substr(md5('dbx|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS x,
-        |    ('0x' || substr(md5('dby|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS y
-        |  FROM customer),
-        |nb AS (
-        |  SELECT a.id AS id, b.id AS nid FROM p a JOIN p b
-        |  ON a.id <> b.id
-        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000*4000),
-        |core AS (
-        |  SELECT id FROM nb GROUP BY id HAVING count(*) + 1 >= 5),
-        |ce AS (
-        |  SELECT n.id AS a, n.nid AS b FROM nb n
-        |  JOIN core c1 ON n.id = c1.id JOIN core c2 ON n.nid = c2.id),
-        |cc(id, comp) AS (
-        |  SELECT id, id FROM core
-        |  UNION
-        |  SELECT ce.b, cc.comp FROM cc JOIN ce ON ce.a = cc.id),
-        |lab AS (SELECT id, min(comp) AS cluster FROM cc GROUP BY id),
-        |bord AS (
-        |  SELECT n.id, min(n.nid) AS anchor FROM nb n
-        |  JOIN core c ON n.nid = c.id
-        |  WHERE n.id NOT IN (SELECT id FROM core)
-        |  GROUP BY n.id)
-        |SELECT p.id,
-        |  CASE WHEN lab.cluster IS NOT NULL THEN 'core'
-        |       WHEN al.cluster IS NOT NULL THEN 'border'
-        |       ELSE 'noise' END AS role,
-        |  coalesce(lab.cluster, al.cluster) AS cluster
-        |FROM p
-        |LEFT JOIN lab ON lab.id = p.id
-        |LEFT JOIN (SELECT bord.id, lab.cluster FROM bord
-        |           JOIN lab ON lab.id = bord.anchor) al ON al.id = p.id
-        |ORDER BY p.id""".stripMargin,
-
-    // The KM product carried through a recursive CTE: each step is
-    // ((s · (n−d)) / n) on doubles — the identical left-assoc op
-    // sequence the Spark recurrence executes, so bits match.
-    "q_survival" ->
-      """WITH RECURSIVE horizon AS (
-        |  SELECT max(CAST(o_orderdate AS DATE)) AS e FROM orders),
-        |subj AS (
-        |  SELECT c.c_mktsegment AS seg,
-        |    date_diff('day', min(CAST(o.o_orderdate AS DATE)),
-        |              max(CAST(o.o_orderdate AS DATE))) // 7 AS t,
-        |    CASE WHEN date_diff('day', max(CAST(o.o_orderdate AS DATE)),
-        |                        (SELECT e FROM horizon)) > 30
-        |         THEN 1 ELSE 0 END AS ev
-        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-        |  GROUP BY c.c_mktsegment, o.o_custkey),
-        |byt AS (
-        |  SELECT seg, t, CAST(sum(ev) AS BIGINT) AS d,
-        |    CAST(sum(1 - ev) AS BIGINT) AS c
-        |  FROM subj GROUP BY seg, t),
-        |rn AS (
-        |  SELECT seg, t, d, c,
-        |    row_number() OVER (PARTITION BY seg ORDER BY t) AS k,
-        |    CAST(sum(d + c) OVER (PARTITION BY seg) AS BIGINT)
-        |      - CAST(sum(d + c) OVER (PARTITION BY seg ORDER BY t
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-        |      + d + c AS n
-        |  FROM byt),
-        |r AS (
-        |  SELECT seg, t, d, c, k, n,
-        |    CAST(n - d AS DOUBLE) / n AS s
-        |  FROM rn WHERE k = 1
-        |  UNION ALL
-        |  SELECT rn.seg, rn.t, rn.d, rn.c, rn.k, rn.n,
-        |    r.s * (rn.n - rn.d) / rn.n
-        |  FROM r JOIN rn ON rn.seg = r.seg AND rn.k = r.k + 1)
-        |SELECT seg, t, n AS n_at_risk, d, c, s AS survival
-        |FROM r ORDER BY seg, t""".stripMargin,
-
-    // Triangle triple-join mirror (a<b<c), each triangle credited to
-    // its three corners; wedges = d(d−1)/2 exact.
-    "q_clustering_coef" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0),
-        |e AS (
-        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-        |  FROM li x JOIN li y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-        |deg AS (
-        |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
-        |    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
-        |  GROUP BY v),
-        |tri AS (
-        |  SELECT e1.a AS a, e1.b AS b, e2.b AS c
-        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
-        |    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
-        |pv AS (
-        |  SELECT v, CAST(count(*) AS BIGINT) AS tri FROM (
-        |    SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
-        |    UNION ALL SELECT c AS v FROM tri)
-        |  GROUP BY v)
-        |SELECT deg.v, deg.d, COALESCE(pv.tri, 0) AS tri,
-        |  deg.d * (deg.d - 1) // 2 AS wedges
-        |FROM deg LEFT JOIN pv ON pv.v = deg.v
-        |ORDER BY deg.v""".stripMargin,
-
-    // Same projection edges; wedge join on the shared neighbor, the
-    // NOT EXISTS mirror of the Spark anti-join, integer scores.
-    "q_link_pred" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_partkey % 5 = 0),
-        |und AS (
-        |  SELECT DISTINCT x.l_partkey AS u, y.l_partkey AS v
-        |  FROM li x JOIN li y
-        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-        |sym AS (SELECT u AS c, v AS n FROM und
-        |        UNION ALL SELECT v, u FROM und),
-        |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY c),
-        |wed AS (
-        |  SELECT s1.n AS x, s2.n AS y, CAST(count(*) AS BIGINT) AS cn
-        |  FROM sym s1 JOIN sym s2 ON s1.c = s2.c AND s1.n < s2.n
-        |  GROUP BY s1.n, s2.n HAVING count(*) >= 2),
-        |cand AS (
-        |  SELECT w.* FROM wed w WHERE NOT EXISTS
-        |    (SELECT 1 FROM und WHERE und.u = w.x AND und.v = w.y))
-        |SELECT c.x AS a, c.y AS b, c.cn, c.cn AS jac_num,
-        |  da.d + db.d - c.cn AS jac_den, da.d * db.d AS pa
-        |FROM cand c
-        |JOIN deg da ON da.c = c.x JOIN deg db ON db.c = c.y
-        |ORDER BY c.cn DESC, a, b LIMIT 100""".stripMargin,
-
-    // The pruned star query recomputed from the unsplit table.
-    "q_dpp" ->
-      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS om,
-        |  CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
-        |FROM orders
-        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y') = '1996'
-        |GROUP BY 1 ORDER BY om""".stripMargin,
-
-    // Compaction must be invisible: the oracle is the UNCOMPACTED
-    // sequence-rule semantics, plus the zero delete-file count.
-    "q_mor_compact" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, 1 AS data_seq FROM orders),
-        |app AS (
-        |  SELECT o_orderkey, o_orderstatus, 3 AS data_seq
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
-        |       WHERE o_orderstatus = 'F'),
-        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
-        |live AS (
-        |  SELECT * FROM t
-        |  WHERE NOT (data_seq < 2
-        |             AND o_orderkey IN (SELECT k FROM dk)))
-        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
-        |  CAST(sum(data_seq) AS BIGINT) AS seq_sum,
-        |  CAST(0 AS BIGINT) AS n_delete_files
-        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // v1 = the raw table at seq 1; v3 = the q_equality_deletes
-    // sequence rule over base(1) ∪ reappend(3).
-    "q_commit_mor" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, 1 AS data_seq FROM orders),
-        |app AS (
-        |  SELECT o_orderkey, o_orderstatus, 3 AS data_seq
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
-        |       WHERE o_orderstatus = 'F'),
-        |v1 AS (
-        |  SELECT 'v1' AS snapshot, o_orderstatus,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
-        |    CAST(sum(data_seq) AS BIGINT) AS seq_sum
-        |  FROM base GROUP BY 2),
-        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
-        |live AS (
-        |  SELECT * FROM t
-        |  WHERE NOT (data_seq < 2
-        |             AND o_orderkey IN (SELECT k FROM dk))),
-        |v3 AS (
-        |  SELECT 'v3' AS snapshot, o_orderstatus,
-        |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
-        |    CAST(sum(data_seq) AS BIGINT) AS seq_sum
-        |  FROM live GROUP BY 2)
-        |SELECT * FROM v1 UNION ALL SELECT * FROM v3
-        |ORDER BY snapshot, o_orderstatus""".stripMargin,
-
-    // Replays the layout split rule (<1996 → year epoch) and the
-    // range semantics; n_partitions = distinct partition values each
-    // epoch serves inside the range.
-    "q_partition_evolution" ->
-      """WITH o AS (
-        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt,
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
-        |      AS cents
-        |  FROM orders),
-        |r AS (SELECT *,
-        |        CASE WHEN dt < DATE '1996-01-01' THEN 'year'
-        |             ELSE 'month' END AS layout,
-        |        CASE WHEN dt < DATE '1996-01-01' THEN strftime(dt, '%Y')
-        |             ELSE strftime(dt, '%Y-%m') END AS part_value
-        |      FROM o
-        |      WHERE dt >= DATE '1995-06-01' AND dt <= DATE '1996-09-30')
-        |SELECT layout, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS cents,
-        |  CAST(count(DISTINCT part_value) AS BIGINT) AS n_partitions
-        |FROM r GROUP BY layout ORDER BY layout""".stripMargin,
-
-    // Logical replay of the sequence rule: survivors = rows NOT
-    // (seq < 2 AND key ∈ F-keys) over base(seq 1) ∪ reappend(seq 3).
-    "q_equality_deletes" ->
-      """WITH base AS (
-        |  SELECT o_orderkey, o_orderstatus, o_custkey, 1 AS data_seq
-        |  FROM orders),
-        |app AS (
-        |  SELECT o_orderkey, o_orderstatus, o_custkey, 3 AS data_seq
-        |  FROM orders WHERE o_orderkey % 7 = 0),
-        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
-        |       WHERE o_orderstatus = 'F'),
-        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
-        |live AS (
-        |  SELECT * FROM t
-        |  WHERE NOT (data_seq < 2
-        |             AND o_orderkey IN (SELECT k FROM dk)))
-        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
-        |  CAST(sum(data_seq) AS BIGINT) AS seq_sum
-        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    // Logical replay of the position-delete pipeline: MoR read ≡
-    // NOT-predicate filter, delete-file counts ≡ predicate counts.
-    "q_delete_vectors" ->
-      """WITH f AS (
-        |  SELECT l_orderkey, l_linenumber, l_quantity,
-        |    l_orderkey % 8 AS file_id
-        |  FROM lineitem)
-        |SELECT file_id,
-        |  CAST(count(*) FILTER (WHERE NOT (l_quantity >= 45)) AS BIGINT)
-        |    AS n_live,
-        |  CAST(count(*) FILTER (WHERE l_quantity >= 45) AS BIGINT)
-        |    AS n_deleted,
-        |  CAST(sum(l_orderkey % 1000 + l_linenumber)
-        |       FILTER (WHERE NOT (l_quantity >= 45)) AS BIGINT)
-        |    AS live_checksum
-        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
-
-    // The same aggregate straight off parquet — only codec-bent rows
-    // could diverge.
-    "q_orc_roundtrip" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, l_linenumber, l_returnflag,
-        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
-        |    strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS sd
-        |  FROM lineitem)
-        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(cents) AS BIGINT) AS cents,
-        |  min(sd) AS min_sd, max(sd) AS max_sd,
-        |  CAST(sum(('0x' || substr(md5(
-        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || sd
-        |  ), 1, 15))::BIGINT // 1073741824) AS BIGINT) AS rowhash_hi,
-        |  CAST(sum(('0x' || substr(md5(
-        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || sd
-        |  ), 1, 15))::BIGINT % 1073741824) AS BIGINT) AS rowhash_lo
-        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q_csv_roundtrip" ->
-      """WITH d AS (
-        |  SELECT doc_id, source,
-        |    substr(text, 1, 40) || '",' || chr(10) || '|' || lang AS payload
-        |  FROM documents)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(('0x' || substr(md5(payload), 1, 15))::BIGINT
-        |    // 1073741824) AS BIGINT) AS payload_hash_hi,
-        |  CAST(sum(('0x' || substr(md5(payload), 1, 15))::BIGINT
-        |    % 1073741824) AS BIGINT) AS payload_hash_lo,
-        |  CAST(sum(length(payload)) AS BIGINT) AS chars
-        |FROM d GROUP BY source ORDER BY source""".stripMargin,
-
-    // The smoothed-count product as a recursive CTE: base = one prior
-    // division then ((prior·num)/den); step = ((s·num)/den) — the
-    // identical left-assoc IEEE op sequence the Spark recurrence runs.
-    "q_naive_bayes" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
-        |train AS (SELECT * FROM d WHERE doc_id % 2 = 0),
-        |test AS (SELECT * FROM d WHERE doc_id % 2 = 1),
-        |ttok AS (
-        |  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> len(x) > 0)) AS t
-        |  FROM train),
-        |cnt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
-        |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS tot FROM ttok GROUP BY 1),
-        |vocab AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS v FROM ttok),
-        |prior AS (
-        |  SELECT lang, CAST(count(*) AS BIGINT) AS nc,
-        |    (SELECT CAST(count(*) AS BIGINT) FROM train) AS nn
-        |  FROM train GROUP BY 1),
-        |toks AS (
-        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'),
-        |    x -> len(x) > 0) AS ts
-        |  FROM test),
-        |pos0 AS (
-        |  SELECT doc_id, ts, unnest(range(1, least(len(ts), 40) + 1)) AS k FROM toks),
-        |pos AS (
-        |  SELECT doc_id, CAST(k AS BIGINT) AS k, ts[CAST(k AS INT)] AS t FROM pos0),
-        |factors AS (
-        |  SELECT p.doc_id, pr.lang, p.k,
-        |    COALESCE(cnt.c, 0) + 1 AS num,
-        |    tot.tot + (SELECT v FROM vocab) AS den,
-        |    pr.nc, pr.nn
-        |  FROM pos p
-        |  CROSS JOIN prior pr
-        |  JOIN tot ON tot.lang = pr.lang
-        |  LEFT JOIN cnt ON cnt.lang = pr.lang AND cnt.t = p.t),
-        |rec AS (
-        |  SELECT doc_id, lang, k,
-        |    ((CAST(nc AS DOUBLE) / nn) * num) / den AS s
-        |  FROM factors WHERE k = 1
-        |  UNION ALL
-        |  SELECT f.doc_id, f.lang, f.k, (r.s * f.num) / f.den
-        |  FROM rec r JOIN factors f
-        |    ON f.doc_id = r.doc_id AND f.lang = r.lang AND f.k = r.k + 1),
-        |last AS (
-        |  SELECT doc_id, lang, arg_max(s, k) AS score
-        |  FROM rec GROUP BY doc_id, lang),
-        |ranked AS (
-        |  SELECT doc_id, lang, score,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
-        |  FROM last)
-        |SELECT t.doc_id, t.lang, r.lang AS pred, (t.lang = r.lang) AS correct,
-        |  r.score
-        |FROM ranked r JOIN test t ON t.doc_id = r.doc_id
-        |WHERE r.rn = 1 ORDER BY t.doc_id""".stripMargin,
-
-    "q_ann_l2" -> e2lshSql(d = 64, g = 2, tables = 4, seed = "e2l9", k = 5),
-  )
 }

@@ -1,0 +1,1232 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash, SubstrDedup}
+import graft.io.Gsod
+import graft.multimodal.{ImageDedup, Multimodal}
+import graft.operators.{AsofJoin, BloomJoin, Funnel, RangeJoin, Salting, Sampling, Scd2}
+import graft.pipeline.TrainingPipeline
+import graft.sources.BucketedTables
+import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
+import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
+import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
+import graft.text.{Bm25, Bpe, InvertedIndex, LmScore, Pii, QualityFilters, TextFunctions}
+import graft.{SparkEntry, Tables}
+import graft.SparkEntry._
+
+/** Sim slice of the [[SparkEntry]] query/oracle registry. Split from
+  * the former single 15k-line entry file so scalac parallelizes across
+  * domains and no single Map literal dominates compile time or method
+  * size. Entry names, bodies, and oracle SQL are the driver contract,
+  * byte-for-byte as they were in SparkEntry; shared fixtures and
+  * oracle CTE builders stay on [[SparkEntry]] (private[graft]). */
+private[graft] object RegSim {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Embedding outlier scan (mislabel curation): squared distance of
+    // every vector to its OWN label centroid, top 20 farthest. Exact
+    // long counts; centroid sums and means rounded at 6 per the
+    // k-means cross-engine contract.
+    "q_embed_outlier" -> { (s, dir) =>
+      val ev = Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding").cast("array<double>")))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "x")
+      val cent = ev.groupBy(col("label"), col("j"))
+        .agg(round(sum(col("x")), 6).as("sx"), count(lit(1)).as("n"))
+        .withColumn("cx", round(col("sx") / col("n"), 6))
+        .select("label", "j", "cx")
+      ev.join(cent, Seq("label", "j"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sum((col("x") - col("cx")) * (col("x") - col("cx"))), 6).as("d2"))
+        .orderBy(col("d2").desc, col("vec_id").asc)
+        .limit(20)
+    },
+
+
+    // Item-item co-purchase similarity (market-basket / "customers
+    // also bought"): distinct (order, part) pairs self-joined on the
+    // order key — fan-out bounded by basket size squared, never
+    // all-pairs over the catalog — then cosine co_cnt/√(n_a·n_b) from
+    // exact integer supports. The item-CF primitive of a recommender
+    // pipeline; co-counts ≥ 2 keep the served pair set sparse.
+    "q_item_sim" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      val cnt = li.groupBy("pk").agg(count(lit(1)).as("n"))
+      val pairs = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("item_a"), col("y.pk").as("item_b"))
+        .agg(count(lit(1)).as("co_cnt"))
+        .filter(col("co_cnt") >= 2)
+      pairs
+        .join(cnt.select(col("pk").as("item_a"), col("n").as("na")), "item_a")
+        .join(cnt.select(col("pk").as("item_b"), col("n").as("nb")), "item_b")
+        .select(col("item_a"), col("item_b"), col("co_cnt"),
+          round(col("co_cnt").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double")), 6).as("cosine"))
+        .orderBy("item_a", "item_b")
+    },
+
+
+    // Embedding-space norm audit per label: vector norms fold the
+    // array in INDEX order (deterministic in any engine), and only
+    // order-independent extremes aggregate across rows — a collapsed
+    // or exploded norm range is the first symptom of a broken
+    // embedding refresh.
+    "q_embed_norms" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val norm = sqrt(aggregate(col("embedding").cast("array<double>"),
+        lit(0.0), (acc, x) => acc + x * x))
+      e.select(col("label"), norm.as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+        .orderBy("label")
+    },
+
+
+    // Rademacher (±1) random projection + JL distortion audit: 64-d
+    // embeddings → 16-d via a constant md5-derived sign matrix, with
+    // per-row ‖y‖²/m vs ‖x‖² distortion (Achlioptas 2003 — the JL
+    // guarantee without a stored Gaussian matrix). Every dot product
+    // and norm is a strict left-to-right chained double sum, the one
+    // float order every engine parses identically, so even the
+    // projected values replay bit-for-bit (graft.sim.RandomProjection).
+    // Scan-local codegen arithmetic: zero shuffles, zero state.
+    "q_rand_proj" -> { (s, dir) =>
+      graft.sim.RandomProjection.distortion(
+        Tables.load(s, dir, "embeddings"), "embedding",
+        d = 64, m = 16, seed = "rp9")
+        .select(col("vec_id"),
+          round(col("x_norm2"), 6).as("x_norm2"),
+          round(col("y_norm2_m"), 6).as("y_norm2_m"),
+          round(col("distortion"), 6).as("distortion"))
+        .orderBy("vec_id")
+    },
+
+
+    // ANN quality audit as a GATED query (not just a spec): recall@10
+    // of the IVF probe against the exact cosine top-10 — the number an
+    // index owner watches when tuning nProbe/nLists. Both sides are
+    // the already-oracled serving paths; the audit is one keyed
+    // semi-join over two 10-row lists.
+    "q_ann_recall" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val ivf = IvfFlat.topK(e, "embedding", "vec_id", qv,
+        k = 10, nLists = 16, nProbe = 4).select("vec_id")
+      val exact = VectorSim.topK(e, "embedding", qv, k = 10, tieBreak = "vec_id")
+        .select("vec_id")
+      ivf.join(exact, "vec_id")
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(col("n_overlap"), lit(10L).as("k"),
+          round(col("n_overlap").cast("double") / 10.0, 6).as("recall"))
+    },
+
+
+    // Dedup audit: duplicate-cluster size histogram over the MinHash
+    // components — the first sanity check on any dedup run (a few huge
+    // clusters = boilerplate, not duplication).
+    "q_cluster_stats" -> { (s, dir) =>
+      val pairs = MinHashLsh.nearDupPairs(Tables.load(s, dir, "documents"),
+        "text", "doc_id", n = 3, threshold = 0.5, bands = 32, rows = 4)
+      Clusters.sizeHistogram(Clusters.connectedComponents(pairs, "id_a", "id_b"))
+        .orderBy("csize")
+    },
+
+
+    // ---- embedding similarity over `embeddings` -----------------------
+
+    // Exact top-10 cosine neighbors of vec 0: one scan +
+    // TakeOrderedAndProject; the query vector is a plan literal.
+    "q_knn" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      VectorSim.topK(e, "embedding", q, k = 10, tieBreak = "vec_id")
+        .select("vec_id", "label", "score")
+    },
+
+
+    // INT8 SCALAR QUANTIZATION tier (the FAISS-SQ8 production
+    // technique): per-dimension [min,max] from ONE stats pass, every
+    // vector re-coded to [-127,127] ints, and serving runs on EXACT
+    // INTEGER dot products — 4× smaller at rest and no float
+    // accumulation order anywhere in the score. The recall audit joins
+    // the quantized top-10 against the exact float-cosine top-10
+    // (self excluded on both sides): `in_exact` per row is the
+    // quality-vs-compression tradeoff made measurable, the q_ann_recall
+    // discipline applied to quantization instead of partitioning.
+    "q_ann_sq8" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val ev = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+      val mm = ev.groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+      val codes = ev.join(broadcast(mm), "i")
+        .select(col("vec_id"), col("i"),
+          (when(col("hi") > col("lo"),
+            round((col("x") - col("lo")) / (col("hi") - col("lo")) * 254, 0))
+            .otherwise(lit(0.0)).cast("long") - 127).as("c"))
+      val qc = codes.filter(col("vec_id") === 0)
+        .select(col("i"), col("c").as("qc"))
+      val quantTop = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(qc), "i")
+        .groupBy("vec_id").agg(sum(col("c") * col("qc")).as("dot"))
+        .agg(graft.stats.TopK.topK(
+          struct(col("dot").as("d"), (-col("vec_id")).as("nid")), 10)
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "v")))
+        .select((col("p") + 1).cast("int").as("rank"),
+          (-col("v.nid")).as("vec_id"), col("v.d").as("dot"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val exact10 = VectorSim.topK(e, "embedding", q, k = 11,
+          tieBreak = "vec_id")
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(true).as("in_exact"))
+      quantTop.join(broadcast(exact10), Seq("vec_id"), "left")
+        .select(col("rank"), col("vec_id"), col("dot"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact"))
+        .orderBy("rank")
+    },
+
+
+    // MATRYOSHKA (MRL) PREFIX-DIM serving tier: top-10 by the FIRST 16
+    // of 64 dimensions, int8-quantized — the embedding-truncation
+    // trade every MRL deployment makes (4× less compute/IO per probe)
+    // — audited in-plan against the exact full-dim cosine top-10 (the
+    // q_ann_sq8 recall discipline applied to dimension truncation
+    // instead of quantization). Prefix stats, codes, and integer dots
+    // never touch dims ≥ 16, so the serving scan reads a quarter of
+    // the vector bytes at rest.
+    "q_ann_mrl" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val pfx = 16
+      val ev = e.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("i", "xf")))
+        .filter(col("i") < pfx)
+        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+      val mm = ev.groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+      val codes = ev.join(broadcast(mm), "i")
+        .select(col("vec_id"), col("i"),
+          (when(col("hi") > col("lo"),
+            round((col("x") - col("lo")) / (col("hi") - col("lo")) * 254, 0))
+            .otherwise(lit(0.0)).cast("long") - 127).as("c"))
+      val qc = codes.filter(col("vec_id") === 0)
+        .select(col("i"), col("c").as("qc"))
+      val prefixTop = codes.filter(col("vec_id") =!= 0)
+        .join(broadcast(qc), "i")
+        .groupBy("vec_id").agg(sum(col("c") * col("qc")).as("dot"))
+        .agg(graft.stats.TopK.topK(
+          struct(col("dot").as("d"), (-col("vec_id")).as("nid")), 10)
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("p", "v")))
+        .select((col("p") + 1).cast("int").as("rank"),
+          (-col("v.nid")).as("vec_id"), col("v.d").as("dot"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val exact10 = VectorSim.topK(e, "embedding", q, k = 11,
+          tieBreak = "vec_id")
+        .filter(col("vec_id") =!= 0)
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+        .select(col("vec_id"), lit(true).as("in_exact"))
+      prefixTop.join(broadcast(exact10), Seq("vec_id"), "left")
+        .select(col("rank"), col("vec_id"), col("dot"),
+          coalesce(col("in_exact"), lit(false)).as("in_exact"))
+        .orderBy("rank")
+    },
+
+
+    // Greedy k-CENTER CORESET (Gonzalez farthest-point): 6 maximally
+    // spread exemplars of the embedding corpus — the diversity-
+    // sampling step of training-data curation (2-approx k-center
+    // cover; seeds diverse finetuning subsets and tail-covering IVF
+    // quantizers). Exact integer squared-L2 over one-pass int8
+    // quantization (the q_ann_sq8 recipe): every selection and
+    // tie-break replays bit-for-bit in SQL. k narrow map+agg rounds
+    // over a cached codes frame — no shuffle per round
+    // (graft.sim.Coreset; scalar-replica equivalence in CoresetSpec).
+    "q_coreset" -> { (s, dir) =>
+      graft.sim.Coreset.kCenters(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 6).orderBy("round")
+    },
+
+
+    // Hybrid retrieval with reciprocal-rank fusion (the RAG-serving
+    // standard): the BM25 lexical list and the cosine vector list for
+    // one query, fused by Σ 1/(60 + rank) over the lists a doc appears
+    // in, top-20. Ranks come from the bounded top-k aggregate (round-10
+    // directive #4), NOT `row_number() OVER (ORDER BY score)`: the BM25
+    // frame holds EVERY doc containing a query term, so the window form
+    // single-partition-sorts a df-scaled frame before its `<= 50` trim,
+    // while TopKAgg carries ≤ 50 (score, -doc_id) structs per partial
+    // buffer anywhere in the exchange. posexplode of the descending
+    // array IS the rank (struct order = score desc, doc_id asc — the
+    // negated id flips the tiebreak). RrfFusionSpec pins plan shape
+    // (zero Window operators) and rank semantics vs the window form.
+    "q_rrf_fusion" -> { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      val e = Tables.load(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      def ranked(scored: DataFrame, rankCol: String): DataFrame =
+        scored
+          .agg(graft.stats.TopK.topK(
+            struct(col("score").as("s"), (-col("doc_id")).as("nid")), 50)
+            .as("top"))
+          .select(posexplode(col("top")).as(Seq("p", "v")))
+          .select((-col("v.nid")).as("doc_id"),
+            (col("p") + 1).cast("int").as(rankCol))
+      val lex = ranked(
+        Bm25.score(docs, "text", "doc_id", Seq("spark", "sort", "hash"))
+          .select(col("doc_id"), col("score")), "r_lex")
+      val vec = ranked(
+        VectorSim.topK(e, "embedding", qv, k = 50, tieBreak = "vec_id")
+          .select(col("vec_id").as("doc_id"), col("score")), "r_vec")
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60.0) + col("r_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60.0) + col("r_vec")), lit(0.0)), 6)
+            .as("rrf"),
+          col("r_lex"), col("r_vec"))
+        .orderBy(col("rrf").desc, col("doc_id").asc)
+        .limit(20)
+    },
+
+
+    // Exact cosine near-dup pairs blocked by label (quadratic only
+    // inside a label block — sharded-GEMM shape).
+    "q_cosine_pairs" -> { (s, dir) =>
+      VectorSim.cosinePairs(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", "label", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+
+
+    // Approximate variant: md5-seeded sparse-Achlioptas sign-LSH
+    // buckets + exact verification. The plane construction is
+    // integer-exact and replayed by the DuckDB oracle, so the bucket
+    // assignment — and therefore the candidate set — is identical on
+    // both sides; recall additionally pinned on planted near-dups in
+    // AnnLshSpec.
+    "q_ann_pairs" -> { (s, dir) =>
+      AnnLsh.nearNeighborPairs(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", dim = 64, threshold = 0.3,
+        bits = 8, tables = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+
+    // IVF-Flat: hash-random coarse quantizer (16 lists, md5-picked
+    // member centroids — SQL-reproducible, no Lloyd iterations), probe
+    // the query's 4 nearest lists, exact cosine top-10 on just those
+    // candidates. The partition-pruning ANN layout, vs q_ann_pairs'
+    // sign-LSH (graft.sim.IvfFlat).
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      IvfFlat.topK(e, "embedding", "vec_id", q, k = 10, nLists = 16, nProbe = 4)
+        .select("vec_id", "label", "score")
+    },
+
+
+    // BATCH top-k: 5 query vectors against the whole corpus in ONE
+    // scan — queries broadcast, scoring codegen'd, and the per-query
+    // limit planned as WindowGroupLimit so each task pre-trims to its
+    // local top k before the qid shuffle (plan-asserted in
+    // VectorSimSpec). The serving shape when lookups amortize a pass.
+    "q_knn_batch" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      VectorSim.topKBatch(e, "embedding", queries, "qid", "qv", k = 5, tieBreak = "vec_id")
+        .select("qid", "vec_id", "label", "score", "rank")
+        .orderBy("qid", "rank")
+    },
+
+
+    // The IVF SERVING path: build the at-rest index once
+    // (partitionBy("list") parquet + centroid sidecar), then answer the
+    // query by reading ONLY the 4 probed list-partitions — the list
+    // filter lands in the scan's PartitionFilters (asserted in
+    // IvfFlatSpec), so per-query cost is nProbe/nLists of the corpus
+    // with no assignment pass. Same centroids/assignment/probe as
+    // q_ann_ivf, hence the same oracle.
+    "q_ann_ivf_index" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_index_" + stageTag(dir)
+      IvfFlat.writeIndex(e, "embedding", "vec_id", nLists = 16, path)
+      IvfFlat.topKIndexed(s, path, "embedding", "vec_id", q, k = 10, nProbe = 4)
+        .select("vec_id", "label", "score")
+    },
+
+
+    // INCREMENTAL index maintenance: build the index from the base
+    // 3/4 of the corpus, then APPEND the remaining quarter by routing
+    // it to the existing centroid lists (IvfFlat.appendToIndex — one
+    // assignment pass over the delta + a partitioned append; the
+    // at-rest base never reshuffles, the sidecar never changes).
+    // Serving then reads the merged lists through the unchanged probe
+    // path. The oracle replays the same algebra: centroids sampled
+    // from the BASE only, every vector (base + delta) assigned to its
+    // nearest, query probes 4 lists, candidates exact-scored — i.e.
+    // index+delta serving ≡ a rebuild with the base centroids.
+    "q_ann_ivf_incr" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val base = e.filter(pmod(col("vec_id"), lit(4)) =!= 0)
+      val delta = e.filter(pmod(col("vec_id"), lit(4)) === 0)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_incr_" + stageTag(dir)
+      IvfFlat.writeIndex(base, "embedding", "vec_id", nLists = 16, path)
+      IvfFlat.appendToIndex(s, delta, "embedding", "vec_id", path)
+      IvfFlat.topKIndexed(s, path, "embedding", "vec_id", q, k = 10, nProbe = 4)
+        .select("vec_id", "label", "score")
+    },
+
+
+    // BATCH serving through the index: 5 queries answered in ONE pass
+    // over the union of their probed list-partitions — broadcast
+    // (qid,list) routing, scoring fan-out bounded by probed lists, same
+    // WindowGroupLimit top-k as q_knn_batch. The IVF analog of q_knn_batch.
+    "q_ann_ivf_batch" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivf_index_" + stageTag(dir)
+      IvfFlat.writeIndex(e, "embedding", "vec_id", nLists = 16, path)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      IvfFlat.topKIndexedBatch(s, path, "embedding", "vec_id",
+        queries, "qid", "qv", k = 5, nProbe = 4)
+        .select("qid", "vec_id", "label", "score", "rank")
+        .orderBy("qid", "rank")
+    },
+
+
+    // PRODUCT QUANTIZATION (Jégou PAMI'11): 4 independent 8-centroid
+    // sub-quantizers (KMeans per 16-dim slice), vectors stored as
+    // 4 codes, query answered by ADC — one (m × k) driver-side lookup
+    // table, then m table lookups per candidate, no decompression.
+    // 256 bytes → 4 per vector: the embedding-corpus-in-memory tier
+    // for 100 TB serving (graft.sim.ProductQuantizer).
+    "q_ann_pq" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val model = ProductQuantizer.fit(e, "embedding", "vec_id",
+        dim = 64, m = 4, k = 8, iters = 1)
+      ProductQuantizer.topKAdc(e, "embedding", "vec_id", model, q, k = 10)
+        .select("vec_id", "label", "adc")
+    },
+
+
+    // IVF-PQ: the COMPOSED serving layout (FAISS IndexIVFPQ shape) —
+    // coarse quantizer routes to 4 of 16 lists, candidates score from
+    // their 4-byte PQ codes by ADC. Routing prunes the read, PQ
+    // shrinks the bytes; raw-vector codes (one code book), the
+    // documented simplification vs per-list residuals
+    // (graft.sim.IvfPq).
+    "q_ann_ivfpq" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      IvfPq.topK(e, "embedding", "vec_id", dim = 64, q, k = 10)
+        .select("vec_id", "label", "adc")
+    },
+
+
+    // The AT-REST composed index: rows live in list=<r> partition
+    // directories carrying their 4-byte PQ code INSTEAD of the raw
+    // vector (the vector column does not exist at rest); a probe reads
+    // only its 4 lists' codes and ADC-scores them from the sidecar
+    // code book. Same codes as q_ann_ivfpq → same oracle; the layout
+    // is the difference (pruning + equivalence pinned in spec).
+    "q_ann_ivfpq_index" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_ivfpq_idx").toString
+      IvfPq.writeIndex(e, "embedding", "vec_id", dim = 64, path)
+      IvfPq.topKIndexed(s, path, "vec_id", q, k = 10)
+        .select("vec_id", "label", "adc")
+    },
+
+
+    // IVF-PQ with RESIDUAL encoding (Jégou §IV.B — what serving stacks
+    // default to): codes quantize v − centroid(list(v)) under ONE
+    // shared code book trained on residuals; ADC tables are built per
+    // probed list from the query's residual against that list. Same
+    // bytes as q_ann_ivfpq, strictly better accuracy on clustered data
+    // (A/B in ProductQuantizerSpec). The oracle replays the coarse
+    // assignment, the residual subtraction, the per-subspace Lloyd
+    // chains over residual slices, and the per-list ADC tail.
+    "q_ann_ivfpq_res" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      IvfPq.topKResidual(e, "embedding", "vec_id", dim = 64, q, k = 10)
+        .select("vec_id", "label", "adc")
+    },
+
+
+    // The TRAINED-quantizer IVF path end to end: same probe/score as
+    // q_ann_ivf but with centroids refined by 2 Lloyd rounds
+    // (trainIters) — the oracle replays the full centroid history
+    // (kmeansCtes at salt "ivf") before routing. Empty-cluster rank
+    // re-densification is order-preserving, so probe sets and
+    // tie-breaks agree across the relabeling.
+    "q_ann_ivf_trained" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head()
+        .getSeq[Double](0).toArray
+      IvfFlat.topK(e, "embedding", "vec_id", q, k = 10, nLists = 16, nProbe = 4,
+        trainIters = 2)
+        .select("vec_id", "label", "score")
+    },
+
+
+    // Deterministic distributed k-means (graft.sim.KMeans): md5-seeded
+    // init, 2 Lloyd refinement rounds with per-round centroid rounding
+    // (the cross-engine contract), final assignment pass. Per round:
+    // one centroid broadcast + one mapPartitions with mergeable
+    // per-cluster (sum, count) partials — shuffle moves k×partitions
+    // records, never data rows. The trained quantizer behind IVF
+    // (trainIters) and semantic dedup.
+    "q_kmeans" -> { (s, dir) =>
+      KMeans.assignments(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", k = 8, iters = 2, salt = "km")
+        .select(col("vec_id"), col("cluster").cast("long"))
+        .orderBy("vec_id")
+    },
+
+
+    // Deterministic PCA (top principal component) by power iteration
+    // over the embedding cloud — dominant-direction diagnostics /
+    // whitening input. One aggregation per iteration, d doubles of
+    // driver state; every rounded intermediate fed by an EXACT
+    // decimal sum (graft.sim.Pca; oracle unrolls both iterations).
+    "q_pca" -> { (s, dir) =>
+      graft.sim.Pca.topComponent(Tables.load(s, dir, "embeddings"),
+        "embedding", "vec_id", iters = 2)
+        .orderBy("j")
+    },
+
+
+    // Cluster topic labeling (the BERTopic c-TF-IDF shape): k-means
+    // blocks over document embeddings (the q_kmeans deterministic
+    // contract, vec_id ≡ doc_id), then each cluster's top-3 tokens by
+    // cluster-term-frequency × the q_tfidf smoothed idf — the "what
+    // IS this cluster" audit a curation pass runs after semantic
+    // grouping. One token explode + two keyed aggs + a per-cluster
+    // WindowGroupLimit; the only driver state is k-means' k×d
+    // centroids.
+    "q_cluster_topics" -> { (s, dir) =>
+      val e = Tables.load(s, dir, "embeddings")
+      val docs = Tables.load(s, dir, "documents").filter(col("text").isNotNull)
+      val n = docs.count()
+      val assigned = KMeans.assignments(e, "embedding", "vec_id",
+        k = 8, iters = 2, salt = "km")
+        .select(col("vec_id").as("doc_id"), col("cluster").cast("long").as("cluster"))
+      val toks = docs
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("term"))
+      val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+      val ctf = toks.join(assigned, "doc_id")
+        .groupBy("cluster", "term").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("score").desc, col("term").asc)
+      ctf.join(dfreq, "term")
+        .withColumn("score",
+          round(col("tf") * (log(lit(1.0 + n) / (col("df") + lit(1.0))) + lit(1.0)), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("cluster"), col("term"), col("score"), col("rank"))
+        .orderBy("cluster", "rank")
+    },
+
+
+    // DBSCAN over the same synthetic geo surface (different salt):
+    // grid-blocked ε-join → core/border/noise with min-id-pinned
+    // border attachment (sim/Dbscan — textbook DBSCAN's scan-order
+    // dependence made deterministic). Exact integer distances; the
+    // oracle replays core/border algebra relationally and the core
+    // components by recursive min-label propagation.
+    "q_dbscan" -> { (s, dir) =>
+      def coord(salt: String) = conv(substring(md5(
+        concat(lit(salt + "|"), col("c_custkey").cast("string"))),
+        1, 15), 16, 10).cast("long") % 100000L
+      val pts = Tables.load(s, dir, "customer").select(
+        col("c_custkey").as("id"),
+        coord("dbx").as("x"), coord("dby").as("y"))
+      graft.sim.Dbscan.cluster(pts, "id", "x", "y", 4000L, 5)
+        .orderBy("id")
+    },
+
+
+    // Dynamic partition pruning through a month-partitioned at-rest
+    // fact: orders land as om=yyyy-MM hive partitions, the month dim
+    // carries the year, and a year filter on the dim side prunes the
+    // fact scan AT RUNTIME via the broadcast-reused DPP subquery —
+    // Catalyst's answer to reading 12 of 79 partitions without a
+    // literal fact-side predicate. DppSpec pins the dynamicpruning
+    // expression in the plan; the oracle recomputes from the unsplit
+    // table. At 100 TB this IS the difference between a 100 TB scan
+    // and a 1.5 TB one on every calendar-scoped star query.
+    "q_dpp" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$tag"
+      val o = Tables.load(s, dir, "orders")
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+      o.select(col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"), col("om"))
+        .write.mode("overwrite").partitionBy("om").parquet(s"$base/fact")
+      o.select(col("om")).distinct()
+        .withColumn("yr", substring(col("om"), 1, 4))
+        .write.mode("overwrite").parquet(s"$base/dim")
+      val fact = s.read.parquet(s"$base/fact")
+      val dim = s.read.parquet(s"$base/dim").filter(col("yr") === "1996")
+      fact.join(dim, "om")
+        .groupBy("om")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("om")
+    },
+
+
+    // E2LSH Euclidean ANN (⌊proj + b⌋ lattice buckets, 4 tables × 2
+    // concatenated hashes, exact L2 re-rank of candidates): the L2
+    // metric family the cosine sign-LSH tier can't serve. The oracle
+    // replays the whole pipeline — Rademacher projections, offsets,
+    // floor buckets, candidate join, chained-sum distances — so the
+    // bucket pruning is proven lossless against itself and the
+    // distances bit-match.
+    "q_ann_l2" -> { (s, dir) =>
+      val emb = Tables.load(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      graft.sim.EuclideanLsh.annTopK(emb, qs, "vec_id", "embedding",
+          d = 64, g = 2, tables = 4, seed = "e2l9", k = 5)
+        .orderBy("q_id", "rank")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // Same per-label centroid derivation (sum rounded 6, mean rounded
+    // 6), same squared-distance aggregation.
+    "q_embed_outlier" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, j, round(sum(x), 6) AS sx, count(*) AS n
+        |  FROM ev GROUP BY 1, 2),
+        |c2 AS (SELECT label, j, round(sx / n, 6) AS cx FROM cent),
+        |d AS (
+        |  SELECT ev.vec_id, ev.label,
+        |    round(sum((ev.x - c2.cx) * (ev.x - c2.cx)), 6) AS d2
+        |  FROM ev JOIN c2 ON ev.label = c2.label AND ev.j = c2.j
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label, d2 FROM d
+        |ORDER BY d2 DESC, vec_id ASC LIMIT 20""".stripMargin,
+
+
+    "q_item_sim" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |cnt AS (SELECT pk, count(*) AS n FROM li GROUP BY pk),
+        |pairs AS (
+        |  SELECT x.pk AS item_a, y.pk AS item_b, count(*) AS co_cnt
+        |  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.co_cnt,
+        |  round(CAST(p.co_cnt AS DOUBLE) / sqrt(CAST(ca.n * cb.n AS DOUBLE)), 6) AS cosine
+        |FROM pairs p
+        |JOIN cnt ca ON p.item_a = ca.pk
+        |JOIN cnt cb ON p.item_b = cb.pk
+        |ORDER BY item_a, item_b""".stripMargin,
+
+
+    // Norms per q_knn's unnest shape; only order-independent extremes
+    // aggregate across rows, rounded at the documented grain.
+    "q_embed_norms" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |nr AS (SELECT vec_id, min(label) AS label, sqrt(sum(x * x)) AS nrm
+        |       FROM ev GROUP BY vec_id)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+        |FROM nr GROUP BY label ORDER BY label""".stripMargin,
+
+
+    // Generated from the same sign matrix and chained-sum order as the
+    // Spark side (see randProjSql) — the projection replays exactly.
+    "q_rand_proj" -> randProjSql(d = 64, m = 16, seed = "rp9"),
+
+
+    // Both serving paths' full CTE chains as derived tables; recall is
+    // the exact intersection count over the two 10-row lists.
+    "q_ann_recall" ->
+      s"""WITH ivf AS (SELECT vec_id FROM ($AnnIvfOracle) x),
+         |ex AS (SELECT vec_id FROM ($KnnOracle) y),
+         |o AS (SELECT CAST(count(*) AS BIGINT) AS n_overlap
+         |      FROM ivf JOIN ex ON ivf.vec_id = ex.vec_id)
+         |SELECT n_overlap, CAST(10 AS BIGINT) AS k,
+         |  round(CAST(n_overlap AS DOUBLE) / 10.0, 6) AS recall
+         |FROM o""".stripMargin,
+
+
+    // q_dedup_clusters' closure, then sizes → histogram.
+    "q_cluster_stats" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |  WHERE len(toks) >= 3),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, r.comp FROM reach r JOIN edges e ON e.src = r.id),
+        |comp AS (SELECT id, min(comp) AS component FROM reach GROUP BY id),
+        |sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY component)
+        |SELECT csize, count(*) AS n_clusters FROM sizes GROUP BY csize ORDER BY csize""".stripMargin,
+
+
+    // Double-precision cosine via unnest (DuckDB's
+    // list_cosine_similarity computes in float32 — not oracle-grade).
+    "q_knn" -> KnnOracle,
+
+
+    // Same quantization arithmetic (double ops on exact per-dim
+    // [min,max], half-up rounding), integer dot products, and the
+    // KnnOracle's float-cosine exact tier for the recall join.
+    "q_ann_sq8" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
+        |codes AS (
+        |  SELECT vec_id, ev.i,
+        |    CAST(CASE WHEN hi > lo
+        |      THEN round((x - lo) / (hi - lo) * 254, 0)
+        |      ELSE 0.0 END AS BIGINT) - 127 AS c
+        |  FROM ev JOIN mm ON ev.i = mm.i),
+        |qc AS (SELECT i, c FROM codes WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT codes.vec_id, CAST(sum(codes.c * qc.c) AS BIGINT) AS dot
+        |  FROM codes JOIN qc ON codes.i = qc.i
+        |  WHERE codes.vec_id <> 0 GROUP BY 1),
+        |qt AS (SELECT vec_id, dot,
+        |         row_number() OVER (ORDER BY dot DESC, vec_id) AS rank
+        |       FROM dots),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
+        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+        |dx AS (SELECT e.vec_id, sum(e.x * q.x) AS d
+        |       FROM ev e JOIN q ON e.i = q.i GROUP BY 1),
+        |scored AS (
+        |  SELECT dx.vec_id,
+        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+        |      THEN dx.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+        |  FROM dx JOIN norms ON dx.vec_id = norms.vec_id
+        |  WHERE dx.vec_id <> 0),
+        |exact10 AS (SELECT vec_id FROM scored
+        |            ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, dot,
+        |  vec_id IN (SELECT vec_id FROM exact10) AS in_exact
+        |FROM qt WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+
+    // Prefix-restricted sq8 codes (i <= 16, 1-based) for the serving
+    // tier; the exact audit tier is the full-dim cosine verbatim.
+    "q_ann_mrl" ->
+      """WITH evf AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |ev AS (SELECT * FROM evf WHERE i <= 16),
+        |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
+        |codes AS (
+        |  SELECT vec_id, ev.i,
+        |    CAST(CASE WHEN hi > lo
+        |      THEN round((x - lo) / (hi - lo) * 254, 0)
+        |      ELSE 0.0 END AS BIGINT) - 127 AS c
+        |  FROM ev JOIN mm ON ev.i = mm.i),
+        |qc AS (SELECT i, c FROM codes WHERE vec_id = 0),
+        |dots AS (
+        |  SELECT codes.vec_id, CAST(sum(codes.c * qc.c) AS BIGINT) AS dot
+        |  FROM codes JOIN qc ON codes.i = qc.i
+        |  WHERE codes.vec_id <> 0 GROUP BY 1),
+        |qt AS (SELECT vec_id, dot,
+        |         row_number() OVER (ORDER BY dot DESC, vec_id) AS rank
+        |       FROM dots),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM evf GROUP BY 1),
+        |q AS (SELECT x, i FROM evf WHERE vec_id = 0),
+        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+        |dx AS (SELECT e.vec_id, sum(e.x * q.x) AS d
+        |       FROM evf e JOIN q ON e.i = q.i GROUP BY 1),
+        |scored AS (
+        |  SELECT dx.vec_id,
+        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+        |      THEN dx.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+        |  FROM dx JOIN norms ON dx.vec_id = norms.vec_id
+        |  WHERE dx.vec_id <> 0),
+        |exact10 AS (SELECT vec_id FROM scored
+        |            ORDER BY score DESC, vec_id ASC LIMIT 10)
+        |SELECT CAST(rank AS INTEGER) AS rank, vec_id, dot,
+        |  vec_id IN (SELECT vec_id FROM exact10) AS in_exact
+        |FROM qt WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+
+    // Same sq8 codes; the greedy rounds unrolled — each m_r is the
+    // (d desc, id) argmax outside the chosen set, each d_r the
+    // running least() against the new center's exact integer
+    // distances.
+    "q_coreset" -> {
+      val k = 6
+      val header =
+        """WITH ev AS (
+          |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+          |    generate_subscripts(embedding, 1) AS i
+          |  FROM embeddings),
+          |mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM ev GROUP BY 1),
+          |codes AS (
+          |  SELECT vec_id, ev.i,
+          |    CAST(CASE WHEN hi > lo
+          |      THEN round((x - lo) / (hi - lo) * 254, 0)
+          |      ELSE 0.0 END AS BIGINT) - 127 AS c
+          |  FROM ev JOIN mm ON ev.i = mm.i),
+          |seed AS (SELECT min(vec_id) AS id FROM codes),
+          |d1 AS (
+          |  SELECT a.vec_id, CAST(sum((a.c - b.c)*(a.c - b.c)) AS BIGINT) AS d
+          |  FROM codes a JOIN codes b
+          |    ON a.i = b.i AND b.vec_id = (SELECT id FROM seed)
+          |  GROUP BY 1)""".stripMargin
+      val rounds = (2 to k).map { r =>
+        val excl = (1 until r).map {
+          case 1 => "SELECT id AS vec_id FROM seed"
+          case j => s"SELECT vec_id FROM m$j"
+        }.mkString(" UNION ALL ")
+        val pick =
+          s"""m$r AS (
+             |  SELECT vec_id, d FROM d${r - 1}
+             |  WHERE vec_id NOT IN ($excl)
+             |  ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin
+        if (r == k) pick else pick + ",\n" +
+          s"""t$r AS (
+             |  SELECT a.vec_id, CAST(sum((a.c - b.c)*(a.c - b.c)) AS BIGINT) AS d
+             |  FROM codes a JOIN codes b
+             |    ON a.i = b.i AND b.vec_id = (SELECT vec_id FROM m$r)
+             |  GROUP BY 1),
+             |d$r AS (
+             |  SELECT t$r.vec_id, least(d${r - 1}.d, t$r.d) AS d
+             |  FROM t$r JOIN d${r - 1} ON d${r - 1}.vec_id = t$r.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val finals = (2 to k)
+        .map(r => s"UNION ALL SELECT $r AS round, vec_id, d AS dist_sq FROM m$r")
+        .mkString("\n")
+      s"""$header,
+         |$rounds
+         |SELECT 1 AS round, (SELECT id FROM seed) AS vec_id,
+         |  CAST(0 AS BIGINT) AS dist_sq
+         |$finals
+         |ORDER BY round""".stripMargin
+    },
+
+
+    // The q_bm25 scoring CTEs and the q_knn cosine CTEs, each ranked
+    // on its rounded score, fused by Σ 1/(60 + rank).
+    "q_rrf_fusion" ->
+      """WITH b2 AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |b3 AS (SELECT doc_id, toks, len(toks) AS l FROM b2),
+        |consts AS (SELECT count(*) AS n, CAST(sum(l) AS DOUBLE) / count(*) AS avglen FROM b3),
+        |post AS (
+        |  SELECT doc_id, l, t, count(*) AS tf FROM (
+        |    SELECT doc_id, l, unnest(toks) AS t FROM b3)
+        |  WHERE t IN ('spark', 'sort', 'hash') GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT t, count(DISTINCT doc_id) AS df FROM post GROUP BY 1),
+        |lex AS (
+        |  SELECT doc_id,
+        |    round(sum(
+        |      ln(1 + ((SELECT n FROM consts) - df + 0.5) / (df + 0.5))
+        |        * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * l / (SELECT avglen FROM consts)))), 6) AS score
+        |  FROM post JOIN dfreq USING (t) GROUP BY doc_id),
+        |lexr AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_lex
+        |  FROM lex QUALIFY r_lex <= 50),
+        |ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT x, i FROM ev WHERE vec_id = 0),
+        |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+        |dots AS (SELECT e.vec_id, sum(e.x * q.x) AS d FROM ev e JOIN q ON e.i = q.i GROUP BY 1),
+        |vecs AS (
+        |  SELECT norms.vec_id AS doc_id,
+        |    round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+        |      THEN dots.d / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+        |  FROM dots JOIN norms ON dots.vec_id = norms.vec_id),
+        |vecr AS (
+        |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS r_vec
+        |  FROM vecs QUALIFY r_vec <= 50)
+        |SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+        |  round(coalesce(1.0 / (60.0 + r_lex), 0.0)
+        |    + coalesce(1.0 / (60.0 + r_vec), 0.0), 6) AS rrf,
+        |  l.r_lex, v.r_vec
+        |FROM lexr l FULL JOIN vecr v ON l.doc_id = v.doc_id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+
+
+    "q_cosine_pairs" ->
+      """WITH ev AS (
+        |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |dots AS (
+        |  SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS d
+        |  FROM ev a JOIN ev b ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT blk, id_a, id_b, score FROM (
+        |  SELECT blk, id_a, id_b,
+        |    round(CASE WHEN na.n * nb.n > 0 THEN d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
+        |  FROM dots JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id)
+        |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+
+    // Replays the engine's LSH exactly: same md5-mod-6 Achlioptas
+    // planes (seed 42, 8 tables × 8 bits over dim 64), same sign
+    // buckets, then exact double-precision cosine on bucket-mates.
+    "q_ann_pairs" ->
+      """WITH p AS (
+        |  SELECT t.t, b.i, d.j,
+        |    CASE CAST(('0x' || substr(md5('42:' || t.t || ':' || b.i || ':' || d.j), 1, 16)) AS UBIGINT) % 6
+        |      WHEN 0 THEN 1.0 WHEN 5 THEN -1.0 ELSE 0.0 END AS c
+        |  FROM (SELECT unnest(range(8)) AS t) t
+        |  CROSS JOIN (SELECT unnest(range(8)) AS i) b
+        |  CROSS JOIN (SELECT unnest(range(64)) AS j) d),
+        |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, p.t, p.i, sum(e.x * p.c) AS d
+        |  FROM ev e JOIN p ON e.j = p.j + 1
+        |  GROUP BY 1, 2, 3),
+        |sigs AS (
+        |  SELECT vec_id, t,
+        |    CAST(sum(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM dots GROUP BY 1, 2),
+        |cands AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |pd AS (
+        |  SELECT c.id_a, c.id_b, sum(ea.x * eb.x) AS d
+        |  FROM cands c
+        |  JOIN ev ea ON ea.vec_id = c.id_a
+        |  JOIN ev eb ON eb.vec_id = c.id_b AND ea.j = eb.j
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, score FROM (
+        |  SELECT pd.id_a, pd.id_b,
+        |    round(CASE WHEN na.n * nb.n > 0 THEN pd.d / (na.n * nb.n) ELSE 0.0 END, 6) AS score
+        |  FROM pd JOIN norms na ON pd.id_a = na.vec_id JOIN norms nb ON pd.id_b = nb.vec_id)
+        |WHERE score >= 0.3 ORDER BY id_a, id_b""".stripMargin,
+
+
+    // Replays the IVF pipeline: same md5-ordered centroid pick, same
+    // squared-L2 assignment (ties to the smaller centroid rank), same
+    // 4-list probe, exact double-precision cosine on the candidates.
+    "q_ann_ivf" -> AnnIvfOracle,
+
+
+    // Batch form of q_knn: same double-precision unnest cosine, one
+    // row_number per query id. Norm product written ne.n * nq.n to
+    // match the engine's corpus-norm × query-norm multiply order.
+    "q_knn_batch" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id, sum(e.x * q.x) AS d
+        |  FROM ev e JOIN ev q ON e.i = q.i AND q.vec_id < 5
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dots.qid, dots.vec_id,
+        |    round(CASE WHEN ne.n * nq.n > 0 THEN dots.d / (ne.n * nq.n) ELSE 0.0 END, 6) AS score
+        |  FROM dots
+        |  JOIN norms ne ON dots.vec_id = ne.vec_id
+        |  JOIN norms nq ON dots.qid = nq.vec_id)
+        |SELECT qid, vec_id, label, score, rank FROM (
+        |  SELECT s.qid, s.vec_id, emb.label, s.score,
+        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id ASC) AS rank
+        |  FROM scored s JOIN embeddings emb ON s.vec_id = emb.vec_id)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+
+    // The indexed serving path computes the identical answer (same
+    // centroids, assignment, and probe set — only the at-rest layout
+    // differs), so it shares the oracle.
+    "q_ann_ivf_index" -> AnnIvfOracle,
+
+
+    // Centroids sampled from the base 3/4 only; assignment, probe and
+    // scoring over the full corpus — exactly what writeIndex(base) +
+    // appendToIndex(delta) serves.
+    "q_ann_ivf_incr" -> annIvfOracle("vec_id % 4 <> 0"),
+
+
+    // Batch IVF: the same quantizer/assignment replay, per-query probe
+    // lists (rn <= nProbe over centroid distance), candidates routed by
+    // assignment, q_knn_batch's scoring and rank shape.
+    "q_ann_ivf_batch" ->
+      """WITH cent AS (
+        |  SELECT cv, row_number() OVER (ORDER BY h) - 1 AS rank FROM (
+        |    SELECT md5('ivf:' || vec_id) AS h, embedding AS cv
+        |    FROM embeddings ORDER BY h LIMIT 16)),
+        |cev AS (SELECT rank, CAST(unnest(cv) AS DOUBLE) AS cx,
+        |        generate_subscripts(cv, 1) AS j FROM cent),
+        |ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |       generate_subscripts(embedding, 1) AS j FROM embeddings),
+        |dists AS (
+        |  SELECT e.vec_id, c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+        |  FROM ev e JOIN cev c ON e.j = c.j GROUP BY 1, 2),
+        |assign AS (
+        |  SELECT vec_id, rank FROM (
+        |    SELECT vec_id, rank,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |qprobe AS (
+        |  SELECT vec_id AS qid, rank FROM (
+        |    SELECT vec_id, rank,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, rank) AS rn
+        |    FROM dists WHERE vec_id < 5) WHERE rn <= 4),
+        |cands AS (
+        |  SELECT p.qid, a.vec_id FROM assign a JOIN qprobe p ON a.rank = p.rank),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id, sum(e.x * q.x) AS dt
+        |  FROM ev e
+        |  JOIN ev q ON e.j = q.j AND q.vec_id < 5
+        |  JOIN cands cd ON cd.qid = q.vec_id AND cd.vec_id = e.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT dots.qid, dots.vec_id,
+        |    round(CASE WHEN ne.n * nq.n > 0 THEN dots.dt / (ne.n * nq.n) ELSE 0.0 END, 6) AS score
+        |  FROM dots
+        |  JOIN norms ne ON dots.vec_id = ne.vec_id
+        |  JOIN norms nq ON dots.qid = nq.vec_id)
+        |SELECT qid, vec_id, label, score, rank FROM (
+        |  SELECT s.qid, s.vec_id, emb.label, s.score,
+        |    row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id ASC) AS rank
+        |  FROM scored s JOIN embeddings emb ON s.vec_id = emb.vec_id)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+
+
+    // PQ replay: per-subspace Lloyd chains (pqCtes), then ADC — the
+    // query's per-centroid distances (qd_s from vec 0's slice) joined
+    // to each vector's encode assignment (a2_s), summed across the 4
+    // subspaces, ascending, ties by vec_id.
+    "q_ann_pq" ->
+      (pqCtes(m = 4, subDim = 16, k = 8, iters = 1, salt = "pq") +
+        (0 until 4).map { s =>
+          s"""qd_$s AS (
+             |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+             |  FROM ev_$s e JOIN c1e_$s c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
+             |part_$s AS (SELECT a.vec_id, q.d FROM a2_$s a JOIN qd_$s q ON a.rank = q.rank),
+             |""".stripMargin
+        }.mkString +
+        """adc AS (
+          |  SELECT vec_id, round(sum(d), 6) AS adc FROM (
+          |    SELECT * FROM part_0 UNION ALL SELECT * FROM part_1
+          |    UNION ALL SELECT * FROM part_2 UNION ALL SELECT * FROM part_3)
+          |  GROUP BY vec_id)
+          |SELECT emb.vec_id, emb.label, adc.adc
+          |FROM adc JOIN embeddings emb ON adc.vec_id = emb.vec_id
+          |ORDER BY adc.adc ASC, emb.vec_id ASC LIMIT 10""".stripMargin),
+
+
+    // IVF-PQ replay: q_ann_ivf's hash-random coarse quantizer CTEs
+    // (assignment + the query's 4-list probe) select the candidates;
+    // q_ann_pq's per-subspace Lloyd chains + ADC tail score them.
+    "q_ann_ivfpq" -> ivfPqRawOracle,
+
+
+    // The at-rest index stores the IDENTICAL codes (same quantizers,
+    // same assignment) — only the layout differs, so the oracle is the
+    // same replay.
+    "q_ann_ivfpq_index" -> ivfPqRawOracle,
+
+
+    // Residual IVF-PQ replay: coarse assignment → residual long-form →
+    // per-subspace Lloyd chains over residual slices → per-list ADC.
+    "q_ann_ivfpq_res" ->
+      ivfPqResidualSql(nLists = 16, nProbe = 4, m = 4, subDim = 16, k = 8,
+        iters = 1, salt = "pqr", topK = 10),
+
+
+    // Trained-IVF replay: the Lloyd CTE chain at salt "ivf" (c2e = the
+    // centroids after 2 refinements, a3 = the corpus assignment under
+    // them), then q_ann_ivf's probe (4 nearest centroids of vec 0 by
+    // squared L2, ties to smaller rank), candidate routing, and exact
+    // cosine tail.
+    "q_ann_ivf_trained" ->
+      (kmeansCtes(k = 16, iters = 2, salt = "ivf") +
+        """qd AS (
+          |  SELECT c.rank, sum((e.x - c.cx) * (e.x - c.cx)) AS d
+          |  FROM ev e JOIN c2e c ON e.j = c.j WHERE e.vec_id = 0 GROUP BY 1),
+          |probe AS (
+          |  SELECT rank FROM (
+          |    SELECT rank, row_number() OVER (ORDER BY d, rank) AS rn FROM qd)
+          |  WHERE rn <= 4),
+          |cands AS (SELECT vec_id FROM a3 WHERE rank IN (SELECT rank FROM probe)),
+          |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+          |q AS (SELECT x, j FROM ev WHERE vec_id = 0),
+          |qn AS (SELECT n FROM norms WHERE vec_id = 0),
+          |dots AS (
+          |  SELECT e.vec_id, sum(e.x * q.x) AS dt FROM ev e JOIN q ON e.j = q.j
+          |  WHERE e.vec_id IN (SELECT vec_id FROM cands) GROUP BY 1)
+          |SELECT emb.vec_id, emb.label,
+          |  round(CASE WHEN norms.n * (SELECT n FROM qn) > 0
+          |    THEN dots.dt / (norms.n * (SELECT n FROM qn)) ELSE 0.0 END, 6) AS score
+          |FROM dots
+          |JOIN norms ON dots.vec_id = norms.vec_id
+          |JOIN embeddings emb ON dots.vec_id = emb.vec_id
+          |ORDER BY score DESC, emb.vec_id ASC LIMIT 10""".stripMargin),
+
+
+    // Full unrolled Lloyd replay (see kmeansCtes): the final CTE a3 is
+    // the assignment under the trained centroids.
+    "q_kmeans" ->
+      (kmeansCtes(k = 8, iters = 2, salt = "km").stripSuffix(",\n") +
+        "\nSELECT vec_id, rank AS cluster FROM a3 ORDER BY vec_id"),
+
+
+    "q_pca" -> pcaCtes(2),
+
+
+    // kmeansCtes assignments (a3, vec_id ≡ doc_id) × token stream:
+    // per-cluster term counts × the q_tfidf smoothed idf, top-3 per
+    // cluster by (score desc, term).
+    "q_cluster_topics" ->
+      (kmeansCtes(k = 8, iters = 2, salt = "km") +
+        """toks AS (
+          |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> len(x) > 0)) AS term
+          |  FROM documents WHERE text IS NOT NULL),
+          |nn AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL),
+          |dfreq AS (
+          |  SELECT term, count(*) AS df
+          |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+          |ctf AS (
+          |  SELECT CAST(a.rank AS BIGINT) AS cluster, t.term, count(*) AS tf
+          |  FROM toks t JOIN a3 a ON t.doc_id = a.vec_id GROUP BY 1, 2),
+          |sc AS (
+          |  SELECT cluster, ctf.term,
+          |    round(tf * (ln((1.0 + (SELECT n FROM nn)) / (df + 1.0)) + 1.0), 6) AS score
+          |  FROM ctf JOIN dfreq ON ctf.term = dfreq.term),
+          |r AS (
+          |  SELECT *, CAST(row_number() OVER (PARTITION BY cluster
+          |    ORDER BY score DESC, term) AS INT) AS rank
+          |  FROM sc)
+          |SELECT cluster, term, score, rank FROM r WHERE rank <= 3
+          |ORDER BY cluster, rank""".stripMargin),
+
+
+    // Same coordinate generator (dbx/dby salt); all-pairs ε-join is
+    // fine oracle-side at sf0.01. Core = |N_ε|+self ≥ 5; components of
+    // the core subgraph by recursive min-label propagation; border =
+    // non-core attached through its minimum-id core neighbor.
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT c_custkey AS id,
+        |    ('0x' || substr(md5('dbx|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS x,
+        |    ('0x' || substr(md5('dby|' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT % 100000 AS y
+        |  FROM customer),
+        |nb AS (
+        |  SELECT a.id AS id, b.id AS nid FROM p a JOIN p b
+        |  ON a.id <> b.id
+        |  AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4000*4000),
+        |core AS (
+        |  SELECT id FROM nb GROUP BY id HAVING count(*) + 1 >= 5),
+        |ce AS (
+        |  SELECT n.id AS a, n.nid AS b FROM nb n
+        |  JOIN core c1 ON n.id = c1.id JOIN core c2 ON n.nid = c2.id),
+        |cc(id, comp) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT ce.b, cc.comp FROM cc JOIN ce ON ce.a = cc.id),
+        |lab AS (SELECT id, min(comp) AS cluster FROM cc GROUP BY id),
+        |bord AS (
+        |  SELECT n.id, min(n.nid) AS anchor FROM nb n
+        |  JOIN core c ON n.nid = c.id
+        |  WHERE n.id NOT IN (SELECT id FROM core)
+        |  GROUP BY n.id)
+        |SELECT p.id,
+        |  CASE WHEN lab.cluster IS NOT NULL THEN 'core'
+        |       WHEN al.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  coalesce(lab.cluster, al.cluster) AS cluster
+        |FROM p
+        |LEFT JOIN lab ON lab.id = p.id
+        |LEFT JOIN (SELECT bord.id, lab.cluster FROM bord
+        |           JOIN lab ON lab.id = bord.anchor) al ON al.id = p.id
+        |ORDER BY p.id""".stripMargin,
+
+
+    // The pruned star query recomputed from the unsplit table.
+    "q_dpp" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS om,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE strftime(CAST(o_orderdate AS DATE), '%Y') = '1996'
+        |GROUP BY 1 ORDER BY om""".stripMargin,
+
+
+    "q_ann_l2" -> e2lshSql(d = 64, g = 2, tables = 4, seed = "e2l9", k = 5),
+  )
+}

@@ -1,0 +1,1986 @@
+package graft.registry
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+import graft.dedup.{Clusters, Decontaminate, Dedup, MinHashLsh, SimHash, SubstrDedup}
+import graft.io.Gsod
+import graft.multimodal.{ImageDedup, Multimodal}
+import graft.operators.{AsofJoin, BloomJoin, Funnel, RangeJoin, Salting, Sampling, Scd2}
+import graft.pipeline.TrainingPipeline
+import graft.sources.BucketedTables
+import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
+import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
+import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
+import graft.text.{Bm25, Bpe, InvertedIndex, LmScore, Pii, QualityFilters, TextFunctions}
+import graft.{SparkEntry, Tables}
+import graft.SparkEntry._
+
+/** Warehouse slice of the [[SparkEntry]] query/oracle registry. Split from
+  * the former single 15k-line entry file so scalac parallelizes across
+  * domains and no single Map literal dominates compile time or method
+  * size. Entry names, bodies, and oracle SQL are the driver contract,
+  * byte-for-byte as they were in SparkEntry; shared fixtures and
+  * oracle CTE builders stay on [[SparkEntry]] (private[graft]). */
+private[graft] object RegWarehouse {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Co-located fact-fact join through bucketed tables: both sides
+    // written bucketBy(8, orderkey) once, so the join itself is
+    // exchange-free (asserted in BucketedTablesSpec) — the 100 TB shape
+    // for a join that repeats across a pipeline. Same oracle as the
+    // plain join: bucketing must not change the answer.
+    "q_bucketed_join" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val liT = s"graft_bli_$tag"; val ordT = s"graft_bord_$tag"
+      BucketedTables.writeBucketed(
+        Tables.load(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        liT, "l_orderkey", buckets = 8)
+      BucketedTables.writeBucketed(
+        Tables.load(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        ordT, "o_orderkey", buckets = 8)
+      BucketedTables.read(s, liT)
+        .join(BucketedTables.read(s, ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+
+    // CDC NET-CHANGE COLLAPSE (the Debezium-consumer / MERGE-writer
+    // primitive): a batch's per-key churn collapses to one net
+    // insert/update/delete/none from the first and last ops — a 10⁶-
+    // change batch touching 10³ keys becomes ≤10³ writes. One keyed
+    // min/max-struct aggregate, no window, no sort
+    // (graft.operators.Upsert.netChanges, UpsertSpec).
+    "q_cdc_collapse" -> { (s, dir) =>
+      val changes = Tables.load(s, dir, "orders").select(
+        pmod(col("o_custkey"), lit(500L)).as("key"),
+        col("o_orderkey").as("version"),
+        when(col("o_orderkey") % 10 < 2, "D")
+          .when(col("o_orderkey") % 10 < 4, "I")
+          .otherwise("U").as("op"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      graft.operators.Upsert.netChanges(changes, Seq("key"), "version",
+          "op", Seq("cents"))
+        .groupBy("net_op")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("key")).as("key_checksum"),
+          sum(coalesce(col("cents"), lit(0L))).as("cents_sum"))
+        .orderBy("net_op")
+    },
+
+
+    // FUNCTIONAL-DEPENDENCY audit (schema profiling): which candidate
+    // keys actually determine which columns — a true FD
+    // (o_orderkey→o_custkey) must show zero violating groups while
+    // the dirty candidates expose their fan-out. One keyed
+    // countDistinct per candidate, collapsed to a row; candidates
+    // union in parallel (graft.operators.FdAudit).
+    "q_fd_audit" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val li = Tables.load(s, dir, "lineitem")
+      graft.operators.FdAudit.audit(o, Seq(
+          "o_orderkey" -> "o_custkey",
+          "o_custkey" -> "o_orderpriority"))
+        .unionAll(graft.operators.FdAudit.audit(li, Seq(
+          "l_orderkey" -> "l_linestatus",
+          "l_partkey" -> "l_returnflag")))
+        .orderBy("fd")
+    },
+
+
+    // Concat-and-chunk SEQUENCE PACKING (the GPT-style batch-packing
+    // pass downstream of tokenization): docs laid end-to-end in
+    // doc_id order, the BPE token stream cut into 512-token training
+    // sequences, docs splitting across boundaries. Emits the
+    // assignment map (seq_id, seq_pos, in-doc [tok_from, tok_to)) a
+    // data loader consumes — token streams never materialize.
+    // Distributed exclusive prefix sum, no single-partition window
+    // (operators/Packing.scala).
+    "q_pack" -> { (s, dir) =>
+      val docs = Bpe.tokenCounts(Tables.load(s, dir, "documents"), "text",
+        "doc_id", bpeModelFor(s, dir))
+      graft.operators.Packing.pack(docs, "bpe_tokens", Seq(col("doc_id")), 512L)
+        .select("doc_id", "seq_id", "seq_pos", "tok_from", "tok_to")
+        .orderBy("seq_id", "seq_pos")
+    },
+
+
+    // Deterministic balanced sharding (sequence-packing shape): docs
+    // ranked globally by size desc via the DISTRIBUTED global rank
+    // (range partition + per-partition offsets — NOT the
+    // single-partition window row_number), then round-robin by rank
+    // into 8 shards; big docs spread first, shard loads equalize.
+    // graft.operators.GlobalRank.
+    "q_shard_balance" -> { (s, dir) =>
+      graft.operators.GlobalRank.withGlobalRank(
+        Tables.load(s, dir, "documents").select("doc_id", "n_chars"),
+        Seq(col("n_chars").desc, col("doc_id")))
+        .withColumn("shard", pmod(col("rank") - 1, lit(8L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("shard")
+    },
+
+
+    // Schema evolution: two batches written with DIFFERENT column
+    // subsets, read back as one table via mergeSchema (absent columns
+    // null-fill) — the corpus-reingestion reality check. Aggregated
+    // against a UNION-with-NULLs oracle.
+    "q_schema_merge" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = System.getProperty("java.io.tmpdir") + s"/graft_schmerge_$tag"
+      val o = Tables.load(s, dir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$base/b=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite").parquet(s"$base/b=2")
+      s.read.option("mergeSchema", "true").parquet(s"$base/b=1", s"$base/b=2")
+        .groupBy(coalesce(col("o_orderpriority"), lit("?")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+          round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("sum_price"))
+        .orderBy("priority")
+    },
+
+
+    // Small-file compaction, answer-invariant: orders scattered into
+    // 64 tiny files, compacted to ~100k-row files (round-robin
+    // repartition, not coalesce), then the aggregate read THROUGH the
+    // compacted copy against the raw-table oracle. The housekeeping
+    // pass a streaming-ingested 100 TB table cannot live without
+    // (graft.sources.Compaction; file-count drop pinned by spec).
+    "q_compaction" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val scattered = s"$tmp/graft_compact_in_$tag"
+      val compacted = s"$tmp/graft_compact_out_$tag"
+      Tables.load(s, dir, "orders")
+        .repartition(64).write.mode("overwrite").parquet(scattered)
+      graft.sources.Compaction.compact(s, scattered, compacted,
+        targetRecordsPerFile = 100000L)
+      s.read.parquet(compacted)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
+
+
+    // Transparent materialized-view rewrite (plans/MvRewrite): an MV
+    // summarizing orders by (priority, status) with partial counts +
+    // exact key checksums is staged once; the registered Catalyst rule
+    // then re-aims this ROLLUP (priority only — a strict subset of the
+    // MV grouping) at the summary, merging partials (count → Σcnt,
+    // sum → Σpartial). The oracle recomputes from base — identical
+    // answers prove the merge algebra; MvRewriteSpec pins the plan
+    // actually scanning the summary and the filter/extra-measure
+    // guardrails.
+    "q_mv_rewrite" -> { (s, dir) =>
+      val basePath = s"$dir/orders.parquet"
+      val summ = System.getProperty("java.io.tmpdir") +
+        s"/graft_mv_orders_${stageTag(dir)}"
+      if (!new java.io.File(summ, "_SUCCESS").exists())
+        Tables.load(s, dir, "orders")
+          .groupBy("o_orderpriority", "o_orderstatus")
+          .agg(count(lit(1)).as("mv_cnt"),
+            sum(col("o_orderkey")).as("mv_sum_okey"))
+          .write.mode("overwrite").parquet(summ)
+      val mv = graft.plans.MvDef(basePath, summ,
+        Seq("o_orderpriority", "o_orderstatus"), "mv_cnt",
+        Map("o_orderkey" -> "mv_sum_okey"))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MvRewrite => r.mv == mv
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.MvRewrite(s, mv)
+      Tables.load(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("o_orderpriority")
+    },
+
+
+    // Z-ORDER clustering key (lakehouse OPTIMIZE ZORDER BY): Morton
+    // code over integer-bucketized (l_partkey, l_suppkey) — the sort
+    // key writeZOrdered clusters files by, giving every file a tight
+    // min/max envelope on BOTH dims so parquet stats prune scans
+    // filtered on either (ZOrderSpec pins the locality; this query
+    // pins the code itself — exact integer bucketize + bit interleave,
+    // replayed term-by-term by the oracle). graft.sources.ZOrder.
+    "q_zorder" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.sources.ZOrder.zvalue(li, Seq("l_partkey", "l_suppkey"), bits = 8)
+          .as("zval"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+
+    // Data-quality expectation suite (the shard-admission gate): all
+    // scalar checks fold into ONE aggregation pass; key uniqueness is
+    // one keyed groupBy; referential integrity one left-anti join.
+    // Metrics are ratios/counts of exact longs — the range bound is
+    // deliberately tight (450k) so a failing check's metric faces the
+    // oracle too (graft.stats.DataQuality).
+    "q_dq" -> { (s, dir) =>
+      import graft.stats.DataQuality
+      import graft.stats.DataQuality._
+      DataQuality.run(Tables.load(s, dir, "orders"), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 0.0, 450000.0),
+        UniqueKey(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", Tables.load(s, dir, "customer"), "c_custkey")))
+    },
+
+
+    // CDC latest-wins upsert (the MERGE INTO shape): each customer's
+    // balance replaced by the totalprice of their latest order (order
+    // key as the unique change version, base rows at version −1);
+    // customers with no orders keep the base row. One union + one
+    // keyed window pass, no join (graft.operators.Upsert).
+    "q_upsert" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+          lit(-1L).as("version"))
+      val updates = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          round(col("o_totalprice"), 2).as("acctbal"),
+          col("o_orderkey").as("version"))
+      graft.operators.Upsert.latestWins(base, updates, Seq("c_custkey"), "version")
+        .orderBy("c_custkey")
+    },
+
+
+    // FULL CONDITIONAL MERGE (operators/MergeInto) — the multi-clause
+    // ANSI MERGE the latest-wins upsert can't express: clause ORDER
+    // fires first-match (active customers get the credit even when
+    // they'd also match the low-spend purge), all four categories in
+    // one full-outer join + one codegen projection: matched+active →
+    // UPDATE, matched+low-spend → DELETE, source-only → INSERT,
+    // target-only → DORMANT re-segment. Base = the solvent customer
+    // snapshot, source = per-customer order rollup (overdrawn
+    // customers' orders become the NOT MATCHED inserts).
+    "q_merge_into" -> { (s, dir) =>
+      import graft.operators.MergeInto
+      val base = Tables.load(s, dir, "customer")
+        .filter(col("c_acctbal") >= 0)
+        .select(col("c_custkey").as("custkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          col("c_mktsegment").as("mktsegment"))
+      val src = Tables.load(s, dir, "orders")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("total"))
+      MergeInto.merge(base, src, Seq("custkey"),
+        matched = Seq(
+          (col("s_n_orders") >= 20, MergeInto.Update(Map(
+            "cents" -> (col("t_cents") + expr("s_total div 100"))))),
+          (col("s_total") < 5000000L, MergeInto.Delete)),
+        notMatched = Seq(
+          (lit(true), MergeInto.Insert(Map(
+            "custkey" -> col("s_custkey"),
+            "cents" -> expr("s_total div 1000"),
+            "mktsegment" -> lit("NEW"))))),
+        bySource = Seq(
+          (lit(true), MergeInto.Update(Map(
+            "mktsegment" -> lit("DORMANT"))))))
+        .orderBy("custkey")
+    },
+
+
+    // Referential-integrity audit over the star schema's declared FK
+    // edges plus one deliberately-violating edge (events.user_id →
+    // customer): per edge, child rows / NULL keys / orphan rows /
+    // distinct orphan keys. The child collapses to per-key counts
+    // before any join, so a 100 TB fact audits through its key
+    // cardinality, never row-level joins (graft.operators.FkAudit).
+    "q_fk_audit" -> { (s, dir) =>
+      val orders = Tables.load(s, dir, "orders")
+      val lineitem = Tables.load(s, dir, "lineitem")
+      val customer = Tables.load(s, dir, "customer")
+      graft.operators.FkAudit.audit(Seq(
+        ("customer.nationkey->nation", customer, "c_nationkey",
+          Tables.load(s, dir, "nation"), "n_nationkey"),
+        // Audited against the SOLVENT-customer dimension subset (a
+        // filtered dimension snapshot) so the gate has real orphans —
+        // events of overdrawn customers point at nothing.
+        ("events.user_id->customer_solvent",
+          Tables.load(s, dir, "events").select("user_id"), "user_id",
+          customer.where(col("c_acctbal") >= 0), "c_custkey"),
+        ("lineitem.orderkey->orders", lineitem, "l_orderkey",
+          orders, "o_orderkey"),
+        ("lineitem.partkey->part", lineitem, "l_partkey",
+          Tables.load(s, dir, "part"), "p_partkey"),
+        ("lineitem.suppkey->supplier", lineitem, "l_suppkey",
+          Tables.load(s, dir, "supplier"), "s_suppkey"),
+        ("orders.custkey->customer", orders, "o_custkey",
+          customer, "c_custkey")))
+        .orderBy("fk")
+    },
+
+
+    // WHY Z-ORDER: the zone-map skip audit that quantifies the layout
+    // tradeoff. The same lineitem rows are cut into 2048-row files
+    // under two layouts — sorted by partkey vs z-ordered on
+    // (partkey, suppkey) — and three probes (partkey-only,
+    // suppkey-only, both) count files whose min/max zones overlap.
+    // On the fixture the single-sort layout reads 2/293 files for its
+    // own dimension but ALL 293 for the other; z-order reads a few
+    // dozen for EITHER single-dim probe and 1 for the 2-D probe — the
+    // multi-dimensional-locality argument, measured. Deterministic
+    // file cuts (global rank div rowsPerFile) keep it oracle-exact.
+    "q_zorder_skip" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sk"),
+          col("l_orderkey"), col("l_linenumber"))
+      val z = li.withColumn("zval",
+        graft.sources.ZOrder.zvalue(li, Seq("p", "sk"), bits = 8))
+      def layout(sortCols: Seq[Column], label: String) =
+        graft.operators.GlobalRank.withGlobalRank(z, sortCols, "__rk")
+          .withColumn("f", expr("(__rk - 1) div 2048"))
+          .groupBy("f")
+          .agg(min(col("p")).as("pmn"), max(col("p")).as("pmx"),
+            min(col("sk")).as("smn"), max(col("sk")).as("smx"),
+            count(lit(1)).as("n"))
+          .withColumn("layout", lit(label))
+      val files = layout(
+        Seq(col("p"), col("l_orderkey"), col("l_linenumber")), "sort_partkey")
+        .unionAll(layout(
+          Seq(col("zval"), col("l_orderkey"), col("l_linenumber")), "zorder"))
+      val probes = Seq(
+        ("p", 100L, 199L, 0L, 100000000L),
+        ("ps", 100L, 199L, 10L, 19L),
+        ("s", 0L, 100000000L, 10L, 19L))
+        .toDF("probe", "plo", "phi", "slo", "shi")
+      val reads = col("pmx") >= col("plo") && col("pmn") <= col("phi") &&
+        col("smx") >= col("slo") && col("smn") <= col("shi")
+      files.crossJoin(broadcast(probes))
+        .groupBy("layout", "probe")
+        .agg(count(lit(1)).as("files_total"),
+          sum(when(reads, 1L).otherwise(0L)).as("files_read"),
+          sum(when(reads, col("n")).otherwise(0L)).as("rows_read"))
+        .orderBy("layout", "probe")
+    },
+
+
+    // Min/max data-skipping index (zone map) over a sort-clustered
+    // layout: rows in l_shipdate total order cut into 4096-row files,
+    // per-file (min, max), and a range-probe classification — the
+    // parquet-footer-stats mechanism made explicit, with DETERMINISTIC
+    // file cuts (global rank div rowsPerFile, never RangePartitioner's
+    // sampled boundaries) so the index itself replays in SQL
+    // (graft.sources.MinMaxIndex). The reads_for_probe fraction IS the
+    // skip-scan win sort-clustering buys at 100 TB.
+    "q_minmax_index" -> { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(to_date(col("l_shipdate")), "yyyy-MM-dd").as("d"))
+      val idx = graft.sources.MinMaxIndex.buildIndex(
+        li, "d", Seq(col("d"), col("l_orderkey"), col("l_linenumber")),
+        rowsPerFile = 4096L)
+      graft.sources.MinMaxIndex.annotateProbe(
+          idx, lit("1995-06-01"), lit("1995-08-31"))
+        .orderBy("file_id")
+    },
+
+
+    // PER-FILE BLOOM INDEX (sources/BloomIndex) — the equality-probe
+    // complement of q_minmax_index, on a layout where zone maps are
+    // USELESS by construction (rows in md5-hash order, so every file's
+    // [min, max] of l_orderkey spans the domain): the index stores
+    // each file's md5-derived bit-position set, a point probe reads
+    // only files whose bloom holds all k positions. Output shows both
+    // prunings side by side — `reads_zone` ≈ every file,
+    // `reads_bloom` ≈ the files that truly contain the key (+ rare
+    // false positives, never a false negative).
+    "q_bloom_index" -> { (s, dir) =>
+      import graft.sources.{BloomIndex, MinMaxIndex}
+      val li = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          md5(concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string"))).as("h"))
+      val sortCols = Seq(col("h"), col("l_orderkey"), col("l_linenumber"))
+      val bloom = BloomIndex.buildIndex(li, "l_orderkey", sortCols,
+        rowsPerFile = 4096L)
+      val zones = MinMaxIndex.buildIndex(li, "l_orderkey", sortCols,
+        rowsPerFile = 4096L)
+      // a mid-domain key that EXISTS (smallest key ≥ max/2): zone maps
+      // cannot prune it on this layout, the bloom can — bounded
+      // two-scalar derivation, replayed verbatim by the oracle
+      val half = li.agg(max("l_orderkey")).head.getLong(0) / 2
+      val probeV = li.filter(col("l_orderkey") >= half)
+        .agg(min("l_orderkey")).head.getLong(0)
+      val probe = lit(probeV)
+      BloomIndex.annotateProbe(bloom, probe)
+        .withColumnRenamed("reads_for_probe", "reads_bloom")
+        .join(MinMaxIndex.annotateProbe(zones, probe, probe)
+          .withColumnRenamed("reads_for_probe", "reads_zone"), "file_id")
+        .select(col("file_id"), col("n"), col("n_positions"),
+          size(col("bloom")).cast("long").as("bloom_size"),
+          col("min_v"), col("max_v"), col("reads_bloom"), col("reads_zone"))
+        .orderBy("file_id")
+    },
+
+
+    // Full CDC apply with delete tombstones (Debezium-style op
+    // streams): the highest-version change per key decides its fate —
+    // 'U' upserts, 'D' erases the key (base row included), a later
+    // re-insert resurrects. Same single keyed-window shuffle as
+    // q_upsert — no join, tombstones never fan out
+    // (graft.operators.Upsert.applyCdc).
+    "q_cdc_delete" -> { (s, dir) =>
+      val base = Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+          lit(-1L).as("version"))
+      val changes = Tables.load(s, dir, "orders")
+        .select(col("o_custkey").as("c_custkey"),
+          round(col("o_totalprice"), 2).as("acctbal"),
+          col("o_orderkey").as("version"),
+          when(col("o_orderkey") % 10 < 2, lit("D")).otherwise(lit("U"))
+            .as("op"))
+      graft.operators.Upsert.applyCdc(
+        base, changes, Seq("c_custkey"), "version", "op")
+        .orderBy("c_custkey")
+    },
+
+
+    // Snapshot diff (the between-runs audit of a versioned corpus
+    // table): two simulated versions of `orders` — the old snapshot
+    // missing keys ≡0 (mod 7), the new missing ≡0 (mod 5) and with
+    // status rewritten on keys ≡0 (mod 3) — classified into
+    // added/removed/changed via union + ONE keyed aggregation of
+    // (key, side, payload-md5); no full-outer join, no document
+    // bodies in the shuffle (graft.operators.TableDiff).
+    "q_table_diff" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val oldSnap = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val newSnap = o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      graft.operators.TableDiff.diff(oldSnap, newSnap,
+        Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus"))
+        .select("o_orderkey", "change", "old_hash", "new_hash")
+        .orderBy("o_orderkey")
+    },
+
+
+    // Peak concurrency via a DISTRIBUTED sweep line: each event opens
+    // a 10-minute [start, end) interval; (+1/−1) points in (t, delta)
+    // order through the Packing prefix-sum machinery (range-partition
+    // sort + per-partition offsets — never a single-partition global
+    // window) give the live count at every instant; per-day max is the
+    // peak. Ties are interchangeable so the per-day max is
+    // deterministic (graft.operators.SweepLine).
+    "q_concurrency" -> { (s, dir) =>
+      val iv = Tables.loadEvents(s, dir)
+        .select(unix_micros(col("ts")).as("s"),
+          (unix_micros(col("ts")) + 600L * 1000000L).as("e"))
+      graft.operators.SweepLine.concurrency(iv, "s", "e")
+        .groupBy((expr("t div 86400000000") * 86400L).as("d"))
+        .agg(max(col("concurrent")).as("peak"),
+          count(lit(1)).as("n_points"))
+        .orderBy("d")
+    },
+
+
+    // Point-in-time-correct dimension lookup — the SCD2 history
+    // actually USED: a value-tier dimension built from the event
+    // stream (Scd2.history), then each purchase fact joined to the
+    // version whose [valid_from, valid_to) interval contains the
+    // purchase timestamp. The warehouse query every "as of when it
+    // happened" report runs; the join is user-keyed equi + interval
+    // predicate, so it shuffles on the key, never cross.
+    "q_scd2_asof" -> { (s, dir) =>
+      val ev = Tables.loadEvents(s, dir)
+      val tiered = ev.select(col("user_id"), col("event_id"), col("ts"),
+        when(col("value") >= 100, "high").otherwise("low").as("tier"))
+      val dim = graft.operators.Scd2.history(tiered,
+        keyCols = Seq("user_id"), tsCol = "ts", attrCols = Seq("tier"),
+        tieCols = Seq("event_id"))
+        .select(col("user_id"), col("tier"),
+          unix_micros(col("valid_from")).as("vf"),
+          coalesce(unix_micros(col("valid_to")), lit(Long.MaxValue)).as("vt"))
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("fts"))
+      facts.join(dim, Seq("user_id"))
+        .filter(col("fts") >= col("vf") && col("fts") < col("vt"))
+        .select(col("user_id"), col("event_id"), col("fts"), col("tier"))
+        .orderBy("user_id", "event_id")
+    },
+
+
+    // Catalog statistics sweep (the ANALYZE TABLE complement of
+    // q_join_size's sketch estimate): per column of the four dimension
+    // tables, row count / exact NDV / null count — collected as ONE
+    // multi-distinct aggregate pass per table (Catalyst's Expand
+    // handles the distinct fan-out), then unpivoted to rows. These are
+    // the numbers a CBO's join reorder and broadcast decisions eat.
+    "q_catalog_stats" -> { (s, dir) =>
+      val frames = catalogSpec.map { case (t, cs) =>
+        val df = Tables.load(s, dir, t)
+        val aggs = Seq(count(lit(1)).as("__n")) ++ cs.flatMap { c =>
+          Seq(countDistinct(col(c)).as(s"__ndv_$c"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"))
+        }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        val entries = cs.map { c =>
+          struct(lit(c).as("column"), col(s"__ndv_$c").as("ndv"),
+            col(s"__nulls_$c").as("nulls"))
+        }
+        row.select(lit(t).as("tbl"), col("__n").as("n"),
+            explode(array(entries: _*)).as("e"))
+          .select(col("tbl"), col("e.column").as("col_name"), col("n"),
+            col("e.ndv"), col("e.nulls"))
+      }
+      frames.reduce(_.unionAll(_)).orderBy("tbl", "col_name")
+    },
+
+
+    // Join-key skew audit — the diagnostic run BEFORE reaching for
+    // q_salted_join's remedy: hottest keys by exact count plus the
+    // skew ratio vs a uniform spread (n·n_keys/total). One keyed agg;
+    // at 100 TB this is the cheap pre-flight that decides whether a
+    // shuffle needs salting or AQE skew handling.
+    "q_skew_audit" -> { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+      val counts = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      val tot = counts.agg(count(lit(1)).as("n_keys"), sum(col("n")).as("total"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("o_custkey"), col("n"),
+          round((col("n") * col("n_keys")).cast("double") / col("total"), 6)
+            .as("skew_ratio"))
+        .orderBy(col("n").desc, col("o_custkey"))
+        .limit(10)
+    },
+
+
+    // Orphan-file vacuum: plant uncommitted junk (temp/attempt/partial
+    // files) next to a committed write, vacuum the directory, read the
+    // aggregate THROUGH the cleaned copy against the raw-table oracle
+    // — proving committed data survived while the junk (which would
+    // crash or double-count a globbing reader) is gone. VacuumSpec
+    // asserts the census.
+    "q_vacuum" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_vacuum_$tag"
+      Tables.load(s, dir, "orders")
+        .repartition(8).write.mode("overwrite").parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq("part-junk.parquet.inprogress", ".nfs-stale", "task-tmp.tmp")
+        .foreach { n =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(path, n), true)
+          out.write(Array[Byte](1, 2, 3)); out.close()
+        }
+      graft.sources.Vacuum.vacuum(s, path)
+      s.read.parquet(path)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+
+    // ATOMIC TABLE COMMITS (round-10 directive #6): the manifest/
+    // commit-log layer (sources/CommitLog) under a live rewrite.
+    // lineitem lands as a committed multi-file table (replace = stage
+    // + one CAS manifest publish); a compaction then STAGES its
+    // single-file rewrite WITHOUT committing — the `mid_rewrite` read
+    // resolves the old manifest and must equal the pre-state even
+    // though the new files are already on disk; the commit is one
+    // atomic manifest swap, after which `committed` reads the
+    // compacted layout with identical content. A globbing reader
+    // would double-count mid-rewrite; the manifest reader cannot see
+    // a partial state by construction (crash windows pinned in
+    // CommitLogSpec). Oracle: the same aggregate from raw lineitem,
+    // once per phase — both phases MUST equal it.
+    "q_table_commit" -> { (s, dir) =>
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_commitlog_${stageTag(dir)}"
+      val base = Tables.load(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      import graft.sources.CommitLog
+      CommitLog.replace(s, base.repartition(8), table)
+      def agg(df: DataFrame, phase: String): DataFrame =
+        df.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+      // Stage the compacted rewrite; files hit disk, manifest untouched.
+      val staged = CommitLog.stage(s, CommitLog.read(s, table).coalesce(1), table)
+      val mid = agg(CommitLog.read(s, table), "mid_rewrite") // resolves pre-state
+      val preLive = CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get)
+      CommitLog.commit(s, table, adds = staged, removes = preLive)
+      val post = agg(CommitLog.read(s, table), "committed")
+      mid.unionByName(post).orderBy("phase", "l_returnflag")
+    },
+
+
+    // GIT-LIKE TABLE BRANCHES over the commit log (CommitLog refs,
+    // `path#branch`): dev forks main ZERO-COPY (the fork manifest
+    // lists main's live files), January data stays on main while
+    // February lands only on dev, and the snapshot merge adopts dev's
+    // head as a new main commit — three aggregates prove isolation
+    // before the merge and convergence after. BranchSpec pins the
+    // cross-ref vacuum-safety contract (shared files survive a
+    // one-ref vacuum).
+    "q_table_branch" -> { (s, dir) =>
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_branch_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      def month(m: String) = Tables.load(s, dir, "orders")
+        .filter(date_format(col("o_orderdate"), "yyyy-MM") === m)
+        .select((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      CommitLog.replace(s, month("1996-01").repartition(4), table)
+      val dev = CommitLog.createBranch(s, table, "dev")
+      CommitLog.append(s, month("1996-02").repartition(2), dev)
+      def agg(ref: String, phase: String): DataFrame =
+        CommitLog.read(s, ref)
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+      val pre = agg(table, "main_pre") // resolves main BEFORE the merge
+      val devAgg = agg(dev, "dev")
+      CommitLog.mergeBranch(s, table, dev)
+      val merged = agg(table, "main_merged")
+      pre.unionByName(devAgg).unionByName(merged).orderBy("phase")
+    },
+
+
+    // OPTIMISTIC-CONCURRENCY CONFLICT DETECTION (CommitLog.rewrite) —
+    // the serializability teeth of the commit layer: two compactors
+    // race to rewrite the SAME live files; the winner's CAS lands, and
+    // the loser's rewrite MUST abort (its read-set is gone — blindly
+    // retrying would commit a second copy of every row, the silent-
+    // duplication failure Delta/Iceberg's concurrent-delete rule
+    // exists to prevent). The loser's phase name encodes the outcome:
+    // if the conflict is NOT raised, the Spark side emits a different
+    // phase literal and the oracle compare goes red — the gate proves
+    // the exception fires, and the per-phase aggregates prove no row
+    // was ever duplicated or lost across the race.
+    "q_commit_conflict" -> { (s, dir) =>
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_commitconflict_${stageTag(dir)}"
+      val base = Tables.load(s, dir, "lineitem").select(
+        col("l_returnflag"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      import graft.sources.CommitLog
+      CommitLog.replace(s, base.repartition(8), table)
+      val live0 = CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get)
+      def agg(phase: String, files: Int): DataFrame =
+        CommitLog.read(s, table).groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+          .withColumn("files", lit(files.toLong))
+      val pre = agg("pre", live0.size)
+      // both compactors stage against version 1's live set…
+      val stagedA = CommitLog.stage(s, CommitLog.read(s, table).coalesce(1), table)
+      val stagedB = CommitLog.stage(s, CommitLog.read(s, table).coalesce(1), table)
+      // …A's CAS lands first
+      CommitLog.rewrite(s, table, adds = stagedA, removes = live0)
+      val winner = agg("winner", CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get).size)
+      val loserPhase =
+        try {
+          CommitLog.rewrite(s, table, adds = stagedB, removes = live0)
+          "loser_committed" // would be silent duplication — oracle reds
+        } catch {
+          case _: CommitLog.ConcurrentRewriteException => "loser_conflicted"
+        }
+      val after = agg(loserPhase, CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get).size)
+      pre.unionByName(winner).unionByName(after)
+        .orderBy("phase", "l_returnflag")
+    },
+
+
+    // MANIFEST-LEVEL DATA SKIPPING: lineitem lands as 8 range-
+    // clustered files whose integer [min, max] of l_orderkey ride IN
+    // the commit manifest; a range probe then selects files at the
+    // manifest — the driver never lists or opens a pruned file (on a
+    // 100 TB table: planning over one small JSON instead of every
+    // object-store key, the zone-map idea lifted from the footer to
+    // the log, as Delta/Iceberg do). Output carries both the pruning
+    // arithmetic (files_total/files_read — the bucket interval algebra
+    // the oracle replays) and the aggregate over the pruned-plus-
+    // residual-filtered read, which must equal the raw filtered
+    // aggregate: pruning may never lose a row.
+    "q_commit_skip" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_commitskip_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val mx = li.agg(max("l_orderkey")).head.getLong(0)
+      commitClustered(s,
+        li.withColumn("bk", expr(s"least(7, (l_orderkey * 8) div ${mx + 1})")),
+        table, "bk", "l_orderkey")
+      val lo = mx / 4
+      val hi = lo + mx / 8
+      val (total, sel) = CommitLog.prunedFiles(s, table, lo, hi)
+      CommitLog.readPruned(s, table, lo, hi)
+        .filter(col("l_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .withColumn("files_total", lit(total.toLong))
+        .withColumn("files_read", lit(sel.size.toLong))
+    },
+
+
+    // CDC READ FEED from the commit log: three transactional appends
+    // (events sliced by id residue), then `changesBetween(v1, v3)`
+    // reads exactly the files batches 2+3 added — the incremental-sync
+    // primitive: a consumer remembers its last version and never
+    // rescans the table (CommitLog.changesBetween; Delta CDF shape on
+    // append-only tables). Txn ids keep re-runs idempotent, so the
+    // version window is stable. Oracle: the residue predicate over raw
+    // events.
+    "q_table_changes" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_tblchanges_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val e = Tables.loadEvents(s, dir)
+        .select(col("event_id"), col("event_type"), col("user_id"))
+      val v1 = CommitLog.transactionalAppend(s,
+        e.filter(pmod(col("event_id"), lit(3)) === 0), table, "chg-b1")
+      CommitLog.transactionalAppend(s,
+        e.filter(pmod(col("event_id"), lit(3)) === 1), table, "chg-b2")
+      val v3 = CommitLog.transactionalAppend(s,
+        e.filter(pmod(col("event_id"), lit(3)) === 2), table, "chg-b3")
+      CommitLog.changesBetween(s, table, v1, v3)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_id"))
+        .orderBy("event_type")
+    },
+
+
+    // PARTIAL OVERWRITE BY PREDICATE (Delta's replaceWhere on this
+    // log): orders committed as a year-clustered table (one file per
+    // year, [min, max] year in the manifest), then fiscal-1996 is
+    // RE-STATED — every 1996 order's cents +5 — by ONE commit that
+    // swaps exactly the 1996 file for the staged restatement. Other
+    // years' files are untouched (same physical files before and
+    // after), a reader racing the restatement sees wholly old or
+    // wholly new 1996, and a replacement that strayed outside 1996 or
+    // a file straddling the range would throw rather than corrupt
+    // (CommitLogSpec). The oracle applies the restatement as a CASE
+    // over the raw table.
+    "q_replace_where" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_replwhere_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderstatus"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      commitClustered(s, o.withColumn("bk", col("yr")), table, "bk", "yr")
+      val restated = o.filter(col("yr") === 1996)
+        .withColumn("cents", col("cents") + 5)
+      CommitLog.replaceWhere(s, restated, table, 1996L, 1996L)
+      CommitLog.read(s, table)
+        .groupBy("yr")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .orderBy("yr")
+    },
+
+
+    // WRITE-AUDIT-PUBLISH: an expectation suite gates every publish —
+    // the good batch (documents with text) stages, audits clean
+    // against its STAGED files, and commits; a second batch with
+    // planted nulls (every 7th doc's text dropped) stages, FAILS the
+    // audit, and never gets a manifest. The table must therefore hold
+    // exactly the clean batch, and audit_rejected records that the
+    // dirty publish was refused — if the gate ever let it through, the
+    // counts would double/dirty and the oracle would flip. Exactly the
+    // Iceberg WAP pattern on this log (sources/CommitLog
+    // .writeAuditPublish); the txn id keeps re-runs idempotent.
+    "q_wap" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_wap_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      def audit(batch: DataFrame): Option[String] = {
+        val bad = batch.filter(col("text").isNull || length(col("text")) === 0)
+          .count()
+        if (bad > 0) Some(s"$bad null/empty texts") else None
+      }
+      val good = CommitLog.writeAuditPublish(s,
+        docs.filter(col("text").isNotNull && length(col("text")) > 0),
+        table, audit, txn = "wap-good-1")
+      require(good.isRight, s"clean batch must publish: $good")
+      val dirty = CommitLog.writeAuditPublish(s,
+        docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(null: String))
+            .otherwise(col("text"))),
+        table, audit)
+      require(dirty.isLeft, "planted nulls must be rejected")
+      CommitLog.read(s, table)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("chars"))
+        .withColumn("audit_rejected", lit(if (dirty.isLeft) 1L else 0L))
+        .orderBy("source")
+    },
+
+
+    // TIME TRAVEL through the commit log: two committed versions of
+    // an orders table (a pre-1996 slice, then a full-corpus replace);
+    // `readVersion` pins the older snapshot while `read` serves the
+    // head — both resolve their own manifest's file list, so the
+    // answer for a version never changes after later commits (the
+    // replace keeps old files on disk until vacuum). The audit/replay
+    // primitive a training pipeline needs: "which corpus did run X
+    // read?" stays answerable. Oracle recomputes both snapshots from
+    // the raw table with the slice predicate.
+    "q_time_travel" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_timetravel_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderstatus"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val vPast = CommitLog.replace(s,
+        o.filter(col("o_orderdate") < "1996-01-01"), table)
+      CommitLog.replace(s, o, table)
+      def agg(df: DataFrame, phase: String): DataFrame =
+        df.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+      agg(CommitLog.readVersion(s, table, vPast), "past")
+        .unionByName(agg(CommitLog.read(s, table), "head"))
+        .orderBy("phase", "o_orderstatus")
+    },
+
+
+    // JSON property extraction + aggregation over the `props` column.
+    "q_json" -> { (s, dir) =>
+      Tables.loadEvents(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n"),
+          round(avg(col("k")), 6).as("avg_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    },
+
+
+    // Type-2 SCD history from the raw event stream: per user, collapse
+    // consecutive equal event_type runs into [valid_from, valid_to)
+    // validity rows with an is_current flag — the warehouse
+    // point-in-time-join shape, built by gaps-and-islands (two keyed
+    // shuffles, no joins, no driver state; graft.operators.Scd2).
+    "q_scd2" -> { (s, dir) =>
+      Scd2.history(
+        Tables.loadEvents(s, dir).select("user_id", "event_id", "event_type", "ts"),
+        keyCols = Seq("user_id"), tsCol = "ts", attrCols = Seq("event_type"),
+        tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("valid_from"),
+          unix_micros(col("valid_to")).as("valid_to"),
+          col("n_rows"),
+          col("is_current").cast("long").as("is_current"))
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+
+
+    // One-call numeric profiling (the "describe" long form): per
+    // column non-null/distinct/min/max/mean in ONE aggregation job
+    // (graft.stats.Profile).
+    "q_profile" -> { (s, dir) =>
+      graft.stats.Profile.numeric(Tables.load(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("column")
+    },
+
+
+    // Iceberg-style POSITION DELETES (merge-on-read): lineitem staged
+    // as 8 position-addressed data files, a quantity predicate lands
+    // as small (file_id, pos) delete files, and the reader subtracts
+    // them with one keyed anti join — data files never rewritten (the
+    // GDPR-delete path at 100 TB; copy-on-write is q_replace_where).
+    // n_deleted is read from the delete FILES, n_live + an exact
+    // integer membership checksum from the MoR read, so the gate
+    // proves both artifacts, not just the final filter
+    // (graft.sources.DeleteVectors; non-destructiveness + dense-pos
+    // invariants in DeleteVectorsSpec).
+    "q_delete_vectors" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dv_$tag"
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        pmod(col("l_orderkey"), lit(8L)).as("file_id"))
+      graft.sources.DeleteVectors.stage(li, "file_id",
+        Seq("l_orderkey", "l_linenumber"), s"$base/data")
+      graft.sources.DeleteVectors.writeDeletes(s, s"$base/data",
+        s"$base/deletes", col("l_quantity") >= 45, "file_id")
+      val live = graft.sources.DeleteVectors.readMor(s, s"$base/data",
+        s"$base/deletes", "file_id")
+      val liveAgg = live.groupBy("file_id").agg(
+        count(lit(1)).as("n_live"),
+        sum(pmod(col("l_orderkey"), lit(1000L)) + col("l_linenumber"))
+          .as("live_checksum"))
+      val delAgg = s.read.parquet(s"$base/deletes")
+        .groupBy("file_id").agg(count(lit(1)).as("n_deleted"))
+      liveAgg.join(delAgg, Seq("file_id"), "left")
+        .select(col("file_id"), col("n_live"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          col("live_checksum"))
+        .orderBy("file_id")
+    },
+
+
+    // PARTITION-SPEC EVOLUTION: history stays year-partitioned, 1996+
+    // data lands month-partitioned, and ONE date-range predicate
+    // prunes both layouts (string partition ranges — lexicographic on
+    // yyyy / yyyy-MM is chronological — plus the exact row filter).
+    // The rewrite this avoids at 100 TB is re-partitioning years of
+    // history to adopt a finer spec. Output counts partitions touched
+    // per layout; directory-level pruning itself is plan-pinned in
+    // PartitionEvolutionSpec (graft.sources.PartitionEvolution).
+    "q_partition_evolution" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_pe_$tag"
+      val oldL = graft.sources.PartitionEvolution.Layout(
+        "year", s"$base/old", "yyyy")
+      val newL = graft.sources.PartitionEvolution.Layout(
+        "month", s"$base/new", "yyyy-MM")
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderdate"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      graft.sources.PartitionEvolution.write(
+        o.filter(col("o_orderdate") < "1996-01-01"), "o_orderdate", oldL)
+      graft.sources.PartitionEvolution.write(
+        o.filter(col("o_orderdate") >= "1996-01-01"), "o_orderdate", newL)
+      graft.sources.PartitionEvolution.readRange(s, Seq(oldL, newL),
+          "o_orderdate", "1995-06-01", "1996-09-30")
+        .groupBy("layout")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          countDistinct(col("part_value")).as("n_partitions"))
+        .orderBy("layout")
+    },
+
+
+    // TRANSACTIONAL merge-on-read: q_equality_deletes' sequence rule
+    // with the delete files IN the commit-log manifest (the Iceberg
+    // v2 shape) — one atomic commit makes the delete visible, and
+    // TIME TRAVEL reads straight through it (the pre-delete version
+    // lists no delete file, so the rows are simply back). Output
+    // unions the v1 snapshot (pre-delete) and the v3 head (delete +
+    // reinsert applied): both sides of the atomicity story in one
+    // oracle (graft.sources.MorTable; crash/visibility invariants in
+    // MorTableSpec).
+    "q_commit_mor" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mor_$tag/t"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+      val v1 = graft.sources.MorTable.appendData(s, o, 1L, table)
+      graft.sources.MorTable.commitDeletes(s,
+        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        2L, table)
+      val v3 = graft.sources.MorTable.appendData(s,
+        o.filter(col("o_orderkey") % 7 === 0), 3L, table)
+      def agg(version: Long, tagName: String) =
+        graft.sources.MorTable.readMor(s, table, Seq("o_orderkey"),
+            Some(version))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+            sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
+            sum(col("data_seq")).as("seq_sum"))
+          .withColumn("snapshot", lit(tagName))
+      agg(v1, "v1").unionAll(agg(v3, "v3"))
+        .select("snapshot", "o_orderstatus", "n", "key_checksum",
+          "seq_sum")
+        .orderBy("snapshot", "o_orderstatus")
+    },
+
+
+    // MoR COMPACTION pays off the delete debt: materialize the
+    // current merge-on-read state as fresh data files and retire old
+    // data + delete files in ONE rewrite commit (which aborts on a
+    // racing touch of its read set — no resurrection window). Rows
+    // keep their data_seq, so the compacted read is
+    // indistinguishable (the oracle IS the uncompacted semantics)
+    // and n_delete_files proves the debt is gone
+    // (graft.sources.MorTable.compact; invariants in MorTableSpec).
+    "q_mor_compact" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_morc_$tag/t"
+      val fs = new org.apache.hadoop.fs.Path(table)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(table), true)
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+      graft.sources.MorTable.appendData(s, o, 1L, table)
+      graft.sources.MorTable.commitDeletes(s,
+        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        2L, table)
+      graft.sources.MorTable.appendData(s,
+        o.filter(col("o_orderkey") % 7 === 0), 3L, table)
+      val vC = graft.sources.MorTable.compact(s, table, Seq("o_orderkey"))
+      val nDel = graft.sources.CommitLog.liveFiles(s, table, vC)
+        .count(_.startsWith("deletes-")).toLong
+      graft.sources.MorTable.readMor(s, table, Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
+          sum(col("data_seq")).as("seq_sum"))
+        .withColumn("n_delete_files", lit(nDel))
+        .orderBy("o_orderstatus")
+    },
+
+
+    // Iceberg-style EQUALITY DELETES (the CDC flavor of
+    // q_delete_vectors): the delete file names KEY VALUES plus a
+    // sequence number; a row dies iff some delete matches its key
+    // with delete_seq > data_seq, so a delete+reinsert pair replays
+    // correctly in any file order. Base snapshot (seq 1), 'F'-status
+    // keys deleted at seq 2, every %7 order re-appended at seq 3 and
+    // surviving its own deletion. One equi anti join with the
+    // sequence inequality as residual; seq_sum in the output proves
+    // the sequence logic, not just final membership
+    // (graft.sources.DeleteVectors.readMorEquality).
+    "q_equality_deletes" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_eqdel_$tag"
+      val o = Tables.load(s, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_custkey")
+      graft.sources.DeleteVectors.stageSnapshot(o, 1L, s"$base/snap1")
+      graft.sources.DeleteVectors.writeEqualityDeletes(
+        o.filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        2L, s"$base/deletes")
+      graft.sources.DeleteVectors.stageSnapshot(
+        o.filter(col("o_orderkey") % 7 === 0), 3L, s"$base/snap2")
+      graft.sources.DeleteVectors.readMorEquality(s,
+          Seq(s"$base/snap1", s"$base/snap2"), s"$base/deletes",
+          Seq("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(pmod(col("o_orderkey"), lit(1000L))).as("key_checksum"),
+          sum(col("data_seq")).as("seq_sum"))
+        .orderBy("o_orderstatus")
+    },
+
+
+    // ORC sink/source fidelity: lineitem's mixed types (long, string,
+    // exact cents, date) through a write→read ORC round trip, then a
+    // per-flag aggregate whose row-identity term — an order-independent
+    // DECIMAL(38,0) sum of per-row 60-bit md5 hashes over the key and
+    // the date — would flip if the codec bent any row. The oracle
+    // computes the same aggregate from the parquet it never left.
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$tag"
+      Tables.load(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("cents"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"))
+        .write.mode("overwrite").orc(base)
+      val back = s.read.orc(base)
+      // 60-bit per-row hash, summed losslessly inside int64 as two
+      // 30-bit halves: sum(h) == sum(hi)·2^30 + sum(lo), and each half
+      // sum stays ≤ n·2^30 « 2^63. A single DECIMAL(38,0) sum is exact
+      // too, but >18-digit numerics turn float64 in the oracle's pandas
+      // bridge and hash-mismatch (VERDICT r10) — never emit one.
+      val h = conv(substring(md5(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("sd"))), 1, 15), 16, 10)
+        .cast("long")
+      back.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          min(col("sd")).as("min_sd"), max(col("sd")).as("max_sd"),
+          sum(shiftright(h, 30)).as("rowhash_hi"),
+          sum(h.bitwiseAND(lit(1073741823L))).as("rowhash_lo"))
+        .orderBy("l_returnflag")
+    },
+
+
+    // CSV sink/source fidelity under hostile content: every payload
+    // embeds a double quote, a comma, a newline, and a pipe before the
+    // write (the fixture's prose is delimiter-free — constructing the
+    // hard case is the test), round-trips through a quoted multiLine
+    // CSV, and must hash identically per source afterwards. This is
+    // the reference's own text-serialization concern (its whole MR
+    // pipeline rides on line formats; SURVEY §2 rows 1-2) answered
+    // with RFC-4180 quoting instead of fixed-width columns.
+    "q_csv_roundtrip" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$tag"
+      Tables.load(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          concat(substring(col("text"), 1, 40), lit("\",\n|"), col("lang"))
+            .as("payload"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(base)
+      val back = s.read
+        .schema("doc_id LONG, source STRING, payload STRING")
+        .option("header", "true").option("multiLine", "true")
+        .option("escape", "\"")
+        .csv(base)
+      // Same lossless two-half int64 hash sum as q_orc_roundtrip.
+      val h = conv(substring(md5(col("payload")), 1, 15), 16, 10)
+        .cast("long")
+      back.groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(shiftright(h, 30)).as("payload_hash_hi"),
+          sum(h.bitwiseAND(lit(1073741823L))).as("payload_hash_lo"),
+          sum(length(col("payload"))).as("chars"))
+        .orderBy("source")
+    },
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    // The plain (unbucketed) join — bucketing is a storage layout, the
+    // answer must not move.
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // arg_min/arg_max by the unique version replay the struct
+    // min/max; same first/last net rule.
+    "q_cdc_collapse" ->
+      """WITH c AS (
+        |  SELECT o_custkey % 500 AS key, o_orderkey AS version,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 'D'
+        |         WHEN o_orderkey % 10 < 4 THEN 'I' ELSE 'U' END AS op,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |g AS (
+        |  SELECT key, arg_min(op, version) AS fop,
+        |    arg_max(op, version) AS lop,
+        |    arg_max(cents, version) AS lcents
+        |  FROM c GROUP BY 1),
+        |n AS (
+        |  SELECT key,
+        |    CASE WHEN fop = 'I' AND lop = 'D' THEN 'none'
+        |         WHEN lop = 'D' THEN 'delete'
+        |         WHEN fop = 'I' THEN 'insert'
+        |         ELSE 'update' END AS net_op,
+        |    lcents
+        |  FROM g)
+        |SELECT net_op, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(key) AS BIGINT) AS key_checksum,
+        |  CAST(sum(CASE WHEN net_op IN ('insert', 'update')
+        |    THEN lcents ELSE 0 END) AS BIGINT) AS cents_sum
+        |FROM n GROUP BY net_op ORDER BY net_op""".stripMargin,
+
+
+    // Four independent group-profile aggregates, one per candidate.
+    "q_fd_audit" ->
+      """WITH a1 AS (SELECT o_orderkey AS l, count(DISTINCT o_custkey) AS k
+        |            FROM orders GROUP BY 1),
+        |a2 AS (SELECT o_custkey AS l, count(DISTINCT o_orderpriority) AS k
+        |       FROM orders GROUP BY 1),
+        |a3 AS (SELECT l_orderkey AS l, count(DISTINCT l_linestatus) AS k
+        |       FROM lineitem GROUP BY 1),
+        |a4 AS (SELECT l_partkey AS l, count(DISTINCT l_returnflag) AS k
+        |       FROM lineitem GROUP BY 1)
+        |SELECT fd, n_lhs, n_violating, max_rhs FROM (
+        |  SELECT 'o_orderkey->o_custkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_lhs,
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violating,
+        |    CAST(max(k) AS BIGINT) AS max_rhs FROM a1
+        |  UNION ALL
+        |  SELECT 'o_custkey->o_orderpriority',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT) FROM a2
+        |  UNION ALL
+        |  SELECT 'l_orderkey->l_linestatus',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT) FROM a3
+        |  UNION ALL
+        |  SELECT 'l_partkey->l_returnflag',
+        |    CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(max(k) AS BIGINT) FROM a4)
+        |ORDER BY fd""".stripMargin,
+
+
+    // Packing replay: exclusive cumulative sum of the replayed BPE
+    // counts in doc_id order, then each doc's span exploded over its
+    // overlapped 512-token sequences — identical integer arithmetic
+    // (floor division, greatest/least span clamps) to Packing.pack.
+    "q_pack" ->
+      ("WITH " + bpeTokenCountCtes(BpeSteps) + """,
+        |p AS (
+        |  SELECT doc_id, bpe_tokens,
+        |    CAST(coalesce(sum(bpe_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM tc WHERE bpe_tokens > 0),
+        |x AS (
+        |  SELECT doc_id, bpe_tokens, off,
+        |    CAST(unnest(range(off // 512, (off + bpe_tokens - 1) // 512 + 1)) AS BIGINT) AS seq_id
+        |  FROM p)
+        |SELECT doc_id, seq_id,
+        |  CAST(greatest(seq_id * 512, off) - seq_id * 512 AS BIGINT) AS seq_pos,
+        |  CAST(greatest(seq_id * 512, off) - off AS BIGINT) AS tok_from,
+        |  CAST(least((seq_id + 1) * 512, off + bpe_tokens) - off AS BIGINT) AS tok_to
+        |FROM x ORDER BY seq_id, seq_pos""".stripMargin),
+
+
+    // The window row_number mirror of the distributed global rank
+    // (same total order: size desc, doc_id).
+    "q_shard_balance" ->
+      """WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT (rank - 1) % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // The union-with-NULLs the mergeSchema read materializes.
+    "q_schema_merge" ->
+      """WITH m AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(NULL AS VARCHAR) AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, CAST(NULL AS DOUBLE), o_orderpriority
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT coalesce(o_orderpriority, '?') AS priority, count(*) AS n,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS sum_price
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Raw table — compaction must not move the answer.
+    "q_compaction" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Recomputed from the base table — the MV-merged rollup must be
+    // indistinguishable from the direct aggregate.
+    "q_mv_rewrite" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+
+    "q_zorder" -> zorderOracle(8),
+
+
+    // One UNION ALL branch per check, same metric definitions.
+    "q_dq" ->
+      """SELECT * FROM (
+        |  SELECT 'in_range:o_totalprice' AS check_name,
+        |    CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |                   AND (o_totalprice < 0 OR o_totalprice > 450000)
+        |             THEN 1 ELSE 0 END) AS DOUBLE) AS metric,
+        |    sum(CASE WHEN o_totalprice IS NOT NULL
+        |              AND (o_totalprice < 0 OR o_totalprice > 450000)
+        |        THEN 1 ELSE 0 END) <= 0 AS pass
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'not_null:o_custkey',
+        |    round(CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |          / count(*), 6),
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |          / count(*) <= 0.0
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'ref_integrity:o_custkey',
+        |    CAST((SELECT count(*) FROM orders o
+        |          LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |            ON o.o_custkey = c.c_custkey
+        |          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS DOUBLE),
+        |    (SELECT count(*) FROM orders o
+        |     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |       ON o.o_custkey = c.c_custkey
+        |     WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) = 0
+        |  UNION ALL
+        |  SELECT 'unique_key:o_orderkey',
+        |    CAST((SELECT count(*) FROM (
+        |      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS DOUBLE),
+        |    (SELECT count(*) FROM (
+        |      SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) = 0
+        |) ORDER BY check_name""".stripMargin,
+
+
+    // Latest order key wins per customer; base rows at version −1.
+    "q_upsert" ->
+      """WITH b AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        |    CAST(-1 AS BIGINT) AS version
+        |  FROM customer),
+        |u AS (
+        |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS acctbal,
+        |    o_orderkey AS version
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM b UNION ALL SELECT * FROM u))
+        |SELECT c_custkey, acctbal, version FROM r WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+
+    // Full-outer join + one first-match CASE per category (disjoint
+    // categories, so clause order only matters within MATCHED — the
+    // active-credit clause outranks the low-spend purge).
+    "q_merge_into" ->
+      """WITH t AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    c_mktsegment AS seg
+        |  FROM customer WHERE c_acctbal >= 0),
+        |s AS (
+        |  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS total
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(t.k, s.k) AS k, t.cents, t.seg, s.n_orders, s.total,
+        |    t.k IS NOT NULL AS has_t, s.k IS NOT NULL AS has_s
+        |  FROM t FULL OUTER JOIN s ON t.k = s.k),
+        |a AS (
+        |  SELECT *, CASE
+        |    WHEN has_t AND has_s AND n_orders >= 20 THEN 1000
+        |    WHEN has_t AND has_s AND total < 5000000 THEN 1001
+        |    WHEN NOT has_t AND has_s THEN 2000
+        |    WHEN has_t AND NOT has_s THEN 3000
+        |    ELSE 0 END AS act
+        |  FROM j)
+        |SELECT k AS custkey,
+        |  CASE act WHEN 1000 THEN cents + total // 100
+        |           WHEN 2000 THEN total // 1000
+        |           ELSE cents END AS cents,
+        |  CASE act WHEN 2000 THEN 'NEW'
+        |           WHEN 3000 THEN 'DORMANT'
+        |           ELSE seg END AS mktsegment
+        |FROM a WHERE act <> 1001
+        |ORDER BY custkey""".stripMargin,
+
+
+    // Each edge replayed as per-key counts + NOT IN against parent
+    // distinct keys — same collapse-before-join shape.
+    "q_fk_audit" -> {
+      def block(name: String, child: String, ck: String,
+          parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS child_rows,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child WHERE $ck IS NULL) AS null_keys,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child
+           |   WHERE $ck IS NOT NULL
+           |     AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)) AS orphan_rows,
+           |  (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $child
+           |   WHERE $ck IS NOT NULL
+           |     AND $ck NOT IN (SELECT $pk FROM $parent WHERE $pk IS NOT NULL)) AS orphan_keys""".stripMargin
+      Seq(
+        block("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        block("events.user_id->customer_solvent", "events", "user_id",
+          "(SELECT * FROM customer WHERE c_acctbal >= 0)", "c_custkey"),
+        block("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        block("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        block("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        block("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk")
+    },
+
+
+    // Both layouts replayed: same z interleave as q_zorder, same
+    // row_number file cuts, probes as a VALUES table.
+    "q_zorder_skip" -> {
+      val bits = 8
+      val termsP = (0 until bits).map(i => s"(((bp >> $i) & 1) << ${i * 2})").mkString(" + ")
+      val termsS = (0 until bits).map(i => s"(((bs >> $i) & 1) << ${i * 2 + 1})").mkString(" + ")
+      s"""WITH mm AS (
+         |  SELECT min(l_partkey) AS pmn0, max(l_partkey) AS pmx0,
+         |    min(l_suppkey) AS smn0, max(l_suppkey) AS smx0
+         |  FROM lineitem),
+         |b AS (
+         |  SELECT l_partkey AS p, l_suppkey AS s, l_orderkey, l_linenumber,
+         |    ((l_partkey - (SELECT pmn0 FROM mm)) * ${1 << bits})
+         |      // ((SELECT pmx0 FROM mm) - (SELECT pmn0 FROM mm) + 1) AS bp,
+         |    ((l_suppkey - (SELECT smn0 FROM mm)) * ${1 << bits})
+         |      // ((SELECT smx0 FROM mm) - (SELECT smn0 FROM mm) + 1) AS bs
+         |  FROM lineitem),
+         |z AS (SELECT p, s, l_orderkey, l_linenumber,
+         |        CAST($termsP + $termsS AS BIGINT) AS zval FROM b),
+         |rs AS (SELECT p, s,
+         |         row_number() OVER (ORDER BY p, l_orderkey, l_linenumber) AS rk
+         |       FROM z),
+         |rz AS (SELECT p, s,
+         |         row_number() OVER (ORDER BY zval, l_orderkey, l_linenumber) AS rk
+         |       FROM z),
+         |fs AS (SELECT 'sort_partkey' AS layout, (rk - 1) // 2048 AS f,
+         |         min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
+         |         count(*) AS n
+         |       FROM rs GROUP BY 1, 2),
+         |fz AS (SELECT 'zorder' AS layout, (rk - 1) // 2048 AS f,
+         |         min(p) AS pmn, max(p) AS pmx, min(s) AS smn, max(s) AS smx,
+         |         count(*) AS n
+         |       FROM rz GROUP BY 1, 2),
+         |ff AS (SELECT * FROM fs UNION ALL SELECT * FROM fz),
+         |pr AS (SELECT * FROM (VALUES
+         |         ('p', 100, 199, 0, 100000000),
+         |         ('ps', 100, 199, 10, 19),
+         |         ('s', 0, 100000000, 10, 19))
+         |       AS t(probe, plo, phi, slo, shi))
+         |SELECT layout, probe, CAST(count(*) AS BIGINT) AS files_total,
+         |  CAST(sum(CASE WHEN pmx >= plo AND pmn <= phi
+         |                 AND smx >= slo AND smn <= shi
+         |            THEN 1 ELSE 0 END) AS BIGINT) AS files_read,
+         |  CAST(sum(CASE WHEN pmx >= plo AND pmn <= phi
+         |                 AND smx >= slo AND smn <= shi
+         |            THEN n ELSE 0 END) AS BIGINT) AS rows_read
+         |FROM ff CROSS JOIN pr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
+
+    // Deterministic file cuts replayed as row_number div rowsPerFile.
+    "q_minmax_index" ->
+      """WITH d AS (
+        |  SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS d,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT d, row_number() OVER (ORDER BY d, l_orderkey, l_linenumber) AS rk
+        |  FROM d),
+        |f AS (
+        |  SELECT (rk - 1) // 4096 AS file_id, count(*) AS n,
+        |    min(d) AS min_v, max(d) AS max_v
+        |  FROM r GROUP BY 1)
+        |SELECT file_id, CAST(n AS BIGINT) AS n, min_v, max_v,
+        |  max_v >= '1995-06-01' AND min_v <= '1995-08-31' AS reads_for_probe
+        |FROM f ORDER BY file_id""".stripMargin,
+
+
+    // Same md5 hash-order layout and bit positions; bloom membership
+    // replayed as per-position EXISTS over the exploded set.
+    "q_bloom_index" -> {
+      def posSql(v: String, i: Int): String =
+        s"(('0x' || substr(md5('bl$i|' || $v), 1, 15))::BIGINT % 16384)"
+      val rowPos = (0 until 4)
+        .map(i => posSql("CAST(l_orderkey AS VARCHAR)", i)).mkString(", ")
+      val pv = "(SELECT CAST(min(l_orderkey) AS VARCHAR) FROM lineitem " +
+        "WHERE l_orderkey >= (SELECT max(l_orderkey) // 2 FROM lineitem))"
+      val pvN = "(SELECT min(l_orderkey) FROM lineitem " +
+        "WHERE l_orderkey >= (SELECT max(l_orderkey) // 2 FROM lineitem))"
+      val probePos = (0 until 4).map(i => posSql(pv, i))
+      s"""WITH b AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    md5(CAST(l_orderkey AS VARCHAR) || '#' ||
+         |        CAST(l_linenumber AS VARCHAR)) AS h
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT l_orderkey,
+         |    row_number() OVER (ORDER BY h, l_orderkey, l_linenumber) AS rk
+         |  FROM b),
+         |f AS (SELECT (rk - 1) // 4096 AS file_id, l_orderkey FROM r),
+         |pos AS (
+         |  SELECT file_id, unnest([$rowPos]) AS p FROM f),
+         |g AS (
+         |  SELECT file_id, CAST(count(*) AS BIGINT) AS n_positions,
+         |    CAST(count(DISTINCT p) AS BIGINT) AS bloom_size,
+         |    ${probePos.zipWithIndex.map { case (p, i) =>
+               s"bool_or(p = $p) AS hit$i" }.mkString(",\n         |    ")}
+         |  FROM pos GROUP BY 1),
+         |mm AS (
+         |  SELECT file_id, CAST(count(*) AS BIGINT) AS n,
+         |    min(l_orderkey) AS min_v, max(l_orderkey) AS max_v
+         |  FROM f GROUP BY 1)
+         |SELECT g.file_id, mm.n, g.n_positions, g.bloom_size,
+         |  mm.min_v, mm.max_v,
+         |  g.hit0 AND g.hit1 AND g.hit2 AND g.hit3 AS reads_bloom,
+         |  mm.max_v >= $pvN AND mm.min_v <= $pvN AS reads_zone
+         |FROM g JOIN mm ON g.file_id = mm.file_id
+         |ORDER BY g.file_id""".stripMargin
+    },
+
+
+    // Tombstone semantics: the rn=1 winner is consulted, then 'D'
+    // winners are erased — base rows included.
+    "q_cdc_delete" ->
+      """WITH b AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS acctbal,
+        |    CAST(-1 AS BIGINT) AS version, 'I' AS op
+        |  FROM customer),
+        |ch AS (
+        |  SELECT o_custkey AS c_custkey, round(o_totalprice, 2) AS acctbal,
+        |    o_orderkey AS version,
+        |    CASE WHEN o_orderkey % 10 < 2 THEN 'D' ELSE 'U' END AS op
+        |  FROM orders),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY c_custkey
+        |                               ORDER BY version DESC) AS rn
+        |  FROM (SELECT * FROM b UNION ALL SELECT * FROM ch))
+        |SELECT c_custkey, acctbal, version FROM r
+        |WHERE rn = 1 AND op <> 'D'
+        |ORDER BY c_custkey""".stripMargin,
+
+
+    // FULL OUTER JOIN mirror of the union+agg diff; identical
+    // NUL-separated, SOH-null-sentinel md5 payload.
+    "q_table_diff" ->
+      """WITH oldv AS (
+        |  SELECT o_orderkey AS k,
+        |    md5(concat_ws(chr(0), coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+        |                  coalesce(o_orderstatus, chr(1)))) AS h
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |newv AS (
+        |  SELECT o_orderkey AS k,
+        |    md5(concat_ws(chr(0), coalesce(CAST(o_custkey AS VARCHAR), chr(1)),
+        |                  coalesce(CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+        |                           ELSE o_orderstatus END, chr(1)))) AS h
+        |  FROM orders WHERE o_orderkey % 5 <> 0)
+        |SELECT coalesce(o.k, n.k) AS o_orderkey,
+        |  CASE WHEN o.k IS NULL THEN 'added'
+        |       WHEN n.k IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed' END AS change,
+        |  o.h AS old_hash, n.h AS new_hash
+        |FROM oldv o FULL JOIN newv n ON o.k = n.k
+        |WHERE o.k IS NULL OR n.k IS NULL OR o.h <> n.h
+        |ORDER BY o_orderkey""".stripMargin,
+
+
+    // Sweep replayed as one ordered window (fine at oracle scale);
+    // peer-order nondeterminism cancels in the per-day max.
+    "q_concurrency" ->
+      """WITH iv AS (
+        |  SELECT epoch_us(ts) AS s, epoch_us(ts) + 600000000 AS e
+        |  FROM events),
+        |pts AS (
+        |  SELECT s AS t, 1 AS delta FROM iv
+        |  UNION ALL SELECT e, -1 FROM iv),
+        |run AS (
+        |  SELECT t, delta,
+        |    sum(delta) OVER (ORDER BY t, delta
+        |                     ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM pts)
+        |SELECT (t // 86400000000) * 86400 AS d,
+        |  CAST(max(c) AS BIGINT) AS peak,
+        |  CAST(count(*) AS BIGINT) AS n_points
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Tier-attribute SCD2 intervals (the q_scd2 gaps-and-islands
+    // shape), then the interval-containment fact join.
+    "q_scd2_asof" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN value >= 100 THEN 'high' ELSE 'low' END AS tier
+        |  FROM events),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM o),
+        |m AS (SELECT *, CASE WHEN rn = 1 OR tier IS DISTINCT FROM prev
+        |                THEN 1 ELSE 0 END AS chg FROM w),
+        |r AS (SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run FROM m),
+        |g AS (SELECT user_id, run, min(tier) AS tier,
+        |        min(epoch_us(ts)) AS vf FROM r GROUP BY 1, 2),
+        |d AS (SELECT user_id, tier, vf,
+        |        coalesce(lead(vf) OVER (PARTITION BY user_id ORDER BY run),
+        |                 9223372036854775807) AS vt
+        |      FROM g),
+        |f AS (SELECT user_id, event_id, epoch_us(ts) AS fts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.user_id, f.event_id, f.fts, d.tier
+        |FROM f JOIN d ON f.user_id = d.user_id
+        |  AND f.fts >= d.vf AND f.fts < d.vt
+        |ORDER BY f.user_id, f.event_id""".stripMargin,
+
+
+    // Per-column selects generated from the same catalogSpec.
+    "q_catalog_stats" -> {
+      val selects = catalogSpec.flatMap { case (t, cs) =>
+        cs.map { c =>
+          s"""SELECT '$t' AS tbl, '$c' AS col_name,
+             |  CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS ndv,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls
+             |FROM $t""".stripMargin
+        }
+      }.mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$selects\n) ORDER BY tbl, col_name"
+    },
+
+
+    "q_skew_audit" ->
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(sum(n) AS BIGINT) AS total FROM c)
+        |SELECT o_custkey, n,
+        |  round(CAST(n * (SELECT n_keys FROM t) AS DOUBLE) / (SELECT total FROM t), 6)
+        |    AS skew_ratio
+        |FROM c ORDER BY n DESC, o_custkey LIMIT 10""".stripMargin,
+
+
+    // Vacuum is answer-invariant: the aggregate through the cleaned
+    // directory equals the raw-table aggregate.
+    "q_vacuum" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Both phases — a read racing the staged-but-uncommitted rewrite
+    // and a read after the atomic manifest swap — must equal the raw
+    // aggregate: the commit log admits no third state.
+    "q_table_commit" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.l_returnflag, a.n, a.cents, p.phase
+        |FROM a CROSS JOIN (VALUES ('committed'), ('mid_rewrite')) p(phase)
+        |ORDER BY p.phase, a.l_returnflag""".stripMargin,
+
+
+    // main_pre = January only; dev and the merged main = Jan + Feb.
+    "q_table_branch" ->
+      """WITH m AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |jan AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents
+        |        FROM m WHERE ym = '1996-01'),
+        |jf AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents
+        |        FROM m WHERE ym IN ('1996-01', '1996-02'))
+        |SELECT n, cents, 'dev' AS phase FROM jf
+        |UNION ALL SELECT n, cents, 'main_merged' FROM jf
+        |UNION ALL SELECT n, cents, 'main_pre' FROM jan
+        |ORDER BY phase""".stripMargin,
+
+
+    // Three phases of the same aggregate (nothing duplicated, nothing
+    // lost across the race) with the expected live-file count per
+    // phase; 'loser_conflicted' asserts the exception fired — a
+    // non-conflicting loser would emit 'loser_committed' and red this
+    // row.
+    "q_commit_conflict" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT a.l_returnflag, a.n, a.cents, p.phase, CAST(p.files AS BIGINT) AS files
+        |FROM a CROSS JOIN (VALUES ('pre', 8), ('winner', 1),
+        |                          ('loser_conflicted', 1)) p(phase, files)
+        |ORDER BY p.phase, a.l_returnflag""".stripMargin,
+
+
+    // The bucket interval algebra (which range-clustered files a probe
+    // must read) and the no-rows-lost aggregate, both from the raw
+    // table. Spark's `div` and DuckDB's `//` agree on the positive
+    // operands used here.
+    "q_commit_skip" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+        |b AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    LEAST(7, (l_orderkey * 8) // ((SELECT m FROM mx) + 1)) AS bk
+        |  FROM lineitem),
+        |probe AS (SELECT (SELECT m FROM mx) // 4 AS lo,
+        |                 (SELECT m FROM mx) // 4 + (SELECT m FROM mx) // 8 AS hi),
+        |fs AS (SELECT bk, min(l_orderkey) AS mn, max(l_orderkey) AS mxk
+        |       FROM b GROUP BY bk),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |  CAST(sum(CASE WHEN mxk >= (SELECT lo FROM probe)
+        |                 AND mn <= (SELECT hi FROM probe)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS files_read
+        |  FROM fs),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents
+        |        FROM b
+        |        WHERE l_orderkey BETWEEN (SELECT lo FROM probe)
+        |          AND (SELECT hi FROM probe))
+        |SELECT a.n, a.cents, c.files_total, c.files_read
+        |FROM cnt c, agg a""".stripMargin,
+
+
+    // The change window = batches 2+3 = the id-residue complement of
+    // batch 1.
+    "q_table_changes" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events WHERE event_id % 3 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // The restatement as a CASE over the raw table: 1996 rows +5
+    // cents, everything else untouched.
+    "q_replace_where" ->
+      """WITH b AS (
+        |  SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS yr,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      + CASE WHEN year(CAST(o_orderdate AS DATE)) = 1996
+        |             THEN 5 ELSE 0 END AS cents
+        |  FROM orders)
+        |SELECT yr, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM b GROUP BY 1 ORDER BY yr""".stripMargin,
+
+
+    // Only the audited-clean batch is visible; the rejected dirty
+    // publish contributes nothing.
+    "q_wap" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars,
+        |  CAST(1 AS BIGINT) AS audit_rejected
+        |FROM documents WHERE text IS NOT NULL AND length(text) > 0
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // Each snapshot replays from the raw table + its slice predicate;
+    // 'past' must stay the sliced aggregate even though the engine
+    // reads it AFTER the head commit replaced the live set.
+    "q_time_travel" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, 'past' AS phase
+        |FROM b WHERE d < DATE '1996-01-01' GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents, 'head' AS phase
+        |FROM b GROUP BY 1
+        |ORDER BY phase, o_orderstatus""".stripMargin,
+
+
+    "q_json" ->
+      """SELECT event_type,
+        |  count(CAST(props->>'$.k' AS INT)) AS n,
+        |  round(avg(CAST(props->>'$.k' AS INT)), 6) AS avg_k,
+        |  min(CAST(props->>'$.k' AS INT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS INT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+
+    // Same gaps-and-islands: change points → running run id → collapse
+    // → lead() for valid_to. IS DISTINCT FROM ≡ Spark's null-safe <=>.
+    "q_scd2" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN rn = 1 OR event_type IS DISTINCT FROM prev
+        |                 THEN 1 ELSE 0 END AS chg
+        |  FROM o),
+        |r AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS run FROM m),
+        |g AS (
+        |  SELECT user_id, run, min(event_type) AS event_type,
+        |    min(epoch_us(ts)) AS valid_from, count(*) AS n_rows
+        |  FROM r GROUP BY 1, 2)
+        |SELECT user_id, event_type, valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) AS valid_to,
+        |  n_rows,
+        |  CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+        |            IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM g ORDER BY user_id, valid_from, event_type""".stripMargin,
+
+
+    // One UNION ALL branch per column; the mean divides an EXACT
+    // decimal(38,6) sum cast to double by the count — order-
+    // independent, so bit-identical to Spark (Profile.scala contract).
+    "q_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS n_nonnull,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 6) AS min,
+           |  round(CAST(max($c) AS DOUBLE), 6) AS max,
+           |  round(CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE)
+           |    / count($c), 6) AS mean FROM lineitem""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\""),
+
+
+    // Logical replay of the position-delete pipeline: MoR read ≡
+    // NOT-predicate filter, delete-file counts ≡ predicate counts.
+    "q_delete_vectors" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_orderkey % 8 AS file_id
+        |  FROM lineitem)
+        |SELECT file_id,
+        |  CAST(count(*) FILTER (WHERE NOT (l_quantity >= 45)) AS BIGINT)
+        |    AS n_live,
+        |  CAST(count(*) FILTER (WHERE l_quantity >= 45) AS BIGINT)
+        |    AS n_deleted,
+        |  CAST(sum(l_orderkey % 1000 + l_linenumber)
+        |       FILTER (WHERE NOT (l_quantity >= 45)) AS BIGINT)
+        |    AS live_checksum
+        |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+
+    // Replays the layout split rule (<1996 → year epoch) and the
+    // range semantics; n_partitions = distinct partition values each
+    // epoch serves inside the range.
+    "q_partition_evolution" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |r AS (SELECT *,
+        |        CASE WHEN dt < DATE '1996-01-01' THEN 'year'
+        |             ELSE 'month' END AS layout,
+        |        CASE WHEN dt < DATE '1996-01-01' THEN strftime(dt, '%Y')
+        |             ELSE strftime(dt, '%Y-%m') END AS part_value
+        |      FROM o
+        |      WHERE dt >= DATE '1995-06-01' AND dt <= DATE '1996-09-30')
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(count(DISTINCT part_value) AS BIGINT) AS n_partitions
+        |FROM r GROUP BY layout ORDER BY layout""".stripMargin,
+
+
+    // v1 = the raw table at seq 1; v3 = the q_equality_deletes
+    // sequence rule over base(1) ∪ reappend(3).
+    "q_commit_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, 1 AS data_seq FROM orders),
+        |app AS (
+        |  SELECT o_orderkey, o_orderstatus, 3 AS data_seq
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |       WHERE o_orderstatus = 'F'),
+        |v1 AS (
+        |  SELECT 'v1' AS snapshot, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
+        |    CAST(sum(data_seq) AS BIGINT) AS seq_sum
+        |  FROM base GROUP BY 2),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |live AS (
+        |  SELECT * FROM t
+        |  WHERE NOT (data_seq < 2
+        |             AND o_orderkey IN (SELECT k FROM dk))),
+        |v3 AS (
+        |  SELECT 'v3' AS snapshot, o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
+        |    CAST(sum(data_seq) AS BIGINT) AS seq_sum
+        |  FROM live GROUP BY 2)
+        |SELECT * FROM v1 UNION ALL SELECT * FROM v3
+        |ORDER BY snapshot, o_orderstatus""".stripMargin,
+
+
+    // Compaction must be invisible: the oracle is the UNCOMPACTED
+    // sequence-rule semantics, plus the zero delete-file count.
+    "q_mor_compact" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, 1 AS data_seq FROM orders),
+        |app AS (
+        |  SELECT o_orderkey, o_orderstatus, 3 AS data_seq
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |       WHERE o_orderstatus = 'F'),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |live AS (
+        |  SELECT * FROM t
+        |  WHERE NOT (data_seq < 2
+        |             AND o_orderkey IN (SELECT k FROM dk)))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
+        |  CAST(sum(data_seq) AS BIGINT) AS seq_sum,
+        |  CAST(0 AS BIGINT) AS n_delete_files
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // Logical replay of the sequence rule: survivors = rows NOT
+    // (seq < 2 AND key ∈ F-keys) over base(seq 1) ∪ reappend(seq 3).
+    "q_equality_deletes" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey, 1 AS data_seq
+        |  FROM orders),
+        |app AS (
+        |  SELECT o_orderkey, o_orderstatus, o_custkey, 3 AS data_seq
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |       WHERE o_orderstatus = 'F'),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+        |live AS (
+        |  SELECT * FROM t
+        |  WHERE NOT (data_seq < 2
+        |             AND o_orderkey IN (SELECT k FROM dk)))
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey % 1000) AS BIGINT) AS key_checksum,
+        |  CAST(sum(data_seq) AS BIGINT) AS seq_sum
+        |FROM live GROUP BY 1 ORDER BY 1""".stripMargin,
+
+
+    // The same aggregate straight off parquet — only codec-bent rows
+    // could diverge.
+    "q_orc_roundtrip" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS sd
+        |  FROM lineitem)
+        |SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  min(sd) AS min_sd, max(sd) AS max_sd,
+        |  CAST(sum(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || sd
+        |  ), 1, 15))::BIGINT // 1073741824) AS BIGINT) AS rowhash_hi,
+        |  CAST(sum(('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' || sd
+        |  ), 1, 15))::BIGINT % 1073741824) AS BIGINT) AS rowhash_lo
+        |FROM li GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+
+    "q_csv_roundtrip" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    substr(text, 1, 40) || '",' || chr(10) || '|' || lang AS payload
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(('0x' || substr(md5(payload), 1, 15))::BIGINT
+        |    // 1073741824) AS BIGINT) AS payload_hash_hi,
+        |  CAST(sum(('0x' || substr(md5(payload), 1, 15))::BIGINT
+        |    % 1073741824) AS BIGINT) AS payload_hash_lo,
+        |  CAST(sum(length(payload)) AS BIGINT) AS chars
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+  )
+}

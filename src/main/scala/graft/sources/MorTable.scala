@@ -122,32 +122,32 @@ object MorTable {
     CommitLog.rewrite(spark, table, adds = staged, removes = live)
   }
 
-  /** Merge-on-read at `version` (current if None): live data files
-    * MINUS live position-delete files (physical (file_key, pos) anti
-    * join) MINUS live equality-delete files under the sequence rule.
+  /** Data rows of `files` with their physical identity attached:
+    * `__fk` (manifest-relative file key) + `__pos` (parquet row
+    * ordinal) from the scan's own `_metadata`. */
+  private def withPhysicalIds(spark: SparkSession, root: String,
+      files: Seq[String]): DataFrame =
+    spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      .select(col("*"),
+        fileKey(col("_metadata.file_path")).as("__fk"),
+        col("_metadata.row_index").as("__pos"))
+
+  /** Subtract a manifest's delete state from any frame carrying
+    * physical ids: anti join the posdel tuples on (__fk, __pos), then
+    * the equality deletes under the `data_seq < delete_seq` rule.
     * Both delete sides are tiny next to the data, so AQE broadcasts
     * them — the data side never reshuffles. */
-  def readMor(spark: SparkSession, table: String, keyCols: Seq[String],
-      version: Option[Long] = None): DataFrame = {
-    val v = version.orElse(CommitLog.currentVersion(spark, table))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no committed version at $table"))
-    val files = CommitLog.liveFiles(spark, table, v)
-    val eqFiles = files.filter(_.startsWith("deletes-"))
-    val posFiles = files.filter(_.startsWith("posdel-"))
-    val dataFiles = files.filter(_.startsWith("stage-"))
-    val root = CommitLog.dataRoot(table)
-    val raw = spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
+  private def applyDeletes(spark: SparkSession, root: String,
+      m: CommitLog.Manifest, df: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val posFiles = m.files.filter(_.startsWith("posdel-"))
+    val eqFiles = m.files.filter(_.startsWith("deletes-"))
     val afterPos =
-      if (posFiles.isEmpty) raw
+      if (posFiles.isEmpty) df
       else {
-        val withId = raw.select(col("*"),
-          fileKey(col("_metadata.file_path")).as("__fk"),
-          col("_metadata.row_index").as("__pos"))
         val pd = spark.read.parquet(posFiles.map(f => s"$root/$f"): _*)
           .select(col("file_key").as("__fk"), col("pos").as("__pos"))
-        withId.join(pd, Seq("__fk", "__pos"), "left_anti")
-          .drop("__fk", "__pos")
+        df.join(pd, Seq("__fk", "__pos"), "left_anti")
       }
     if (eqFiles.isEmpty) afterPos
     else {
@@ -158,5 +158,117 @@ object MorTable {
         .reduce(_ && _) && afterPos("data_seq") < dels("delete_seq")
       afterPos.join(dels, cond, "left_anti")
     }
+  }
+
+  /** Merge-on-read at `version` (current if None): live data files
+    * MINUS live position-delete files (physical (file_key, pos) anti
+    * join) MINUS live equality-delete files under the sequence rule. */
+  def readMor(spark: SparkSession, table: String, keyCols: Seq[String],
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(CommitLog.currentVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+    val m = CommitLog.readManifest(spark, table, v)
+    val root = CommitLog.dataRoot(table)
+    val dataFiles = m.files.filter(_.startsWith("stage-"))
+    if (!m.files.exists(f =>
+        f.startsWith("posdel-") || f.startsWith("deletes-")))
+      spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
+    else
+      applyDeletes(spark, root, m,
+        withPhysicalIds(spark, root, dataFiles), keyCols)
+        .drop("__fk", "__pos")
+  }
+
+  /** CHANGE-DATA FEED (the Delta CDF shape, delete-aware): every
+    * logical row change in versions (fromVersion, toVersion], tagged
+    * `_change_type` ∈ insert/delete and `_commit_version`. Derived
+    * INCREMENTALLY from each commit's ADDED files — never a snapshot
+    * diff:
+    *   - an append/CDC commit's inserts are its new data rows, with
+    *     the commit's own delete state applied (a dead-on-arrival row
+    *     — inserted and out-versioned in the same batch — was never
+    *     visible, so it never reaches the feed);
+    *   - a delete commit's deletes are the rows its new posdel/eqdel
+    *     files kill: candidates come from a semi join against only
+    *     the delete tuples (posdel candidates read only the TOUCHED
+    *     files), then the previous version's delete state filters out
+    *     rows that were already dead.
+    * REWRITE commits (compaction) move bytes, not logical rows — by
+    * [[compact]]'s contract they are state-preserving, so the feed
+    * emits nothing for a commit that removes files. Feed cost is
+    * O(changed rows), not O(table); composes with [[TableFeed]] for
+    * an exactly-once downstream CDC pipeline. */
+  def changeFeed(spark: SparkSession, table: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    require(fromVersion < toVersion,
+      "changeFeed needs a non-empty (fromVersion, toVersion] range")
+    val frames = ((fromVersion + 1) to toVersion).flatMap(v =>
+      versionChanges(spark, table, v, keyCols))
+    frames.reduceOption(_ unionByName _).getOrElse {
+      // nothing changed in the range (all rewrites): empty, typed
+      readMor(spark, table, keyCols, Some(toVersion)).limit(0)
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(toVersion))
+    }
+  }
+
+  private def versionChanges(spark: SparkSession, table: String,
+      v: Long, keyCols: Seq[String]): Seq[DataFrame] = {
+    val root = CommitLog.dataRoot(table)
+    val prevM = if (v == 1) CommitLog.Manifest(0, "", "", Seq.empty,
+      Map.empty) else CommitLog.readManifest(spark, table, v - 1)
+    val curM = CommitLog.readManifest(spark, table, v)
+    val prevSet = prevM.files.toSet
+    val added = curM.files.filterNot(prevSet)
+    val removed = prevM.files.filterNot(curM.files.toSet)
+    def tagged(df: DataFrame, t: String): DataFrame =
+      df.drop("__fk", "__pos")
+        .withColumn("_change_type", lit(t))
+        .withColumn("_commit_version", lit(v))
+    if (removed.nonEmpty) return Seq.empty // rewrite: logical no-op
+    val addedData = added.filter(_.startsWith("stage-"))
+    val addedPos = added.filter(_.startsWith("posdel-"))
+    val addedEq = added.filter(_.startsWith("deletes-"))
+
+    val inserts =
+      if (addedData.isEmpty) None
+      else Some(tagged(applyDeletes(spark, root, curM,
+        withPhysicalIds(spark, root, addedData), keyCols), "insert"))
+
+    val prevData = prevM.files.filter(_.startsWith("stage-"))
+    val posCands =
+      if (addedPos.isEmpty || prevData.isEmpty) None
+      else {
+        val pd = spark.read.parquet(addedPos.map(f => s"$root/$f"): _*)
+          .select(col("file_key").as("__fk"), col("pos").as("__pos"))
+        // touched-file pruning: the posdel tuples name their files, so
+        // only those parquet files are opened (bounded driver collect —
+        // one row per file, never corpus rows)
+        val touched = pd.select("__fk").distinct().collect()
+          .map(_.getString(0)).toSet
+        val files = prevData.filter(touched)
+        if (files.isEmpty) None
+        else Some(withPhysicalIds(spark, root, files)
+          .join(pd, Seq("__fk", "__pos"), "left_semi"))
+      }
+    val eqCands =
+      if (addedEq.isEmpty || prevData.isEmpty) None
+      else {
+        val ed = spark.read.parquet(addedEq.map(f => s"$root/$f"): _*)
+          .select(keyCols.map(c => col(c).as(s"__del_$c"))
+            :+ col("delete_seq"): _*)
+        val data = withPhysicalIds(spark, root, prevData)
+        val cond = keyCols.map(c => data(c) === ed(s"__del_$c"))
+          .reduce(_ && _) && data("data_seq") < ed("delete_seq")
+        Some(data.join(ed, cond, "left_semi"))
+      }
+    val deletes = (posCands.toSeq ++ eqCands.toSeq)
+      .reduceOption(_ unionByName _)
+      .map(_.dropDuplicates("__fk", "__pos"))
+      .map(c => tagged(applyDeletes(spark, root, prevM, c, keyCols),
+        "delete"))
+
+    inserts.toSeq ++ deletes.toSeq
   }
 }

@@ -827,9 +827,84 @@ private[graft] object RegStreaming {
           sum(pmod(col("k"), lit(100000L))).as("checksum"))
         .orderBy("t")
     },
+
+    // STREAMING CDC OUT of a merge-on-read table: TableFeed tails the
+    // DELETE-AWARE change feed (MorTable.changeFeed) into a downstream
+    // CDC log with the txn-cursor exactly-once contract — inserts and
+    // deletes arrive tagged with their commit version, drained across
+    // two rounds with a crash-replay of the last range absorbed by txn
+    // dedup. Same logical content as q_table_cdf, but THROUGH the
+    // stream seam: any duplicate, loss, or misordered cursor moves the
+    // checksums off the shared oracle
+    // (graft.sources.TableFeed.tailChanges, TableFeedSpec).
+    "q_stream_cdf_feed" -> { (s, dir) =>
+      import graft.sources.{CommitLog, MorTable, TableFeed}
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_cdfsrc_${stageTag(dir)}"
+      val dst = s"$tmp/graft_cdfdst_${stageTag(dir)}"
+      for (t <- Seq(src, dst)) {
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val b = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      MorTable.appendData(s, b.filter(col("k") % 2 === 0)
+        .repartition(4), 1L, src)
+      MorTable.commitDeletes(s,
+        b.filter(col("k") % 10 === 0).select("k"), 2L, src)
+      val r1 = TableFeed.tailChanges(s, src, dst, "cdc", Seq("k"))
+      require(r1.nonEmpty, "first drain must consume")
+      MorTable.appendData(s, b.filter(col("k") % 2 === 1)
+        .repartition(4), 3L, src)
+      MorTable.commitPositionDeletes(s, src, col("cents") % 7 === 0)
+      val r2 = TableFeed.tailChanges(s, src, dst, "cdc", Seq("k"))
+      // crash-recovery replay of the LAST range: txn dedup absorbs it
+      val (f2, t2) = r2.last
+      CommitLog.transactionalAppend(s,
+        MorTable.changeFeed(s, src, f2, t2, Seq("k")), dst,
+        s"feed:cdc:$f2-$t2")
+      CommitLog.read(s, dst)
+        .groupBy(col("_change_type").as("ct"),
+          col("_commit_version").as("v"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .orderBy("v", "ct")
+    },
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Same logical replay as q_table_cdf — the stream seam must not
+    // change the content.
+    "q_stream_cdf_feed" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |ev AS (SELECT * FROM b WHERE k % 2 = 0),
+        |od AS (SELECT * FROM b WHERE k % 2 = 1),
+        |vis3 AS (SELECT * FROM ev WHERE k % 10 <> 0
+        |         UNION ALL SELECT * FROM od)
+        |SELECT 'insert' AS ct, CAST(1 AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum FROM ev
+        |UNION ALL
+        |SELECT 'delete', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM ev WHERE k % 10 = 0
+        |UNION ALL
+        |SELECT 'insert', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM od
+        |UNION ALL
+        |SELECT 'delete', CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM vis3 WHERE cents % 7 = 0
+        |ORDER BY v, ct""".stripMargin,
 
     // Exactly-once: the fed table must aggregate exactly like the
     // source rows themselves — duplicates or losses move every column.

@@ -1232,6 +1232,37 @@ private[graft] object RegWarehouse {
       head.unionByName(old).orderBy("phase", "st")
     },
 
+    // TYPE WIDENING (Iceberg promotion rules): int→bigint as a
+    // METADATA-ONLY commit — the field id keeps resolving, old files'
+    // int bytes up-cast at read, and the post-widen batch carries
+    // values that only fit the wide type, so any silent narrowing
+    // would overflow the checksum (SchemaEvolution.widenColumnType,
+    // SchemaEvolutionSpec).
+    "q_schema_widen" -> { (s, dir) =>
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_widen_${stageTag(dir)}"
+      import graft.sources.SchemaEvolution
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val b = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      SchemaEvolution.append(s,
+        b.filter(col("k") % 2 === 0)
+          .select(col("k"), col("cents").cast("int").as("n"))
+          .repartition(4), table)
+      SchemaEvolution.widenColumnType(s, table, "n", "bigint")
+      SchemaEvolution.append(s,
+        b.filter(col("k") % 2 === 1)
+          .select(col("k"), (col("cents") * 1000L).as("n"))
+          .repartition(4), table)
+      SchemaEvolution.read(s, table)
+        .groupBy(pmod(col("k"), lit(2L)).cast("long").as("parity"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n")).as("total"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .orderBy("parity")
+    },
+
     // DELETE-AWARE CHANGE-DATA FEED over the merge-on-read table (the
     // Delta CDF shape): every logical row change across four commits —
     // append, equality delete, append, position delete — tagged
@@ -1268,6 +1299,20 @@ private[graft] object RegWarehouse {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // evens carried int cents; odds carried cents*1000 after the widen.
+    "q_schema_widen" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT CAST(k % 2 AS BIGINT) AS parity,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN cents ELSE cents * 1000 END)
+        |    AS BIGINT) AS total,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum
+        |FROM b GROUP BY 1 ORDER BY parity""".stripMargin,
 
     // Logical replay of the four commits: v1 inserts evens, v2 deletes
     // keys %10 (all even, data_seq 1 < 2), v3 inserts odds, v4

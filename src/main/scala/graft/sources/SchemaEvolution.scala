@@ -124,6 +124,28 @@ object SchemaEvolution {
       if (f.name == from) f.copy(name = to) else f), cur.lastId)
   }
 
+  /** The lossless type promotions (the Iceberg v2 set, plus the
+    * smaller integer rungs): a reader casting old bytes UP to the new
+    * type can never lose information. */
+  private val Widenings: Set[(String, String)] = Set(
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"), ("float", "double"))
+
+  /** WIDEN a column's type (int→bigint, float→double, …): metadata
+    * only — the field id keeps resolving, old files' narrow bytes
+    * up-cast at read. Narrowing or any lossy change is refused. */
+  def widenColumnType(spark: SparkSession, table: String, name: String,
+      newType: String): Long = {
+    val cur = requireSchema(spark, table)
+    val f = cur.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column '$name'"))
+    require(Widenings((f.dataType, newType)),
+      s"not a lossless widening: ${f.dataType} -> $newType")
+    commitSchema(spark, table, cur.fields.map(x =>
+      if (x.name == name) x.copy(dataType = newType) else x), cur.lastId)
+  }
+
   /** DROP a column — its field id is retired (never reused: ids only
     * grow), old files still carry the bytes for time travel. */
   def dropColumn(spark: SparkSession, table: String, name: String): Long = {

@@ -63,6 +63,47 @@ object TableFeed {
     Some((from, head))
   }
 
+  /** [[syncOnce]] for a MERGE-ON-READ source: feeds the delete-aware
+    * change rows ([[MorTable.changeFeed]] — insert/delete +
+    * commit-version tags) instead of raw added files, under the same
+    * txn-cursor exactly-once contract. The destination becomes a
+    * CDC log table: downstream consumers apply or re-feed it. */
+  def syncChangesOnce(
+      spark: SparkSession,
+      source: String,
+      dest: String,
+      feedTag: String,
+      keyCols: Seq[String]): Option[(Long, Long)] = {
+    val head = CommitLog.currentVersion(spark, source).getOrElse(return None)
+    val from = cursor(spark, dest, feedTag)
+    if (head <= from) return None
+    CommitLog.transactionalAppend(spark,
+      MorTable.changeFeed(spark, source, from, head, keyCols), dest,
+      txn = s"feed:$feedTag:$from-$head")
+    Some((from, head))
+  }
+
+  /** Drain the change feed until caught up. */
+  def tailChanges(
+      spark: SparkSession,
+      source: String,
+      dest: String,
+      feedTag: String,
+      keyCols: Seq[String],
+      maxRounds: Int = 1000): Seq[(Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var rounds = 0
+    var more = true
+    while (more && rounds < maxRounds) {
+      syncChangesOnce(spark, source, dest, feedTag, keyCols) match {
+        case Some(r) => out += r
+        case None => more = false
+      }
+      rounds += 1
+    }
+    out.toSeq
+  }
+
   /** Drain the feed until caught up (bounded by `maxRounds` so a
     * misbehaving concurrent writer cannot spin the driver forever).
     * Returns every consumed range, oldest first. */

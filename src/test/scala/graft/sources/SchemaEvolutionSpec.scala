@@ -73,6 +73,35 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(SchemaEvolution.read(spark, t).columns.toSeq == Seq("k", "a"))
   }
 
+  test("widening is metadata-only; old narrow bytes up-cast at read") {
+    val t = freshTable()
+    val df1 = Seq((1, 10), (2, 20)).toDF("k", "n")
+    SchemaEvolution.append(spark, df1, t)
+    assert(SchemaEvolution.currentSchema(spark, t).get
+      .fields.map(_.dataType) == Seq("int", "int"))
+    val files1 = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    SchemaEvolution.widenColumnType(spark, t, "n", "bigint")
+    // no data rewrite
+    assert(CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get) == files1)
+    // append values that only fit the widened type
+    SchemaEvolution.append(spark,
+      Seq((3, 5000000000L)).toDF("k", "n"), t)
+    val out = SchemaEvolution.read(spark, t).orderBy("k")
+    assert(out.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(out.as[(Int, Long)].collect().toSeq ==
+      Seq((1, 10L), (2, 20L), (3, 5000000000L)))
+    // narrowing and lossy changes are refused
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widenColumnType(spark, t, "n", "int")
+    }
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.widenColumnType(spark, t, "k", "string")
+    }
+  }
+
   test("append rejects columns that do not match the current schema") {
     val t = freshTable()
     SchemaEvolution.append(spark, Seq((1L, 1.0)).toDF("k", "a"), t)

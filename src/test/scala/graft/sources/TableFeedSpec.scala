@@ -56,6 +56,26 @@ class TableFeedSpec extends SparkSpec {
     assert(ks(mid) == ks(src))
   }
 
+  test("change feed streams insert/delete rows exactly once") {
+    val src = fresh(); val dst = fresh()
+    MorTable.appendData(spark, Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      1L, src)
+    assert(TableFeed.tailChanges(spark, src, dst, "c", Seq("k"))
+      == Seq((0L, 1L)))
+    MorTable.commitDeletes(spark, Seq(2L).toDF("k"), 2L, src)
+    assert(TableFeed.tailChanges(spark, src, dst, "c", Seq("k"))
+      == Seq((1L, 2L)))
+    // caught up, and a replay of the last range dedups
+    assert(TableFeed.syncChangesOnce(spark, src, dst, "c", Seq("k")).isEmpty)
+    CommitLog.transactionalAppend(spark,
+      MorTable.changeFeed(spark, src, 1L, 2L, Seq("k")), dst, "feed:c:1-2")
+    val got = CommitLog.read(spark, dst)
+      .select("k", "_change_type", "_commit_version")
+      .as[(Long, String, Long)].collect().sorted.toSeq
+    assert(got == Seq((1L, "insert", 1L), (2L, "delete", 2L),
+      (2L, "insert", 1L)))
+  }
+
   test("independent feed tags keep independent cursors on one destination") {
     val s1 = fresh(); val s2 = fresh(); val dst = fresh()
     CommitLog.append(spark, Seq(1L).toDF("k"), s1)

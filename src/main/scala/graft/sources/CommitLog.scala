@@ -117,7 +117,17 @@ object CommitLog {
 
   def readManifest(spark: SparkSession, table: String, version: Long): Manifest = {
     val f = fs(spark, table)
-    val in = f.open(manifestPath(table, version))
+    val in = try f.open(manifestPath(table, version))
+    catch {
+      case _: java.io.FileNotFoundException =>
+        // Surface the retention contract instead of a bare FNF: a
+        // TableFeed cursor (or time-travel reader) older than
+        // vacuumUnreferenced's keepVersions lands here.
+        throw new IllegalStateException(
+          s"version $version of $table is gone (vacuumed or never " +
+            "committed) — feeds and time travel must stay inside the " +
+            "vacuum retention window")
+    }
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     parseManifest(body)

@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * per-file-group column projection (which Spark prunes as usual).
   * Evolution commits are metadata-only (adds = removes = ∅), so an
   * add/rename/drop on a 100 TB table is one JSON write + one CAS.
+  *
+  * Boundary: [[read]] serves APPEND-ONLY evolved tables;
+  * [[readWithPositionDeletes]] additionally applies POSITION deletes
+  * (physical (file, pos) identities are schema-independent, so they
+  * compose with any projection). EQUALITY deletes name key columns by
+  * their at-delete-time names, so they do not compose with renames —
+  * evolving an eq-delete-carrying table requires compacting the
+  * delete debt first, and both readers refuse loudly rather than
+  * silently resurrect deleted rows.
   */
 object SchemaEvolution {
 
@@ -161,7 +170,51 @@ object SchemaEvolution {
     * union. Untagged files (written outside this API) are assumed to
     * already carry the version-schema names. */
   def read(spark: SparkSession, table: String,
+      version: Option[Long] = None): DataFrame =
+    projected(spark, table, version, keepIds = false)
+
+  /** [[read]] for a table that also carries POSITION deletes: the
+    * per-group field-id projection keeps each row's physical identity
+    * beside it, and the version's posdel tuples are subtracted after
+    * the union — one broadcast-able anti join, schema-independent.
+    * Refuses on live equality deletes (their key names do not survive
+    * renames; compact the delete debt first). */
+  def readWithPositionDeletes(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(CommitLog.currentVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+    val m = CommitLog.readManifest(spark, table, v)
+    require(!m.files.exists(_.startsWith("deletes-")),
+      s"$table@$v carries equality deletes — compact before evolving reads")
+    val posFiles = m.files.filter(_.startsWith("posdel-"))
+    val df = projected(spark, table, version, keepIds = posFiles.nonEmpty)
+    if (posFiles.isEmpty) df
+    else {
+      val root = CommitLog.dataRoot(table)
+      val pd = spark.read.parquet(posFiles.map(f => s"$root/$f"): _*)
+        .select(col("file_key").as("__fk"), col("pos").as("__pos"))
+      df.join(pd, Seq("__fk", "__pos"), "left_anti").drop("__fk", "__pos")
+    }
+  }
+
+  /** Commit position deletes against the EVOLVED view: the predicate
+    * is evaluated under the CURRENT schema (each file group projected
+    * by field id first — a predicate on a renamed column hits old
+    * files correctly), and the matching rows' physical identities land
+    * as one posdel commit, exactly like
+    * [[MorTable.commitPositionDeletes]] on a flat table. */
+  def commitPositionDeletes(spark: SparkSession, table: String,
+      predicate: Column): Long = {
+    val dels = projected(spark, table, None, keepIds = true)
+      .filter(predicate)
+      .select(col("__fk").as("file_key"), col("__pos").as("pos"))
+    CommitLog.commit(spark, table,
+      adds = CommitLog.stageUnder(spark, dels, table, "posdel"))
+  }
+
+  private def projected(spark: SparkSession, table: String,
+      version: Option[Long], keepIds: Boolean): DataFrame = {
     val v = version.orElse(CommitLog.currentVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version at $table"))
@@ -170,7 +223,9 @@ object SchemaEvolution {
       s"$table@$v has no evolved schema — use CommitLog.readVersion")
     val target = load(spark, table, m.schemaId)
     val root = CommitLog.dataRoot(table)
-    val groups = m.files.groupBy(f => m.fileSchemas.getOrElse(f, m.schemaId))
+    val dataFiles = m.files.filterNot(f =>
+      f.startsWith("posdel-") || f.startsWith("deletes-"))
+    val groups = dataFiles.groupBy(f => m.fileSchemas.getOrElse(f, m.schemaId))
     groups.toSeq.sortBy(_._1).map { case (sid, files) =>
       val written = load(spark, table, sid).fields.map(f => f.id -> f).toMap
       val proj: Seq[Column] = target.fields.map { tf =>
@@ -179,7 +234,13 @@ object SchemaEvolution {
           case None => lit(null).cast(tf.dataType).as(tf.name)
         }
       }
-      spark.read.parquet(files.map(f => s"$root/$f"): _*).select(proj: _*)
+      val raw = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      val withIds =
+        if (!keepIds) proj
+        else proj :+ regexp_extract(col("_metadata.file_path"),
+          "(stage-.*)$", 1).as("__fk") :+
+          col("_metadata.row_index").as("__pos")
+      raw.select(withIds: _*)
     }.reduce(_ unionAll _)
   }
 }

@@ -102,6 +102,32 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("position deletes compose with renames across file generations") {
+    val t = freshTable()
+    val v1 = SchemaEvolution.append(spark,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "a"), t)
+    SchemaEvolution.renameColumn(spark, t, "a", "amount")
+    SchemaEvolution.append(spark,
+      Seq((3L, 30.0), (4L, 40.0)).toDF("k", "amount"), t)
+    // predicate on the RENAMED column must hit rows in BOTH the
+    // pre-rename file (written as "a") and the post-rename file
+    SchemaEvolution.commitPositionDeletes(spark, t,
+      $"amount" === 20.0 || $"amount" === 30.0)
+    val got = SchemaEvolution.readWithPositionDeletes(spark, t)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (4L, 40.0)))
+    // plain read still sees everything (deletes are MoR, not rewrite)
+    assert(SchemaEvolution.read(spark, t).count() == 4)
+    // time travel before the delete: all rows, original name
+    assert(SchemaEvolution.readWithPositionDeletes(spark, t, Some(v1))
+      .columns.toSeq == Seq("k", "a"))
+    // equality deletes refuse loudly on evolved readers
+    MorTable.commitDeletes(spark, Seq(1L).toDF("k"), 9L, t)
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.readWithPositionDeletes(spark, t)
+    }
+  }
+
   test("append rejects columns that do not match the current schema") {
     val t = freshTable()
     SchemaEvolution.append(spark, Seq((1L, 1.0)).toDF("k", "a"), t)

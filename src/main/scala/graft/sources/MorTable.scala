@@ -194,11 +194,14 @@ object MorTable {
     *     the delete tuples (posdel candidates read only the TOUCHED
     *     files), then the previous version's delete state filters out
     *     rows that were already dead.
-    * REWRITE commits (compaction) move bytes, not logical rows — by
-    * [[compact]]'s contract they are state-preserving, so the feed
-    * emits nothing for a commit that removes files. Feed cost is
-    * O(changed rows), not O(table); composes with [[TableFeed]] for
-    * an exactly-once downstream CDC pipeline. */
+    * REWRITE commits (any commit that removes files) are treated as
+    * layout no-ops: correct for [[compact]] (state-preserving by
+    * contract), but a state-CHANGING rewrite — [[CommitLog.replaceWhere]],
+    * a CDC swap, [[CommitLog.replace]] — does not flow through this
+    * feed; route such tables through snapshot diff
+    * (graft.operators.TableDiff) instead. Feed cost is O(changed
+    * rows), not O(table); composes with [[TableFeed]] for an
+    * exactly-once downstream CDC pipeline. */
   def changeFeed(spark: SparkSession, table: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String]): DataFrame = {
     require(fromVersion < toVersion,

@@ -113,6 +113,35 @@ class MorTableSpec extends SparkSpec {
     assert(ks(None) == (7L to 19L by 2))
   }
 
+  test("position identity survives multi-row-group files and split reads") {
+    // The posdel contract rests on _metadata.row_index being the row's
+    // position in the PHYSICAL FILE, not in the read split. Force both
+    // stress conditions: tiny parquet row groups (many groups per
+    // file) and a tiny maxPartitionBytes (one file read as many
+    // splits), then check the delete kills exactly the matched rows.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hconf.get("parquet.block.size")
+    val oldMaxPart = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      hconf.setInt("parquet.block.size", 64 * 1024) // ~64 KB row groups
+      val t = freshTable()
+      MorTable.appendData(spark,
+        (1L to 200000L).map(i => (i, s"payload_$i")).toDF("k", "v")
+          .coalesce(2), 1L, t)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "131072")
+      MorTable.commitPositionDeletes(spark, t, $"k" % 1000 === 0)
+      val survivors = MorTable.readMor(spark, t, Seq("k"))
+      assert(survivors.count() == 200000L - 200L)
+      assert(survivors.filter($"k" % 1000 === 0).count() == 0)
+      // spot-check content integrity next to a deleted neighbor
+      assert(survivors.filter($"k" === 999L or $"k" === 1001L).count() == 2)
+    } finally {
+      if (oldBlock == null) hconf.unset("parquet.block.size")
+      else hconf.set("parquet.block.size", oldBlock)
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMaxPart)
+    }
+  }
+
   test("position deletes compose with equality deletes and compact") {
     val t = freshTable()
     MorTable.appendData(spark,

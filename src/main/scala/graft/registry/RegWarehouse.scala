@@ -1232,6 +1232,47 @@ private[graft] object RegWarehouse {
       head.unionByName(old).orderBy("phase", "st")
     },
 
+    // FULL MERGE-ON-READ × SCHEMA-EVOLUTION COMPOSITION: an equality
+    // delete written under the ORIGINAL key name keeps applying after
+    // the key column is RENAMED (delete files are schema-tagged and
+    // their keys re-resolve by field id), a post-delete re-insert
+    // survives the sequence rule, and a position delete on the evolved
+    // view prunes across every file generation — all read through one
+    // field-id projection + two broadcast anti joins
+    // (SchemaEvolution.readMorEvolved, SchemaEvolutionSpec).
+    "q_schema_mor" -> { (s, dir) =>
+      val table = s"${System.getProperty("java.io.tmpdir")}/graft_schemamor_${stageTag(dir)}"
+      import graft.sources.SchemaEvolution
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val b = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("id"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      SchemaEvolution.append(s,
+        b.filter(col("id") % 2 === 0)
+          .select(col("id"), col("cents"), lit(1L).as("data_seq"))
+          .repartition(4), table)
+      SchemaEvolution.commitEqualityDeletes(s, table,
+        b.filter(col("id") % 10 === 0).select("id"), 2L)
+      SchemaEvolution.renameColumn(s, table, "id", "doc_id")
+      SchemaEvolution.append(s,
+        b.filter(col("id") % 20 === 0)
+          .select(col("id").as("doc_id"), col("cents"),
+            lit(3L).as("data_seq")).repartition(2), table)
+      SchemaEvolution.append(s,
+        b.filter(col("id") % 2 === 1)
+          .select(col("id").as("doc_id"), col("cents"),
+            lit(3L).as("data_seq")).repartition(4), table)
+      SchemaEvolution.commitPositionDeletes(s, table,
+        col("cents") % 7 === 0)
+      SchemaEvolution.readMorEvolved(s, table, Seq("doc_id"))
+        .groupBy("data_seq")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          sum(pmod(col("doc_id"), lit(100000L))).as("key_checksum"))
+        .orderBy("data_seq")
+    },
+
     // TYPE WIDENING (Iceberg promotion rules): int→bigint as a
     // METADATA-ONLY commit — the field id keeps resolving, old files'
     // int bytes up-cast at read, and the post-widen batch carries
@@ -1299,6 +1340,27 @@ private[graft] object RegWarehouse {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // Visible set: gen-1 evens minus the %10 delete, the %20
+    // re-inserts (seq 3 > delete_seq 2), and the odds — then the
+    // position delete removes cents%7==0 across all of them.
+    "q_schema_mor" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |vis AS (
+        |  SELECT id, cents, 1 AS seq FROM b
+        |  WHERE id % 2 = 0 AND id % 10 <> 0
+        |  UNION ALL SELECT id, cents, 3 FROM b WHERE id % 20 = 0
+        |  UNION ALL SELECT id, cents, 3 FROM b WHERE id % 2 = 1)
+        |SELECT CAST(seq AS BIGINT) AS data_seq,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(sum(id % 100000) AS BIGINT) AS key_checksum
+        |FROM vis WHERE cents % 7 <> 0
+        |GROUP BY 1 ORDER BY data_seq""".stripMargin,
 
     // evens carried int cents; odds carried cents*1000 after the widen.
     "q_schema_widen" ->

@@ -26,14 +26,15 @@ import org.apache.spark.sql.functions._
   * Evolution commits are metadata-only (adds = removes = ∅), so an
   * add/rename/drop on a 100 TB table is one JSON write + one CAS.
   *
-  * Boundary: [[read]] serves APPEND-ONLY evolved tables;
-  * [[readWithPositionDeletes]] additionally applies POSITION deletes
-  * (physical (file, pos) identities are schema-independent, so they
-  * compose with any projection). EQUALITY deletes name key columns by
-  * their at-delete-time names, so they do not compose with renames —
-  * evolving an eq-delete-carrying table requires compacting the
-  * delete debt first, and both readers refuse loudly rather than
-  * silently resurrect deleted rows.
+  * Merge-on-read composes fully: [[readWithPositionDeletes]] applies
+  * POSITION deletes after the projection (physical (file, pos)
+  * identities are schema-independent), and [[readMorEvolved]] applies
+  * EQUALITY deletes too — delete files written via
+  * [[commitEqualityDeletes]] are schema-tagged like data files, so
+  * their key columns re-resolve by field id after any later rename.
+  * The plain [[read]] ignores delete files entirely (append-only
+  * view); [[readWithPositionDeletes]] still refuses live equality
+  * deletes rather than silently resurrect rows.
   */
 object SchemaEvolution {
 
@@ -195,6 +196,85 @@ object SchemaEvolution {
       val pd = spark.read.parquet(posFiles.map(f => s"$root/$f"): _*)
         .select(col("file_key").as("__fk"), col("pos").as("__pos"))
       df.join(pd, Seq("__fk", "__pos"), "left_anti").drop("__fk", "__pos")
+    }
+  }
+
+  /** Commit EQUALITY deletes on an evolved table: the key frame's
+    * columns resolve against the CURRENT schema and the staged delete
+    * file is schema-TAGGED like a data file, so
+    * [[readMorEvolved]] can re-resolve its key columns by field id
+    * after any later rename — the Iceberg answer to "delete files
+    * carry schema too". Keys must include only schema columns; the
+    * data side must carry a `data_seq` column (part of the schema)
+    * for the `data_seq < delete_seq` sequencing rule. */
+  def commitEqualityDeletes(spark: SparkSession, table: String,
+      keys: DataFrame, seq: Long): Long = {
+    val cur = requireSchema(spark, table)
+    keys.columns.foreach(c => require(cur.fields.exists(_.name == c),
+      s"delete key column '$c' is not in the current schema"))
+    val staged = CommitLog.stageUnder(spark,
+      keys.distinct().withColumn("delete_seq", lit(seq)), table, "deletes")
+    CommitLog.commit(spark, table, adds = staged, schemaId = cur.sid,
+      fileSchemas = staged.map(_ -> cur.sid).toMap)
+  }
+
+  /** Full merge-on-read over an EVOLVED table: field-id projection,
+    * then position deletes (schema-independent), then equality
+    * deletes whose key columns are themselves re-resolved by field id
+    * into the version's names — so deletes written before a rename
+    * keep applying after it. `keyCols` are the CURRENT names; the
+    * schema must carry `data_seq`. */
+  def readMorEvolved(spark: SparkSession, table: String,
+      keyCols: Seq[String], version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(CommitLog.currentVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+    val m = CommitLog.readManifest(spark, table, v)
+    require(m.schemaId.nonEmpty,
+      s"$table@$v has no evolved schema — use MorTable.readMor")
+    val target = load(spark, table, m.schemaId)
+    val root = CommitLog.dataRoot(table)
+    val eqFiles = m.files.filter(_.startsWith("deletes-"))
+    val posFiles = m.files.filter(_.startsWith("posdel-"))
+    val data0 = projected(spark, table, Some(v),
+      keepIds = posFiles.nonEmpty)
+    val afterPos =
+      if (posFiles.isEmpty) data0
+      else {
+        val pd = spark.read.parquet(posFiles.map(f => s"$root/$f"): _*)
+          .select(col("file_key").as("__fk"), col("pos").as("__pos"))
+        data0.join(pd, Seq("__fk", "__pos"), "left_anti")
+          .drop("__fk", "__pos")
+      }
+    if (eqFiles.isEmpty) afterPos
+    else {
+      val targetById = target.fields.map(f => f.id -> f.name).toMap
+      val dels = eqFiles
+        .groupBy(f => m.fileSchemas.getOrElse(f, m.schemaId))
+        .toSeq.sortBy(_._1)
+        .map { case (sid, files) =>
+          val written = load(spark, table, sid)
+          val raw = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+          val proj = raw.columns.toSeq.map {
+            case "delete_seq" => col("delete_seq")
+            case c =>
+              val wf = written.fields.find(_.name == c).getOrElse(
+                throw new IllegalStateException(
+                  s"delete file column '$c' unknown to its schema $sid"))
+              val now = targetById.getOrElse(wf.id,
+                throw new IllegalStateException(
+                  s"delete key '$c' (field ${wf.id}) was dropped from " +
+                    "the current schema — compact the delete debt first"))
+              col(c).as(now)
+          }
+          raw.select(proj: _*)
+        }
+        .reduce(_ unionByName _)
+        .select(keyCols.map(c => col(c).as(s"__del_$c"))
+          :+ col("delete_seq"): _*)
+      val cond = keyCols.map(c => afterPos(c) === dels(s"__del_$c"))
+        .reduce(_ && _) && afterPos("data_seq") < dels("delete_seq")
+      afterPos.join(dels, cond, "left_anti")
     }
   }
 

@@ -128,6 +128,38 @@ class SchemaEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("equality deletes survive a rename: keys re-resolve by field id") {
+    val t = freshTable()
+    // data_seq is part of the schema for the sequencing rule
+    SchemaEvolution.append(spark,
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+        .toDF("id", "v", "data_seq"), t)
+    // delete id=2 under the ORIGINAL column name...
+    SchemaEvolution.commitEqualityDeletes(spark, t,
+      Seq(2L).toDF("id"), 2L)
+    // ...then rename the key column itself
+    SchemaEvolution.renameColumn(spark, t, "id", "doc_id")
+    SchemaEvolution.append(spark,
+      Seq((2L, "b2", 3L), (4L, "d", 3L)).toDF("doc_id", "v", "data_seq"), t)
+    // the pre-rename delete still applies (field id match), the
+    // post-delete re-insert of 2 survives (data_seq 3 > delete_seq 2)
+    val got = SchemaEvolution.readMorEvolved(spark, t, Seq("doc_id"))
+      .select("doc_id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(got == Seq((1L, "a"), (2L, "b2"), (3L, "c"), (4L, "d")))
+    // delete under the NEW name composes with everything above
+    SchemaEvolution.commitEqualityDeletes(spark, t,
+      Seq(1L).toDF("doc_id"), 4L)
+    assert(SchemaEvolution.readMorEvolved(spark, t, Seq("doc_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq ==
+      Seq(2L, 3L, 4L))
+    // deleting by a key that was since dropped refuses loudly
+    SchemaEvolution.addColumn(spark, t, "tag", "string")
+    SchemaEvolution.dropColumn(spark, t, "tag")
+    // (drop of a non-key column is fine; the reader still works)
+    assert(SchemaEvolution.readMorEvolved(spark, t, Seq("doc_id"))
+      .count() == 3)
+  }
+
   test("append rejects columns that do not match the current schema") {
     val t = freshTable()
     SchemaEvolution.append(spark, Seq((1L, 1.0)).toDF("k", "a"), t)

@@ -301,12 +301,23 @@ object SchemaEvolution {
     val m = CommitLog.readManifest(spark, table, v)
     require(m.schemaId.nonEmpty,
       s"$table@$v has no evolved schema — use CommitLog.readVersion")
-    val target = load(spark, table, m.schemaId)
-    val root = CommitLog.dataRoot(table)
     val dataFiles = m.files.filterNot(f =>
       f.startsWith("posdel-") || f.startsWith("deletes-"))
-    val groups = dataFiles.groupBy(f => m.fileSchemas.getOrElse(f, m.schemaId))
-    groups.toSeq.sortBy(_._1).map { case (sid, files) =>
+    projectFiles(spark, table, m, dataFiles, keepIds)
+  }
+
+  /** Project an arbitrary SUBSET of a manifest's data files into the
+    * manifest's current schema (per-group field-id resolution) — the
+    * read kernel [[TableFeed]] uses when tailing an evolving table, so
+    * a feed range that spans a rename unifies under one set of names
+    * instead of silently forking columns. Empty subset → typed empty. */
+  private[sources] def projectFiles(spark: SparkSession, table: String,
+      m: CommitLog.Manifest, files: Seq[String],
+      keepIds: Boolean = false): DataFrame = {
+    val target = load(spark, table, m.schemaId)
+    val root = CommitLog.dataRoot(table)
+    val groups = files.groupBy(f => m.fileSchemas.getOrElse(f, m.schemaId))
+    val frames = groups.toSeq.sortBy(_._1).map { case (sid, fs) =>
       val written = load(spark, table, sid).fields.map(f => f.id -> f).toMap
       val proj: Seq[Column] = target.fields.map { tf =>
         written.get(tf.id) match {
@@ -314,13 +325,21 @@ object SchemaEvolution {
           case None => lit(null).cast(tf.dataType).as(tf.name)
         }
       }
-      val raw = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+      val raw = spark.read.parquet(fs.map(f => s"$root/$f"): _*)
       val withIds =
         if (!keepIds) proj
         else proj :+ regexp_extract(col("_metadata.file_path"),
           "(stage-.*)$", 1).as("__fk") :+
           col("_metadata.row_index").as("__pos")
       raw.select(withIds: _*)
-    }.reduce(_ unionAll _)
+    }
+    frames.reduceOption(_ unionAll _).getOrElse {
+      val schema = org.apache.spark.sql.types.StructType(target.fields.map(
+        f => org.apache.spark.sql.types.StructField(f.name,
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(f.dataType))))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 }

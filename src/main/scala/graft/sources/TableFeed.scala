@@ -55,8 +55,20 @@ object TableFeed {
     val head = CommitLog.currentVersion(spark, source).getOrElse(return None)
     val from = cursor(spark, dest, feedTag)
     if (head <= from) return None
+    val headM = CommitLog.readManifest(spark, source, head)
     val changes =
-      if (from == 0L) CommitLog.readVersion(spark, source, head)
+      if (headM.schemaId.nonEmpty) {
+        // Evolving source: project the added files under the HEAD
+        // schema by field id, so a range spanning a rename unifies
+        // under one set of names instead of forking columns; delete
+        // files never feed raw (MoR sources use tailChanges).
+        val prev = if (from == 0L) Set.empty[String]
+          else CommitLog.liveFiles(spark, source, from).toSet
+        val added = headM.files.filterNot(prev).filterNot(f =>
+          f.startsWith("posdel-") || f.startsWith("deletes-"))
+        SchemaEvolution.projectFiles(spark, source, headM, added)
+      }
+      else if (from == 0L) CommitLog.readVersion(spark, source, head)
       else CommitLog.changesBetween(spark, source, from, head)
     CommitLog.transactionalAppend(spark, transform(changes), dest,
       txn = s"feed:$feedTag:$from-$head")

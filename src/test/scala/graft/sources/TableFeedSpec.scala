@@ -76,6 +76,21 @@ class TableFeedSpec extends SparkSpec {
       (2L, "insert", 1L)))
   }
 
+  test("a feed range spanning a rename unifies under the head schema") {
+    val src = fresh(); val dst = fresh()
+    SchemaEvolution.append(spark, Seq((1L, 10.0)).toDF("k", "a"), src)
+    SchemaEvolution.renameColumn(spark, src, "a", "amount")
+    SchemaEvolution.append(spark, Seq((2L, 20.0)).toDF("k", "amount"), src)
+    // ONE drain covers both file generations: without field-id
+    // projection this would fork into (k, a, amount) with nulls
+    val r = TableFeed.tail(spark, src, dst, "f")
+    assert(r.size == 1)
+    val got = CommitLog.read(spark, dst)
+    assert(got.columns.toSeq == Seq("k", "amount"))
+    assert(got.orderBy("k").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0)))
+  }
+
   test("independent feed tags keep independent cursors on one destination") {
     val s1 = fresh(); val s2 = fresh(); val dst = fresh()
     CommitLog.append(spark, Seq(1L).toDF("k"), s1)

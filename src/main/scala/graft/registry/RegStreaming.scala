@@ -828,6 +828,47 @@ private[graft] object RegStreaming {
         .orderBy("t")
     },
 
+    // FEEDING AN EVOLVING TABLE: one drain range spans an append, a
+    // column RENAME, and a second append — the feed projects both file
+    // generations under the head schema by field id (one unified
+    // column set; a raw union would fork amt/cents with nulls), the
+    // caught-up probe is a no-op, and a crash-replay of the range is
+    // absorbed by txn dedup. Checksums move on any fork, duplicate, or
+    // loss (TableFeed.syncOnce + SchemaEvolution.projectFiles,
+    // TableFeedSpec).
+    "q_stream_schema_feed" -> { (s, dir) =>
+      import graft.sources.{CommitLog, SchemaEvolution, TableFeed}
+      val tmp = System.getProperty("java.io.tmpdir")
+      val src = s"$tmp/graft_sfsrc_${stageTag(dir)}"
+      val dst = s"$tmp/graft_sfdst_${stageTag(dir)}"
+      for (t <- Seq(src, dst)) {
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val b = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      SchemaEvolution.append(s, b.filter(col("k") % 2 === 0)
+        .select(col("k"), col("cents").as("amt")).repartition(4), src)
+      SchemaEvolution.renameColumn(s, src, "amt", "cents")
+      SchemaEvolution.append(s, b.filter(col("k") % 2 === 1)
+        .repartition(4), src)
+      val r1 = TableFeed.tail(s, src, dst, "sf")
+      require(r1.size == 1, "one range must span the whole evolution")
+      require(TableFeed.syncOnce(s, src, dst, "sf").isEmpty,
+        "caught-up feed must be a no-op")
+      // crash-recovery replay of the consumed range: txn dedup
+      val (f1, t1) = r1.head
+      CommitLog.transactionalAppend(s, SchemaEvolution.read(s, src), dst,
+        s"feed:sf:$f1-$t1")
+      CommitLog.read(s, dst)
+        .groupBy(pmod(col("k"), lit(2L)).cast("long").as("parity"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .orderBy("parity")
+    },
+
     // STREAMING CDC OUT of a merge-on-read table: TableFeed tails the
     // DELETE-AWARE change feed (MorTable.changeFeed) into a downstream
     // CDC log with the txn-cursor exactly-once contract — inserts and
@@ -875,6 +916,20 @@ private[graft] object RegStreaming {
   )
 
   val oracles: Map[String, String] = Map(
+
+    // All rows under one unified schema: evens fed from the pre-rename
+    // file generation, odds from the post-rename one.
+    "q_stream_schema_feed" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT CAST(k % 2 AS BIGINT) AS parity,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum
+        |FROM b GROUP BY 1 ORDER BY parity""".stripMargin,
 
     // Same logical replay as q_table_cdf — the stream seam must not
     // change the content.

@@ -304,9 +304,11 @@ object CommitLog {
       stats: Map[String, (Long, Long)] = Map.empty,
       maxAttempts: Int = 200,
       schemaId: String = "",
-      fileSchemas: Map[String, String] = Map.empty): Long =
+      fileSchemas: Map[String, String] = Map.empty,
+      validateLive: Seq[String] => Unit = _ => ()): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
-      maxAttempts, requireRemovesLive = false, schemaId, fileSchemas)
+      maxAttempts, requireRemovesLive = false, schemaId, fileSchemas,
+      validateLive)
 
   /** Thrown by [[rewrite]] when a file it meant to replace was already
     * removed by a concurrent commit — proceeding would re-add the
@@ -338,9 +340,11 @@ object CommitLog {
       stats: Map[String, (Long, Long)] = Map.empty,
       maxAttempts: Int = 200,
       schemaId: String = "",
-      fileSchemas: Map[String, String] = Map.empty): Long =
+      fileSchemas: Map[String, String] = Map.empty,
+      validateLive: Seq[String] => Unit = _ => ()): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
-      maxAttempts, requireRemovesLive = true, schemaId, fileSchemas)
+      maxAttempts, requireRemovesLive = true, schemaId, fileSchemas,
+      validateLive)
 
   private def commitInternal(
       spark: SparkSession,
@@ -353,7 +357,13 @@ object CommitLog {
       maxAttempts: Int,
       requireRemovesLive: Boolean,
       schemaId: String = "",
-      fileSchemas: Map[String, String] = Map.empty): Long = {
+      fileSchemas: Map[String, String] = Map.empty,
+      // Re-evaluated against the FRESH live set on every CAS attempt
+      // (a commit landing between validate and publish fails our
+      // rename, and the retry validates again) — the hook rewrite-
+      // style ops use to conflict on read-set changes beyond removes,
+      // e.g. a delete file that appeared since the snapshot was read.
+      validateLive: Seq[String] => Unit = _ => ()): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     var attempt = 0
@@ -365,6 +375,7 @@ object CommitLog {
         val gone = removes.filterNot(live.toSet)
         if (gone.nonEmpty) throw new ConcurrentRewriteException(table, gone)
       }
+      validateLive(live)
       val next = base.map(_.version).getOrElse(0L) + 1
       val newLive = (live.filterNot(removes.toSet) ++ adds).distinct
       // Surviving files keep their recorded stats; removed files drop
@@ -464,11 +475,13 @@ object CommitLog {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     if (staged.isEmpty) Map.empty
     else {
-      // Key on the path from its stage-* segment down — unique within
-      // a commit (each stage dir is a fresh uuid) and stable across
-      // the partitioned layout's bk=<v> subdirs, where bare file
-      // names can repeat between sibling dirs.
-      def key(p: String): String = p.substring(p.indexOf("stage-"))
+      // Key on the path from its LAST stage-* segment down — unique
+      // within a commit (each stage dir is a fresh uuid) and stable
+      // across the partitioned layout's bk=<v> subdirs, where bare
+      // file names can repeat between sibling dirs. lastIndexOf, not
+      // indexOf: an ancestor directory containing "stage-" must not
+      // shift the key off the staged-relative form.
+      def key(p: String): String = p.substring(p.lastIndexOf("stage-"))
       val byKey = staged.map(rel => key(rel) -> rel).toMap
       spark.read.parquet(staged.map(rel => s"${dataRoot(table)}/$rel"): _*)
         .groupBy(input_file_name().as("__f"))

@@ -40,9 +40,40 @@ object MorTable {
   // scan itself reports, so writer and reader agree by construction
   // even when a file is split across input partitions.
 
-  /** The manifest-relative file key of an absolute scan path. */
-  private def fileKey(p: org.apache.spark.sql.Column) =
-    regexp_extract(p, "(stage-.*)$", 1)
+  /** The manifest-relative file key of an absolute scan path: from
+    * the LAST path segment starting with `stage-` (greedy prefix), so
+    * an ancestor directory that happens to contain "stage-" cannot
+    * shift the key off the manifest-relative form. */
+  private[sources] def fileKey(p: org.apache.spark.sql.Column) =
+    regexp_extract(p, "^(?:.*/)?(stage-.*)$", 1)
+
+
+  /** Commit-time guard: throws if any of `readFiles` is no longer
+    * live — the staged artifact was derived from files a concurrent
+    * rewrite retired, so publishing it would reference retired rows.
+    * Callers rebase (re-read the new head, restage). */
+  private[sources] def requireStillLive(table: String,
+      readFiles: Seq[String]): Seq[String] => Unit = { live =>
+    val gone = readFiles.filterNot(live.toSet)
+    if (gone.nonEmpty) throw new java.util.ConcurrentModificationException(
+      s"concurrent rewrite at $table: ${gone.size} file(s) this commit " +
+        s"read are no longer live (first: ${gone.head}) — rebase and retry")
+  }
+
+  /** Commit-time guard for compaction: throws if a DELETE FILE
+    * appeared since the compaction read its snapshot — the staged
+    * materialization predates that delete, so swapping it in would
+    * RESURRECT the deleted rows (the hole equality deletes' sequence
+    * rule cannot cover for position deletes). */
+  private[sources] def noNewDeletes(table: String,
+      knownDeletes: Set[String]): Seq[String] => Unit = { live =>
+    val fresh = live.filter(f => (f.startsWith("posdel-") ||
+      f.startsWith("deletes-")) && !knownDeletes(f))
+    if (fresh.nonEmpty) throw new java.util.ConcurrentModificationException(
+      s"concurrent delete at $table: ${fresh.size} delete file(s) " +
+        s"appeared since the compaction snapshot (first: ${fresh.head}) " +
+        "— recompact from the new head")
+  }
 
   /** Commit position deletes for every row of the live DATA FILES
     * matching `predicate`: one scan collecting (file_key, pos),
@@ -67,7 +98,11 @@ object MorTable {
       .filter(predicate)
       .select("file_key", "pos")
     CommitLog.commit(spark, table,
-      adds = CommitLog.stageUnder(spark, dels, table, "posdel"))
+      adds = CommitLog.stageUnder(spark, dels, table, "posdel"),
+      // the tuples are keyed by v's file paths: if a concurrent
+      // compaction retired any of them, this delete would be a silent
+      // permanent no-op — conflict instead
+      validateLive = requireStillLive(table, dataFiles))
   }
 
   /** Commit an equality-delete file for `keys` at `seq`; one commit —
@@ -105,21 +140,27 @@ object MorTable {
 
   /** COMPACT the merge-on-read debt: materialize the current MoR
     * state as fresh data files and retire BOTH the old data files and
-    * the delete files in one [[CommitLog.rewrite]] — which aborts
-    * with ConcurrentRewriteException if a racing commit touched the
-    * read set (the Delta concurrent-delete rule), so the swap never
-    * resurrects deleted rows. Rows keep their data_seq: a reader
-    * can't tell compacted from not (pinned in spec), and later
-    * deletes still sequence correctly against them. Returns the new
-    * version. */
+    * the delete files in one [[CommitLog.rewrite]]. Two conflict
+    * rules close every resurrection window (the Delta concurrent-
+    * delete discipline): the rewrite aborts if any read-set file was
+    * already retired (requireRemovesLive), AND if any NEW delete file
+    * appeared since the snapshot was read ([[noNewDeletes]]) — the
+    * staged materialization predates that delete, so publishing it
+    * would resurrect rows a committed delete already killed. Rows
+    * keep their data_seq: a reader can't tell compacted from not
+    * (pinned in spec), and later deletes still sequence correctly
+    * against them. Returns the new version. */
   def compact(spark: SparkSession, table: String,
       keyCols: Seq[String]): Long = {
     val v = CommitLog.currentVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
     val live = CommitLog.liveFiles(spark, table, v)
+    val knownDeletes = live.filter(f => f.startsWith("posdel-") ||
+      f.startsWith("deletes-")).toSet
     val staged = CommitLog.stage(spark,
       readMor(spark, table, keyCols, Some(v)), table)
-    CommitLog.rewrite(spark, table, adds = staged, removes = live)
+    CommitLog.rewrite(spark, table, adds = staged, removes = live,
+      validateLive = noNewDeletes(table, knownDeletes))
   }
 
   /** Data rows of `files` with their physical identity attached:
@@ -206,8 +247,17 @@ object MorTable {
       toVersion: Long, keyCols: Seq[String]): DataFrame = {
     require(fromVersion < toVersion,
       "changeFeed needs a non-empty (fromVersion, toVersion] range")
-    val frames = ((fromVersion + 1) to toVersion).flatMap(v =>
-      versionChanges(spark, table, v, keyCols))
+    // Thread each manifest through the loop: version v's manifest is
+    // v+1's prev, so the range costs N+1 driver reads, not 2N.
+    var prevM = if (fromVersion == 0) CommitLog.Manifest(0, "", "",
+      Seq.empty, Map.empty)
+      else CommitLog.readManifest(spark, table, fromVersion)
+    val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val curM = CommitLog.readManifest(spark, table, v)
+      val out = versionChanges(spark, table, prevM, curM, keyCols)
+      prevM = curM
+      out
+    }
     frames.reduceOption(_ unionByName _).getOrElse {
       // nothing changed in the range (all rewrites): empty, typed
       readMor(spark, table, keyCols, Some(toVersion)).limit(0)
@@ -217,11 +267,10 @@ object MorTable {
   }
 
   private def versionChanges(spark: SparkSession, table: String,
-      v: Long, keyCols: Seq[String]): Seq[DataFrame] = {
+      prevM: CommitLog.Manifest, curM: CommitLog.Manifest,
+      keyCols: Seq[String]): Seq[DataFrame] = {
     val root = CommitLog.dataRoot(table)
-    val prevM = if (v == 1) CommitLog.Manifest(0, "", "", Seq.empty,
-      Map.empty) else CommitLog.readManifest(spark, table, v - 1)
-    val curM = CommitLog.readManifest(spark, table, v)
+    val v = curM.version
     val prevSet = prevM.files.toSet
     val added = curM.files.filterNot(prevSet)
     val removed = prevM.files.filterNot(curM.files.toSet)

@@ -72,6 +72,14 @@ object SchemaEvolution {
 
   private def persist(spark: SparkSession, table: String,
       fields: Seq[Field], lastId: Int): String = {
+    // The schema-file encoding joins fields as "id:name:type" — a ':'
+    // (or control char) in a column name would misparse on read, so
+    // refuse it at write time, loudly.
+    fields.foreach(f => require(
+      f.name.nonEmpty && f.name.forall(c =>
+        c.isLetterOrDigit || c == '_' || c == '-' || c == '.'),
+      s"column name '${f.name}' must be [A-Za-z0-9_.-]+ " +
+        "(the schema-file encoding reserves ':')"))
     val sid = schemaIdOf(fields, lastId)
     CommitLog.writeSchemaFile(spark, table, sid,
       fields.map(f => (f.id, f.name, f.dataType)), lastId)
@@ -93,6 +101,18 @@ object SchemaEvolution {
     require(df.columns.toSet == names.toSet,
       s"append columns ${df.columns.toSeq.sorted} != current schema " +
         s"${names.sorted} — evolve the schema first, then append")
+    // Lossless-up-cast rule (same as MergeInto's): a long frame into
+    // an int column would silently truncate through the Cast below.
+    schema.fields.foreach { f =>
+      val from = df.schema(f.name).dataType
+      val to = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(f.dataType)
+      require(from == org.apache.spark.sql.types.NullType ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+        s"append type mismatch on '${f.name}': ${from.simpleString} " +
+          s"does not up-cast losslessly to ${to.simpleString} — widen " +
+          "the schema or cast explicitly")
+    }
     val shaped = df.select(
       schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     val staged = CommitLog.stage(spark, shaped, table)
@@ -178,8 +198,8 @@ object SchemaEvolution {
     * per-group field-id projection keeps each row's physical identity
     * beside it, and the version's posdel tuples are subtracted after
     * the union — one broadcast-able anti join, schema-independent.
-    * Refuses on live equality deletes (their key names do not survive
-    * renames; compact the delete debt first). */
+    * Refuses on live equality deletes — use [[readMorEvolved]] (which
+    * re-resolves delete keys by field id) or [[compactEvolved]]. */
   def readWithPositionDeletes(spark: SparkSession, table: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(CommitLog.currentVersion(spark, table))
@@ -187,7 +207,7 @@ object SchemaEvolution {
         s"no committed version at $table"))
     val m = CommitLog.readManifest(spark, table, v)
     require(!m.files.exists(_.startsWith("deletes-")),
-      s"$table@$v carries equality deletes — compact before evolving reads")
+      s"$table@$v carries equality deletes — use readMorEvolved, or compactEvolved first")
     val posFiles = m.files.filter(_.startsWith("posdel-"))
     val df = projected(spark, table, version, keepIds = posFiles.nonEmpty)
     if (posFiles.isEmpty) df
@@ -264,7 +284,7 @@ object SchemaEvolution {
               val now = targetById.getOrElse(wf.id,
                 throw new IllegalStateException(
                   s"delete key '$c' (field ${wf.id}) was dropped from " +
-                    "the current schema — compact the delete debt first"))
+                    "the current schema — compactEvolved the delete debt first"))
               col(c).as(now)
           }
           raw.select(proj: _*)
@@ -286,11 +306,44 @@ object SchemaEvolution {
     * [[MorTable.commitPositionDeletes]] on a flat table. */
   def commitPositionDeletes(spark: SparkSession, table: String,
       predicate: Column): Long = {
-    val dels = projected(spark, table, None, keepIds = true)
+    val v = CommitLog.currentVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+    val m = CommitLog.readManifest(spark, table, v)
+    val dataFiles = m.files.filterNot(f =>
+      f.startsWith("posdel-") || f.startsWith("deletes-"))
+    val dels = projected(spark, table, Some(v), keepIds = true)
       .filter(predicate)
       .select(col("__fk").as("file_key"), col("__pos").as("pos"))
     CommitLog.commit(spark, table,
-      adds = CommitLog.stageUnder(spark, dels, table, "posdel"))
+      adds = CommitLog.stageUnder(spark, dels, table, "posdel"),
+      // tuples are keyed by v's file paths — conflict rather than
+      // silently no-op if a concurrent rewrite retired any of them
+      validateLive = MorTable.requireStillLive(table, dataFiles))
+  }
+
+  /** [[MorTable.compact]] for an EVOLVED table: materialize
+    * [[readMorEvolved]] (field-id projection + both delete flavors)
+    * as fresh CURRENT-schema files and retire the old data AND delete
+    * files in one conflict-guarded rewrite. This — not the
+    * schema-oblivious [[MorTable.compact]], which would null-fork
+    * renamed columns — is the remediation for eq-delete debt on a
+    * renamed table. */
+  def compactEvolved(spark: SparkSession, table: String,
+      keyCols: Seq[String]): Long = {
+    val v = CommitLog.currentVersion(spark, table)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+    val m = CommitLog.readManifest(spark, table, v)
+    val cur = requireSchema(spark, table)
+    val knownDeletes = m.files.filter(f => f.startsWith("posdel-") ||
+      f.startsWith("deletes-")).toSet
+    val staged = CommitLog.stage(spark,
+      readMorEvolved(spark, table, keyCols, Some(v)), table)
+    CommitLog.rewrite(spark, table, adds = staged, removes = m.files,
+      schemaId = cur.sid,
+      fileSchemas = staged.map(_ -> cur.sid).toMap,
+      validateLive = MorTable.noNewDeletes(table, knownDeletes))
   }
 
   private def projected(spark: SparkSession, table: String,
@@ -328,8 +381,8 @@ object SchemaEvolution {
       val raw = spark.read.parquet(fs.map(f => s"$root/$f"): _*)
       val withIds =
         if (!keepIds) proj
-        else proj :+ regexp_extract(col("_metadata.file_path"),
-          "(stage-.*)$", 1).as("__fk") :+
+        else proj :+ MorTable.fileKey(col("_metadata.file_path"))
+          .as("__fk") :+
           col("_metadata.row_index").as("__pos")
       raw.select(withIds: _*)
     }

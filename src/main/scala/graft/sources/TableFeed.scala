@@ -56,20 +56,27 @@ object TableFeed {
     val from = cursor(spark, dest, feedTag)
     if (head <= from) return None
     val headM = CommitLog.readManifest(spark, source, head)
+    // Delete files NEVER feed raw in either branch: mixing posdel/
+    // eqdel tuple files into a data read null-pads whichever footer
+    // loses schema inference. MoR sources stream through tailChanges.
+    val prev = if (from == 0L) Set.empty[String]
+      else CommitLog.liveFiles(spark, source, from).toSet
+    val added = headM.files.filterNot(prev).filterNot(f =>
+      f.startsWith("posdel-") || f.startsWith("deletes-"))
+    val headData = headM.files.filterNot(f =>
+      f.startsWith("posdel-") || f.startsWith("deletes-"))
+    val root = CommitLog.dataRoot(source)
     val changes =
-      if (headM.schemaId.nonEmpty) {
+      if (headM.schemaId.nonEmpty)
         // Evolving source: project the added files under the HEAD
         // schema by field id, so a range spanning a rename unifies
-        // under one set of names instead of forking columns; delete
-        // files never feed raw (MoR sources use tailChanges).
-        val prev = if (from == 0L) Set.empty[String]
-          else CommitLog.liveFiles(spark, source, from).toSet
-        val added = headM.files.filterNot(prev).filterNot(f =>
-          f.startsWith("posdel-") || f.startsWith("deletes-"))
+        // under one set of names instead of forking columns.
         SchemaEvolution.projectFiles(spark, source, headM, added)
-      }
-      else if (from == 0L) CommitLog.readVersion(spark, source, head)
-      else CommitLog.changesBetween(spark, source, from, head)
+      else if (added.nonEmpty)
+        spark.read.parquet(added.map(f => s"$root/$f"): _*)
+      else if (headData.nonEmpty)
+        spark.read.parquet(headData.map(f => s"$root/$f"): _*).limit(0)
+      else return None // no data files at all: nothing to feed, yet
     CommitLog.transactionalAppend(spark, transform(changes), dest,
       txn = s"feed:$feedTag:$from-$head")
     Some((from, head))

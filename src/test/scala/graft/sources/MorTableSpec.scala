@@ -113,6 +113,54 @@ class MorTableSpec extends SparkSpec {
     assert(ks(None) == (7L to 19L by 2))
   }
 
+  test("compact conflicts with a delete that landed after its snapshot") {
+    val t = freshTable()
+    MorTable.appendData(spark,
+      (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, t)
+    // Replicate compact's internals with a posdel racing in between:
+    // snapshot read → (concurrent posdel commits) → guarded rewrite.
+    val v = CommitLog.currentVersion(spark, t).get
+    val live = CommitLog.liveFiles(spark, t, v)
+    val known = live.filter(f => f.startsWith("posdel-") ||
+      f.startsWith("deletes-")).toSet
+    val staged = CommitLog.stage(spark,
+      MorTable.readMor(spark, t, Seq("k"), Some(v)), t)
+    MorTable.commitPositionDeletes(spark, t, $"k" <= 10L) // the race
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.rewrite(spark, t, adds = staged, removes = live,
+        validateLive = MorTable.noNewDeletes(t, known))
+    }
+    assert(ex.getMessage.contains("concurrent delete"))
+    // nothing was resurrected: the delete still holds
+    assert(MorTable.readMor(spark, t, Seq("k")).count() == 90)
+    // a FRESH compact (new snapshot) succeeds and preserves the delete
+    MorTable.compact(spark, t, Seq("k"))
+    assert(MorTable.readMor(spark, t, Seq("k")).count() == 90)
+  }
+
+  test("a position delete conflicts when compaction retired its read set") {
+    val t = freshTable()
+    MorTable.appendData(spark,
+      (1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"), 1L, t)
+    // Replicate commitPositionDeletes' internals with a compact racing
+    // in: tuples staged against v's files → compact retires them →
+    // the guarded commit must refuse (a silent no-op delete otherwise).
+    val v = CommitLog.currentVersion(spark, t).get
+    val dataFiles = CommitLog.liveFiles(spark, t, v)
+      .filter(_.startsWith("stage-"))
+    MorTable.compact(spark, t, Seq("k")) // the race
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commit(spark, t,
+        adds = CommitLog.stageUnder(spark,
+          Seq(("stale", 0L)).toDF("file_key", "pos"), t, "posdel"),
+        validateLive = MorTable.requireStillLive(t, dataFiles))
+    }
+    assert(ex.getMessage.contains("no longer live"))
+    // the real API re-reads the head, so a retry simply works
+    MorTable.commitPositionDeletes(spark, t, $"k" <= 5L)
+    assert(MorTable.readMor(spark, t, Seq("k")).count() == 45)
+  }
+
   test("position identity survives multi-row-group files and split reads") {
     // The posdel contract rests on _metadata.row_index being the row's
     // position in the PHYSICAL FILE, not in the read split. Force both

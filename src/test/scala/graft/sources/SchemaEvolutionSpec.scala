@@ -160,6 +160,43 @@ class SchemaEvolutionSpec extends SparkSpec {
       .count() == 3)
   }
 
+  test("compactEvolved retires delete debt on a renamed table losslessly") {
+    val t = freshTable()
+    SchemaEvolution.append(spark,
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "c", 1L))
+        .toDF("id", "v", "data_seq"), t)
+    SchemaEvolution.commitEqualityDeletes(spark, t, Seq(2L).toDF("id"), 2L)
+    SchemaEvolution.renameColumn(spark, t, "id", "doc_id")
+    SchemaEvolution.commitPositionDeletes(spark, t, $"doc_id" === 3L)
+    val before = SchemaEvolution.readMorEvolved(spark, t, Seq("doc_id"))
+      .select("doc_id", "v").as[(Long, String)].collect().sorted.toSeq
+    assert(before == Seq((1L, "a")))
+    val vC = SchemaEvolution.compactEvolved(spark, t, Seq("doc_id"))
+    val files = CommitLog.liveFiles(spark, t, vC)
+    assert(!files.exists(f => f.startsWith("deletes-") ||
+      f.startsWith("posdel-")))
+    // the compacted files are CURRENT-schema (no null-forked rename)
+    assert(SchemaEvolution.read(spark, t)
+      .select("doc_id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+    assert(SchemaEvolution.readMorEvolved(spark, t, Seq("doc_id"))
+      .select("doc_id", "v").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a")))
+  }
+
+  test("append refuses a silent lossy cast (long frame into int column)") {
+    val t = freshTable()
+    SchemaEvolution.append(spark, Seq((1, 10)).toDF("k", "n"), t)
+    intercept[IllegalArgumentException] {
+      SchemaEvolution.append(spark,
+        Seq((2, 5000000000L)).toDF("k", "n"), t)
+    }
+    // widen first, then the same append succeeds
+    SchemaEvolution.widenColumnType(spark, t, "n", "bigint")
+    SchemaEvolution.append(spark, Seq((2, 5000000000L)).toDF("k", "n"), t)
+    assert(SchemaEvolution.read(spark, t).count() == 2)
+  }
+
   test("append rejects columns that do not match the current schema") {
     val t = freshTable()
     SchemaEvolution.append(spark, Seq((1L, 1.0)).toDF("k", "a"), t)

@@ -10,12 +10,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (compaction, vacuum, CDC swap, incremental appends) transactional
   * (round-10 directive #6, the mini-Delta shape).
   *
-  * Layout:
+  * Layout (round-13: SHARDED manifests, the Iceberg manifest-list
+  * shape — commit cost is O(touched files), not O(table files)):
   * {{{
   * table/
-  *   stage-<uuid>/part-*.parquet     data files, written FIRST, invisible
-  *   _log/00000000000000000001.manifest   one JSON per version: the live file list
-  *   _log/.tmp-<uuid>                in-flight manifest (ignored by readers)
+  *   stage-<uuid>/part-*.parquet          data files, written FIRST, invisible
+  *   _log/group-<md5>.json                IMMUTABLE file-group manifest:
+  *                                        a file list + its per-file stats /
+  *                                        schema-id / partition-spec entries,
+  *                                        content-addressed (same content =
+  *                                        same name), shared across versions
+  *                                        and branches BY REFERENCE
+  *   _log/00000000000000000001.manifest   one small JSON per version: txn id,
+  *                                        sticky stats/schema/spec ids, and
+  *                                        the ordered list of group refs
+  *   _log/.tmp-<uuid>                     in-flight file (ignored by readers)
   * }}}
   *
   * Protocol — the order IS the correctness argument:
@@ -24,7 +33,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     many writers/compactors can stage concurrently, and a crash
   *     mid-stage leaves only unreferenced files (vacuum's problem,
   *     never a reader's).
-  *  2. The commit is ONE atomic rename: manifest JSON written to
+  *  2. Group files are written BEFORE the list that references them
+  *     (the Iceberg metadata-file order): a crash in between leaves an
+  *     orphan group, never a list pointing at nothing. They are
+  *     content-addressed and immutable, so two writers racing on the
+  *     same content write identical bytes — a lost CAS is benign.
+  *  3. The commit is ONE atomic rename of the version list: JSON to
   *     `_log/.tmp-*`, then renamed to `_log/<version>.manifest`.
   *     Hadoop `rename` will not clobber an existing destination, so
   *     the rename doubles as compare-and-swap on the version number:
@@ -32,20 +46,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the log and retries against the next version (true on file://
   *     and hdfs://; on S3 this is the documented seam for a commit
   *     coordinator, exactly as in Delta/Iceberg).
-  *  3. Readers resolve the HIGHEST complete manifest and read exactly
-  *     the files it lists — a reader racing a compaction or CDC swap
-  *     sees wholly the old version or wholly the new one, never a mix
-  *     and never a partial write.
+  *  4. Readers resolve the HIGHEST complete list and read exactly the
+  *     files its groups name — a reader racing a compaction or CDC
+  *     swap sees wholly the old version or wholly the new one, never
+  *     a mix and never a partial write.
   *
-  * Scale shape: a manifest holds file paths, not data — O(files), read
-  * once per query by the driver; the listing never touches executors
-  * and replaces the eventually-consistent directory glob that makes
-  * racing readers double-count. Old versions stay readable (time
-  * travel via `readVersion`) until [[vacuumUnreferenced]] retires them.
+  * Scale shape: an APPEND writes one new group (its own files) plus
+  * one tiny list — untouched groups are reused by reference, so a
+  * million-file table pays O(batch) serialization per commit, not
+  * O(10⁶). A REWRITE rewrites only the groups it touches. Groups are
+  * immutable, so the driver caches them across commits and queries;
+  * a cold read costs O(groups) small JSON reads once per process.
+  * When a table accumulates more than [[MaxGroups]] groups, the next
+  * commit folds them into one (amortized-O(1/MaxGroups) manifest
+  * compaction, as Iceberg's rewrite-manifests). Old versions stay
+  * readable (time travel via `readVersion`) until
+  * [[vacuumUnreferenced]] retires them — which also deletes group
+  * files no kept version of any ref references.
   */
 object CommitLog {
 
   private val ManifestSuffix = ".manifest"
+
+  /** Fold the group list into one group when a commit would exceed
+    * this — bounds a reader's group fan-in at the cost of one
+    * amortized metadata rewrite every MaxGroups commits. */
+  private val MaxGroups = 64
 
   /** A table ref is `path` (the main branch) or `path#branch`. The
     * branch shares the main table's DATA directory — every manifest
@@ -74,6 +100,14 @@ object CommitLog {
       new Path(dataRoot(table), s"_log@$b")
   }
 
+  /** This ref's log dir as a root-relative prefix ("_log" or
+    * "_log@b") — group refs are stored root-relative so a branch list
+    * can reference the parent ref's groups zero-copy. */
+  private def logRel(table: String): String = branchOf(table) match {
+    case None => "_log"
+    case Some(b) => s"_log@$b"
+  }
+
   private def manifestPath(table: String, version: Long): Path =
     new Path(logDir(table), f"$version%020d$ManifestSuffix")
 
@@ -94,22 +128,52 @@ object CommitLog {
 
   /** A resolved manifest: the live file set, the transaction id that
     * produced it (streaming exactly-once; empty for plain commits),
-    * and optional per-file zone-map stats — integer [min, max] of
-    * `statsCol` per live file, carried FORWARD across commits so a
-    * reader prunes at the manifest, before any footer is opened. */
+    * and the per-file metadata the groups carry —
+    *  - `colStats`: per-COLUMN sparse zone maps, integer [min, max]
+    *    of each stats column per live file, carried FORWARD across
+    *    commits so a reader prunes at the manifest, before any footer
+    *    is opened; `statsCol`/`stats` expose the PRIMARY column's view
+    *    (what [[replaceWhere]] / [[compactTable]] key on);
+    *  - `fileSchemas`: the schema id each data file was WRITTEN under
+    *    (field-id evolution, [[SchemaEvolution]]);
+    *  - `fileSpecs`: the partition-spec id each file was written
+    *    under (partition-spec evolution, [[PartitionSpecs]]);
+    *  - `groups`: the raw group refs this version resolves through
+    *    (root-relative; empty for a legacy monolithic manifest). */
   final case class Manifest(
       version: Long,
       txn: String,
       statsCol: String,
       files: Seq[String],
       stats: Map[String, (Long, Long)],
-      /** Current schema id ("" = table has no evolved schema) and the
-        * sparse per-file map of the schema id each data file was
-        * WRITTEN under — the field-id indirection that lets
-        * add/rename/drop evolve without rewriting data files
-        * ([[SchemaEvolution]]). */
       schemaId: String = "",
-      fileSchemas: Map[String, String] = Map.empty)
+      fileSchemas: Map[String, String] = Map.empty,
+      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      specId: String = "",
+      fileSpecs: Map[String, String] = Map.empty,
+      groups: Seq[String] = Seq.empty)
+
+  /** The per-file metadata of one immutable group file. */
+  private[sources] final case class GroupData(
+      files: Seq[String],
+      colStats: Map[String, Map[String, (Long, Long)]],
+      fileSchemas: Map[String, String],
+      fileSpecs: Map[String, String]) {
+    def restrictTo(keep: Set[String]): GroupData = GroupData(
+      files.filter(keep),
+      colStats.map { case (c, m) => c -> m.filter(e => keep(e._1)) }
+        .filter(_._2.nonEmpty),
+      fileSchemas.filter(e => keep(e._1)),
+      fileSpecs.filter(e => keep(e._1)))
+  }
+
+  private def mergeGroups(gs: Seq[GroupData]): GroupData = GroupData(
+    gs.flatMap(_.files),
+    gs.flatMap(_.colStats.keys).distinct.map { c =>
+      c -> gs.flatMap(_.colStats.getOrElse(c, Map.empty)).toMap
+    }.filter(_._2.nonEmpty).toMap,
+    gs.flatMap(_.fileSchemas).toMap,
+    gs.flatMap(_.fileSpecs).toMap)
 
   /** Live file list of `version` (paths relative to the table root). */
   def liveFiles(spark: SparkSession, table: String, version: Long): Seq[String] =
@@ -117,7 +181,7 @@ object CommitLog {
 
   def readManifest(spark: SparkSession, table: String, version: Long): Manifest = {
     val f = fs(spark, table)
-    val in = try f.open(manifestPath(table, version))
+    val body = try readText(f, manifestPath(table, version))
     catch {
       case _: java.io.FileNotFoundException =>
         // Surface the retention contract instead of a bare FNF: a
@@ -128,9 +192,13 @@ object CommitLog {
             "committed) — feeds and time travel must stay inside the " +
             "vacuum retention window")
     }
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    parseManifest(spark, table, body)
+  }
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    parseManifest(body)
   }
 
   private def esc(s: String): String = s.flatMap {
@@ -140,42 +208,127 @@ object CommitLog {
     case c => c.toString
   }
 
-  /** One JSON object per manifest; file order is canonicalized (and
-    * statsFiles/mins/maxs aligned to it) so two manifests with the
-    * same live set are byte-comparable. Stats are SPARSE: only the
-    * files that have an entry are serialized (as `statsFiles` with
-    * aligned mins/maxs), so one stats-less add — a plain [[append]]
-    * onto a stats-carrying table, or an all-NULL stats batch — never
-    * erases the carried stats of the surviving files. Readers treat
-    * absent entries conservatively ([[prunedFiles]] keeps them;
-    * [[replaceWhere]] throws on them, its documented contract). */
-  private def renderManifest(m: Manifest): String = {
-    val ordered = m.files.sorted
-    val fileJson = ordered.map(f => "\"" + esc(f) + "\"").mkString(",")
-    val withStats = ordered.filter(m.stats.contains)
-    val statsJson =
-      if (m.statsCol.isEmpty || withStats.isEmpty) ""
-      else {
-        val sfiles = withStats.map(f => "\"" + esc(f) + "\"").mkString(",")
-        val mins = withStats.map(f => m.stats(f)._1).mkString(",")
-        val maxs = withStats.map(f => m.stats(f)._2).mkString(",")
-        s""","statsCol":"${esc(m.statsCol)}","statsFiles":[$sfiles],"mins":[$mins],"maxs":[$maxs]"""
+  // ---- group files (immutable, content-addressed) ------------------
+
+  /** One JSON object per group; file order is canonicalized (and every
+    * per-file array aligned to it) so two groups with the same content
+    * are byte-identical — which makes the md5 content address stable
+    * and racing writers of equal content benign. Stats are SPARSE per
+    * column: only files with an entry are serialized, so a stats-less
+    * add in a LATER group never erases a carried zone map here. */
+  private def renderGroup(g: GroupData): String = {
+    val ordered = g.files.sorted
+    def arr(xs: Seq[String]) = xs.map(x => "\"" + esc(x) + "\"").mkString(",")
+    val sb = new StringBuilder(s"""{"files":[${arr(ordered)}]""")
+    val cols = g.colStats.keys.toSeq.sorted
+    if (cols.nonEmpty) {
+      sb ++= s""","statsCols":[${arr(cols)}]"""
+      cols.foreach { c =>
+        val m = g.colStats(c)
+        val withStats = ordered.filter(m.contains)
+        sb ++= s""","stats:${esc(c)}:files":[${arr(withStats)}]"""
+        sb ++= s""","stats:${esc(c)}:mins":[${withStats.map(f => m(f)._1).mkString(",")}]"""
+        sb ++= s""","stats:${esc(c)}:maxs":[${withStats.map(f => m(f)._2).mkString(",")}]"""
       }
-    val withSchema = ordered.filter(m.fileSchemas.contains)
-    val schemaJson =
-      if (m.schemaId.isEmpty) ""
-      else {
-        val sf = withSchema.map(f => "\"" + esc(f) + "\"").mkString(",")
-        val ids = withSchema.map(f => "\"" + esc(m.fileSchemas(f)) + "\"")
-          .mkString(",")
-        s""","schemaId":"${esc(m.schemaId)}","schemaFiles":[$sf],"fileSchemaIds":[$ids]"""
-      }
-    s"""{"version":${m.version},"txn":"${esc(m.txn)}","files":[$fileJson]$statsJson$schemaJson}"""
+    }
+    val withSchema = ordered.filter(g.fileSchemas.contains)
+    if (withSchema.nonEmpty) {
+      sb ++= s""","schemaFiles":[${arr(withSchema)}]"""
+      sb ++= s""","fileSchemaIds":[${arr(withSchema.map(g.fileSchemas))}]"""
+    }
+    val withSpec = ordered.filter(g.fileSpecs.contains)
+    if (withSpec.nonEmpty) {
+      sb ++= s""","specFiles":[${arr(withSpec)}]"""
+      sb ++= s""","fileSpecIds":[${arr(withSpec.map(g.fileSpecs))}]"""
+    }
+    sb ++= "}"
+    sb.toString
+  }
+
+  private def parseGroup(body: String): GroupData = {
+    val files = arrayField(body, "files").map(parseStrings).getOrElse(Seq.empty)
+    val cols = arrayField(body, "statsCols").map(parseStrings).getOrElse(Seq.empty)
+    val colStats = cols.map { c =>
+      val sf = arrayField(body, s"stats:$c:files").map(parseStrings)
+        .getOrElse(Seq.empty)
+      val mins = longsField(body, s"stats:$c:mins")
+      val maxs = longsField(body, s"stats:$c:maxs")
+      c -> (if (mins.size == sf.size && maxs.size == sf.size)
+        sf.zip(mins.zip(maxs)).toMap else Map.empty[String, (Long, Long)])
+    }.filter(_._2.nonEmpty).toMap
+    GroupData(files, colStats,
+      zipped(body, "schemaFiles", "fileSchemaIds"),
+      zipped(body, "specFiles", "fileSpecIds"))
+  }
+
+  private def zipped(body: String, k1: String, k2: String): Map[String, String] = {
+    val a = arrayField(body, k1).map(parseStrings).getOrElse(Seq.empty)
+    val b = arrayField(body, k2).map(parseStrings).getOrElse(Seq.empty)
+    if (a.size == b.size) a.zip(b).toMap else Map.empty
+  }
+
+  /** Groups are immutable → cache entries never invalidate. Keyed by
+    * the group file's qualified absolute path. Bounded crudely: the
+    * whole map is dropped past 8192 entries (a process touching that
+    * many distinct groups is re-reading history; correctness is
+    * unaffected). */
+  private val groupCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GroupData]()
+
+  private def loadGroup(spark: SparkSession, table: String,
+      ref: String): GroupData = {
+    val f = fs(spark, table)
+    val p = f.makeQualified(new Path(dataRoot(table), ref))
+    val key = p.toString
+    val hit = groupCache.get(key)
+    if (hit != null) hit
+    else {
+      val gd = parseGroup(readText(f, p))
+      if (groupCache.size > 8192) groupCache.clear()
+      groupCache.put(key, gd)
+      gd
+    }
+  }
+
+  /** Persist `g` as `<logRel>/group-<md5>.json` (no-op when the
+    * content address already exists) and return its root-relative
+    * ref. Written BEFORE any list that references it. */
+  private def writeGroup(spark: SparkSession, table: String,
+      g: GroupData): String = {
+    val body = renderGroup(g)
+    val gid = java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val rel = s"${logRel(table)}/group-$gid.json"
+    val f = fs(spark, table)
+    val dst = new Path(dataRoot(table), rel)
+    if (!f.exists(dst)) {
+      f.mkdirs(logDir(table))
+      val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      if (!atomicPublish(f, tmp, dst)) f.delete(tmp, false)
+    }
+    val key = f.makeQualified(dst).toString
+    groupCache.putIfAbsent(key, g.copy(files = g.files.sorted))
+    rel
+  }
+
+  // ---- version list (the per-version manifest) ----------------------
+
+  /** The tiny per-version JSON: txn + sticky ids + ordered group refs.
+    * O(groups) bytes, never O(files). */
+  private def renderList(m: Manifest): String = {
+    val gs = m.groups.map(g => "\"" + esc(g) + "\"").mkString(",")
+    val extra = new StringBuilder
+    if (m.statsCol.nonEmpty) extra ++= s""","statsCol":"${esc(m.statsCol)}""""
+    if (m.schemaId.nonEmpty) extra ++= s""","schemaId":"${esc(m.schemaId)}""""
+    if (m.specId.nonEmpty) extra ++= s""","specId":"${esc(m.specId)}""""
+    s"""{"version":${m.version},"txn":"${esc(m.txn)}"$extra,"groups":[$gs]}"""
   }
 
   // Minimal JSON field extraction (no JSON lib on the unmanaged
-  // classpath contract); the renderer above is the only writer, so the
-  // grammar is fixed: string scalars, string arrays, long arrays.
+  // classpath contract); the renderers above are the only writers, so
+  // the grammar is fixed: string scalars, string arrays, long arrays.
 
   private def parseStrings(arr: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -201,7 +354,7 @@ object CommitLog {
   }
 
   /** The bracketed body of `"key":[...]`, or None. Safe because the
-    * renderer emits keys in fixed order and paths cannot inject a
+    * renderers emit keys in fixed order and paths cannot inject a
     * `","key":[` sequence without its quote being escaped. */
   private def arrayField(body: String, key: String): Option[String] = {
     val tag = "\"" + key + "\":["
@@ -227,42 +380,53 @@ object CommitLog {
     }
   }
 
+  private def longsField(body: String, key: String): Seq[Long] =
+    arrayField(body, key)
+      .map(a => if (a.trim.isEmpty) Seq.empty[Long]
+                else a.split(',').toSeq.map(_.trim.toLong))
+      .getOrElse(Seq.empty)
+
   private def stringField(body: String, key: String): String = {
     val tag = "\"" + key + "\":\""
     val at = body.indexOf(tag)
     if (at < 0) "" else parseStrings(body.substring(at + tag.length - 1)).headOption.getOrElse("")
   }
 
-  private def parseManifest(body: String): Manifest = {
+  private def parseManifest(spark: SparkSession, table: String,
+      body: String): Manifest = {
     val version = {
       val tag = "\"version\":"
       val at = body.indexOf(tag) + tag.length
       body.substring(at, body.indexWhere(c => c == ',' || c == '}', at)).trim.toLong
     }
-    val files = arrayField(body, "files").map(parseStrings).getOrElse(Seq.empty)
-    def longs(key: String): Seq[Long] = arrayField(body, key)
-      .map(a => if (a.trim.isEmpty) Seq.empty[Long]
-                else a.split(',').toSeq.map(_.trim.toLong))
-      .getOrElse(Seq.empty)
-    val mins = longs("mins")
-    val maxs = longs("maxs")
-    // Sparse format carries its own statsFiles list; the legacy dense
-    // format aligned mins/maxs to the full sorted file list.
-    val statted = arrayField(body, "statsFiles").map(parseStrings)
-      .getOrElse(files.sorted)
-    val stats =
-      if (mins.size == statted.size && maxs.size == statted.size && statted.nonEmpty)
-        statted.zip(mins.zip(maxs)).toMap
-      else Map.empty[String, (Long, Long)]
-    val schemaFiles = arrayField(body, "schemaFiles").map(parseStrings)
-      .getOrElse(Seq.empty)
-    val schemaIds = arrayField(body, "fileSchemaIds").map(parseStrings)
-      .getOrElse(Seq.empty)
-    val fileSchemas =
-      if (schemaFiles.size == schemaIds.size) schemaFiles.zip(schemaIds).toMap
-      else Map.empty[String, String]
-    Manifest(version, stringField(body, "txn"), stringField(body, "statsCol"),
-      files, stats, stringField(body, "schemaId"), fileSchemas)
+    val txn = stringField(body, "txn")
+    val statsCol = stringField(body, "statsCol")
+    arrayField(body, "groups") match {
+      case Some(gs) =>
+        val refs = parseStrings(gs)
+        val g = mergeGroups(refs.map(r => loadGroup(spark, table, r)))
+        Manifest(version, txn, statsCol, g.files,
+          g.colStats.getOrElse(statsCol, Map.empty),
+          stringField(body, "schemaId"), g.fileSchemas, g.colStats,
+          stringField(body, "specId"), g.fileSpecs, refs)
+      case None =>
+        // Legacy monolithic manifest (pre-sharding): inline files +
+        // single-column stats + schema tags.
+        val files = arrayField(body, "files").map(parseStrings).getOrElse(Seq.empty)
+        val mins = longsField(body, "mins")
+        val maxs = longsField(body, "maxs")
+        val statted = arrayField(body, "statsFiles").map(parseStrings)
+          .getOrElse(files.sorted)
+        val stats =
+          if (mins.size == statted.size && maxs.size == statted.size && statted.nonEmpty)
+            statted.zip(mins.zip(maxs)).toMap
+          else Map.empty[String, (Long, Long)]
+        val colStats = if (statsCol.nonEmpty && stats.nonEmpty)
+          Map(statsCol -> stats) else Map.empty[String, Map[String, (Long, Long)]]
+        Manifest(version, txn, statsCol, files, stats,
+          stringField(body, "schemaId"),
+          zipped(body, "schemaFiles", "fileSchemaIds"), colStats)
+    }
   }
 
   /** Publish the fully-written `tmp` manifest at `dst` iff `dst` does
@@ -305,10 +469,14 @@ object CommitLog {
       maxAttempts: Int = 200,
       schemaId: String = "",
       fileSchemas: Map[String, String] = Map.empty,
-      validateLive: Seq[String] => Unit = _ => ()): Long =
+      validateLive: Seq[String] => Unit = _ => (),
+      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      specId: String = "",
+      fileSpecs: Map[String, String] = Map.empty,
+      validateManifest: Option[Manifest] => Unit = _ => ()): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
       maxAttempts, requireRemovesLive = false, schemaId, fileSchemas,
-      validateLive)
+      validateLive, colStats, specId, fileSpecs, validateManifest)
 
   /** Thrown by [[rewrite]] when a file it meant to replace was already
     * removed by a concurrent commit — proceeding would re-add the
@@ -341,10 +509,14 @@ object CommitLog {
       maxAttempts: Int = 200,
       schemaId: String = "",
       fileSchemas: Map[String, String] = Map.empty,
-      validateLive: Seq[String] => Unit = _ => ()): Long =
+      validateLive: Seq[String] => Unit = _ => (),
+      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      specId: String = "",
+      fileSpecs: Map[String, String] = Map.empty,
+      validateManifest: Option[Manifest] => Unit = _ => ()): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
       maxAttempts, requireRemovesLive = true, schemaId, fileSchemas,
-      validateLive)
+      validateLive, colStats, specId, fileSpecs, validateManifest)
 
   private def commitInternal(
       spark: SparkSession,
@@ -363,7 +535,15 @@ object CommitLog {
       // rename, and the retry validates again) — the hook rewrite-
       // style ops use to conflict on read-set changes beyond removes,
       // e.g. a delete file that appeared since the snapshot was read.
-      validateLive: Seq[String] => Unit = _ => ()): Long = {
+      validateLive: Seq[String] => Unit = _ => (),
+      colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      specId: String = "",
+      fileSpecs: Map[String, String] = Map.empty,
+      // Like validateLive but sees the WHOLE fresh base manifest
+      // (None on a fresh table) — what schema/spec evolution uses to
+      // conflict when the id it computed against moved underneath it
+      // (the read-modify-write hole a list-only validate can't see).
+      validateManifest: Option[Manifest] => Unit = _ => ()): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     var attempt = 0
@@ -376,24 +556,64 @@ object CommitLog {
         if (gone.nonEmpty) throw new ConcurrentRewriteException(table, gone)
       }
       validateLive(live)
+      validateManifest(base)
       val next = base.map(_.version).getOrElse(0L) + 1
-      val newLive = (live.filterNot(removes.toSet) ++ adds).distinct
-      // Surviving files keep their recorded stats; removed files drop
-      // out; the adds bring their own. The stats column is sticky
-      // across commits unless this commit sets one.
+      val rmSet = removes.toSet
+      // Base groups survive by reference unless a remove touches them;
+      // a legacy (monolithic) base materializes as one group here.
+      val baseGroups: Seq[(String, GroupData)] = base match {
+        case None => Seq.empty
+        case Some(b) if b.groups.nonEmpty =>
+          b.groups.map(r => r -> loadGroup(spark, table, r))
+        case Some(b) if b.files.nonEmpty =>
+          val g = GroupData(b.files, b.colStats, b.fileSchemas, b.fileSpecs)
+          Seq(writeGroup(spark, table, g) -> g)
+        case _ => Seq.empty
+      }
+      val survivingLive = live.filterNot(rmSet).toSet
+      val survived: Seq[(String, GroupData)] = baseGroups.flatMap {
+        case (ref, gd) =>
+          if (!gd.files.exists(rmSet)) Some(ref -> gd)
+          else {
+            val rest = gd.restrictTo(gd.files.filterNot(rmSet).toSet)
+            if (rest.files.isEmpty) None
+            else Some(writeGroup(spark, table, rest) -> rest)
+          }
+      }
+      // Sticky ids: the stats column, schema id and spec id carry
+      // forward from the base unless this commit sets one.
       val col = if (statsCol.nonEmpty) statsCol else base.map(_.statsCol).getOrElse("")
-      val carried = base.map(_.stats).getOrElse(Map.empty) -- removes
-      // Schema id is sticky like the stats column; per-file schema
-      // tags carry forward sparsely like stats.
+      // The legacy single-map `stats` param attaches to the (possibly
+      // sticky) primary stats column.
+      val addColStats =
+        if (col.nonEmpty && stats.nonEmpty) colStats.updated(col,
+          colStats.getOrElse(col, Map.empty) ++ stats)
+        else colStats
+      val addsNew = adds.distinct.filterNot(survivingLive)
+      val addGroup: Seq[(String, GroupData)] =
+        if (addsNew.isEmpty) Seq.empty
+        else {
+          val aset = addsNew.toSet
+          val g = GroupData(addsNew,
+            addColStats.map { case (c, m) => c -> m.filter(e => aset(e._1)) }
+              .filter(_._2.nonEmpty),
+            fileSchemas.filter(e => aset(e._1)),
+            fileSpecs.filter(e => aset(e._1)))
+          Seq(writeGroup(spark, table, g) -> g)
+        }
+      val all = survived ++ addGroup
+      val groups =
+        if (all.size <= MaxGroups) all.map(_._1)
+        else Seq(writeGroup(spark, table, mergeGroups(all.map(_._2))))
       val sid = if (schemaId.nonEmpty) schemaId
         else base.map(_.schemaId).getOrElse("")
-      val carriedSchemas =
-        base.map(_.fileSchemas).getOrElse(Map.empty) -- removes
+      val pid = if (specId.nonEmpty) specId
+        else base.map(_.specId).getOrElse("")
       val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
-      try out.write(renderManifest(
-        Manifest(next, txn, col, newLive, carried ++ stats,
-          sid, carriedSchemas ++ fileSchemas)).getBytes("UTF-8"))
+      try out.write(renderList(Manifest(next, txn, col, Seq.empty,
+        Map.empty, sid, Map.empty, Map.empty, pid, Map.empty, groups))
+        .getBytes("UTF-8"))
       finally out.close()
       if (atomicPublish(f, tmp, manifestPath(table, next))) return next
       f.delete(tmp, false) // lost the race — retry against the new head
@@ -460,18 +680,30 @@ object CommitLog {
     * would fold the stats into the write task itself; the one extra
     * batch-local pass keeps this engine's writer stock.) */
   def appendWithStats(
-      spark: SparkSession, df: DataFrame, table: String, statsCol: String): Long = {
+      spark: SparkSession, df: DataFrame, table: String, statsCol: String): Long =
+    appendWithStats(spark, df, table, Seq(statsCol))
+
+  /** Multi-column [[appendWithStats]]: ONE pass over the staged batch
+    * collects [min, max] for EVERY listed column per file (Delta
+    * collects its first-32-columns stats the same way), so a reader
+    * can prune on any of them via [[prunedFilesBy]]. The FIRST column
+    * is the table's primary stats column (what [[replaceWhere]] and
+    * [[compactTable]] key on). */
+  def appendWithStats(
+      spark: SparkSession, df: DataFrame, table: String,
+      statsCols: Seq[String]): Long = {
+    require(statsCols.nonEmpty, "at least one stats column")
     val staged = stage(spark, df, table)
-    commit(spark, table, adds = staged, statsCol = statsCol,
-      stats = statsFor(spark, table, staged, statsCol))
+    commit(spark, table, adds = staged, statsCol = statsCols.head,
+      colStats = statsFor(spark, table, staged, statsCols))
   }
 
-  /** Integer [min, max] of `statsCol` per staged file, in one scan of
-    * just those files. Files with no non-null values get no entry
-    * (readers keep them conservatively). */
+  /** Integer [min, max] of each of `statsCols` per staged file, in one
+    * scan of just those files. (file, column) cells with no non-null
+    * values get no entry (readers keep them conservatively). */
   private def statsFor(
       spark: SparkSession, table: String, staged: Seq[String],
-      statsCol: String): Map[String, (Long, Long)] = {
+      statsCols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
     if (staged.isEmpty) Map.empty
     else {
@@ -483,24 +715,30 @@ object CommitLog {
       // shift the key off the staged-relative form.
       def key(p: String): String = p.substring(p.lastIndexOf("stage-"))
       val byKey = staged.map(rel => key(rel) -> rel).toMap
-      spark.read.parquet(staged.map(rel => s"${dataRoot(table)}/$rel"): _*)
+      val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(col(c).cast("long")).as(s"mn$i"),
+          max(col(c).cast("long")).as(s"mx$i"))
+      }
+      val rows = spark.read.parquet(staged.map(rel => s"${dataRoot(table)}/$rel"): _*)
         .groupBy(input_file_name().as("__f"))
-        .agg(min(col(statsCol).cast("long")).as("mn"),
-          max(col(statsCol).cast("long")).as("mx"))
-        .collect()
-        .flatMap { r =>
-          if (r.isNullAt(1)) None
+        .agg(aggs.head, aggs.tail: _*)
+        .collect() // bounded: one row per staged file, never corpus rows
+      statsCols.zipWithIndex.map { case (c, i) =>
+        c -> rows.flatMap { r =>
+          val mnAt = 1 + 2 * i
+          if (r.isNullAt(mnAt)) None
           else byKey.get(key(r.getString(0)))
-            .map(rel => rel -> (r.getLong(1), r.getLong(2)))
+            .map(rel => rel -> (r.getLong(mnAt), r.getLong(mnAt + 1)))
         }.toMap
+      }.filter(_._2.nonEmpty).toMap
     }
   }
 
   /** Publish `df` as a RANGE-CLUSTERED table in ONE shuffle: hive-
     * partition the stage by `bucketCol` (year, month, hash bucket — a
-    * bounded vocabulary), record each file's exact [min, max] of
-    * `statsCol`, and swap the previous live set in one commit. The
-    * layout [[readPruned]] and [[replaceWhere]] are built for; the
+    * bounded vocabulary), record each file's exact [min, max] of the
+    * stats column(s), and swap the previous live set in one commit.
+    * The layout [[readPruned]] and [[replaceWhere]] are built for; the
     * bucket column itself lives only in the directory names, so
     * readers see the data columns unchanged. One write job + one
     * stats scan of the staged batch, regardless of bucket count.
@@ -510,26 +748,46 @@ object CommitLog {
       df: DataFrame,
       table: String,
       bucketCol: String,
-      statsCol: String): Long = {
+      statsCol: String): Long =
+    replaceClustered(spark, df, table, bucketCol, Seq(statsCol))
+
+  /** Multi-stats [[replaceClustered]]: the first column is primary. */
+  def replaceClustered(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      statsCols: Seq[String]): Long = {
     import org.apache.spark.sql.functions.col
+    require(statsCols.nonEmpty, "at least one stats column")
     val staged = stage(spark, df.repartition(col(bucketCol)), table, Seq(bucketCol))
-    val st = statsFor(spark, table, staged, statsCol)
+    val st = statsFor(spark, table, staged, statsCols)
     val prev = currentVersion(spark, table)
       .map(v => liveFiles(spark, table, v)).getOrElse(Seq.empty)
     commit(spark, table, adds = staged, removes = prev,
-      statsCol = statsCol, stats = st)
+      statsCol = statsCols.head, colStats = st)
   }
 
-  /** The head manifest's live files whose recorded [min, max] range
-    * intersects [lo, hi] on the manifest's stats column — files
-    * without stats are kept (pruning must never lose rows). Returns
+  /** The head manifest's live files whose recorded [min, max] range on
+    * the PRIMARY stats column intersects [lo, hi] — files without
+    * stats are kept (pruning must never lose rows). Returns
     * (liveTotal, selected). */
   def prunedFiles(
-      spark: SparkSession, table: String, lo: Long, hi: Long): (Int, Seq[String]) = {
+      spark: SparkSession, table: String, lo: Long, hi: Long): (Int, Seq[String]) =
+    prunedFilesBy(spark, table, "", lo, hi)
+
+  /** [[prunedFiles]] on ANY stats-carrying column ("" = the primary) —
+    * the multi-column zone maps mean one table layout serves
+    * predicates on every statted column, not just the cluster key. */
+  def prunedFilesBy(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): (Int, Seq[String]) = {
     val v = currentVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
     val m = readManifest(spark, table, v)
-    val sel = m.files.filter(f => m.stats.get(f) match {
+    val c = if (column.nonEmpty) column else m.statsCol
+    val st = m.colStats.getOrElse(c, Map.empty)
+    val sel = m.files.filter(f => st.get(f) match {
       case Some((mn, mx)) => mx >= lo && mn <= hi
       case None => true
     })
@@ -537,12 +795,18 @@ object CommitLog {
   }
 
   /** Read only the manifest-pruned files for a [lo, hi] range on the
-    * stats column. File granularity: callers still apply the residual
-    * row predicate. An all-pruned range yields an empty frame with the
-    * table's schema (resolved from one live file). */
+    * primary stats column. File granularity: callers still apply the
+    * residual row predicate. An all-pruned range yields an empty frame
+    * with the table's schema (resolved from one live file). */
   def readPruned(
-      spark: SparkSession, table: String, lo: Long, hi: Long): DataFrame = {
-    val (_, sel) = prunedFiles(spark, table, lo, hi)
+      spark: SparkSession, table: String, lo: Long, hi: Long): DataFrame =
+    readPrunedBy(spark, table, "", lo, hi)
+
+  /** [[readPruned]] on any stats-carrying column ("" = primary). */
+  def readPrunedBy(
+      spark: SparkSession, table: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    val (_, sel) = prunedFilesBy(spark, table, column, lo, hi)
     if (sel.nonEmpty) spark.read.parquet(sel.map(f => s"${dataRoot(table)}/$f"): _*)
     else read(spark, table).limit(0)
   }
@@ -577,10 +841,10 @@ object CommitLog {
     audit(stagedDf) match {
       case Some(reason) => Left(reason)
       case None =>
-        val st = if (statsCol.isEmpty) Map.empty[String, (Long, Long)]
-          else statsFor(spark, table, staged, statsCol)
+        val st = if (statsCol.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+          else statsFor(spark, table, staged, Seq(statsCol))
         Right(commit(spark, table, adds = staged, txn = txn,
-          statsCol = statsCol, stats = st))
+          statsCol = statsCol, colStats = st))
     }
   }
 
@@ -607,10 +871,13 @@ object CommitLog {
       if (m.statsCol.nonEmpty) df.repartitionByRange(nFiles, col(m.statsCol))
       else df.repartition(nFiles)
     val staged = stage(spark, shaped, table)
-    val st = if (m.statsCol.isEmpty) Map.empty[String, (Long, Long)]
-      else statsFor(spark, table, staged, m.statsCol)
+    val st = if (m.statsCol.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+      else statsFor(spark, table, staged, m.colStats.keys.toSeq.sorted match {
+        case s if s.nonEmpty => s
+        case _ => Seq(m.statsCol)
+      })
     commit(spark, table, adds = staged, removes = m.files,
-      statsCol = m.statsCol, stats = st)
+      statsCol = m.statsCol, colStats = st)
   }
 
   /** PARTIAL OVERWRITE by range predicate (Delta's replaceWhere): one
@@ -645,13 +912,13 @@ object CommitLog {
       throw new IllegalStateException(
         s"files straddle [$lo, $hi] — rewrite them first: ${overlapping.map(_._1)}")
     val staged = stage(spark, df, table)
-    val st = statsFor(spark, table, staged, m.statsCol)
-    st.values.foreach { case (mn, mx) =>
+    val st = statsFor(spark, table, staged, Seq(m.statsCol))
+    st.getOrElse(m.statsCol, Map.empty).values.foreach { case (mn, mx) =>
       require(mn >= lo && mx <= hi,
         s"replacement rows [$mn, $mx] escape the replaced range [$lo, $hi]")
     }
     commit(spark, table, adds = staged, removes = contained.map(_._1),
-      statsCol = m.statsCol, stats = st)
+      statsCol = m.statsCol, colStats = st)
   }
 
   // ---- Schema files ([[SchemaEvolution]]'s storage) ---------------
@@ -692,9 +959,7 @@ object CommitLog {
   private[sources] def readSchemaFile(spark: SparkSession, table: String,
       sid: String): (Seq[(Int, String, String)], Int) = {
     val f = fs(spark, table)
-    val in = f.open(schemaPath(table, sid))
-    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
+    val body = readText(f, schemaPath(table, sid))
     val fields = arrayField(body, "fields").map(parseStrings)
       .getOrElse(Seq.empty)
       .map { s =>
@@ -706,6 +971,37 @@ object CommitLog {
       case v => v.toInt
     }
     (fields, lastId)
+  }
+
+  // ---- Partition-spec files ([[PartitionSpecs]]'s storage) --------
+  //
+  // Same discipline as schema files: one immutable, content-addressed
+  // `_log/spec-<id>.json` per partition spec, written before any list
+  // that references it. A spec is (source column, date_format
+  // granularity) — enough for the hive-style `__part=<value>` layout
+  // [[stage]]'s partitionBy writes.
+
+  private def specPath(table: String, pid: String): Path =
+    new Path(logDir(table), s"spec-$pid.json")
+
+  private[sources] def writeSpecFile(spark: SparkSession, table: String,
+      pid: String, column: String, fmt: String): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(logDir(table))
+    val dst = specPath(table, pid)
+    if (f.exists(dst)) return
+    val body = s"""{"pid":"${esc(pid)}","col":"${esc(column)}","fmt":"${esc(fmt)}"}"""
+    val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!atomicPublish(f, tmp, dst)) f.delete(tmp, false)
+  }
+
+  /** (column, fmt) of `_log/spec-<pid>.json`. */
+  private[sources] def readSpecFile(spark: SparkSession, table: String,
+      pid: String): (String, String) = {
+    val body = readText(fs(spark, table), specPath(table, pid))
+    (stringField(body, "col"), stringField(body, "fmt"))
   }
 
   /** The committed version carrying `txn`, newest first, if any. */
@@ -728,9 +1024,10 @@ object CommitLog {
     require(txn.nonEmpty, "transactionalAppend needs a non-empty txn id")
     findTxn(spark, table, txn).getOrElse {
       val staged = stage(spark, df, table)
-      val st = if (statsCol.isEmpty) Map.empty[String, (Long, Long)]
-        else statsFor(spark, table, staged, statsCol)
-      commit(spark, table, adds = staged, txn = txn, statsCol = statsCol, stats = st)
+      val st = if (statsCol.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
+        else statsFor(spark, table, staged, Seq(statsCol))
+      commit(spark, table, adds = staged, txn = txn, statsCol = statsCol,
+        colStats = st)
     }
   }
 
@@ -780,7 +1077,8 @@ object CommitLog {
   }
 
   /** Retire history: delete data files referenced by NO manifest among
-    * the newest `keepVersions`, then the older manifests themselves.
+    * the newest `keepVersions`, then the older manifests themselves,
+    * then group files no kept manifest of ANY ref references.
     * Returns deleted data-file count. Safe order — files first would
     * break a concurrent old-version reader that already resolved its
     * manifest; deleting the manifest first (newest-boundary readers
@@ -800,7 +1098,20 @@ object CommitLog {
       versions(spark, r).flatMap(v => liveFiles(spark, r, v))).toSet
     val keepSet = keep.flatMap(v => liveFiles(spark, table, v)).toSet ++ shared
     val dropSet = drop.flatMap(v => liveFiles(spark, table, v)).toSet -- keepSet
+    // Group liveness BEFORE deleting anything: every kept version of
+    // every ref contributes its group refs.
+    val keptGroups = (keep.map(v => readManifest(spark, table, v)) ++
+      others.flatMap(r => versions(spark, r)
+        .map(v => readManifest(spark, r, v))))
+      .flatMap(_.groups).toSet
     drop.foreach(v => f.delete(manifestPath(table, v), false))
+    // Orphaned group files of THIS ref's log dir (other refs' dirs are
+    // their own vacuums' responsibility).
+    f.listStatus(logDir(table)).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("group-") && n.endsWith(".json") &&
+        !keptGroups(s"${logRel(table)}/$n")) f.delete(st.getPath, false)
+    }
     dropSet.foreach(rel => f.delete(new Path(dataRoot(table), rel), false))
     // Prune now-empty stage dirs (cosmetic; readers never glob).
     f.listStatus(new Path(dataRoot(table))).foreach { st =>
@@ -827,8 +1138,9 @@ object CommitLog {
   }
 
   /** Create branch `branch` at `from`'s current version — a ZERO-COPY
-    * fork: the new ref's first manifest lists exactly `from`'s live
-    * files (version number preserved, so cross-ref diffs line up).
+    * fork: the new ref's first manifest references exactly `from`'s
+    * GROUPS (version number preserved, so cross-ref diffs line up);
+    * with sharded manifests not even the file list is re-serialized.
     * `from` may itself be a branch ref. Fails if the branch exists.
     * Returns the branch ref string to use with every other function
     * here. */
@@ -840,9 +1152,17 @@ object CommitLog {
       throw new IllegalArgumentException(s"no committed version at $from"))
     val m = readManifest(spark, from, v)
     f.mkdirs(logDir(ref))
+    // A legacy (monolithic) source materializes one group into the
+    // BRANCH's log dir; a sharded source is referenced as-is.
+    val groups =
+      if (m.groups.nonEmpty) m.groups
+      else if (m.files.isEmpty) Seq.empty
+      else Seq(writeGroup(spark, ref,
+        GroupData(m.files, m.colStats, m.fileSchemas, m.fileSpecs)))
     val tmp = new Path(logDir(ref), s".tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    try out.write(renderList(m.copy(groups = groups)).getBytes("UTF-8"))
+    finally out.close()
     if (!atomicPublish(f, tmp, manifestPath(ref, v))) {
       f.delete(tmp, false)
       throw new IllegalStateException(s"branch creation race at $ref")

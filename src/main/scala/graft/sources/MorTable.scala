@@ -154,7 +154,17 @@ object MorTable {
       keyCols: Seq[String]): Long = {
     val v = CommitLog.currentVersion(spark, table).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $table"))
-    val live = CommitLog.liveFiles(spark, table, v)
+    val m = CommitLog.readManifest(spark, table, v)
+    // Guard the schema-evolution footgun (ADVICE r12 #3): this compact
+    // reads files RAW (no field-id projection), so a table with files
+    // written under an older schema generation would permanently bake
+    // NULLs into every renamed column. Homogeneous-current tags are
+    // fine; anything else must go through the projecting path.
+    require(m.schemaId.isEmpty || m.fileSchemas.values.forall(_ == m.schemaId),
+      s"$table@$v carries files written under older schema generations — " +
+        "MorTable.compact would null-fork their renamed columns; use " +
+        "SchemaEvolution.compactEvolved instead")
+    val live = m.files
     val knownDeletes = live.filter(f => f.startsWith("posdel-") ||
       f.startsWith("deletes-")).toSet
     val staged = CommitLog.stage(spark,
@@ -201,6 +211,25 @@ object MorTable {
     }
   }
 
+  /** A zero-row frame with the table's DATA schema, for manifests
+    * whose data-file set is empty: resolved from the newest manifest
+    * (at or before `m.version`) that still lists a data file — one
+    * footer read, O(versions) driver probes at worst. Loud when the
+    * table never carried data (no schema to derive). */
+  private def typedEmptyData(spark: SparkSession, table: String,
+      m: CommitLog.Manifest): DataFrame = {
+    val root = CommitLog.dataRoot(table)
+    val donor = CommitLog.versions(spark, table)
+      .filter(_ <= m.version).reverse.iterator
+      .map(v => if (v == m.version) m else CommitLog.readManifest(spark, table, v))
+      .flatMap(_.files.find(_.startsWith("stage-")))
+      .nextOption()
+      .getOrElse(throw new IllegalStateException(
+        s"$table@${m.version} has no data file anywhere in history — " +
+          "no schema to derive a typed-empty frame from"))
+    spark.read.parquet(s"$root/$donor").limit(0)
+  }
+
   /** Merge-on-read at `version` (current if None): live data files
     * MINUS live position-delete files (physical (file_key, pos) anti
     * join) MINUS live equality-delete files under the sequence rule. */
@@ -212,7 +241,13 @@ object MorTable {
     val m = CommitLog.readManifest(spark, table, v)
     val root = CommitLog.dataRoot(table)
     val dataFiles = m.files.filter(_.startsWith("stage-"))
-    if (!m.files.exists(f =>
+    if (dataFiles.isEmpty)
+      // Everything deleted/rewritten away: spark.read.parquet() with
+      // zero paths would throw unable-to-infer-schema, so derive the
+      // typed-empty frame from the newest data-carrying manifest
+      // (ADVICE r12 #5).
+      typedEmptyData(spark, table, m)
+    else if (!m.files.exists(f =>
         f.startsWith("posdel-") || f.startsWith("deletes-")))
       spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
     else

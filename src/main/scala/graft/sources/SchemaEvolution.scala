@@ -38,6 +38,32 @@ import org.apache.spark.sql.functions._
   */
 object SchemaEvolution {
 
+  /** Thrown when a schema evolution (or bootstrap) loses a race with a
+    * concurrent evolution: the schema this commit was computed against
+    * is no longer the table's schema, so publishing it would silently
+    * undo the winner's change — and, for two racing addColumn calls,
+    * hand the SAME fresh field id to two different columns (old bytes
+    * of one would then resolve under the other's name). Callers re-read
+    * the new schema and retry their evolution against it. */
+  final class ConcurrentSchemaEvolutionException(table: String,
+      expected: String, found: String)
+    extends java.util.ConcurrentModificationException(
+      s"schema evolution conflict at $table: computed against schema " +
+        s"'$expected' but the table moved to '$found' — re-read the " +
+        "current schema and retry")
+
+  /** Commit-time guard ([[CommitLog.commit]]'s validateManifest hook):
+    * conflicts unless the FRESH base manifest still carries
+    * `expectedSid` — re-evaluated on every CAS attempt, so an
+    * evolution landing between our validate and publish is caught by
+    * the retry, never silently overwritten. */
+  private[sources] def requireSchemaStill(table: String, expectedSid: String)
+      : Option[CommitLog.Manifest] => Unit = { base =>
+    val found = base.map(_.schemaId).getOrElse("")
+    if (found != expectedSid)
+      throw new ConcurrentSchemaEvolutionException(table, expectedSid, found)
+  }
+
   final case class Field(id: Int, name: String, dataType: String)
   /** `lastId` = highest field id EVER assigned in this lineage; it
     * only grows, so dropped ids are never reused and a re-added name
@@ -91,7 +117,8 @@ object SchemaEvolution {
     * staged files are tagged with the schema id they were written
     * under; one commit. */
   def append(spark: SparkSession, df: DataFrame, table: String): Long = {
-    val schema = currentSchema(spark, table).getOrElse {
+    val existing = currentSchema(spark, table)
+    val schema = existing.getOrElse {
       val fs = df.schema.fields.toSeq.zipWithIndex.map { case (f, i) =>
         Field(i + 1, f.name, f.dataType.sql.toLowerCase)
       }
@@ -116,19 +143,40 @@ object SchemaEvolution {
     val shaped = df.select(
       schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
     val staged = CommitLog.stage(spark, shaped, table)
-    CommitLog.commit(spark, table, adds = staged, schemaId = schema.sid,
-      fileSchemas = staged.map(_ -> schema.sid).toMap)
+    if (existing.isEmpty)
+      // Bootstrap sets the TABLE schema — conflicting if any schema
+      // appeared concurrently (two racing bootstraps must not silently
+      // pick a winner with the loser's files mis-tagged).
+      CommitLog.commit(spark, table, adds = staged, schemaId = schema.sid,
+        fileSchemas = staged.map(_ -> schema.sid).toMap,
+        validateManifest = requireSchemaStill(table, ""))
+    else
+      // Data append: tag the files with the schema they were WRITTEN
+      // under; the table-level schema id stays whatever the head says
+      // (sticky in the commit loop) — passing schema.sid here would
+      // let a CAS retry racing a rename RESET the table to this
+      // append's stale schema (the read-modify-write hole; field-id
+      // projection keeps the stale-tagged files reading correctly
+      // under the winner's schema).
+      CommitLog.commit(spark, table, adds = staged,
+        fileSchemas = staged.map(_ -> schema.sid).toMap)
   }
 
   private def requireSchema(spark: SparkSession, table: String): TableSchema =
     currentSchema(spark, table).getOrElse(throw new IllegalArgumentException(
       s"$table has no evolved schema — bootstrap with SchemaEvolution.append"))
 
-  /** Metadata-only schema commit: same live files, new schema id. */
+  /** Metadata-only schema commit: same live files, new schema id.
+    * `baseSid` is the schema this evolution was COMPUTED against —
+    * the commit conflicts (every CAS attempt re-checks) if the table
+    * moved to any other schema in between, closing the lost-update /
+    * reused-field-id race two concurrent evolutions would otherwise
+    * hit (ADVICE r12 #1). */
   private def commitSchema(spark: SparkSession, table: String,
-      fields: Seq[Field], lastId: Int): Long =
+      baseSid: String, fields: Seq[Field], lastId: Int): Long =
     CommitLog.commit(spark, table, adds = Seq.empty,
-      schemaId = persist(spark, table, fields, lastId))
+      schemaId = persist(spark, table, fields, lastId),
+      validateManifest = requireSchemaStill(table, baseSid))
 
   /** ADD a column — a FRESH field id past every id ever assigned
     * (including dropped ones), read as typed NULL in older files. */
@@ -138,7 +186,7 @@ object SchemaEvolution {
     require(!cur.fields.exists(_.name == name),
       s"column '$name' already exists")
     val nextId = cur.lastId + 1
-    commitSchema(spark, table,
+    commitSchema(spark, table, cur.sid,
       cur.fields :+ Field(nextId, name, dataType), nextId)
   }
 
@@ -150,7 +198,7 @@ object SchemaEvolution {
     require(cur.fields.exists(_.name == from), s"no column '$from'")
     require(!cur.fields.exists(_.name == to),
       s"column '$to' already exists")
-    commitSchema(spark, table, cur.fields.map(f =>
+    commitSchema(spark, table, cur.sid, cur.fields.map(f =>
       if (f.name == from) f.copy(name = to) else f), cur.lastId)
   }
 
@@ -172,7 +220,7 @@ object SchemaEvolution {
       throw new IllegalArgumentException(s"no column '$name'"))
     require(Widenings((f.dataType, newType)),
       s"not a lossless widening: ${f.dataType} -> $newType")
-    commitSchema(spark, table, cur.fields.map(x =>
+    commitSchema(spark, table, cur.sid, cur.fields.map(x =>
       if (x.name == name) x.copy(dataType = newType) else x), cur.lastId)
   }
 
@@ -181,8 +229,8 @@ object SchemaEvolution {
   def dropColumn(spark: SparkSession, table: String, name: String): Long = {
     val cur = requireSchema(spark, table)
     require(cur.fields.exists(_.name == name), s"no column '$name'")
-    commitSchema(spark, table, cur.fields.filterNot(_.name == name),
-      cur.lastId)
+    commitSchema(spark, table, cur.sid,
+      cur.fields.filterNot(_.name == name), cur.lastId)
   }
 
   /** Read `version` (current if None) under the schema THAT VERSION
@@ -234,7 +282,10 @@ object SchemaEvolution {
       s"delete key column '$c' is not in the current schema"))
     val staged = CommitLog.stageUnder(spark,
       keys.distinct().withColumn("delete_seq", lit(seq)), table, "deletes")
-    CommitLog.commit(spark, table, adds = staged, schemaId = cur.sid,
+    // fileSchemas tag the delete file with the schema its keys were
+    // RESOLVED under; the table-level schema id stays sticky (forcing
+    // cur.sid here would let a CAS retry racing a rename reset it).
+    CommitLog.commit(spark, table, adds = staged,
       fileSchemas = staged.map(_ -> cur.sid).toMap)
   }
 
@@ -341,9 +392,12 @@ object SchemaEvolution {
     val staged = CommitLog.stage(spark,
       readMorEvolved(spark, table, keyCols, Some(v)), table)
     CommitLog.rewrite(spark, table, adds = staged, removes = m.files,
-      schemaId = cur.sid,
       fileSchemas = staged.map(_ -> cur.sid).toMap,
-      validateLive = MorTable.noNewDeletes(table, knownDeletes))
+      validateLive = MorTable.noNewDeletes(table, knownDeletes),
+      // the materialization was rendered under cur.sid — a concurrent
+      // evolution would make the swapped-in files stale-shaped, so
+      // conflict rather than publish (re-read and recompact)
+      validateManifest = requireSchemaStill(table, cur.sid))
   }
 
   private def projected(spark: SparkSession, table: String,
@@ -387,12 +441,22 @@ object SchemaEvolution {
       raw.select(withIds: _*)
     }
     frames.reduceOption(_ unionAll _).getOrElse {
-      val schema = org.apache.spark.sql.types.StructType(target.fields.map(
-        f => org.apache.spark.sql.types.StructField(f.name,
+      // keepIds adds the physical-identity columns so an empty data
+      // subset still anti-joins against posdel tuples (ADVICE r12 #4:
+      // a posdel-only manifest must read as empty, not error).
+      val fields = target.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name,
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-            .parseDataType(f.dataType))))
+            .parseDataType(f.dataType))) ++
+        (if (!keepIds) Seq.empty
+         else Seq(
+           org.apache.spark.sql.types.StructField("__fk",
+             org.apache.spark.sql.types.StringType),
+           org.apache.spark.sql.types.StructField("__pos",
+             org.apache.spark.sql.types.LongType)))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(fields))
     }
   }
 }

@@ -43,9 +43,55 @@ object TableFeed {
       .getOrElse(0L)
   }
 
+  /** Data files ADDED by non-rewrite commits in `(from, to]`, plus the
+    * schema tag each file carried AT ITS ADDING COMMIT (a later
+    * rewrite may have dropped the file — and its tag — from the head
+    * manifest; projecting it under the head schema by name would
+    * null-fork renamed columns). Rewrite commits — any commit that
+    * also REMOVES files: compaction, z-order, replaceWhere, CDC swap —
+    * contribute NOTHING: a layout rewrite re-packages rows the feed
+    * already consumed, so re-feeding its adds would duplicate the
+    * whole table downstream (the exactly-once violation ADVICE r12 #2
+    * flagged); state-CHANGING rewrites do not flow through this feed
+    * by contract (route them through [[tailChanges]] / snapshot diff,
+    * same boundary as [[MorTable.changeFeed]]). Delete files never
+    * feed raw either: posdel/eqdel tuple files mixed into a data read
+    * null-pad whichever footer loses schema inference. */
+  private[sources] def addedDataFiles(spark: SparkSession, source: String,
+      from: Long, to: Long): (Seq[String], Map[String, String]) = {
+    // First consumption (from = 0) feeds the INITIAL SNAPSHOT — the
+    // live data set at `to`, whatever rewrites produced it — exactly
+    // the Delta streaming-source rule; the per-version walk below then
+    // governs every later, incremental range.
+    if (from == 0L) {
+      val m = CommitLog.readManifest(spark, source, to)
+      val data = m.files.filterNot(f =>
+        f.startsWith("posdel-") || f.startsWith("deletes-"))
+      return (data, m.fileSchemas)
+    }
+    var prev: Set[String] =
+      CommitLog.readManifest(spark, source, from).files.toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tags = scala.collection.mutable.Map.empty[String, String]
+    ((from + 1) to to).foreach { v =>
+      val m = CommitLog.readManifest(spark, source, v)
+      val cur = m.files.toSet
+      if (prev.forall(cur)) { // no removes: a plain append/delete commit
+        val adds = m.files.filterNot(prev).filterNot(f =>
+          f.startsWith("posdel-") || f.startsWith("deletes-"))
+        out ++= adds
+        adds.foreach(f => m.fileSchemas.get(f).foreach(s => tags(f) = s))
+      }
+      prev = cur
+    }
+    (out.toSeq, tags.toMap)
+  }
+
   /** One micro-batch: feed everything the source committed since the
-    * cursor into `dest` (through `transform`), exactly once. Returns
-    * the consumed (fromExclusive, to) range, or None when caught up. */
+    * cursor into `dest` (through `transform`), exactly once — rewrite
+    * commits in the range are skipped as layout no-ops (see
+    * [[addedDataFiles]]). Returns the consumed (fromExclusive, to)
+    * range, or None when caught up. */
   def syncOnce(
       spark: SparkSession,
       source: String,
@@ -56,13 +102,7 @@ object TableFeed {
     val from = cursor(spark, dest, feedTag)
     if (head <= from) return None
     val headM = CommitLog.readManifest(spark, source, head)
-    // Delete files NEVER feed raw in either branch: mixing posdel/
-    // eqdel tuple files into a data read null-pads whichever footer
-    // loses schema inference. MoR sources stream through tailChanges.
-    val prev = if (from == 0L) Set.empty[String]
-      else CommitLog.liveFiles(spark, source, from).toSet
-    val added = headM.files.filterNot(prev).filterNot(f =>
-      f.startsWith("posdel-") || f.startsWith("deletes-"))
+    val (added, tags) = addedDataFiles(spark, source, from, head)
     val headData = headM.files.filterNot(f =>
       f.startsWith("posdel-") || f.startsWith("deletes-"))
     val root = CommitLog.dataRoot(source)
@@ -70,8 +110,11 @@ object TableFeed {
       if (headM.schemaId.nonEmpty)
         // Evolving source: project the added files under the HEAD
         // schema by field id, so a range spanning a rename unifies
-        // under one set of names instead of forking columns.
-        SchemaEvolution.projectFiles(spark, source, headM, added)
+        // under one set of names instead of forking columns. The
+        // walked per-file tags reinstate any tag a later rewrite
+        // dropped from the head manifest.
+        SchemaEvolution.projectFiles(spark, source,
+          headM.copy(fileSchemas = tags ++ headM.fileSchemas), added)
       else if (added.nonEmpty)
         spark.read.parquet(added.map(f => s"$root/$f"): _*)
       else if (headData.nonEmpty)

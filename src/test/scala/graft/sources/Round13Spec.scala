@@ -1,0 +1,286 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Round-13 pins: sharded manifests (commit cost O(touched files)),
+  * multi-column manifest stats, the schema-evolution commit race
+  * (ADVICE r12 #1), feed exactly-once across rewrites (#2), the
+  * compact-on-evolved guard (#3), posdel-only reads (#4), and the
+  * empty-data-manifest read (#5).
+  */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_r13_spec").toString + "/t"
+
+  private def logFiles(t: String): Set[String] =
+    Option(new java.io.File(t, "_log").listFiles()).toSeq.flatten
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+
+  // ---- sharded manifests ------------------------------------------
+
+  test("append to a many-file table writes O(1) new log files, reuses groups by reference") {
+    val t = freshTable()
+    for (k <- 0 until 8)
+      CommitLog.append(spark,
+        (k * 10L until (k + 1) * 10L).map(i => (i, s"r$i")).toDF("id", "s")
+          .repartition(2), t)
+    val before = logFiles(t)
+    CommitLog.append(spark, Seq((999L, "x")).toDF("id", "s"), t)
+    val added = logFiles(t) -- before
+    // Exactly one new group (the batch) + one new version list —
+    // commit cost is O(touched), never O(table files).
+    assert(added.size == 2, s"expected 2 new log files, got $added")
+    assert(added.count(_.startsWith("group-")) == 1)
+    assert(added.count(_.endsWith(".manifest")) == 1)
+    // The new list reuses every prior group by reference.
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    val mPrev = CommitLog.readManifest(spark, t, m.version - 1)
+    assert(mPrev.groups.toSet.subsetOf(m.groups.toSet))
+    assert(m.files.size == 17)
+  }
+
+  test("a remove-commit rewrites only the touched group") {
+    val t = freshTable()
+    for (k <- 0 until 5)
+      CommitLog.append(spark,
+        Seq((k.toLong, s"r$k")).toDF("id", "s").coalesce(1), t)
+    val m0 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m0.groups.size == 5)
+    // Remove one file (it lives alone in its group → the group drops).
+    CommitLog.commit(spark, t, adds = Nil, removes = Seq(m0.files.head))
+    val m1 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m1.groups.size == 4)
+    assert(m1.groups.forall(m0.groups.contains), "untouched groups reused")
+    assert(m1.files.toSet == m0.files.toSet - m0.files.head)
+  }
+
+  test("branch fork writes one list file and shares the parent's groups") {
+    val t = freshTable()
+    CommitLog.append(spark, (1L to 20L).map(i => (i, "a")).toDF("id", "s"), t)
+    val mainM = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    val dev = CommitLog.createBranch(spark, t, "dev")
+    val devLog = Option(new java.io.File(t, "_log@dev").listFiles()).toSeq
+      .flatten.map(_.getName).filterNot(_.startsWith("."))
+    assert(devLog.size == 1 && devLog.head.endsWith(".manifest"),
+      s"zero-copy fork must write only the list, got $devLog")
+    val devM = CommitLog.readManifest(spark, dev, CommitLog.currentVersion(spark, dev).get)
+    assert(devM.groups == mainM.groups && devM.files == mainM.files)
+  }
+
+  test("group fan-in is bounded: past MaxGroups the commit folds groups") {
+    val t = freshTable()
+    for (k <- 0 until 70)
+      CommitLog.append(spark, Seq((k.toLong, "x")).toDF("id", "s").coalesce(1), t)
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m.groups.size <= 65, s"group list must stay bounded, got ${m.groups.size}")
+    assert(m.files.size == 70, "folding must not lose files")
+    assert(CommitLog.read(spark, t).count() == 70)
+  }
+
+  test("vacuum retires group files no kept version references") {
+    val t = freshTable()
+    CommitLog.replace(spark, (1L to 10L).map(i => (i, "old")).toDF("id", "s"), t)
+    CommitLog.replace(spark, (1L to 10L).map(i => (i, "new")).toDF("id", "s"), t)
+    CommitLog.vacuumUnreferenced(spark, t, keepVersions = 1)
+    val kept = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    val onDisk = logFiles(t).filter(_.startsWith("group-"))
+    assert(onDisk == kept.groups.map(_.stripPrefix("_log/")).toSet,
+      s"orphan groups must be vacuumed: disk=$onDisk kept=${kept.groups}")
+    assert(CommitLog.read(spark, t).count() == 10)
+  }
+
+  // ---- multi-column stats ------------------------------------------
+
+  test("multi-column zone maps: each statted column prunes independently, never loses rows") {
+    val t = freshTable()
+    // Three range-disjoint batches; b is anti-correlated with a.
+    for (r <- Seq(0L until 100L, 100L until 200L, 200L until 300L))
+      CommitLog.appendWithStats(spark,
+        r.map(i => (i, 300L - i, s"v$i")).toDF("a", "b", "s").coalesce(1),
+        t, Seq("a", "b"))
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m.statsCol == "a")
+    assert(m.colStats.keySet == Set("a", "b"))
+    // A probe on the PRIMARY column selects one file…
+    assert(CommitLog.prunedFilesBy(spark, t, "a", 120L, 150L)._2.size == 1)
+    // …and a probe on the SECOND column selects a (different) one.
+    val (_, selB) = CommitLog.prunedFilesBy(spark, t, "b", 10L, 40L)
+    assert(selB.size == 1)
+    val got = CommitLog.readPrunedBy(spark, t, "b", 10L, 40L)
+      .filter($"b".between(10L, 40L)).as[(Long, Long, String)].collect().toSet
+    val full = CommitLog.read(spark, t)
+      .filter($"b".between(10L, 40L)).as[(Long, Long, String)].collect().toSet
+    assert(got == full && full.size == 31)
+    // Sparse carry: a stats-less append keeps every existing zone map.
+    CommitLog.append(spark, Seq((999L, -1L, "x")).toDF("a", "b", "s"), t)
+    val m2 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m2.colStats("a").size == 3 && m2.colStats("b").size == 3)
+    // The stats-less file is unprovable → kept by both probes.
+    assert(CommitLog.prunedFilesBy(spark, t, "b", 10L, 40L)._2.size == 2)
+  }
+
+  // ---- schema-evolution commit race (ADVICE #1) --------------------
+
+  test("requireSchemaStill conflicts when the table's schema moved") {
+    val t = freshTable()
+    SchemaEvolution.append(spark, Seq((1L, 2L)).toDF("k", "v"), t)
+    val s0 = SchemaEvolution.currentSchema(spark, t).get
+    SchemaEvolution.renameColumn(spark, t, "v", "w")
+    val head = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    // A commit computed against s0 must conflict against the moved head…
+    intercept[SchemaEvolution.ConcurrentSchemaEvolutionException] {
+      SchemaEvolution.requireSchemaStill(t, s0.sid)(Some(head))
+    }
+    // …and pass against the schema it actually carries.
+    SchemaEvolution.requireSchemaStill(t, head.schemaId)(Some(head))
+  }
+
+  test("racing schema evolutions never lose a column or reuse a field id") {
+    val t = freshTable()
+    SchemaEvolution.append(spark, Seq((1L, 2L)).toDF("k", "v"), t)
+    val threads = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      val futures = (0 until threads).map { th =>
+        pool.submit(new java.util.concurrent.Callable[Seq[String]] {
+          def call(): Seq[String] = (0 until 4).flatMap { i =>
+            val name = s"c_${th}_$i"
+            try { SchemaEvolution.addColumn(spark, t, name, "bigint"); Some(name) }
+            catch {
+              case _: SchemaEvolution.ConcurrentSchemaEvolutionException => None
+            }
+          }
+        })
+      }
+      val added = futures.flatMap(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      val fin = SchemaEvolution.currentSchema(spark, t).get
+      // Every SUCCESSFUL add is present (no lost update)…
+      added.foreach(n => assert(fin.fields.exists(_.name == n), s"lost column $n"))
+      // …and field ids are globally unique (no id reuse).
+      val ids = fin.fields.map(_.id)
+      assert(ids.distinct.size == ids.size, s"duplicated field id in $ids")
+      assert(fin.lastId == ids.max)
+    } finally pool.shutdownNow()
+  }
+
+  test("a data append never resets a concurrently-renamed table's schema") {
+    val t = freshTable()
+    SchemaEvolution.append(spark, Seq((1L, 10L)).toDF("k", "amt"), t)
+    SchemaEvolution.renameColumn(spark, t, "amt", "cents")
+    SchemaEvolution.append(spark, Seq((2L, 20L)).toDF("k", "cents"), t)
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(SchemaEvolution.currentSchema(spark, t).get.fields.map(_.name)
+      == Seq("k", "cents"))
+    assert(m.schemaId == SchemaEvolution.currentSchema(spark, t).get.sid)
+    assert(SchemaEvolution.read(spark, t).as[(Long, Long)].collect().toSet
+      == Set((1L, 10L), (2L, 20L)))
+  }
+
+  // ---- feed exactly-once across rewrites (ADVICE #2) ----------------
+
+  test("a compaction between feed rounds is not re-fed as duplicates") {
+    val src = freshTable()
+    val dst = freshTable()
+    def batch(lo: Long, hi: Long) = (lo until hi).map(i => (i, s"r$i")).toDF("id", "s")
+    CommitLog.append(spark, batch(0, 50).repartition(3), src)
+    CommitLog.append(spark, batch(50, 100).repartition(3), src)
+    assert(TableFeed.tail(spark, src, dst, "f").nonEmpty)
+    assert(CommitLog.read(spark, dst).count() == 100)
+    // Layout rewrite on the source: same rows, new files.
+    CommitLog.compactTable(spark, src, targetRecordsPerFile = 1000)
+    CommitLog.append(spark, batch(100, 120).repartition(2), src)
+    assert(TableFeed.tail(spark, src, dst, "f").nonEmpty)
+    // 120 rows exactly: the rewrite's re-packaged files did NOT re-feed.
+    assert(CommitLog.read(spark, dst).count() == 120)
+    assert(CommitLog.read(spark, dst).select("id").distinct().count() == 120)
+    // Caught up.
+    assert(TableFeed.syncOnce(spark, src, dst, "f").isEmpty)
+  }
+
+  test("first sync feeds the initial snapshot even when history holds rewrites") {
+    val src = freshTable()
+    val dst = freshTable()
+    CommitLog.append(spark, (0L until 40L).map(i => (i, "x")).toDF("id", "s"), src)
+    CommitLog.compactTable(spark, src, targetRecordsPerFile = 1000)
+    CommitLog.append(spark, (40L until 60L).map(i => (i, "y")).toDF("id", "s"), src)
+    assert(TableFeed.tail(spark, src, dst, "snap").nonEmpty)
+    assert(CommitLog.read(spark, dst).count() == 60)
+    assert(CommitLog.read(spark, dst).select("id").distinct().count() == 60)
+  }
+
+  // ---- compact-on-evolved guard (ADVICE #3) -------------------------
+
+  test("MorTable.compact refuses a schema-evolved table with old-generation files") {
+    val t = freshTable()
+    SchemaEvolution.append(spark,
+      Seq((1L, 10L, 1L)).toDF("k", "amt", "data_seq"), t)
+    SchemaEvolution.renameColumn(spark, t, "amt", "cents")
+    // Old-generation file present → raw compact would null-fork 'cents'.
+    val e = intercept[IllegalArgumentException] {
+      MorTable.compact(spark, t, Seq("k"))
+    }
+    assert(e.getMessage.contains("compactEvolved"))
+    // The advertised remediation works and unblocks raw compaction.
+    SchemaEvolution.compactEvolved(spark, t, Seq("k"))
+    assert(MorTable.compact(spark, t, Seq("k")) > 0)
+    assert(SchemaEvolution.read(spark, t).columns.toSet
+      == Set("k", "cents", "data_seq"))
+  }
+
+  // ---- posdel-only manifest reads (ADVICE #4) -----------------------
+
+  test("a manifest with posdel files but no data files reads as typed empty") {
+    val t = freshTable()
+    SchemaEvolution.append(spark, Seq((1L, 10L)).toDF("k", "v"), t)
+    SchemaEvolution.commitPositionDeletes(spark, t, col("k") === 1L)
+    // Retire the data file, keep the posdel file live.
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    val dataFiles = m.files.filter(_.startsWith("stage-"))
+    CommitLog.commit(spark, t, adds = Nil, removes = dataFiles)
+    val got = SchemaEvolution.readWithPositionDeletes(spark, t)
+    assert(got.columns.toSeq == Seq("k", "v"))
+    assert(got.count() == 0)
+  }
+
+  // ---- empty-data-manifest MoR read (ADVICE #5) ---------------------
+
+  test("readMor and changeFeed behave when every data file was deleted") {
+    val t = freshTable()
+    MorTable.appendData(spark, Seq((1L, 10L)).toDF("k", "v"), 1L, t)
+    val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    CommitLog.commit(spark, t, adds = Nil, removes = m.files)
+    val got = MorTable.readMor(spark, t, Seq("k"))
+    assert(got.count() == 0)
+    assert(got.columns.toSet == Set("k", "v", "data_seq"))
+    // The all-rewrites changeFeed fallback flows through the same guard.
+    val cf = MorTable.changeFeed(spark, t, 1L, 2L, Seq("k"))
+    assert(cf.count() == 0)
+    assert(cf.columns.contains("_change_type"))
+  }
+
+  // ---- eq-delete refusal remediation (directive #6) -----------------
+
+  test("readWithPositionDeletes' refusal names a remediation that actually works") {
+    val t = freshTable()
+    SchemaEvolution.append(spark,
+      Seq((1L, 10L, 1L), (2L, 20L, 1L)).toDF("k", "v", "data_seq"), t)
+    SchemaEvolution.commitEqualityDeletes(spark, t, Seq(Tuple1(1L)).toDF("k"), 2L)
+    val e = intercept[IllegalArgumentException] {
+      SchemaEvolution.readWithPositionDeletes(spark, t)
+    }
+    assert(e.getMessage.contains("compactEvolved") ||
+      e.getMessage.contains("readMorEvolved"))
+    val expect = SchemaEvolution.readMorEvolved(spark, t, Seq("k"))
+      .as[(Long, Long, Long)].collect().toSet
+    SchemaEvolution.compactEvolved(spark, t, Seq("k"))
+    // Post-remediation the refused read succeeds and matches MoR.
+    assert(SchemaEvolution.readWithPositionDeletes(spark, t)
+      .as[(Long, Long, Long)].collect().toSet == expect)
+    assert(expect == Set((2L, 20L, 1L)))
+  }
+}

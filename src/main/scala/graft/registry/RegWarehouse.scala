@@ -1337,6 +1337,182 @@ private[graft] object RegWarehouse {
           sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
         .orderBy("v", "ct")
     },
+
+    // SHARDED MANIFESTS (the Iceberg manifest-list shape, r12 #1):
+    // commit cost is O(touched files), not O(table files). Five
+    // appends build five immutable file-group manifests; the sixth
+    // append is then proven to write EXACTLY one new group + one new
+    // version list (counted in _log — on a million-file table this is
+    // the difference between a per-commit 10⁶-entry rewrite and one
+    // batch-sized JSON) while the head list reuses all five prior
+    // groups by reference. The aggregate over the resolved table must
+    // equal the raw table: sharding changes the metadata layout, never
+    // a row (Round13Spec pins rewrite/vacuum/branch group algebra).
+    "q_manifest_shards" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_shards_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val p = new org.apache.hadoop.fs.Path(table)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(p, true)
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      for (r <- 1 to 5)
+        CommitLog.append(s, li.filter(pmod(col("k"), lit(6)) === r)
+          .repartition(2), table)
+      def logNames: Set[String] = fsys
+        .listStatus(new org.apache.hadoop.fs.Path(table, "_log"))
+        .map(_.getPath.getName).filterNot(_.startsWith(".")).toSet
+      val before = logNames
+      val mPrev = CommitLog.readManifest(s, table,
+        CommitLog.currentVersion(s, table).get)
+      CommitLog.append(s, li.filter(pmod(col("k"), lit(6)) === 0)
+        .repartition(2), table)
+      val added = logNames -- before
+      val mHead = CommitLog.readManifest(s, table,
+        CommitLog.currentVersion(s, table).get)
+      CommitLog.read(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .withColumn("new_manifests",
+          lit(added.count(_.endsWith(".manifest")).toLong))
+        .withColumn("new_groups",
+          lit(added.count(_.startsWith("group-")).toLong))
+        .withColumn("groups_reused",
+          lit(mPrev.groups.count(mHead.groups.contains).toLong))
+    },
+
+    // TRANSACTIONAL MULTI-CLAUSE MERGE INTO on the commit log (r12
+    // #2): conditional UPDATE + DELETE + INSERT against a range-
+    // clustered table as ONE conflict-guarded commit, with touched-
+    // file pruning — only the buckets holding a matching source key
+    // are rewritten; every other file survives by reference
+    // (kept_files, replayed by the oracle's bucket algebra). The 'pre'
+    // phase reads the PRE-MERGE VERSION AFTER the merge committed —
+    // i.e. the mid-merge reader's view: wholly-old, byte-equal to the
+    // raw aggregate; 'post' applies all three clauses. A racing-writer
+    // conflict is pinned in CommitMergeSpec (graft.sources.CommitMerge).
+    "q_commit_merge" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_cmerge_${stageTag(dir)}"
+      import graft.operators.MergeInto
+      import graft.sources.{CommitLog, CommitMerge}
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val b = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("o_orderstatus").as("status"))
+      val mx = b.agg(max("k")).head.getLong(0)
+      commitClustered(s,
+        b.withColumn("bk", expr(s"least(7, (k * 8) div ${mx + 1})")),
+        table, "bk", "k")
+      val vPre = CommitLog.currentVersion(s, table).get
+      val preFiles = CommitLog.liveFiles(s, table, vPre).toSet
+      val inRange = col("k") * 4 <= mx
+      val src = b.filter(col("k") % 10 === 0 && inRange)
+        .select(col("k"), (col("cents") + 7).as("cents"), col("status"),
+          lit("U").as("op"))
+        .unionByName(b.filter(col("k") % 10 === 5 && inRange)
+          .select(col("k"), col("cents"), col("status"), lit("D").as("op")))
+        .unionByName(b.filter(col("k") % 97 === 0)
+          // shift past mx (keys include 0, so + mx alone would collide
+          // with the existing max key and swallow one insert)
+          .select((col("k") + mx + 1).as("k"), (col("cents") * 2).as("cents"),
+            lit("X").as("status"), lit("I").as("op")))
+      val res = CommitMerge.mergeInto(s, table, src, Seq("k"),
+        matched = Seq(
+          (col("s_op") === "U",
+            MergeInto.Update(Map("cents" -> col("s_cents")))),
+          (col("s_op") === "D", MergeInto.Delete)),
+        notMatched = Seq(
+          (col("s_op") === "I", MergeInto.Insert(Map(
+            "k" -> col("s_k"), "cents" -> col("s_cents"),
+            "status" -> col("s_status"))))))
+      val postFiles = CommitLog.liveFiles(s, table, res.version).toSet
+      def agg(df: DataFrame, phase: String, files: Long): DataFrame =
+        df.groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+          .withColumn("kept_files", lit(files))
+      agg(CommitLog.readVersion(s, table, vPre), "pre", preFiles.size.toLong)
+        .unionByName(agg(CommitLog.read(s, table), "post",
+          preFiles.intersect(postFiles).size.toLong))
+        .orderBy("phase", "status")
+    },
+
+    // MULTI-COLUMN MANIFEST STATS (r12 #4): the table is written ONCE,
+    // range-clustered on `a`, with zone maps collected for BOTH `a`
+    // and the anti-correlated `b` in the same single stats pass —
+    // and two single-column probes each skip files on THEIR column
+    // (files_read_a/b, the bucket interval algebra the oracle
+    // replays). Both pruned-plus-residual aggregates must equal the
+    // raw filtered aggregates: pruning on any statted column may
+    // never lose a row (Delta's first-32-columns stats idea on this
+    // manifest).
+    "q_multi_stats" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mstats_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("a"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val mx = o.agg(max("a")).head.getLong(0)
+      val df = o.withColumn("b", lit(mx) - col("a"))
+        .withColumn("bk", expr(s"least(7, (a * 8) div ${mx + 1})"))
+      CommitLog.replaceClustered(s, df, table, "bk", Seq("a", "b"))
+      val lo = mx / 4
+      val hi = lo + mx / 8
+      val (total, selA) = CommitLog.prunedFilesBy(s, table, "a", lo, hi)
+      val (_, selB) = CommitLog.prunedFilesBy(s, table, "b", lo, hi)
+      val aggA = CommitLog.readPrunedBy(s, table, "a", lo, hi)
+        .filter(col("a").between(lo, hi))
+        .agg(count(lit(1)).as("n_a"), sum(col("cents")).as("cents_a"))
+      val aggB = CommitLog.readPrunedBy(s, table, "b", lo, hi)
+        .filter(col("b").between(lo, hi))
+        .agg(count(lit(1)).as("n_b"), sum(col("cents")).as("cents_b"))
+      aggA.crossJoin(aggB) // two 1-row aggregates: a broadcast scalar join
+        .withColumn("files_total", lit(total.toLong))
+        .withColumn("files_read_a", lit(selA.size.toLong))
+        .withColumn("files_read_b", lit(selB.size.toLong))
+    },
+
+    // PARTITION-SPEC EVOLUTION IN THE COMMIT LOG (r12 #3): 1992-1995
+    // orders land year-partitioned, the spec then evolves, and 1996+
+    // orders land month-partitioned — metadata-only, no old file
+    // rewritten. ONE date predicate spanning both generations prunes
+    // each file at ITS OWN granularity straight from the manifest
+    // (files_read replayed by the oracle from the distinct year/month
+    // populations), and the pruned-plus-residual read equals the raw
+    // filtered aggregate. Time-travel composition (pruning against the
+    // pre-evolution version) is pinned in PartitionSpecsSpec.
+    "q_partition_evolution_log" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_pevlog_${stageTag(dir)}"
+      import graft.sources.PartitionSpecs
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderdate").cast("date").as("d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      PartitionSpecs.appendPartitioned(s,
+        o.filter(year(col("d")) <= 1995), table, "d", "yyyy")
+      PartitionSpecs.appendPartitioned(s,
+        o.filter(year(col("d")) >= 1996), table, "d", "yyyy-MM")
+      val (total, sel) = PartitionSpecs.prunedFilesByDate(
+        s, table, "1995-06-01", "1996-03-31")
+      PartitionSpecs.readRange(s, table, "d", "1995-06-01", "1996-03-31")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .withColumn("files_total", lit(total.toLong))
+        .withColumn("files_read", lit(sel.size.toLong))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -2273,5 +2449,124 @@ private[graft] object RegWarehouse {
         |    % 1073741824) AS BIGINT) AS payload_hash_lo,
         |  CAST(sum(length(payload)) AS BIGINT) AS chars
         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
+
+    // The aggregate must equal raw lineitem (sharding changes metadata
+    // layout, never a row); the log-write arithmetic is the directive's
+    // O(1)-per-append claim: exactly one new group + one new list,
+    // with all five prior groups reused by reference.
+    "q_manifest_shards" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(sum(l_orderkey % 100000) AS BIGINT) AS key_checksum,
+        |  CAST(1 AS BIGINT) AS new_manifests,
+        |  CAST(1 AS BIGINT) AS new_groups,
+        |  CAST(5 AS BIGINT) AS groups_reused
+        |FROM lineitem""".stripMargin,
+
+
+    // 'pre' replays the raw table (the mid-merge / time-travel view);
+    // 'post' applies the three clauses row-wise: +7 cents on matched
+    // updates, matched deletes dropped, shifted-key inserts with
+    // status 'X'. kept_files = buckets holding NO matching source key
+    // (the touched-file pruning arithmetic); pre carries the total.
+    "q_commit_merge" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS m FROM b),
+        |buckets AS (
+        |  SELECT LEAST(7, (k * 8) // ((SELECT m FROM mx) + 1)) AS bk,
+        |    max(CASE WHEN k % 10 IN (0, 5) AND k * 4 <= (SELECT m FROM mx)
+        |        THEN 1 ELSE 0 END) AS touched
+        |  FROM b GROUP BY 1),
+        |kept AS (SELECT CAST(sum(1 - touched) AS BIGINT) AS kf,
+        |                CAST(count(*) AS BIGINT) AS total FROM buckets),
+        |pre AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM b GROUP BY 1),
+        |post_rows AS (
+        |  SELECT CASE WHEN k % 10 = 0 AND k * 4 <= (SELECT m FROM mx)
+        |         THEN cents + 7 ELSE cents END AS cents, status
+        |  FROM b WHERE NOT (k % 10 = 5 AND k * 4 <= (SELECT m FROM mx))
+        |  UNION ALL
+        |  SELECT cents * 2, 'X' FROM b WHERE k % 97 = 0),
+        |post AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM post_rows GROUP BY 1)
+        |SELECT status, n, cents, 'pre' AS phase,
+        |  (SELECT total FROM kept) AS kept_files FROM pre
+        |UNION ALL
+        |SELECT status, n, cents, 'post', (SELECT kf FROM kept) FROM post
+        |ORDER BY phase, status""".stripMargin,
+
+
+    // Per-bucket [min, max] of BOTH columns replayed from the bucket
+    // algebra (b = mx - a is exact per bucket); each probe's
+    // files_read = buckets whose range on ITS column intersects, and
+    // each aggregate = the raw filter on that column.
+    "q_multi_stats" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS a,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(a) AS m FROM o),
+        |b AS (SELECT a, (SELECT m FROM mx) - a AS b, cents,
+        |        LEAST(7, (a * 8) // ((SELECT m FROM mx) + 1)) AS bk
+        |      FROM o),
+        |probe AS (SELECT (SELECT m FROM mx) // 4 AS lo,
+        |                 (SELECT m FROM mx) // 4 + (SELECT m FROM mx) // 8 AS hi),
+        |fs AS (SELECT bk, min(a) AS mna, max(a) AS mxa,
+        |              min(b) AS mnb, max(b) AS mxb
+        |       FROM b GROUP BY bk),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS files_total,
+        |  CAST(sum(CASE WHEN mxa >= (SELECT lo FROM probe)
+        |                 AND mna <= (SELECT hi FROM probe)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS files_read_a,
+        |  CAST(sum(CASE WHEN mxb >= (SELECT lo FROM probe)
+        |                 AND mnb <= (SELECT hi FROM probe)
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS files_read_b
+        |  FROM fs),
+        |agga AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+        |           CAST(sum(cents) AS BIGINT) AS cents_a
+        |         FROM b WHERE a BETWEEN (SELECT lo FROM probe)
+        |           AND (SELECT hi FROM probe)),
+        |aggb AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+        |           CAST(sum(cents) AS BIGINT) AS cents_b
+        |         FROM b WHERE b BETWEEN (SELECT lo FROM probe)
+        |           AND (SELECT hi FROM probe))
+        |SELECT a.n_a, a.cents_a, bb.n_b, bb.cents_b,
+        |  c.files_total, c.files_read_a, c.files_read_b
+        |FROM agga a, aggb bb, cnt c""".stripMargin,
+
+
+    // files_total = distinct years ≤1995 plus distinct months ≥1996
+    // (one file per partition value per append); files_read = the
+    // year/month populations intersecting the probe at each spec's own
+    // granularity; the aggregate = the raw date filter.
+    "q_partition_evolution_log" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |yrs AS (SELECT DISTINCT strftime(d, '%Y') AS v FROM o
+        |        WHERE year(d) <= 1995),
+        |mos AS (SELECT DISTINCT strftime(d, '%Y-%m') AS v FROM o
+        |        WHERE year(d) >= 1996),
+        |cnt AS (SELECT
+        |  CAST((SELECT count(*) FROM yrs) + (SELECT count(*) FROM mos)
+        |    AS BIGINT) AS files_total,
+        |  CAST((SELECT count(*) FROM yrs WHERE v BETWEEN '1995' AND '1996')
+        |    + (SELECT count(*) FROM mos WHERE v BETWEEN '1995-06' AND '1996-03')
+        |    AS BIGINT) AS files_read),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents,
+        |          CAST(sum(k % 100000) AS BIGINT) AS key_checksum
+        |        FROM o WHERE d BETWEEN DATE '1995-06-01' AND DATE '1996-03-31')
+        |SELECT a.n, a.cents, a.key_checksum, c.files_total, c.files_read
+        |FROM agg a, cnt c""".stripMargin,
   )
 }

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.MergeInto
+
+/** Transactional MERGE INTO over the [[CommitLog]] (VERDICT r12
+  * directive #2): the multi-clause [[MergeInto]] operator composed
+  * with the conflict-checked [[CommitLog.rewrite]], so an
+  * upsert-with-clauses is ONE atomic commit — a reader racing the
+  * merge resolves the old manifest (wholly-old) or the new one
+  * (wholly-new), never a mix, and time travel to the pre-merge
+  * version still reads the untouched state.
+  *
+  * Touched-file pruning (the Delta MERGE execution shape): only files
+  * holding at least one source-key match are rewritten. One semi join
+  * of the table's physical file keys against the (broadcast-small)
+  * source keys finds them — a bounded collect of ONE ROW PER FILE,
+  * never corpus rows; every other file survives the commit BY
+  * REFERENCE (with sharded manifests, without even re-serializing its
+  * metadata). On a 100 TB table a merge touching one partition's
+  * files rewrites exactly those files plus an insert file. Source
+  * rows matching nothing can only insert, and rows in untouched files
+  * can match nothing — so merging only the touched rows is exact,
+  * not an approximation. `WHEN NOT MATCHED BY SOURCE` clauses can
+  * retarget EVERY row, so they disable the pruning (full rewrite),
+  * loudly visible in the returned stats.
+  *
+  * Concurrency (the Delta conflict rules on this log):
+  *  - a concurrent rewrite/delete of any touched file aborts with
+  *    [[CommitLog.ConcurrentRewriteException]] (requireRemovesLive);
+  *  - a delete FILE appearing since the snapshot aborts via
+  *    [[MorTable.noNewDeletes]] — the staged merge output predates
+  *    that delete and would resurrect its rows;
+  *  - concurrent blind APPENDS commute (WriteSerializable): the CAS
+  *    retry re-validates and lands on top of them.
+  *
+  * Boundaries, loud not silent: live merge-on-read delete files and
+  * mixed-generation evolved schemas are refused (compact the debt
+  * first — [[MorTable.compact]] / [[SchemaEvolution.compactEvolved]]);
+  * the source must be deduplicated per key ([[MergeInto]]'s contract).
+  */
+object CommitMerge {
+
+  /** Outcome of one merge commit: the new version plus the pruning
+    * arithmetic (how many live files the merge rewrote vs reused). */
+  final case class MergeResult(version: Long, filesTotal: Int,
+      filesRewritten: Int)
+
+  def mergeInto(
+      spark: SparkSession,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[(Column, MergeInto.Action)] = Nil,
+      notMatched: Seq[(Column, MergeInto.Insert)] = Nil,
+      bySource: Seq[(Column, MergeInto.Action)] = Nil,
+      txn: String = ""): MergeResult = {
+    val v = CommitLog.currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    if (txn.nonEmpty) {
+      val existing = CommitLog.findTxn(spark, table, txn)
+      if (existing.isDefined)
+        return MergeResult(existing.get, -1, -1) // replay: already applied
+    }
+    val m = CommitLog.readManifest(spark, table, v)
+    require(!m.files.exists(f =>
+      f.startsWith("posdel-") || f.startsWith("deletes-")),
+      s"$table@$v carries merge-on-read delete files — compact the " +
+        "delete debt first (MorTable.compact / SchemaEvolution.compactEvolved)")
+    require(m.schemaId.isEmpty || m.fileSchemas.values.forall(_ == m.schemaId),
+      s"$table@$v holds files written under older schema generations — " +
+        "SchemaEvolution.compactEvolved first (a raw merge rewrite would " +
+        "null-fork renamed columns)")
+    val root = CommitLog.dataRoot(table)
+    val dataFiles = m.files
+    val touched: Seq[String] =
+      if (bySource.nonEmpty) dataFiles // every target row is addressable
+      else if (dataFiles.isEmpty) Seq.empty
+      else {
+        val keys = source.select(keyCols.map(col): _*).distinct()
+        // One row per file after the semi join + dedup — bounded
+        // metadata, never corpus rows. AQE broadcasts the key side.
+        spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
+          .select(col("*"), MorTable.fileKey(col("_metadata.file_path"))
+            .as("__fk"))
+          .join(keys, keyCols, "left_semi")
+          .select("__fk").distinct()
+          .collect().map(_.getString(0)).toSeq
+      }
+    val base =
+      if (touched.nonEmpty)
+        spark.read.parquet(touched.map(f => s"$root/$f"): _*)
+      else if (dataFiles.nonEmpty)
+        spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*).limit(0)
+      else throw new IllegalArgumentException(
+        s"$table@$v has no data files to merge into")
+    val merged = MergeInto.merge(base, source, keyCols, matched,
+      notMatched, bySource)
+    val staged = CommitLog.stage(spark, merged, table)
+    val newV = CommitLog.rewrite(spark, table, adds = staged,
+      removes = touched, txn = txn,
+      // a delete file appearing mid-merge would be resurrected by the
+      // staged output — conflict, exactly as compaction does
+      validateLive = MorTable.noNewDeletes(table, Set.empty))
+    MergeResult(newV, dataFiles.size, touched.size)
+  }
+}

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.MergeInto
+
+/** Transactional MERGE INTO contract: multi-clause semantics through
+  * one atomic commit, touched-file pruning, time-travel isolation, and
+  * the racing-writer conflict rules (VERDICT r12 directive #2). */
+class CommitMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_cmerge_spec").toString + "/t"
+
+  private def rows(t: String): Set[(Long, Long)] =
+    CommitLog.read(spark, t).as[(Long, Long)].collect().toSet
+
+  test("multi-clause merge: update/delete/insert in one commit; pre-version intact") {
+    val t = freshTable()
+    CommitLog.replace(spark,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("k", "v").repartition(4), t)
+    val vPre = CommitLog.currentVersion(spark, t).get
+    val src = Seq(
+      (5L, 555L, "U"), (7L, 0L, "D"), (100L, 1000L, "I"))
+      .toDF("k", "v", "op")
+    val res = CommitMerge.mergeInto(spark, t, src, Seq("k"),
+      matched = Seq(
+        (col("s_op") === "U", MergeInto.Update(Map("v" -> col("s_v")))),
+        (col("s_op") === "D", MergeInto.Delete)),
+      notMatched = Seq(
+        (col("s_op") === "I", MergeInto.Insert(Map(
+          "k" -> col("s_k"), "v" -> col("s_v"))))))
+    val expect = (1L to 20L).filterNot(_ == 7L)
+      .map(i => (i, if (i == 5L) 555L else i * 10L)).toSet + ((100L, 1000L))
+    assert(rows(t) == expect)
+    // Time travel: the pre-merge version is byte-for-byte the old state.
+    assert(CommitLog.readVersion(spark, t, vPre).as[(Long, Long)]
+      .collect().toSet == (1L to 20L).map(i => (i, i * 10L)).toSet)
+    assert(res.version == vPre + 1)
+  }
+
+  test("touched-file pruning: unmatched files survive by reference") {
+    val t = freshTable()
+    // 4 one-file batches with disjoint key ranges.
+    for (k <- 0 until 4)
+      CommitLog.append(spark,
+        (k * 10L until (k + 1) * 10L).map(i => (i, i)).toDF("k", "v")
+          .coalesce(1), t)
+    val before = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get).toSet
+    // Source touches only the [10, 20) file.
+    val res = CommitMerge.mergeInto(spark, t,
+      Seq((15L, 999L, "U")).toDF("k", "v", "op"), Seq("k"),
+      matched = Seq((col("s_op") === "U",
+        MergeInto.Update(Map("v" -> col("s_v"))))))
+    assert(res.filesTotal == 4 && res.filesRewritten == 1)
+    val after = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get).toSet
+    assert(before.intersect(after).size == 3, "3 untouched files reused")
+    assert(rows(t) == (0L until 40L).map(i =>
+      (i, if (i == 15L) 999L else i)).toSet)
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE disables pruning and fires per clause") {
+    val t = freshTable()
+    CommitLog.replace(spark,
+      (1L to 6L).map(i => (i, i)).toDF("k", "v").repartition(2), t)
+    val res = CommitMerge.mergeInto(spark, t,
+      Seq((2L, 20L, "U")).toDF("k", "v", "op"), Seq("k"),
+      matched = Seq((col("s_op") === "U",
+        MergeInto.Update(Map("v" -> col("s_v"))))),
+      bySource = Seq((col("t_k") > 4L, MergeInto.Delete)))
+    assert(res.filesRewritten == res.filesTotal)
+    assert(rows(t) == Set((1L, 1L), (2L, 20L), (3L, 3L), (4L, 4L)))
+  }
+
+  test("racing compactor wins → merge aborts, nothing duplicated or lost") {
+    val t = freshTable()
+    CommitLog.replace(spark,
+      (1L to 30L).map(i => (i, i)).toDF("k", "v").repartition(3), t)
+    val live0 = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    // Compactor stages + commits BETWEEN the merge's snapshot read and
+    // its commit: simulate by compacting first, then merging with a
+    // source whose touched set was resolved against the OLD files —
+    // CommitMerge re-resolves at entry, so instead drive the conflict
+    // through the underlying rewrite the way a real interleave lands:
+    val stagedMerge = CommitLog.stage(spark,
+      CommitLog.read(spark, t).withColumn("v", col("v") + 100L), t)
+    CommitLog.compactTable(spark, t, targetRecordsPerFile = 1000)
+    val before = rows(t)
+    intercept[CommitLog.ConcurrentRewriteException] {
+      CommitLog.rewrite(spark, t, adds = stagedMerge, removes = live0,
+        validateLive = MorTable.noNewDeletes(t, Set.empty))
+    }
+    assert(rows(t) == before, "aborted merge must leave no trace")
+  }
+
+  test("a delete file appearing mid-merge conflicts (no resurrection)") {
+    val t = freshTable()
+    MorTable.appendData(spark,
+      (1L to 10L).map(i => (i, i)).toDF("k", "v"), 1L, t)
+    // Merge snapshot read happens here (no delete files yet)…
+    val m = CommitLog.readManifest(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    val staged = CommitLog.stage(spark,
+      CommitLog.read(spark, t).withColumn("v", col("v") + 1L), t)
+    // …then a concurrent equality delete lands before the merge commit.
+    MorTable.commitDeletes(spark, Seq(Tuple1(3L)).toDF("k"), 2L, t)
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.rewrite(spark, t, adds = staged, removes = m.files,
+        validateLive = MorTable.noNewDeletes(t, Set.empty))
+    }
+  }
+
+  test("merge refuses MoR delete debt and idempotent txn replays resolve") {
+    val t = freshTable()
+    MorTable.appendData(spark, Seq((1L, 1L)).toDF("k", "v"), 1L, t)
+    MorTable.commitDeletes(spark, Seq(Tuple1(1L)).toDF("k"), 2L, t)
+    val e = intercept[IllegalArgumentException] {
+      CommitMerge.mergeInto(spark, t, Seq((1L, 2L)).toDF("k", "v"),
+        Seq("k"), matched = Seq((lit(true),
+          MergeInto.Update(Map("v" -> col("s_v"))))))
+    }
+    assert(e.getMessage.contains("compact"))
+    // txn idempotence on a clean table
+    val t2 = freshTable()
+    CommitLog.replace(spark, Seq((1L, 1L)).toDF("k", "v"), t2)
+    val r1 = CommitMerge.mergeInto(spark, t2,
+      Seq((1L, 5L)).toDF("k", "v"), Seq("k"),
+      matched = Seq((lit(true), MergeInto.Update(Map("v" -> col("s_v"))))),
+      txn = "merge-epoch-1")
+    val r2 = CommitMerge.mergeInto(spark, t2,
+      Seq((1L, 77L)).toDF("k", "v"), Seq("k"),
+      matched = Seq((lit(true), MergeInto.Update(Map("v" -> col("s_v"))))),
+      txn = "merge-epoch-1")
+    assert(r2.version == r1.version, "replayed epoch is a no-op")
+    assert(rows(t2) == Set((1L, 5L)))
+  }
+}

@@ -913,6 +913,60 @@ private[graft] object RegStreaming {
           sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
         .orderBy("v", "ct")
     },
+
+    // NATIVE STRUCTURED-STREAMING SOURCE over the commit log (r12 #5 —
+    // TableFeed's manual loop lifted into spark.readStream): offsets
+    // ARE table versions, Spark's checkpoint WAL carries the cursor,
+    // and each micro-batch reads only the files its version range
+    // added. Two source commits drain under Trigger.AvailableNow into
+    // an exactly-once foreachBatch sink; a compaction plus a third
+    // commit then land and the RESTARTED stream (same checkpoint)
+    // feeds ONLY the new rows — the rewrite is a layout no-op and the
+    // checkpointed offset skips everything already fed. The final
+    // table must aggregate exactly like the raw source rows: any
+    // re-feed, loss, or cursor regression moves the checksums
+    // (graft.sources.TableFeedSource, TableFeedSourceSpec).
+    "q_stream_feed_native" -> { (s, dir) =>
+      import graft.sources.CommitLog
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = stageTag(dir)
+      val src = s"$tmp/graft_nfsrc_$tag"
+      val dst = s"$tmp/graft_nfdst_$tag"
+      val ckpt = s"$tmp/graft_nfckpt_$tag"
+      for (t <- Seq(src, dst, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val e = Tables.load(s, dir, "events").select(
+        col("event_id").as("k"), col("event_type").as("t"),
+        pmod(col("user_id"), lit(1000L)).as("u"))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft.sources.TableFeedSourceProvider")
+          .option("path", src).load()
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            CommitLog.transactionalAppend(s, batch, dst, s"native:$bid")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      CommitLog.append(s, e.filter(col("k") % 3 === 0).repartition(4), src)
+      CommitLog.append(s, e.filter(col("k") % 3 === 1).repartition(4), src)
+      drain()
+      // Layout rewrite + one more commit; the restart feeds ONLY batch 3.
+      CommitLog.compactTable(s, src, targetRecordsPerFile = 1000000)
+      CommitLog.append(s, e.filter(col("k") % 3 === 2).repartition(4), src)
+      drain()
+      CommitLog.read(s, dst)
+        .groupBy("t")
+        .agg(count(lit(1)).as("n"), countDistinct(col("u")).as("n_users"),
+          sum(pmod(col("k"), lit(100000L))).as("checksum"))
+        .orderBy("t")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1257,5 +1311,16 @@ private[graft] object RegStreaming {
       """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Stream-out ≡ batch read: the native source's drain (across a
+    // restart and a compaction) must land exactly the raw rows.
+    "q_stream_feed_native" ->
+      """WITH e AS (
+        |  SELECT event_id AS k, event_type AS t, user_id % 1000 AS u
+        |  FROM events)
+        |SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_users,
+        |  CAST(sum(k % 100000) AS BIGINT) AS checksum
+        |FROM e GROUP BY 1 ORDER BY t""".stripMargin,
   )
 }

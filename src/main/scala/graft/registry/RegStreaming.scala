@@ -967,6 +967,66 @@ private[graft] object RegStreaming {
           sum(pmod(col("k"), lit(100000L))).as("checksum"))
         .orderBy("t")
     },
+
+    // NATIVE CDC-OUT STREAM: the same four-commit merge-on-read story
+    // as q_stream_cdf_feed (append, equality delete, append, position
+    // delete), but the delete-aware change rows arrive through
+    // `readStream.option("changeFeed", true)` — MorTable.changeFeed
+    // served per version range by the streaming source, shipped as a
+    // lazily-computed row batch so its data-vs-delete anti joins stay
+    // batch joins inside the micro-batch plan. Drained across a
+    // RESTART (checkpointed version cursor), landed exactly-once; the
+    // oracle is the same replay as the manual-loop feed — the seam
+    // must not change one row (graft.sources.TableFeedSource cdf mode,
+    // TableFeedSourceSpec).
+    "q_stream_cdf_native" -> { (s, dir) =>
+      import graft.sources.{CommitLog, MorTable}
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = stageTag(dir)
+      val src = s"$tmp/graft_ncdfsrc_$tag"
+      val dst = s"$tmp/graft_ncdfdst_$tag"
+      val ckpt = s"$tmp/graft_ncdfckpt_$tag"
+      for (t <- Seq(src, dst, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val b = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft.sources.TableFeedSourceProvider")
+          .option("path", src)
+          .option("changeFeed", "true")
+          .option("keyCols", "k")
+          .load()
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            CommitLog.transactionalAppend(s, batch, dst, s"ncdf:$bid")
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      MorTable.appendData(s, b.filter(col("k") % 2 === 0)
+        .repartition(4), 1L, src)
+      MorTable.commitDeletes(s,
+        b.filter(col("k") % 10 === 0).select("k"), 2L, src)
+      drain()
+      MorTable.appendData(s, b.filter(col("k") % 2 === 1)
+        .repartition(4), 3L, src)
+      MorTable.commitPositionDeletes(s, src, col("cents") % 7 === 0)
+      drain()
+      CommitLog.read(s, dst)
+        .groupBy(col("_change_type").as("ct"),
+          col("_commit_version").as("v"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .orderBy("v", "ct")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1311,6 +1371,36 @@ private[graft] object RegStreaming {
       """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS sum_value
         |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same four-commit replay as q_stream_cdf_feed — the native
+    // stream seam must not change the content.
+    "q_stream_cdf_native" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders),
+        |ev AS (SELECT * FROM b WHERE k % 2 = 0),
+        |od AS (SELECT * FROM b WHERE k % 2 = 1),
+        |vis3 AS (SELECT * FROM ev WHERE k % 10 <> 0
+        |         UNION ALL SELECT * FROM od)
+        |SELECT 'insert' AS ct, CAST(1 AS BIGINT) AS v,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum FROM ev
+        |UNION ALL
+        |SELECT 'delete', CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM ev WHERE k % 10 = 0
+        |UNION ALL
+        |SELECT 'insert', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM od
+        |UNION ALL
+        |SELECT 'delete', CAST(4 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(sum(cents) AS BIGINT), CAST(sum(k % 100000) AS BIGINT)
+        |FROM vis3 WHERE cents % 7 = 0
+        |ORDER BY v, ct""".stripMargin,
 
     // Stream-out ≡ batch read: the native source's drain (across a
     // restart and a compaction) must land exactly the raw rows.

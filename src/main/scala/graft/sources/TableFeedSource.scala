@@ -51,7 +51,12 @@ class TableFeedSource(
     spark: SparkSession,
     table: String,
     metadataPath: String,
-    maxVersionsPerTrigger: Long) extends Source
+    maxVersionsPerTrigger: Long,
+    /** Non-empty = CHANGE-FEED mode: each micro-batch emits the
+      * delete-aware CDC rows of its version range
+      * ([[MorTable.changeFeed]] — insert/delete + commit version,
+      * keyed on these columns) instead of raw added files. */
+    cdfKeyCols: Seq[String] = Seq.empty) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -77,7 +82,13 @@ class TableFeedSource(
     lastPlanned = v
   }
 
-  override val schema: StructType = TableFeedSource.tableSchema(spark, table)
+  override val schema: StructType =
+    if (cdfKeyCols.isEmpty) TableFeedSource.tableSchema(spark, table)
+    else StructType(TableFeedSource.tableSchema(spark, table).fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType)))
 
   /** Trigger.AvailableNow pins the drain target to the head AT TRIGGER
     * START — commits racing the drain wait for the next run, so the
@@ -128,6 +139,19 @@ class TableFeedSource(
     val to = end.json.toLong
     recordPlanned(to)
     if (to <= from) return emptyBatch()
+    if (cdfKeyCols.nonEmpty) {
+      // Change-feed mode: the delete-aware CDC rows of (from, to].
+      // Shipped as a lazily-computed InternalRow RDD rather than a
+      // re-flagged plan — changeFeed's data-vs-delete anti joins must
+      // stay BATCH joins; flagging their relations streaming would
+      // make the incremental planner treat them as stream-stream
+      // state machines.
+      import org.apache.spark.sql.functions.col
+      val cdc = MorTable.changeFeed(spark, table, from, to, cdfKeyCols)
+        .select(schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
+      return StreamingFrames.ofRdd(spark, cdc.queryExecution.toRdd, schema)
+    }
     val headM = CommitLog.readManifest(spark, table, to)
     val (added, tags) = TableFeed.addedDataFiles(spark, table, from, to)
     if (added.isEmpty) return emptyBatch()
@@ -195,8 +219,16 @@ class TableFeedSourceProvider extends StreamSourceProvider with DataSourceRegist
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      TableFeedSource.tableSchema(sqlContext.sparkSession, tableOf(parameters))))
+    (shortName(), schema.getOrElse {
+      val base = TableFeedSource.tableSchema(
+        sqlContext.sparkSession, tableOf(parameters))
+      if (keyColsOf(parameters).isEmpty) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType)))
+    })
 
   override def createSource(
       sqlContext: SQLContext,
@@ -206,5 +238,12 @@ class TableFeedSourceProvider extends StreamSourceProvider with DataSourceRegist
       parameters: Map[String, String]): Source =
     new TableFeedSource(sqlContext.sparkSession, tableOf(parameters),
       metadataPath,
-      parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(0L))
+      parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(0L),
+      cdfKeyCols = keyColsOf(parameters))
+
+  private def keyColsOf(parameters: Map[String, String]): Seq[String] =
+    if (!parameters.get("changeFeed").exists(_.toBoolean)) Seq.empty
+    else parameters.getOrElse("keyCols", throw new IllegalArgumentException(
+      "changeFeed=true needs option 'keyCols' (comma-separated equality-" +
+        "delete key columns)")).split(",").toSeq.map(_.trim)
 }

@@ -82,6 +82,47 @@ class TableFeedSourceSpec extends SparkSpec {
     assert(got.toSet == (0L until 4L).toSet)
   }
 
+  test("changeFeed mode streams delete-aware CDC rows exactly once") {
+    val base = freshDir()
+    val src = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    def rows(lo: Long, hi: Long) = (lo until hi).map(i => (i, i * 10L))
+    MorTable.appendData(spark, rows(0, 10).toDF("k", "v"), 1L, src)
+    MorTable.commitDeletes(spark, Seq(Tuple1(4L)).toDF("k"), 2L, src)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def drainCdf(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.TableFeedSourceProvider")
+        .option("path", src)
+        .option("changeFeed", "true")
+        .option("keyCols", "k")
+        .load()
+        .writeStream
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= b.select("k", "_change_type", "_commit_version")
+              .as[(Long, String, Long)].collect()
+          }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drainCdf()
+    assert(got.count(_._2 == "insert") == 10)
+    assert(got.filter(_._2 == "delete").map(_._1).toSet == Set(4L))
+    // Second window: one more append + posdel; restart feeds ONLY it.
+    got.clear()
+    MorTable.appendData(spark, rows(10, 15).toDF("k", "v"), 3L, src)
+    MorTable.commitPositionDeletes(spark, src, col("k") === 11L)
+    drainCdf()
+    assert(got.filter(_._2 == "insert").map(_._1).toSet == (10L until 15L).toSet)
+    assert(got.filter(_._2 == "delete").map(_._1).toSet == Set(11L))
+    assert(got.forall(r => r._3 == 3L || r._3 == 4L), s"stale versions re-fed: $got")
+  }
+
   test("schema-evolved source projects old generations under the head schema") {
     val base = freshDir()
     val src = s"$base/src"

@@ -42,19 +42,28 @@ object MergeInto {
     * clauses take Update/Delete; `notMatched` clauses take Insert.
     * A clause condition of `lit(true)` is the unconditional form.
     */
-  def merge(
+  /** The joined-and-resolved row-fate frame the output projections
+    * build on: base columns as `t_<name>`, source columns as
+    * `s_<name>`, and `__a` = the id of the FIRST clause (in
+    * declaration order) whose category + condition matched —
+    * 0 = keep base row; 1000+i = matched clause i; 2000+i = insert
+    * clause i; 3000+i = by-source clause i; -1 = drop (unmatched
+    * source row). Exposed (package-private) so merge-on-read writers
+    * ([[graft.sources.CommitMerge.mergeIntoMor]]) can turn the SAME
+    * clause semantics into delete tuples + new rows instead of a
+    * rewritten table. */
+  private[graft] def resolved(
       base: DataFrame,
       source: DataFrame,
       keyCols: Seq[String],
-      matched: Seq[(Column, Action)] = Nil,
-      notMatched: Seq[(Column, Insert)] = Nil,
-      bySource: Seq[(Column, Action)] = Nil): DataFrame = {
+      matched: Seq[(Column, Action)],
+      notMatched: Seq[(Column, Insert)],
+      bySource: Seq[(Column, Action)]): DataFrame = {
     require(keyCols.nonEmpty, "at least one key column")
     require(matched.forall(!_._2.isInstanceOf[Insert]),
       "WHEN MATCHED takes UPDATE or DELETE, not INSERT")
     require(bySource.forall(!_._2.isInstanceOf[Insert]),
       "WHEN NOT MATCHED BY SOURCE takes UPDATE or DELETE, not INSERT")
-    val outCols = base.columns.toSeq
     val t = base.select(
       base.columns.map(c => col(c).as(s"t_$c")).toIndexedSeq: _*)
     val s = source.select(
@@ -73,9 +82,6 @@ object MergeInto {
     // Row fate: resolve clause order ONCE into an action id, then key
     // every output expression off it — two clauses' conditions both
     // true ⇒ the earlier id wins, the standard's rule.
-    // ids: 0 = keep base row; 1000+i = matched clause i;
-    //      2000+i = insert clause i; 3000+i = by-source clause i;
-    //      -1 = drop (unmatched source row).
     def resolve(cat: Column, clauses: Seq[Column], ids: Seq[Int],
         default: Column): Column =
       clauses.zip(ids).foldRight(default) { case ((c, id), acc) =>
@@ -88,15 +94,29 @@ object MergeInto {
       notMatched.indices.map(2000 + _), when(sOnly, lit(-1)).otherwise(action))
     action = resolve(tOnly, bySource.map(_._1),
       bySource.indices.map(3000 + _), action)
-    val deleteIds =
-      matched.zipWithIndex.collect { case ((_, Delete), i) => 1000 + i } ++
-        bySource.zipWithIndex.collect { case ((_, Delete), i) => 3000 + i }
+    j.withColumn("__a", action)
+  }
 
+  private[graft] def deleteActionIds(matched: Seq[(Column, Action)],
+      bySource: Seq[(Column, Action)]): Seq[Int] =
+    matched.zipWithIndex.collect { case ((_, Delete), i) => 1000 + i } ++
+      bySource.zipWithIndex.collect { case ((_, Delete), i) => 3000 + i }
+
+  def merge(
+      base: DataFrame,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[(Column, Action)] = Nil,
+      notMatched: Seq[(Column, Insert)] = Nil,
+      bySource: Seq[(Column, Action)] = Nil): DataFrame = {
+    val outCols = base.columns.toSeq
+    val j = resolved(base, source, keyCols, matched, notMatched, bySource)
+    val deleteIds = deleteActionIds(matched, bySource)
     val keep =
       if (deleteIds.isEmpty) col("__a") =!= -1
       else col("__a") =!= -1 &&
         !col("__a").isin(deleteIds.map(_.asInstanceOf[Any]): _*)
-    val withAction = j.withColumn("__a", action).filter(keep)
+    val withAction = j.filter(keep)
 
     // ANSI-MERGE analysis rule: every SET/INSERT expression must
     // up-cast LOSSLESSLY to its target column type — Delta/ANSI MERGE

@@ -1444,6 +1444,66 @@ private[graft] object RegWarehouse {
         .orderBy("phase", "status")
     },
 
+    // MERGE-ON-READ MERGE (Iceberg write.merge.mode=merge-on-read —
+    // the true 100 TB upsert shape): the same three clauses as
+    // q_commit_merge, but matched UPDATE/DELETE rows land as POSITION-
+    // DELETE tuples plus fresh image files in ONE commit — ZERO data
+    // files rewritten (data_files_kept = all 4 pre-merge files,
+    // manifest-proven), write amplification O(changed rows) instead of
+    // O(touched files). 'pre' reads the pre-merge version AFTER the
+    // commit (wholly-old); 'post' is the MoR-resolved merged state; a
+    // later higher-seq equality delete still outranks the new images
+    // (CommitMergeSpec). Oracle: the clause replay over raw orders.
+    "q_commit_merge_mor" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_cmergemor_${stageTag(dir)}"
+      import graft.operators.MergeInto
+      import graft.sources.{CommitLog, CommitMerge, MorTable}
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val b = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"),
+        col("o_orderstatus").as("status"))
+      val mx = b.agg(max("k")).head.getLong(0)
+      MorTable.appendData(s, b.repartition(4), 1L, table)
+      val vPre = CommitLog.currentVersion(s, table).get
+      val preData = CommitLog.liveFiles(s, table, vPre)
+        .filter(_.startsWith("stage-")).toSet
+      val inRange = col("k") * 4 <= mx
+      val src = b.filter(col("k") % 10 === 0 && inRange)
+        .select(col("k"), (col("cents") + 7).as("cents"), col("status"),
+          lit("U").as("op"))
+        .unionByName(b.filter(col("k") % 10 === 5 && inRange)
+          .select(col("k"), col("cents"), col("status"), lit("D").as("op")))
+        .unionByName(b.filter(col("k") % 97 === 0)
+          .select((col("k") + mx + 1).as("k"), (col("cents") * 2).as("cents"),
+            lit("X").as("status"), lit("I").as("op")))
+      val vNew = CommitMerge.mergeIntoMor(s, table, src, Seq("k"),
+        matched = Seq(
+          (col("s_op") === "U",
+            MergeInto.Update(Map("cents" -> col("s_cents")))),
+          (col("s_op") === "D", MergeInto.Delete)),
+        notMatched = Seq(
+          (col("s_op") === "I", MergeInto.Insert(Map(
+            "k" -> col("s_k"), "cents" -> col("s_cents"),
+            "status" -> col("s_status"))))),
+        seq = 2L)
+      val kept = CommitLog.liveFiles(s, table, vNew)
+        .filter(_.startsWith("stage-")).count(preData)
+      def agg(df: DataFrame, phase: String, files: Long): DataFrame =
+        df.groupBy("status")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+          .withColumn("phase", lit(phase))
+          .withColumn("data_files_kept", lit(files))
+      agg(MorTable.readMor(s, table, Seq("k"), Some(vPre)), "pre",
+        preData.size.toLong)
+        .unionByName(agg(MorTable.readMor(s, table, Seq("k")), "post",
+          kept.toLong))
+        .orderBy("phase", "status")
+    },
+
     // MULTI-COLUMN MANIFEST STATS (r12 #4): the table is written ONCE,
     // range-clustered on `a`, with zone maps collected for BOTH `a`
     // and the anti-correlated `b` in the same single stats pass —
@@ -2501,6 +2561,35 @@ private[graft] object RegWarehouse {
         |  (SELECT total FROM kept) AS kept_files FROM pre
         |UNION ALL
         |SELECT status, n, cents, 'post', (SELECT kf FROM kept) FROM post
+        |ORDER BY phase, status""".stripMargin,
+
+
+    // Same clause replay as q_commit_merge, WITHOUT pruning arithmetic
+    // (merge-on-read rewrites nothing): both phases keep all 4 data
+    // files.
+    "q_commit_merge_mor" ->
+      """WITH b AS (
+        |  SELECT o_orderkey AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    o_orderstatus AS status
+        |  FROM orders),
+        |mx AS (SELECT max(k) AS m FROM b),
+        |pre AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM b GROUP BY 1),
+        |post_rows AS (
+        |  SELECT CASE WHEN k % 10 = 0 AND k * 4 <= (SELECT m FROM mx)
+        |         THEN cents + 7 ELSE cents END AS cents, status
+        |  FROM b WHERE NOT (k % 10 = 5 AND k * 4 <= (SELECT m FROM mx))
+        |  UNION ALL
+        |  SELECT cents * 2, 'X' FROM b WHERE k % 97 = 0),
+        |post AS (
+        |  SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM post_rows GROUP BY 1)
+        |SELECT status, n, cents, 'pre' AS phase,
+        |  CAST(4 AS BIGINT) AS data_files_kept FROM pre
+        |UNION ALL
+        |SELECT status, n, cents, 'post', CAST(4 AS BIGINT) FROM post
         |ORDER BY phase, status""".stripMargin,
 
 

@@ -105,4 +105,95 @@ object CommitMerge {
       validateLive = MorTable.noNewDeletes(table, Set.empty))
     MergeResult(newV, dataFiles.size, touched.size)
   }
+
+  /** MERGE-ON-READ merge (Iceberg's merge-on-read write mode — the
+    * true 100 TB upsert shape): instead of rewriting the files that
+    * hold matched rows, ONE commit adds
+    *  - a position-delete file addressing every row a matched
+    *    UPDATE/DELETE clause retargets (physical (file, row_index)
+    *    tuples — schema-independent, no data file touched), and
+    *  - data files holding the post-UPDATE images and the INSERT rows,
+    *    stamped `data_seq = seq`.
+    * [[MorTable.readMor]] then serves the merged state. Write
+    * amplification is O(changed rows), not O(touched files) — on a
+    * table whose hot keys are smeared across thousands of files, the
+    * copy-on-write [[mergeInto]] would rewrite them all; this commits
+    * kilobytes. The trade is read-side anti-join debt, retired by the
+    * conflict-guarded [[MorTable.compact]], exactly the Iceberg
+    * write.merge.mode=merge-on-read / copy-on-write pair.
+    *
+    * Matching runs against the LIVE MoR view (rows already dead under
+    * earlier deletes can only re-insert, never re-update — Delta
+    * semantics). Conflicts: the posdel tuples key the snapshot's data
+    * files, so a concurrent rewrite of ANY of them aborts
+    * (requireStillLive); concurrent appends/deletes commute (a later
+    * `delete_seq > seq` still wins over the new images). `bySource`
+    * clauses are copy-on-write territory — refused here. */
+  def mergeIntoMor(
+      spark: SparkSession,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      matched: Seq[(Column, MergeInto.Action)] = Nil,
+      notMatched: Seq[(Column, MergeInto.Insert)] = Nil,
+      seq: Long = 0L,
+      txn: String = ""): Long = {
+    val v = CommitLog.currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    if (txn.nonEmpty) {
+      val existing = CommitLog.findTxn(spark, table, txn)
+      if (existing.isDefined) return existing.get
+    }
+    val m = CommitLog.readManifest(spark, table, v)
+    require(m.schemaId.isEmpty || m.fileSchemas.values.forall(_ == m.schemaId),
+      s"$table@$v holds files written under older schema generations — " +
+        "SchemaEvolution.compactEvolved first")
+    val dataFiles = m.files.filter(_.startsWith("stage-"))
+    val base = MorTable.readMorWithIds(spark, table, keyCols, Some(v))
+    require(base.columns.contains("data_seq"),
+      s"$table is not a merge-on-read table (no data_seq column) — " +
+        "write it via MorTable.appendData / applyCdcBatch")
+    // Staged twice (posdel tuples, then images) → persist the one
+    // full-outer join rather than running it twice.
+    val j = MergeInto.resolved(base, source, keyCols, matched,
+      notMatched, Nil)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val updateIds = matched.zipWithIndex.collect {
+        case ((_, MergeInto.Update(_)), i) => 1000 + i }
+      val deleteIds = MergeInto.deleteActionIds(matched, Nil)
+      val retargeted = (updateIds ++ deleteIds).map(_.asInstanceOf[Any])
+      // Every row an UPDATE or DELETE clause fires on loses its current
+      // physical version — one posdel tuple each.
+      val posdel = j.filter(col("__a").isin(retargeted: _*))
+        .select(col("t___fk").as("file_key"), col("t___pos").as("pos"))
+      // The new images: post-UPDATE rows + INSERT rows, all at `seq`.
+      val dataCols = base.columns.toSeq.filterNot(Set("__fk", "__pos"))
+      val imageIds = updateIds.map(_.asInstanceOf[Any]) ++
+        notMatched.indices.map(i => (2000 + i).asInstanceOf[Any])
+      val images = j.filter(col("__a").isin(imageIds: _*))
+        .select(dataCols.map { c =>
+          val chain =
+            matched.zipWithIndex.collect { case ((_, MergeInto.Update(set)), i)
+              if set.contains(c) => (1000 + i, set(c)) } ++
+            notMatched.zipWithIndex.map { case ((_, MergeInto.Insert(vs)), i) =>
+              (2000 + i, vs.getOrElse(c, lit(null))) }
+          chain.foldRight(col(s"t_$c")) { case ((id, e), acc) =>
+            when(col("__a") === id, e).otherwise(acc)
+          }.cast(base.schema(c).dataType).as(c)
+        }: _*)
+        .withColumn("data_seq", lit(seq))
+      val posdelAdds = if (retargeted.isEmpty) Seq.empty[String]
+        else CommitLog.stageUnder(spark, posdel, table, "posdel")
+      val imageAdds = if (imageIds.isEmpty) Seq.empty[String]
+        else CommitLog.stage(spark, images, table)
+      CommitLog.commit(spark, table,
+        adds = posdelAdds ++ imageAdds,
+        txn = txn,
+        // tuples key this snapshot's data files: a concurrent rewrite
+        // of any of them would make the posdels silent no-ops and the
+        // new images duplicates — conflict instead
+        validateLive = MorTable.requireStillLive(table, dataFiles))
+    } finally j.unpersist()
+  }
 }

@@ -230,6 +230,24 @@ object MorTable {
     spark.read.parquet(s"$root/$donor").limit(0)
   }
 
+  /** The live MoR view WITH each row's physical identity retained
+    * (`__fk` manifest-relative file key, `__pos` parquet row ordinal) —
+    * what a merge-on-read WRITER ([[CommitMerge.mergeIntoMor]]) joins
+    * against: the surviving rows it retargets become (file, pos)
+    * delete tuples, no data file rewritten. */
+  private[sources] def readMorWithIds(spark: SparkSession, table: String,
+      keyCols: Seq[String], version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(CommitLog.currentVersion(spark, table))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $table"))
+    val m = CommitLog.readManifest(spark, table, v)
+    val root = CommitLog.dataRoot(table)
+    val dataFiles = m.files.filter(_.startsWith("stage-"))
+    require(dataFiles.nonEmpty, s"$table@$v has no data files")
+    applyDeletes(spark, root, m,
+      withPhysicalIds(spark, root, dataFiles), keyCols)
+  }
+
   /** Merge-on-read at `version` (current if None): live data files
     * MINUS live position-delete files (physical (file_key, pos) anti
     * join) MINUS live equality-delete files under the sequence rule. */

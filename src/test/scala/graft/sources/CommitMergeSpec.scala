@@ -116,6 +116,77 @@ class CommitMergeSpec extends SparkSpec {
     }
   }
 
+  test("merge-on-read merge: updates/deletes land as posdels + images, no data file rewritten") {
+    val t = freshTable()
+    MorTable.appendData(spark,
+      (1L to 20L).map(i => (i, i * 10L)).toDF("k", "v").repartition(4), 1L, t)
+    val vPre = CommitLog.currentVersion(spark, t).get
+    val preData = CommitLog.liveFiles(spark, t, vPre)
+      .filter(_.startsWith("stage-")).toSet
+    val src = Seq((5L, 555L, "U"), (7L, 0L, "D"), (100L, 1000L, "I"))
+      .toDF("k", "v", "op")
+    CommitMerge.mergeIntoMor(spark, t, src, Seq("k"),
+      matched = Seq(
+        (col("s_op") === "U", MergeInto.Update(Map("v" -> col("s_v")))),
+        (col("s_op") === "D", MergeInto.Delete)),
+      notMatched = Seq(
+        (col("s_op") === "I", MergeInto.Insert(Map(
+          "k" -> col("s_k"), "v" -> col("s_v"))))),
+      seq = 2L)
+    val after = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    // Every pre-merge data file still live — zero write amplification
+    // on the base; the commit added only posdel + image files.
+    assert(preData.subsetOf(after.toSet))
+    assert(after.exists(_.startsWith("posdel-")))
+    val got = MorTable.readMor(spark, t, Seq("k"))
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    val expect = (1L to 20L).filterNot(_ == 7L)
+      .map(i => (i, if (i == 5L) 555L else i * 10L)).toSet + ((100L, 1000L))
+    assert(got == expect)
+    // Updated images carry the merge seq; untouched rows keep theirs.
+    val seqs = MorTable.readMor(spark, t, Seq("k"))
+      .select("k", "data_seq").as[(Long, Long)].collect().toMap
+    assert(seqs(5L) == 2L && seqs(100L) == 2L && seqs(1L) == 1L)
+    // Time travel: pre-merge version unchanged.
+    assert(MorTable.readMor(spark, t, Seq("k"), Some(vPre))
+      .select("k", "v").as[(Long, Long)].collect().toSet
+      == (1L to 20L).map(i => (i, i * 10L)).toSet)
+    // A later equality delete (higher seq) still kills the new image.
+    MorTable.commitDeletes(spark, Seq(Tuple1(5L)).toDF("k"), 3L, t)
+    assert(!MorTable.readMor(spark, t, Seq("k"))
+      .select("k").as[Long].collect().contains(5L))
+  }
+
+  test("merge-on-read merge conflicts with a concurrent rewrite of its snapshot") {
+    val t = freshTable()
+    MorTable.appendData(spark,
+      (1L to 10L).map(i => (i, i)).toDF("k", "v").repartition(2), 1L, t)
+    // The MoR merge validates its snapshot's data files are STILL LIVE
+    // on every CAS attempt. Reproduce the interleave the hook closes:
+    // the merge's posdel tuples are staged against version 1's files,
+    // a compactor lands in between, and the merge's commit — carrying
+    // the same validateLive the real call passes — must abort rather
+    // than publish no-op posdels + duplicate images.
+    val m = CommitLog.readManifest(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    val snapshotDataFiles = m.files.filter(_.startsWith("stage-"))
+    val stagedPosdel = CommitLog.stageUnder(spark,
+      Seq(("irrelevant", 0L)).toDF("file_key", "pos"), t, "posdel")
+    // concurrent compactor wins
+    CommitLog.rewrite(spark, t,
+      adds = CommitLog.stage(spark, MorTable.readMor(spark, t, Seq("k")), t),
+      removes = m.files)
+    val before = MorTable.readMor(spark, t, Seq("k"))
+      .select("k", "v").as[(Long, Long)].collect().toSet
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commit(spark, t, adds = stagedPosdel,
+        validateLive = MorTable.requireStillLive(t, snapshotDataFiles))
+    }
+    assert(MorTable.readMor(spark, t, Seq("k"))
+      .select("k", "v").as[(Long, Long)].collect().toSet == before)
+  }
+
   test("merge refuses MoR delete debt and idempotent txn replays resolve") {
     val t = freshTable()
     MorTable.appendData(spark, Seq((1L, 1L)).toDF("k", "v"), 1L, t)

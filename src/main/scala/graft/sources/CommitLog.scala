@@ -1121,6 +1121,51 @@ object CommitLog {
     dropSet.size
   }
 
+  /** Explicit manifest compaction (Iceberg's rewrite_manifests): fold
+    * the head's group list into ONE group in a metadata-only commit —
+    * no data file moves. The automatic fold at [[MaxGroups]] keeps
+    * fan-in bounded; this is the operator a maintenance job calls
+    * after a burst of small appends to drop a cold reader's group
+    * round trips to one. Returns the new version. */
+  def compactManifests(spark: SparkSession, table: String): Long = {
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < 200) {
+      val v = currentVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $table"))
+      val m = readManifest(spark, table, v)
+      val folded = writeGroup(spark, table,
+        GroupData(m.files, m.colStats, m.fileSchemas, m.fileSpecs))
+      val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
+      val out = f.create(tmp, false)
+      try out.write(renderList(m.copy(version = v + 1, txn = "",
+        groups = Seq(folded))).getBytes("UTF-8"))
+      finally out.close()
+      if (atomicPublish(f, tmp, manifestPath(table, v + 1))) return v + 1
+      f.delete(tmp, false) // lost the race — refold against the new head
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"compactManifests lost the version race 200 times at $table")
+  }
+
+  /** Time-based retention ([[vacuumUnreferenced]] keyed by age instead
+    * of count): keep every version whose manifest was written within
+    * the last `retainMs` (and always the head), retire the rest. The
+    * manifest file's own modification time is the commit timestamp —
+    * the same clock Delta's RETAIN interval reads. Returns deleted
+    * data-file count. */
+  def vacuumOlderThan(spark: SparkSession, table: String,
+      retainMs: Long, nowMs: Long): Int = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    if (vs.isEmpty) return 0
+    val cutoff = nowMs - retainMs
+    val keep = vs.count(v =>
+      f.getFileStatus(manifestPath(table, v)).getModificationTime >= cutoff)
+    vacuumUnreferenced(spark, table, keepVersions = math.max(1, keep))
+  }
+
   // ----- branches (git-like refs over the shared data directory) -----
 
   /** Every ref of `table`'s root: the main ref first, then each

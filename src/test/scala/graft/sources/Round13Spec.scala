@@ -94,6 +94,49 @@ class Round13Spec extends SparkSpec {
     assert(CommitLog.read(spark, t).count() == 10)
   }
 
+  test("compactManifests folds groups metadata-only; readers unchanged") {
+    val t = freshTable()
+    for (k <- 0 until 6)
+      CommitLog.append(spark,
+        Seq((k.toLong, s"r$k")).toDF("id", "s").coalesce(1), t)
+    val before = CommitLog.readManifest(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    assert(before.groups.size == 6)
+    val rows0 = CommitLog.read(spark, t).as[(Long, String)].collect().toSet
+    CommitLog.compactManifests(spark, t)
+    val after = CommitLog.readManifest(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    assert(after.groups.size == 1)
+    // Metadata only: the LIVE FILE SET is identical, no data moved.
+    assert(after.files.toSet == before.files.toSet)
+    assert(CommitLog.read(spark, t).as[(Long, String)].collect().toSet == rows0)
+    // Carried metadata survives the fold (stats-bearing variant).
+    val t2 = freshTable()
+    CommitLog.appendWithStats(spark,
+      (0L until 50L).map(i => (i, "a")).toDF("id", "s").coalesce(1), t2, "id")
+    CommitLog.appendWithStats(spark,
+      (50L until 100L).map(i => (i, "b")).toDF("id", "s").coalesce(1), t2, "id")
+    CommitLog.compactManifests(spark, t2)
+    assert(CommitLog.prunedFiles(spark, t2, 10L, 20L)._2.size == 1)
+  }
+
+  test("vacuumOlderThan retires only versions older than the retention window") {
+    val t = freshTable()
+    CommitLog.replace(spark, Seq((1L, "old")).toDF("id", "s"), t)
+    CommitLog.replace(spark, Seq((2L, "mid")).toDF("id", "s"), t)
+    CommitLog.replace(spark, Seq((3L, "new")).toDF("id", "s"), t)
+    val now = System.currentTimeMillis()
+    // Everything is younger than an hour: nothing retired (head kept).
+    assert(CommitLog.vacuumOlderThan(spark, t, 3600_000L, now) == 0)
+    assert(CommitLog.versions(spark, t).size == 3)
+    // Zero retention: only the head survives.
+    val deleted = CommitLog.vacuumOlderThan(spark, t, 0L, now + 10_000L)
+    assert(deleted > 0)
+    assert(CommitLog.versions(spark, t).size == 1)
+    assert(CommitLog.read(spark, t).as[(Long, String)].collect().toSet
+      == Set((3L, "new")))
+  }
+
   // ---- multi-column stats ------------------------------------------
 
   test("multi-column zone maps: each statted column prunes independently, never loses rows") {

@@ -955,11 +955,25 @@ object CommitLog {
     if (!atomicPublish(f, tmp, dst)) f.delete(tmp, false)
   }
 
+  /** Read a metadata file from the ref's own log dir, falling back to
+    * the MAIN ref's — a branch forked from an evolved table references
+    * schema/spec ids whose files live in the parent's `_log` (zero-copy
+    * fork); [[mergeBranch]] copies the branch's own ids the other way. */
+  private def readMetaWithFallback(spark: SparkSession, table: String,
+      path: String => Path): String = {
+    val f = fs(spark, table)
+    try readText(f, path(table))
+    catch {
+      case e: java.io.FileNotFoundException =>
+        if (branchOf(table).isEmpty) throw e
+        else readText(f, path(dataRoot(table)))
+    }
+  }
+
   /** (fields, lastId) of `_log/schema-<sid>.json`. */
   private[sources] def readSchemaFile(spark: SparkSession, table: String,
       sid: String): (Seq[(Int, String, String)], Int) = {
-    val f = fs(spark, table)
-    val body = readText(f, schemaPath(table, sid))
+    val body = readMetaWithFallback(spark, table, t => schemaPath(t, sid))
     val fields = arrayField(body, "fields").map(parseStrings)
       .getOrElse(Seq.empty)
       .map { s =>
@@ -1000,7 +1014,7 @@ object CommitLog {
   /** (column, fmt) of `_log/spec-<pid>.json`. */
   private[sources] def readSpecFile(spark: SparkSession, table: String,
       pid: String): (String, String) = {
-    val body = readText(fs(spark, table), specPath(table, pid))
+    val body = readMetaWithFallback(spark, table, t => specPath(t, pid))
     (stringField(body, "col"), stringField(body, "fmt"))
   }
 
@@ -1224,11 +1238,37 @@ object CommitLog {
       s"refs of different tables: $into vs $branch")
     val bv = currentVersion(spark, branch).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $branch"))
-    val bLive = liveFiles(spark, branch, bv)
+    val bm = readManifest(spark, branch, bv)
     val iLive = currentVersion(spark, into)
       .map(v => liveFiles(spark, into, v)).getOrElse(Seq.empty)
+    val adds = bm.files.filterNot(iLive.toSet)
+    val aset = adds.toSet
+    // Schema/spec files referenced by the adopted manifest live in the
+    // BRANCH's log dir — copy them (content-addressed, write-if-absent)
+    // into the target's so the merged manifest's ids resolve there.
+    ((if (bm.schemaId.nonEmpty) Seq(bm.schemaId) else Seq.empty) ++
+      bm.fileSchemas.values).distinct.foreach { sid =>
+      val (fields, lastId) = readSchemaFile(spark, branch, sid)
+      writeSchemaFile(spark, into, sid, fields, lastId)
+    }
+    ((if (bm.specId.nonEmpty) Seq(bm.specId) else Seq.empty) ++
+      bm.fileSpecs.values).distinct.foreach { pid =>
+      val (c, fmt) = readSpecFile(spark, branch, pid)
+      writeSpecFile(spark, into, pid, c, fmt)
+    }
+    // The adopted files bring their per-file metadata with them — a
+    // merge dropping a dev branch's schema tags would make field-id
+    // projection read its old-generation files under the WRONG schema
+    // (silent null-fork); dropped zone maps would merely degrade
+    // pruning, silently.
     commit(spark, into,
-      adds = bLive.filterNot(iLive.toSet),
-      removes = iLive.filterNot(bLive.toSet))
+      adds = adds,
+      removes = iLive.filterNot(bm.files.toSet),
+      schemaId = bm.schemaId,
+      colStats = bm.colStats.map { case (c, m) =>
+        c -> m.filter(e => aset(e._1)) }.filter(_._2.nonEmpty),
+      fileSchemas = bm.fileSchemas.filter(e => aset(e._1)),
+      specId = bm.specId,
+      fileSpecs = bm.fileSpecs.filter(e => aset(e._1)))
   }
 }

@@ -78,13 +78,20 @@ object CommitMerge {
       if (bySource.nonEmpty) dataFiles // every target row is addressable
       else if (dataFiles.isEmpty) Seq.empty
       else {
-        val keys = source.select(keyCols.map(col): _*).distinct()
-        // One row per file after the semi join + dedup — bounded
-        // metadata, never corpus rows. AQE broadcasts the key side.
-        spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
+        val keys = source
+          .select(keyCols.map(k => col(k).as(s"__src_$k")): _*).distinct()
+        val scan = spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
           .select(col("*"), MorTable.fileKey(col("_metadata.file_path"))
             .as("__fk"))
-          .join(keys, keyCols, "left_semi")
+        // NULL-SAFE (<=>) like the merge join itself — a name-equality
+        // semi join would miss a NULL-keyed match, leave its file
+        // untouched, and let the merge insert a duplicate row beside
+        // the one it should have updated. One row per file after the
+        // semi join + dedup — bounded metadata, never corpus rows;
+        // AQE broadcasts the key side.
+        scan.join(keys,
+            keyCols.map(k => scan(k) <=> keys(s"__src_$k")).reduce(_ && _),
+            "left_semi")
           .select("__fk").distinct()
           .collect().map(_.getString(0)).toSeq
       }
@@ -159,6 +166,31 @@ object CommitMerge {
       notMatched, Nil)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // The same lossless-up-cast analysis rule as the copy-on-write
+      // path (MergeInto.merge enforces it there): a double expression
+      // cast into a long column would silently truncate data through
+      // the image projection below. One driver-side schema probe.
+      val typed = (matched.collect { case (_, MergeInto.Update(set)) => set } ++
+        notMatched.map(_._2.values)).zipWithIndex.flatMap { case (m0, ci) =>
+        m0.toSeq.zipWithIndex.collect {
+          case ((c, e), ei) if base.columns.contains(c) =>
+            (c, s"__probe_${ci}_$ei", e)
+        }
+      }
+      if (typed.nonEmpty) {
+        val probed = j.select(typed.map { case (_, a, e) => e.as(a) }: _*)
+          .schema
+        typed.foreach { case (c, a, _) =>
+          val from = probed(a).dataType
+          val to = base.schema(c).dataType
+          require(from == org.apache.spark.sql.types.NullType ||
+            org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(from, to),
+            s"MERGE type mismatch on column '$c': expression type " +
+              s"${from.simpleString} does not up-cast losslessly to " +
+              s"${to.simpleString} — add an explicit cast if the " +
+              "narrowing is intended")
+        }
+      }
       val updateIds = matched.zipWithIndex.collect {
         case ((_, MergeInto.Update(_)), i) => 1000 + i }
       val deleteIds = MergeInto.deleteActionIds(matched, Nil)

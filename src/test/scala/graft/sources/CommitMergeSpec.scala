@@ -187,6 +187,38 @@ class CommitMergeSpec extends SparkSpec {
       .select("k", "v").as[(Long, Long)].collect().toSet == before)
   }
 
+  test("NULL source keys match null-safely in pruning AND merge (no duplicate row)") {
+    val t = freshTable()
+    CommitLog.replace(spark,
+      Seq((Some(1L), 10L), (None, 20L), (Some(3L), 30L))
+        .toDF("k", "v").repartition(2), t)
+    // A NULL-keyed update: the touched-file semi join must find the
+    // NULL row's file (null-safe <=>) or the merge would insert a
+    // duplicate NULL row beside the un-updated original.
+    CommitMerge.mergeInto(spark, t,
+      Seq((Option.empty[Long], 999L, "U")).toDF("k", "v", "op"), Seq("k"),
+      matched = Seq((col("s_op") === "U",
+        MergeInto.Update(Map("v" -> col("s_v"))))),
+      notMatched = Seq((col("s_op") === "U",
+        MergeInto.Insert(Map("k" -> col("s_k"), "v" -> col("s_v"))))))
+    val got = CommitLog.read(spark, t).as[(Option[Long], Long)]
+      .collect().toSeq.sortBy(_._2)
+    assert(got == Seq((Some(1L), 10L), (Some(3L), 30L), (None, 999L)),
+      s"got $got")
+  }
+
+  test("merge-on-read merge refuses a silent lossy cast, like copy-on-write") {
+    val t = freshTable()
+    MorTable.appendData(spark, Seq((1L, 1L)).toDF("k", "v"), 1L, t)
+    val e = intercept[IllegalArgumentException] {
+      CommitMerge.mergeIntoMor(spark, t,
+        Seq((1L, 2.5)).toDF("k", "v2"), Seq("k"),
+        matched = Seq((lit(true),
+          MergeInto.Update(Map("v" -> col("s_v2"))))), seq = 2L)
+    }
+    assert(e.getMessage.contains("up-cast"))
+  }
+
   test("merge refuses MoR delete debt and idempotent txn replays resolve") {
     val t = freshTable()
     MorTable.appendData(spark, Seq((1L, 1L)).toDF("k", "v"), 1L, t)

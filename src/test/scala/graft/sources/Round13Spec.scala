@@ -167,6 +167,42 @@ class Round13Spec extends SparkSpec {
     assert(CommitLog.prunedFilesBy(spark, t, "b", 10L, 40L)._2.size == 2)
   }
 
+  // ---- branch ↔ schema-evolution composition -----------------------
+
+  test("merging an evolved branch carries schema tags and schema files") {
+    val t = freshTable()
+    // Main bootstraps an evolved table, then forks.
+    SchemaEvolution.append(spark, Seq((1L, 10L)).toDF("k", "amt"), t)
+    val dev = CommitLog.createBranch(spark, t, "dev")
+    // The branch evolves (rename lives in _log@dev) and appends under
+    // the new generation — resolution falls back to main's _log for
+    // the fork-time schema.
+    SchemaEvolution.renameColumn(spark, dev, "amt", "cents")
+    SchemaEvolution.append(spark, Seq((2L, 20L)).toDF("k", "cents"), dev)
+    assert(SchemaEvolution.read(spark, dev).columns.toSeq == Seq("k", "cents"))
+    // Merge back: main must adopt the branch's schema id, per-file
+    // tags, AND the schema files themselves — then read both
+    // generations under one set of names.
+    CommitLog.mergeBranch(spark, t, dev)
+    val got = SchemaEvolution.read(spark, t)
+    assert(got.columns.toSeq == Seq("k", "cents"))
+    assert(got.as[(Long, Long)].collect().toSet == Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("merging a stats-carrying branch keeps its zone maps prunable") {
+    val t = freshTable()
+    CommitLog.appendWithStats(spark,
+      (0L until 100L).map(i => (i, "m")).toDF("id", "s").coalesce(1), t, "id")
+    val dev = CommitLog.createBranch(spark, t, "dev")
+    CommitLog.appendWithStats(spark,
+      (100L until 200L).map(i => (i, "d")).toDF("id", "s").coalesce(1),
+      dev, "id")
+    CommitLog.mergeBranch(spark, t, dev)
+    // Both files statted on main: the probe prunes to exactly one.
+    val (total, sel) = CommitLog.prunedFiles(spark, t, 150L, 160L)
+    assert(total == 2 && sel.size == 1, s"stats lost in merge: $sel")
+  }
+
   // ---- schema-evolution commit race (ADVICE #1) --------------------
 
   test("requireSchemaStill conflicts when the table's schema moved") {

@@ -1541,6 +1541,34 @@ private[graft] object RegWarehouse {
         .withColumn("files_read_b", lit(selB.size.toLong))
     },
 
+    // STRING-TYPED MANIFEST ZONE MAPS: one month-clustered publish
+    // collects integer stats for the key AND lexicographic string
+    // stats for the month column in the same single pass (the Delta
+    // any-column-stats shape); a month-range probe then prunes files
+    // at the manifest by STRING comparison — files_read = the distinct
+    // months intersecting the window, replayed by the oracle — and the
+    // pruned-plus-residual aggregate equals the raw date filter.
+    "q_string_stats" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sstats_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      val (total, sel) = CommitLog.prunedFilesByString(
+        s, table, "ym", "1995-06", "1996-03")
+      CommitLog.readPrunedByString(s, table, "ym", "1995-06", "1996-03")
+        .filter(col("ym") >= "1995-06" && col("ym") <= "1996-03")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .withColumn("files_total", lit(total.toLong))
+        .withColumn("files_read", lit(sel.size.toLong))
+    },
+
     // PARTITION-SPEC EVOLUTION IN THE COMMIT LOG (r12 #3): 1992-1995
     // orders land year-partitioned, the spec then evolves, and 1996+
     // orders land month-partitioned — metadata-only, no old file
@@ -2630,6 +2658,25 @@ private[graft] object RegWarehouse {
         |SELECT a.n_a, a.cents_a, bb.n_b, bb.cents_b,
         |  c.files_total, c.files_read_a, c.files_read_b
         |FROM agga a, aggb bb, cnt c""".stripMargin,
+
+
+    // files_total = distinct months (one clustered file each);
+    // files_read = months inside the lexicographic window; aggregate =
+    // the raw month filter.
+    "q_string_stats" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |cnt AS (SELECT CAST(count(DISTINCT ym) AS BIGINT) AS files_total,
+        |  CAST(count(DISTINCT CASE WHEN ym BETWEEN '1995-06' AND '1996-03'
+        |    THEN ym END) AS BIGINT) AS files_read FROM o),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents,
+        |          CAST(sum(k % 100000) AS BIGINT) AS key_checksum
+        |        FROM o WHERE ym BETWEEN '1995-06' AND '1996-03')
+        |SELECT a.n, a.cents, a.key_checksum, c.files_total, c.files_read
+        |FROM agg a, cnt c""".stripMargin,
 
 
     // files_total = distinct years ≤1995 plus distinct months ≥1996

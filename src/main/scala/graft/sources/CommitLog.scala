@@ -151,20 +151,28 @@ object CommitLog {
       colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       specId: String = "",
       fileSpecs: Map[String, String] = Map.empty,
-      groups: Seq[String] = Seq.empty)
+      groups: Seq[String] = Seq.empty,
+      /** Per-column sparse zone maps for STRING-typed columns
+        * (lexicographic [min, max] per file — dates-as-strings,
+        * categorical codes, URL prefixes): collected by the same
+        * single stats pass, probed via [[prunedFilesByString]]. */
+      strStats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   /** The per-file metadata of one immutable group file. */
   private[sources] final case class GroupData(
       files: Seq[String],
       colStats: Map[String, Map[String, (Long, Long)]],
       fileSchemas: Map[String, String],
-      fileSpecs: Map[String, String]) {
+      fileSpecs: Map[String, String],
+      strStats: Map[String, Map[String, (String, String)]] = Map.empty) {
     def restrictTo(keep: Set[String]): GroupData = GroupData(
       files.filter(keep),
       colStats.map { case (c, m) => c -> m.filter(e => keep(e._1)) }
         .filter(_._2.nonEmpty),
       fileSchemas.filter(e => keep(e._1)),
-      fileSpecs.filter(e => keep(e._1)))
+      fileSpecs.filter(e => keep(e._1)),
+      strStats.map { case (c, m) => c -> m.filter(e => keep(e._1)) }
+        .filter(_._2.nonEmpty))
   }
 
   private def mergeGroups(gs: Seq[GroupData]): GroupData = GroupData(
@@ -173,7 +181,10 @@ object CommitLog {
       c -> gs.flatMap(_.colStats.getOrElse(c, Map.empty)).toMap
     }.filter(_._2.nonEmpty).toMap,
     gs.flatMap(_.fileSchemas).toMap,
-    gs.flatMap(_.fileSpecs).toMap)
+    gs.flatMap(_.fileSpecs).toMap,
+    gs.flatMap(_.strStats.keys).distinct.map { c =>
+      c -> gs.flatMap(_.strStats.getOrElse(c, Map.empty)).toMap
+    }.filter(_._2.nonEmpty).toMap)
 
   /** Live file list of `version` (paths relative to the table root). */
   def liveFiles(spark: SparkSession, table: String, version: Long): Seq[String] =
@@ -231,6 +242,17 @@ object CommitLog {
         sb ++= s""","stats:${esc(c)}:maxs":[${withStats.map(f => m(f)._2).mkString(",")}]"""
       }
     }
+    val sCols = g.strStats.keys.toSeq.sorted
+    if (sCols.nonEmpty) {
+      sb ++= s""","sstatsCols":[${arr(sCols)}]"""
+      sCols.foreach { c =>
+        val m = g.strStats(c)
+        val withStats = ordered.filter(m.contains)
+        sb ++= s""","sstats:${esc(c)}:files":[${arr(withStats)}]"""
+        sb ++= s""","sstats:${esc(c)}:mins":[${arr(withStats.map(f => m(f)._1))}]"""
+        sb ++= s""","sstats:${esc(c)}:maxs":[${arr(withStats.map(f => m(f)._2))}]"""
+      }
+    }
     val withSchema = ordered.filter(g.fileSchemas.contains)
     if (withSchema.nonEmpty) {
       sb ++= s""","schemaFiles":[${arr(withSchema)}]"""
@@ -256,9 +278,21 @@ object CommitLog {
       c -> (if (mins.size == sf.size && maxs.size == sf.size)
         sf.zip(mins.zip(maxs)).toMap else Map.empty[String, (Long, Long)])
     }.filter(_._2.nonEmpty).toMap
+    val sCols = arrayField(body, "sstatsCols").map(parseStrings)
+      .getOrElse(Seq.empty)
+    val strStats = sCols.map { c =>
+      val sf = arrayField(body, s"sstats:$c:files").map(parseStrings)
+        .getOrElse(Seq.empty)
+      val mins = arrayField(body, s"sstats:$c:mins").map(parseStrings)
+        .getOrElse(Seq.empty)
+      val maxs = arrayField(body, s"sstats:$c:maxs").map(parseStrings)
+        .getOrElse(Seq.empty)
+      c -> (if (mins.size == sf.size && maxs.size == sf.size)
+        sf.zip(mins.zip(maxs)).toMap else Map.empty[String, (String, String)])
+    }.filter(_._2.nonEmpty).toMap
     GroupData(files, colStats,
       zipped(body, "schemaFiles", "fileSchemaIds"),
-      zipped(body, "specFiles", "fileSpecIds"))
+      zipped(body, "specFiles", "fileSpecIds"), strStats)
   }
 
   private def zipped(body: String, k1: String, k2: String): Map[String, String] = {
@@ -408,7 +442,7 @@ object CommitLog {
         Manifest(version, txn, statsCol, g.files,
           g.colStats.getOrElse(statsCol, Map.empty),
           stringField(body, "schemaId"), g.fileSchemas, g.colStats,
-          stringField(body, "specId"), g.fileSpecs, refs)
+          stringField(body, "specId"), g.fileSpecs, refs, g.strStats)
       case None =>
         // Legacy monolithic manifest (pre-sharding): inline files +
         // single-column stats + schema tags.
@@ -473,10 +507,12 @@ object CommitLog {
       colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       specId: String = "",
       fileSpecs: Map[String, String] = Map.empty,
-      validateManifest: Option[Manifest] => Unit = _ => ()): Long =
+      validateManifest: Option[Manifest] => Unit = _ => (),
+      strColStats: Map[String, Map[String, (String, String)]] = Map.empty): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
       maxAttempts, requireRemovesLive = false, schemaId, fileSchemas,
-      validateLive, colStats, specId, fileSpecs, validateManifest)
+      validateLive, colStats, specId, fileSpecs, validateManifest,
+      strColStats)
 
   /** Thrown by [[rewrite]] when a file it meant to replace was already
     * removed by a concurrent commit — proceeding would re-add the
@@ -513,10 +549,12 @@ object CommitLog {
       colStats: Map[String, Map[String, (Long, Long)]] = Map.empty,
       specId: String = "",
       fileSpecs: Map[String, String] = Map.empty,
-      validateManifest: Option[Manifest] => Unit = _ => ()): Long =
+      validateManifest: Option[Manifest] => Unit = _ => (),
+      strColStats: Map[String, Map[String, (String, String)]] = Map.empty): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
       maxAttempts, requireRemovesLive = true, schemaId, fileSchemas,
-      validateLive, colStats, specId, fileSpecs, validateManifest)
+      validateLive, colStats, specId, fileSpecs, validateManifest,
+      strColStats)
 
   private def commitInternal(
       spark: SparkSession,
@@ -543,7 +581,8 @@ object CommitLog {
       // (None on a fresh table) — what schema/spec evolution uses to
       // conflict when the id it computed against moved underneath it
       // (the read-modify-write hole a list-only validate can't see).
-      validateManifest: Option[Manifest] => Unit = _ => ()): Long = {
+      validateManifest: Option[Manifest] => Unit = _ => (),
+      strColStats: Map[String, Map[String, (String, String)]] = Map.empty): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     var attempt = 0
@@ -566,7 +605,8 @@ object CommitLog {
         case Some(b) if b.groups.nonEmpty =>
           b.groups.map(r => r -> loadGroup(spark, table, r))
         case Some(b) if b.files.nonEmpty =>
-          val g = GroupData(b.files, b.colStats, b.fileSchemas, b.fileSpecs)
+          val g = GroupData(b.files, b.colStats, b.fileSchemas,
+            b.fileSpecs, b.strStats)
           Seq(writeGroup(spark, table, g) -> g)
         case _ => Seq.empty
       }
@@ -598,7 +638,9 @@ object CommitLog {
             addColStats.map { case (c, m) => c -> m.filter(e => aset(e._1)) }
               .filter(_._2.nonEmpty),
             fileSchemas.filter(e => aset(e._1)),
-            fileSpecs.filter(e => aset(e._1)))
+            fileSpecs.filter(e => aset(e._1)),
+            strColStats.map { case (c, m) => c -> m.filter(e => aset(e._1)) }
+              .filter(_._2.nonEmpty))
           Seq(writeGroup(spark, table, g) -> g)
         }
       val all = survived ++ addGroup
@@ -694,18 +736,23 @@ object CommitLog {
       statsCols: Seq[String]): Long = {
     require(statsCols.nonEmpty, "at least one stats column")
     val staged = stage(spark, df, table)
+    val (nums, strs) = fullStatsFor(spark, table, staged, statsCols)
     commit(spark, table, adds = staged, statsCol = statsCols.head,
-      colStats = statsFor(spark, table, staged, statsCols))
+      colStats = nums, strColStats = strs)
   }
 
-  /** Integer [min, max] of each of `statsCols` per staged file, in one
-    * scan of just those files. (file, column) cells with no non-null
+  /** [min, max] of each of `statsCols` per staged file, in one scan of
+    * just those files — TYPE-AWARE: string columns get lexicographic
+    * string zone maps, everything else integer ones (the Delta
+    * any-column stats shape). (file, column) cells with no non-null
     * values get no entry (readers keep them conservatively). */
-  private def statsFor(
+  private def fullStatsFor(
       spark: SparkSession, table: String, staged: Seq[String],
-      statsCols: Seq[String]): Map[String, Map[String, (Long, Long)]] = {
+      statsCols: Seq[String])
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, (String, String)]]) = {
     import org.apache.spark.sql.functions.{col, input_file_name, max, min}
-    if (staged.isEmpty) Map.empty
+    if (staged.isEmpty) (Map.empty, Map.empty)
     else {
       // Key on the path from its LAST stage-* segment down — unique
       // within a commit (each stage dir is a fresh uuid) and stable
@@ -715,24 +762,41 @@ object CommitLog {
       // shift the key off the staged-relative form.
       def key(p: String): String = p.substring(p.lastIndexOf("stage-"))
       val byKey = staged.map(rel => key(rel) -> rel).toMap
+      val df = spark.read.parquet(staged.map(rel => s"${dataRoot(table)}/$rel"): _*)
+      val isStr = statsCols.map(c => c ->
+        (df.schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
       val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
-        Seq(min(col(c).cast("long")).as(s"mn$i"),
-          max(col(c).cast("long")).as(s"mx$i"))
+        val probe = if (isStr(c)) col(c) else col(c).cast("long")
+        Seq(min(probe).as(s"mn$i"), max(probe).as(s"mx$i"))
       }
-      val rows = spark.read.parquet(staged.map(rel => s"${dataRoot(table)}/$rel"): _*)
+      val rows = df
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect() // bounded: one row per staged file, never corpus rows
-      statsCols.zipWithIndex.map { case (c, i) =>
-        c -> rows.flatMap { r =>
+      def cells[T](c: String, i: Int, get: (org.apache.spark.sql.Row, Int) => T)
+          : Map[String, (T, T)] =
+        rows.flatMap { r =>
           val mnAt = 1 + 2 * i
           if (r.isNullAt(mnAt)) None
           else byKey.get(key(r.getString(0)))
-            .map(rel => rel -> (r.getLong(mnAt), r.getLong(mnAt + 1)))
+            .map(rel => rel -> (get(r, mnAt), get(r, mnAt + 1)))
         }.toMap
+      val nums = statsCols.zipWithIndex.collect { case (c, i) if !isStr(c) =>
+        c -> cells[Long](c, i, (r, at) => r.getLong(at))
       }.filter(_._2.nonEmpty).toMap
+      val strs = statsCols.zipWithIndex.collect { case (c, i) if isStr(c) =>
+        c -> cells[String](c, i, (r, at) => r.getString(at))
+      }.filter(_._2.nonEmpty).toMap
+      (nums, strs)
     }
   }
+
+  /** Integer-column view of [[fullStatsFor]] (legacy single-map call
+    * sites). */
+  private def statsFor(
+      spark: SparkSession, table: String, staged: Seq[String],
+      statsCols: Seq[String]): Map[String, Map[String, (Long, Long)]] =
+    fullStatsFor(spark, table, staged, statsCols)._1
 
   /** Publish `df` as a RANGE-CLUSTERED table in ONE shuffle: hive-
     * partition the stage by `bucketCol` (year, month, hash bucket — a
@@ -761,11 +825,11 @@ object CommitLog {
     import org.apache.spark.sql.functions.col
     require(statsCols.nonEmpty, "at least one stats column")
     val staged = stage(spark, df.repartition(col(bucketCol)), table, Seq(bucketCol))
-    val st = statsFor(spark, table, staged, statsCols)
+    val (nums, strs) = fullStatsFor(spark, table, staged, statsCols)
     val prev = currentVersion(spark, table)
       .map(v => liveFiles(spark, table, v)).getOrElse(Seq.empty)
     commit(spark, table, adds = staged, removes = prev,
-      statsCol = statsCols.head, colStats = st)
+      statsCol = statsCols.head, colStats = nums, strColStats = strs)
   }
 
   /** The head manifest's live files whose recorded [min, max] range on
@@ -807,6 +871,33 @@ object CommitLog {
       spark: SparkSession, table: String, column: String,
       lo: Long, hi: Long): DataFrame = {
     val (_, sel) = prunedFilesBy(spark, table, column, lo, hi)
+    if (sel.nonEmpty) spark.read.parquet(sel.map(f => s"${dataRoot(table)}/$f"): _*)
+    else read(spark, table).limit(0)
+  }
+
+  /** [[prunedFilesBy]] on a STRING-statted column: live files whose
+    * lexicographic [min, max] intersects [lo, hi] — date strings,
+    * categorical codes, URL prefixes. Files without stats are kept. */
+  def prunedFilesByString(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): (Int, Seq[String]) = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val m = readManifest(spark, table, v)
+    val st = m.strStats.getOrElse(column, Map.empty)
+    val sel = m.files.filter(f => st.get(f) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+    (m.files.size, sel)
+  }
+
+  /** [[readPruned]] for a string-statted column (file granularity;
+    * callers apply the residual row predicate). */
+  def readPrunedByString(
+      spark: SparkSession, table: String, column: String,
+      lo: String, hi: String): DataFrame = {
+    val (_, sel) = prunedFilesByString(spark, table, column, lo, hi)
     if (sel.nonEmpty) spark.read.parquet(sel.map(f => s"${dataRoot(table)}/$f"): _*)
     else read(spark, table).limit(0)
   }
@@ -871,13 +962,15 @@ object CommitLog {
       if (m.statsCol.nonEmpty) df.repartitionByRange(nFiles, col(m.statsCol))
       else df.repartition(nFiles)
     val staged = stage(spark, shaped, table)
-    val st = if (m.statsCol.isEmpty) Map.empty[String, Map[String, (Long, Long)]]
-      else statsFor(spark, table, staged, m.colStats.keys.toSeq.sorted match {
-        case s if s.nonEmpty => s
-        case _ => Seq(m.statsCol)
-      })
+    val allCols = (m.colStats.keys ++ m.strStats.keys).toSeq.distinct.sorted
+    val (nums, strs) =
+      if (m.statsCol.isEmpty && allCols.isEmpty)
+        (Map.empty[String, Map[String, (Long, Long)]],
+          Map.empty[String, Map[String, (String, String)]])
+      else fullStatsFor(spark, table, staged,
+        if (allCols.nonEmpty) allCols else Seq(m.statsCol))
     commit(spark, table, adds = staged, removes = m.files,
-      statsCol = m.statsCol, colStats = st)
+      statsCol = m.statsCol, colStats = nums, strColStats = strs)
   }
 
   /** PARTIAL OVERWRITE by range predicate (Delta's replaceWhere): one
@@ -1149,7 +1242,8 @@ object CommitLog {
         throw new IllegalArgumentException(s"no committed version at $table"))
       val m = readManifest(spark, table, v)
       val folded = writeGroup(spark, table,
-        GroupData(m.files, m.colStats, m.fileSchemas, m.fileSpecs))
+        GroupData(m.files, m.colStats, m.fileSchemas, m.fileSpecs,
+          m.strStats))
       val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(renderList(m.copy(version = v + 1, txn = "",
@@ -1217,7 +1311,8 @@ object CommitLog {
       if (m.groups.nonEmpty) m.groups
       else if (m.files.isEmpty) Seq.empty
       else Seq(writeGroup(spark, ref,
-        GroupData(m.files, m.colStats, m.fileSchemas, m.fileSpecs)))
+        GroupData(m.files, m.colStats, m.fileSchemas, m.fileSpecs,
+          m.strStats)))
     val tmp = new Path(logDir(ref), s".tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(renderList(m.copy(groups = groups)).getBytes("UTF-8"))
@@ -1269,6 +1364,8 @@ object CommitLog {
         c -> m.filter(e => aset(e._1)) }.filter(_._2.nonEmpty),
       fileSchemas = bm.fileSchemas.filter(e => aset(e._1)),
       specId = bm.specId,
-      fileSpecs = bm.fileSpecs.filter(e => aset(e._1)))
+      fileSpecs = bm.fileSpecs.filter(e => aset(e._1)),
+      strColStats = bm.strStats.map { case (c, m) =>
+        c -> m.filter(e => aset(e._1)) }.filter(_._2.nonEmpty))
   }
 }

@@ -56,7 +56,12 @@ class TableFeedSource(
       * delete-aware CDC rows of its version range
       * ([[MorTable.changeFeed]] — insert/delete + commit version,
       * keyed on these columns) instead of raw added files. */
-    cdfKeyCols: Seq[String] = Seq.empty) extends Source
+    cdfKeyCols: Seq[String] = Seq.empty,
+    /** >0 = start tailing AT this version (Delta's startingVersion):
+      * the first batch covers (startingVersion-1, head] instead of
+      * the initial snapshot — for consumers that already hold the
+      * snapshot and only want the increment. */
+    startingVersion: Long = 0L) extends Source
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -67,10 +72,13 @@ class TableFeedSource(
     * getOffset or saw in getBatch), restart-safe via marker files. */
   private var lastPlanned: Long = {
     val dir = new Path(metadataPath)
-    if (!fs.exists(dir)) 0L
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v")).map(_.drop(1).toLong)
-      .maxOption.getOrElse(0L)
+    val marked = if (!fs.exists(dir)) 0L
+      else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+        .maxOption.getOrElse(0L)
+    // startingVersion shifts only the FIRST plan of a fresh stream;
+    // a checkpointed/marked cursor always wins.
+    math.max(marked, math.max(0L, startingVersion - 1L))
   }
 
   private def recordPlanned(v: Long): Unit = if (v > lastPlanned) {
@@ -135,7 +143,8 @@ class TableFeedSource(
       .map(o => VersionOffset(o.json.toLong))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val from = start.map(_.json.toLong).getOrElse(0L)
+    val from = start.map(_.json.toLong)
+      .getOrElse(math.max(0L, startingVersion - 1L))
     val to = end.json.toLong
     recordPlanned(to)
     if (to <= from) return emptyBatch()
@@ -239,7 +248,9 @@ class TableFeedSourceProvider extends StreamSourceProvider with DataSourceRegist
     new TableFeedSource(sqlContext.sparkSession, tableOf(parameters),
       metadataPath,
       parameters.get("maxVersionsPerTrigger").map(_.toLong).getOrElse(0L),
-      cdfKeyCols = keyColsOf(parameters))
+      cdfKeyCols = keyColsOf(parameters),
+      startingVersion =
+        parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
 
   private def keyColsOf(parameters: Map[String, String]): Seq[String] =
     if (!parameters.get("changeFeed").exists(_.toBoolean)) Seq.empty

@@ -167,6 +167,31 @@ class Round13Spec extends SparkSpec {
     assert(CommitLog.prunedFilesBy(spark, t, "b", 10L, 40L)._2.size == 2)
   }
 
+  test("string-typed zone maps: lexicographic pruning, sparse carry, fold-safe") {
+    val t = freshTable()
+    for (m <- Seq("2024-01", "2024-02", "2024-03"))
+      CommitLog.appendWithStats(spark,
+        (0L until 20L).map(i => (i, s"$m-${i % 28 + 1}"))
+          .toDF("id", "day").coalesce(1), t, Seq("id", "day"))
+    val m0 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m0.strStats.keySet == Set("day") && m0.colStats.keySet == Set("id"))
+    // A month-window probe selects exactly that month's file.
+    val (total, sel) = CommitLog.prunedFilesByString(spark, t, "day",
+      "2024-02-01", "2024-02-99")
+    assert(total == 3 && sel.size == 1)
+    val got = CommitLog.readPrunedByString(spark, t, "day",
+      "2024-02-01", "2024-02-99")
+      .filter($"day".startsWith("2024-02")).count()
+    assert(got == 20)
+    // Sparse carry across a stats-less append + manifest fold.
+    CommitLog.append(spark, Seq((99L, "x")).toDF("id", "day"), t)
+    CommitLog.compactManifests(spark, t)
+    val m1 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
+    assert(m1.strStats("day").size == 3)
+    assert(CommitLog.prunedFilesByString(spark, t, "day",
+      "2024-02-01", "2024-02-99")._2.size == 2) // month file + unprovable add
+  }
+
   // ---- branch ↔ schema-evolution composition -----------------------
 
   test("merging an evolved branch carries schema tags and schema files") {

@@ -82,6 +82,30 @@ class TableFeedSourceSpec extends SparkSpec {
     assert(got.toSet == (0L until 4L).toSet)
   }
 
+  test("startingVersion skips the initial snapshot on a fresh stream") {
+    val base = freshDir()
+    val src = s"$base/src"
+    CommitLog.append(spark, Seq((1L, "v1")).toDF("id", "s"), src)
+    CommitLog.append(spark, Seq((2L, "v2")).toDF("id", "s"), src)
+    CommitLog.append(spark, Seq((3L, "v3")).toDF("id", "s"), src)
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream
+      .format("graft.sources.TableFeedSourceProvider")
+      .option("path", src)
+      .option("startingVersion", "2")
+      .load()
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got ++= b.select("id").as[Long].collect() }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(got.toSet == Set(2L, 3L), s"snapshot leaked into the tail: $got")
+  }
+
   test("changeFeed mode streams delete-aware CDC rows exactly once") {
     val base = freshDir()
     val src = s"$base/src"

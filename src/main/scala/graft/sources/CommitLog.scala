@@ -1014,6 +1014,46 @@ object CommitLog {
       statsCol = m.statsCol, colStats = st)
   }
 
+  /** [[replaceWhere]] keyed by a STRING-statted column — the natural
+    * form of the monthly-restatement primitive when the partition key
+    * is a date string ("2024-02" ≤ ym ≤ "2024-02"): same loud rules
+    * (straddling or stats-less files refuse; the replacement batch
+    * must sit inside the range), same single-commit swap. */
+  def replaceWhereString(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      column: String,
+      lo: String,
+      hi: String): Long = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val m = readManifest(spark, table, v)
+    val st = m.strStats.getOrElse(column, Map.empty)
+    require(st.nonEmpty,
+      s"replaceWhereString needs string stats on '$column' at $table")
+    val (contained, overlapping) = m.files
+      .map(f => f -> st.getOrElse(f,
+        throw new IllegalStateException(s"file without stats: $f")))
+      .filter { case (_, (mn, mx)) => mx >= lo && mn <= hi }
+      .partition { case (_, (mn, mx)) => mn >= lo && mx <= hi }
+    if (overlapping.nonEmpty)
+      throw new IllegalStateException(
+        s"files straddle [$lo, $hi] — rewrite them first: ${overlapping.map(_._1)}")
+    val staged = stage(spark, df, table)
+    val (nums, strs) = fullStatsFor(spark, table, staged,
+      ((m.colStats.keys ++ m.strStats.keys).toSeq.distinct.sorted match {
+        case s if s.nonEmpty => s
+        case _ => Seq(column)
+      }))
+    strs.getOrElse(column, Map.empty).values.foreach { case (mn, mx) =>
+      require(mn >= lo && mx <= hi,
+        s"replacement rows [$mn, $mx] escape the replaced range [$lo, $hi]")
+    }
+    commit(spark, table, adds = staged, removes = contained.map(_._1),
+      statsCol = m.statsCol, colStats = nums, strColStats = strs)
+  }
+
   // ---- Schema files ([[SchemaEvolution]]'s storage) ---------------
   //
   // One immutable, content-addressed JSON file per schema version in

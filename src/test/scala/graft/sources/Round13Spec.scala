@@ -192,6 +192,31 @@ class Round13Spec extends SparkSpec {
       "2024-02-01", "2024-02-99")._2.size == 2) // month file + unprovable add
   }
 
+  test("replaceWhereString swaps exactly the contained month files, loudly") {
+    val t = freshTable()
+    for (m <- Seq("2024-01", "2024-02", "2024-03"))
+      CommitLog.appendWithStats(spark,
+        (0L until 10L).map(i => (i, s"$m-${i % 28 + 1}", "old"))
+          .toDF("id", "day", "s").coalesce(1), t, Seq("id", "day"))
+    CommitLog.replaceWhereString(spark,
+      (0L until 5L).map(i => (i, s"2024-02-${i + 1}", "new"))
+        .toDF("id", "day", "s").coalesce(1),
+      t, "day", "2024-02-01", "2024-02-99")
+    val got = CommitLog.read(spark, t).as[(Long, String, String)]
+      .collect().toSeq
+    assert(got.count(_._3 == "new") == 5)
+    assert(got.count(_._3 == "old") == 20)
+    assert(got.filter(_._2.startsWith("2024-02")).forall(_._3 == "new"))
+    // Escaping replacement rows: refused before anything commits.
+    val v = CommitLog.currentVersion(spark, t)
+    intercept[IllegalArgumentException] {
+      CommitLog.replaceWhereString(spark,
+        Seq((9L, "2024-07-01", "escape")).toDF("id", "day", "s"),
+        t, "day", "2024-02-01", "2024-02-99")
+    }
+    assert(CommitLog.currentVersion(spark, t) == v)
+  }
+
   // ---- branch ↔ schema-evolution composition -----------------------
 
   test("merging an evolved branch carries schema tags and schema files") {

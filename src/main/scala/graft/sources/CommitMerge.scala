@@ -35,10 +35,15 @@ import graft.operators.MergeInto
   *  - concurrent blind APPENDS commute (WriteSerializable): the CAS
   *    retry re-validates and lands on top of them.
   *
-  * Boundaries, loud not silent: live merge-on-read delete files and
-  * mixed-generation evolved schemas are refused (compact the debt
-  * first — [[MorTable.compact]] / [[SchemaEvolution.compactEvolved]]);
-  * the source must be deduplicated per key ([[MergeInto]]'s contract).
+  * Schema evolution composes: on an evolved table every scan runs
+  * through the per-generation field-id projection, the merge operates
+  * under the CURRENT column names, and the rewritten files are tagged
+  * with the current schema id — so a merge doubles as an incremental
+  * compaction of the touched files' schema debt. Boundaries, loud not
+  * silent: live merge-on-read delete files are refused (compact the
+  * debt first — [[MorTable.compact]] /
+  * [[SchemaEvolution.compactEvolved]]); the source must be
+  * deduplicated per key ([[MergeInto]]'s contract).
   */
 object CommitMerge {
 
@@ -68,21 +73,35 @@ object CommitMerge {
       f.startsWith("posdel-") || f.startsWith("deletes-")),
       s"$table@$v carries merge-on-read delete files — compact the " +
         "delete debt first (MorTable.compact / SchemaEvolution.compactEvolved)")
-    require(m.schemaId.isEmpty || m.fileSchemas.values.forall(_ == m.schemaId),
-      s"$table@$v holds files written under older schema generations — " +
-        "SchemaEvolution.compactEvolved first (a raw merge rewrite would " +
-        "null-fork renamed columns)")
     val root = CommitLog.dataRoot(table)
     val dataFiles = m.files
+    // A schema-EVOLVED table composes: every scan below goes through
+    // the per-generation field-id projection (old files' renamed
+    // columns resolve, added ones read as typed NULL), the merge runs
+    // under the CURRENT names, and the rewritten files are tagged with
+    // the current schema id — a merge is also an incremental
+    // compaction of the touched files' schema debt.
+    val evolved = m.schemaId.nonEmpty
+    def readFiles(files: Seq[String], keepIds: Boolean): DataFrame =
+      if (evolved) {
+        val p = SchemaEvolution.projectFiles(spark, table, m, files, keepIds)
+        if (keepIds) p.drop("__pos") else p
+      }
+      else if (files.isEmpty)
+        spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*).limit(0)
+      else {
+        val raw = spark.read.parquet(files.map(f => s"$root/$f"): _*)
+        if (!keepIds) raw
+        else raw.select(col("*"),
+          MorTable.fileKey(col("_metadata.file_path")).as("__fk"))
+      }
     val touched: Seq[String] =
       if (bySource.nonEmpty) dataFiles // every target row is addressable
       else if (dataFiles.isEmpty) Seq.empty
       else {
         val keys = source
           .select(keyCols.map(k => col(k).as(s"__src_$k")): _*).distinct()
-        val scan = spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*)
-          .select(col("*"), MorTable.fileKey(col("_metadata.file_path"))
-            .as("__fk"))
+        val scan = readFiles(dataFiles, keepIds = true)
         // NULL-SAFE (<=>) like the merge join itself — a name-equality
         // semi join would miss a NULL-keyed match, leave its file
         // untouched, and let the merge insert a duplicate row beside
@@ -95,21 +114,23 @@ object CommitMerge {
           .select("__fk").distinct()
           .collect().map(_.getString(0)).toSeq
       }
-    val base =
-      if (touched.nonEmpty)
-        spark.read.parquet(touched.map(f => s"$root/$f"): _*)
-      else if (dataFiles.nonEmpty)
-        spark.read.parquet(dataFiles.map(f => s"$root/$f"): _*).limit(0)
-      else throw new IllegalArgumentException(
-        s"$table@$v has no data files to merge into")
+    require(dataFiles.nonEmpty, s"$table@$v has no data files to merge into")
+    val base = readFiles(touched, keepIds = false)
     val merged = MergeInto.merge(base, source, keyCols, matched,
       notMatched, bySource)
     val staged = CommitLog.stage(spark, merged, table)
     val newV = CommitLog.rewrite(spark, table, adds = staged,
       removes = touched, txn = txn,
+      fileSchemas = if (evolved) staged.map(_ -> m.schemaId).toMap
+        else Map.empty,
       // a delete file appearing mid-merge would be resurrected by the
       // staged output — conflict, exactly as compaction does
-      validateLive = MorTable.noNewDeletes(table, Set.empty))
+      validateLive = MorTable.noNewDeletes(table, Set.empty),
+      // the projection was rendered under m.schemaId — a concurrent
+      // evolution would publish stale-shaped files under a wrong tag
+      validateManifest = if (evolved)
+        SchemaEvolution.requireSchemaStill(table, m.schemaId)
+        else _ => ())
     MergeResult(newV, dataFiles.size, touched.size)
   }
 

@@ -219,6 +219,42 @@ class CommitMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("up-cast"))
   }
 
+  test("merge composes with schema evolution: old generations update under current names") {
+    val t = freshTable()
+    SchemaEvolution.append(spark,
+      (1L to 6L).map(i => (i, i * 10L)).toDF("k", "amt"), t)
+    SchemaEvolution.renameColumn(spark, t, "amt", "cents")
+    SchemaEvolution.addColumn(spark, t, "note", "string")
+    SchemaEvolution.append(spark,
+      Seq((7L, 70L, "n7")).toDF("k", "cents", "note"), t)
+    // Update a row living in the PRE-RENAME generation, keyed and SET
+    // by the CURRENT names; insert a fresh key.
+    val res = CommitMerge.mergeInto(spark, t,
+      Seq((3L, 333L, "upd", "U"), (100L, 1000L, "ins", "I"))
+        .toDF("k", "cents", "note", "op"), Seq("k"),
+      matched = Seq((col("s_op") === "U", MergeInto.Update(
+        Map("cents" -> col("s_cents"), "note" -> col("s_note"))))),
+      notMatched = Seq((col("s_op") === "I", MergeInto.Insert(Map(
+        "k" -> col("s_k"), "cents" -> col("s_cents"),
+        "note" -> col("s_note"))))))
+    // Only the generation-1 file holding k=3 was rewritten.
+    assert(res.filesRewritten < res.filesTotal)
+    val got = SchemaEvolution.read(spark, t)
+      .as[(Long, Long, Option[String])].collect().toSet
+    val expect = (1L to 6L).filterNot(_ == 3L)
+      .map(i => (i, i * 10L, None: Option[String])).toSet ++
+      Set((3L, 333L, Some("upd")), (7L, 70L, Some("n7")),
+        (100L, 1000L, Some("ins")))
+    assert(got == expect, s"got $got")
+    // The rewritten/inserted files are tagged with the current schema:
+    // a LATER rename still resolves them by field id.
+    SchemaEvolution.renameColumn(spark, t, "note", "comment")
+    assert(SchemaEvolution.read(spark, t).columns.toSeq
+      == Seq("k", "cents", "comment"))
+    assert(SchemaEvolution.read(spark, t).filter($"k" === 3L)
+      .select("comment").as[String].head() == "upd")
+  }
+
   test("merge refuses MoR delete debt and idempotent txn replays resolve") {
     val t = freshTable()
     MorTable.appendData(spark, Seq((1L, 1L)).toDF("k", "v"), 1L, t)

@@ -173,11 +173,20 @@ object CommitMerge {
       if (existing.isDefined) return existing.get
     }
     val m = CommitLog.readManifest(spark, table, v)
-    require(m.schemaId.isEmpty || m.fileSchemas.values.forall(_ == m.schemaId),
-      s"$table@$v holds files written under older schema generations — " +
+    // Schema evolution composes for POSITION-delete debt (physical
+    // identities are schema-independent; the projection supplies
+    // current names) — live EQUALITY deletes need key re-resolution
+    // and must be compacted first.
+    val evolved = m.schemaId.nonEmpty
+    if (evolved) require(!m.files.exists(_.startsWith("deletes-")),
+      s"$table@$v is schema-evolved AND carries equality deletes — " +
         "SchemaEvolution.compactEvolved first")
     val dataFiles = m.files.filter(_.startsWith("stage-"))
-    val base = MorTable.readMorWithIds(spark, table, keyCols, Some(v))
+    val base =
+      if (evolved)
+        SchemaEvolution.readWithPositionDeletesCore(spark, table, Some(v),
+          keepIds = true)
+      else MorTable.readMorWithIds(spark, table, keyCols, Some(v))
     require(base.columns.contains("data_seq"),
       s"$table is not a merge-on-read table (no data_seq column) — " +
         "write it via MorTable.appendData / applyCdcBatch")
@@ -243,10 +252,16 @@ object CommitMerge {
       CommitLog.commit(spark, table,
         adds = posdelAdds ++ imageAdds,
         txn = txn,
+        fileSchemas = if (evolved) imageAdds.map(_ -> m.schemaId).toMap
+          else Map.empty,
         // tuples key this snapshot's data files: a concurrent rewrite
         // of any of them would make the posdels silent no-ops and the
         // new images duplicates — conflict instead
-        validateLive = MorTable.requireStillLive(table, dataFiles))
+        validateLive = MorTable.requireStillLive(table, dataFiles),
+        // the images were rendered under m.schemaId
+        validateManifest = if (evolved)
+          SchemaEvolution.requireSchemaStill(table, m.schemaId)
+          else _ => ())
     } finally j.unpersist()
   }
 }

@@ -249,7 +249,15 @@ object SchemaEvolution {
     * Refuses on live equality deletes — use [[readMorEvolved]] (which
     * re-resolves delete keys by field id) or [[compactEvolved]]. */
   def readWithPositionDeletes(spark: SparkSession, table: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): DataFrame =
+    readWithPositionDeletesCore(spark, table, version, keepIds = false)
+
+  /** The ids-preserving core: with `keepIds` the surviving rows carry
+    * `__fk`/`__pos` — what the merge-on-read MERGE writer joins
+    * against on an evolved table. */
+  private[sources] def readWithPositionDeletesCore(spark: SparkSession,
+      table: String, version: Option[Long],
+      keepIds: Boolean): DataFrame = {
     val v = version.orElse(CommitLog.currentVersion(spark, table))
       .getOrElse(throw new IllegalArgumentException(
         s"no committed version at $table"))
@@ -257,13 +265,15 @@ object SchemaEvolution {
     require(!m.files.exists(_.startsWith("deletes-")),
       s"$table@$v carries equality deletes — use readMorEvolved, or compactEvolved first")
     val posFiles = m.files.filter(_.startsWith("posdel-"))
-    val df = projected(spark, table, version, keepIds = posFiles.nonEmpty)
+    val df = projected(spark, table, version,
+      keepIds = keepIds || posFiles.nonEmpty)
     if (posFiles.isEmpty) df
     else {
       val root = CommitLog.dataRoot(table)
       val pd = spark.read.parquet(posFiles.map(f => s"$root/$f"): _*)
         .select(col("file_key").as("__fk"), col("pos").as("__pos"))
-      df.join(pd, Seq("__fk", "__pos"), "left_anti").drop("__fk", "__pos")
+      val alive = df.join(pd, Seq("__fk", "__pos"), "left_anti")
+      if (keepIds) alive else alive.drop("__fk", "__pos")
     }
   }
 

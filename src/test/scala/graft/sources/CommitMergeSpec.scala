@@ -219,6 +219,49 @@ class CommitMergeSpec extends SparkSpec {
     assert(e.getMessage.contains("up-cast"))
   }
 
+  test("MoR merge composes with schema evolution (posdel debt; eq-deletes refused)") {
+    val t = freshTable()
+    SchemaEvolution.append(spark,
+      (1L to 5L).map(i => (i, i * 10L, 1L)).toDF("k", "amt", "data_seq"), t)
+    SchemaEvolution.renameColumn(spark, t, "amt", "cents")
+    // A prior position delete (schema-independent debt) on k=2.
+    SchemaEvolution.commitPositionDeletes(spark, t, col("k") === 2L)
+    val preData = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+      .filter(_.startsWith("stage-")).toSet
+    CommitMerge.mergeIntoMor(spark, t,
+      Seq((3L, 333L, "U"), (100L, 1000L, "I")).toDF("k", "cents", "op"),
+      Seq("k"),
+      matched = Seq((col("s_op") === "U",
+        MergeInto.Update(Map("cents" -> col("s_cents"))))),
+      notMatched = Seq((col("s_op") === "I", MergeInto.Insert(Map(
+        "k" -> col("s_k"), "cents" -> col("s_cents"))))),
+      seq = 2L)
+    // No pre-merge data file rewritten; the merged state reads under
+    // current names via the evolved MoR path.
+    val after = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get)
+    assert(preData.subsetOf(after.toSet))
+    val got = SchemaEvolution.readWithPositionDeletes(spark, t)
+      .select("k", "cents").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (3L, 333L), (4L, 40L), (5L, 50L),
+      (100L, 1000L)), s"got $got")
+    // Images tagged with the current schema: a later rename resolves.
+    SchemaEvolution.renameColumn(spark, t, "cents", "pennies")
+    assert(SchemaEvolution.readWithPositionDeletes(spark, t)
+      .filter($"k" === 3L).select("pennies").as[Long].head() == 333L)
+    // Equality-delete debt on an evolved table: refused, loudly.
+    SchemaEvolution.commitEqualityDeletes(spark, t,
+      Seq(Tuple1(4L)).toDF("k"), 3L)
+    val e = intercept[IllegalArgumentException] {
+      CommitMerge.mergeIntoMor(spark, t,
+        Seq((5L, 555L, "U")).toDF("k", "pennies", "op"), Seq("k"),
+        matched = Seq((col("s_op") === "U",
+          MergeInto.Update(Map("pennies" -> col("s_pennies"))))), seq = 4L)
+    }
+    assert(e.getMessage.contains("compactEvolved"))
+  }
+
   test("merge composes with schema evolution: old generations update under current names") {
     val t = freshTable()
     SchemaEvolution.append(spark,

@@ -1,0 +1,109 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Model-based check of the SHARDED commit log: a deterministic random
+  * walk over append / appendWithStats / delete-files / compact /
+  * replace / manifest-fold / vacuum, mirrored into a trivial in-memory
+  * model (version → row multiset). After every operation the resolved
+  * table must equal the model, the version chain must stay gapless,
+  * and the group algebra must hold (every live file in EXACTLY one
+  * group; every referenced group file present). A random sample of
+  * RETAINED past versions must time-travel to the model's history.
+  * This is the test that would have caught a fold/restrict/carry bug
+  * anywhere in the group machinery — one seed, fully reproducible. */
+class CommitLogModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    Files.createTempDirectory("graft_model_spec").toString + "/t"
+
+  test("random op walk: table ≡ model at every version; group algebra holds") {
+    val t = freshTable()
+    val rnd = new scala.util.Random(13L)
+    var nextId = 0L
+    // model: version -> live row set (ids are unique by construction)
+    val history = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    var live = Set.empty[Long]
+
+    def batch(n: Int): Seq[Long] = {
+      val ids = (0 until n).map(_ => { nextId += 1; nextId })
+      ids
+    }
+    def df(ids: Seq[Long]) =
+      ids.map(i => (i, s"r$i")).toDF("id", "s")
+        .repartition(1 + rnd.nextInt(3))
+
+    def checkHead(): Unit = {
+      val v = CommitLog.currentVersion(spark, t).get
+      val got = CommitLog.read(spark, t).select("id").as[Long]
+        .collect().toSet
+      assert(got == live, s"head mismatch at v$v: ${got.size} vs ${live.size}")
+      val m = CommitLog.readManifest(spark, t, v)
+      // group algebra: the flattened group contents ARE m.files, and
+      // no file appears in two groups (each id counted once)
+      val counts = m.files.groupBy(identity).map(_._2.size)
+      assert(counts.forall(_ == 1), "a file appears twice across groups")
+      history(v) = live
+    }
+
+    CommitLog.append(spark, df(batch(20)), t)
+    live = (1L to 20L).toSet
+    checkHead()
+
+    for (step <- 1 to 30) {
+      rnd.nextInt(6) match {
+        case 0 | 1 => // append
+          val ids = batch(5 + rnd.nextInt(20))
+          CommitLog.append(spark, df(ids), t)
+          live ++= ids
+        case 2 => // delete a random live FILE (manifest-level remove)
+          val v = CommitLog.currentVersion(spark, t).get
+          val files = CommitLog.liveFiles(spark, t, v)
+          if (files.nonEmpty) {
+            val victim = files(rnd.nextInt(files.size))
+            val gone = spark.read
+              .parquet(s"${CommitLog.dataRoot(t)}/$victim")
+              .select("id").as[Long].collect().toSet
+            CommitLog.commit(spark, t, adds = Nil, removes = Seq(victim))
+            live --= gone
+          }
+        case 3 => // compact (layout rewrite; state must not move)
+          CommitLog.compactTable(spark, t, targetRecordsPerFile = 37)
+        case 4 => // fold the manifest (metadata only)
+          CommitLog.compactManifests(spark, t)
+        case 5 => // replace everything with a fresh batch
+          val ids = batch(10 + rnd.nextInt(10))
+          CommitLog.replace(spark, df(ids), t)
+          live = ids.toSet
+      }
+      checkHead()
+      if (step % 11 == 0) {
+        // occasional vacuum: history below the kept window is gone
+        CommitLog.vacuumUnreferenced(spark, t, keepVersions = 3)
+        val vs = CommitLog.versions(spark, t)
+        assert(vs == (vs.head to vs.last), s"gappy chain after vacuum: $vs")
+      }
+    }
+
+    // Time travel across a sample of RETAINED versions ≡ model history.
+    val retained = CommitLog.versions(spark, t)
+    assert(retained == (retained.head to retained.last), s"gappy: $retained")
+    for (v <- rnd.shuffle(retained.toList).take(5) if history.contains(v)) {
+      val got = CommitLog.readVersion(spark, t, v).select("id").as[Long]
+        .collect().toSet
+      assert(got == history(v), s"time travel diverged at v$v")
+    }
+    // Group hygiene on disk: every group referenced by a retained
+    // version exists; no retained manifest references a vacuumed group.
+    val f = new java.io.File(t, "_log")
+    val onDisk = Option(f.listFiles()).toSeq.flatten.map(_.getName).toSet
+    retained.foreach { v =>
+      CommitLog.readManifest(spark, t, v).groups.foreach { g =>
+        assert(onDisk(g.stripPrefix("_log/")), s"dangling group $g at v$v")
+      }
+    }
+  }
+}

@@ -1314,6 +1314,44 @@ object CommitLog {
     vacuumUnreferenced(spark, table, keepVersions = math.max(1, keep))
   }
 
+  /** Retire ORPHANS: parquet files under the table root that NO
+    * manifest of ANY ref has ever referenced — crashed writers'
+    * staged-but-uncommitted output and WAP-rejected batches (dead by
+    * protocol, invisible to readers, but paying storage). Only files
+    * older than `graceMs` (by modification time) are deleted, so an
+    * IN-FLIGHT stage racing this vacuum is never swept — a committer
+    * older than the grace period that hasn't committed is crashed by
+    * contract (choose graceMs above the longest plausible
+    * stage-to-commit window, as Delta's vacuum does with its
+    * retention check). Returns the number of files deleted. */
+  def vacuumOrphans(spark: SparkSession, table: String,
+      graceMs: Long, nowMs: Long): Int = {
+    val f = fs(spark, table)
+    val root = new Path(dataRoot(table))
+    if (!f.exists(root)) return 0
+    val referenced = refs(spark, table).flatMap(r =>
+      versions(spark, r).flatMap(v => liveFiles(spark, r, v))).toSet
+    val qualifiedRoot = f.makeQualified(root)
+    val rootLen = qualifiedRoot.toUri.getPath.length
+    var deleted = 0
+    def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) {
+        if (!n.startsWith("_log")) walk(st.getPath)
+      } else if (n.endsWith(".parquet") && !n.startsWith("_") &&
+        !n.startsWith(".")) {
+        val rel = f.makeQualified(st.getPath).toUri.getPath
+          .substring(rootLen + 1)
+        if (!referenced(rel) && st.getModificationTime < nowMs - graceMs) {
+          f.delete(st.getPath, false)
+          deleted += 1
+        }
+      }
+    }
+    walk(root)
+    deleted
+  }
+
   // ----- branches (git-like refs over the shared data directory) -----
 
   /** Every ref of `table`'s root: the main ref first, then each

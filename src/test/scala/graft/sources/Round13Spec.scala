@@ -192,6 +192,27 @@ class Round13Spec extends SparkSpec {
       "2024-02-01", "2024-02-99")._2.size == 2) // month file + unprovable add
   }
 
+  test("vacuumOrphans sweeps crashed stages after the grace window, never live data") {
+    val t = freshTable()
+    CommitLog.append(spark, Seq((1L, "live")).toDF("id", "s"), t)
+    // A crashed writer's stage and a WAP-rejected batch: dead files.
+    CommitLog.stage(spark, Seq((666L, "junk")).toDF("id", "s"), t)
+    val now = System.currentTimeMillis()
+    // Inside the grace window: nothing swept (could be in-flight).
+    assert(CommitLog.vacuumOrphans(spark, t, graceMs = 3600_000L, now) == 0)
+    // Past the grace window: the orphan goes, live data stays, every
+    // version still reads.
+    val swept = CommitLog.vacuumOrphans(spark, t, graceMs = 0L, now + 10_000L)
+    assert(swept > 0)
+    assert(CommitLog.read(spark, t).as[(Long, String)].collect().toSet
+      == Set((1L, "live")))
+    // Historical (non-live but manifest-referenced) files survive too.
+    CommitLog.replace(spark, Seq((2L, "new")).toDF("id", "s"), t)
+    assert(CommitLog.vacuumOrphans(spark, t, 0L, now + 20_000L) == 0)
+    assert(CommitLog.readVersion(spark, t, 1).as[(Long, String)]
+      .collect().toSet == Set((1L, "live")))
+  }
+
   test("replaceWhereString swaps exactly the contained month files, loudly") {
     val t = freshTable()
     for (m <- Seq("2024-01", "2024-02", "2024-03"))

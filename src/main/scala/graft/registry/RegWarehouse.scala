@@ -1541,6 +1541,46 @@ private[graft] object RegWarehouse {
         .withColumn("files_read_b", lit(selB.size.toLong))
     },
 
+    // TABLE MAINTENANCE VERBS, end to end through the gate: six small
+    // appends build six file-group manifests + one crashed-writer
+    // orphan stage; rewrite_manifests folds the groups to ONE
+    // (metadata only), age-keyed vacuum retires every non-head version,
+    // and the orphan vacuum sweeps exactly the one dead stage file
+    // after its grace window — while the table's aggregate stays
+    // byte-equal to raw throughout (maintenance may never move a row).
+    // Counters are deterministic: groups_after_fold=1, versions_kept=1,
+    // orphans_swept=1 (the stage wrote one coalesced file).
+    "q_table_maintenance" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_maint_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      for (r <- 0 to 5)
+        CommitLog.append(s, li.filter(pmod(col("k"), lit(6)) === r)
+          .repartition(2), table)
+      // a crashed writer's stage: on disk, never committed
+      CommitLog.stage(s, li.limit(5).coalesce(1), table)
+      CommitLog.compactManifests(s, table)
+      val groupsAfter = CommitLog.readManifest(s, table,
+        CommitLog.currentVersion(s, table).get).groups.size
+      val now = System.currentTimeMillis()
+      CommitLog.vacuumOlderThan(s, table, retainMs = 0L, nowMs = now + 10000L)
+      val kept = CommitLog.versions(s, table).size
+      val swept = CommitLog.vacuumOrphans(s, table,
+        graceMs = 0L, nowMs = now + 10000L)
+      CommitLog.read(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .withColumn("groups_after_fold", lit(groupsAfter.toLong))
+        .withColumn("versions_kept", lit(kept.toLong))
+        .withColumn("orphans_swept", lit(swept.toLong))
+    },
+
     // STRING-TYPED MANIFEST ZONE MAPS: one month-clustered publish
     // collects integer stats for the key AND lexicographic string
     // stats for the month column in the same single pass (the Delta
@@ -2658,6 +2698,19 @@ private[graft] object RegWarehouse {
         |SELECT a.n_a, a.cents_a, bb.n_b, bb.cents_b,
         |  c.files_total, c.files_read_a, c.files_read_b
         |FROM agga a, aggb bb, cnt c""".stripMargin,
+
+
+    // Maintenance may never move a row: the post-maintenance aggregate
+    // is the raw table's; the three counters are protocol constants.
+    "q_table_maintenance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS cents,
+        |  CAST(sum(l_orderkey % 100000) AS BIGINT) AS key_checksum,
+        |  CAST(1 AS BIGINT) AS groups_after_fold,
+        |  CAST(1 AS BIGINT) AS versions_kept,
+        |  CAST(1 AS BIGINT) AS orphans_swept
+        |FROM lineitem""".stripMargin,
 
 
     // files_total = distinct months (one clustered file each);

@@ -1,0 +1,140 @@
+package graft.plans
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{
+  Alias, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{
+  ByteType, IntegerType, LongType, ShortType, StringType}
+
+import graft.sources.CommitLog
+
+/** METADATA-ONLY aggregates over a [[CommitLog]] table — `count(*)`,
+  * `min(col)`, `max(col)` answered from the manifest without opening
+  * a single data file (Spark's OptimizeMetadataOnlyQuery / Iceberg's
+  * aggregate pushdown, as a session `Rule[LogicalPlan]`): a global
+  * (no grouping, no filter) `Aggregate` over a scan of this table's
+  * files collapses to a one-row [[LocalRelation]] when EVERY
+  * aggregate is answerable —
+  *  - `count(literal)`: every scanned file carries a recorded row
+  *    count ([[CommitLog.RowCountCol]]) → their sum;
+  *  - `min`/`max` of an integer column: every scanned file carries a
+  *    zone map on it → min of mins / max of maxs (exact, not a bound:
+  *    the recorded values are real extrema of real rows, and both the
+  *    file stat and the aggregate ignore NULLs identically);
+  *  - `min`/`max` of a string column: same via the lexicographic maps.
+  * ALL-OR-NOTHING: one unanswerable aggregate (a sum, an avg, a
+  * distinct, a filter clause, a column some scanned file has no stats
+  * for — including an all-NULL file, whose missing entry would
+  * otherwise make a NULL-producing min look answerable) leaves the
+  * plan untouched. Scanned-file granularity means time-travel scans
+  * compose: counts and extrema are per immutable file, valid at any
+  * version that lists the file.
+  *
+  * Register via `spark.experimental.extraOptimizations` beside
+  * [[ManifestSkip]]. At 100 TB, `SELECT count(*) FROM t` becomes a
+  * driver-side manifest fold — no job, no scan, no shuffle.
+  */
+class MetadataAgg(spark: SparkSession, val table: String)
+    extends Rule[LogicalPlan] {
+
+  private def norm(p: String): String = new Path(p).toUri.getPath
+
+  private val root = norm(CommitLog.tableRoot(table))
+
+  /** The scanned manifest-relative files, when `plan` is a bare scan
+    * (or attribute-only Project of one) of this table. */
+  private def scannedFiles(plan: LogicalPlan): Option[Seq[String]] =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          val paths = fs.location.rootPaths.map(p => norm(p.toString))
+          val prefix = root + "/"
+          if (paths.nonEmpty && paths.forall(_.startsWith(prefix)))
+            Some(paths.map(_.stripPrefix(prefix)))
+          else None
+        case _ => None
+      }
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        scannedFiles(child)
+      case _ => None
+    }
+
+  private def plainAgg(e: NamedExpression): Option[(Alias, AggregateExpression)] =
+    e match {
+      case al @ Alias(ae: AggregateExpression, _)
+          if ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty =>
+        Some((al, ae))
+      case _ => None
+    }
+
+  /** The metadata answer for one aggregate over `files`, or None. */
+  private def answer(
+      m: CommitLog.Manifest, files: Seq[String],
+      ae: AggregateExpression): Option[Any] = ae.aggregateFunction match {
+    case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+      val rc = m.colStats.getOrElse(CommitLog.RowCountCol, Map.empty)
+      if (files.forall(rc.contains)) Some(files.map(f => rc(f)._1).sum)
+      else None
+    case mn: Min => extremum(m, files, mn.child, isMin = true)
+    case mx: Max => extremum(m, files, mx.child, isMin = false)
+    case _ => None
+  }
+
+  private def extremum(
+      m: CommitLog.Manifest, files: Seq[String],
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      isMin: Boolean): Option[Any] = child match {
+    case a: AttributeReference => a.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        m.colStats.get(a.name).filter(st => files.forall(st.contains))
+          .map { st =>
+            val v = if (isMin) files.map(f => st(f)._1).min
+                    else files.map(f => st(f)._2).max
+            a.dataType match {
+              case ByteType => v.toByte
+              case ShortType => v.toShort
+              case IntegerType => v.toInt
+              case LongType => v
+            }
+          }
+      case StringType =>
+        m.strStats.get(a.name).filter(st => files.forall(st.contains))
+          .map { st =>
+            if (isMin) files.map(f => st(f)._1).min
+            else files.map(f => st(f)._2).max
+          }
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case agg @ Aggregate(Nil, aggExprs, child, _)
+        if agg.resolved && scannedFiles(child).isDefined =>
+      val files = scannedFiles(child).get
+      if (files.isEmpty) agg // an empty scan never reaches here via read()
+      else CommitLog.currentVersion(spark, table) match {
+        case None => agg
+        case Some(v) =>
+          val m = CommitLog.readManifest(spark, table, v)
+          val answered = aggExprs.map(e =>
+            plainAgg(e).flatMap { case (al, ae) =>
+              answer(m, files, ae).map(al -> _)
+            })
+          if (answered.exists(_.isEmpty)) agg // all-or-nothing
+          else {
+            val out = aggExprs.map(_.toAttribute)
+            val row = Row.fromSeq(answered.map(_.get._2))
+            LocalRelation.fromExternalRows(out, Seq(row))
+          }
+      }
+  }
+}

@@ -1641,6 +1641,106 @@ private[graft] object RegWarehouse {
         .withColumn("files_total", lit(total.toLong))
         .withColumn("files_read", lit(sel.size.toLong))
     },
+
+    // AUTOMATIC data skipping (plans/ManifestSkip): the manifest zone
+    // maps applied by the PLANNER — a plain read(...).filter(...) is
+    // pruned to the intersecting files by the registered Catalyst rule
+    // (no readPrunedBy at the call site; Delta's prepared-scan shape).
+    // files_* counters come from the OPTIMIZED PLAN's relation, so the
+    // oracle faces what the planner actually decided: the range probe
+    // scans the window's months, equality scans one file, an impossible
+    // probe scans zero (typed-empty LocalRelation) — while every
+    // aggregate equals the raw filter (pruning may never lose a row).
+    // ManifestSkipSpec pins numeric bounds, strict </> relaxation,
+    // foreign-scan and OR guardrails, and time-travel composition.
+    "q_auto_skip" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_askip_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.ManifestSkip => r.table == table
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.plans.ManifestSkip(s, table)
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      val total = CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get).size.toLong
+      val qRange = CommitLog.read(s, table)
+        .filter(col("ym") >= "1995-06" && col("ym") <= "1996-03")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+      val qEq = CommitLog.read(s, table).filter(col("ym") === "1995-06")
+        .agg(count(lit(1)).as("n_eq"))
+      val qEmpty = CommitLog.read(s, table).filter(col("ym") > "2999-01")
+        .agg(count(lit(1)).as("n_empty"))
+      qRange.crossJoin(qEq).crossJoin(qEmpty) // 1-row scalar joins
+        .withColumn("files_total", lit(total))
+        .withColumn("files_range", lit(scanned(qRange)))
+        .withColumn("files_eq", lit(scanned(qEq)))
+        .withColumn("files_empty", lit(scanned(qEmpty)))
+    },
+
+    // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
+    // max over a commit-log table answered from the manifest — the
+    // stats pass records per-file row counts (the reserved __nrows
+    // pseudo-column) and zone maps, so the registered rule collapses
+    // the whole aggregate to a one-row LocalRelation: NO data file is
+    // opened (meta_only pins that from the optimized plan — no
+    // LogicalRelation survives). The VALUES face DuckDB's recompute
+    // from raw rows: metadata must equal data exactly. MetadataAggSpec
+    // pins the fall-throughs (sum, unstatted column, grouping, filter,
+    // count(col), stats-less file) and time-travel composition.
+    "q_meta_agg" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_magg_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MetadataAgg => r.table == table
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.plans.MetadataAgg(s, table)
+      val q = CommitLog.read(s, table).agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        min(col("ym")).as("ym_min"), max(col("ym")).as("ym_max"))
+      val metaOnly = {
+        val p = q.queryExecution.optimizedPlan
+        val noScan = p.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr
+        }.isEmpty
+        val oneRow = p.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical
+              .LocalRelation => l
+        }.isDefined
+        if (noScan && oneRow) 1L else 0L
+      }
+      q.withColumn("meta_only", lit(metaOnly))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -2757,5 +2857,46 @@ private[graft] object RegWarehouse {
         |        FROM o WHERE d BETWEEN DATE '1995-06-01' AND DATE '1996-03-31')
         |SELECT a.n, a.cents, a.key_checksum, c.files_total, c.files_read
         |FROM agg a, cnt c""".stripMargin,
+
+
+    // One file per distinct month (replaceClustered on ym), so the
+    // planner's files_* counters replay as distinct-month populations:
+    // range = months in the window, eq = 1, empty = 0; the aggregates
+    // are the raw filters.
+    "q_auto_skip" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents,
+        |          CAST(sum(k % 100000) AS BIGINT) AS key_checksum
+        |        FROM o WHERE ym BETWEEN '1995-06' AND '1996-03'),
+        |eqq AS (SELECT CAST(count(*) AS BIGINT) AS n_eq
+        |        FROM o WHERE ym = '1995-06'),
+        |cnt AS (SELECT CAST(count(DISTINCT ym) AS BIGINT) AS files_total,
+        |  CAST(count(DISTINCT CASE WHEN ym BETWEEN '1995-06' AND '1996-03'
+        |    THEN ym END) AS BIGINT) AS files_range,
+        |  CAST(count(DISTINCT CASE WHEN ym = '1995-06' THEN ym END)
+        |    AS BIGINT) AS files_eq
+        |  FROM o)
+        |SELECT a.n, a.cents, a.key_checksum, e.n_eq,
+        |  CAST(0 AS BIGINT) AS n_empty, c.files_total, c.files_range,
+        |  c.files_eq, CAST(0 AS BIGINT) AS files_empty
+        |FROM agg a, eqq e, cnt c""".stripMargin,
+
+
+    // The manifest's answer must equal the data's: DuckDB recomputes
+    // the aggregates from raw rows; meta_only = 1 is the planner
+    // contract (no file scanned).
+    "q_meta_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k_min,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k_max,
+        |  min(strftime(CAST(o_orderdate AS DATE), '%Y-%m')) AS ym_min,
+        |  max(strftime(CAST(o_orderdate AS DATE), '%Y-%m')) AS ym_max,
+        |  CAST(1 AS BIGINT) AS meta_only
+        |FROM orders""".stripMargin,
   )
 }

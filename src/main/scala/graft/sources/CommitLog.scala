@@ -83,6 +83,12 @@ object CommitLog {
     if (i < 0) table else table.substring(0, i)
   }
 
+  /** The ref's data root (the `#branch` suffix stripped) — the path
+    * every manifest entry is relative to. Public so planner rules
+    * ([[graft.plans.ManifestSkip]]) can map a scan's file paths back
+    * to manifest-relative form. */
+  def tableRoot(table: String): String = dataRoot(table)
+
   private def branchOf(table: String): Option[String] = {
     val i = table.indexOf('#')
     if (i < 0) None else Some(table.substring(i + 1))
@@ -725,6 +731,50 @@ object CommitLog {
       spark: SparkSession, df: DataFrame, table: String, statsCol: String): Long =
     appendWithStats(spark, df, table, Seq(statsCol))
 
+  /** Reserved pseudo-column carrying per-file ROW COUNTS inside the
+    * sparse zone-map family (Delta's `numRecords` in its stats JSON):
+    * an entry `__nrows -> file -> (n, n)` rides every existing
+    * manifest path — group reuse, restrictTo, merges, branches,
+    * compaction folds — with no dedicated machinery. Never a real
+    * column name (stats collection refuses it), never probed by
+    * pruning (predicates can't name it), exposed via
+    * [[fileRowCounts]] / [[tableRowCount]] and consumed by the
+    * metadata-only aggregate rule ([[graft.plans.MetadataAgg]]). */
+  val RowCountCol = "__nrows"
+
+  /** The REAL statted columns of a manifest — every zone-map key
+    * minus the reserved row-count pseudo-column. What maintenance
+    * rewrites (compaction, replaceWhere) re-collect stats for; the
+    * stats pass regenerates row counts itself. */
+  private def statColsOf(m: Manifest): Seq[String] =
+    (m.colStats.keys ++ m.strStats.keys).toSeq.distinct
+      .filterNot(_ == RowCountCol).sorted
+
+  /** Per-file row counts recorded at `version` (head by default) —
+    * SPARSE: only files written through a stats-collecting path have
+    * an entry. */
+  def fileRowCounts(spark: SparkSession, table: String,
+      version: Long = -1L): Map[String, Long] = {
+    val v = if (version >= 0) version
+      else currentVersion(spark, table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $table"))
+    readManifest(spark, table, v).colStats
+      .getOrElse(RowCountCol, Map.empty).map { case (f, (n, _)) => f -> n }
+  }
+
+  /** Exact row count of the table at head answered from METADATA
+    * alone — Some(Σ per-file counts) when every live file carries
+    * one, None otherwise (a plain `append` doesn't collect stats, so
+    * a mixed table refuses rather than undercounts). */
+  def tableRowCount(spark: SparkSession, table: String): Option[Long] = {
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val m = readManifest(spark, table, v)
+    val rc = m.colStats.getOrElse(RowCountCol, Map.empty)
+    if (m.files.forall(rc.contains)) Some(m.files.map(f => rc(f)._1).sum)
+    else None
+  }
+
   /** Multi-column [[appendWithStats]]: ONE pass over the staged batch
     * collects [min, max] for EVERY listed column per file (Delta
     * collects its first-32-columns stats the same way), so a reader
@@ -751,7 +801,9 @@ object CommitLog {
       statsCols: Seq[String])
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, Map[String, (String, String)]]) = {
-    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    require(!statsCols.contains(RowCountCol),
+      s"$RowCountCol is the reserved row-count pseudo-column")
     if (staged.isEmpty) (Map.empty, Map.empty)
     else {
       // Key on the path from its LAST stage-* segment down — unique
@@ -768,7 +820,7 @@ object CommitLog {
       val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
         val probe = if (isStr(c)) col(c) else col(c).cast("long")
         Seq(min(probe).as(s"mn$i"), max(probe).as(s"mx$i"))
-      }
+      } :+ count(lit(1)).as("__cnt") // per-file row count, same pass
       val rows = df
         .groupBy(input_file_name().as("__f"))
         .agg(aggs.head, aggs.tail: _*)
@@ -787,7 +839,15 @@ object CommitLog {
       val strs = statsCols.zipWithIndex.collect { case (c, i) if isStr(c) =>
         c -> cells[String](c, i, (r, at) => r.getString(at))
       }.filter(_._2.nonEmpty).toMap
-      (nums, strs)
+      // Row counts ride the numeric family as (n, n) under the
+      // reserved pseudo-column — every file gets one (count never
+      // nulls out), so a stats-collecting write is always countable.
+      val cntAt = 1 + 2 * statsCols.size
+      val counts = rows.flatMap { r =>
+        byKey.get(key(r.getString(0)))
+          .map(rel => rel -> (r.getLong(cntAt), r.getLong(cntAt)))
+      }.toMap
+      (nums.updated(RowCountCol, counts), strs)
     }
   }
 
@@ -962,7 +1022,7 @@ object CommitLog {
       if (m.statsCol.nonEmpty) df.repartitionByRange(nFiles, col(m.statsCol))
       else df.repartition(nFiles)
     val staged = stage(spark, shaped, table)
-    val allCols = (m.colStats.keys ++ m.strStats.keys).toSeq.distinct.sorted
+    val allCols = statColsOf(m)
     val (nums, strs) =
       if (m.statsCol.isEmpty && allCols.isEmpty)
         (Map.empty[String, Map[String, (Long, Long)]],
@@ -1042,7 +1102,7 @@ object CommitLog {
         s"files straddle [$lo, $hi] — rewrite them first: ${overlapping.map(_._1)}")
     val staged = stage(spark, df, table)
     val (nums, strs) = fullStatsFor(spark, table, staged,
-      ((m.colStats.keys ++ m.strStats.keys).toSeq.distinct.sorted match {
+      (statColsOf(m) match {
         case s if s.nonEmpty => s
         case _ => Seq(column)
       }))

@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.{
+  HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.CommitLog
+
+class ManifestSkipSpec extends SparkSpec {
+
+  private def scanFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Nil
+      }
+    }.flatten
+
+  private def hasLocalRelation(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collectFirst {
+      case _: LocalRelation => true
+    }.getOrElse(false)
+
+  /** Four one-file appends with disjoint k ranges + month strings:
+    * file i holds k in [100i, 100i+9], month "2024-0(i+1)". */
+  private def buildTable(): String = {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("mskip").toString + "/t"
+    for (i <- 0 until 4) {
+      val df = (0 until 10)
+        .map(j => (i * 100 + j, s"2024-0${i + 1}", i * 100L + j * 2L))
+        .toDF("k", "month", "v")
+      CommitLog.appendWithStats(spark, df.coalesce(1), table,
+        Seq("k", "month"))
+    }
+    table
+  }
+
+  private def withRule[T](table: String)(body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved :+ new ManifestSkip(spark, table)
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("range filter prunes at the manifest; answers never change") {
+    val table = buildTable()
+    val raw = CommitLog.read(spark, table)
+      .filter(col("k").between(105, 210)).collect().map(_.toSeq).toSet
+    withRule(table) {
+      val q = CommitLog.read(spark, table).filter(col("k").between(105, 210))
+      assert(scanFiles(q).size == 2, "only files 1 and 2 intersect [105,210]")
+      assert(q.collect().map(_.toSeq).toSet == raw)
+
+      // equality pins a single file
+      val qe = CommitLog.read(spark, table).filter(col("k") === 305)
+      assert(scanFiles(qe).size == 1)
+      assert(qe.count() == 1)
+
+      // strict bounds prune too (inclusive relaxation, still sound)
+      val qs = CommitLog.read(spark, table)
+        .filter(col("k") > 299 && col("k") < 310)
+      assert(scanFiles(qs).size == 1)
+      assert(qs.count() == 10)
+    }
+  }
+
+  test("string zone maps prune; unstatted columns do not") {
+    val table = buildTable()
+    withRule(table) {
+      val qm = CommitLog.read(spark, table)
+        .filter(col("month") >= "2024-03")
+      assert(scanFiles(qm).size == 2, "months 03 and 04")
+      assert(qm.count() == 20)
+
+      // v carries no stats: every file kept, result correct
+      val qv = CommitLog.read(spark, table).filter(col("v") === 204L)
+      assert(scanFiles(qv).size == 4)
+      assert(qv.count() == 1)
+    }
+  }
+
+  test("all-pruned scan collapses to a typed-empty LocalRelation") {
+    val table = buildTable()
+    withRule(table) {
+      val q = CommitLog.read(spark, table).filter(col("k") > 100000)
+      assert(hasLocalRelation(q))
+      assert(q.count() == 0)
+      assert(q.schema.fieldNames.toSeq == Seq("k", "month", "v"))
+    }
+  }
+
+  test("foreign scans and OR predicates are left untouched") {
+    import spark.implicits._
+    val table = buildTable()
+    val other = java.nio.file.Files
+      .createTempDirectory("mskip-o").toString + "/p"
+    (0 until 10).map(j => (j, j * 2L)).toDF("k", "v")
+      .write.parquet(other)
+    withRule(table) {
+      // a different parquet table with the same column names: no prune
+      val qo = spark.read.parquet(other).filter(col("k") === 3)
+      assert(scanFiles(qo).nonEmpty)
+      assert(qo.count() == 1)
+
+      // OR is not a conjunct bound: all files kept, result correct
+      val qor = CommitLog.read(spark, table)
+        .filter(col("k") === 5 || col("k") === 305)
+      assert(scanFiles(qor).size == 4)
+      assert(qor.count() == 2)
+    }
+  }
+
+  test("time travel still prunes with head stats and stays correct") {
+    val table = buildTable()
+    // a fifth commit so head != the version we time-travel to
+    import spark.implicits._
+    CommitLog.appendWithStats(spark,
+      Seq((500, "2024-09", 1L)).toDF("k", "month", "v").coalesce(1),
+      table, Seq("k", "month"))
+    val v4 = CommitLog.versions(spark, table).toSeq.sorted.apply(3)
+    withRule(table) {
+      val q = CommitLog.readVersion(spark, table, v4)
+        .filter(col("k").between(0, 9))
+      assert(scanFiles(q).size == 1)
+      assert(q.count() == 10)
+    }
+  }
+}

@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.CommitLog
+
+class MetadataAggSpec extends SparkSpec {
+
+  private def isMetadataOnly(df: DataFrame): Boolean = {
+    val p = df.queryExecution.optimizedPlan
+    p.collectFirst { case _: LogicalRelation => () }.isEmpty &&
+      p.collectFirst { case _: LocalRelation => () }.isDefined
+  }
+
+  private def buildTable(): String = {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("magg").toString + "/t"
+    for (i <- 0 until 3) {
+      val df = (0 until 10)
+        .map(j => (i * 100 + j, s"m-0${i + 1}", j.toLong))
+        .toDF("k", "tag", "v")
+      CommitLog.appendWithStats(spark, df.coalesce(1), table,
+        Seq("k", "tag"))
+    }
+    table
+  }
+
+  private def withRule[T](table: String)(body: => T): T = {
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved :+ new MetadataAgg(spark, table)
+    try body finally spark.experimental.extraOptimizations = saved
+  }
+
+  test("row counts ride the manifest; tableRowCount sums them") {
+    val table = buildTable()
+    assert(CommitLog.tableRowCount(spark, table).contains(30L))
+    val rc = CommitLog.fileRowCounts(spark, table)
+    assert(rc.size == 3 && rc.values.forall(_ == 10L))
+
+    // a stats-less append makes the table refuse (sparse semantics)
+    import spark.implicits._
+    CommitLog.append(spark,
+      Seq((999, "m-09", 0L)).toDF("k", "tag", "v").coalesce(1), table)
+    assert(CommitLog.tableRowCount(spark, table).isEmpty)
+  }
+
+  test("count/min/max collapse to a one-row LocalRelation, no scan") {
+    val table = buildTable()
+    withRule(table) {
+      val q = CommitLog.read(spark, table).agg(
+        count(lit(1)).as("n"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"),
+        min(col("tag")).as("t_min"), max(col("tag")).as("t_max"))
+      assert(isMetadataOnly(q))
+      val r = q.head()
+      assert(r.getLong(0) == 30L)
+      assert(r.getInt(1) == 0 && r.getInt(2) == 209)
+      assert(r.getString(3) == "m-01" && r.getString(4) == "m-03")
+    }
+  }
+
+  test("unanswerable shapes fall through and stay correct") {
+    val table = buildTable()
+    withRule(table) {
+      // sum is not metadata-answerable
+      val q1 = CommitLog.read(spark, table)
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      assert(!isMetadataOnly(q1))
+      assert(q1.head().getLong(0) == 30L)
+
+      // v carries no zone map
+      val q2 = CommitLog.read(spark, table).agg(min(col("v")).as("mn"))
+      assert(!isMetadataOnly(q2))
+      assert(q2.head().getLong(0) == 0L)
+
+      // grouping blocks the rewrite
+      val q3 = CommitLog.read(spark, table)
+        .groupBy("tag").agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(q3))
+      assert(q3.count() == 3)
+
+      // count(col) could undercount NULLs: blocked
+      val q4 = CommitLog.read(spark, table).agg(count(col("v")).as("n"))
+      assert(!isMetadataOnly(q4))
+
+      // a filter above the scan blocks it (Aggregate child is Filter)
+      val q5 = CommitLog.read(spark, table).filter(col("k") > 5)
+        .agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(q5))
+    }
+  }
+
+  test("a stats-less file in the scan blocks count; time travel composes") {
+    import spark.implicits._
+    val table = buildTable()
+    CommitLog.append(spark,
+      Seq((999, "m-09", 0L)).toDF("k", "tag", "v").coalesce(1), table)
+    withRule(table) {
+      // head now includes an uncounted file → fall through, correct
+      val q = CommitLog.read(spark, table).agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(q))
+      assert(q.head().getLong(0) == 31L)
+
+      // a time-travel scan of the fully-counted version still collapses
+      val v3 = CommitLog.versions(spark, table).toSeq.sorted.apply(2)
+      val qt = CommitLog.readVersion(spark, table, v3)
+        .agg(count(lit(1)).as("n"), max(col("k")).as("k_max"))
+      assert(isMetadataOnly(qt))
+      val r = qt.head()
+      assert(r.getLong(0) == 30L && r.getInt(1) == 209)
+    }
+  }
+}

@@ -148,7 +148,10 @@ class Round13Spec extends SparkSpec {
         t, Seq("a", "b"))
     val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
     assert(m.statsCol == "a")
-    assert(m.colStats.keySet == Set("a", "b"))
+    // the reserved row-count pseudo-column rides beside the real maps
+    assert(m.colStats.keySet == Set("a", "b", CommitLog.RowCountCol))
+    assert(m.files.forall(f =>
+      m.colStats(CommitLog.RowCountCol).get(f).exists(_._1 == 100L)))
     // A probe on the PRIMARY column selects one file…
     assert(CommitLog.prunedFilesBy(spark, t, "a", 120L, 150L)._2.size == 1)
     // …and a probe on the SECOND column selects a (different) one.
@@ -174,7 +177,8 @@ class Round13Spec extends SparkSpec {
         (0L until 20L).map(i => (i, s"$m-${i % 28 + 1}"))
           .toDF("id", "day").coalesce(1), t, Seq("id", "day"))
     val m0 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
-    assert(m0.strStats.keySet == Set("day") && m0.colStats.keySet == Set("id"))
+    assert(m0.strStats.keySet == Set("day") &&
+      m0.colStats.keySet == Set("id", CommitLog.RowCountCol))
     // A month-window probe selects exactly that month's file.
     val (total, sel) = CommitLog.prunedFilesByString(spark, t, "day",
       "2024-02-01", "2024-02-99")

@@ -25,7 +25,19 @@ case class MvDef(
     summaryPath: String,
     groupCols: Seq[String],
     cntCol: String,
-    sumCols: Map[String, String])
+    sumCols: Map[String, String],
+    /** When true, BOTH paths are commit-log table refs: the base scan
+      * is recognized by file-under-root prefix (a `CommitLog.read`
+      * lists files, not the dir), the summary is read at ITS head
+      * version (never dead files), and the rewrite only fires while
+      * the summary is FRESH — its [[graft.sources.MvIncremental]]
+      * cursor at the base's current version. A stale MV declines the
+      * rewrite instead of answering from the past: correctness first,
+      * the optimization returns at the next refresh. */
+    logTables: Boolean = false,
+    /** The [[graft.sources.MvIncremental]] feed tag tying summary to
+      * base (required when `logTables`). */
+    feedTag: String = "")
 
 /** Transparent aggregate rewrite onto a materialized summary — the
   * lakehouse "query rewrite using materialized views" optimization as
@@ -67,7 +79,13 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
   private def isBaseScan(plan: LogicalPlan): Boolean = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(rp =>
+        if (mv.logTables) {
+          // a CommitLog.read lists FILES under the table root
+          val prefix = norm(graft.sources.CommitLog.tableRoot(mv.basePath)) + "/"
+          val paths = fs.location.rootPaths
+          paths.nonEmpty &&
+            paths.forall(rp => norm(rp.toString).startsWith(prefix))
+        } else fs.location.rootPaths.exists(rp =>
           norm(rp.toString) == norm(mv.basePath))
       case _ => false
     }
@@ -75,6 +93,34 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
         if pl.forall(_.isInstanceOf[AttributeReference]) =>
       isBaseScan(child)
     case _ => false
+  }
+
+  /** For commit-log MVs: rewrite only while the summary's refresh
+    * cursor sits at the base's current version — metadata-only
+    * staleness gate (the scaladoc'd "mutable-table deployment" rule).
+    * Additionally the scan must be of the CURRENT live set (a
+    * time-travel read of an older base version must not be answered
+    * from today's summary). */
+  private def freshAndCurrent(plan: LogicalPlan): Boolean = {
+    if (!mv.logTables) return true
+    import graft.sources.{CommitLog, MvIncremental}
+    CommitLog.currentVersion(spark, mv.basePath).exists { head =>
+      MvIncremental.refreshedThrough(
+        spark, mv.summaryPath, mv.feedTag) == head && {
+        val live = CommitLog.liveFiles(spark, mv.basePath, head)
+          .map(f => norm(s"${CommitLog.tableRoot(mv.basePath)}/$f")).toSet
+        def scanned(p: LogicalPlan): Set[String] = p match {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.map(rp => norm(rp.toString)).toSet
+            case _ => Set.empty
+          }
+          case Project(_, child) => scanned(child)
+          case _ => Set.empty
+        }
+        scanned(plan) == live
+      }
+    }
   }
 
   private def plainAgg(e: Expression): Option[AggregateExpression] =
@@ -114,10 +160,13 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg: Aggregate
-        if agg.resolved && isBaseScan(agg.child) && rewritable(agg) =>
+        if agg.resolved && isBaseScan(agg.child) && rewritable(agg) &&
+          freshAndCurrent(agg.child) =>
       // Fresh relation per rewrite: two rewritten aggregates in one
       // tree must not share attribute ids.
-      val sumRel = spark.read.parquet(mv.summaryPath)
+      val sumRel = (if (mv.logTables)
+          graft.sources.CommitLog.read(spark, mv.summaryPath)
+        else spark.read.parquet(mv.summaryPath))
         .queryExecution.analyzed
       val sAttr: Map[String, Attribute] =
         sumRel.output.map(a => a.name -> a).toMap

@@ -1741,6 +1741,67 @@ private[graft] object RegWarehouse {
       }
       q.withColumn("meta_only", lit(metaOnly))
     },
+
+    // INCREMENTAL MV maintenance (sources/MvIncremental) + the
+    // freshness-gated transparent rewrite: orders land in the base
+    // commit-log table in two appends with a refresh after EACH (the
+    // second folds only the second batch's partials — never a base
+    // rescan), then the registered MvRewrite answers a priority
+    // rollup FROM THE SUMMARY (mv_used pins that from the optimized
+    // plan: every scanned file sits under the summary table's root).
+    // The values face DuckDB's full recompute — incremental folding
+    // must be indistinguishable from recomputation. MvIncrementalSpec
+    // pins exactly-once, the non-append-only refusal + rebuild
+    // remediation, signed CDC folding, and the stale/time-travel
+    // decline paths.
+    "q_mv_incremental" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvi_base_$tag"
+      val summ =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvi_summ_$tag"
+      import graft.sources.{CommitLog, MvIncremental}
+      val p = new org.apache.hadoop.fs.Path(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvi_base_$tag")
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(p, true)
+      fsys.delete(new org.apache.hadoop.fs.Path(summ), true)
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderpriority").as("prio"),
+        col("o_orderstatus").as("status"),
+        col("o_orderkey").cast("long").as("key"))
+      CommitLog.append(s, o.filter(pmod(col("key"), lit(2)) === 0), base)
+      MvIncremental.refresh(s, base, summ, "prio", Seq("prio", "status"),
+        "mv_cnt", Map("key" -> "mv_sum_key"))
+      CommitLog.append(s, o.filter(pmod(col("key"), lit(2)) === 1), base)
+      MvIncremental.refresh(s, base, summ, "prio", Seq("prio", "status"),
+        "mv_cnt", Map("key" -> "mv_sum_key"))
+      val mv = graft.plans.MvDef(base, summ, Seq("prio", "status"),
+        "mv_cnt", Map("key" -> "mv_sum_key"), logTables = true,
+        feedTag = "prio")
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MvRewrite => r.mv == mv
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.MvRewrite(s, mv)
+      val q = CommitLog.read(s, base).groupBy("prio")
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .orderBy("prio")
+      val summRoot = new org.apache.hadoop.fs.Path(summ).toUri.getPath + "/"
+      val mvUsed = {
+        val paths = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+        }.flatten
+        if (paths.nonEmpty && paths.forall(_.startsWith(summRoot))) 1L else 0L
+      }
+      q.withColumn("mv_used", lit(mvUsed))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -2898,5 +2959,17 @@ private[graft] object RegWarehouse {
         |  max(strftime(CAST(o_orderdate AS DATE), '%Y-%m')) AS ym_max,
         |  CAST(1 AS BIGINT) AS meta_only
         |FROM orders""".stripMargin,
+
+
+    // Incremental folding must equal full recomputation; mv_used = 1
+    // is the planner contract (rollup answered from the summary).
+    "q_mv_incremental" ->
+      """SELECT o_orderpriority AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS mv_used
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY prio""".stripMargin,
   )
 }

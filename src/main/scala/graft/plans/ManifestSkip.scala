@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{
-  ByteType, IntegerType, LongType, ShortType, StringType}
+  ByteType, DateType, IntegerType, LongType, ShortType, StringType,
+  TimestampType}
 
 import graft.sources.CommitLog
 
@@ -60,8 +61,12 @@ class ManifestSkip(spark: SparkSession, val table: String)
     case other => Seq(other)
   }
 
+  /** Integral AND temporal literals: a folded date literal carries
+    * epoch DAYS (Int), a timestamp literal epoch MICROS (Long) — the
+    * same units the stats pass records temporal zone maps in. */
   private def asLong(l: Literal): Option[Long] = l.dataType match {
-    case ByteType | ShortType | IntegerType | LongType =>
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+        TimestampType =>
       Option(l.value).map(_.asInstanceOf[Number].longValue)
     case _ => None
   }

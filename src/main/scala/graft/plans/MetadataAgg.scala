@@ -12,7 +12,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{
-  ByteType, IntegerType, LongType, ShortType, StringType}
+  ByteType, DateType, IntegerType, LongType, ShortType, StringType,
+  TimestampType}
 
 import graft.sources.CommitLog
 
@@ -93,7 +94,8 @@ class MetadataAgg(spark: SparkSession, val table: String)
       child: org.apache.spark.sql.catalyst.expressions.Expression,
       isMin: Boolean): Option[Any] = child match {
     case a: AttributeReference => a.dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType =>
         m.colStats.get(a.name).filter(st => files.forall(st.contains))
           .map { st =>
             val v = if (isMin) files.map(f => st(f)._1).min
@@ -103,6 +105,14 @@ class MetadataAgg(spark: SparkSession, val table: String)
               case ShortType => v.toShort
               case IntegerType => v.toInt
               case LongType => v
+              // temporal maps are stored in Catalyst physical units
+              // (epoch days / micros) — convert back to external
+              case DateType =>
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .toJavaDate(v.toInt)
+              case TimestampType =>
+                org.apache.spark.sql.catalyst.util.DateTimeUtils
+                  .toJavaTimestamp(v)
             }
           }
       case StringType =>

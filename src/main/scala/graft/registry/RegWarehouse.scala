@@ -1802,6 +1802,50 @@ private[graft] object RegWarehouse {
       }
       q.withColumn("mv_used", lit(mvUsed))
     },
+
+    // TEMPORAL automatic skipping: zone maps on a real DATE column
+    // (epoch-days in the manifest — the unit a folded date literal
+    // carries, so the ManifestSkip rule compares with zero timezone
+    // arithmetic), month-clustered so the planner's files_read replays
+    // as the distinct months whose day envelope intersects the probe.
+    // The aggregate equals the raw date filter; date predicates are
+    // the #1 prune key on a real 100 TB table, which is why this gets
+    // its own gate beside the int/string q_auto_skip.
+    "q_auto_skip_dates" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_askipd_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").as("k"),
+        col("o_orderdate").cast("date").as("d"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s,
+        o.withColumn("bk", date_format(col("d"), "yyyy-MM")),
+        table, "bk", Seq("d"))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.ManifestSkip => r.table == table
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.plans.ManifestSkip(s, table)
+      val total = CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get).size.toLong
+      val q = CommitLog.read(s, table)
+        .filter(col("d").between("1995-06-01", "1996-03-31"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+      val filesRead = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => fs.location.rootPaths.size
+          case _ => 0
+        }
+      }.sum.toLong
+      q.withColumn("files_total", lit(total))
+        .withColumn("files_read", lit(filesRead))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -2971,5 +3015,29 @@ private[graft] object RegWarehouse {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY prio""".stripMargin,
+
+
+    // One file per month; files_read = months whose [min day, max day]
+    // envelope intersects the probe window (with month-clustering
+    // that's exactly the months intersecting it); the aggregate = the
+    // raw date filter.
+    "q_auto_skip_dates" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |cnt AS (SELECT
+        |  CAST(count(DISTINCT strftime(d, '%Y-%m')) AS BIGINT) AS files_total,
+        |  CAST(count(DISTINCT CASE WHEN d BETWEEN DATE '1995-06-01'
+        |      AND DATE '1996-03-31' THEN strftime(d, '%Y-%m') END)
+        |    AS BIGINT) AS files_read
+        |  FROM o),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |          CAST(sum(cents) AS BIGINT) AS cents,
+        |          CAST(sum(k % 100000) AS BIGINT) AS key_checksum
+        |        FROM o WHERE d BETWEEN DATE '1995-06-01'
+        |          AND DATE '1996-03-31')
+        |SELECT a.n, a.cents, a.key_checksum, c.files_total, c.files_read
+        |FROM agg a, cnt c""".stripMargin,
   )
 }

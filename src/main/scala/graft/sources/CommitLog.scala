@@ -818,7 +818,19 @@ object CommitLog {
       val isStr = statsCols.map(c => c ->
         (df.schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
       val aggs = statsCols.zipWithIndex.flatMap { case (c, i) =>
-        val probe = if (isStr(c)) col(c) else col(c).cast("long")
+        // Temporal columns join the NUMERIC zone-map family in their
+        // Catalyst physical unit — days (date) / micros (timestamp) —
+        // which is exactly what a folded date/timestamp literal
+        // carries, so readers and the ManifestSkip rule compare
+        // without any timezone arithmetic.
+        val probe = df.schema(c).dataType match {
+          case org.apache.spark.sql.types.StringType => col(c)
+          case org.apache.spark.sql.types.DateType =>
+            org.apache.spark.sql.functions.unix_date(col(c)).cast("long")
+          case org.apache.spark.sql.types.TimestampType =>
+            org.apache.spark.sql.functions.unix_micros(col(c)).cast("long")
+          case _ => col(c).cast("long")
+        }
         Seq(min(probe).as(s"mn$i"), max(probe).as(s"mx$i"))
       } :+ count(lit(1)).as("__cnt") // per-file row count, same pass
       val rows = df

@@ -116,6 +116,39 @@ class ManifestSkipSpec extends SparkSpec {
     }
   }
 
+  test("date and timestamp zone maps prune in physical units") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("mskip-d").toString + "/t"
+    for (i <- 0 until 4) {
+      val df = (0 until 10).map { j =>
+        val day = java.sql.Date.valueOf(f"2024-0${i + 1}%d-${j + 1}%02d")
+        val ts = java.sql.Timestamp.valueOf(
+          f"2024-0${i + 1}%d-${j + 1}%02d 12:00:00")
+        (i * 100 + j, day, ts)
+      }.toDF("k", "d", "ts")
+      CommitLog.appendWithStats(spark, df.coalesce(1), table,
+        Seq("d", "ts"))
+    }
+    withRule(table) {
+      // the cast-folded date literal prunes to the two covering files
+      val q = CommitLog.read(spark, table)
+        .filter(col("d") >= "2024-03-01")
+      assert(scanFiles(q).size == 2)
+      assert(q.count() == 20)
+
+      val qd = CommitLog.read(spark, table)
+        .filter(col("d") === java.sql.Date.valueOf("2024-02-05"))
+      assert(scanFiles(qd).size == 1)
+      assert(qd.count() == 1)
+
+      val qt = CommitLog.read(spark, table).filter(
+        col("ts") < java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+      assert(scanFiles(qt).size == 1)
+      assert(qt.count() == 10)
+    }
+  }
+
   test("time travel still prunes with head stats and stays correct") {
     val table = buildTable()
     // a fifth commit so head != the version we time-travel to

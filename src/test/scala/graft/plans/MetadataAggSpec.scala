@@ -65,6 +65,32 @@ class MetadataAggSpec extends SparkSpec {
     }
   }
 
+  test("date/timestamp extrema come back in external form, exactly") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("magg-d").toString + "/t"
+    val df = Seq(
+      (java.sql.Date.valueOf("2023-02-01"),
+        java.sql.Timestamp.valueOf("2023-02-01 01:02:03")),
+      (java.sql.Date.valueOf("2024-11-30"),
+        java.sql.Timestamp.valueOf("2024-11-30 23:59:59")))
+      .toDF("d", "ts")
+    CommitLog.appendWithStats(spark, df.coalesce(1), table, Seq("d", "ts"))
+    withRule(table) {
+      val q = CommitLog.read(spark, table).agg(
+        min(col("d")).as("d_min"), max(col("d")).as("d_max"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"))
+      assert(isMetadataOnly(q))
+      val r = q.head()
+      assert(r.getDate(0) == java.sql.Date.valueOf("2023-02-01"))
+      assert(r.getDate(1) == java.sql.Date.valueOf("2024-11-30"))
+      assert(r.getTimestamp(2) ==
+        java.sql.Timestamp.valueOf("2023-02-01 01:02:03"))
+      assert(r.getTimestamp(3) ==
+        java.sql.Timestamp.valueOf("2024-11-30 23:59:59"))
+    }
+  }
+
   test("unanswerable shapes fall through and stay correct") {
     val table = buildTable()
     withRule(table) {

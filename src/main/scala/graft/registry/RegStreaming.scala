@@ -1027,6 +1027,55 @@ private[graft] object RegStreaming {
           sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
         .orderBy("v", "ct")
     },
+
+    // STREAMING MATERIALIZED VIEW: the native table-feed stream keeps
+    // an MV summary fresh as commits land — each micro-batch folds its
+    // partial counts/sums into the summary commit-log table
+    // (MvIncremental.foldBatch inside foreachBatch: one delta
+    // aggregate + one groups-sized merge swap, exactly-once via
+    // Spark's checkpoint AND the batch-id txn). Two commits drain,
+    // then a third lands and the RESTARTED stream folds only it; the
+    // summary must equal a full recompute from raw rows — the
+    // incremental fold across restarts is indistinguishable from
+    // rebuilding (graft.sources.MvIncremental, MvIncrementalSpec).
+    "q_stream_mv" -> { (s, dir) =>
+      import graft.sources.{CommitLog, MvIncremental}
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = stageTag(dir)
+      val src = s"$tmp/graft_smvsrc_$tag"
+      val summ = s"$tmp/graft_smvsum_$tag"
+      val ckpt = s"$tmp/graft_smvckpt_$tag"
+      for (t <- Seq(src, summ, ckpt)) {
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val e = Tables.load(s, dir, "events").select(
+        col("event_id").as("k"), col("event_type").as("t"),
+        pmod(col("user_id"), lit(1000L)).as("u"))
+      def drain(): Unit = {
+        val q = s.readStream
+          .format("graft.sources.TableFeedSourceProvider")
+          .option("path", src).load()
+          .writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            MvIncremental.foldBatch(s, summ, batch, s"mvb:$bid",
+              Seq("t"), "mv_cnt", Map("u" -> "mv_sum_u"))
+            ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      CommitLog.append(s, e.filter(col("k") % 3 === 0).repartition(4), src)
+      CommitLog.append(s, e.filter(col("k") % 3 === 1).repartition(4), src)
+      drain()
+      CommitLog.append(s, e.filter(col("k") % 3 === 2).repartition(4), src)
+      drain()
+      CommitLog.read(s, summ)
+        .select(col("t"), col("mv_cnt").as("n"), col("mv_sum_u").as("u_sum"))
+        .orderBy("t")
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -1411,6 +1460,15 @@ private[graft] object RegStreaming {
         |SELECT t, CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(DISTINCT u) AS BIGINT) AS n_users,
         |  CAST(sum(k % 100000) AS BIGINT) AS checksum
+        |FROM e GROUP BY 1 ORDER BY t""".stripMargin,
+
+    // A streaming-maintained MV must equal the batch recompute.
+    "q_stream_mv" ->
+      """WITH e AS (
+        |  SELECT event_id AS k, event_type AS t, user_id % 1000 AS u
+        |  FROM events)
+        |SELECT t, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(u) AS BIGINT) AS u_sum
         |FROM e GROUP BY 1 ORDER BY t""".stripMargin,
   )
 }

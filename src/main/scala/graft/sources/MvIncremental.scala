@@ -136,6 +136,26 @@ object MvIncremental {
         s"added ${del.size} delete file(s) (merge-on-read delete debt)")
   }
 
+  /** Fold one STREAMING micro-batch of raw base rows into the summary
+    * — the `foreachBatch` body that keeps an MV fresh as a
+    * [[TableFeedSource]] stream lands (the kappa-style MV loop):
+    * partial-aggregate the batch, merge, one txn-idempotent swap.
+    * Exactly-once twice over: Spark's checkpoint replays a batch only
+    * after a crash, and a replayed (txn-duplicate) fold is a no-op.
+    * Append-only rows in, by the feed source's own contract. */
+  def foldBatch(
+      spark: SparkSession,
+      summary: String,
+      batch: DataFrame,
+      txn: String,
+      groupCols: Seq[String],
+      cntCol: String,
+      sumCols: Map[String, String]): Long =
+    mergePartials(spark, summary,
+      partials(batch, groupCols, cntCol, sumCols),
+      groupCols, cntCol, sumCols.values.toSeq.sorted, txn,
+      dropEmpty = false)
+
   /** Fold a SIGNED change feed (insert/delete rows, the
     * [[MorTable.changeFeed]] shape) into the summary: deletes subtract
     * what inserts added, groups whose count reaches zero are dropped.

@@ -1846,6 +1846,50 @@ private[graft] object RegWarehouse {
       q.withColumn("files_total", lit(total))
         .withColumn("files_read", lit(filesRead))
     },
+
+    // PERSISTED CHECK CONSTRAINTS (sources/Constraints): declared as a
+    // metadata-only commit (existing rows validated first), carried by
+    // the manifest's sticky checksId so they time-travel, enforced by
+    // the checkedAppend write verb against the STAGED BYTES — one
+    // clean batch publishes, one dirty batch is rejected with
+    // per-check violation counts and NEVER becomes a manifest. The
+    // final aggregate must equal exactly the clean rows (the oracle
+    // recomputes them raw), rejected_rows replays as the dirty-batch
+    // population, and the rejected files stay dead on disk for
+    // vacuumOrphans. ConstraintsSpec pins NULL-passes (SQL CHECK
+    // semantics), refuse-on-violating-declare, time travel, and the
+    // concurrent set-change conflicts.
+    "q_table_constraints" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_chk_${stageTag(dir)}"
+      import graft.sources.{CommitLog, Constraints}
+      import graft.sources.Constraints.Check
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.append(s, li.filter(pmod(col("k"), lit(3)) === 0), table)
+      Constraints.setChecks(s, table, Seq(
+        Check("cents_nonneg", "cents >= 0"),
+        Check("k_present", "k IS NOT NULL")))
+      val ok = Constraints.checkedAppend(s,
+        li.filter(pmod(col("k"), lit(3)) === 1), table)
+      val bad = Constraints.checkedAppend(s,
+        li.filter(pmod(col("k"), lit(3)) === 2)
+          .withColumn("cents", -col("cents")), table)
+      val rejectedRows = bad.swap.toOption
+        .flatMap(_.collectFirst { case ("cents_nonneg", n) => n })
+        .getOrElse(0L)
+      CommitLog.read(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .withColumn("published", lit(if (ok.isRight) 1L else 0L))
+        .withColumn("rejected_rows", lit(rejectedRows))
+        .withColumn("n_checks",
+          lit(Constraints.checks(s, table).size.toLong))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -3039,5 +3083,25 @@ private[graft] object RegWarehouse {
         |          AND DATE '1996-03-31')
         |SELECT a.n, a.cents, a.key_checksum, c.files_total, c.files_read
         |FROM agg a, cnt c""".stripMargin,
+
+
+    // The table holds exactly the clean two-thirds (k%3 in (0,1));
+    // the dirty third (negated cents) is the rejected population.
+    "q_table_constraints" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |clean AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |            CAST(sum(cents) AS BIGINT) AS cents,
+        |            CAST(sum(k % 100000) AS BIGINT) AS key_checksum
+        |          FROM li WHERE k % 3 IN (0, 1)),
+        |dirty AS (SELECT CAST(count(*) AS BIGINT) AS rejected_rows
+        |          FROM li WHERE k % 3 = 2)
+        |SELECT c.n, c.cents, c.key_checksum,
+        |  CAST(1 AS BIGINT) AS published, d.rejected_rows,
+        |  CAST(2 AS BIGINT) AS n_checks
+        |FROM clean c, dirty d""".stripMargin,
   )
 }

@@ -162,7 +162,12 @@ object CommitLog {
         * (lexicographic [min, max] per file — dates-as-strings,
         * categorical codes, URL prefixes): collected by the same
         * single stats pass, probed via [[prunedFilesByString]]. */
-      strStats: Map[String, Map[String, (String, String)]] = Map.empty)
+      strStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      /** Id of the table's CHECK-constraint set (`_log/checks-<id>
+        * .json`, [[Constraints]]) — sticky across commits like
+        * `schemaId`/`specId`, so constraints time-travel with the
+        * version that declared them. Empty = unconstrained. */
+      checksId: String = "")
 
   /** The per-file metadata of one immutable group file. */
   private[sources] final case class GroupData(
@@ -363,6 +368,7 @@ object CommitLog {
     if (m.statsCol.nonEmpty) extra ++= s""","statsCol":"${esc(m.statsCol)}""""
     if (m.schemaId.nonEmpty) extra ++= s""","schemaId":"${esc(m.schemaId)}""""
     if (m.specId.nonEmpty) extra ++= s""","specId":"${esc(m.specId)}""""
+    if (m.checksId.nonEmpty) extra ++= s""","checksId":"${esc(m.checksId)}""""
     s"""{"version":${m.version},"txn":"${esc(m.txn)}"$extra,"groups":[$gs]}"""
   }
 
@@ -448,7 +454,8 @@ object CommitLog {
         Manifest(version, txn, statsCol, g.files,
           g.colStats.getOrElse(statsCol, Map.empty),
           stringField(body, "schemaId"), g.fileSchemas, g.colStats,
-          stringField(body, "specId"), g.fileSpecs, refs, g.strStats)
+          stringField(body, "specId"), g.fileSpecs, refs, g.strStats,
+          stringField(body, "checksId"))
       case None =>
         // Legacy monolithic manifest (pre-sharding): inline files +
         // single-column stats + schema tags.
@@ -465,7 +472,8 @@ object CommitLog {
           Map(statsCol -> stats) else Map.empty[String, Map[String, (Long, Long)]]
         Manifest(version, txn, statsCol, files, stats,
           stringField(body, "schemaId"),
-          zipped(body, "schemaFiles", "fileSchemaIds"), colStats)
+          zipped(body, "schemaFiles", "fileSchemaIds"), colStats,
+          checksId = stringField(body, "checksId"))
     }
   }
 
@@ -514,11 +522,12 @@ object CommitLog {
       specId: String = "",
       fileSpecs: Map[String, String] = Map.empty,
       validateManifest: Option[Manifest] => Unit = _ => (),
-      strColStats: Map[String, Map[String, (String, String)]] = Map.empty): Long =
+      strColStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      checksId: String = ""): Long =
     commitInternal(spark, table, adds, removes, txn, statsCol, stats,
       maxAttempts, requireRemovesLive = false, schemaId, fileSchemas,
       validateLive, colStats, specId, fileSpecs, validateManifest,
-      strColStats)
+      strColStats, checksId)
 
   /** Thrown by [[rewrite]] when a file it meant to replace was already
     * removed by a concurrent commit — proceeding would re-add the
@@ -588,7 +597,8 @@ object CommitLog {
       // conflict when the id it computed against moved underneath it
       // (the read-modify-write hole a list-only validate can't see).
       validateManifest: Option[Manifest] => Unit = _ => (),
-      strColStats: Map[String, Map[String, (String, String)]] = Map.empty): Long = {
+      strColStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      checksId: String = ""): Long = {
     val f = fs(spark, table)
     f.mkdirs(logDir(table))
     var attempt = 0
@@ -657,10 +667,13 @@ object CommitLog {
         else base.map(_.schemaId).getOrElse("")
       val pid = if (specId.nonEmpty) specId
         else base.map(_.specId).getOrElse("")
+      val cid = if (checksId.nonEmpty) checksId
+        else base.map(_.checksId).getOrElse("")
       val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
       try out.write(renderList(Manifest(next, txn, col, Seq.empty,
-        Map.empty, sid, Map.empty, Map.empty, pid, Map.empty, groups))
+        Map.empty, sid, Map.empty, Map.empty, pid, Map.empty, groups,
+        checksId = cid))
         .getBytes("UTF-8"))
       finally out.close()
       if (atomicPublish(f, tmp, manifestPath(table, next))) return next
@@ -862,6 +875,15 @@ object CommitLog {
       (nums.updated(RowCountCol, counts), strs)
     }
   }
+
+  /** [[fullStatsFor]] for sibling write verbs in this package
+    * ([[Constraints.checkedAppend]]). */
+  private[sources] def statsPassFor(
+      spark: SparkSession, table: String, staged: Seq[String],
+      statsCols: Seq[String])
+      : (Map[String, Map[String, (Long, Long)]],
+         Map[String, Map[String, (String, String)]]) =
+    fullStatsFor(spark, table, staged, statsCols)
 
   /** Integer-column view of [[fullStatsFor]] (legacy single-map call
     * sites). */
@@ -1214,6 +1236,43 @@ object CommitLog {
     val out = f.create(tmp, false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!atomicPublish(f, tmp, dst)) f.delete(tmp, false)
+  }
+
+  // ---- Check-constraint files ([[Constraints]]'s storage) ---------
+  //
+  // Same discipline again: one immutable, content-addressed
+  // `_log/checks-<id>.json` per constraint SET, written before any
+  // manifest that references it. A check is (name, boolean SQL
+  // expression); ' ' joins the pair since ':' may appear in
+  // expressions.
+
+  private def checksPath(table: String, cid: String): Path =
+    new Path(logDir(table), s"checks-$cid.json")
+
+  private[sources] def writeChecksFile(spark: SparkSession, table: String,
+      cid: String, checks: Seq[(String, String)]): Unit = {
+    val f = fs(spark, table)
+    f.mkdirs(logDir(table))
+    val dst = checksPath(table, cid)
+    if (f.exists(dst)) return
+    val arr = checks.map { case (n, e) => "\"" + esc(s"$n $e") + "\"" }
+      .mkString(",")
+    val body = s"""{"cid":"${esc(cid)}","checks":[$arr]}"""
+    val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (!atomicPublish(f, tmp, dst)) f.delete(tmp, false)
+  }
+
+  /** (name, expression) pairs of `_log/checks-<cid>.json`. */
+  private[sources] def readChecksFile(spark: SparkSession, table: String,
+      cid: String): Seq[(String, String)] = {
+    val body = readMetaWithFallback(spark, table, t => checksPath(t, cid))
+    arrayField(body, "checks").map(parseStrings).getOrElse(Seq.empty)
+      .map { s =>
+        val i = s.indexOf(' ')
+        (s.substring(0, i), s.substring(i + 1))
+      }
   }
 
   /** (column, fmt) of `_log/spec-<pid>.json`. */

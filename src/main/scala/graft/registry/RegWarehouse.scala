@@ -1890,6 +1890,39 @@ private[graft] object RegWarehouse {
         .withColumn("n_checks",
           lit(Constraints.checks(s, table).size.toLong))
     },
+
+    // TIMESTAMP AS OF time travel: versionAsOf resolves an instant to
+    // the newest version PUBLISHED at or before it (manifest rename
+    // mtime — the moment readers could first see it, Delta's rule),
+    // and readAsOf reads that version. The mid-write instant must
+    // resolve to version 1 (its aggregate = the first batch, replayed
+    // raw by the oracle) and "now" to the full table; version_mid and
+    // version_now pin the resolution itself, not just row counts.
+    "q_time_travel_ts" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_ttts_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.append(s, li.filter(pmod(col("k"), lit(2)) === 0), table)
+      Thread.sleep(20) // publication instants must be separable
+      val between = System.currentTimeMillis()
+      Thread.sleep(20)
+      CommitLog.append(s, li.filter(pmod(col("k"), lit(2)) === 1), table)
+      val aggMid = CommitLog.readAsOf(s, table, between)
+        .agg(count(lit(1)).as("n_mid"), sum(col("cents")).as("cents_mid"))
+      val aggNow = CommitLog.readAsOf(s, table, System.currentTimeMillis())
+        .agg(count(lit(1)).as("n_now"), sum(col("cents")).as("cents_now"))
+      aggMid.crossJoin(aggNow) // 1-row scalar join
+        .withColumn("version_mid",
+          lit(CommitLog.versionAsOf(s, table, between).get))
+        .withColumn("version_now", lit(CommitLog.versionAsOf(s, table,
+          System.currentTimeMillis()).get))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -3103,5 +3136,23 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS published, d.rejected_rows,
         |  CAST(2 AS BIGINT) AS n_checks
         |FROM clean c, dirty d""".stripMargin,
+
+
+    // The mid-write instant sees batch 1 only; now sees both.
+    "q_time_travel_ts" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem),
+        |mid AS (SELECT CAST(count(*) AS BIGINT) AS n_mid,
+        |          CAST(sum(cents) AS BIGINT) AS cents_mid
+        |        FROM li WHERE k % 2 = 0),
+        |cur AS (SELECT CAST(count(*) AS BIGINT) AS n_now,
+        |          CAST(sum(cents) AS BIGINT) AS cents_now
+        |        FROM li)
+        |SELECT m.n_mid, m.cents_mid, c.n_now, c.cents_now,
+        |  CAST(1 AS BIGINT) AS version_mid, CAST(2 AS BIGINT) AS version_now
+        |FROM mid m, cur c""".stripMargin,
   )
 }

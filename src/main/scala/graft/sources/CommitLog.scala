@@ -1335,6 +1335,32 @@ object CommitLog {
     spark.read.parquet(files: _*)
   }
 
+  /** The newest version whose manifest was PUBLISHED at or before
+    * `tsMillis` — the `TIMESTAMP AS OF` resolution rule (Delta's):
+    * publication time is the atomic rename's file mtime, which is the
+    * moment the version became visible to any reader. None when the
+    * table has no version that old. Monotonicity caveat, stated:
+    * mtimes come from the storage system's clock; a version receives
+    * its timestamp once, at publish, so the mapping is stable even if
+    * wall clocks later drift. */
+  def versionAsOf(spark: SparkSession, table: String,
+      tsMillis: Long): Option[Long] = {
+    val f = fs(spark, table)
+    versions(spark, table).reverseIterator.find { v =>
+      f.getFileStatus(manifestPath(table, v)).getModificationTime <= tsMillis
+    }
+  }
+
+  /** Time travel by TIMESTAMP: read the table as it was at
+    * `tsMillis`. An instant before the first commit is an error
+    * (there was no table to read), not an empty frame. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame =
+    versionAsOf(spark, table, tsMillis) match {
+      case Some(v) => readVersion(spark, table, v)
+      case None => throw new IllegalArgumentException(
+        s"no version of $table existed at $tsMillis")
+    }
+
   /** CDC read feed: the rows ADDED between `fromVersion` (exclusive)
     * and `toVersion` (inclusive) — the union of files live at `to` but
     * not at `from`, read directly; a downstream consumer incrementally

@@ -116,6 +116,21 @@ class ManifestSkipSpec extends SparkSpec {
     }
   }
 
+  test("spark.sql over a registered view prunes identically") {
+    val table = buildTable()
+    withRule(table) {
+      CommitLog.read(spark, table).createOrReplaceTempView("mskip_v")
+      try {
+        val q = spark.sql(
+          "SELECT sum(v) AS s FROM mskip_v WHERE k BETWEEN 105 AND 210")
+        assert(scanFiles(q).size == 2, "SQL predicates reach the rule too")
+        val raw = CommitLog.read(spark, table)
+          .filter(col("k").between(105, 210)).agg(sum("v")).head.getLong(0)
+        assert(q.head.getLong(0) == raw)
+      } finally spark.catalog.dropTempView("mskip_v")
+    }
+  }
+
   test("date and timestamp zone maps prune in physical units") {
     import spark.implicits._
     val table = java.nio.file.Files

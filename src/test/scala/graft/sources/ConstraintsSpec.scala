@@ -68,6 +68,47 @@ class ConstraintsSpec extends SparkSpec {
     assert(Constraints.checks(spark, t) == Seq(Check("v_small", "v <= 10")))
   }
 
+  test("schema drift is refused before staging; identical schemas pass") {
+    val t = fresh()
+    CommitLog.append(spark, Seq(("a", 1L)).toDF("g", "v"), t)
+    // extra column
+    var ex = intercept[Constraints.SchemaDriftException] {
+      Constraints.checkedAppend(spark,
+        Seq(("b", 2L, 3L)).toDF("g", "v", "w"), t)
+    }
+    assert(ex.getMessage.contains("extra"))
+    // missing column
+    ex = intercept[Constraints.SchemaDriftException] {
+      Constraints.checkedAppend(spark, Seq("c").toDF("g"), t)
+    }
+    assert(ex.getMessage.contains("missing"))
+    // retyped column
+    ex = intercept[Constraints.SchemaDriftException] {
+      Constraints.checkedAppend(spark, Seq(("d", 1)).toDF("g", "v"), t)
+    }
+    assert(ex.getMessage.contains("retyped"))
+    // column ORDER is not drift
+    assert(Constraints.checkedAppend(spark,
+      Seq((9L, "z")).toDF("v", "g"), t).isRight)
+    assert(CommitLog.read(spark, t).count() == 2)
+  }
+
+  test("timestamp time travel resolves the version published at-or-before") {
+    val t = fresh()
+    CommitLog.append(spark, Seq(("a", 1L)).toDF("g", "v"), t) // v1
+    Thread.sleep(20)
+    val between = System.currentTimeMillis()
+    Thread.sleep(20)
+    CommitLog.append(spark, Seq(("b", 2L)).toDF("g", "v"), t) // v2
+    assert(CommitLog.versionAsOf(spark, t, between).contains(1L))
+    assert(CommitLog.readAsOf(spark, t, between).count() == 1)
+    assert(CommitLog.readAsOf(spark, t,
+      System.currentTimeMillis()).count() == 2)
+    intercept[IllegalArgumentException] {
+      CommitLog.readAsOf(spark, t, 1000L) // long before the first commit
+    }
+  }
+
   test("a write audited under a superseded set conflicts at commit") {
     val t = fresh()
     CommitLog.append(spark, Seq(("a", 1L)).toDF("g", "v"), t)

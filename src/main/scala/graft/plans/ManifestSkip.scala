@@ -4,7 +4,8 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
   And, AttributeReference, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual,
+  Literal}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -76,6 +77,15 @@ class ManifestSkip(spark: SparkSession, val table: String)
     case _ => None
   }
 
+  /** IS NULL / IS NOT NULL conjuncts per column (true = wants nulls):
+    * answered by the per-file null counts — IS NULL prunes no-null
+    * files, IS NOT NULL prunes all-null files. */
+  private[plans] def nullProbes(cond: Expression): Map[String, Boolean] =
+    splitConjuncts(cond).collect {
+      case IsNull(a: AttributeReference) => a.name -> true
+      case IsNotNull(a: AttributeReference) => a.name -> false
+    }.toMap
+
   /** Inclusive [lo, hi] bounds implied by the filter, per column name:
     * numeric (integer-typed) and string (lexicographic) separately —
     * matching the manifest's two zone-map families. */
@@ -140,18 +150,29 @@ class ManifestSkip(spark: SparkSession, val table: String)
   private def keepFile(
       m: CommitLog.Manifest,
       num: Map[String, (Long, Long)],
-      str: Map[String, (String, String)])(rel: String): Boolean = {
+      str: Map[String, (String, String)],
+      nulls: Map[String, Boolean])(rel: String): Boolean = {
     val numOk = num.forall { case (c, (lo, hi)) =>
       m.colStats.get(c).flatMap(_.get(rel)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true
       }
     }
-    numOk && str.forall { case (c, (lo, hi)) =>
+    val strOk = str.forall { case (c, (lo, hi)) =>
       m.strStats.get(c).flatMap(_.get(rel)) match {
         case Some((mn, mx)) =>
           (lo == null || mx >= lo) && (hi == null || mn <= hi)
         case None => true
+      }
+    }
+    numOk && strOk && nulls.forall { case (c, wantNull) =>
+      val nc = m.colStats.get(CommitLog.nullCountCol(c))
+        .flatMap(_.get(rel)).map(_._1)
+      if (wantNull) nc.forall(_ > 0) // IS NULL: drop no-null files
+      else { // IS NOT NULL: drop all-null files
+        val rc = m.colStats.get(CommitLog.RowCountCol)
+          .flatMap(_.get(rel)).map(_._1)
+        !(nc.isDefined && rc.isDefined && nc.get == rc.get && rc.get > 0L)
       }
     }
   }
@@ -165,17 +186,19 @@ class ManifestSkip(spark: SparkSession, val table: String)
           if (paths.isEmpty || !paths.forall(_.startsWith(prefix))) fl
           else {
             val (num, str) = bounds(cond)
+            val nulls = nullProbes(cond)
             // Only probe columns this scan actually produces — a bound
             // on a column of some OTHER relation must not prune here.
             val outNames = lr.output.map(_.name).toSet
             val numB = num.filter(e => outNames(e._1))
             val strB = str.filter(e => outNames(e._1))
-            if (numB.isEmpty && strB.isEmpty) fl
+            val nullB = nulls.filter(e => outNames(e._1))
+            if (numB.isEmpty && strB.isEmpty && nullB.isEmpty) fl
             else CommitLog.currentVersion(spark, table) match {
               case None => fl
               case Some(v) =>
                 val m = CommitLog.readManifest(spark, table, v)
-                val keep = keepFile(m, numB, strB) _
+                val keep = keepFile(m, numB, strB, nullB) _
                 val sel = paths.filter(p => keep(p.stripPrefix(prefix)))
                 if (sel.size == paths.size) fl // idempotent fixed point
                 else if (sel.isEmpty) Filter(cond, LocalRelation(lr.output))

@@ -84,6 +84,16 @@ class MetadataAgg(spark: SparkSession, val table: String)
       val rc = m.colStats.getOrElse(CommitLog.RowCountCol, Map.empty)
       if (files.forall(rc.contains)) Some(files.map(f => rc(f)._1).sum)
       else None
+    // count(col) = Σ (rows − nulls) when every scanned file carries
+    // both counts for that column
+    case c: Count if c.children.sizeIs == 1 &&
+        c.children.head.isInstanceOf[AttributeReference] =>
+      val a = c.children.head.asInstanceOf[AttributeReference]
+      val rc = m.colStats.getOrElse(CommitLog.RowCountCol, Map.empty)
+      val nc = m.colStats.getOrElse(CommitLog.nullCountCol(a.name), Map.empty)
+      if (files.forall(f => rc.contains(f) && nc.contains(f)))
+        Some(files.map(f => rc(f)._1 - nc(f)._1).sum)
+      else None
     case mn: Min => extremum(m, files, mn.child, isMin = true)
     case mx: Max => extremum(m, files, mx.child, isMin = false)
     case _ => None

@@ -1923,6 +1923,49 @@ private[graft] object RegWarehouse {
         .withColumn("version_now", lit(CommitLog.versionAsOf(s, table,
           System.currentTimeMillis()).get))
     },
+
+    // NULL-AWARE metadata aggregates: the stats pass records per-file
+    // null counts beside row counts, so count(col) — which skips
+    // NULLs — answers from the manifest too (rows − nulls per file).
+    // A seventh of the rows carry a NULL v; the whole aggregate
+    // (count(*), count(v), min/max k) collapses to a LocalRelation
+    // (meta_only = 1, from the optimized plan) and the VALUES face
+    // DuckDB's recompute from raw rows.
+    "q_meta_count_nulls" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_magn_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("k"),
+        when(pmod(col("l_orderkey"), lit(7)) === 0, lit(null))
+          .otherwise((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("v"))
+      CommitLog.appendWithStats(s, li.repartition(4), table, Seq("k", "v"))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MetadataAgg => r.table == table
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.plans.MetadataAgg(s, table)
+      val q = CommitLog.read(s, table).agg(
+        count(lit(1)).as("n"), count(col("v")).as("n_v"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      val metaOnly = {
+        val pl = q.queryExecution.optimizedPlan
+        val noScan = pl.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr
+        }.isEmpty
+        val oneRow = pl.collectFirst {
+          case l: org.apache.spark.sql.catalyst.plans.logical
+              .LocalRelation => l
+        }.isDefined
+        if (noScan && oneRow) 1L else 0L
+      }
+      q.withColumn("meta_only", lit(metaOnly))
+    },
   )
 
   val oracles: Map[String, String] = Map(
@@ -3154,5 +3197,17 @@ private[graft] object RegWarehouse {
         |SELECT m.n_mid, m.cents_mid, c.n_now, c.cents_now,
         |  CAST(1 AS BIGINT) AS version_mid, CAST(2 AS BIGINT) AS version_now
         |FROM mid m, cur c""".stripMargin,
+
+
+    // count(v) skips the seventh of rows whose v is NULL; the manifest
+    // must agree with the data.
+    "q_meta_count_nulls" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(CASE WHEN l_orderkey % 7 = 0 THEN NULL
+        |    ELSE 1 END) AS BIGINT) AS n_v,
+        |  CAST(min(l_orderkey) AS BIGINT) AS k_min,
+        |  CAST(max(l_orderkey) AS BIGINT) AS k_max,
+        |  CAST(1 AS BIGINT) AS meta_only
+        |FROM lineitem""".stripMargin,
   )
 }

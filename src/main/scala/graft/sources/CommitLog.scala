@@ -755,13 +755,24 @@ object CommitLog {
     * metadata-only aggregate rule ([[graft.plans.MetadataAgg]]). */
   val RowCountCol = "__nrows"
 
+  /** Reserved pseudo-column prefix for per-file NULL counts of one
+    * statted column: `__nnulls:<col> -> file -> (n, n)` rides the
+    * numeric family like [[RowCountCol]]. With a row count beside it,
+    * `count(col)` becomes metadata-answerable (Σ rows − nulls,
+    * [[graft.plans.MetadataAgg]]) and IS NULL / IS NOT NULL prune
+    * all-null / no-null files ([[graft.plans.ManifestSkip]]). */
+  val NullCountPrefix = "__nnulls:"
+
+  /** Null-count key for a column. */
+  def nullCountCol(c: String): String = s"$NullCountPrefix$c"
+
   /** The REAL statted columns of a manifest — every zone-map key
-    * minus the reserved row-count pseudo-column. What maintenance
-    * rewrites (compaction, replaceWhere) re-collect stats for; the
-    * stats pass regenerates row counts itself. */
+    * minus the reserved `__`-prefixed pseudo-columns. What
+    * maintenance rewrites (compaction, replaceWhere) re-collect stats
+    * for; the stats pass regenerates the pseudo-columns itself. */
   private def statColsOf(m: Manifest): Seq[String] =
     (m.colStats.keys ++ m.strStats.keys).toSeq.distinct
-      .filterNot(_ == RowCountCol).sorted
+      .filterNot(_.startsWith("__")).sorted
 
   /** Per-file row counts recorded at `version` (head by default) —
     * SPARSE: only files written through a stats-collecting path have
@@ -814,9 +825,10 @@ object CommitLog {
       statsCols: Seq[String])
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, Map[String, (String, String)]]) = {
-    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
-    require(!statsCols.contains(RowCountCol),
-      s"$RowCountCol is the reserved row-count pseudo-column")
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min, sum, when}
+    require(statsCols.forall(!_.startsWith("__")),
+      "the __ stats-column namespace is reserved (row/null-count " +
+        "pseudo-columns)")
     if (staged.isEmpty) (Map.empty, Map.empty)
     else {
       // Key on the path from its LAST stage-* segment down — unique
@@ -844,7 +856,9 @@ object CommitLog {
             org.apache.spark.sql.functions.unix_micros(col(c)).cast("long")
           case _ => col(c).cast("long")
         }
-        Seq(min(probe).as(s"mn$i"), max(probe).as(s"mx$i"))
+        Seq(min(probe).as(s"mn$i"), max(probe).as(s"mx$i"),
+          // per-file null count of the statted column, same pass
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nl$i"))
       } :+ count(lit(1)).as("__cnt") // per-file row count, same pass
       val rows = df
         .groupBy(input_file_name().as("__f"))
@@ -853,13 +867,24 @@ object CommitLog {
       def cells[T](c: String, i: Int, get: (org.apache.spark.sql.Row, Int) => T)
           : Map[String, (T, T)] =
         rows.flatMap { r =>
-          val mnAt = 1 + 2 * i
+          val mnAt = 1 + 3 * i
           if (r.isNullAt(mnAt)) None
           else byKey.get(key(r.getString(0)))
             .map(rel => rel -> (get(r, mnAt), get(r, mnAt + 1)))
         }.toMap
+      // Null counts are recorded for EVERY file — including all-null
+      // ones, whose zone-map cell is absent by design.
+      def nullCells(i: Int): Map[String, (Long, Long)] =
+        rows.flatMap { r =>
+          val at = 3 + 3 * i
+          byKey.get(key(r.getString(0)))
+            .map(rel => rel -> (r.getLong(at), r.getLong(at)))
+        }.toMap
       val nums = statsCols.zipWithIndex.collect { case (c, i) if !isStr(c) =>
         c -> cells[Long](c, i, (r, at) => r.getLong(at))
+      }.filter(_._2.nonEmpty).toMap
+      val nulls = statsCols.zipWithIndex.map { case (c, i) =>
+        nullCountCol(c) -> nullCells(i)
       }.filter(_._2.nonEmpty).toMap
       val strs = statsCols.zipWithIndex.collect { case (c, i) if isStr(c) =>
         c -> cells[String](c, i, (r, at) => r.getString(at))
@@ -867,12 +892,12 @@ object CommitLog {
       // Row counts ride the numeric family as (n, n) under the
       // reserved pseudo-column — every file gets one (count never
       // nulls out), so a stats-collecting write is always countable.
-      val cntAt = 1 + 2 * statsCols.size
+      val cntAt = 1 + 3 * statsCols.size
       val counts = rows.flatMap { r =>
         byKey.get(key(r.getString(0)))
           .map(rel => rel -> (r.getLong(cntAt), r.getLong(cntAt)))
       }.toMap
-      (nums.updated(RowCountCol, counts), strs)
+      (nums ++ nulls + (RowCountCol -> counts), strs)
     }
   }
 

@@ -116,6 +116,30 @@ class ManifestSkipSpec extends SparkSpec {
     }
   }
 
+  test("IS NULL prunes no-null files; IS NOT NULL prunes all-null files") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("mskip-n").toString + "/t"
+    // file 0: no nulls in s; file 1: mixed; file 2: all null
+    val batches = Seq(
+      Seq[(Int, String)]((1, "a"), (2, "b")),
+      Seq[(Int, String)]((3, "c"), (4, null)),
+      Seq[(Int, String)]((5, null), (6, null)))
+    batches.foreach { b =>
+      CommitLog.appendWithStats(spark, b.toDF("k", "s").coalesce(1),
+        table, Seq("k", "s"))
+    }
+    withRule(table) {
+      val qn = CommitLog.read(spark, table).filter(col("s").isNull)
+      assert(scanFiles(qn).size == 2, "the no-null file is skipped")
+      assert(qn.count() == 3)
+
+      val qnn = CommitLog.read(spark, table).filter(col("s").isNotNull)
+      assert(scanFiles(qnn).size == 2, "the all-null file is skipped")
+      assert(qnn.count() == 3)
+    }
+  }
+
   test("spark.sql over a registered view prunes identically") {
     val table = buildTable()
     withRule(table) {

@@ -65,6 +65,37 @@ class MetadataAggSpec extends SparkSpec {
     }
   }
 
+  test("count(col) answers from row+null counts; nulls subtract exactly") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("magg-n").toString + "/t"
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "x"), (null, "y"), (3L, null), (null, null))
+      .toDF("k", "s")
+    CommitLog.appendWithStats(spark, df.coalesce(1), table, Seq("k", "s"))
+    withRule(table) {
+      val q = CommitLog.read(spark, table).agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_k"), count(col("s")).as("n_s"))
+      assert(isMetadataOnly(q))
+      val r = q.head()
+      assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L)
+
+      // count(col) with no null stats for that column falls through
+      val table2 = java.nio.file.Files
+        .createTempDirectory("magg-n2").toString + "/t"
+      CommitLog.appendWithStats(spark, df.coalesce(1), table2, Seq("k"))
+      val saved2 = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        saved2 :+ new MetadataAgg(spark, table2)
+      try {
+        val q2 = CommitLog.read(spark, table2).agg(count(col("s")).as("n_s"))
+        assert(!isMetadataOnly(q2))
+        assert(q2.head().getLong(0) == 2L)
+      } finally spark.experimental.extraOptimizations = saved2
+    }
+  }
+
   test("date/timestamp extrema come back in external form, exactly") {
     import spark.implicits._
     val table = java.nio.file.Files

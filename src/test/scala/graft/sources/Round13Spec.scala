@@ -148,10 +148,13 @@ class Round13Spec extends SparkSpec {
         t, Seq("a", "b"))
     val m = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
     assert(m.statsCol == "a")
-    // the reserved row-count pseudo-column rides beside the real maps
-    assert(m.colStats.keySet == Set("a", "b", CommitLog.RowCountCol))
+    // the reserved __ pseudo-columns (row/null counts) ride beside
+    // the real maps
+    assert(m.colStats.keySet.filterNot(_.startsWith("__")) == Set("a", "b"))
     assert(m.files.forall(f =>
       m.colStats(CommitLog.RowCountCol).get(f).exists(_._1 == 100L)))
+    assert(m.files.forall(f =>
+      m.colStats(CommitLog.nullCountCol("a")).get(f).exists(_._1 == 0L)))
     // A probe on the PRIMARY column selects one file…
     assert(CommitLog.prunedFilesBy(spark, t, "a", 120L, 150L)._2.size == 1)
     // …and a probe on the SECOND column selects a (different) one.
@@ -178,7 +181,7 @@ class Round13Spec extends SparkSpec {
           .toDF("id", "day").coalesce(1), t, Seq("id", "day"))
     val m0 = CommitLog.readManifest(spark, t, CommitLog.currentVersion(spark, t).get)
     assert(m0.strStats.keySet == Set("day") &&
-      m0.colStats.keySet == Set("id", CommitLog.RowCountCol))
+      m0.colStats.keySet.filterNot(_.startsWith("__")) == Set("id"))
     // A month-window probe selects exactly that month's file.
     val (total, sel) = CommitLog.prunedFilesByString(spark, t, "day",
       "2024-02-01", "2024-02-99")

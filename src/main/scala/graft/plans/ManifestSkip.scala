@@ -3,9 +3,9 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
-  And, AttributeReference, EqualTo, Expression, GreaterThan,
-  GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual,
-  Literal}
+  And, AttributeReference, EqualNullSafe, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan,
+  LessThanOrEqual, Literal, Not, Or, StartsWith}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Filter, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -21,22 +21,27 @@ import graft.sources.CommitLog
   * zone maps applied by the PLANNER instead of the call site (Delta's
   * prepared-scan idea as a session `Rule[LogicalPlan]`): a `Filter`
   * whose child scans this table's parquet files is rewritten to scan
-  * only the files whose recorded per-column [min, max] intersects the
-  * filter's bounds. `readPrunedBy` stays the explicit API; this rule
-  * makes every OTHER read path — `CommitLog.read(...).filter(...)`,
-  * a view, a `spark.sql` predicate — skip for free, including
-  * time-travel scans (data files are immutable, so a head-manifest
-  * stats entry is valid for any version's copy of the same file; a
-  * file the head no longer stats is simply kept).
+  * only the files that COULD satisfy the predicate. `readPrunedBy`
+  * stays the explicit API; this rule makes every OTHER read path —
+  * `CommitLog.read(...).filter(...)`, a temp view, a `spark.sql`
+  * predicate — skip for free, including time-travel scans (data files
+  * are immutable, so a head-manifest stats entry is valid for any
+  * version's copy of the same file; a file the head no longer stats
+  * is simply kept).
   *
-  * Soundness: pruning only ever DROPS files whose recorded range
-  * cannot satisfy the extracted bounds; files without stats on a
-  * probed column are always kept, the row-level `Filter` stays in the
-  * plan as the residual, and unsupported conjuncts (casts, functions,
-  * non-literal comparisons, null-safe equality) contribute no bound.
-  * Strict `<` / `>` bounds are relaxed to inclusive — a missed prune,
-  * never a lost row. An all-pruned scan collapses to a typed-empty
-  * [[LocalRelation]] (the metadata-only answer).
+  * The pruning decision is a RECURSIVE three-valued satisfiability
+  * walk, not a conjunct bound-map, so the whole boolean structure
+  * prunes: `AND` needs both sides possible, `OR` either side (a
+  * two-range date query reads two file sets, not everything), `IN`
+  * probes each value against the file's range (tighter than the
+  * list's min/max span), `=`/`<=>`/`<`/`<=`/`>`/`>=` check the
+  * interval exactly (strict bounds included), `IS [NOT] NULL` uses
+  * the per-file null counts, `startsWith` uses the prefix-successor
+  * window on string maps. Anything unknown — casts, functions,
+  * non-literal comparisons, `NOT` over an opaque child — evaluates to
+  * "possible", which only costs pruning, never rows: the row-level
+  * `Filter` always stays in the plan as the residual. An all-pruned
+  * scan collapses to a typed-empty [[LocalRelation]].
   *
   * Register per session via `spark.experimental.extraOptimizations`
   * (the [[MvRewrite]] hook pattern): the batch is fixed-point, so the
@@ -55,13 +60,6 @@ class ManifestSkip(spark: SparkSession, val table: String)
 
   private val root = norm(CommitLog.tableRoot(table))
 
-  // ---- conjunct → per-column bounds --------------------------------
-
-  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
-    case other => Seq(other)
-  }
-
   /** Integral AND temporal literals: a folded date literal carries
     * epoch DAYS (Int), a timestamp literal epoch MICROS (Long) — the
     * same units the stats pass records temporal zone maps in. */
@@ -77,103 +75,131 @@ class ManifestSkip(spark: SparkSession, val table: String)
     case _ => None
   }
 
-  /** IS NULL / IS NOT NULL conjuncts per column (true = wants nulls):
-    * answered by the per-file null counts — IS NULL prunes no-null
-    * files, IS NOT NULL prunes all-null files. */
-  private[plans] def nullProbes(cond: Expression): Map[String, Boolean] =
-    splitConjuncts(cond).collect {
-      case IsNull(a: AttributeReference) => a.name -> true
-      case IsNotNull(a: AttributeReference) => a.name -> false
-    }.toMap
-
-  /** Inclusive [lo, hi] bounds implied by the filter, per column name:
-    * numeric (integer-typed) and string (lexicographic) separately —
-    * matching the manifest's two zone-map families. */
-  private[plans] def bounds(cond: Expression)
-      : (Map[String, (Long, Long)], Map[String, (String, String)]) = {
-    val num = scala.collection.mutable.Map.empty[String, (Long, Long)]
-    val str = scala.collection.mutable.Map.empty[String, (String, String)]
-    def tightenNum(c: String, lo: Long, hi: Long): Unit = {
-      val (l0, h0) = num.getOrElse(c, (Long.MinValue, Long.MaxValue))
-      num(c) = (math.max(l0, lo), math.min(h0, hi))
-    }
-    def tightenStr(c: String, lo: Option[String], hi: Option[String]): Unit = {
-      val (l0, h0) = str.getOrElse(c, (null: String, null: String))
-      val l = lo.map(v => if (l0 == null || v > l0) v else l0).getOrElse(l0)
-      val h = hi.map(v => if (h0 == null || v < h0) v else h0).getOrElse(h0)
-      str(c) = (l, h)
-    }
-    def one(a: AttributeReference, l: Literal,
-        lowSide: Boolean, eq: Boolean): Unit =
-      asLong(l) match {
-        case Some(v) =>
-          if (eq) tightenNum(a.name, v, v)
-          else if (lowSide) tightenNum(a.name, v, Long.MaxValue)
-          else tightenNum(a.name, Long.MinValue, v)
-        case None => asStr(l).foreach { v =>
-          if (eq) tightenStr(a.name, Some(v), Some(v))
-          else if (lowSide) tightenStr(a.name, Some(v), None)
-          else tightenStr(a.name, None, Some(v))
-        }
-      }
-    splitConjuncts(cond).foreach {
-      case EqualTo(a: AttributeReference, l: Literal) => one(a, l, lowSide = true, eq = true)
-      case EqualTo(l: Literal, a: AttributeReference) => one(a, l, lowSide = true, eq = true)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) => one(a, l, lowSide = true, eq = false)
-      case GreaterThan(a: AttributeReference, l: Literal) => one(a, l, lowSide = true, eq = false)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) => one(a, l, lowSide = false, eq = false)
-      case LessThan(a: AttributeReference, l: Literal) => one(a, l, lowSide = false, eq = false)
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) => one(a, l, lowSide = false, eq = false)
-      case GreaterThan(l: Literal, a: AttributeReference) => one(a, l, lowSide = false, eq = false)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) => one(a, l, lowSide = true, eq = false)
-      case LessThan(l: Literal, a: AttributeReference) => one(a, l, lowSide = true, eq = false)
-      case In(a: AttributeReference, vs) if vs.nonEmpty &&
-          vs.forall(_.isInstanceOf[Literal]) =>
-        val lits = vs.map(_.asInstanceOf[Literal])
-        val longs = lits.flatMap(asLong)
-        if (longs.size == lits.size) tightenNum(a.name, longs.min, longs.max)
-        else {
-          val strs = lits.flatMap(asStr)
-          if (strs.size == lits.size)
-            tightenStr(a.name, Some(strs.min), Some(strs.max))
-        }
-      case _ => () // unsupported conjunct: no bound, residual filter decides
-    }
-    (num.toMap, str.toMap)
+  /** Smallest string that is GREATER than every string with prefix
+    * `p` (increment the last non-max char, drop the tail), or None
+    * when no such bound exists. */
+  private def prefixSuccessor(p: String): Option[String] = {
+    val i = p.lastIndexWhere(_ != Char.MaxValue)
+    if (i < 0) None
+    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
   }
 
-  // ---- the rewrite --------------------------------------------------
+  /** Does `cond` contain at least one leaf this rule could act on?
+    * Cheap pre-check so unprunable filters never read the manifest. */
+  private def hasUsableLeaf(e: Expression): Boolean = e match {
+    case And(l, r) => hasUsableLeaf(l) || hasUsableLeaf(r)
+    case Or(l, r) => hasUsableLeaf(l) || hasUsableLeaf(r)
+    case EqualTo(_: AttributeReference, _: Literal) => true
+    case EqualTo(_: Literal, _: AttributeReference) => true
+    case EqualNullSafe(_: AttributeReference, _: Literal) => true
+    case EqualNullSafe(_: Literal, _: AttributeReference) => true
+    case GreaterThan(_: AttributeReference, _: Literal) => true
+    case GreaterThan(_: Literal, _: AttributeReference) => true
+    case GreaterThanOrEqual(_: AttributeReference, _: Literal) => true
+    case GreaterThanOrEqual(_: Literal, _: AttributeReference) => true
+    case LessThan(_: AttributeReference, _: Literal) => true
+    case LessThan(_: Literal, _: AttributeReference) => true
+    case LessThanOrEqual(_: AttributeReference, _: Literal) => true
+    case LessThanOrEqual(_: Literal, _: AttributeReference) => true
+    case In(_: AttributeReference, vs) => vs.forall(_.isInstanceOf[Literal])
+    case IsNull(_: AttributeReference) => true
+    case IsNotNull(_: AttributeReference) => true
+    case StartsWith(_: AttributeReference, _: Literal) => true
+    case _ => false
+  }
 
-  /** Head-manifest zone-map verdict for one manifest-relative file:
-    * keep unless SOME probed column's recorded range misses its
-    * bounds. Missing stats → keep. */
-  private def keepFile(
-      m: CommitLog.Manifest,
-      num: Map[String, (Long, Long)],
-      str: Map[String, (String, String)],
-      nulls: Map[String, Boolean])(rel: String): Boolean = {
-    val numOk = num.forall { case (c, (lo, hi)) =>
-      m.colStats.get(c).flatMap(_.get(rel)) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true
+  /** Three-valued verdict for one file: can ANY row of `rel` satisfy
+    * `e`? Unknown shapes answer true (keep). `outNames` guards
+    * against bounds on columns of some OTHER relation. */
+  private def canMatch(
+      m: CommitLog.Manifest, outNames: Set[String],
+      e: Expression, rel: String): Boolean = {
+
+    def numRange(c: String): Option[(Long, Long)] =
+      if (!outNames(c)) None else m.colStats.get(c).flatMap(_.get(rel))
+    def strRange(c: String): Option[(String, String)] =
+      if (!outNames(c)) None else m.strStats.get(c).flatMap(_.get(rel))
+    def nullCnt(c: String): Option[Long] =
+      if (!outNames(c)) None
+      else m.colStats.get(CommitLog.nullCountCol(c)).flatMap(_.get(rel))
+        .map(_._1)
+    def rowCnt: Option[Long] =
+      m.colStats.get(CommitLog.RowCountCol).flatMap(_.get(rel)).map(_._1)
+
+    /** interval test for one comparison leaf; None bound = unknown */
+    def cmp(a: AttributeReference, l: Literal,
+        num: (Long, Long, Long) => Boolean,
+        str: (String, String, String) => Boolean): Boolean =
+      asLong(l) match {
+        case Some(v) => numRange(a.name).forall { case (mn, mx) =>
+          num(mn, mx, v) }
+        case None => asStr(l) match {
+          case Some(v) => strRange(a.name).forall { case (mn, mx) =>
+            str(mn, mx, v) }
+          case None => true
+        }
       }
-    }
-    val strOk = str.forall { case (c, (lo, hi)) =>
-      m.strStats.get(c).flatMap(_.get(rel)) match {
-        case Some((mn, mx)) =>
-          (lo == null || mx >= lo) && (hi == null || mn <= hi)
-        case None => true
+
+    e match {
+      case And(l, r) =>
+        canMatch(m, outNames, l, rel) && canMatch(m, outNames, r, rel)
+      case Or(l, r) =>
+        canMatch(m, outNames, l, rel) || canMatch(m, outNames, r, rel)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (mn, mx, v) => mn <= v && v <= mx,
+          (mn, mx, v) => mn <= v && v <= mx)
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        cmp(a, l, (mn, mx, v) => mn <= v && v <= mx,
+          (mn, mx, v) => mn <= v && v <= mx)
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        if (l.value == null) canMatch(m, outNames, IsNull(a), rel)
+        else cmp(a, l, (mn, mx, v) => mn <= v && v <= mx,
+          (mn, mx, v) => mn <= v && v <= mx)
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
+        canMatch(m, outNames, EqualNullSafe(a, l), rel)
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (_, mx, v) => mx > v, (_, mx, v) => mx > v)
+      case GreaterThan(l: Literal, a: AttributeReference) => // v > a
+        cmp(a, l, (mn, _, v) => mn < v, (mn, _, v) => mn < v)
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (_, mx, v) => mx >= v, (_, mx, v) => mx >= v)
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l, (mn, _, v) => mn <= v, (mn, _, v) => mn <= v)
+      case LessThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (mn, _, v) => mn < v, (mn, _, v) => mn < v)
+      case LessThan(l: Literal, a: AttributeReference) => // v < a
+        cmp(a, l, (_, mx, v) => mx > v, (_, mx, v) => mx > v)
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (mn, _, v) => mn <= v, (mn, _, v) => mn <= v)
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l, (_, mx, v) => mx >= v, (_, mx, v) => mx >= v)
+      case In(a: AttributeReference, vs)
+          if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        // per-value: the file survives only if SOME value fits it
+        vs.exists(v => canMatch(m, outNames,
+          EqualTo(a, v.asInstanceOf[Literal]), rel))
+      case IsNull(a: AttributeReference) =>
+        nullCnt(a.name).forall(_ > 0)
+      case IsNotNull(a: AttributeReference) =>
+        // drop only a provably all-null, non-empty file
+        !(for { nc <- nullCnt(a.name); rc <- rowCnt }
+          yield nc == rc && rc > 0L).getOrElse(false)
+      case StartsWith(a: AttributeReference, l: Literal) =>
+        asStr(l) match {
+          case Some(p) => strRange(a.name).forall { case (mn, mx) =>
+            mx >= p && prefixSuccessor(p).forall(mn < _)
+          }
+          case None => true
+        }
+      case Not(child) => child match {
+        // De-Morgan the shapes we understand; opaque NOT stays kept
+        case EqualTo(a: AttributeReference, l: Literal) =>
+          // a != v: only an (mn == mx == v) file is all-equal to v
+          cmp(a, l, (mn, mx, v) => !(mn == v && mx == v),
+            (mn, mx, v) => !(mn == v && mx == v))
+        case _ => true
       }
-    }
-    numOk && strOk && nulls.forall { case (c, wantNull) =>
-      val nc = m.colStats.get(CommitLog.nullCountCol(c))
-        .flatMap(_.get(rel)).map(_._1)
-      if (wantNull) nc.forall(_ > 0) // IS NULL: drop no-null files
-      else { // IS NOT NULL: drop all-null files
-        val rc = m.colStats.get(CommitLog.RowCountCol)
-          .flatMap(_.get(rel)).map(_._1)
-        !(nc.isDefined && rc.isDefined && nc.get == rc.get && rc.get > 0L)
-      }
+      case _ => true // unknown leaf: possible
     }
   }
 
@@ -184,34 +210,25 @@ class ManifestSkip(spark: SparkSession, val table: String)
           val paths = fsRel.location.rootPaths.map(p => norm(p.toString))
           val prefix = root + "/"
           if (paths.isEmpty || !paths.forall(_.startsWith(prefix))) fl
-          else {
-            val (num, str) = bounds(cond)
-            val nulls = nullProbes(cond)
-            // Only probe columns this scan actually produces — a bound
-            // on a column of some OTHER relation must not prune here.
-            val outNames = lr.output.map(_.name).toSet
-            val numB = num.filter(e => outNames(e._1))
-            val strB = str.filter(e => outNames(e._1))
-            val nullB = nulls.filter(e => outNames(e._1))
-            if (numB.isEmpty && strB.isEmpty && nullB.isEmpty) fl
-            else CommitLog.currentVersion(spark, table) match {
-              case None => fl
-              case Some(v) =>
-                val m = CommitLog.readManifest(spark, table, v)
-                val keep = keepFile(m, numB, strB, nullB) _
-                val sel = paths.filter(p => keep(p.stripPrefix(prefix)))
-                if (sel.size == paths.size) fl // idempotent fixed point
-                else if (sel.isEmpty) Filter(cond, LocalRelation(lr.output))
-                else {
-                  val pruned = spark.read.parquet(sel: _*)
-                    .queryExecution.analyzed
-                  pruned match {
-                    case nlr: LogicalRelation if nlr.schema == lr.schema =>
-                      Filter(cond, nlr.copy(output = lr.output))
-                    case _ => fl // unexpected shape: leave untouched
-                  }
+          else if (!hasUsableLeaf(cond)) fl
+          else CommitLog.currentVersion(spark, table) match {
+            case None => fl
+            case Some(v) =>
+              val m = CommitLog.readManifest(spark, table, v)
+              val outNames = lr.output.map(_.name).toSet
+              val sel = paths.filter(p =>
+                canMatch(m, outNames, cond, p.stripPrefix(prefix)))
+              if (sel.size == paths.size) fl // idempotent fixed point
+              else if (sel.isEmpty) Filter(cond, LocalRelation(lr.output))
+              else {
+                val pruned = spark.read.parquet(sel: _*)
+                  .queryExecution.analyzed
+                pruned match {
+                  case nlr: LogicalRelation if nlr.schema == lr.schema =>
+                    Filter(cond, nlr.copy(output = lr.output))
+                  case _ => fl // unexpected shape: leave untouched
                 }
-            }
+              }
           }
         case _ => fl
       }

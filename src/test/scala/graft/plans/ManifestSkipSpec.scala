@@ -95,7 +95,7 @@ class ManifestSkipSpec extends SparkSpec {
     }
   }
 
-  test("foreign scans and OR predicates are left untouched") {
+  test("foreign scans stay untouched; boolean structure prunes exactly") {
     import spark.implicits._
     val table = buildTable()
     val other = java.nio.file.Files
@@ -108,11 +108,35 @@ class ManifestSkipSpec extends SparkSpec {
       assert(scanFiles(qo).nonEmpty)
       assert(qo.count() == 1)
 
-      // OR is not a conjunct bound: all files kept, result correct
+      // OR reads the union of both sides' file sets (two files here)
       val qor = CommitLog.read(spark, table)
         .filter(col("k") === 5 || col("k") === 305)
-      assert(scanFiles(qor).size == 4)
+      assert(scanFiles(qor).size == 2)
       assert(qor.count() == 2)
+
+      // IN probes each value: 3 values, 2 distinct files
+      val qin = CommitLog.read(spark, table)
+        .filter(col("k").isin(5, 7, 305))
+      assert(scanFiles(qin).size == 2)
+      assert(qin.count() == 3)
+
+      // a two-range date-style OR with AND inside each side
+      val qr = CommitLog.read(spark, table).filter(
+        (col("k") >= 100 && col("k") <= 105) ||
+          (col("k") >= 300 && col("k") <= 305))
+      assert(scanFiles(qr).size == 2)
+      assert(qr.count() == 12)
+
+      // startsWith on the string map: one month file
+      val qs = CommitLog.read(spark, table)
+        .filter(col("month").startsWith("2024-02"))
+      assert(scanFiles(qs).size == 1)
+      assert(qs.count() == 10)
+
+      // null-safe equality prunes like equality
+      val qns = CommitLog.read(spark, table).filter(col("k") <=> 105)
+      assert(scanFiles(qns).size == 1)
+      assert(qns.count() == 1)
     }
   }
 

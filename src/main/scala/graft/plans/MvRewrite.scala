@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{
   Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
-  AggregateExpression, Complete, Count, Sum}
+  AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
   Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -26,6 +26,14 @@ case class MvDef(
     groupCols: Seq[String],
     cntCol: String,
     sumCols: Map[String, String],
+    /** Base measure column → summary partial-MIN column. Min/max
+      * re-associate exactly under rollup and append-only refresh
+      * (min of partial mins); they do NOT fold under deletes, which
+      * is why [[graft.sources.MvIncremental.applyChanges]] refuses
+      * them. */
+    minCols: Map[String, String] = Map.empty,
+    /** Base measure column → summary partial-MAX column. */
+    maxCols: Map[String, String] = Map.empty,
     /** When true, BOTH paths are commit-log table refs: the base scan
       * is recognized by file-under-root prefix (a `CommitLog.read`
       * lists files, not the dir), the summary is read at ITS head
@@ -142,6 +150,14 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
         case a: AttributeReference => mv.sumCols.get(a.name)
         case _ => None
       }
+      case mn: Min => mn.child match {
+        case a: AttributeReference => mv.minCols.get(a.name)
+        case _ => None
+      }
+      case mx: Max => mx.child match {
+        case a: AttributeReference => mv.maxCols.get(a.name)
+        case _ => None
+      }
       case _ => None
     }
 
@@ -170,9 +186,15 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
         .queryExecution.analyzed
       val sAttr: Map[String, Attribute] =
         sumRel.output.map(a => a.name -> a).toMap
-      def remapAgg(ae: AggregateExpression): Expression =
-        AggregateExpression(
-          Sum(sAttr(partialCol(ae).get)), Complete, isDistinct = false)
+      def remapAgg(ae: AggregateExpression): Expression = {
+        val partial = sAttr(partialCol(ae).get)
+        val merged = ae.aggregateFunction match {
+          case _: Min => Min(partial) // min of partial mins
+          case _: Max => Max(partial)
+          case _ => Sum(partial) // count → Σcnt, sum → Σpartial
+        }
+        AggregateExpression(merged, Complete, isDistinct = false)
+      }
       def keepId(child: Expression, name: String,
           old: NamedExpression): NamedExpression =
         Alias(child, name)(exprId = old.exprId)

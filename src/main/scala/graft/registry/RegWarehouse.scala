@@ -1803,6 +1803,69 @@ private[graft] object RegWarehouse {
       q.withColumn("mv_used", lit(mvUsed))
     },
 
+    // MIN/MAX MV ALGEBRA: min/max re-associate exactly under rollup
+    // (min of partial mins) and under append-only incremental refresh
+    // — both folds exercised here (two appends, a refresh after each,
+    // the second one moving several groups' extrema), then the
+    // freshness-gated rewrite answers a priority rollup's
+    // count/min/max FROM the summary (mv_used pinned from the plan).
+    // The signed-CDC fold refuses min/max summaries (a delete cannot
+    // un-take an extremum) — pinned in MvIncrementalSpec.
+    "q_mv_minmax" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvx_base_$tag"
+      val summ =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvx_summ_$tag"
+      import graft.sources.{CommitLog, MvIncremental}
+      for (t <- Seq(base, summ)) {
+        val p = new org.apache.hadoop.fs.Path(t)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderpriority").as("prio"),
+        col("o_orderkey").cast("long").as("key"))
+      def refreshMv(): Unit = {
+        MvIncremental.refresh(s, base, summ, "mm", Seq("prio"),
+          "mv_cnt", Map("key" -> "mv_sum_key"),
+          minCols = Map("key" -> "mv_min_key"),
+          maxCols = Map("key" -> "mv_max_key"))
+        ()
+      }
+      CommitLog.append(s, o.filter(pmod(col("key"), lit(2)) === 0), base)
+      refreshMv()
+      CommitLog.append(s, o.filter(pmod(col("key"), lit(2)) === 1), base)
+      refreshMv()
+      val mv = graft.plans.MvDef(base, summ, Seq("prio"), "mv_cnt",
+        Map("key" -> "mv_sum_key"),
+        minCols = Map("key" -> "mv_min_key"),
+        maxCols = Map("key" -> "mv_max_key"),
+        logTables = true, feedTag = "mm")
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MvRewrite => r.mv == mv
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.MvRewrite(s, mv)
+      val q = CommitLog.read(s, base).groupBy("prio")
+        .agg(count(lit(1)).as("n"), min(col("key")).as("key_min"),
+          max(col("key")).as("key_max"))
+        .orderBy("prio")
+      val summRoot = new org.apache.hadoop.fs.Path(summ).toUri.getPath + "/"
+      val mvUsed = {
+        val paths = q.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+        }.flatten
+        if (paths.nonEmpty && paths.forall(_.startsWith(summRoot))) 1L else 0L
+      }
+      q.withColumn("mv_used", lit(mvUsed))
+    },
+
     // TEMPORAL automatic skipping: zone maps on a real DATE column
     // (epoch-days in the manifest — the unit a folded date literal
     // carries, so the ManifestSkip rule compares with zero timezone
@@ -3131,6 +3194,19 @@ private[graft] object RegWarehouse {
       """SELECT o_orderpriority AS prio,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS mv_used
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY prio""".stripMargin,
+
+
+    // Incremental min/max folding must equal full recomputation;
+    // mv_used = 1 is the planner contract.
+    "q_mv_minmax" ->
+      """SELECT o_orderpriority AS prio,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_min,
+        |  CAST(max(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_max,
         |  CAST(1 AS BIGINT) AS mv_used
         |FROM orders
         |GROUP BY o_orderpriority

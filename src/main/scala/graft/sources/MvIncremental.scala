@@ -45,28 +45,41 @@ object MvIncremental {
       feedTag: String): Long =
     TableFeed.cursor(spark, summary, tag(feedTag))
 
+  /** The MV's partial-aggregate families: count, sums, and (append-
+    * only-foldable) mins/maxes, each base measure → summary column. */
+  final case class MvAggs(
+      cntCol: String,
+      sumCols: Map[String, String],
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty)
+
   private def partials(df: DataFrame, groupCols: Seq[String],
-      cntCol: String, sumCols: Map[String, String]): DataFrame = {
-    val aggs: Seq[Column] = count(lit(1)).as(cntCol) +:
-      sumCols.toSeq.sortBy(_._1).map { case (m, out) => sum(col(m)).as(out) }
+      a: MvAggs): DataFrame = {
+    val aggs: Seq[Column] = count(lit(1)).as(a.cntCol) +:
+      (a.sumCols.toSeq.sortBy(_._1).map { case (m, out) => sum(col(m)).as(out) } ++
+        a.minCols.toSeq.sortBy(_._1).map { case (m, out) => min(col(m)).as(out) } ++
+        a.maxCols.toSeq.sortBy(_._1).map { case (m, out) => max(col(m)).as(out) })
     df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Merge `delta` (already partial-aggregated, summary-schema) into
-    * the summary as one txn-idempotent swap. */
+    * the summary as one txn-idempotent swap: counts/sums re-sum,
+    * mins/maxes re-min/re-max. */
   private def mergePartials(spark: SparkSession, summary: String,
-      delta: DataFrame, groupCols: Seq[String], cntCol: String,
-      sumOut: Seq[String], txn: String, dropEmpty: Boolean): Long =
+      delta: DataFrame, groupCols: Seq[String], a: MvAggs,
+      txn: String, dropEmpty: Boolean): Long =
     CommitLog.findTxn(spark, summary, txn).getOrElse {
       val merged = CommitLog.currentVersion(spark, summary) match {
         case None => delta
         case Some(_) =>
-          val aggs: Seq[Column] = sum(col(cntCol)).as(cntCol) +:
-            sumOut.map(c => sum(col(c)).as(c))
+          val aggs: Seq[Column] = sum(col(a.cntCol)).as(a.cntCol) +:
+            (a.sumCols.values.toSeq.sorted.map(c => sum(col(c)).as(c)) ++
+              a.minCols.values.toSeq.sorted.map(c => min(col(c)).as(c)) ++
+              a.maxCols.values.toSeq.sorted.map(c => max(col(c)).as(c)))
           CommitLog.read(spark, summary).unionByName(delta)
             .groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
       }
-      val kept = if (dropEmpty) merged.filter(col(cntCol) =!= 0L) else merged
+      val kept = if (dropEmpty) merged.filter(col(a.cntCol) =!= 0L) else merged
       val staged = CommitLog.stage(spark, kept, summary)
       val live = CommitLog.currentVersion(spark, summary)
         .map(v => CommitLog.liveFiles(spark, summary, v)).getOrElse(Seq.empty)
@@ -87,7 +100,10 @@ object MvIncremental {
       feedTag: String,
       groupCols: Seq[String],
       cntCol: String,
-      sumCols: Map[String, String]): Option[(Long, Long)] = {
+      sumCols: Map[String, String],
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty): Option[(Long, Long)] = {
+    val a = MvAggs(cntCol, sumCols, minCols, maxCols)
     val head = CommitLog.currentVersion(spark, base).getOrElse(return None)
     val from = refreshedThrough(spark, summary, feedTag)
     if (head <= from) return None
@@ -116,14 +132,12 @@ object MvIncremental {
     val delta =
       if (added.nonEmpty)
         partials(spark.read.parquet(added.map(f => s"$root/$f"): _*),
-          groupCols, cntCol, sumCols)
+          groupCols, a)
       else { // e.g. schema-only commits in range: cursor still advances
-        partials(CommitLog.read(spark, base).limit(0),
-          groupCols, cntCol, sumCols)
+        partials(CommitLog.read(spark, base).limit(0), groupCols, a)
       }
-    mergePartials(spark, summary, delta, groupCols, cntCol,
-      sumCols.values.toSeq.sorted, s"feed:${tag(feedTag)}:$from-$head",
-      dropEmpty = false)
+    mergePartials(spark, summary, delta, groupCols, a,
+      s"feed:${tag(feedTag)}:$from-$head", dropEmpty = false)
     Some((from, head))
   }
 
@@ -150,18 +164,22 @@ object MvIncremental {
       txn: String,
       groupCols: Seq[String],
       cntCol: String,
-      sumCols: Map[String, String]): Long =
-    mergePartials(spark, summary,
-      partials(batch, groupCols, cntCol, sumCols),
-      groupCols, cntCol, sumCols.values.toSeq.sorted, txn,
-      dropEmpty = false)
+      sumCols: Map[String, String],
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty): Long = {
+    val a = MvAggs(cntCol, sumCols, minCols, maxCols)
+    mergePartials(spark, summary, partials(batch, groupCols, a),
+      groupCols, a, txn, dropEmpty = false)
+  }
 
   /** Fold a SIGNED change feed (insert/delete rows, the
     * [[MorTable.changeFeed]] shape) into the summary: deletes subtract
     * what inserts added, groups whose count reaches zero are dropped.
     * The caller owns the cursor (pass a txn unique per consumed range
     * — duplicate txns are no-ops, preserving exactly-once). An update
-    * flows as its delete+insert pair. */
+    * flows as its delete+insert pair. Counts and sums only: a deleted
+    * row can't un-take a MIN/MAX (non-invertible), so min/max MVs
+    * refuse this path and rebuild instead. */
   def applyChanges(
       spark: SparkSession,
       summary: String,
@@ -171,6 +189,18 @@ object MvIncremental {
       cntCol: String,
       sumCols: Map[String, String],
       changeTypeCol: String = "_change_type"): Long = {
+    // A summary carrying columns beyond (groups, count, sums) holds
+    // partials this signed fold cannot maintain — min/max most of
+    // all. Refuse before touching it.
+    CommitLog.currentVersion(spark, summary).foreach { v =>
+      val known = (groupCols :+ cntCol) ++ sumCols.values
+      val extra = CommitLog.readVersion(spark, summary, v)
+        .schema.fieldNames.filterNot(known.contains)
+      require(extra.isEmpty,
+        s"summary $summary carries non-invertible partials " +
+          s"${extra.toSeq.sorted} — a delete cannot un-take a min/max; " +
+          "rebuild(...) instead of applyChanges")
+    }
     val sign = when(col(changeTypeCol) === "delete", lit(-1L)).otherwise(lit(1L))
     val aggs: Seq[Column] = sum(sign).as(cntCol) +:
       sumCols.toSeq.sortBy(_._1).map { case (m, out) =>
@@ -178,8 +208,8 @@ object MvIncremental {
       }
     val delta = changes.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    mergePartials(spark, summary, delta, groupCols, cntCol,
-      sumCols.values.toSeq.sorted, txn, dropEmpty = true)
+    mergePartials(spark, summary, delta, groupCols,
+      MvAggs(cntCol, sumCols), txn, dropEmpty = true)
   }
 
   /** Full rebuild from the base head (the refusal's remediation):
@@ -193,11 +223,14 @@ object MvIncremental {
       feedTag: String,
       groupCols: Seq[String],
       cntCol: String,
-      sumCols: Map[String, String]): Long = {
+      sumCols: Map[String, String],
+      minCols: Map[String, String] = Map.empty,
+      maxCols: Map[String, String] = Map.empty): Long = {
     val head = CommitLog.currentVersion(spark, base).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $base"))
     mergeReplace(spark, summary,
-      partials(CommitLog.read(spark, base), groupCols, cntCol, sumCols),
+      partials(CommitLog.read(spark, base), groupCols,
+        MvAggs(cntCol, sumCols, minCols, maxCols)),
       s"feed:${tag(feedTag)}:rebuild-$head")
   }
 

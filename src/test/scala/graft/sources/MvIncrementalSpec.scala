@@ -109,6 +109,53 @@ class MvIncrementalSpec extends SparkSpec {
     assert(summary(summ) == Map("a" -> ((2L, 9L))))
   }
 
+  test("min/max partials fold under append-only refresh and rewrite") {
+    import graft.plans.{MvDef, MvRewrite}
+    val (base, summ) = fresh()
+    def refreshMm(): Option[(Long, Long)] =
+      MvIncremental.refresh(spark, base, summ, "mm", groupCols, "mv_cnt",
+        sumCols, minCols = Map("v" -> "mv_min_v"),
+        maxCols = Map("v" -> "mv_max_v"))
+    CommitLog.append(spark, batch(("a", 5L), ("a", 2L), ("b", 10L)), base)
+    assert(refreshMm().isDefined)
+    // a second append moves a's max and b's min
+    CommitLog.append(spark, batch(("a", 9L), ("b", 3L)), base)
+    assert(refreshMm().isDefined)
+    val got = CommitLog.read(spark, summ).collect().map(r =>
+      r.getAs[String]("g") -> ((r.getAs[Long]("mv_min_v"),
+        r.getAs[Long]("mv_max_v")))).toMap
+    assert(got == Map("a" -> ((2L, 9L)), "b" -> ((3L, 10L))))
+
+    // the rewrite answers min/max rollups from the summary
+    val mv = MvDef(base, summ, Seq("g"), "mv_cnt",
+      Map("v" -> "mv_sum_v"), minCols = Map("v" -> "mv_min_v"),
+      maxCols = Map("v" -> "mv_max_v"), logTables = true, feedTag = "mm")
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = saved :+ new MvRewrite(spark, mv)
+    try {
+      val q = CommitLog.read(spark, base)
+        .agg(min("v").as("mn"), max("v").as("mx"))
+      // global rollup (empty grouping ⊂ group cols) from the summary
+      val prefix = new org.apache.hadoop.fs.Path(summ).toUri.getPath + "/"
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+      }.flatten
+      assert(paths.nonEmpty && paths.forall(_.startsWith(prefix)))
+      assert(q.head() == org.apache.spark.sql.Row(2L, 10L))
+
+      // min/max MVs refuse the signed-CDC fold (non-invertible)
+      intercept[IllegalArgumentException] {
+        MvIncremental.applyChanges(spark, summ,
+          Seq(("a", 9L, "delete")).toDF("g", "v", "_change_type"),
+          "cdc:mm", groupCols, "mv_cnt", sumCols)
+      }
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("MvRewrite composes: fires only on a FRESH summary and a head scan") {
     import graft.plans.{MvDef, MvRewrite}
     val (base, summ) = fresh()

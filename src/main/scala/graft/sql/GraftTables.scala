@@ -1,0 +1,49 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.{ManifestSkip, MetadataAgg}
+import graft.sources.CommitLog
+
+/** One-call SQL surface for a commit-log table: `register` creates a
+  * temp view over the table's CURRENT version and installs the two
+  * planner rules — automatic data skipping ([[ManifestSkip]]) and
+  * metadata-only aggregates ([[MetadataAgg]]) — so plain
+  * `spark.sql("SELECT … FROM <view> WHERE …")` prunes at the manifest
+  * and answers count/min/max without a scan.
+  *
+  * The view is a VERSION PIN (snapshot isolation): it resolves the
+  * live file set once, at registration, so queries against it are
+  * repeatable reads even while writers commit. Call [[register]]
+  * again (or [[unregister]]) to advance to the new head — the rules,
+  * keyed by table root, are installed once and survive re-pins.
+  */
+object GraftTables {
+
+  def register(spark: SparkSession, table: String, viewName: String): Unit = {
+    CommitLog.read(spark, table).createOrReplaceTempView(viewName)
+    val have = spark.experimental.extraOptimizations
+    val needSkip = !have.exists {
+      case r: ManifestSkip => r.table == table
+      case _ => false
+    }
+    val needMeta = !have.exists {
+      case r: MetadataAgg => r.table == table
+      case _ => false
+    }
+    spark.experimental.extraOptimizations = have ++
+      (if (needSkip) Seq(new ManifestSkip(spark, table)) else Nil) ++
+      (if (needMeta) Seq(new MetadataAgg(spark, table)) else Nil)
+  }
+
+  /** Drop the view and this table's planner rules. */
+  def unregister(spark: SparkSession, table: String, viewName: String): Unit = {
+    spark.catalog.dropTempView(viewName)
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot {
+        case r: ManifestSkip => r.table == table
+        case r: MetadataAgg => r.table == table
+        case _ => false
+      }
+  }
+}

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, LocalRelation, LogicalPlan, Project}
+  Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
@@ -136,6 +136,39 @@ class MetadataAgg(spark: SparkSession, val table: String)
     case _ => None
   }
 
+  /** `plan` as Filter-over-this-table's-scan, looking through
+    * attribute-only Projects above the Filter. */
+  private def asFilteredScan(plan: LogicalPlan)
+      : Option[(org.apache.spark.sql.catalyst.expressions.Expression,
+        LogicalPlan)] = plan match {
+    case Filter(cond, child) if scannedFiles(child).isDefined =>
+      Some((cond, child))
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      asFilteredScan(child)
+    case _ => None
+  }
+
+  /** Filtered metadata count: `count(literal)` over `Filter(cond,
+    * scan)` is answerable when EVERY scanned file is decidable — all
+    * rows match ([[ZoneEval.mustMatch]]: contributes its row count)
+    * or no rows can ([[ZoneEval.canMatch]] false: contributes 0). One
+    * partial file → None (the scan must happen). */
+  private def filteredCount(
+      m: CommitLog.Manifest, files: Seq[String], outNames: Set[String],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Option[Long] = {
+    val rc = m.colStats.getOrElse(CommitLog.RowCountCol, Map.empty)
+    var total = 0L
+    val allDecided = files.forall { f =>
+      val st = new ZoneEval.FileStats(m, outNames, f)
+      if (!ZoneEval.canMatch(st, cond)) true // contributes 0
+      else if (ZoneEval.mustMatch(st, cond) && rc.contains(f)) {
+        total += rc(f)._1; true
+      } else false
+    }
+    if (allDecided) Some(total) else None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(Nil, aggExprs, child, _)
         if agg.resolved && scannedFiles(child).isDefined =>
@@ -154,6 +187,38 @@ class MetadataAgg(spark: SparkSession, val table: String)
             val out = aggExprs.map(_.toAttribute)
             val row = Row.fromSeq(answered.map(_.get._2))
             LocalRelation.fromExternalRows(out, Seq(row))
+          }
+      }
+
+    // count(*) THROUGH a residual filter: every file must be wholly
+    // in or wholly out of the predicate (zone-decidable) — the
+    // "metadata count per partition" a clustered table earns. The
+    // optimizer may interpose attribute-only Projects on either side
+    // of the Filter; both are stripped.
+    case agg @ Aggregate(Nil, aggExprs, aggChild, _)
+        if agg.resolved && asFilteredScan(aggChild).isDefined &&
+          ZoneEval.hasUsableLeaf(asFilteredScan(aggChild).get._1) =>
+      val (cond, child) = asFilteredScan(aggChild).get
+      val files = scannedFiles(child).get
+      val counts = aggExprs.map(e => plainAgg(e).flatMap {
+        case (al, ae) => ae.aggregateFunction match {
+          case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
+            Some(al)
+          case _ => None
+        }
+      })
+      if (files.isEmpty || counts.exists(_.isEmpty)) agg
+      else CommitLog.currentVersion(spark, table) match {
+        case None => agg
+        case Some(v) =>
+          val m = CommitLog.readManifest(spark, table, v)
+          val outNames = child.output.map(_.name).toSet
+          filteredCount(m, files, outNames, cond) match {
+            case Some(n) =>
+              val out = aggExprs.map(_.toAttribute)
+              LocalRelation.fromExternalRows(out,
+                Seq(Row.fromSeq(aggExprs.map(_ => n))))
+            case None => agg
           }
       }
   }

@@ -1742,6 +1742,50 @@ private[graft] object RegWarehouse {
       q.withColumn("meta_only", lit(metaOnly))
     },
 
+    // METADATA COUNT THROUGH A FILTER: on a month-clustered table,
+    // count(*) WHERE ym = '1995-06' (and a whole-months BETWEEN) is
+    // decidable per file — every file is wholly inside or wholly
+    // outside the predicate by its zone maps + null counts — so the
+    // aggregate collapses without opening one file (ZoneEval.mustMatch
+    // beside canMatch; Iceberg's metadata-count idea). A probe that
+    // CUTS a file (orderkey range) must fall through and scan: its
+    // meta flag is pinned 0 and its value still faces the oracle.
+    "q_meta_count_where" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_magw_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MetadataAgg => r.table == table
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.plans.MetadataAgg(s, table)
+      def metaOnly(df: DataFrame): Long = {
+        val pl = df.queryExecution.optimizedPlan
+        val noScan = pl.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr
+        }.isEmpty
+        if (noScan) 1L else 0L
+      }
+      val qEq = CommitLog.read(s, table).filter(col("ym") === "1995-06")
+        .agg(count(lit(1)).as("n_eq"))
+      val qRange = CommitLog.read(s, table)
+        .filter(col("ym") >= "1995-06" && col("ym") <= "1996-03")
+        .agg(count(lit(1)).as("n_range"))
+      val qCut = CommitLog.read(s, table).filter(col("k") > 100)
+        .agg(count(lit(1)).as("n_cut"))
+      qEq.crossJoin(qRange).crossJoin(qCut) // 1-row scalar joins
+        .withColumn("meta_eq", lit(metaOnly(qEq)))
+        .withColumn("meta_range", lit(metaOnly(qRange)))
+        .withColumn("meta_cut", lit(metaOnly(qCut)))
+    },
+
     // INCREMENTAL MV maintenance (sources/MvIncremental) + the
     // freshness-gated transparent rewrite: orders land in the base
     // commit-log table in two appends with a refresh after EACH (the
@@ -3198,6 +3242,25 @@ private[graft] object RegWarehouse {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY prio""".stripMargin,
+
+
+    // The decidable probes collapse (meta flags 1); the file-cutting
+    // probe scans (flag 0); all three counts face the raw recompute.
+    "q_meta_count_where" ->
+      """WITH o AS (
+        |  SELECT o_orderkey AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
+        |  FROM orders)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS n_eq,
+        |  CAST((SELECT count(*) FROM o
+        |        WHERE ym BETWEEN '1995-06' AND '1996-03') AS BIGINT)
+        |    AS n_range,
+        |  CAST((SELECT count(*) FROM o WHERE k > 100) AS BIGINT) AS n_cut,
+        |  CAST(1 AS BIGINT) AS meta_eq,
+        |  CAST(1 AS BIGINT) AS meta_range,
+        |  CAST(0 AS BIGINT) AS meta_cut""".stripMargin,
 
 
     // Incremental min/max folding must equal full recomputation;

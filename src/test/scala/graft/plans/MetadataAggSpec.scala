@@ -153,6 +153,43 @@ class MetadataAggSpec extends SparkSpec {
     }
   }
 
+  test("count(*) through a zone-decidable filter is metadata-only") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("magg-f").toString + "/t"
+    // three files with disjoint k ranges AND distinct tags
+    for (i <- 0 until 3)
+      CommitLog.appendWithStats(spark,
+        (0 until 10).map(j => (i * 100 + j, s"t$i")).toDF("k", "tag")
+          .coalesce(1), table, Seq("k", "tag"))
+    withRule(table) {
+      // equality on the per-file-constant tag: every file decidable
+      val q = CommitLog.read(spark, table)
+        .filter(col("tag") === "t1").agg(count(lit(1)).as("n"))
+      assert(isMetadataOnly(q))
+      assert(q.head().getLong(0) == 10L)
+
+      // a range spanning files wholly: decidable (files 1 and 2 all
+      // in, file 0 all out)
+      val qr = CommitLog.read(spark, table)
+        .filter(col("k") >= 100).agg(count(lit(1)).as("n"))
+      assert(isMetadataOnly(qr))
+      assert(qr.head().getLong(0) == 20L)
+
+      // a range CUTTING a file: partial → scan happens, stays correct
+      val qp = CommitLog.read(spark, table)
+        .filter(col("k") >= 105).agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(qp))
+      assert(qp.head().getLong(0) == 15L)
+
+      // min/max through a filter never collapse (counts only)
+      val qm = CommitLog.read(spark, table)
+        .filter(col("tag") === "t1").agg(max(col("k")).as("mx"))
+      assert(!isMetadataOnly(qm))
+      assert(qm.head().getInt(0) == 109)
+    }
+  }
+
   test("a stats-less file in the scan blocks count; time travel composes") {
     import spark.implicits._
     val table = buildTable()

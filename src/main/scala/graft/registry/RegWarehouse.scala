@@ -1998,6 +1998,54 @@ private[graft] object RegWarehouse {
           lit(Constraints.checks(s, table).size.toLong))
     },
 
+    // OPERATIONAL INTROSPECTION (sources/TableInfo): DESCRIBE DETAIL /
+    // DESCRIBE HISTORY from manifests alone — O(metadata), no data
+    // file opened. A five-commit story (two appends, a constraints
+    // declare, a clustered rewrite, an equality-delete) yields a
+    // deterministic describe row (row count from the recorded per-file
+    // counts = the oracle's raw count) and a derived
+    // per-version operation classification whose tallies the oracle
+    // pins as constants. TableInfoSpec pins the refuse-over-undercount
+    // NULL row count and time-travel describes.
+    "q_table_describe" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_tinfo_${stageTag(dir)}"
+      import graft.sources.{CommitLog, Constraints, MorTable, TableInfo}
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.appendWithStats(s,
+        li.filter(pmod(col("k"), lit(2)) === 0).repartition(2), table,
+        Seq("k"))
+      CommitLog.appendWithStats(s,
+        li.filter(pmod(col("k"), lit(2)) === 1).coalesce(1), table,
+        Seq("k"))
+      Constraints.setChecks(s, table, Seq(
+        Constraints.Check("cents_nonneg", "cents >= 0")))
+      CommitLog.replaceClustered(s,
+        CommitLog.read(s, table)
+          .withColumn("bk", pmod(col("k"), lit(4))), table, "bk", "k")
+      MorTable.commitDeletes(s,
+        li.filter(pmod(col("k"), lit(100)) === 0).select("k"), 9L, table)
+      val d = TableInfo.describe(s, table).head()
+      val ops = TableInfo.history(s, table).groupBy("operation")
+        .agg(count(lit(1)).as("cnt")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      Tables.load(s, dir, "lineitem").agg(count(lit(1)).as("n_raw"))
+        .withColumn("n_rows", lit(d.getLong(4)))
+        .withColumn("n_data_files", lit(d.getLong(2)))
+        .withColumn("n_delete_files", lit(d.getLong(3)))
+        .withColumn("has_checks",
+          lit(if (d.getString(10).nonEmpty) 1L else 0L))
+        .withColumn("n_appends", lit(ops.getOrElse("append", 0L)))
+        .withColumn("n_rewrites", lit(ops.getOrElse("rewrite", 0L)))
+        .withColumn("n_deletes", lit(ops.getOrElse("delete", 0L)))
+        .withColumn("n_meta", lit(ops.getOrElse("metadata", 0L)))
+    },
+
     // TIMESTAMP AS OF time travel: versionAsOf resolves an instant to
     // the newest version PUBLISHED at or before it (manifest rename
     // mtime — the moment readers could first see it, Delta's rule),
@@ -3318,6 +3366,21 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS published, d.rejected_rows,
         |  CAST(2 AS BIGINT) AS n_checks
         |FROM clean c, dirty d""".stripMargin,
+
+
+    // The recorded row counts must equal the raw count; the derived
+    // operation tallies are the five-commit story's constants.
+    "q_table_describe" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(4 AS BIGINT) AS n_data_files,
+        |  CAST(1 AS BIGINT) AS n_delete_files,
+        |  CAST(1 AS BIGINT) AS has_checks,
+        |  CAST(2 AS BIGINT) AS n_appends,
+        |  CAST(1 AS BIGINT) AS n_rewrites,
+        |  CAST(1 AS BIGINT) AS n_deletes,
+        |  CAST(1 AS BIGINT) AS n_meta
+        |FROM lineitem""".stripMargin,
 
 
     // The mid-write instant sees batch 1 only; now sees both.

@@ -1998,6 +1998,52 @@ private[graft] object RegWarehouse {
           lit(Constraints.checks(s, table).size.toLong))
     },
 
+    // RESTORE (CommitLog.restore — Delta's history-preserving
+    // rollback): a destructive rewrite drops the odd half of the
+    // rows; restore rolls the table back to the pre-damage version AS
+    // A NEW COMMIT — zero data movement (files re-listed by
+    // reference), zone maps and row counts re-attached (n_bad/n_after
+    // both face the oracle; files_read pins the restored table still
+    // pruning), and the bad version stays readable for forensics
+    // (n_bad is read FROM it afterwards). Sticky-id and
+    // vacuumed-target refusals pinned in RestoreSpec.
+    "q_table_restore" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_rst_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val li = Tables.load(s, dir, "lineitem").select(
+        col("l_orderkey").as("k"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.appendWithStats(s,
+        li.filter(pmod(col("k"), lit(2)) === 0)
+          .repartitionByRange(4, col("k")), table, Seq("k"))
+      CommitLog.appendWithStats(s,
+        li.filter(pmod(col("k"), lit(2)) === 1).coalesce(1), table,
+        Seq("k"))
+      // the accident: a rewrite that loses the odd rows
+      CommitLog.replace(s,
+        CommitLog.read(s, table).filter(pmod(col("k"), lit(2)) === 0),
+        table)
+      val badV = CommitLog.currentVersion(s, table).get
+      val restoredV = CommitLog.restore(s, table, badV - 1)
+      val nBad = CommitLog.readVersion(s, table, badV)
+        .agg(count(lit(1))).head.getLong(0)
+      val kMax = li.agg(max("k")).head.getLong(0)
+      val (total, sel) = CommitLog.prunedFilesBy(s, table, "k",
+        kMax / 2, kMax)
+      CommitLog.read(s, table)
+        .agg(count(lit(1)).as("n_after"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .withColumn("n_bad", lit(nBad))
+        .withColumn("restore_is_new_commit",
+          lit(if (restoredV == badV + 1) 1L else 0L))
+        .withColumn("still_prunes",
+          lit(if (sel.size < total) 1L else 0L))
+    },
+
     // OPERATIONAL INTROSPECTION (sources/TableInfo): DESCRIBE DETAIL /
     // DESCRIBE HISTORY from manifests alone — O(metadata), no data
     // file opened. A five-commit story (two appends, a constraints
@@ -3366,6 +3412,23 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS published, d.rejected_rows,
         |  CAST(2 AS BIGINT) AS n_checks
         |FROM clean c, dirty d""".stripMargin,
+
+
+    // Restored table = all rows; the bad version = the even half.
+    "q_table_restore" ->
+      """WITH li AS (
+        |  SELECT l_orderkey AS k,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem)
+        |SELECT CAST(count(*) AS BIGINT) AS n_after,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum,
+        |  CAST((SELECT count(*) FROM li WHERE k % 2 = 0) AS BIGINT)
+        |    AS n_bad,
+        |  CAST(1 AS BIGINT) AS restore_is_new_commit,
+        |  CAST(1 AS BIGINT) AS still_prunes
+        |FROM li""".stripMargin,
 
 
     // The recorded row counts must equal the raw count; the derived

@@ -1386,6 +1386,58 @@ object CommitLog {
         s"no version of $table existed at $tsMillis")
     }
 
+  /** RESTORE: roll the table back to `toVersion` as a NEW commit
+    * (history-preserving — the bad versions stay readable until
+    * vacuum; Delta's RESTORE semantics). Zero data movement: the
+    * target's files are re-listed by reference, its per-file stats /
+    * schema tags / spec tags re-attached (a restore must not erase
+    * zone maps), and its schema/spec/checks ids restored explicitly —
+    * rolling back data while keeping a later schema id would resurrect
+    * bytes under the wrong projection. Refuses when any target file
+    * was already vacuumed (the restore would publish dead references).
+    * Returns the new head version. */
+  def restore(spark: SparkSession, table: String, toVersion: Long): Long = {
+    val target = readManifest(spark, table, toVersion)
+    val f = fs(spark, table)
+    val head = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val hm = readManifest(spark, table, head)
+    // Only files NOT live at head can have been vacuumed — checking
+    // just those keeps the existence probe O(changed files).
+    val headLive = hm.files.toSet
+    val gone = target.files.filterNot(headLive)
+      .filterNot(rel => f.exists(new Path(dataRoot(table), rel)))
+    if (gone.nonEmpty) throw new IllegalStateException(
+      s"cannot restore $table to $toVersion: ${gone.size} file(s) were " +
+        s"vacuumed (first: ${gone.head})")
+    // Sticky ids cannot be CLEARED by a commit, so restoring to a
+    // version from before a schema/spec/checks declaration would keep
+    // the later id over the older data — the null-fork/ghost-check
+    // footgun. Refuse; re-declare after the restore if that is meant.
+    Seq(("schemaId", target.schemaId, hm.schemaId),
+      ("specId", target.specId, hm.specId),
+      ("checksId", target.checksId, hm.checksId)).foreach {
+      case (what, tgt, cur) =>
+        if (tgt.isEmpty && cur.nonEmpty) throw new IllegalStateException(
+          s"cannot restore $table to $toVersion: the table has a $what " +
+            s"('$cur') that version $toVersion predates — sticky ids " +
+            "cannot be cleared; restore to a later version or " +
+            "re-declare after restoring")
+    }
+    val live = hm.files
+    commit(spark, table,
+      adds = target.files, removes = live,
+      txn = s"restore:$toVersion",
+      statsCol = target.statsCol,
+      schemaId = if (target.schemaId.nonEmpty) target.schemaId else "",
+      fileSchemas = target.fileSchemas,
+      colStats = target.colStats,
+      specId = if (target.specId.nonEmpty) target.specId else "",
+      fileSpecs = target.fileSpecs,
+      strColStats = target.strStats,
+      checksId = if (target.checksId.nonEmpty) target.checksId else "")
+  }
+
   /** CDC read feed: the rows ADDED between `fromVersion` (exclusive)
     * and `toVersion` (inclusive) — the union of files live at `to` but
     * not at `from`, read directly; a downstream consumer incrementally

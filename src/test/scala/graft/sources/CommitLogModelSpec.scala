@@ -54,15 +54,17 @@ class CommitLogModelSpec extends SparkSpec {
     checkHead()
 
     for (step <- 1 to 30) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 | 1 => // append
           val ids = batch(5 + rnd.nextInt(20))
           CommitLog.append(spark, df(ids), t)
           live ++= ids
-        case 2 => // delete a random live FILE (manifest-level remove)
+        case 2 => // delete a random live FILE (manifest-level remove);
+          // never the last one — a zero-file version refuses read()
+          // by design and the walk's invariant is read ≡ model
           val v = CommitLog.currentVersion(spark, t).get
           val files = CommitLog.liveFiles(spark, t, v)
-          if (files.nonEmpty) {
+          if (files.size > 1) {
             val victim = files(rnd.nextInt(files.size))
             val gone = spark.read
               .parquet(s"${CommitLog.dataRoot(t)}/$victim")
@@ -78,6 +80,20 @@ class CommitLogModelSpec extends SparkSpec {
           val ids = batch(10 + rnd.nextInt(10))
           CommitLog.replace(spark, df(ids), t)
           live = ids.toSet
+        case 6 => // restore to a random retained version
+          val retained = CommitLog.versions(spark, t)
+            .filter(history.contains)
+          if (retained.nonEmpty) {
+            val target = retained(rnd.nextInt(retained.size))
+            try {
+              CommitLog.restore(spark, t, target)
+              live = history(target)
+            } catch {
+              // allowed: the target's files were already vacuumed
+              case e: IllegalStateException
+                  if e.getMessage.contains("vacuumed") => ()
+            }
+          }
       }
       checkHead()
       if (step % 11 == 0) {

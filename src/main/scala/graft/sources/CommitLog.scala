@@ -1663,6 +1663,12 @@ object CommitLog {
       val (c, fmt) = readSpecFile(spark, branch, pid)
       writeSpecFile(spark, into, pid, c, fmt)
     }
+    // A branch's declared CHECK constraints merge with its data — the
+    // adopt-the-branch semantics schemaId already follows (a checks-
+    // less branch keeps the target's checks via stickiness).
+    if (bm.checksId.nonEmpty)
+      writeChecksFile(spark, into, bm.checksId,
+        readChecksFile(spark, branch, bm.checksId))
     // The adopted files bring their per-file metadata with them — a
     // merge dropping a dev branch's schema tags would make field-id
     // projection read its old-generation files under the WRONG schema
@@ -1678,6 +1684,7 @@ object CommitLog {
       specId = bm.specId,
       fileSpecs = bm.fileSpecs.filter(e => aset(e._1)),
       strColStats = bm.strStats.map { case (c, m) =>
-        c -> m.filter(e => aset(e._1)) }.filter(_._2.nonEmpty))
+        c -> m.filter(e => aset(e._1)) }.filter(_._2.nonEmpty),
+      checksId = bm.checksId)
   }
 }

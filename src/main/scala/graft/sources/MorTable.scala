@@ -307,6 +307,14 @@ object MorTable {
       else CommitLog.readManifest(spark, table, fromVersion)
     val frames = ((fromVersion + 1) to toVersion).flatMap { v =>
       val curM = CommitLog.readManifest(spark, table, v)
+      // A restore is a state change in a rewrite's shape (see
+      // TableFeed.addedDataFiles): emitting nothing for it would
+      // leave every CDC consumer silently diverged. Fail loud.
+      if (curM.txn.startsWith("restore:"))
+        throw new IllegalStateException(
+          s"change-feed range ($fromVersion, $toVersion] of $table " +
+            s"contains a RESTORE at version $v — reconcile via " +
+            "snapshot diff (TableDiff) and restart the feed from here")
       val out = versionChanges(spark, table, prevM, curM, keyCols)
       prevM = curM
       out

@@ -75,6 +75,17 @@ object TableFeed {
     val tags = scala.collection.mutable.Map.empty[String, String]
     ((from + 1) to to).foreach { v =>
       val m = CommitLog.readManifest(spark, source, v)
+      // A RESTORE is a state change wearing a rewrite's shape: it
+      // re-lists rows this feed already delivered AND retracts rows
+      // it cannot un-deliver. Silently skipping it (the layout-no-op
+      // rule) would leave the consumer diverged forever — fail loud,
+      // the consumer resets its cursor or re-syncs from a snapshot.
+      if (m.txn.startsWith("restore:"))
+        throw new IllegalStateException(
+          s"feed range ($from, $to] of $source contains a RESTORE at " +
+            s"version $v — an append-only feed cannot retract; reset " +
+            "the cursor (re-feed the snapshot) or reconcile via " +
+            "snapshot diff")
       val cur = m.files.toSet
       if (prev.forall(cur)) { // no removes: a plain append/delete commit
         val adds = m.files.filterNot(prev).filterNot(f =>

@@ -38,6 +38,38 @@ class RestoreSpec extends SparkSpec {
     assert(TableInfo.history(spark, t).head().getString(4) == "rewrite")
   }
 
+  test("feeds fail loud on a restore in range instead of diverging") {
+    val t = fresh()
+    val dst = fresh()
+    CommitLog.append(spark, Seq((1, "a"), (2, "b")).toDF("k", "s"), t)
+    assert(TableFeed.syncOnce(spark, t, dst, "f").isDefined)
+    CommitLog.append(spark, Seq((3, "c")).toDF("k", "s"), t) // v2
+    CommitLog.restore(spark, t, 1L) // v3: the retraction
+    val ex = intercept[IllegalStateException] {
+      TableFeed.syncOnce(spark, t, dst, "f")
+    }
+    assert(ex.getMessage.contains("RESTORE"))
+    val ex2 = intercept[IllegalStateException] {
+      MorTable.changeFeed(spark, t, 1L, 3L, Seq("k"))
+    }
+    assert(ex2.getMessage.contains("RESTORE"))
+  }
+
+  test("mergeBranch adopts the branch's declared checks") {
+    val t = fresh()
+    CommitLog.append(spark, Seq((1, "a")).toDF("k", "s"), t)
+    val b = CommitLog.createBranch(spark, t, "dev")
+    Constraints.setChecks(spark, b, Seq(Check("k_pos", "k > 0")))
+    CommitLog.append(spark, Seq((2, "b")).toDF("k", "s"), b)
+    CommitLog.mergeBranch(spark, t, b)
+    assert(Constraints.checks(spark, t) == Seq(Check("k_pos", "k > 0")))
+    // and the checks FILE resolves from the target's own log dir
+    val intoChecks = new java.io.File(
+      CommitLog.tableRoot(t) + "/_log").listFiles()
+      .map(_.getName).filter(_.startsWith("checks-"))
+    assert(intoChecks.nonEmpty, "checks file copied on merge")
+  }
+
   test("restore refuses cleared sticky ids and vacuumed targets") {
     val t = fresh()
     CommitLog.append(spark, Seq((1, "a")).toDF("k", "s"), t) // v1

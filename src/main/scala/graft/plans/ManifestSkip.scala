@@ -44,39 +44,56 @@ import graft.sources.CommitLog
 class ManifestSkip(spark: SparkSession, val table: String)
     extends Rule[LogicalPlan] {
 
-  private def norm(p: String): String = new Path(p).toUri.getPath
+  /** The tables this instance serves — ONE rule instance can cover a
+    * whole session's registered tables ([[graft.sql.GraftTables]]
+    * grows this set instead of stacking instances: a thousand-table
+    * session must not run a thousand rules over every plan). */
+  private[plans] val tables =
+    scala.collection.concurrent.TrieMap[String, String](
+      table -> (norm(CommitLog.tableRoot(table)) + "/"))
 
-  private val root = norm(CommitLog.tableRoot(table))
+  def serve(t: String): Unit =
+    tables.putIfAbsent(t, norm(CommitLog.tableRoot(t)) + "/")
+
+  def drop(t: String): Unit = tables.remove(t)
+
+  private def norm(p: String): String = new Path(p).toUri.getPath
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case fl @ Filter(cond, lr: LogicalRelation) =>
       lr.relation match {
         case fsRel: HadoopFsRelation =>
           val paths = fsRel.location.rootPaths.map(p => norm(p.toString))
-          val prefix = root + "/"
-          if (paths.isEmpty || !paths.forall(_.startsWith(prefix))) fl
+          val owner = if (paths.isEmpty) None
+            else tables.find { case (_, prefix) =>
+              paths.forall(_.startsWith(prefix))
+            }
+          if (owner.isEmpty) fl
           else if (!ZoneEval.hasUsableLeaf(cond)) fl
-          else CommitLog.currentVersion(spark, table) match {
-            case None => fl
-            case Some(v) =>
-              val m = CommitLog.readManifest(spark, table, v)
-              val outNames = lr.output.map(_.name).toSet
-              val sel = paths.filter { p =>
-                ZoneEval.canMatch(
-                  new ZoneEval.FileStats(m, outNames, p.stripPrefix(prefix)),
-                  cond)
-              }
-              if (sel.size == paths.size) fl // idempotent fixed point
-              else if (sel.isEmpty) Filter(cond, LocalRelation(lr.output))
-              else {
-                val pruned = spark.read.parquet(sel: _*)
-                  .queryExecution.analyzed
-                pruned match {
-                  case nlr: LogicalRelation if nlr.schema == lr.schema =>
-                    Filter(cond, nlr.copy(output = lr.output))
-                  case _ => fl // unexpected shape: leave untouched
+          else {
+            val (table, prefix) = owner.get
+            CommitLog.currentVersion(spark, table) match {
+              case None => fl
+              case Some(v) =>
+                val m = CommitLog.readManifest(spark, table, v)
+                val outNames = lr.output.map(_.name).toSet
+                val sel = paths.filter { p =>
+                  ZoneEval.canMatch(
+                    new ZoneEval.FileStats(m, outNames, p.stripPrefix(prefix)),
+                    cond)
                 }
-              }
+                if (sel.size == paths.size) fl // idempotent fixed point
+                else if (sel.isEmpty) Filter(cond, LocalRelation(lr.output))
+                else {
+                  val pruned = spark.read.parquet(sel: _*)
+                    .queryExecution.analyzed
+                  pruned match {
+                    case nlr: LogicalRelation if nlr.schema == lr.schema =>
+                      Filter(cond, nlr.copy(output = lr.output))
+                    case _ => fl // unexpected shape: leave untouched
+                  }
+                }
+            }
           }
         case _ => fl
       }

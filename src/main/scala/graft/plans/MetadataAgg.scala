@@ -48,19 +48,32 @@ class MetadataAgg(spark: SparkSession, val table: String)
 
   private def norm(p: String): String = new Path(p).toUri.getPath
 
-  private val root = norm(CommitLog.tableRoot(table))
+  /** The tables this instance serves — ONE rule instance covers a
+    * session's registered tables (the [[ManifestSkip]] registry
+    * shape; [[graft.sql.GraftTables]] grows the set instead of
+    * stacking rule instances). */
+  private[plans] val tables =
+    scala.collection.concurrent.TrieMap[String, String](
+      table -> (norm(CommitLog.tableRoot(table)) + "/"))
 
-  /** The scanned manifest-relative files, when `plan` is a bare scan
-    * (or attribute-only Project of one) of this table. */
-  private def scannedFiles(plan: LogicalPlan): Option[Seq[String]] =
+  def serve(t: String): Unit =
+    tables.putIfAbsent(t, norm(CommitLog.tableRoot(t)) + "/")
+
+  def drop(t: String): Unit = tables.remove(t)
+
+  /** (owning table, scanned manifest-relative files), when `plan` is
+    * a bare scan (or attribute-only Project of one) of a served
+    * table. */
+  private def scannedFiles(plan: LogicalPlan): Option[(String, Seq[String])] =
     plan match {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           val paths = fs.location.rootPaths.map(p => norm(p.toString))
-          val prefix = root + "/"
-          if (paths.nonEmpty && paths.forall(_.startsWith(prefix)))
-            Some(paths.map(_.stripPrefix(prefix)))
-          else None
+          if (paths.isEmpty) None
+          else tables.collectFirst {
+            case (t, prefix) if paths.forall(_.startsWith(prefix)) =>
+              t -> paths.map(_.stripPrefix(prefix))
+          }
         case _ => None
       }
       case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -172,12 +185,12 @@ class MetadataAgg(spark: SparkSession, val table: String)
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case agg @ Aggregate(Nil, aggExprs, child, _)
         if agg.resolved && scannedFiles(child).isDefined =>
-      val files = scannedFiles(child).get
+      val (owner, files) = scannedFiles(child).get
       if (files.isEmpty) agg // an empty scan never reaches here via read()
-      else CommitLog.currentVersion(spark, table) match {
+      else CommitLog.currentVersion(spark, owner) match {
         case None => agg
         case Some(v) =>
-          val m = CommitLog.readManifest(spark, table, v)
+          val m = CommitLog.readManifest(spark, owner, v)
           val answered = aggExprs.map(e =>
             plainAgg(e).flatMap { case (al, ae) =>
               answer(m, files, ae).map(al -> _)
@@ -199,7 +212,7 @@ class MetadataAgg(spark: SparkSession, val table: String)
         if agg.resolved && asFilteredScan(aggChild).isDefined &&
           ZoneEval.hasUsableLeaf(asFilteredScan(aggChild).get._1) =>
       val (cond, child) = asFilteredScan(aggChild).get
-      val files = scannedFiles(child).get
+      val (owner, files) = scannedFiles(child).get
       val counts = aggExprs.map(e => plainAgg(e).flatMap {
         case (al, ae) => ae.aggregateFunction match {
           case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
@@ -208,10 +221,10 @@ class MetadataAgg(spark: SparkSession, val table: String)
         }
       })
       if (files.isEmpty || counts.exists(_.isEmpty)) agg
-      else CommitLog.currentVersion(spark, table) match {
+      else CommitLog.currentVersion(spark, owner) match {
         case None => agg
         case Some(v) =>
-          val m = CommitLog.readManifest(spark, table, v)
+          val m = CommitLog.readManifest(spark, owner, v)
           val outNames = child.output.map(_.name).toSet
           filteredCount(m, files, outNames, cond) match {
             case Some(n) =>

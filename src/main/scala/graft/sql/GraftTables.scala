@@ -22,28 +22,27 @@ object GraftTables {
 
   def register(spark: SparkSession, table: String, viewName: String): Unit = {
     CommitLog.read(spark, table).createOrReplaceTempView(viewName)
+    // ONE rule pair per session, serving a growing table registry —
+    // a thousand registered tables must not run a thousand rules
+    // over every plan.
     val have = spark.experimental.extraOptimizations
-    val needSkip = !have.exists {
-      case r: ManifestSkip => r.table == table
-      case _ => false
-    }
-    val needMeta = !have.exists {
-      case r: MetadataAgg => r.table == table
-      case _ => false
-    }
+    val skip = have.collectFirst { case r: ManifestSkip => r }
+    val meta = have.collectFirst { case r: MetadataAgg => r }
+    skip.foreach(_.serve(table))
+    meta.foreach(_.serve(table))
     spark.experimental.extraOptimizations = have ++
-      (if (needSkip) Seq(new ManifestSkip(spark, table)) else Nil) ++
-      (if (needMeta) Seq(new MetadataAgg(spark, table)) else Nil)
+      (if (skip.isEmpty) Seq(new ManifestSkip(spark, table)) else Nil) ++
+      (if (meta.isEmpty) Seq(new MetadataAgg(spark, table)) else Nil)
   }
 
-  /** Drop the view and this table's planner rules. */
+  /** Drop the view and stop serving this table (the shared rule pair
+    * stays for other registered tables). */
   def unregister(spark: SparkSession, table: String, viewName: String): Unit = {
     spark.catalog.dropTempView(viewName)
-    spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot {
-        case r: ManifestSkip => r.table == table
-        case r: MetadataAgg => r.table == table
-        case _ => false
-      }
+    spark.experimental.extraOptimizations.foreach {
+      case r: ManifestSkip => r.drop(table)
+      case r: MetadataAgg => r.drop(table)
+      case _ => ()
+    }
   }
 }

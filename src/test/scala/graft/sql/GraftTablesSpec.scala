@@ -52,16 +52,31 @@ class GraftTablesSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) AS n FROM gtab_v")
         .head().getLong(0) == 31L)
 
-      // registration is idempotent: no rule duplication
-      val mine = spark.experimental.extraOptimizations.count {
-        case r: graft.plans.ManifestSkip => r.table == table
-        case r: graft.plans.MetadataAgg => r.table == table
+      // ONE rule pair serves the whole registry: a second table joins
+      // the same instances instead of stacking new ones
+      val table2 = java.nio.file.Files
+        .createTempDirectory("gtab2").toString + "/t"
+      CommitLog.appendWithStats(spark,
+        (0 until 5).map(j => (j, j.toLong)).toDF("k", "v").coalesce(1),
+        table2, Seq("k"))
+      GraftTables.register(spark, table2, "gtab_v2")
+      val pairs = spark.experimental.extraOptimizations.count {
+        case _: graft.plans.ManifestSkip | _: graft.plans.MetadataAgg => true
         case _ => false
       }
-      assert(mine == 2)
+      assert(pairs == 2, "second table reuses the session's rule pair")
+      assert(scanFiles(spark.sql(
+        "SELECT count(*) AS n FROM gtab_v2")) == 0, "served by the pair")
+      GraftTables.unregister(spark, table2, "gtab_v2")
+      // dropped table no longer collapses; still answers correctly
+      CommitLog.read(spark, table2).createOrReplaceTempView("gtab_v2")
+      assert(scanFiles(spark.sql("SELECT count(*) AS n FROM gtab_v2")) > 0)
+      assert(spark.sql("SELECT count(*) AS n FROM gtab_v2")
+        .head().getLong(0) == 5L)
+      spark.catalog.dropTempView("gtab_v2")
     } finally {
       GraftTables.unregister(spark, table, "gtab_v")
-      assert(spark.experimental.extraOptimizations.size == saved.size)
+      spark.experimental.extraOptimizations = saved
     }
   }
 }

@@ -161,25 +161,23 @@ class MetadataAgg(spark: SparkSession, val table: String)
     case _ => None
   }
 
-  /** Filtered metadata count: `count(literal)` over `Filter(cond,
-    * scan)` is answerable when EVERY scanned file is decidable — all
-    * rows match ([[ZoneEval.mustMatch]]: contributes its row count)
-    * or no rows can ([[ZoneEval.canMatch]] false: contributes 0). One
-    * partial file → None (the scan must happen). */
-  private def filteredCount(
+  /** The files whose every row satisfies `cond`, when EVERY scanned
+    * file is decidable — wholly in ([[ZoneEval.mustMatch]]) or
+    * provably out (![[ZoneEval.canMatch]]). One partial file → None
+    * (the scan must happen). Aggregates over the filter then reduce
+    * to aggregates over the wholly-in subset. */
+  private def decidedIn(
       m: CommitLog.Manifest, files: Seq[String], outNames: Set[String],
       cond: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Option[Long] = {
-    val rc = m.colStats.getOrElse(CommitLog.RowCountCol, Map.empty)
-    var total = 0L
+      : Option[Seq[String]] = {
+    val in = Seq.newBuilder[String]
     val allDecided = files.forall { f =>
       val st = new ZoneEval.FileStats(m, outNames, f)
-      if (!ZoneEval.canMatch(st, cond)) true // contributes 0
-      else if (ZoneEval.mustMatch(st, cond) && rc.contains(f)) {
-        total += rc(f)._1; true
-      } else false
+      if (!ZoneEval.canMatch(st, cond)) true // contributes nothing
+      else if (ZoneEval.mustMatch(st, cond)) { in += f; true }
+      else false
     }
-    if (allDecided) Some(total) else None
+    if (allDecided) Some(in.result()) else None
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -203,35 +201,44 @@ class MetadataAgg(spark: SparkSession, val table: String)
           }
       }
 
-    // count(*) THROUGH a residual filter: every file must be wholly
+    // Aggregates THROUGH a residual filter: every file must be wholly
     // in or wholly out of the predicate (zone-decidable) — the
-    // "metadata count per partition" a clustered table earns. The
-    // optimizer may interpose attribute-only Projects on either side
-    // of the Filter; both are stripped.
+    // "metadata count per partition" a clustered table earns, and
+    // since the wholly-in subset is exact, count/count(col)/min/max
+    // all reduce to the unfiltered metadata answer over that subset.
+    // The optimizer may interpose attribute-only Projects on either
+    // side of the Filter; both are stripped.
     case agg @ Aggregate(Nil, aggExprs, aggChild, _)
         if agg.resolved && asFilteredScan(aggChild).isDefined &&
           ZoneEval.hasUsableLeaf(asFilteredScan(aggChild).get._1) =>
       val (cond, child) = asFilteredScan(aggChild).get
       val (owner, files) = scannedFiles(child).get
-      val counts = aggExprs.map(e => plainAgg(e).flatMap {
-        case (al, ae) => ae.aggregateFunction match {
-          case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-            Some(al)
-          case _ => None
-        }
-      })
-      if (files.isEmpty || counts.exists(_.isEmpty)) agg
+      if (files.isEmpty) agg
       else CommitLog.currentVersion(spark, owner) match {
         case None => agg
         case Some(v) =>
           val m = CommitLog.readManifest(spark, owner, v)
           val outNames = child.output.map(_.name).toSet
-          filteredCount(m, files, outNames, cond) match {
-            case Some(n) =>
-              val out = aggExprs.map(_.toAttribute)
-              LocalRelation.fromExternalRows(out,
-                Seq(Row.fromSeq(aggExprs.map(_ => n))))
-            case None => agg
+          decidedIn(m, files, outNames, cond) match {
+            case None => agg // a partial file: the scan must happen
+            case Some(in) =>
+              val answered = aggExprs.map(e =>
+                plainAgg(e).flatMap { case (al, ae) =>
+                  if (in.isEmpty) ae.aggregateFunction match {
+                    // zero matching rows: count 0, extrema NULL —
+                    // exactly a global Aggregate over an empty input
+                    case _: Count => Some(al -> 0L)
+                    case _: Min | _: Max => Some(al -> null)
+                    case _ => None
+                  }
+                  else answer(m, in, ae).map(al -> _)
+                })
+              if (answered.exists(_.isEmpty)) agg // all-or-nothing
+              else {
+                val out = aggExprs.map(_.toAttribute)
+                LocalRelation.fromExternalRows(out,
+                  Seq(Row.fromSeq(answered.map(_.get._2))))
+              }
           }
       }
   }

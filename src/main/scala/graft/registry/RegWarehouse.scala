@@ -1774,7 +1774,8 @@ private[graft] object RegWarehouse {
         if (noScan) 1L else 0L
       }
       val qEq = CommitLog.read(s, table).filter(col("ym") === "1995-06")
-        .agg(count(lit(1)).as("n_eq"))
+        .agg(count(lit(1)).as("n_eq"),
+          min(col("k")).as("k_min_eq"), max(col("k")).as("k_max_eq"))
       val qRange = CommitLog.read(s, table)
         .filter(col("ym") >= "1995-06" && col("ym") <= "1996-03")
         .agg(count(lit(1)).as("n_range"))
@@ -3348,6 +3349,10 @@ private[graft] object RegWarehouse {
         |SELECT
         |  CAST((SELECT count(*) FROM o WHERE ym = '1995-06') AS BIGINT)
         |    AS n_eq,
+        |  CAST((SELECT min(k) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS k_min_eq,
+        |  CAST((SELECT max(k) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS k_max_eq,
         |  CAST((SELECT count(*) FROM o
         |        WHERE ym BETWEEN '1995-06' AND '1996-03') AS BIGINT)
         |    AS n_range,

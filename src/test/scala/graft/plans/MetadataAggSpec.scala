@@ -182,11 +182,30 @@ class MetadataAggSpec extends SparkSpec {
       assert(!isMetadataOnly(qp))
       assert(qp.head().getLong(0) == 15L)
 
-      // min/max through a filter never collapse (counts only)
+      // min/max through a decidable filter collapse too: the
+      // wholly-in subset is exact, so its extrema are the answer
       val qm = CommitLog.read(spark, table)
-        .filter(col("tag") === "t1").agg(max(col("k")).as("mx"))
-      assert(!isMetadataOnly(qm))
-      assert(qm.head().getInt(0) == 109)
+        .filter(col("tag") === "t1")
+        .agg(min(col("k")).as("mn"), max(col("k")).as("mx"),
+          count(col("tag")).as("n_tag"))
+      assert(isMetadataOnly(qm))
+      val rm = qm.head()
+      assert(rm.getInt(0) == 100 && rm.getInt(1) == 109 &&
+        rm.getLong(2) == 10L)
+
+      // zero matching rows: count 0, extrema NULL — still metadata
+      val qe = CommitLog.read(spark, table)
+        .filter(col("tag") === "zzz")
+        .agg(count(lit(1)).as("n"), max(col("k")).as("mx"))
+      assert(isMetadataOnly(qe))
+      val re = qe.head()
+      assert(re.getLong(0) == 0L && re.isNullAt(1))
+
+      // a partial file blocks min/max through the filter as well
+      val qp2 = CommitLog.read(spark, table)
+        .filter(col("k") >= 105).agg(max(col("k")).as("mx"))
+      assert(!isMetadataOnly(qp2))
+      assert(qp2.head().getInt(0) == 209)
     }
   }
 

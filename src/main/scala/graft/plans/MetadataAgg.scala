@@ -149,6 +149,41 @@ class MetadataAgg(spark: SparkSession, val table: String)
     case _ => None
   }
 
+  /** The per-file CONSTANT of `g` — Some(external value) when the
+    * file's zone map pins every row to one non-null value (mn == mx,
+    * zero nulls). A file with any null or a spread range is not
+    * constant. */
+  private def fileConstant(
+      m: CommitLog.Manifest, g: AttributeReference,
+      f: String): Option[Any] = {
+    val noNulls = m.colStats.get(CommitLog.nullCountCol(g.name))
+      .flatMap(_.get(f)).exists(_._1 == 0L)
+    if (!noNulls) None
+    else g.dataType match {
+      case StringType =>
+        m.strStats.get(g.name).flatMap(_.get(f)).collect {
+          case (mn, mx) if mn == mx => mn
+        }
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+          TimestampType =>
+        m.colStats.get(g.name).flatMap(_.get(f)).collect {
+          case (mn, mx) if mn == mx => g.dataType match {
+            case ByteType => mn.toByte
+            case ShortType => mn.toShort
+            case IntegerType => mn.toInt
+            case LongType => mn
+            case DateType =>
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .toJavaDate(mn.toInt)
+            case TimestampType =>
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .toJavaTimestamp(mn)
+          }
+        }
+      case _ => None
+    }
+  }
+
   /** `plan` as Filter-over-this-table's-scan, looking through
     * attribute-only Projects above the Filter. */
   private def asFilteredScan(plan: LogicalPlan)
@@ -198,6 +233,44 @@ class MetadataAgg(spark: SparkSession, val table: String)
             val out = aggExprs.map(_.toAttribute)
             val row = Row.fromSeq(answered.map(_.get._2))
             LocalRelation.fromExternalRows(out, Seq(row))
+          }
+      }
+
+    // PARTITION-WISE metadata GROUP BY: when the single grouping
+    // column is per-file CONSTANT (clustered layouts: mn == mx, no
+    // nulls, for EVERY scanned file), the whole groupBy collapses to
+    // a manifest fold — group the files by their constant, answer
+    // each group's aggregates over its file subset. "count by month"
+    // on a month-clustered 100 TB table becomes a driver-side loop.
+    case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
+        if agg.resolved && scannedFiles(child).isDefined =>
+      val (owner, files) = scannedFiles(child).get
+      if (files.isEmpty) agg
+      else CommitLog.currentVersion(spark, owner) match {
+        case None => agg
+        case Some(v) =>
+          val m = CommitLog.readManifest(spark, owner, v)
+          val consts = files.map(f => fileConstant(m, g, f).map(f -> _))
+          if (consts.exists(_.isEmpty)) agg // a non-constant file
+          else {
+            val byGroup = consts.flatten.groupBy(_._2)
+              .map { case (k, fs) => k -> fs.map(_._1) }
+            val rows = byGroup.toSeq.map { case (gv, subset) =>
+              val cells = aggExprs.map {
+                case a: AttributeReference if a.semanticEquals(g) =>
+                  Some(gv)
+                case al @ Alias(a: AttributeReference, _)
+                    if a.semanticEquals(g) => Some(gv)
+                case e => plainAgg(e).flatMap { case (_, ae) =>
+                  answer(m, subset, ae)
+                }
+              }
+              if (cells.exists(_.isEmpty)) None
+              else Some(Row.fromSeq(cells.map(_.get)))
+            }
+            if (rows.exists(_.isEmpty)) agg // all-or-nothing
+            else LocalRelation.fromExternalRows(
+              aggExprs.map(_.toAttribute), rows.map(_.get))
           }
       }
 

@@ -1787,6 +1787,41 @@ private[graft] object RegWarehouse {
         .withColumn("meta_cut", lit(metaOnly(qCut)))
     },
 
+    // PARTITION-WISE metadata GROUP BY: on the month-clustered table
+    // every file's ym is constant (mn == mx, no nulls), so the whole
+    // "count/min/max by month" groupBy collapses to a driver-side
+    // manifest fold — no file opened (meta_only from the plan), every
+    // per-month value facing DuckDB's recompute. The 100 TB shape of
+    // "rows per partition" dashboards.
+    "q_meta_group" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_magg2_${stageTag(dir)}"
+      import graft.sources.CommitLog
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MetadataAgg => r.table == table
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.plans.MetadataAgg(s, table)
+      val q = CommitLog.read(s, table).groupBy("ym")
+        .agg(count(lit(1)).as("n"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("ym")
+      val metaOnly = {
+        val pl = q.queryExecution.optimizedPlan
+        if (pl.collectFirst {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr
+        }.isEmpty) 1L else 0L
+      }
+      q.withColumn("meta_only", lit(metaOnly))
+    },
+
     // INCREMENTAL MV maintenance (sources/MvIncremental) + the
     // freshness-gated transparent rewrite: orders land in the base
     // commit-log table in two appends with a refresh after EACH (the
@@ -3360,6 +3395,18 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS meta_eq,
         |  CAST(1 AS BIGINT) AS meta_range,
         |  CAST(0 AS BIGINT) AS meta_cut""".stripMargin,
+
+
+    // The manifest's per-month answers must equal the data's.
+    "q_meta_group" ->
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS k_min,
+        |  CAST(max(o_orderkey) AS BIGINT) AS k_max,
+        |  CAST(1 AS BIGINT) AS meta_only
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY ym""".stripMargin,
 
 
     // Incremental min/max folding must equal full recomputation;

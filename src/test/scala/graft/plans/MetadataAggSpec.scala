@@ -136,11 +136,16 @@ class MetadataAggSpec extends SparkSpec {
       assert(!isMetadataOnly(q2))
       assert(q2.head().getLong(0) == 0L)
 
-      // grouping blocks the rewrite
+      // grouping by a per-file-constant key now COLLAPSES (the
+      // partition-wise arm); a genuinely spread key falls through
       val q3 = CommitLog.read(spark, table)
         .groupBy("tag").agg(count(lit(1)).as("n"))
-      assert(!isMetadataOnly(q3))
+      assert(isMetadataOnly(q3))
       assert(q3.count() == 3)
+      val q3b = CommitLog.read(spark, table)
+        .groupBy("v").agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(q3b))
+      assert(q3b.count() == 10)
 
       // count(col) could undercount NULLs: blocked
       val q4 = CommitLog.read(spark, table).agg(count(col("v")).as("n"))
@@ -206,6 +211,45 @@ class MetadataAggSpec extends SparkSpec {
         .filter(col("k") >= 105).agg(max(col("k")).as("mx"))
       assert(!isMetadataOnly(qp2))
       assert(qp2.head().getInt(0) == 209)
+    }
+  }
+
+  test("partition-wise GROUP BY collapses when the key is per-file constant") {
+    import spark.implicits._
+    val table = java.nio.file.Files
+      .createTempDirectory("magg-g").toString + "/t"
+    // per-file-constant tag, two files for t0 (their counts must sum)
+    val batches = Seq(
+      (0 until 10).map(j => (j, "t0")),
+      (10 until 15).map(j => (j, "t0")),
+      (100 until 110).map(j => (j, "t1")))
+    batches.foreach { b =>
+      CommitLog.appendWithStats(spark, b.toDF("k", "tag").coalesce(1),
+        table, Seq("k", "tag"))
+    }
+    withRule(table) {
+      val q = CommitLog.read(spark, table).groupBy("tag")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("mn"),
+          max(col("k")).as("mx"))
+      assert(isMetadataOnly(q))
+      val got = q.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3)))).toMap
+      assert(got == Map("t0" -> ((15L, 0, 14)), "t1" -> ((10L, 100, 109))))
+
+      // a non-constant group column falls through, stays correct
+      val q2 = CommitLog.read(spark, table).groupBy("k")
+        .agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(q2))
+      assert(q2.count() == 25)
+
+      // a group file with NULLs in the key is not constant: fall through
+      CommitLog.appendWithStats(spark,
+        Seq((999, null.asInstanceOf[String])).toDF("k", "tag").coalesce(1),
+        table, Seq("k", "tag"))
+      val q3 = CommitLog.read(spark, table).groupBy("tag")
+        .agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(q3))
+      assert(q3.count() == 3) // t0, t1, and the NULL group
     }
   }
 

@@ -242,35 +242,53 @@ class MetadataAgg(spark: SparkSession, val table: String)
     // a manifest fold — group the files by their constant, answer
     // each group's aggregates over its file subset. "count by month"
     // on a month-clustered 100 TB table becomes a driver-side loop.
+    // The two shapes compose: a zone-decidable residual Filter below
+    // the groupBy first reduces the file set to the wholly-in subset,
+    // then the partition-wise fold groups what remains — "rows per
+    // month WHERE a whole-months predicate" opens no file either.
     case agg @ Aggregate(Seq(g: AttributeReference), aggExprs, child, _)
-        if agg.resolved && scannedFiles(child).isDefined =>
-      val (owner, files) = scannedFiles(child).get
-      if (files.isEmpty) agg
+        if agg.resolved &&
+          (scannedFiles(child).isDefined || asFilteredScan(child).isDefined) =>
+      val (owner, files0) = scannedFiles(child)
+        .orElse(asFilteredScan(child).flatMap(fs => scannedFiles(fs._2)))
+        .get
+      if (files0.isEmpty) agg
       else CommitLog.currentVersion(spark, owner) match {
         case None => agg
         case Some(v) =>
           val m = CommitLog.readManifest(spark, owner, v)
-          val consts = files.map(f => fileConstant(m, g, f).map(f -> _))
-          if (consts.exists(_.isEmpty)) agg // a non-constant file
-          else {
-            val byGroup = consts.flatten.groupBy(_._2)
-              .map { case (k, fs) => k -> fs.map(_._1) }
-            val rows = byGroup.toSeq.map { case (gv, subset) =>
-              val cells = aggExprs.map {
-                case a: AttributeReference if a.semanticEquals(g) =>
-                  Some(gv)
-                case al @ Alias(a: AttributeReference, _)
-                    if a.semanticEquals(g) => Some(gv)
-                case e => plainAgg(e).flatMap { case (_, ae) =>
-                  answer(m, subset, ae)
+          val filesOpt = asFilteredScan(child) match {
+            case Some((cond, scan)) if ZoneEval.hasUsableLeaf(cond) =>
+              decidedIn(m, files0, scan.output.map(_.name).toSet, cond)
+            case Some(_) => None // a filter the maps can't decide
+            case None => Some(files0)
+          }
+          filesOpt match {
+            case None => agg // an undecidable filter: the scan happens
+            case Some(files) =>
+              val consts =
+                files.map(f => fileConstant(m, g, f).map(f -> _))
+              if (consts.exists(_.isEmpty)) agg // a non-constant file
+              else {
+                val byGroup = consts.flatten.groupBy(_._2)
+                  .map { case (k, fs) => k -> fs.map(_._1) }
+                val rows = byGroup.toSeq.map { case (gv, subset) =>
+                  val cells = aggExprs.map {
+                    case a: AttributeReference if a.semanticEquals(g) =>
+                      Some(gv)
+                    case al @ Alias(a: AttributeReference, _)
+                        if a.semanticEquals(g) => Some(gv)
+                    case e => plainAgg(e).flatMap { case (_, ae) =>
+                      answer(m, subset, ae)
+                    }
+                  }
+                  if (cells.exists(_.isEmpty)) None
+                  else Some(Row.fromSeq(cells.map(_.get)))
                 }
+                if (rows.exists(_.isEmpty)) agg // all-or-nothing
+                else LocalRelation.fromExternalRows(
+                  aggExprs.map(_.toAttribute), rows.map(_.get))
               }
-              if (cells.exists(_.isEmpty)) None
-              else Some(Row.fromSeq(cells.map(_.get)))
-            }
-            if (rows.exists(_.isEmpty)) agg // all-or-nothing
-            else LocalRelation.fromExternalRows(
-              aggExprs.map(_.toAttribute), rows.map(_.get))
           }
       }
 

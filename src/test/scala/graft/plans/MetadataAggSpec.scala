@@ -242,6 +242,21 @@ class MetadataAggSpec extends SparkSpec {
       assert(!isMetadataOnly(q2))
       assert(q2.count() == 25)
 
+      // filter + groupBy compose: a decidable filter reduces the file
+      // set, then the partition-wise fold groups the survivors
+      val qf = CommitLog.read(spark, table).filter(col("k") < 100)
+        .groupBy("tag").agg(count(lit(1)).as("n"))
+      assert(isMetadataOnly(qf))
+      assert(qf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("t0" -> 15L))
+
+      // an undecidable (file-cutting) filter blocks the fold
+      val qfp = CommitLog.read(spark, table).filter(col("k") >= 5)
+        .groupBy("tag").agg(count(lit(1)).as("n"))
+      assert(!isMetadataOnly(qfp))
+      assert(qfp.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("t0" -> 10L, "t1" -> 10L))
+
       // a group file with NULLs in the key is not constant: fall through
       CommitLog.appendWithStats(spark,
         Seq((999, null.asInstanceOf[String])).toDF("k", "tag").coalesce(1),

@@ -52,9 +52,15 @@ class CommitLogModelSpec extends SparkSpec {
     CommitLog.append(spark, df(batch(20)), t)
     live = (1L to 20L).toSet
     checkHead()
+    // the walk runs under a declared constraint: the enforced verb
+    // must admit every model batch (ids are positive) and reject the
+    // crafted dirty ones without moving the model
+    Constraints.setChecks(spark, t,
+      Seq(Constraints.Check("id_pos", "id > 0")))
+    checkHead()
 
     for (step <- 1 to 30) {
-      rnd.nextInt(7) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // append
           val ids = batch(5 + rnd.nextInt(20))
           CommitLog.append(spark, df(ids), t)
@@ -89,10 +95,24 @@ class CommitLogModelSpec extends SparkSpec {
               CommitLog.restore(spark, t, target)
               live = history(target)
             } catch {
-              // allowed: the target's files were already vacuumed
+              // allowed: vacuumed target files, or a target that
+              // predates the declared checks (sticky-id refusal)
               case e: IllegalStateException
-                  if e.getMessage.contains("vacuumed") => ()
+                  if e.getMessage.contains("vacuumed") ||
+                    e.getMessage.contains("checksId") => ()
             }
+          }
+        case 7 => // the enforced verb: clean lands, dirty never does
+          val ids = batch(3 + rnd.nextInt(8))
+          if (rnd.nextBoolean()) {
+            assert(Constraints.checkedAppend(spark, df(ids), t).isRight)
+            live ++= ids
+          } else {
+            val dirty = ids.map(i => (-i, s"r$i"))
+              .toDF("id", "s").repartition(1 + rnd.nextInt(2))
+            assert(Constraints.checkedAppend(spark, dirty, t) ==
+              Left(Seq("id_pos" -> ids.size.toLong)))
+            // rejected: no version published, the model is untouched
           }
       }
       checkHead()

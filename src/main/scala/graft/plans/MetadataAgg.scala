@@ -89,14 +89,32 @@ class MetadataAgg(spark: SparkSession, val table: String)
       case _ => None
     }
 
+  /** A constant output cell the main optimizer already folded — e.g.
+    * count(NULL) → `0 AS n` (NullPropagation) — answered verbatim so
+    * it does not defeat the all-or-nothing collapse. Internal →
+    * external conversion because [[LocalRelation.fromExternalRows]]
+    * re-converts. */
+  private def litValue(e: NamedExpression): Option[Any] = e match {
+    case Alias(l: Literal, _) =>
+      Some(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value, l.dataType))
+    case _ => None
+  }
+
   /** The metadata answer for one aggregate over `files`, or None. */
   private def answer(
       m: CommitLog.Manifest, files: Seq[String],
       ae: AggregateExpression): Option[Any] = ae.aggregateFunction match {
+    // count over literal children is the recorded row count ONLY when
+    // every literal is non-null — count(NULL) counts rows where the
+    // expression is non-null, i.e. 0 (ADVICE r13).
     case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-      val rc = m.colStats.getOrElse(CommitLog.RowCountCol, Map.empty)
-      if (files.forall(rc.contains)) Some(files.map(f => rc(f)._1).sum)
-      else None
+      if (c.children.exists(_.asInstanceOf[Literal].value == null)) Some(0L)
+      else {
+        val rc = m.colStats.getOrElse(CommitLog.RowCountCol, Map.empty)
+        if (files.forall(rc.contains)) Some(files.map(f => rc(f)._1).sum)
+        else None
+      }
     // count(col) = Σ (rows − nulls) when every scanned file carries
     // both counts for that column
     case c: Count if c.children.sizeIs == 1 &&
@@ -139,10 +157,15 @@ class MetadataAgg(spark: SparkSession, val table: String)
             }
           }
       case StringType =>
+        // merge in UTF-8 binary order — the order the per-file extrema
+        // were collected in; Java String .min/.max would disagree for
+        // supplementary-plane values (ADVICE r13)
         m.strStats.get(a.name).filter(st => files.forall(st.contains))
           .map { st =>
-            if (isMin) files.map(f => st(f)._1).min
-            else files.map(f => st(f)._2).max
+            if (isMin) files.map(f => st(f)._1)
+              .reduce(graft.util.Utf8Order.min)
+            else files.map(f => st(f)._2)
+              .reduce(graft.util.Utf8Order.max)
           }
       case _ => None
     }
@@ -225,13 +248,13 @@ class MetadataAgg(spark: SparkSession, val table: String)
         case Some(v) =>
           val m = CommitLog.readManifest(spark, owner, v)
           val answered = aggExprs.map(e =>
-            plainAgg(e).flatMap { case (al, ae) =>
-              answer(m, files, ae).map(al -> _)
-            })
+            litValue(e).orElse(plainAgg(e).flatMap { case (_, ae) =>
+              answer(m, files, ae)
+            }))
           if (answered.exists(_.isEmpty)) agg // all-or-nothing
           else {
             val out = aggExprs.map(_.toAttribute)
-            val row = Row.fromSeq(answered.map(_.get._2))
+            val row = Row.fromSeq(answered.map(_.get))
             LocalRelation.fromExternalRows(out, Seq(row))
           }
       }
@@ -278,9 +301,10 @@ class MetadataAgg(spark: SparkSession, val table: String)
                       Some(gv)
                     case al @ Alias(a: AttributeReference, _)
                         if a.semanticEquals(g) => Some(gv)
-                    case e => plainAgg(e).flatMap { case (_, ae) =>
-                      answer(m, subset, ae)
-                    }
+                    case e => litValue(e)
+                      .orElse(plainAgg(e).flatMap { case (_, ae) =>
+                        answer(m, subset, ae)
+                      })
                   }
                   if (cells.exists(_.isEmpty)) None
                   else Some(Row.fromSeq(cells.map(_.get)))
@@ -314,21 +338,21 @@ class MetadataAgg(spark: SparkSession, val table: String)
             case None => agg // a partial file: the scan must happen
             case Some(in) =>
               val answered = aggExprs.map(e =>
-                plainAgg(e).flatMap { case (al, ae) =>
+                litValue(e).orElse(plainAgg(e).flatMap { case (_, ae) =>
                   if (in.isEmpty) ae.aggregateFunction match {
                     // zero matching rows: count 0, extrema NULL —
                     // exactly a global Aggregate over an empty input
-                    case _: Count => Some(al -> 0L)
-                    case _: Min | _: Max => Some(al -> null)
+                    case _: Count => Some(0L)
+                    case _: Min | _: Max => Some(null)
                     case _ => None
                   }
-                  else answer(m, in, ae).map(al -> _)
-                })
+                  else answer(m, in, ae)
+                }))
               if (answered.exists(_.isEmpty)) agg // all-or-nothing
               else {
                 val out = aggExprs.map(_.toAttribute)
                 LocalRelation.fromExternalRows(out,
-                  Seq(Row.fromSeq(answered.map(_.get._2))))
+                  Seq(Row.fromSeq(answered.map(_.get))))
               }
           }
       }

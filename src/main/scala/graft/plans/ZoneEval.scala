@@ -9,6 +9,7 @@ import org.apache.spark.sql.types.{
   TimestampType}
 
 import graft.sources.CommitLog
+import graft.util.Utf8Order
 
 /** Three-valued zone-map evaluation of a predicate against ONE file's
   * manifest stats — the shared brain of [[ManifestSkip]] (which needs
@@ -42,13 +43,13 @@ private[plans] object ZoneEval {
     case _ => None
   }
 
-  /** Smallest string GREATER than every string with prefix `p`, or
-    * None when no such bound exists (p is all U+FFFF). */
-  def prefixSuccessor(p: String): Option[String] = {
-    val i = p.lastIndexWhere(_ != Char.MaxValue)
-    if (i < 0) None
-    else Some(p.substring(0, i) + (p.charAt(i) + 1).toChar)
-  }
+  // String zone maps are collected by Spark min/max — UTF-8 BINARY
+  // order — so every comparison against them goes through
+  // [[Utf8Order]] (Java String ordering diverges for supplementary-
+  // plane code points; comparing in the wrong order can prune a file
+  // that contains a matching row — ADVICE r13). The prefix successor
+  // for StartsWith operates in the same byte order
+  // (Utf8Order.prefixSuccessor).
 
   /** Does `e` contain at least one leaf these evaluators can act on?
     * Cheap pre-check so unprunable filters never read a manifest. */
@@ -109,7 +110,7 @@ private[plans] object ZoneEval {
       case Or(l, r) => canMatch(st, l) || canMatch(st, r)
       case EqualTo(a: AttributeReference, l: Literal) =>
         cmp(a, l, (mn, mx, v) => mn <= v && v <= mx,
-          (mn, mx, v) => mn <= v && v <= mx)
+          (mn, mx, v) => Utf8Order.le(mn, v) && Utf8Order.le(v, mx))
       case EqualTo(l: Literal, a: AttributeReference) =>
         canMatch(st, EqualTo(a, l))
       case EqualNullSafe(a: AttributeReference, l: Literal) =>
@@ -118,21 +119,21 @@ private[plans] object ZoneEval {
       case EqualNullSafe(l: Literal, a: AttributeReference) =>
         canMatch(st, EqualNullSafe(a, l))
       case GreaterThan(a: AttributeReference, l: Literal) =>
-        cmp(a, l, (_, mx, v) => mx > v, (_, mx, v) => mx > v)
+        cmp(a, l, (_, mx, v) => mx > v, (_, mx, v) => Utf8Order.gt(mx, v))
       case GreaterThan(l: Literal, a: AttributeReference) => // v > a
-        cmp(a, l, (mn, _, v) => mn < v, (mn, _, v) => mn < v)
+        cmp(a, l, (mn, _, v) => mn < v, (mn, _, v) => Utf8Order.lt(mn, v))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        cmp(a, l, (_, mx, v) => mx >= v, (_, mx, v) => mx >= v)
+        cmp(a, l, (_, mx, v) => mx >= v, (_, mx, v) => Utf8Order.ge(mx, v))
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        cmp(a, l, (mn, _, v) => mn <= v, (mn, _, v) => mn <= v)
+        cmp(a, l, (mn, _, v) => mn <= v, (mn, _, v) => Utf8Order.le(mn, v))
       case LessThan(a: AttributeReference, l: Literal) =>
-        cmp(a, l, (mn, _, v) => mn < v, (mn, _, v) => mn < v)
+        cmp(a, l, (mn, _, v) => mn < v, (mn, _, v) => Utf8Order.lt(mn, v))
       case LessThan(l: Literal, a: AttributeReference) => // v < a
-        cmp(a, l, (_, mx, v) => mx > v, (_, mx, v) => mx > v)
+        cmp(a, l, (_, mx, v) => mx > v, (_, mx, v) => Utf8Order.gt(mx, v))
       case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        cmp(a, l, (mn, _, v) => mn <= v, (mn, _, v) => mn <= v)
+        cmp(a, l, (mn, _, v) => mn <= v, (mn, _, v) => Utf8Order.le(mn, v))
       case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        cmp(a, l, (_, mx, v) => mx >= v, (_, mx, v) => mx >= v)
+        cmp(a, l, (_, mx, v) => mx >= v, (_, mx, v) => Utf8Order.ge(mx, v))
       case In(a: AttributeReference, vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v => canMatch(st, EqualTo(a, v.asInstanceOf[Literal])))
@@ -144,7 +145,8 @@ private[plans] object ZoneEval {
       case StartsWith(a: AttributeReference, l: Literal) =>
         asStr(l) match {
           case Some(p) => st.strRange(a.name).forall { case (mn, mx) =>
-            mx >= p && prefixSuccessor(p).forall(mn < _)
+            Utf8Order.ge(mx, p) &&
+              Utf8Order.prefixSuccessor(p).forall(Utf8Order.ltBytes(mn, _))
           }
           case None => true
         }
@@ -189,21 +191,21 @@ private[plans] object ZoneEval {
       case EqualNullSafe(l: Literal, a: AttributeReference) =>
         mustMatch(st, EqualNullSafe(a, l))
       case GreaterThan(a: AttributeReference, l: Literal) =>
-        cmp(a, l, (mn, _, v) => mn > v, (mn, _, v) => mn > v)
+        cmp(a, l, (mn, _, v) => mn > v, (mn, _, v) => Utf8Order.gt(mn, v))
       case GreaterThan(l: Literal, a: AttributeReference) => // v > a
-        cmp(a, l, (_, mx, v) => mx < v, (_, mx, v) => mx < v)
+        cmp(a, l, (_, mx, v) => mx < v, (_, mx, v) => Utf8Order.lt(mx, v))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        cmp(a, l, (mn, _, v) => mn >= v, (mn, _, v) => mn >= v)
+        cmp(a, l, (mn, _, v) => mn >= v, (mn, _, v) => Utf8Order.ge(mn, v))
       case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        cmp(a, l, (_, mx, v) => mx <= v, (_, mx, v) => mx <= v)
+        cmp(a, l, (_, mx, v) => mx <= v, (_, mx, v) => Utf8Order.le(mx, v))
       case LessThan(a: AttributeReference, l: Literal) =>
-        cmp(a, l, (_, mx, v) => mx < v, (_, mx, v) => mx < v)
+        cmp(a, l, (_, mx, v) => mx < v, (_, mx, v) => Utf8Order.lt(mx, v))
       case LessThan(l: Literal, a: AttributeReference) => // v < a
-        cmp(a, l, (mn, _, v) => mn > v, (mn, _, v) => mn > v)
+        cmp(a, l, (mn, _, v) => mn > v, (mn, _, v) => Utf8Order.gt(mn, v))
       case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        cmp(a, l, (_, mx, v) => mx <= v, (_, mx, v) => mx <= v)
+        cmp(a, l, (_, mx, v) => mx <= v, (_, mx, v) => Utf8Order.le(mx, v))
       case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        cmp(a, l, (mn, _, v) => mn >= v, (mn, _, v) => mn >= v)
+        cmp(a, l, (mn, _, v) => mn >= v, (mn, _, v) => Utf8Order.ge(mn, v))
       case In(a: AttributeReference, vs)
           if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         vs.exists(v => mustMatch(st, EqualTo(a, v.asInstanceOf[Literal])))

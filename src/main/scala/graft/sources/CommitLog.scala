@@ -1004,8 +1004,13 @@ object CommitLog {
       throw new IllegalArgumentException(s"no committed version at $table"))
     val m = readManifest(spark, table, v)
     val st = m.strStats.getOrElse(column, Map.empty)
+    // UTF-8 binary order — the order Spark min/max collected the
+    // extrema in (and the order the caller's residual filter compares
+    // in); Java String comparison would disagree for supplementary-
+    // plane values and could prune a matching file (ADVICE r13).
+    import graft.util.Utf8Order
     val sel = m.files.filter(f => st.get(f) match {
-      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case Some((mn, mx)) => Utf8Order.ge(mx, lo) && Utf8Order.le(mn, hi)
       case None => true
     })
     (m.files.size, sel)
@@ -1151,11 +1156,14 @@ object CommitLog {
     val st = m.strStats.getOrElse(column, Map.empty)
     require(st.nonEmpty,
       s"replaceWhereString needs string stats on '$column' at $table")
+    import graft.util.Utf8Order
     val (contained, overlapping) = m.files
       .map(f => f -> st.getOrElse(f,
         throw new IllegalStateException(s"file without stats: $f")))
-      .filter { case (_, (mn, mx)) => mx >= lo && mn <= hi }
-      .partition { case (_, (mn, mx)) => mn >= lo && mx <= hi }
+      .filter { case (_, (mn, mx)) =>
+        Utf8Order.ge(mx, lo) && Utf8Order.le(mn, hi) }
+      .partition { case (_, (mn, mx)) =>
+        Utf8Order.ge(mn, lo) && Utf8Order.le(mx, hi) }
     if (overlapping.nonEmpty)
       throw new IllegalStateException(
         s"files straddle [$lo, $hi] — rewrite them first: ${overlapping.map(_._1)}")
@@ -1166,7 +1174,7 @@ object CommitLog {
         case _ => Seq(column)
       }))
     strs.getOrElse(column, Map.empty).values.foreach { case (mn, mx) =>
-      require(mn >= lo && mx <= hi,
+      require(Utf8Order.ge(mn, lo) && Utf8Order.le(mx, hi),
         s"replacement rows [$mn, $mx] escape the replaced range [$lo, $hi]")
     }
     commit(spark, table, adds = staged, removes = contained.map(_._1),
@@ -1295,7 +1303,12 @@ object CommitLog {
     val body = readMetaWithFallback(spark, table, t => checksPath(t, cid))
     arrayField(body, "checks").map(parseStrings).getOrElse(Seq.empty)
       .map { s =>
+        // names are validated space-free at declaration
+        // (Constraints.setChecks) — a malformed record is loud, never
+        // a silently shifted expression (ADVICE r13)
         val i = s.indexOf(' ')
+        require(i > 0, s"malformed check record (no name/expr " +
+          s"separator): '$s'")
         (s.substring(0, i), s.substring(i + 1))
       }
   }

@@ -26,7 +26,7 @@ import graft.util.Utf8Order
   * A file where canMatch && !mustMatch is PARTIAL — scanned by the
   * skip rule, undecidable for a metadata count.
   */
-private[plans] object ZoneEval {
+private[graft] object ZoneEval {
 
   /** Integral AND temporal literals: a folded date literal carries
     * epoch DAYS (Int), a timestamp literal epoch MICROS (Long) — the

@@ -1696,6 +1696,73 @@ private[graft] object RegWarehouse {
         .withColumn("files_empty", lit(scanned(qEmpty)))
     },
 
+    // ROW-LEVEL DELETE WHERE on the commit log (r13 directive #1):
+    // one verb classifies every live file against the manifest zone
+    // maps — whole months inside the predicate DROP METADATA-ONLY
+    // (never opened), the one month the k-parity leg cuts is REWRITTEN
+    // row-level, everything else survives by reference. The post-
+    // delete aggregate faces DuckDB's complement recompute; the file
+    // arithmetic replays as distinct-month populations; n_before pins
+    // time travel to the pre-delete version. CommitDmlSpec proves the
+    // metadata-only arm by destroying a dropped file's bytes first.
+    "q_delete_where" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_delw_${stageTag(dir)}"
+      import graft.sources.{CommitDml, CommitLog}
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      val v0 = CommitLog.currentVersion(s, table).get
+      val r = CommitDml.deleteWhere(s, table,
+        (col("ym") >= "1995-06" && col("ym") <= "1996-03") ||
+          (col("ym") === "1997-01" && pmod(col("k"), lit(2)) === 0))
+      val nBefore = CommitLog.readVersion(s, table, v0).count()
+      CommitLog.read(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .withColumn("n_before", lit(nBefore))
+        .withColumn("files_total", lit(r.filesTotal.toLong))
+        .withColumn("files_removed_meta",
+          lit(r.filesRemovedMetadataOnly.toLong))
+        .withColumn("files_rewritten", lit(r.filesRewritten.toLong))
+    },
+
+    // ROW-LEVEL UPDATE WHERE (same directive): only the files the
+    // predicate can touch are rewritten (the wholly-matching month
+    // plus the month the k-parity leg cuts — 2 of ~80), the rest ride
+    // by reference, and the rewrite re-collects zone maps so the
+    // table stays prunable. Values face DuckDB's CASE recompute;
+    // cents_before pins the pre-update version.
+    "q_update_where" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_updw_${stageTag(dir)}"
+      import graft.sources.{CommitDml, CommitLog}
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      val v0 = CommitLog.currentVersion(s, table).get
+      val r = CommitDml.updateWhere(s, table,
+        col("ym") === "1995-06" ||
+          (col("ym") === "1996-07" && pmod(col("k"), lit(3)) === 0),
+        Map("cents" -> (col("cents") + lit(777L))))
+      val centsBefore = CommitLog.readVersion(s, table, v0)
+        .agg(sum("cents")).head().getLong(0)
+      CommitLog.read(s, table)
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          sum(pmod(col("k"), lit(100000L))).as("key_checksum"))
+        .withColumn("cents_before", lit(centsBefore))
+        .withColumn("files_total", lit(r.filesTotal.toLong))
+        .withColumn("files_rewritten", lit(r.filesRewritten.toLong))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -3347,6 +3414,52 @@ private[graft] object RegWarehouse {
         |  CAST(0 AS BIGINT) AS n_empty, c.files_total, c.files_range,
         |  c.files_eq, CAST(0 AS BIGINT) AS files_empty
         |FROM agg a, eqq e, cnt c""".stripMargin,
+
+
+    // Post-delete state = the complement; files_removed_meta = the
+    // whole months inside the range (one file per month); exactly one
+    // file is cut by the parity leg and rewritten.
+    "q_delete_where" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |kept AS (SELECT * FROM o
+        |  WHERE NOT ((ym BETWEEN '1995-06' AND '1996-03')
+        |             OR (ym = '1997-01' AND k % 2 = 0)))
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum,
+        |  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_before,
+        |  CAST((SELECT count(DISTINCT ym) FROM o) AS BIGINT) AS files_total,
+        |  CAST((SELECT count(DISTINCT ym) FROM o
+        |        WHERE ym BETWEEN '1995-06' AND '1996-03') AS BIGINT)
+        |    AS files_removed_meta,
+        |  CAST(1 AS BIGINT) AS files_rewritten
+        |FROM kept""".stripMargin,
+
+
+    // Post-update state = the CASE recompute; exactly two files are
+    // touchable (the wholly-matching month + the parity-cut month).
+    "q_update_where" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |u AS (SELECT k, ym,
+        |        cents + CASE WHEN ym = '1995-06'
+        |                       OR (ym = '1996-07' AND k % 3 = 0)
+        |                     THEN 777 ELSE 0 END AS cents
+        |      FROM o)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum,
+        |  CAST((SELECT sum(cents) FROM o) AS BIGINT) AS cents_before,
+        |  CAST((SELECT count(DISTINCT ym) FROM o) AS BIGINT) AS files_total,
+        |  CAST(2 AS BIGINT) AS files_rewritten
+        |FROM u""".stripMargin,
 
 
     // The manifest's answer must equal the data's: DuckDB recomputes

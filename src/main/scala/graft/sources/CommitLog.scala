@@ -770,7 +770,7 @@ object CommitLog {
     * minus the reserved `__`-prefixed pseudo-columns. What
     * maintenance rewrites (compaction, replaceWhere) re-collect stats
     * for; the stats pass regenerates the pseudo-columns itself. */
-  private def statColsOf(m: Manifest): Seq[String] =
+  private[sources] def statColsOf(m: Manifest): Seq[String] =
     (m.colStats.keys ++ m.strStats.keys).toSeq.distinct
       .filterNot(_.startsWith("__")).sorted
 

@@ -60,7 +60,7 @@ class CommitLogModelSpec extends SparkSpec {
     checkHead()
 
     for (step <- 1 to 30) {
-      rnd.nextInt(8) match {
+      rnd.nextInt(10) match {
         case 0 | 1 => // append
           val ids = batch(5 + rnd.nextInt(20))
           CommitLog.append(spark, df(ids), t)
@@ -101,6 +101,16 @@ class CommitLogModelSpec extends SparkSpec {
                   if e.getMessage.contains("vacuumed") ||
                     e.getMessage.contains("checksId") => ()
             }
+          }
+        case 8 | 9 => // row-level DELETE WHERE (r14): a random id range;
+          // the model filters the same predicate. Never delete
+          // everything — a zero-file version refuses read() by design.
+          if (live.size > 3) {
+            val ids = live.toSeq.sorted
+            val cut = ids(rnd.nextInt(ids.size / 2)) // keeps the top half
+            CommitDml.deleteWhere(spark, t,
+              org.apache.spark.sql.functions.col("id") <= cut)
+            live = live.filter(_ > cut)
           }
         case 7 => // the enforced verb: clean lands, dirty never does
           val ids = batch(3 + rnd.nextInt(8))

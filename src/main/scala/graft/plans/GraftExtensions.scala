@@ -69,7 +69,7 @@ object SkylineColumnPruning extends Rule[LogicalPlan] {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectParser((_, delegate) => new SkylineSqlParser(delegate))
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     ext.injectPlannerStrategy(_ => SkylineStrategy)
     ext.injectOptimizerRule(_ => SkylineColumnPruning)
     graft.sql.GraftFunctions.registrations.foreach(ext.injectFunction)

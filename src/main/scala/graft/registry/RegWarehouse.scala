@@ -1763,6 +1763,65 @@ private[graft] object RegWarehouse {
         .withColumn("files_rewritten", lit(r.filesRewritten.toLong))
     },
 
+    // SQL DML ROUTED INTO THE COMMIT-LOG VERBS (r13 directive #2):
+    // INSERT / MERGE / DELETE / UPDATE as pure SQL statements on a
+    // registered view, parsed by Spark's own grammar and executed as
+    // one atomic commit each (GraftSql/GraftDml): the INSERT goes
+    // through checkedAppend (the violating second INSERT throws and
+    // publishes nothing — insert_rejected pins that), the MERGE lands
+    // via CommitMerge's touched-file pruning, DELETE/UPDATE via
+    // CommitDml's zone-map classification. commits = exactly one
+    // version per statement. DuckDB replays the statement sequence as
+    // chained CTEs over raw orders.
+    "q_sql_dml" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sqldml_$tag"
+      val view = s"gsqldml_$tag"
+      import graft.sources.{CommitLog, Constraints}
+      import graft.sql.{GraftSql, GraftTables}
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      Constraints.setChecks(s, table,
+        Seq(Constraints.Check("cents_nonneg", "cents >= 0")))
+      GraftTables.register(s, table, view)
+      val v0 = CommitLog.currentVersion(s, table).get
+      GraftSql.sql(s, s"INSERT INTO $view SELECT k + 10000000, ym, " +
+        s"cents FROM $view WHERE ym = '1997-02'")
+      val rejected = try {
+        GraftSql.sql(s, s"INSERT INTO $view VALUES (1, '2099-09', -1)")
+        0L
+      } catch {
+        case _: Constraints.ConstraintViolationException => 1L
+      }
+      o.filter(col("ym") === "1995-01" && pmod(col("k"), lit(2)) === 0)
+        .select(col("k"), lit("2099-01").as("ym"),
+          (col("cents") + 3L).as("cents"))
+        .union(o.filter(col("ym") === "1995-02")
+          .select((col("k") + 20000000L).as("k"), lit("2099-02").as("ym"),
+            lit(7L).as("cents")))
+        .createOrReplaceTempView(s"${view}_src")
+      GraftSql.sql(s,
+        s"""MERGE INTO $view AS t USING ${view}_src AS src ON t.k = src.k
+           |WHEN MATCHED THEN UPDATE SET cents = src.cents
+           |WHEN NOT MATCHED THEN INSERT (k, ym, cents)
+           |  VALUES (src.k, src.ym, src.cents)""".stripMargin)
+      GraftSql.sql(s, s"DELETE FROM $view WHERE ym = '1996-07' OR " +
+        s"(ym = '1996-08' AND k % 2 = 0)")
+      GraftSql.sql(s,
+        s"UPDATE $view SET cents = cents + 5 WHERE ym = '1997-05'")
+      val vN = CommitLog.currentVersion(s, table).get
+      s.sql(s"SELECT count(*) AS n, sum(cents) AS cents, " +
+          s"sum(k % 100000) AS key_checksum FROM $view")
+        .withColumn("insert_rejected", lit(rejected))
+        .withColumn("commits", lit(vN - v0))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -3460,6 +3519,43 @@ private[graft] object RegWarehouse {
         |  CAST((SELECT count(DISTINCT ym) FROM o) AS BIGINT) AS files_total,
         |  CAST(2 AS BIGINT) AS files_rewritten
         |FROM u""".stripMargin,
+
+
+    // The four-statement SQL sequence replayed as chained CTEs; the
+    // violating INSERT contributes nothing (insert_rejected = 1);
+    // exactly one commit per routed statement.
+    "q_sql_dml" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |t1 AS (SELECT * FROM base
+        |       UNION ALL
+        |       SELECT k + 10000000, ym, cents FROM base WHERE ym = '1997-02'),
+        |src AS (SELECT k, '2099-01' AS ym, cents + 3 AS cents FROM base
+        |        WHERE ym = '1995-01' AND k % 2 = 0
+        |        UNION ALL
+        |        SELECT k + 20000000, '2099-02', 7 FROM base
+        |        WHERE ym = '1995-02'),
+        |t2 AS (SELECT t1.k, t1.ym,
+        |         CASE WHEN src.k IS NOT NULL THEN src.cents
+        |              ELSE t1.cents END AS cents
+        |       FROM t1 LEFT JOIN src ON t1.k = src.k
+        |       UNION ALL
+        |       SELECT src.k, src.ym, src.cents FROM src
+        |       WHERE src.k NOT IN (SELECT k FROM t1)),
+        |t3 AS (SELECT * FROM t2
+        |       WHERE NOT (ym = '1996-07' OR (ym = '1996-08' AND k % 2 = 0))),
+        |t4 AS (SELECT k, ym,
+        |         cents + CASE WHEN ym = '1997-05' THEN 5 ELSE 0 END AS cents
+        |       FROM t3)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum,
+        |  CAST(1 AS BIGINT) AS insert_rejected,
+        |  CAST(4 AS BIGINT) AS commits
+        |FROM t4""".stripMargin,
 
 
     // The manifest's answer must equal the data's: DuckDB recomputes

@@ -1,0 +1,287 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{
+  And, AttributeReference, Cast, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{
+  Assignment, DeleteAction, DeleteFromTable, InsertAction,
+  InsertIntoStatement, InsertStarAction, LogicalPlan, MergeAction,
+  MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction,
+  UpdateTable}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+import org.apache.spark.sql.types.{LongType, StringType}
+
+import graft.operators.MergeInto
+import graft.sources.{CommitDml, CommitLog, CommitMerge, Constraints}
+
+/** SQL DML routed into the commit-log verbs (VERDICT r13 directive
+  * #2): `INSERT INTO` / `DELETE FROM` / `UPDATE` / `MERGE INTO` on a
+  * [[GraftTables]]-registered view parse through Spark's OWN grammar
+  * (the statements are ANSI SQL — Spark produces
+  * `DeleteFromTable`/`UpdateTable`/`MergeIntoTable`/
+  * `InsertIntoStatement` nodes it cannot execute for v1 relations),
+  * and [[rewrite]] turns those nodes into an eagerly-executed command
+  * that lands ONE atomic commit through [[CommitDml]] /
+  * [[CommitMerge]] / [[Constraints.checkedAppend]]. A reader racing
+  * the statement resolves the old manifest or the new one, never a
+  * mix — the commit log's contract, now reachable from pure SQL.
+  *
+  * Wiring: sessions built with [[graft.plans.GraftExtensions]] get
+  * this through plain `spark.sql(...)`; for host-owned sessions,
+  * [[GraftSql.sql]] applies the same parser (the
+  * [[graft.sql.SkylineSql]] pattern). After every verb the view is
+  * RE-PINNED to the new head, so the next SELECT sees the statement's
+  * result — SQL sessions read their own writes, while concurrent
+  * pinned readers keep snapshot isolation.
+  *
+  * Constraint enforcement composes on the INSERT path: the routed
+  * insert is [[Constraints.checkedAppend]] — the staged batch is
+  * audited against the table's persisted CHECK set and a violating
+  * batch never becomes a manifest (the statement throws; its files
+  * stay dead on disk).
+  *
+  * Boundaries, loud not silent: MERGE requires equality ON clauses
+  * with the same column name on both sides (the [[CommitMerge]] key
+  * contract); INSERT is positional with lossless up-casts;
+  * `INSERT OVERWRITE`, partition specs, and by-name inserts are
+  * refused with a message naming the supported form.
+  */
+object GraftDml {
+
+  /** Rewrite a parsed statement targeting a registered view into the
+    * executing command; anything else passes through untouched. */
+  def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    case d @ DeleteFromTable(t, cond) => targetOf(t) match {
+      case Some((view, table, _)) =>
+        GraftDmlCommand("delete", view, table, s => {
+          val r = CommitDml.deleteWhere(s, table, unqualified(cond))
+          GraftTables.register(s, table, view)
+          r.version
+        })
+      case None => d
+    }
+
+    case u @ UpdateTable(t, assignments, cond) => targetOf(t) match {
+      case Some((view, table, _)) =>
+        GraftDmlCommand("update", view, table, s => {
+          val set = assignments.map { a =>
+            assignKey(a) -> unqualified(a.value)
+          }.toMap
+          val c = cond.map(unqualified).getOrElse(lit(true))
+          val r = CommitDml.updateWhere(s, table, c, set)
+          GraftTables.register(s, table, view)
+          r.version
+        })
+      case None => u
+    }
+
+    case m: MergeIntoTable => targetOf(m.targetTable) match {
+      case Some((view, table, tAliasOpt)) =>
+        GraftDmlCommand("merge", view, table,
+          s => runMerge(s, view, table, tAliasOpt, m))
+      case None => m
+    }
+
+    case i: InsertIntoStatement => targetOf(i.table) match {
+      case Some((view, table, _)) =>
+        require(!i.overwrite,
+          "INSERT OVERWRITE is not routed — use replaceWhere / " +
+            "replaceClustered for partial or full overwrites")
+        require(i.partitionSpec.isEmpty,
+          "partitioned INSERT is not routed — the commit-log layout " +
+            "is managed by the write verbs")
+        require(i.userSpecifiedCols.isEmpty,
+          "INSERT with an explicit column list is not routed — " +
+            "project the SELECT to the table's columns instead")
+        GraftDmlCommand("insert", view, table, s => {
+          runInsert(s, view, table, i.query)
+        })
+      case None => i
+    }
+
+    case other => other
+  }
+
+  // ---- target resolution -------------------------------------------
+
+  /** (view name, table ref, optional alias) when `p` is a registered
+    * single-part relation (optionally aliased). */
+  private def targetOf(p: LogicalPlan): Option[(String, String, Option[String])] =
+    p match {
+      case SubqueryAlias(id, child) =>
+        targetOf(child).map { case (v, t, _) => (v, t, Some(id.name)) }
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if r.multipartIdentifier.size == 1 =>
+        val view = r.multipartIdentifier.head
+        GraftTables.lookup(view).map(t => (view, t, None))
+      case _ => None
+    }
+
+  // ---- expression translation --------------------------------------
+
+  /** Column from an unresolved expression with every attribute
+    * reduced to its bare name — the single-table DELETE/UPDATE form,
+    * where a qualifier can only name the target. */
+  private def unqualified(e: Expression): Column =
+    ColumnBridge.column(e.transform {
+      case a: UnresolvedAttribute => UnresolvedAttribute(Seq(a.nameParts.last))
+    })
+
+  private def assignKey(a: Assignment): String = a.key match {
+    case u: UnresolvedAttribute => u.nameParts.last
+    case ar: AttributeReference => ar.name
+    case other => throw new IllegalArgumentException(
+      s"unsupported SET target: ${other.sql}")
+  }
+
+  // ---- MERGE --------------------------------------------------------
+
+  private def runMerge(s: SparkSession, view: String, table: String,
+      tAliasOpt: Option[String], m: MergeIntoTable): Long = {
+    val source = DatasetBridge.ofRows(s, m.sourceTable)
+    val sAlias = sourceAlias(m.sourceTable)
+    val tNames = lower(tAliasOpt.toSeq :+ view)
+    val sNames = lower(sAlias.toSeq)
+    val tCols = lower(CommitLog.read(s, table).columns.toSeq)
+    val sCols = lower(source.columns.toSeq)
+
+    /** side-tag an attribute: t_/s_ prefixed name over the MergeInto
+      * joined frame. */
+    def retarget(e: Expression): Column = ColumnBridge.column(e.transform {
+      case a: UnresolvedAttribute =>
+        val name = a.nameParts.last
+        val qual = a.nameParts.dropRight(1).lastOption
+          .map(_.toLowerCase(java.util.Locale.ROOT))
+        val side = qual match {
+          case Some(q) if tNames.contains(q) => "t"
+          case Some(q) if sNames.contains(q) => "s"
+          case Some(q) => throw new IllegalArgumentException(
+            s"MERGE qualifier '$q' names neither the target " +
+              s"(${tNames.mkString("/")}) nor the source" +
+              sNames.headOption.map(n => s" ($n)").getOrElse(""))
+          case None =>
+            val k = name.toLowerCase(java.util.Locale.ROOT)
+            (tCols.contains(k), sCols.contains(k)) match {
+              case (true, true) => throw new IllegalArgumentException(
+                s"MERGE column '$name' is ambiguous — qualify it")
+              case (_, true) => "s"
+              case (true, _) => "t"
+              case _ => throw new IllegalArgumentException(
+                s"MERGE column '$name' exists on neither side")
+            }
+        }
+        UnresolvedAttribute(Seq(s"${side}_$name"))
+    })
+
+    // equality key columns from the ON conjunction — the CommitMerge
+    // key contract (same name both sides)
+    def keyOf(e: Expression): Seq[String] = e match {
+      case And(l, r) => keyOf(l) ++ keyOf(r)
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        val (an, bn) = (a.nameParts.last, b.nameParts.last)
+        require(an.equalsIgnoreCase(bn),
+          s"MERGE ON must equate same-named key columns " +
+            s"('$an' vs '$bn') — rename the source column first")
+        Seq(an)
+      case other => throw new IllegalArgumentException(
+        "MERGE ON must be a conjunction of target.col = source.col " +
+          s"equalities; got: ${other.sql}")
+    }
+    val keyCols = keyOf(m.mergeCondition).distinct
+
+    val targetCols = CommitLog.read(s, table).columns.toSeq
+    def starSet: Map[String, Column] =
+      targetCols.map(c => c -> col(s"s_$c")).toMap
+    def actionOf(a: MergeAction): (Column, MergeInto.Action) = a match {
+      case DeleteAction(c) =>
+        (c.map(retarget).getOrElse(lit(true)), MergeInto.Delete)
+      case UpdateAction(c, assigns, _) =>
+        (c.map(retarget).getOrElse(lit(true)), MergeInto.Update(
+          assigns.map(x => assignKey(x) -> retarget(x.value)).toMap))
+      case UpdateStarAction(c) =>
+        (c.map(retarget).getOrElse(lit(true)), MergeInto.Update(starSet))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    def insertOf(a: MergeAction): (Column, MergeInto.Insert) = a match {
+      case InsertAction(c, assigns) =>
+        (c.map(retarget).getOrElse(lit(true)), MergeInto.Insert(
+          assigns.map(x => assignKey(x) -> retarget(x.value)).toMap))
+      case InsertStarAction(c) =>
+        (c.map(retarget).getOrElse(lit(true)), MergeInto.Insert(starSet))
+      case other => throw new IllegalArgumentException(
+        s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    val r = CommitMerge.mergeInto(s, table, source, keyCols,
+      matched = m.matchedActions.map(actionOf),
+      notMatched = m.notMatchedActions.map(insertOf),
+      bySource = m.notMatchedBySourceActions.map(actionOf))
+    GraftTables.register(s, table, view)
+    r.version
+  }
+
+  private def sourceAlias(p: LogicalPlan): Option[String] = p match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if r.multipartIdentifier.size == 1 =>
+      Some(r.multipartIdentifier.head)
+    case _ => None
+  }
+
+  private def lower(xs: Seq[String]): Set[String] =
+    xs.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+
+  // ---- INSERT -------------------------------------------------------
+
+  /** Positional insert through the ENFORCED write verb: align the
+    * SELECT/VALUES output to the table's schema (lossless up-casts
+    * only), then [[Constraints.checkedAppend]] — the persisted CHECK
+    * set audits the staged bytes, a violating batch throws and never
+    * publishes. Zone maps are re-collected for the table's statted
+    * columns so SQL inserts keep the table prunable. */
+  private def runInsert(s: SparkSession, view: String, table: String,
+      query: LogicalPlan): Long = {
+    val df = DatasetBridge.ofRows(s, query)
+    val want = CommitLog.read(s, table).schema
+    require(df.columns.length == want.length,
+      s"INSERT arity ${df.columns.length} != table arity ${want.length}")
+    val aligned = df.select(df.columns.toSeq.zip(want).map {
+      case (c, f) =>
+        val from = df.schema(c).dataType
+        require(from == org.apache.spark.sql.types.NullType ||
+          from == f.dataType || Cast.canUpCast(from, f.dataType),
+          s"INSERT type mismatch for '${f.name}': ${from.simpleString} " +
+            s"does not up-cast losslessly to ${f.dataType.simpleString}")
+        col(c).cast(f.dataType).as(f.name)
+    }: _*)
+    val m = CommitLog.readManifest(s, table,
+      CommitLog.currentVersion(s, table).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $table")))
+    val statsCols = (m.colStats.keys ++ m.strStats.keys).toSeq.distinct
+      .filterNot(_.startsWith("__")).sorted
+    val v = Constraints.checkedAppend(s, aligned, table, statsCols) match {
+      case Right(ver) => ver
+      case Left(bad) => throw new Constraints.ConstraintViolationException(
+        table, bad)
+    }
+    GraftTables.register(s, table, view)
+    v
+  }
+}
+
+/** The eagerly-executed statement: `spark.sql("DELETE FROM v ...")`
+  * runs the verb at Dataset creation (Spark's command contract) and
+  * yields a one-row (verb, version) frame. */
+case class GraftDmlCommand(verb: String, view: String, table: String,
+    body: SparkSession => Long) extends LeafRunnableCommand {
+
+  override val output: Seq[AttributeReference] = Seq(
+    AttributeReference("verb", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(verb, body(sparkSession)))
+}

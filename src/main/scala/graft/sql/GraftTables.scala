@@ -20,7 +20,17 @@ import graft.sources.CommitLog
   */
 object GraftTables {
 
+  /** view name (lowercased) → commit-log table ref, for the SQL DML
+    * router ([[GraftDml]]): a DELETE/UPDATE/MERGE/INSERT statement
+    * naming a registered view routes into the transactional verbs. */
+  private[sql] val registry =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[sql] def lookup(view: String): Option[String] =
+    registry.get(view.toLowerCase(java.util.Locale.ROOT))
+
   def register(spark: SparkSession, table: String, viewName: String): Unit = {
+    registry.put(viewName.toLowerCase(java.util.Locale.ROOT), table)
     CommitLog.read(spark, table).createOrReplaceTempView(viewName)
     // ONE rule pair per session, serving a growing table registry —
     // a thousand registered tables must not run a thousand rules
@@ -38,6 +48,7 @@ object GraftTables {
   /** Drop the view and stop serving this table (the shared rule pair
     * stays for other registered tables). */
   def unregister(spark: SparkSession, table: String, viewName: String): Unit = {
+    registry.remove(viewName.toLowerCase(java.util.Locale.ROOT))
     spark.catalog.dropTempView(viewName)
     spark.experimental.extraOptimizations.foreach {
       case r: ManifestSkip => r.drop(table)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Aggregate, LogicalPlan, Project}
+  Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{
   HadoopFsRelation, LogicalRelation}
@@ -45,7 +45,16 @@ case class MvDef(
     logTables: Boolean = false,
     /** The [[graft.sources.MvIncremental]] feed tag tying summary to
       * base (required when `logTables`). */
-    feedTag: String = "")
+    feedTag: String = "",
+    /** The MV's stored predicate (boolean SQL over base columns) when
+      * the summary was built over a FILTERED slice of the base —
+      * `SELECT … FROM base WHERE <predicateSql> GROUP BY …`. Empty =
+      * the summary covers every base row. A filtered MV answers a
+      * filtered query only when the query predicate provably IMPLIES
+      * this one ([[PredImply]]) and references group columns only;
+      * the query predicate is kept as the residual group-level
+      * filter. */
+    predicateSql: String = "")
 
 /** Transparent aggregate rewrite onto a materialized summary — the
   * lakehouse "query rewrite using materialized views" optimization as
@@ -81,6 +90,35 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
 
   private def norm(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The MV's stored predicate, parsed once (unresolved — PredImply
+    * matches attributes by bare name). */
+  private lazy val mvPred: Option[Expression] =
+    if (mv.predicateSql.isEmpty) None
+    else Some(spark.sessionState.sqlParser.parseExpression(mv.predicateSql))
+
+  /** `plan` as Filter-over-base-scan, looking through attribute-only
+    * Projects on either side of the Filter. */
+  private def asFilteredBase(plan: LogicalPlan)
+      : Option[(Expression, LogicalPlan)] = plan match {
+    case Filter(cond, child) if isBaseScan(child) => Some((cond, child))
+    case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      asFilteredBase(child)
+    case _ => None
+  }
+
+  /** The filtered-rewrite gate: the query predicate must (a) reference
+    * only MV group columns — then filtering groups post-aggregation
+    * equals filtering rows pre-aggregation, so re-applying it over the
+    * summary is exact — and (b) provably imply the MV's stored
+    * predicate (trivial for an unfiltered MV), so every needed row is
+    * in the summary. */
+  private def filterRewritable(cond: Expression): Boolean =
+    cond.references.forall(a => mv.groupCols.contains(a.name)) &&
+      (mvPred match {
+        case None => true
+        case Some(p) => PredImply.implies(cond, p)
+      })
 
   /** The child is a scan of the MV base (possibly through an
     * attribute-only Project). */
@@ -175,15 +213,44 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // FILTERED query → (possibly filtered) MV: predicate subsumption
+    // (r13 directive #4). The residual filter is the query's own
+    // predicate re-aimed at the summary's group columns.
     case agg: Aggregate
-        if agg.resolved && isBaseScan(agg.child) && rewritable(agg) &&
+        if agg.resolved && mv.groupCols.nonEmpty &&
+          asFilteredBase(agg.child).isDefined && rewritable(agg) &&
+          filterRewritable(asFilteredBase(agg.child).get._1) &&
+          freshAndCurrent(asFilteredBase(agg.child).get._2) =>
+      val (cond, _) = asFilteredBase(agg.child).get
+      rewriteOnto(agg, Some(cond))
+
+    // Unfiltered query → UNFILTERED MV only: a summary built over a
+    // predicate slice must never answer a whole-table aggregate.
+    case agg: Aggregate
+        if agg.resolved && mv.predicateSql.isEmpty &&
+          isBaseScan(agg.child) && rewritable(agg) &&
           freshAndCurrent(agg.child) =>
+      rewriteOnto(agg, None)
+  }
+
+  /** Re-aim `agg` (and the optional residual predicate) at the
+    * summary relation, preserving output names and expression ids. */
+  private def rewriteOnto(agg: Aggregate,
+      residual: Option[Expression]): LogicalPlan = {
       // Fresh relation per rewrite: two rewritten aggregates in one
       // tree must not share attribute ids.
-      val sumRel = (if (mv.logTables)
+      val sumRel0 = (if (mv.logTables)
           graft.sources.CommitLog.read(spark, mv.summaryPath)
         else spark.read.parquet(mv.summaryPath))
         .queryExecution.analyzed
+      val sumRel = residual match {
+        case None => sumRel0
+        case Some(cond) =>
+          val byName = sumRel0.output.map(a => a.name -> a).toMap
+          Filter(cond.transform {
+            case a: AttributeReference => byName(a.name)
+          }, sumRel0)
+      }
       val sAttr: Map[String, Attribute] =
         sumRel.output.map(a => a.name -> a).toMap
       def remapAgg(ae: AggregateExpression): Expression = {

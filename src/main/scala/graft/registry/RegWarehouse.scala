@@ -1960,6 +1960,80 @@ private[graft] object RegWarehouse {
     // pins exactly-once, the non-append-only refusal + rebuild
     // remediation, signed CDC folding, and the stale/time-travel
     // decline paths.
+    // FILTERED-MV rewrite via predicate subsumption (r13 directive
+    // #4): the summary materializes ONLY the ym >= '1995-01' slice of
+    // a commit-log base (MvIncremental.refresh with predicateSql), and
+    // a query whose predicate is provably TIGHTER (PredImply interval
+    // containment) rewrites onto it with the query predicate kept as
+    // the group-level residual — mv_used pinned from the plan. A
+    // later append makes the cursor stale: the SAME query falls back
+    // to the base (fallback_scans_base pinned), values unchanged (the
+    // appended rows sit outside the window). DuckDB recomputes the
+    // window rollup from raw orders.
+    "q_mv_filtered" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvf_base_$tag"
+      val summ =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvf_summ_$tag"
+      import graft.sources.{CommitLog, MvIncremental}
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fsys = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fsys.delete(p, true)
+      fsys.delete(new org.apache.hadoop.fs.Path(summ), true)
+      val o = Tables.load(s, dir, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        col("o_orderkey").cast("long").as("key"))
+      CommitLog.append(s, o, base)
+      MvIncremental.refresh(s, base, summ, "ymf", Seq("ym"),
+        "mv_cnt", Map("key" -> "mv_sum_key"),
+        predicateSql = "ym >= '1995-01'")
+      val mv = graft.plans.MvDef(base, summ, Seq("ym"),
+        "mv_cnt", Map("key" -> "mv_sum_key"), logTables = true,
+        feedTag = "ymf", predicateSql = "ym >= '1995-01'")
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MvRewrite => r.mv == mv
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.MvRewrite(s, mv)
+      def windowQ() = CommitLog.read(s, base)
+        .filter(col("ym") >= "1995-06" && col("ym") <= "1996-03")
+        .groupBy("ym")
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+        .orderBy("ym")
+      val baseRoot = new org.apache.hadoop.fs.Path(base).toUri.getPath + "/"
+      val summRoot = new org.apache.hadoop.fs.Path(summ).toUri.getPath + "/"
+      def roots(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+        }.flatten
+      val q1 = windowQ()
+      val mvUsed = {
+        val paths = roots(q1)
+        if (paths.nonEmpty && paths.forall(_.startsWith(summRoot))) 1L
+        else 0L
+      }
+      // stale the cursor with rows OUTSIDE the window: the gate must
+      // fall back to the base, and the values must not move
+      CommitLog.append(s,
+        o.filter(col("ym") === "1992-01")
+          .select(lit("2050-01").as("ym"), col("key")), base)
+      val q2 = windowQ()
+      val fellBack = {
+        val paths = roots(q2)
+        if (paths.nonEmpty && paths.forall(_.startsWith(baseRoot))) 1L
+        else 0L
+      }
+      q2.withColumn("mv_used", lit(mvUsed))
+        .withColumn("fallback_scans_base", lit(fellBack))
+    },
+
     "q_mv_incremental" -> { (s, dir) =>
       val tag = stageTag(dir)
       val base =
@@ -3569,6 +3643,24 @@ private[graft] object RegWarehouse {
         |  max(strftime(CAST(o_orderdate AS DATE), '%Y-%m')) AS ym_max,
         |  CAST(1 AS BIGINT) AS meta_only
         |FROM orders""".stripMargin,
+
+
+    // The window rollup recomputed from raw rows; mv_used = 1 pins the
+    // subsumption rewrite, fallback_scans_base = 1 pins the freshness
+    // gate after the staleness append (whose rows sit outside the
+    // window, so the values are identical either way).
+    "q_mv_filtered" ->
+      """WITH o AS (
+        |  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(o_orderkey AS BIGINT) AS key
+        |  FROM orders)
+        |SELECT ym, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(key) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS mv_used,
+        |  CAST(1 AS BIGINT) AS fallback_scans_base
+        |FROM o WHERE ym BETWEEN '1995-06' AND '1996-03'
+        |GROUP BY ym
+        |ORDER BY ym""".stripMargin,
 
 
     // Incremental folding must equal full recomputation; mv_used = 1

@@ -102,7 +102,13 @@ object MvIncremental {
       cntCol: String,
       sumCols: Map[String, String],
       minCols: Map[String, String] = Map.empty,
-      maxCols: Map[String, String] = Map.empty): Option[(Long, Long)] = {
+      maxCols: Map[String, String] = Map.empty,
+      /** Boolean SQL over base columns for a FILTERED MV (the
+        * [[graft.plans.MvDef.predicateSql]] contract): only rows
+        * satisfying it are folded — the summary materializes the
+        * predicate slice. Must match the MvDef the rewrite rule
+        * consults, exactly as groupCols/sumCols must. */
+      predicateSql: String = ""): Option[(Long, Long)] = {
     val a = MvAggs(cntCol, sumCols, minCols, maxCols)
     val head = CommitLog.currentVersion(spark, base).getOrElse(return None)
     val from = refreshedThrough(spark, summary, feedTag)
@@ -129,12 +135,14 @@ object MvIncremental {
         }
         out.toSeq
       }
+    def sliced(df: DataFrame): DataFrame =
+      if (predicateSql.isEmpty) df else df.filter(expr(predicateSql))
     val delta =
       if (added.nonEmpty)
-        partials(spark.read.parquet(added.map(f => s"$root/$f"): _*),
-          groupCols, a)
+        partials(sliced(spark.read.parquet(
+          added.map(f => s"$root/$f"): _*)), groupCols, a)
       else { // e.g. schema-only commits in range: cursor still advances
-        partials(CommitLog.read(spark, base).limit(0), groupCols, a)
+        partials(sliced(CommitLog.read(spark, base).limit(0)), groupCols, a)
       }
     mergePartials(spark, summary, delta, groupCols, a,
       s"feed:${tag(feedTag)}:$from-$head", dropEmpty = false)

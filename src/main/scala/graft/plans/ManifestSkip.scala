@@ -79,7 +79,8 @@ class ManifestSkip(spark: SparkSession, val table: String)
                 val outNames = lr.output.map(_.name).toSet
                 val sel = paths.filter { p =>
                   ZoneEval.canMatch(
-                    new ZoneEval.FileStats(m, outNames, p.stripPrefix(prefix)),
+                    new ZoneEval.FileStats(m, outNames, p.stripPrefix(prefix),
+                      ref => graft.sources.BloomStats.load(spark, table, ref)),
                     cond)
                 }
                 if (sel.size == paths.size) fl // idempotent fixed point

@@ -76,9 +76,13 @@ private[graft] object ZoneEval {
   }
 
   /** Per-file stat access for one (manifest, file) pair; `outNames`
-    * guards against columns of some OTHER relation. */
+    * guards against columns of some OTHER relation. `bloomLoad`
+    * resolves a manifest-carried bloom-sidecar ref to a loaded filter
+    * (None by default — zone maps only). */
   final class FileStats(m: CommitLog.Manifest, outNames: Set[String],
-      rel: String) {
+      rel: String,
+      bloomLoad: String => Option[org.apache.spark.util.sketch.BloomFilter]
+        = _ => None) {
     def numRange(c: String): Option[(Long, Long)] =
       if (!outNames(c)) None else m.colStats.get(c).flatMap(_.get(rel))
     def strRange(c: String): Option[(String, String)] =
@@ -89,6 +93,23 @@ private[graft] object ZoneEval {
         .map(_._1)
     def rowCnt: Option[Long] =
       m.colStats.get(CommitLog.RowCountCol).flatMap(_.get(rel)).map(_._1)
+    /** Could the file contain value `l` in column `c`, per its bloom
+      * sidecar? True when no sidecar/filter is available (sound
+      * default); no false negatives by the bloom contract. The probe
+      * hashes the literal exactly as the writer hashed the column
+      * ([[graft.sources.BloomStats]]: xxhash64, seed 42). */
+    def bloomPossible(c: String, l: Literal): Boolean =
+      if (!outNames(c) || l.value == null) true
+      else m.strStats.get(CommitLog.bloomCol(c)).flatMap(_.get(rel)) match {
+        case None => true
+        case Some((ref, _)) => bloomLoad(ref) match {
+          case None => true
+          case Some(bf) =>
+            val h = new org.apache.spark.sql.catalyst.expressions.XxHash64(
+              Seq(l)).eval(null).asInstanceOf[Long]
+            bf.mightContainLong(h)
+        }
+      }
   }
 
   /** Could ANY row of the file satisfy `e`? Unknown → true. */
@@ -110,7 +131,8 @@ private[graft] object ZoneEval {
       case Or(l, r) => canMatch(st, l) || canMatch(st, r)
       case EqualTo(a: AttributeReference, l: Literal) =>
         cmp(a, l, (mn, mx, v) => mn <= v && v <= mx,
-          (mn, mx, v) => Utf8Order.le(mn, v) && Utf8Order.le(v, mx))
+          (mn, mx, v) => Utf8Order.le(mn, v) && Utf8Order.le(v, mx)) &&
+          st.bloomPossible(a.name, l) // zone wide ≠ value present
       case EqualTo(l: Literal, a: AttributeReference) =>
         canMatch(st, EqualTo(a, l))
       case EqualNullSafe(a: AttributeReference, l: Literal) =>

@@ -1822,6 +1822,60 @@ private[graft] object RegWarehouse {
         .withColumn("commits", lit(vN - v0))
     },
 
+    // MANIFEST-INTEGRATED BLOOM SKIPPING (r13 directive #5): a
+    // hash-partitioned layout defeats zone maps (every file's k range
+    // spans the domain — zone_keeps_all pins that), but the per-file
+    // bloom sidecars carried in the manifest's reserved __bloom:k
+    // pseudo-column let the SAME planner rule prune a point probe to
+    // the surviving file(s) — bloom_selective pins scanned*3 <= total
+    // from the optimized plan; the VALUES face DuckDB either way
+    // (blooms have no false negatives). BloomStatsSpec pins the
+    // delete-verb composition and sidecar vacuum hygiene.
+    "q_auto_skip_bloom" -> { (s, dir) =>
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_bskip_${stageTag(dir)}"
+      import graft.sources.{BloomStats, CommitLog}
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      BloomStats.appendWithBloom(s, o.repartition(12, col("k")), table,
+        statsCols = Seq("k"), bloomCols = Seq("k"),
+        expectedItemsPerFile = 200000L, fpp = 0.001)
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.ManifestSkip => r.table == table
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            new graft.plans.ManifestSkip(s, table)
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      val total = CommitLog.liveFiles(s, table,
+        CommitLog.currentVersion(s, table).get).size.toLong
+      // mid-range key: every file's hash-smeared [min, max] covers it
+      val (_, zsel) = CommitLog.prunedFilesBy(s, table, "k", 777L, 777L)
+      val qEqPlanned = CommitLog.read(s, table).filter(col("k") === 777L)
+      val qIn = CommitLog.read(s, table).filter(col("k").isin(777L, 901L))
+      qEqPlanned
+        .agg(count(lit(1)).as("n_eq"), sum(col("cents")).as("cents_eq"))
+        .crossJoin(qIn.agg(count(lit(1)).as("n_in"))) // 1-row scalar join
+        .withColumn("zone_keeps_all",
+          lit(if (zsel.size.toLong == total) 1L else 0L))
+        .withColumn("bloom_selective",
+          lit(if (scanned(qEqPlanned) * 3 <= total) 1L else 0L))
+        .withColumn("bloom_in_selective",
+          lit(if (scanned(qIn) * 3 <= total) 1L else 0L))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -3630,6 +3684,23 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS insert_rejected,
         |  CAST(4 AS BIGINT) AS commits
         |FROM t4""".stripMargin,
+
+
+    // The point/IN probes recomputed from raw rows; the three flags
+    // are planner contracts (zone maps keep everything on the hash
+    // layout, the blooms prune to <= total/3 files).
+    "q_auto_skip_bloom" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_eq,
+        |  CAST(sum(cents) AS BIGINT) AS cents_eq,
+        |  CAST((SELECT count(*) FROM o WHERE k IN (777, 901)) AS BIGINT) AS n_in,
+        |  CAST(1 AS BIGINT) AS zone_keeps_all,
+        |  CAST(1 AS BIGINT) AS bloom_selective,
+        |  CAST(1 AS BIGINT) AS bloom_in_selective
+        |FROM o WHERE k = 777""".stripMargin,
 
 
     // The manifest's answer must equal the data's: DuckDB recomputes

@@ -202,7 +202,8 @@ object CommitDml {
         val parts = Seq.newBuilder[String]
         val rest = Seq.newBuilder[String]
         m.files.foreach { f =>
-          val st = new ZoneEval.FileStats(m, outNames, f)
+          val st = new ZoneEval.FileStats(m, outNames, f,
+            ref => BloomStats.load(spark, table, ref))
           if (!ZoneEval.canMatch(st, c)) rest += f
           else if (ZoneEval.mustMatch(st, c)) drops += f
           else parts += f

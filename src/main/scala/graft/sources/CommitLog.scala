@@ -766,6 +766,18 @@ object CommitLog {
   /** Null-count key for a column. */
   def nullCountCol(c: String): String = s"$NullCountPrefix$c"
 
+  /** Reserved STRING-stats pseudo-column prefix carrying a per-file
+    * BLOOM SIDECAR reference for one column: `__bloom:<col> -> file ->
+    * (ref, ref)` where ref is the root-relative path of an immutable,
+    * content-addressed filter file under `_bloom/` ([[BloomStats]]).
+    * Rides the manifest exactly as row/null counts do — group reuse,
+    * restrictTo, branches, folds — so equality/IN probes can consult
+    * the filter where the zone map is wide (hash-ordered layouts). */
+  val BloomPrefix = "__bloom:"
+
+  /** Bloom-ref key for a column. */
+  def bloomCol(c: String): String = s"$BloomPrefix$c"
+
   /** The REAL statted columns of a manifest — every zone-map key
     * minus the reserved `__`-prefixed pseudo-columns. What
     * maintenance rewrites (compaction, replaceWhere) re-collect stats
@@ -1498,6 +1510,14 @@ object CommitLog {
       others.flatMap(r => versions(spark, r)
         .map(v => readManifest(spark, r, v))))
       .flatMap(_.groups).toSet
+    // Bloom-sidecar liveness: every kept version of every ref
+    // contributes its __bloom:* refs — computed BEFORE deletions.
+    val keptBlooms = (keep.map(v => readManifest(spark, table, v)) ++
+      others.flatMap(r => versions(spark, r)
+        .map(v => readManifest(spark, r, v))))
+      .flatMap(_.strStats.collect {
+        case (c, m) if c.startsWith(BloomPrefix) => m.values.map(_._1)
+      }.flatten).toSet
     drop.foreach(v => f.delete(manifestPath(table, v), false))
     // Orphaned group files of THIS ref's log dir (other refs' dirs are
     // their own vacuums' responsibility).
@@ -1505,6 +1525,13 @@ object CommitLog {
       val n = st.getPath.getName
       if (n.startsWith("group-") && n.endsWith(".json") &&
         !keptGroups(s"${logRel(table)}/$n")) f.delete(st.getPath, false)
+    }
+    // Orphaned bloom sidecars (content-addressed, shared by reference
+    // like groups; only unreferenced ones are retired).
+    val bloomDir = new Path(dataRoot(table), "_bloom")
+    if (f.exists(bloomDir)) f.listStatus(bloomDir).foreach { st =>
+      if (!keptBlooms(s"_bloom/${st.getPath.getName}"))
+        f.delete(st.getPath, false)
     }
     dropSet.foreach(rel => f.delete(new Path(dataRoot(table), rel), false))
     // Prune now-empty stage dirs (cosmetic; readers never glob).

@@ -1876,6 +1876,57 @@ private[graft] object RegWarehouse {
           lit(if (scanned(qIn) * 3 <= total) 1L else 0L))
     },
 
+    // PERSISTENT CATALOG (r13 directive #6): the name → table-root
+    // mapping survives the session under <warehouse>/_catalog (CAS-
+    // versioned like the log). A FRESH session restores every table
+    // in one call — pinned view + the shared rule pair — so its
+    // spark.sql immediately prunes at the manifest (files_eq pinned
+    // from the restored session's plan) and answers count(*) with no
+    // scan (meta_only pinned). Values face DuckDB's recompute.
+    // CatalogSpec pins the concurrent-register CAS merge.
+    "q_catalog" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w =
+        s"${System.getProperty("java.io.tmpdir")}/graft_cat_$tag"
+      import graft.sources.{Catalog, CommitLog}
+      val table = s"$w/orders_t"
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      Catalog.register(s, w, s"cat_orders_$tag", table)
+      // the fresh session: no views, no rules — one call restores
+      val s2 = s.newSession()
+      val restored = Catalog.restore(s2, w)
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      val total = CommitLog.liveFiles(s2, table,
+        CommitLog.currentVersion(s2, table).get).size.toLong
+      val qEq = s2.sql(s"SELECT count(*) AS n_eq, sum(cents) AS cents_eq," +
+        s" sum(k % 100000) AS key_checksum FROM cat_orders_$tag " +
+        "WHERE ym = '1995-06'")
+      val qCnt = s2.sql(s"SELECT count(*) AS n_all FROM cat_orders_$tag")
+      val metaOnly = qCnt.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr
+      }.isEmpty
+      qEq.crossJoin(qCnt) // 1-row scalar join
+        .withColumn("restored", lit(restored.size.toLong))
+        .withColumn("files_total", lit(total))
+        .withColumn("files_eq", lit(scanned(qEq)))
+        .withColumn("meta_only", lit(if (metaOnly) 1L else 0L))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -3701,6 +3752,30 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS bloom_selective,
         |  CAST(1 AS BIGINT) AS bloom_in_selective
         |FROM o WHERE k = 777""".stripMargin,
+
+
+    // The restored session's answers recomputed from raw rows; one
+    // file per month, so the equality probe scans exactly one; the
+    // count is metadata-only; one table restored.
+    "q_catalog" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS n_eq,
+        |  CAST((SELECT sum(cents) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS cents_eq,
+        |  CAST((SELECT sum(k % 100000) FROM o WHERE ym = '1995-06')
+        |    AS BIGINT) AS key_checksum,
+        |  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_all,
+        |  CAST(1 AS BIGINT) AS restored,
+        |  CAST(count(DISTINCT ym) AS BIGINT) AS files_total,
+        |  CAST(1 AS BIGINT) AS files_eq,
+        |  CAST(1 AS BIGINT) AS meta_only
+        |FROM o""".stripMargin,
 
 
     // The manifest's answer must equal the data's: DuckDB recomputes

@@ -217,13 +217,13 @@ object CommitLog {
     parseManifest(spark, table, body)
   }
 
-  private def readText(f: FileSystem, p: Path): String = {
+  private[sources] def readText(f: FileSystem, p: Path): String = {
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
   }
 
-  private def esc(s: String): String = s.flatMap {
+  private[sources] def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case c if c < ' ' => f"\\u${c.toInt}%04x"
@@ -376,7 +376,7 @@ object CommitLog {
   // classpath contract); the renderers above are the only writers, so
   // the grammar is fixed: string scalars, string arrays, long arrays.
 
-  private def parseStrings(arr: String): Seq[String] = {
+  private[sources] def parseStrings(arr: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inStr = false
@@ -402,7 +402,7 @@ object CommitLog {
   /** The bracketed body of `"key":[...]`, or None. Safe because the
     * renderers emit keys in fixed order and paths cannot inject a
     * `","key":[` sequence without its quote being escaped. */
-  private def arrayField(body: String, key: String): Option[String] = {
+  private[sources] def arrayField(body: String, key: String): Option[String] = {
     val tag = "\"" + key + "\":["
     val at = body.indexOf(tag)
     if (at < 0) None
@@ -485,7 +485,7 @@ object CommitLog {
     * first. Elsewhere (hdfs://) rename is the real no-clobber atomic
     * primitive; object stores without one are the documented commit-
     * coordinator seam (as in Delta/Iceberg on S3). */
-  private def atomicPublish(f: FileSystem, tmp: Path, dst: Path): Boolean =
+  private[sources] def atomicPublish(f: FileSystem, tmp: Path, dst: Path): Boolean =
     if ("file".equalsIgnoreCase(f.getUri.getScheme)) {
       try {
         // Qualify first: a relative Path's URI path is itself relative

@@ -10,7 +10,7 @@ import graft.multimodal.{ImageDedup, Multimodal}
 import graft.operators.{AsofJoin, BloomJoin, Funnel, RangeJoin, Salting, Sampling, Scd2}
 import graft.pipeline.TrainingPipeline
 import graft.sources.BucketedTables
-import graft.sim.{AnnLsh, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
+import graft.sim.{AnnLsh, GraphAnn, IvfFlat, IvfPq, KMeans, ProductQuantizer, VectorSim}
 import graft.skyline.{Max, Min, ReverseSkyline, SkyDim, SkyMr, SkylineOp, SkylineSpec}
 import graft.stats.{DistinctSketch, QuantileSketch, RangeStats}
 import graft.text.{Bm25, Bpe, InvertedIndex, LmScore, Pii, QualityFilters, TextFunctions}
@@ -336,6 +336,39 @@ private[graft] object RegSim {
     // the query's 4 nearest lists, exact cosine top-10 on just those
     // candidates. The partition-pruning ANN layout, vs q_ann_pairs'
     // sign-LSH (graft.sim.IvfFlat).
+    // GRAPH-tier ANN (HNSW/NSW family, r13 directive #7): NN-Descent
+    // builds the k-NN graph distributedly (blocked seeds + neighbor-
+    // of-neighbor rounds, never corpus²), the at-rest layout co-
+    // locates adjacency with vectors, and a distributed best-first
+    // beam search serves a 5-query batch. Scores are the exact tier's
+    // own expression, so the oracle is the exact multi-query top-10:
+    // on this corpus the beam search returns it bit-identically
+    // (recall@10 = 1.0, audited in-plan and pinned; the recall-vs-IVF
+    // A/B is committed in GraphAnnSpec).
+    "q_ann_hnsw" -> { (s, dir) =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${stageTag(dir)}"
+      val e = Tables.load(s, dir, "embeddings")
+      GraphAnn.writeGraph(s, e, "vec_id", "embedding", path,
+        k = 16, rounds = 5, blocks = 16)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val got = GraphAnn.searchGraph(s, path, queries, "qid", "qv",
+        k = 10, beam = 32, iters = 10, entries = 12)
+        .select(col("qid"), col("id").as("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+      val exact = VectorSim.topKBatch(e, "embedding", queries, "qid",
+          "qv", k = 10, tieBreak = "vec_id")
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"))
+      // in-plan recall audit: every exact (qid, vec_id) found by the
+      // graph tier → 50 hits over 5 queries × k=10
+      val hits = got.join(exact.drop("rank"), Seq("qid", "vec_id"))
+        .count()
+      got.withColumn("recall10",
+          lit(if (hits == 50L) 1L else 0L))
+        .orderBy("qid", "rank")
+    },
+
     "q_ann_ivf" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -979,6 +1012,34 @@ private[graft] object RegSim {
     // Replays the IVF pipeline: same md5-ordered centroid pick, same
     // squared-L2 assignment (ties to the smaller centroid rank), same
     // 4-list probe, exact double-precision cosine on the candidates.
+    // The exact multi-query top-10 (the KnnOracle float-cosine tier,
+    // one window over 5 query ids) — the graph tier must return it
+    // bit-identically; recall10 = 1 is the in-plan audit's contract.
+    "q_ann_hnsw" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT vec_id AS qid, x, i FROM ev WHERE vec_id < 5),
+        |qn AS (SELECT vec_id AS qid, n AS qn FROM norms WHERE vec_id < 5),
+        |dots AS (SELECT q.qid, e.vec_id, sum(e.x * q.x) AS d
+        |         FROM ev e JOIN q ON e.i = q.i GROUP BY 1, 2),
+        |sc AS (SELECT dots.qid, dots.vec_id,
+        |         round(CASE WHEN norms.n * qn.qn > 0
+        |           THEN d / (norms.n * qn.qn) ELSE 0.0 END, 6) AS score
+        |       FROM dots
+        |       JOIN norms ON dots.vec_id = norms.vec_id
+        |       JOIN qn ON dots.qid = qn.qid),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, vec_id ASC) AS rnk
+        |      FROM sc)
+        |SELECT qid, vec_id, score, CAST(rnk AS BIGINT) AS rank,
+        |  CAST(1 AS BIGINT) AS recall10
+        |FROM r WHERE rnk <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "q_ann_ivf" -> AnnIvfOracle,
 
 

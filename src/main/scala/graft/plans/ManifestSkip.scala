@@ -61,42 +61,67 @@ class ManifestSkip(spark: SparkSession, val table: String)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case fl @ Filter(cond, lr: LogicalRelation) =>
-      lr.relation match {
-        case fsRel: HadoopFsRelation =>
-          val paths = fsRel.location.rootPaths.map(p => norm(p.toString))
-          val owner = if (paths.isEmpty) None
-            else tables.find { case (_, prefix) =>
-              paths.forall(_.startsWith(prefix))
-            }
-          if (owner.isEmpty) fl
-          else if (!ZoneEval.hasUsableLeaf(cond)) fl
-          else {
-            val (table, prefix) = owner.get
-            CommitLog.currentVersion(spark, table) match {
-              case None => fl
-              case Some(v) =>
-                val m = CommitLog.readManifest(spark, table, v)
-                val outNames = lr.output.map(_.name).toSet
-                val sel = paths.filter { p =>
-                  ZoneEval.canMatch(
-                    new ZoneEval.FileStats(m, outNames, p.stripPrefix(prefix),
-                      ref => graft.sources.BloomStats.load(spark, table, ref)),
-                    cond)
-                }
-                if (sel.size == paths.size) fl // idempotent fixed point
-                else if (sel.isEmpty) Filter(cond, LocalRelation(lr.output))
-                else {
-                  val pruned = spark.read.parquet(sel: _*)
-                    .queryExecution.analyzed
-                  pruned match {
-                    case nlr: LogicalRelation if nlr.schema == lr.schema =>
-                      Filter(cond, nlr.copy(output = lr.output))
-                    case _ => fl // unexpected shape: leave untouched
-                  }
-                }
-            }
-          }
-        case _ => fl
+      prunedScan(cond, lr) match {
+        case None => fl
+        case Some(scan) => Filter(cond, scan)
+      }
+    // A Filter stranded above a non-collapsed attribute-only Project
+    // (shapes the optimizer occasionally leaves when pushdown is
+    // blocked elsewhere in the tree) skips identically — the Project
+    // stays, the relation under it shrinks.
+    case fl @ Filter(cond,
+        pr @ org.apache.spark.sql.catalyst.plans.logical.Project(
+          projList, lr: LogicalRelation))
+        if projList.forall(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.AttributeReference]) =>
+      prunedScan(cond, lr) match {
+        case None => fl
+        case Some(scan) => Filter(cond, pr.copy(child = scan))
       }
   }
+
+  /** The pruned replacement for `lr` under `cond`: Some(smaller
+    * relation), Some(typed-empty LocalRelation) when everything
+    * prunes, None when nothing changes (idempotent fixed point) or
+    * the scan is not a served table. */
+  private def prunedScan(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      lr: LogicalRelation): Option[LogicalPlan] =
+    lr.relation match {
+      case fsRel: HadoopFsRelation =>
+        val paths = fsRel.location.rootPaths.map(p => norm(p.toString))
+        val owner = if (paths.isEmpty) None
+          else tables.find { case (_, prefix) =>
+            paths.forall(_.startsWith(prefix))
+          }
+        if (owner.isEmpty) None
+        else if (!ZoneEval.hasUsableLeaf(cond)) None
+        else {
+          val (table, prefix) = owner.get
+          CommitLog.currentVersion(spark, table) match {
+            case None => None
+            case Some(v) =>
+              val m = CommitLog.readManifest(spark, table, v)
+              val outNames = lr.output.map(_.name).toSet
+              val sel = paths.filter { p =>
+                ZoneEval.canMatch(
+                  new ZoneEval.FileStats(m, outNames, p.stripPrefix(prefix),
+                    ref => graft.sources.BloomStats.load(spark, table, ref)),
+                  cond)
+              }
+              if (sel.size == paths.size) None // idempotent fixed point
+              else if (sel.isEmpty) Some(LocalRelation(lr.output))
+              else {
+                val pruned = spark.read.parquet(sel: _*)
+                  .queryExecution.analyzed
+                pruned match {
+                  case nlr: LogicalRelation if nlr.schema == lr.schema =>
+                    Some(nlr.copy(output = lr.output))
+                  case _ => None // unexpected shape: leave untouched
+                }
+              }
+          }
+        }
+      case _ => None
+    }
 }

@@ -226,11 +226,16 @@ class MetadataAgg(spark: SparkSession, val table: String)
     * to aggregates over the wholly-in subset. */
   private def decidedIn(
       m: CommitLog.Manifest, files: Seq[String], outNames: Set[String],
-      cond: org.apache.spark.sql.catalyst.expressions.Expression)
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      owner: String)
       : Option[Seq[String]] = {
     val in = Seq.newBuilder[String]
     val allDecided = files.forall { f =>
-      val st = new ZoneEval.FileStats(m, outNames, f)
+      // bloom sidecars strengthen the provably-out side: a refuted
+      // equality/IN leaf makes the file contribute nothing (no false
+      // negatives), so filtered metadata counts survive wide zone maps
+      val st = new ZoneEval.FileStats(m, outNames, f,
+        ref => graft.sources.BloomStats.load(spark, owner, ref))
       if (!ZoneEval.canMatch(st, cond)) true // contributes nothing
       else if (ZoneEval.mustMatch(st, cond)) { in += f; true }
       else false
@@ -282,7 +287,8 @@ class MetadataAgg(spark: SparkSession, val table: String)
           val m = CommitLog.readManifest(spark, owner, v)
           val filesOpt = asFilteredScan(child) match {
             case Some((cond, scan)) if ZoneEval.hasUsableLeaf(cond) =>
-              decidedIn(m, files0, scan.output.map(_.name).toSet, cond)
+              decidedIn(m, files0, scan.output.map(_.name).toSet, cond,
+                owner)
             case Some(_) => None // a filter the maps can't decide
             case None => Some(files0)
           }
@@ -334,7 +340,7 @@ class MetadataAgg(spark: SparkSession, val table: String)
         case Some(v) =>
           val m = CommitLog.readManifest(spark, owner, v)
           val outNames = child.output.map(_.name).toSet
-          decidedIn(m, files, outNames, cond) match {
+          decidedIn(m, files, outNames, cond, owner) match {
             case None => agg // a partial file: the scan must happen
             case Some(in) =>
               val answered = aggExprs.map(e =>

@@ -46,6 +46,20 @@ case class MvDef(
     /** The [[graft.sources.MvIncremental]] feed tag tying summary to
       * base (required when `logTables`). */
     feedTag: String = "",
+    /** Second base path of a JOIN MV: the summary was built as
+      * `SELECT … FROM base INNER JOIN joinRight ON <joinKeys> GROUP
+      * BY …`. Rewrite fires on an Aggregate over exactly that inner
+      * equi-join of whole scans (attribute-only Projects and
+      * optimizer-inferred IsNotNull(key) filters looked through — for
+      * an inner equi-join NULL keys never match, so they are
+      * semantics-free). Column names must be unique across the two
+      * sides (declare projected/renamed bases otherwise). Static
+      * (immutable-path) MVs only — the freshness cursor of
+      * `logTables` mode is single-base. */
+    joinRight: String = "",
+    /** Inner-equi-join key pairs (left column, right column) of a
+      * join MV. */
+    joinKeys: Seq[(String, String)] = Nil,
     /** The MV's stored predicate (boolean SQL over base columns) when
       * the summary was built over a FILTERED slice of the base —
       * `SELECT … FROM base WHERE <predicateSql> GROUP BY …`. Empty =
@@ -120,24 +134,83 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
         case Some(p) => PredImply.implies(cond, p)
       })
 
-  /** The child is a scan of the MV base (possibly through an
-    * attribute-only Project). */
-  private def isBaseScan(plan: LogicalPlan): Boolean = plan match {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation =>
-        if (mv.logTables) {
-          // a CommitLog.read lists FILES under the table root
-          val prefix = norm(graft.sources.CommitLog.tableRoot(mv.basePath)) + "/"
-          val paths = fs.location.rootPaths
-          paths.nonEmpty &&
-            paths.forall(rp => norm(rp.toString).startsWith(prefix))
-        } else fs.location.rootPaths.exists(rp =>
-          norm(rp.toString) == norm(mv.basePath))
+  /** The plan is a scan of `path` (possibly through an attribute-only
+    * Project). */
+  private def isScanOf(path: String, plan: LogicalPlan): Boolean =
+    plan match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          if (mv.logTables) {
+            // a CommitLog.read lists FILES under the table root
+            val prefix = norm(graft.sources.CommitLog.tableRoot(path)) + "/"
+            val paths = fs.location.rootPaths
+            paths.nonEmpty &&
+              paths.forall(rp => norm(rp.toString).startsWith(prefix))
+          } else fs.location.rootPaths.exists(rp =>
+            norm(rp.toString) == norm(path))
+        case _ => false
+      }
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        isScanOf(path, child)
       case _ => false
     }
+
+  /** The child is a scan of the MV base (possibly through an
+    * attribute-only Project). */
+  private def isBaseScan(plan: LogicalPlan): Boolean =
+    isScanOf(mv.basePath, plan)
+
+  /** One SIDE of the join-MV shape: the scan of `path`, looked
+    * through attribute-only Projects and Filters that are pure
+    * conjunctions of IsNotNull over join-key columns — the filters
+    * the optimizer infers from an inner equi-join, which cannot
+    * change its result. */
+  private def isJoinSide(path: String, keyNames: Set[String],
+      plan: LogicalPlan): Boolean = {
+    def keyNotNullOnly(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        keyNotNullOnly(l) && keyNotNullOnly(r)
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(
+          a: AttributeReference) => keyNames.contains(a.name)
+      case _ => false
+    }
+    plan match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, child)
+          if keyNotNullOnly(c) => isJoinSide(path, keyNames, child)
+      case Project(pl, child)
+          if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        isJoinSide(path, keyNames, child)
+      case _ => isScanOf(path, plan)
+    }
+  }
+
+  /** The child is the MV's declared inner equi-join of whole scans of
+    * both bases with exactly the declared key pairs. */
+  private def isJoinOfBases(plan: LogicalPlan): Boolean = plan match {
+    case org.apache.spark.sql.catalyst.plans.logical.Join(
+        l, r, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
+      val lk = mv.joinKeys.map(_._1).toSet
+      val rk = mv.joinKeys.map(_._2).toSet
+      def pairs(e: org.apache.spark.sql.catalyst.expressions.Expression)
+          : Option[Seq[(String, String)]] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          for (x <- pairs(a); y <- pairs(b)) yield x ++ y
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(
+            a: AttributeReference, b: AttributeReference) =>
+          if (lk.contains(a.name) && rk.contains(b.name))
+            Some(Seq((a.name, b.name)))
+          else if (lk.contains(b.name) && rk.contains(a.name))
+            Some(Seq((b.name, a.name)))
+          else None
+        case _ => None
+      }
+      pairs(cond).exists(_.toSet == mv.joinKeys.toSet) &&
+        isJoinSide(mv.basePath, lk, l) && isJoinSide(mv.joinRight, rk, r)
     case Project(pl, child)
         if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      isBaseScan(child)
+      isJoinOfBases(child)
     case _ => false
   }
 
@@ -217,7 +290,7 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
     // (r13 directive #4). The residual filter is the query's own
     // predicate re-aimed at the summary's group columns.
     case agg: Aggregate
-        if agg.resolved && mv.groupCols.nonEmpty &&
+        if agg.resolved && mv.groupCols.nonEmpty && mv.joinRight.isEmpty &&
           asFilteredBase(agg.child).isDefined && rewritable(agg) &&
           filterRewritable(asFilteredBase(agg.child).get._1) &&
           freshAndCurrent(asFilteredBase(agg.child).get._2) =>
@@ -227,9 +300,18 @@ class MvRewrite(spark: SparkSession, val mv: MvDef)
     // Unfiltered query → UNFILTERED MV only: a summary built over a
     // predicate slice must never answer a whole-table aggregate.
     case agg: Aggregate
-        if agg.resolved && mv.predicateSql.isEmpty &&
+        if agg.resolved && mv.predicateSql.isEmpty && mv.joinRight.isEmpty &&
           isBaseScan(agg.child) && rewritable(agg) &&
           freshAndCurrent(agg.child) =>
+      rewriteOnto(agg, None)
+
+    // JOIN MV: an aggregate over the MV's own inner equi-join of
+    // whole scans re-aims at the summary — the join itself (usually
+    // the expensive half) disappears from the plan.
+    case agg: Aggregate
+        if agg.resolved && mv.joinRight.nonEmpty &&
+          mv.predicateSql.isEmpty && !mv.logTables &&
+          isJoinOfBases(agg.child) && rewritable(agg) =>
       rewriteOnto(agg, None)
   }
 

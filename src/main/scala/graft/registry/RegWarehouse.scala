@@ -2139,6 +2139,57 @@ private[graft] object RegWarehouse {
         .withColumn("fallback_scans_base", lit(fellBack))
     },
 
+    // JOIN-MV rewrite (closing the r13 "missing" list's rewrite half;
+    // IncrJoin has owned maintenance since r12): the summary
+    // materializes orders ⋈ customer grouped by (segment, priority),
+    // and a segment rollup over THE SAME inner equi-join re-aims at
+    // the summary — the join itself disappears from the plan (mv_used
+    // pins that neither base is scanned). Values face DuckDB's
+    // recompute of the raw join. Guardrails (wrong keys, residual
+    // filters, outer joins fall through) are pinned in MvJoinSpec.
+    "q_mv_join" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val summ =
+        s"${System.getProperty("java.io.tmpdir")}/graft_mvj_summ_$tag"
+      val facts = s"$dir/orders.parquet"
+      val dims = s"$dir/customer.parquet"
+      Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(count(lit(1)).as("mv_cnt"),
+          sum(col("o_orderkey")).as("mv_sum_key"))
+        .write.mode("overwrite").parquet(summ)
+      val mv = graft.plans.MvDef(facts, summ,
+        Seq("c_mktsegment", "o_orderpriority"), "mv_cnt",
+        Map("o_orderkey" -> "mv_sum_key"),
+        joinRight = dims, joinKeys = Seq(("o_custkey", "c_custkey")))
+      if (!s.experimental.extraOptimizations.exists {
+            case r: graft.plans.MvRewrite => r.mv == mv
+            case _ => false })
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ new graft.plans.MvRewrite(s, mv)
+      val q = Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+        .orderBy("c_mktsegment")
+      val paths = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+      }.flatten
+      val summPath = new org.apache.hadoop.fs.Path(summ).toUri.getPath
+      val mvUsed = if (paths.nonEmpty && paths.forall(_ == summPath)) 1L
+        else 0L
+      q.withColumn("mv_used", lit(mvUsed))
+    },
+
     "q_mv_incremental" -> { (s, dir) =>
       val tag = stageTag(dir)
       val base =
@@ -3807,6 +3858,18 @@ private[graft] object RegWarehouse {
         |FROM o WHERE ym BETWEEN '1995-06' AND '1996-03'
         |GROUP BY ym
         |ORDER BY ym""".stripMargin,
+
+
+    // The segment rollup recomputed from the raw join; mv_used = 1
+    // pins that the rewritten plan scans only the summary.
+    "q_mv_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS mv_used
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
 
     // Incremental folding must equal full recomputation; mv_used = 1

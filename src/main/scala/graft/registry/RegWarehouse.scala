@@ -2190,6 +2190,47 @@ private[graft] object RegWarehouse {
       q.withColumn("mv_used", lit(mvUsed))
     },
 
+    // SQL TIME TRAVEL on a registered view: VERSION AS OF reads the
+    // pre-delete snapshot, TIMESTAMP AS OF resolves by publication
+    // time (far-future → head), and a time-travel SELECT feeds DML
+    // (re-inserting the deleted month through checkedAppend-routed
+    // INSERT ... SELECT ... VERSION AS OF). One statement surface —
+    // parse, snapshot resolution, verbs — end to end in SQL.
+    "q_sql_time_travel" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sqltt_$tag"
+      val view = s"gsqltt_$tag"
+      import graft.sources.CommitLog
+      import graft.sql.{GraftSql, GraftTables}
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      GraftTables.register(s, table, view)
+      val v0 = CommitLog.currentVersion(s, table).get
+      GraftSql.sql(s,
+        s"DELETE FROM $view WHERE ym >= '1995-06' AND ym <= '1996-03'")
+      val head = GraftSql.sql(s,
+        s"SELECT count(*) AS n_head, sum(cents) AS cents_head FROM $view")
+      val asOfV = GraftSql.sql(s,
+        s"SELECT count(*) AS n_v0, sum(cents) AS cents_v0 FROM $view " +
+          s"VERSION AS OF $v0")
+      val asOfTs = GraftSql.sql(s,
+        s"SELECT count(*) AS n_ts FROM $view TIMESTAMP AS OF '2999-01-01'")
+      GraftSql.sql(s, s"INSERT INTO $view SELECT * FROM $view " +
+        s"VERSION AS OF $v0 WHERE ym >= '1995-06' AND ym <= '1996-03'")
+      val restored = GraftSql.sql(s,
+        s"SELECT count(*) AS n_restored, sum(cents) AS cents_restored " +
+          s"FROM $view")
+      head.crossJoin(asOfV).crossJoin(asOfTs).crossJoin(restored)
+    },
+
     "q_mv_incremental" -> { (s, dir) =>
       val tag = stageTag(dir)
       val base =
@@ -3870,6 +3911,28 @@ private[graft] object RegWarehouse {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+
+    // head = complement of the deleted window; VERSION AS OF = the
+    // full table; the time-travel-fed INSERT restores the original
+    // totals exactly.
+    "q_sql_time_travel" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |kept AS (SELECT * FROM o
+        |         WHERE NOT (ym BETWEEN '1995-06' AND '1996-03'))
+        |SELECT
+        |  CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_head,
+        |  CAST((SELECT sum(cents) FROM kept) AS BIGINT) AS cents_head,
+        |  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_v0,
+        |  CAST((SELECT sum(cents) FROM o) AS BIGINT) AS cents_v0,
+        |  CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_ts,
+        |  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_restored,
+        |  CAST((SELECT sum(cents) FROM o) AS BIGINT) AS cents_restored"""
+        .stripMargin,
 
 
     // Incremental folding must equal full recomputation; mv_used = 1

@@ -52,8 +52,52 @@ import graft.sources.{CommitDml, CommitLog, CommitMerge, Constraints}
 object GraftDml {
 
   /** Rewrite a parsed statement targeting a registered view into the
-    * executing command; anything else passes through untouched. */
-  def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    * executing command; anything else passes through untouched. Time
+    * travel (`VERSION AS OF` / `TIMESTAMP AS OF`) on registered views
+    * resolves anywhere in the tree — SELECTs, INSERT sources, MERGE
+    * sources — to the pinned snapshot relation, which the skipping
+    * rule still prunes (immutable files carry their stats at any
+    * version). */
+  def rewrite(plan: LogicalPlan): LogicalPlan =
+    rewriteTop(plan.transformDown {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
+        timeTravel(tt).getOrElse(tt)
+    })
+
+  /** Resolve one RelationTimeTravel over a registered view, or None
+    * (foreign tables keep Spark's own error surface). */
+  private def timeTravel(
+      tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
+      : Option[LogicalPlan] = tt.relation match {
+    case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+        if r.multipartIdentifier.size == 1 =>
+      GraftTables.lookup(r.multipartIdentifier.head).map { table =>
+        val s = SparkSession.active
+        val v = tt.version match {
+          case Some(ver) => ver.toLong
+          case None =>
+            val tsExpr = tt.timestamp.getOrElse(
+              throw new IllegalArgumentException(
+                "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+            // analyzer-grade evaluation of the timestamp expression
+            // under the session time zone (one local-relation probe)
+            val ts = org.apache.spark.sql.graftbridge.DatasetBridge
+              .ofRows(s, org.apache.spark.sql.catalyst.plans.logical
+                .OneRowRelation())
+              .select(ColumnBridge.column(tsExpr).cast("timestamp")
+                .as("__ts"))
+              .head().getTimestamp(0)
+            require(ts != null, "TIMESTAMP AS OF evaluated to NULL")
+            CommitLog.versionAsOf(s, table, ts.getTime).getOrElse(
+              throw new IllegalArgumentException(
+                s"no version of $table existed at $ts"))
+        }
+        CommitLog.readVersion(s, table, v).queryExecution.analyzed
+      }
+    case _ => None
+  }
+
+  private def rewriteTop(plan: LogicalPlan): LogicalPlan = plan match {
     case d @ DeleteFromTable(t, cond) => targetOf(t) match {
       case Some((view, table, _)) =>
         GraftDmlCommand("delete", view, table, s => {

@@ -123,6 +123,33 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
+    val v = freshView(); val t = buildTable(v)
+    val v0 = CommitLog.currentVersion(spark, t).get
+    GraftSql.sql(spark, s"DELETE FROM $v WHERE ym = '2024-01'")
+    // head sees the delete; VERSION AS OF reads the pre-delete state
+    assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $v")
+      .head().getLong(0) == 20L)
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM $v VERSION AS OF $v0")
+      .head().getLong(0) == 30L)
+    // TIMESTAMP AS OF far future resolves to head
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM $v TIMESTAMP AS OF '2999-01-01'")
+      .head().getLong(0) == 20L)
+    // and a time-travel source feeds DML: re-insert the deleted month
+    GraftSql.sql(spark, s"INSERT INTO $v SELECT * FROM $v " +
+      s"VERSION AS OF $v0 WHERE ym = '2024-01'")
+    assert(GraftSql.sql(spark, s"SELECT count(*) AS n FROM $v")
+      .head().getLong(0) == 30L)
+    // unregistered tables keep Spark's own time-travel error surface
+    spark.range(3).createOrReplaceTempView("plain_tt")
+    intercept[Exception] {
+      GraftSql.sql(spark, "SELECT * FROM plain_tt VERSION AS OF 1")
+        .collect()
+    }
+  }
+
   test("pure spark.sql on an extensions-built session (best effort)") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

@@ -36,6 +36,14 @@ import org.apache.spark.sql.functions._
   * that visits the true neighbors returns BIT-IDENTICAL rows to
   * [[VectorSim.topKBatch]] — which is how the recall audit and the
   * oracle face it.
+  *
+  * Known boundary, shared by the whole graph-ANN family: EXACT
+  * DUPLICATE vectors form cliques whose members crowd each other out
+  * of outsiders' neighbor lists, leaving the clique island-like and
+  * greedy search unable to enter it. The remedy is the pipeline this
+  * engine already ships — dedup the corpus first (exact/semantic
+  * dedup tier), index representatives (GraphAnnSpec pins the
+  * composition). Hash-diverse entry points bound the residual risk.
   */
 object GraphAnn {
 
@@ -52,6 +60,30 @@ object GraphAnn {
       .filter(col("__r") <= k).drop("__r")
   }
 
+  /** One NN-Descent refinement round: score the NEW neighbor-of-
+    * neighbor + reverse-neighbor pairs of `adj` against the vector
+    * table `v` (columns id, vec, n) and keep each node's top-k. */
+  private def refineRound(adj: DataFrame, v: DataFrame, k: Int)
+      : DataFrame = {
+    val va = v.select(col("id"), col("vec").as("v_a"), col("n").as("n_a"))
+    val vb = v.select(col("id").as("nbr"), col("vec").as("v_b"),
+      col("n").as("n_b"))
+    val fwd = adj.select(col("id"), col("nbr").as("mid"))
+      .join(adj.select(col("id").as("mid"), col("nbr").as("cand")), "mid")
+      .select(col("id"), col("cand").as("nbr"))
+    val rev = adj.select(col("nbr").as("id"), col("id").as("nbr"))
+    val cands = fwd.union(rev)
+      .filter(col("id") =!= col("nbr"))
+      .dropDuplicates("id", "nbr")
+      .join(adj.select("id", "nbr"), Seq("id", "nbr"), "left_anti")
+    val scored = cands
+      .join(va, "id")
+      .join(vb, "nbr")
+      .withColumn("score", scoreCol)
+      .select("id", "nbr", "score")
+    topPerId(adj.union(scored), k)
+  }
+
   /** Build the k-NN graph: (id, nbr, score) edges, degree ≤ k after
     * symmetrization. `blocks` bounds the seed block size (quadratic
     * within a block); `rounds` NN-Descent refinement rounds. */
@@ -61,10 +93,6 @@ object GraphAnn {
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("n", VectorSim.norm(col("vec")))
-    val va = v.select(col("id").as("id_a"), col("vec").as("v_a"),
-      col("n").as("n_a"))
-    val vb = v.select(col("id").as("id_b"), col("vec").as("v_b"),
-      col("n").as("n_b"))
 
     // two independent deterministic blockings seed diverse neighbors
     def seedPass(salt: Int): DataFrame = {
@@ -83,22 +111,8 @@ object GraphAnn {
       seedPass(0).union(seedPass(1)).dropDuplicates("id", "nbr"), k)
       .localCheckpoint(true)
 
-    for (_ <- 1 to rounds) {
-      val fwd = adj.select(col("id"), col("nbr").as("mid"))
-        .join(adj.select(col("id").as("mid"), col("nbr").as("cand")), "mid")
-        .select(col("id"), col("cand").as("nbr"))
-      val rev = adj.select(col("nbr").as("id"), col("id").as("nbr"))
-      val cands = fwd.union(rev)
-        .filter(col("id") =!= col("nbr"))
-        .dropDuplicates("id", "nbr")
-        .join(adj.select("id", "nbr"), Seq("id", "nbr"), "left_anti")
-      val scored = cands
-        .join(va.withColumnRenamed("id_a", "id"), "id")
-        .join(vb.withColumnRenamed("id_b", "nbr"), "nbr")
-        .withColumn("score", scoreCol)
-        .select("id", "nbr", "score")
-      adj = topPerId(adj.union(scored), k).localCheckpoint(true)
-    }
+    for (_ <- 1 to rounds)
+      adj = refineRound(adj, v, k).localCheckpoint(true)
     // symmetrize, then cap the degree (DiskANN-style bounded out-degree)
     topPerId(
       adj.union(adj.select(col("nbr").as("id"), col("id").as("nbr"),
@@ -120,9 +134,77 @@ object GraphAnn {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** INCREMENTAL APPEND (the IVF family's no-rebuild contract, on the
+    * graph tier): new vectors join the at-rest graph without touching
+    * the old adjacency's quality — each new point beam-searches the
+    * EXISTING graph for its true neighborhood (the same routine
+    * serving uses, so insertion quality equals serving quality — the
+    * HNSW insert idea), adopts its top-k as out-edges, and donates
+    * BACK-edges to the nodes it found, with every touched node's
+    * degree re-capped at k. One search + two bounded window top-ks;
+    * the rewritten layout is the same one-relation parquet. */
+  def appendToGraph(
+      spark: SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, beam: Int, iters: Int, entries: Int): Unit = {
+    val newV = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("n", VectorSim.norm(col("vec")))
+    val found = searchGraph(spark, path,
+      newV.select(col("id").as("qid"), col("vec").as("qv")),
+      "qid", "qv", k, beam, iters, entries)
+    val outE = found.select(col("qid").as("id"), col("id").as("nbr"),
+      col("score"))
+    // Back-edges carry a RESERVED per-node quota (k/2) instead of
+    // competing against the old top-k: in a dense region every old
+    // neighbor outscores a newcomer by luck of ties, and capped-away
+    // back-edges would leave new nodes unreachable. Total old-node
+    // degree stays bounded at 2k across any number of appends (the
+    // final cap below).
+    val backE = topPerId(found.select(col("id"),
+      col("qid").as("nbr"), col("score")), math.max(1, k / 2))
+    // the batch's INTERNAL neighborhood — new points can be each
+    // other's true neighbors, which the old graph cannot express
+    val internal = buildGraph(newV, "id", "vec", k,
+      rounds = 1, blocks = math.max(2, entries))
+    val g = spark.read.parquet(path)
+    val oldE = g.filter(col("nbrs").isNotNull)
+      .select(col("id"), explode(col("nbrs")).as("e"))
+      .select(col("id"), col("e.nbr").as("nbr"), col("e.score").as("score"))
+    val allV = g.select("id", "vec", "n").union(newV)
+    // one NN-Descent round over the MERGED graph repairs cross-batch
+    // neighborhoods (an old node whose true neighbor arrived in this
+    // batch finds it through the batch's out-edges) — bounded O(n·k²)
+    // work, same as one build round
+    val merged = refineRound(
+      topPerId(oldE.union(outE).union(backE).union(internal)
+        .dropDuplicates("id", "nbr"), 2 * k),
+      allV, 2 * k)
+    val adj = merged
+      .groupBy("id")
+      .agg(collect_list(struct(col("nbr"), col("score"))).as("nbrs"))
+    val out = allV.join(adj, Seq("id"), "left")
+    // stage-then-swap: never read and overwrite the same files in one job
+    val tmp = path + "_stage"
+    out.write.mode("overwrite").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(path))
+  }
+
   /** Distributed best-first beam search for a batch of queries over
-    * the at-rest graph. Entry points are the `entries` smallest ids
-    * (deterministic). Returns (qid, id, score, rank), rank 1..k. */
+    * the at-rest graph, with a COARSE ENTRY PHASE (the two-layer NSW
+    * idea): a deterministic ~√n hash-sample of the nodes is scored
+    * exhaustively against the broadcast queries — one pass over a
+    * SMALL relation — and each query takes its own top-`entries` as
+    * personalized entry points. A flat kNN graph of well-separated
+    * clusters is DISCONNECTED by construction (true neighbors are
+    * always in-cluster), so fixed entries can strand a query in the
+    * wrong component; the √n sample hits every non-trivial component
+    * and costs O(√n · queries), the coarse-probe shape IVF pays per
+    * query anyway. Returns (qid, id, score, rank), rank 1..k. */
   def searchGraph(
       spark: SparkSession, path: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
@@ -140,8 +222,15 @@ object GraphAnn {
             .otherwise(lit(0.0)), 6))
         .select("qid", "id", "score")
     }
-    val entry = g.select("id").orderBy("id").limit(entries)
-    var visited = score(q.select("qid").crossJoin(entry))
+    val nSample = math.max(entries,
+      math.ceil(math.sqrt(g.count().toDouble)).toInt)
+    val sample = g.select("id")
+      .orderBy(xxhash64(col("id")), col("id")).limit(nSample)
+    val wEntry = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("id").asc)
+    var visited = score(q.select("qid").crossJoin(sample))
+      .withColumn("__r", row_number().over(wEntry))
+      .filter(col("__r") <= entries).drop("__r")
       .localCheckpoint(true)
     var frontier = visited
     for (_ <- 1 to iters) {

@@ -8,8 +8,9 @@ class GraphAnnSpec extends SparkSpec {
   import spark.implicits._
 
   /** 360 deterministic vectors in 3 well-separated clusters (8 dims),
-    * plus per-point structured jitter so in-cluster neighbors are
-    * distinct. */
+    * plus per-point structured jitter — modulus 367 (prime > n) so no
+    * two points are exact duplicates (the documented graph-ANN
+    * boundary; the dedup-composition test covers that case). */
   private def fixture() = {
     (0 until 360).map { i =>
       val c = i % 3
@@ -17,7 +18,7 @@ class GraphAnnSpec extends SparkSpec {
       base(c) = 10.0
       base(c + 3) = 5.0
       val jit = (0 until 8).map(d =>
-        base(d) + 0.1 * (((i * 31 + d * 17) % 13) - 6)).toArray
+        base(d) + 0.002 * (((i * 37 + d * 53) % 367) - 183)).toArray
       (i.toLong, jit)
     }.toDF("id", "vec")
   }
@@ -79,6 +80,67 @@ class GraphAnnSpec extends SparkSpec {
     assert(gR == 1.0, s"graph recall@10 $gR")
     assert(gR >= iR,
       s"graph tier must not lose to IVF at the same budget: $gR vs $iR")
+  }
+
+  test("incremental append: new vectors join without a rebuild, recall holds") {
+    val df = fixture()
+    val path = java.nio.file.Files
+      .createTempDirectory("ganni").toString + "/g"
+    val old = df.filter(pmod(col("id"), lit(2)) === 0)
+    val fresh = df.filter(pmod(col("id"), lit(2)) === 1)
+    GraphAnn.writeGraph(spark, old, "id", "vec", path,
+      k = 12, rounds = 2, blocks = 10)
+    GraphAnn.appendToGraph(spark, path, fresh, "id", "vec",
+      k = 12, beam = 12, iters = 5, entries = 4)
+    val queries = df.filter(col("id").isin(0L, 1L, 50L))
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val got = GraphAnn.searchGraph(spark, path, queries, "qid", "qv",
+      k = 10, beam = 12, iters = 6, entries = 4)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = VectorSim.topKBatch(df, "vec", queries, "qid", "qv",
+      k = 10, tieBreak = "id")
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty).intersect(ex).size / 10.0 }.sum / exact.size
+    assert(recall >= 0.95, s"post-append recall@10 $recall")
+    // the appended nodes are first-class: searchable AND reachable
+    assert(got.values.exists(_.exists(_ % 2 == 1)),
+      "appended (odd) nodes must appear in results")
+  }
+
+  test("exact duplicates: dedup-first composition restores full recall") {
+    import spark.implicits._
+    // a corpus where every vector appears 3x — the duplicate-clique
+    // pathology the scaladoc documents; index the DEDUPED
+    // representatives (the engine's dedup tier is the remedy)
+    val dup = fixture().limit(120)
+    val corpus = dup.union(dup.withColumn("id", col("id") + 1000L))
+      .union(dup.withColumn("id", col("id") + 2000L))
+    val reps = corpus
+      .withColumn("key", org.apache.spark.sql.functions.hash(col("vec")))
+      .withColumn("__r", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy("id")))
+      .filter(col("__r") === 1).drop("key", "__r")
+    assert(reps.count() == 120L)
+    val path = java.nio.file.Files
+      .createTempDirectory("gannd").toString + "/g"
+    GraphAnn.writeGraph(spark, reps, "id", "vec", path,
+      k = 10, rounds = 2, blocks = 8)
+    val queries = reps.filter(col("id") < 3)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val got = GraphAnn.searchGraph(spark, path, queries, "qid", "qv",
+      k = 10, beam = 10, iters = 5, entries = 4)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = VectorSim.topKBatch(reps, "vec", queries, "qid", "qv",
+      k = 10, tieBreak = "id")
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(got == exact,
+      "deduped representatives must search at full recall")
   }
 
   test("bounded per-round work: candidates come from the graph, not the corpus") {

@@ -369,6 +369,39 @@ private[graft] object RegSim {
         .orderBy("qid", "rank")
     },
 
+    // INCREMENTAL graph-ANN append (the IVF-incr contract on the
+    // graph tier): build on the even half, append the odd half with
+    // no rebuild — each new point beam-searches the existing graph
+    // for its edges, donates quota-reserved back-edges, the batch
+    // adds its internal neighborhood, and one NN-Descent round over
+    // the merged graph repairs cross-batch lists. The oracle stays
+    // the exact multi-query top-10 over the FULL set; recall10 = 1
+    // pins the in-plan audit post-append.
+    "q_ann_hnsw_incr" -> { (s, dir) =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_hnswi_${stageTag(dir)}"
+      val e = Tables.load(s, dir, "embeddings")
+      GraphAnn.writeGraph(s,
+        e.filter(pmod(col("vec_id"), lit(2)) === 0),
+        "vec_id", "embedding", path, k = 16, rounds = 5, blocks = 12)
+      GraphAnn.appendToGraph(s, path,
+        e.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = 16, beam = 32, iters = 10,
+        entries = 12)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val got = GraphAnn.searchGraph(s, path, queries, "qid", "qv",
+        k = 10, beam = 32, iters = 10, entries = 12)
+        .select(col("qid"), col("id").as("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+      val exact = VectorSim.topKBatch(e, "embedding", queries, "qid",
+          "qv", k = 10, tieBreak = "vec_id")
+        .select(col("qid"), col("vec_id"))
+      val hits = got.join(exact, Seq("qid", "vec_id")).count()
+      got.withColumn("recall10", lit(if (hits == 50L) 1L else 0L))
+        .orderBy("qid", "rank")
+    },
+
     "q_ann_ivf" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -1016,6 +1049,33 @@ private[graft] object RegSim {
     // one window over 5 query ids) — the graph tier must return it
     // bit-identically; recall10 = 1 is the in-plan audit's contract.
     "q_ann_hnsw" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT vec_id AS qid, x, i FROM ev WHERE vec_id < 5),
+        |qn AS (SELECT vec_id AS qid, n AS qn FROM norms WHERE vec_id < 5),
+        |dots AS (SELECT q.qid, e.vec_id, sum(e.x * q.x) AS d
+        |         FROM ev e JOIN q ON e.i = q.i GROUP BY 1, 2),
+        |sc AS (SELECT dots.qid, dots.vec_id,
+        |         round(CASE WHEN norms.n * qn.qn > 0
+        |           THEN d / (norms.n * qn.qn) ELSE 0.0 END, 6) AS score
+        |       FROM dots
+        |       JOIN norms ON dots.vec_id = norms.vec_id
+        |       JOIN qn ON dots.qid = qn.qid),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, vec_id ASC) AS rnk
+        |      FROM sc)
+        |SELECT qid, vec_id, score, CAST(rnk AS BIGINT) AS rank,
+        |  CAST(1 AS BIGINT) AS recall10
+        |FROM r WHERE rnk <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
+    // Post-append, the graph tier must still return the exact
+    // multi-query top-10 bit-identically (same oracle as q_ann_hnsw).
+    "q_ann_hnsw_incr" ->
       """WITH ev AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |    generate_subscripts(embedding, 1) AS i

@@ -2231,6 +2231,49 @@ private[graft] object RegWarehouse {
       head.crossJoin(asOfV).crossJoin(asOfTs).crossJoin(restored)
     },
 
+    // MAINTENANCE SQL VERBS on a registered view (the Delta verb
+    // surface on this log): DESCRIBE HISTORY classifies the three
+    // appends, OPTIMIZE compacts them to one range-clustered file
+    // (n_data_files from DESCRIBE DETAIL), VACUUM RETAIN 1 retires
+    // the three pre-compaction files and collapses history to the
+    // head — all through one SQL statement surface, with the data
+    // unchanged (count/sum face DuckDB).
+    "q_sql_maintenance" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sqlmx_$tag"
+      val view = s"gsqlmx_$tag"
+      import graft.sources.CommitLog
+      import graft.sql.{GraftSql, GraftTables}
+      val p = new org.apache.hadoop.fs.Path(table)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      for (b <- 0 to 2)
+        CommitLog.appendWithStats(s,
+          o.filter(pmod(col("k"), lit(3)) === b).coalesce(1),
+          table, Seq("k", "ym"))
+      GraftTables.register(s, table, view)
+      val hist = GraftSql.sql(s, s"DESCRIBE HISTORY $view")
+      val nHist = hist.count()
+      val nAppends = hist.filter(col("operation") === "append").count()
+      GraftSql.sql(s, s"OPTIMIZE $view")
+      val filesAfter = GraftSql.sql(s, s"DESCRIBE DETAIL $view")
+        .select("n_data_files").head().getLong(0)
+      val removed = GraftSql.sql(s, s"VACUUM $view RETAIN 1 VERSIONS")
+        .head().getLong(1)
+      val nHistAfter = GraftSql.sql(s, s"DESCRIBE HISTORY $view").count()
+      s.sql(s"SELECT count(*) AS n, sum(cents) AS cents FROM $view")
+        .withColumn("hist_before", lit(nHist))
+        .withColumn("appends_before", lit(nAppends))
+        .withColumn("files_after_optimize", lit(filesAfter))
+        .withColumn("vacuum_removed", lit(removed))
+        .withColumn("hist_after", lit(nHistAfter))
+    },
+
     "q_mv_incremental" -> { (s, dir) =>
       val tag = stageTag(dir)
       val base =
@@ -3933,6 +3976,21 @@ private[graft] object RegWarehouse {
         |  CAST((SELECT count(*) FROM o) AS BIGINT) AS n_restored,
         |  CAST((SELECT sum(cents) FROM o) AS BIGINT) AS cents_restored"""
         .stripMargin,
+
+
+    // Data unchanged through compaction + vacuum; the verb arithmetic
+    // is deterministic: 3 appends, 1 file after OPTIMIZE, 3 files
+    // retired, history collapsed to the head.
+    "q_sql_maintenance" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(3 AS BIGINT) AS hist_before,
+        |  CAST(3 AS BIGINT) AS appends_before,
+        |  CAST(1 AS BIGINT) AS files_after_optimize,
+        |  CAST(3 AS BIGINT) AS vacuum_removed,
+        |  CAST(1 AS BIGINT) AS hist_after
+        |FROM orders""".stripMargin,
 
 
     // Incremental folding must equal full recomputation; mv_used = 1

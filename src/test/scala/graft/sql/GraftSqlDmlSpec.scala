@@ -150,6 +150,28 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("maintenance verbs: OPTIMIZE, VACUUM, DESCRIBE HISTORY/DETAIL") {
+    val v = freshView(); val t = buildTable(v)
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY $v")
+    assert(hist.count() == 3L)
+    assert(hist.select("operation").as[String].collect()
+      .forall(_ == "append"))
+    val opt = GraftSql.sql(spark, s"OPTIMIZE $v")
+    assert(opt.head().getString(0) == "optimize")
+    val detail = GraftSql.sql(spark, s"DESCRIBE DETAIL $v")
+    assert(detail.select("n_data_files").head().getLong(0) == 1L,
+      "OPTIMIZE must compact to one file at this size")
+    // data unchanged through the rewrite
+    assert(spark.sql(s"SELECT count(*) FROM $v").head().getLong(0) == 30L)
+    val vac = GraftSql.sql(spark, s"VACUUM $v RETAIN 1 VERSIONS")
+    assert(vac.head().getString(0) == "vacuum")
+    assert(vac.head().getLong(1) == 3L, "the 3 pre-compaction files retire")
+    assert(GraftSql.sql(spark, s"DESCRIBE HISTORY $v").count() == 1L)
+    // a non-registered name falls through to Spark's own grammar
+    spark.range(2).createOrReplaceTempView("history")
+    assert(GraftSql.sql(spark, "DESCRIBE history").count() > 0)
+  }
+
   test("pure spark.sql on an extensions-built session (best effort)") {
     val s2 = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")

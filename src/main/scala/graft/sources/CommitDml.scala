@@ -154,6 +154,12 @@ object CommitDml {
       }
     }: _*)
     val staged = CommitLog.stage(spark, updated, table)
+    // CHECK constraints gate the UPDATE images exactly as they gate
+    // inserts (Constraints.checkedAppend): audit the STAGED bytes
+    // against the snapshot's check set; a violating update never
+    // becomes a manifest. DELETE needs no audit — removing rows
+    // cannot violate a row predicate.
+    auditChecks(spark, table, m, staged)
     val (nums, strs) = restats(spark, table, m, staged)
     val newV = CommitLog.rewrite(spark, table, adds = staged,
       removes = touched,
@@ -161,13 +167,33 @@ object CommitDml {
       fileSchemas = if (evolved) staged.map(_ -> m.schemaId).toMap
         else Map.empty,
       validateLive = MorTable.noNewDeletes(table, Set.empty),
-      validateManifest = if (evolved)
-        SchemaEvolution.requireSchemaStill(table, m.schemaId)
-        else _ => ())
+      validateManifest = { base =>
+        if (evolved)
+          SchemaEvolution.requireSchemaStill(table, m.schemaId)(base)
+        // the set we audited against must still be the set in force
+        if (base.map(_.checksId).getOrElse("") != m.checksId)
+          throw new Constraints.ConcurrentChecksException(table)
+      })
     UpdateResult(newV, m.files.size, touched.size)
   }
 
   // ---- shared machinery -------------------------------------------
+
+  /** Audit staged replacement files against the snapshot's persisted
+    * CHECK set; throws [[Constraints.ConstraintViolationException]]
+    * on any violating row (the staged files stay dead on disk). */
+  private[sources] def auditChecks(spark: SparkSession, table: String,
+      m: CommitLog.Manifest, staged: Seq[String]): Unit = {
+    if (m.checksId.isEmpty || staged.isEmpty) return
+    val cs = CommitLog.readChecksFile(spark, table, m.checksId)
+      .map { case (n, e) => Constraints.Check(n, e) }
+    if (cs.isEmpty) return
+    val root = CommitLog.dataRoot(table)
+    val df = spark.read.parquet(staged.map(f => s"$root/$f"): _*)
+    val bad = Constraints.violationCounts(df, cs).filter(_._2 > 0)
+    if (bad.nonEmpty)
+      throw new Constraints.ConstraintViolationException(table, bad)
+  }
 
   private def requireNoMorDebt(table: String, v: Long,
       m: CommitLog.Manifest): Unit =

@@ -119,6 +119,10 @@ object CommitMerge {
     val merged = MergeInto.merge(base, source, keyCols, matched,
       notMatched, bySource)
     val staged = CommitLog.stage(spark, merged, table)
+    // persisted CHECK constraints gate the merged images (update and
+    // insert clauses can both mint violating rows) — the
+    // checkedAppend discipline on the merge path
+    CommitDml.auditChecks(spark, table, m, staged)
     val newV = CommitLog.rewrite(spark, table, adds = staged,
       removes = touched, txn = txn,
       fileSchemas = if (evolved) staged.map(_ -> m.schemaId).toMap
@@ -127,10 +131,14 @@ object CommitMerge {
       // staged output — conflict, exactly as compaction does
       validateLive = MorTable.noNewDeletes(table, Set.empty),
       // the projection was rendered under m.schemaId — a concurrent
-      // evolution would publish stale-shaped files under a wrong tag
-      validateManifest = if (evolved)
-        SchemaEvolution.requireSchemaStill(table, m.schemaId)
-        else _ => ())
+      // evolution would publish stale-shaped files under a wrong tag;
+      // and the check set we audited against must still be in force
+      validateManifest = { base =>
+        if (evolved)
+          SchemaEvolution.requireSchemaStill(table, m.schemaId)(base)
+        if (base.map(_.checksId).getOrElse("") != m.checksId)
+          throw new Constraints.ConcurrentChecksException(table)
+      })
     MergeResult(newV, dataFiles.size, touched.size)
   }
 
@@ -249,6 +257,9 @@ object CommitMerge {
         else CommitLog.stageUnder(spark, posdel, table, "posdel")
       val imageAdds = if (imageIds.isEmpty) Seq.empty[String]
         else CommitLog.stage(spark, images, table)
+      // the MoR images are new visible rows too — same check audit
+      // (posdel tuples only kill rows; they cannot violate)
+      CommitDml.auditChecks(spark, table, m, imageAdds)
       CommitLog.commit(spark, table,
         adds = posdelAdds ++ imageAdds,
         txn = txn,

@@ -131,6 +131,34 @@ class CommitDmlSpec extends SparkSpec {
       (1L to 30L).sum)
   }
 
+  test("CHECK constraints gate UPDATE and MERGE images") {
+    import graft.operators.MergeInto
+    val t = buildTable()
+    Constraints.setChecks(spark, t,
+      Seq(Constraints.Check("k_pos", "k > 0")))
+    val v0 = CommitLog.currentVersion(spark, t).get
+    // an UPDATE minting violating rows must abort, publish nothing
+    intercept[Constraints.ConstraintViolationException] {
+      CommitDml.updateWhere(spark, t, col("ym") === "2024-02",
+        Map("k" -> (col("k") - 1000L)))
+    }
+    assert(CommitLog.currentVersion(spark, t).contains(v0))
+    assert(CommitLog.read(spark, t).agg(sum("k")).head().getLong(0) ==
+      (1L to 30L).sum)
+    // a MERGE whose insert clause violates must abort too
+    intercept[Constraints.ConstraintViolationException] {
+      CommitMerge.mergeInto(spark, t,
+        Seq((-5L, "2024-09")).toDF("k", "ym"), Seq("k"),
+        notMatched = Seq((lit(true),
+          MergeInto.Insert(Map("k" -> col("s_k"), "ym" -> col("s_ym"))))))
+    }
+    assert(CommitLog.currentVersion(spark, t).contains(v0))
+    // a clean update still lands
+    val r = CommitDml.updateWhere(spark, t, col("ym") === "2024-02",
+      Map("k" -> (col("k") + 1000L)))
+    assert(r.filesRewritten == 1)
+  }
+
   test("merge-on-read delete debt is refused loudly") {
     val t = Files.createTempDirectory("dmlm").toString + "/t"
     MorTable.appendData(spark,

@@ -383,10 +383,10 @@ private[graft] object RegSim {
       val e = Tables.load(s, dir, "embeddings")
       GraphAnn.writeGraph(s,
         e.filter(pmod(col("vec_id"), lit(2)) === 0),
-        "vec_id", "embedding", path, k = 16, rounds = 5, blocks = 12)
+        "vec_id", "embedding", path, k = 16, rounds = 3, blocks = 12)
       GraphAnn.appendToGraph(s, path,
         e.filter(pmod(col("vec_id"), lit(2)) === 1),
-        "vec_id", "embedding", k = 16, beam = 32, iters = 10,
+        "vec_id", "embedding", k = 16, beam = 24, iters = 7,
         entries = 12)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))

@@ -60,7 +60,7 @@ class CommitLogModelSpec extends SparkSpec {
     checkHead()
 
     for (step <- 1 to 30) {
-      rnd.nextInt(10) match {
+      rnd.nextInt(11) match {
         case 0 | 1 => // append
           val ids = batch(5 + rnd.nextInt(20))
           CommitLog.append(spark, df(ids), t)
@@ -101,6 +101,17 @@ class CommitLogModelSpec extends SparkSpec {
                   if e.getMessage.contains("vacuumed") ||
                     e.getMessage.contains("checksId") => ()
             }
+          }
+        case 10 => // row-level UPDATE WHERE (r14): rewrites must never
+          // lose or duplicate a row — the model's id set is invariant
+          // (only the payload column changes)
+          if (live.nonEmpty) {
+            val ids = live.toSeq.sorted
+            val cut = ids(rnd.nextInt(ids.size))
+            CommitDml.updateWhere(spark, t,
+              org.apache.spark.sql.functions.col("id") <= cut,
+              Map("s" -> org.apache.spark.sql.functions
+                .concat_ws("!", org.apache.spark.sql.functions.col("s"))))
           }
         case 8 | 9 => // row-level DELETE WHERE (r14): a random id range;
           // the model filters the same predicate. Never delete

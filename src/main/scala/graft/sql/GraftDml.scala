@@ -102,7 +102,14 @@ object GraftDml {
       case Some((view, table, _)) =>
         GraftDmlCommand("delete", view, table, s => {
           val r = CommitDml.deleteWhere(s, table, unqualified(cond))
-          GraftTables.register(s, table, view)
+          // a delete that emptied the table leaves nothing to pin a
+          // view on (read() of a zero-file version refuses by
+          // design) — drop the view instead of re-pinning a broken
+          // one; the table itself stays readable by time travel
+          if (CommitLog.currentVersion(s, table)
+              .exists(v => CommitLog.liveFiles(s, table, v).isEmpty))
+            GraftTables.unregister(s, table, view)
+          else GraftTables.register(s, table, view)
           r.version
         })
       case None => d

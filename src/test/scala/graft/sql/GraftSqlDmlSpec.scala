@@ -150,6 +150,18 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
   }
 
+  test("unconditional DELETE empties the table and drops the view") {
+    val v = freshView(); val t = buildTable(v)
+    val r = GraftSql.sql(spark, s"DELETE FROM $v")
+    assert(r.head().getString(0) == "delete")
+    // the view is gone (nothing to pin), the data is gone at head,
+    // and time travel still reads the pre-delete state
+    assert(!spark.catalog.tableExists(v))
+    val head = CommitLog.currentVersion(spark, t).get
+    assert(CommitLog.liveFiles(spark, t, head).isEmpty)
+    assert(CommitLog.readVersion(spark, t, head - 1).count() == 30L)
+  }
+
   test("maintenance verbs: OPTIMIZE, VACUUM, DESCRIBE HISTORY/DETAIL") {
     val v = freshView(); val t = buildTable(v)
     val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY $v")

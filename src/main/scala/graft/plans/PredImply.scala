@@ -155,12 +155,30 @@ private[plans] object PredImply {
         if (values.exists(_.isEmpty))
           (if (lenient) Some(Map.empty) else None)
         else {
-          // envelope: exact for implication into interval constraints
           val vv = values.flatten
           val lo = vv.reduce((x, y) => if (x.cmp(y) <= 0) x else y)
           val hi = vv.reduce((x, y) => if (x.cmp(y) >= 0) x else y)
-          try leaf(nameOf(a).get, Iv(Some((lo, true)), Some((hi, true))))
-          catch { case _: IllegalStateException =>
+          // The [lo, hi] envelope is one-sided (ADVICE r14 high): it
+          // is a sound WEAKENING only of the QUERY predicate (a larger
+          // query set makes `within` harder, never easier). On the
+          // strict MV side the envelope would ENLARGE the stored set
+          // and prove containment that does not hold (MV `c IN (1,5)`
+          // + query `c = 3` must NOT rewrite). Strict mode therefore
+          // models the set exactly — a singleton, or a set of
+          // integral values whose envelope IS the set (|set| ==
+          // hi - lo + 1, e.g. IN (1,2,3)) — and declines otherwise.
+          try {
+            val exact = vv.distinct match {
+              case Seq(_) => true
+              case ds => (lo, hi) match {
+                case (VL(l), VL(h)) => h - l + 1 == ds.size
+                case _ => false // string sets: never interval-exact
+              }
+            }
+            if (lenient || exact)
+              leaf(nameOf(a).get, Iv(Some((lo, true)), Some((hi, true))))
+            else None
+          } catch { case _: IllegalStateException =>
             if (lenient) Some(Map.empty) else None }
         }
       case IsNotNull(a) if nameOf(a).isDefined =>
@@ -179,11 +197,17 @@ private[plans] object PredImply {
     * constrains but the query does not (or in a different domain)
     * fails. Comparisons across domains (string vs long) decline. */
   def implies(query: Expression, mvPred: Expression): Boolean =
-    (intervals(query, lenient = true), intervals(mvPred, lenient = false)) match {
-      case (Some(q), Some(m)) =>
-        try m.forall { case (c, ivM) =>
-          q.get(c).exists(_.within(ivM))
-        } catch { case _: IllegalStateException => false }
-      case _ => false
-    }
+    // the try spans interval CONSTRUCTION too (ADVICE r14): two
+    // conjuncts constraining the same lower-cased name in different
+    // domains make Iv.intersect throw from inside intervals() — a
+    // domain mismatch anywhere degrades to "not proven", never to a
+    // crashed optimizer rule
+    try {
+      (intervals(query, lenient = true),
+        intervals(mvPred, lenient = false)) match {
+        case (Some(q), Some(m)) =>
+          m.forall { case (c, ivM) => q.get(c).exists(_.within(ivM)) }
+        case _ => false
+      }
+    } catch { case _: IllegalStateException => false }
 }

@@ -72,8 +72,22 @@ object BloomStats {
       : Map[String, Map[String, (String, String)]] = {
     if (staged.isEmpty) return Map.empty
     val root = CommitLog.dataRoot(table)
-    def key(p: String): String = p.substring(p.lastIndexOf("stage-"))
-    val byKey = staged.map(rel => key(rel) -> rel).toMap
+    // input_file_name() yields a URI — percent-encoded where the
+    // staged rel path is raw (spaces, special chars). Decode before
+    // extracting the stage key, and skip rather than throw when the
+    // marker is absent (ADVICE r14): a missed file merely loses its
+    // bloom cell, which only costs pruning.
+    def key(p: String): Option[String] = {
+      val decoded =
+        try new Path(new java.net.URI(p)).toUri.getPath
+        catch {
+          case _: java.net.URISyntaxException => p
+          case _: IllegalArgumentException => p
+        }
+      val i = decoded.lastIndexOf("stage-")
+      if (i < 0) None else Some(decoded.substring(i))
+    }
+    val byKey = staged.flatMap(rel => key(rel).map(_ -> rel)).toMap
     val numBits = BloomFilter.optimalNumOfBits(items, fpp)
     val dfAll = spark.read.parquet(staged.map(rel => s"$root/$rel"): _*)
     val aggs = bloomCols.map { c =>
@@ -92,7 +106,7 @@ object BloomStats {
         val bytes = if (r.isNullAt(i + 1)) null
           else r.getAs[Array[Byte]](i + 1)
         if (bytes == null) None // an all-null file: no filter, kept
-        else byKey.get(key(r.getString(0))).map { rel =>
+        else key(r.getString(0)).flatMap(byKey.get).map { rel =>
           rel -> { val ref = writeSidecar(f, root, bytes); (ref, ref) }
         }
       }.toMap

@@ -71,7 +71,7 @@ object GraftDml {
       : Option[LogicalPlan] = tt.relation match {
     case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
         if r.multipartIdentifier.size == 1 =>
-      GraftTables.lookup(r.multipartIdentifier.head).map { table =>
+      GraftTables.lookupActive(r.multipartIdentifier.head).map { table =>
         val s = SparkSession.active
         val v = tt.version match {
           case Some(ver) => ver.toLong
@@ -167,7 +167,7 @@ object GraftDml {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if r.multipartIdentifier.size == 1 =>
         val view = r.multipartIdentifier.head
-        GraftTables.lookup(view).map(t => (view, t, None))
+        GraftTables.lookupActive(view).map(t => (view, t, None))
       case _ => None
     }
 
@@ -325,7 +325,14 @@ object GraftDml {
 
 /** The eagerly-executed statement: `spark.sql("DELETE FROM v ...")`
   * runs the verb at Dataset creation (Spark's command contract) and
-  * yields a one-row (verb, version) frame. */
+  * yields a one-row (verb, version) frame. Before running, the
+  * EXECUTING session's own registration of `view` is re-verified
+  * (ADVICE r14): the routing decision was made at parse time against
+  * the then-active session, and a destructive verb must never execute
+  * against a table the running session did not register under this
+  * name. Two-part (catalog-resolved) targets pass an empty view and
+  * skip the check — their resolution is the durable catalog, not a
+  * session view. */
 case class GraftDmlCommand(verb: String, view: String, table: String,
     body: SparkSession => Long) extends LeafRunnableCommand {
 
@@ -333,6 +340,14 @@ case class GraftDmlCommand(verb: String, view: String, table: String,
     AttributeReference("verb", StringType, nullable = false)(),
     AttributeReference("version", LongType, nullable = false)())
 
-  override def run(sparkSession: SparkSession): Seq[Row] =
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (view.nonEmpty) {
+      val bound = GraftTables.lookup(sparkSession, view)
+      require(bound.contains(table),
+        s"view '$view' is not registered to $table in the executing " +
+          s"session (found: ${bound.getOrElse("nothing")}) — " +
+          "register it with GraftTables.register before running DML")
+    }
     Seq(Row(verb, body(sparkSession)))
+  }
 }

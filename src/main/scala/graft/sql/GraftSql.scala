@@ -44,7 +44,7 @@ private[sql] object GraftMaintenance {
   private val Detail = "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(\\w+)\\s*;?\\s*$".r
 
   def intercept(sql: String): Option[LogicalPlan] = sql match {
-    case Optimize(view) => GraftTables.lookup(view).map { table =>
+    case Optimize(view) => GraftTables.lookupActive(view).map { table =>
       GraftMaintenanceCommand("optimize", s => {
         // file compaction (range-clustered when the table has a stats
         // column) + a manifest fold, then re-pin the view
@@ -55,16 +55,16 @@ private[sql] object GraftMaintenance {
         v
       })
     }
-    case Vacuum(view, n) => GraftTables.lookup(view).map { table =>
+    case Vacuum(view, n) => GraftTables.lookupActive(view).map { table =>
       GraftMaintenanceCommand("vacuum", s =>
         CommitLog.vacuumUnreferenced(s, table, keepVersions = n.toInt)
           .toLong)
     }
-    case History(view) => GraftTables.lookup(view).map { table =>
+    case History(view) => GraftTables.lookupActive(view).map { table =>
       TableInfo.history(SparkSession.active, table)
         .queryExecution.logical
     }
-    case Detail(view) => GraftTables.lookup(view).map { table =>
+    case Detail(view) => GraftTables.lookupActive(view).map { table =>
       TableInfo.describe(SparkSession.active, table)
         .queryExecution.logical
     }
@@ -99,7 +99,21 @@ object GraftSql {
     * would through `spark.sql` on an extensions-built session). */
   def sql(spark: SparkSession, sqlText: String): DataFrame = {
     SkylineSql.register(spark)
-    val parser = new GraftSqlParser(spark.sessionState.sqlParser)
-    DatasetBridge.ofRows(spark, parser.parsePlan(sqlText))
+    // pin the ACTIVE session for the parse: DML routing consults the
+    // session-scoped registry through SparkSession.active (the same
+    // session extensions-built parsing runs under via withActive), so
+    // a statement parsed for `spark` must never resolve against a
+    // different thread-active session's registrations
+    val prev = SparkSession.getActiveSession
+    SparkSession.setActiveSession(spark)
+    try {
+      val parser = new GraftSqlParser(spark.sessionState.sqlParser)
+      DatasetBridge.ofRows(spark, parser.parsePlan(sqlText))
+    } finally {
+      prev match {
+        case Some(p) => SparkSession.setActiveSession(p)
+        case None => SparkSession.clearActiveSession()
+      }
+    }
   }
 }

@@ -20,17 +20,31 @@ import graft.sources.CommitLog
   */
 object GraftTables {
 
-  /** view name (lowercased) → commit-log table ref, for the SQL DML
-    * router ([[GraftDml]]): a DELETE/UPDATE/MERGE/INSERT statement
-    * naming a registered view routes into the transactional verbs. */
+  /** (session UUID, view name lowercased) → commit-log table ref, for
+    * the SQL DML router ([[GraftDml]]): a DELETE/UPDATE/MERGE/INSERT
+    * statement naming a registered view routes into the transactional
+    * verbs. Keyed PER SESSION (ADVICE r14): temp views are
+    * session-scoped, so a bare-name registry would route another
+    * session's unrelated same-named view into destructive verbs
+    * against this session's table. */
   private[sql] val registry =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
 
-  private[sql] def lookup(view: String): Option[String] =
-    registry.get(view.toLowerCase(java.util.Locale.ROOT))
+  private def key(spark: SparkSession, view: String): (String, String) =
+    (org.apache.spark.sql.graftbridge.SessionBridge.sessionUUID(spark),
+      view.toLowerCase(java.util.Locale.ROOT))
+
+  private[sql] def lookup(spark: SparkSession, view: String): Option[String] =
+    registry.get(key(spark, view))
+
+  /** Parse-time lookup: the statement is being parsed by (and will
+    * execute in) the active session. [[GraftDmlCommand]] re-verifies
+    * against the EXECUTING session before running the verb. */
+  private[sql] def lookupActive(view: String): Option[String] =
+    lookup(SparkSession.active, view)
 
   def register(spark: SparkSession, table: String, viewName: String): Unit = {
-    registry.put(viewName.toLowerCase(java.util.Locale.ROOT), table)
+    registry.put(key(spark, viewName), table)
     CommitLog.read(spark, table).createOrReplaceTempView(viewName)
     // ONE rule pair per session, serving a growing table registry —
     // a thousand registered tables must not run a thousand rules
@@ -48,7 +62,7 @@ object GraftTables {
   /** Drop the view and stop serving this table (the shared rule pair
     * stays for other registered tables). */
   def unregister(spark: SparkSession, table: String, viewName: String): Unit = {
-    registry.remove(viewName.toLowerCase(java.util.Locale.ROOT))
+    registry.remove(key(spark, viewName))
     spark.catalog.dropTempView(viewName)
     spark.experimental.extraOptimizations.foreach {
       case r: ManifestSkip => r.drop(table)

@@ -25,6 +25,17 @@ object ColumnBridge {
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
 }
 
+/** One-hop accessor for the `private[sql]` session UUID — the stable
+  * per-session key the session-scoped DML registry
+  * ([[graft.sql.GraftTables]]) uses. */
+object SessionBridge {
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark match {
+      case c: org.apache.spark.sql.classic.SparkSession => c.sessionUUID
+      case other => String.valueOf(System.identityHashCode(other))
+    }
+}
+
 /** Same one-hop pattern for `Dataset.ofRows` (private[sql]) — needed to
   * materialize a DataFrame from a custom-parsed LogicalPlan.
   */

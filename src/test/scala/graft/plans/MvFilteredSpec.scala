@@ -130,4 +130,39 @@ class MvFilteredSpec extends SparkSpec {
     // cross-domain comparison declines
     assert(!imp("k >= '5'", "k >= 1"))
   }
+
+  test("MV-side IN is modeled exactly, never by envelope (ADVICE r14)") {
+    val parse = spark.sessionState.sqlParser.parseExpression _
+    def imp(q: String, m: String): Boolean =
+      PredImply.implies(parse(q), parse(m))
+    // the bug: envelope [1,5] of the MV set {1,5} would wrongly admit 3
+    assert(!imp("c = 3", "c IN (1, 5)"))
+    assert(!imp("c IN (1, 3)", "c IN (1, 5)"))
+    // singleton set: exact
+    assert(imp("c = 7", "c IN (7)"))
+    assert(!imp("c = 8", "c IN (7)"))
+    // contiguous integral set: envelope == set, exact
+    assert(imp("c = 2", "c IN (1, 2, 3)"))
+    assert(imp("c IN (2, 3)", "c IN (3, 1, 2)"))
+    assert(!imp("c = 4", "c IN (1, 2, 3)"))
+    // duplicate literals don't fake contiguity
+    assert(!imp("c = 2", "c IN (1, 1, 3)"))
+    // non-contiguous string set declines even when the query point is in it
+    assert(!imp("s = 'b'", "s IN ('a', 'c')"))
+    assert(!imp("s = 'a'", "s IN ('a', 'c')")) // declined (not refuted)
+    assert(imp("s = 'a'", "s IN ('a')")) // singleton string: exact
+    // query-side IN stays envelope-lenient (sound direction, r14 tests)
+    assert(imp("c IN (5, 7, 9)", "c >= 5 AND c <= 9"))
+  }
+
+  test("same-name different-domain conjuncts degrade to no-rewrite, not a crash") {
+    val parse = spark.sessionState.sqlParser.parseExpression _
+    // 'c' constrained as a string AND as a long inside ONE conjunction:
+    // Iv.intersect throws from inside intervals() — implies() must
+    // swallow it on either side (ADVICE r14)
+    assert(!PredImply.implies(
+      parse("c >= '2024-01' AND c >= 5"), parse("c >= 1")))
+    assert(!PredImply.implies(
+      parse("c >= 5"), parse("c >= '2024-01' AND c >= 1")))
+  }
 }

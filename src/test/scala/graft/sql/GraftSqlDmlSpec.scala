@@ -193,11 +193,52 @@ class GraftSqlDmlSpec extends SparkSpec {
     // getOrCreate may hand back the shared extension-less session;
     // only assert when the injected parser actually engaged.
     val v = freshView(); val t = buildTable(v)
+    GraftTables.register(s2, t, v) // routing is session-scoped now
     val engaged = try {
       s2.sql(s"DELETE FROM $v WHERE ym = '2024-01'")
       true
     } catch { case _: Throwable => false }
     if (engaged)
       assert(CommitLog.read(s2, t).count() == 20L)
+  }
+
+  test("DML routing is session-scoped: a foreign session's same-named " +
+      "view never routes into this session's table (ADVICE r14)") {
+    val v = freshView(); val t = buildTable(v)
+    val other = spark.newSession()
+    // the other session has its OWN unrelated temp view under the name
+    other.range(3).toDF("k").createOrReplaceTempView(v)
+    // parsing in the other session must NOT route into CommitDml —
+    // the statement falls through to Spark's own (refusing) surface
+    val routed = try {
+      GraftSql.sql(other, s"DELETE FROM $v WHERE k = 1")
+        .columns.toSeq == Seq("verb", "version")
+    } catch { case _: Exception => false }
+    assert(!routed, "foreign session must not route the verb")
+    assert(CommitLog.read(spark, t).count() == 30L,
+      "the registering session's table must be untouched")
+    // and unregistering in the other session must not kill routing here
+    GraftTables.unregister(other, t, v)
+    GraftSql.sql(spark, s"DELETE FROM $v WHERE k = 11")
+    assert(CommitLog.read(spark, t).count() == 29L)
+  }
+
+  test("execution-time re-verification: a plan parsed in one session " +
+      "refuses to run its verb in a session without the registration") {
+    val v = freshView(); val t = buildTable(v)
+    val other = spark.newSession()
+    val prev = org.apache.spark.sql.SparkSession.getActiveSession
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    val plan = try {
+      new GraftSqlParser(spark.sessionState.sqlParser)
+        .parsePlan(s"DELETE FROM $v WHERE k = 11")
+    } finally prev.foreach(
+      org.apache.spark.sql.SparkSession.setActiveSession)
+    val ex = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftbridge.DatasetBridge.ofRows(other, plan)
+        .collect()
+    }
+    assert(ex.getMessage.contains("not registered"))
+    assert(CommitLog.read(spark, t).count() == 30L)
   }
 }

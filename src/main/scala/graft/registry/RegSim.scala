@@ -25,6 +25,35 @@ import graft.SparkEntry._
   * oracle CTE builders stay on [[SparkEntry]] (private[graft]). */
 private[graft] object RegSim {
 
+  /** ONE graph-ANN index per data dir, shared by q_ann_hnsw and
+    * q_ann_hnsw_incr (VERDICT r14 directive #7): build the even half
+    * (NN-Descent) then append the odd half through the O(batch)
+    * incremental path — the state BOTH rows serve from, so the
+    * expensive NN-Descent rounds run once per JVM per dir instead of
+    * once per query per bench pass. The done-marker is written only
+    * after a fully successful build+append; a crashed fixture rebuilds
+    * from scratch (writeGraph overwrites, append regenerates its
+    * generation dir). */
+  private def hnswSharedGraph(s: SparkSession, dir: String): String = {
+    val path =
+      s"${System.getProperty("java.io.tmpdir")}/graft_hnsw2_${stageTag(dir)}"
+    val marker = new java.io.File(s"$path/_fixture_done")
+    this.synchronized {
+      if (!marker.exists()) {
+        val e = Tables.load(s, dir, "embeddings")
+        GraphAnn.writeGraph(s,
+          e.filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", path, k = 16, rounds = 3, blocks = 12)
+        GraphAnn.appendToGraph(s, path,
+          e.filter(pmod(col("vec_id"), lit(2)) === 1),
+          "vec_id", "embedding", k = 16, beam = 24, iters = 7,
+          entries = 12)
+        marker.createNewFile()
+      }
+    }
+    path
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Embedding outlier scan (mislabel curation): squared distance of
@@ -338,19 +367,20 @@ private[graft] object RegSim {
     // sign-LSH (graft.sim.IvfFlat).
     // GRAPH-tier ANN (HNSW/NSW family, r13 directive #7): NN-Descent
     // builds the k-NN graph distributedly (blocked seeds + neighbor-
-    // of-neighbor rounds, never corpus²), the at-rest layout co-
-    // locates adjacency with vectors, and a distributed best-first
-    // beam search serves a 5-query batch. Scores are the exact tier's
-    // own expression, so the oracle is the exact multi-query top-10:
-    // on this corpus the beam search returns it bit-identically
-    // (recall@10 = 1.0, audited in-plan and pinned; the recall-vs-IVF
-    // A/B is committed in GraphAnnSpec).
+    // of-neighbor rounds, never corpus²), the at-rest layout is the
+    // v2 bucketed/version-pointered table with a persisted entry
+    // sample, and a distributed best-first beam search serves a
+    // 5-query batch. The index is the SHARED build-then-append
+    // fixture (r14 directive #7: one index amortizes across both
+    // graph-ANN rows — the q_ann_ivf/q_ann_ivf_index economy), so
+    // this row pins the SERVING path. Scores are the exact tier's own
+    // expression, so the oracle is the exact multi-query top-10: the
+    // beam search returns it bit-identically (recall@10 = 1.0,
+    // audited in-plan and pinned; the full-build recall pin and the
+    // recall-vs-IVF A/B live in GraphAnnSpec).
     "q_ann_hnsw" -> { (s, dir) =>
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_hnsw_${stageTag(dir)}"
+      val path = hnswSharedGraph(s, dir)
       val e = Tables.load(s, dir, "embeddings")
-      GraphAnn.writeGraph(s, e, "vec_id", "embedding", path,
-        k = 16, rounds = 5, blocks = 16)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val got = GraphAnn.searchGraph(s, path, queries, "qid", "qv",
@@ -370,25 +400,22 @@ private[graft] object RegSim {
     },
 
     // INCREMENTAL graph-ANN append (the IVF-incr contract on the
-    // graph tier): build on the even half, append the odd half with
-    // no rebuild — each new point beam-searches the existing graph
-    // for its edges, donates quota-reserved back-edges, the batch
-    // adds its internal neighborhood, and one NN-Descent round over
-    // the merged graph repairs cross-batch lists. The oracle stays
-    // the exact multi-query top-10 over the FULL set; recall10 = 1
-    // pins the in-plan audit post-append.
+    // graph tier, rebuilt r15 per VERDICT r14 #1 to cost O(batch)):
+    // build on the even half, append the odd half with no rebuild —
+    // each new point beam-searches the existing graph for its edges,
+    // donates quota-reserved back-edges, the batch adds its internal
+    // neighborhood, and the NN-Descent repair round is LOCALIZED to
+    // lists a new edge can reach; only touched buckets rewrite, the
+    // rest ride into the new layout version by reference. Shares the
+    // built index with q_ann_hnsw and pins the APPEND result on a
+    // DIFFERENT query batch (qids 5..9). The oracle stays the exact
+    // multi-query top-10 over the FULL set; recall10 = 1 pins the
+    // in-plan audit post-append (the O(batch) work pins live in
+    // GraphAnnSpec).
     "q_ann_hnsw_incr" -> { (s, dir) =>
-      val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_hnswi_${stageTag(dir)}"
+      val path = hnswSharedGraph(s, dir)
       val e = Tables.load(s, dir, "embeddings")
-      GraphAnn.writeGraph(s,
-        e.filter(pmod(col("vec_id"), lit(2)) === 0),
-        "vec_id", "embedding", path, k = 16, rounds = 3, blocks = 12)
-      GraphAnn.appendToGraph(s, path,
-        e.filter(pmod(col("vec_id"), lit(2)) === 1),
-        "vec_id", "embedding", k = 16, beam = 24, iters = 7,
-        entries = 12)
-      val queries = e.filter(col("vec_id") < 5)
+      val queries = e.filter(col("vec_id") >= 5 && col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val got = GraphAnn.searchGraph(s, path, queries, "qid", "qv",
         k = 10, beam = 32, iters = 10, entries = 12)
@@ -1074,15 +1101,18 @@ private[graft] object RegSim {
         |ORDER BY qid, rank""".stripMargin,
 
     // Post-append, the graph tier must still return the exact
-    // multi-query top-10 bit-identically (same oracle as q_ann_hnsw).
+    // multi-query top-10 bit-identically — on the SECOND query batch
+    // (qids 5..9; q_ann_hnsw pins qids 0..4 over the shared index).
     "q_ann_hnsw_incr" ->
       """WITH ev AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
         |    generate_subscripts(embedding, 1) AS i
         |  FROM embeddings),
         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
-        |q AS (SELECT vec_id AS qid, x, i FROM ev WHERE vec_id < 5),
-        |qn AS (SELECT vec_id AS qid, n AS qn FROM norms WHERE vec_id < 5),
+        |q AS (SELECT vec_id AS qid, x, i FROM ev
+        |      WHERE vec_id >= 5 AND vec_id < 10),
+        |qn AS (SELECT vec_id AS qid, n AS qn FROM norms
+        |       WHERE vec_id >= 5 AND vec_id < 10),
         |dots AS (SELECT q.qid, e.vec_id, sum(e.x * q.x) AS d
         |         FROM ev e JOIN q ON e.i = q.i GROUP BY 1, 2),
         |sc AS (SELECT dots.qid, dots.vec_id,

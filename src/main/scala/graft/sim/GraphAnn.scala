@@ -1,5 +1,6 @@
 package graft.sim
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,8 +22,19 @@ import org.apache.spark.sql.functions._
   *    rows. The final graph is symmetrized and degree-capped (the
   *    DiskANN discipline), which is what makes greedy search escape
   *    local entry points.
-  *  - LAYOUT = one parquet table (id, vec, norm, nbrs) — adjacency
-  *    and vectors co-located, so serving reads one relation.
+  *  - LAYOUT (v2, VERDICT r14 directive #1) = a HASH-BUCKETED,
+  *    VERSION-POINTERED table: rows (id, vec, n, nbrs) live in
+  *    per-bucket parquet directories (`bkt = xxhash64(id) mod B`), and
+  *    an immutable `_gmeta/<v>.json` maps every bucket to its current
+  *    directory. A mutation writes ONLY the touched buckets under a
+  *    new generation dir and publishes a new meta by no-clobber
+  *    rename — there is never a window with no readable graph (the
+  *    r14 delete-then-rename hazard), and an append's write cost is
+  *    proportional to the buckets it touches, not the corpus.
+  *  - ENTRY SAMPLE, persisted at build: the ~√n hash-minimal nodes
+  *    (id, vec, n, hash) in their own directory, so serving and
+  *    appends read √n rows instead of re-sampling the corpus per
+  *    batch (the r14 `g.count() + orderBy` corpus pass is gone).
   *  - SERVE = distributed best-first beam search for a BATCH of
   *    queries: per round, the per-query frontier (top `beam` of the
   *    newly-scored nodes) expands through the adjacency (one join +
@@ -46,6 +58,21 @@ import org.apache.spark.sql.functions._
   * composition). Hash-diverse entry points bound the residual risk.
   */
 object GraphAnn {
+
+  /** What one incremental append actually did — the scale contract
+    * surfaced as data so specs can PIN that the work was proportional
+    * to the batch: `candidates` scored pairs (≤ O(batch·k·degree)),
+    * `owners` nodes whose lists were rewritten, `bucketsRewritten` of
+    * `bucketsTotal` layout groups rewritten (untouched buckets ride
+    * into the new version by reference). */
+  final case class AppendStats(
+      appended: Long,
+      candidates: Long,
+      owners: Long,
+      bucketsRewritten: Int,
+      bucketsTotal: Int)
+
+  // ---- scoring kernel (shared with the exact tier) -----------------
 
   private def scoreCol: Column = {
     val nn = col("n_a") * col("n_b")
@@ -119,99 +146,399 @@ object GraphAnn {
         col("score"))).dropDuplicates("id", "nbr"), k)
   }
 
-  /** Materialize the at-rest layout: (id, vec, n, nbrs) parquet —
-    * adjacency co-located with vectors for one-relation serving. */
+  // ---- versioned bucketed layout -----------------------------------
+
+  /** Pointer state of one layout version: bucket → root-relative data
+    * dir (generation dirs mix freely — an append repoints only the
+    * buckets it rewrote), plus the persisted entry-sample dir and its
+    * hash cutoff. */
+  private final case class Meta(
+      version: Long,
+      count: Long,
+      buckets: Int,
+      cutoff: Long,
+      entriesDir: String,
+      dirs: Map[Int, String])
+
+  private def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def metaPath(path: String, v: Long) =
+    new Path(new Path(path, "_gmeta"), f"$v%020d.json")
+
+  private def bktExpr(b: Int): Column =
+    pmod(xxhash64(col("id")), lit(b.toLong)).cast("int")
+
+  /** Bucket count: file-sized groups at scale, a handful at test
+    * scale. Capped so the meta stays one small JSON. */
+  private def chooseBuckets(count: Long): Int =
+    math.max(4L, math.min(4096L, (count + 65535L) / 65536L)).toInt
+
+  private def writeMeta(f: FileSystem, path: String, m: Meta): Unit = {
+    val body = {
+      val ks = m.dirs.keys.toSeq.sorted
+      s"""{"version":${m.version},"count":${m.count},""" +
+        s""""buckets":${m.buckets},"cutoff":${m.cutoff},""" +
+        s""""entries":"${m.entriesDir}",""" +
+        s""""bkts":[${ks.mkString(",")}],""" +
+        s""""dirs":[${ks.map(k => "\"" + m.dirs(k) + "\"").mkString(",")}]}"""
+    }
+    val tmp = new Path(new Path(path, "_gmeta"),
+      s".tmp-${java.util.UUID.randomUUID()}")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val dst = metaPath(path, m.version)
+    // no-clobber publish: racing appends to the same version lose
+    // loudly instead of silently clobbering a racer's pointer flip
+    val ok = !f.exists(dst) && f.rename(tmp, dst)
+    if (!ok) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"graph meta version ${m.version} already published at $path — " +
+          "concurrent append detected; re-read and retry")
+    }
+  }
+
+  private def headVersion(f: FileSystem, path: String): Option[Long] = {
+    val d = new Path(path, "_gmeta")
+    if (!f.exists(d)) None
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".json") && !n.startsWith("."))
+      .map(_.stripSuffix(".json").toLong).maxOption
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Meta = {
+    val f = fsOf(spark, path)
+    val v = headVersion(f, path).getOrElse(throw new IllegalStateException(
+      s"no graph meta at $path — build the layout with writeGraph first"))
+    val in = f.open(metaPath(path, v))
+    val body = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 65536, false)
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+    def num(k: String): Long = {
+      val m = s""""$k":(-?\\d+)""".r.findFirstMatchIn(body)
+      m.map(_.group(1).toLong).getOrElse(throw new IllegalStateException(
+        s"graph meta at $path missing field $k"))
+    }
+    def str(k: String): String = {
+      val m = s""""$k":"([^"]*)"""".r.findFirstMatchIn(body)
+      m.map(_.group(1)).getOrElse(throw new IllegalStateException(
+        s"graph meta at $path missing field $k"))
+    }
+    def arr(k: String): Seq[String] = {
+      val m = s""""$k":\\[([^\\]]*)\\]""".r.findFirstMatchIn(body)
+      val inner = m.map(_.group(1)).getOrElse("")
+      if (inner.trim.isEmpty) Seq.empty
+      else inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    }
+    val bkts = arr("bkts").map(_.toInt)
+    val dirs = arr("dirs")
+    require(bkts.size == dirs.size, s"corrupt graph meta at $path")
+    Meta(v, num("count"), num("buckets").toInt, num("cutoff"),
+      str("entries"), bkts.zip(dirs).toMap)
+  }
+
+  /** The one-relation view of the graph at head: (id, vec, n, nbrs). */
+  private def readGraph(spark: SparkSession, path: String, m: Meta)
+      : DataFrame =
+    spark.read.parquet(m.dirs.values.toSeq.sorted.map(d => s"$path/$d"): _*)
+
+  /** Bucket-PRUNED read: only the named buckets' directories are
+    * listed and scanned — the append path's point-lookup shape. */
+  private def readBuckets(spark: SparkSession, path: String, m: Meta,
+      bkts: Seq[Int]): DataFrame = {
+    val dirs = bkts.distinct.sorted.flatMap(m.dirs.get).map(d => s"$path/$d")
+    require(dirs.nonEmpty, "readBuckets on an empty bucket set")
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** Distinct bucket ids of `ids` (a one-column "id" frame) — tiny
+    * collect (≤ B ints), the driver-side key for partition pruning. */
+  private def bucketsOf(ids: DataFrame, b: Int): Seq[Int] =
+    ids.select(bktExpr(b).as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Materialize the at-rest layout: bucketed (id, vec, n, nbrs)
+    * parquet + the persisted √n entry sample + the version-1 meta.
+    * `buckets` overrides the automatic bucket count (specs use it to
+    * pin touched-bucket economics at small n). */
   def writeGraph(
       spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-      path: String, k: Int, rounds: Int, blocks: Int): Unit = {
+      path: String, k: Int, rounds: Int, blocks: Int,
+      buckets: Int = 0): Unit = {
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("n", VectorSim.norm(col("vec")))
-    val adj = buildGraph(df, idCol, vecCol, k, rounds, blocks)
+      .localCheckpoint(true)
+    val count = v.count()
+    val b = if (buckets > 0) buckets else chooseBuckets(count)
+    val adj = buildGraph(v, "id", "vec", k, rounds, blocks)
       .groupBy("id")
       .agg(collect_list(struct(col("nbr"), col("score"))).as("nbrs"))
+    val gRel = "g1"
     v.join(adj, Seq("id"), "left")
-      .write.mode("overwrite").parquet(path)
+      .withColumn("bkt", bktExpr(b))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/$gRel")
+    // entry sample: the hash-minimal ~√n nodes, vectors co-located so
+    // the entry phase never touches the main relation. Floor 64 keeps
+    // any sane `entries` request answerable from the sample alone.
+    val nSample = math.min(count,
+      math.max(64L, math.ceil(math.sqrt(count.toDouble)).toLong)).toInt
+    val eRel = "e1"
+    val sample = v.withColumn("__h", xxhash64(col("id")))
+      .orderBy(col("__h"), col("id")).limit(nSample)
+      .localCheckpoint(true)
+    sample.write.mode("overwrite").parquet(s"$path/$eRel")
+    val cutoff =
+      if (count == 0) Long.MaxValue
+      else sample.agg(max("__h")).head().getLong(0)
+    val f = fsOf(spark, path)
+    val dirs = f.listStatus(new Path(path, gRel)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("bkt="))
+      .map(n => n.stripPrefix("bkt=").toInt -> s"$gRel/$n").toMap
+    writeMeta(f, path, Meta(1L, count, b, cutoff, eRel, dirs))
   }
 
-  /** INCREMENTAL APPEND (the IVF family's no-rebuild contract, on the
-    * graph tier): new vectors join the at-rest graph without touching
-    * the old adjacency's quality — each new point beam-searches the
-    * EXISTING graph for its true neighborhood (the same routine
-    * serving uses, so insertion quality equals serving quality — the
-    * HNSW insert idea), adopts its top-k as out-edges, and donates
-    * BACK-edges to the nodes it found, with every touched node's
-    * degree re-capped at k. One search + two bounded window top-ks;
-    * the rewritten layout is the same one-relation parquet. */
+  /** INCREMENTAL APPEND, cost ∝ BATCH (VERDICT r14 directive #1): new
+    * vectors join the at-rest graph without a rebuild and without
+    * touching the corpus:
+    *
+    *  1. each new point beam-searches the EXISTING graph for its true
+    *     neighborhood (the serving routine, so insertion quality
+    *     equals serving quality — the HNSW insert idea), adopts its
+    *     top-k as out-edges, and donates back-edges under a RESERVED
+    *     per-node quota (k/2) so newcomers stay reachable in dense
+    *     regions; the batch adds its own internal neighborhood
+    *     (new points can be each other's true neighbors);
+    *  2. the NN-Descent repair round is LOCALIZED to the batch's
+    *     neighborhood: candidate pairs must traverse at least one new
+    *     edge (new-first-hop through the touched nodes' lists, and
+    *     old-owner pairs through the symmetrized reverse of the new
+    *     edges) — O(batch·k·degree) scored rows, never the r14
+    *     O(corpus) merged-graph round. Lists that no new edge can
+    *     reach provably cannot change;
+    *  3. only the buckets holding changed rows are rewritten, under a
+    *     fresh generation dir; the new meta repoints those buckets and
+    *     carries every untouched bucket BY REFERENCE. The pointer flip
+    *     is a no-clobber rename, so a racing reader resolves the old
+    *     meta or the new one — never a half-swapped layout (the r14
+    *     delete-then-rename hazard is structurally gone);
+    *  4. the persisted entry sample absorbs batch nodes whose hash
+    *     falls under the build-time cutoff, keeping entry diversity
+    *     without re-sampling the corpus.
+    *
+    * Returns [[AppendStats]] so callers (and the scale spec) can pin
+    * that the work tracked the batch, not the corpus. */
   def appendToGraph(
       spark: SparkSession, path: String,
       df: DataFrame, idCol: String, vecCol: String,
-      k: Int, beam: Int, iters: Int, entries: Int): Unit = {
+      k: Int, beam: Int, iters: Int, entries: Int): AppendStats = {
+    // The localized-repair plan unions branches that carry left_semi /
+    // left_anti joins; Spark's Union constraint rewrite
+    // (UnionBase.rewriteConstraints) crashes on a child constraint
+    // that references the join's right-side attribute (key-not-found
+    // on the semi-join key). Constraint propagation is a plan-level
+    // inference with no semantic effect, so it is off for the
+    // duration of the append job and restored after.
+    val cpKey = "spark.sql.constraintPropagation.enabled"
+    val cpPrev = spark.conf.getOption(cpKey)
+    spark.conf.set(cpKey, "false")
+    try appendToGraphImpl(spark, path, df, idCol, vecCol,
+      k, beam, iters, entries)
+    finally cpPrev match {
+      case Some(v) => spark.conf.set(cpKey, v)
+      case None => spark.conf.unset(cpKey)
+    }
+  }
+
+  private def appendToGraphImpl(
+      spark: SparkSession, path: String,
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, beam: Int, iters: Int, entries: Int): AppendStats = {
+    val meta = readMeta(spark, path)
+    val b = meta.buckets
     val newV = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("n", VectorSim.norm(col("vec")))
-    val found = searchGraph(spark, path,
+      .localCheckpoint(true)
+    val mNew = newV.count()
+    if (mNew == 0)
+      return AppendStats(0L, 0L, 0L, 0, meta.dirs.size)
+
+    // 1) search = insert: the new nodes' true neighborhoods
+    val found = searchOver(spark, path, meta,
       newV.select(col("id").as("qid"), col("vec").as("qv")),
-      "qid", "qv", k, beam, iters, entries)
+      k, beam, iters, entries)
     val outE = found.select(col("qid").as("id"), col("id").as("nbr"),
       col("score"))
-    // Back-edges carry a RESERVED per-node quota (k/2) instead of
-    // competing against the old top-k: in a dense region every old
-    // neighbor outscores a newcomer by luck of ties, and capped-away
-    // back-edges would leave new nodes unreachable. Total old-node
-    // degree stays bounded at 2k across any number of appends (the
-    // final cap below).
     val backE = topPerId(found.select(col("id"),
       col("qid").as("nbr"), col("score")), math.max(1, k / 2))
-    // the batch's INTERNAL neighborhood — new points can be each
-    // other's true neighbors, which the old graph cannot express
     val internal = buildGraph(newV, "id", "vec", k,
       rounds = 1, blocks = math.max(2, entries))
-    val g = spark.read.parquet(path)
-    val oldE = g.filter(col("nbrs").isNotNull)
+    val newE = outE.union(backE).union(internal)
+      .filter(col("id") =!= col("nbr"))
+      .dropDuplicates("id", "nbr")
+      .localCheckpoint(true)
+
+    // 2) localized repair: only lists a new edge can reach may change
+    val touched0 = newE.select("id")
+      .union(newE.select(col("nbr").as("id")))
+      .distinct().localCheckpoint(true)
+    val oldTRows = readBuckets(spark, path, meta, bucketsOf(touched0, b))
+      .join(touched0, Seq("id"), "left_semi")
+    val oldT = oldTRows.filter(col("nbrs").isNotNull)
       .select(col("id"), explode(col("nbrs")).as("e"))
       .select(col("id"), col("e.nbr").as("nbr"), col("e.score").as("score"))
-    val allV = g.select("id", "vec", "n").union(newV)
-    // one NN-Descent round over the MERGED graph repairs cross-batch
-    // neighborhoods (an old node whose true neighbor arrived in this
-    // batch finds it through the batch's out-edges) — bounded O(n·k²)
-    // work, same as one build round
-    val merged = refineRound(
-      topPerId(oldE.union(outE).union(backE).union(internal)
-        .dropDuplicates("id", "nbr"), 2 * k),
-      allV, 2 * k)
-    val adj = merged
+      .localCheckpoint(true)
+    val unionT = oldT.select("id", "nbr").union(newE.select("id", "nbr"))
+    // new first hop: owner --newE--> mid --any--> cand
+    val c1 = newE.select(col("id"), col("nbr").as("mid"))
+      .join(unionT.select(col("id").as("mid"), col("nbr").as("cand")), "mid")
+      .select(col("id"), col("cand").as("nbr"))
+    // old owner, new second hop: mid --newE--> cand gives every o with
+    // o→mid the pair (o, cand); o is recovered through the SYMMETRIZED
+    // old list of mid (mid→o), which the degree-capped build keeps
+    // approximately equal to the true reverse set
+    val c2 = newE.select(col("id").as("mid"), col("nbr").as("cand"))
+      .join(oldT.select(col("id").as("mid"), col("nbr").as("o")), "mid")
+      .select(col("o").as("id"), col("cand").as("nbr"))
+    val cands = c1.union(c2)
+      .filter(col("id") =!= col("nbr"))
+      .dropDuplicates("id", "nbr")
+      .localCheckpoint(true)
+    val nCands = cands.count()
+
+    // owners = every node whose list may change
+    val owners = cands.select("id").union(touched0).distinct()
+      .localCheckpoint(true)
+    val nOwners = owners.count()
+    val ownerBkts = bucketsOf(owners, b)
+    val bucketRows = readBuckets(spark, path, meta, ownerBkts)
+      .localCheckpoint(true)
+    val ownersOldE = bucketRows
+      .join(owners, Seq("id"), "left_semi")
+      .filter(col("nbrs").isNotNull)
+      .select(col("id"), explode(col("nbrs")).as("e"))
+      .select(col("id"), col("e.nbr").as("nbr"), col("e.score").as("score"))
+    // reverse of new edges carries its score for free
+    val revE = newE.select(col("nbr").as("id"), col("id").as("nbr"),
+      col("score"))
+    val knownE = ownersOldE.union(newE).union(revE)
+      .dropDuplicates("id", "nbr").localCheckpoint(true)
+
+    // score only genuinely new pairs; vectors come from a bucket-
+    // pruned point read of the candidates' endpoints plus the batch
+    val fresh = cands.join(knownE.select("id", "nbr"),
+      Seq("id", "nbr"), "left_anti")
+    val needed = fresh.select("id")
+      .union(fresh.select(col("nbr").as("id"))).distinct()
+      .localCheckpoint(true)
+    val vSmall = (
+      if (needed.isEmpty) newV.select("id", "vec", "n")
+      else readBuckets(spark, path, meta, bucketsOf(needed, b))
+        .select("id", "vec", "n")
+        .join(needed, Seq("id"), "left_semi")
+        .union(newV.select("id", "vec", "n").join(needed, Seq("id"),
+          "left_semi"))
+    ).localCheckpoint(true)
+    val scored = fresh
+      .join(vSmall.select(col("id"), col("vec").as("v_a"),
+        col("n").as("n_a")), "id")
+      .join(vSmall.select(col("id").as("nbr"), col("vec").as("v_b"),
+        col("n").as("n_b")), "nbr")
+      .withColumn("score", scoreCol)
+      .select("id", "nbr", "score")
+    // merged lists for the owners only (old nodes keep degree ≤ 2k
+    // across any number of appends)
+    val mergedLists = topPerId(knownE.union(scored), 2 * k)
+      .join(owners, Seq("id"), "left_semi")
       .groupBy("id")
       .agg(collect_list(struct(col("nbr"), col("score"))).as("nbrs"))
-    val out = allV.join(adj, Seq("id"), "left")
-    // stage-then-swap: never read and overwrite the same files in one job
-    val tmp = path + "_stage"
-    out.write.mode("overwrite").parquet(tmp)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(path))
+
+    // 3) rewrite ONLY the touched buckets under a new generation dir
+    val vOwnersOld = bucketRows.join(owners, Seq("id"), "left_semi")
+      .select("id", "vec", "n")
+    val changedRows = vOwnersOld.union(newV.select("id", "vec", "n"))
+      .dropDuplicates("id")
+      .join(mergedLists, Seq("id"), "left")
+    val changedIds = changedRows.select("id").localCheckpoint(true)
+    val rewriteBkts = bucketsOf(changedIds, b)
+    val gRel = s"g${meta.version + 1}"
+    val carried = (
+      if (rewriteBkts.exists(meta.dirs.contains))
+        readBuckets(spark, path, meta,
+            rewriteBkts.filter(meta.dirs.contains))
+          .join(changedIds, Seq("id"), "left_anti")
+      else changedRows.limit(0).select("id", "vec", "n", "nbrs")
+    ).select("id", "vec", "n", "nbrs")
+    carried.union(changedRows.select("id", "vec", "n", "nbrs"))
+      .withColumn("bkt", bktExpr(b))
+      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/$gRel")
+    val f = fsOf(spark, path)
+    val newDirs = f.listStatus(new Path(path, gRel)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("bkt="))
+      .map(n => n.stripPrefix("bkt=").toInt -> s"$gRel/$n").toMap
+
+    // 4) entry sample absorbs under-cutoff batch nodes
+    val adds = newV.withColumn("__h", xxhash64(col("id")))
+      .filter(col("__h") <= meta.cutoff)
+    val eRel =
+      if (adds.isEmpty) meta.entriesDir
+      else {
+        val rel = s"e${meta.version + 1}"
+        spark.read.parquet(s"$path/${meta.entriesDir}")
+          .union(adds.select("id", "vec", "n", "__h"))
+          .write.mode("overwrite").parquet(s"$path/$rel")
+        rel
+      }
+
+    // 5) pointer flip: untouched buckets ride by reference
+    val next = Meta(meta.version + 1, meta.count + mNew, b, meta.cutoff,
+      eRel, meta.dirs ++ newDirs)
+    writeMeta(f, path, next)
+    // superseded generation dirs are garbage now; best-effort retire
+    // (a reader that resolved the OLD meta before the flip keeps its
+    // snapshot only until this delete — the Delta-style vacuum-lag
+    // seam, acceptable because appenders own the layout)
+    meta.dirs.filter { case (bk, d) =>
+      newDirs.contains(bk) && !next.dirs.values.toSet.contains(d)
+    }.values.toSet[String]
+      .foreach(d => f.delete(new Path(path, d), true))
+    if (eRel != meta.entriesDir)
+      f.delete(new Path(path, meta.entriesDir), true)
+    AppendStats(mNew, nCands, nOwners, newDirs.size, next.dirs.size)
   }
 
   /** Distributed best-first beam search for a batch of queries over
     * the at-rest graph, with a COARSE ENTRY PHASE (the two-layer NSW
-    * idea): a deterministic ~√n hash-sample of the nodes is scored
-    * exhaustively against the broadcast queries — one pass over a
-    * SMALL relation — and each query takes its own top-`entries` as
-    * personalized entry points. A flat kNN graph of well-separated
-    * clusters is DISCONNECTED by construction (true neighbors are
-    * always in-cluster), so fixed entries can strand a query in the
-    * wrong component; the √n sample hits every non-trivial component
-    * and costs O(√n · queries), the coarse-probe shape IVF pays per
-    * query anyway. Returns (qid, id, score, rank), rank 1..k. */
+    * idea) served from the PERSISTED build-time sample: each query
+    * scores the ~√n hash-minimal nodes — √n rows read, no corpus
+    * pass — and takes its own top-`entries` as personalized entry
+    * points. A flat kNN graph of well-separated clusters is
+    * DISCONNECTED by construction (true neighbors are always
+    * in-cluster), so fixed entries can strand a query in the wrong
+    * component; the hash sample hits every non-trivial component.
+    * Returns (qid, id, score, rank), rank 1..k. */
   def searchGraph(
       spark: SparkSession, path: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, beam: Int, iters: Int, entries: Int): DataFrame = {
-    val g = spark.read.parquet(path)
-    val q = broadcast(queries.select(col(qidCol).as("qid"),
-        col(qvecCol).cast("array<double>").as("qv"))
+    val meta = readMeta(spark, path)
+    searchOver(spark, path, meta,
+      queries.select(col(qidCol).as("qid"),
+        col(qvecCol).cast("array<double>").as("qv")),
+      k, beam, iters, entries)
+  }
+
+  private def searchOver(
+      spark: SparkSession, path: String, meta: Meta,
+      queries: DataFrame, k: Int, beam: Int, iters: Int, entries: Int)
+      : DataFrame = {
+    val g = readGraph(spark, path, meta)
+    val q = broadcast(queries.select(col("qid"), col("qv"))
       .withColumn("qn", VectorSim.norm(col("qv"))))
     def score(nodes: DataFrame): DataFrame = {
       val nn = col("n") * col("qn")
@@ -222,13 +549,22 @@ object GraphAnn {
             .otherwise(lit(0.0)), 6))
         .select("qid", "id", "score")
     }
+    // entry phase from the persisted sample: same hash-minimal prefix
+    // the r14 corpus pass computed, now √n rows at rest
     val nSample = math.max(entries,
-      math.ceil(math.sqrt(g.count().toDouble)).toInt)
-    val sample = g.select("id")
-      .orderBy(xxhash64(col("id")), col("id")).limit(nSample)
+      math.ceil(math.sqrt(meta.count.toDouble)).toInt)
+    val sample = spark.read.parquet(s"$path/${meta.entriesDir}")
+      .orderBy(col("__h"), col("id")).limit(nSample)
+      .select(col("id").as("sid"), col("vec").as("svec"),
+        col("n").as("sn"))
     val wEntry = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("id").asc)
-    var visited = score(q.select("qid").crossJoin(sample))
+    val nnE = col("sn") * col("qn")
+    var visited = q.select("qid", "qv", "qn").crossJoin(sample)
+      .withColumn("score",
+        round(when(nnE > 0, VectorSim.dot(col("svec"), col("qv")) / nnE)
+          .otherwise(lit(0.0)), 6))
+      .select(col("qid"), col("sid").as("id"), col("score"))
       .withColumn("__r", row_number().over(wEntry))
       .filter(col("__r") <= entries).drop("__r")
       .localCheckpoint(true)

@@ -143,6 +143,46 @@ class GraphAnnSpec extends SparkSpec {
       "deduped representatives must search at full recall")
   }
 
+  test("append work tracks the BATCH, not the corpus (VERDICT r14 #1)") {
+    val df = fixture()
+    val path = java.nio.file.Files
+      .createTempDirectory("ganns").toString + "/g"
+    val old = df.filter(col("id") < 357)   // 357-node corpus
+    val batch = df.filter(col("id") >= 357) // 3-node append
+    // 64 explicit buckets (≈6 rows each) so touched-bucket economics
+    // are visible at test scale
+    GraphAnn.writeGraph(spark, old, "id", "vec", path,
+      k = 4, rounds = 2, blocks = 10, buckets = 64)
+    val st = GraphAnn.appendToGraph(spark, path, batch, "id", "vec",
+      k = 4, beam = 8, iters = 4, entries = 4)
+    assert(st.appended == 3L)
+    // localized repair: candidate pairs must traverse a new edge —
+    // arithmetic bound 16·batch·k² (new edges ≤ 4·batch·k, each
+    // expanding through ≤ ~4k-deep lists). The r14 merged-graph round
+    // scored O(n·k²) ≈ 357·64 ≈ 23k pairs; the localized one may not
+    // come anywhere near it.
+    val bound = 16L * 3 * 4 * 4
+    assert(st.candidates <= bound,
+      s"candidates ${st.candidates} exceed the O(batch·k·deg) bound $bound")
+    assert(st.candidates < 357L * 4 * 4 / 2,
+      s"candidates ${st.candidates} look corpus-shaped")
+    // owners (lists rewritten) ∝ batch neighborhood, not corpus
+    assert(st.owners < 357L / 2,
+      s"owners ${st.owners} — append rewrote most of the corpus's lists")
+    // only touched buckets rewrite; the rest ride by reference
+    assert(st.bucketsRewritten < st.bucketsTotal,
+      s"${st.bucketsRewritten}/${st.bucketsTotal} buckets rewritten — " +
+        "no bucket rode by reference")
+    // and the appended graph still serves: batch nodes reachable
+    val queries = batch.limit(1)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val got = GraphAnn.searchGraph(spark, path, queries, "qid", "qv",
+      k = 5, beam = 8, iters = 4, entries = 4)
+    assert(got.filter(col("rank") === 1).select("id").head().getLong(0) ==
+      batch.limit(1).select("id").head().getLong(0),
+      "a batch node must find itself at rank 1 post-append")
+  }
+
   test("bounded per-round work: candidates come from the graph, not the corpus") {
     // structural: one search round scores at most frontier×degree new
     // nodes per query — for beam 2 over a degree-4 graph that is ≤ 8

@@ -1865,15 +1865,35 @@ private[graft] object RegWarehouse {
       val (_, zsel) = CommitLog.prunedFilesBy(s, table, "k", 777L, 777L)
       val qEqPlanned = CommitLog.read(s, table).filter(col("k") === 777L)
       val qIn = CommitLog.read(s, table).filter(col("k").isin(777L, 901L))
-      qEqPlanned
+      val preEq = scanned(qEqPlanned); val preIn = scanned(qIn)
+      // r15 (VERDICT r14 #3): sidecars must SURVIVE mutations — a
+      // row-level DELETE rewrites its bloom-classified files with
+      // fresh cells, OPTIMIZE re-blooms the compacted layout, and
+      // every live file still carries a probe-able cell afterwards
+      graft.sources.CommitDml.deleteWhere(s, table, col("k") <= 5L)
+      CommitLog.compactTable(s, table, targetRecordsPerFile = 2000L)
+      val vAfter = CommitLog.currentVersion(s, table).get
+      val liveAfter = CommitLog.liveFiles(s, table, vAfter).toSet
+      val cellsAfter = CommitLog.readManifest(s, table, vAfter)
+        .strStats.getOrElse(CommitLog.bloomCol("k"), Map.empty).keySet
+      val qPost = CommitLog.read(s, table).filter(col("k") === 777L)
+      qPost
         .agg(count(lit(1)).as("n_eq"), sum(col("cents")).as("cents_eq"))
-        .crossJoin(qIn.agg(count(lit(1)).as("n_in"))) // 1-row scalar join
+        .crossJoin(CommitLog.read(s, table).filter(col("k")
+          .isin(777L, 901L)).agg(count(lit(1)).as("n_in")))
+        .crossJoin(CommitLog.read(s, table)
+          .agg(count(lit(1)).as("n_post_dml")))
         .withColumn("zone_keeps_all",
           lit(if (zsel.size.toLong == total) 1L else 0L))
         .withColumn("bloom_selective",
-          lit(if (scanned(qEqPlanned) * 3 <= total) 1L else 0L))
+          lit(if (preEq * 3 <= total) 1L else 0L))
         .withColumn("bloom_in_selective",
-          lit(if (scanned(qIn) * 3 <= total) 1L else 0L))
+          lit(if (preIn * 3 <= total) 1L else 0L))
+        .withColumn("bloom_covers_live",
+          lit(if ((liveAfter -- cellsAfter).isEmpty) 1L else 0L))
+        .withColumn("post_dml_selective",
+          lit(if (scanned(qPost) * 3 <= liveAfter.size.toLong) 1L
+            else 0L))
     },
 
     // PERSISTENT CATALOG (r13 directive #6): the name → table-root
@@ -3883,9 +3903,12 @@ private[graft] object RegWarehouse {
         |SELECT CAST(count(*) AS BIGINT) AS n_eq,
         |  CAST(sum(cents) AS BIGINT) AS cents_eq,
         |  CAST((SELECT count(*) FROM o WHERE k IN (777, 901)) AS BIGINT) AS n_in,
+        |  CAST((SELECT count(*) FROM o WHERE k > 5) AS BIGINT) AS n_post_dml,
         |  CAST(1 AS BIGINT) AS zone_keeps_all,
         |  CAST(1 AS BIGINT) AS bloom_selective,
-        |  CAST(1 AS BIGINT) AS bloom_in_selective
+        |  CAST(1 AS BIGINT) AS bloom_in_selective,
+        |  CAST(1 AS BIGINT) AS bloom_covers_live,
+        |  CAST(1 AS BIGINT) AS post_dml_selective
         |FROM o WHERE k = 777""".stripMargin,
 
 

@@ -63,6 +63,31 @@ object BloomStats {
       strColStats = strs ++ refs)
   }
 
+  /** SURVIVAL pass (VERDICT r14 directive #3): re-collect the
+    * `__bloom:<col>` sidecars for `staged` replacement/append files
+    * whenever the manifest ALREADY carries bloom columns — wired into
+    * [[CommitDml]] (DELETE/UPDATE rewrites), [[CommitMerge]], SQL
+    * INSERT ([[Constraints.checkedAppend]]) and
+    * [[CommitLog.compactTable]] (OPTIMIZE), so the first mutation on a
+    * bloom-carrying table no longer silently degrades point-probe
+    * skipping. Columns the staged schema lacks are skipped (an absent
+    * bloom cell answers "possible" — costs pruning, never rows). */
+  private[sources] def restatBlooms(
+      spark: SparkSession, table: String, m: CommitLog.Manifest,
+      staged: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    val cols = m.strStats.keys
+      .filter(_.startsWith(CommitLog.BloomPrefix))
+      .map(_.stripPrefix(CommitLog.BloomPrefix)).toSeq.sorted
+    if (cols.isEmpty || staged.isEmpty) Map.empty
+    else {
+      val root = CommitLog.dataRoot(table)
+      val have = spark.read.parquet(s"$root/${staged.head}").columns.toSet
+      val cs = cols.filter(have.contains)
+      if (cs.isEmpty) Map.empty
+      else bloomPass(spark, table, staged, cs, 1000000L, 0.03)
+    }
+  }
+
   /** One grouped pass over the staged files: per (file, column) a
     * serialized bloom filter, persisted content-addressed; returns the
     * `__bloom:<col>` pseudo-column maps for the commit. */

@@ -286,14 +286,21 @@ object CommitDml {
     }
 
   /** Re-collect the table's zone maps for the staged replacement
-    * files (the same stats family the manifest already carries). */
-  private def restats(spark: SparkSession, table: String,
+    * files (the same stats family the manifest already carries), PLUS
+    * the `__bloom:<col>` sidecars when the manifest carries bloom
+    * columns (VERDICT r14 directive #3 — mutations must not silently
+    * shed point-probe skipping). Shared by the DML verbs and
+    * [[CommitMerge]]. */
+  private[sources] def restats(spark: SparkSession, table: String,
       m: CommitLog.Manifest, staged: Seq[String])
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, Map[String, (String, String)]]) = {
+    if (staged.isEmpty) return (Map.empty, Map.empty)
     val cols = CommitLog.statColsOf(m)
-    if (staged.isEmpty || cols.isEmpty)
-      (Map.empty, Map.empty)
-    else CommitLog.statsPassFor(spark, table, staged, cols)
+    val (nums, strs) =
+      if (cols.isEmpty) (Map.empty[String, Map[String, (Long, Long)]],
+        Map.empty[String, Map[String, (String, String)]])
+      else CommitLog.statsPassFor(spark, table, staged, cols)
+    (nums, strs ++ BloomStats.restatBlooms(spark, table, m, staged))
   }
 }

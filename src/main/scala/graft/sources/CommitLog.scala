@@ -1105,8 +1105,11 @@ object CommitLog {
           Map.empty[String, Map[String, (String, String)]])
       else fullStatsFor(spark, table, staged,
         if (allCols.nonEmpty) allCols else Seq(m.statsCol))
+    // compaction keeps the bloom sidecars alive for the compacted
+    // files (VERDICT r14 #3 — OPTIMIZE must not shed point skipping)
+    val blooms = BloomStats.restatBlooms(spark, table, m, staged)
     commit(spark, table, adds = staged, removes = m.files,
-      statsCol = m.statsCol, colStats = nums, strColStats = strs)
+      statsCol = m.statsCol, colStats = nums, strColStats = strs ++ blooms)
   }
 
   /** PARTIAL OVERWRITE by range predicate (Delta's replaceWhere): one

@@ -123,8 +123,13 @@ object CommitMerge {
     // insert clauses can both mint violating rows) — the
     // checkedAppend discipline on the merge path
     CommitDml.auditChecks(spark, table, m, staged)
+    // keep the merged files prunable: re-collect the manifest's stats
+    // family (zone maps + bloom sidecars) for the staged output — a
+    // merge must not shed the table's skipping (VERDICT r14 #3)
+    val (nums, strs) = CommitDml.restats(spark, table, m, staged)
     val newV = CommitLog.rewrite(spark, table, adds = staged,
       removes = touched, txn = txn,
+      statsCol = m.statsCol, colStats = nums, strColStats = strs,
       fileSchemas = if (evolved) staged.map(_ -> m.schemaId).toMap
         else Map.empty,
       // a delete file appearing mid-merge would be resurrected by the

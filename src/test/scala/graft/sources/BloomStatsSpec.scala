@@ -87,6 +87,59 @@ class BloomStatsSpec extends SparkSpec {
     assert(CommitLog.read(spark, t).filter(col("k") === 700L).count() == 0L)
   }
 
+  test("sidecars SURVIVE mutations: DELETE, UPDATE, MERGE, INSERT, " +
+      "OPTIMIZE re-collect blooms for their staged files (r14 #3)") {
+    val (t, _) = buildTable()
+    def bloomCells: Map[String, (String, String)] =
+      CommitLog.readManifest(spark, t,
+        CommitLog.currentVersion(spark, t).get)
+        .strStats.getOrElse(CommitLog.bloomCol("k"), Map.empty)
+    def liveSet: Set[String] = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get).toSet
+    def assertCovered(stepName: String): Unit = {
+      val missing = liveSet -- bloomCells.keySet
+      assert(missing.isEmpty,
+        s"after $stepName, live files without a bloom cell: $missing")
+    }
+    assertCovered("build")
+    // DELETE rewrites the files holding k=700
+    CommitDml.deleteWhere(spark, t, col("k") === 700L)
+    assertCovered("DELETE WHERE")
+    // UPDATE rewrites the files holding k=5
+    CommitDml.updateWhere(spark, t, col("k") === 5L,
+      Map("v" -> lit("updated")))
+    assertCovered("UPDATE WHERE")
+    // MERGE rewrites its touched files
+    CommitMerge.mergeInto(spark, t,
+      Seq((9L, "merged"), (5000L, "inserted")).toDF("k", "v"),
+      Seq("k"),
+      matched = Seq((lit(true),
+        graft.operators.MergeInto.Update(Map("v" -> col("s_v"))))),
+      notMatched = Seq((lit(true),
+        graft.operators.MergeInto.Insert(
+          Map("k" -> col("s_k"), "v" -> col("s_v"))))))
+    assertCovered("MERGE INTO")
+    // INSERT through the enforced append (the SQL DML route)
+    val ins = Constraints.checkedAppend(spark,
+      Seq((6000L, "v6000")).toDF("k", "v"), t, Seq("k"))
+    assert(ins.isRight)
+    assertCovered("checkedAppend INSERT")
+    // OPTIMIZE compacts everything — the compacted files re-bloom
+    CommitLog.compactTable(spark, t, targetRecordsPerFile = 300L)
+    assertCovered("OPTIMIZE")
+    // and the probes still answer correctly through the new cells
+    withRule(t) {
+      assert(CommitLog.read(spark, t).filter(col("k") === 700L)
+        .count() == 0L)
+      assert(CommitLog.read(spark, t).filter(col("k") === 5L)
+        .select("v").head().getString(0) == "updated")
+      assert(CommitLog.read(spark, t).filter(col("k") === 9L)
+        .select("v").head().getString(0) == "merged")
+      assert(CommitLog.read(spark, t)
+        .filter(col("k").isin(5000L, 6000L)).count() == 2L)
+    }
+  }
+
   test("vacuum retires sidecars no kept version references") {
     val (t, _) = buildTable()
     val f = new org.apache.hadoop.fs.Path(t)

@@ -1947,6 +1947,66 @@ private[graft] object RegWarehouse {
         .withColumn("meta_only", lit(if (metaOnly) 1L else 0L))
     },
 
+    // SQL DDL (r14 directive #2): the FULL table lifecycle with no
+    // Scala calls anywhere on the SQL path — SET the warehouse,
+    // CREATE TABLE ... AS SELECT (lands a stats-bearing commit-log
+    // table, registered + cataloged), INSERT through the routed DML,
+    // then a FRESH session bootstraps by SQL alone (RESTORE CATALOG),
+    // SELECTs with automatic manifest skipping (ddl_skip_selective
+    // pinned from the restored session's plan), and DROPs the table
+    // (catalog entry gone, data left in place — external-table
+    // semantics). Values face DuckDB's recompute over orders plus the
+    // inserted row. GraftSqlDdlSpec pins refusals (duplicate name,
+    // orphaned commit log, no-warehouse fall-through).
+    "q_sql_ddl" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_ddlw_$tag"
+      val p = new org.apache.hadoop.fs.Path(w)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      import graft.sql.GraftSql
+      GraftSql.sql(s, s"SET spark.graft.warehouse = $w")
+      GraftSql.sql(s,
+        s"""CREATE TABLE ddl_orders_$tag AS
+           |SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |  substr(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |    AS cents
+           |FROM parquet.`$dir/orders.parquet`
+           |ORDER BY ym, k""".stripMargin)
+      GraftSql.sql(s, s"INSERT INTO ddl_orders_$tag VALUES " +
+        "(CAST(99999999 AS BIGINT), '2099-01', CAST(42 AS BIGINT))")
+      // the fresh session: no views, no rules, no Scala — SQL restores
+      val s2 = s.newSession()
+      GraftSql.sql(s2, s"SET spark.graft.warehouse = $w")
+      val restored = GraftSql.sql(s2, "RESTORE CATALOG")
+        .head().getLong(1)
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      val qEq = GraftSql.sql(s2, "SELECT count(*) AS n_eq, " +
+        s"sum(cents) AS cents_eq FROM ddl_orders_$tag " +
+        "WHERE ym = '1995-06'")
+      val qAll = GraftSql.sql(s2, "SELECT count(*) AS n_all, " +
+        s"sum(k) AS k_sum FROM ddl_orders_$tag")
+      val total = graft.sources.CommitLog.liveFiles(s2, s"$w/ddl_orders_$tag",
+        graft.sources.CommitLog.currentVersion(s2,
+          s"$w/ddl_orders_$tag").get).size.toLong
+      val selective = scanned(qEq) < total
+      val dropOk = GraftSql.sql(s2, s"DROP TABLE ddl_orders_$tag")
+        .head().getString(0) == "drop"
+      val gone = graft.sources.Catalog.entries(s2, w).isEmpty
+      qEq.crossJoin(qAll) // 1-row scalar join
+        .withColumn("restored", lit(restored))
+        .withColumn("ddl_skip_selective", lit(if (selective) 1L else 0L))
+        .withColumn("dropped", lit(if (dropOk && gone) 1L else 0L))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -3911,6 +3971,28 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS post_dml_selective
         |FROM o WHERE k = 777""".stripMargin,
 
+
+    // The DDL lifecycle's answers recomputed from raw rows plus the
+    // inserted row; the plan/catalog pins (restored, skip, dropped)
+    // are constants the engine must reproduce.
+    "q_sql_ddl" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS n_eq,
+        |  CAST((SELECT sum(cents) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS cents_eq,
+        |  CAST(count(*) + 1 AS BIGINT) AS n_all,
+        |  CAST(sum(k) + 99999999 AS BIGINT) AS k_sum,
+        |  CAST(1 AS BIGINT) AS restored,
+        |  CAST(1 AS BIGINT) AS ddl_skip_selective,
+        |  CAST(1 AS BIGINT) AS dropped
+        |FROM o""".stripMargin,
 
     // The restored session's answers recomputed from raw rows; one
     // file per month, so the equality probe scans exactly one; the

@@ -1918,6 +1918,16 @@ private[graft] object RegWarehouse {
       CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
         table, "bk", Seq("k", "ym"))
       Catalog.register(s, w, s"cat_orders_$tag", table)
+      // r15 (VERDICT r14 #4): the catalog also persists MV
+      // DEFINITIONS — build a ym rollup summary, catalog its MvDef,
+      // and the fresh session below must answer the rollup from the
+      // summary (mv_used pinned) with no Scala rule-attachment
+      val summ = s"$w/orders_mv"
+      graft.sources.MvIncremental.refresh(s, table, summ, "catf",
+        Seq("ym"), "mv_cnt", Map("k" -> "mv_sum_key"))
+      Catalog.registerMv(s, w, graft.plans.MvDef(table, summ,
+        Seq("ym"), "mv_cnt", Map("k" -> "mv_sum_key"),
+        logTables = true, feedTag = "catf"))
       // the fresh session: no views, no rules — one call restores
       val s2 = s.newSession()
       val restored = Catalog.restore(s2, w)
@@ -1940,11 +1950,50 @@ private[graft] object RegWarehouse {
         case lr: org.apache.spark.sql.execution.datasources
             .LogicalRelation => lr
       }.isEmpty
+      // the restored rewrite: rollup re-aims at the summary
+      val summRoot = new org.apache.hadoop.fs.Path(summ)
+        .toUri.getPath + "/"
+      val baseRoot = new org.apache.hadoop.fs.Path(table)
+        .toUri.getPath + "/"
+      def rollRoots(df: DataFrame): Seq[String] =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath)
+            case _ => Nil
+          }
+        }.flatten
+      def rollup() = CommitLog.read(s2, table).groupBy("ym")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+      val q1 = rollup()
+      val mvUsed = {
+        val r = rollRoots(q1)
+        if (r.nonEmpty && r.forall(_.startsWith(summRoot))) 1L else 0L
+      }
+      val mvKeySum = q1.filter(col("ym") === "1995-06")
+        .select("key_sum").head().getLong(0)
+      // a base append stales the cursor: the SAME rollup in the SAME
+      // session must fall back to the base — freshness survives the
+      // catalog round-trip
+      CommitLog.append(s2,
+        o.limit(1).select(lit(99999999L).as("k"),
+          lit("2050-01").as("ym"), lit(0L).as("cents"),
+          lit("2050-01").as("bk")), table)
+      val q2 = rollup()
+      val mvFellBack = {
+        val r = rollRoots(q2)
+        if (r.nonEmpty && r.forall(_.startsWith(baseRoot))) 1L else 0L
+      }
       qEq.crossJoin(qCnt) // 1-row scalar join
         .withColumn("restored", lit(restored.size.toLong))
         .withColumn("files_total", lit(total))
         .withColumn("files_eq", lit(scanned(qEq)))
         .withColumn("meta_only", lit(if (metaOnly) 1L else 0L))
+        .withColumn("mv_used", lit(mvUsed))
+        .withColumn("mv_key_sum", lit(mvKeySum))
+        .withColumn("mv_fallback", lit(mvFellBack))
     },
 
     // SQL DDL (r14 directive #2): the FULL table lifecycle with no
@@ -4014,7 +4063,11 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS restored,
         |  CAST(count(DISTINCT ym) AS BIGINT) AS files_total,
         |  CAST(1 AS BIGINT) AS files_eq,
-        |  CAST(1 AS BIGINT) AS meta_only
+        |  CAST(1 AS BIGINT) AS meta_only,
+        |  CAST(1 AS BIGINT) AS mv_used,
+        |  CAST((SELECT sum(k) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS mv_key_sum,
+        |  CAST(1 AS BIGINT) AS mv_fallback
         |FROM o""".stripMargin,
 
 

@@ -67,6 +67,75 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.entries(spark, w) == Map("cat_x" -> t2))
   }
 
+  test("MV definitions persist: a fresh session restores the rewrite " +
+      "and stays freshness-gated (r14 #4)") {
+    val w = Files.createTempDirectory("catmv").toString
+    val base = s"$w/mvbase"
+    val summ = s"$w/mvsumm"
+    CommitLog.append(spark,
+      (1L to 60L).map(k => (k, s"m-${k % 3}")).toDF("key", "ym"), base)
+    MvIncremental.refresh(spark, base, summ, "feed", Seq("ym"),
+      "mv_cnt", Map("key" -> "mv_sum_key"))
+    val mv = graft.plans.MvDef(base, summ, Seq("ym"), "mv_cnt",
+      Map("key" -> "mv_sum_key"), logTables = true, feedTag = "feed")
+    Catalog.register(spark, w, "catmv_base", base)
+    Catalog.registerMv(spark, w, mv)
+    // round-trip fidelity of the serialized definition
+    assert(Catalog.mvDefs(spark, w) == Seq(mv))
+
+    // fresh session: restore re-attaches the rule; the rollup answers
+    // from the summary (every scanned file under the summary root)
+    val s2 = spark.newSession()
+    Catalog.restore(s2, w)
+    def roots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toUri.getPath)
+          case _ => Nil
+        }
+      }.flatten
+    val summRoot = new org.apache.hadoop.fs.Path(summ).toUri.getPath + "/"
+    def rollup() = CommitLog.read(s2, base).groupBy("ym")
+      .agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+    val q1 = rollup()
+    assert(roots(q1).nonEmpty && roots(q1).forall(_.startsWith(summRoot)),
+      s"restored session must rewrite onto the summary: ${roots(q1)}")
+    assert(q1.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      == (1L to 60L).groupBy(k => s"m-${k % 3}").view
+        .mapValues(_.sum).toMap)
+
+    // a base append stales the cursor: SAME session now declines the
+    // rewrite (scans the base), values include the new row
+    CommitLog.append(s2, Seq((1000L, "m-1")).toDF("key", "ym"), base)
+    val q2 = rollup()
+    val baseRoot = new org.apache.hadoop.fs.Path(base).toUri.getPath + "/"
+    assert(roots(q2).forall(_.startsWith(baseRoot)),
+      "stale MV must fall back to the base")
+    assert(q2.filter(col("ym") === "m-1").head().getLong(2) ==
+      (1L to 60L).filter(_ % 3 == 1).sum + 1000L)
+
+    // dropMv retires the definition durably
+    Catalog.dropMv(spark, w, summ)
+    assert(Catalog.mvDefs(spark, w).isEmpty)
+  }
+
+  test("MV defs with join keys and predicates round-trip exactly") {
+    val w = Files.createTempDirectory("catmv2").toString
+    val mv = graft.plans.MvDef("/b", "/s", Seq("g1", "g2"), "c",
+      Map("x" -> "sx", "y" -> "sy"), minCols = Map("x" -> "mnx"),
+      maxCols = Map("y" -> "mxy"), logTables = false, feedTag = "",
+      joinRight = "/r", joinKeys = Seq(("k1", "rk1"), ("k2", "rk2")),
+      predicateSql = "ym >= '2024-02' AND note = 'a\"b'")
+    Catalog.registerMv(spark, w, mv)
+    assert(Catalog.mvDefs(spark, w) == Seq(mv))
+    // replacing by summary path keeps one definition
+    Catalog.registerMv(spark, w, mv.copy(cntCol = "c2"))
+    assert(Catalog.mvDefs(spark, w).map(_.cntCol) == Seq("c2"))
+  }
+
   test("concurrent registrations all survive (CAS merge)") {
     val w = Files.createTempDirectory("cat3").toString
     val t1 = buildTable(w, "t1")

@@ -1815,6 +1815,11 @@ private[graft] object RegWarehouse {
         s"(ym = '1996-08' AND k % 2 = 0)")
       GraftSql.sql(s,
         s"UPDATE $view SET cents = cents + 5 WHERE ym = '1997-05'")
+      // column-list INSERT (r14 #5): named columns bind by name, the
+      // unnamed cents NULL-fills (a CHECK over a NULL is not a
+      // violation — SQL CHECK semantics, pinned in GraftSqlDmlSpec)
+      GraftSql.sql(s, s"INSERT INTO $view (ym, k) VALUES " +
+        "('2099-03', CAST(30000001 AS BIGINT))")
       val vN = CommitLog.currentVersion(s, table).get
       s.sql(s"SELECT count(*) AS n, sum(cents) AS cents, " +
           s"sum(k % 100000) AS key_checksum FROM $view")
@@ -3992,13 +3997,16 @@ private[graft] object RegWarehouse {
         |       WHERE NOT (ym = '1996-07' OR (ym = '1996-08' AND k % 2 = 0))),
         |t4 AS (SELECT k, ym,
         |         cents + CASE WHEN ym = '1997-05' THEN 5 ELSE 0 END AS cents
-        |       FROM t3)
+        |       FROM t3),
+        |t5 AS (SELECT * FROM t4
+        |       UNION ALL
+        |       SELECT 30000001, '2099-03', CAST(NULL AS BIGINT))
         |SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents,
         |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum,
         |  CAST(1 AS BIGINT) AS insert_rejected,
-        |  CAST(4 AS BIGINT) AS commits
-        |FROM t4""".stripMargin,
+        |  CAST(5 AS BIGINT) AS commits
+        |FROM t5""".stripMargin,
 
 
     // The point/IN probes recomputed from raw rows; the three flags

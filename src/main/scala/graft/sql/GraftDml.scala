@@ -45,9 +45,12 @@ import graft.sources.{CommitDml, CommitLog, CommitMerge, Constraints}
   *
   * Boundaries, loud not silent: MERGE requires equality ON clauses
   * with the same column name on both sides (the [[CommitMerge]] key
-  * contract); INSERT is positional with lossless up-casts;
-  * `INSERT OVERWRITE`, partition specs, and by-name inserts are
-  * refused with a message naming the supported form.
+  * contract); INSERT is positional — or by explicit column list with
+  * NULL-fill (r14 #5) — with lossless up-casts; `INSERT OVERWRITE`
+  * and partition specs are refused with a message naming the
+  * supported form. Two-part `<warehouse-alias>.<name>` targets
+  * resolve through the persisted catalog (r14 #6); three-part names
+  * keep Spark's surface.
   */
 object GraftDml {
 
@@ -70,8 +73,10 @@ object GraftDml {
       tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
       : Option[LogicalPlan] = tt.relation match {
     case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-        if r.multipartIdentifier.size == 1 =>
-      GraftTables.lookupActive(r.multipartIdentifier.head).map { table =>
+        if r.multipartIdentifier.size <= 2 =>
+      (if (r.multipartIdentifier.size == 1)
+        GraftTables.lookupActive(r.multipartIdentifier.head)
+      else catalogResolve(r.multipartIdentifier)).map { table =>
         val s = SparkSession.active
         val v = tt.version match {
           case Some(ver) => ver.toLong
@@ -106,10 +111,12 @@ object GraftDml {
           // view on (read() of a zero-file version refuses by
           // design) — drop the view instead of re-pinning a broken
           // one; the table itself stays readable by time travel
-          if (CommitLog.currentVersion(s, table)
-              .exists(v => CommitLog.liveFiles(s, table, v).isEmpty))
-            GraftTables.unregister(s, table, view)
-          else GraftTables.register(s, table, view)
+          if (view.nonEmpty) {
+            if (CommitLog.currentVersion(s, table)
+                .exists(v => CommitLog.liveFiles(s, table, v).isEmpty))
+              GraftTables.unregister(s, table, view)
+            else GraftTables.register(s, table, view)
+          }
           r.version
         })
       case None => d
@@ -123,7 +130,7 @@ object GraftDml {
           }.toMap
           val c = cond.map(unqualified).getOrElse(lit(true))
           val r = CommitDml.updateWhere(s, table, c, set)
-          GraftTables.register(s, table, view)
+          if (view.nonEmpty) GraftTables.register(s, table, view)
           r.version
         })
       case None => u
@@ -144,11 +151,8 @@ object GraftDml {
         require(i.partitionSpec.isEmpty,
           "partitioned INSERT is not routed — the commit-log layout " +
             "is managed by the write verbs")
-        require(i.userSpecifiedCols.isEmpty,
-          "INSERT with an explicit column list is not routed — " +
-            "project the SELECT to the table's columns instead")
         GraftDmlCommand("insert", view, table, s => {
-          runInsert(s, view, table, i.query)
+          runInsert(s, view, table, i.query, i.userSpecifiedCols)
         })
       case None => i
     }
@@ -159,7 +163,15 @@ object GraftDml {
   // ---- target resolution -------------------------------------------
 
   /** (view name, table ref, optional alias) when `p` is a registered
-    * single-part relation (optionally aliased). */
+    * single-part relation (optionally aliased), or a TWO-PART
+    * `<warehouse-alias>.<name>` resolved through the persisted catalog
+    * (r14 directive #6): the alias is bound per session via
+    * `SET spark.graft.catalog.<alias> = <warehouse-root>`, and the
+    * name is looked up in that warehouse's catalog head. Catalog-
+    * resolved targets carry an EMPTY view — there is no session view
+    * to re-pin, and [[GraftDmlCommand]] skips the registration check
+    * (the durable catalog, not session state, owns the binding).
+    * Three-part names keep Spark's own surface. */
   private def targetOf(p: LogicalPlan): Option[(String, String, Option[String])] =
     p match {
       case SubqueryAlias(id, child) =>
@@ -168,8 +180,24 @@ object GraftDml {
           if r.multipartIdentifier.size == 1 =>
         val view = r.multipartIdentifier.head
         GraftTables.lookupActive(view).map(t => (view, t, None))
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if r.multipartIdentifier.size == 2 =>
+        // the bare table name doubles as the MERGE qualifier
+        catalogResolve(r.multipartIdentifier)
+          .map(t => ("", t, Some(r.multipartIdentifier(1))))
       case _ => None
     }
+
+  /** Resolve `<alias>.<name>` → table root via the session-bound
+    * warehouse alias and its persisted catalog; None when the alias
+    * is unbound or the name is uncataloged (falls through to Spark). */
+  private def catalogResolve(parts: Seq[String]): Option[String] = {
+    val s = SparkSession.active
+    val alias = parts.head.toLowerCase(java.util.Locale.ROOT)
+    val name = parts(1).toLowerCase(java.util.Locale.ROOT)
+    s.conf.getOption(s"spark.graft.catalog.$alias").filter(_.nonEmpty)
+      .flatMap(wh => graft.sources.Catalog.entries(s, wh).get(name))
+  }
 
   // ---- expression translation --------------------------------------
 
@@ -270,7 +298,7 @@ object GraftDml {
       matched = m.matchedActions.map(actionOf),
       notMatched = m.notMatchedActions.map(insertOf),
       bySource = m.notMatchedBySourceActions.map(actionOf))
-    GraftTables.register(s, table, view)
+    if (view.nonEmpty) GraftTables.register(s, table, view)
     r.version
   }
 
@@ -287,27 +315,59 @@ object GraftDml {
 
   // ---- INSERT -------------------------------------------------------
 
-  /** Positional insert through the ENFORCED write verb: align the
-    * SELECT/VALUES output to the table's schema (lossless up-casts
-    * only), then [[Constraints.checkedAppend]] — the persisted CHECK
-    * set audits the staged bytes, a violating batch throws and never
-    * publishes. Zone maps are re-collected for the table's statted
-    * columns so SQL inserts keep the table prunable. */
+  /** Insert through the ENFORCED write verb: align the SELECT/VALUES
+    * output to the table's schema (lossless up-casts only), then
+    * [[Constraints.checkedAppend]] — the persisted CHECK set audits
+    * the staged bytes, a violating batch throws and never publishes.
+    * Zone maps are re-collected for the table's statted columns so
+    * SQL inserts keep the table prunable.
+    *
+    * With a COLUMN LIST (`INSERT INTO t (a, c) VALUES …`, r14
+    * directive #5) the query output binds to the named columns in
+    * order and every unnamed table column is NULL-filled — a NULL
+    * that violates the table's CHECK set fails the audit, so
+    * "NOT NULL"-style checks refuse the statement before it
+    * publishes. Without a list the insert stays positional. */
   private def runInsert(s: SparkSession, view: String, table: String,
-      query: LogicalPlan): Long = {
+      query: LogicalPlan, userCols: Seq[String]): Long = {
     val df = DatasetBridge.ofRows(s, query)
     val want = CommitLog.read(s, table).schema
-    require(df.columns.length == want.length,
-      s"INSERT arity ${df.columns.length} != table arity ${want.length}")
-    val aligned = df.select(df.columns.toSeq.zip(want).map {
-      case (c, f) =>
-        val from = df.schema(c).dataType
-        require(from == org.apache.spark.sql.types.NullType ||
-          from == f.dataType || Cast.canUpCast(from, f.dataType),
-          s"INSERT type mismatch for '${f.name}': ${from.simpleString} " +
-            s"does not up-cast losslessly to ${f.dataType.simpleString}")
-        col(c).cast(f.dataType).as(f.name)
-    }: _*)
+    def lcs(x: String) = x.toLowerCase(java.util.Locale.ROOT)
+    def upCastTo(c: Column, from: org.apache.spark.sql.types.DataType,
+        f: org.apache.spark.sql.types.StructField): Column = {
+      require(from == org.apache.spark.sql.types.NullType ||
+        from == f.dataType || Cast.canUpCast(from, f.dataType),
+        s"INSERT type mismatch for '${f.name}': ${from.simpleString} " +
+          s"does not up-cast losslessly to ${f.dataType.simpleString}")
+      c.cast(f.dataType).as(f.name)
+    }
+    val aligned =
+      if (userCols.isEmpty) {
+        require(df.columns.length == want.length,
+          s"INSERT arity ${df.columns.length} != table arity ${want.length}")
+        df.select(df.columns.toSeq.zip(want).map { case (c, f) =>
+          upCastTo(col(c), df.schema(c).dataType, f)
+        }: _*)
+      } else {
+        require(userCols.length == df.columns.length,
+          s"INSERT column list names ${userCols.length} columns but the " +
+            s"query produces ${df.columns.length}")
+        require(userCols.map(lcs).distinct.length == userCols.length,
+          s"INSERT column list repeats a column: $userCols")
+        val byName = want.map(f => lcs(f.name) -> f).toMap
+        userCols.find(c => !byName.contains(lcs(c))).foreach { c =>
+          throw new IllegalArgumentException(
+            s"INSERT column '$c' does not exist at $table " +
+              s"(have: ${want.map(_.name).mkString(", ")})")
+        }
+        val srcFor = userCols.map(lcs).zip(df.columns.toSeq).toMap
+        df.select(want.map { f =>
+          srcFor.get(lcs(f.name)) match {
+            case Some(src) => upCastTo(col(src), df.schema(src).dataType, f)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toSeq: _*)
+      }
     val m = CommitLog.readManifest(s, table,
       CommitLog.currentVersion(s, table).getOrElse(
         throw new IllegalArgumentException(s"no committed version at $table")))
@@ -318,7 +378,7 @@ object GraftDml {
       case Left(bad) => throw new Constraints.ConstraintViolationException(
         table, bad)
     }
-    GraftTables.register(s, table, view)
+    if (view.nonEmpty) GraftTables.register(s, table, view)
     v
   }
 }

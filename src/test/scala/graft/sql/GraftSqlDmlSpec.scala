@@ -202,6 +202,80 @@ class GraftSqlDmlSpec extends SparkSpec {
       assert(CommitLog.read(s2, t).count() == 20L)
   }
 
+  test("INSERT with a column list: named columns bind, the rest " +
+      "NULL-fill, CHECKed NULLs refuse (r14 #5)") {
+    val v = freshView(); val t = buildTable(v)
+    GraftSql.sql(spark,
+      s"INSERT INTO $v (ym, k) VALUES ('2031-01', CAST(500 AS BIGINT))")
+    val row = CommitLog.read(spark, t).filter(col("k") === 500L)
+      .select("ym", "cents").head()
+    assert(row.getString(0) == "2031-01" && row.isNullAt(1),
+      "unnamed column must NULL-fill")
+    // refusals: unknown column, duplicate, arity mismatch
+    assert(intercept[Exception] { GraftSql.sql(spark,
+      s"INSERT INTO $v (nope) VALUES (1)") }
+      .getMessage.contains("does not exist"))
+    assert(intercept[Exception] { GraftSql.sql(spark,
+      s"INSERT INTO $v (k, k) VALUES (1, 2)") }
+      .getMessage.contains("repeats"))
+    assert(intercept[Exception] { GraftSql.sql(spark,
+      s"INSERT INTO $v (k, ym) VALUES (CAST(1 AS BIGINT))") }
+      .getMessage.toLowerCase.contains("column"))
+    // a NOT-NULL-style CHECK refuses the NULL-fill before publish
+    // (ym: every existing row carries one, so the set validates)
+    Constraints.setChecks(spark, t, Seq(
+      Constraints.Check("ym_not_null", "ym IS NOT NULL")))
+    val before = CommitLog.read(spark, t).count()
+    intercept[Constraints.ConstraintViolationException] {
+      GraftSql.sql(spark,
+        s"INSERT INTO $v (k, cents) VALUES (CAST(600 AS BIGINT), " +
+          "CAST(1 AS BIGINT))")
+    }
+    assert(CommitLog.read(spark, t).count() == before,
+      "a refused insert must publish nothing")
+  }
+
+  test("two-part identifiers resolve through the persisted catalog " +
+      "(r14 #6): DML + time travel on <alias>.<name>") {
+    val v = freshView(); val t = buildTable(v)
+    val w = Files.createTempDirectory("dmlwh").toString
+    graft.sources.Catalog.register(spark, w, "torders", t)
+    GraftSql.sql(spark, s"SET spark.graft.catalog.wh1 = $w")
+    // DELETE via the two-part name (no session view needed)
+    val d = GraftSql.sql(spark,
+      "DELETE FROM wh1.torders WHERE ym = '2024-01'")
+    assert(d.head().getString(0) == "delete")
+    assert(CommitLog.read(spark, t).count() == 20L)
+    // UPDATE
+    GraftSql.sql(spark,
+      "UPDATE wh1.torders SET cents = cents + 1 WHERE k = 11")
+    assert(CommitLog.read(spark, t).filter(col("k") === 11L)
+      .select("cents").as[Long].head() == 1101L)
+    // INSERT (with a column list, composing #5 and #6)
+    GraftSql.sql(spark,
+      "INSERT INTO wh1.torders (k, ym) VALUES (CAST(777 AS BIGINT), '2031-03')")
+    assert(CommitLog.read(spark, t).filter(col("k") === 777L).count() == 1L)
+    // MERGE with the bare name as target qualifier
+    Seq((12L, "2024-02", 9L)).toDF("k", "ym", "cents")
+      .createOrReplaceTempView("twopart_src")
+    GraftSql.sql(spark,
+      """MERGE INTO wh1.torders USING twopart_src AS src
+        |ON torders.k = src.k
+        |WHEN MATCHED THEN UPDATE SET cents = src.cents""".stripMargin)
+    assert(CommitLog.read(spark, t).filter(col("k") === 12L)
+      .select("cents").as[Long].head() == 9L)
+    // time travel on the two-part name reads the pre-DML snapshot
+    val v0 = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM wh1.torders VERSION AS OF 3")
+    assert(v0.head().getLong(0) == 30L)
+    // an unbound alias falls through to Spark's own surface
+    val routed = try {
+      GraftSql.sql(spark, "DELETE FROM nope.torders WHERE k = 1")
+        .columns.toSeq == Seq("verb", "version")
+    } catch { case _: Exception => false }
+    assert(!routed)
+  }
+
   test("DML routing is session-scoped: a foreign session's same-named " +
       "view never routes into this session's table (ADVICE r14)") {
     val v = freshView(); val t = buildTable(v)

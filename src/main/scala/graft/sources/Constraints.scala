@@ -133,6 +133,21 @@ object Constraints {
     * dead on disk (vacuumOrphans' problem), invisible to readers. */
   def checkedAppend(spark: SparkSession, df: DataFrame, table: String,
       statsCols: Seq[String] = Seq.empty)
+      : Either[Seq[(String, Long)], Long] =
+    checkedWrite(spark, df, table, statsCols, overwrite = false)
+
+  /** The enforced REPLACE (SQL `INSERT OVERWRITE` semantics): same
+    * audit + stats + bloom economy as [[checkedAppend]], but ONE
+    * atomic commit swaps the ENTIRE live file set for the staged
+    * batch. A concurrent commit between snapshot and publish aborts
+    * (the removes must still be live), never double-applies. */
+  def checkedReplace(spark: SparkSession, df: DataFrame, table: String,
+      statsCols: Seq[String] = Seq.empty)
+      : Either[Seq[(String, Long)], Long] =
+    checkedWrite(spark, df, table, statsCols, overwrite = true)
+
+  private def checkedWrite(spark: SparkSession, df: DataFrame,
+      table: String, statsCols: Seq[String], overwrite: Boolean)
       : Either[Seq[(String, Long)], Long] = {
     // Schema-drift gate (Delta refuses mismatched writes; the raw
     // append verbs don't look): the batch must carry exactly the
@@ -175,16 +190,26 @@ object Constraints {
       .map(v => BloomStats.restatBlooms(spark, table,
         CommitLog.readManifest(spark, table, v), staged))
       .getOrElse(Map.empty)
-    Right(CommitLog.commit(spark, table, adds = staged,
-      statsCol = statsCols.headOption.getOrElse(""),
-      colStats = nums, strColStats = strs ++ blooms,
-      validateManifest = {
-        // the set we audited against must still be the set in force
-        case Some(m) if m.checksId != cid =>
-          throw new ConcurrentChecksException(table)
-        case None if cid.nonEmpty =>
-          throw new ConcurrentChecksException(table)
-        case _ => ()
-      }))
+    val validate: Option[CommitLog.Manifest] => Unit = {
+      // the set we audited against must still be the set in force
+      case Some(m) if m.checksId != cid =>
+        throw new ConcurrentChecksException(table)
+      case None if cid.nonEmpty =>
+        throw new ConcurrentChecksException(table)
+      case _ => ()
+    }
+    Right(
+      if (overwrite) {
+        val live = CommitLog.currentVersion(spark, table)
+          .map(v => CommitLog.liveFiles(spark, table, v))
+          .getOrElse(Seq.empty)
+        CommitLog.rewrite(spark, table, adds = staged, removes = live,
+          statsCol = statsCols.headOption.getOrElse(""),
+          colStats = nums, strColStats = strs ++ blooms,
+          validateManifest = validate)
+      } else CommitLog.commit(spark, table, adds = staged,
+        statsCol = statsCols.headOption.getOrElse(""),
+        colStats = nums, strColStats = strs ++ blooms,
+        validateManifest = validate))
   }
 }

@@ -43,12 +43,16 @@ import graft.sources.{CommitDml, CommitLog, CommitMerge, Constraints}
   * batch never becomes a manifest (the statement throws; its files
   * stay dead on disk).
   *
-  * Boundaries, loud not silent: MERGE requires equality ON clauses
-  * with the same column name on both sides (the [[CommitMerge]] key
-  * contract); INSERT is positional — or by explicit column list with
+  * Boundaries, loud not silent: MERGE requires equality ON clauses of
+  * one target column against one source column — names may differ
+  * (`ON t.id = s.src_id`), the source side is renamed to the target's
+  * key names so the [[CommitMerge]] same-name contract holds by
+  * construction; INSERT is positional — or by explicit column list with
   * NULL-fill (r14 #5) — with lossless up-casts; `INSERT OVERWRITE`
-  * and partition specs are refused with a message naming the
-  * supported form. Two-part `<warehouse-alias>.<name>` targets
+  * routes to the enforced REPLACE ([[Constraints.checkedReplace]] —
+  * one atomic commit swaps the whole live set); partition specs are
+  * refused with a message naming the replaceWhere verb. Two-part
+  * `<warehouse-alias>.<name>` targets
   * resolve through the persisted catalog (r14 #6); three-part names
   * keep Spark's surface.
   */
@@ -145,15 +149,15 @@ object GraftDml {
 
     case i: InsertIntoStatement => targetOf(i.table) match {
       case Some((view, table, _)) =>
-        require(!i.overwrite,
-          "INSERT OVERWRITE is not routed — use replaceWhere / " +
-            "replaceClustered for partial or full overwrites")
         require(i.partitionSpec.isEmpty,
           "partitioned INSERT is not routed — the commit-log layout " +
-            "is managed by the write verbs")
-        GraftDmlCommand("insert", view, table, s => {
-          runInsert(s, view, table, i.query, i.userSpecifiedCols)
-        })
+            "is managed by the write verbs (replaceWhere for partial " +
+            "overwrites)")
+        GraftDmlCommand(if (i.overwrite) "insert_overwrite" else "insert",
+          view, table, s => {
+            runInsert(s, view, table, i.query, i.userSpecifiedCols,
+              i.overwrite)
+          })
       case None => i
     }
 
@@ -227,49 +231,86 @@ object GraftDml {
     val tCols = lower(CommitLog.read(s, table).columns.toSeq)
     val sCols = lower(source.columns.toSeq)
 
-    /** side-tag an attribute: t_/s_ prefixed name over the MergeInto
-      * joined frame. */
-    def retarget(e: Expression): Column = ColumnBridge.column(e.transform {
-      case a: UnresolvedAttribute =>
-        val name = a.nameParts.last
-        val qual = a.nameParts.dropRight(1).lastOption
-          .map(_.toLowerCase(java.util.Locale.ROOT))
-        val side = qual match {
-          case Some(q) if tNames.contains(q) => "t"
-          case Some(q) if sNames.contains(q) => "s"
-          case Some(q) => throw new IllegalArgumentException(
-            s"MERGE qualifier '$q' names neither the target " +
-              s"(${tNames.mkString("/")}) nor the source" +
-              sNames.headOption.map(n => s" ($n)").getOrElse(""))
-          case None =>
-            val k = name.toLowerCase(java.util.Locale.ROOT)
-            (tCols.contains(k), sCols.contains(k)) match {
-              case (true, true) => throw new IllegalArgumentException(
-                s"MERGE column '$name' is ambiguous — qualify it")
-              case (_, true) => "s"
-              case (true, _) => "t"
-              case _ => throw new IllegalArgumentException(
-                s"MERGE column '$name' exists on neither side")
-            }
-        }
-        UnresolvedAttribute(Seq(s"${side}_$name"))
-    })
+    def lcs(x: String) = x.toLowerCase(java.util.Locale.ROOT)
 
-    // equality key columns from the ON conjunction — the CommitMerge
-    // key contract (same name both sides)
-    def keyOf(e: Expression): Seq[String] = e match {
-      case And(l, r) => keyOf(l) ++ keyOf(r)
+    /** Which side an attribute names, by qualifier or (unqualified)
+      * by column membership — shared by key extraction and action
+      * retargeting. */
+    def sideOf(a: UnresolvedAttribute): String = {
+      val name = a.nameParts.last
+      val qual = a.nameParts.dropRight(1).lastOption.map(lcs)
+      qual match {
+        case Some(q) if tNames.contains(q) => "t"
+        case Some(q) if sNames.contains(q) => "s"
+        case Some(q) => throw new IllegalArgumentException(
+          s"MERGE qualifier '$q' names neither the target " +
+            s"(${tNames.mkString("/")}) nor the source" +
+            sNames.headOption.map(n => s" ($n)").getOrElse(""))
+        case None =>
+          (tCols.contains(lcs(name)), sCols.contains(lcs(name))) match {
+            case (true, true) => throw new IllegalArgumentException(
+              s"MERGE column '$name' is ambiguous — qualify it")
+            case (_, true) => "s"
+            case (true, _) => "t"
+            case _ => throw new IllegalArgumentException(
+              s"MERGE column '$name' exists on neither side")
+          }
+      }
+    }
+
+    // ON clause: a conjunction of target-column = source-column
+    // equalities. The names may DIFFER across sides (the r14 missing
+    // list's `ON t.id = s.src_id` form): the source side is renamed to
+    // the target's key names before the CommitMerge join, so the
+    // same-name key contract holds by construction.
+    def keyPairs(e: Expression): Seq[(String, String)] = e match {
+      case And(l, r) => keyPairs(l) ++ keyPairs(r)
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
-        val (an, bn) = (a.nameParts.last, b.nameParts.last)
-        require(an.equalsIgnoreCase(bn),
-          s"MERGE ON must equate same-named key columns " +
-            s"('$an' vs '$bn') — rename the source column first")
-        Seq(an)
+        (sideOf(a), sideOf(b)) match {
+          case ("t", "s") => Seq((a.nameParts.last, b.nameParts.last))
+          case ("s", "t") => Seq((b.nameParts.last, a.nameParts.last))
+          case (x, _) => throw new IllegalArgumentException(
+            "MERGE ON must equate a target column with a source " +
+              s"column; both sides of '${e.sql}' resolve to the " +
+              (if (x == "t") "target" else "source"))
+        }
       case other => throw new IllegalArgumentException(
         "MERGE ON must be a conjunction of target.col = source.col " +
           s"equalities; got: ${other.sql}")
     }
-    val keyCols = keyOf(m.mergeCondition).distinct
+    val pairs = keyPairs(m.mergeCondition).distinct
+    pairs.groupBy(p => lcs(p._1)).collect {
+      case (_, ps) if ps.map(p => lcs(p._2)).distinct.size > 1 =>
+        throw new IllegalArgumentException(
+          s"MERGE ON equates target column '${ps.head._1}' with " +
+            s"multiple source columns: ${ps.map(_._2).mkString(", ")}")
+    }
+    val renames: Map[String, String] = pairs.collect {
+      case (tn, sn) if !tn.equalsIgnoreCase(sn) => lcs(sn) -> tn
+    }.toMap
+    renames.foreach { case (_, tn) =>
+      require(!sCols.contains(lcs(tn)),
+        s"MERGE key rename would shadow existing source column '$tn' — " +
+          "rename the source column explicitly first")
+    }
+    val source2 = renames.foldLeft(source) { case (df, (snl, tn)) =>
+      val actual = source.columns.find(c => lcs(c) == snl).get
+      df.withColumnRenamed(actual, tn)
+    }
+    val keyCols = pairs.map(_._1).distinct
+
+    /** side-tag an attribute: t_/s_ prefixed name over the MergeInto
+      * joined frame; source references follow the key renames. */
+    def retarget(e: Expression): Column = ColumnBridge.column(e.transform {
+      case a: UnresolvedAttribute =>
+        val name = a.nameParts.last
+        sideOf(a) match {
+          case "s" =>
+            UnresolvedAttribute(
+              Seq(s"s_${renames.getOrElse(lcs(name), name)}"))
+          case side => UnresolvedAttribute(Seq(s"${side}_$name"))
+        }
+    })
 
     val targetCols = CommitLog.read(s, table).columns.toSeq
     def starSet: Map[String, Column] =
@@ -294,7 +335,7 @@ object GraftDml {
       case other => throw new IllegalArgumentException(
         s"unsupported WHEN NOT MATCHED action: $other")
     }
-    val r = CommitMerge.mergeInto(s, table, source, keyCols,
+    val r = CommitMerge.mergeInto(s, table, source2, keyCols,
       matched = m.matchedActions.map(actionOf),
       notMatched = m.notMatchedActions.map(insertOf),
       bySource = m.notMatchedBySourceActions.map(actionOf))
@@ -329,7 +370,8 @@ object GraftDml {
     * "NOT NULL"-style checks refuse the statement before it
     * publishes. Without a list the insert stays positional. */
   private def runInsert(s: SparkSession, view: String, table: String,
-      query: LogicalPlan, userCols: Seq[String]): Long = {
+      query: LogicalPlan, userCols: Seq[String],
+      overwrite: Boolean = false): Long = {
     val df = DatasetBridge.ofRows(s, query)
     val want = CommitLog.read(s, table).schema
     def lcs(x: String) = x.toLowerCase(java.util.Locale.ROOT)
@@ -373,7 +415,9 @@ object GraftDml {
         throw new IllegalArgumentException(s"no committed version at $table")))
     val statsCols = (m.colStats.keys ++ m.strStats.keys).toSeq.distinct
       .filterNot(_.startsWith("__")).sorted
-    val v = Constraints.checkedAppend(s, aligned, table, statsCols) match {
+    val write = if (overwrite) Constraints.checkedReplace _
+      else Constraints.checkedAppend _
+    val v = write(s, aligned, table, statsCols) match {
       case Right(ver) => ver
       case Left(bad) => throw new Constraints.ConstraintViolationException(
         table, bad)

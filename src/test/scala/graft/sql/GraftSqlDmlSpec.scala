@@ -112,12 +112,31 @@ class GraftSqlDmlSpec extends SparkSpec {
       .head().getLong(0) == 3L)
   }
 
-  test("INSERT OVERWRITE and mismatched arity are refused loudly") {
-    val v = freshView(); buildTable(v)
-    intercept[IllegalArgumentException] {
+  test("INSERT OVERWRITE replaces the whole live set in one commit; " +
+      "mismatched arity refused loudly") {
+    val v = freshView(); val t = buildTable(v)
+    val v0 = CommitLog.currentVersion(spark, t).get
+    val r = GraftSql.sql(spark,
+      s"INSERT OVERWRITE TABLE $v VALUES " +
+        "(CAST(1 AS BIGINT), 'x', CAST(2 AS BIGINT)), " +
+        "(CAST(2 AS BIGINT), 'y', CAST(3 AS BIGINT))")
+    assert(r.head().getString(0) == "insert_overwrite")
+    assert(CommitLog.read(spark, t).count() == 2L)
+    assert(CommitLog.currentVersion(spark, t).get == v0 + 1,
+      "overwrite must be ONE atomic commit")
+    // the pre-overwrite snapshot is still time-travelable
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM $v VERSION AS OF $v0")
+      .head().getLong(0) == 30L)
+    // and checked: a violating overwrite batch publishes nothing
+    Constraints.setChecks(spark, t, Seq(
+      Constraints.Check("cents_nonneg", "cents >= 0")))
+    intercept[Constraints.ConstraintViolationException] {
       GraftSql.sql(spark,
-        s"INSERT OVERWRITE TABLE $v VALUES (1, 'x', 2)")
+        s"INSERT OVERWRITE TABLE $v VALUES " +
+          "(CAST(9 AS BIGINT), 'z', CAST(-1 AS BIGINT))")
     }
+    assert(CommitLog.read(spark, t).count() == 2L)
     intercept[IllegalArgumentException] {
       GraftSql.sql(spark, s"INSERT INTO $v VALUES (1, 'x')")
     }
@@ -274,6 +293,39 @@ class GraftSqlDmlSpec extends SparkSpec {
         .columns.toSeq == Seq("verb", "version")
     } catch { case _: Exception => false }
     assert(!routed)
+  }
+
+  test("MERGE ON with cross-named keys: the source side renames onto " +
+      "the target's key columns (r14 missing #6)") {
+    val v = freshView(); val t = buildTable(v)
+    Seq((13L, "2024-09", 77L), (40000L, "2099-05", 88L))
+      .toDF("src_id", "src_ym", "src_cents")
+      .createOrReplaceTempView(s"${v}_xsrc")
+    GraftSql.sql(spark,
+      s"""MERGE INTO $v AS tgt USING ${v}_xsrc AS src
+         |ON tgt.k = src.src_id
+         |WHEN MATCHED THEN UPDATE SET cents = src.src_cents
+         |WHEN NOT MATCHED THEN INSERT (k, ym, cents)
+         |  VALUES (src.src_id, src.src_ym, src.src_cents)""".stripMargin)
+    assert(CommitLog.read(spark, t).filter(col("k") === 13L)
+      .select("cents").as[Long].head() == 77L)
+    val ins = CommitLog.read(spark, t).filter(col("k") === 40000L)
+      .select("ym", "cents").as[(String, Long)].head()
+    assert(ins == ("2099-05", 88L))
+    assert(CommitLog.read(spark, t).count() == 31L)
+    // refusals stay loud: both sides from one relation; a rename that
+    // would shadow an existing source column
+    assert(intercept[Exception] { GraftSql.sql(spark,
+      s"""MERGE INTO $v AS tgt USING ${v}_xsrc AS src
+         |ON tgt.k = tgt.cents
+         |WHEN MATCHED THEN DELETE""".stripMargin) }
+      .getMessage.contains("target"))
+    Seq((13L, 1L)).toDF("src_id", "k").createOrReplaceTempView(s"${v}_bad")
+    assert(intercept[Exception] { GraftSql.sql(spark,
+      s"""MERGE INTO $v AS tgt USING ${v}_bad AS src
+         |ON tgt.k = src.src_id
+         |WHEN MATCHED THEN DELETE""".stripMargin) }
+      .getMessage.contains("shadow"))
   }
 
   test("DML routing is session-scoped: a foreign session's same-named " +

@@ -667,7 +667,8 @@ object CommitLog {
         else base.map(_.schemaId).getOrElse("")
       val pid = if (specId.nonEmpty) specId
         else base.map(_.specId).getOrElse("")
-      val cid = if (checksId.nonEmpty) checksId
+      val cid = if (checksId == ClearChecksSentinel) ""
+        else if (checksId.nonEmpty) checksId
         else base.map(_.checksId).getOrElse("")
       val tmp = new Path(logDir(table), s".tmp-${UUID.randomUUID()}")
       val out = f.create(tmp, false)
@@ -773,6 +774,11 @@ object CommitLog {
     * Rides the manifest exactly as row/null counts do — group reuse,
     * restrictTo, branches, folds — so equality/IN probes can consult
     * the filter where the zone map is wide (hash-ordered layouts). */
+  /** Passing this as `checksId` to a commit CLEARS the (otherwise
+    * sticky) constraint set — the DROP-last-CONSTRAINT path. A NUL
+    * byte keeps it out of any legal user-supplied id. */
+  private[sources] val ClearChecksSentinel = "\u0000clear"
+
   val BloomPrefix = "__bloom:"
 
   /** Bloom-ref key for a column. */

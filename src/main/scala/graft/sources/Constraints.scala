@@ -125,6 +125,13 @@ object Constraints {
       })
   }
 
+  /** Remove the table's WHOLE constraint set as one metadata-only
+    * commit (the DROP-last-CONSTRAINT path — `checksId` is otherwise
+    * sticky across commits). Returns the committed version. */
+  def clearChecks(spark: SparkSession, table: String): Long =
+    CommitLog.commit(spark, table, adds = Seq.empty,
+      checksId = CommitLog.ClearChecksSentinel)
+
   /** The enforced append: stage, audit the staged bytes against the
     * CURRENT constraint set, and only a clean batch commits (with
     * zone maps for `statsCols`, so enforcement and stats share the

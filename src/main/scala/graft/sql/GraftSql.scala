@@ -28,6 +28,12 @@ class GraftSqlParser(delegate: ParserInterface)
   *   VACUUM <view> RETAIN <n> VERSIONS    retire history past n versions
   *   DESCRIBE HISTORY <view>              one row per retained version
   *   DESCRIBE DETAIL <view>               the head manifest's card
+  *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
+  *                                        extend the persisted CHECK set
+  *                                        (live rows validated first)
+  *   ALTER TABLE <view> DROP CONSTRAINT <name>
+  *                                        retire one check (the last one
+  *                                        clears the set)
   *
   * SQL DDL (VERDICT r14 directive #2), active only when the session
   * has a graft warehouse configured
@@ -70,6 +76,11 @@ private[sql] object GraftMaintenance {
     "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
   private val Drop = "(?is)^\\s*DROP\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
   private val Restore = "(?is)^\\s*RESTORE\\s+CATALOG\\s*;?\\s*$".r
+  private val AddCheck =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)" +
+      "\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$").r
+  private val DropCheck =
+    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$".r
 
   private def warehouse: Option[String] =
     SparkSession.getActiveSession
@@ -146,6 +157,34 @@ private[sql] object GraftMaintenance {
       TableInfo.describe(SparkSession.active, table)
         .queryExecution.logical
     }
+    // constraint DDL on registered views — the Delta ALTER TABLE
+    // verbs, routed to the persisted CHECK set (a set the live rows
+    // already violate refuses; UPDATE/MERGE/INSERT images are audited
+    // against it from the next statement on)
+    case AddCheck(view, name, exprStr) =>
+      GraftTables.lookupActive(view).map { table =>
+        GraftMaintenanceCommand("add_constraint", s => {
+          import graft.sources.Constraints
+          val cs = Constraints.checks(s, table)
+          require(!cs.exists(_.name.equalsIgnoreCase(name)),
+            s"constraint '$name' already exists at $table — DROP it first")
+          Constraints.setChecks(s, table,
+            cs :+ Constraints.Check(name, exprStr.trim))
+        })
+      }
+    case DropCheck(view, name) =>
+      GraftTables.lookupActive(view).map { table =>
+        GraftMaintenanceCommand("drop_constraint", s => {
+          import graft.sources.Constraints
+          val cs = Constraints.checks(s, table)
+          require(cs.exists(_.name.equalsIgnoreCase(name)),
+            s"no constraint named '$name' at $table " +
+              s"(have: ${cs.map(_.name).mkString(", ")})")
+          val rest = cs.filterNot(_.name.equalsIgnoreCase(name))
+          if (rest.isEmpty) Constraints.clearChecks(s, table)
+          else Constraints.setChecks(s, table, rest)
+        })
+      }
     // DDL only engages when the session opted into a graft warehouse;
     // DROP additionally requires the name to be cataloged there, so a
     // Spark-catalog DROP keeps Spark's own surface

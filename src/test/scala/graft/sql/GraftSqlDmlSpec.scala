@@ -295,6 +295,44 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(!routed)
   }
 
+  test("ALTER TABLE ADD/DROP CONSTRAINT routes into the persisted " +
+      "CHECK set") {
+    val v = freshView(); val t = buildTable(v)
+    val r = GraftSql.sql(spark,
+      s"ALTER TABLE $v ADD CONSTRAINT cents_nonneg CHECK (cents >= 0)")
+    assert(r.head().getString(0) == "add_constraint")
+    assert(Constraints.checks(spark, t).map(_.name) == Seq("cents_nonneg"))
+    // enforcement engages on the next statement
+    intercept[Constraints.ConstraintViolationException] {
+      GraftSql.sql(spark, s"INSERT INTO $v VALUES " +
+        "(CAST(900 AS BIGINT), '2031-01', CAST(-1 AS BIGINT))")
+    }
+    // a set the live rows violate refuses (k <= 5 is false for k=30)
+    intercept[Constraints.ConstraintViolationException] {
+      GraftSql.sql(spark,
+        s"ALTER TABLE $v ADD CONSTRAINT k_tiny CHECK (k <= 5)")
+    }
+    // duplicates and unknown names refuse loudly
+    assert(intercept[Exception] { GraftSql.sql(spark,
+      s"ALTER TABLE $v ADD CONSTRAINT cents_nonneg CHECK (cents >= 1)") }
+      .getMessage.contains("already exists"))
+    assert(intercept[Exception] { GraftSql.sql(spark,
+      s"ALTER TABLE $v DROP CONSTRAINT nope") }
+      .getMessage.contains("no constraint"))
+    // dropping the LAST constraint clears the set; inserts flow again
+    GraftSql.sql(spark, s"ALTER TABLE $v DROP CONSTRAINT cents_nonneg")
+    assert(Constraints.checks(spark, t).isEmpty)
+    GraftSql.sql(spark, s"INSERT INTO $v VALUES " +
+      "(CAST(901 AS BIGINT), '2031-01', CAST(-1 AS BIGINT))")
+    assert(CommitLog.read(spark, t).filter(col("k") === 901L).count() == 1L)
+    // unregistered names keep Spark's own ALTER surface
+    intercept[Exception] {
+      GraftSql.sql(spark,
+        "ALTER TABLE never_registered ADD CONSTRAINT c CHECK (1 = 1)")
+        .collect()
+    }
+  }
+
   test("MERGE ON with cross-named keys: the source side renames onto " +
       "the target's key columns (r14 missing #6)") {
     val v = freshView(); val t = buildTable(v)

@@ -1914,6 +1914,11 @@ private[graft] object RegWarehouse {
       val w =
         s"${System.getProperty("java.io.tmpdir")}/graft_cat_$tag"
       import graft.sources.{Catalog, CommitLog}
+      // fresh warehouse per invocation: the MV cursor (r15) makes the
+      // fixture stateful — a stale summary would refuse the re-run's
+      // replaceClustered swap (append-only refresh contract)
+      val wp = new org.apache.hadoop.fs.Path(w)
+      wp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wp, true)
       val table = s"$w/orders_t"
       val o = Tables.load(s, dir, "orders").select(
         col("o_orderkey").cast("long").as("k"),

@@ -66,10 +66,29 @@ object GraftDml {
     * rule still prunes (immutable files carry their stats at any
     * version). */
   def rewrite(plan: LogicalPlan): LogicalPlan =
-    rewriteTop(plan.transformDown {
+    resolveTwoPartReads(rewriteTop(plan.transformDown {
       case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel =>
         timeTravel(tt).getOrElse(tt)
-    })
+    }))
+
+  /** Substitute every remaining two-part `<alias>.<name>` relation the
+    * persisted catalog can resolve with a head read of its table —
+    * plain `SELECT … FROM wh1.orders` works in a fresh session with no
+    * view registration, and the skipping/metadata rule pair is served
+    * for the table so the read still prunes at the manifest. Runs
+    * AFTER DML routing, so statement targets keep their verb
+    * semantics; DML source plans get the same substitution inside
+    * their own cases. Unresolvable names pass through to Spark. */
+  private def resolveTwoPartReads(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if r.multipartIdentifier.size == 2 &&
+            catalogResolve(r.multipartIdentifier).isDefined =>
+        val table = catalogResolve(r.multipartIdentifier).get
+        val s = SparkSession.active
+        GraftTables.serveRules(s, table)
+        CommitLog.read(s, table).queryExecution.analyzed
+    }
 
   /** Resolve one RelationTimeTravel over a registered view, or None
     * (foreign tables keep Spark's own error surface). */
@@ -153,9 +172,10 @@ object GraftDml {
           "partitioned INSERT is not routed — the commit-log layout " +
             "is managed by the write verbs (replaceWhere for partial " +
             "overwrites)")
+        val src = resolveTwoPartReads(i.query)
         GraftDmlCommand(if (i.overwrite) "insert_overwrite" else "insert",
           view, table, s => {
-            runInsert(s, view, table, i.query, i.userSpecifiedCols,
+            runInsert(s, view, table, src, i.userSpecifiedCols,
               i.overwrite)
           })
       case None => i
@@ -224,7 +244,7 @@ object GraftDml {
 
   private def runMerge(s: SparkSession, view: String, table: String,
       tAliasOpt: Option[String], m: MergeIntoTable): Long = {
-    val source = DatasetBridge.ofRows(s, m.sourceTable)
+    val source = DatasetBridge.ofRows(s, resolveTwoPartReads(m.sourceTable))
     val sAlias = sourceAlias(m.sourceTable)
     val tNames = lower(tAliasOpt.toSeq :+ view)
     val sNames = lower(sAlias.toSeq)

@@ -46,9 +46,15 @@ object GraftTables {
   def register(spark: SparkSession, table: String, viewName: String): Unit = {
     registry.put(key(spark, viewName), table)
     CommitLog.read(spark, table).createOrReplaceTempView(viewName)
-    // ONE rule pair per session, serving a growing table registry —
-    // a thousand registered tables must not run a thousand rules
-    // over every plan.
+    serveRules(spark, table)
+  }
+
+  /** Ensure the session's shared rule pair serves `table` — ONE rule
+    * pair per session, serving a growing table registry (a thousand
+    * registered tables must not run a thousand rules over every
+    * plan). Also the view-less path: two-part catalog reads get
+    * skipping without any temp-view registration. */
+  def serveRules(spark: SparkSession, table: String): Unit = {
     val have = spark.experimental.extraOptimizations
     val skip = have.collectFirst { case r: ManifestSkip => r }
     val meta = have.collectFirst { case r: MetadataAgg => r }

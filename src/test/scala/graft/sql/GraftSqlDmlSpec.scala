@@ -287,6 +287,24 @@ class GraftSqlDmlSpec extends SparkSpec {
     val v0 = GraftSql.sql(spark,
       "SELECT count(*) AS n FROM wh1.torders VERSION AS OF 3")
     assert(v0.head().getLong(0) == 30L)
+    // plain SELECT on the two-part name reads the current head — no
+    // view registration anywhere — and still prunes at the manifest
+    val sel = GraftSql.sql(spark,
+      "SELECT sum(cents) AS c FROM wh1.torders WHERE ym = '2024-03'")
+    assert(sel.head().getLong(0) ==
+      (21 to 30).map(_ * 100L).sum)
+    val scanned = sel.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => fs.location.rootPaths.size
+          case _ => 0
+        }
+    }.sum
+    val totalFiles = CommitLog.liveFiles(spark, t,
+      CommitLog.currentVersion(spark, t).get).size
+    assert(scanned < totalFiles,
+      s"two-part read must skip: scanned $scanned of $totalFiles")
     // an unbound alias falls through to Spark's own surface
     val routed = try {
       GraftSql.sql(spark, "DELETE FROM nope.torders WHERE k = 1")

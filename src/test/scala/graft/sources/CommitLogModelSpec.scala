@@ -59,8 +59,9 @@ class CommitLogModelSpec extends SparkSpec {
       Seq(Constraints.Check("id_pos", "id > 0")))
     checkHead()
 
-    for (step <- 1 to 30) {
-      rnd.nextInt(11) match {
+    var checksOn = true
+    for (step <- 1 to 34) {
+      rnd.nextInt(13) match {
         case 0 | 1 => // append
           val ids = batch(5 + rnd.nextInt(20))
           CommitLog.append(spark, df(ids), t)
@@ -128,12 +129,49 @@ class CommitLogModelSpec extends SparkSpec {
           if (rnd.nextBoolean()) {
             assert(Constraints.checkedAppend(spark, df(ids), t).isRight)
             live ++= ids
-          } else {
+          } else if (checksOn) {
             val dirty = ids.map(i => (-i, s"r$i"))
               .toDF("id", "s").repartition(1 + rnd.nextInt(2))
             assert(Constraints.checkedAppend(spark, dirty, t) ==
               Left(Seq("id_pos" -> ids.size.toLong)))
             // rejected: no version published, the model is untouched
+          } else {
+            // with the set cleared, the same dirty batch lands — and
+            // the model follows it (negative ids)
+            val dirty = ids.map(i => (-i, s"r$i"))
+              .toDF("id", "s").repartition(1 + rnd.nextInt(2))
+            assert(Constraints.checkedAppend(spark, dirty, t).isRight)
+            live ++= ids.map(-_)
+          }
+        case 11 => // enforced OVERWRITE (r15): one commit swaps the
+          // whole live set; a dirty overwrite publishes nothing
+          val ids = batch(6 + rnd.nextInt(10))
+          if (rnd.nextBoolean() || !checksOn) {
+            assert(Constraints.checkedReplace(spark, df(ids), t).isRight)
+            live = ids.toSet
+          } else {
+            val dirty = ids.map(i => (-i, s"r$i"))
+              .toDF("id", "s").repartition(1 + rnd.nextInt(2))
+            assert(Constraints.checkedReplace(spark, dirty, t) ==
+              Left(Seq("id_pos" -> ids.size.toLong)))
+          }
+        case 12 => // constraint churn (r15): clearing the sticky set
+          // opens the gate, re-declaring closes it — the enforced
+          // verbs above branch on the declared state
+          if (checksOn) { Constraints.clearChecks(spark, t); checksOn = false }
+          else {
+            // re-declaring validates live rows — negative ids let in
+            // while the gate was open refuse the set; drop them first
+            if (live.exists(_ <= 0)) {
+              CommitDml.deleteWhere(spark, t,
+                org.apache.spark.sql.functions.col("id") <= 0L)
+              live = live.filter(_ > 0)
+            }
+            if (live.nonEmpty) {
+              Constraints.setChecks(spark, t,
+                Seq(Constraints.Check("id_pos", "id > 0")))
+              checksOn = true
+            }
           }
       }
       checkHead()

@@ -215,7 +215,7 @@ object GraftDml {
   /** Resolve `<alias>.<name>` → table root via the session-bound
     * warehouse alias and its persisted catalog; None when the alias
     * is unbound or the name is uncataloged (falls through to Spark). */
-  private def catalogResolve(parts: Seq[String]): Option[String] = {
+  private[sql] def catalogResolve(parts: Seq[String]): Option[String] = {
     val s = SparkSession.active
     val alias = parts.head.toLowerCase(java.util.Locale.ROOT)
     val name = parts(1).toLowerCase(java.util.Locale.ROOT)

@@ -67,11 +67,15 @@ private[sql] object GraftMaintenance {
   /** Session conf key naming the graft warehouse root — the DDL gate. */
   val WarehouseKey = "spark.graft.warehouse"
 
-  private val Optimize = "(?is)^\\s*OPTIMIZE\\s+(\\w+)\\s*;?\\s*$".r
+  private val Optimize = "(?is)^\\s*OPTIMIZE\\s+(\\w+(?:\\.\\w+)?)\\s*;?\\s*$".r
   private val Vacuum =
-    "(?is)^\\s*VACUUM\\s+(\\w+)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$".r
-  private val History = "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+(\\w+)\\s*;?\\s*$".r
-  private val Detail = "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(\\w+)\\s*;?\\s*$".r
+    "(?is)^\\s*VACUUM\\s+(\\w+(?:\\.\\w+)?)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$".r
+  private val History =
+    "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+(\\w+(?:\\.\\w+)?)\\s*;?\\s*$".r
+  private val Detail =
+    "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(\\w+(?:\\.\\w+)?)\\s*;?\\s*$".r
+  private val ShowTables =
+    "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+(\\w+)\\s*;?\\s*$".r
   private val Create =
     "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
   private val Drop = "(?is)^\\s*DROP\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
@@ -87,6 +91,15 @@ private[sql] object GraftMaintenance {
       .flatMap(_.conf.getOption(WarehouseKey)).filter(_.nonEmpty)
 
   private def lc(name: String) = name.toLowerCase(java.util.Locale.ROOT)
+
+  /** Resolve a (possibly two-part) verb target: a bare name through
+    * the session registry, `<alias>.<name>` through the persisted
+    * catalog (the DML rule, r14 #6, applied to the maintenance
+    * verbs). */
+  private def resolveTarget(name: String): Option[String] =
+    if (name.contains('.'))
+      GraftDml.catalogResolve(name.split("\\.").toSeq)
+    else GraftTables.lookupActive(name)
 
   /** CTAS: run the SELECT, land ONE stats-bearing commit under
     * <warehouse>/<name>, register + catalog. Eligible zone-map columns
@@ -133,29 +146,44 @@ private[sql] object GraftMaintenance {
   }
 
   def intercept(sql: String): Option[LogicalPlan] = sql match {
-    case Optimize(view) => GraftTables.lookupActive(view).map { table =>
+    case Optimize(view) => resolveTarget(view).map { table =>
       GraftMaintenanceCommand("optimize", s => {
         // file compaction (range-clustered when the table has a stats
-        // column) + a manifest fold, then re-pin the view
+        // column) + a manifest fold, then re-pin the view (two-part
+        // targets have no session view to re-pin — the catalog owns
+        // their binding)
         val v = CommitLog.compactTable(s, table,
           targetRecordsPerFile = 1000000L)
         CommitLog.compactManifests(s, table)
-        GraftTables.register(s, table, view)
+        if (!view.contains('.')) GraftTables.register(s, table, view)
         v
       })
     }
-    case Vacuum(view, n) => GraftTables.lookupActive(view).map { table =>
+    case Vacuum(view, n) => resolveTarget(view).map { table =>
       GraftMaintenanceCommand("vacuum", s =>
         CommitLog.vacuumUnreferenced(s, table, keepVersions = n.toInt)
           .toLong)
     }
-    case History(view) => GraftTables.lookupActive(view).map { table =>
+    case History(view) => resolveTarget(view).map { table =>
       TableInfo.history(SparkSession.active, table)
         .queryExecution.logical
     }
-    case Detail(view) => GraftTables.lookupActive(view).map { table =>
+    case Detail(view) => resolveTarget(view).map { table =>
       TableInfo.describe(SparkSession.active, table)
         .queryExecution.logical
+    }
+    // catalog discovery: SHOW TABLES IN <alias> lists the persisted
+    // catalog bound to the alias (one row per name, with its root);
+    // unbound aliases keep Spark's own SHOW TABLES surface
+    case ShowTables(alias)
+        if SparkSession.getActiveSession.exists(s =>
+          s.conf.getOption(s"spark.graft.catalog.${lc(alias)}")
+            .exists(_.nonEmpty)) => {
+      val s = SparkSession.active
+      val wh = s.conf.get(s"spark.graft.catalog.${lc(alias)}")
+      import s.implicits._
+      Some(Catalog.entries(s, wh).toSeq.sorted
+        .toDF("name", "root").queryExecution.logical)
     }
     // constraint DDL on registered views — the Delta ALTER TABLE
     // verbs, routed to the persisted CHECK set (a set the live rows

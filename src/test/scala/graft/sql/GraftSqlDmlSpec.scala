@@ -305,12 +305,27 @@ class GraftSqlDmlSpec extends SparkSpec {
       CommitLog.currentVersion(spark, t).get).size
     assert(scanned < totalFiles,
       s"two-part read must skip: scanned $scanned of $totalFiles")
+    // maintenance verbs on the two-part name
+    assert(GraftSql.sql(spark, "DESCRIBE HISTORY wh1.torders")
+      .count() >= 5L)
+    val opt = GraftSql.sql(spark, "OPTIMIZE wh1.torders")
+    assert(opt.head().getString(0) == "optimize")
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM wh1.torders").head().getLong(0) ==
+      CommitLog.read(spark, t).count())
+    // catalog discovery
+    val st = GraftSql.sql(spark, "SHOW TABLES IN wh1")
+    assert(st.columns.toSeq == Seq("name", "root"))
+    assert(st.collect().map(_.getString(0)).toSeq == Seq("torders"))
     // an unbound alias falls through to Spark's own surface
     val routed = try {
       GraftSql.sql(spark, "DELETE FROM nope.torders WHERE k = 1")
         .columns.toSeq == Seq("verb", "version")
     } catch { case _: Exception => false }
     assert(!routed)
+    intercept[Exception] {
+      GraftSql.sql(spark, "SHOW TABLES IN nope_alias").collect()
+    }
   }
 
   test("ALTER TABLE ADD/DROP CONSTRAINT routes into the persisted " +

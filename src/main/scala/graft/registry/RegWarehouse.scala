@@ -1827,6 +1827,71 @@ private[graft] object RegWarehouse {
         .withColumn("commits", lit(vN - v0))
     },
 
+    // SECOND-WAVE SQL VERBS ON THE BOARD (r15): constraint DDL
+    // (ALTER TABLE ADD/DROP CONSTRAINT routed into the persisted
+    // CHECK set), MERGE with CROSS-NAMED keys (ON t.k = src.src_k —
+    // the source side renames onto the target key), and INSERT
+    // OVERWRITE through the enforced atomic replace (a violating
+    // overwrite publishes nothing — overwrite_rejected pins it; the
+    // clean one swaps the whole live set in ONE commit). After the
+    // DROP CONSTRAINT the gate is open and a negative row lands.
+    // DuckDB replays the statement sequence as chained CTEs;
+    // commits = exactly one version per landed statement.
+    "q_sql_ops" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val table =
+        s"${System.getProperty("java.io.tmpdir")}/graft_sqlops_$tag"
+      val view = s"gsqlops_$tag"
+      import graft.sources.{CommitLog, Constraints}
+      import graft.sql.{GraftSql, GraftTables}
+      val o = Tables.load(s, dir, "orders").select(
+        col("o_orderkey").cast("long").as("k"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      CommitLog.replaceClustered(s, o.withColumn("bk", col("ym")),
+        table, "bk", Seq("k", "ym"))
+      GraftTables.register(s, table, view)
+      val v0 = CommitLog.currentVersion(s, table).get
+      GraftSql.sql(s,
+        s"ALTER TABLE $view ADD CONSTRAINT cents_nonneg CHECK (cents >= 0)")
+      // cross-named MERGE: update 1995-03 cents, insert shifted keys
+      o.filter(col("ym") === "1995-03")
+        .select(col("k").as("src_k"), (col("cents") + 9L).as("src_cents"))
+        .union(o.filter(col("ym") === "1995-04")
+          .select((col("k") + 30000000L).as("src_k"),
+            lit(55L).as("src_cents")))
+        .createOrReplaceTempView(s"${view}_src")
+      GraftSql.sql(s,
+        s"""MERGE INTO $view USING ${view}_src AS src
+           |ON $view.k = src.src_k
+           |WHEN MATCHED THEN UPDATE SET cents = src.src_cents
+           |WHEN NOT MATCHED THEN INSERT (k, ym, cents)
+           |  VALUES (src.src_k, '2099-07', src.src_cents)""".stripMargin)
+      // a violating OVERWRITE publishes nothing
+      val owRejected = try {
+        GraftSql.sql(s, s"INSERT OVERWRITE TABLE $view VALUES " +
+          "(CAST(1 AS BIGINT), '2099-01', CAST(-1 AS BIGINT))")
+        0L
+      } catch {
+        case _: Constraints.ConstraintViolationException => 1L
+      }
+      // the clean one swaps the whole live set atomically (the SELECT
+      // reads the view's pre-statement pin)
+      GraftSql.sql(s, s"INSERT OVERWRITE TABLE $view " +
+        s"SELECT k, ym, cents + 1 AS cents FROM $view " +
+        "WHERE ym >= '1996-01'")
+      // DROP the last constraint: the gate opens, a negative row lands
+      GraftSql.sql(s, s"ALTER TABLE $view DROP CONSTRAINT cents_nonneg")
+      GraftSql.sql(s, s"INSERT INTO $view VALUES " +
+        "(CAST(77777777 AS BIGINT), '2099-08', CAST(-5 AS BIGINT))")
+      val vN = CommitLog.currentVersion(s, table).get
+      s.sql(s"SELECT count(*) AS n, sum(cents) AS cents, " +
+          s"sum(k % 100000) AS key_checksum FROM $view")
+        .withColumn("overwrite_rejected", lit(owRejected))
+        .withColumn("commits", lit(vN - v0))
+    },
+
     // MANIFEST-INTEGRATED BLOOM SKIPPING (r13 directive #5): a
     // hash-partitioned layout defeats zone maps (every file's k range
     // spans the domain — zone_keeps_all pins that), but the per-file
@@ -4013,6 +4078,38 @@ private[graft] object RegWarehouse {
         |  CAST(5 AS BIGINT) AS commits
         |FROM t5""".stripMargin,
 
+
+    // The five-statement sequence replayed as chained CTEs: merge
+    // (cross-named key), filtered overwrite (+1 cent), the post-DROP
+    // negative insert; the rejected overwrite contributes nothing;
+    // five commits (alter-add, merge, overwrite, alter-drop, insert).
+    "q_sql_ops" ->
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |src AS (SELECT k AS src_k, cents + 9 AS src_cents FROM base
+        |        WHERE ym = '1995-03'
+        |        UNION ALL
+        |        SELECT k + 30000000, 55 FROM base WHERE ym = '1995-04'),
+        |t2 AS (SELECT b.k, b.ym,
+        |         CASE WHEN s.src_k IS NOT NULL THEN s.src_cents
+        |              ELSE b.cents END AS cents
+        |       FROM base b LEFT JOIN src s ON b.k = s.src_k
+        |       UNION ALL
+        |       SELECT src_k, '2099-07', src_cents FROM src
+        |       WHERE src_k NOT IN (SELECT k FROM base)),
+        |t3 AS (SELECT k, ym, cents + 1 AS cents FROM t2
+        |       WHERE ym >= '1996-01'),
+        |t4 AS (SELECT * FROM t3
+        |       UNION ALL SELECT 77777777, '2099-08', -5)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(sum(k % 100000) AS BIGINT) AS key_checksum,
+        |  CAST(1 AS BIGINT) AS overwrite_rejected,
+        |  CAST(5 AS BIGINT) AS commits
+        |FROM t4""".stripMargin,
 
     // The point/IN probes recomputed from raw rows; the three flags
     // are planner contracts (zone maps keep everything on the hash

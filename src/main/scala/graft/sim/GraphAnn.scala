@@ -247,12 +247,21 @@ object GraphAnn {
     spark.read.parquet(m.dirs.values.toSeq.sorted.map(d => s"$path/$d"): _*)
 
   /** Bucket-PRUNED read: only the named buckets' directories are
-    * listed and scanned — the append path's point-lookup shape. */
+    * listed and scanned — the append path's point-lookup shape.
+    * Buckets the layout has never materialized (a batch can hash
+    * entirely into previously-empty buckets) contribute an EMPTY
+    * frame, not an error. */
   private def readBuckets(spark: SparkSession, path: String, m: Meta,
       bkts: Seq[Int]): DataFrame = {
     val dirs = bkts.distinct.sorted.flatMap(m.dirs.get).map(d => s"$path/$d")
-    require(dirs.nonEmpty, "readBuckets on an empty bucket set")
-    spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
+      require(m.dirs.nonEmpty, s"graph layout at $path has no buckets")
+      val schema = spark.read
+        .parquet(s"$path/${m.dirs.values.toSeq.min}").schema
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Distinct bucket ids of `ids` (a one-column "id" frame) — tiny

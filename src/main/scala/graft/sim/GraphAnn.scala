@@ -40,8 +40,11 @@ import org.apache.spark.sql.functions._
   *    newly-scored nodes) expands through the adjacency (one join +
   *    explode), already-visited nodes are anti-joined away, and only
   *    the new nodes are scored against the broadcast queries. Per
-  *    round per query the work is ≤ beam·degree candidate rows —
-  *    bounded by the graph, never by the corpus.
+  *    round per query the work is ≤ beam·degree candidate rows — and
+  *    since r16 the READS match the work: each round point-reads only
+  *    the candidate ids' buckets (one pruned read serves both the
+  *    scoring vectors and the next round's adjacency), so a batch
+  *    never scans the at-rest relation ([[SearchStats]] receipts it).
   *
   * Scores are the exact tier's own expression (round(cosine, 6) via
   * the codegen [[VectorSim.dot]] kernel, ties by id), so a search
@@ -71,6 +74,14 @@ object GraphAnn {
       owners: Long,
       bucketsRewritten: Int,
       bucketsTotal: Int)
+
+  /** What one serving batch actually READ — the r15 `weak` item made
+    * measurable (VERDICT r15 directive #1): `bucketsRead` distinct
+    * layout buckets were listed/scanned across the whole search
+    * (entry rows come from the persisted √n sample, never counted
+    * here), of `bucketsTotal` in the layout. A beam search that
+    * visits v nodes reads at most v buckets — never the corpus. */
+  final case class SearchStats(bucketsRead: Int, bucketsTotal: Int)
 
   // ---- scoring kernel (shared with the exact tier) -----------------
 
@@ -152,7 +163,7 @@ object GraphAnn {
     * dir (generation dirs mix freely — an append repoints only the
     * buckets it rewrote), plus the persisted entry-sample dir and its
     * hash cutoff. */
-  private final case class Meta(
+  private[sim] final case class Meta(
       version: Long,
       count: Long,
       buckets: Int,
@@ -208,7 +219,7 @@ object GraphAnn {
       .map(_.stripSuffix(".json").toLong).maxOption
   }
 
-  private def readMeta(spark: SparkSession, path: String): Meta = {
+  private[sim] def readMeta(spark: SparkSession, path: String): Meta = {
     val f = fsOf(spark, path)
     val v = headVersion(f, path).getOrElse(throw new IllegalStateException(
       s"no graph meta at $path — build the layout with writeGraph first"))
@@ -242,7 +253,7 @@ object GraphAnn {
   }
 
   /** The one-relation view of the graph at head: (id, vec, n, nbrs). */
-  private def readGraph(spark: SparkSession, path: String, m: Meta)
+  private[sim] def readGraph(spark: SparkSession, path: String, m: Meta)
       : DataFrame =
     spark.read.parquet(m.dirs.values.toSeq.sorted.map(d => s"$path/$d"): _*)
 
@@ -278,6 +289,18 @@ object GraphAnn {
       spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
       path: String, k: Int, rounds: Int, blocks: Int,
       buckets: Int = 0): Unit = {
+    // REBUILD = OVERWRITE (ADVICE r15): this call owns the layout
+    // root. A prior layout's meta would poison the rebuild — the
+    // no-clobber publish refuses version 1, and a surviving later
+    // meta would mix old generation pointers with the fresh dirs —
+    // so clear the whole root first. Callers recovering from a
+    // crashed build+append rebuild from scratch, exactly as the
+    // RegSim fixture comment promises.
+    {
+      val f0 = fsOf(spark, path)
+      val root = new Path(path)
+      if (f0.exists(root)) f0.delete(root, true)
+    }
     val v = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("vec"))
       .withColumn("n", VectorSim.norm(col("vec")))
@@ -352,16 +375,27 @@ object GraphAnn {
     // on the semi-join key). Constraint propagation is a plan-level
     // inference with no semantic effect, so it is off for the
     // duration of the append job and restored after.
-    val cpKey = "spark.sql.constraintPropagation.enabled"
-    val cpPrev = spark.conf.getOption(cpKey)
-    spark.conf.set(cpKey, "false")
-    try appendToGraphImpl(spark, path, df, idCol, vecCol,
-      k, beam, iters, entries)
-    finally cpPrev match {
-      case Some(v) => spark.conf.set(cpKey, v)
-      case None => spark.conf.unset(cpKey)
+    // The set/restore is guarded by a JVM-wide lock (ADVICE r15): two
+    // concurrent appends on the same session could otherwise race the
+    // save/restore and leave the flag wrong after both finish.
+    // Appends in one JVM therefore serialize — acceptable, since
+    // concurrent appends to the SAME layout already lose the meta CAS
+    // loudly, and the flag is inference-only (no semantic effect on
+    // any query that observes it mid-append).
+    cpLock.synchronized {
+      val cpKey = "spark.sql.constraintPropagation.enabled"
+      val cpPrev = spark.conf.getOption(cpKey)
+      spark.conf.set(cpKey, "false")
+      try appendToGraphImpl(spark, path, df, idCol, vecCol,
+        k, beam, iters, entries)
+      finally cpPrev match {
+        case Some(v) => spark.conf.set(cpKey, v)
+        case None => spark.conf.unset(cpKey)
+      }
     }
   }
+
+  private val cpLock = new Object
 
   private def appendToGraphImpl(
       spark: SparkSession, path: String,
@@ -376,11 +410,23 @@ object GraphAnn {
     val mNew = newV.count()
     if (mNew == 0)
       return AppendStats(0L, 0L, 0L, 0, meta.dirs.size)
+    // re-appended ids are refused LOUDLY (ADVICE r15): the dedup at
+    // step 3 would keep an arbitrary vector and the meta count would
+    // inflate permanently (it sizes the √n entry phase). The check is
+    // a bucket-pruned point read ∝ batch, never a corpus scan.
+    val nDup = readBuckets(spark, path, meta,
+        bucketsOf(newV.select("id"), b))
+      .select("id").join(newV.select("id"), Seq("id"), "left_semi")
+      .count()
+    require(nDup == 0L,
+      s"append batch carries $nDup ids already present at $path — " +
+        "a re-append is an update, not an append; use fresh ids or " +
+        "rebuild with writeGraph")
 
     // 1) search = insert: the new nodes' true neighborhoods
     val found = searchOver(spark, path, meta,
       newV.select(col("id").as("qid"), col("vec").as("qv")),
-      k, beam, iters, entries)
+      k, beam, iters, entries)._1
     val outE = found.select(col("qid").as("id"), col("id").as("nbr"),
       col("score"))
     val backE = topPerId(found.select(col("id"),
@@ -534,7 +580,19 @@ object GraphAnn {
   def searchGraph(
       spark: SparkSession, path: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int, beam: Int, iters: Int, entries: Int): DataFrame = {
+      k: Int, beam: Int, iters: Int, entries: Int): DataFrame =
+    searchGraphWithStats(spark, path, queries, qidCol, qvecCol,
+      k, beam, iters, entries)._1
+
+  /** [[searchGraph]] plus the read-economics receipt: how many layout
+    * buckets the whole batch actually listed/scanned (the scale spec
+    * pins it ≪ bucketsTotal — serving reads O(visited), never
+    * O(corpus), VERDICT r15 directive #1). */
+  def searchGraphWithStats(
+      spark: SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, beam: Int, iters: Int, entries: Int)
+      : (DataFrame, SearchStats) = {
     val meta = readMeta(spark, path)
     searchOver(spark, path, meta,
       queries.select(col(qidCol).as("qid"),
@@ -542,22 +600,31 @@ object GraphAnn {
       k, beam, iters, entries)
   }
 
+  /** The beam loop, BUCKET-PRUNED end to end (r16; the r15 layout
+    * gave appends point reads — this gives serving the same): per
+    * round the candidate ids' bucket set is collected (≤ B ints, the
+    * [[bucketsOf]] shape) and ONE pruned read fetches (vec, n) for
+    * scoring AND `nbrs` for the NEXT round's expansion, so a batch
+    * reads exactly the buckets its visited set hashes to — never the
+    * at-rest relation. The r15 implementation joined the frontier
+    * against a full readGraph twice per round: correct answers,
+    * O(corpus · iters) read economics; at 100 TB that is the
+    * difference between an ANN lookup and `iters` table scans. */
   private def searchOver(
       spark: SparkSession, path: String, meta: Meta,
       queries: DataFrame, k: Int, beam: Int, iters: Int, entries: Int)
-      : DataFrame = {
-    val g = readGraph(spark, path, meta)
+      : (DataFrame, SearchStats) = {
+    val read = scala.collection.mutable.SortedSet.empty[Int]
+    def prunedRows(ids: DataFrame): DataFrame = {
+      val bks = bucketsOf(ids, meta.buckets)
+      read ++= bks
+      readBuckets(spark, path, meta, bks)
+        .join(ids, Seq("id"), "left_semi")
+        .select("id", "vec", "n", "nbrs")
+        .localCheckpoint(true)
+    }
     val q = broadcast(queries.select(col("qid"), col("qv"))
       .withColumn("qn", VectorSim.norm(col("qv"))))
-    def score(nodes: DataFrame): DataFrame = {
-      val nn = col("n") * col("qn")
-      nodes.join(g.select("id", "vec", "n"), "id")
-        .join(q, "qid")
-        .withColumn("score",
-          round(when(nn > 0, VectorSim.dot(col("vec"), col("qv")) / nn)
-            .otherwise(lit(0.0)), 6))
-        .select("qid", "id", "score")
-    }
     // entry phase from the persisted sample: same hash-minimal prefix
     // the r14 corpus pass computed, now √n rows at rest
     val nSample = math.max(entries,
@@ -578,23 +645,41 @@ object GraphAnn {
       .filter(col("__r") <= entries).drop("__r")
       .localCheckpoint(true)
     var frontier = visited
+    // adjacency of the CURRENT frontier: the entry round point-reads
+    // it; every later round already fetched it while scoring (the
+    // next frontier is always a subset of this round's candidates)
+    var frontierRows = prunedRows(
+      frontier.select("id").distinct().localCheckpoint(true))
     for (_ <- 1 to iters) {
       val cand = frontier
-        .join(g.select(col("id"), col("nbrs")), "id")
+        .join(frontierRows.select(col("id"), col("nbrs")), "id")
         .select(col("qid"), explode(col("nbrs")).as("e"))
         .select(col("qid"), col("e.nbr").as("id"))
         .dropDuplicates("qid", "id")
         .join(visited.select("qid", "id"), Seq("qid", "id"), "left_anti")
-      val fresh = score(cand).localCheckpoint(true)
+        .localCheckpoint(true)
+      val candRows = prunedRows(
+        cand.select("id").distinct().localCheckpoint(true))
+      val nn = col("n") * col("qn")
+      val fresh = cand
+        .join(candRows.select("id", "vec", "n"), "id")
+        .join(q, "qid")
+        .withColumn("score",
+          round(when(nn > 0, VectorSim.dot(col("vec"), col("qv")) / nn)
+            .otherwise(lit(0.0)), 6))
+        .select("qid", "id", "score")
+        .localCheckpoint(true)
       visited = visited.union(fresh).localCheckpoint(true)
       val w = Window.partitionBy("qid")
         .orderBy(col("score").desc, col("id").asc)
       frontier = fresh.withColumn("__r", row_number().over(w))
         .filter(col("__r") <= beam).drop("__r")
+      frontierRows = candRows
     }
     val w = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("id").asc)
-    visited.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    (visited.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k),
+      SearchStats(read.size, meta.dirs.size))
   }
 }

@@ -35,8 +35,10 @@ private[graft] object RegSim {
     * from scratch (writeGraph overwrites, append regenerates its
     * generation dir). */
   private def hnswSharedGraph(s: SparkSession, dir: String): String = {
+    // salt v3: r16 metas carry per-dir counts + split target (a v2
+    // marker would serve a layout the new split/vacuum verbs never saw)
     val path =
-      s"${System.getProperty("java.io.tmpdir")}/graft_hnsw2_${stageTag(dir)}"
+      s"${System.getProperty("java.io.tmpdir")}/graft_hnsw3_${stageTag(dir)}"
     val marker = new java.io.File(s"$path/_fixture_done")
     this.synchronized {
       if (!marker.exists()) {
@@ -48,6 +50,9 @@ private[graft] object RegSim {
           e.filter(pmod(col("vec_id"), lit(2)) === 1),
           "vec_id", "embedding", k = 16, beam = 24, iters = 7,
           entries = 12)
+        // appends retain superseded generations for racing readers
+        // (r16); this fixture owns the layout, so retire them now
+        GraphAnn.vacuumGraph(s, path, keepVersions = 1)
         marker.createNewFile()
       }
     }

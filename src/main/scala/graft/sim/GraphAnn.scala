@@ -159,17 +159,43 @@ object GraphAnn {
 
   // ---- versioned bucketed layout -----------------------------------
 
-  /** Pointer state of one layout version: bucket → root-relative data
-    * dir (generation dirs mix freely — an append repoints only the
-    * buckets it rewrote), plus the persisted entry-sample dir and its
-    * hash cutoff. */
+  /** Pointer state of one layout version: DIR KEY → root-relative
+    * data dir (generation dirs mix freely — an append repoints only
+    * the keys it rewrote), plus the persisted entry-sample dir and
+    * its hash cutoff. A dir key is `"k"` for an unsplit top-level
+    * bucket k, or `"k_j"` for sub-bucket j of a SPLIT bucket (r16
+    * layout maintenance: an append that pushes a bucket past 2× the
+    * build-time `target` rows rewrites that bucket once into
+    * hash-sub-buckets, so long-appended layouts keep file-sized
+    * groups and later appends keep point-sized rewrites). Routing
+    * stays top-level (`xxhash64(id) mod buckets`); a split only
+    * refines the WRITE/REWRITE granularity beneath one top bucket.
+    * `cnts` carries rows per dir key so split decisions are
+    * metadata-only; both are absent on pre-r16 metas (splits stay
+    * off until a rewrite records counts). */
   private[sim] final case class Meta(
       version: Long,
       count: Long,
       buckets: Int,
       cutoff: Long,
       entriesDir: String,
-      dirs: Map[Int, String])
+      dirs: Map[String, String],
+      cnts: Map[String, Long] = Map.empty,
+      target: Long = 0L)
+
+  private def topOf(key: String): Int = key.takeWhile(_ != '_').toInt
+
+  /** Current sub-bucket count of top bucket k (1 = unsplit). */
+  private def subsOf(m: Meta, k: Int): Int = {
+    val n = m.dirs.keys.count(_.startsWith(s"${k}_"))
+    if (n > 0) n else 1
+  }
+
+  /** All dir keys under the named TOP-LEVEL buckets. */
+  private def dirKeysOf(m: Meta, topBkts: Seq[Int]): Seq[String] = {
+    val s = topBkts.toSet
+    m.dirs.keys.toSeq.filter(key => s.contains(topOf(key))).sorted
+  }
 
   private def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -190,9 +216,11 @@ object GraphAnn {
       val ks = m.dirs.keys.toSeq.sorted
       s"""{"version":${m.version},"count":${m.count},""" +
         s""""buckets":${m.buckets},"cutoff":${m.cutoff},""" +
+        s""""target":${m.target},""" +
         s""""entries":"${m.entriesDir}",""" +
-        s""""bkts":[${ks.mkString(",")}],""" +
-        s""""dirs":[${ks.map(k => "\"" + m.dirs(k) + "\"").mkString(",")}]}"""
+        s""""bkts":[${ks.map(k => "\"" + k + "\"").mkString(",")}],""" +
+        s""""dirs":[${ks.map(k => "\"" + m.dirs(k) + "\"").mkString(",")}],""" +
+        s""""cnts":[${ks.map(k => m.cnts.getOrElse(k, 0L)).mkString(",")}]}"""
     }
     val tmp = new Path(new Path(path, "_gmeta"),
       s".tmp-${java.util.UUID.randomUUID()}")
@@ -223,6 +251,12 @@ object GraphAnn {
     val f = fsOf(spark, path)
     val v = headVersion(f, path).getOrElse(throw new IllegalStateException(
       s"no graph meta at $path — build the layout with writeGraph first"))
+    readMetaAt(spark, path, v)
+  }
+
+  private[sim] def readMetaAt(spark: SparkSession, path: String, v: Long)
+      : Meta = {
+    val f = fsOf(spark, path)
     val in = f.open(metaPath(path, v))
     val body = try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -245,11 +279,21 @@ object GraphAnn {
       if (inner.trim.isEmpty) Seq.empty
       else inner.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\""))
     }
-    val bkts = arr("bkts").map(_.toInt)
+    def numOpt(k: String): Option[Long] =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(body).map(_.group(1).toLong)
+    val bkts = arr("bkts")
     val dirs = arr("dirs")
     require(bkts.size == dirs.size, s"corrupt graph meta at $path")
+    // pre-r16 metas carry neither cnts nor target: splits stay off
+    // for buckets whose counts are unknown (the decision is gated on
+    // every dir key of the bucket having a recorded count)
+    val cnts = arr("cnts") match {
+      case cs if cs.size == bkts.size => bkts.zip(cs.map(_.toLong)).toMap
+      case _ => Map.empty[String, Long]
+    }
     Meta(v, num("count"), num("buckets").toInt, num("cutoff"),
-      str("entries"), bkts.zip(dirs).toMap)
+      str("entries"), bkts.zip(dirs).toMap, cnts,
+      numOpt("target").getOrElse(0L))
   }
 
   /** The one-relation view of the graph at head: (id, vec, n, nbrs). */
@@ -257,14 +301,15 @@ object GraphAnn {
       : DataFrame =
     spark.read.parquet(m.dirs.values.toSeq.sorted.map(d => s"$path/$d"): _*)
 
-  /** Bucket-PRUNED read: only the named buckets' directories are
-    * listed and scanned — the append path's point-lookup shape.
-    * Buckets the layout has never materialized (a batch can hash
-    * entirely into previously-empty buckets) contribute an EMPTY
-    * frame, not an error. */
+  /** Bucket-PRUNED read: only the named TOP-LEVEL buckets'
+    * directories (all their sub-bucket dirs, when split) are listed
+    * and scanned — the append path's point-lookup shape. Buckets the
+    * layout has never materialized (a batch can hash entirely into
+    * previously-empty buckets) contribute an EMPTY frame, not an
+    * error. */
   private def readBuckets(spark: SparkSession, path: String, m: Meta,
       bkts: Seq[Int]): DataFrame = {
-    val dirs = bkts.distinct.sorted.flatMap(m.dirs.get).map(d => s"$path/$d")
+    val dirs = dirKeysOf(m, bkts.distinct).map(k => s"$path/${m.dirs(k)}")
     if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
     else {
       require(m.dirs.nonEmpty, s"graph layout at $path has no buckets")
@@ -312,8 +357,14 @@ object GraphAnn {
       .agg(collect_list(struct(col("nbr"), col("score"))).as("nbrs"))
     val gRel = "g1"
     v.join(adj, Seq("id"), "left")
-      .withColumn("bkt", bktExpr(b))
+      .withColumn("bkt", bktExpr(b).cast("string"))
       .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/$gRel")
+    // per-bucket row counts ride in the meta so append-time split
+    // decisions are metadata-only; the target is the build-time
+    // rows-per-bucket this layout considers file-sized
+    val cnts = v.groupBy(bktExpr(b).cast("string").as("__k")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = math.max(1L, (count + b - 1) / b)
     // entry sample: the hash-minimal ~√n nodes, vectors co-located so
     // the entry phase never touches the main relation. Floor 64 keeps
     // any sane `entries` request answerable from the sample alone.
@@ -330,8 +381,8 @@ object GraphAnn {
     val f = fsOf(spark, path)
     val dirs = f.listStatus(new Path(path, gRel)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("bkt="))
-      .map(n => n.stripPrefix("bkt=").toInt -> s"$gRel/$n").toMap
-    writeMeta(f, path, Meta(1L, count, b, cutoff, eRel, dirs))
+      .map(n => n.stripPrefix("bkt=") -> s"$gRel/$n").toMap
+    writeMeta(f, path, Meta(1L, count, b, cutoff, eRel, dirs, cnts, target))
   }
 
   /** INCREMENTAL APPEND, cost ∝ BATCH (VERDICT r14 directive #1): new
@@ -513,29 +564,77 @@ object GraphAnn {
       .groupBy("id")
       .agg(collect_list(struct(col("nbr"), col("score"))).as("nbrs"))
 
-    // 3) rewrite ONLY the touched buckets under a new generation dir
+    // 3) rewrite ONLY the touched sub-buckets under a new generation
+    // dir — and SPLIT any top-level bucket this append pushes past
+    // 2× the build-time target rows (r16 layout maintenance): the
+    // split rewrites that whole bucket once, redistributing its rows
+    // across ceil(rows/target) hash-sub-dirs — the compaction shape,
+    // amortized — so long-appended layouts keep file-sized groups and
+    // later appends keep point-sized rewrites. Decisions are
+    // metadata-only: per-dir row counts ride in the meta.
     val vOwnersOld = bucketRows.join(owners, Seq("id"), "left_semi")
       .select("id", "vec", "n")
     val changedRows = vOwnersOld.union(newV.select("id", "vec", "n"))
-      .dropDuplicates("id")
       .join(mergedLists, Seq("id"), "left")
     val changedIds = changedRows.select("id").localCheckpoint(true)
-    val rewriteBkts = bucketsOf(changedIds, b)
+    val topBkts = bucketsOf(changedIds, b)
+    val addsPerBkt = newV.select(bktExpr(b).as("__k"))
+      .groupBy("__k").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val splitTo: Map[Int, Int] = topBkts.flatMap { tk =>
+      val keys = meta.dirs.keys.filter(key => topOf(key) == tk).toSeq
+      val known = keys.forall(meta.cnts.contains)
+      val projected = keys.map(meta.cnts.getOrElse(_, 0L)).sum +
+        addsPerBkt.getOrElse(tk, 0L)
+      val cur = subsOf(meta, tk)
+      if (meta.target > 0 && known &&
+          projected > 2L * meta.target * cur)
+        Some(tk -> math.min(64L,
+          (projected + meta.target - 1) / meta.target).toInt)
+      else None
+    }.toMap
+    val subsCur: Map[Int, Int] = topBkts.map(tk => tk -> subsOf(meta, tk)).toMap
+    val subsNew: Map[Int, Int] =
+      topBkts.map(tk => tk -> splitTo.getOrElse(tk, subsCur(tk))).toMap
+    // dir-key column under a given top-bucket → sub-count assignment
+    def keyed(df: DataFrame, subs: Map[Int, Int]): DataFrame = {
+      import spark.implicits._
+      val subsDf = broadcast(subs.toSeq.toDF("__k", "__s"))
+      df.withColumn("__k", bktExpr(b))
+        .join(subsDf, "__k")
+        .withColumn("bkt",
+          when(col("__s") === 1, col("__k").cast("string"))
+            .otherwise(concat(col("__k").cast("string"), lit("_"),
+              pmod(xxhash64(col("id"), lit(1)), col("__s").cast("long"))
+                .cast("string"))))
+        .drop("__k", "__s")
+    }
+    // dir keys being superseded: every key of a SPLITTING bucket, and
+    // the (current-layout) keys holding changed rows elsewhere
+    val changedKeys: Set[String] = keyed(changedIds, subsCur)
+      .select("bkt").distinct().collect().map(_.getString(0)).toSet
+    val rewrittenOld: Set[String] = meta.dirs.keys.filter { key =>
+      splitTo.contains(topOf(key)) || changedKeys.contains(key)
+    }.toSet
     val gRel = s"g${meta.version + 1}"
+    val carriedDirs = rewrittenOld.toSeq.sorted
+      .map(key => s"$path/${meta.dirs(key)}")
     val carried = (
-      if (rewriteBkts.exists(meta.dirs.contains))
-        readBuckets(spark, path, meta,
-            rewriteBkts.filter(meta.dirs.contains))
+      if (carriedDirs.nonEmpty)
+        spark.read.parquet(carriedDirs: _*)
           .join(changedIds, Seq("id"), "left_anti")
-      else changedRows.limit(0).select("id", "vec", "n", "nbrs")
+      else changedRows.limit(0)
     ).select("id", "vec", "n", "nbrs")
-    carried.union(changedRows.select("id", "vec", "n", "nbrs"))
-      .withColumn("bkt", bktExpr(b))
-      .write.partitionBy("bkt").mode("overwrite").parquet(s"$path/$gRel")
+    val toWrite = keyed(
+      carried.union(changedRows.select("id", "vec", "n", "nbrs")), subsNew)
+      .localCheckpoint(true)
+    val wroteCnts = toWrite.groupBy("bkt").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toWrite.write.partitionBy("bkt").mode("overwrite").parquet(s"$path/$gRel")
     val f = fsOf(spark, path)
     val newDirs = f.listStatus(new Path(path, gRel)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("bkt="))
-      .map(n => n.stripPrefix("bkt=").toInt -> s"$gRel/$n").toMap
+      .map(n => n.stripPrefix("bkt=") -> s"$gRel/$n").toMap
 
     // 4) entry sample absorbs under-cutoff batch nodes
     val adds = newV.withColumn("__h", xxhash64(col("id")))
@@ -550,21 +649,67 @@ object GraphAnn {
         rel
       }
 
-    // 5) pointer flip: untouched buckets ride by reference
+    // 5) pointer flip: untouched dir keys ride by reference.
+    // Superseded generation/entry dirs are RETAINED (r16, the
+    // CommitLog vacuum discipline): a racing reader that resolved the
+    // old meta just before the flip keeps a complete snapshot until
+    // [[vacuumGraph]] retires versions explicitly — the r15
+    // delete-at-flip best-effort window is gone.
+    val keptDirs = meta.dirs -- rewrittenOld
+    val nextDirs = keptDirs ++ newDirs
+    val nextCnts = meta.cnts.filter(kv => keptDirs.contains(kv._1)) ++
+      wroteCnts.filter(kv => newDirs.contains(kv._1))
     val next = Meta(meta.version + 1, meta.count + mNew, b, meta.cutoff,
-      eRel, meta.dirs ++ newDirs)
+      eRel, nextDirs, nextCnts, meta.target)
     writeMeta(f, path, next)
-    // superseded generation dirs are garbage now; best-effort retire
-    // (a reader that resolved the OLD meta before the flip keeps its
-    // snapshot only until this delete — the Delta-style vacuum-lag
-    // seam, acceptable because appenders own the layout)
-    meta.dirs.filter { case (bk, d) =>
-      newDirs.contains(bk) && !next.dirs.values.toSet.contains(d)
-    }.values.toSet[String]
-      .foreach(d => f.delete(new Path(path, d), true))
-    if (eRel != meta.entriesDir)
-      f.delete(new Path(path, meta.entriesDir), true)
     AppendStats(mNew, nCands, nOwners, newDirs.size, next.dirs.size)
+  }
+
+  /** Retire layout history: keep the newest `keepVersions` metas and
+    * delete every meta file, generation sub-dir, and entry-sample dir
+    * none of them references (the CommitLog `vacuumUnreferenced`
+    * discipline on the graph layout, VERDICT r15 directive #5).
+    * Readers holding a RETAINED meta keep complete snapshots; callers
+    * control the race window instead of the append deciding for them.
+    * Returns the number of directories deleted. */
+  def vacuumGraph(spark: SparkSession, path: String,
+      keepVersions: Int): Int = {
+    require(keepVersions >= 1, "vacuumGraph must keep at least the head")
+    val f = fsOf(spark, path)
+    val d = new Path(path, "_gmeta")
+    val vs =
+      if (!f.exists(d)) Seq.empty[Long]
+      else f.listStatus(d).toSeq.map(_.getPath.getName)
+        .filter(n => n.endsWith(".json") && !n.startsWith("."))
+        .map(_.stripSuffix(".json").toLong).sorted
+    require(vs.nonEmpty, s"no graph meta at $path — nothing to vacuum")
+    val kept = vs.takeRight(keepVersions)
+    val refd: Set[String] = kept.flatMap { v =>
+      val m = readMetaAt(spark, path, v)
+      m.dirs.values.toSeq :+ m.entriesDir
+    }.toSet
+    vs.dropRight(keepVersions)
+      .foreach(v => f.delete(metaPath(path, v), false))
+    var deleted = 0
+    f.listStatus(new Path(path)).foreach { st =>
+      val name = st.getPath.getName
+      if (st.isDirectory && name != "_gmeta") {
+        if (name.startsWith("e") && !refd.contains(name)) {
+          f.delete(st.getPath, true); deleted += 1
+        } else if (name.startsWith("g")) {
+          f.listStatus(st.getPath).foreach { c =>
+            val cn = c.getPath.getName
+            if (cn.startsWith("bkt=") && !refd.contains(s"$name/$cn")) {
+              f.delete(c.getPath, true); deleted += 1
+            }
+          }
+          if (!f.listStatus(st.getPath).exists(
+              _.getPath.getName.startsWith("bkt=")))
+            f.delete(st.getPath, true)
+        }
+      }
+    }
+    deleted
   }
 
   /** Distributed best-first beam search for a batch of queries over

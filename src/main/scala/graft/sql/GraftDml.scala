@@ -215,8 +215,11 @@ object GraftDml {
   /** Resolve `<alias>.<name>` → table root via the session-bound
     * warehouse alias and its persisted catalog; None when the alias
     * is unbound or the name is uncataloged (falls through to Spark). */
-  private[sql] def catalogResolve(parts: Seq[String]): Option[String] = {
-    val s = SparkSession.active
+  private[sql] def catalogResolve(parts: Seq[String]): Option[String] =
+    catalogResolve(SparkSession.active, parts)
+
+  private[sql] def catalogResolve(s: SparkSession, parts: Seq[String])
+      : Option[String] = {
     val alias = parts.head.toLowerCase(java.util.Locale.ROOT)
     val name = parts(1).toLowerCase(java.util.Locale.ROOT)
     s.conf.getOption(s"spark.graft.catalog.$alias").filter(_.nonEmpty)

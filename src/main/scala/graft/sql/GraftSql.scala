@@ -44,6 +44,12 @@ class GraftSqlParser(delegate: ParserInterface)
   *                                        on every eligible column,
   *                                        registered (view + rules +
   *                                        DML router) and cataloged
+  *   CREATE TABLE <name> (<col type, …>)  empty table with a declared
+  *                                        schema (r16 — the ingest-
+  *                                        lands-later pattern): one
+  *                                        zero-row stats-bearing commit,
+  *                                        registered + cataloged, ready
+  *                                        for INSERT / streaming ingest
   *   DROP TABLE <name>                    unregister + drop the catalog
   *                                        entry (data + history stay on
   *                                        disk — external-table
@@ -52,7 +58,19 @@ class GraftSqlParser(delegate: ParserInterface)
   *   RESTORE CATALOG                      one-call session bootstrap:
   *                                        every cataloged table gets its
   *                                        pinned view, the rule pair,
-  *                                        and DML routing
+  *                                        DML routing, and every
+  *                                        persisted MV's rewrite rule
+  *   CREATE MATERIALIZED VIEW <n> AS      build the summary table under
+  *     SELECT <group cols, count(*) AS c, <warehouse>/<n>, persist the
+  *       sum/min/max(m) AS a, …>          MvDef in the catalog, attach
+  *     FROM <table> [WHERE p] GROUP BY …  the transparent rewrite rule
+  *                                        (freshness-gated; r16)
+  *   REFRESH MATERIALIZED VIEW <n>        incremental fold of the base
+  *                                        versions committed since the
+  *                                        last refresh (never a rescan)
+  *   DROP MATERIALIZED VIEW <n>           retire the MvDef + this
+  *                                        session's rule; summary data
+  *                                        stays (external semantics)
   *
   * Statements naming an UNREGISTERED table — or any CREATE/DROP when
   * no graft warehouse is configured — fall through to Spark's own
@@ -62,7 +80,7 @@ class GraftSqlParser(delegate: ParserInterface)
 private[sql] object GraftMaintenance {
 
   import org.apache.spark.sql.SparkSession
-  import graft.sources.{Catalog, CommitLog, TableInfo}
+  import graft.sources.{Catalog, CommitLog, MvIncremental, TableInfo}
 
   /** Session conf key naming the graft warehouse root — the DDL gate. */
   val WarehouseKey = "spark.graft.warehouse"
@@ -78,13 +96,24 @@ private[sql] object GraftMaintenance {
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+(\\w+)\\s*;?\\s*$".r
   private val Create =
     "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
+  private val CreateSchema =
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s*\\((.+)\\)\\s*;?\\s*$".r
   private val Drop = "(?is)^\\s*DROP\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
   private val Restore = "(?is)^\\s*RESTORE\\s+CATALOG\\s*;?\\s*$".r
   private val AddCheck =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)" +
-      "\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$").r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+(?:\\.\\w+)?)\\s+ADD\\s+CONSTRAINT" +
+      "\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$").r
   private val DropCheck =
-    "(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*;?\\s*$".r
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+(?:\\.\\w+)?)\\s+DROP\\s+CONSTRAINT" +
+      "\\s+(\\w+)\\s*;?\\s*$").r
+  private val CreateMv =
+    ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s+AS\\s+" +
+      "SELECT\\s+(.+?)\\s+FROM\\s+(\\w+(?:\\.\\w+)?)" +
+      "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*$").r
+  private val DropMv =
+    "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s*;?\\s*$".r
+  private val RefreshMv =
+    "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s*;?\\s*$".r
 
   private def warehouse: Option[String] =
     SparkSession.getActiveSession
@@ -100,6 +129,17 @@ private[sql] object GraftMaintenance {
     if (name.contains('.'))
       GraftDml.catalogResolve(name.split("\\.").toSeq)
     else GraftTables.lookupActive(name)
+
+  /** Run-time re-resolution in the EXECUTING session (ADVICE r15):
+    * a maintenance plan parsed under one session must not retire
+    * files or mutate the CHECK set of a table the executing session
+    * never registered — the [[GraftDmlCommand]] discipline, applied
+    * to the maintenance verbs. */
+  private[sql] def reResolve(s: SparkSession, name: String)
+      : Option[String] =
+    if (name.contains('.'))
+      GraftDml.catalogResolve(s, name.split("\\.").toSeq)
+    else GraftTables.lookup(s, name)
 
   /** CTAS: run the SELECT, land ONE stats-bearing commit under
     * <warehouse>/<name>, register + catalog. Eligible zone-map columns
@@ -145,6 +185,168 @@ private[sql] object GraftMaintenance {
     Catalog.drop(s, wh, key)
   }
 
+  private def requireWarehouse(s: SparkSession, verb: String): String =
+    s.conf.getOption(WarehouseKey).filter(_.nonEmpty).getOrElse(
+      throw new IllegalArgumentException(
+        s"$verb needs SET $WarehouseKey = <root> in this session"))
+
+  /** CREATE TABLE with an EXPLICIT SCHEMA and no rows (VERDICT r15
+    * directive #4 — the ingest-lands-later pattern): land ONE
+    * zero-row commit carrying the declared schema (a single empty
+    * parquet file, so every later read — including the pinned view —
+    * resolves the schema from data files like any other version),
+    * with zone-map stats declared on every eligible column so the
+    * table prunes from its first INSERT on. Registered + cataloged
+    * exactly like CTAS. */
+  private def runCreateSchema(s: SparkSession, name: String,
+      colsDdl: String): Long = {
+    val wh = requireWarehouse(s, "CREATE TABLE")
+    val key = lc(name)
+    require(!Catalog.entries(s, wh).contains(key),
+      s"table '$name' already exists in the catalog at $wh — " +
+        "DROP TABLE it first")
+    val table = s"$wh/$key"
+    require(CommitLog.currentVersion(s, table).isEmpty,
+      s"$table already holds a commit log — choose another name or " +
+        "vacuum the directory")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(colsDdl)
+    // one partition, zero rows: the write must emit a real (empty)
+    // parquet file so the schema is durable in data, not only in SQL
+    val df = s.createDataFrame(
+      s.sparkContext.parallelize(Seq.empty[org.apache.spark.sql.Row], 1),
+      schema)
+    import org.apache.spark.sql.types._
+    val eligible = schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType, DateType,
+        TimestampType, StringType).contains(f.dataType) => f.name
+    }.toSeq
+    val v =
+      if (eligible.nonEmpty) CommitLog.appendWithStats(s, df, table, eligible)
+      else CommitLog.append(s, df, table)
+    GraftTables.register(s, table, key)
+    Catalog.register(s, wh, key, table)
+    v
+  }
+
+  // ---- MATERIALIZED VIEW DDL (VERDICT r15 directive #2) ------------
+  //
+  // The one verb that was still Scala-only in an otherwise
+  // SQL-complete lakehouse lifecycle. The grammar is exactly the
+  // rewrite rule's contract — SELECT <group cols + count(*)/sum/min/
+  // max aliases> FROM <registered or cataloged log table> [WHERE
+  // <pred>] GROUP BY <group cols> — so anything CREATE accepts, the
+  // MvRewrite/MvIncremental pair can serve and refresh. Anything
+  // else refuses loudly at parse of the select list, never lands a
+  // summary the rule would decline.
+
+  private final case class MvSelect(
+      groupCols: Seq[String], cntCol: String,
+      sums: Map[String, String], mins: Map[String, String],
+      maxes: Map[String, String])
+
+  private val ItemCount = "(?is)^count\\(\\s*\\*\\s*\\)\\s+AS\\s+(\\w+)$".r
+  private val ItemAgg = "(?is)^(sum|min|max)\\((\\w+)\\)\\s+AS\\s+(\\w+)$".r
+  private val ItemBare = "(?s)^(\\w+)$".r
+
+  private def parseMvSelect(selectList: String, groupBy: String)
+      : MvSelect = {
+    val items = selectList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val groupCols = groupBy.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    var cnt = Option.empty[String]
+    var sums = Map.empty[String, String]
+    var mins = Map.empty[String, String]
+    var maxes = Map.empty[String, String]
+    var bare = Seq.empty[String]
+    items.foreach {
+      case ItemCount(alias) =>
+        require(cnt.isEmpty, "exactly one count(*) AS <alias> is required")
+        cnt = Some(alias)
+      case ItemAgg(fn, m, alias) => fn.toLowerCase(java.util.Locale.ROOT) match {
+        case "sum" => sums += (m -> alias)
+        case "min" => mins += (m -> alias)
+        case "max" => maxes += (m -> alias)
+      }
+      case ItemBare(c) => bare = bare :+ c
+      case other => throw new IllegalArgumentException(
+        s"unsupported MV select item '$other' — use group columns, " +
+          "count(*) AS <a>, and sum/min/max(<col>) AS <a>")
+    }
+    require(bare.sorted == groupCols.sorted,
+      s"MV select columns ${bare.mkString(",")} must equal GROUP BY " +
+        s"${groupCols.mkString(",")}")
+    MvSelect(groupCols,
+      cnt.getOrElse(throw new IllegalArgumentException(
+        "an MV needs count(*) AS <alias> (partial counts re-merge " +
+          "rollups and drive incremental refresh)")),
+      sums, mins, maxes)
+  }
+
+  private def attachMv(s: SparkSession, mv: graft.plans.MvDef): Unit = {
+    val have = s.experimental.extraOptimizations.collect {
+      case r: graft.plans.MvRewrite => r.mv
+    }.toSet
+    if (!have.contains(mv))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ new graft.plans.MvRewrite(s, mv)
+  }
+
+  private def runCreateMv(s: SparkSession, name: String,
+      selectList: String, baseName: String, whereOpt: Option[String],
+      groupBy: String): Long = {
+    val wh = requireWarehouse(s, "CREATE MATERIALIZED VIEW")
+    val key = lc(name)
+    val summ = s"$wh/$key"
+    require(!Catalog.entries(s, wh).contains(key),
+      s"'$name' already names a table in the catalog at $wh")
+    require(!Catalog.mvDefs(s, wh).exists(_.summaryPath == summ),
+      s"materialized view '$name' already exists at $wh — DROP it first")
+    val base = reResolve(s, baseName).getOrElse(
+      throw new IllegalArgumentException(
+        s"MV base '$baseName' is not a registered or cataloged table"))
+    val sel = parseMvSelect(selectList, groupBy)
+    val pred = whereOpt.map(_.trim).getOrElse("")
+    MvIncremental.refresh(s, base, summ, key, sel.groupCols, sel.cntCol,
+      sel.sums, sel.mins, sel.maxes, predicateSql = pred)
+    val mv = graft.plans.MvDef(base, summ, sel.groupCols, sel.cntCol,
+      sel.sums, sel.mins, sel.maxes, logTables = true, feedTag = key,
+      predicateSql = pred)
+    val v = Catalog.registerMv(s, wh, mv)
+    attachMv(s, mv)
+    v
+  }
+
+  private def mvByName(s: SparkSession, wh: String, name: String)
+      : graft.plans.MvDef =
+    Catalog.mvDefs(s, wh).find(_.summaryPath == s"$wh/${lc(name)}")
+      .getOrElse(throw new IllegalArgumentException(
+        s"no materialized view '$name' in the catalog at $wh"))
+
+  private def runDropMv(s: SparkSession, name: String): Long = {
+    val wh = requireWarehouse(s, "DROP MATERIALIZED VIEW")
+    val mv = mvByName(s, wh, name)
+    // retire the definition + this session's rule; the summary table
+    // and its history stay on disk (external-table semantics, the
+    // DROP TABLE discipline)
+    val v = Catalog.dropMv(s, wh, mv.summaryPath)
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations.filter {
+        case r: graft.plans.MvRewrite => r.mv != mv
+        case _ => true
+      }
+    v
+  }
+
+  private def runRefreshMv(s: SparkSession, name: String): Long = {
+    val wh = requireWarehouse(s, "REFRESH MATERIALIZED VIEW")
+    val mv = mvByName(s, wh, name)
+    MvIncremental.refresh(s, mv.basePath, mv.summaryPath, mv.feedTag,
+      mv.groupCols, mv.cntCol, mv.sumCols, mv.minCols, mv.maxCols,
+      predicateSql = mv.predicateSql) match {
+      case Some((_, to)) => to
+      case None => 0L // already fresh — idempotent, not an error
+    }
+  }
+
   def intercept(sql: String): Option[LogicalPlan] = sql match {
     case Optimize(view) => resolveTarget(view).map { table =>
       GraftMaintenanceCommand("optimize", s => {
@@ -157,12 +359,12 @@ private[sql] object GraftMaintenance {
         CommitLog.compactManifests(s, table)
         if (!view.contains('.')) GraftTables.register(s, table, view)
         v
-      })
+      }, view, table)
     }
     case Vacuum(view, n) => resolveTarget(view).map { table =>
       GraftMaintenanceCommand("vacuum", s =>
         CommitLog.vacuumUnreferenced(s, table, keepVersions = n.toInt)
-          .toLong)
+          .toLong, view, table)
     }
     case History(view) => resolveTarget(view).map { table =>
       TableInfo.history(SparkSession.active, table)
@@ -185,12 +387,13 @@ private[sql] object GraftMaintenance {
       Some(Catalog.entries(s, wh).toSeq.sorted
         .toDF("name", "root").queryExecution.logical)
     }
-    // constraint DDL on registered views — the Delta ALTER TABLE
-    // verbs, routed to the persisted CHECK set (a set the live rows
-    // already violate refuses; UPDATE/MERGE/INSERT images are audited
-    // against it from the next statement on)
+    // constraint DDL on registered views OR `<alias>.<name>` catalog
+    // targets (r16 — the r14 #6 two-part rule now covers EVERY verb)
+    // — the Delta ALTER TABLE verbs, routed to the persisted CHECK
+    // set (a set the live rows already violate refuses; UPDATE/MERGE/
+    // INSERT images are audited against it from the next statement on)
     case AddCheck(view, name, exprStr) =>
-      GraftTables.lookupActive(view).map { table =>
+      resolveTarget(view).map { table =>
         GraftMaintenanceCommand("add_constraint", s => {
           import graft.sources.Constraints
           val cs = Constraints.checks(s, table)
@@ -198,10 +401,10 @@ private[sql] object GraftMaintenance {
             s"constraint '$name' already exists at $table — DROP it first")
           Constraints.setChecks(s, table,
             cs :+ Constraints.Check(name, exprStr.trim))
-        })
+        }, view, table)
       }
     case DropCheck(view, name) =>
-      GraftTables.lookupActive(view).map { table =>
+      resolveTarget(view).map { table =>
         GraftMaintenanceCommand("drop_constraint", s => {
           import graft.sources.Constraints
           val cs = Constraints.checks(s, table)
@@ -211,14 +414,26 @@ private[sql] object GraftMaintenance {
           val rest = cs.filterNot(_.name.equalsIgnoreCase(name))
           if (rest.isEmpty) Constraints.clearChecks(s, table)
           else Constraints.setChecks(s, table, rest)
-        })
+        }, view, table)
       }
     // DDL only engages when the session opted into a graft warehouse;
     // DROP additionally requires the name to be cataloged there, so a
     // Spark-catalog DROP keeps Spark's own surface
+    case CreateMv(name, selectList, baseName, where, groupBy)
+        if warehouse.isDefined =>
+      Some(GraftMaintenanceCommand("create_mv", s =>
+        runCreateMv(s, name, selectList, baseName,
+          Option(where), groupBy)))
+    case DropMv(name) if warehouse.isDefined =>
+      Some(GraftMaintenanceCommand("drop_mv", s => runDropMv(s, name)))
+    case RefreshMv(name) if warehouse.isDefined =>
+      Some(GraftMaintenanceCommand("refresh_mv", s => runRefreshMv(s, name)))
     case Create(name, select) if warehouse.isDefined =>
       Some(GraftMaintenanceCommand("create",
         s => runCreate(s, name, select)))
+    case CreateSchema(name, colsDdl) if warehouse.isDefined =>
+      Some(GraftMaintenanceCommand("create",
+        s => runCreateSchema(s, name, colsDdl)))
     case Drop(name) if warehouse.exists(wh =>
         Catalog.entries(SparkSession.active, wh).contains(lc(name))) =>
       Some(GraftMaintenanceCommand("drop", s => runDrop(s, name)))
@@ -230,9 +445,15 @@ private[sql] object GraftMaintenance {
 }
 
 /** Eager maintenance statement: (verb, value) — the committed version
-  * for OPTIMIZE, the retired-file count for VACUUM. */
+  * for OPTIMIZE, the retired-file count for VACUUM. When the verb
+  * targeted a named table (`view` non-empty), the binding is
+  * RE-VERIFIED in the EXECUTING session before the body runs (ADVICE
+  * r15, mirroring [[GraftDmlCommand]]): a plan parsed under one
+  * session must not retire files or mutate the CHECK set of a table
+  * the executing session never registered. */
 case class GraftMaintenanceCommand(verb: String,
-    body: org.apache.spark.sql.SparkSession => Long)
+    body: org.apache.spark.sql.SparkSession => Long,
+    view: String = "", table: String = "")
   extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
 
   override val output
@@ -244,8 +465,16 @@ case class GraftMaintenanceCommand(verb: String,
         "value", org.apache.spark.sql.types.LongType, nullable = false)())
 
   override def run(sparkSession: org.apache.spark.sql.SparkSession)
-      : Seq[org.apache.spark.sql.Row] =
+      : Seq[org.apache.spark.sql.Row] = {
+    if (view.nonEmpty) {
+      val again = GraftMaintenance.reResolve(sparkSession, view)
+      require(again.contains(table),
+        s"'$view' does not resolve to $table in the executing session " +
+          s"(got ${again.getOrElse("nothing")}) — maintenance verbs run " +
+          "only against the executing session's own registrations")
+    }
     Seq(org.apache.spark.sql.Row(verb, body(sparkSession)))
+  }
 }
 
 object GraftSql {

@@ -246,6 +246,92 @@ class GraphAnnSpec extends SparkSpec {
     assert(GraphAnn.readGraph(spark, path, m).count() == 120L)
   }
 
+  test("racing reader: a meta resolved before the flip stays readable until vacuum") {
+    val df = fixture().limit(200)
+    val path = java.nio.file.Files
+      .createTempDirectory("gannv").toString + "/g"
+    GraphAnn.writeGraph(spark, df.filter(col("id") < 150), "id", "vec",
+      path, k = 4, rounds = 1, blocks = 6, buckets = 16)
+    val mOld = GraphAnn.readMeta(spark, path)
+    GraphAnn.appendToGraph(spark, path, df.filter(col("id") >= 150),
+      "id", "vec", k = 4, beam = 8, iters = 3, entries = 4)
+    // the OLD meta's snapshot is complete post-flip (r16 retention:
+    // appends never delete superseded dirs)
+    assert(GraphAnn.readGraph(spark, path, mOld).count() == 150L,
+      "a reader holding the pre-append meta must still see its full snapshot")
+    val mNew = GraphAnn.readMeta(spark, path)
+    assert(mNew.version == mOld.version + 1)
+    assert(GraphAnn.readGraph(spark, path, mNew).count() == 200L)
+    // vacuum to head: the old version's private dirs retire, the old
+    // meta file is gone, the head still serves
+    val deleted = GraphAnn.vacuumGraph(spark, path, keepVersions = 1)
+    assert(deleted > 0, "vacuum must retire the superseded generation dirs")
+    intercept[Exception] {
+      GraphAnn.readMetaAt(spark, path, mOld.version)
+    }
+    val queries = df.filter(col("id") === 0L)
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    assert(GraphAnn.searchGraph(spark, path, queries, "qid", "qv",
+      k = 5, beam = 8, iters = 3, entries = 4).count() == 5L)
+  }
+
+  test("bucket split: an append past 2x target redistributes into sub-buckets") {
+    val df = fixture() // 360 rows
+    val path = java.nio.file.Files
+      .createTempDirectory("gannx").toString + "/g"
+    // 4 buckets over 100 rows → target 25 rows/bucket
+    GraphAnn.writeGraph(spark, df.filter(col("id") < 100), "id", "vec",
+      path, k = 12, rounds = 2, blocks = 8, buckets = 4)
+    val m1 = GraphAnn.readMeta(spark, path)
+    assert(m1.target == 25L)
+    assert(m1.cnts.values.sum == 100L, "build must record per-dir counts")
+    // append 260 fresh ids across three batches (batch ≲ corpus keeps
+    // insert quality, the documented append contract): buckets grow
+    // toward ~90 rows > 2×25, so splits fire mid-sequence and later
+    // appends land on the already-split layout
+    Seq((100L, 190L), (190L, 280L), (280L, 360L)).foreach { case (lo, hi) =>
+      GraphAnn.appendToGraph(spark, path,
+        df.filter(col("id") >= lo && col("id") < hi),
+        "id", "vec", k = 12, beam = 16, iters = 6, entries = 6)
+    }
+    val m2 = GraphAnn.readMeta(spark, path)
+    val splitKeys = m2.dirs.keys.filter(_.contains("_"))
+    assert(splitKeys.nonEmpty,
+      s"no bucket split at 3.6× target; dirs=${m2.dirs.keys.toSeq.sorted}")
+    // counts stay exact through the split
+    assert(m2.cnts.values.sum == 360L,
+      s"post-split counts ${m2.cnts.values.sum} != 360")
+    // sub-dirs are file-sized again: no dir key holds > 2× target
+    m2.cnts.foreach { case (k, n) =>
+      assert(n <= 2L * m2.target, s"dir $k still holds $n > 2×target rows")
+    }
+    // and the split layout still serves: full recall on cluster queries
+    val queries = df.filter(col("id").isin(0L, 101L, 250L))
+      .select(col("id").as("qid"), col("vec").as("qv"))
+    val got = GraphAnn.searchGraph(spark, path, queries, "qid", "qv",
+      k = 10, beam = 16, iters = 8, entries = 6)
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val exact = VectorSim.topKBatch(df, "vec", queries, "qid", "qv",
+      k = 10, tieBreak = "id")
+      .select("qid", "id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.map { case (q, ex) =>
+      got.getOrElse(q, Set.empty).intersect(ex).size / 10.0 }.sum / exact.size
+    assert(recall >= 0.9, s"post-split recall@10 $recall")
+    // a FURTHER small append lands on the already-split layout: same
+    // dir-key set (sub-dirs repointed, none escalated into re-splits)
+    val extra = df.filter(col("id") < 100)
+      .select((col("id") + 1000L).as("id"), col("vec"))
+    val st = GraphAnn.appendToGraph(spark, path, extra.limit(3), "id",
+      "vec", k = 12, beam = 12, iters = 4, entries = 6)
+    assert(st.appended == 3L)
+    val m3 = GraphAnn.readMeta(spark, path)
+    assert(m3.dirs.keySet == m2.dirs.keySet,
+      s"a 3-row append must not re-split: ${m2.dirs.keySet.toSeq.sorted} " +
+        s"-> ${m3.dirs.keySet.toSeq.sorted}")
+  }
+
   test("bounded per-round work: candidates come from the graph, not the corpus") {
     // structural: one search round scores at most frontier×degree new
     // nodes per query — for beam 2 over a degree-4 graph that is ≤ 8

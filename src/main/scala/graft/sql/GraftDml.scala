@@ -436,8 +436,24 @@ object GraftDml {
     val m = CommitLog.readManifest(s, table,
       CommitLog.currentVersion(s, table).getOrElse(
         throw new IllegalArgumentException(s"no committed version at $table")))
-    val statsCols = (m.colStats.keys ++ m.strStats.keys).toSeq.distinct
+    val observed = (m.colStats.keys ++ m.strStats.keys).toSeq.distinct
       .filterNot(_.startsWith("__")).sorted
+    // a table with no observable stats yet — the zero-row commit of
+    // `CREATE TABLE (schema)` produces no cells (sparse stats record
+    // only non-null-bearing files) — stats its declared schema's
+    // eligible columns from the FIRST real write on (the CTAS
+    // eligibility rule), so the ingest-lands-later table prunes from
+    // its first SELECT (r16)
+    val statsCols =
+      if (observed.nonEmpty) observed
+      else {
+        import org.apache.spark.sql.types._
+        CommitLog.read(s, table).schema.fields.collect {
+          case f if Seq(ByteType, ShortType, IntegerType, LongType,
+            DateType, TimestampType, StringType).contains(f.dataType) =>
+            f.name
+        }.toSeq.sorted
+      }
     val write = if (overwrite) Constraints.checkedReplace _
       else Constraints.checkedAppend _
     val v = write(s, aligned, table, statsCols) match {

@@ -104,4 +104,77 @@ class GraftSqlDdlSpec extends SparkSpec {
     assert(ex.getMessage.contains("already exists"))
     GraftSql.sql(spark, "DROP TABLE tdup")
   }
+
+  test("CREATE TABLE with an explicit schema: empty, typed, " +
+      "INSERT-ready, prunable from the first SELECT (r16)") {
+    val wh = Files.createTempDirectory("ddlwh3").toString
+    GraftSql.sql(spark, s"SET spark.graft.warehouse = $wh")
+    val c = GraftSql.sql(spark,
+      "CREATE TABLE tempty (k BIGINT, ym STRING, cents BIGINT)")
+    assert(c.head().getString(0) == "create")
+    // typed + empty from the start
+    val empty = GraftSql.sql(spark, "SELECT * FROM tempty")
+    assert(empty.schema.map(_.name) == Seq("k", "ym", "cents"))
+    assert(empty.count() == 0L)
+    // column-list INSERT NULL-fills the unnamed column and the table
+    // prunes from this FIRST real write (schema-derived stats)
+    GraftSql.sql(spark, "INSERT INTO tempty (ym, k) VALUES " +
+      "('2024-01', CAST(1 AS BIGINT)), ('2024-02', CAST(2 AS BIGINT))")
+    val row = GraftSql.sql(spark,
+      "SELECT count(*) AS n, count(cents) AS nc FROM tempty").head()
+    assert(row.getLong(0) == 2L && row.getLong(1) == 0L,
+      "cents must NULL-fill")
+    val probe = GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM tempty WHERE ym = '2099-12'")
+    val full = GraftSql.sql(spark, "SELECT * FROM tempty")
+    assert(scanned(probe) < scanned(full),
+      s"first-write stats must prune: ${scanned(probe)} of ${scanned(full)}")
+    // constraint DDL composes: a CHECK lands, audits the next insert
+    GraftSql.sql(spark,
+      "ALTER TABLE tempty ADD CONSTRAINT k_pos CHECK (k > 0)")
+    intercept[Exception] {
+      GraftSql.sql(spark, "INSERT INTO tempty (k, ym) VALUES " +
+        "(CAST(-1 AS BIGINT), '2024-03')")
+    }
+    GraftSql.sql(spark, "DROP TABLE tempty")
+    // plain-Spark column-defs CTAS (USING clause) is NOT intercepted
+    val s4 = spark.newSession()
+    GraftSql.sql(s4, s"SET spark.graft.warehouse = $wh")
+    try s4.sql(s"CREATE TABLE spark_own_${System.nanoTime()} (a INT) " +
+      "USING parquet")
+    catch { case _: Exception => () }
+    assert(Catalog.entries(s4, wh).isEmpty,
+      "a USING-clause CTAS must keep Spark's own surface")
+  }
+
+  test("constraint DDL on two-part names resolves through the catalog " +
+      "(VERDICT r15 #3)") {
+    val wh = Files.createTempDirectory("ddlwh4").toString
+    val src = fixtureSrc()
+    GraftSql.sql(spark, s"SET spark.graft.warehouse = $wh")
+    GraftSql.sql(spark,
+      s"CREATE TABLE talias AS SELECT k, ym, cents FROM parquet.`$src`")
+    // a FRESH session with only the alias conf — no view, no registry
+    val s2 = spark.newSession()
+    GraftSql.sql(s2, s"SET spark.graft.catalog.whx = $wh")
+    val a = GraftSql.sql(s2,
+      "ALTER TABLE whx.talias ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
+    assert(a.head().getString(0) == "add_constraint")
+    intercept[Exception] {
+      GraftSql.sql(s2, "INSERT INTO whx.talias VALUES " +
+        "(CAST(7 AS BIGINT), '2024-09', CAST(-1 AS BIGINT))")
+    }
+    GraftSql.sql(s2, "ALTER TABLE whx.talias DROP CONSTRAINT cents_pos")
+    GraftSql.sql(s2, "INSERT INTO whx.talias VALUES " +
+      "(CAST(7 AS BIGINT), '2024-09', CAST(-1 AS BIGINT))")
+    assert(GraftSql.sql(s2,
+      "SELECT count(*) AS n FROM whx.talias WHERE cents < 0")
+      .head().getLong(0) == 1L)
+    // an UNBOUND alias keeps Spark's own error surface
+    intercept[Exception] {
+      GraftSql.sql(s2,
+        "ALTER TABLE nosuch.talias ADD CONSTRAINT c CHECK (k > 0)")
+        .collect()
+    }
+  }
 }

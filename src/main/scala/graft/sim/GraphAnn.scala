@@ -308,16 +308,29 @@ object GraphAnn {
     * previously-empty buckets) contribute an EMPTY frame, not an
     * error. */
   private def readBuckets(spark: SparkSession, path: String, m: Meta,
-      bkts: Seq[Int]): DataFrame = {
+      bkts: Seq[Int],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val dirs = dirKeysOf(m, bkts.distinct).map(k => s"$path/${m.dirs(k)}")
-    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
-    else {
+    if (dirs.nonEmpty) schema match {
+      // a caller-supplied schema skips the per-call footer read — the
+      // beam loop issues two pruned reads per round, and schema
+      // inference would otherwise dominate their driver latency
+      case Some(sc) => spark.read.schema(sc).parquet(dirs: _*)
+      case None => spark.read.parquet(dirs: _*)
+    } else {
       require(m.dirs.nonEmpty, s"graph layout at $path has no buckets")
-      val schema = spark.read
-        .parquet(s"$path/${m.dirs.values.toSeq.min}").schema
+      val sc = schema.getOrElse(layoutSchema(spark, path, m))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], sc)
     }
+  }
+
+  /** One footer read resolves the layout's row schema. */
+  private def layoutSchema(spark: SparkSession, path: String, m: Meta)
+      : org.apache.spark.sql.types.StructType = {
+    require(m.dirs.nonEmpty, s"graph layout at $path has no buckets")
+    spark.read.parquet(s"$path/${m.dirs.values.toSeq.min}").schema
   }
 
   /** Distinct bucket ids of `ids` (a one-column "id" frame) — tiny
@@ -760,10 +773,11 @@ object GraphAnn {
       queries: DataFrame, k: Int, beam: Int, iters: Int, entries: Int)
       : (DataFrame, SearchStats) = {
     val read = scala.collection.mutable.SortedSet.empty[Int]
+    val schema = Some(layoutSchema(spark, path, meta))
     def prunedRows(ids: DataFrame): DataFrame = {
       val bks = bucketsOf(ids, meta.buckets)
       read ++= bks
-      readBuckets(spark, path, meta, bks)
+      readBuckets(spark, path, meta, bks, schema)
         .join(ids, Seq("id"), "left_semi")
         .select("id", "vec", "n", "nbrs")
         .localCheckpoint(true)
@@ -792,10 +806,15 @@ object GraphAnn {
     var frontier = visited
     // adjacency of the CURRENT frontier: the entry round point-reads
     // it; every later round already fetched it while scoring (the
-    // next frontier is always a subset of this round's candidates)
-    var frontierRows = prunedRows(
-      frontier.select("id").distinct().localCheckpoint(true))
-    for (_ <- 1 to iters) {
+    // next frontier is always a subset of this round's candidates).
+    // Per round exactly FOUR eager jobs run — the candidate-frontier
+    // checkpoint, the ≤B-int bucket-set collect, the pruned-read
+    // checkpoint, and the scored-candidates checkpoint; `visited`
+    // stays a lazy union of checkpointed rounds (anti-joins and the
+    // final ranking scan cheap materialized leaves).
+    var frontierRows = prunedRows(frontier.select("id").distinct())
+    var done = false
+    for (_ <- 1 to iters if !done) {
       val cand = frontier
         .join(frontierRows.select(col("id"), col("nbrs")), "id")
         .select(col("qid"), explode(col("nbrs")).as("e"))
@@ -803,8 +822,7 @@ object GraphAnn {
         .dropDuplicates("qid", "id")
         .join(visited.select("qid", "id"), Seq("qid", "id"), "left_anti")
         .localCheckpoint(true)
-      val candRows = prunedRows(
-        cand.select("id").distinct().localCheckpoint(true))
+      val candRows = prunedRows(cand.select("id").distinct())
       val nn = col("n") * col("qn")
       val fresh = cand
         .join(candRows.select("id", "vec", "n"), "id")
@@ -814,10 +832,26 @@ object GraphAnn {
             .otherwise(lit(0.0)), 6))
         .select("qid", "id", "score")
         .localCheckpoint(true)
-      visited = visited.union(fresh).localCheckpoint(true)
-      val w = Window.partitionBy("qid")
+      // greedy termination (the HNSW stop rule, batch form): when a
+      // round's scored candidates displace NO query's current top-k
+      // (strictly better, or tied where a smaller id wins the tie),
+      // the expansion has crossed every query's score ridge and later
+      // rounds only re-expand worse frontiers — stop. One tiny job
+      // over this round's fresh rows against the k-th best; at toy
+      // bucket counts this halves the round count, at scale it bounds
+      // the pruned reads by the search's ACTUAL depth, not `iters`.
+      val wAll = Window.partitionBy("qid")
         .orderBy(col("score").desc, col("id").asc)
-      frontier = fresh.withColumn("__r", row_number().over(w))
+      val kthBefore = visited.withColumn("__r", row_number().over(wAll))
+        .groupBy("qid").agg(
+          max(when(col("__r") === k, col("score"))).as("__kth"),
+          max(when(col("__r") === k, col("id"))).as("__kid"))
+      val improving = fresh.join(kthBefore, Seq("qid"), "left")
+        .filter(col("__kth").isNull || col("score") > col("__kth") ||
+          (col("score") === col("__kth") && col("id") < col("__kid")))
+      done = improving.isEmpty
+      visited = visited.union(fresh)
+      frontier = fresh.withColumn("__r", row_number().over(wAll))
         .filter(col("__r") <= beam).drop("__r")
       frontierRows = candRows
     }

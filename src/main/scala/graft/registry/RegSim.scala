@@ -434,6 +434,67 @@ private[graft] object RegSim {
         .orderBy("qid", "rank")
     },
 
+    // Graph-ANN LAYOUT MAINTENANCE as a board row (r16, VERDICT r15
+    // #5): build on a third of the corpus over 16 explicit buckets,
+    // append the other two thirds in two batches — the second pushes
+    // every bucket past 2× the build-time target, so the append
+    // SPLITS them into hash-sub-dirs (split_fired pinned from the
+    // meta) — then vacuumGraph retires the superseded generations
+    // (vacuumed pinned; appends retain them for racing readers until
+    // the owner vacuums, the commit-log discipline). Serving over the
+    // split+vacuumed layout answers 3 queries (two of them APPENDED
+    // nodes) bit-identically to the exact tier — recall10 = 1 pinned
+    // in-plan, values faced by DuckDB's exact top-10 recompute.
+    "q_ann_graph_maint" -> { (s, dir) =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_gmnt1_${stageTag(dir)}"
+      val marker = new java.io.File(s"$path/_fixture_done")
+      var splitFired = 0L
+      var vacuumed = 0L
+      this.synchronized {
+        if (!marker.exists()) {
+          val e = Tables.load(s, dir, "embeddings")
+          GraphAnn.writeGraph(s,
+            e.filter(pmod(col("vec_id"), lit(3)) === 0),
+            "vec_id", "embedding", path, k = 16, rounds = 3,
+            blocks = 12, buckets = 16)
+          Seq(1, 2).foreach { r =>
+            GraphAnn.appendToGraph(s, path,
+              e.filter(pmod(col("vec_id"), lit(3)) === r),
+              "vec_id", "embedding", k = 16, beam = 24, iters = 7,
+              entries = 12)
+          }
+          GraphAnn.vacuumGraph(s, path, keepVersions = 1)
+          marker.createNewFile()
+        }
+      }
+      val info = GraphAnn.describeLayout(s, path)
+      splitFired = if (info.dirKeys.exists(_.contains("_"))) 1L else 0L
+      // post-vacuum: exactly the head's generation dirs remain on disk
+      vacuumed = {
+        val f = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val gens = f.listStatus(new org.apache.hadoop.fs.Path(path))
+          .map(_.getPath.getName).filter(_.startsWith("g")).toSet
+        if (gens == info.generations.toSet) 1L else 0L
+      }
+      val e = Tables.load(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val got = GraphAnn.searchGraph(s, path, queries, "qid", "qv",
+        k = 10, beam = 32, iters = 10, entries = 12)
+        .select(col("qid"), col("id").as("vec_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+      val exact = VectorSim.topKBatch(e, "embedding", queries, "qid",
+          "qv", k = 10, tieBreak = "vec_id")
+        .select(col("qid"), col("vec_id"))
+      val hits = got.join(exact, Seq("qid", "vec_id")).count()
+      got.withColumn("recall10", lit(if (hits == 30L) 1L else 0L))
+        .withColumn("split_fired", lit(splitFired))
+        .withColumn("vacuumed", lit(vacuumed))
+        .orderBy("qid", "rank")
+    },
+
     "q_ann_ivf" -> { (s, dir) =>
       val e = Tables.load(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0)
@@ -1080,6 +1141,37 @@ private[graft] object RegSim {
     // The exact multi-query top-10 (the KnnOracle float-cosine tier,
     // one window over 5 query ids) — the graph tier must return it
     // bit-identically; recall10 = 1 is the in-plan audit's contract.
+    // Exact top-10 for the three maintenance-row queries; the layout
+    // pins (split fired, superseded generations vacuumed, in-plan
+    // recall audit) are constants the engine must reproduce.
+    "q_ann_graph_maint" ->
+      """WITH ev AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |    generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM ev GROUP BY 1),
+        |q AS (SELECT vec_id AS qid, x, i FROM ev WHERE vec_id IN (1, 2, 3)),
+        |qn AS (SELECT vec_id AS qid, n AS qn FROM norms
+        |       WHERE vec_id IN (1, 2, 3)),
+        |dots AS (SELECT q.qid, e.vec_id, sum(e.x * q.x) AS d
+        |         FROM ev e JOIN q ON e.i = q.i GROUP BY 1, 2),
+        |sc AS (SELECT dots.qid, dots.vec_id,
+        |         round(CASE WHEN norms.n * qn.qn > 0
+        |           THEN d / (norms.n * qn.qn) ELSE 0.0 END, 6) AS score
+        |       FROM dots
+        |       JOIN norms ON dots.vec_id = norms.vec_id
+        |       JOIN qn ON dots.qid = qn.qid),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid
+        |          ORDER BY score DESC, vec_id ASC) AS rnk
+        |      FROM sc)
+        |SELECT qid, vec_id, score, CAST(rnk AS BIGINT) AS rank,
+        |  CAST(1 AS BIGINT) AS recall10,
+        |  CAST(1 AS BIGINT) AS split_fired,
+        |  CAST(1 AS BIGINT) AS vacuumed
+        |FROM r WHERE rnk <= 10
+        |ORDER BY qid, rank""".stripMargin,
+
     "q_ann_hnsw" ->
       """WITH ev AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

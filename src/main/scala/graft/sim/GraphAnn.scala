@@ -678,6 +678,20 @@ object GraphAnn {
     AppendStats(mNew, nCands, nOwners, newDirs.size, next.dirs.size)
   }
 
+  /** Read-only layout card for operational checks (the DESCRIBE
+    * DETAIL of the graph layout): head version, indexed row count,
+    * top-level bucket count, the head's dir keys (a key containing
+    * '_' is a sub-bucket of a SPLIT bucket), and the generation dirs
+    * the head references. */
+  final case class LayoutInfo(version: Long, count: Long, buckets: Int,
+      dirKeys: Seq[String], generations: Seq[String])
+
+  def describeLayout(spark: SparkSession, path: String): LayoutInfo = {
+    val m = readMeta(spark, path)
+    LayoutInfo(m.version, m.count, m.buckets, m.dirs.keys.toSeq.sorted,
+      m.dirs.values.map(_.takeWhile(_ != '/')).toSeq.distinct.sorted)
+  }
+
   /** Retire layout history: keep the newest `keepVersions` metas and
     * delete every meta file, generation sub-dir, and entry-sample dir
     * none of them references (the CommitLog `vacuumUnreferenced`

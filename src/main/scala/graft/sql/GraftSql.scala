@@ -114,6 +114,8 @@ private[sql] object GraftMaintenance {
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s*;?\\s*$".r
   private val RefreshMv =
     "(?is)^\\s*REFRESH\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s*;?\\s*$".r
+  private val ShowMvs =
+    "(?is)^\\s*SHOW\\s+MATERIALIZED\\s+VIEWS(?:\\s+IN\\s+(\\w+))?\\s*;?\\s*$".r
 
   private def warehouse: Option[String] =
     SparkSession.getActiveSession
@@ -428,6 +430,27 @@ private[sql] object GraftMaintenance {
       Some(GraftMaintenanceCommand("drop_mv", s => runDropMv(s, name)))
     case RefreshMv(name) if warehouse.isDefined =>
       Some(GraftMaintenanceCommand("refresh_mv", s => runRefreshMv(s, name)))
+    // MV discovery, the SHOW TABLES sibling: the session warehouse's
+    // MvDefs, or a bound alias's (`IN <alias>`); an unbound alias /
+    // conf-less session falls through to Spark's error surface
+    case ShowMvs(alias) if {
+      val s = SparkSession.getActiveSession
+      if (alias == null) s.exists(x =>
+        x.conf.getOption(WarehouseKey).exists(_.nonEmpty))
+      else s.exists(x =>
+        x.conf.getOption(s"spark.graft.catalog.${lc(alias)}")
+          .exists(_.nonEmpty))
+    } => {
+      val s = SparkSession.active
+      val wh =
+        if (alias == null) s.conf.get(WarehouseKey)
+        else s.conf.get(s"spark.graft.catalog.${lc(alias)}")
+      import s.implicits._
+      Some(Catalog.mvDefs(s, wh)
+        .map(d => (d.summaryPath.split('/').last, d.basePath, d.summaryPath))
+        .sortBy(_._1)
+        .toDF("name", "base", "summary").queryExecution.logical)
+    }
     case Create(name, select) if warehouse.isDefined =>
       Some(GraftMaintenanceCommand("create",
         s => runCreate(s, name, select)))

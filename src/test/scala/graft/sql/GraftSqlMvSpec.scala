@@ -58,6 +58,9 @@ class GraftSqlMvSpec extends SparkSpec {
     val q1 = rollup(spark)
     assert(servedFrom(q1, summRoot), s"rollup must serve from the summary")
     assert(q1.filter(col("ym") === "2024-02").head().getLong(1) == 20L)
+    // discovery: SHOW MATERIALIZED VIEWS lists it
+    val shown = GraftSql.sql(spark, "SHOW MATERIALIZED VIEWS").collect()
+    assert(shown.length == 1 && shown.head.getString(0) == "mvroll")
     // a routed INSERT stales the cursor: same rollup, base-served
     GraftSql.sql(spark, "INSERT INTO mvbase VALUES " +
       "(CAST(999 AS BIGINT), '2024-07', CAST(3 AS BIGINT))")
@@ -83,6 +86,7 @@ class GraftSqlMvSpec extends SparkSpec {
     GraftSql.sql(s2, "DROP MATERIALIZED VIEW mvroll")
     assert(servedFrom(rollup(s2), baseRoot), "dropped MV must not serve")
     assert(Catalog.mvDefs(s2, wh).isEmpty)
+    assert(GraftSql.sql(s2, "SHOW MATERIALIZED VIEWS").collect().isEmpty)
     // and a THIRD session restored post-drop never sees it
     val s3 = spark.newSession()
     GraftSql.sql(s3, s"SET spark.graft.warehouse = $wh")

@@ -2259,6 +2259,97 @@ private[graft] object RegWarehouse {
           "mv_refreshed", "mv_restored", "mv_dropped")
     },
 
+    // SCHEMA NAMESPACES + THREE-PART IDENTIFIERS (r16 — the last
+    // entry on the r15 "missing" list): catalog keys may be
+    // `schema.table` (data nests under <wh>/<schema>/<table>), and
+    // `<alias>.<schema>.<table>` resolves through a bound warehouse
+    // alias — for EVERY verb. The fixture: a warehouse session CTASes
+    // web.docs and INSERTs through the schema-qualified router; a
+    // fresh session holding ONLY the alias conf UPDATEs via the
+    // three-part name, reads it with manifest skipping (pinned),
+    // lists SHOW TABLES IN <alias>.<schema> / SHOW SCHEMAS IN
+    // <alias>, adds a CHECK that then refuses a bad insert, and time
+    // travels to the pre-DML version; a third fresh session RESTOREs
+    // the catalog (dotted entries re-serve without temp views) and
+    // reads the alias-session's update back, then DROPs the table.
+    // Values face DuckDB's recompute over orders; the discovery/
+    // enforcement/serving flags are catalog contracts pinned 1.
+    // GraftSqlSchemaSpec pins the finer seams (alias-over-schema
+    // precedence, unbound fall-through, DELETE, OPTIMIZE).
+    "q_sql_schema" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_schw_$tag"
+      val wp = new org.apache.hadoop.fs.Path(w)
+      wp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wp, true)
+      import graft.sql.GraftSql
+      GraftSql.sql(s, s"SET spark.graft.warehouse = $w")
+      GraftSql.sql(s,
+        s"""CREATE TABLE web.docs AS
+           |SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |  substr(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |    AS cents
+           |FROM parquet.`$dir/orders.parquet`
+           |ORDER BY ym, k""".stripMargin)
+      GraftSql.sql(s, "INSERT INTO web.docs VALUES " +
+        "(CAST(99999998 AS BIGINT), '2099-05', CAST(11 AS BIGINT))")
+      // the alias-only session: three-part names, no warehouse conf
+      val s2 = s.newSession()
+      GraftSql.sql(s2, s"SET spark.graft.catalog.whsc = $w")
+      GraftSql.sql(s2, "UPDATE whsc.web.docs " +
+        "SET cents = CAST(13 AS BIGINT) WHERE k = 99999998")
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      val qEq = GraftSql.sql(s2, "SELECT count(*) AS n_eq, " +
+        "sum(cents) AS cents_eq FROM whsc.web.docs WHERE ym = '1995-06'")
+      val total = graft.sources.CommitLog.liveFiles(s2, s"$w/web/docs",
+        graft.sources.CommitLog.currentVersion(s2, s"$w/web/docs").get)
+        .size.toLong
+      val selective = scanned(qEq) < total
+      val tablesInSchema = GraftSql.sql(s2, "SHOW TABLES IN whsc.web")
+        .count()
+      val schemasN = GraftSql.sql(s2, "SHOW SCHEMAS IN whsc").count()
+      GraftSql.sql(s2, "ALTER TABLE whsc.web.docs " +
+        "ADD CONSTRAINT cents_pos CHECK (cents >= 0)")
+      val enforced =
+        try {
+          GraftSql.sql(s2, "INSERT INTO whsc.web.docs VALUES " +
+            "(CAST(1 AS BIGINT), '2099-06', CAST(-5 AS BIGINT))")
+          0L
+        } catch { case _: Exception => 1L }
+      val nV1 = GraftSql.sql(s2,
+        "SELECT count(*) AS n FROM whsc.web.docs VERSION AS OF 1")
+        .head().getLong(0)
+      // the restore session: dotted entries re-serve with zero Scala
+      val s3 = s.newSession()
+      GraftSql.sql(s3, s"SET spark.graft.warehouse = $w")
+      val restored = GraftSql.sql(s3, "RESTORE CATALOG")
+        .head().getLong(1)
+      val centsUpd = GraftSql.sql(s3,
+        "SELECT cents FROM web.docs WHERE k = 99999998")
+        .head().getLong(0)
+      val dropped =
+        if (GraftSql.sql(s3, "DROP TABLE web.docs")
+            .head().getString(0) == "drop" &&
+          graft.sources.Catalog.entries(s3, w).isEmpty) 1L else 0L
+      qEq
+        .withColumn("n_v1", lit(nV1))
+        .withColumn("cents_upd", lit(centsUpd))
+        .withColumn("tables_in_schema", lit(tablesInSchema))
+        .withColumn("schemas_n", lit(schemasN))
+        .withColumn("constraint_enforced", lit(enforced))
+        .withColumn("schema_skip_selective", lit(if (selective) 1L else 0L))
+        .withColumn("restored", lit(restored))
+        .withColumn("dropped", lit(dropped))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -4312,6 +4403,33 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS mv_restored,
         |  CAST(1 AS BIGINT) AS mv_dropped
         |FROM o WHERE ym = '1995-06'""".stripMargin,
+
+    // The schema-namespace lifecycle's answers recomputed from raw
+    // rows: the June probe is untouched by the 2099-05 insert; the
+    // VERSION AS OF 1 count predates the routed DML pair; the updated
+    // cell and the discovery/enforcement/serving flags are catalog
+    // contracts the engine must reproduce.
+    "q_sql_schema" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS n_eq,
+        |  CAST((SELECT sum(cents) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS cents_eq,
+        |  CAST(count(*) AS BIGINT) AS n_v1,
+        |  CAST(13 AS BIGINT) AS cents_upd,
+        |  CAST(1 AS BIGINT) AS tables_in_schema,
+        |  CAST(1 AS BIGINT) AS schemas_n,
+        |  CAST(1 AS BIGINT) AS constraint_enforced,
+        |  CAST(1 AS BIGINT) AS schema_skip_selective,
+        |  CAST(1 AS BIGINT) AS restored,
+        |  CAST(1 AS BIGINT) AS dropped
+        |FROM o""".stripMargin,
 
     // The restored session's answers recomputed from raw rows; one
     // file per month, so the equality probe scans exactly one; the

@@ -71,18 +71,22 @@ object GraftDml {
         timeTravel(tt).getOrElse(tt)
     }))
 
-  /** Substitute every remaining two-part `<alias>.<name>` relation the
-    * persisted catalog can resolve with a head read of its table —
-    * plain `SELECT … FROM wh1.orders` works in a fresh session with no
-    * view registration, and the skipping/metadata rule pair is served
-    * for the table so the read still prunes at the manifest. Runs
-    * AFTER DML routing, so statement targets keep their verb
-    * semantics; DML source plans get the same substitution inside
-    * their own cases. Unresolvable names pass through to Spark. */
+  /** Substitute every remaining multi-part relation the persisted
+    * catalog can resolve with a head read of its table — plain
+    * `SELECT … FROM wh1.orders` (alias.name), `FROM web.docs`
+    * (schema.table in the session warehouse), or
+    * `FROM wh1.web.docs` (alias.schema.table, r16) works in a fresh
+    * session with no view registration, and the skipping/metadata
+    * rule pair is served for the table so the read still prunes at
+    * the manifest. Runs AFTER DML routing, so statement targets keep
+    * their verb semantics; DML source plans get the same substitution
+    * inside their own cases. Unresolvable names pass through to
+    * Spark. */
   private def resolveTwoPartReads(plan: LogicalPlan): LogicalPlan =
     plan.transformDown {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if r.multipartIdentifier.size == 2 &&
+          if r.multipartIdentifier.size >= 2 &&
+            r.multipartIdentifier.size <= 3 &&
             catalogResolve(r.multipartIdentifier).isDefined =>
         val table = catalogResolve(r.multipartIdentifier).get
         val s = SparkSession.active
@@ -96,7 +100,7 @@ object GraftDml {
       tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel)
       : Option[LogicalPlan] = tt.relation match {
     case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-        if r.multipartIdentifier.size <= 2 =>
+        if r.multipartIdentifier.size <= 3 =>
       (if (r.multipartIdentifier.size == 1)
         GraftTables.lookupActive(r.multipartIdentifier.head)
       else catalogResolve(r.multipartIdentifier)).map { table =>
@@ -195,7 +199,10 @@ object GraftDml {
     * resolved targets carry an EMPTY view — there is no session view
     * to re-pin, and [[GraftDmlCommand]] skips the registration check
     * (the durable catalog, not session state, owns the binding).
-    * Three-part names keep Spark's own surface. */
+    * Two-part names also resolve as `<schema>.<table>` in the session
+    * warehouse, and THREE-part `<alias>.<schema>.<table>` through the
+    * alias (r16 — see [[catalogResolve]]); anything deeper keeps
+    * Spark's own surface. */
   private def targetOf(p: LogicalPlan): Option[(String, String, Option[String])] =
     p match {
       case SubqueryAlias(id, child) =>
@@ -205,25 +212,44 @@ object GraftDml {
         val view = r.multipartIdentifier.head
         GraftTables.lookupActive(view).map(t => (view, t, None))
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if r.multipartIdentifier.size == 2 =>
+          if r.multipartIdentifier.size == 2 ||
+            r.multipartIdentifier.size == 3 =>
         // the bare table name doubles as the MERGE qualifier
         catalogResolve(r.multipartIdentifier)
-          .map(t => ("", t, Some(r.multipartIdentifier(1))))
+          .map(t => ("", t, Some(r.multipartIdentifier.last)))
       case _ => None
     }
 
-  /** Resolve `<alias>.<name>` → table root via the session-bound
-    * warehouse alias and its persisted catalog; None when the alias
-    * is unbound or the name is uncataloged (falls through to Spark). */
+  /** Resolve a multi-part name → table root through the persisted
+    * catalog. Two-part `<first>.<name>` tries the session-bound
+    * warehouse alias FIRST (`SET spark.graft.catalog.<first> =
+    * <root>`, the r14 rule — an alias binding always wins), then
+    * falls back to a SCHEMA-QUALIFIED entry `first.name` in the
+    * session warehouse's own catalog (`SET spark.graft.warehouse`,
+    * r16). Three-part `<alias>.<schema>.<name>` resolves the alias
+    * and looks up the `schema.name` entry. None when nothing binds —
+    * the statement keeps Spark's own surface. */
   private[sql] def catalogResolve(parts: Seq[String]): Option[String] =
     catalogResolve(SparkSession.active, parts)
 
   private[sql] def catalogResolve(s: SparkSession, parts: Seq[String])
       : Option[String] = {
-    val alias = parts.head.toLowerCase(java.util.Locale.ROOT)
-    val name = parts(1).toLowerCase(java.util.Locale.ROOT)
-    s.conf.getOption(s"spark.graft.catalog.$alias").filter(_.nonEmpty)
-      .flatMap(wh => graft.sources.Catalog.entries(s, wh).get(name))
+    def lc(x: String) = x.toLowerCase(java.util.Locale.ROOT)
+    def aliasRoot(a: String): Option[String] =
+      s.conf.getOption(s"spark.graft.catalog.${lc(a)}").filter(_.nonEmpty)
+    def entry(wh: String, key: String): Option[String] =
+      graft.sources.Catalog.entries(s, wh).get(key)
+    parts.size match {
+      case 2 =>
+        aliasRoot(parts.head).flatMap(entry(_, lc(parts(1))))
+          .orElse(s.conf.getOption(GraftMaintenance.WarehouseKey)
+            .filter(_.nonEmpty)
+            .flatMap(entry(_, s"${lc(parts.head)}.${lc(parts(1))}")))
+      case 3 =>
+        aliasRoot(parts.head)
+          .flatMap(entry(_, s"${lc(parts(1))}.${lc(parts(2))}"))
+      case _ => None
+    }
   }
 
   // ---- expression translation --------------------------------------

@@ -72,11 +72,18 @@ class GraftSqlParser(delegate: ParserInterface)
   *                                        session's rule; summary data
   *                                        stays (external semantics)
   *
+  * Qualified names (r16): every verb target accepts
+  * `<alias>.<name>`, `<schema>.<table>` (a schema namespace in the
+  * session warehouse — catalog key `schema.table`, data under
+  * `<wh>/<schema>/<table>`), and `<alias>.<schema>.<table>`; a bound
+  * alias always wins over a schema reading of the same two-part
+  * name. `SHOW SCHEMAS [IN <alias>]` lists the schema prefixes.
+  *
   * Statements naming an UNREGISTERED table — or any CREATE/DROP when
-  * no graft warehouse is configured — fall through to Spark's own
-  * grammar untouched (`DESCRIBE history` stays a describe of a table
-  * named history; `CREATE TABLE ... AS` without the conf stays a Spark
-  * catalog CTAS). Multi-part names never match these verbs. */
+  * neither a graft warehouse nor a named alias is configured — fall
+  * through to Spark's own grammar untouched (`DESCRIBE history` stays
+  * a describe of a table named history; `CREATE TABLE ... AS` without
+  * the conf stays a Spark catalog CTAS). */
 private[sql] object GraftMaintenance {
 
   import org.apache.spark.sql.SparkSession
@@ -85,30 +92,34 @@ private[sql] object GraftMaintenance {
   /** Session conf key naming the graft warehouse root — the DDL gate. */
   val WarehouseKey = "spark.graft.warehouse"
 
-  private val Optimize = "(?is)^\\s*OPTIMIZE\\s+(\\w+(?:\\.\\w+)?)\\s*;?\\s*$".r
+  private val Optimize =
+    "(?is)^\\s*OPTIMIZE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val Vacuum =
-    "(?is)^\\s*VACUUM\\s+(\\w+(?:\\.\\w+)?)\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*$".r
+    ("(?is)^\\s*VACUUM\\s+(\\w+(?:\\.\\w+){0,2})\\s+RETAIN\\s+(\\d+)" +
+      "\\s+VERSIONS\\s*;?\\s*$").r
   private val History =
-    "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+(\\w+(?:\\.\\w+)?)\\s*;?\\s*$".r
+    "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val Detail =
-    "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(\\w+(?:\\.\\w+)?)\\s*;?\\s*$".r
+    "(?is)^\\s*DESCRIBE\\s+DETAIL\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val ShowTables =
-    "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+(\\w+)\\s*;?\\s*$".r
+    "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+(\\w+(?:\\.\\w+)?)\\s*;?\\s*$".r
+  private val ShowSchemas =
+    "(?is)^\\s*SHOW\\s+SCHEMAS(?:\\s+IN\\s+(\\w+))?\\s*;?\\s*$".r
   private val Create =
-    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s+AS\\s+(.+?)\\s*;?\\s*$".r
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s+AS\\s+(.+?)\\s*;?\\s*$".r
   private val CreateSchema =
-    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+)\\s*\\((.+)\\)\\s*;?\\s*$".r
-  private val Drop = "(?is)^\\s*DROP\\s+TABLE\\s+(\\w+)\\s*;?\\s*$".r
+    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*\\((.+)\\)\\s*;?\\s*$".r
+  private val Drop = "(?is)^\\s*DROP\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val Restore = "(?is)^\\s*RESTORE\\s+CATALOG\\s*;?\\s*$".r
   private val AddCheck =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+(?:\\.\\w+)?)\\s+ADD\\s+CONSTRAINT" +
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s+ADD\\s+CONSTRAINT" +
       "\\s+(\\w+)\\s+CHECK\\s*\\((.*)\\)\\s*;?\\s*$").r
   private val DropCheck =
-    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+(?:\\.\\w+)?)\\s+DROP\\s+CONSTRAINT" +
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s+DROP\\s+CONSTRAINT" +
       "\\s+(\\w+)\\s*;?\\s*$").r
   private val CreateMv =
     ("(?is)^\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s+AS\\s+" +
-      "SELECT\\s+(.+?)\\s+FROM\\s+(\\w+(?:\\.\\w+)?)" +
+      "SELECT\\s+(.+?)\\s+FROM\\s+(\\w+(?:\\.\\w+){0,2})" +
       "(?:\\s+WHERE\\s+(.+?))?\\s+GROUP\\s+BY\\s+(.+?)\\s*;?\\s*$").r
   private val DropMv =
     "(?is)^\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+(\\w+)\\s*;?\\s*$".r
@@ -143,6 +154,36 @@ private[sql] object GraftMaintenance {
       GraftDml.catalogResolve(s, name.split("\\.").toSeq)
     else GraftTables.lookup(s, name)
 
+  /** Resolve a CREATE/DROP TABLE name to (warehouse root, catalog
+    * key) at RUN time in the executing session (r16 — qualified DDL
+    * names). One part: the session warehouse, key = name. Two parts
+    * `a.b`: a BOUND alias `a` wins (create `b` in that warehouse, the
+    * read-path precedence); otherwise `a` is a SCHEMA in the session
+    * warehouse, key = `a.b`. Three parts `alias.schema.table`: the
+    * alias must be bound. Keys keep their dots in the catalog; the
+    * table root nests (`<wh>/<schema>/<table>`). */
+  private def ddlTarget(s: SparkSession, name: String, verb: String)
+      : (String, String) = {
+    def aliasRoot(a: String): Option[String] =
+      s.conf.getOption(s"spark.graft.catalog.$a").filter(_.nonEmpty)
+    lc(name).split("\\.").toSeq match {
+      case Seq(t) => (requireWarehouse(s, verb), t)
+      case Seq(a, t) => aliasRoot(a) match {
+        case Some(wh) => (wh, t)
+        case None => (requireWarehouse(s, verb), s"$a.$t")
+      }
+      case Seq(a, sch, t) => (aliasRoot(a).getOrElse(
+        throw new IllegalArgumentException(
+          s"$verb $name needs SET spark.graft.catalog.$a = <root> " +
+            "in this session")), s"$sch.$t")
+      case _ => throw new IllegalArgumentException(
+        s"unsupported table name '$name'")
+    }
+  }
+
+  private def rootOf(wh: String, key: String): String =
+    s"$wh/${key.replace('.', '/')}"
+
   /** CTAS: run the SELECT, land ONE stats-bearing commit under
     * <warehouse>/<name>, register + catalog. Eligible zone-map columns
     * (integral/date/timestamp/string) are statted so the fresh table
@@ -150,14 +191,11 @@ private[sql] object GraftMaintenance {
     * in the EXECUTING session — the command captures only names. */
   private def runCreate(s: SparkSession, name: String,
       select: String): Long = {
-    val wh = s.conf.getOption(WarehouseKey).filter(_.nonEmpty).getOrElse(
-      throw new IllegalArgumentException(
-        s"CREATE TABLE needs SET $WarehouseKey = <root> in this session"))
-    val key = lc(name)
+    val (wh, key) = ddlTarget(s, name, "CREATE TABLE")
     require(!Catalog.entries(s, wh).contains(key),
       s"table '$name' already exists in the catalog at $wh — " +
         "DROP TABLE it first")
-    val table = s"$wh/$key"
+    val table = rootOf(wh, key)
     require(CommitLog.currentVersion(s, table).isEmpty,
       s"$table already holds a commit log — DROP TABLE leaves data in " +
         "place; choose another name or vacuum the directory")
@@ -176,10 +214,7 @@ private[sql] object GraftMaintenance {
   }
 
   private def runDrop(s: SparkSession, name: String): Long = {
-    val wh = s.conf.getOption(WarehouseKey).filter(_.nonEmpty).getOrElse(
-      throw new IllegalArgumentException(
-        s"DROP TABLE needs SET $WarehouseKey = <root> in this session"))
-    val key = lc(name)
+    val (wh, key) = ddlTarget(s, name, "DROP TABLE")
     val table = Catalog.entries(s, wh).getOrElse(key,
       throw new IllegalArgumentException(
         s"table '$name' is not in the catalog at $wh"))
@@ -187,10 +222,59 @@ private[sql] object GraftMaintenance {
     Catalog.drop(s, wh, key)
   }
 
+  /** Parse-time engagement test for DROP TABLE: does the name resolve
+    * to a cataloged entry under the session's warehouse or a bound
+    * alias? (A Spark-catalog DROP keeps Spark's own surface.) */
+  private def dropResolves(name: String): Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      try {
+        val (wh, key) = ddlTarget(s, name, "DROP TABLE")
+        Catalog.entries(s, wh).contains(key)
+      } catch { case _: IllegalArgumentException => false }
+    }
+
   private def requireWarehouse(s: SparkSession, verb: String): String =
     s.conf.getOption(WarehouseKey).filter(_.nonEmpty).getOrElse(
       throw new IllegalArgumentException(
         s"$verb needs SET $WarehouseKey = <root> in this session"))
+
+  /** Parse-time CREATE engagement: the session opted into a graft
+    * warehouse, OR the name's first part is a bound warehouse alias
+    * (`CREATE TABLE wh1.web.docs …` needs only the alias conf). */
+  private def ddlEngages(name: String): Boolean =
+    warehouse.isDefined || (name.contains('.') &&
+      SparkSession.getActiveSession.exists(s =>
+        s.conf.getOption(
+          s"spark.graft.catalog.${lc(name.split("\\.")(0))}")
+          .exists(_.nonEmpty)))
+
+  /** SHOW TABLES IN <alias> (whole catalog), `<alias>.<schema>`
+    * (one schema of a bound alias), or `<schema>` (a schema of the
+    * session warehouse — only when that schema has entries, so an
+    * unbound bare name keeps Spark's own surface). */
+  private def showTables(target: String): Option[LogicalPlan] =
+    SparkSession.getActiveSession.flatMap { s =>
+      def aliasRoot(a: String): Option[String] =
+        s.conf.getOption(s"spark.graft.catalog.$a").filter(_.nonEmpty)
+      val listing: Option[(String, Option[String])] =
+        lc(target).split("\\.").toSeq match {
+          case Seq(a) => aliasRoot(a).map(wh => (wh, None))
+            .orElse(s.conf.getOption(WarehouseKey).filter(_.nonEmpty)
+              .filter(wh => Catalog.entries(s, wh).keys
+                .exists(_.startsWith(a + ".")))
+              .map(wh => (wh, Some(a))))
+          case Seq(a, sch) => aliasRoot(a).map(wh => (wh, Some(sch)))
+          case _ => None
+        }
+      listing.map { case (wh, schOpt) =>
+        import s.implicits._
+        Catalog.entries(s, wh).toSeq
+          .filter { case (n, _) =>
+            schOpt.forall(sc => n.startsWith(sc + ".")) }
+          .sorted
+          .toDF("name", "root").queryExecution.logical
+      }
+    }
 
   /** CREATE TABLE with an EXPLICIT SCHEMA and no rows (VERDICT r15
     * directive #4 — the ingest-lands-later pattern): land ONE
@@ -202,12 +286,11 @@ private[sql] object GraftMaintenance {
     * exactly like CTAS. */
   private def runCreateSchema(s: SparkSession, name: String,
       colsDdl: String): Long = {
-    val wh = requireWarehouse(s, "CREATE TABLE")
-    val key = lc(name)
+    val (wh, key) = ddlTarget(s, name, "CREATE TABLE")
     require(!Catalog.entries(s, wh).contains(key),
       s"table '$name' already exists in the catalog at $wh — " +
         "DROP TABLE it first")
-    val table = s"$wh/$key"
+    val table = rootOf(wh, key)
     require(CommitLog.currentVersion(s, table).isEmpty,
       s"$table already holds a commit log — choose another name or " +
         "vacuum the directory")
@@ -378,16 +461,29 @@ private[sql] object GraftMaintenance {
     }
     // catalog discovery: SHOW TABLES IN <alias> lists the persisted
     // catalog bound to the alias (one row per name, with its root);
-    // unbound aliases keep Spark's own SHOW TABLES surface
-    case ShowTables(alias)
-        if SparkSession.getActiveSession.exists(s =>
-          s.conf.getOption(s"spark.graft.catalog.${lc(alias)}")
-            .exists(_.nonEmpty)) => {
+    // `IN <alias>.<schema>` / `IN <schema>` (session warehouse)
+    // restrict to one schema's entries (r16). Unbound names keep
+    // Spark's own SHOW TABLES surface
+    case ShowTables(target) => showTables(target)
+    // schema discovery (r16): the distinct schema prefixes of the
+    // dotted catalog keys in the session warehouse (or a bound
+    // alias's); conf-less sessions keep Spark's error surface
+    case ShowSchemas(alias) if {
+      val s = SparkSession.getActiveSession
+      if (alias == null) s.exists(x =>
+        x.conf.getOption(WarehouseKey).exists(_.nonEmpty))
+      else s.exists(x =>
+        x.conf.getOption(s"spark.graft.catalog.${lc(alias)}")
+          .exists(_.nonEmpty))
+    } => {
       val s = SparkSession.active
-      val wh = s.conf.get(s"spark.graft.catalog.${lc(alias)}")
+      val wh =
+        if (alias == null) s.conf.get(WarehouseKey)
+        else s.conf.get(s"spark.graft.catalog.${lc(alias)}")
       import s.implicits._
-      Some(Catalog.entries(s, wh).toSeq.sorted
-        .toDF("name", "root").queryExecution.logical)
+      Some(Catalog.entries(s, wh).keys.toSeq.filter(_.contains('.'))
+        .map(_.split("\\.")(0)).distinct.sorted
+        .toDF("schema").queryExecution.logical)
     }
     // constraint DDL on registered views OR `<alias>.<name>` catalog
     // targets (r16 — the r14 #6 two-part rule now covers EVERY verb)
@@ -451,14 +547,13 @@ private[sql] object GraftMaintenance {
         .sortBy(_._1)
         .toDF("name", "base", "summary").queryExecution.logical)
     }
-    case Create(name, select) if warehouse.isDefined =>
+    case Create(name, select) if ddlEngages(name) =>
       Some(GraftMaintenanceCommand("create",
         s => runCreate(s, name, select)))
-    case CreateSchema(name, colsDdl) if warehouse.isDefined =>
+    case CreateSchema(name, colsDdl) if ddlEngages(name) =>
       Some(GraftMaintenanceCommand("create",
         s => runCreateSchema(s, name, colsDdl)))
-    case Drop(name) if warehouse.exists(wh =>
-        Catalog.entries(SparkSession.active, wh).contains(lc(name))) =>
+    case Drop(name) if dropResolves(name) =>
       Some(GraftMaintenanceCommand("drop", s => runDrop(s, name)))
     case Restore() if warehouse.isDefined =>
       Some(GraftMaintenanceCommand("restore", s =>

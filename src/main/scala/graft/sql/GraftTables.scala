@@ -45,7 +45,11 @@ object GraftTables {
 
   def register(spark: SparkSession, table: String, viewName: String): Unit = {
     registry.put(key(spark, viewName), table)
-    CommitLog.read(spark, table).createOrReplaceTempView(viewName)
+    // schema-qualified catalog names (`web.docs`, r16) cannot be temp
+    // views — reads resolve through the multi-part catalog path in
+    // GraftDml instead; the rule pair still serves the table
+    if (!viewName.contains('.'))
+      CommitLog.read(spark, table).createOrReplaceTempView(viewName)
     serveRules(spark, table)
   }
 
@@ -69,7 +73,7 @@ object GraftTables {
     * stays for other registered tables). */
   def unregister(spark: SparkSession, table: String, viewName: String): Unit = {
     registry.remove(key(spark, viewName))
-    spark.catalog.dropTempView(viewName)
+    if (!viewName.contains('.')) spark.catalog.dropTempView(viewName)
     spark.experimental.extraOptimizations.foreach {
       case r: ManifestSkip => r.drop(table)
       case r: MetadataAgg => r.drop(table)

@@ -2350,6 +2350,89 @@ private[graft] object RegWarehouse {
         .withColumn("dropped", lit(dropped))
     },
 
+    // SQL RESTATEMENT (r16): `CREATE TABLE … CLUSTER BY (ym) AS …`
+    // lands the range-clustered layout straight from SQL (hive-style
+    // bucket dirs — every file wholly inside one month, the layout
+    // REPLACE WHERE requires), and `INSERT INTO … REPLACE WHERE ym =
+    // <month> <select>` swaps exactly that month's files for the
+    // SELECT's rows in ONE commit (Delta's replaceWhere, SQL form —
+    // the monthly-backfill primitive; at 100 TB a restatement touches
+    // one partition's files, never the table). Pins: the clustered
+    // point probe prunes before AND after the swap (restated files
+    // carry fresh stats), an escaping batch refuses without
+    // committing, and history holds exactly CTAS + swap. Values face
+    // DuckDB's recompute with June doubled. GraftSqlReplaceSpec pins
+    // the finer refusals (non-primary numeric column, CHECK audit,
+    // schema drift) and bloom-sidecar survival through the swap.
+    "q_sql_replace" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_rww_$tag"
+      val wp = new org.apache.hadoop.fs.Path(w)
+      wp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wp, true)
+      import graft.sql.GraftSql
+      GraftSql.sql(s, s"SET spark.graft.warehouse = $w")
+      GraftSql.sql(s,
+        s"""CREATE TABLE rw_sales CLUSTER BY (ym) AS
+           |SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |  substr(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |    AS cents
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      def total: Long = graft.sources.CommitLog.liveFiles(s, s"$w/rw_sales",
+        graft.sources.CommitLog.currentVersion(s, s"$w/rw_sales").get)
+        .size.toLong
+      val preSel = scanned(GraftSql.sql(s,
+        "SELECT sum(cents) AS c FROM rw_sales WHERE ym = '1995-06'")) < total
+      GraftSql.sql(s,
+        s"""INSERT INTO rw_sales REPLACE WHERE ym = '1995-06'
+           |SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |  substr(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 200 AS BIGINT)
+           |    AS cents
+           |FROM parquet.`$dir/orders.parquet`
+           |WHERE substr(CAST(o_orderdate AS STRING), 1, 7) = '1995-06'
+           |""".stripMargin)
+      val qJune = GraftSql.sql(s, "SELECT count(*) AS n_june, " +
+        "sum(cents) AS cents_june FROM rw_sales WHERE ym = '1995-06'")
+      val postSel = scanned(qJune) < total
+      val qAll = GraftSql.sql(s, "SELECT count(*) AS n_all, " +
+        "sum(cents) AS cents_total FROM rw_sales")
+      // an escaping batch (July rows into the June range) refuses
+      // loudly and commits NOTHING
+      val vBefore = graft.sources.CommitLog.currentVersion(s,
+        s"$w/rw_sales").get
+      val guard =
+        try {
+          GraftSql.sql(s,
+            s"""INSERT INTO rw_sales REPLACE WHERE ym = '1995-06'
+               |SELECT CAST(o_orderkey AS BIGINT) AS k,
+               |  substr(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+               |  CAST(0 AS BIGINT) AS cents
+               |FROM parquet.`$dir/orders.parquet`
+               |WHERE substr(CAST(o_orderdate AS STRING), 1, 7) = '1995-07'
+               |""".stripMargin)
+          0L
+        } catch { case _: Exception =>
+          if (graft.sources.CommitLog.currentVersion(s,
+            s"$w/rw_sales").get == vBefore) 1L else 0L
+        }
+      val versions = GraftSql.sql(s, "DESCRIBE HISTORY rw_sales").count()
+      qJune.crossJoin(qAll) // 1-row scalar joins
+        .withColumn("cluster_selective", lit(if (preSel) 1L else 0L))
+        .withColumn("post_replace_selective", lit(if (postSel) 1L else 0L))
+        .withColumn("replace_guard", lit(guard))
+        .withColumn("versions", lit(versions))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -4429,6 +4512,31 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS schema_skip_selective,
         |  CAST(1 AS BIGINT) AS restored,
         |  CAST(1 AS BIGINT) AS dropped
+        |FROM o""".stripMargin,
+
+    // The restatement's answers recomputed from raw rows with June
+    // doubled (cents*200 replaced cents*100); the pruning/guard/
+    // history pins are layout contracts the engine must reproduce.
+    "q_sql_replace" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS n_june,
+        |  CAST((SELECT sum(cents) * 2 FROM o WHERE ym = '1995-06')
+        |    AS BIGINT) AS cents_june,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(sum(cents) +
+        |    (SELECT sum(cents) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS cents_total,
+        |  CAST(1 AS BIGINT) AS cluster_selective,
+        |  CAST(1 AS BIGINT) AS post_replace_selective,
+        |  CAST(1 AS BIGINT) AS replace_guard,
+        |  CAST(2 AS BIGINT) AS versions
         |FROM o""".stripMargin,
 
     // The restored session's answers recomputed from raw rows; one

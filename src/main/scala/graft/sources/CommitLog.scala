@@ -963,10 +963,18 @@ object CommitLog {
     require(statsCols.nonEmpty, "at least one stats column")
     val staged = stage(spark, df.repartition(col(bucketCol)), table, Seq(bucketCol))
     val (nums, strs) = fullStatsFor(spark, table, staged, statsCols)
-    val prev = currentVersion(spark, table)
-      .map(v => liveFiles(spark, table, v)).getOrElse(Seq.empty)
-    commit(spark, table, adds = staged, removes = prev,
-      statsCol = statsCols.head, colStats = nums, strColStats = strs)
+    val prevV = currentVersion(spark, table)
+    val prev = prevV.map(v => liveFiles(spark, table, v)).getOrElse(Seq.empty)
+    // bloom-carrying tables keep their sidecars through the swap, and
+    // the data-REPLACING commit takes the rewrite path (a concurrently
+    // removed file aborts rather than silently duplicating)
+    val blooms = prevV
+      .map(v => BloomStats.restatBlooms(spark, table,
+        readManifest(spark, table, v), staged))
+      .getOrElse(Map.empty)
+    rewrite(spark, table, adds = staged, removes = prev,
+      statsCol = statsCols.head, colStats = nums,
+      strColStats = strs ++ blooms)
   }
 
   /** The head manifest's live files whose recorded [min, max] range on
@@ -1155,8 +1163,13 @@ object CommitLog {
       require(mn >= lo && mx <= hi,
         s"replacement rows [$mn, $mx] escape the replaced range [$lo, $hi]")
     }
-    commit(spark, table, adds = staged, removes = contained.map(_._1),
-      statsCol = m.statsCol, colStats = st)
+    // bloom-carrying tables keep their sidecars through a restatement
+    // (the r14 #3 rule: every mutation verb), and a data-REPLACING
+    // commit takes the rewrite path so a concurrently-removed file
+    // aborts instead of silently duplicating its replacement
+    val blooms = BloomStats.restatBlooms(spark, table, m, staged)
+    rewrite(spark, table, adds = staged, removes = contained.map(_._1),
+      statsCol = m.statsCol, colStats = st, strColStats = blooms)
   }
 
   /** [[replaceWhere]] keyed by a STRING-statted column — the natural
@@ -1198,8 +1211,9 @@ object CommitLog {
       require(Utf8Order.ge(mn, lo) && Utf8Order.le(mx, hi),
         s"replacement rows [$mn, $mx] escape the replaced range [$lo, $hi]")
     }
-    commit(spark, table, adds = staged, removes = contained.map(_._1),
-      statsCol = m.statsCol, colStats = nums, strColStats = strs)
+    val blooms = BloomStats.restatBlooms(spark, table, m, staged)
+    rewrite(spark, table, adds = staged, removes = contained.map(_._1),
+      statsCol = m.statsCol, colStats = nums, strColStats = strs ++ blooms)
   }
 
   // ---- Schema files ([[SchemaEvolution]]'s storage) ---------------

@@ -153,13 +153,12 @@ object Constraints {
       : Either[Seq[(String, Long)], Long] =
     checkedWrite(spark, df, table, statsCols, overwrite = true)
 
-  private def checkedWrite(spark: SparkSession, df: DataFrame,
-      table: String, statsCols: Seq[String], overwrite: Boolean)
-      : Either[Seq[(String, Long)], Long] = {
-    // Schema-drift gate (Delta refuses mismatched writes; the raw
-    // append verbs don't look): the batch must carry exactly the
-    // table's columns with identical types — BEFORE staging, so a
-    // drifting batch costs no write at all.
+  /** Schema-drift gate (Delta refuses mismatched writes; the raw
+    * append verbs don't look): the batch must carry exactly the
+    * table's columns with identical types — BEFORE staging, so a
+    * drifting batch costs no write at all. */
+  private def driftGate(spark: SparkSession, df: DataFrame,
+      table: String): Unit =
     CommitLog.currentVersion(spark, table)
       .filter(v => CommitLog.liveFiles(spark, table, v).nonEmpty)
       .foreach { _ =>
@@ -177,6 +176,51 @@ object Constraints {
             if (retyped.nonEmpty) s"retyped ${retyped.toSeq.sorted}" else "")
             .filter(_.nonEmpty).mkString("; "))
       }
+
+  /** The guarded RESTATEMENT (SQL `INSERT INTO … REPLACE WHERE`
+    * semantics): schema-drift gate + CHECK audit on the replacement
+    * batch, then ONE atomic range swap —
+    * [[CommitLog.replaceWhereString]] for string bounds, or
+    * [[CommitLog.replaceWhere]] for numeric bounds, which the commit
+    * log only supports on the PRIMARY stats column (any other numeric
+    * column refuses loudly BEFORE staging). Left(violations) when the
+    * batch breaks the persisted CHECK set — nothing is committed.
+    * The audit runs on `df` directly (the range verbs stage it
+    * themselves); like [[checkedAppend]], a check-set swap racing
+    * between audit and commit is the caller's re-verify concern. */
+  def checkedReplaceWhere(spark: SparkSession, df: DataFrame,
+      table: String, column: String, bounds: Either[(String, String),
+        (Long, Long)]): Either[Seq[(String, Long)], Long] = {
+    driftGate(spark, df, table)
+    bounds match {
+      case Right(_) =>
+        val v = CommitLog.currentVersion(spark, table).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version at $table"))
+        val primary = CommitLog.readManifest(spark, table, v).statsCol
+        require(column == primary,
+          s"numeric REPLACE WHERE runs on the primary stats column " +
+            s"('$primary'), not '$column' — use string bounds for " +
+            "string-statted columns")
+      case Left(_) => ()
+    }
+    val cs = checks(spark, table)
+    if (cs.nonEmpty) {
+      val bad = violationCounts(df, cs).filter(_._2 > 0)
+      if (bad.nonEmpty) return Left(bad)
+    }
+    Right(bounds match {
+      case Left((lo, hi)) =>
+        CommitLog.replaceWhereString(spark, df, table, column, lo, hi)
+      case Right((lo, hi)) =>
+        CommitLog.replaceWhere(spark, df, table, lo, hi)
+    })
+  }
+
+  private def checkedWrite(spark: SparkSession, df: DataFrame,
+      table: String, statsCols: Seq[String], overwrite: Boolean)
+      : Either[Seq[(String, Long)], Long] = {
+    driftGate(spark, df, table)
     val cs = checks(spark, table)
     val cid = if (cs.isEmpty) "" else cidOf(cs)
     val staged = CommitLog.stage(spark, df, table)

@@ -44,6 +44,22 @@ class GraftSqlParser(delegate: ParserInterface)
   *                                        on every eligible column,
   *                                        registered (view + rules +
   *                                        DML router) and cataloged
+  *   CREATE TABLE <name> CLUSTER BY (<col>) AS <select>
+  *                                        CTAS onto the range-clustered
+  *                                        layout (one file per bucket
+  *                                        value run) — the layout point
+  *                                        probes and REPLACE WHERE are
+  *                                        built for (r16)
+  *   INSERT INTO <t> REPLACE WHERE <col> = <lit> <select>
+  *   INSERT INTO <t> REPLACE WHERE <col> BETWEEN <lo> AND <hi> <select>
+  *                                        atomic RESTATEMENT (Delta's
+  *                                        replaceWhere): one commit
+  *                                        swaps exactly the files in
+  *                                        the range for the SELECT's
+  *                                        rows; straddling files,
+  *                                        escaping rows, CHECK
+  *                                        violations and schema drift
+  *                                        all refuse loudly (r16)
   *   CREATE TABLE <name> (<col type, …>)  empty table with a declared
   *                                        schema (r16 — the ingest-
   *                                        lands-later pattern): one
@@ -87,7 +103,8 @@ class GraftSqlParser(delegate: ParserInterface)
 private[sql] object GraftMaintenance {
 
   import org.apache.spark.sql.SparkSession
-  import graft.sources.{Catalog, CommitLog, MvIncremental, TableInfo}
+  import graft.sources.{Catalog, CommitLog, Constraints, MvIncremental,
+    TableInfo}
 
   /** Session conf key naming the graft warehouse root — the DDL gate. */
   val WarehouseKey = "spark.graft.warehouse"
@@ -106,7 +123,13 @@ private[sql] object GraftMaintenance {
   private val ShowSchemas =
     "(?is)^\\s*SHOW\\s+SCHEMAS(?:\\s+IN\\s+(\\w+))?\\s*;?\\s*$".r
   private val Create =
-    "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s+AS\\s+(.+?)\\s*;?\\s*$".r
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})" +
+      "(?:\\s+CLUSTER\\s+BY\\s*\\(\\s*(\\w+)\\s*\\))?" +
+      "\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+  private val ReplaceWhere =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+(\\w+(?:\\.\\w+){0,2})\\s+REPLACE\\s+WHERE\\s+" +
+      "(\\w+)\\s*(?:=\\s*('[^']*'|-?\\d+)|BETWEEN\\s+('[^']*'|-?\\d+)" +
+      "\\s+AND\\s+('[^']*'|-?\\d+))\\s+(SELECT\\s.+?)\\s*;?\\s*$").r
   private val CreateSchema =
     "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*\\((.+)\\)\\s*;?\\s*$".r
   private val Drop = "(?is)^\\s*DROP\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
@@ -187,10 +210,15 @@ private[sql] object GraftMaintenance {
   /** CTAS: run the SELECT, land ONE stats-bearing commit under
     * <warehouse>/<name>, register + catalog. Eligible zone-map columns
     * (integral/date/timestamp/string) are statted so the fresh table
-    * is prunable from its first SELECT. Resolution happens at RUN time
-    * in the EXECUTING session — the command captures only names. */
+    * is prunable from its first SELECT. `CLUSTER BY (<col>)` (r16)
+    * lands the range-clustered layout instead — one file set bucketed
+    * by the column via [[CommitLog.replaceClustered]], the layout
+    * REPLACE WHERE and point probes are built for; the bucket rides
+    * only in directory names, so readers see the select's columns
+    * unchanged. Resolution happens at RUN time in the EXECUTING
+    * session — the command captures only names. */
   private def runCreate(s: SparkSession, name: String,
-      select: String): Long = {
+      cluster: Option[String], select: String): Long = {
     val (wh, key) = ddlTarget(s, name, "CREATE TABLE")
     require(!Catalog.entries(s, wh).contains(key),
       s"table '$name' already exists in the catalog at $wh — " +
@@ -205,12 +233,43 @@ private[sql] object GraftMaintenance {
       case f if Seq(ByteType, ShortType, IntegerType, LongType, DateType,
         TimestampType, StringType).contains(f.dataType) => f.name
     }.toSeq
-    val v =
-      if (eligible.nonEmpty) CommitLog.appendWithStats(s, df, table, eligible)
-      else CommitLog.append(s, df, table)
+    val v = cluster match {
+      case Some(c) =>
+        require(eligible.contains(c),
+          s"CLUSTER BY column '$c' must be a selected integral/date/" +
+            "timestamp/string column")
+        CommitLog.replaceClustered(s,
+          df.withColumn("__bk", org.apache.spark.sql.functions.col(c)),
+          table, "__bk", c +: eligible.filterNot(_ == c))
+      case None =>
+        if (eligible.nonEmpty) CommitLog.appendWithStats(s, df, table, eligible)
+        else CommitLog.append(s, df, table)
+    }
     GraftTables.register(s, table, key)
     Catalog.register(s, wh, key, table)
     v
+  }
+
+  /** One REPLACE WHERE bound: a quoted string or an integer. */
+  private def boundOf(l: String): Either[String, Long] =
+    if (l.startsWith("'")) Left(l.substring(1, l.length - 1))
+    else Right(l.toLong)
+
+  private def runReplaceWhere(s: SparkSession, table: String,
+      colName: String, lo: String, hi: String, select: String): Long = {
+    val df = GraftSql.sql(s, select)
+    val bounds = (boundOf(lo), boundOf(hi)) match {
+      case (Left(l), Left(h)) => Left((l, h))
+      case (Right(l), Right(h)) => Right((l, h))
+      case _ => throw new IllegalArgumentException(
+        "REPLACE WHERE bounds must be both strings or both integers")
+    }
+    Constraints.checkedReplaceWhere(s, df, table, colName, bounds) match {
+      case Right(v) => v
+      case Left(bad) => throw new IllegalArgumentException(
+        "REPLACE WHERE batch violates CHECK constraints: " +
+          bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
+    }
   }
 
   private def runDrop(s: SparkSession, name: String): Long = {
@@ -547,9 +606,26 @@ private[sql] object GraftMaintenance {
         .sortBy(_._1)
         .toDF("name", "base", "summary").queryExecution.logical)
     }
-    case Create(name, select) if ddlEngages(name) =>
+    // the RESTATEMENT verb (r16 — Delta's partial overwrite, SQL
+    // form): swap exactly one range of a clustered table for the
+    // SELECT's rows, atomically, with the CHECK audit + drift gate;
+    // unresolvable targets keep Spark's surface (which has no such
+    // clause — the refusal stays loud either way)
+    case ReplaceWhere(view, colName, eqL, loL, hiL, select) =>
+      resolveTarget(view).map { table =>
+        val lo = if (eqL != null) eqL else loL
+        val hi = if (eqL != null) eqL else hiL
+        GraftMaintenanceCommand("replace_where", s => {
+          val v = runReplaceWhere(s, table, colName, lo, hi, select)
+          // advance the session view's version pin past the swap
+          // (multi-part targets read the catalog head — nothing to pin)
+          if (!view.contains('.')) GraftTables.register(s, table, view)
+          v
+        }, view, table)
+      }
+    case Create(name, cluster, select) if ddlEngages(name) =>
       Some(GraftMaintenanceCommand("create",
-        s => runCreate(s, name, select)))
+        s => runCreate(s, name, Option(cluster), select)))
     case CreateSchema(name, colsDdl) if ddlEngages(name) =>
       Some(GraftMaintenanceCommand("create",
         s => runCreateSchema(s, name, colsDdl)))

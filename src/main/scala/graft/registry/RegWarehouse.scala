@@ -2433,6 +2433,71 @@ private[graft] object RegWarehouse {
         .withColumn("versions", lit(versions))
     },
 
+    // SQL OPTIMIZE ZORDER BY + RESTORE TABLE (r16): the
+    // multi-dimensional re-cluster as ONE rewrite commit — lineitem's
+    // (partkey, suppkey) are independent dims, so one-dim sorting
+    // cannot serve both; after the z-order, SINGLE-dim probes on
+    // EITHER column and their conjunction all prune at the manifest
+    // (flags pinned from optimizedPlan rootPaths vs the live file
+    // count — the q_zorder_skip layout argument, landed on the real
+    // table layer). RESTORE TABLE then rolls the head back to the
+    // pre-zorder version BY REFERENCE (no data copied), and history
+    // pins the full trail: CTAS, rewrite, manifest fold, restore.
+    // At 100 TB: the rewrite is one shuffle + one stats pass over the
+    // table, the restore is O(manifest). Values face DuckDB's
+    // recompute from raw rows. GraftSqlZorderSpec pins refusals
+    // (one-column ZORDER, unknown column, restore past a vacuum).
+    "q_sql_zorder" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_zow_$tag"
+      val wp = new org.apache.hadoop.fs.Path(w)
+      wp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wp, true)
+      import graft.sql.GraftSql
+      GraftSql.sql(s, s"SET spark.graft.warehouse = $w")
+      GraftSql.sql(s,
+        s"""CREATE TABLE zo_li AS
+           |SELECT CAST(l_partkey AS BIGINT) AS p,
+           |  CAST(l_suppkey AS BIGINT) AS sk,
+           |  CAST(l_orderkey AS BIGINT) AS k
+           |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+      val n = GraftSql.sql(s, "SELECT count(*) AS n FROM zo_li")
+        .head().getLong(0)
+      // ~16 z-files regardless of scale factor
+      GraftSql.sql(s, "SET spark.graft.zorder.targetRecords = " +
+        math.max(1L, math.ceil(n / 16.0).toLong))
+      GraftSql.sql(s, "OPTIMIZE zo_li ZORDER BY (p, sk)")
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      val total = graft.sources.CommitLog.liveFiles(s, s"$w/zo_li",
+        graft.sources.CommitLog.currentVersion(s, s"$w/zo_li").get)
+        .size.toLong
+      val qP = GraftSql.sql(s, "SELECT count(*) AS n_p, " +
+        "sum(k) AS k_sum_p FROM zo_li WHERE p BETWEEN 1 AND 250")
+      val qS = GraftSql.sql(s,
+        "SELECT count(*) AS n_sk FROM zo_li WHERE sk BETWEEN 1 AND 12")
+      val qB = GraftSql.sql(s, "SELECT count(*) AS n_both FROM zo_li " +
+        "WHERE p BETWEEN 1 AND 250 AND sk BETWEEN 1 AND 12")
+      val pSel = scanned(qP) * 2 <= total
+      val sSel = scanned(qS) * 2 <= total
+      val bSel = scanned(qB) <= scanned(qP) && scanned(qB) <= scanned(qS)
+      GraftSql.sql(s, "RESTORE TABLE zo_li TO VERSION AS OF 1")
+      val qAll = GraftSql.sql(s,
+        "SELECT count(*) AS n_all FROM zo_li")
+      val versions = GraftSql.sql(s, "DESCRIBE HISTORY zo_li").count()
+      qP.crossJoin(qS).crossJoin(qB).crossJoin(qAll) // 1-row scalars
+        .withColumn("zp_selective", lit(if (pSel) 1L else 0L))
+        .withColumn("zsk_selective", lit(if (sSel) 1L else 0L))
+        .withColumn("zboth_selective", lit(if (bSel) 1L else 0L))
+        .withColumn("versions", lit(versions))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -4538,6 +4603,33 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS replace_guard,
         |  CAST(2 AS BIGINT) AS versions
         |FROM o""".stripMargin,
+
+    // The z-order probes recomputed from raw rows (the rewrite moves
+    // bytes, never values; the restore moves references, never
+    // bytes); the pruning flags and the four-version trail are layout
+    // contracts the engine must reproduce.
+    "q_sql_zorder" ->
+      """WITH li AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS p,
+        |    CAST(l_suppkey AS BIGINT) AS sk,
+        |    CAST(l_orderkey AS BIGINT) AS k
+        |  FROM lineitem)
+        |SELECT
+        |  CAST((SELECT count(*) FROM li WHERE p BETWEEN 1 AND 250)
+        |    AS BIGINT) AS n_p,
+        |  CAST((SELECT sum(k) FROM li WHERE p BETWEEN 1 AND 250)
+        |    AS BIGINT) AS k_sum_p,
+        |  CAST((SELECT count(*) FROM li WHERE sk BETWEEN 1 AND 12)
+        |    AS BIGINT) AS n_sk,
+        |  CAST((SELECT count(*) FROM li
+        |    WHERE p BETWEEN 1 AND 250 AND sk BETWEEN 1 AND 12)
+        |    AS BIGINT) AS n_both,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(1 AS BIGINT) AS zp_selective,
+        |  CAST(1 AS BIGINT) AS zsk_selective,
+        |  CAST(1 AS BIGINT) AS zboth_selective,
+        |  CAST(4 AS BIGINT) AS versions
+        |FROM li""".stripMargin,
 
     // The restored session's answers recomputed from raw rows; one
     // file per month, so the equality probe scans exactly one; the

@@ -1120,10 +1120,50 @@ object CommitLog {
       else fullStatsFor(spark, table, staged,
         if (allCols.nonEmpty) allCols else Seq(m.statsCol))
     // compaction keeps the bloom sidecars alive for the compacted
-    // files (VERDICT r14 #3 — OPTIMIZE must not shed point skipping)
+    // files (VERDICT r14 #3 — OPTIMIZE must not shed point skipping);
+    // the data-REPLACING commit takes the rewrite path so a
+    // concurrently-removed file aborts instead of re-adding its rows
     val blooms = BloomStats.restatBlooms(spark, table, m, staged)
-    commit(spark, table, adds = staged, removes = m.files,
+    rewrite(spark, table, adds = staged, removes = m.files,
       statsCol = m.statsCol, colStats = nums, strColStats = strs ++ blooms)
+  }
+
+  /** Transactional MULTI-DIMENSIONAL re-clustering (Delta's `OPTIMIZE
+    * … ZORDER BY`): rewrite the live set ordered by the interleaved
+    * z-value of `dims` ([[ZOrder.zvalue]] — integral/date columns)
+    * into ~`targetRecordsPerFile`-row files and swap them in ONE
+    * rewrite commit. Each file then covers a tight hyper-box in EVERY
+    * dim, so single-dim and conjunctive probes on any of them prune
+    * at the manifest — the multi-column zone maps are re-collected on
+    * the union of the manifest's stat columns and `dims`, and bloom
+    * sidecars survive the swap (the compactTable discipline). */
+  def zorderTable(
+      spark: SparkSession, table: String, dims: Seq[String],
+      bits: Int = 8, targetRecordsPerFile: Long = 1000000L): Long = {
+    import org.apache.spark.sql.functions.col
+    require(dims.size >= 2, "ZORDER BY needs at least two columns " +
+      "(one column is plain range clustering — use compactTable)")
+    require(targetRecordsPerFile > 0, "target must be positive")
+    val v = currentVersion(spark, table).getOrElse(
+      throw new IllegalArgumentException(s"no committed version at $table"))
+    val m = readManifest(spark, table, v)
+    val df = readVersion(spark, table, v)
+    dims.foreach(d => require(df.columns.contains(d),
+      s"ZORDER BY column '$d' is not in the table"))
+    val n = df.count()
+    val nFiles = math.max(1L,
+      math.ceil(n.toDouble / targetRecordsPerFile).toLong).toInt
+    val shaped = df.withColumn("__z", ZOrder.zvalue(df, dims, bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    val staged = stage(spark, shaped, table)
+    val statCols = (statColsOf(m) ++ dims).distinct
+    val (nums, strs) = fullStatsFor(spark, table, staged, statCols)
+    val blooms = BloomStats.restatBlooms(spark, table, m, staged)
+    rewrite(spark, table, adds = staged, removes = m.files,
+      statsCol = if (m.statsCol.nonEmpty) m.statsCol else dims.head,
+      colStats = nums, strColStats = strs ++ blooms)
   }
 
   /** PARTIAL OVERWRITE by range predicate (Delta's replaceWhere): one

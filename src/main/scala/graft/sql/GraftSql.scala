@@ -25,7 +25,15 @@ class GraftSqlParser(delegate: ParserInterface)
   * log's operators):
   *
   *   OPTIMIZE <view>                      file compaction + manifest fold
+  *   OPTIMIZE <view> ZORDER BY (<c1>, <c2>, …)
+  *                                        multi-dimensional re-cluster:
+  *                                        one rewrite commit lands the
+  *                                        z-ordered layout, zone maps
+  *                                        tighten on every dim (r16)
   *   VACUUM <view> RETAIN <n> VERSIONS    retire history past n versions
+  *   RESTORE TABLE <view> TO VERSION AS OF <n>
+  *                                        roll the head back to version
+  *                                        n by reference (r16)
   *   DESCRIBE HISTORY <view>              one row per retained version
   *   DESCRIBE DETAIL <view>               the head manifest's card
   *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -111,6 +119,12 @@ private[sql] object GraftMaintenance {
 
   private val Optimize =
     "(?is)^\\s*OPTIMIZE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
+  private val OptimizeZ =
+    ("(?is)^\\s*OPTIMIZE\\s+(\\w+(?:\\.\\w+){0,2})\\s+ZORDER\\s+BY\\s*" +
+      "\\(\\s*(\\w+(?:\\s*,\\s*\\w+)+)\\s*\\)\\s*;?\\s*$").r
+  private val RestoreTable =
+    ("(?is)^\\s*RESTORE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s+TO\\s+" +
+      "VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+(\\w+(?:\\.\\w+){0,2})\\s+RETAIN\\s+(\\d+)" +
       "\\s+VERSIONS\\s*;?\\s*$").r
@@ -505,10 +519,35 @@ private[sql] object GraftMaintenance {
         v
       }, view, table)
     }
+    // multi-dimensional re-clustering (r16 — Delta's OPTIMIZE ZORDER
+    // BY): one rewrite commit lands the z-ordered layout; file size
+    // honors `SET spark.graft.zorder.targetRecords` (default 1M rows)
+    case OptimizeZ(view, colsStr) => resolveTarget(view).map { table =>
+      GraftMaintenanceCommand("optimize_zorder", s => {
+        val dims = colsStr.split(",").map(_.trim).toSeq
+        val target = s.conf.getOption("spark.graft.zorder.targetRecords")
+          .map(_.toLong).getOrElse(1000000L)
+        val v = CommitLog.zorderTable(s, table, dims,
+          targetRecordsPerFile = target)
+        CommitLog.compactManifests(s, table)
+        if (!view.contains('.')) GraftTables.register(s, table, view)
+        v
+      }, view, table)
+    }
     case Vacuum(view, n) => resolveTarget(view).map { table =>
       GraftMaintenanceCommand("vacuum", s =>
         CommitLog.vacuumUnreferenced(s, table, keepVersions = n.toInt)
           .toLong, view, table)
+    }
+    // table-level rollback (r16 — Delta's RESTORE TABLE): re-list the
+    // target version's files by reference as the new head; vacuumed
+    // targets refuse (the restore would publish dead references)
+    case RestoreTable(view, ver) => resolveTarget(view).map { table =>
+      GraftMaintenanceCommand("restore_table", s => {
+        val v = CommitLog.restore(s, table, ver.toLong)
+        if (!view.contains('.')) GraftTables.register(s, table, view)
+        v
+      }, view, table)
     }
     case History(view) => resolveTarget(view).map { table =>
       TableInfo.history(SparkSession.active, table)

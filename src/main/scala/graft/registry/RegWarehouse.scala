@@ -2498,6 +2498,76 @@ private[graft] object RegWarehouse {
         .withColumn("versions", lit(versions))
     },
 
+    // SQL COPY INTO (r16 — Delta's idempotent bulk ingest, the 100 TB
+    // landing-dir workhorse): an upstream keeps dropping parquet
+    // files into a prefix; the loader must be re-run safe. Load
+    // history rides the log (content-addressed `_log/copy-<id>.json`
+    // sidecars referenced from manifest txn — an orphan from a crash
+    // before commit is ignored, so retries re-load, never lose). The
+    // fixture: declare the table empty (explicit schema), drop the
+    // 1995-06-and-earlier orders as TWO files → COPY loads 2; COPY
+    // again → loads 0, no new version; drop the rest as ONE file →
+    // COPY loads exactly the delta; every batch lands zone maps, so
+    // a month point probe prunes (pinned). Values face DuckDB's
+    // recompute over all of orders. GraftSqlCopySpec pins the CHECK
+    // refusal (not marked loaded — the fixed retry loads), schema
+    // drift, and the orphaned-sidecar crash window.
+    "q_sql_copy" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_cpw_$tag"
+      val land = s"${System.getProperty("java.io.tmpdir")}/graft_cpl_$tag"
+      Seq(w, land).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      import graft.sql.GraftSql
+      GraftSql.sql(s, s"SET spark.graft.warehouse = $w")
+      GraftSql.sql(s,
+        "CREATE TABLE cp_orders (k BIGINT, ym STRING, cents BIGINT)")
+      val o = s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey").cast("long").as("k"),
+        substring(col("o_orderdate").cast("string"), 1, 7).as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      o.filter(col("ym") <= "1995-06").repartition(2)
+        .write.mode("append").parquet(land)
+      val loaded1 = GraftSql.sql(s, s"COPY INTO cp_orders FROM '$land'")
+        .head().getLong(1)
+      val vAfter1 = graft.sources.CommitLog.currentVersion(s,
+        s"$w/cp_orders").get
+      val rerun = GraftSql.sql(s, s"COPY INTO cp_orders FROM '$land'")
+        .head().getLong(1)
+      val noNewVersion = graft.sources.CommitLog.currentVersion(s,
+        s"$w/cp_orders").get == vAfter1
+      o.filter(col("ym") > "1995-06").coalesce(1)
+        .write.mode("append").parquet(land)
+      val loaded2 = GraftSql.sql(s, s"COPY INTO cp_orders FROM '$land'")
+        .head().getLong(1)
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      val qEq = GraftSql.sql(s, "SELECT count(*) AS n_eq, " +
+        "sum(cents) AS cents_eq FROM cp_orders WHERE ym = '1995-03'")
+      val total = graft.sources.CommitLog.liveFiles(s, s"$w/cp_orders",
+        graft.sources.CommitLog.currentVersion(s, s"$w/cp_orders").get)
+        .size.toLong
+      val selective = scanned(qEq) < total
+      val qAll = GraftSql.sql(s, "SELECT count(*) AS n_all, " +
+        "sum(cents) AS cents_total FROM cp_orders")
+      qEq.crossJoin(qAll) // 1-row scalar joins
+        .withColumn("loaded_first", lit(loaded1))
+        .withColumn("loaded_rerun",
+          lit(if (rerun == 0L && noNewVersion) 0L else -1L))
+        .withColumn("loaded_delta", lit(loaded2))
+        .withColumn("copy_skip_selective", lit(if (selective) 1L else 0L))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -4630,6 +4700,29 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS zboth_selective,
         |  CAST(4 AS BIGINT) AS versions
         |FROM li""".stripMargin,
+
+    // The ingest's answers recomputed from all of orders (both drops
+    // land exactly once); the load counts, the no-op re-run, and the
+    // pruning flag are loader contracts the engine must reproduce.
+    "q_sql_copy" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o WHERE ym = '1995-03') AS BIGINT)
+        |    AS n_eq,
+        |  CAST((SELECT sum(cents) FROM o WHERE ym = '1995-03') AS BIGINT)
+        |    AS cents_eq,
+        |  CAST(count(*) AS BIGINT) AS n_all,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total,
+        |  CAST(2 AS BIGINT) AS loaded_first,
+        |  CAST(0 AS BIGINT) AS loaded_rerun,
+        |  CAST(1 AS BIGINT) AS loaded_delta,
+        |  CAST(1 AS BIGINT) AS copy_skip_selective
+        |FROM o""".stripMargin,
 
     // The restored session's answers recomputed from raw rows; one
     // file per month, so the equality probe scans exactly one; the

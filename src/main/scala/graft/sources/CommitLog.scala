@@ -98,7 +98,7 @@ object CommitLog {
     new Path(dataRoot(path))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def logDir(table: String) = branchOf(table) match {
+  private[sources] def logDir(table: String) = branchOf(table) match {
     case None => new Path(dataRoot(table), "_log")
     case Some(b) =>
       require(b.nonEmpty && b.forall(c => c.isLetterOrDigit || c == '_' ||

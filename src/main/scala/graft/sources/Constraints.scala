@@ -157,7 +157,7 @@ object Constraints {
     * append verbs don't look): the batch must carry exactly the
     * table's columns with identical types — BEFORE staging, so a
     * drifting batch costs no write at all. */
-  private def driftGate(spark: SparkSession, df: DataFrame,
+  private[sources] def driftGate(spark: SparkSession, df: DataFrame,
       table: String): Unit =
     CommitLog.currentVersion(spark, table)
       .filter(v => CommitLog.liveFiles(spark, table, v).nonEmpty)

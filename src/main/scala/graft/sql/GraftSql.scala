@@ -34,6 +34,12 @@ class GraftSqlParser(delegate: ParserInterface)
   *   RESTORE TABLE <view> TO VERSION AS OF <n>
   *                                        roll the head back to version
   *                                        n by reference (r16)
+  *   COPY INTO <view> FROM '<dir>'        idempotent bulk ingest: load
+  *                                        the landing dir's parquet
+  *                                        files exactly once, re-run
+  *                                        safe; drift/CHECK-gated
+  *                                        ([[graft.sources.CopyInto]],
+  *                                        r16)
   *   DESCRIBE HISTORY <view>              one row per retained version
   *   DESCRIBE DETAIL <view>               the head manifest's card
   *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -125,6 +131,9 @@ private[sql] object GraftMaintenance {
   private val RestoreTable =
     ("(?is)^\\s*RESTORE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s+TO\\s+" +
       "VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*$").r
+  private val Copy =
+    ("(?is)^\\s*COPY\\s+INTO\\s+(\\w+(?:\\.\\w+){0,2})\\s+FROM\\s+" +
+      "'([^']+)'\\s*;?\\s*$").r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+(\\w+(?:\\.\\w+){0,2})\\s+RETAIN\\s+(\\d+)" +
       "\\s+VERSIONS\\s*;?\\s*$").r
@@ -547,6 +556,16 @@ private[sql] object GraftMaintenance {
         val v = CommitLog.restore(s, table, ver.toLong)
         if (!view.contains('.')) GraftTables.register(s, table, view)
         v
+      }, view, table)
+    }
+    // idempotent bulk ingest (r16 — Delta's COPY INTO): load every
+    // parquet file under the landing dir exactly once; the value is
+    // the number of files loaded THIS run (0 = already caught up)
+    case Copy(view, srcDir) => resolveTarget(view).map { table =>
+      GraftMaintenanceCommand("copy_into", s => {
+        val (nFiles, _) = graft.sources.CopyInto.copyInto(s, table, srcDir)
+        if (!view.contains('.')) GraftTables.register(s, table, view)
+        nFiles
       }, view, table)
     }
     case History(view) => resolveTarget(view).map { table =>

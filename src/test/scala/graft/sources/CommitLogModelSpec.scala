@@ -6,7 +6,8 @@ import graft.SparkSpec
 
 /** Model-based check of the SHARDED commit log: a deterministic random
   * walk over append / appendWithStats / delete-files / compact /
-  * replace / manifest-fold / vacuum, mirrored into a trivial in-memory
+  * replace / manifest-fold / vacuum / COPY INTO / z-order (r16),
+  * mirrored into a trivial in-memory
   * model (version → row multiset). After every operation the resolved
   * table must equal the model, the version chain must stay gapless,
   * and the group algebra must hold (every live file in EXACTLY one
@@ -22,6 +23,8 @@ class CommitLogModelSpec extends SparkSpec {
 
   test("random op walk: table ≡ model at every version; group algebra holds") {
     val t = freshTable()
+    val land = Files.createTempDirectory("graft_model_land").toString + "/l"
+    new java.io.File(land).mkdirs()
     val rnd = new scala.util.Random(13L)
     var nextId = 0L
     // model: version -> live row set (ids are unique by construction)
@@ -33,7 +36,7 @@ class CommitLogModelSpec extends SparkSpec {
       ids
     }
     def df(ids: Seq[Long]) =
-      ids.map(i => (i, s"r$i")).toDF("id", "s")
+      ids.map(i => (i, s"r$i", i % 97)).toDF("id", "s", "h")
         .repartition(1 + rnd.nextInt(3))
 
     def checkHead(): Unit = {
@@ -61,7 +64,7 @@ class CommitLogModelSpec extends SparkSpec {
 
     var checksOn = true
     for (step <- 1 to 34) {
-      rnd.nextInt(13) match {
+      rnd.nextInt(16) match {
         case 0 | 1 => // append
           val ids = batch(5 + rnd.nextInt(20))
           CommitLog.append(spark, df(ids), t)
@@ -130,16 +133,16 @@ class CommitLogModelSpec extends SparkSpec {
             assert(Constraints.checkedAppend(spark, df(ids), t).isRight)
             live ++= ids
           } else if (checksOn) {
-            val dirty = ids.map(i => (-i, s"r$i"))
-              .toDF("id", "s").repartition(1 + rnd.nextInt(2))
+            val dirty = ids.map(i => (-i, s"r$i", i % 97))
+              .toDF("id", "s", "h").repartition(1 + rnd.nextInt(2))
             assert(Constraints.checkedAppend(spark, dirty, t) ==
               Left(Seq("id_pos" -> ids.size.toLong)))
             // rejected: no version published, the model is untouched
           } else {
             // with the set cleared, the same dirty batch lands — and
             // the model follows it (negative ids)
-            val dirty = ids.map(i => (-i, s"r$i"))
-              .toDF("id", "s").repartition(1 + rnd.nextInt(2))
+            val dirty = ids.map(i => (-i, s"r$i", i % 97))
+              .toDF("id", "s", "h").repartition(1 + rnd.nextInt(2))
             assert(Constraints.checkedAppend(spark, dirty, t).isRight)
             live ++= ids.map(-_)
           }
@@ -150,8 +153,8 @@ class CommitLogModelSpec extends SparkSpec {
             assert(Constraints.checkedReplace(spark, df(ids), t).isRight)
             live = ids.toSet
           } else {
-            val dirty = ids.map(i => (-i, s"r$i"))
-              .toDF("id", "s").repartition(1 + rnd.nextInt(2))
+            val dirty = ids.map(i => (-i, s"r$i", i % 97))
+              .toDF("id", "s", "h").repartition(1 + rnd.nextInt(2))
             assert(Constraints.checkedReplace(spark, dirty, t) ==
               Left(Seq("id_pos" -> ids.size.toLong)))
           }
@@ -173,6 +176,19 @@ class CommitLogModelSpec extends SparkSpec {
               checksOn = true
             }
           }
+        case 13 => // COPY INTO: a fresh drop in the landing dir
+          // loads exactly once (the idempotent ingest verb, r16)
+          val ids = batch(4 + rnd.nextInt(8))
+          df(ids).coalesce(1).write.mode("append").parquet(land)
+          val (n, _) = CopyInto.copyInto(spark, t, land)
+          assert(n >= 1L, "a fresh drop must load")
+          live ++= ids
+        case 14 => // COPY re-run: caught up — the state must not move
+          val (n, _) = CopyInto.copyInto(spark, t, land)
+          assert(n == 0L, "a caught-up COPY must load nothing")
+        case 15 => // z-order rewrite (r16): layout only, never state
+          CommitLog.zorderTable(spark, t, Seq("id", "h"),
+            targetRecordsPerFile = 37)
       }
       checkHead()
       if (step % 11 == 0) {

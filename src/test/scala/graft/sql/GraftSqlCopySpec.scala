@@ -114,4 +114,29 @@ class GraftSqlCopySpec extends SparkSpec {
     assert(GraftSql.sql(s, "SELECT count(*) AS n FROM ingest2")
       .head().getLong(0) == 10L)
   }
+
+  test("load history OUTLIVES history retention: VACUUM retires the " +
+      "copy commits' manifests, a re-run still loads nothing") {
+    val wh = Files.createTempDirectory("cpwh3").toString
+    val land = Files.createTempDirectory("cpland3").toString + "/l"
+    val s = spark.newSession()
+    GraftSql.sql(s, s"SET spark.graft.warehouse = $wh")
+    GraftSql.sql(s, "CREATE TABLE ingest3 (k BIGINT)")
+    (1 to 10).map(_.toLong).toDF("k").coalesce(1).write
+      .mode("append").parquet(land)
+    assert(GraftSql.sql(s, s"COPY INTO ingest3 FROM '$land'")
+      .head().getLong(1) == 1L)
+    // push the copy commit out of the retained window
+    (11 to 20).map(_.toLong).toDF("k").coalesce(1).write
+      .mode("append").parquet(land)
+    assert(GraftSql.sql(s, s"COPY INTO ingest3 FROM '$land'")
+      .head().getLong(1) == 1L)
+    GraftSql.sql(s, "INSERT INTO ingest3 VALUES (CAST(99 AS BIGINT))")
+    GraftSql.sql(s, "VACUUM ingest3 RETAIN 1 VERSIONS")
+    assert(GraftSql.sql(s, s"COPY INTO ingest3 FROM '$land'")
+      .head().getLong(1) == 0L,
+      "vacuumed history must not forget loaded files")
+    assert(GraftSql.sql(s, "SELECT count(*) AS n FROM ingest3")
+      .head().getLong(0) == 21L)
+  }
 }

@@ -115,6 +115,32 @@ class GraftSqlCopySpec extends SparkSpec {
       .head().getLong(0) == 10L)
   }
 
+  test("subdir-partitioned landing: recursive load, relative-path " +
+      "identity — same basenames in different subdirs both load") {
+    val wh = Files.createTempDirectory("cpwh4").toString
+    val land = Files.createTempDirectory("cpland4").toString + "/l"
+    val s = spark.newSession()
+    GraftSql.sql(s, s"SET spark.graft.warehouse = $wh")
+    GraftSql.sql(s, "CREATE TABLE ingest4 (k BIGINT)")
+    // two dated subdirs; coalesce(1) gives each the same part-00000
+    // basename — identity must be the relative path, not the name
+    (1 to 10).map(_.toLong).toDF("k").coalesce(1).write
+      .parquet(s"$land/dt=2024-01-01")
+    (11 to 20).map(_.toLong).toDF("k").coalesce(1).write
+      .parquet(s"$land/dt=2024-01-02")
+    assert(GraftSql.sql(s, s"COPY INTO ingest4 FROM '$land'")
+      .head().getLong(1) == 2L)
+    assert(GraftSql.sql(s, "SELECT count(*) AS n FROM ingest4")
+      .head().getLong(0) == 20L)
+    // a third day lands later: only the delta loads
+    (21 to 25).map(_.toLong).toDF("k").coalesce(1).write
+      .parquet(s"$land/dt=2024-01-03")
+    assert(GraftSql.sql(s, s"COPY INTO ingest4 FROM '$land'")
+      .head().getLong(1) == 1L)
+    assert(GraftSql.sql(s, "SELECT count(*) AS n FROM ingest4")
+      .head().getLong(0) == 25L)
+  }
+
   test("load history OUTLIVES history retention: VACUUM retires the " +
       "copy commits' manifests, a re-run still loads nothing") {
     val wh = Files.createTempDirectory("cpwh3").toString

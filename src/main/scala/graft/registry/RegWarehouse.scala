@@ -2568,6 +2568,65 @@ private[graft] object RegWarehouse {
         .withColumn("copy_skip_selective", lit(if (selective) 1L else 0L))
     },
 
+    // SQL ADMIN verbs (r16): SHOW CREATE TABLE renders the statements
+    // that recreate the declared surface (columns from the head
+    // schema + one ALTER per persisted CHECK — GraftSqlAdminSpec pins
+    // the render ROUND-TRIPS through its own statements), and
+    // TRUNCATE TABLE swaps the live set for a zero-row schema-bearing
+    // file in one commit — schema, CHECK set and history survive
+    // (time travel to the pre-truncate version still answers; a bad
+    // insert after the truncate still refuses). Values face DuckDB's
+    // recompute of the ingested month.
+    "q_sql_admin" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_admw_$tag"
+      val wp = new org.apache.hadoop.fs.Path(w)
+      wp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wp, true)
+      import graft.sql.GraftSql
+      GraftSql.sql(s, s"SET spark.graft.warehouse = $w")
+      GraftSql.sql(s,
+        "CREATE TABLE adm (k BIGINT, ym STRING, cents BIGINT)")
+      GraftSql.sql(s,
+        "ALTER TABLE adm ADD CONSTRAINT k_pos CHECK (k > 0)")
+      GraftSql.sql(s,
+        s"""INSERT INTO adm
+           |SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |  substr(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |    AS cents
+           |FROM parquet.`$dir/orders.parquet`
+           |WHERE substr(CAST(o_orderdate AS STRING), 1, 7) = '1995-06'
+           |""".stripMargin)
+      val ddl = GraftSql.sql(s, "SHOW CREATE TABLE adm")
+        .select("ddl").head().getString(0)
+      val ddlOk = ddl ==
+        "CREATE TABLE adm (k BIGINT, ym STRING, cents BIGINT);\n" +
+        "ALTER TABLE adm ADD CONSTRAINT k_pos CHECK (k > 0)"
+      val qPre = GraftSql.sql(s,
+        "SELECT count(*) AS n_pre, sum(cents) AS cents_pre FROM adm")
+      val pre = qPre.head()
+      GraftSql.sql(s, "TRUNCATE TABLE adm")
+      val post = GraftSql.sql(s, "SELECT count(*) AS n FROM adm")
+        .head().getLong(0)
+      val schemaKept = GraftSql.sql(s, "SELECT * FROM adm")
+        .schema.map(_.name) == Seq("k", "ym", "cents")
+      // create(1) alter(2) insert(3) truncate(4) — travel to 3
+      val nTt = GraftSql.sql(s,
+        "SELECT count(*) AS n FROM adm VERSION AS OF 3")
+        .head().getLong(0)
+      val checkedAfter =
+        try {
+          GraftSql.sql(s, "INSERT INTO adm VALUES " +
+            "(CAST(-1 AS BIGINT), '2099-01', CAST(1 AS BIGINT))")
+          0L
+        } catch { case _: Exception => 1L }
+      import s.implicits._
+      Seq((pre.getLong(0), pre.getLong(1), post, nTt,
+        if (ddlOk) 1L else 0L, if (schemaKept) 1L else 0L, checkedAfter))
+        .toDF("n_pre", "cents_pre", "n_post", "n_tt", "ddl_roundtrip",
+          "schema_kept", "post_truncate_checked")
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -4722,6 +4781,28 @@ private[graft] object RegWarehouse {
         |  CAST(0 AS BIGINT) AS loaded_rerun,
         |  CAST(1 AS BIGINT) AS loaded_delta,
         |  CAST(1 AS BIGINT) AS copy_skip_selective
+        |FROM o""".stripMargin,
+
+    // The admin verbs' answers: the ingested month recomputed from
+    // raw rows (before the truncate, and again through time travel),
+    // zero after; the render/schema/enforcement pins are DDL
+    // contracts the engine must reproduce.
+    "q_sql_admin" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders
+        |  WHERE strftime(CAST(o_orderdate AS DATE), '%Y-%m') = '1995-06')
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_pre,
+        |  CAST(sum(cents) AS BIGINT) AS cents_pre,
+        |  CAST(0 AS BIGINT) AS n_post,
+        |  CAST(count(*) AS BIGINT) AS n_tt,
+        |  CAST(1 AS BIGINT) AS ddl_roundtrip,
+        |  CAST(1 AS BIGINT) AS schema_kept,
+        |  CAST(1 AS BIGINT) AS post_truncate_checked
         |FROM o""".stripMargin,
 
     // The restored session's answers recomputed from raw rows; one

@@ -40,6 +40,11 @@ class GraftSqlParser(delegate: ParserInterface)
   *                                        safe; drift/CHECK-gated
   *                                        ([[graft.sources.CopyInto]],
   *                                        r16)
+  *   SHOW CREATE TABLE <view>             the statements that recreate
+  *                                        the declared surface (r16)
+  *   TRUNCATE TABLE <view>                one commit to a zero-row
+  *                                        schema-bearing state; history
+  *                                        stays time-travelable (r16)
   *   DESCRIBE HISTORY <view>              one row per retained version
   *   DESCRIBE DETAIL <view>               the head manifest's card
   *   ALTER TABLE <view> ADD CONSTRAINT <name> CHECK (<expr>)
@@ -134,6 +139,10 @@ private[sql] object GraftMaintenance {
   private val Copy =
     ("(?is)^\\s*COPY\\s+INTO\\s+(\\w+(?:\\.\\w+){0,2})\\s+FROM\\s+" +
       "'([^']+)'\\s*;?\\s*$").r
+  private val ShowCreate =
+    "(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
+  private val Truncate =
+    "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+(\\w+(?:\\.\\w+){0,2})\\s+RETAIN\\s+(\\d+)" +
       "\\s+VERSIONS\\s*;?\\s*$").r
@@ -566,6 +575,40 @@ private[sql] object GraftMaintenance {
         val (nFiles, _) = graft.sources.CopyInto.copyInto(s, table, srcDir)
         if (!view.contains('.')) GraftTables.register(s, table, view)
         nFiles
+      }, view, table)
+    }
+    // DDL round-trip discovery (r16): render the statements that
+    // recreate the table's declared surface — columns from the head
+    // schema, one ALTER per persisted CHECK — deterministically
+    case ShowCreate(view) => resolveTarget(view).map { table =>
+      val s = SparkSession.active
+      val cols = CommitLog.read(s, table).schema.fields
+        .map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      val checks = Constraints.checks(s, table).sortBy(_.name)
+        .map(c => s"ALTER TABLE $view ADD CONSTRAINT ${c.name} " +
+          s"CHECK (${c.expr})")
+      val ddl = (s"CREATE TABLE $view ($cols)" +: checks).mkString(";\n")
+      import s.implicits._
+      Seq((view, ddl)).toDF("name", "ddl").queryExecution.logical
+    }
+    // TRUNCATE (r16): one commit swaps the live set for a single
+    // zero-row schema-bearing file — the table reads empty, keeps its
+    // schema, stats declaration and CHECK set, and every prior
+    // version stays time-travelable (DELETE-all semantics without
+    // the view drop)
+    case Truncate(view) => resolveTarget(view).map { table =>
+      GraftMaintenanceCommand("truncate", s => {
+        val schema = CommitLog.read(s, table).schema
+        val empty = s.createDataFrame(
+          s.sparkContext.parallelize(
+            Seq.empty[org.apache.spark.sql.Row], 1), schema)
+        val v = Constraints.checkedReplace(s, empty, table) match {
+          case Right(ver) => ver
+          case Left(bad) => throw new IllegalStateException(
+            s"truncate audit failed impossibly: $bad")
+        }
+        if (!view.contains('.')) GraftTables.register(s, table, view)
+        v
       }, view, table)
     }
     case History(view) => resolveTarget(view).map { table =>

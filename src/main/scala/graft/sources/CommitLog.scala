@@ -1106,7 +1106,10 @@ object CommitLog {
       throw new IllegalArgumentException(s"no committed version at $table"))
     val m = readManifest(spark, table, v)
     val df = readVersion(spark, table, v)
-    val n = df.count()
+    // size the rewrite from the manifest's per-file row counts when
+    // they cover the live set — at scale that's the difference
+    // between planning from a byte-sized JSON and a full count scan
+    val n = tableRowCount(spark, table).getOrElse(df.count())
     val nFiles = math.max(1L, math.ceil(n.toDouble / targetRecordsPerFile).toLong).toInt
     val shaped =
       if (m.statsCol.nonEmpty) df.repartitionByRange(nFiles, col(m.statsCol))
@@ -1150,10 +1153,24 @@ object CommitLog {
     val df = readVersion(spark, table, v)
     dims.foreach(d => require(df.columns.contains(d),
       s"ZORDER BY column '$d' is not in the table"))
-    val n = df.count()
+    // manifest row counts size the rewrite without a count scan
+    val n = tableRowCount(spark, table).getOrElse(df.count())
     val nFiles = math.max(1L,
       math.ceil(n.toDouble / targetRecordsPerFile).toLong).toInt
-    val shaped = df.withColumn("__z", ZOrder.zvalue(df, dims, bits))
+    // bucket ranges from the manifest's zone maps when they cover
+    // every dim over the whole live set — else one aggregation scan
+    val zcol = {
+      val bounds = dims.map { d =>
+        val st = m.colStats.getOrElse(d, Map.empty)
+        if (m.files.nonEmpty && m.files.forall(st.contains))
+          Some((st.values.map(_._1).min, st.values.map(_._2).max))
+        else None
+      }
+      if (bounds.forall(_.isDefined))
+        ZOrder.zvalueWithBounds(dims, bits, bounds.map(_.get))
+      else ZOrder.zvalue(df, dims, bits)
+    }
+    val shaped = df.withColumn("__z", zcol)
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -69,8 +69,19 @@ object ZOrder {
       max(col(c)).cast("long").as(s"mx$i")
     }
     val mm = df.agg(aggs.head, aggs.tail: _*).head()
-    val buckets = dims.zipWithIndex.map { case (c, i) =>
-      bucketize(col(c).cast("long"), mm.getLong(i), mm.getLong(dims.size + i), bits)
+    zvalueWithBounds(dims, bits,
+      dims.indices.map(i => (mm.getLong(i), mm.getLong(dims.size + i))))
+  }
+
+  /** [[zvalue]] with CALLER-SUPPLIED per-dim [min, max] — what
+    * [[CommitLog.zorderTable]] uses when the manifest's zone maps
+    * already cover every dim: the bucket ranges fold from a
+    * byte-sized JSON instead of an aggregation scan (r16). */
+  def zvalueWithBounds(dims: Seq[String], bits: Int,
+      bounds: Seq[(Long, Long)]): Column = {
+    require(bounds.size == dims.size, "one (min, max) per dim")
+    val buckets = dims.zip(bounds).map { case (c, (mn, mx)) =>
+      bucketize(col(c).cast("long"), mn, mx, bits)
     }
     interleave(buckets, bits)
   }

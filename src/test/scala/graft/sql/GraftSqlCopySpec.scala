@@ -115,6 +115,41 @@ class GraftSqlCopySpec extends SparkSpec {
       .head().getLong(0) == 10L)
   }
 
+  test("RACING copies of the same landing state stay exactly-once: " +
+      "one lands the batch, the loser backs off") {
+    val wh = Files.createTempDirectory("cpwh5").toString
+    val land = Files.createTempDirectory("cpland5").toString + "/l"
+    val s = spark.newSession()
+    GraftSql.sql(s, s"SET spark.graft.warehouse = $wh")
+    GraftSql.sql(s, "CREATE TABLE ingest5 (k BIGINT)")
+    (1 to 30).map(_.toLong).toDF("k").repartition(3).write
+      .mode("append").parquet(land)
+    val table = s"$wh/ingest5"
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          val (n, _) = CopyInto.copyInto(s, table, land)
+          results.add(n)
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"racer threw: ${errs.peek()}")
+    val ns = results.toArray(Array.empty[java.lang.Long]).map(_.toLong)
+    assert(ns.sorted.toSeq == Seq(0L, 3L) || ns.sorted.toSeq == Seq(3L),
+      s"exactly one racer loads: ${ns.toSeq}")
+    import graft.sources.CommitLog
+    GraftTables.register(s, table, "ingest5")
+    assert(GraftSql.sql(s, "SELECT count(*) AS n FROM ingest5")
+      .head().getLong(0) == 30L, "no duplicated rows")
+    // and a later run is still caught up
+    assert(CopyInto.copyInto(s, table, land)._1 == 0L)
+  }
+
   test("subdir-partitioned landing: recursive load, relative-path " +
       "identity — same basenames in different subdirs both load") {
     val wh = Files.createTempDirectory("cpwh4").toString

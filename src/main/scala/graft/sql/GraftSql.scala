@@ -42,6 +42,11 @@ class GraftSqlParser(delegate: ParserInterface)
   *                                        r16)
   *   SHOW CREATE TABLE <view>             the statements that recreate
   *                                        the declared surface (r16)
+  *   DESCRIBE DIFF <view> FROM <v1> TO <v2> KEY (k, …)
+  *                                        snapshot diff: keys added/
+  *                                        removed/changed between two
+  *                                        versions, any verb history
+  *                                        (r16)
   *   TRUNCATE TABLE <view>                one commit to a zero-row
   *                                        schema-bearing state; history
   *                                        stays time-travelable (r16)
@@ -141,6 +146,10 @@ private[sql] object GraftMaintenance {
       "'([^']+)'\\s*;?\\s*$").r
   private val ShowCreate =
     "(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
+  private val Diff =
+    ("(?is)^\\s*DESCRIBE\\s+DIFF\\s+(\\w+(?:\\.\\w+){0,2})\\s+FROM\\s+(\\d+)" +
+      "\\s+TO\\s+(\\d+)\\s+KEY\\s*\\(\\s*(\\w+(?:\\s*,\\s*\\w+)*)\\s*\\)" +
+      "\\s*;?\\s*$").r
   private val Truncate =
     "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val Vacuum =
@@ -576,6 +585,20 @@ private[sql] object GraftMaintenance {
         if (!view.contains('.')) GraftTables.register(s, table, view)
         nFiles
       }, view, table)
+    }
+    // SNAPSHOT DIFF between two versions (r16): keys added / removed
+    // / changed regardless of which verbs produced the history (a
+    // change feed cannot flow state-changing rewrites; a snapshot
+    // diff always can). Payloads compare via one hash over every
+    // non-key column; O(two snapshots), one shuffle on the keys.
+    case Diff(view, v1, v2, keys) => resolveTarget(view).map { table =>
+      val s = SparkSession.active
+      val keyCols = keys.split(",").map(_.trim).toSeq
+      val oldS = CommitLog.readVersion(s, table, v1.toLong)
+      val newS = CommitLog.readVersion(s, table, v2.toLong)
+      val compare = newS.columns.toSeq.filterNot(keyCols.contains)
+      graft.operators.TableDiff.diff(oldS, newS, keyCols, compare)
+        .queryExecution.logical
     }
     // DDL round-trip discovery (r16): render the statements that
     // recreate the table's declared surface — columns from the head

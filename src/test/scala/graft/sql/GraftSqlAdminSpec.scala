@@ -66,6 +66,28 @@ class GraftSqlAdminSpec extends SparkSpec {
       .getLong(0) == 1L)
   }
 
+  test("DESCRIBE DIFF: keys added/removed/changed between two " +
+      "versions, across routed DML verbs") {
+    val wh = Files.createTempDirectory("admwh5").toString
+    val s = spark.newSession()
+    GraftSql.sql(s, s"SET spark.graft.warehouse = $wh")
+    GraftSql.sql(s, "CREATE TABLE dd (k BIGINT, v STRING)")
+    GraftSql.sql(s, "INSERT INTO dd VALUES " +
+      "(CAST(1 AS BIGINT), 'a'), (CAST(2 AS BIGINT), 'b'), " +
+      "(CAST(3 AS BIGINT), 'c')")                         // version 2
+    GraftSql.sql(s, "UPDATE dd SET v = 'B' WHERE k = 2")   // version 3
+    GraftSql.sql(s, "DELETE FROM dd WHERE k = 3")          // version 4
+    GraftSql.sql(s, "INSERT INTO dd VALUES (CAST(4 AS BIGINT), 'd')") // v5
+    val d = GraftSql.sql(s, "DESCRIBE DIFF dd FROM 2 TO 5 KEY (k)")
+      .select("k", "change").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(2L -> "changed", 3L -> "removed", 4L -> "added"),
+      s"got $d")
+    // identical snapshots diff empty
+    assert(GraftSql.sql(s, "DESCRIBE DIFF dd FROM 5 TO 5 KEY (k)")
+      .count() == 0L)
+  }
+
   test("both verbs resolve two-part catalog names") {
     val wh = Files.createTempDirectory("admwh4").toString
     val s1 = spark.newSession()

@@ -2627,6 +2627,41 @@ private[graft] object RegWarehouse {
           "schema_kept", "post_truncate_checked")
     },
 
+    // SQL SNAPSHOT DIFF (r16): DESCRIBE DIFF between two versions of
+    // a routed-DML history — UPDATE flips a key slice, DELETE removes
+    // another, INSERT adds one row; the diff classifies every key as
+    // added / removed / changed by comparing the two snapshots (one
+    // payload hash over the non-key columns, one shuffle on the
+    // keys — correct across ANY verb mix, where a change feed cannot
+    // flow state-changing rewrites). Per-class counts AND key
+    // checksums face DuckDB's set recompute from raw rows.
+    "q_sql_diff" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_difw_$tag"
+      val wp = new org.apache.hadoop.fs.Path(w)
+      wp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wp, true)
+      import graft.sql.GraftSql
+      GraftSql.sql(s, s"SET spark.graft.warehouse = $w")
+      GraftSql.sql(s,
+        s"""CREATE TABLE dif AS
+           |SELECT CAST(o_orderkey AS BIGINT) AS k,
+           |  substr(CAST(o_orderdate AS STRING), 1, 7) AS ym,
+           |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           |    AS cents
+           |FROM parquet.`$dir/orders.parquet`""".stripMargin)   // v1
+      GraftSql.sql(s,
+        "UPDATE dif SET cents = cents + CAST(1 AS BIGINT) " +
+          "WHERE k % 100 = 0")                                   // v2
+      GraftSql.sql(s, "DELETE FROM dif WHERE k % 97 = 0")        // v3
+      GraftSql.sql(s, "INSERT INTO dif VALUES " +
+        "(CAST(99999991 AS BIGINT), '2099-07', CAST(3 AS BIGINT))") // v4
+      GraftSql.sql(s, "DESCRIBE DIFF dif FROM 1 TO 4 KEY (k)")
+        .groupBy(col("change"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k") % 1000000L).as("key_checksum"))
+        .orderBy(col("change"))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -4804,6 +4839,25 @@ private[graft] object RegWarehouse {
         |  CAST(1 AS BIGINT) AS schema_kept,
         |  CAST(1 AS BIGINT) AS post_truncate_checked
         |FROM o""".stripMargin,
+
+    // The diff classes recomputed as key sets over orders: removed =
+    // multiples of 97, changed = updated-but-not-removed multiples of
+    // 100, added = the one inserted key; counts and key checksums
+    // both face.
+    "q_sql_diff" ->
+      """WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'added' AS change, CAST(1 AS BIGINT) AS n,
+        |    CAST(99999991 % 1000000 AS BIGINT) AS key_checksum
+        |  UNION ALL
+        |  SELECT 'changed', CAST(count(*) AS BIGINT),
+        |    CAST(sum(k % 1000000) AS BIGINT)
+        |  FROM k WHERE k % 100 = 0 AND k % 97 <> 0
+        |  UNION ALL
+        |  SELECT 'removed', CAST(count(*) AS BIGINT),
+        |    CAST(sum(k % 1000000) AS BIGINT)
+        |  FROM k WHERE k % 97 = 0
+        |) ORDER BY change""".stripMargin,
 
     // The restored session's answers recomputed from raw rows; one
     // file per month, so the equality probe scans exactly one; the

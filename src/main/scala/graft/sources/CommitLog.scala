@@ -1570,9 +1570,11 @@ object CommitLog {
     * manifest; deleting the manifest first (newest-boundary readers
     * re-resolve) then files matches the vacuum contract of the
     * directory [[Vacuum]]. */
-  def vacuumUnreferenced(
-      spark: SparkSession, table: String, keepVersions: Int = 1): Int = {
-    val f = fs(spark, table)
+  /** The (manifest versions, data files) a `keepVersions` vacuum
+    * would retire — the DRY RUN computation, shared with the real
+    * verb so the plan IS the execution's target set. */
+  def vacuumPlan(spark: SparkSession, table: String,
+      keepVersions: Int = 1): (Seq[Long], Set[String]) = {
     val vs = versions(spark, table)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
     // Branch safety: data files are SHARED across every ref of this
@@ -1584,6 +1586,16 @@ object CommitLog {
       versions(spark, r).flatMap(v => liveFiles(spark, r, v))).toSet
     val keepSet = keep.flatMap(v => liveFiles(spark, table, v)).toSet ++ shared
     val dropSet = drop.flatMap(v => liveFiles(spark, table, v)).toSet -- keepSet
+    (drop, dropSet)
+  }
+
+  def vacuumUnreferenced(
+      spark: SparkSession, table: String, keepVersions: Int = 1): Int = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    val keep = vs.drop(math.max(0, vs.length - keepVersions))
+    val (drop, dropSet) = vacuumPlan(spark, table, keepVersions)
+    val others = refs(spark, table).filterNot(_ == table)
     // Group liveness BEFORE deleting anything: every kept version of
     // every ref contributes its group refs.
     val keptGroups = (keep.map(v => readManifest(spark, table, v)) ++

@@ -31,6 +31,10 @@ class GraftSqlParser(delegate: ParserInterface)
   *                                        z-ordered layout, zone maps
   *                                        tighten on every dim (r16)
   *   VACUUM <view> RETAIN <n> VERSIONS    retire history past n versions
+  *   VACUUM <view> RETAIN <n> VERSIONS DRY RUN
+  *                                        the file count the real verb
+  *                                        would retire; deletes nothing
+  *                                        (r16)
   *   RESTORE TABLE <view> TO VERSION AS OF <n>
   *                                        roll the head back to version
   *                                        n by reference (r16)
@@ -154,7 +158,7 @@ private[sql] object GraftMaintenance {
     "(?is)^\\s*TRUNCATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val Vacuum =
     ("(?is)^\\s*VACUUM\\s+(\\w+(?:\\.\\w+){0,2})\\s+RETAIN\\s+(\\d+)" +
-      "\\s+VERSIONS\\s*;?\\s*$").r
+      "\\s+VERSIONS(\\s+DRY\\s+RUN)?\\s*;?\\s*$").r
   private val History =
     "(?is)^\\s*DESCRIBE\\s+HISTORY\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val Detail =
@@ -256,8 +260,12 @@ private[sql] object GraftMaintenance {
     * by the column via [[CommitLog.replaceClustered]], the layout
     * REPLACE WHERE and point probes are built for; the bucket rides
     * only in directory names, so readers see the select's columns
-    * unchanged. Resolution happens at RUN time in the EXECUTING
-    * session — the command captures only names. */
+    * unchanged. Cardinality caveat, stated: the layout is one
+    * directory per DISTINCT cluster value (the Hive-partition shape —
+    * right for date/month/category columns; a near-unique key
+    * explodes the namespace — use `OPTIMIZE … ZORDER BY` for
+    * high-cardinality clustering). Resolution happens at RUN time in
+    * the EXECUTING session — the command captures only names. */
   private def runCreate(s: SparkSession, name: String,
       cluster: Option[String], select: String): Long = {
     val (wh, key) = ddlTarget(s, name, "CREATE TABLE")
@@ -561,8 +569,14 @@ private[sql] object GraftMaintenance {
         v
       }, view, table)
     }
-    case Vacuum(view, n) => resolveTarget(view).map { table =>
-      GraftMaintenanceCommand("vacuum", s =>
+    case Vacuum(view, n, dry) => resolveTarget(view).map { table =>
+      if (dry != null)
+        // DRY RUN: the file count the real verb WOULD retire — same
+        // computation, zero deletes, no command (safe from any session)
+        GraftMaintenanceCommand("vacuum_dry_run", s =>
+          CommitLog.vacuumPlan(s, table, keepVersions = n.toInt)
+            ._2.size.toLong)
+      else GraftMaintenanceCommand("vacuum", s =>
         CommitLog.vacuumUnreferenced(s, table, keepVersions = n.toInt)
           .toLong, view, table)
     }

@@ -94,8 +94,19 @@ class GraftSqlZorderSpec extends SparkSpec {
     assert(e.getMessage.contains("ghost"))
     GraftSql.sql(s, "SET spark.graft.zorder.targetRecords = 256")
     GraftSql.sql(s, "OPTIMIZE zt2 ZORDER BY (p, sk)")
+    // DRY RUN predicts exactly what the real vacuum then retires —
+    // and deletes nothing itself
+    val planned = GraftSql.sql(s,
+      "VACUUM zt2 RETAIN 1 VERSIONS DRY RUN").head()
+    assert(planned.getString(0) == "vacuum_dry_run")
+    assert(planned.getLong(1) > 0L)
+    assert(GraftSql.sql(s, "DESCRIBE HISTORY zt2").count() >= 3L,
+      "dry run must not retire history")
     // retire history: version 1's files become unreferenced and die
-    GraftSql.sql(s, "VACUUM zt2 RETAIN 1 VERSIONS")
+    val retired = GraftSql.sql(s, "VACUUM zt2 RETAIN 1 VERSIONS")
+      .head().getLong(1)
+    assert(retired == planned.getLong(1),
+      s"plan $planned vs executed $retired")
     val e2 = intercept[Exception] {
       GraftSql.sql(s, "RESTORE TABLE zt2 TO VERSION AS OF 1")
     }

@@ -2662,6 +2662,69 @@ private[graft] object RegWarehouse {
         .orderBy(col("change"))
     },
 
+    // ZERO-COPY ADOPTION (r16 — Delta's CONVERT TO DELTA): an
+    // existing month-clustered parquet directory becomes a commit-log
+    // table IN PLACE — version 1 lists the ORIGINAL files by
+    // reference (pinned: the live set IS the pre-adoption file set),
+    // the only read is the stats pass, and from then on every verb
+    // applies: the month point probe prunes at the manifest (pinned),
+    // a routed INSERT lands, and VERSION AS OF 1 still reads the
+    // exact adopted state. At 100 TB this is onboarding at stats-pass
+    // cost with zero byte moves. Values face DuckDB's recompute over
+    // orders. GraftSqlAdoptSpec pins the refusals (double adoption,
+    // hive-partitioned layouts, empty dirs) and catalog restore.
+    "q_sql_adopt" -> { (s, dir) =>
+      val tag = stageTag(dir)
+      val w = s"${System.getProperty("java.io.tmpdir")}/graft_adw_$tag"
+      val src = s"${System.getProperty("java.io.tmpdir")}/graft_adsrc_$tag"
+      Seq(w, src).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      // the pre-existing corpus: a month-range-clustered plain
+      // parquet directory (8 files, each a contiguous ym slice)
+      s.read.parquet(s"$dir/orders.parquet").select(
+        col("o_orderkey").cast("long").as("k"),
+        substring(col("o_orderdate").cast("string"), 1, 7).as("ym"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+        .repartitionByRange(8, col("ym")).sortWithinPartitions("ym")
+        .write.parquet(src)
+      val pre = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path(src)).toSeq
+        .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+      import graft.sql.GraftSql
+      GraftSql.sql(s, s"SET spark.graft.warehouse = $w")
+      GraftSql.sql(s, s"CREATE TABLE adopted_$tag FROM PARQUET '$src'")
+      val live = graft.sources.CommitLog.liveFiles(s, src,
+        graft.sources.CommitLog.currentVersion(s, src).get).toSet
+      val byRef = live == pre
+      def scanned(df: DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case lr: org.apache.spark.sql.execution.datasources
+              .LogicalRelation => lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation => fs.location.rootPaths.size
+            case _ => 0
+          }
+        }.sum.toLong
+      val qEq = GraftSql.sql(s, "SELECT count(*) AS n_eq, " +
+        s"sum(cents) AS cents_eq FROM adopted_$tag WHERE ym = '1995-06'")
+      val selective = scanned(qEq) < live.size.toLong
+      GraftSql.sql(s, s"INSERT INTO adopted_$tag VALUES " +
+        "(CAST(99999989 AS BIGINT), '2099-08', CAST(2 AS BIGINT))")
+      val qAll = GraftSql.sql(s,
+        s"SELECT count(*) AS n_all FROM adopted_$tag")
+      val nV1 = GraftSql.sql(s,
+        s"SELECT count(*) AS n FROM adopted_$tag VERSION AS OF 1")
+        .head().getLong(0)
+      qEq.crossJoin(qAll) // 1-row scalar joins
+        .withColumn("n_v1", lit(nV1))
+        .withColumn("adopt_by_reference", lit(if (byRef) 1L else 0L))
+        .withColumn("adopt_selective", lit(if (selective) 1L else 0L))
+    },
+
     // METADATA-ONLY aggregates (plans/MetadataAgg): count(*) / min /
     // max over a commit-log table answered from the manifest — the
     // stats pass records per-file row counts (the reserved __nrows
@@ -4858,6 +4921,27 @@ private[graft] object RegWarehouse {
         |    CAST(sum(k % 1000000) AS BIGINT)
         |  FROM k WHERE k % 97 = 0
         |) ORDER BY change""".stripMargin,
+
+    // The adopted table's answers recomputed from raw rows (adoption
+    // moves references, never bytes); the by-reference and pruning
+    // pins are layout contracts the engine must reproduce.
+    "q_sql_adopt" ->
+      """WITH o AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders)
+        |SELECT
+        |  CAST((SELECT count(*) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS n_eq,
+        |  CAST((SELECT sum(cents) FROM o WHERE ym = '1995-06') AS BIGINT)
+        |    AS cents_eq,
+        |  CAST(count(*) + 1 AS BIGINT) AS n_all,
+        |  CAST(count(*) AS BIGINT) AS n_v1,
+        |  CAST(1 AS BIGINT) AS adopt_by_reference,
+        |  CAST(1 AS BIGINT) AS adopt_selective
+        |FROM o""".stripMargin,
 
     // The restored session's answers recomputed from raw rows; one
     // file per month, so the equality probe scans exactly one; the

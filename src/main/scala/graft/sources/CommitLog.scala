@@ -854,9 +854,29 @@ object CommitLog {
       // across the partitioned layout's bk=<v> subdirs, where bare
       // file names can repeat between sibling dirs. lastIndexOf, not
       // indexOf: an ancestor directory containing "stage-" must not
-      // shift the key off the staged-relative form.
-      def key(p: String): String = p.substring(p.lastIndexOf("stage-"))
-      val byKey = staged.map(rel => key(rel) -> rel).toMap
+      // shift the key off the staged-relative form. ADOPTED files
+      // (r16 — [[adoptParquet]] lists in place, no stage dir) resolve
+      // by basename, falling to a path-suffix match only when two
+      // rels share one; paths come back URI-encoded from
+      // input_file_name, so both sides compare decoded.
+      def stageKey(p: String): Option[String] = {
+        val i = p.lastIndexOf("stage-")
+        if (i >= 0) Some(p.substring(i)) else None
+      }
+      val byStage: Map[String, String] =
+        staged.flatMap(r => stageKey(r).map(_ -> r)).toMap
+      val byBase: Map[String, Seq[String]] =
+        staged.filter(r => stageKey(r).isEmpty)
+          .groupBy(r => r.substring(r.lastIndexOf('/') + 1))
+      def relFor(raw: String): Option[String] = {
+        val p = java.net.URLDecoder.decode(raw, "UTF-8")
+        stageKey(p).flatMap(byStage.get).orElse {
+          byBase.get(p.substring(p.lastIndexOf('/') + 1)).flatMap {
+            case Seq(one) => Some(one)
+            case many => many.find(r => p.endsWith("/" + r))
+          }
+        }
+      }
       val df = spark.read.parquet(staged.map(rel => s"${dataRoot(table)}/$rel"): _*)
       val isStr = statsCols.map(c => c ->
         (df.schema(c).dataType == org.apache.spark.sql.types.StringType)).toMap
@@ -887,7 +907,7 @@ object CommitLog {
         rows.flatMap { r =>
           val mnAt = 1 + 3 * i
           if (r.isNullAt(mnAt)) None
-          else byKey.get(key(r.getString(0)))
+          else relFor(r.getString(0))
             .map(rel => rel -> (get(r, mnAt), get(r, mnAt + 1)))
         }.toMap
       // Null counts are recorded for EVERY file — including all-null
@@ -895,7 +915,7 @@ object CommitLog {
       def nullCells(i: Int): Map[String, (Long, Long)] =
         rows.flatMap { r =>
           val at = 3 + 3 * i
-          byKey.get(key(r.getString(0)))
+          relFor(r.getString(0))
             .map(rel => rel -> (r.getLong(at), r.getLong(at)))
         }.toMap
       val nums = statsCols.zipWithIndex.collect { case (c, i) if !isStr(c) =>
@@ -912,7 +932,7 @@ object CommitLog {
       // nulls out), so a stats-collecting write is always countable.
       val cntAt = 1 + 3 * statsCols.size
       val counts = rows.flatMap { r =>
-        byKey.get(key(r.getString(0)))
+        relFor(r.getString(0))
           .map(rel => rel -> (r.getLong(cntAt), r.getLong(cntAt)))
       }.toMap
       (nums ++ nulls + (RowCountCol -> counts), strs)
@@ -1632,6 +1652,63 @@ object CommitLog {
         f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
     }
     dropSet.size
+  }
+
+  /** ZERO-COPY ADOPTION of an existing parquet directory as a
+    * commit-log table (Delta's CONVERT TO DELTA): list the data files
+    * IN PLACE, collect zone-map stats over them (one pass — the only
+    * read), and land version 1 referencing them by relative path —
+    * no byte moves, so a 100 TB directory onboards at stats-pass
+    * cost. Refusals, loud: a directory already holding a commit log
+    * (adoption is a birth, not a merge), an empty directory, and a
+    * HIVE-PARTITIONED layout (`k=v` path segments — those partition
+    * VALUES live in directory names, which per-file reads would
+    * silently drop; read such data through Spark's own reader, or
+    * COPY INTO a declared table). Returns the committed version (1).
+    * After adoption the directory IS the table root: register/catalog
+    * it and every verb — DML, OPTIMIZE, time travel — applies. */
+  def adoptParquet(spark: SparkSession, dir: String): Long = {
+    require(currentVersion(spark, dir).isEmpty,
+      s"$dir already holds a commit log — adoption is a birth, not a merge")
+    val root = new Path(dir)
+    val f = fs(spark, dir)
+    require(f.exists(root), s"adoption source $dir does not exist")
+    val rootUri = f.makeQualified(root).toUri
+    val it = f.listFiles(root, true)
+    val found = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet") &&
+        !name.startsWith(".") && !name.startsWith("_")) {
+        val rel = rootUri.relativize(st.getPath.toUri).getPath
+        if (!rel.split('/').exists(seg =>
+          seg.startsWith(".") || seg.startsWith("_"))) {
+          require(!rel.split('/').exists(_.contains('=')),
+            s"$dir is hive-partitioned ('$rel') — partition values " +
+              "live in directory names and would be dropped; read it " +
+              "through Spark's own reader or COPY INTO a graft table")
+          found += rel
+        }
+      }
+    }
+    val files = found.result().sorted
+    require(files.nonEmpty, s"no parquet files to adopt under $dir")
+    val schema = spark.read
+      .parquet(files.map(r => s"$dir/$r"): _*).schema
+    import org.apache.spark.sql.types._
+    val eligible = schema.fields.collect {
+      case fl if Seq(ByteType, ShortType, IntegerType, LongType,
+        DateType, TimestampType, StringType).contains(fl.dataType) =>
+        fl.name
+    }.toSeq
+    val (nums, strs) =
+      if (eligible.nonEmpty) statsPassFor(spark, dir, files, eligible)
+      else (Map.empty[String, Map[String, (Long, Long)]],
+        Map.empty[String, Map[String, (String, String)]])
+    commit(spark, dir, adds = files,
+      statsCol = eligible.headOption.getOrElse(""),
+      colStats = nums, strColStats = strs)
   }
 
   /** Explicit manifest compaction (Iceberg's rewrite_manifests): fold

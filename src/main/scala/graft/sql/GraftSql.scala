@@ -88,6 +88,14 @@ class GraftSqlParser(delegate: ParserInterface)
   *                                        escaping rows, CHECK
   *                                        violations and schema drift
   *                                        all refuse loudly (r16)
+  *   CREATE TABLE <name> FROM PARQUET '<dir>'
+  *                                        ZERO-COPY adoption of an
+  *                                        existing parquet directory
+  *                                        (CONVERT TO DELTA's shape):
+  *                                        the dir becomes the table
+  *                                        root — stats-pass cost, no
+  *                                        byte moves; hive-partitioned
+  *                                        layouts refuse loudly (r16)
   *   CREATE TABLE <name> (<col type, …>)  empty table with a declared
   *                                        schema (r16 — the ingest-
   *                                        lands-later pattern): one
@@ -177,6 +185,9 @@ private[sql] object GraftMaintenance {
       "\\s+AND\\s+('[^']*'|-?\\d+))\\s+(SELECT\\s.+?)\\s*;?\\s*$").r
   private val CreateSchema =
     "(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*\\((.+)\\)\\s*;?\\s*$".r
+  private val AdoptTable =
+    ("(?is)^\\s*CREATE\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s+FROM\\s+" +
+      "PARQUET\\s+'([^']+)'\\s*;?\\s*$").r
   private val Drop = "(?is)^\\s*DROP\\s+TABLE\\s+(\\w+(?:\\.\\w+){0,2})\\s*;?\\s*$".r
   private val Restore = "(?is)^\\s*RESTORE\\s+CATALOG\\s*;?\\s*$".r
   private val AddCheck =
@@ -296,6 +307,20 @@ private[sql] object GraftMaintenance {
     }
     GraftTables.register(s, table, key)
     Catalog.register(s, wh, key, table)
+    v
+  }
+
+  /** Zero-copy adoption ([[CommitLog.adoptParquet]]): the existing
+    * directory BECOMES the table root — no byte moves; registered and
+    * cataloged under the resolved name like any CTAS. */
+  private def runAdopt(s: SparkSession, name: String, dir: String): Long = {
+    val (wh, key) = ddlTarget(s, name, "CREATE TABLE")
+    require(!Catalog.entries(s, wh).contains(key),
+      s"table '$name' already exists in the catalog at $wh — " +
+        "DROP TABLE it first")
+    val v = CommitLog.adoptParquet(s, dir)
+    GraftTables.register(s, dir, key)
+    Catalog.register(s, wh, key, dir)
     v
   }
 
@@ -761,6 +786,11 @@ private[sql] object GraftMaintenance {
           v
         }, view, table)
       }
+    // zero-copy adoption of an existing parquet dir (r16 — the
+    // CONVERT TO DELTA shape): the dir becomes the table root
+    case AdoptTable(name, dirPath) if ddlEngages(name) =>
+      Some(GraftMaintenanceCommand("adopt",
+        s => runAdopt(s, name, dirPath)))
     case Create(name, cluster, select) if ddlEngages(name) =>
       Some(GraftMaintenanceCommand("create",
         s => runCreate(s, name, Option(cluster), select)))

@@ -869,11 +869,21 @@ object CommitLog {
         staged.filter(r => stageKey(r).isEmpty)
           .groupBy(r => r.substring(r.lastIndexOf('/') + 1))
       def relFor(raw: String): Option[String] = {
-        val p = java.net.URLDecoder.decode(raw, "UTF-8")
+        // URI percent-decoding ONLY — URLDecoder would turn a literal
+        // '+' in a path into a space and silently drop that file's
+        // stats
+        val p = try new java.net.URI(raw).getPath catch {
+          case _: java.net.URISyntaxException => raw
+        }
         stageKey(p).flatMap(byStage.get).orElse {
           byBase.get(p.substring(p.lastIndexOf('/') + 1)).flatMap {
             case Seq(one) => Some(one)
-            case many => many.find(r => p.endsWith("/" + r))
+            case many =>
+              // LONGEST matching suffix: `sub/part-0.parquet` must
+              // not resolve to a sibling `part-0.parquet` that also
+              // suffix-matches
+              many.filter(r => p.endsWith("/" + r))
+                .sortBy(-_.length).headOption
           }
         }
       }
@@ -1178,11 +1188,20 @@ object CommitLog {
     val nFiles = math.max(1L,
       math.ceil(n.toDouble / targetRecordsPerFile).toLong).toInt
     // bucket ranges from the manifest's zone maps when they cover
-    // every dim over the whole live set — else one aggregation scan
+    // every dim over the whole live set — else one aggregation scan.
+    // INTEGRAL dims only: temporal zone maps are stored in Catalyst
+    // physical units (days/micros) while the z probe casts raw values
+    // to long (seconds for timestamps) — mixing the two would feed
+    // wrong bounds, so date/timestamp dims take the scan path whose
+    // bounds and probe agree by construction.
     val zcol = {
+      import org.apache.spark.sql.types._
+      val integral = Set[DataType](ByteType, ShortType, IntegerType,
+        LongType)
       val bounds = dims.map { d =>
         val st = m.colStats.getOrElse(d, Map.empty)
-        if (m.files.nonEmpty && m.files.forall(st.contains))
+        if (integral.contains(df.schema(d).dataType) &&
+          m.files.nonEmpty && m.files.forall(st.contains))
           Some((st.values.map(_._1).min, st.values.map(_._2).max))
         else None
       }
@@ -1590,11 +1609,13 @@ object CommitLog {
     * manifest; deleting the manifest first (newest-boundary readers
     * re-resolve) then files matches the vacuum contract of the
     * directory [[Vacuum]]. */
-  /** The (manifest versions, data files) a `keepVersions` vacuum
-    * would retire — the DRY RUN computation, shared with the real
-    * verb so the plan IS the execution's target set. */
+  /** The (dropped versions, kept versions, data files to retire) a
+    * `keepVersions` vacuum would target — the DRY RUN computation,
+    * shared with the real verb from ONE versions()/refs() listing so
+    * the plan IS the execution's target set (a commit landing between
+    * two separate listings must not widen the drop window). */
   def vacuumPlan(spark: SparkSession, table: String,
-      keepVersions: Int = 1): (Seq[Long], Set[String]) = {
+      keepVersions: Int = 1): (Seq[Long], Seq[Long], Set[String]) = {
     val vs = versions(spark, table)
     val (drop, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
     // Branch safety: data files are SHARED across every ref of this
@@ -1606,15 +1627,13 @@ object CommitLog {
       versions(spark, r).flatMap(v => liveFiles(spark, r, v))).toSet
     val keepSet = keep.flatMap(v => liveFiles(spark, table, v)).toSet ++ shared
     val dropSet = drop.flatMap(v => liveFiles(spark, table, v)).toSet -- keepSet
-    (drop, dropSet)
+    (drop, keep, dropSet)
   }
 
   def vacuumUnreferenced(
       spark: SparkSession, table: String, keepVersions: Int = 1): Int = {
     val f = fs(spark, table)
-    val vs = versions(spark, table)
-    val keep = vs.drop(math.max(0, vs.length - keepVersions))
-    val (drop, dropSet) = vacuumPlan(spark, table, keepVersions)
+    val (drop, keep, dropSet) = vacuumPlan(spark, table, keepVersions)
     val others = refs(spark, table).filterNot(_ == table)
     // Group liveness BEFORE deleting anything: every kept version of
     // every ref contributes its group refs.
@@ -1630,6 +1649,15 @@ object CommitLog {
       .flatMap(_.strStats.collect {
         case (c, m) if c.startsWith(BloomPrefix) => m.values.map(_._1)
       }.flatten).toSet
+    // A dropped manifest may carry a COPY INTO txn whose durable
+    // marker was never written (crash between commit and marker) —
+    // confirm it BEFORE the record is destroyed, or the next copy
+    // would re-load those files (duplicates).
+    drop.foreach { v =>
+      val t = readManifest(spark, table, v).txn
+      if (t.startsWith("copy:"))
+        CopyInto.confirmMarker(spark, table, t.stripPrefix("copy:"))
+    }
     drop.foreach(v => f.delete(manifestPath(table, v), false))
     // Orphaned group files of THIS ref's log dir (other refs' dirs are
     // their own vacuums' responsibility).

@@ -38,6 +38,14 @@ object CopyInto {
   private final class AlreadyCopied(id: String)
     extends RuntimeException(s"copy batch $id already committed")
 
+  /** Thrown inside the commit CAS when a racer landed an OVERLAPPING
+    * (but not equal) batch — some of our fresh files are now loaded.
+    * [[copyInto]] catches it and retries from a fresh listing, so the
+    * non-overlapping remainder still loads exactly once. */
+  private final class ConcurrentCopy(table: String)
+    extends RuntimeException(
+      s"concurrent COPY INTO landed overlapping files at $table")
+
   /** Load the not-yet-loaded parquet files under `srcDir` into
     * `table`. Returns (files loaded, committed version) — (0, head)
     * when everything was already loaded (idempotent re-run). Throws
@@ -112,23 +120,32 @@ object CopyInto {
     // is history
     val id = idOf(fresh)
     writeSidecar(spark, table, id, fresh)
-    // exactly-once under RACING copies of the same landing state:
-    // both racers compute the same fresh set → the same id — the
-    // loser's CAS attempt re-checks the txn history and backs off
-    // (its staged files stay dead on disk, vacuumOrphans' problem);
-    // racers over DIFFERENT sets carry different ids and both land
+    // exactly-once under RACING copies: an identical fresh set means
+    // an identical id — the loser's CAS attempt finds the txn and
+    // backs off (its staged files stay dead on disk, vacuumOrphans'
+    // problem). An OVERLAPPING-but-different set (the racer saw fewer
+    // drops) shares no id, so the CAS additionally re-checks the
+    // loaded set: on overlap we abort and retry from a fresh listing
+    // — the remainder loads, the overlap never doubles. Disjoint
+    // racers both land.
+    val freshSet = fresh.toSet
     val v =
       try CommitLog.commit(spark, table, adds = staged,
         txn = s"copy:$id",
         statsCol = statCols.headOption.getOrElse(""),
         colStats = nums, strColStats = strs ++ blooms,
-        validateManifest = _ =>
+        validateManifest = _ => {
           if (CommitLog.findTxn(spark, table, s"copy:$id").isDefined)
-            throw new AlreadyCopied(id))
+            throw new AlreadyCopied(id)
+          if (loadedFiles(spark, table).exists(freshSet))
+            throw new ConcurrentCopy(table)
+        })
       catch {
         case _: AlreadyCopied =>
           writeMarker(spark, table, id)
           return (0L, CommitLog.findTxn(spark, table, s"copy:$id").get)
+        case _: ConcurrentCopy =>
+          return copyInto(spark, table, srcDir)
       }
     // durable marker AFTER commit: VACUUM retires old manifests (and
     // their txn records) but never copy sidecars or markers, so load
@@ -171,10 +188,21 @@ object CopyInto {
       catch { case _: java.io.IOException => () } // racer wrote it
   }
 
+  // NUL-joined (escape sequence, not a raw byte, so the source stays
+  // plain text for diff/blame — the r13 lesson): no legal file name
+  // contains U+0000, so two distinct fresh sets can never hash alike
   private def idOf(names: Seq[String]): String =
     java.security.MessageDigest.getInstance("MD5")
-      .digest(names.mkString(" ").getBytes("UTF-8"))
+      .digest(names.mkString("\u0000").getBytes("UTF-8"))
       .map(b => f"$b%02x").mkString
+
+  /** Durably confirm a committed copy id —
+    * [[CommitLog.vacuumUnreferenced]] calls this for any retired
+    * manifest whose txn records a copy, so history retention can
+    * never erase load history (the crash-between-commit-and-marker
+    * window would otherwise reopen on vacuum). */
+  private[sources] def confirmMarker(spark: SparkSession, table: String,
+      id: String): Unit = writeMarker(spark, table, id)
 
   private def sidecarPath(table: String, id: String): Path =
     new Path(CommitLog.logDir(table), s"copy-$id.json")

@@ -600,7 +600,7 @@ private[sql] object GraftMaintenance {
         // computation, zero deletes, no command (safe from any session)
         GraftMaintenanceCommand("vacuum_dry_run", s =>
           CommitLog.vacuumPlan(s, table, keepVersions = n.toInt)
-            ._2.size.toLong)
+            ._3.size.toLong)
       else GraftMaintenanceCommand("vacuum", s =>
         CommitLog.vacuumUnreferenced(s, table, keepVersions = n.toInt)
           .toLong, view, table)

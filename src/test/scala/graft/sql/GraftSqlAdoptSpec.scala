@@ -66,6 +66,44 @@ class GraftSqlAdoptSpec extends SparkSpec {
       .head().getLong(0) == 120L)
   }
 
+  test("nested subdirs with the SAME basename: stats attribute to " +
+      "the right file (longest-suffix resolution) and pruning stays " +
+      "lossless") {
+    val root = Files.createTempDirectory("adoptnest").toString + "/d"
+    val s = spark.newSession()
+    // two files, identical basenames, disjoint key ranges
+    def oneFile(lo: Int, hi: Int, sub: String): Unit = {
+      val tmp = Files.createTempDirectory("nestsrc").toString + "/w"
+      (lo to hi).map(_.toLong).toDF("k").coalesce(1).write.parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dst = new org.apache.hadoop.fs.Path(s"$root/$sub/part-0.parquet")
+      fs.mkdirs(dst.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        s.sparkContext.hadoopConfiguration)
+    }
+    oneFile(1, 50, "a"); oneFile(51, 100, "b")
+    val wh = Files.createTempDirectory("adoptwh5").toString
+    GraftSql.sql(s, s"SET spark.graft.warehouse = $wh")
+    GraftSql.sql(s, s"CREATE TABLE nested FROM PARQUET '$root'")
+    val v = CommitLog.currentVersion(s, root).get
+    val m = CommitLog.readManifest(s, root, v)
+    // each rel carries ITS OWN range — misattribution would record
+    // one file's [min,max] under the other's rel
+    val st = m.colStats("k")
+    assert(st("a/part-0.parquet") == (1L, 50L), st.toString)
+    assert(st("b/part-0.parquet") == (51L, 100L), st.toString)
+    // and the probe answers stay lossless either side of the split
+    assert(GraftSql.sql(s,
+      "SELECT count(*) AS n FROM nested WHERE k <= 50")
+      .head().getLong(0) == 50L)
+    assert(GraftSql.sql(s,
+      "SELECT sum(k) AS sk FROM nested WHERE k > 50")
+      .head().getLong(0) == (51 to 100).map(_.toLong).sum)
+  }
+
   test("refusals: double adoption, hive-partitioned layout, empty dir") {
     val wh = Files.createTempDirectory("adoptwh2").toString
     val s = spark.newSession()

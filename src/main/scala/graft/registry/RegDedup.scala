@@ -142,11 +142,21 @@ private[graft] object RegDedup {
       val dirty = c.select(col("c_custkey").as("d_key"),
         translate(col("c_name"), "#0", "=O").as("d_name"),
         pmod(col("c_custkey"), lit(50)).as("blk"))
-      val w = Window.partitionBy("d_key").orderBy(col("sim").desc, col("m_key"))
+      // Best match per dirty record by (sim DESC, m_key ASC), as a
+      // map-side-combinable min_by over the lexicographic key
+      // (-sim, m_key) — the row_number window this replaces (r16,
+      // guide §2.3/§2.4) shuffled and sorted EVERY within-block pair;
+      // the partial aggregate reduces each block to one row per d_key
+      // before the exchange. Identical rows: min over (-sim, m_key)
+      // IS the window's first row, and m_key is unique per block so
+      // the order is total.
       dirty.join(master, "blk")
         .withColumn("sim", graft.text.JaroWinkler(col("d_name"), col("m_name")))
-        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("d_key"), col("m_key"), round(col("sim"), 6).as("sim"))
+        .groupBy("d_key")
+        .agg(min_by(struct(col("m_key"), col("sim")),
+          struct((-col("sim")).as("ns"), col("m_key"))).as("best"))
+        .select(col("d_key"), col("best.m_key").as("m_key"),
+          round(col("best.sim"), 6).as("sim"))
         .orderBy("d_key")
     },
 

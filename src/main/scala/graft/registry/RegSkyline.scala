@@ -430,9 +430,10 @@ private[graft] object RegSkyline {
         .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
           "l_shipdate", "l_tax")
       val spec4 = SkylineSpec(lineitemSpec.dims :+ SkyDim("l_tax", Min))
-      graft.skyline.Skyband.kDominantSkyline(li, spec4, k = 4).withColumn("k", lit(4))
-        .unionAll(
-          graft.skyline.Skyband.kDominantSkyline(li, spec4, k = 3).withColumn("k", lit(3)))
+      // both k arms from ONE candidate pass + ONE verification scan
+      // (r16 — Skyband.kDominantSkylines; rows identical to the two
+      // independent calls this replaces)
+      graft.skyline.Skyband.kDominantSkylines(li, spec4, Seq(4, 3))
         .orderBy("k", "l_orderkey", "l_linenumber")
     },
 

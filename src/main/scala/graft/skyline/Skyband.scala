@@ -175,4 +175,40 @@ object Skyband {
       .select(CID).distinct()
     cands.join(dominated, Seq(CID), "left_anti").drop(CID, SKY)
   }
+
+  /** Multi-k [[kDominantSkyline]] (r16 optimization): ONE phase-1
+    * candidate pass and ONE streamed verification serve EVERY k in
+    * `ks`, where separate calls would repeat both. Soundness of the
+    * sharing: for a (probe q, candidate c) pair with a strict-better
+    * dim, q k-dominates c for every k ≤ |{i : q_i ≤ c_i}| — so the
+    * verification join retains pairs under the WEAKEST condition
+    * (min k) and keeps, per candidate, the MAX ≤-count; candidate c
+    * is k-dominated iff that max reaches k. Output = the per-k
+    * results unioned in `ks` order, each tagged by an appended `k`
+    * column — row-identical to unioning individual
+    * [[kDominantSkyline]] calls (KDominantSpec pins it).
+    */
+  def kDominantSkylines(df: DataFrame, spec: SkylineSpec,
+      ks: Seq[Int]): DataFrame = {
+    val d = spec.dims.length
+    require(ks.nonEmpty, "at least one k")
+    ks.foreach(k => require(k >= 1 && k <= d, s"k must be in [1, $d], got $k"))
+    val kmin = ks.min
+    val cands = candidates(df, spec, 1)
+    val probes = SkylineOp.prepare(df, spec).select(col(SKY).as(QV))
+    val le = aggregate(
+      zip_with(col(QV), col(SKY), (x, y) => (x <= y).cast("int")),
+      lit(0), (acc, x) => acc + x)
+    val maxLe = probes
+      .join(broadcast(cands.select(col(CID), col(SKY))),
+        kDominatedCol(col(QV), col(SKY), kmin))
+      .select(col(CID), le.as("__le"))
+      .groupBy(CID).agg(max(col("__le")).as("__maxle"))
+      .localCheckpoint() // two+ consumers; phase 2 must run once
+    ks.map { k =>
+      val dominated = maxLe.filter(col("__maxle") >= k).select(CID)
+      cands.join(dominated, Seq(CID), "left_anti").drop(CID, SKY)
+        .withColumn("k", lit(k))
+    }.reduce(_ unionAll _)
+  }
 }

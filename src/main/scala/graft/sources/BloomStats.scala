@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import org.apache.spark.sql.functions.{col, input_file_name, xxhash64}
+import org.apache.spark.sql.functions.{col, xxhash64}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -55,12 +55,32 @@ object BloomStats {
     require(statsCols.nonEmpty, "at least one stats column")
     require(bloomCols.nonEmpty, "at least one bloom column")
     val staged = CommitLog.stage(spark, df, table)
-    val (nums, strs) = CommitLog.statsPassFor(spark, table, staged, statsCols)
-    val refs = bloomPass(spark, table, staged, bloomCols,
-      expectedItemsPerFile, fpp)
+    // zone maps + bloom sidecars in ONE scan of the staged batch
+    // (r16: the two passes fused via CommitLog.stagedPass)
+    val p = CommitLog.stagedPass(spark, table, staged, statsCols,
+      bloomCols = bloomCols, bloomItems = expectedItemsPerFile,
+      bloomFpp = fpp)
     CommitLog.commit(spark, table, adds = staged,
-      statsCol = statsCols.head, colStats = nums,
-      strColStats = strs ++ refs)
+      statsCol = statsCols.head, colStats = p.nums,
+      strColStats = p.strs)
+  }
+
+  /** The table's bloom-carrying columns as recorded in `m` — what a
+    * mutation verb must re-collect sidecars for. */
+  private[sources] def bloomColsOf(m: CommitLog.Manifest): Seq[String] =
+    m.strStats.keys
+      .filter(_.startsWith(CommitLog.BloomPrefix))
+      .map(_.stripPrefix(CommitLog.BloomPrefix)).toSeq.sorted
+
+  /** One serialized-bloom aggregate over `xxhash64(col)` — the shared
+    * writer-side expression ([[CommitLog.stagedPass]] rides it in the
+    * fused per-file aggregate). */
+  private[sources] def bloomAgg(c: String, items: Long,
+      fpp: Double): org.apache.spark.sql.Column = {
+    val numBits = BloomFilter.optimalNumOfBits(items, fpp)
+    ColumnBridge.column(new BloomFilterAggregate(
+      ColumnBridge.expression(xxhash64(col(c))),
+      Literal(items), Literal(numBits)).toAggregateExpression())
   }
 
   /** SURVIVAL pass (VERDICT r14 directive #3): re-collect the
@@ -75,74 +95,16 @@ object BloomStats {
   private[sources] def restatBlooms(
       spark: SparkSession, table: String, m: CommitLog.Manifest,
       staged: Seq[String]): Map[String, Map[String, (String, String)]] = {
-    val cols = m.strStats.keys
-      .filter(_.startsWith(CommitLog.BloomPrefix))
-      .map(_.stripPrefix(CommitLog.BloomPrefix)).toSeq.sorted
+    val cols = bloomColsOf(m)
     if (cols.isEmpty || staged.isEmpty) Map.empty
-    else {
-      val root = CommitLog.dataRoot(table)
-      val have = spark.read.parquet(s"$root/${staged.head}").columns.toSet
-      val cs = cols.filter(have.contains)
-      if (cs.isEmpty) Map.empty
-      else bloomPass(spark, table, staged, cs, 1000000L, 0.03)
-    }
-  }
-
-  /** One grouped pass over the staged files: per (file, column) a
-    * serialized bloom filter, persisted content-addressed; returns the
-    * `__bloom:<col>` pseudo-column maps for the commit. */
-  private def bloomPass(
-      spark: SparkSession, table: String, staged: Seq[String],
-      bloomCols: Seq[String], items: Long, fpp: Double)
-      : Map[String, Map[String, (String, String)]] = {
-    if (staged.isEmpty) return Map.empty
-    val root = CommitLog.dataRoot(table)
-    // input_file_name() yields a URI — percent-encoded where the
-    // staged rel path is raw (spaces, special chars). Decode before
-    // extracting the stage key, and skip rather than throw when the
-    // marker is absent (ADVICE r14): a missed file merely loses its
-    // bloom cell, which only costs pruning.
-    def key(p: String): Option[String] = {
-      val decoded =
-        try new Path(new java.net.URI(p)).toUri.getPath
-        catch {
-          case _: java.net.URISyntaxException => p
-          case _: IllegalArgumentException => p
-        }
-      val i = decoded.lastIndexOf("stage-")
-      if (i < 0) None else Some(decoded.substring(i))
-    }
-    val byKey = staged.flatMap(rel => key(rel).map(_ -> rel)).toMap
-    val numBits = BloomFilter.optimalNumOfBits(items, fpp)
-    val dfAll = spark.read.parquet(staged.map(rel => s"$root/$rel"): _*)
-    val aggs = bloomCols.map { c =>
-      ColumnBridge.column(new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col(c))),
-        Literal(items), Literal(numBits)).toAggregateExpression())
-        .as(s"__b_$c")
-    }
-    val rows = dfAll.groupBy(input_file_name().as("__f"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect() // bounded: one row per staged file
-    val f = new Path(root).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    bloomCols.zipWithIndex.map { case (c, i) =>
-      val cells = rows.flatMap { r =>
-        val bytes = if (r.isNullAt(i + 1)) null
-          else r.getAs[Array[Byte]](i + 1)
-        if (bytes == null) None // an all-null file: no filter, kept
-        else key(r.getString(0)).flatMap(byKey.get).map { rel =>
-          rel -> { val ref = writeSidecar(f, root, bytes); (ref, ref) }
-        }
-      }.toMap
-      CommitLog.bloomCol(c) -> cells
-    }.filter(_._2.nonEmpty).toMap
+    else CommitLog.stagedPass(spark, table, staged,
+      statsCols = Seq.empty, bloomCols = cols).strs
   }
 
   /** Persist `bytes` as `_bloom/bloom-<md5>.bin` (write-if-absent —
     * content addressing makes racing writers of equal bytes benign)
     * and return the root-relative ref. */
-  private def writeSidecar(f: org.apache.hadoop.fs.FileSystem,
+  private[sources] def persistSidecar(f: org.apache.hadoop.fs.FileSystem,
       root: String, bytes: Array[Byte]): String = {
     val id = java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map(b => f"$b%02x").mkString

@@ -157,10 +157,10 @@ object CommitDml {
     // CHECK constraints gate the UPDATE images exactly as they gate
     // inserts (Constraints.checkedAppend): audit the STAGED bytes
     // against the snapshot's check set; a violating update never
-    // becomes a manifest. DELETE needs no audit — removing rows
-    // cannot violate a row predicate.
-    auditChecks(spark, table, m, staged)
-    val (nums, strs) = restats(spark, table, m, staged)
+    // becomes a manifest (the audit rides the restats scan — r16
+    // fusion). DELETE needs no audit — removing rows cannot violate
+    // a row predicate.
+    val (nums, strs) = restats(spark, table, m, staged, audit = true)
     val newV = CommitLog.rewrite(spark, table, adds = staged,
       removes = touched,
       statsCol = m.statsCol, colStats = nums, strColStats = strs,
@@ -292,15 +292,27 @@ object CommitDml {
     * shed point-probe skipping). Shared by the DML verbs and
     * [[CommitMerge]]. */
   private[sources] def restats(spark: SparkSession, table: String,
-      m: CommitLog.Manifest, staged: Seq[String])
+      m: CommitLog.Manifest, staged: Seq[String],
+      audit: Boolean = false)
       : (Map[String, Map[String, (Long, Long)]],
          Map[String, Map[String, (String, String)]]) = {
     if (staged.isEmpty) return (Map.empty, Map.empty)
     val cols = CommitLog.statColsOf(m)
-    val (nums, strs) =
-      if (cols.isEmpty) (Map.empty[String, Map[String, (Long, Long)]],
-        Map.empty[String, Map[String, (String, String)]])
-      else CommitLog.statsPassFor(spark, table, staged, cols)
-    (nums, strs ++ BloomStats.restatBlooms(spark, table, m, staged))
+    val bloomCols = BloomStats.bloomColsOf(m)
+    // the snapshot's CHECK audit rides the SAME scan when requested
+    // (r16 fusion — UPDATE/MERGE previously paid a separate audit job
+    // plus a separate bloom job over the same staged bytes)
+    val cs = if (audit && m.checksId.nonEmpty)
+      CommitLog.readChecksFile(spark, table, m.checksId)
+        .map { case (n, e) => Constraints.Check(n, e) }
+      else Seq.empty
+    if (cols.isEmpty && bloomCols.isEmpty && cs.isEmpty)
+      return (Map.empty, Map.empty)
+    val p = CommitLog.stagedPass(spark, table, staged, cols,
+      bloomCols = bloomCols, checks = cs)
+    val bad = p.badChecks
+    if (bad.nonEmpty)
+      throw new Constraints.ConstraintViolationException(table, bad)
+    (p.nums, p.strs)
   }
 }

@@ -121,12 +121,12 @@ object CommitMerge {
     val staged = CommitLog.stage(spark, merged, table)
     // persisted CHECK constraints gate the merged images (update and
     // insert clauses can both mint violating rows) — the
-    // checkedAppend discipline on the merge path
-    CommitDml.auditChecks(spark, table, m, staged)
-    // keep the merged files prunable: re-collect the manifest's stats
-    // family (zone maps + bloom sidecars) for the staged output — a
-    // merge must not shed the table's skipping (VERDICT r14 #3)
-    val (nums, strs) = CommitDml.restats(spark, table, m, staged)
+    // checkedAppend discipline on the merge path — and the merged
+    // files stay prunable: zone maps + bloom sidecars re-collected
+    // for the staged output (VERDICT r14 #3). Audit + stats + blooms
+    // ride ONE scan of the staged batch (r16 fusion).
+    val (nums, strs) = CommitDml.restats(spark, table, m, staged,
+      audit = true)
     val newV = CommitLog.rewrite(spark, table, adds = staged,
       removes = touched, txn = txn,
       statsCol = m.statsCol, colStats = nums, strColStats = strs,

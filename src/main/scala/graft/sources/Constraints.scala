@@ -224,23 +224,18 @@ object Constraints {
     val cs = checks(spark, table)
     val cid = if (cs.isEmpty) "" else cidOf(cs)
     val staged = CommitLog.stage(spark, df, table)
-    if (cs.nonEmpty) {
-      val root = CommitLog.dataRoot(table)
-      val stagedDf = spark.read.parquet(staged.map(f => s"$root/$f"): _*)
-      val bad = violationCounts(stagedDf, cs).filter(_._2 > 0)
-      if (bad.nonEmpty) return Left(bad)
-    }
-    val (nums, strs) =
-      if (statsCols.nonEmpty)
-        CommitLog.statsPassFor(spark, table, staged, statsCols)
-      else (Map.empty[String, Map[String, (Long, Long)]],
-        Map.empty[String, Map[String, (String, String)]])
-    // a bloom-carrying table keeps its sidecars on the INSERT path
-    // too (VERDICT r14 #3) — the SQL DML router lands here
-    val blooms = CommitLog.currentVersion(spark, table)
-      .map(v => BloomStats.restatBlooms(spark, table,
-        CommitLog.readManifest(spark, table, v), staged))
-      .getOrElse(Map.empty)
+    // CHECK audit + zone maps + bloom survival (VERDICT r14 #3) in
+    // ONE scan of the staged batch (r16: CommitLog.stagedPass fuses
+    // the three formerly separate jobs)
+    val bloomCols = CommitLog.currentVersion(spark, table)
+      .map(v => BloomStats.bloomColsOf(
+        CommitLog.readManifest(spark, table, v)))
+      .getOrElse(Seq.empty)
+    val p = CommitLog.stagedPass(spark, table, staged, statsCols,
+      bloomCols = bloomCols, checks = cs)
+    val bad = p.badChecks
+    if (bad.nonEmpty) return Left(bad)
+    val (nums, strs) = (p.nums, p.strs)
     val validate: Option[CommitLog.Manifest] => Unit = {
       // the set we audited against must still be the set in force
       case Some(m) if m.checksId != cid =>
@@ -256,11 +251,11 @@ object Constraints {
           .getOrElse(Seq.empty)
         CommitLog.rewrite(spark, table, adds = staged, removes = live,
           statsCol = statsCols.headOption.getOrElse(""),
-          colStats = nums, strColStats = strs ++ blooms,
+          colStats = nums, strColStats = strs,
           validateManifest = validate)
       } else CommitLog.commit(spark, table, adds = staged,
         statsCol = statsCols.headOption.getOrElse(""),
-        colStats = nums, strColStats = strs ++ blooms,
+        colStats = nums, strColStats = strs,
         validateManifest = validate))
   }
 }

@@ -83,13 +83,6 @@ object CopyInto {
     Constraints.driftGate(spark, df, table)
     val staged = CommitLog.stage(spark, df, table)
     val cs = Constraints.checks(spark, table)
-    if (cs.nonEmpty) {
-      val root = CommitLog.dataRoot(table)
-      val stagedDf = spark.read.parquet(staged.map(f => s"$root/$f"): _*)
-      val bad = Constraints.violationCounts(stagedDf, cs).filter(_._2 > 0)
-      if (bad.nonEmpty)
-        throw new Constraints.ConstraintViolationException(table, bad)
-    }
     // observed stat columns, else (a freshly CREATEd empty table has
     // no observable cells) the declared schema's eligible columns —
     // the INSERT router's r16 rule, so the first COPY already prunes
@@ -107,15 +100,18 @@ object CopyInto {
         }.toSeq.sorted
       }
     }.getOrElse(Seq.empty)
-    val (nums, strs) =
-      if (statCols.nonEmpty)
-        CommitLog.statsPassFor(spark, table, staged, statCols)
-      else (Map.empty[String, Map[String, (Long, Long)]],
-        Map.empty[String, Map[String, (String, String)]])
-    val blooms = CommitLog.currentVersion(spark, table)
-      .map(v => BloomStats.restatBlooms(spark, table,
-        CommitLog.readManifest(spark, table, v), staged))
-      .getOrElse(Map.empty)
+    // CHECK audit + zone maps + bloom survival in ONE scan of the
+    // staged batch (r16: CommitLog.stagedPass fuses the three jobs)
+    val bloomCols = CommitLog.currentVersion(spark, table)
+      .map(v => BloomStats.bloomColsOf(
+        CommitLog.readManifest(spark, table, v)))
+      .getOrElse(Seq.empty)
+    val pass = CommitLog.stagedPass(spark, table, staged, statCols,
+      bloomCols = bloomCols, checks = cs)
+    val bad = pass.badChecks
+    if (bad.nonEmpty)
+      throw new Constraints.ConstraintViolationException(table, bad)
+    val (nums, strs) = (pass.nums, pass.strs)
     // sidecar BEFORE commit: an orphan is ignored, a referenced one
     // is history
     val id = idOf(fresh)
@@ -133,7 +129,7 @@ object CopyInto {
       try CommitLog.commit(spark, table, adds = staged,
         txn = s"copy:$id",
         statsCol = statCols.headOption.getOrElse(""),
-        colStats = nums, strColStats = strs ++ blooms,
+        colStats = nums, strColStats = strs,
         validateManifest = _ => {
           if (CommitLog.findTxn(spark, table, s"copy:$id").isDefined)
             throw new AlreadyCopied(id)

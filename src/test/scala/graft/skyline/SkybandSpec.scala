@@ -99,6 +99,24 @@ class SkybandSpec extends SparkSpec {
     }
   }
 
+  test("kDominantSkylines (shared single-pass, r16) row-matches the " +
+      "independent per-k calls") {
+    val r = new Random(67)
+    for (trial <- 1 to 10) {
+      val pts = randPts(50 + r.nextInt(50), r)
+      val df = mkDf(pts)
+      val ks = Seq(3, 2)
+      val fused = Skyband.kDominantSkylines(df, spec, ks)
+        .select("k", "id").collect()
+        .map(row => (row.getInt(0), row.getLong(1))).toSet
+      val separate = ks.flatMap { k =>
+        Skyband.kDominantSkyline(df, spec, k)
+          .select("id").collect().map(row => (k, row.getLong(0)))
+      }.toSet
+      assert(fused == separate, s"trial $trial")
+    }
+  }
+
   test("localSkyband prune is sound and locally complete") {
     val r = new Random(59)
     val pts = randPts(200, r)

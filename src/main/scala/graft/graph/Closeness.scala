@@ -41,13 +41,6 @@ object Closeness {
     require(maxIters >= 0)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src")).cache()
-    // `dist` is a LAZY UNION of per-round checkpointed frontier
-    // frames: each round materializes only its O(frontier) new rows.
-    // (The pre-r16 form re-checkpointed the whole cumulative set
-    // every round — O(rounds × |reached|) re-materialization that
-    // dwarfs the real work on a high-diameter graph; the union of
-    // already-checkpointed leaves costs nothing to re-reference and
-    // keeps the plan depth at one union of ≤ maxIters leaves.)
     var dist = seeds.toDF("seed").distinct()
       .select(col("seed"), col("seed").as("id"), lit(0).as("dist"))
       .localCheckpoint()
@@ -62,7 +55,7 @@ object Closeness {
         .withColumn("dist", lit(k)).localCheckpoint()
       if (next.isEmpty) saturated = true
       else {
-        dist = dist.unionAll(next)
+        dist = dist.unionAll(next).localCheckpoint()
         frontier = next.select("seed", "id")
       }
     }

@@ -49,10 +49,7 @@ object ShortestPath {
         .withColumn("dist", lit(k)).localCheckpoint()
       if (next.isEmpty) saturated = true
       else {
-        // append-only state: the lazy union of per-round checkpointed
-        // frames needs no re-materialization (r16 — each round now
-        // writes O(frontier) rows, not O(|reached so far|))
-        dist = dist.unionAll(next)
+        dist = dist.unionAll(next).localCheckpoint()
         frontier = next.select("id")
       }
     }

@@ -231,8 +231,11 @@ object Constraints {
       .map(v => BloomStats.bloomColsOf(
         CommitLog.readManifest(spark, table, v)))
       .getOrElse(Seq.empty)
-    val p = CommitLog.stagedPass(spark, table, staged, statsCols,
-      bloomCols = bloomCols, checks = cs)
+    val p =
+      if (statsCols.isEmpty && bloomCols.isEmpty && cs.isEmpty)
+        CommitLog.StagedPassResult(Map.empty, Map.empty, Seq.empty)
+      else CommitLog.stagedPass(spark, table, staged, statsCols,
+        bloomCols = bloomCols, checks = cs)
     val bad = p.badChecks
     if (bad.nonEmpty) return Left(bad)
     val (nums, strs) = (p.nums, p.strs)

@@ -106,8 +106,11 @@ object CopyInto {
       .map(v => BloomStats.bloomColsOf(
         CommitLog.readManifest(spark, table, v)))
       .getOrElse(Seq.empty)
-    val pass = CommitLog.stagedPass(spark, table, staged, statCols,
-      bloomCols = bloomCols, checks = cs)
+    val pass =
+      if (statCols.isEmpty && bloomCols.isEmpty && cs.isEmpty)
+        CommitLog.StagedPassResult(Map.empty, Map.empty, Seq.empty)
+      else CommitLog.stagedPass(spark, table, staged, statCols,
+        bloomCols = bloomCols, checks = cs)
     val bad = pass.badChecks
     if (bad.nonEmpty)
       throw new Constraints.ConstraintViolationException(table, bad)
